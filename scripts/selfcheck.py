@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs graft.Verify's parquet output (outDir/<name>/ + oracle_sql.json) against
+DuckDB over the same testdata dir, compares sorted rowsets cell-by-cell.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "timestamp"):  # datetime
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def key(row):
+    return tuple((str(type(c)), str(c)) for c in row)
+
+
+def cmp_cell(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        # report near-misses distinctly
+        return False
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {str(e).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # align column order by name
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = sorted([tuple(norm(r[i]) for i in gi) for r in got_rows], key=key)
+        e = sorted([tuple(norm(r[i]) for i in ei) for r in exp_rows], key=key)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (rg, re_) in enumerate(zip(g, e)):
+            if rg != re_:
+                # tolerate nothing, but diagnose floats
+                diffs = [(c, a, b) for c, (a, b) in
+                         enumerate(zip(rg, re_)) if a != b]
+                bad = (i, diffs)
+                break
+        if bad:
+            i, diffs = bad
+            cols = sorted(got_cols)
+            detail = "; ".join(
+                f"{cols[c]}: spark={a!r} oracle={b!r}" for c, a, b in diffs[:4])
+            print(f"FAIL {name}: row {i} differs: {detail}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the oracle-checked operator surface: one entry per implemented
+  * operator from SURVEY.md §2 (plus the LLM-data-pipeline extensions). Each
+  * entry with SQL in `oracleSql` is hash-compared against DuckDB at sf0.01;
+  * entries without SQL get a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped exact aggregation over lineitem (SURVEY §7.3). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  private def allDefs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    graft.queries.Relational.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (k, (fn, _)) => k -> fn }
+
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (k, (_, Some(sql))) => k -> sql }
 }
