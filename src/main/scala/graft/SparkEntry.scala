@@ -17,7 +17,9 @@ object SparkEntry {
     queries("q01_agg_tpch_q1")(spark, "/root/testdata/sf0.001")
 
   private def allDefs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.TextOps.defs ++
+      graft.queries.DedupSim.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map { case (k, (fn, _)) => k -> fn }

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Near-duplicate detection and similarity search — the LLM-data-pipeline
+  * extension surface (SURVEY §2.9 north star): MinHash+LSH, SimHash, n-gram
+  * Jaccard, brute-force cosine top-k, and LSH-bucketed ANN.
+  *
+  * Engine-portability notes:
+  *   - All hashing is md5 (identical across Spark/DuckDB); engine-native hash
+  *     functions are never oracle-comparable.
+  *   - 60-bit hash integers come from the first 15 md5 hex chars (fits i64):
+  *     Spark `conv(hex,16,10)` ↔ DuckDB `('0x'||hex)::BIGINT`.
+  *   - LSH hyperplane signs are deterministic ±1 constants derived from md5 in
+  *     Scala at plan-build time and embedded as literals in BOTH plans.
+  *   - Array folds use sequential `aggregate`/`list_reduce` (same IEEE order),
+  *     so double results are bit-identical and rankings need no tolerance.
+  */
+object DedupSim {
+
+  // ---------------------------------------------------------------- q24
+  /** MinHash + LSH banding over 3-word shingles (shingle→minhash→band→
+    * bucket-join). k=8 hash functions, 4 bands × r=2. Tokens capped at 30 per
+    * doc so shingle volume stays bounded at scale (a silent cap would misread
+    * as full coverage — it is the standard fixed-budget prefix signature).
+    * At 100 TB this is the classic scalable near-dup join: the only shuffles
+    * are the signature group-by and the band-key self-join, both on
+    * well-distributed md5-derived keys. */
+  def q24(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+              slice(split(trim(lower(col("text"))), "\\s+"), 1, 30).as("t"))
+      .filter(size(col("t")) >= 3)
+    val shingles = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
+      .as("shingle"))
+    val hashed = shingles
+      .select(col("doc_id"), col("shingle"), explode(expr("sequence(0, 7)")).as("hid"))
+      .select(col("doc_id"), col("hid"),
+              md5(concat(col("hid").cast("string"), lit("|"), col("shingle"))).as("h"))
+    val sigAggs = (0 until 8).map(k => min(when(col("hid") === k, col("h"))).as(s"h$k"))
+    val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band_idx"),
+                 concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_key"))
+    }.reduce(_ union _)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q24Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, (string_split_regex(trim(lower(text)), '\s+'))[1:30] AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |hx AS (
+      |  SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || '|' || shingle)) AS h
+      |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS hid) GROUP BY doc_id, hid),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(CASE WHEN hid=0 THEN h END) AS h0, min(CASE WHEN hid=1 THEN h END) AS h1,
+      |    min(CASE WHEN hid=2 THEN h END) AS h2, min(CASE WHEN hid=3 THEN h END) AS h3,
+      |    min(CASE WHEN hid=4 THEN h END) AS h4, min(CASE WHEN hid=5 THEN h END) AS h5,
+      |    min(CASE WHEN hid=6 THEN h END) AS h6, min(CASE WHEN hid=7 THEN h END) AS h7
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, h0||h1 AS band_key FROM sig UNION ALL
+      |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, h6||h7 FROM sig)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** SimHash: 60-bit signature per document via md5-derived token hashes and
+    * per-bit majority vote. The vote is a single group-by with 60 conditional
+    * sums — no bit-explosion join, so it scales as one pass over tokens. */
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(slice(split(trim(lower(col("text"))), "\\s+"), 1, 40)).as("tk"))
+      .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
+    val voteAggs = count(lit(1)).as("n_toks") +:
+      (0 until 60).map(j =>
+        sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
+    val votes = tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val simhash = (0 until 60)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"), col("n_toks"))
+      .withColumn("popcount", bit_count(col("simhash")))
+      .orderBy(col("doc_id"))
+  }
+  val q25Sql: String = {
+    val voteCols = (0 until 60)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val hashExpr = (0 until 60)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest((string_split_regex(trim(lower(text)), '\\s+'))[1:40]) AS tk
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+       |v AS (
+       |  SELECT doc_id, COUNT(*) AS n_toks,
+       |    $voteCols
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, $hashExpr AS simhash, n_toks,
+       |  bit_count($hashExpr) AS popcount
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** n-gram (word-set) Jaccard similarity on adjacent doc pairs: exact
+    * set-overlap arithmetic on deduplicated token arrays. */
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              array_distinct(split(trim(lower(col("text"))), "\\s+")).as("ts"))
+    val a = docs.alias("a")
+    val b = docs.alias("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              size(array_intersect(col("a.ts"), col("b.ts"))).as("n_inter"),
+              size(array_union(col("a.ts"), col("b.ts"))).as("n_union"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / greatest(lit(1), col("n_union")))
+      .orderBy(col("doc_a"))
+  }
+  val q26Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.ts, b.ts)) AS n_inter,
+      |  len(list_distinct(a.ts || b.ts)) AS n_union,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / greatest(1, len(list_distinct(a.ts || b.ts))) AS jaccard
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Brute-force cosine top-k over the embedding column: the correctness
+    * baseline for ANN. The (tiny) query-vector side is broadcast, so the scan
+    * over candidates stays shuffle-free; top-k is a per-query window. Folds
+    * are sequential in both engines → bit-identical doubles → stable ranking
+    * (ties broken by vec_id). */
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val dot = expr(
+      "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p)")
+    val nq = expr("aggregate(qe, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    val nc = expr("aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+  val q27Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |p AS (
+      |  SELECT q_id, vec_id,
+      |    list_reduce(list_transform(range(1, len(qe)+1),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b) AS dot,
+      |    list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b) AS nq,
+      |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b) AS nc
+      |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+      |  FROM p)
+      |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** The reference's per-row array metrics (O10 RMS pa.py:182, O11 clipping
+    * pa.py:184-189) + quality-filter conjunction (O13 pa.py:212-237), mapped
+    * onto the embedding arrays: pure higher-order functions, no UDF. */
+  def q28(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("rms", sqrt(
+        expr("aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))") /
+        size(col("embedding"))))
+      .withColumn("clip_pct",
+        lit(100.0) * size(expr("filter(embedding, x -> abs(x) >= 0.25)")) /
+        size(col("embedding")))
+      .withColumn("pass_quality", col("rms") >= 0.1 && col("clip_pct") <= 3.2)
+      .select(col("vec_id"), col("rms"), col("clip_pct"), col("pass_quality"))
+      .orderBy(col("vec_id"))
+  val q28Sql: String =
+    """SELECT vec_id,
+      |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b)
+      |       / len(embedding)) AS rms,
+      |  100.0 * len(list_filter(embedding, x -> abs(x) >= 0.25)) / len(embedding) AS clip_pct,
+      |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b)
+      |       / len(embedding)) >= 0.1
+      |    AND 100.0 * len(list_filter(embedding, x -> abs(x) >= 0.25)) / len(embedding) <= 3.2 AS pass_quality
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** LSH-bucketed ANN — the scale path for similarity search: 8 deterministic
+    * random-hyperplane sign projections bucket every vector into one of 256
+    * cells; queries join candidates only within their cell, then exact cosine
+    * + top-3. At 100 TB the bucket join replaces the full cross product with
+    * a key-equality shuffle. Sign constants are md5-derived in Scala and
+    * embedded as literals in both engines' plans. */
+  private val Dim = 64
+  private val NPlanes = 8
+
+  /** Deterministic ±1: parity of the first hex nibble of md5("plane:j:i"). */
+  private[queries] def planeSigns: Array[Array[Int]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NPlanes, Dim) { (j, i) =>
+      val h = mdt.digest(s"plane:$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1 else -1
+    }
+  }
+
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val signs = planeSigns
+    def bucketCol(embCol: String): Column =
+      (0 until NPlanes).map { j =>
+        val arr = signs(j).mkString("array(", ",", ")")
+        val proj = expr(
+          s"aggregate(zip_with($embCol, $arr, (x, s) -> cast(x as double) * s), 0D, (a, p) -> a + p)")
+        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketCol("embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val dot = expr(
+      "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p)")
+    val nq = expr("aggregate(qe, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    val nc = expr("aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    emb.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("bucket"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+  val q29Sql: String = {
+    val signs = planeSigns
+    def projSql(e: String, j: Int): String = {
+      val arr = signs(j).mkString("[", ",", "]")
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($e[i] AS DOUBLE) * ($arr)[i]), (a,b) -> a+b)"
+    }
+    def bucketSql(e: String): String =
+      (0 until NPlanes)
+        .map(j => s"(CASE WHEN ${projSql(e, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM be WHERE vec_id < 5),
+       |p AS (
+       |  SELECT q.q_id, be.vec_id, be.bucket,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(be.embedding[i] AS DOUBLE)), (a,b) -> a+b) AS dot,
+       |    list_reduce(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b) AS nq,
+       |    list_reduce(list_transform(be.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b) AS nc
+       |  FROM be JOIN q ON be.bucket = q.bucket AND be.vec_id <> q.q_id),
+       |r AS (
+       |  SELECT q_id, vec_id, bucket, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |  FROM p)
+       |SELECT q_id, rnk, vec_id, bucket, cosine FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q24_minhash_lsh_pairs" -> ((q24 _, Some(q24Sql))),
+    "q25_simhash"           -> ((q25 _, Some(q25Sql))),
+    "q26_jaccard_adjacent"  -> ((q26 _, Some(q26Sql))),
+    "q27_cosine_topk"       -> ((q27 _, Some(q27Sql))),
+    "q28_array_metrics"     -> ((q28 _, Some(q28Sql))),
+    "q29_ann_lsh_buckets"   -> ((q29 _, Some(q29Sql))))
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operator surface over the `documents` table: the reference's
+  * text-quality filters (O17-O20, pa.py:291-309) plus the LLM-data-pipeline
+  * extensions (token stats, quality scoring, language-ID heuristic, document
+  * fingerprinting). All per-row scalar work — embarrassingly parallel, no
+  * shuffle except where a dedup group-by is the point.
+  */
+object TextOps {
+
+  /** The reference's hallucination regex, verbatim (pa.py:291-294). Kept to
+    * RE2-compatible constructs so the DuckDB twin matches semantics. */
+  val HallucinationRegex = "\\[.*?\\]|\\(.*?\\)|thanks for watching|thank you for watching"
+
+  // ---------------------------------------------------------------- q19
+  /** Text-quality filter (O17-O20): trim, require >2 whitespace tokens
+    * (pa.py:302-303 — exactly 3+ words survive), require a letter
+    * (pa.py:304-305), reject hallucination patterns (pa.py:306-307). */
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) > 2 &&
+              col("text").rlike("[a-zA-Z]") &&
+              !lower(col("text")).rlike(HallucinationRegex))
+      .select(col("doc_id"), size(col("toks")).as("n_words"), col("lang"))
+      .orderBy(col("doc_id"))
+  val q19Sql: String =
+    """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_words, lang
+      |FROM documents
+      |WHERE len(string_split_regex(trim(text), '\s+')) > 2
+      |  AND regexp_matches(text, '[a-zA-Z]')
+      |  AND NOT regexp_matches(lower(text), '\[.*?\]|\(.*?\)|thanks for watching|thank you for watching')
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Token counting + quality scoring: whitespace tokens, punctuation ratio,
+    * stopword ratio, composite quality score. All integer counts except the
+    * final score, whose double arithmetic is per-row deterministic. */
+  def q20(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_len", length(col("text")))
+      .withColumn("punct_cnt",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .withColumn("stop_cnt", size(expr(
+        "filter(toks, t -> array_contains(array('the','a','and','of','to','is','in'), t))")))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.5) +
+        (col("stop_cnt") / greatest(lit(1), col("n_tokens"))) * lit(0.3) +
+        (lit(1.0) - col("punct_cnt") / greatest(lit(1), col("n_len"))) * lit(0.2))
+      .select(col("doc_id"), col("n_tokens"), col("n_len"), col("punct_cnt"),
+              col("stop_cnt"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  val q20Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    length(text) AS n_len,
+      |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(toks) AS n_tokens, n_len, punct_cnt,
+      |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is','in'], t))) AS stop_cnt
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_len, punct_cnt, stop_cnt,
+      |  least(1.0, n_tokens / 100.0) * 0.5
+      |    + (stop_cnt / greatest(1, n_tokens)) * 0.3
+      |    + (1.0 - punct_cnt / greatest(1, n_len)) * 0.2 AS quality_score
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Language-ID heuristic: stopword-membership scores per candidate language
+    * plus a CJK-codepoint check, resolved by deterministic precedence. */
+  def q21(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("zh_hit", col("text").rlike("[\\u4e00-\\u9fff]"))
+      .withColumn("en_score", size(expr(
+        "filter(toks, t -> array_contains(array('the','and','of','to','a'), t))")))
+      .withColumn("es_score", size(expr(
+        "filter(toks, t -> array_contains(array('el','la','de','que','y'), t))")))
+      .withColumn("de_score", size(expr(
+        "filter(toks, t -> array_contains(array('der','die','und','das'), t))")))
+      .withColumn("fr_score", size(expr(
+        "filter(toks, t -> array_contains(array('le','les','des','et'), t))")))
+      .withColumn("predicted",
+        when(col("zh_hit"), "zh")
+          .when(col("en_score") >= col("es_score") && col("en_score") >= col("de_score") &&
+                col("en_score") >= col("fr_score"), "en")
+          .when(col("es_score") >= col("de_score") && col("es_score") >= col("fr_score"), "es")
+          .when(col("de_score") >= col("fr_score"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang"), col("predicted"),
+              col("en_score"), col("es_score"), col("de_score"), col("fr_score"))
+      .orderBy(col("doc_id"))
+  val q21Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text, string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh_hit
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang, zh_hit,
+      |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], t))) AS en_score,
+      |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS es_score,
+      |    len(list_filter(toks, t -> list_contains(['der','die','und','das'], t))) AS de_score,
+      |    len(list_filter(toks, t -> list_contains(['le','les','des','et'], t))) AS fr_score
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |  CASE WHEN zh_hit THEN 'zh'
+      |       WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score THEN 'en'
+      |       WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+      |       WHEN de_score >= fr_score THEN 'de'
+      |       ELSE 'fr' END AS predicted,
+      |  en_score, es_score, de_score, fr_score
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Document fingerprinting: md5 over the whitespace-normalized lowercase
+    * text (md5 is engine-portable, unlike engine hash functions), with a
+    * duplicate count per fingerprint via a window. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .withColumn("fp", fp)
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fp"), col("n_same"))
+      .orderBy(col("doc_id"))
+  }
+  val q22Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** First-writer-wins dedup on a compound key ((lang, source) here), the
+    * INSERT OR IGNORE shape of O24 applied to documents: keeper = min doc_id. */
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_rows"))
+      .orderBy(col("lang"), col("source"))
+  val q23Sql: String =
+    """SELECT lang, source, min(doc_id) AS keeper_doc_id, count(*) AS n_rows
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q19_text_quality_filter" -> ((q19 _, Some(q19Sql))),
+    "q20_token_stats"         -> ((q20 _, Some(q20Sql))),
+    "q21_lang_id"             -> ((q21 _, Some(q21Sql))),
+    "q22_fingerprint_md5"     -> ((q22 _, Some(q22Sql))),
+    "q23_dedup_first_writer_docs" -> ((q23 _, Some(q23Sql))))
+}
