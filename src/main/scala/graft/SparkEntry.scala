@@ -19,7 +19,8 @@ object SparkEntry {
   private def allDefs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     graft.queries.Relational.defs ++
       graft.queries.TextOps.defs ++
-      graft.queries.DedupSim.defs
+      graft.queries.DedupSim.defs ++
+      graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map { case (k, (fn, _)) => k -> fn }

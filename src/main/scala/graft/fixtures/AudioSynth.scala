@@ -1,0 +1,107 @@
+package graft.fixtures
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.io.WavCodec
+
+/** Deterministic synthesized WAV corpus (FIXTURES.md §A.1): pure tones,
+  * silence gaps, clipped squares, band-extreme "music", garbage bytes —
+  * every branch of the audio pipeline has a fixture that exercises it.
+  * Seedless: everything is a closed-form function of time, so the corpus is
+  * bit-identical across runs and machines.
+  */
+object AudioSynth {
+
+  val Rate = 16000
+
+  private def sine(freqHz: Double, ms: Int, amp: Double = 0.5): Array[Float] = {
+    val n = Rate * ms / 1000
+    Array.tabulate(n)(i => (amp * math.sin(2 * math.Pi * freqHz * i / Rate)).toFloat)
+  }
+
+  private def silence(ms: Int): Array[Float] = new Array[Float](Rate * ms / 1000)
+
+  private def square(freqHz: Double, ms: Int, amp: Double): Array[Float] = {
+    val n = Rate * ms / 1000
+    Array.tabulate(n) { i =>
+      val phase = (freqHz * i / Rate) % 1.0
+      (if (phase < 0.5) amp else -amp).toFloat
+    }
+  }
+
+  private def concat(parts: Array[Float]*): Array[Float] = {
+    val out = new Array[Float](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+    out
+  }
+
+  /** Speech-like burst: 300 Hz + 1.2 kHz mix under a slow amplitude envelope.
+    * The envelope keeps the crest factor high (few samples near the peak), so
+    * peak normalization does NOT push >1% of samples above the 0.98 clipping
+    * threshold — pure constant-amplitude tones would fail the clipping filter
+    * after normalization (they spend >3% of samples near their peak). */
+  private def speechBurst(ms: Int): Array[Float] = {
+    val n = Rate * ms / 1000
+    Array.tabulate(n) { i =>
+      val t = i.toDouble / Rate
+      val env = 0.2 + 0.8 * math.abs(math.sin(math.Pi * i.toDouble / n))
+      (env * (0.55 * math.sin(2 * math.Pi * 300 * t) +
+              0.3 * math.sin(2 * math.Pi * 1200 * t))).toFloat
+    }
+  }
+
+  private def bursts(durationsMs: Seq[Int], gapMs: Int = 400): Array[Float] = {
+    val parts = durationsMs.flatMap(d => Seq(speechBurst(d), silence(gapMs)))
+    concat(parts: _*)
+  }
+
+  /** Write the full corpus into `dir`; returns the file list. Overwrites. */
+  def writeCorpus(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    def put(name: String, samples: Array[Float]): Path = {
+      val p = d.resolve(name)
+      Files.write(p, WavCodec.encodeMono16(samples, Rate))
+      p
+    }
+    val files = Seq(
+      // VAD pass-path: 4-8 s utterances, clean gaps
+      put("tone_speechlike.wav", bursts(Seq(4000, 6000, 8000))),
+      // pass-1 split: 40 s continuous utterance
+      put("long_utterance.wav", concat(silence(500), speechBurst(40000), silence(500))),
+      // pass-2 merge + <3 s drop: 1-2 s bursts
+      put("short_utterances.wav", bursts(Seq(1000, 1500, 2000, 1200, 1800))),
+      // RMS reject: two quiet 1 s bursts whose windows sit just above the
+      // -35 dBFS VAD floor (-34.5 dB), diluted by the 11 s in-segment gap so
+      // the merged segment's overall RMS lands near 242 < MIN_RMS 250. A
+      // far-away full-scale spike pins the normalization gain at ~1 so the
+      // bursts stay quiet after peak normalization; the spike itself is a
+      // <3 s segment and is dropped by the merge.
+      put("whisper_quiet.wav", {
+        val burst = sine(500, 1000, 0.0265)
+        concat(silence(1000), burst, silence(11000), burst,
+               silence(15000), square(100, 100, 0.9886), silence(400))
+      }),
+      // clipping reject: full-scale square
+      put("clipped_square.wav", concat(square(220, 5000, 1.0), silence(400))),
+      // music reject: bass <80 Hz + treble >8 kHz dominated, enveloped so it
+      // fails the MUSIC filter specifically rather than clipping
+      put("bass_treble_music.wav", {
+        val n = Rate * 6
+        val m = Array.tabulate(n) { i =>
+          val t = i.toDouble / Rate
+          val env = 0.2 + 0.8 * math.abs(math.sin(math.Pi * i.toDouble / n))
+          (env * (0.45 * math.sin(2 * math.Pi * 50 * t) +
+                  0.45 * math.sin(2 * math.Pi * 7900 * t))).toFloat
+        }
+        concat(m, silence(400))
+      }),
+      // empty-VAD early return: silence only
+      put("silence_only.wav", silence(10000)))
+    // per-file error-skip: garbage bytes
+    val garbage = d.resolve("not_a_wav.wav")
+    Files.write(garbage, Array.tabulate[Byte](1024)(i => (i * 37 % 251).toByte))
+    files :+ garbage
+  }
+}

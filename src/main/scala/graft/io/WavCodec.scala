@@ -1,0 +1,90 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal RIFF/WAVE PCM codec — pure JVM, offline-safe, deterministic.
+  * Decode accepts PCM16/PCM8/float32, any channel count/rate (the shapes the
+  * reference's `AudioSegment.from_wav` accepts for its corpus, pa.py:85);
+  * encode always writes PCM16 mono (the canonical post-ingest form,
+  * pa.py:88-89). Malformed input throws — callers map that to the
+  * reference's per-file error-skip (pa.py:91-92).
+  */
+object WavCodec {
+
+  final case class Decoded(samples: Array[Float], channels: Int, sampleRate: Int)
+
+  def decode(bytes: Array[Byte]): Decoded = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44, s"too short for WAV: ${bytes.length} bytes")
+    require(buf.getInt(0) == 0x46464952, "missing RIFF magic") // "RIFF"
+    require(buf.getInt(8) == 0x45564157, "missing WAVE magic") // "WAVE"
+    var pos = 12
+    var fmtCode = -1
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var data: Array[Byte] = null
+    while (pos + 8 <= bytes.length) {
+      val id = buf.getInt(pos)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length, s"chunk overruns file at $pos")
+      id match {
+        case 0x20746d66 => // "fmt "
+          fmtCode = buf.getShort(pos + 8) & 0xffff
+          channels = buf.getShort(pos + 10) & 0xffff
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22) & 0xffff
+        case 0x61746164 => // "data"
+          data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(data != null, "no data chunk")
+    require(channels > 0 && rate > 0, s"bad fmt: channels=$channels rate=$rate")
+    val db = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val samples: Array[Float] = (fmtCode, bits) match {
+      case (1, 16) =>
+        val n = data.length / 2
+        Array.tabulate(n)(i => db.getShort(i * 2) / 32768.0f)
+      case (1, 8) => // PCM8 is unsigned
+        Array.tabulate(data.length)(i => ((data(i) & 0xff) - 128) / 128.0f)
+      case (3, 32) =>
+        val n = data.length / 4
+        Array.tabulate(n)(i => db.getFloat(i * 4))
+      case other => throw new IllegalArgumentException(s"unsupported wav format $other")
+    }
+    Decoded(samples, channels, rate)
+  }
+
+  /** Encode mono float PCM to PCM16 WAV bytes (clamping to full scale). */
+  def encodeMono16(samples: Array[Float], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    val hdr = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(0x46464952)          // RIFF
+    hdr.putInt(36 + dataLen)
+    hdr.putInt(0x45564157)          // WAVE
+    hdr.putInt(0x20746d66)          // fmt_
+    hdr.putInt(16)
+    hdr.putShort(1)                 // PCM
+    hdr.putShort(1)                 // mono
+    hdr.putInt(sampleRate)
+    hdr.putInt(sampleRate * 2)      // byte rate
+    hdr.putShort(2)                 // block align
+    hdr.putShort(16)                // bits
+    hdr.putInt(0x61746164)          // data
+    hdr.putInt(dataLen)
+    out.write(hdr.array())
+    val body = ByteBuffer.allocate(dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-1.0f, math.min(1.0f, samples(i)))
+      body.putShort(math.round(v * 32767.0f).toShort)
+      i += 1
+    }
+    out.write(body.array())
+    out.toByteArray
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Query entries for the operators that are NOT plain SQL over the test
+  * tables: the end-to-end audio pipeline (rows-only check), the span-based
+  * greedy merge (rows-only — stateful fold, not ANSI-SQL-expressible), the
+  * streaming-equivalent window aggregation and the multimodal byte view
+  * (both oracle-checked).
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------- q30
+  /** Full audio pipeline over the deterministic synthesized WAV corpus
+    * (FIXTURES.md §A.1): scan → decode → segment → metrics → filters → stub
+    * ASR → text filters → overlap window → wav export → metadata. Rows-only
+    * driver check; exact golden values are asserted in PipelineSpec. */
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audio_fixture")
+    val wavDir = base.resolve("wavs").toString
+    val outDir = base.resolve("out").toString
+    graft.fixtures.AudioSynth.writeCorpus(wavDir)
+    graft.Pipeline.run(s, wavDir, outDir)
+      .withColumn("wav_name", element_at(split(col("wav_path"), "/"), -1))
+      .select(col("original_name"), col("wav_name"), col("text"),
+              round(col("rms"), 3).as("rms"),
+              round(col("clipping_percent"), 3).as("clipping_percent"),
+              round(col("music_ratio"), 3).as("music_ratio"),
+              col("overlap_flag"))
+      .orderBy(col("original_name"), col("wav_name"))
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Span-based greedy merge on the events table (O8 generalized) — see
+    * Sessionize.spanMerge. Rows-only check. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sessionize.spanMergeEvents(s, d)
+
+  // ---------------------------------------------------------------- q32
+  /** Event-time tumbling-window aggregation — the batch twin of
+    * Streaming.windowedCounts (identical grouping + measures), oracle-checked
+    * via DuckDB time_bucket. */
+  def q32(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+              col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  val q32Sql: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Multimodal byte view: text payload as bytes — octet length, char length,
+    * md5 checksum (the codec-free end of Multimodal.featurize). */
+  def q33(s: SparkSession, d: String): DataFrame =
+    graft.ops.Multimodal.bytesView(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+  val q33Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q30_audio_pipeline_e2e" -> ((q30 _, None)),
+    "q31_span_merge_events"  -> ((q31 _, None)),
+    "q32_stream_window_agg"  -> ((q32 _, Some(q32Sql))),
+    "q33_multimodal_bytes"   -> ((q33 _, Some(q33Sql))))
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, Sessionize}
+
+/** Specs for the distributed operators outside the audio path: span-based
+  * greedy merge (flatMapGroups), multimodal featurize plumbing, streaming
+  * windowed ingest vs its batch twin. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("spanMerge: span budget includes gaps; short sessions dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      // key 1: points at 0, 8, 14, 16 s (µs) with max span 15 s:
+      // 0+8+14 merge (span 14); 16 starts fresh and is dropped (span 0 < min 3)
+      Sessionize.Event(1, 0L, 1.0),
+      Sessionize.Event(1, 8000000L, 2.0),
+      Sessionize.Event(1, 14000000L, 3.0),
+      Sessionize.Event(1, 16000000L, 4.0),
+      // key 2: single point => zero span, dropped
+      Sessionize.Event(2, 5000000L, 9.0)
+    ).toDS()
+    val out = Sessionize.spanMerge(ev, minSpanUs = 3000000L, maxSpanUs = 15000000L)
+      .collect().toSet
+    assert(out == Set(Sessionize.Session(1, 0L, 14000000L, 3, 6.0)))
+  }
+
+  test("spanMerge is deterministic across partitionings") {
+    import spark.implicits._
+    val ev = (0 until 200).map(i =>
+      Sessionize.Event(i % 5, (i / 5).toLong * 4000000L, i.toDouble))
+    val a = Sessionize.spanMerge(ev.toDS().repartition(7), 3000000L, 15000000L).collect().toSet
+    val b = Sessionize.spanMerge(ev.toDS().repartition(2), 3000000L, 15000000L).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("multimodal featurize: metadata derived from bytes, empty payload dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1, "hello world".getBytes("UTF-8")),
+      Multimodal.MediaRow(2, Array.emptyByteArray), // decode error -> dropped
+      Multimodal.MediaRow(3, Array[Byte](1, 2, 3, 4, 5))
+    ).toDS()
+    val out = Multimodal.featurize(rows).collect().map(d => d.docId -> d.meta).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L).nBytes == 11 && out(1L).magic == "68656c6c")
+    // deterministic: same bytes, same metadata
+    assert(out(3L) == Multimodal.decodeStub(Array[Byte](1, 2, 3, 4, 5)))
+  }
+
+  test("streaming windowed ingest equals the batch window aggregation (q32)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streaming.runOnce(spark, dir, "spec_stream")
+      .orderBy("window_start_us", "event_type").collect().toSeq
+    val batch = graft.queries.PipelineQueries.q32(spark, dir).collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("stub transcriber is deterministic and batch-size independent") {
+    val t = new graft.ops.Inference.StubTranscriber
+    val in = (1 to 10).map(i => graft.ops.Inference.AsrInput(
+      Array.tabulate(100 * i)(j => (j % 7) / 7.0f), 16000))
+    val once = t.transcribe(in)
+    assert(once == t.transcribe(in))
+    assert(once == in.grouped(3).flatMap(g => t.transcribe(g)).toSeq)
+  }
+}
