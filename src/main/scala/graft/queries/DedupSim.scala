@@ -38,16 +38,17 @@ object DedupSim {
     val shingles = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
       .as("shingle"))
-    val hashed = shingles
-      .select(col("doc_id"), col("shingle"), explode(expr("sequence(0, 7)")).as("hid"))
-      .select(col("doc_id"), col("hid"),
-              md5(concat(col("hid").cast("string"), lit("|"), col("shingle"))).as("h"))
-    val sigAggs = (0 until 8).map(k => min(when(col("hid") === k, col("h"))).as(s"h$k"))
-    val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band_idx"),
-                 concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_key"))
-    }.reduce(_ union _)
+    // all 8 minhashes in ONE pass over the shingle rows (no hash-id explode):
+    // 8 partial-aggregating min columns instead of 8x the shuffle volume.
+    val sigAggs = (0 until 8).map(k =>
+      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"h$k"))
+    val sig = shingles.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    // one posexplode instead of a 4-way union: the signature aggregation is
+    // computed once per join side, not once per band branch
+    val bandArr = array((0 until 4).map(b =>
+      concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandArr))
+      .toDF("doc_id", "band_idx", "band_key")
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit (the "would this survive 100×?" gate): asserts the
+  * plan properties the 100 TB design relies on — filters and projections
+  * reach the parquet scan, dimension joins broadcast, top-k uses TakeOrdered,
+  * and nothing falls back to a cartesian product unintentionally.
+  * Run: sbt "runMain graft.tools.PlanCheck [sfDir]". Exits non-zero on a
+  * violated expectation. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    def check(q: String, what: String)(cond: String => Boolean): Unit = {
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val ok = cond(plan)
+      println(f"${if (ok) "PASS" else "FAIL"}%s  $q%-28s $what")
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
+
+    // note: the rendered plan truncates long PushedFilters lists, so assert
+    // presence of pushed predicates rather than a specific one
+    check("q02_filter_project", "predicates pushed to parquet scan")(p =>
+      p.contains("PushedFilters: [IsNotNull"))
+    check("q02_filter_project", "column-pruned ReadSchema (no l_tax)")(p =>
+      p.contains("ReadSchema") && !p.contains("l_tax"))
+    check("q03_join_dims_broadcast", "both dims broadcast")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size == 2 && !p.contains("SortMergeJoin"))
+    check("q05_tpch_q3_topk", "customer broadcast + TakeOrdered top-k")(p =>
+      p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"))
+    check("q12_sort_limit_topk", "global top-k is TakeOrdered, not full sort")(p =>
+      p.contains("TakeOrderedAndProject"))
+    check("q10_anti_join", "anti join strategy (hash, not nested loop)")(p =>
+      p.contains("LeftAnti") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q01_agg_tpch_q1", "partial aggregation before the exchange")(p =>
+      p.contains("partial_sum") || p.contains("partial"))
+    check("q27_cosine_topk", "query side broadcast (intended nested-loop x5 rows)")(p =>
+      p.contains("BroadcastNestedLoopJoin"))
+    check("q29_ann_lsh_buckets", "bucket join is a broadcast HASH join")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q24_minhash_lsh_pairs", "band self-join is a hash join, single-pass sig agg")(p =>
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    check("q15_asof_join", "as-of via single window, no inequality join")(p =>
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+        p.contains("RunningWindowFunction") || p.contains("Window"))
+
+    println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
