@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions.sqrt
+
+/** Column-API and SQL surface for the engine's native expressions. */
+object GraftFunctions {
+
+  /** Dot product of two ARRAY<FLOAT> columns in double precision (codegen). */
+  def dotF32(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity built from the native dot kernel — same IEEE op
+    * sequence as the HOF formulation the DuckDB oracles mirror. */
+  def cosineF32(a: Column, b: Column): Column =
+    dotF32(a, b) / (sqrt(dotF32(a, a)) * sqrt(dotF32(b, b)))
+
+  /** Register SQL names on an existing session (tests / driver sessions that
+    * were built without `spark.sql.extensions`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f32", exprs => DotProductF32(exprs(0), exprs(1)), "scala_udf")
+}
+
+/** SparkSessionExtensions hook: `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")` injects the native functions at
+  * session build time (the cluster-deployment path). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      DotProductF32.info,
+      exprs => DotProductF32(exprs(0), exprs(1))))
+  }
+}

@@ -166,10 +166,12 @@ object DedupSim {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val dot = expr(
-      "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p)")
-    val nq = expr("aggregate(qe, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
-    val nc = expr("aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    // native codegen'd kernel (graft.functions.DotProductF32): bit-identical
+    // to the HOF fold the DuckDB oracle mirrors, without the intermediate
+    // zipped-array allocation
+    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
+    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
+    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
@@ -252,10 +254,9 @@ object DedupSim {
       .withColumn("bucket", bucketCol("embedding"))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
-    val dot = expr(
-      "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p)")
-    val nq = expr("aggregate(qe, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
-    val nc = expr("aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
+    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
+    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     emb.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
