@@ -19,6 +19,7 @@ object SparkEntry {
   private def allDefs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++
+      graft.queries.Relational3.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.DedupSim.defs ++
       graft.queries.PipelineQueries.defs

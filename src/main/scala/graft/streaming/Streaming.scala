@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming ingest mode (SURVEY §2.8 north-star extension): the
@@ -52,6 +53,73 @@ object Streaming {
       .format("memory")
       .queryName(queryName)
       .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  // ------------------------------------------------------------------
+  // Stateful span-based merge (the reference's O8 in continuous form,
+  // SURVEY §2.8 north star): flatMapGroupsWithState keeps one OPEN session
+  // per key; a point beyond the max span closes and EMITS the session and
+  // opens a new one. Closed sessions stream out (Append mode); the final
+  // open session per key stays in state (on a real deployment an event-time
+  // timeout flushes it — kept timeout-free here so the offline test drive
+  // is deterministic).
+  // ------------------------------------------------------------------
+
+  final case class SEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class OpenSession(startUs: Long, endUs: Long, n: Int, sum: Double)
+  final case class ClosedSession(key: Long, startUs: Long, endUs: Long,
+                                 nEvents: Int, sumValue: Double)
+
+  def spanMergeStream(spark: SparkSession, streamDir: String,
+                      minSpanUs: Long, maxSpanUs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .selectExpr("user_id", "ts_us", "value")
+      .as[SEvent]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[SEvent], state: GroupState[OpenSession]) =>
+          // within a micro-batch rows are unordered; sort the batch slice
+          val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.value))
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case None => open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+              case Some(o) =>
+                if (e.ts_us - o.startUs <= maxSpanUs) {
+                  open = Some(OpenSession(o.startUs, e.ts_us, o.n + 1, o.sum + e.value))
+                } else {
+                  if (o.endUs - o.startUs >= minSpanUs)
+                    closed += ClosedSession(key, o.startUs, o.endUs, o.n, o.sum)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                }
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Drive the stateful merge over the static snapshot; returns the closed
+    * sessions (every batch session except each key's final one, which
+    * remains open in state). */
+  def spanMergeOnce(spark: SparkSession, dir: String, minSpanUs: Long, maxSpanUs: Long,
+                    queryName: String = "graft_spanmerge"): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_spanmerge_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = spanMergeStream(spark, staged.toString, minSpanUs, maxSpanUs)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)

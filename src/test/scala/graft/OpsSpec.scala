@@ -76,4 +76,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == t.transcribe(in))
     assert(once == in.grouped(3).flatMap(g => t.transcribe(g)).toSeq)
   }
+
+  test("Sinks.appendIgnore: INSERT OR IGNORE semantics across batches") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_sink").resolve("t").toString
+    val b1 = Seq(("k1", 1, "first"), ("k1", 2, "dup-in-batch"), ("k2", 1, "first"))
+      .toDF("wav_path", "ord", "text")
+    assert(graft.io.Sinks.appendIgnore(spark, b1, path, "wav_path", Seq("ord")) == 2)
+    val b2 = Seq(("k1", 0, "cross-batch-dup"), ("k3", 1, "new"))
+      .toDF("wav_path", "ord", "text")
+    assert(graft.io.Sinks.appendIgnore(spark, b2, path, "wav_path", Seq("ord")) == 1)
+    val fin = spark.read.parquet(path).collect()
+      .map(r => r.getAs[String]("wav_path") -> r.getAs[String]("text")).toMap
+    assert(fin == Map("k1" -> "first", "k2" -> "first", "k3" -> "new"))
+  }
+
+  test("streaming spanMerge emits exactly the batch sessions minus each key's open tail") {
+    val dir = "/root/testdata/sf0.001"
+    val minUs = 3L * 60 * 1000000
+    val maxUs = 15L * 60 * 1000000
+    val streamed = graft.streaming.Streaming
+      .spanMergeOnce(spark, dir, minUs, maxUs, "spec_spanmerge")
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("startUs"), r.getAs[Long]("endUs"),
+                 r.getAs[Int]("nEvents"))).toSet
+    // exact expectation: a driver-side replica of the greedy fold that emits
+    // CLOSED sessions only (the open tail per key stays in streaming state)
+    val events = graft.core.Tables.events(spark, dir)
+      .selectExpr("user_id", "ts_us", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = events.groupBy(_._1).flatMap { case (key, rows) =>
+      val sorted = rows.sortBy(e => (e._2, e._3))
+      val out = Seq.newBuilder[(Long, Long, Long, Int)]
+      var start = sorted.head._2; var end = start; var n = 1
+      sorted.tail.foreach { e =>
+        if (e._2 - start <= maxUs) { end = e._2; n += 1 }
+        else {
+          if (end - start >= minUs) out += ((key, start, end, n)) // closed
+          start = e._2; end = e._2; n = 1
+        }
+      }
+      out.result() // the final open run is NOT emitted
+    }.toSet
+    assert(streamed.nonEmpty && streamed == expected)
+  }
 }
