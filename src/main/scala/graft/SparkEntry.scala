@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Relational3.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.DedupSim.defs ++
+      graft.queries.DedupSim.defs2 ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -300,4 +300,99 @@ object DedupSim {
     "q27_cosine_topk"       -> ((q27 _, Some(q27Sql))),
     "q28_array_metrics"     -> ((q28 _, Some(q28Sql))),
     "q29_ann_lsh_buckets"   -> ((q29 _, Some(q29Sql))))
+
+  // ---------------------------------------------------------------- q44
+  /** Embedding-cosine near-duplicate PAIRS — the vector-side dedup variant:
+    * all pairs sharing an LSH cell with cosine >= 0.35, no query-set
+    * restriction. The bucket join caps candidate generation at
+    * sum(bucket_size^2) instead of N^2 — the only shuffle is on the cell key.
+    * (0.35 sits at the 99th percentile of in-cell cosines for the synthetic
+    * unit-norm embeddings, which have no planted exact dups — the operator
+    * shape, not the threshold, is the contract.) */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val signs = planeSigns
+    def bucketCol(embCol: String): Column =
+      (0 until NPlanes).map { j =>
+        val arr = signs(j).mkString("array(", ",", ")")
+        val proj = expr(
+          s"aggregate(zip_with($embCol, $arr, (x, s) -> cast(x as double) * s), 0D, (a, p) -> a + p)")
+        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val emb = Tables.embeddings(s, d).withColumn("bucket", bucketCol("embedding"))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
+    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
+    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  val q44Sql: String = {
+    val signs = planeSigns
+    def projSql(e: String, j: Int): String = {
+      val arr = signs(j).mkString("[", ",", "]")
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($e[i] AS DOUBLE) * ($arr)[i]), (a,b) -> a+b)"
+    }
+    def bucketSql(e: String): String =
+      (0 until NPlanes)
+        .map(j => s"(CASE WHEN ${projSql(e, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y) AS dot,
+       |    list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y) AS na,
+       |    list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y) AS nb
+       |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
+       |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Two-stage near-dup dedup: MinHash-LSH candidates (q24's bands) verified
+    * by exact word-set Jaccard >= 0.5 — the standard recall-then-precision
+    * pipeline; candidate count bounds the quadratic verification. */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val candidates = q24(s, d) // (doc_a, doc_b) pairs
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+              array_distinct(slice(split(trim(lower(col("text"))), "\\s+"), 1, 30)).as("ts"))
+    val withA = candidates.join(toks.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("ts", "ts_a"), Seq("doc_a"))
+    val withB = withA.join(toks.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("ts", "ts_b"), Seq("doc_b"))
+    withB
+      .withColumn("jaccard",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          greatest(lit(1), size(array_union(col("ts_a"), col("ts_b")))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q45Sql: String = {
+    val cand = q24Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH cand AS ($cand),
+       |tk AS (
+       |  SELECT doc_id,
+       |    list_distinct((string_split_regex(trim(lower(text)), '\\s+'))[1:30]) AS ts
+       |  FROM documents)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |    / greatest(1, len(list_distinct(a.ts || b.ts))) AS jaccard
+       |FROM cand c JOIN tk a ON a.doc_id = c.doc_a JOIN tk b ON b.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |    / greatest(1, len(list_distinct(a.ts || b.ts))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
+    "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))))
 }
