@@ -240,15 +240,19 @@ object DedupSim {
     }
   }
 
+  /** Shared LSH cell code: 8 sign-projections via the native dot_f32 kernel
+    * (sign vectors as FLOAT literals; products/adds are the same IEEE ops as
+    * the HOF fold the DuckDB oracles state, so cell codes agree exactly). */
+  private def bucketColNative(signs: Array[Array[Int]], embCol: String): Column =
+    (0 until NPlanes).map { j =>
+      val arr = typedLit(signs(j).map(_.toFloat))
+      val proj = graft.functions.GraftFunctions.dotF32(col(embCol), arr)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   def q29(s: SparkSession, d: String): DataFrame = {
     val signs = planeSigns
-    def bucketCol(embCol: String): Column =
-      (0 until NPlanes).map { j =>
-        val arr = signs(j).mkString("array(", ",", ")")
-        val proj = expr(
-          s"aggregate(zip_with($embCol, $arr, (x, s) -> cast(x as double) * s), 0D, (a, p) -> a + p)")
-        when(proj > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
+    def bucketCol(embCol: String): Column = bucketColNative(signs, embCol)
 
     val emb = Tables.embeddings(s, d)
       .withColumn("bucket", bucketCol("embedding"))
@@ -311,13 +315,7 @@ object DedupSim {
     * shape, not the threshold, is the contract.) */
   def q44(s: SparkSession, d: String): DataFrame = {
     val signs = planeSigns
-    def bucketCol(embCol: String): Column =
-      (0 until NPlanes).map { j =>
-        val arr = signs(j).mkString("array(", ",", ")")
-        val proj = expr(
-          s"aggregate(zip_with($embCol, $arr, (x, s) -> cast(x as double) * s), 0D, (a, p) -> a + p)")
-        when(proj > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
+    def bucketCol(embCol: String): Column = bucketColNative(signs, embCol)
     val emb = Tables.embeddings(s, d).withColumn("bucket", bucketCol("embedding"))
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))

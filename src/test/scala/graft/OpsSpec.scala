@@ -120,4 +120,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet
     assert(streamed.nonEmpty && streamed == expected)
   }
+
+  test("saltedAggregate equals direct aggregation on a skewed key distribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 90% of rows on one hot key
+    val df = (0 until 20000).map { i =>
+      val k = if (i % 10 == 0) (i % 7).toLong else 0L
+      (k, i.toLong, (i % 13).toDouble)
+    }.toDF("key", "id", "v")
+    val direct = df.groupBy($"key")
+      .agg(count(lit(1)).as("n"), sum($"v".cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = graft.ops.Skew.saltedAggregate(df, Seq("key"), 16, Seq($"id"),
+      partial = Seq(count(lit(1)).as("n"), sum($"v".cast("decimal(18,4)")).as("s")),
+      merge = Seq(sum($"n").as("n"), sum($"s").cast("double").as("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+    // phase-1 parallelism: the hot key really is spread over multiple salts
+    val buckets = df.withColumn("salt", graft.ops.Skew.salt(16, $"id"))
+      .filter($"key" === 0L).select("salt").distinct().count()
+    assert(buckets > 8)
+  }
 }
