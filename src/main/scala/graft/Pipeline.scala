@@ -135,7 +135,7 @@ object Pipeline {
       .filter(length(col("text")) > 0 &&
               size(split(col("text"), "\\s+")) > 2 &&
               col("text").rlike("[a-zA-Z]") &&
-              !lower(col("text")).rlike(graft.queries.TextOps.HallucinationRegex))
+              !graft.queries.TextOps.hallucinationMatch(lower(col("text"))))
     val w = Window.partitionBy(col("originalName")).orderBy(col("startMs"))
     val words = split(lower(col("text")), "\\s+")
     val firstWord = element_at(words, 1)
