@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++
       graft.queries.Relational3.defs ++
+      graft.queries.Relational4.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.DedupSim.defs ++
       graft.queries.DedupSim.defs2 ++
