@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Relational3.defs ++
       graft.queries.Relational4.defs ++
       graft.queries.TextOps.defs ++
+      graft.queries.TextOps.defs2 ++
       graft.queries.DedupSim.defs ++
       graft.queries.DedupSim.defs2 ++
       graft.queries.PipelineQueries.defs

@@ -169,4 +169,52 @@ object TextOps {
     "q21_lang_id"             -> ((q21 _, Some(q21Sql))),
     "q22_fingerprint_md5"     -> ((q22 _, Some(q22Sql))),
     "q23_dedup_first_writer_docs" -> ((q23 _, Some(q23Sql))))
+
+  // ---------------------------------------------------------------- q49
+  /** Token counting, both ways the checklist asks for: whitespace tokens and
+    * a BPE-ish regex segmentation (letter runs | digit runs | single
+    * punctuation — the GPT-2-style pre-tokenizer shape, kept to constructs
+    * Java regex and RE2 treat identically). */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpe), lit(0))))
+      .withColumn("chars_per_bpe_token",
+        col("n_chars").cast("double") / greatest(lit(1), col("bpe_tokens")))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+              col("chars_per_bpe_token"))
+      .orderBy(col("doc_id"))
+  }
+  val q49Sql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+      |  CAST(n_chars AS DOUBLE)
+      |    / greatest(1, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS chars_per_bpe_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Polynomial rolling-hash document fingerprint over codepoints
+    * (h = (h*31 + cp) mod 1e9+7): exact integer arithmetic, sequential fold,
+    * identical in both engines — the checklist's "rolling hash" variant next
+    * to the md5 fingerprint of q22. */
+  def q50(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("rhash", expr(
+        "aggregate(filter(split(text, ''), c -> c <> ''), 0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)"))
+      .select(col("doc_id"), col("rhash"))
+      .orderBy(col("doc_id"))
+  val q50Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split_regex(text, ''), c -> c <> ''),
+      |                     c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q49_token_counting" -> ((q49 _, Some(q49Sql))),
+    "q50_rolling_hash"   -> ((q50 _, Some(q50Sql))))
 }

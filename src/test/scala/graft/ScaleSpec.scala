@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique specs: bucketed co-located joins (shuffle elimination),
+  * and approximate aggregates vs their exact counterparts. These document
+  * the 100 TB playbook in executable form. */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = java.nio.file.Files.createTempDirectory("graft_wh")
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse.toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import spark.implicits._
+    (0 until 10000).map(i => (i.toLong % 500, i.toLong)).toDF("key", "a")
+      .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .saveAsTable("graft_bucket_a")
+    (0 until 5000).map(i => (i.toLong % 500, i.toDouble)).toDF("key", "b")
+      .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .saveAsTable("graft_bucket_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // bucketing aligns both sides: no exchange anywhere in the plan
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == 10000L / 500 * 5000) // 20 * 5000 matches per key pair
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("approximate aggregates land within tolerance of exact ones") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact_d"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med")).head()
+    val (exactD, approxD) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05)
+    val (exactM, approxM) = (row.getDouble(2), row.getDouble(3))
+    assert(math.abs(approxM - exactM) / exactM < 0.02)
+  }
+}
