@@ -187,12 +187,14 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
   val q49Sql: String =
-    """SELECT doc_id,
-      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
-      |  CAST(n_chars AS DOUBLE)
-      |    / greatest(1, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS chars_per_bpe_token
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+      |  FROM documents)
+      |SELECT doc_id, ws_tokens, bpe_tokens,
+      |  CAST(n_chars AS DOUBLE) / greatest(1, bpe_tokens) AS chars_per_bpe_token
+      |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q50
   /** Polynomial rolling-hash document fingerprint over codepoints

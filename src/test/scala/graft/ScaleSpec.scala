@@ -20,7 +20,16 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    spark.stop()
+    // remove the temp warehouse tree
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    Files.walk(warehouse).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
 
   test("bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
