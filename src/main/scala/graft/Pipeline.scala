@@ -204,4 +204,34 @@ object Pipeline {
     val exported = exportWavs(flagged, outDir)
     metadata(exported)
   }
+
+  /** O25's per-stage counters + end-of-run summary (pa.py:163, 237, 332,
+    * 421-426) the Spark-native way: `observe()` metrics accumulate during the
+    * single action that materializes the pipeline — no extra passes, unlike
+    * per-stage count() calls. Runs the pipeline to completion and returns
+    * (metadata rows, stage counters). */
+  def runCounted(spark: SparkSession, wavDir: String, outDir: String,
+                 transcriberName: String = "stub"): (Array[org.apache.spark.sql.Row], Map[String, Long]) = {
+    import org.apache.spark.sql.Observation
+    Files.createDirectories(Paths.get(outDir))
+    val oSeg = Observation("segments")
+    val oAudio = Observation("audio_pass")
+    val oText = Observation("text_pass")
+    val oFinal = Observation("exported")
+    val segments = segmentFiles(decodeWavDir(spark, wavDir)).toDF()
+      .observe(oSeg, count(lit(1)).as("n"))
+    val audioOk = audioQuality(segments.as[SegmentRow](org.apache.spark.sql.Encoders.product[SegmentRow]))
+      .observe(oAudio, count(lit(1)).as("n"))
+    val flagged = textQualityAndOverlap(transcribe(audioOk, transcriberName))
+      .observe(oText, count(lit(1)).as("n"))
+    val exported = exportWavs(flagged, outDir)
+    val rows = metadata(exported.observe(oFinal, count(lit(1)).as("n"))).collect()
+    val counters = Map(
+      "segments" -> oSeg.get("n").asInstanceOf[Long],
+      "audio_pass" -> oAudio.get("n").asInstanceOf[Long],
+      "text_pass" -> oText.get("n").asInstanceOf[Long],
+      "exported" -> oFinal.get("n").asInstanceOf[Long],
+      "metadata_rows" -> rows.length.toLong)
+    (rows, counters)
+  }
 }

@@ -139,4 +139,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == 20)
     assert(out.zipWithIndex.forall { case (s, i) => s.startsWith(s"row${i + 1}:") })
   }
+
+  test("runCounted: per-stage counters match the fixture design (O25 summary)") {
+    val out2 = base.resolve("out2").toString
+    val (rows, counters) = Pipeline.runCounted(spark, wavDir, out2)
+    assert(counters("segments") == 9)    // 3+2+1+1 speech/quiet + clip + music
+    assert(counters("audio_pass") == 6)  // quiet/clipped/music rejected
+    assert(counters("text_pass") == 3)   // stub text drops 3 of 6
+    assert(counters("exported") == 3)
+    assert(counters("metadata_rows") == 3 && rows.length == 3)
+  }
 }
