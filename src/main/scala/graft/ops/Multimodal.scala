@@ -54,4 +54,46 @@ object Multimodal {
       octet_length(col("text")).as("n_bytes"),
       length(col("text")).as("n_chars"),
       md5(col("text")).as("payload_md5"))
+
+  // ------------------------------------------------------------------
+  // Resize / frame-sample (the remaining multimodal checklist ops). Both are
+  // STUBS at the codec layer — the byte-level transforms are deterministic
+  // placeholders — but the operator contracts (schema in/out, partition
+  // parallelism, error-skip) are the real Spark plumbing a production codec
+  // drops into.
+  // ------------------------------------------------------------------
+
+  final case class ResizedMedia(docId: Long, width: Int, height: Int,
+                                content: Array[Byte])
+  final case class Frame(docId: Long, frameIdx: Int, content: Array[Byte])
+
+  /** STUB resize: production = image decode → scale → re-encode. Here the
+    * payload is deterministically downsampled (every k-th byte) and the
+    * target dims recorded — asserting the contract that resize changes both
+    * metadata and payload consistently. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes.isEmpty) throw new IllegalArgumentException("empty payload")
+    val k = math.max(1, bytes.length / math.max(1, w * h / 64))
+    bytes.indices.collect { case i if i % k == 0 => bytes(i) }.toArray
+  }
+
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      try Some(ResizedMedia(r.docId, w, h, resizeStub(r.content, w, h)))
+      catch { case _: Exception => None }
+    })
+  }
+
+  /** STUB frame sampling: production = container demux → every-Nth-frame
+    * decode. Here frames are fixed-size byte windows; one output row per
+    * sampled frame (flatMap shape — the row explosion is the real contract). */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, everyNth: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      if (r.content.isEmpty) Iterator.empty
+      else r.content.grouped(frameBytes).zipWithIndex
+        .collect { case (f, i) if i % everyNth == 0 => Frame(r.docId, i, f) }
+    })
+  }
 }

@@ -142,4 +142,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter($"key" === 0L).select("salt").distinct().count()
     assert(buckets > 8)
   }
+
+  test("multimodal resize + frameSample: schema/explosion contracts, error-skip") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1, Array.tabulate[Byte](1024)(_.toByte)),
+      Multimodal.MediaRow(2, Array.emptyByteArray),
+      Multimodal.MediaRow(3, Array.tabulate[Byte](100)(i => (i * 3).toByte))
+    ).toDS()
+    val resized = Multimodal.resize(media, 64, 64).collect().map(r => r.docId -> r).toMap
+    assert(resized.keySet == Set(1L, 3L)) // empty payload skipped
+    assert(resized(1L).width == 64 && resized(1L).content.length < 1024)
+    // deterministic
+    assert(resized(3L).content.toSeq ==
+      Multimodal.resizeStub(Array.tabulate[Byte](100)(i => (i * 3).toByte), 64, 64).toSeq)
+    val frames = Multimodal.frameSample(media, frameBytes = 128, everyNth = 2).collect()
+    val byDoc = frames.groupBy(_.docId)
+    assert(byDoc(1L).map(_.frameIdx).sorted.toSeq == Seq(0, 2, 4, 6)) // 8 frames, every 2nd
+    assert(byDoc(1L).forall(_.content.length == 128))
+    assert(!byDoc.contains(2L))
+  }
+
+  test("csv and json sources round-trip a table sample losslessly") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .limit(500)
+    val dir = java.nio.file.Files.createTempDirectory("graft_io")
+    li.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    li.write.mode("overwrite").json(s"$dir/json")
+    val fromCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    val fromJson = spark.read.json(s"$dir/json")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .collect().map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString, r.get(3).toString)).toSet
+    assert(key(fromCsv) == key(li) && key(fromJson) == key(li))
+  }
 }
