@@ -116,12 +116,16 @@ object Pipeline {
         "samples", "frameRate", "rms", "clipping_percent as clippingPercent",
         "music_ratio as musicRatio", "text")
       .as[AsrRow]
-      .mapPartitions { rows =>
-        Inference.transcribePartition[AsrRow](
-          rows,
-          r => Inference.AsrInput(r.samples, r.frameRate),
-          (r, t) => r.copy(text = t),
-          transcriberName)
+      .mapPartitions {
+        // resolve the factory on the DRIVER so runtime-registered
+        // transcribers reach executor JVMs via the task closure
+        val factory = Inference.Transcribers.factoryFor(transcriberName)
+        rows =>
+          Inference.transcribePartition[AsrRow](
+            rows,
+            r => Inference.AsrInput(r.samples, r.frameRate),
+            (r, t) => r.copy(text = t),
+            transcriberName, factory = factory)
       }
   }
 
@@ -163,7 +167,9 @@ object Pipeline {
         Files.write(p, WavCodec.encodeMono16(samples.toArray, rate))
         p.toString
       } catch { case _: Exception => null }
-    }
+    }.asNondeterministic() // side-effecting: stop Catalyst from pushing the
+                           // isNotNull filter below the projection and
+                           // evaluating the write twice per row
     flagged
       .withColumn("wav_path",
         writeUdf(col("originalName"), col("startMs"), col("endMs"),

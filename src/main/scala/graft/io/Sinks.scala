@@ -34,9 +34,13 @@ object Sinks {
         deduped.join(existing.select(col(key)), Seq(key), "left_anti")
       case None => deduped
     }
-    // count once, append once — incoming is tiny relative to the table
-    val n = incoming.count()
-    if (n > 0) incoming.write.mode("append").parquet(path)
-    n
+    // persist so count and write see the SAME rows (and the dedup/anti-join
+    // runs once, not twice)
+    incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = incoming.count()
+      if (n > 0) incoming.write.mode("append").parquet(path)
+      n
+    } finally incoming.unpersist()
   }
 }

@@ -31,6 +31,7 @@ object WavCodec {
       require(size >= 0 && pos + 8 + size <= bytes.length, s"chunk overruns file at $pos")
       id match {
         case 0x20746d66 => // "fmt "
+          require(size >= 16, s"fmt chunk too short: $size bytes")
           fmtCode = buf.getShort(pos + 8) & 0xffff
           channels = buf.getShort(pos + 10) & 0xffff
           rate = buf.getInt(pos + 12)

@@ -95,7 +95,7 @@ object Dsp {
     val dt = 1.0 / rate
     val alpha = (dt / (rc + dt)).toFloat
     val out = new Array[Float](samples.length)
-    out(0) = samples(0) * alpha
+    out(0) = samples(0) // pydub seeds the recursion with the raw first sample
     var i = 1
     while (i < samples.length) {
       out(i) = out(i - 1) + alpha * (samples(i) - out(i - 1))

@@ -61,9 +61,12 @@ object Inference {
     }
   }
 
-  /** Executor-side registry: transcribers are constructed lazily per JVM and
-    * cached by name — the distributed analog of the reference's module-level
-    * ASR_PIPELINE global. Tests can register fakes. */
+  /** Per-JVM transcriber cache — the distributed analog of the reference's
+    * module-level ASR_PIPELINE global. The FACTORY (a small serializable
+    * closure) ships to executors inside the mapPartitions closure and is
+    * resolved on the driver at plan-build time; the constructed MODEL never
+    * leaves the JVM it was built in. Runtime `register` therefore works on a
+    * real multi-JVM cluster, not just local mode. */
   object Transcribers {
     private val factories = new ConcurrentHashMap[String, () => Transcriber]()
     private val instances = new ConcurrentHashMap[String, Transcriber]()
@@ -73,12 +76,15 @@ object Inference {
       factories.put(name, factory)
       instances.remove(name)
     }
-    def get(name: String): Transcriber =
-      instances.computeIfAbsent(name, n => {
-        val f = factories.get(n)
-        require(f != null, s"no transcriber registered under '$n'")
-        f()
-      })
+    /** Driver-side: resolve the factory to embed in a task closure. */
+    def factoryFor(name: String): () => Transcriber = {
+      val f = factories.get(name)
+      require(f != null, s"no transcriber registered under '$name'")
+      f
+    }
+    /** Executor-side: build-or-reuse this JVM's instance for `name`. */
+    def getOrCreate(name: String, factory: () => Transcriber): Transcriber =
+      instances.computeIfAbsent(name, _ => factory())
   }
 
   /** In-partition micro-batching loop (pa.py:268-270's batch_size=8): groups
@@ -88,8 +94,10 @@ object Inference {
   def transcribePartition[T](rows: Iterator[T], toInput: T => AsrInput,
                              attach: (T, String) => T,
                              transcriberName: String = "stub",
-                             batchSize: Int = 8): Iterator[T] = {
-    val model = Transcribers.get(transcriberName)
+                             batchSize: Int = 8,
+                             factory: () => Transcriber = null): Iterator[T] = {
+    val model = Transcribers.getOrCreate(transcriberName,
+      if (factory != null) factory else Transcribers.factoryFor(transcriberName))
     rows.grouped(batchSize).flatMap { group =>
       val texts = model.transcribe(group.map(toInput))
       require(texts.length == group.length,

@@ -89,6 +89,8 @@ object Multimodal {
     * decode. Here frames are fixed-size byte windows; one output row per
     * sampled frame (flatMap shape — the row explosion is the real contract). */
   def frameSample(media: Dataset[MediaRow], frameBytes: Int, everyNth: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && everyNth > 0,
+      s"frameBytes and everyNth must be positive, got ($frameBytes, $everyNth)")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       if (r.content.isEmpty) Iterator.empty

@@ -25,6 +25,10 @@ object Segmentation {
   def detectNonSilent(samples: Array[Float], rate: Int,
                       minSilenceLenMs: Int = MinSilenceLenMs,
                       silenceThreshDb: Double = SilenceThresholdDb): Seq[Interval] = {
+    // ms-indexed scan requires an integral samples-per-ms; the pipeline
+    // canonicalizes to 16 kHz before VAD (pa.py:89), so this is a contract,
+    // not a limitation — fail fast rather than drift on e.g. 44.1 kHz input
+    require(rate >= 1000 && rate % 1000 == 0, s"VAD requires rate divisible by 1000, got $rate")
     val spms = rate / 1000 // samples per ms
     val durationMs = (samples.length / spms).toInt
     if (durationMs < minSilenceLenMs) {

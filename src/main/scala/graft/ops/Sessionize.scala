@@ -48,8 +48,9 @@ object Sessionize {
   }
 
   /** The events-table query shape used by SparkEntry (rows-only check — the
-    * stateful fold is not expressible as ANSI SQL): 15 s max span, 3 s min,
-    * mirroring the reference's segment bounds scaled to event time. */
+    * stateful fold is not expressible as ANSI SQL): 15 MINUTES max span,
+    * 3 minutes min — the reference's 15 s / 3 s segment bounds scaled x60 to
+    * the events table's time density. */
   def spanMergeEvents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = graft.core.Tables.events(s, dir)

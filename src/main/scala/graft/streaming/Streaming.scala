@@ -96,7 +96,10 @@ object Streaming {
               case None => open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
               case Some(o) =>
                 if (e.ts_us - o.startUs <= maxSpanUs) {
-                  open = Some(OpenSession(o.startUs, e.ts_us, o.n + 1, o.sum + e.value))
+                  // math.max: a cross-batch late event must not regress the
+                  // session end below its current extent
+                  open = Some(OpenSession(o.startUs, math.max(o.endUs, e.ts_us),
+                    o.n + 1, o.sum + e.value))
                 } else {
                   if (o.endUs - o.startUs >= minSpanUs)
                     closed += ClosedSession(key, o.startUs, o.endUs, o.n, o.sum)

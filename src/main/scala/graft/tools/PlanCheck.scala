@@ -50,7 +50,7 @@ object PlanCheck {
       !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     check("q15_asof_join", "as-of via single window, no inequality join")(p =>
       !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
-        p.contains("RunningWindowFunction") || p.contains("Window"))
+        (p.contains("RunningWindowFunction") || p.contains("Window")))
 
     println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
     spark.stop()
