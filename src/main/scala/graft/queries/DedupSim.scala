@@ -390,7 +390,35 @@ object DedupSim {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q51
+  /** Per-label embedding centroids via the custom typed Aggregator
+    * (graft.functions.CentroidAggregator): integer-quantized element sums —
+    * order-independent exact arithmetic, one shuffled buffer per label
+    * instead of 64 exploded rows per vector. Output long form (label, pos,
+    * mean of round(x*1e6)) for the oracle. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = graft.functions.CentroidAggregator.centroidQ6(Dim)
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid")))
+      .toDF("label", "pos", "mean_q6")
+      .orderBy(col("label"), col("pos"))
+  }
+  val q51Sql: String =
+    s"""WITH x AS (
+       |  SELECT label, u.pos, round(embedding[u.pos + 1] * 1e6)::BIGINT AS q
+       |  FROM embeddings CROSS JOIN unnest(range(0, $Dim)) AS u(pos))
+       |SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q6
+       |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
-    "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))))
+    "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
+    "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))))
 }
