@@ -257,7 +257,7 @@ object Relational {
   def q13(s: SparkSession, d: String): DataFrame = {
     val a = t(s, d, "customer").filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
     val b = t(s, d, "customer").filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
-    val u = a.union(b).distinct.agg(count(lit(1)).as("cnt")).withColumn("op", lit("union"))
+    val u = a.union(b).distinct().agg(count(lit(1)).as("cnt")).withColumn("op", lit("union"))
     val i = a.intersect(b).agg(count(lit(1)).as("cnt")).withColumn("op", lit("intersect"))
     val e = a.except(b).agg(count(lit(1)).as("cnt")).withColumn("op", lit("except"))
     u.union(i).union(e).select(col("op"), col("cnt")).orderBy(col("op"))
