@@ -45,12 +45,18 @@ object Pipeline {
   /** O1-O5: scan a directory of WAVs and decode each to normalized mono
     * 16 kHz float PCM (pa.py:79-92). Decode failures are skipped per file,
     * not fatal (pa.py:91-92). */
-  def decodeWavDir(spark: SparkSession, wavDir: String): Dataset[DecodedFile] = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.wav")
-      .load(wavDir)
-      .select(col("path"), col("content"))
+  def decodeWavDir(spark: SparkSession, wavDir: String): Dataset[DecodedFile] =
+    decodeWavRows(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(wavDir)
+        .select(col("path"), col("content")))
+
+  /** Decode (path, content) rows — shared by the batch binaryFile scan and
+    * the streaming ingest mode (Streaming.audioIngest). */
+  def decodeWavRows(rows: DataFrame): Dataset[DecodedFile] = {
+    import rows.sparkSession.implicits._
+    rows
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         try {

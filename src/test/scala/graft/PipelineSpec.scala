@@ -149,4 +149,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counters("exported") == 3)
     assert(counters("metadata_rows") == 3 && rows.length == 3)
   }
+
+  test("streaming audio ingest: two micro-batches converge to the batch-run metadata") {
+    import org.apache.spark.sql.functions.col
+    val streamSrc = base.resolve("stream_src")
+    val streamWavs = base.resolve("stream_wavs").toString
+    val metaPath = base.resolve("stream_meta").toString
+    Files.createDirectories(streamSrc)
+    // stage the corpus as (path, content) parquet rows, split into 2 batches
+    import spark.implicits._
+    val files = Files.list(Paths.get(wavDir)).toArray.map(_.toString).sorted
+    val rows = files.map(f => (f, Files.readAllBytes(Paths.get(f))))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    // write each batch as one parquet file, moved atomically into the source
+    // dir so the file stream only ever sees complete files
+    def stageDirect(batch: Array[(String, Array[Byte])], sub: String): Unit = {
+      val tmp = base.resolve(s"tmp_$sub").toString
+      batch.toSeq.toDF("path", "content").coalesce(1).write.mode("overwrite").parquet(tmp)
+      Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .foreach(f => Files.move(Paths.get(f), streamSrc.resolve(s"$sub.parquet")))
+    }
+    stageDirect(b1, "batch1")
+    val q = graft.streaming.Streaming.audioIngest(
+      spark, streamSrc.toString, streamWavs, metaPath, queryName = "spec_audio_ingest")
+    try {
+      q.processAllAvailable()
+      stageDirect(b2, "batch2")
+      q.processAllAvailable()
+      // replay batch1 (duplicate files) — INSERT OR IGNORE must not add rows
+      stageDirect(b1, "batch1_replay")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(metaPath)
+      .select("original_name", "wav_path", "text", "overlap_flag")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).substring(r.getString(1).lastIndexOf('/') + 1),
+                 r.getString(2), r.getBoolean(3))).toSet
+    val batchRun = Pipeline.run(spark, wavDir, base.resolve("batch_out").toString)
+      .select("original_name", "wav_path", "text", "overlap_flag")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).substring(r.getString(1).lastIndexOf('/') + 1),
+                 r.getString(2), r.getBoolean(3))).toSet
+    assert(streamed == batchRun && streamed.nonEmpty)
+  }
 }
