@@ -72,6 +72,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
             n_fail += 1
             continue
+        # python-type kind audit: int vs float vs str mismatches would break a
+        # stringified value hash even when numerically equal
+        if g and e:
+            kinds_g = [type(v).__name__ for v in g[0]]
+            kinds_e = [type(v).__name__ for v in e[0]]
+            if kinds_g != kinds_e:
+                print(f"WARN {name}: value kinds differ spark={kinds_g} oracle={kinds_e}")
         bad = None
         for i, (rg, re_) in enumerate(zip(g, e)):
             if rg != re_:

@@ -38,15 +38,24 @@ object DedupSim {
     val shingles = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
       .as("shingle"))
-    // all 8 minhashes in ONE pass over the shingle rows (no hash-id explode):
-    // 8 partial-aggregating min columns instead of 8x the shuffle volume.
+    // all 8 minhashes in ONE pass over the shingle rows, from TWO md5 calls
+    // per shingle via Kirsch-Mitzenmacher (h_k = (h1 + k*h2) mod p): the
+    // standard way to derive k independent-enough hash functions without k
+    // full hashes. Integer arithmetic is exact in both engines, so the
+    // DuckDB oracle mirrors it literally.
+    val p = 1000000007L
+    val h1 = expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+    val h2 = expr("cast(conv(substring(md5(concat('x', shingle)), 1, 15), 16, 10) as bigint)")
+    val hashed = shingles.select(col("doc_id"),
+      (h1 % p).as("g1"), (h2 % p).as("g2"))
     val sigAggs = (0 until 8).map(k =>
-      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"h$k"))
-    val sig = shingles.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      min((col("g1") + lit(k.toLong) * col("g2")) % p).as(s"h$k"))
+    val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     // one posexplode instead of a 4-way union: the signature aggregation is
     // computed once per join side, not once per band branch
     val bandArr = array((0 until 4).map(b =>
-      concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)
+      concat(col(s"h${2 * b}").cast("string"), lit("_"),
+             col(s"h${2 * b + 1}").cast("string"))): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandArr))
       .toDF("doc_id", "band_idx", "band_key")
     val a = bands.alias("a")
@@ -67,20 +76,22 @@ object DedupSim {
       |    unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |  FROM toks WHERE len(t) >= 3),
       |hx AS (
-      |  SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || '|' || shingle)) AS h
-      |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS hid) GROUP BY doc_id, hid),
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS g1,
+      |    ('0x' || substr(md5('x' || shingle), 1, 15))::BIGINT % 1000000007 AS g2
+      |  FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |    min(CASE WHEN hid=0 THEN h END) AS h0, min(CASE WHEN hid=1 THEN h END) AS h1,
-      |    min(CASE WHEN hid=2 THEN h END) AS h2, min(CASE WHEN hid=3 THEN h END) AS h3,
-      |    min(CASE WHEN hid=4 THEN h END) AS h4, min(CASE WHEN hid=5 THEN h END) AS h5,
-      |    min(CASE WHEN hid=6 THEN h END) AS h6, min(CASE WHEN hid=7 THEN h END) AS h7
+      |    min((g1 + 0*g2) % 1000000007) AS h0, min((g1 + 1*g2) % 1000000007) AS h1,
+      |    min((g1 + 2*g2) % 1000000007) AS h2, min((g1 + 3*g2) % 1000000007) AS h3,
+      |    min((g1 + 4*g2) % 1000000007) AS h4, min((g1 + 5*g2) % 1000000007) AS h5,
+      |    min((g1 + 6*g2) % 1000000007) AS h6, min((g1 + 7*g2) % 1000000007) AS h7
       |  FROM hx GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, 0 AS band_idx, h0||h1 AS band_key FROM sig UNION ALL
-      |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
-      |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
-      |  SELECT doc_id, 3, h6||h7 FROM sig)
+      |  SELECT doc_id, 0 AS band_idx, h0::VARCHAR || '_' || h1::VARCHAR AS band_key FROM sig UNION ALL
+      |  SELECT doc_id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig UNION ALL
+      |  SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig UNION ALL
+      |  SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b
       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
