@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f32"),
       DotProductF32.info,
       exprs => DotProductF32(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

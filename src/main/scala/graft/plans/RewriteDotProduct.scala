@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.DotProductF32
+
+/** Optimizer rule (the `Rule[LogicalPlan]` extension point, SURVEY §4):
+  * rewrites the declarative higher-order-function dot product
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0D, (s, p) -> s + p) }}}
+  *
+  * into the codegen'd native kernel `DotProductF32(a, b)` — users write the
+  * portable HOF formulation, the optimizer swaps in the allocation-free
+  * implementation. Bit-identical by construction (same sequential IEEE adds,
+  * see DotProductF32's scaladoc), and only fires for ARRAY<FLOAT> columns
+  * with non-nullable elements, where the semantics provably coincide.
+  *
+  * Registered via `GraftExtensions` (injectOptimizerRule) or applied
+  * standalone to an analyzed plan.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def isDenseFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, false) => true
+    case _ => false
+  }
+
+  /** x, possibly wrapped in a cast to double. */
+  private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case c: Cast if c.dataType == DoubleType => sameVar(c.child, v)
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(left, right,
+            LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(zero, DoubleType),
+          LambdaFunction(Add(aa, ap, _), Seq(a: NamedLambdaVariable, p: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(f: NamedLambdaVariable), _))
+        if zero == 0.0 &&
+          isDenseFloatArray(left) && isDenseFloatArray(right) &&
+          ((sameVar(mx, x) && sameVar(my, y)) || (sameVar(mx, y) && sameVar(my, x))) &&
+          ((sameVar(aa, a) && sameVar(ap, p)) || (sameVar(aa, p) && sameVar(ap, a))) &&
+          fin.exprId == f.exprId =>
+      DotProductF32(left, right)
+  }
+}

@@ -81,4 +81,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vals = df.collect().map(_.getDouble(0))
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
   }
+
+  test("RewriteDotProduct rule: HOF dot-product pattern rewrites to the native kernel") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = embDf.selectExpr("id",
+      "aggregate(zip_with(v, v, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, p) -> s + p) AS n2")
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = graft.plans.RewriteDotProduct(analyzed)
+    // the rule fired
+    assert(rewritten.expressions.exists(_.exists(_.isInstanceOf[graft.functions.DotProductF32])))
+    assert(!analyzed.fastEquals(rewritten))
+    // and the rewritten plan computes bit-identical results
+    val a = df.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    val b = ColumnBridge.ofRows(spark, rewritten).orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("RewriteDotProduct rule: does NOT fire for non-float arrays or different folds") {
+    // double arrays: semantics differ (no float read), rule must not touch it
+    val doubles = spark.range(1, 50)
+      .selectExpr("transform(sequence(1, 8), i -> cast(id * i as double)) AS v")
+      .selectExpr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (s, p) -> s + p) AS n2")
+    val r1 = graft.plans.RewriteDotProduct(doubles.queryExecution.analyzed)
+    assert(!r1.expressions.exists(_.exists(_.isInstanceOf[graft.functions.DotProductF32])))
+    // float arrays but a max-fold, not a sum: must not fire either
+    val maxFold = embDf.selectExpr(
+      "aggregate(zip_with(v, v, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, p) -> greatest(s, p)) AS m")
+    val r2 = graft.plans.RewriteDotProduct(maxFold.queryExecution.analyzed)
+    assert(!r2.expressions.exists(_.exists(_.isInstanceOf[graft.functions.DotProductF32])))
+  }
 }
