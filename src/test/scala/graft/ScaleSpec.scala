@@ -64,4 +64,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (exactM, approxM) = (row.getDouble(2), row.getDouble(3))
     assert(math.abs(approxM - exactM) / exactM < 0.02)
   }
+
+  test("partitioned writes prune partitions at the scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").resolve("orders").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    // directory layout: one subdir per status
+    val subdirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.contains("o_orderstatus=")).sorted
+    assert(subdirs.map(_.split("=").last).toSeq == Seq("F", "O", "P"))
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val plan = q.queryExecution.executedPlan.toString
+    // the status predicate becomes a PartitionFilter (directory pruning),
+    // NOT a data filter evaluated per row
+    assert(plan.contains("PartitionFilters: [") && plan.contains("o_orderstatus"))
+    assert(plan.contains("isnotnull(o_orderstatus"))
+    val expected = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count()
+    assert(q.count() == expected && expected > 0)
+  }
 }
