@@ -99,9 +99,32 @@ object AudioSynth {
       }),
       // empty-VAD early return: silence only
       put("silence_only.wav", silence(10000)))
+    // decode-path coverage: STEREO 44.1 kHz input exercises downmix (O4) and
+    // resample (O5) through the real pipeline before segmentation
+    val stereo441 = {
+      val r = 44100
+      val n = r * 5
+      val burst = Array.tabulate(n) { i =>
+        val t = i.toDouble / r
+        val env = 0.2 + 0.8 * math.abs(math.sin(math.Pi * i.toDouble / n))
+        (env * (0.55 * math.sin(2 * math.Pi * 300 * t) +
+                0.3 * math.sin(2 * math.Pi * 1200 * t))).toFloat
+      }
+      val mono = burst ++ new Array[Float](r / 2)
+      val inter = new Array[Float](mono.length * 2)
+      var i = 0
+      while (i < mono.length) {
+        inter(2 * i) = mono(i)            // L
+        inter(2 * i + 1) = mono(i) * 0.8f // R
+        i += 1
+      }
+      val p = d.resolve("stereo_speech_441.wav")
+      Files.write(p, WavCodec.encodePcm16(inter, 2, r))
+      p
+    }
     // per-file error-skip: garbage bytes
     val garbage = d.resolve("not_a_wav.wav")
     Files.write(garbage, Array.tabulate[Byte](1024)(i => (i * 37 % 251).toByte))
-    files :+ garbage
+    files ++ Seq(stereo441, garbage)
   }
 }

@@ -60,7 +60,12 @@ object WavCodec {
   }
 
   /** Encode mono float PCM to PCM16 WAV bytes (clamping to full scale). */
-  def encodeMono16(samples: Array[Float], sampleRate: Int): Array[Byte] = {
+  def encodeMono16(samples: Array[Float], sampleRate: Int): Array[Byte] =
+    encodePcm16(samples, 1, sampleRate)
+
+  /** Encode interleaved float PCM (any channel count) to PCM16 WAV bytes. */
+  def encodePcm16(samples: Array[Float], channels: Int, sampleRate: Int): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
     val dataLen = samples.length * 2
     val out = new ByteArrayOutputStream(44 + dataLen)
     val hdr = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
@@ -70,10 +75,10 @@ object WavCodec {
     hdr.putInt(0x20746d66)          // fmt_
     hdr.putInt(16)
     hdr.putShort(1)                 // PCM
-    hdr.putShort(1)                 // mono
+    hdr.putShort(channels.toShort)
     hdr.putInt(sampleRate)
-    hdr.putInt(sampleRate * 2)      // byte rate
-    hdr.putShort(2)                 // block align
+    hdr.putInt(sampleRate * 2 * channels)      // byte rate
+    hdr.putShort((2 * channels).toShort)       // block align
     hdr.putShort(16)                // bits
     hdr.putInt(0x61746164)          // data
     hdr.putInt(dataLen)

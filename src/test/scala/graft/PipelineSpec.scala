@@ -30,8 +30,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = spark.stop()
 
-  test("decode skips the garbage file, keeps the 7 valid wavs") {
-    assert(Pipeline.decodeWavDir(spark, wavDir).count() == 7)
+  test("decode skips the garbage file, keeps the 8 valid wavs") {
+    assert(Pipeline.decodeWavDir(spark, wavDir).count() == 8)
   }
 
   test("segmentation: expected per-file segment sets") {
@@ -42,6 +42,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byFile("tone_speechlike.wav") == 2)      // merge caps at 15 s span
     assert(byFile("short_utterances.wav") == 1)     // all shorts merged
     assert(byFile("whisper_quiet.wav") == 1)        // quiet but detected
+    assert(byFile("stereo_speech_441.wav") == 1)    // stereo 44.1k: downmixed+resampled
     assert(!byFile.contains("silence_only.wav"))    // VAD empty
     // long_utterance split boundaries are exact
     assert(segs.filter(_._1 == "long_utterance.wav").map(s => (s._2, s._3)) ==
@@ -55,7 +56,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ok.contains("whisper_quiet.wav"))      // rms ~242 < 250
     assert(!ok.contains("clipped_square.wav"))     // clipping ~96% > 1%
     assert(!ok.contains("bass_treble_music.wav"))  // music ratio ~4.6 > 2.0
-    assert(ok == Set("long_utterance.wav", "tone_speechlike.wav", "short_utterances.wav"))
+    assert(ok == Set("long_utterance.wav", "tone_speechlike.wav",
+                     "short_utterances.wav", "stereo_speech_441.wav"))
   }
 
   test("overlap flag: constant boundary words flag all adjacent pairs, post-filter") {
@@ -71,8 +73,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // files with >=2 surviving segments: all rows flagged (lag + lead)
     assert(byFile("long_utterance.wav").forall(_._3))
     assert(byFile("tone_speechlike.wav").forall(_._3))
-    // singleton file: no neighbor, not flagged
+    // singleton files: no neighbor, not flagged
     assert(byFile("short_utterances.wav").forall(!_._3))
+    assert(byFile("stereo_speech_441.wav").forall(!_._3))
   }
 
   test("overlap flag: distinct texts produce no flags") {
@@ -96,7 +99,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names == Set(
       "long_utterance_0015s_0030s.wav",
       "short_utterances_0000s_0009s.wav",
-      "tone_speechlike_0000s_0010s.wav"))
+      "tone_speechlike_0000s_0010s.wav",
+      "stereo_speech_441_0000s_0004s.wav"))
     // exported files exist and are valid wavs
     names.foreach { n =>
       val f = Paths.get(outDir, n)
@@ -143,11 +147,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("runCounted: per-stage counters match the fixture design (O25 summary)") {
     val out2 = base.resolve("out2").toString
     val (rows, counters) = Pipeline.runCounted(spark, wavDir, out2)
-    assert(counters("segments") == 9)    // 3+2+1+1 speech/quiet + clip + music
-    assert(counters("audio_pass") == 6)  // quiet/clipped/music rejected
-    assert(counters("text_pass") == 3)   // stub text drops 3 of 6
-    assert(counters("exported") == 3)
-    assert(counters("metadata_rows") == 3 && rows.length == 3)
+    assert(counters("segments") == 10)   // 3+2+1+1+1 speech/quiet/stereo + clip + music
+    assert(counters("audio_pass") == 7)  // quiet/clipped/music rejected
+    assert(counters("text_pass") == 4)   // stub text drops 3 of 7
+    assert(counters("exported") == 4)
+    assert(counters("metadata_rows") == 4 && rows.length == 4)
   }
 
   test("streaming audio ingest: two micro-batches converge to the batch-run metadata") {
