@@ -48,19 +48,33 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
+            rel_g = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            got_cols = list(rel_g.columns)
+            got_types = dict(zip(got_cols, (str(t) for t in rel_g.types)))
+            got_rows = rel_g.fetchall()
+            rel_e = con.sql(sql)
+            exp_cols = list(rel_e.columns)
+            exp_types = dict(zip(exp_cols, (str(t) for t in rel_e.types)))
+            exp_rows = rel_e.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e).splitlines()[0][:160]}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # Declared-type parity: fetched Python values hide engine-width
+        # differences (DuckDB HUGEINT and Spark BIGINT both arrive as int),
+        # but the driver hashes with engine type tags — compare declared types.
+        type_diffs = [
+            (c, got_types[c], exp_types[c]) for c in sorted(got_cols)
+            if got_types[c] != exp_types[c]]
+        if type_diffs:
+            detail = "; ".join(
+                f"{c}: spark={a} oracle={b}" for c, a, b in type_diffs[:6])
+            print(f"FAIL {name}: declared types differ: {detail}")
             n_fail += 1
             continue
         # align column order by name

@@ -51,8 +51,8 @@ object Multimodal {
     * end of the multimodal path (byte length + md5 checksum are codec-free). */
   def bytesView(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      octet_length(col("text")).as("n_bytes"),
-      length(col("text")).as("n_chars"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      length(col("text")).cast("long").as("n_chars"),
       md5(col("text")).as("payload_md5"))
 
   // ------------------------------------------------------------------

@@ -114,7 +114,7 @@ object DedupSim {
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), simhash.as("simhash"), col("n_toks"))
-      .withColumn("popcount", bit_count(col("simhash")))
+      .withColumn("popcount", bit_count(col("simhash")).cast("long"))
       .orderBy(col("doc_id"))
   }
   val q25Sql: String = {
@@ -134,7 +134,7 @@ object DedupSim {
        |    $voteCols
        |  FROM h GROUP BY doc_id)
        |SELECT doc_id, $hashExpr AS simhash, n_toks,
-       |  bit_count($hashExpr) AS popcount
+       |  CAST(bit_count($hashExpr) AS BIGINT) AS popcount
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
@@ -149,8 +149,8 @@ object DedupSim {
     val b = docs.alias("b")
     a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              size(array_intersect(col("a.ts"), col("b.ts"))).as("n_inter"),
-              size(array_union(col("a.ts"), col("b.ts"))).as("n_union"))
+              size(array_intersect(col("a.ts"), col("b.ts"))).cast("long").as("n_inter"),
+              size(array_union(col("a.ts"), col("b.ts"))).cast("long").as("n_union"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / greatest(lit(1), col("n_union")))
       .orderBy(col("doc_a"))
@@ -189,7 +189,7 @@ object DedupSim {
       .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
   val q27Sql: String =
@@ -278,7 +278,8 @@ object DedupSim {
       .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("bucket"), col("cosine"))
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+              col("bucket"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
   val q29Sql: String = {
@@ -419,6 +420,7 @@ object DedupSim {
       .toDF("label", "centroid")
       .select(col("label"), posexplode(col("centroid")))
       .toDF("label", "pos", "mean_q6")
+      .withColumn("pos", col("pos").cast("long"))
       .orderBy(col("label"), col("pos"))
   }
   val q51Sql: String =

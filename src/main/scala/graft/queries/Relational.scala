@@ -144,7 +144,8 @@ object Relational {
     t(s, d, "orders")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+              col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
   }
   val q06Sql: String =
@@ -354,7 +355,7 @@ object Relational {
   val q17Sql: String =
     """SELECT o_orderstatus, COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-      |  SUM(CASE WHEN substr(o_orderpriority,1,1) = '1' THEN 1 ELSE 0 END) AS n_urgent,
+      |  CAST(SUM(CASE WHEN substr(o_orderpriority,1,1) = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  epoch_us(MIN(o_orderdate)) AS min_date_us,
       |  epoch_us(MAX(o_orderdate)) AS max_date_us
@@ -386,8 +387,8 @@ object Relational {
       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sessions AS (
-      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
       |  FROM flagged)
       |SELECT user_id, sess_idx, COUNT(*) AS n_events, MIN(ts_us) AS start_us,
       |  MAX(ts_us) AS end_us,

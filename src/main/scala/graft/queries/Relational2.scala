@@ -143,9 +143,9 @@ object Relational2 {
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     t(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("prank"),
         cume_dist().over(w).as("cdist"))
       .orderBy(col("o_orderkey"))
@@ -165,7 +165,8 @@ object Relational2 {
     t(s, d, "orders").createOrReplaceTempView("orders_v")
     s.sql(
       """SELECT o_orderstatus, o_orderpriority,
-        |  grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
         |  COUNT(*) AS n
         |FROM orders_v
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

@@ -48,9 +48,9 @@ object Relational3 {
         regexp_extract(col("p_name"), "([a-z]+)$", 1).as("name_last_word"),
         lpad(col("p_brand"), 12, "*").as("brand_pad"),
         translate(col("p_brand"), "#", "B").as("brand_tr"),
-        instr(col("p_name"), "a").as("first_a"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
         reverse(col("p_brand")).as("brand_rev"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy(col("p_partkey"))
   val q42Sql: String =
@@ -75,14 +75,15 @@ object Relational3 {
     val od = col("o_orderdate").cast("timestamp")
     t(s, d, "orders")
       .select(col("o_orderkey"),
-        year(od).as("y"), month(od).as("m"), dayofmonth(od).as("dom"),
-        (dayofweek(od) - 1).as("dow"),
-        dayofyear(od).as("doy"),
-        weekofyear(od).as("woy"),
-        quarter(od).as("q"),
+        year(od).cast("long").as("y"), month(od).cast("long").as("m"),
+        dayofmonth(od).cast("long").as("dom"),
+        (dayofweek(od) - 1).cast("long").as("dow"),
+        dayofyear(od).cast("long").as("doy"),
+        weekofyear(od).cast("long").as("woy"),
+        quarter(od).cast("long").as("q"),
         date_format(od, "yyyy-MM").as("ym"),
         unix_micros(date_trunc("month", od)).as("month_start_us"),
-        datediff(lit("1998-01-01").cast("date"), od.cast("date")).as("days_to_98"))
+        datediff(lit("1998-01-01").cast("date"), od.cast("date")).cast("long").as("days_to_98"))
       .orderBy(col("o_orderkey"))
   }
   val q43Sql: String =

@@ -39,6 +39,7 @@ object Relational4 {
       .filter(col("vec_id") < 50)
       .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
       .toDF("vec_id", "pos", "val")
+      .withColumn("pos", col("pos").cast("long"))
       .orderBy(col("vec_id"), col("pos"))
   val q47Sql: String =
     """SELECT vec_id, u.pos, embedding[u.pos + 1] AS val
@@ -56,11 +57,13 @@ object Relational4 {
            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
   val q48Sql: String =
-    """SELECT event_type, COUNT(*) AS n,
-      |  SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
-      |  MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
-      |  MAX(json_extract(props, '$.k')::BIGINT) AS max_k
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    """WITH e AS (
+      |  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q46_pivot"        -> ((q46 _, Some(q46Sql))),

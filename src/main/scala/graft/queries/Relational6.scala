@@ -38,7 +38,7 @@ object Relational6 {
       |  list_reverse_sort(embedding)[2] AS top2,
       |  list_reverse_sort(embedding)[3] AS top3v,
       |  list_sort(embedding)[1] AS smallest,
-      |  list_position(embedding, list_max(embedding)) AS argmax_1based
+      |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_1based
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q57

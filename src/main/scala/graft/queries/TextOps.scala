@@ -39,7 +39,7 @@ object TextOps {
       .filter(size(col("toks")) > 2 &&
               col("text").rlike("[a-zA-Z]") &&
               !hallucinationMatch(lower(col("text"))))
-      .select(col("doc_id"), size(col("toks")).as("n_words"), col("lang"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"), col("lang"))
       .orderBy(col("doc_id"))
   val q19Sql: String =
     """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_words, lang
@@ -66,8 +66,10 @@ object TextOps {
         least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.5) +
         (col("stop_cnt") / greatest(lit(1), col("n_tokens"))) * lit(0.3) +
         (lit(1.0) - col("punct_cnt") / greatest(lit(1), col("n_len"))) * lit(0.2))
-      .select(col("doc_id"), col("n_tokens"), col("n_len"), col("punct_cnt"),
-              col("stop_cnt"), col("quality_score"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+              col("n_len").cast("long").as("n_len"),
+              col("punct_cnt").cast("long").as("punct_cnt"),
+              col("stop_cnt").cast("long").as("stop_cnt"), col("quality_score"))
       .orderBy(col("doc_id"))
   val q20Sql: String =
     """WITH t AS (
@@ -108,7 +110,10 @@ object TextOps {
           .when(col("de_score") >= col("fr_score"), "de")
           .otherwise("fr"))
       .select(col("doc_id"), col("lang"), col("predicted"),
-              col("en_score"), col("es_score"), col("de_score"), col("fr_score"))
+              col("en_score").cast("long").as("en_score"),
+              col("es_score").cast("long").as("es_score"),
+              col("de_score").cast("long").as("de_score"),
+              col("fr_score").cast("long").as("fr_score"))
       .orderBy(col("doc_id"))
   val q21Sql: String =
     """WITH t AS (
@@ -182,7 +187,8 @@ object TextOps {
       .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpe), lit(0))))
       .withColumn("chars_per_bpe_token",
         col("n_chars").cast("double") / greatest(lit(1), col("bpe_tokens")))
-      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+              col("bpe_tokens").cast("long").as("bpe_tokens"),
               col("chars_per_bpe_token"))
       .orderBy(col("doc_id"))
   }
