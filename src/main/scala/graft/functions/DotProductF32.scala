@@ -12,12 +12,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics match the HOF formulation used by the similarity queries —
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, (s,p) -> s+p)`
-  * — bit-for-bit (same sequential left-to-right IEEE adds), but without
-  * materializing the intermediate zipped array or boxing elements: the
-  * generated code reads primitive floats straight out of the columnar
-  * ArrayData. Arrays of unequal length use the common prefix; null ELEMENTS
-  * contribute 0 (embeddings are dense; the null check stays cheap in the
-  * generated loop).
+  * — exactly, for ALL inputs: same sequential left-to-right IEEE adds on the
+  * dense path, and NULL whenever the HOF would return NULL — i.e. when the
+  * lengths differ (zip_with pads the short side with nulls, nulling the fold)
+  * or any element is null. That totality is what lets RewriteDotProduct swap
+  * this in for the HOF unconditionally. No intermediate zipped array, no
+  * boxing: the generated code reads primitive floats straight out of the
+  * columnar ArrayData.
   */
 case class DotProductF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,18 +34,20 @@ case class DotProductF32(left: Expression, right: Expression)
       s"dot_f32 expects two ARRAY<FLOAT> inputs, got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = DoubleType
+  // null even for non-null inputs (ragged lengths / null elements)
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     acc
@@ -56,14 +59,17 @@ case class DotProductF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -14,17 +14,19 @@ import graft.functions.DotProductF32
   *
   * into the codegen'd native kernel `DotProductF32(a, b)` — users write the
   * portable HOF formulation, the optimizer swaps in the allocation-free
-  * implementation. Bit-identical by construction (same sequential IEEE adds,
-  * see DotProductF32's scaladoc), and only fires for ARRAY<FLOAT> columns
-  * with non-nullable elements, where the semantics provably coincide.
+  * implementation. Identical by construction for ALL inputs: same sequential
+  * IEEE adds on the dense path, and the kernel returns NULL exactly where the
+  * HOF does (length mismatch — zip_with pads with nulls, nulling the fold —
+  * or a null element), so the rewrite is semantics-preserving even on ragged
+  * or null-element ARRAY<FLOAT> columns.
   *
   * Registered via `GraftExtensions` (injectOptimizerRule) or applied
   * standalone to an analyzed plan.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
-  private def isDenseFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, false) => true
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
     case _ => false
   }
 
@@ -43,7 +45,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           LambdaFunction(Add(aa, ap, _), Seq(a: NamedLambdaVariable, p: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(f: NamedLambdaVariable), _))
         if zero == 0.0 &&
-          isDenseFloatArray(left) && isDenseFloatArray(right) &&
+          isFloatArray(left) && isFloatArray(right) &&
           ((sameVar(mx, x) && sameVar(my, y)) || (sameVar(mx, y) && sameVar(my, x))) &&
           ((sameVar(aa, a) && sameVar(ap, p)) || (sameVar(aa, p) && sameVar(ap, a))) &&
           fin.exprId == f.exprId =>

@@ -65,10 +65,22 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     Seq(
       (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
-      (Array(1f, 2f), Array(3f, 4f, 5f))) // common-prefix semantics
+      (Array(1f, 2f), Array(3f, 4f, 5f))) // ragged -> NULL, matching the HOF
       .toDF("x", "y").createOrReplaceTempView("pairs")
-    val r = spark.sql("SELECT dot_f32(x, y) FROM pairs ORDER BY 1").as[Double].collect()
-    assert(r.toSeq == Seq(11.0, 32.0)) // 1*3+2*4 = 11; 4+10+18 = 32
+    val r = spark.sql(
+      "SELECT dot_f32(x, y) AS d FROM pairs ORDER BY size(x) DESC").collect()
+    assert(r(0).getDouble(0) == 32.0) // 4+10+18
+    assert(r(1).isNullAt(0))          // zip_with pads -> HOF returns NULL; so do we
+    // ragged + null-element inputs agree with the HOF fold exactly
+    val parity = spark.sql(
+      """SELECT dot_f32(x, y) AS native,
+        |  aggregate(zip_with(x, y, (p, q) -> cast(p as double) * cast(q as double)),
+        |            0D, (s, t) -> s + t) AS hof
+        |FROM pairs""".stripMargin).collect()
+    parity.foreach { row =>
+      assert(row.isNullAt(0) == row.isNullAt(1))
+      if (!row.isNullAt(0)) assert(row.getDouble(0) == row.getDouble(1))
+    }
     // null input -> null out
     val n = spark.sql("SELECT dot_f32(NULL, array(cast(1.0 as float)))").head()
     assert(n.isNullAt(0))
