@@ -1,16 +1,21 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Span-based greedy interval merge as a distributed operator (the
   * generalization of the reference's segmentation pass 2, O8/pa.py:124-147):
-  * `groupByKey(key)` → in-group time sort → sequential greedy fold. This is
-  * the one operator whose semantics cannot be a SQL window (each merge
-  * decision depends on the fold state, not a fixed frame), hence
-  * `flatMapGroups` — parallel across keys, sequential within a key
-  * (SURVEY §7.4 HARD #1). Skew note for 100 TB: per-key work is linear in
-  * that key's row count; pathologically hot keys should be range-split
-  * upstream (e.g. by day) before merging, which composes with this operator.
+  * hash-repartition on the key, secondary sort within partitions on
+  * (key, ts), then one streaming fold over each partition's sorted run.
+  * The fold holds ONE open session per in-flight key — O(1) heap however hot
+  * a key is — because a partition's rows arrive key-contiguous and
+  * time-ordered, so a key's events can be consumed strictly left to right.
+  * This is the scale-safe replacement for the groupByKey + in-heap sort
+  * formulation, whose per-key buffer OOMs on a pathologically hot key at
+  * the 100 TB target. Semantics are unchanged: parallel across keys,
+  * sequential within a key (SURVEY §7.4 HARD #1); each merge decision
+  * depends on the fold state, not a fixed frame, which is why this is not a
+  * SQL window.
   */
 object Sessionize {
 
@@ -24,40 +29,64 @@ object Sessionize {
     * than `minSpanUs` (pa.py:128-131). */
   def spanMerge(events: Dataset[Event], minSpanUs: Long, maxSpanUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.key).flatMapGroups { (key, it) =>
-      val sorted = it.toIndexedSeq.sortBy(e => (e.tsUs, e.value))
-      if (sorted.isEmpty) Iterator.empty
-      else {
-        val out = Seq.newBuilder[Session]
-        var start = sorted.head.tsUs
-        var end = sorted.head.tsUs
-        var n = 1
-        var sum = sorted.head.value
-        def save(): Unit = if (end - start >= minSpanUs) out += Session(key, start, end, n, sum)
-        sorted.tail.foreach { e =>
-          if (e.tsUs - start <= maxSpanUs) {
-            end = e.tsUs; n += 1; sum += e.value
-          } else {
-            save(); start = e.tsUs; end = e.tsUs; n = 1; sum = e.value
+    events
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsUs"), col("value"))
+      .mapPartitions { it =>
+        new scala.collection.AbstractIterator[Session] {
+          private val buf = it.buffered
+          private var pending: Session = null
+
+          // Consume events until a keepable session materializes or the
+          // partition is exhausted. Only the open session's scalars live on
+          // the heap — never a key's event list.
+          private def advance(): Unit =
+            while (pending == null && buf.hasNext) {
+              val first = buf.next()
+              val key = first.key
+              val start = first.tsUs
+              var end = first.tsUs
+              var n = 1
+              var sum = first.value
+              var growing = true
+              while (growing && buf.hasNext && buf.head.key == key) {
+                val e = buf.head
+                if (e.tsUs - start <= maxSpanUs) {
+                  buf.next(); end = e.tsUs; n += 1; sum += e.value
+                } else growing = false
+              }
+              if (end - start >= minSpanUs) pending = Session(key, start, end, n, sum)
+            }
+
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): Session = {
+            advance()
+            if (pending == null) throw new NoSuchElementException("empty partition")
+            val r = pending; pending = null; r
           }
         }
-        save()
-        out.result().iterator
       }
-    }
   }
 
-  /** The events-table query shape used by SparkEntry (rows-only check — the
-    * stateful fold is not expressible as ANSI SQL): 15 MINUTES max span,
-    * 3 minutes min — the reference's 15 s / 3 s segment bounds scaled x60 to
-    * the events table's time density. */
+  /** The events-table query shape used by SparkEntry (q31): 15 MINUTES max
+    * span, 3 minutes min — the reference's 15 s / 3 s segment bounds scaled
+    * x60 to the events table's time density. Values are quantized to
+    * round(value*1e6) BEFORE the fold so the per-session sum is exact
+    * integer arithmetic — order-independent and bit-identical across
+    * engines — which is what lets the stateful fold be oracle-checked
+    * against DuckDB's recursive-CTE replay (same trick as q51's quantized
+    * centroids). */
   def spanMergeEvents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = graft.core.Tables.events(s, dir)
-      .selectExpr("user_id as key", "ts_us as tsUs", "value")
+      .selectExpr("user_id as key", "ts_us as tsUs",
+                  "cast(round(value * 1e6) as double) as value")
       .as[Event]
     spanMerge(ev, minSpanUs = 3L * 60 * 1000000, maxSpanUs = 15L * 60 * 1000000)
       .toDF()
-      .orderBy("key", "startUs")
+      .select(col("key"), col("startUs").as("start_us"), col("endUs").as("end_us"),
+              col("nEvents").cast("long").as("n_events"),
+              col("sumValue").cast("long").as("sum_q6"))
+      .orderBy(col("key"), col("start_us"))
   }
 }

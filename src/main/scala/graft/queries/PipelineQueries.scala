@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 
 /** Query entries for the operators that are NOT plain SQL over the test
-  * tables: the end-to-end audio pipeline (rows-only check), the span-based
-  * greedy merge (rows-only — stateful fold, not ANSI-SQL-expressible), the
+  * tables: the end-to-end audio pipeline (rows-only check — DuckDB can't run
+  * DSP; exact goldens live in PipelineSpec), the span-based greedy merge
+  * (oracle-checked via a recursive-CTE replay of the fold), the
   * streaming-equivalent window aggregation and the multimodal byte view
   * (both oracle-checked).
   */
@@ -37,9 +38,34 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q31
   /** Span-based greedy merge on the events table (O8 generalized) — see
-    * Sessionize.spanMerge. Rows-only check. */
+    * Sessionize.spanMerge. Oracle-checked: the sequential greedy fold is
+    * replayed in DuckDB as a recursive CTE that walks each key's ts-ordered
+    * events carrying the current session start (exactly pa.py:124-147's
+    * loop state), and the per-session sums are quantized integers so the
+    * comparison is exact. */
   def q31(s: SparkSession, d: String): DataFrame =
     graft.ops.Sessionize.spanMergeEvents(s, d)
+  val q31Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(round(value * 1e6) AS BIGINT) AS q,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), round(value * 1e6)) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT key, rn, ts_us, q, ts_us AS sess_start FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.key, e.rn, e.ts_us, e.q,
+      |    CASE WHEN e.ts_us - w.sess_start <= 900000000
+      |         THEN w.sess_start ELSE e.ts_us END
+      |  FROM e JOIN walk w ON e.key = w.key AND e.rn = w.rn + 1),
+      |sess AS (
+      |  SELECT key, sess_start AS start_us, MAX(ts_us) AS end_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(q) AS BIGINT) AS sum_q6
+      |  FROM walk GROUP BY key, sess_start)
+      |SELECT key, start_us, end_us, n_events, sum_q6
+      |FROM sess WHERE end_us - start_us >= 180000000
+      |ORDER BY key, start_us""".stripMargin
 
   // ---------------------------------------------------------------- q32
   /** Event-time tumbling-window aggregation — the batch twin of
@@ -72,7 +98,7 @@ object PipelineQueries {
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_audio_pipeline_e2e" -> ((q30 _, None)),
-    "q31_span_merge_events"  -> ((q31 _, None)),
+    "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
     "q32_stream_window_agg"  -> ((q32 _, Some(q32Sql))),
     "q33_multimodal_bytes"   -> ((q33 _, Some(q33Sql))))
 }

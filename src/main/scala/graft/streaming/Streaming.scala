@@ -87,8 +87,14 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[SEvent], state: GroupState[OpenSession]) =>
-          // within a micro-batch rows are unordered; sort the batch slice
-          val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.value))
+          // Within a micro-batch rows are unordered; sorting is unavoidable
+          // (Spark forbids sort on streaming Datasets, so no secondary sort
+          // reaches this iterator) but the buffer is bounded by the per-key
+          // slice of ONE trigger — cap it operationally with
+          // maxFilesPerTrigger/maxBytesPerTrigger. The unbounded-history
+          // case is the batch operator, which streams (Sessionize.spanMerge).
+          val sorted = rows.toArray
+          java.util.Arrays.sort(sorted, Ordering.by((e: SEvent) => (e.ts_us, e.value)))
           val closed = Seq.newBuilder[ClosedSession]
           var open = state.getOption
           sorted.foreach { e =>

@@ -46,6 +46,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("spanMerge streams a pathologically hot key without buffering it") {
+    // 1M events on ONE key: the old groupByKey formulation buffered the whole
+    // key in heap; the secondary-sort fold holds only the open session's
+    // scalars, so this must complete and produce the exact closed-form
+    // result. 1M events at 1 s spacing, 15 s max span, 3 s min span:
+    // sessions are 16-event blocks (0..15 s span) -> 62500 sessions, every
+    // one kept (span 15 s >= 3 s).
+    import spark.implicits._
+    val hot = spark.range(0, 1000000L)
+      .selectExpr("cast(7 as long) as key", "id * 1000000 as tsUs",
+                  "cast(1.0 as double) as value")
+      .as[Sessionize.Event]
+    val out = Sessionize.spanMerge(hot, minSpanUs = 3000000L, maxSpanUs = 15000000L)
+    val agg = out.selectExpr("count(*) as n", "sum(nEvents) as tot",
+                             "cast(min(nEvents) as long) as mn",
+                             "cast(max(nEvents) as long) as mx").head()
+    assert(agg.getLong(0) == 62500L)
+    assert(agg.getLong(1) == 1000000L)
+    assert(agg.getLong(2) == 16L && agg.getLong(3) == 16L)
+  }
+
   test("multimodal featurize: metadata derived from bytes, empty payload dropped") {
     import spark.implicits._
     val rows = Seq(
