@@ -67,18 +67,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.getLong(2) == 16L && agg.getLong(3) == 16L)
   }
 
-  test("multimodal featurize: metadata derived from bytes, empty payload dropped") {
+  // Deterministic gradient PNG synthesized in memory (no fixtures on disk).
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / math.max(1, w - 1)) << 16) |
+                       ((y * 255 / math.max(1, h - 1)) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal featurize: real imageio decode, undecodable payload dropped") {
     import spark.implicits._
+    val png = pngBytes(32, 16)
     val rows = Seq(
-      Multimodal.MediaRow(1, "hello world".getBytes("UTF-8")),
-      Multimodal.MediaRow(2, Array.emptyByteArray), // decode error -> dropped
-      Multimodal.MediaRow(3, Array[Byte](1, 2, 3, 4, 5))
+      Multimodal.MediaRow(1, png),
+      Multimodal.MediaRow(2, Array.emptyByteArray),          // empty -> dropped
+      Multimodal.MediaRow(3, "not an image".getBytes("UTF-8")) // garbage -> dropped
     ).toDS()
     val out = Multimodal.featurize(rows).collect().map(d => d.docId -> d.meta).toMap
-    assert(out.keySet == Set(1L, 3L))
-    assert(out(1L).nBytes == 11 && out(1L).magic == "68656c6c")
-    // deterministic: same bytes, same metadata
-    assert(out(3L) == Multimodal.decodeStub(Array[Byte](1, 2, 3, 4, 5)))
+    assert(out.keySet == Set(1L))
+    val m = out(1L)
+    // REAL decoded dimensions and the PNG signature, not derived pseudo-values
+    assert(m.width == 32 && m.height == 16)
+    assert(m.magic == "89504e47") // \x89PNG
+    assert(m.nBytes == png.length.toLong)
+    // checksum is over decoded PIXELS: a BMP re-encode of the same picture
+    // (different bytes, different size) must checksum identically
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(!java.util.Arrays.equals(bmp, png))
+    val asBmp = Multimodal.decodeImage(bmp)
+    assert(asBmp.checksum == m.checksum && asBmp.magic.startsWith("424d")) // "BM"
   }
 
   test("streaming windowed ingest equals the batch window aggregation (q32)") {
@@ -167,17 +191,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("multimodal resize + frameSample: schema/explosion contracts, error-skip") {
     import spark.implicits._
     val media = Seq(
-      Multimodal.MediaRow(1, Array.tabulate[Byte](1024)(_.toByte)),
-      Multimodal.MediaRow(2, Array.emptyByteArray),
-      Multimodal.MediaRow(3, Array.tabulate[Byte](100)(i => (i * 3).toByte))
+      Multimodal.MediaRow(1, pngBytes(128, 96)),
+      Multimodal.MediaRow(2, Array.emptyByteArray),          // skipped
+      Multimodal.MediaRow(3, "junk junk junk".getBytes("UTF-8")) // skipped
     ).toDS()
-    val resized = Multimodal.resize(media, 64, 64).collect().map(r => r.docId -> r).toMap
-    assert(resized.keySet == Set(1L, 3L)) // empty payload skipped
-    assert(resized(1L).width == 64 && resized(1L).content.length < 1024)
-    // deterministic
-    assert(resized(3L).content.toSeq ==
-      Multimodal.resizeStub(Array.tabulate[Byte](100)(i => (i * 3).toByte), 64, 64).toSeq)
-    val frames = Multimodal.frameSample(media, frameBytes = 128, everyNth = 2).collect()
+    val resized = Multimodal.resize(media, 64, 48).collect().map(r => r.docId -> r).toMap
+    assert(resized.keySet == Set(1L))
+    assert(resized(1L).width == 64 && resized(1L).height == 48)
+    // output is a REAL image: re-decoding it yields the target raster dims
+    val back = Multimodal.decodeImage(resized(1L).content)
+    assert(back.width == 64 && back.height == 48 && back.magic == "89504e47")
+    // deterministic re-encode: same input, same output bytes
+    assert(resized(1L).content.toSeq ==
+      Multimodal.resizeImage(pngBytes(128, 96), 64, 48).toSeq)
+    val frames = Multimodal.frameSample(
+      Seq(Multimodal.MediaRow(1, Array.tabulate[Byte](1024)(_.toByte)),
+          Multimodal.MediaRow(2, Array.emptyByteArray)).toDS(),
+      frameBytes = 128, everyNth = 2).collect()
     val byDoc = frames.groupBy(_.docId)
     assert(byDoc(1L).map(_.frameIdx).sorted.toSeq == Seq(0, 2, 4, 6)) // 8 frames, every 2nd
     assert(byDoc(1L).forall(_.content.length == 128))
