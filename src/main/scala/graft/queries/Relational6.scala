@@ -65,7 +65,30 @@ object Relational6 {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Two-phase salted aggregation (Skew.saltedAggregate) over events keyed
+    * by user_id: phase 1 shuffles on (user_id, salt) so a hot key spreads
+    * over 16 reducers, phase 2 reduces the 16 partial rows per key. The
+    * oracle is the PLAIN group-by — the salted plan must be numerically
+    * indistinguishable from it, which the decimal partial sums guarantee
+    * (exact integer-scaled arithmetic is associative across the two phases,
+    * unlike raw double sums). */
+  def q58(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedAggregate(
+      Tables.events(s, d), keys = Seq("user_id"), saltBuckets = 16,
+      saltFrom = Seq(col("event_id")),
+      partial = Seq(count(lit(1)).as("pn"),
+                    sum(col("value").cast(DecimalType(18, 6))).as("ps")),
+      merge = Seq(sum(col("pn")).as("n"),
+                  sum(col("ps")).cast("double").as("sum_value")))
+      .orderBy(col("user_id"))
+  val q58Sql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q56_array_funcs"  -> ((q56 _, Some(q56Sql))),
-    "q57_range_frame"  -> ((q57 _, Some(q57Sql))))
+    "q57_range_frame"  -> ((q57 _, Some(q57Sql))),
+    "q58_salted_agg"   -> ((q58 _, Some(q58Sql))))
 }

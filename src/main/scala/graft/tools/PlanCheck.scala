@@ -51,6 +51,40 @@ object PlanCheck {
     check("q15_asof_join", "as-of via single window, no inequality join")(p =>
       !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
         (p.contains("RunningWindowFunction") || p.contains("Window")))
+    check("q58_salted_agg", "two-phase salted agg: salt reaches the exchange")(p =>
+      p.contains("__salt") && "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1)
+
+    // ----------------------------------------------------------------
+    // AQE skew-join demonstration: a synthetically skewed sort-merge join
+    // (99% of 2M left rows on one key) must be split by
+    // spark.sql.adaptive.skewJoin at runtime — the final adaptive plan marks
+    // the join "skew=true". This is the join-side complement of the salted
+    // aggregation above (AQE rebalances joins, not aggregations).
+    // ----------------------------------------------------------------
+    {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val left = spark.range(0, 2000000L)
+          .selectExpr("if(id % 100 < 99, 0L, id) AS k", "id AS v")
+        val right = spark.range(0, 1000L).selectExpr("id AS k", "id * 2 AS w")
+        val joined = left.join(right, "k")
+        // execute THIS QueryExecution (df.count() would build a fresh one)
+        // so AQE finalizes the adaptive plan we inspect
+        joined.queryExecution.toRdd.foreachPartition(_ => ())
+        val plan = joined.queryExecution.executedPlan.toString
+        val ok = plan.contains("skew=true")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  aqe_skew_join${" " * 16} AQE splits the skewed partition (skew=true)")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      }
+    }
 
     println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
     spark.stop()
