@@ -16,12 +16,88 @@ object Segmentation {
 
   final case class Interval(startMs: Long, endMs: Long)
 
+  /** Per-ms int16-scale energies (left-to-right sum of squares within each
+    * ms; a final partial ms covers the tail). This is the CANONICAL energy
+    * unit for VAD: window energies are defined as left-to-right sums of
+    * these per-ms energies — never global prefix-sum differences — so any
+    * ms-aligned slicing of the file computes bit-identical window decisions.
+    * That invariant is what makes the chunked decode path
+    * (ChunkedAudio.scala) produce exactly the whole-file segmentation. */
+  def msEnergies(samples: Array[Float], spms: Int): Array[Double] = {
+    val nMs = (samples.length + spms - 1) / spms
+    val out = new Array[Double](nMs)
+    var m = 0
+    while (m < nMs) {
+      val a = m * spms
+      val b = math.min(a + spms, samples.length)
+      var acc = 0.0
+      var i = a
+      while (i < b) { val v = samples(i).toDouble * 32767.0; acc += v * v; i += 1 }
+      out(m) = acc
+      m += 1
+    }
+    out
+  }
+
+  /** Runs of consecutive silent window starts for start positions
+    * [fromMs, untilMs), as inclusive (first, last) pairs. `e` holds per-ms
+    * energies for ms indices [baseMs, baseMs + e.length) and must extend at
+    * least minSilenceLenMs past untilMs (or to end-of-file); `totalLen` is
+    * the GLOBAL sample count, clamping the final windows. Shared by the
+    * whole-file and chunked paths so both sum the same energies in the same
+    * order. */
+  def silentStartRuns(e: Array[Double], baseMs: Int, spms: Int, totalLen: Long,
+                      fromMs: Int, untilMs: Int,
+                      minSilenceLenMs: Int = MinSilenceLenMs,
+                      silenceThreshDb: Double = SilenceThresholdDb): Seq[(Int, Int)] = {
+    val runs = Seq.newBuilder[(Int, Int)]
+    var runStart = -1
+    var prev = -2
+    var s = fromMs
+    while (s < untilMs) {
+      val a = s.toLong * spms
+      val b = math.min((s + minSilenceLenMs).toLong * spms, totalLen)
+      val n = (b - a).toInt
+      val silent = if (n <= 0) true else {
+        // ms range of the window relative to e's base
+        val mEnd = math.min((((b - baseMs.toLong * spms) + spms - 1) / spms).toInt, e.length)
+        var acc = 0.0
+        var m = s - baseMs
+        while (m < mEnd) { acc += e(m); m += 1 }
+        Dsp.dbfs(math.sqrt(acc / n)) < silenceThreshDb
+      }
+      if (silent) {
+        if (runStart < 0) { runStart = s; prev = s }
+        else if (s == prev + 1) prev = s
+        else { runs += ((runStart, prev)); runStart = s; prev = s }
+      }
+      s += 1
+    }
+    if (runStart >= 0) runs += ((runStart, prev))
+    runs.result()
+  }
+
+  /** Non-silent complement of silent ranges within [0, durationMs). */
+  def complement(silent: Seq[Interval], durationMs: Long): Seq[Interval] = {
+    val nonsilent = Seq.newBuilder[Interval]
+    var cursor = 0L
+    silent.foreach { r =>
+      if (r.startMs > cursor) nonsilent += Interval(cursor, r.startMs)
+      cursor = r.endMs
+    }
+    if (cursor < durationMs) nonsilent += Interval(cursor, durationMs)
+    nonsilent.result()
+  }
+
   /** pydub detect_nonsilent equivalent (pa.py:104-106): slide a
     * MinSilenceLenMs window in 1 ms steps; a window is silent when its dBFS
     * is strictly below the threshold; contiguous silent window starts merge
     * into silent ranges ([start, lastStart + window]); non-silent = the
-    * complement within [0, durationMs]. Implemented with a prefix sum of
-    * squares so the scan is O(n) rather than O(n * window). */
+    * complement within [0, durationMs]. Window energies come from the
+    * canonical per-ms energies (see msEnergies) — the scan is
+    * O(durationMs * window), with the window in ms units (300 adds per
+    * position), which stays cheap at any file length and keeps the chunked
+    * path bit-identical. */
   def detectNonSilent(samples: Array[Float], rate: Int,
                       minSilenceLenMs: Int = MinSilenceLenMs,
                       silenceThreshDb: Double = SilenceThresholdDb): Seq[Interval] = {
@@ -36,49 +112,11 @@ object Segmentation {
       // so the whole clip is non-silent (if non-empty).
       return if (durationMs > 0) Seq(Interval(0, durationMs.toLong)) else Nil
     }
-    // prefix(i) = sum of squares of int16-scale samples [0, i)
-    val prefix = new Array[Double](samples.length + 1)
-    var i = 0
-    while (i < samples.length) {
-      val v = samples(i).toDouble * 32767.0
-      prefix(i + 1) = prefix(i) + v * v
-      i += 1
-    }
-    def windowSilent(startMs: Int): Boolean = {
-      val a = startMs * spms
-      val b = math.min((startMs + minSilenceLenMs) * spms, samples.length)
-      val n = b - a
-      if (n <= 0) return true
-      val rms = math.sqrt((prefix(b) - prefix(a)) / n)
-      Dsp.dbfs(rms) < silenceThreshDb
-    }
-    // silent window starts, then merge contiguous runs into silent ranges
-    val lastStart = durationMs - minSilenceLenMs
-    val silentRanges = Seq.newBuilder[Interval]
-    var runStart = -1
-    var prevStart = -2
-    var s = 0
-    while (s <= lastStart) {
-      if (windowSilent(s)) {
-        if (runStart < 0 || s != prevStart + 1) {
-          if (runStart >= 0) silentRanges += Interval(runStart.toLong, (prevStart + minSilenceLenMs).toLong)
-          runStart = s
-        }
-        prevStart = s
-      }
-      s += 1
-    }
-    if (runStart >= 0) silentRanges += Interval(runStart.toLong, (prevStart + minSilenceLenMs).toLong)
-    // complement
-    val silent = silentRanges.result()
-    val nonsilent = Seq.newBuilder[Interval]
-    var cursor = 0L
-    silent.foreach { r =>
-      if (r.startMs > cursor) nonsilent += Interval(cursor, r.startMs)
-      cursor = r.endMs
-    }
-    if (cursor < durationMs) nonsilent += Interval(cursor, durationMs.toLong)
-    nonsilent.result()
+    val e = msEnergies(samples, spms)
+    val runs = silentStartRuns(e, 0, spms, samples.length.toLong,
+      0, durationMs - minSilenceLenMs + 1, minSilenceLenMs, silenceThreshDb)
+    val silent = runs.map { case (f, l) => Interval(f.toLong, (l + minSilenceLenMs).toLong) }
+    complement(silent, durationMs.toLong)
   }
 
   /** Pass 1 (O7, pa.py:111-122): split any interval longer than
