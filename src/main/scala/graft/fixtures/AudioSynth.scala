@@ -56,10 +56,18 @@ object AudioSynth {
     concat(parts: _*)
   }
 
-  /** Write the full corpus into `dir`; returns the file list. Overwrites. */
+  /** Write the full corpus into `dir`; returns the file list. Content is
+    * deterministic, so an already-complete corpus is returned as-is
+    * (repeated q30/bench/verify runs skip re-synthesis). */
   def writeCorpus(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
+    val expected = Seq("tone_speechlike.wav", "long_utterance.wav",
+      "short_utterances.wav", "whisper_quiet.wav", "clipped_square.wav",
+      "bass_treble_music.wav", "silence_only.wav", "stereo_speech_441.wav",
+      "not_a_wav.wav").map(d.resolve)
+    if (expected.forall(p => Files.exists(p) && Files.size(p) > 0))
+      return expected
     def put(name: String, samples: Array[Float]): Path = {
       val p = d.resolve(name)
       Files.write(p, WavCodec.encodeMono16(samples, Rate))

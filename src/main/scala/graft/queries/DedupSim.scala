@@ -55,16 +55,18 @@ object DedupSim {
     val shingles = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
       .as("shingle"))
-    // all 8 minhashes in ONE pass over the shingle rows, from TWO md5 calls
-    // per shingle via Kirsch-Mitzenmacher (h_k = (h1 + k*h2) mod p): the
-    // standard way to derive k independent-enough hash functions without k
-    // full hashes. Integer arithmetic is exact in both engines, so the
-    // DuckDB oracle mirrors it literally.
+    // all 8 minhashes in ONE pass over the shingle rows, from ONE md5 call
+    // per shingle via Kirsch-Mitzenmacher (h_k = (h1 + k*h2) mod p): h1/h2
+    // are the two 60-bit halves of a single md5 (chars 1-15 and 17-31 of
+    // the hex digest) — independent bits of one 128-bit digest, at half the
+    // hashing cost of two digests. Integer arithmetic is exact in both
+    // engines, so the DuckDB oracle mirrors it literally.
     val p = 1000000007L
-    val h1 = expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
-    val h2 = expr("cast(conv(substring(md5(concat('x', shingle)), 1, 15), 16, 10) as bigint)")
-    val hashed = shingles.select(col("doc_id"),
-      (h1 % p).as("g1"), (h2 % p).as("g2"))
+    val hashed = shingles
+      .select(col("doc_id"), md5(col("shingle")).as("hx"))
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(hx, 1, 15), 16, 10) as bigint)") % p).as("g1"),
+        (expr("cast(conv(substring(hx, 17, 15), 16, 10) as bigint)") % p).as("g2"))
     val sigAggs = (0 until 8).map(k =>
       min((col("g1") + lit(k.toLong) * col("g2")) % p).as(s"h$k"))
     val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
@@ -94,11 +96,13 @@ object DedupSim {
       |  SELECT doc_id,
       |    unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |  FROM toks WHERE len(t) >= 3),
+      |hd AS (
+      |  SELECT doc_id, md5(shingle) AS hx FROM sh),
       |hx AS (
       |  SELECT doc_id,
-      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS g1,
-      |    ('0x' || substr(md5('x' || shingle), 1, 15))::BIGINT % 1000000007 AS g2
-      |  FROM sh),
+      |    ('0x' || substr(hx, 1, 15))::BIGINT % 1000000007 AS g1,
+      |    ('0x' || substr(hx, 17, 15))::BIGINT % 1000000007 AS g2
+      |  FROM hd),
       |sig AS (
       |  SELECT doc_id,
       |    min((g1 + 0*g2) % 1000000007) AS h0, min((g1 + 1*g2) % 1000000007) AS h1,
