@@ -453,8 +453,86 @@ object DedupSim {
        |SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q6
        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** IVF-style ANN — the second scale path next to q29's LSH buckets: a
+    * coarse codebook of 16 cells (seed vectors vec_id < 16 stand in for an
+    * offline k-means codebook), every vector assigned to its nearest cell
+    * (argmin ||v-c||², computed as ||c||² - 2·v·c since ||v||² is constant
+    * per v), queries probe their 4 nearest cells (multi-probe recall), exact
+    * cosine + top-3 within the probed cells. At 100 TB: the cell assignment
+    * is one broadcast pass, the search joins each query to ~4/16ths of the
+    * corpus by cell equality — the classic inverted-file tradeoff. All dot
+    * products go through the codegen'd dot_f32 kernel, bit-identical to the
+    * DuckDB list_reduce folds, so cell assignments and rankings agree
+    * exactly. */
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val seeds = emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("ce"))
+    def scored(df: DataFrame) = df.crossJoin(broadcast(seeds))
+      .withColumn("score",
+        graft.functions.GraftFunctions.dotF32(col("ce"), col("ce")) -
+        lit(2.0) * graft.functions.GraftFunctions.dotF32(col("embedding"), col("ce")))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("seed_id"))
+    val assign = scored(emb)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
+    val probes = scored(emb.filter(col("vec_id") < 5))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              col("seed_id").as("cell"))
+    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
+    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
+    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+              col("cell"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+  val q59Sql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS ce FROM embeddings WHERE vec_id < $IvfCells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.seed_id,
+       |    ${fold("s.ce", "s.ce")} - 2 * ${fold("e.embedding", "s.ce")} AS score
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, seed_id) AS rn
+       |  FROM scored),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id AS cell FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qe, seed_id AS cell
+       |  FROM ranked WHERE vec_id < 5 AND rn <= $IvfProbes),
+       |pairs AS (
+       |  SELECT p.q_id, a.vec_id, a.cell,
+       |    ${fold("p.qe", "a.embedding")} AS dot,
+       |    ${fold("p.qe", "p.qe")} AS nq,
+       |    ${fold("a.embedding", "a.embedding")} AS nc
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |r AS (
+       |  SELECT q_id, vec_id, cell, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cell, cosine
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
-    "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))))
+    "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))),
+    "q59_ann_ivf_multiprobe" -> ((q59 _, Some(q59Sql))))
 }

@@ -59,6 +59,42 @@ object Streaming {
   }
 
   // ------------------------------------------------------------------
+  // Streaming exact dedup (the continuous form of the q09/q23 batch
+  // first-writer-wins dedup): dropDuplicatesWithinWatermark keeps one state
+  // row per key and EVICTS it once the watermark passes, which is what makes
+  // exact dedup feasible on an unbounded stream — state is bounded by the
+  // dedup horizon, not the stream length. Duplicates arriving within the
+  // horizon dedup exactly; a replay later than the horizon is a new row (the
+  // standard at-scale contract).
+  // ------------------------------------------------------------------
+
+  /** First occurrence per key within the watermark horizon. */
+  def dedupWithinWatermark(rows: DataFrame, tsCol: String, horizon: String,
+                           keyCols: Seq[String]): DataFrame =
+    rows.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Drive the streaming dedup over files arriving in `streamDir` (one
+    * micro-batch per file, so cross-batch dedup is actually exercised);
+    * returns the deduped rows. */
+  def dedupOnce(spark: SparkSession, streamDir: String, schema: StructType,
+                tsCol: String, horizon: String, keyCols: Seq[String],
+                queryName: String = "graft_dedup"): DataFrame = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val q = dedupWithinWatermark(src, tsCol, horizon, keyCols)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  // ------------------------------------------------------------------
   // Stateful span-based merge (the reference's O8 in continuous form,
   // SURVEY §2.8 north star): flatMapGroupsWithState keeps one OPEN session
   // per key; a point beyond the max span closes and EMITS the session and
