@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Seventh batch: the data-management surfaces a training-data pipeline
+  * leans on daily — deterministic dataset splitting, gap forward-fill,
+  * null-safe joins, multiset set-ops, histogramming, and the null-handling
+  * scalar family. All oracle-checked.
+  */
+object Relational7 {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  // ---------------------------------------------------------------- q60
+  /** Deterministic train/validation/test split by content-stable hash
+    * (md5 of the key, 60-bit int, mod 100): the standard reproducible
+    * holdout assignment — no RNG, stable across engines/runs/cluster
+    * layouts, and any engine can recompute membership. */
+  def q60(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  val q60Sql: String =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Gap forward-fill (time-series imputation): a sparsified measure
+    * carries its last observed value forward per user — last(IGNORE NULLS)
+    * over a running frame. Values pass through untouched, so cross-engine
+    * parity is exact. */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("sparse", when(col("event_id") % 5 === 0, col("value")))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("sparse"),
+        last(col("sparse"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("event_id"))
+  }
+  val q61Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CASE WHEN event_id % 5 = 0 THEN value END AS sparse
+      |  FROM events)
+      |SELECT event_id, user_id, ts_us, sparse,
+      |  last_value(sparse IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM e ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): suppliers with
+    * a nulled-out nation key still match the correspondingly nulled nation
+    * row — the semantics ordinary equi-joins silently drop. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val sup = t(s, d, "supplier")
+      .select(col("s_suppkey"), expr("nullif(s_nationkey, 5)").as("nk"))
+    val nat = t(s, d, "nation")
+      .select(expr("nullif(n_nationkey, 5)").as("nk2"), col("n_name"))
+    sup.join(nat, col("nk") <=> col("nk2"))
+      .select(col("s_suppkey"), col("nk"), col("n_name"))
+      .orderBy(col("s_suppkey"), col("n_name"))
+  }
+  val q62Sql: String =
+    """SELECT s.s_suppkey, nullif(s.s_nationkey, 5) AS nk, n.n_name
+      |FROM supplier s JOIN nation n
+      |  ON nullif(s.s_nationkey, 5) IS NOT DISTINCT FROM nullif(n.n_nationkey, 5)
+      |ORDER BY s_suppkey, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): multiplicity-
+    * preserving, unlike the distinct-set q13 — the difference matters
+    * whenever rows are observations, not identities. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority").as("p"))
+    val b = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_orderpriority").as("p"))
+    a.intersectAll(b).withColumn("tag", lit("in_both"))
+      .unionByName(a.exceptAll(b).withColumn("tag", lit("only_f")))
+      .select(col("tag"), col("p"))
+      .orderBy(col("tag"), col("p"))
+  }
+  val q63Sql: String =
+    """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+      |b AS (SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 150000)
+      |SELECT 'in_both' AS tag, p FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+      |UNION ALL
+      |SELECT 'only_f' AS tag, p FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+      |ORDER BY tag, p""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Fixed-width histogram over order totals: bucket arithmetic written
+    * identically in both engines (floor of a double division — same IEEE
+    * op), counts + exact decimal sums per bucket. */
+  def q64(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / 25000.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+  val q64Sql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** Null-handling scalar family: nullif / coalesce / greatest / least and
+    * the null-dispatch CASE, exercised together over part. */
+  def q65(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        coalesce(expr("nullif(p_size, 25)"), lit(-1)).as("size_or"),
+        greatest(col("p_size").cast("long"), length(col("p_name")).cast("long")).as("gx"),
+        least(col("p_size").cast("long"), length(col("p_name")).cast("long")).as("lx"),
+        when(expr("nullif(p_size, 25)").isNull, "masked").otherwise("kept").as("tag"))
+      .orderBy(col("p_partkey"))
+  val q65Sql: String =
+    """SELECT p_partkey,
+      |  coalesce(nullif(p_size, 25), -1) AS size_or,
+      |  greatest(CAST(p_size AS BIGINT), length(p_name)) AS gx,
+      |  least(CAST(p_size AS BIGINT), length(p_name)) AS lx,
+      |  CASE WHEN nullif(p_size, 25) IS NULL THEN 'masked' ELSE 'kept' END AS tag
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q60_hash_split"     -> ((q60 _, Some(q60Sql))),
+    "q61_gap_fill"       -> ((q61 _, Some(q61Sql))),
+    "q62_null_safe_join" -> ((q62 _, Some(q62Sql))),
+    "q63_set_ops_all"    -> ((q63 _, Some(q63Sql))),
+    "q64_histogram"      -> ((q64 _, Some(q64Sql))),
+    "q65_null_funcs"     -> ((q65 _, Some(q65Sql))))
+}
