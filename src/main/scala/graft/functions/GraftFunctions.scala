@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotProductF32.info,
       exprs => DotProductF32(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

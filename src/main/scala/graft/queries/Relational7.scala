@@ -140,7 +140,29 @@ object Relational7 {
       |  CASE WHEN nullif(p_size, 25) IS NULL THEN 'masked' ELSE 'kept' END AS tag
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Top-3 orders per customer through the NATIVE TopKPerGroup operator
+    * (custom LogicalPlan + SparkStrategy + bounded-heap SparkPlan —
+    * graft.plans.TopKPerGroup): the same row set as the q06 window
+    * formulation, without sorting any group. The oracle is the window SQL —
+    * the two must agree exactly because the ordering is total. */
+  def q66(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      t(s, d, "orders"),
+      groupCols = Seq(col("o_custkey")),
+      orderCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  val q66Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q66_topk_native"    -> ((q66 _, Some(q66Sql))),
     "q60_hash_split"     -> ((q60 _, Some(q60Sql))),
     "q61_gap_fill"       -> ((q61 _, Some(q61Sql))),
     "q62_null_safe_join" -> ((q62 _, Some(q62Sql))),

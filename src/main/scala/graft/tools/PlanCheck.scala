@@ -53,6 +53,11 @@ object PlanCheck {
         (p.contains("RunningWindowFunction") || p.contains("Window")))
     check("q58_salted_agg", "two-phase salted agg: salt reaches the exchange")(p =>
       p.contains("__salt") && "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1)
+    check("q66_topk_native", "native bounded-heap top-k: no per-group sort")(p =>
+      p.contains("TopKPerGroup") &&
+        // the only Sort is the final presentation ORDER BY above the
+        // operator, never below the exchange that feeds it
+        !p.split("TopKPerGroup", 2)(1).contains("Sort "))
 
     // ----------------------------------------------------------------
     // AQE skew-join demonstration: a synthetically skewed sort-merge join
