@@ -161,8 +161,53 @@ object Relational7 {
       |  FROM orders) WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Correlated EXISTS / NOT EXISTS subqueries (the remaining subquery
+    * shape next to q52-q55): customers holding an urgent order but no
+    * in-progress one. Spark plans both as semi/anti joins. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("customer_v")
+    t(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '1%')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+  val q67Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '1%')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** UNPIVOT (wide → long, the inverse of q46's pivot) via the native
+    * Dataset.unpivot API; the oracle states the equivalent UNION ALL, which
+    * is exactly what unpivot desugars to. */
+  def q68(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+               Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+  val q68Sql: String =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q66_topk_native"    -> ((q66 _, Some(q66Sql))),
+    "q67_exists_subqueries" -> ((q67 _, Some(q67Sql))),
+    "q68_unpivot"        -> ((q68 _, Some(q68Sql))),
     "q60_hash_split"     -> ((q60 _, Some(q60Sql))),
     "q61_gap_fill"       -> ((q61 _, Some(q61Sql))),
     "q62_null_safe_join" -> ((q62 _, Some(q62Sql))),

@@ -95,6 +95,47 @@ object Streaming {
   }
 
   // ------------------------------------------------------------------
+  // Stream-stream interval join: two unbounded event streams joined on key
+  // within an event-time bound. Both sides carry watermarks and the join
+  // condition bounds the time range, so Spark can evict state — the
+  // requirement for joining unbounded streams at all. The batch twin (same
+  // join over the static snapshot) is the correctness check in OpsSpec.
+  // ------------------------------------------------------------------
+
+  /** Events of stream B within [0, `withinMinutes`] after each event of
+    * stream A for the same user (self-pairs excluded). */
+  def intervalJoinStreams(spark: SparkSession, dirA: String, dirB: String,
+                          withinMinutes: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(dir: String, p: String) = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .selectExpr(s"event_id AS ${p}_id", s"user_id AS ${p}_user", s"ts_t AS ${p}_ts")
+    side(dirA, "a").join(side(dirB, "b"),
+      expr(s"""a_user = b_user AND a_id <> b_id AND
+              |b_ts >= a_ts AND b_ts <= a_ts + INTERVAL $withinMinutes MINUTES""".stripMargin))
+  }
+
+  /** Drive the interval join over the static snapshot; returns joined pairs. */
+  def intervalJoinOnce(spark: SparkSession, dir: String, withinMinutes: Int,
+                       queryName: String = "graft_ssjoin"): DataFrame = {
+    def stage(): String = {
+      val staged = java.nio.file.Files.createTempDirectory("graft_ssjoin_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      staged.toString
+    }
+    val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  // ------------------------------------------------------------------
   // Stateful span-based merge (the reference's O8 in continuous form,
   // SURVEY §2.8 north star): flatMapGroupsWithState keeps one OPEN session
   // per key; a point beyond the max span closes and EMITS the session and

@@ -239,6 +239,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._1 == 1L) == 1)
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streaming
+      .intervalJoinOnce(spark, dir, withinMinutes = 5, "spec_ssjoin")
+      .selectExpr("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.core.Tables.events(spark, dir)
+      .selectExpr("event_id", "user_id", "timestamp_micros(ts_us) AS ts_t")
+    val a = ev.toDF("a_id", "a_user", "a_ts")
+    val b = ev.toDF("b_id", "b_user", "b_ts")
+    val batch = a.join(b, org.apache.spark.sql.functions.expr(
+        "a_user = b_user AND a_id <> b_id AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 5 MINUTES"))
+      .selectExpr("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("orc source round-trips a table sample losslessly") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
