@@ -222,7 +222,56 @@ object TextOps {
       |    (h, c) -> (h * 31 + c) % 1000000007) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Fixed-size token-window chunking with overlap (LLM-context chunking:
+    * window 20 tokens, stride 15 → 5-token overlap; trailing partial chunk
+    * kept). One transform + explode — no UDF, embarrassingly parallel; the
+    * chunk index is derived arithmetically from the window start so both
+    * engines state it identically. */
+  def q69(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks), 15)")).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / 15).cast("long").as("chunk_idx"),
+        expr("concat_ws(' ', slice(toks, start, 20))").as("chunk"),
+        least(lit(20), size(col("toks")) - col("start") + 1).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  val q69Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |st AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 15)) AS start FROM t)
+      |SELECT doc_id,
+      |  CAST((start - 1) / 15 AS BIGINT) AS chunk_idx,
+      |  array_to_string(toks[start : start + 19], ' ') AS chunk,
+      |  CAST(least(20, len(toks) - start + 1) AS BIGINT) AS n_tokens
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Corpus vocabulary statistics: document frequency and total term
+    * frequency per term — the df table behind stopword lists, idf weights,
+    * and tokenizer vocabularies. Two shuffles (doc-term dedup counts, term
+    * rollup), all integer arithmetic. */
+  def q70(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+           count(lit(1)).as("total_tf"))
+      .orderBy(col("df").desc, col("total_tf").desc, col("term"))
+  val q70Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents)
+      |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf
+      |FROM tok GROUP BY term ORDER BY df DESC, total_tf DESC, term""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q49_token_counting" -> ((q49 _, Some(q49Sql))),
-    "q50_rolling_hash"   -> ((q50 _, Some(q50Sql))))
+    "q50_rolling_hash"   -> ((q50 _, Some(q50Sql))),
+    "q69_token_chunking" -> ((q69 _, Some(q69Sql))),
+    "q70_term_stats"     -> ((q70 _, Some(q70Sql))))
 }
