@@ -16,6 +16,11 @@ object Relational7 {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
 
+  /** Exact cross-engine double sum: per-row DOUBLE, decimal-cast for the
+    * (order-independent) sum, DOUBLE out — see Relational.scala's header. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
   // ---------------------------------------------------------------- q60
   /** Deterministic train/validation/test split by content-stable hash
     * (md5 of the key, 60-bit int, mod 100): the standard reproducible
@@ -204,10 +209,42 @@ object Relational7 {
       |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** NATIVE session windows (`session_window`, 30-min gap): Spark's built-in
+    * gap sessionization — the API-level sibling of q18's manual
+    * gaps-and-islands. Window start = first event, end = last event + gap;
+    * the oracle re-states exactly that from the island decomposition. */
+  def q71(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ts_t", expr("timestamp_micros(ts_us)"))
+      .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+  val q71Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, sess_idx ORDER BY user_id, start_us""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q66_topk_native"    -> ((q66 _, Some(q66Sql))),
     "q67_exists_subqueries" -> ((q67 _, Some(q67Sql))),
     "q68_unpivot"        -> ((q68 _, Some(q68Sql))),
+    "q71_session_window" -> ((q71 _, Some(q71Sql))),
     "q60_hash_split"     -> ((q60 _, Some(q60Sql))),
     "q61_gap_fill"       -> ((q61 _, Some(q61Sql))),
     "q62_null_safe_join" -> ((q62 _, Some(q62Sql))),
