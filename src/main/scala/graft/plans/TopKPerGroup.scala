@@ -38,55 +38,72 @@ final case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder]
     copy(child = c)
 }
 
-/** Planner strategy: lowers the logical node to the heap exec. */
+/** Planner strategy: lowers the logical node to a partial (pre-shuffle) +
+  * final (post-shuffle) heap pair — the top-k analog of partial
+  * aggregation. Any row in a key's global top-k is necessarily in its
+  * partition-local top-k, so the partial pass losslessly caps what the
+  * exchange carries at keys × k rows per input partition. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
+/** Heap pass over one partition's rows: k-bounded max-heap per key (peek()
+  * is the WORST kept row, evicted when a better one arrives). Shared by the
+  * partial and final passes — identical logic, different distribution. */
+private object HeapPass extends Serializable {
+  def apply(iter: Iterator[InternalRow], childOutput: Seq[Attribute],
+            gExprs: Seq[Expression], ord: Seq[SortOrder], k: Int): Iterator[InternalRow] = {
+    val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+    val keyProj = UnsafeProjection.create(gExprs, childOutput)
+    val ordering = new LazilyGeneratedOrdering(ord, childOutput)
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+    while (iter.hasNext) {
+      val row = iter.next() match {
+        case u: UnsafeRow => u
+        case r => toUnsafe(r)
+      }
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[UnsafeRow](
+          k + 1, (a: UnsafeRow, b: UnsafeRow) => ordering.compare(b, a))
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(row.copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala
+      .flatMap(h => h.iterator().asScala.map(_.asInstanceOf[InternalRow]))
+  }
+}
+
 final case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-                                  k: Int, child: SparkPlan) extends UnaryExecNode {
+                                  k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val gExprs = groupExprs
     val ord = order
     val kk = k
-    child.execute().mapPartitions({ iter =>
-      val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
-      val keyProj = UnsafeProjection.create(gExprs, childOutput)
-      val ordering = new LazilyGeneratedOrdering(ord, childOutput)
-      // max-heap on the kept set: peek() is the WORST kept row, evicted when
-      // a better row arrives and the heap is full
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = iter.next() match {
-          case u: UnsafeRow => u
-          case r => toUnsafe(r)
-        }
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](
-            kk + 1, (a: UnsafeRow, b: UnsafeRow) => ordering.compare(b, a))
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala
-        .flatMap(h => h.iterator().asScala.map(_.asInstanceOf[InternalRow]))
-    }, preservesPartitioning = true)
+    child.execute().mapPartitions(
+      iter => HeapPass(iter, childOutput, gExprs, ord, kk),
+      preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =

@@ -51,6 +51,13 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("TopKPerGroup"))
     assert(s.contains("Exchange hashpartitioning(key"))
     assert(!s.contains("Sort ")) // the whole point: no per-group sort
+    // partial pass BELOW the exchange (map-side shuffle reduction), final
+    // pass above: final ... Exchange ... partial in render order
+    val iFinal = s.indexOf("TopKPerGroup ")
+    val iEx = s.indexOf("Exchange hashpartitioning(key")
+    val iPartial = s.indexOf("TopKPerGroupPartial")
+    assert(iFinal >= 0 && iPartial >= 0 && iFinal < iEx && iEx < iPartial,
+      s"expected final < exchange < partial in:\n$s")
   }
 
   test("k larger than any group degenerates to identity per group") {
