@@ -240,11 +240,39 @@ object Relational7 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM sessions GROUP BY user_id, sess_idx ORDER BY user_id, start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Bitwise-operator surface over 60-bit md5-derived integers (exact in
+    * both engines): AND / OR / XOR / shifts / popcount — the primitives
+    * under the SimHash and LSH banding operators, exposed directly. */
+  def q73(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)"))
+      .select(col("event_id"),
+        expr("h & 255").as("and8"),
+        expr("h | 15").as("or4"),
+        expr("h ^ shiftright(h, 13)").as("mix"),
+        expr("shiftleft(h & 1048575, 8)").as("shl"),
+        bit_count(col("h")).cast("long").as("pop"))
+      .orderBy(col("event_id"))
+  val q73Sql: String =
+    """WITH h AS (
+      |  SELECT event_id,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events WHERE event_id < 2000)
+      |SELECT event_id, h & 255 AS and8, h | 15 AS or4,
+      |  xor(h, h >> 13) AS mix,
+      |  (h & 1048575) << 8 AS shl,
+      |  CAST(bit_count(h) AS BIGINT) AS pop
+      |FROM h ORDER BY event_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q66_topk_native"    -> ((q66 _, Some(q66Sql))),
     "q67_exists_subqueries" -> ((q67 _, Some(q67Sql))),
     "q68_unpivot"        -> ((q68 _, Some(q68Sql))),
     "q71_session_window" -> ((q71 _, Some(q71Sql))),
+    "q73_bit_ops"        -> ((q73 _, Some(q73Sql))),
     "q60_hash_split"     -> ((q60 _, Some(q60Sql))),
     "q61_gap_fill"       -> ((q61 _, Some(q61Sql))),
     "q62_null_safe_join" -> ((q62 _, Some(q62Sql))),

@@ -269,9 +269,53 @@ object TextOps {
       |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf
       |FROM tok GROUP BY term ORDER BY df DESC, total_tf DESC, term""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** PII scrubbing (emails / phone numbers / IPv4 → typed placeholders) —
+    * the redaction pass every training corpus runs before tokenization.
+    * The corpus is word-salad, so the PII is INJECTED deterministically
+    * from doc_id first; the scrub then has real work to do and the oracle
+    * replays both steps. Patterns stick to constructs Java regex and RE2
+    * treat identically (character classes, +, {m,n} — no backrefs or
+    * lookarounds). */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
+    val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    Tables.documents(s, d)
+      .withColumn("dirty", concat(
+        substring(col("text"), 1, 40),
+        lit(" reach me at user"), col("doc_id"), lit("@mail.example.org"),
+        lit(" or +1-555-"), lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+          emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]"))
+      .select(col("doc_id"), col("dirty"), col("clean"),
+        (length(col("dirty")) - length(col("clean"))).cast("long").as("redacted_chars"))
+      .orderBy(col("doc_id"))
+  }
+  val q72Sql: String =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 40) || ' reach me at user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.org' || ' or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+      |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS dirty
+      |  FROM documents)
+      |SELECT doc_id, dirty,
+      |  regexp_replace(regexp_replace(regexp_replace(dirty,
+      |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '[EMAIL]', 'g'),
+      |    '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS clean,
+      |  length(dirty) - length(regexp_replace(regexp_replace(regexp_replace(dirty,
+      |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '[EMAIL]', 'g'),
+      |    '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g')) AS redacted_chars
+      |FROM dirty ORDER BY doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q49_token_counting" -> ((q49 _, Some(q49Sql))),
     "q50_rolling_hash"   -> ((q50 _, Some(q50Sql))),
     "q69_token_chunking" -> ((q69 _, Some(q69Sql))),
-    "q70_term_stats"     -> ((q70 _, Some(q70Sql))))
+    "q70_term_stats"     -> ((q70 _, Some(q70Sql))),
+    "q72_pii_scrub"      -> ((q72 _, Some(q72Sql))))
 }

@@ -58,6 +58,16 @@ object PlanCheck {
         // the only Sort is the final presentation ORDER BY above the
         // operator, never below the exchange that feeds it
         !p.split("TopKPerGroup", 2)(1).contains("Sort "))
+    check("q59_ann_ivf_multiprobe", "IVF cell join broadcasts probes, no cartesian fallback")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // the only exchange allowed is the presentation ORDER BY's range
+    // partitioning — no hash shuffle, no join, no aggregate
+    check("q60_hash_split", "hash split is per-row: no hash shuffle/join/agg")(p =>
+      !p.contains("hashpartitioning") && !p.contains("Join") && !p.contains("Aggregate"))
+    check("q72_pii_scrub", "PII scrub is per-row: no hash shuffle/join/agg")(p =>
+      !p.contains("hashpartitioning") && !p.contains("Join") && !p.contains("Aggregate"))
+    check("q70_term_stats", "vocabulary stats aggregate partially before the shuffle")(p =>
+      p.contains("partial"))
 
     // ----------------------------------------------------------------
     // AQE skew-join demonstration: a synthetically skewed sort-merge join
