@@ -20,10 +20,14 @@ object Bench {
       val r = spark.range(1L << 18).toDF("id")
       r.selectExpr("sum(id)").collect()
       r.groupBy(expr("id % 10")).count().collect()
-      r.select(expr("row_number() over (partition by id % 16 order by id)")).count()
+      // aggregate over the computed columns — a bare count() would let
+      // Catalyst prune the projection and skip the codegen being warmed
+      r.select(expr("row_number() over (partition by id % 16 order by id)").as("rn"))
+        .agg(max(col("rn"))).collect()
       r.join(broadcast(spark.range(100).toDF("id")), "id").count()
-      r.select(expr("regexp_replace(cast(id as string), '[0-9]', 'x')"),
-               expr("conv(substring(md5(cast(id as string)),1,15),16,10)")).count()
+      r.select(expr("regexp_replace(cast(id as string), '[0-9]', 'x')").as("a"),
+               expr("conv(substring(md5(cast(id as string)),1,15),16,10)").as("b"))
+        .agg(count(col("a")), count(col("b"))).collect()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings").foreach { t =>
