@@ -52,6 +52,20 @@ object Pipeline {
         .load(wavDir)
         .select(col("path"), col("content")))
 
+  /** The O2-O5 kernel sequence: bytes → decode → downmix → peak-normalize →
+    * resample to 16 kHz, plus basename extraction; None on decode failure
+    * (pa.py:91-92). The ONE definition shared by the whole-file decoder
+    * below and ChunkedAudio.decodeChunked — sharing it is what makes the
+    * chunked path's bit-identical guarantee robust to future decode edits. */
+  def decodeToPcm(path: String, bytes: Array[Byte]): Option[(String, Array[Float])] =
+    try {
+      val dec = WavCodec.decode(bytes)
+      val mono = Dsp.downmixMono(dec.samples, dec.channels)
+      val norm = Dsp.peakNormalize(mono)
+      val res = Dsp.resampleLinear(norm, dec.sampleRate, TargetRate)
+      Some((path.substring(path.lastIndexOf('/') + 1), res))
+    } catch { case _: Exception => None }
+
   /** Decode (path, content) rows — shared by the batch binaryFile scan and
     * the streaming ingest mode (Streaming.audioIngest). */
   def decodeWavRows(rows: DataFrame): Dataset[DecodedFile] = {
@@ -59,14 +73,9 @@ object Pipeline {
     rows
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        try {
-          val dec = WavCodec.decode(bytes)
-          val mono = Dsp.downmixMono(dec.samples, dec.channels)
-          val norm = Dsp.peakNormalize(mono)
-          val res = Dsp.resampleLinear(norm, dec.sampleRate, TargetRate)
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          Some(DecodedFile(name, res, TargetRate))
-        } catch { case _: Exception => None }
+        decodeToPcm(path, bytes).map { case (name, res) =>
+          DecodedFile(name, res, TargetRate)
+        }
       }
   }
 

@@ -56,9 +56,17 @@ object AudioSynth {
     concat(parts: _*)
   }
 
+  /** Bump whenever ANY fixture definition below changes: the reuse check is
+    * keyed on this stamp, so a stale on-disk corpus from older code is
+    * regenerated instead of silently reused (the amplitudes are knife-edge
+    * tuned — serving old bytes under new goldens would corrupt q30/specs). */
+  private val CorpusVersion = 2
+
   /** Write the full corpus into `dir`; returns the file list. Content is
-    * deterministic, so an already-complete corpus is returned as-is
-    * (repeated q30/bench/verify runs skip re-synthesis). */
+    * deterministic, so a corpus already stamped with the current
+    * CorpusVersion is returned as-is (repeated q30/bench/verify runs skip
+    * re-synthesis); any other state — missing files, empty files, older or
+    * absent stamp (e.g. a crashed half-written run) — regenerates. */
   def writeCorpus(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
@@ -66,8 +74,11 @@ object AudioSynth {
       "short_utterances.wav", "whisper_quiet.wav", "clipped_square.wav",
       "bass_treble_music.wav", "silence_only.wav", "stereo_speech_441.wav",
       "not_a_wav.wav").map(d.resolve)
-    if (expected.forall(p => Files.exists(p) && Files.size(p) > 0))
+    val stamp = d.resolve(s".corpus_v$CorpusVersion")
+    if (Files.exists(stamp) &&
+        expected.forall(p => Files.exists(p) && Files.size(p) > 0))
       return expected
+    Files.deleteIfExists(stamp) // invalidate while (re)writing
     def put(name: String, samples: Array[Float]): Path = {
       val p = d.resolve(name)
       Files.write(p, WavCodec.encodeMono16(samples, Rate))
@@ -133,6 +144,8 @@ object AudioSynth {
     // per-file error-skip: garbage bytes
     val garbage = d.resolve("not_a_wav.wav")
     Files.write(garbage, Array.tabulate[Byte](1024)(i => (i * 37 % 251).toByte))
+    // stamp LAST: only a fully-written corpus is ever reused
+    Files.write(stamp, Array.emptyByteArray)
     files ++ Seq(stereo441, garbage)
   }
 }

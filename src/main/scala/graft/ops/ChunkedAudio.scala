@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-import graft.io.WavCodec
 import graft.Pipeline.{SegmentRow, TargetRate}
 
 /** Chunked audio decode — the 100 TB design point for multi-hour sources
@@ -65,12 +64,7 @@ object ChunkedAudio {
     import rows.sparkSession.implicits._
     val lookMs = Segmentation.MinSilenceLenMs
     rows.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
-      try {
-        val dec = WavCodec.decode(bytes)
-        val mono = Dsp.downmixMono(dec.samples, dec.channels)
-        val norm = Dsp.peakNormalize(mono)
-        val res = Dsp.resampleLinear(norm, dec.sampleRate, TargetRate)
-        val name = path.substring(path.lastIndexOf('/') + 1)
+      graft.Pipeline.decodeToPcm(path, bytes).toSeq.flatMap { case (name, res) =>
         val spms = TargetRate / 1000
         val durationMs = (res.length / spms).toLong
         val chunkMs = chunkSec * 1000L
@@ -87,7 +81,7 @@ object ChunkedAudio {
             if (lookEnd > b) java.util.Arrays.copyOfRange(res, b, lookEnd)
             else Array.emptyFloatArray)
         }
-      } catch { case _: Exception => Nil }
+      }
     }
   }
 

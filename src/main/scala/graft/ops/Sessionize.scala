@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions.col
   */
 object Sessionize {
 
-  final case class Event(key: Long, tsUs: Long, value: Double)
+  /** Values are LONG (callers quantize doubles upstream, e.g.
+    * round(x*1e6)): per-session sums stay exact integer arithmetic at any
+    * magnitude, where a double accumulator would silently lose exactness
+    * past 2^53 on precisely the pathological hot keys this operator is
+    * built to survive. */
+  final case class Event(key: Long, tsUs: Long, value: Long)
   final case class Session(key: Long, startUs: Long, endUs: Long,
-                           nEvents: Int, sumValue: Double)
+                           nEvents: Int, sumValue: Long)
 
   /** Merge each key's ts-ordered points into sessions whose total SPAN stays
     * within `maxSpanUs` (gaps count toward the span, exactly like
@@ -80,13 +85,13 @@ object Sessionize {
     import s.implicits._
     val ev = graft.core.Tables.events(s, dir)
       .selectExpr("user_id as key", "ts_us as tsUs",
-                  "cast(round(value * 1e6) as double) as value")
+                  "cast(round(value * 1e6) as long) as value")
       .as[Event]
     spanMerge(ev, minSpanUs = 3L * 60 * 1000000, maxSpanUs = 15L * 60 * 1000000)
       .toDF()
       .select(col("key"), col("startUs").as("start_us"), col("endUs").as("end_us"),
               col("nEvents").cast("long").as("n_events"),
-              col("sumValue").cast("long").as("sum_q6"))
+              col("sumValue").as("sum_q6"))
       .orderBy(col("key"), col("start_us"))
   }
 }

@@ -70,8 +70,11 @@ private object HeapPass extends Serializable {
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
+        // small initial capacity: PriorityQueue grows as needed, so memory
+        // tracks actual rows kept — preallocating k+1 slots per key would
+        // make sparse groups cost Theta(keys x k) before storing anything
         heap = new java.util.PriorityQueue[UnsafeRow](
-          k + 1, (a: UnsafeRow, b: UnsafeRow) => ordering.compare(b, a))
+          math.min(k, 16) + 1, (a: UnsafeRow, b: UnsafeRow) => ordering.compare(b, a))
         heaps.put(key.copy(), heap)
       }
       if (heap.size < k) heap.add(row.copy())

@@ -35,12 +35,23 @@ object DedupSim {
     * pipeline is computed once: the candidate DataFrame is persisted and
     * memoized per (session, dir), so q45 starts from the cached pairs
     * instead of re-hashing every shingle. Entries of stopped sessions are
-    * evicted on access. */
+    * unpersisted and evicted on access (live-session entries stay pinned —
+    * callers that rewrite the files under `dir` mid-session must call
+    * `invalidateCandidates`, the standard cache-coherence contract). */
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drop (and unpersist) the cached candidates for `dir` in this session. */
+  def invalidateCandidates(s: SparkSession, d: String): Unit = {
+    val old = candCache.remove((s, d))
+    if (old != null && !s.sparkContext.isStopped) old.unpersist()
+  }
+
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    candCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    candCache.entrySet().removeIf { e =>
+      val dead = e.getKey._1.sparkContext.isStopped
+      dead // a stopped context has already torn its block manager down
+    }
     candCache.computeIfAbsent((s, d), { key =>
       candidatePairs(key._1, key._2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

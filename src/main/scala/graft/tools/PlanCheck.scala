@@ -52,7 +52,10 @@ object PlanCheck {
       !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
         (p.contains("RunningWindowFunction") || p.contains("Window")))
     check("q58_salted_agg", "two-phase salted agg: salt reaches the exchange")(p =>
-      p.contains("__salt") && "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1)
+      // user_id and __salt must appear in the SAME hashpartitioning clause —
+      // the phase-2 exchange partitions on user_id alone, so matching them
+      // separately would pass even with the salt dropped from the group-by
+      "hashpartitioning\\(user_id[^)]*__salt".r.findFirstIn(p).isDefined)
     check("q66_topk_native", "native bounded-heap top-k: no per-group sort")(p =>
       p.contains("TopKPerGroup") &&
         // the only Sort is the final presentation ORDER BY above the

@@ -25,22 +25,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ev = Seq(
       // key 1: points at 0, 8, 14, 16 s (µs) with max span 15 s:
       // 0+8+14 merge (span 14); 16 starts fresh and is dropped (span 0 < min 3)
-      Sessionize.Event(1, 0L, 1.0),
-      Sessionize.Event(1, 8000000L, 2.0),
-      Sessionize.Event(1, 14000000L, 3.0),
-      Sessionize.Event(1, 16000000L, 4.0),
+      Sessionize.Event(1, 0L, 1L),
+      Sessionize.Event(1, 8000000L, 2L),
+      Sessionize.Event(1, 14000000L, 3L),
+      Sessionize.Event(1, 16000000L, 4L),
       // key 2: single point => zero span, dropped
-      Sessionize.Event(2, 5000000L, 9.0)
+      Sessionize.Event(2, 5000000L, 9L)
     ).toDS()
     val out = Sessionize.spanMerge(ev, minSpanUs = 3000000L, maxSpanUs = 15000000L)
       .collect().toSet
-    assert(out == Set(Sessionize.Session(1, 0L, 14000000L, 3, 6.0)))
+    assert(out == Set(Sessionize.Session(1, 0L, 14000000L, 3, 6L)))
   }
 
   test("spanMerge is deterministic across partitionings") {
     import spark.implicits._
     val ev = (0 until 200).map(i =>
-      Sessionize.Event(i % 5, (i / 5).toLong * 4000000L, i.toDouble))
+      Sessionize.Event(i % 5, (i / 5).toLong * 4000000L, i.toLong))
     val a = Sessionize.spanMerge(ev.toDS().repartition(7), 3000000L, 15000000L).collect().toSet
     val b = Sessionize.spanMerge(ev.toDS().repartition(2), 3000000L, 15000000L).collect().toSet
     assert(a == b && a.nonEmpty)
@@ -56,7 +56,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val hot = spark.range(0, 1000000L)
       .selectExpr("cast(7 as long) as key", "id * 1000000 as tsUs",
-                  "cast(1.0 as double) as value")
+                  "cast(1 as long) as value")
       .as[Sessionize.Event]
     val out = Sessionize.spanMerge(hot, minSpanUs = 3000000L, maxSpanUs = 15000000L)
     val agg = out.selectExpr("count(*) as n", "sum(nEvents) as tot",
