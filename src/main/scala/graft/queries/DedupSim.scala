@@ -32,14 +32,41 @@ object DedupSim {
     * well-distributed md5-derived keys. */
   /** LSH candidate pairs are consumed by BOTH q24 (reported directly) and
     * q45 (verified by exact Jaccard). Within one session the minhash
-    * pipeline is computed once: the candidate DataFrame is persisted and
-    * memoized per (session, dir), so q45 starts from the cached pairs
-    * instead of re-hashing every shingle. Entries of stopped sessions are
-    * unpersisted and evicted on access (live-session entries stay pinned —
-    * callers that rewrite the files under `dir` mid-session must call
-    * `invalidateCandidates`, the standard cache-coherence contract). */
+    * pipeline is computed once and memoized per (session, dir). HOW it is
+    * reused is sized to the input:
+    *   - small input (≤ [[LocalCandidateInputBytes]] of documents parquet):
+    *     the pair set — a few dozen rows after banding — is collected once
+    *     and replayed as a LOCAL relation. A distributed persist here is a
+    *     measured pessimization: the MEMORY_AND_DISK materialization adds a
+    *     stage boundary that breaks whole-stage pipelining and costs more
+    *     than the shingle recompute it saves (round-2 bench: q24 1.86→4.15 s
+    *     with the persist; the local relation removes that while keeping
+    *     q45's reuse win).
+    *   - large input (the 100 TB shape, or any non-local filesystem): the
+    *     candidate set can itself be huge, so the distributed plan is
+    *     persisted MEMORY_AND_DISK — recomputing the full minhash pass
+    *     twice would dominate, and collecting is out of the question.
+    * Entries of stopped sessions are evicted on access, and a live session
+    * keeps AT MOST ONE dir cached (switching dirs unpersists the previous
+    * entry), so long-lived sessions scanning many dirs don't accumulate
+    * pinned blocks. Callers that rewrite the files under `dir` mid-session
+    * must call `invalidateCandidates`, the standard cache-coherence
+    * contract. */
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Documents-input size below which candidates are replayed as a local
+    * relation instead of a persisted distributed plan (see candCache doc). */
+  private val LocalCandidateInputBytes = 256L * 1024 * 1024
+
+  /** Total bytes under `path` (0 if absent / not a local path — callers
+    * treat that conservatively as "large"). */
+  private def localInputBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
 
   /** Drop (and unpersist) the cached candidates for `dir` in this session. */
   def invalidateCandidates(s: SparkSession, d: String): Unit = {
@@ -50,11 +77,22 @@ object DedupSim {
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     candCache.entrySet().removeIf { e =>
       val dead = e.getKey._1.sparkContext.isStopped
-      dead // a stopped context has already torn its block manager down
+      // bound the cache: one dir per live session — a session moving to a
+      // new dir releases the previous entry's storage (unpersist is a no-op
+      // on the local-relation variant)
+      val stale = !dead && (e.getKey._1 eq s) && e.getKey._2 != d
+      if (stale) e.getValue.unpersist()
+      dead || stale
     }
     candCache.computeIfAbsent((s, d), { key =>
-      candidatePairs(key._1, key._2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = candidatePairs(key._1, key._2)
+      val bytes = localInputBytes(s"${key._2}/documents.parquet")
+      if (bytes > 0 && bytes <= LocalCandidateInputBytes) {
+        import scala.jdk.CollectionConverters._
+        key._1.createDataFrame(pairs.collect().toSeq.asJava, pairs.schema)
+      } else {
+        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     })
   }
 
@@ -481,22 +519,41 @@ object DedupSim {
 
   def q59(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val seeds = emb.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("ce"))
-    def scored(df: DataFrame) = df.crossJoin(broadcast(seeds))
-      .withColumn("score",
-        graft.functions.GraftFunctions.dotF32(col("ce"), col("ce")) -
-        lit(2.0) * graft.functions.GraftFunctions.dotF32(col("embedding"), col("ce")))
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("seed_id"))
-    val assign = scored(emb)
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("cell"))
-    val probes = scored(emb.filter(col("vec_id") < 5))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= IvfProbes)
+    // The coarse codebook is tiny and FIXED (16 seed vectors standing in for
+    // an offline k-means codebook), so collect it once at plan-build time and
+    // embed it as literals. Cell assignment then becomes a pure per-row
+    // projection: all 16 scores in one expression tree, argmin by
+    // lexicographic struct-min — ZERO explode, ZERO shuffle. The round-2
+    // formulation (crossJoin seeds + row_number window) shuffled 16N rows
+    // for the same per-row decision; at 100× the corpus that shuffle is the
+    // operator's bottleneck, this projection is free. Scores are the same
+    // dot_f32 IEEE folds (the seed-norm literal folds constant-fold through
+    // the identical interpreted loop), so assignments match the oracle
+    // bit-for-bit.
+    val vecIdType = emb.schema("vec_id").dataType
+    val seeds: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    /** Array of (score, seed_id) structs — one entry per codebook cell. */
+    def cellScores(embCol: Column): Column = array(seeds.map { case (sid, ce) =>
+      val ceL = typedLit(ce)
+      struct(
+        (graft.functions.GraftFunctions.dotF32(ceL, ceL) -
+         lit(2.0) * graft.functions.GraftFunctions.dotF32(embCol, ceL)).as("score"),
+        lit(sid).cast(vecIdType).as("seed_id"))
+    }: _*)
+    // nearest cell = lexicographic min over (score, seed_id): same argmin +
+    // tie-break the window ORDER BY (score, seed_id) stated
+    val assign = emb.select(col("vec_id"), col("embedding"),
+      array_min(cellScores(col("embedding"))).getField("seed_id").as("cell"))
+    // queries probe their 4 nearest cells: sort the 16-struct array, take 4 —
+    // still a projection; the explode is on the 5-query side only
+    val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-              col("seed_id").as("cell"))
+        explode(slice(array_sort(cellScores(col("embedding"))), 1, IvfProbes)
+          .getField("seed_id")).as("cell"))
     val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
     val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
     val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))

@@ -61,8 +61,12 @@ object PlanCheck {
         // the only Sort is the final presentation ORDER BY above the
         // operator, never below the exchange that feeds it
         !p.split("TopKPerGroup", 2)(1).contains("Sort "))
-    check("q59_ann_ivf_multiprobe", "IVF cell join broadcasts probes, no cartesian fallback")(p =>
-      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    check("q59_ann_ivf_multiprobe", "IVF assignment is a projection: no vec_id shuffle below probe join")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        // round-3: cell assignment is a literal-codebook projection — the
+        // only hash exchange left is the rank window's (q_id), never a
+        // 16N-row vec_id shuffle for the argmin
+        !p.contains("hashpartitioning(vec_id"))
     // the only exchange allowed is the presentation ORDER BY's range
     // partitioning — no hash shuffle, no join, no aggregate
     check("q60_hash_split", "hash split is per-row: no hash shuffle/join/agg")(p =>
