@@ -59,6 +59,13 @@ object DedupSim {
     * relation instead of a persisted distributed plan (see candCache doc). */
   private val LocalCandidateInputBytes = 256L * 1024 * 1024
 
+  /** Hard cap on the collected candidate set (round-3 advice: the input-bytes
+    * gate alone doesn't bound pair cardinality — a dup-heavy corpus under
+    * 256 MB can band-join to O(N²) pairs). The collect fetches at most
+    * cap+1 rows; on overflow the distributed persist path is used instead,
+    * so the driver materialization is bounded regardless of dup structure. */
+  private val LocalCandidateMaxPairs = 100000
+
   /** Total bytes under `path` (0 if absent / not a local path — callers
     * treat that conservatively as "large"). */
   private def localInputBytes(path: String): Long = {
@@ -89,18 +96,38 @@ object DedupSim {
       val bytes = localInputBytes(s"${key._2}/documents.parquet")
       if (bytes > 0 && bytes <= LocalCandidateInputBytes) {
         import scala.jdk.CollectionConverters._
-        key._1.createDataFrame(pairs.collect().toSeq.asJava, pairs.schema)
+        // bounded collect: cap+1 rows at most come back to the driver; an
+        // overflow means the pair set is join-amplified beyond what a local
+        // replay should hold, so fall back to the distributed persist
+        val head = pairs.limit(LocalCandidateMaxPairs + 1).collect()
+        if (head.length <= LocalCandidateMaxPairs)
+          key._1.createDataFrame(head.toSeq.asJava, pairs.schema)
+        else
+          pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else {
         pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     })
   }
 
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** The distributed candidate-pair plan (no cache). `private[graft]` so
+    * tools.PlanCheck audits THIS shape — the q24 entry itself may replay a
+    * collected local relation at small SF, which made a plan assertion on
+    * q24 vacuous (round-3 advice). */
+  private[graft] def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
               slice(split(trim(lower(col("text"))), "\\s+"), 1, 30).as("t"))
       .filter(size(col("t")) >= 3)
+    // Shape note (round-4 measured): a per-row HOF formulation (signature
+    // via transform/array_min, no explode, no groupBy) was implemented and
+    // benchmarked — it is ~50% SLOWER at every warmth level because HOF
+    // lambdas evaluate interpreted while the explode pipeline keeps md5/conv
+    // inside whole-stage codegen. The explode shape also scales: partial
+    // min-aggregation collapses the 28-shingles-per-doc rows to one row per
+    // doc BEFORE the exchange (map-side combine, PlanCheck-asserted), and
+    // both self-join sides read the SAME sig exchange via ReuseExchange, so
+    // the md5 pass runs once and the shuffle carries ~N rows, not 28N.
     val shingles = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
       .as("shingle"))
@@ -119,7 +146,7 @@ object DedupSim {
     val sigAggs = (0 until 8).map(k =>
       min((col("g1") + lit(k.toLong) * col("g2")) % p).as(s"h$k"))
     val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    // one posexplode instead of a 4-way union: the signature aggregation is
+    // one posexplode instead of a 4-way union: the signature projection is
     // computed once per join side, not once per band branch
     val bandArr = array((0 until 4).map(b =>
       concat(col(s"h${2 * b}").cast("string"), lit("_"),
@@ -534,7 +561,16 @@ object DedupSim {
     val seeds: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").cast("long"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { r =>
+        // fail fast on null elements: getSeq[Float] would silently unbox a
+        // null to 0.0f in the literal codebook, diverging from dot_f32's
+        // null-propagating semantics (round-3 advice) — a bad fixture must
+        // surface as an error, not a silent substitution
+        val raw = r.getSeq[Any](1)
+        require(raw != null && raw.forall(_ != null),
+          s"IVF codebook seed vector ${r.getLong(0)} contains null element(s)")
+        (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
+      }
       .sortBy(_._1)
     /** Array of (score, seed_id) structs — one entry per codebook cell. */
     def cellScores(embCol: Column): Column = array(seeds.map { case (sid, ce) =>
