@@ -267,7 +267,43 @@ object Relational7 {
       |  CAST(bit_count(h) AS BIGINT) AS pop
       |FROM h ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Approximate aggregates ON the correctness board (round-3 verdict #2:
+    * they lived only in ScaleSpec): HyperLogLog++ distinct counting and
+    * t-digest-style quantile sketching next to their exact twins, with the
+    * error bound asserted AS A COLUMN. The oracle emits the exact values
+    * plus literal TRUE for each bound, so a sketch drifting out of bound
+    * flips the Spark boolean and hash-fails the row — the driver's gate
+    * genuinely checks the approximation contract, not just row shape.
+    * Booleans (not sketch outputs) cross engines because sketch merge order
+    * is partitioning-dependent; the bound holds under any merge order.
+    * At 100 TB these are THE cardinality/quantile operators: fixed-size
+    * sketch buffers, map-side partial merge, one tiny row shuffled. */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+        countDistinct(col("l_partkey")).as("exact_distinct_parts"),
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_partkey")).as("acd"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50x"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90x"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50a"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90a"))
+      .select(
+        col("exact_distinct_parts"), col("n_rows"),
+        (abs(col("acd") - col("exact_distinct_parts")).cast("double") /
+          col("exact_distinct_parts") <= 0.15).as("acd_within_15pct"),
+        (abs(col("p50a") - col("p50x")) / col("p50x") <= 0.05).as("p50_within_5pct"),
+        (abs(col("p90a") - col("p90x")) / col("p90x") <= 0.05).as("p90_within_5pct"))
+  }
+  val q75Sql: String =
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_parts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS acd_within_15pct, TRUE AS p50_within_5pct, TRUE AS p90_within_5pct
+      |FROM lineitem""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q75_approx_aggregates" -> ((q75 _, Some(q75Sql))),
     "q66_topk_native"    -> ((q66 _, Some(q66Sql))),
     "q67_exists_subqueries" -> ((q67 _, Some(q67Sql))),
     "q68_unpivot"        -> ((q68 _, Some(q68Sql))),

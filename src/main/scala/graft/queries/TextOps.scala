@@ -177,9 +177,10 @@ object TextOps {
 
   // ---------------------------------------------------------------- q49
   /** Token counting, both ways the checklist asks for: whitespace tokens and
-    * a BPE-ish regex segmentation (letter runs | digit runs | single
-    * punctuation — the GPT-2-style pre-tokenizer shape, kept to constructs
-    * Java regex and RE2 treat identically). */
+    * the GPT-2-style pre-tokenizer regex segmentation (letter runs | digit
+    * runs | single punctuation, kept to constructs Java regex and RE2 treat
+    * identically). True BPE — the merge table applied on top of these
+    * pre-tokens — is q74. */
   def q49(s: SparkSession, d: String): DataFrame = {
     val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
     Tables.documents(s, d)
@@ -312,8 +313,86 @@ object TextOps {
       |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g')) AS redacted_chars
       |FROM dirty ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** True BPE token counting over a LITERAL merge table (round-3 verdict #1:
+    * q49's regex pre-tokenizer alone is "BPE-ish"; this applies an actual
+    * learned-style merge list so token counts reflect subword merging, the
+    * number that drives cost/chunking decisions in an LLM-data pipeline).
+    *
+    * Semantics (subword-nmt application order): lowercase → GPT-2-shaped
+    * pre-tokens (letter runs | digit runs | single punctuation) → each
+    * pre-token becomes a sequence of 1-char symbols → the 50 merges apply in
+    * rank order, each as ONE global left-to-right non-overlapping pass.
+    * The table is well-formed (every merge's operands are single chars or
+    * outputs of earlier merges), the standard shape of a learned table.
+    *
+    * Representation that makes a merge a plain string replace in BOTH
+    * engines: every symbol is prefixed by a single space and pre-tokens are
+    * joined with '|', so merging (l, r) is replace(" l r" -> " lr") — the
+    * '|' boundary blocks cross-token merges, and left-to-right non-overlap
+    * (Java String.replace == DuckDB replace) is exactly BPE's scan order
+    * ("a a a" merges to "aa a", not "a aa"). Final token count = count of
+    * spaces. Everything is per-row — zero shuffles beyond the presentation
+    * sort; at 100 TB this is a map-only pass like q60/q72. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n",
+    "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r", "e" -> "s",
+    "t" -> "i", "a" -> "r", "a" -> "l", "s" -> "t", "n" -> "d",
+    "o" -> "u", "i" -> "t", "i" -> "s", "l" -> "e", "th" -> "e",
+    "an" -> "d", "in" -> "g", "e" -> "d", "t" -> "o", "o" -> "f",
+    "er" -> "s", "a" -> "s", "h" -> "e", "s" -> "e", "c" -> "h",
+    "o" -> "m", "i" -> "on", "l" -> "o", "m" -> "e", "d" -> "e",
+    "c" -> "on", "en" -> "t", "u" -> "s", "u" -> "r", "s" -> "h",
+    "w" -> "h", "o" -> "w", "l" -> "y", "a" -> "c", "at" -> "e",
+    "i" -> "l", "q" -> "u", "p" -> "r", "t" -> "r", "e" -> "l")
+
+  private val BpePreRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def q74(s: SparkSession, d: String): DataFrame = {
+    val pre = regexp_extract_all(lower(col("text")), lit(BpePreRe), lit(0))
+    // " t h e| t o" for ["the","to"]: space-prefixed symbols, '|' between
+    // pre-tokens
+    val spaced = array_join(
+      transform(pre, t => regexp_replace(t, "(.)", " $1")), "|")
+    val merged = BpeMerges.foldLeft(spaced) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s" $l $r"), lit(s" $l$r"))
+    }
+    Tables.documents(s, d)
+      .withColumn("seg", merged)
+      .select(col("doc_id"),
+        size(pre).cast("long").as("pre_tokens"),
+        (length(col("seg")) - length(call_function("replace", col("seg"), lit(" "), lit(""))))
+          .cast("long").as("bpe_tokens"),
+        substring(col("seg"), 1, 60).as("seg_prefix"),
+        (col("n_chars").cast("double") /
+          greatest(lit(1), length(col("seg")) -
+            length(call_function("replace", col("seg"), lit(" "), lit(""))))).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+  val q74Sql: String = {
+    val spaced =
+      """array_to_string(list_transform(
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+        |    t -> regexp_replace(t, '(.)', ' \1', 'g')), '|')""".stripMargin
+    val merged = BpeMerges.foldLeft(spaced) { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r', ' $l$r')"
+    }
+    s"""WITH seg AS (
+       |  SELECT doc_id, n_chars,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS pre_tokens,
+       |    $merged AS seg
+       |  FROM documents)
+       |SELECT doc_id, CAST(pre_tokens AS BIGINT) AS pre_tokens,
+       |  CAST(length(seg) - length(replace(seg, ' ', '')) AS BIGINT) AS bpe_tokens,
+       |  substr(seg, 1, 60) AS seg_prefix,
+       |  CAST(n_chars AS DOUBLE)
+       |    / greatest(1, length(seg) - length(replace(seg, ' ', ''))) AS chars_per_token
+       |FROM seg ORDER BY doc_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q49_token_counting" -> ((q49 _, Some(q49Sql))),
+    "q74_bpe_tokenize"   -> ((q74 _, Some(q74Sql))),
     "q50_rolling_hash"   -> ((q50 _, Some(q50Sql))),
     "q69_token_chunking" -> ((q69 _, Some(q69Sql))),
     "q70_term_stats"     -> ((q70 _, Some(q70Sql))),
