@@ -116,7 +116,23 @@ final case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOr
 /** User-facing API. The strategy self-registers on the session's
   * experimental strategies (idempotent), so no session-build config is
   * required; GraftExtensions also injects it for the
-  * `spark.sql.extensions` deployment path. */
+  * `spark.sql.extensions` deployment path.
+  *
+  * ==Memory bound (deployment contract)==
+  * Each task holds (distinct keys in its partition) × k rows on the JVM
+  * heap, OUTSIDE Spark's task memory manager — there is no spill path.
+  * The partial pass caps what the exchange CARRIES at keys × k rows per
+  * input partition, but the per-task map itself scales with key
+  * cardinality, so size the shuffle (`spark.sql.shuffle.partitions`, or
+  * AQE advisory partition size) so that keys-per-task × k × rowSize fits
+  * in executor memory — e.g. 10M keys × k=10 × ~50 B ≈ 5 GB split over
+  * 256 tasks ≈ 20 MB/task. TopKSpec's high-cardinality case (1M keys,
+  * k=10, one task per core) demonstrates the bound in practice. Workloads
+  * with effectively unbounded key cardinality should either raise the
+  * partition count (the map shrinks linearly) or fall back to the window
+  * formulation, which sorts but spills; a spillable
+  * `BytesToBytesMap`-backed heap table is the upgrade path if both are
+  * ever needed at once. */
 object TopK {
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
                    orderCols: Seq[Column], k: Int): DataFrame = {

@@ -150,6 +150,13 @@ object Streaming {
   final case class ClosedSession(key: Long, startUs: Long, endUs: Long,
                                  nEvents: Int, sumValue: Double)
 
+  /** Streaming span merge. '''Deployment requirement''': bound the trigger
+    * size with `maxFilesPerTrigger` / `maxBytesPerTrigger` on the source —
+    * the state function buffers and sorts ONE trigger's per-key slice in
+    * memory (micro-batch rows arrive unordered and Spark forbids a sort on
+    * streaming Datasets), so trigger size is the operator's only memory
+    * bound. Unbounded-history replay belongs to the batch operator
+    * (`Sessionize.spanMerge`), which streams each key's rows sorted. */
   def spanMergeStream(spark: SparkSession, streamDir: String,
                       minSpanUs: Long, maxSpanUs: Long): Dataset[ClosedSession] = {
     import spark.implicits._
@@ -225,6 +232,11 @@ object Streaming {
   val wavRowSchema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("content", BinaryType)))
 
+  /** Streaming audio ingest. '''Deployment requirement''': cap each
+    * micro-batch with `maxFilesPerTrigger` / `maxBytesPerTrigger` on the
+    * source — each trigger runs the full batch pipeline over its files, and
+    * wav payloads are whole rows, so trigger size bounds both executor
+    * memory (largest decode working set) and batch latency. */
   def audioIngest(spark: SparkSession, streamDir: String, wavOutDir: String,
                   metaPath: String, transcriberName: String = "stub",
                   queryName: String = "graft_audio_ingest")

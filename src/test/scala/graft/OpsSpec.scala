@@ -214,6 +214,83 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!byDoc.contains(2L))
   }
 
+  // -- synthesized containers for the demux probe -----------------------
+  // Minimal but STRUCTURALLY REAL files: the probe reads actual RIFF chunk
+  // headers / MP4 box headers, so the test must write byte-exact layouts.
+  private def leInt(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def beInt(v: Long): Array[Byte] = leInt(v).reverse
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** RIFF/AVI: hdrl LIST with a real 56-byte avih MainAVIHeader, movi LIST
+    * with `nFrames` 00dc video chunks of `frameLen` bytes each. */
+  private def aviBytes(w: Int, h: Int, nFrames: Int, frameLen: Int): Array[Byte] = {
+    val avih = {
+      val f = new Array[Byte](56)
+      def put(off: Int, v: Long): Unit = System.arraycopy(leInt(v), 0, f, off, 4)
+      put(0, 33333L)        // dwMicroSecPerFrame (30 fps)
+      put(16, nFrames.toLong) // dwTotalFrames
+      put(24, 1L)           // dwStreams
+      put(32, w.toLong); put(36, h.toLong)
+      f
+    }
+    val hdrl = cc("LIST") ++ leInt(4 + 8 + avih.length) ++ cc("hdrl") ++
+      cc("avih") ++ leInt(avih.length) ++ avih
+    val frames = (0 until nFrames).flatMap { i =>
+      cc("00dc") ++ leInt(frameLen.toLong) ++ Array.fill[Byte](frameLen)(i.toByte) ++
+        (if (frameLen % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    }.toArray
+    val movi = cc("LIST") ++ leInt(4L + frames.length) ++ cc("movi") ++ frames
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ leInt(body.length.toLong) ++ body
+  }
+
+  /** MP4/ISO-BMFF: ftyp(isom) + moov(mvhd v0 timescale/duration) + mdat. */
+  private def mp4Bytes(timescale: Long, duration: Long): Array[Byte] = {
+    val ftypPayload = cc("isom") ++ leInt(0) ++ cc("isom") ++ cc("iso2")
+    val ftyp = beInt(8L + ftypPayload.length) ++ cc("ftyp") ++ ftypPayload
+    val mvhdPayload = new Array[Byte](100) // v0: 4 flags + 96 fixed fields
+    System.arraycopy(beInt(timescale), 0, mvhdPayload, 12, 4) // @+20 from box
+    System.arraycopy(beInt(duration), 0, mvhdPayload, 16, 4)  // @+24 from box
+    val mvhd = beInt(8L + mvhdPayload.length) ++ cc("mvhd") ++ mvhdPayload
+    val moov = beInt(8L + mvhd.length) ++ cc("moov") ++ mvhd
+    val mdat = beInt(16L) ++ cc("mdat") ++ Array.fill[Byte](8)(7)
+    ftyp ++ moov ++ mdat
+  }
+
+  test("container probe: real RIFF/AVI + MP4 box metadata, error-skip, movi demux") {
+    import spark.implicits._
+    val avi = aviBytes(w = 320, h = 240, nFrames = 5, frameLen = 64)
+    val mp4 = mp4Bytes(timescale = 600, duration = 7200) // 12 s at 600 units/s
+    val media = Seq(
+      Multimodal.MediaRow(1, avi),
+      Multimodal.MediaRow(2, mp4),
+      Multimodal.MediaRow(3, "not a container at all".getBytes("UTF-8")) // skipped
+    ).toDS()
+    val probed = Multimodal.probe(media).collect().map(p => p.docId -> p.probe).toMap
+    assert(probed.keySet == Set(1L, 2L))
+    // AVI: avih fields surfaced, both top-level LISTs walked with types
+    val a = probed(1L)
+    assert(a.format == "riff-avi" && a.brand == "AVI")
+    assert(a.width == 320 && a.height == 240 && a.totalFrames == 5 && a.streams == 1)
+    assert(a.chunks.map(c => (c.id, c.listType)) ==
+      Seq(("LIST", "hdrl"), ("LIST", "movi")))
+    // MP4: ftyp brand + mvhd timescale/duration, boxes in file order
+    val m = probed(2L)
+    assert(m.format == "mp4" && m.brand == "isom")
+    assert(m.timescale == 600 && m.durationUnits == 7200)
+    assert(m.chunks.map(_.id) == Seq("ftyp", "moov", "mdat"))
+    // frameSample on the AVI demuxes REAL movi chunks: every 2nd of 5 frames,
+    // payload bytes are the chunk contents (frame i filled with byte i)
+    val frames = Multimodal.frameSample(
+      Seq(Multimodal.MediaRow(1, avi)).toDS(), frameBytes = 9999, everyNth = 2)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(f => f.content.length == 64 &&
+      f.content.forall(_ == f.frameIdx.toByte)))
+  }
+
   test("streaming dedup: duplicates across micro-batches drop within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.types._

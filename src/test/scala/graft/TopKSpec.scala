@@ -66,6 +66,24 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == d.count())
   }
 
+  test("high key cardinality: 1M keys x k=10 completes within the documented bound") {
+    // the O(keys-per-task x k) heap-map bound from TopK's scaladoc, driven
+    // at 1M distinct keys: 2M rows, 2 per key, k=10 keeps both -> exact
+    // row count proves no key's heap was dropped or double-counted
+    val d = spark.range(2000000L)
+      .selectExpr("id % 1000000 AS key", "id AS v")
+    val out = TopK.topKPerGroup(d, Seq(col("key")), Seq(col("v").desc), 10)
+    assert(out.count() == 2000000L)
+    // and with eviction pressure: 5 rows per key, k=2 keeps the top 2 —
+    // checks the heap actually bounds per-key retention at scale, plus a
+    // per-key spot check of WHICH rows survive
+    val d2 = spark.range(1000000L).selectExpr("id % 200000 AS key", "id AS v")
+    val out2 = TopK.topKPerGroup(d2, Seq(col("key")), Seq(col("v").desc), 2)
+    assert(out2.count() == 400000L)
+    val k0 = out2.filter(col("key") === 0).select("v").collect().map(_.getLong(0)).toSet
+    assert(k0 == Set(800000L, 600000L)) // top-2 v for key 0
+  }
+
   test("expression group keys and compound orderings resolve") {
     val out = TopK.topKPerGroup(df, Seq((col("key") % 10).as("bucket")),
       Seq(col("score").asc, col("id").desc), 2)
