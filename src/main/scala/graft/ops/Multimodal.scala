@@ -282,6 +282,34 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Synthesize a minimal structurally-valid AVI — RIFF(AVI ) with an
+    * hdrl LIST holding a real 56-byte avih MainAVIHeader and a movi LIST of
+    * `nFrames` `00dc` video chunks (frame i filled with byte i). This is the
+    * deterministic fixture generator behind the probe's oracle-gated
+    * round-trip (q76: parse(synthesize(params)) must re-emit params).
+    * OpsSpec builds its own container bytes independently, so the parser is
+    * not validated solely against this builder. */
+  def synthesizeAvi(w: Int, h: Int, nFrames: Int, frameLen: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames >= 0 && frameLen > 0, "bad avi params")
+    def le(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val avih = new Array[Byte](56)
+    def put(off: Int, v: Long): Unit = System.arraycopy(le(v), 0, avih, off, 4)
+    put(0, 33333L) // dwMicroSecPerFrame ≈ 30 fps
+    put(16, nFrames.toLong); put(24, 1L); put(32, w.toLong); put(36, h.toLong)
+    val hdrl = cc("LIST") ++ le(4L + 8 + avih.length) ++ cc("hdrl") ++
+      cc("avih") ++ le(avih.length.toLong) ++ avih
+    val frames = (0 until nFrames).toArray.flatMap { i =>
+      cc("00dc") ++ le(frameLen.toLong) ++ Array.fill[Byte](frameLen)(i.toByte) ++
+        (if (frameLen % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    }
+    val movi = cc("LIST") ++ le(4L + frames.length) ++ cc("movi") ++ frames
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le(body.length.toLong) ++ body
+  }
+
   /** Partition-parallel container probe: binary column → container metadata,
     * malformed/unknown payloads dropped (per-item error-skip, same contract
     * as featurize). */

@@ -96,9 +96,82 @@ object PipelineQueries {
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Container-demux round trip, ORACLE-GATED: per document, synthesize a
+    * structurally-real AVI from doc_id-derived parameters, parse it back
+    * with the pure-JDK probe (RIFF chunk walk + avih header + movi demux),
+    * and emit the recovered metadata. The oracle states the expected
+    * parameters arithmetically — so a bug in either the builder or the
+    * parser (offsets, endianness, padding, chunk walking) breaks the hash.
+    * This puts the demux layer on the driver's correctness board, where
+    * DuckDB could never parse the binary itself. Per-row, shuffle-free. */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (320 + id % 64).toInt
+        val h = (240 + id % 32).toInt
+        val n = (1 + id % 7).toInt
+        val fl = (32 + id % 16).toInt
+        val bytes = graft.ops.Multimodal.synthesizeAvi(w, h, n, fl)
+        val p = graft.ops.Multimodal.probeContainer(bytes)
+        val demuxed = graft.ops.Multimodal.aviMoviFrames(bytes).map(_.length).getOrElse(-1)
+        (id, p.format, p.brand, p.width.toLong, p.height.toLong, p.totalFrames,
+          p.streams.toLong, p.chunks.length.toLong, demuxed.toLong)
+      }
+      .toDF("doc_id", "format", "brand", "width", "height", "total_frames",
+            "streams", "n_top_chunks", "n_demuxed_frames")
+      .orderBy(col("doc_id"))
+  }
+  val q76Sql: String =
+    """SELECT doc_id, 'riff-avi' AS format, 'AVI' AS brand,
+      |  CAST(320 + doc_id % 64 AS BIGINT) AS width,
+      |  CAST(240 + doc_id % 32 AS BIGINT) AS height,
+      |  CAST(1 + doc_id % 7 AS BIGINT) AS total_frames,
+      |  CAST(1 AS BIGINT) AS streams,
+      |  CAST(2 AS BIGINT) AS n_top_chunks,
+      |  CAST(1 + doc_id % 7 AS BIGINT) AS n_demuxed_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Partitioned-write → partition-pruned-read round trip: documents written
+    * `partitionBy(lang)` to parquet, read back with a lang predicate, then
+    * aggregated — and the oracle aggregates the ORIGINAL table, so any row
+    * lost/duplicated/mistyped by the partitioned layout breaks the hash.
+    * At 100 TB partition pruning is the first scan optimization that
+    * matters (skip whole directories, not row groups); PlanCheck asserts
+    * the predicate lands in PartitionFilters, not post-scan. The write is
+    * an overwrite into a dir keyed by the input path, so repeated calls are
+    * idempotent. */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val out = q77OutDir(d)
+    Tables.documents(s, d)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    partitionedReadAgg(s, out)
+  }
+  /** The read side of q77, exposed separately so PlanCheck can audit the
+    * scan's PartitionFilters without re-running the write. */
+  private[graft] def partitionedReadAgg(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  private[graft] def q77OutDir(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_partitioned_${
+      java.lang.Integer.toHexString(d.hashCode)}"
+  val q77Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IN ('en', 'de')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_audio_pipeline_e2e" -> ((q30 _, None)),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
     "q32_stream_window_agg"  -> ((q32 _, Some(q32Sql))),
-    "q33_multimodal_bytes"   -> ((q33 _, Some(q33Sql))))
+    "q33_multimodal_bytes"   -> ((q33 _, Some(q33Sql))),
+    "q76_container_roundtrip" -> ((q76 _, Some(q76Sql))),
+    "q77_partition_pruning"  -> ((q77 _, Some(q77Sql))))
 }

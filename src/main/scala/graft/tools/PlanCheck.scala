@@ -98,6 +98,19 @@ object PlanCheck {
       !p.contains("hashpartitioning") && !p.contains("Join") && !p.contains("Aggregate"))
     check("q70_term_stats", "vocabulary stats aggregate partially before the shuffle")(p =>
       p.contains("partial"))
+    // q77: the lang predicate must prune PARTITION DIRECTORIES (appear in
+    // PartitionFilters on the scan), not filter rows post-scan — the write
+    // runs once here so the read plan has a real partitioned layout to bind
+    locally {
+      val q77 = graft.SparkEntry.queries("q77_partition_pruning")
+      q77(spark, sfDir) // ensures the partitioned dir exists
+      val plan = graft.queries.PipelineQueries
+        .partitionedReadAgg(spark, graft.queries.PipelineQueries.q77OutDir(sfDir))
+        .queryExecution.executedPlan.toString
+      val ok = "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined
+      println(f"${if (ok) "PASS" else "FAIL"}%s  q77_partition_pruning        lang predicate reaches PartitionFilters")
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
 
     // ----------------------------------------------------------------
     // AQE skew-join demonstration: a synthetically skewed sort-merge join
