@@ -63,8 +63,11 @@ object DedupSim {
     * gate alone doesn't bound pair cardinality — a dup-heavy corpus under
     * 256 MB can band-join to O(N²) pairs). The collect fetches at most
     * cap+1 rows; on overflow the distributed persist path is used instead,
-    * so the driver materialization is bounded regardless of dup structure. */
-  private val LocalCandidateMaxPairs = 100000
+    * so the driver materialization is bounded regardless of dup structure.
+    * Overridable via system property only so ScaleSpec can drive the
+    * overflow branch without a pathological fixture. */
+  private def localCandidateMaxPairs: Int =
+    sys.props.get("graft.test.localCandidateMaxPairs").map(_.toInt).getOrElse(100000)
 
   /** Total bytes under `path` (0 if absent / not a local path — callers
     * treat that conservatively as "large"). */
@@ -99,8 +102,9 @@ object DedupSim {
         // bounded collect: cap+1 rows at most come back to the driver; an
         // overflow means the pair set is join-amplified beyond what a local
         // replay should hold, so fall back to the distributed persist
-        val head = pairs.limit(LocalCandidateMaxPairs + 1).collect()
-        if (head.length <= LocalCandidateMaxPairs)
+        val cap = localCandidateMaxPairs
+        val head = pairs.limit(cap + 1).collect()
+        if (head.length <= cap)
           key._1.createDataFrame(head.toSeq.asJava, pairs.schema)
         else
           pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

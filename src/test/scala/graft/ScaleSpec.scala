@@ -31,6 +31,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  test("q24 candidate cache: overflow past the pair cap falls back to persist") {
+    val d = "/root/testdata/sf0.001"
+    val q24 = graft.SparkEntry.queries("q24_minhash_lsh_pairs")
+    // baseline: local-relation replay path (cap well above the pair count)
+    graft.queries.DedupSim.invalidateCandidates(spark, d)
+    val localRows = q24(spark, d).collect()
+    // force the overflow branch: cap of 0 pairs means any candidate set
+    // overflows the bounded collect and the distributed plan is persisted
+    sys.props("graft.test.localCandidateMaxPairs") = "0"
+    try {
+      graft.queries.DedupSim.invalidateCandidates(spark, d)
+      val persistedDf = q24(spark, d)
+      val persistedRows = persistedDf.collect()
+      // identical results through either cache strategy
+      assert(persistedRows.map(_.toSeq).toSeq == localRows.map(_.toSeq).toSeq)
+      // and the fallback really is the persisted distributed plan, not a
+      // re-collected local relation
+      assert(persistedDf.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+    } finally {
+      sys.props.remove("graft.test.localCandidateMaxPairs")
+      graft.queries.DedupSim.invalidateCandidates(spark, d)
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
     (0 until 10000).map(i => (i.toLong % 500, i.toLong)).toDF("key", "a")
