@@ -72,7 +72,7 @@ object Bench {
     // line FIRST under its own metric name, then the short self-contained
     // total line LAST — short enough to survive any tail truncation.
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
