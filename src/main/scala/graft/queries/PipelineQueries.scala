@@ -151,13 +151,18 @@ object PipelineQueries {
   }
   /** The read side of q77, exposed separately so PlanCheck can audit the
     * scan's PartitionFilters without re-running the write. */
-  private[graft] def partitionedReadAgg(s: SparkSession, out: String): DataFrame =
+  private[graft] def partitionedReadAgg(s: SparkSession, out: String): DataFrame = {
+    // keep partition columns STRING-typed: inference would turn a
+    // numeric-looking partition value (lang="00") into an int column and
+    // silently diverge from the unpartitioned schema the oracle reads
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     s.read.parquet(out)
       .filter(col("lang").isin("en", "de"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars").cast("long")).as("sum_chars"))
       .orderBy(col("lang"), col("source"))
+  }
   private[graft] def q77OutDir(d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_partitioned_${
       java.lang.Integer.toHexString(d.hashCode)}"
