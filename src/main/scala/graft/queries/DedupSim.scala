@@ -204,7 +204,9 @@ object DedupSim {
   /** SimHash: 60-bit signature per document via md5-derived token hashes and
     * per-bit majority vote. The vote is a single group-by with 60 conditional
     * sums — no bit-explosion join, so it scales as one pass over tokens. */
-  def q25(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc majority-vote table (doc_id, n_toks, v0..v59) — shared by the
+    * q25 signature view and the q78 Hamming near-dup join. */
+  private def simhashVotes(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
               explode(slice(split(trim(lower(col("text"))), "\\s+"), 1, 40)).as("tk"))
@@ -212,22 +214,27 @@ object DedupSim {
     val voteAggs = count(lit(1)).as("n_toks") +:
       (0 until 60).map(j =>
         sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
-    val votes = tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val simhash = (0 until 60)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), simhash.as("simhash"), col("n_toks"))
+    tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+  }
+
+  private val simhashFromVotes: Column = (0 until 60)
+    .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    .reduce(_ + _)
+
+  def q25(s: SparkSession, d: String): DataFrame =
+    simhashVotes(s, d)
+      .select(col("doc_id"), simhashFromVotes.as("simhash"), col("n_toks"))
       .withColumn("popcount", bit_count(col("simhash")).cast("long"))
       .orderBy(col("doc_id"))
-  }
-  val q25Sql: String = {
+
+  /** Shared SQL CTE prefix (tok/h/v) + the vote→signature expression,
+    * mirrored from the builders above so q25Sql and q78Sql state the
+    * identical signature computation. */
+  private val simhashVoteCtes: String = {
     val voteCols = (0 until 60)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
       .mkString(",\n    ")
-    val hashExpr = (0 until 60)
-      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest((string_split_regex(trim(lower(text)), '\\s+'))[1:40]) AS tk
        |  FROM documents),
        |h AS (
@@ -235,11 +242,64 @@ object DedupSim {
        |v AS (
        |  SELECT doc_id, COUNT(*) AS n_toks,
        |    $voteCols
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, $hashExpr AS simhash, n_toks,
-       |  CAST(bit_count($hashExpr) AS BIGINT) AS popcount
-       |FROM v ORDER BY doc_id""".stripMargin
+       |  FROM h GROUP BY doc_id)""".stripMargin
   }
+  private val simhashSqlExpr: String = (0 until 60)
+    .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  val q25Sql: String =
+    s"""WITH $simhashVoteCtes
+       |SELECT doc_id, $simhashSqlExpr AS simhash, n_toks,
+       |  CAST(bit_count($simhashSqlExpr) AS BIGINT) AS popcount
+       |FROM v ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** SimHash near-duplicate JOIN (Manku et al., WWW'07 — the web-scale
+    * simhash dedup construction): pairs within Hamming distance ≤ 3 of the
+    * 60-bit signature. By pigeonhole, any such pair agrees EXACTLY on at
+    * least one of 4 disjoint 15-bit bands, so candidates come from a
+    * band-value equi-join (the only shuffle, on well-mixed 15-bit keys) and
+    * the full 60-bit popcount(xor) check runs only on candidates — never
+    * all pairs. This is the missing join half of q25 (signatures alone
+    * don't dedup anything); at 100 TB it is the standard linear-candidate
+    * near-dup pipeline next to MinHash-LSH (q24: set similarity) — simhash
+    * catches small absolute edits that Jaccard shingles miss. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashVotes(s, d).select(col("doc_id"), simhashFromVotes.as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(simhash, ${b * 15}) & 32767")): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+              col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q78Sql: String =
+    s"""WITH $simhashVoteCtes,
+       |sig AS (SELECT doc_id, $simhashSqlExpr AS simhash FROM v),
+       |bands AS (
+       |  SELECT doc_id, simhash, bx.band_idx,
+       |    (simhash >> (15 * bx.band_idx)) & 32767 AS band_val
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bx(band_idx)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+       |                  b.doc_id AS doc_b, b.simhash AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |       AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** n-gram (word-set) Jaccard similarity on adjacent doc pairs: exact
@@ -415,6 +475,7 @@ object DedupSim {
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q24_minhash_lsh_pairs" -> ((q24 _, Some(q24Sql))),
     "q25_simhash"           -> ((q25 _, Some(q25Sql))),
+    "q78_simhash_neardup"   -> ((q78 _, Some(q78Sql))),
     "q26_jaccard_adjacent"  -> ((q26 _, Some(q26Sql))),
     "q27_cosine_topk"       -> ((q27 _, Some(q27Sql))),
     "q28_array_metrics"     -> ((q28 _, Some(q28Sql))),
