@@ -98,6 +98,9 @@ object PlanCheck {
       !p.contains("hashpartitioning") && !p.contains("Join") && !p.contains("Aggregate"))
     check("q70_term_stats", "vocabulary stats aggregate partially before the shuffle")(p =>
       p.contains("partial"))
+    check("q78_simhash_neardup", "banded Hamming join: partial votes, no cartesian")(p =>
+      p.contains("partial") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     // q77: the lang predicate must prune PARTITION DIRECTORIES (appear in
     // PartitionFilters on the scan), not filter rows post-scan — the write
     // runs once here so the read plan has a real partitioned layout to bind
