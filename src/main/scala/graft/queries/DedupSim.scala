@@ -267,10 +267,16 @@ object DedupSim {
     * catches small absolute edits that Jaccard shingles miss. */
   def q78(s: SparkSession, d: String): DataFrame = {
     val sig = simhashVotes(s, d).select(col("doc_id"), simhashFromVotes.as("simhash"))
+    // explicit repartition on the join keys: both self-join aliases then
+    // need exactly this distribution, so ReuseExchange materializes the
+    // vote aggregation ONCE and feeds both sides from the same shuffle —
+    // without it each alias recomputes the 60-sum vote pass (measured ~2x
+    // cost). At scale this exchange IS the join shuffle, so it's free.
     val bands = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(simhash, ${b * 15}) & 32767")): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
+      .repartition(col("band_idx"), col("band_val"))
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
