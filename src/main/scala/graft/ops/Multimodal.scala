@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * metadata structs (SURVEY north star). Image decode and resize are REAL
   * codecs (javax.imageio — JDK-built-in, so offline-safe: PNG/BMP/GIF/JPEG).
   * The video path parses REAL container structures in pure JDK bytes —
-  * RIFF/AVI chunk headers (probe + genuine movi frame demux) and MP4 box
-  * headers (probe) — with a byte-window stand-in only for frame payloads of
-  * formats whose demux needs a codec. The Spark-side contracts — schema,
-  * partition-parallel execution, per-item error-skip — are identical
-  * throughout.
+  * RIFF/AVI chunk headers (probe + genuine movi frame demux) and ISO-BMFF/
+  * MP4 boxes (probe + genuine sample extraction through the stsz/stco/stsc
+  * sample tables) — with a byte-window stand-in only for payloads of other
+  * formats; DECODING the extracted coded samples is where the documented
+  * stub begins (needs a codec the JDK doesn't ship). The Spark-side
+  * contracts — schema, partition-parallel execution, per-item error-skip —
+  * are identical throughout.
   */
 object Multimodal {
 
@@ -106,21 +108,20 @@ object Multimodal {
     })
   }
 
-  /** Frame sampling. RIFF-AVI payloads are GENUINELY demuxed (pure JDK byte
-    * parsing, see [[aviMoviFrames]]): every-Nth video chunk from the `movi`
-    * list becomes a frame row, `frameBytes` unused. Other formats fall back
-    * to fixed-size byte windows — the documented stand-in for codecs the
-    * JDK doesn't ship (MP4 sample tables need stsc/stsz/stco walking plus a
-    * codec to be useful; the probe below still reads their real box
-    * metadata). One output row per sampled frame either way — the flatMap
-    * row explosion is the operator contract. */
+  /** Frame sampling. RIFF-AVI and MP4 payloads are GENUINELY demuxed (pure
+    * JDK byte parsing, see [[aviMoviFrames]] / [[mp4Samples]]): every-Nth
+    * video chunk from the AVI `movi` list, or every-Nth sample resolved
+    * through the MP4 stsz/stco/stsc tables, becomes a frame row
+    * (`frameBytes` unused). Other formats fall back to fixed-size byte
+    * windows — the documented stand-in. One output row per sampled frame
+    * either way — the flatMap row explosion is the operator contract. */
   def frameSample(media: Dataset[MediaRow], frameBytes: Int, everyNth: Int): Dataset[Frame] = {
     require(frameBytes > 0 && everyNth > 0,
       s"frameBytes and everyNth must be positive, got ($frameBytes, $everyNth)")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       if (r.content.isEmpty) Iterator.empty
-      else aviMoviFrames(r.content) match {
+      else aviMoviFrames(r.content).orElse(mp4Samples(r.content)) match {
         case Some(frames) => frames.iterator.zipWithIndex
           .collect { case (f, i) if i % everyNth == 0 => Frame(r.docId, i, f) }
         case None => r.content.grouped(frameBytes).zipWithIndex
@@ -279,6 +280,88 @@ object Multimodal {
         off += 8 + sz + (sz & 1)
       }
       Some(frames.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** MP4 sample extraction through the REAL sample tables — the standard
+    * ISO-BMFF demux walk, pure JDK bytes: descend
+    * moov → trak → mdia → minf → stbl, then resolve each sample's byte
+    * range from `stsz` (per-sample sizes), `stco` (chunk offsets) and
+    * `stsc` (samples-per-chunk runs); samples within a chunk are
+    * contiguous. Returns None for non-MP4 payloads or tables that don't
+    * resolve (callers fall back to the byte-window stand-in). The samples
+    * are raw coded payloads — extracting them needs no codec; DECODING
+    * them would, which is where the pipeline's documented stub begins. */
+  private[graft] def mp4Samples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return None
+      // (id, payloadStart, payloadEnd) for each child box of [start, end)
+      def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
+        val out = Seq.newBuilder[(String, Long, Long)]
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val sz32 = u32be(bytes, off.toInt)
+          val id = fourcc(bytes, off.toInt + 4)
+          val (sz, hdr) =
+            if (sz32 == 1 && off + 16 <= end) (u64be(bytes, off.toInt + 8), 16L)
+            else if (sz32 == 0) (end - off, 8L)
+            else (sz32, 8L)
+          if (sz < hdr) ok = false
+          else { out += ((id, off + hdr, math.min(end, off + sz))); off += sz }
+        }
+        out.result()
+      }
+      def find(cs: Seq[(String, Long, Long)], id: String): Option[(String, Long, Long)] =
+        cs.find(_._1 == id)
+      val stblOpt = for {
+        moov <- find(children(0, bytes.length.toLong), "moov")
+        trak <- find(children(moov._2, moov._3), "trak")
+        mdia <- find(children(trak._2, trak._3), "mdia")
+        minf <- find(children(mdia._2, mdia._3), "minf")
+        stbl <- find(children(minf._2, minf._3), "stbl")
+      } yield children(stbl._2, stbl._3)
+      stblOpt.flatMap { cs =>
+        for {
+          stsz <- find(cs, "stsz")
+          stco <- find(cs, "stco")
+          stsc <- find(cs, "stsc")
+        } yield {
+          val szBase = stsz._2.toInt // +0 version/flags, +4 sample_size, +8 count
+          val fixedSize = u32be(bytes, szBase + 4)
+          val nSamples = u32be(bytes, szBase + 8).toInt
+          val sizes =
+            if (fixedSize != 0) Array.fill(nSamples)(fixedSize)
+            else Array.tabulate(nSamples)(i => u32be(bytes, szBase + 12 + 4 * i))
+          val coBase = stco._2.toInt // +0 version/flags, +4 entry_count
+          val nChunks = u32be(bytes, coBase + 4).toInt
+          val chunkOff = Array.tabulate(nChunks)(i => u32be(bytes, coBase + 8 + 4 * i))
+          val scBase = stsc._2.toInt // entries of (first_chunk, samples_per_chunk, sdi)
+          val nEntries = u32be(bytes, scBase + 4).toInt
+          val entries = Array.tabulate(nEntries)(i =>
+            (u32be(bytes, scBase + 8 + 12 * i), u32be(bytes, scBase + 12 + 12 * i)))
+          // stsc runs: entry e applies from its first_chunk until the next
+          // entry's first_chunk (1-based)
+          def samplesInChunk(c1: Int): Int =
+            entries.reverseIterator.find(_._1 <= c1).map(_._2.toInt).getOrElse(0)
+          val out = Seq.newBuilder[Array[Byte]]
+          var si = 0
+          var c = 0
+          while (c < nChunks && si < nSamples) {
+            var off = chunkOff(c)
+            var k = 0
+            val inChunk = samplesInChunk(c + 1)
+            while (k < inChunk && si < nSamples) {
+              val sz = sizes(si).toInt
+              if (off >= 0 && off + sz <= bytes.length && sz >= 0)
+                out += java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + sz)
+              off += sz; si += 1; k += 1
+            }
+            c += 1
+          }
+          out.result()
+        }
+      }.filter(_.nonEmpty)
     } catch { case _: Exception => None }
   }
 

@@ -259,6 +259,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ftyp ++ moov ++ mdat
   }
 
+  /** MP4 with a REAL sample table: `samples` grouped into chunks of
+    * `chunkSizes` samples each; stsz/stsc/stco computed exactly, stco
+    * holding absolute file offsets into mdat. */
+  private def mp4WithSamples(samples: Seq[Array[Byte]], chunkSizes: Seq[Int]): Array[Byte] = {
+    require(chunkSizes.sum == samples.length, "chunk sizes must cover samples")
+    def box(id: String, payload: Array[Byte]): Array[Byte] =
+      beInt(8L + payload.length) ++ cc(id) ++ payload
+    val ftyp = box("ftyp", cc("isom") ++ leInt(0) ++ cc("isom"))
+    val mvhd = box("mvhd", new Array[Byte](100))
+    val stsz = box("stsz", beInt(0) ++ beInt(0) ++ beInt(samples.length.toLong) ++
+      samples.flatMap(s => beInt(s.length.toLong)).toArray)
+    val stsc = box("stsc", beInt(0) ++ beInt(chunkSizes.length.toLong) ++
+      chunkSizes.zipWithIndex.flatMap { case (n, c) =>
+        beInt(c + 1L) ++ beInt(n.toLong) ++ beInt(1L) }.toArray)
+    def stcoWith(offsets: Seq[Long]): Array[Byte] =
+      box("stco", beInt(0) ++ beInt(offsets.length.toLong) ++
+        offsets.flatMap(beInt).toArray)
+    def moovWith(offsets: Seq[Long]): Array[Byte] = {
+      val stbl = box("stbl", stsz ++ stsc ++ stcoWith(offsets))
+      box("moov", mvhd ++ box("trak", box("mdia", box("minf", stbl))))
+    }
+    // moov's length is offset-value-independent, so build once with zeros to
+    // learn the mdat data offset, then rebuild with the real chunk offsets
+    val mdatDataOff = ftyp.length + moovWith(chunkSizes.map(_ => 0L)).length + 8L
+    val sampleOffsets = samples.scanLeft(mdatDataOff)(_ + _.length)
+    val chunkStarts = chunkSizes.scanLeft(0)(_ + _).dropRight(1) // sample idx per chunk
+    val offsets = chunkStarts.map(sampleOffsets(_))
+    ftyp ++ moovWith(offsets) ++ box("mdat", samples.flatten.toArray)
+  }
+
+  test("mp4 sample-table demux: stsz/stsc/stco resolve the exact sample payloads") {
+    import spark.implicits._
+    val samples = (0 until 5).map(i => Array.fill[Byte](10 + 3 * i)(i.toByte))
+    val mp4 = mp4WithSamples(samples, chunkSizes = Seq(3, 2)) // uneven chunking
+    val frames = Multimodal.frameSample(
+      Seq(Multimodal.MediaRow(9, mp4)).toDS(), frameBytes = 9999, everyNth = 1)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.length == 5)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frameIdx == i)
+      assert(f.content.toSeq == samples(i).toSeq,
+        s"sample $i bytes must round-trip through the chunk walk")
+    }
+    // and the probe still reads the same file's box structure
+    val p = Multimodal.probeContainer(mp4)
+    assert(p.format == "mp4" && p.chunks.map(_.id) == Seq("ftyp", "moov", "mdat"))
+  }
+
   test("container probe: real RIFF/AVI + MP4 box metadata, error-skip, movi demux") {
     import spark.implicits._
     val avi = aviBytes(w = 320, h = 240, nFrames = 5, frameLen = 64)
