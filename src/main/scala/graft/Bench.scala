@@ -52,6 +52,10 @@ object Bench {
     // sized survives into timing: no sf0.1 partition, shuffle output, or
     // cached block exists yet, and the one memoized plan fragment (q24/q45's
     // candidate cache) is keyed on the data dir and evicted on the switch.
+    // Exception, documented in BASELINE.md: q30's audio fixture is
+    // dir-independent, so its warmup run is full-size and its timed run
+    // re-executes against an already-populated INSERT-OR-IGNORE sink
+    // (same decode/segment/ASR work; only the final insert dedups).
     val warmDir = sfDir.replaceAll("sf[0-9.]+/*$", "sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -63,9 +67,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // per-query values rounded to ms: keeps the detail line ~2.2 KB so it
-    // survives the driver's output-tail capture window
-    val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // survives the driver's output-tail capture window. Locale.ROOT: a
+    // comma-decimal default locale would corrupt the JSON
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(v))
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Exactly ONE line carries "metric":"total" (round-3 advice: r02/r03 had
     // two identical "total" keys and the driver parsed neither). The detail

@@ -279,7 +279,10 @@ object Multimodal {
         }
         off += 8 + sz + (sz & 1)
       }
-      Some(frames.result())
+      // Some(empty) would silently emit zero frames for a header-only AVI
+      // while the MP4 path falls back to byte windows — keep the fallback
+      // contract consistent across formats
+      Some(frames.result()).filter(_.nonEmpty)
     } catch { case _: Exception => None }
   }
 
@@ -327,17 +330,27 @@ object Multimodal {
           stco <- find(cs, "stco")
           stsc <- find(cs, "stsc")
         } yield {
+          // Every count is CLAMPED to what its box payload can physically
+          // hold: a corrupt/adversarial file could otherwise declare a
+          // multi-GB entry count and trigger an uncatchable OutOfMemoryError
+          // instead of the documented per-item error-skip.
           val szBase = stsz._2.toInt // +0 version/flags, +4 sample_size, +8 count
           val fixedSize = u32be(bytes, szBase + 4)
-          val nSamples = u32be(bytes, szBase + 8).toInt
+          val declaredSamples = u32be(bytes, szBase + 8)
+          val nSamples =
+            if (fixedSize != 0) // fixed-size samples must all fit in the file
+              math.min(declaredSamples, bytes.length / math.max(1L, fixedSize)).toInt
+            else math.min(declaredSamples, (stsz._3 - szBase - 12) / 4).toInt
           val sizes =
             if (fixedSize != 0) Array.fill(nSamples)(fixedSize)
             else Array.tabulate(nSamples)(i => u32be(bytes, szBase + 12 + 4 * i))
           val coBase = stco._2.toInt // +0 version/flags, +4 entry_count
-          val nChunks = u32be(bytes, coBase + 4).toInt
+          val nChunks =
+            math.min(u32be(bytes, coBase + 4), (stco._3 - coBase - 8) / 4).toInt
           val chunkOff = Array.tabulate(nChunks)(i => u32be(bytes, coBase + 8 + 4 * i))
           val scBase = stsc._2.toInt // entries of (first_chunk, samples_per_chunk, sdi)
-          val nEntries = u32be(bytes, scBase + 4).toInt
+          val nEntries =
+            math.min(u32be(bytes, scBase + 4), (stsc._3 - scBase - 8) / 12).toInt
           val entries = Array.tabulate(nEntries)(i =>
             (u32be(bytes, scBase + 8 + 12 * i), u32be(bytes, scBase + 12 + 12 * i)))
           // stsc runs: entry e applies from its first_chunk until the next

@@ -154,9 +154,19 @@ object PipelineQueries {
   private[graft] def partitionedReadAgg(s: SparkSession, out: String): DataFrame = {
     // keep partition columns STRING-typed: inference would turn a
     // numeric-looking partition value (lang="00") into an int column and
-    // silently diverge from the unpartitioned schema the oracle reads
-    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    s.read.parquet(out)
+    // silently diverge from the unpartitioned schema the oracle reads.
+    // The conf matters only while read() resolves the schema — restore the
+    // session's prior value so nothing leaks past this query
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    val src =
+      try s.read.parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    src
       .filter(col("lang").isin("en", "de"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

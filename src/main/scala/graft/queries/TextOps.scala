@@ -319,21 +319,32 @@ object TextOps {
     * learned-style merge list so token counts reflect subword merging, the
     * number that drives cost/chunking decisions in an LLM-data pipeline).
     *
-    * Semantics (subword-nmt application order): lowercase → GPT-2-shaped
+    * Semantics (rank-order application): lowercase → GPT-2-shaped
     * pre-tokens (letter runs | digit runs | single punctuation) → each
-    * pre-token becomes a sequence of 1-char symbols → the 50 merges apply in
-    * rank order, each as ONE global left-to-right non-overlapping pass.
-    * The table is well-formed (every merge's operands are single chars or
-    * outputs of earlier merges), the standard shape of a learned table.
+    * alphanumeric pre-token becomes a sequence of 1-char symbols → the 50
+    * merges apply in rank order, each as ONE global left-to-right
+    * non-overlapping pass. The table is well-formed (every merge's operands
+    * are single chars or outputs of earlier merges), the standard shape of
+    * a learned table. Punctuation pre-tokens can never merge (the table is
+    * alphanumeric), so they count as one token each arithmetically and stay
+    * OUT of the symbol string — which is also what makes the delimiters
+    * collision-free below.
     *
     * Representation that makes a merge a plain string replace in BOTH
-    * engines: every symbol is prefixed by a single space and pre-tokens are
-    * joined with '|', so merging (l, r) is replace(" l r" -> " lr") — the
-    * '|' boundary blocks cross-token merges, and left-to-right non-overlap
-    * (Java String.replace == DuckDB replace) is exactly BPE's scan order
-    * ("a a a" merges to "aa a", not "a aa"). Final token count = count of
-    * spaces. Everything is per-row — zero shuffles beyond the presentation
-    * sort; at 100 TB this is a map-only pass like q60/q72. */
+    * engines: every symbol s becomes the block " s|" (space BEFORE, pipe
+    * AFTER — neither can occur inside an alnum symbol), and pre-tokens are
+    * joined with '#'. Merging (l, r) is then replace(" l| r|" -> " lr|"):
+    * the leading space anchors the left operand's start, the trailing '|'
+    * anchors the right operand's END — without it, (th,e) would false-match
+    * the 'e' prefix of an adjacent "er" symbol and merge "there" into
+    * [ther, e] instead of [th, er, e] (caught in round-4 review). The '#'
+    * joiner blocks cross-token merges, and left-to-right non-overlap (Java
+    * String.replace == DuckDB replace) is exactly BPE's scan order
+    * (" a| a| a|" merges to " aa| a|", not " a| aa|", and adjacent pairs
+    * " a| b| a| b|" merge to " ab| ab|" because the consumed region ends at
+    * its own '|'). Final token count = '|' count + punctuation count.
+    * Everything is per-row — zero shuffles beyond the presentation sort; at
+    * 100 TB this is a map-only pass like q60/q72. */
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n",
     "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r", "e" -> "s",
@@ -350,44 +361,52 @@ object TextOps {
 
   def q74(s: SparkSession, d: String): DataFrame = {
     val pre = regexp_extract_all(lower(col("text")), lit(BpePreRe), lit(0))
-    // " t h e| t o" for ["the","to"]: space-prefixed symbols, '|' between
-    // pre-tokens
+    val alnum = filter(pre, t => t.rlike("^[a-z0-9]"))
+    // " t| h| e|# t| o|" for ["the","to"]: " s|" block per symbol, '#'
+    // between pre-tokens
     val spaced = array_join(
-      transform(pre, t => regexp_replace(t, "(.)", " $1")), "|")
+      transform(alnum, t => regexp_replace(t, "(.)", " $1|")), "#")
     val merged = BpeMerges.foldLeft(spaced) { case (acc, (l, r)) =>
-      call_function("replace", acc, lit(s" $l $r"), lit(s" $l$r"))
+      call_function("replace", acc, lit(s" $l| $r|"), lit(s" $l$r|"))
     }
+    val pipeCount = length(col("seg")) -
+      length(call_function("replace", col("seg"), lit("|"), lit("")))
+    val bpeTokens = (pipeCount + size(pre) - size(alnum)).cast("long")
     Tables.documents(s, d)
       .withColumn("seg", merged)
       .select(col("doc_id"),
         size(pre).cast("long").as("pre_tokens"),
-        (length(col("seg")) - length(call_function("replace", col("seg"), lit(" "), lit(""))))
-          .cast("long").as("bpe_tokens"),
+        bpeTokens.as("bpe_tokens"),
         substring(col("seg"), 1, 60).as("seg_prefix"),
         (col("n_chars").cast("double") /
-          greatest(lit(1), length(col("seg")) -
-            length(call_function("replace", col("seg"), lit(" "), lit(""))))).as("chars_per_token"))
+          greatest(lit(1), bpeTokens)).as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
   val q74Sql: String = {
     val spaced =
       """array_to_string(list_transform(
-        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
-        |    t -> regexp_replace(t, '(.)', ' \1', 'g')), '|')""".stripMargin
+        |    list_filter(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+        |                t -> regexp_matches(t, '^[a-z0-9]')),
+        |    t -> regexp_replace(t, '(.)', ' \1|', 'g')), '#')""".stripMargin
     val merged = BpeMerges.foldLeft(spaced) { case (acc, (l, r)) =>
-      s"replace($acc, ' $l $r', ' $l$r')"
+      s"replace($acc, ' $l| $r|', ' $l$r|')"
     }
     s"""WITH seg AS (
        |  SELECT doc_id, n_chars,
        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS pre_tokens,
+       |    len(list_filter(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+       |                    t -> regexp_matches(t, '^[a-z0-9]'))) AS n_alnum,
        |    $merged AS seg
-       |  FROM documents)
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, n_chars, pre_tokens, seg,
+       |    length(seg) - length(replace(seg, '|', '')) + pre_tokens - n_alnum AS bpe
+       |  FROM seg)
        |SELECT doc_id, CAST(pre_tokens AS BIGINT) AS pre_tokens,
-       |  CAST(length(seg) - length(replace(seg, ' ', '')) AS BIGINT) AS bpe_tokens,
+       |  CAST(bpe AS BIGINT) AS bpe_tokens,
        |  substr(seg, 1, 60) AS seg_prefix,
-       |  CAST(n_chars AS DOUBLE)
-       |    / greatest(1, length(seg) - length(replace(seg, ' ', ''))) AS chars_per_token
-       |FROM seg ORDER BY doc_id""".stripMargin
+       |  CAST(n_chars AS DOUBLE) / greatest(1, bpe) AS chars_per_token
+       |FROM cnt ORDER BY doc_id""".stripMargin
   }
 
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(

@@ -54,6 +54,7 @@ object PlanCheck {
     locally {
       // disable broadcast so the audited plan is the AT-SCALE shape (at
       // sf0.01 the band side fits a broadcast and no exchange exists at all)
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val plan = graft.queries.DedupSim.candidatePairs(spark, sfDir)
@@ -69,7 +70,10 @@ object PlanCheck {
           plan.contains("hashpartitioning(band_idx")
         println(f"${if (ok) "PASS" else "FAIL"}%s  q24_candidates(distributed)  partial-agg sig, band-key hash join, no cartesian")
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     }
     check("q15_asof_join", "as-of via single window, no inequality join")(p =>
       !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
@@ -123,6 +127,8 @@ object PlanCheck {
     // aggregation above (AQE rebalances joins, not aggregations).
     // ----------------------------------------------------------------
     {
+      val prevAdaptive = spark.conf.getOption("spark.sql.adaptive.enabled")
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
@@ -142,8 +148,12 @@ object PlanCheck {
         println(f"${if (ok) "PASS" else "FAIL"}%s  aqe_skew_join${" " * 16} AQE splits the skewed partition (skew=true)")
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        restore("spark.sql.adaptive.enabled", prevAdaptive)
+        restore("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       }
     }
 

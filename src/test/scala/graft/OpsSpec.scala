@@ -307,6 +307,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.format == "mp4" && p.chunks.map(_.id) == Seq("ftyp", "moov", "mdat"))
   }
 
+  test("q74 BPE merges match hand-computed segmentations (right-boundary guard)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "there to", 8L), (2L, "a.b", 3L), (3L, "and", 3L))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q74_bpe_tokenize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "there": (t,h)->th, (e,r)->er, then (th,e) must NOT consume the 'e'
+    // prefix of the adjacent "er" symbol -> [th, er, e] = 3; "to" -> 1
+    assert(out(1L) == ((2L, 4L)), s"got ${out(1L)}")
+    // punctuation pre-token '.' counts as 1, never merges with neighbors
+    assert(out(2L) == ((3L, 3L)), s"got ${out(2L)}")
+    // chained merges: (a,n)->an then (an,d)->and = 1 token
+    assert(out(3L) == ((1L, 1L)), s"got ${out(3L)}")
+  }
+
   test("container probe: real RIFF/AVI + MP4 box metadata, error-skip, movi demux") {
     import spark.implicits._
     val avi = aviBytes(w = 320, h = 240, nFrames = 5, frameLen = 64)
