@@ -705,7 +705,128 @@ object DedupSim {
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Dedup cluster assignment — the FINAL step of every near-dup pipeline:
+    * verified pairs (q45's LSH→Jaccard edges) are grouped into connected
+    * components and each document labeled with its cluster id (min doc_id
+    * in the component, so `is_keeper` = first-writer-wins per cluster,
+    * O24's policy applied to near-dups).
+    *
+    * Two size-guarded paths, both solving only the edge-touched subgraph
+    * (isolated docs are fixed singletons): a bounded-collect driver
+    * union-find for small edge sets (one Spark job — the iterative path's
+    * sequential job-launch overhead dominates at small sizes), and
+    * distributed iterative min-label propagation —
+    * newLabel(v) = min(label(v), min over neighbors' labels) — beyond the
+    * cap, converging in graph-diameter rounds (LSH-verified dup clusters
+    * are near-cliques → 2-3 rounds; a 15-round cap guards pathological
+    * chains, and the documented upgrade path for adversarial diameters at
+    * 100 TB is the large-star/small-star alternation of Kiveris et al.,
+    * O(log n) rounds with the same per-round join shape). The fixpoint is
+    * unique, so both paths produce the identical deterministic result
+    * (ScaleSpec asserts it). Per-round lineage is cut with an eager
+    * localCheckpoint.
+    *
+    * Oracle: DuckDB recursive CTE computing the transitive closure with
+    * UNION set-semantics (terminates on cycles), then min per source. */
+  /** Edge-count cap below which components are solved by a driver-side
+    * union-find over the collected (bounded) edge list — one Spark job
+    * instead of diameter×3 sequential jobs whose launch overhead dominates
+    * at small edge counts. Same size-guard pattern as the q24 candidate
+    * cache; overridable via system property so ScaleSpec can drive the
+    * distributed path. */
+  private def localComponentMaxEdges: Int =
+    sys.props.get("graft.test.localComponentMaxEdges").map(_.toInt).getOrElse(100000)
+
+  def q79(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = q45(s, d).select(col("doc_a"), col("doc_b"))
+    val cap = localComponentMaxEdges
+    val head = pairs.limit(cap + 1).collect()
+    // only edge-touched nodes can ever change label — both paths solve the
+    // edge subgraph only (dup clusters are a small fraction of any corpus)
+    // and join isolated docs back as singleton clusters at the end
+    val edgeLabels: DataFrame =
+      if (head.length <= cap) {
+        // driver union-find with path compression; linking the larger root
+        // under the smaller keeps every root the component's min doc_id
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        head.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val nodes = head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        import s.implicits._
+        nodes.map(n => (n, find(n))).toSeq.toDF("edge_doc", "label")
+      } else {
+        // distributed min-label propagation: converges in graph-diameter
+        // rounds (LSH-verified dup clusters are near-cliques → 2-3); the
+        // 15-round cap guards pathological chains, and the documented
+        // upgrade path for adversarial diameters is the large-star/
+        // small-star alternation (O(log n) rounds, same join shape)
+        val e = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          var labels = e.select(col("src").as("edge_doc")).distinct()
+            .withColumn("label", col("edge_doc"))
+            .localCheckpoint(true)
+          var changed = 1L
+          var iter = 0
+          while (changed > 0 && iter < 15) {
+            val nbrMin = labels.join(e, col("edge_doc") === col("src"))
+              .groupBy(col("dst"))
+              .agg(min(col("label")).as("nbr_min"))
+            val next = labels.join(nbrMin, col("edge_doc") === col("dst"), "left")
+              .select(col("edge_doc"),
+                least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+              .localCheckpoint(true)
+            changed = next.alias("n")
+              .join(labels.alias("o"), col("n.edge_doc") === col("o.edge_doc"))
+              .filter(col("n.label") =!= col("o.label"))
+              .count()
+            labels = next
+            iter += 1
+          }
+          labels
+        } finally e.unpersist()
+      }
+    val wSize = Window.partitionBy(col("cluster_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(edgeLabels, col("doc_id") === col("edge_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wSize).cast("long"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+  val q79Sql: String = {
+    val cand = q45Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS ($cand),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+       |lab AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |  doc_id = cluster_id AS is_keeper
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q79_dedup_clusters"    -> ((q79 _, Some(q79Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
     "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))),

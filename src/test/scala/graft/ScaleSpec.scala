@@ -56,6 +56,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q79 components: distributed label propagation equals driver union-find") {
+    val d = "/root/testdata/sf0.001"
+    val q79 = graft.SparkEntry.queries("q79_dedup_clusters")
+    val local = q79(spark, d).collect().map(_.toSeq).toSeq
+    sys.props("graft.test.localComponentMaxEdges") = "0" // force distributed path
+    try {
+      val dist = q79(spark, d).collect().map(_.toSeq).toSeq
+      assert(dist == local, "both component paths must reach the same fixpoint")
+    } finally sys.props.remove("graft.test.localComponentMaxEdges")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import spark.implicits._
     (0 until 10000).map(i => (i.toLong % 500, i.toLong)).toDF("key", "a")
