@@ -262,4 +262,89 @@ object Streaming {
       }
       .start()
   }
+
+  // ------------------------------------------------------------------
+  // Streaming NEAR-duplicate detection (the continuous form of the q78
+  // batch SimHash join): each arriving doc is flagged against previously
+  // seen docs within Hamming distance <= 3 of its 60-bit SimHash. State is
+  // keyed on the TOP 15-bit band of the signature (single-probe: catches
+  // every pair agreeing on band 0 — near-identical docs almost always do;
+  // full 4-band recall, q78's pigeonhole guarantee, needs one keyed pass
+  // per band plus a downstream merge, which is the documented multi-probe
+  // upgrade). The Scala simhash60 twin below is bit-identical to the q25
+  // expression pipeline, which is what the OpsSpec batch-parity test
+  // asserts.
+  // ------------------------------------------------------------------
+
+  final case class DocIn(doc_id: Long, text: String)
+  final case class NearDupVerdict(doc_id: Long, simhash: Long,
+                                  is_near_dup: Boolean, dup_of: Long)
+  final case class BandSeen(seen: List[(Long, Long)]) // (simhash, doc_id)
+
+  /** Scala twin of q25's signature expression pipeline (trim→lower→split
+    * \s+→first 40 tokens→md5 hex[0,15) as 60-bit int→per-bit majority
+    * vote, ties negative). Bit-identical to the SQL/DataFrame form. */
+  def simhash60(text: String): Long = {
+    // no empty-token filter: Spark's split("", "\\s+") yields [""], whose
+    // md5 q25 hashes — the twin must do the same on empty/blank text
+    val toks = text.trim.toLowerCase.split("\\s+").take(40)
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { tk =>
+      val hex = md.digest(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      var j = 0
+      while (j < 60) { votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
+    }
+    (0 until 60).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+  }
+
+  /** '''Deployment requirement''': per-band state grows with the number of
+    * distinct documents seen in that band — bound the retention horizon in
+    * production (event-time timeout or periodic state reset); offline the
+    * corpus is finite so NoTimeout keeps the test drive deterministic. */
+  def simhashDedupStream(spark: SparkSession, streamDir: String): Dataset[NearDupVerdict] = {
+    import spark.implicits._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+      .select(col("doc_id"), col("text"))
+      .as[DocIn]
+      .map(d => (d.doc_id, simhash60(d.text)))
+      .groupByKey { case (_, sh) => (sh >> 45) & 0x7fffL } // band-0 bucket
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[BandSeen]) =>
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          // within-trigger determinism: process this band's slice in doc_id
+          // order (bounded by the trigger, see scaladoc)
+          val out = rows.toArray.sortBy(_._1).map { case (id, sh) =>
+            val hit = seen.filter { case (s, _) =>
+              java.lang.Long.bitCount(s ^ sh) <= 3 }
+              .map(_._2).sorted.headOption
+            if (hit.isEmpty) seen = (sh, id) :: seen
+            NearDupVerdict(id, sh, hit.nonEmpty, hit.getOrElse(-1L))
+          }
+          state.update(BandSeen(seen))
+          out.iterator
+      }
+  }
+
+  /** Drive the near-dup stream over files in `streamDir` (one micro-batch
+    * per file, so cross-batch state is actually exercised). */
+  def simhashDedupOnce(spark: SparkSession, streamDir: String,
+                       queryName: String = "graft_simdedup"): DataFrame = {
+    val q = simhashDedupStream(spark, streamDir)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
 }

@@ -356,6 +356,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.content.forall(_ == f.frameIdx.toByte)))
   }
 
+  test("streaming simhash near-dup: cross-batch flagging + batch signature parity") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textC = "completely unrelated words about spark catalyst optimizer internals"
+    val dir = java.nio.file.Files.createTempDirectory("graft_simdedup").toString
+    // two files -> two micro-batches (maxFilesPerTrigger=1): state must
+    // carry doc 1's signature into the second batch
+    Seq((1L, textA), (3L, textC)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, textA), (4L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val out = graft.streaming.Streaming.simhashDedupOnce(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(!out(1L)._2 && out(1L)._3 == -1L)
+    assert(!out(3L)._2)
+    assert(out(2L)._2 && out(2L)._3 == 1L) // cross-batch near-dup of doc 1
+    assert(out(4L)._2 && out(4L)._3 == 1L)
+    // signature parity: the streaming Scala twin must equal q25's
+    // expression-pipeline simhash for the same texts
+    val qdir = java.nio.file.Files.createTempDirectory("graft_simpar").toString
+    Seq((1L, textA), (2L, textA), (3L, textC), (4L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$qdir/documents.parquet")
+    val batchSig = graft.SparkEntry.queries("q25_simhash")(spark, qdir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (sh, _, _)) =>
+      assert(sh == batchSig(id), s"streaming/batch simhash diverged for doc $id")
+    }
+  }
+
   test("streaming dedup: duplicates across micro-batches drop within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.types._
