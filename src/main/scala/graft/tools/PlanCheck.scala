@@ -105,6 +105,12 @@ object PlanCheck {
     check("q78_simhash_neardup", "banded Hamming join: partial votes, no cartesian")(p =>
       p.contains("partial") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    // q79: cluster sizes must come from the broadcast join-back of the tiny
+    // edge-label table — never a full-corpus window/shuffle on cluster_id
+    // (round-4 verdict: the size window shuffled ALL documents)
+    check("q79_dedup_clusters", "sizes broadcast back, no corpus cluster_id shuffle")(p =>
+      p.contains("BroadcastHashJoin") &&
+        !p.contains("hashpartitioning(cluster_id") && !p.contains("Window"))
     // q77: the lang predicate must prune PARTITION DIRECTORIES (appear in
     // PartitionFilters on the scan), not filter rows post-scan — the write
     // runs once here so the read plan has a real partitioned layout to bind

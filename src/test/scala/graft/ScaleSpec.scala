@@ -56,7 +56,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q79 components: distributed label propagation equals driver union-find") {
+  test("q79 components: distributed large-star/small-star equals driver union-find") {
     val d = "/root/testdata/sf0.001"
     val q79 = graft.SparkEntry.queries("q79_dedup_clusters")
     val local = q79(spark, d).collect().map(_.toSeq).toSeq
@@ -64,6 +64,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val dist = q79(spark, d).collect().map(_.toSeq).toSeq
       assert(dist == local, "both component paths must reach the same fixpoint")
+    } finally sys.props.remove("graft.test.localComponentMaxEdges")
+  }
+
+  test("q79 components: a >15-diameter chain converges through the distributed path") {
+    // 41-node chain 100-101-...-140 (diameter 40) — the round-4 min-label
+    // propagation capped at 15 rounds and silently mislabeled exactly this
+    // shape; large-star/small-star must converge and label every node with
+    // the chain minimum. A second 3-clique checks multi-component labeling.
+    import spark.implicits._
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val clique = Seq((7L, 8L), (8L, 9L), (7L, 9L))
+    val edges = (chain ++ clique).toDF("a", "b")
+    sys.props("graft.test.localComponentMaxEdges") = "0" // force distributed path
+    try {
+      val labels = graft.queries.DedupSim.componentLabels(spark, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((100L to 140L).forall(labels(_) == 100L),
+        s"chain nodes must all label 100, got ${labels.view.filterKeys(_ >= 100L).toMap}")
+      assert(Seq(7L, 8L, 9L).forall(labels(_) == 7L))
+      assert(labels.size == 44)
     } finally sys.props.remove("graft.test.localComponentMaxEdges")
   }
 
