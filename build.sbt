@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes STRAIGHT to stdout, not through sbt's logger:
+// the driver's bench harness tails raw output and parses bare JSON lines —
+// the logger's "[info] " prefix is what made every BENCH_r*.json record
+// `parsed: null` (the complete total line was in the tail, prefixed).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,11 +61,23 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min of N in-process repetitions (round-4 verdict: driver-machine
+    // contention produced a phantom 2.1x gate breach; the min cuts that
+    // noise). Session-scoped memos (q24/q45 candidates, q25/q78 simhash)
+    // are evicted before EVERY rep so each rep pays the full computation —
+    // without the eviction the min would report a cache hit, not the query.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to reps) {
+      graft.queries.DedupSim.invalidateSessionCaches(spark, sfDir)
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        mins(name) = mins.get(name).fold(dt)(math.min(_, dt))
+      }
     }
+    val results = mins
     // per-query values rounded to ms: keeps the detail line ~2.2 KB so it
     // survives the driver's output-tail capture window. Locale.ROOT: a
     // comma-decimal default locale would corrupt the JSON
@@ -78,8 +90,13 @@ object Bench {
     // two identical "total" keys and the driver parsed neither). The detail
     // line FIRST under its own metric name, then the short self-contained
     // total line LAST — short enough to survive any tail truncation.
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // ordering stays detail-then-total: the harness keeps the LAST ~2 KB of
+    // output (BENCH_r04's tail contains the END of the detail line plus the
+    // complete total line), so the short total line goes last where any
+    // truncation can't reach it. The parse failure was the sbt "[info] "
+    // prefix, fixed by build.sbt's StdoutOutput strategy, not the order.
+    println(s"""{"metric":"per_query","unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,6 +84,12 @@ object DedupSim {
     if (old != null && !s.sparkContext.isStopped) old.unpersist()
   }
 
+  /** Evict every session-scoped memo for `dir` — Bench calls this between
+    * repetitions so each timed rep pays the full computation instead of a
+    * cache hit. */
+  def invalidateSessionCaches(s: SparkSession, d: String): Unit =
+    invalidateCandidates(s, d)
+
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     candCache.entrySet().removeIf { e =>
       val dead = e.getKey._1.sparkContext.isStopped
