@@ -87,8 +87,11 @@ object DedupSim {
   /** Evict every session-scoped memo for `dir` — Bench calls this between
     * repetitions so each timed rep pays the full computation instead of a
     * cache hit. */
-  def invalidateSessionCaches(s: SparkSession, d: String): Unit =
+  def invalidateSessionCaches(s: SparkSession, d: String): Unit = {
     invalidateCandidates(s, d)
+    val sig = sigCache.remove((s, d))
+    if (sig != null && !s.sparkContext.isStopped) sig.unpersist()
+  }
 
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     candCache.entrySet().removeIf { e =>
@@ -227,9 +230,50 @@ object DedupSim {
     .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
     .reduce(_ + _)
 
+  /** Session-scoped memo of the signature table (doc_id, simhash, n_toks) —
+    * q25 (signature view) and q78 (Hamming near-dup join) both consume it,
+    * so the 60-sum vote aggregation over the token explosion runs ONCE per
+    * (session, dir) instead of once per query (round-4 verdict #8: the vote
+    * pass was ~half of the board's heaviest query when both run in-session).
+    * Same bounded strategy as [[candCache]]: small inputs collect at most
+    * cap+1 rows (signature cardinality = document count, one row per doc)
+    * and replay as a local relation; anything larger — or an overflow —
+    * persists the distributed plan MEMORY_AND_DISK. One dir per live
+    * session; evicted by [[invalidateSessionCaches]]. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def localSigMaxRows: Int =
+    sys.props.get("graft.test.localSigMaxRows").map(_.toInt).getOrElse(100000)
+
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    sigCache.entrySet().removeIf { e =>
+      val dead = e.getKey._1.sparkContext.isStopped
+      val stale = !dead && (e.getKey._1 eq s) && e.getKey._2 != d
+      if (stale) e.getValue.unpersist()
+      dead || stale
+    }
+    sigCache.computeIfAbsent((s, d), { key =>
+      val sig = simhashVotes(key._1, key._2)
+        .select(col("doc_id"), simhashFromVotes.as("simhash"), col("n_toks"))
+      val bytes = localInputBytes(s"${key._2}/documents.parquet")
+      if (bytes > 0 && bytes <= LocalCandidateInputBytes) {
+        import scala.jdk.CollectionConverters._
+        val cap = localSigMaxRows
+        val head = sig.limit(cap + 1).collect()
+        if (head.length <= cap)
+          key._1.createDataFrame(head.toSeq.asJava, sig.schema)
+        else
+          sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else {
+        sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    })
+  }
+
   def q25(s: SparkSession, d: String): DataFrame =
-    simhashVotes(s, d)
-      .select(col("doc_id"), simhashFromVotes.as("simhash"), col("n_toks"))
+    simhashSignatures(s, d)
+      .select(col("doc_id"), col("simhash"), col("n_toks"))
       .withColumn("popcount", bit_count(col("simhash")).cast("long"))
       .orderBy(col("doc_id"))
 
@@ -271,13 +315,14 @@ object DedupSim {
     * don't dedup anything); at 100 TB it is the standard linear-candidate
     * near-dup pipeline next to MinHash-LSH (q24: set similarity) — simhash
     * catches small absolute edits that Jaccard shingles miss. */
-  def q78(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashVotes(s, d).select(col("doc_id"), simhashFromVotes.as("simhash"))
+  /** The banded Hamming join over a (doc_id, simhash) signature table. */
+  private def hammingJoin(sig: DataFrame): DataFrame = {
     // explicit repartition on the join keys: both self-join aliases then
     // need exactly this distribution, so ReuseExchange materializes the
-    // vote aggregation ONCE and feeds both sides from the same shuffle —
-    // without it each alias recomputes the 60-sum vote pass (measured ~2x
-    // cost). At scale this exchange IS the join shuffle, so it's free.
+    // signature subtree ONCE and feeds both sides from the same shuffle —
+    // without it each alias recomputes it (measured ~2x cost when the
+    // input is the raw vote aggregation). At scale this exchange IS the
+    // join shuffle, so it's free.
     val bands = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(simhash, ${b * 15}) & 32767")): _*)))
@@ -296,6 +341,16 @@ object DedupSim {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** The DISTRIBUTED near-dup plan (no memo) — PlanCheck audits THIS shape
+    * (the q78 entry may replay a collected local signature relation at
+    * small SF, which would make a plan assertion on q78 itself vacuous —
+    * the same audit split as [[candidatePairs]]). */
+  private[graft] def simhashNearDupPairs(s: SparkSession, d: String): DataFrame =
+    hammingJoin(simhashVotes(s, d).select(col("doc_id"), simhashFromVotes.as("simhash")))
+
+  def q78(s: SparkSession, d: String): DataFrame =
+    hammingJoin(simhashSignatures(s, d).select(col("doc_id"), col("simhash")))
   val q78Sql: String =
     s"""WITH $simhashVoteCtes,
        |sig AS (SELECT doc_id, $simhashSqlExpr AS simhash FROM v),

@@ -102,9 +102,27 @@ object PlanCheck {
       !p.contains("hashpartitioning") && !p.contains("Join") && !p.contains("Aggregate"))
     check("q70_term_stats", "vocabulary stats aggregate partially before the shuffle")(p =>
       p.contains("partial"))
-    check("q78_simhash_neardup", "banded Hamming join: partial votes, no cartesian")(p =>
-      p.contains("partial") && !p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"))
+    // q78 distributed shape: audit simhashNearDupPairs DIRECTLY — the q78
+    // entry replays the memoized signature relation at small SF (round-5
+    // memo), so a plan assertion on the entry would be vacuous; this is the
+    // same audit split as q24/candidatePairs above. Broadcast disabled so
+    // the asserted shape is the at-scale band-key shuffle join.
+    locally {
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.queries.DedupSim.simhashNearDupPairs(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ok = plan.contains("partial") && !plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("hashpartitioning(band_idx")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  q78_pairs(distributed)       partial votes, band-key hash join, no cartesian")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     // q79: cluster sizes must come from the broadcast join-back of the tiny
     // edge-label table — never a full-corpus window/shuffle on cluster_id
     // (round-4 verdict: the size window shuffled ALL documents)

@@ -56,6 +56,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q25/q78 signature memo: overflow past the row cap falls back to persist") {
+    val d = "/root/testdata/sf0.001"
+    val q25 = graft.SparkEntry.queries("q25_simhash")
+    val q78 = graft.SparkEntry.queries("q78_simhash_neardup")
+    graft.queries.DedupSim.invalidateSessionCaches(spark, d)
+    val local25 = q25(spark, d).collect().map(_.toSeq).toSeq
+    val local78 = q78(spark, d).collect().map(_.toSeq).toSeq
+    sys.props("graft.test.localSigMaxRows") = "0" // any signature set overflows
+    try {
+      graft.queries.DedupSim.invalidateSessionCaches(spark, d)
+      val df25 = q25(spark, d)
+      assert(df25.collect().map(_.toSeq).toSeq == local25)
+      assert(q78(spark, d).collect().map(_.toSeq).toSeq == local78)
+      // the fallback really is the persisted distributed plan
+      assert(df25.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally {
+      sys.props.remove("graft.test.localSigMaxRows")
+      graft.queries.DedupSim.invalidateSessionCaches(spark, d)
+    }
+  }
+
   test("q79 components: distributed large-star/small-star equals driver union-find") {
     val d = "/root/testdata/sf0.001"
     val q79 = graft.SparkEntry.queries("q79_dedup_clusters")
