@@ -935,7 +935,89 @@ object DedupSim {
        |FROM lab ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Exact SUBSTRING-level dedup (round-4 verdict #1) — the workhorse
+    * LLM-corpus operator the whole-document passes (q22/q09 exact, q24/q78
+    * near) don't cover: find repeated runs of >= k contiguous tokens ACROSS
+    * documents and report each maximal shared span. This is the bucketed
+    * rolling-fingerprint formulation of exact-substring dedup (the
+    * suffix-array-free variant of Lee et al.'s ExactSubstr, built from the
+    * machinery already here: token windows + hashing):
+    *
+    *   1. every k=8-token window becomes (doc, pos, md5(window)) — LINEAR
+    *      in corpus size, embarrassingly parallel;
+    *   2. hot-fingerprint guard: windows whose fingerprint appears in more
+    *      than 16 distinct docs are dropped BEFORE pairing — at 100 TB a
+    *      boilerplate 8-gram ("click here to subscribe …") in 1M docs
+    *      would otherwise join to 10^12 pairs; the guard caps per-fp join
+    *      fan-out at 16^2 (a stated recall boundary, not a silent cap —
+    *      ubiquitous spans are what corpus-level stopword filters handle);
+    *   3. fingerprint equi-join (doc_a < doc_b) — the only data-sized
+    *      shuffle, on well-mixed md5 keys, reusable across the guard
+    *      aggregation and both join sides (same fp hash distribution);
+    *   4. adjacent hits merge into MAXIMAL spans with the gaps-and-islands
+    *      trick on the match diagonal (pos_a - pos_b): consecutive window
+    *      hits at the same diagonal are one span of length hits + k - 1.
+    *      The island window runs over HIT PAIRS only (tiny vs the corpus).
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, len_tokens) per maximal
+    * shared span, 1-based token positions. Generalizes the reference's
+    * UNIQUE-key dedup (pa.py:62,378) below row granularity. */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 8)
+    val w = toks
+      .select(col("doc_id"), col("t"),
+              explode(expr("sequence(1, size(t) - 7)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+              md5(expr("array_join(slice(t, pos, 8), ' ')")).as("fp"))
+    val keep = w.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("dc"))
+      .filter(col("dc") <= 16)
+      .select(col("fp"))
+    val kept = w.join(keep, Seq("fp"), "left_semi")
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    val hits = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    hits
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).cast("long").as("a_start"),
+           min(col("pos_b")).cast("long").as("b_start"),
+           (count(lit(1)) + 7).cast("long").as("len_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+              col("len_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+  val q80Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |w AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS fp
+      |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |keep AS (
+      |  SELECT fp FROM w GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 16),
+      |h AS (
+      |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+      |  FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  WHERE a.fp IN (SELECT fp FROM keep)),
+      |g AS (
+      |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+      |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
+      |  FROM h)
+      |SELECT doc_a, doc_b, CAST(MIN(pos_a) AS BIGINT) AS a_start,
+      |  CAST(MIN(pos_b) AS BIGINT) AS b_start,
+      |  CAST(COUNT(*) + 7 AS BIGINT) AS len_tokens
+      |FROM g GROUP BY doc_a, doc_b, diag, isl
+      |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q80_substring_spans"   -> ((q80 _, Some(q80Sql))),
     "q79_dedup_clusters"    -> ((q79 _, Some(q79Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),

@@ -123,6 +123,25 @@ object PlanCheck {
         case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }
+    // q80 at-scale shape (broadcast off): the guard aggregation and the
+    // pair join must both shuffle on the fingerprint (equi-join, never a
+    // cartesian), with partial aggregation before the exchange
+    locally {
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.SparkEntry.queries("q80_substring_spans")(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ok = plan.contains("partial") && !plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("hashpartitioning(fp")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  q80_substring_spans          fp-key hash join + partial agg, no cartesian")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     // q79: cluster sizes must come from the broadcast join-back of the tiny
     // edge-label table — never a full-corpus window/shuffle on cluster_id
     // (round-4 verdict: the size window shuffled ALL documents)

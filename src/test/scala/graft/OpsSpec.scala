@@ -456,4 +456,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString, r.get(3).toString)).toSet
     assert(key(fromCsv) == key(li) && key(fromJson) == key(li))
   }
+
+  test("q80 substring spans: maximal merge, position arithmetic, hot-fp guard") {
+    import spark.implicits._
+    // doc 1 and doc 2 share the 10-token run "c1..c10" (doc 2 offset by 2);
+    // docs 100..117 (18 > the 16-doc guard) all share one 8-token run that
+    // must be suppressed as a hot fingerprint
+    val shared = (1 to 10).map(i => s"c$i").mkString(" ")
+    val hot = (1 to 8).map(i => s"h$i").mkString(" ")
+    val docs =
+      Seq((1L, s"$shared u1 u2 u3"), (2L, s"x1 x2 $shared y1")) ++
+        (100L to 117L).map(i => (i, s"p$i q$i $hot"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q80").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+                  "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupSim.q80(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one maximal span: tokens 1..10 of doc 1 == tokens 3..12 of doc 2
+    // (3 window hits at diagonal -2 merge to length 3 + 8 - 1 = 10);
+    // zero spans from the 18-doc hot run
+    assert(out.toSeq == Seq((1L, 2L, 1L, 3L, 10L)))
+  }
 }
