@@ -182,11 +182,69 @@ object PipelineQueries {
       |FROM documents WHERE lang IN ('en', 'de')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Stream-stream interval join ON THE ORACLE BOARD (round-4 verdict #5:
+    * the streaming operators were validated by OpsSpec batch-twins only —
+    * this entry drives the REAL streaming query, watermarks and all,
+    * synchronously to completion and faces its result against a plain
+    * DuckDB self-join). Both sides are unbounded file streams with
+    * watermarks and a bounded event-time join condition, so state is
+    * evictable — the requirement for joining streams at 100 TB. */
+  def q81(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.intervalJoinOnce(s, d, withinMinutes = 5,
+        queryName = s"graft_q81_${java.lang.Integer.toHexString(d.hashCode)}")
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
+              unix_micros(col("a_ts")).as("a_ts_us"),
+              unix_micros(col("b_ts")).as("b_ts_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  val q81Sql: String =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS a_ts_us,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS b_ts_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id <> b.event_id
+      |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Within-watermark streaming dedup ON THE ORACLE BOARD: events staged
+    * into three files → three micro-batches (maxFilesPerTrigger=1), so
+    * cross-batch dedup state is genuinely exercised; the horizon exceeds
+    * the table's 30-day span, so every duplicate key dedups exactly and
+    * the emitted set equals SELECT DISTINCT regardless of batch order —
+    * only the key columns are emitted, which is what makes the streaming
+    * result deterministically oracle-comparable (the surviving
+    * representative row per key is arrival-order-dependent; its key is
+    * not). */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = java.nio.file.Files.createTempDirectory("graft_q82_src").toString
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts_t"), col("user_id"), col("event_type"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(staged)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_t", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    graft.streaming.Streaming.dedupOnce(s, staged, schema,
+        tsCol = "ts_t", horizon = "2400 hours",
+        keyCols = Seq("user_id", "event_type"),
+        queryName = s"graft_q82_${java.lang.Integer.toHexString(d.hashCode)}")
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+  val q82Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_audio_pipeline_e2e" -> ((q30 _, None)),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
     "q32_stream_window_agg"  -> ((q32 _, Some(q32Sql))),
     "q33_multimodal_bytes"   -> ((q33 _, Some(q33Sql))),
     "q76_container_roundtrip" -> ((q76 _, Some(q76Sql))),
-    "q77_partition_pruning"  -> ((q77 _, Some(q77Sql))))
+    "q77_partition_pruning"  -> ((q77 _, Some(q77Sql))),
+    "q81_stream_interval_join" -> ((q81 _, Some(q81Sql))),
+    "q82_stream_dedup_watermark" -> ((q82 _, Some(q82Sql))))
 }

@@ -457,6 +457,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(key(fromCsv) == key(li) && key(fromJson) == key(li))
   }
 
+  test("q81/q82 board entries are stable across repeated in-session runs") {
+    // Bench times every query twice in one session with the same memory-sink
+    // query name — a stale sink or accumulating temp view would double rows
+    val d = "/root/testdata/sf0.001"
+    val q81 = graft.SparkEntry.queries("q81_stream_interval_join")
+    val q82 = graft.SparkEntry.queries("q82_stream_dedup_watermark")
+    val r81a = q81(spark, d).collect().map(_.toSeq).toSeq
+    val r81b = q81(spark, d).collect().map(_.toSeq).toSeq
+    assert(r81a == r81b && r81a.nonEmpty)
+    val r82a = q82(spark, d).collect().map(_.toSeq).toSeq
+    val r82b = q82(spark, d).collect().map(_.toSeq).toSeq
+    assert(r82a == r82b && r82a.nonEmpty)
+  }
+
   test("q80 substring spans: maximal merge, position arithmetic, hot-fp guard") {
     import spark.implicits._
     // doc 1 and doc 2 share the 10-token run "c1..c10" (doc 2 offset by 2);
