@@ -238,6 +238,96 @@ object PipelineQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------------------ q83-q85
+  /** Source-format round trips ON THE ORACLE BOARD (round-4 verdict #6:
+    * the CSV/JSON/ORC surface lived in specs only). Each entry writes a
+    * table through the format, reads it back with an EXPLICIT schema, and
+    * aggregates content-sensitively — while the oracle aggregates the
+    * ORIGINAL parquet, so any row lost/duplicated, value corrupted by
+    * serialization (double text round trips, string escaping), or type
+    * drifted by the reader breaks the hash. q77's pattern, one per format.
+    * Writes overwrite a dir keyed on the input path → idempotent. */
+  private def fmtOutDir(d: String, fmt: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_rt_${fmt}_${
+      java.lang.Integer.toHexString(d.hashCode)}"
+
+  /** md5-derived integer checksum of a text column, reduced mod 1e9+7 so
+    * group SUMs stay inside BIGINT at any corpus size — the engine-portable
+    * content check (any corrupted character changes the group sum). */
+  private def md5Int(name: String): org.apache.spark.sql.Column =
+    (conv(substring(md5(col(name)), 1, 15), 16, 10).cast("long") % 1000000007L)
+  private val md5IntSql = "(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)"
+
+  def q83(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = fmtOutDir(d, "csv")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_orderkey")).as("sum_okey"),
+           sum(col("l_linenumber").cast("long")).as("sum_line"),
+           sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double").as("sum_qty"),
+           sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val q83Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q84(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = fmtOutDir(d, "json")
+    Tables.documents(s, d).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_id")).as("sum_ids"),
+           sum(col("n_chars")).as("sum_chars"),
+           sum(md5Int("text")).as("sum_text_md5"))
+      .orderBy(col("lang"), col("source"))
+  }
+  val q84Sql: String =
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM($md5IntSql) AS BIGINT) AS sum_text_md5
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val out = fmtOutDir(d, "orc")
+    Tables.documents(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           sum(length(col("text")).cast("long")).as("sum_text_len"),
+           sum(md5Int("text")).as("sum_text_md5"))
+      .orderBy(col("lang"))
+  }
+  val q85Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       |  CAST(SUM($md5IntSql) AS BIGINT) AS sum_text_md5
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_audio_pipeline_e2e" -> ((q30 _, None)),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
@@ -246,5 +336,8 @@ object PipelineQueries {
     "q76_container_roundtrip" -> ((q76 _, Some(q76Sql))),
     "q77_partition_pruning"  -> ((q77 _, Some(q77Sql))),
     "q81_stream_interval_join" -> ((q81 _, Some(q81Sql))),
-    "q82_stream_dedup_watermark" -> ((q82 _, Some(q82Sql))))
+    "q82_stream_dedup_watermark" -> ((q82 _, Some(q82Sql))),
+    "q83_csv_roundtrip"  -> ((q83 _, Some(q83Sql))),
+    "q84_json_roundtrip" -> ((q84 _, Some(q84Sql))),
+    "q85_orc_roundtrip"  -> ((q85 _, Some(q85Sql))))
 }
