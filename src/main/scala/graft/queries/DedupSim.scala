@@ -965,7 +965,13 @@ object DedupSim {
     * Output: (doc_a, doc_b, a_start, b_start, len_tokens) per maximal
     * shared span, 1-based token positions. Generalizes the reference's
     * UNIQUE-key dedup (pa.py:62,378) below row granularity. */
-  def q80(s: SparkSession, d: String): DataFrame = {
+  def q80(s: SparkSession, d: String): DataFrame =
+    substringSpans(s, d)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
+  /** The unordered span table — shared by q80 (reported directly) and q86
+    * (reduced to per-doc duplicated-token coverage). */
+  private def substringSpans(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
       .filter(size(col("t")) >= 8)
@@ -1005,7 +1011,6 @@ object DedupSim {
            (count(lit(1)) + 7).cast("long").as("len_tokens"))
       .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
               col("len_tokens"))
-      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
   }
   val q80Sql: String =
     """WITH toks AS (
@@ -1030,8 +1035,74 @@ object DedupSim {
       |FROM g GROUP BY doc_a, doc_b, diag, isl
       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Per-document duplicated-token coverage — the ACTIONABLE reduction of
+    * q80's span table for corpus cleaning: how many of each document's
+    * tokens sit inside at least one cross-document shared span (either
+    * side of the pair), as a count and a fraction. A doc at fraction 1.0
+    * is wholly duplicated somewhere; a training-data pipeline drops or
+    * down-weights above a threshold. Spans overlap (the same region can be
+    * shared with many partners), so per-doc intervals are UNION-merged
+    * with the running-max gaps-and-islands pass — a window over the tiny
+    * span table, never the corpus; isolated docs join back at coverage 0. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val spans = substringSpans(s, d)
+    val ivs = spans.select(col("doc_a").as("doc_id"), col("a_start").as("st"),
+        (col("a_start") + col("len_tokens")).as("en"))
+      .union(spans.select(col("doc_b"), col("b_start"),
+        col("b_start") + col("len_tokens")))
+      .distinct()
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+    val islands = ivs
+      .withColumn("prev_max",
+        max(col("en")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("st") > col("prev_max"), 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("en")) - min(col("st"))).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).cast("long").as("dup"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .join(broadcast(perDoc), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_fraction",
+        col("dup_tokens").cast("double") / greatest(lit(1L), col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+  val q86Sql: String = {
+    val spans = q80Sql.replace("ORDER BY doc_a, doc_b, a_start, b_start", "")
+    s"""WITH spans AS ($spans),
+       |iv AS (
+       |  SELECT DISTINCT doc_a AS doc_id, a_start AS st, a_start + len_tokens AS en FROM spans
+       |  UNION SELECT DISTINCT doc_b, b_start, b_start + len_tokens FROM spans),
+       |mrk AS (
+       |  SELECT doc_id, st, en,
+       |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |  FROM iv),
+       |isl AS (
+       |  SELECT doc_id, st, en,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM mrk),
+       |cov AS (SELECT doc_id, island, MAX(en) - MIN(st) AS cov FROM isl GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+       |  CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+       |    / greatest(1, len(string_split_regex(trim(lower(d.text)), '\\s+'))) AS dup_fraction
+       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q80_substring_spans"   -> ((q80 _, Some(q80Sql))),
+    "q86_dup_token_coverage" -> ((q86 _, Some(q86Sql))),
     "q79_dedup_clusters"    -> ((q79 _, Some(q79Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),

@@ -492,5 +492,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (3 window hits at diagonal -2 merge to length 3 + 8 - 1 = 10);
     // zero spans from the 18-doc hot run
     assert(out.toSeq == Seq((1L, 2L, 1L, 3L, 10L)))
+    // q86 reduces the same spans to per-doc coverage: 10 of 13 tokens on
+    // both pair members, zero on every hot-guarded doc
+    val cov = graft.queries.DedupSim.q86(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(1L) == ((13L, 10L, 10.0 / 13)))
+    assert(cov(2L) == ((13L, 10L, 10.0 / 13)))
+    assert((100L to 117L).forall(cov(_)._2 == 0L))
   }
 }
