@@ -346,6 +346,50 @@ object PipelineQueries {
        |  CAST(SUM($md5IntSql) AS BIGINT) AS sum_text_md5
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** The STATEFUL streaming span merge (flatMapGroupsWithState) on the
+    * oracle board — the last non-audio streaming operator that faced only
+    * batch-twin specs. Driven synchronously over the snapshot (one
+    * trigger, so each key's full history reaches the state function
+    * sorted), it emits every CLOSED session: q31's greedy-walk sessions
+    * MINUS each key's final one, which stays open in state awaiting more
+    * data (the oracle states that exclusion as start < max(start) per key
+    * BEFORE the min-span filter — the open session is withheld whatever
+    * its span). The double `sum_value` is omitted: closed-session sums
+    * accumulate in stream arrival order, which is not an oracle-exact
+    * quantity; counts and boundaries are. */
+  def q87(s: SparkSession, d: String): DataFrame =
+    withStreamShufflePartitions(s) {
+      graft.streaming.Streaming.spanMergeOnce(s, d,
+        minSpanUs = 180000000L, maxSpanUs = 900000000L,
+        queryName = s"graft_q87_${java.lang.Integer.toHexString(d.hashCode)}")
+    }
+      .select(col("key"), col("startUs").as("start_us"), col("endUs").as("end_us"),
+              col("nEvents").cast("long").as("n_events"))
+      .orderBy(col("key"), col("start_us"))
+  val q87Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), round(value * 1e6)) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT key, rn, ts_us, ts_us AS sess_start FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.key, e.rn, e.ts_us,
+      |    CASE WHEN e.ts_us - w.sess_start <= 900000000
+      |         THEN w.sess_start ELSE e.ts_us END
+      |  FROM e JOIN walk w ON e.key = w.key AND e.rn = w.rn + 1),
+      |sess AS (
+      |  SELECT key, sess_start AS start_us, MAX(ts_us) AS end_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM walk GROUP BY key, sess_start),
+      |last AS (SELECT key, MAX(start_us) AS last_start FROM sess GROUP BY key)
+      |SELECT s.key, s.start_us, s.end_us, s.n_events
+      |FROM sess s JOIN last l ON s.key = l.key AND s.start_us < l.last_start
+      |WHERE s.end_us - s.start_us >= 180000000
+      |ORDER BY s.key, s.start_us""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_audio_pipeline_e2e" -> ((q30 _, None)),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
@@ -355,6 +399,7 @@ object PipelineQueries {
     "q77_partition_pruning"  -> ((q77 _, Some(q77Sql))),
     "q81_stream_interval_join" -> ((q81 _, Some(q81Sql))),
     "q82_stream_dedup_watermark" -> ((q82 _, Some(q82Sql))),
+    "q87_stream_span_merge" -> ((q87 _, Some(q87Sql))),
     "q83_csv_roundtrip"  -> ((q83 _, Some(q83Sql))),
     "q84_json_roundtrip" -> ((q84 _, Some(q84Sql))),
     "q85_orc_roundtrip"  -> ((q85 _, Some(q85Sql))))

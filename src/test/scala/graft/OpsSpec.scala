@@ -469,6 +469,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r82a = q82(spark, d).collect().map(_.toSeq).toSeq
     val r82b = q82(spark, d).collect().map(_.toSeq).toSeq
     assert(r82a == r82b && r82a.nonEmpty)
+    val q87 = graft.SparkEntry.queries("q87_stream_span_merge")
+    val r87a = q87(spark, d).collect().map(_.toSeq).toSeq
+    val r87b = q87(spark, d).collect().map(_.toSeq).toSeq
+    assert(r87a == r87b && r87a.nonEmpty)
   }
 
   test("q80 substring spans: maximal merge, position arithmetic, hot-fp guard") {
