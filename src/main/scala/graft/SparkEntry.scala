@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.TextOps.defs2 ++
       graft.queries.DedupSim.defs ++
       graft.queries.DedupSim.defs2 ++
+      graft.queries.LlmOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
