@@ -1045,7 +1045,12 @@ object DedupSim {
     * shared with many partners), so per-doc intervals are UNION-merged
     * with the running-max gaps-and-islands pass — a window over the tiny
     * span table, never the corpus; isolated docs join back at coverage 0. */
-  def q86(s: SparkSession, d: String): DataFrame = {
+  /** Disjoint UNION-merged duplicated-token intervals per document
+    * ([st, en) in 1-based token positions) — the running-max
+    * gaps-and-islands pass over q80's span table, shared by q86 (coverage
+    * counts) and q92 (span stripping). A window over the tiny span table,
+    * never the corpus. */
+  private def mergedDupIntervals(s: SparkSession, d: String): DataFrame = {
     val spans = substringSpans(s, d)
     val ivs = spans.select(col("doc_a").as("doc_id"), col("a_start").as("st"),
         (col("a_start") + col("len_tokens")).as("en"))
@@ -1053,17 +1058,22 @@ object DedupSim {
         col("b_start") + col("len_tokens")))
       .distinct()
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
-    val islands = ivs
+    ivs
       .withColumn("prev_max",
         max(col("en")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk",
         when(col("prev_max").isNull || col("st") > col("prev_max"), 1).otherwise(0))
       .withColumn("island", sum(col("brk"))
         .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val perDoc = islands.groupBy(col("doc_id"), col("island"))
-      .agg((max(col("en")) - min(col("st"))).as("cov"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .select(col("doc_id"), col("st"), col("en"))
+  }
+
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val perDoc = mergedDupIntervals(s, d)
       .groupBy(col("doc_id"))
-      .agg(sum(col("cov")).cast("long").as("dup"))
+      .agg(sum(col("en") - col("st")).cast("long").as("dup"))
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
@@ -1100,9 +1110,76 @@ object DedupSim {
        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q92
+  /** Duplicated-span STRIPPING — the write path of exact-substring dedup
+    * (q80 finds shared spans, q86 measures coverage, this emits the cleaned
+    * corpus): every token inside a cross-document shared span is removed
+    * and the surviving tokens are re-joined. Output is (doc_id, n_tokens,
+    * kept_tokens, clean_md5) — the checksum stands in for the cleaned text
+    * so the oracle comparison stays narrow while still pinning every kept
+    * token and its order.
+    *
+    * Scale shape: the merged interval table is span-sized (tiny vs the
+    * corpus), grouped to one row per affected doc and BROADCAST back onto
+    * the corpus scan; the strip itself is a per-row higher-order filter
+    * over positions (codegen-free but per-row — no explode of the corpus
+    * into token rows, no shuffle of document text). Docs with no spans
+    * pass through whole via the null-interval branch. */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val ivs = mergedDupIntervals(s, d)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("st"), col("en")))).as("ivs"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .join(broadcast(ivs), Seq("doc_id"), "left")
+      .withColumn("kept_pos",
+        when(col("ivs").isNull, expr("sequence(1, size(t))"))
+          .otherwise(expr(
+            "filter(sequence(1, size(t)), p -> NOT exists(ivs, iv -> p >= iv.st AND p < iv.en))")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("kept_pos")).cast("long").as("kept_tokens"),
+        md5(expr("array_join(transform(kept_pos, p -> element_at(t, p)), ' ')"))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val q92Sql: String = {
+    val spans = q80Sql.replace("ORDER BY doc_a, doc_b, a_start, b_start", "")
+    s"""WITH spans AS ($spans),
+       |iv AS (
+       |  SELECT DISTINCT doc_a AS doc_id, a_start AS st, a_start + len_tokens AS en FROM spans
+       |  UNION SELECT DISTINCT doc_b, b_start, b_start + len_tokens FROM spans),
+       |mrk AS (
+       |  SELECT doc_id, st, en,
+       |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |  FROM iv),
+       |isl AS (
+       |  SELECT doc_id, st, en,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM mrk),
+       |mg AS (SELECT doc_id, MIN(st) AS st, MAX(en) AS en FROM isl GROUP BY doc_id, island),
+       |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+       |pos AS (SELECT doc_id, t, u.p FROM toks, unnest(range(1, len(t) + 1)) AS u(p)),
+       |kept AS (
+       |  SELECT p.doc_id, p.p, p.t[p.p] AS tok FROM pos p
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM mg m WHERE m.doc_id = p.doc_id AND p.p >= m.st AND p.p < m.en)),
+       |ka AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       |         string_agg(tok, ' ' ORDER BY p) AS ct
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  coalesce(ka.kept_tokens, 0) AS kept_tokens,
+       |  md5(coalesce(ka.ct, '')) AS clean_md5
+       |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q80_substring_spans"   -> ((q80 _, Some(q80Sql))),
     "q86_dup_token_coverage" -> ((q86 _, Some(q86Sql))),
+    "q92_strip_dup_spans"   -> ((q92 _, Some(q92Sql))),
     "q79_dedup_clusters"    -> ((q79 _, Some(q79Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
