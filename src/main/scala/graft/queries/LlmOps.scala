@@ -173,9 +173,143 @@ object LlmOps {
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Product-quantization ANN — the third scale path next to LSH buckets
+    * (q29) and IVF cells (q59): each 64-dim vector is compressed to M=4
+    * subspace codes (argmin over K=4 literal sub-centroids per 16-dim
+    * subspace), and queries rank candidates by asymmetric-distance
+    * computation (ADC): sum over subspaces of the query→centroid lookup
+    * for the stored code. At 100 TB this is THE memory story — the search
+    * set is 4 bytes of codes per vector instead of 256 bytes of floats,
+    * so the candidate scan is 64x smaller and the per-candidate cost is
+    * M table lookups instead of a 64-dim dot product.
+    *
+    * Encoding is a pure per-row projection over a literal codebook (q59's
+    * argmin-by-struct-min trick per subspace — zero explode, zero
+    * shuffle); queries are literal seed vectors, so each per-subspace
+    * ADC lookup table is a literal expression array indexed by the stored
+    * code. Seed vectors vec_id < 4 stand in for an offline-trained
+    * codebook; vec_id in [20, 23) are the query set. All distances run
+    * through the same dot_f32 IEEE folds as the oracle's list_reduce, so
+    * codes and rankings agree bit-for-bit (norm terms constant per query
+    * are dropped — ranking, not metric, is the contract). */
+  private val PqM = 4      // subspaces
+  private val PqSub = 16   // dims per subspace (4 x 16 = the 64-dim layout)
+  private val PqK = 4      // centroids per subspace (seed vectors vec_id < 4)
+  private val PqQLo = 20L  // query ids [PqQLo, PqQHi)
+  private val PqQHi = 23L
+  private val PqTopK = 5
+
+  def q91(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val vecIdType = emb.schema("vec_id").dataType
+    // literal codebook + query set, collected once at plan-build time
+    // (16 + 3 fixed rows — q59's protocol, incl. the null-element guard)
+    def collectVecs(pred: Column): Array[(Long, Array[Float])] = emb.filter(pred)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map { r =>
+        val raw = r.getSeq[Any](1)
+        require(raw != null && raw.forall(_ != null),
+          s"PQ codebook/query vector ${r.getLong(0)} contains null element(s)")
+        (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
+      }
+      .sortBy(_._1)
+    val seeds = collectVecs(col("vec_id") < PqK)
+    val queryVecs = collectVecs(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
+    require(seeds.length == PqK, s"expected $PqK PQ codebook seeds, got ${seeds.length}")
+    require(queryVecs.nonEmpty, "PQ query set is empty")
+    def sub(v: Array[Float], m: Int): Array[Float] = v.slice(m * PqSub, (m + 1) * PqSub)
+    val dot = graft.functions.GraftFunctions.dotF32 _
+    // per-subspace code: argmin_j ||v_m - c_j||^2 stated as ||c||^2 - 2 v_m.c
+    // (||v_m||^2 is constant per v), lexicographic struct-min for the
+    // tie-break the oracle's ORDER BY (score, sid) states
+    def codeCol(m: Int): Column = array_min(array(seeds.map { case (sid, sv) =>
+      val ce = typedLit(sub(sv, m))
+      struct(
+        (dot(ce, ce) - lit(2.0) * dot(expr(s"slice(embedding, ${m * PqSub + 1}, $PqSub)"), ce))
+          .as("score"),
+        lit(sid.toInt).as("code"))
+    }: _*)).getField("code")
+    val codes = emb.select(
+      (col("vec_id") +: (0 until PqM).map(m => codeCol(m).as(s"code$m"))): _*)
+    // ADC: LUT[m][j] = ||c_j||^2 - 2 q_m.c_j, a literal expression array
+    // indexed by the stored code — the literal folds constant-fold through
+    // the identical interpreted dot_f32 loop, so they match the oracle's
+    // table-side folds exactly
+    def termCol(qv: Array[Float], m: Int): Column =
+      element_at(array(seeds.map { case (_, sv) =>
+        val ce = typedLit(sub(sv, m))
+        val qm = typedLit(sub(qv, m))
+        dot(ce, ce) - lit(2.0) * dot(qm, ce)
+      }: _*), col(s"code$m") + 1)
+    def scoreFor(qv: Array[Float]): Column =
+      (0 until PqM).map(m => termCol(qv, m)).reduce(_ + _)
+    val qDf = emb.filter(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
+      .select(col("vec_id").as("q_id"))
+    val scoreCase = queryVecs.foldLeft(lit(null).cast("double")) {
+      case (acc, (qid, qv)) =>
+        when(col("q_id") === lit(qid).cast(vecIdType), scoreFor(qv)).otherwise(acc)
+    }
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_score"), col("vec_id"))
+    codes.crossJoin(broadcast(qDf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_score", scoreCase)
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= PqTopK)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("code0").cast("long").as("code0"), col("code1").cast("long").as("code1"),
+        col("code2").cast("long").as("code2"), col("code3").cast("long").as("code3"),
+        col("adc_score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+  val q91Sql: String = {
+    // sequential double fold over one 16-dim subspace at offset `off`,
+    // identical to dot_f32's left-to-right IEEE adds (0.0 + x == x)
+    def fold(a: String, b: String, off: String): String =
+      s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
+        s"i -> CAST($a[$off + i] AS DOUBLE) * CAST($b[$off + i] AS DOUBLE)), (x,y) -> x+y)"
+    def term(m: Int): String =
+      s"(${fold(s"s$m.ce", s"s$m.ce", s"${m * PqSub}")} - 2 * ${fold("q.qe", s"s$m.ce", s"${m * PqSub}")})"
+    val codeCols = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN m = $m THEN sid END) AS code$m").mkString(",\n    ")
+    val seedJoins = (0 until PqM)
+      .map(m => s"JOIN seeds s$m ON s$m.sid = c.code$m").mkString("\n  ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS sid, embedding AS ce FROM embeddings WHERE vec_id < $PqK),
+       |scored AS (
+       |  SELECT e.vec_id, s.sid, u.m,
+       |    ${fold("s.ce", "s.ce", "u.m*16")} - 2 * ${fold("e.embedding", "s.ce", "u.m*16")} AS score
+       |  FROM embeddings e CROSS JOIN seeds s CROSS JOIN unnest(range(0, $PqM)) AS u(m)),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, sid) AS rn
+       |  FROM scored),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM rk WHERE rn = 1 GROUP BY vec_id),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id >= $PqQLo AND vec_id < $PqQHi),
+       |adc AS (
+       |  SELECT q.q_id, c.vec_id, c.code0, c.code1, c.code2, c.code3,
+       |    ${term(0)} + ${term(1)} + ${term(2)} + ${term(3)} AS adc_score
+       |  FROM codes c CROSS JOIN q
+       |  $seedJoins
+       |  WHERE c.vec_id <> q.q_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_score, vec_id) AS rnk
+       |  FROM adc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  CAST(code0 AS BIGINT) AS code0, CAST(code1 AS BIGINT) AS code1,
+       |  CAST(code2 AS BIGINT) AS code2, CAST(code3 AS BIGINT) AS code3, adc_score
+       |FROM r WHERE rnk <= $PqTopK ORDER BY q_id, rnk""".stripMargin
+  }
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),
     "q89_stratified_sample"  -> ((q89 _, Some(q89Sql))),
-    "q90_tfidf_topterms"     -> ((q90 _, Some(q90Sql)))
+    "q90_tfidf_topterms"     -> ((q90 _, Some(q90Sql))),
+    "q91_ann_pq_adc"         -> ((q91 _, Some(q91Sql)))
   )
 }
