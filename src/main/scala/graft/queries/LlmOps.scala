@@ -102,10 +102,14 @@ object LlmOps {
     }
     val h = md5(concat(col("doc_id").cast("string"), lit("|strat")))
     val byHash = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    // the CONSTANT max-quota bound comes first: InferWindowGroupLimit only
+    // fires on a literal rank limit, so `rk <= 60` is what turns the window
+    // into a per-partition bounded heap (the per-lang CASE alone would force
+    // a full sort of every stratum); the CASE then refines to exact quotas
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"), h.as("h"))
       .withColumn("rk", row_number().over(byHash))
-      .filter(col("rk") <= quota)
+      .filter(col("rk") <= LangQuota.values.max && col("rk") <= quota)
       .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"), col("h"))
       .orderBy(col("lang"), col("rk"))
   }
@@ -119,7 +123,8 @@ object LlmOps {
        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|strat'), doc_id) AS rk
        |  FROM documents)
        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
-       |FROM r WHERE rk <= ($quotaCase) ORDER BY lang, rk""".stripMargin
+       |FROM r WHERE rk <= ${LangQuota.values.max} AND rk <= ($quotaCase)
+       |ORDER BY lang, rk""".stripMargin
   }
 
   // ---------------------------------------------------------------- q90

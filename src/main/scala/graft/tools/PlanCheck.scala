@@ -162,6 +162,26 @@ object PlanCheck {
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
 
+    // q88: the eval fingerprint set and the per-doc hit rollup both
+    // broadcast (a benchmark suite is MBs against a 100 TB corpus) — the
+    // corpus itself is never sort-merge-joined or cartesian-joined
+    check("q88_decontaminate", "eval fps + hit rollup broadcast, corpus never SMJ'd")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size == 2 &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // q89/q90/q91: the rank filter must become a WindowGroupLimit so each
+    // map partition keeps only its top-k BEFORE the stratum shuffle — the
+    // constant bound (60 / 3 / 5) is what makes the window a bounded heap
+    check("q89_stratified_sample", "quota filter becomes a partial WindowGroupLimit")(p =>
+      p.contains("WindowGroupLimit") && p.contains("Partial"))
+    check("q90_tfidf_topterms", "df broadcasts onto tf; rank filter is a group-limit")(p =>
+      p.contains("WindowGroupLimit") && p.contains("BroadcastHashJoin") &&
+        p.contains("partial"))
+    // q91: PQ encoding is a literal-codebook projection (no vec_id shuffle,
+    // mirroring q59); the query side is an intended 3-row broadcast NLJ
+    check("q91_ann_pq_adc", "PQ encode is a projection; 3-row query side broadcast")(p =>
+      p.contains("WindowGroupLimit") && p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("hashpartitioning(vec_id"))
+
     // ----------------------------------------------------------------
     // AQE skew-join demonstration: a synthetically skewed sort-merge join
     // (99% of 2M left rows on one key) must be split by
