@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the corpus-curation operators (q88–q92) beyond
+  * the DuckDB hash gate: decontamination never leaks eval docs, the
+  * stratified sample hits its quotas deterministically, TF-IDF scores
+  * recompute, PQ codes stay in range, and span stripping reconciles
+  * exactly with q86's coverage accounting. */
+class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q88: eval docs never appear; hit counts are bounded by window counts") {
+    val out = graft.queries.LlmOps.q88(spark, d).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 19 != 0), "an eval doc leaked into the train report")
+    out.foreach { r =>
+      val (nw, hw, hf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hw <= nw, s"doc ${r.getLong(0)}: more hit windows ($hw) than windows ($nw)")
+      assert(hf <= hw, s"doc ${r.getLong(0)}: more distinct hit fps ($hf) than hits ($hw)")
+      assert(r.getBoolean(4) == (hw > 0))
+    }
+  }
+
+  test("q89: per-lang counts equal min(quota, stratum size); sample is stable") {
+    val langTotals = graft.core.Tables.documents(spark, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = Map("en" -> 60L, "zh" -> 30L, "es" -> 30L, "de" -> 25L, "fr" -> 20L)
+    val sample = graft.queries.LlmOps.q89(spark, d).collect()
+    val byLang = sample.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    langTotals.foreach { case (lang, total) =>
+      assert(byLang.getOrElse(lang, 0L) == math.min(quotas(lang), total),
+        s"$lang: expected min(${quotas(lang)}, $total) sampled rows")
+    }
+    val again = graft.queries.LlmOps.q89(spark, d).collect()
+    assert(sample.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "sample not deterministic")
+  }
+
+  test("q90: at most 3 terms per doc, ranks contiguous, scores recompute") {
+    val n = graft.core.Tables.documents(spark, d).count()
+    val rows = graft.queries.LlmOps.q90(spark, d).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"doc $doc ranks not contiguous")
+      assert(ranks.length <= 3)
+    }
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(score == tf.toDouble * n.toDouble / df.toDouble,
+        s"score mismatch for doc ${r.getLong(0)} term ${r.getString(2)}")
+    }
+  }
+
+  test("q91: codes in [0,4), queries never rank themselves, top-5 per query") {
+    val rows = graft.queries.LlmOps.q91(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2), "query ranked itself")
+      (3 to 6).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 4,
+        s"PQ code out of range: ${r.getLong(i)}"))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        s"query $q ranks not contiguous")
+      assert(rs.length <= 5)
+    }
+  }
+
+  test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
+    val cov = graft.queries.DedupSim.q86(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val strip = graft.queries.DedupSim.q92(spark, d).collect()
+    assert(strip.length == cov.size)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    strip.foreach { r =>
+      val (doc, nTok, kept, md5) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val (covTok, dupTok) = cov(doc)
+      assert(nTok == covTok, s"doc $doc token counts disagree")
+      assert(nTok - kept == dupTok,
+        s"doc $doc: stripped ${nTok - kept} tokens but q86 reports $dupTok duplicated")
+      if (kept == 0) assert(md5 == emptyMd5, s"doc $doc: empty strip must hash empty string")
+    }
+  }
+}
