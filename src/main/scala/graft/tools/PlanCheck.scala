@@ -125,17 +125,19 @@ object PlanCheck {
     }
     // q80 at-scale shape (broadcast off): the guard aggregation and the
     // pair join must both shuffle on the fingerprint (equi-join, never a
-    // cartesian), with partial aggregation before the exchange
+    // cartesian), with partial aggregation before the exchange. Audits the
+    // DISTRIBUTED substringSpans plan directly — the q80/q86/q92 entries
+    // replay the round-5 span memo at small SF (the q24/q78 audit split).
     locally {
       val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val plan = graft.SparkEntry.queries("q80_substring_spans")(spark, sfDir)
+        val plan = graft.queries.DedupSim.substringSpans(spark, sfDir)
           .queryExecution.executedPlan.toString
         val ok = plan.contains("partial") && !plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin") &&
           plan.contains("hashpartitioning(fp")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q80_substring_spans          fp-key hash join + partial agg, no cartesian")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  q80_spans(distributed)       fp-key hash join + partial agg, no cartesian")
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevThreshold match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)

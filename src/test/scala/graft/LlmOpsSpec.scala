@@ -80,6 +80,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("span memo: overflow past the row cap falls back to persist") {
+    val q80 = graft.SparkEntry.queries("q80_substring_spans")
+    graft.queries.DedupSim.invalidateSessionCaches(spark, d)
+    val localRows = q80(spark, d).collect()
+    // cap 0: any non-empty span set overflows the bounded collect and the
+    // distributed plan is persisted instead of replayed locally
+    sys.props("graft.test.localSpanMaxRows") = "0"
+    try {
+      graft.queries.DedupSim.invalidateSessionCaches(spark, d)
+      val persistedDf = q80(spark, d)
+      assert(persistedDf.collect().map(_.toSeq).toSeq == localRows.map(_.toSeq).toSeq)
+      assert(persistedDf.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+    } finally {
+      sys.props.remove("graft.test.localSpanMaxRows")
+      graft.queries.DedupSim.invalidateSessionCaches(spark, d)
+    }
+  }
+
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
     val cov = graft.queries.DedupSim.q86(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
