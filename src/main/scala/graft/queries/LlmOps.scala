@@ -311,10 +311,157 @@ object LlmOps {
        |FROM r WHERE rnk <= $PqTopK ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Training-sequence packing manifest — concatenate each source shard's
+    * documents (in stable doc_id order) and cut fixed 256-token training
+    * sequences: every document gets its start offset in the shard's token
+    * stream, the sequence index its first token lands in, and the offset
+    * within that sequence. This is the contiguous-fill packing step that
+    * turns a curated corpus into equal-length training rows.
+    *
+    * Scale shape: the prefix sum runs PER SOURCE SHARD (partitionBy
+    * source), so packing parallelizes across shards exactly as a real
+    * pipeline packs per input file — no global ordering, no single-
+    * partition window; all integer arithmetic. */
+  private val SeqLen = 256
+
+  def q93(s: SparkSession, d: String): DataFrame = {
+    val prior = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      .withColumn("seq_idx", expr(s"start_offset div $SeqLen"))
+      .withColumn("offset_in_seq", col("start_offset") % SeqLen)
+      .orderBy(col("source"), col("doc_id"))
+  }
+  val q93Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, start_offset,
+       |  CAST(start_offset // $SeqLen AS BIGINT) AS seq_idx,
+       |  CAST(start_offset % $SeqLen AS BIGINT) AS offset_in_seq
+       |FROM o ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** Quality-tier bucketing: score every document (chars per token,
+    * quantized to integer micro-units for cross-engine exactness), compute
+    * the corpus quartile thresholds, and assign each doc its tier — the
+    * "keep T4, downsample T1" gate of corpus curation. Exact interpolated
+    * percentiles (q41's percentile ↔ quantile_cont parity) arrive as a
+    * broadcast 1-row cross join.
+    *
+    * At 100 TB the threshold pass swaps to approx_percentile's t-digest
+    * (q75's pattern — fixed-size mergeable sketch instead of exact
+    * per-group buffers); the tier assignment itself is per-row either
+    * way. */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(col("n_chars").cast("double") /
+          size(split(trim(lower(col("text"))), "\\s+")).cast("double") * 1e6)
+          .cast("long").as("score_q6"))
+    val thresholds = scored.agg(
+      expr("percentile(score_q6, 0.25)").as("p25"),
+      expr("percentile(score_q6, 0.5)").as("p50"),
+      expr("percentile(score_q6, 0.75)").as("p75"))
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("score_q6"),
+        when(col("score_q6").cast("double") < col("p25"), "T1")
+          .when(col("score_q6").cast("double") < col("p50"), "T2")
+          .when(col("score_q6").cast("double") < col("p75"), "T3")
+          .otherwise("T4").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+  val q94Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(CAST(n_chars AS DOUBLE)
+      |      / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS score_q6
+      |  FROM documents),
+      |th AS (
+      |  SELECT quantile_cont(score_q6, 0.25) AS p25, quantile_cont(score_q6, 0.5) AS p50,
+      |         quantile_cont(score_q6, 0.75) AS p75
+      |  FROM scored)
+      |SELECT doc_id, score_q6,
+      |  CASE WHEN CAST(score_q6 AS DOUBLE) < p25 THEN 'T1'
+      |       WHEN CAST(score_q6 AS DOUBLE) < p50 THEN 'T2'
+      |       WHEN CAST(score_q6 AS DOUBLE) < p75 THEN 'T3'
+      |       ELSE 'T4' END AS tier
+      |FROM scored CROSS JOIN th ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** Intra-document repetition (the Gopher-rule quality signal the
+    * cross-document passes don't see): fraction of duplicate 2-grams and
+    * 3-grams WITHIN each document. A doc that repeats itself is low-value
+    * training data even if nothing else in the corpus matches it.
+    *
+    * Scale shape: entirely per-row — the n-gram lists are built, deduped,
+    * and counted inside array expressions (no explode into n-gram rows, no
+    * shuffle, no aggregation; PlanCheck asserts the plan is projection-
+    * only). The size()<n guards exist because Spark's sequence(a, b)
+    * generates DESCENDING when a > b — an unguarded 1-token doc would get
+    * [1, 0] positions, not an empty list. */
+  def q95(s: SparkSession, d: String): DataFrame = {
+    def grams(n: Int): Column = {
+      val joined = (0 until n)
+        .map(k => s"element_at(t, i + $k)").mkString("concat_ws(' ', ", ", ", ")")
+      when(size(col("t")) >= n,
+        expr(s"transform(sequence(1, size(t) - ${n - 1}), i -> $joined)"))
+    }
+    def stats(n: Int): (Column, Column) = {
+      val total = greatest(lit(0), size(col("t")) - (n - 1)).cast("long")
+      val distinctN = coalesce(size(array_distinct(grams(n))).cast("long"), lit(0L))
+      val frac = (total.cast("double") - distinctN.cast("double")) /
+        greatest(lit(1L), total).cast("double")
+      (total, frac)
+    }
+    val (n2, f2) = stats(2)
+    val (n3, f3) = stats(3)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"),
+        n2.as("n_2grams"), f2.as("dup_2gram_frac"),
+        n3.as("n_3grams"), f3.as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+  val q95Sql: String = {
+    def gram(n: Int): String = {
+      val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len(t) - ${n - 2}), i -> $parts)"
+    }
+    def stat(n: Int): (String, String) = {
+      val total = s"CAST(greatest(0, len(t) - ${n - 1}) AS BIGINT)"
+      val dist = s"CAST(coalesce(len(list_distinct(${gram(n)})), 0) AS BIGINT)"
+      (total,
+        s"(CAST($total AS DOUBLE) - CAST($dist AS DOUBLE)) / CAST(greatest(1, $total) AS DOUBLE)")
+    }
+    val (n2, f2) = stat(2)
+    val (n3, f3) = stat(3)
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)
+       |SELECT doc_id,
+       |  $n2 AS n_2grams, $f2 AS dup_2gram_frac,
+       |  $n3 AS n_3grams, $f3 AS dup_3gram_frac
+       |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),
     "q89_stratified_sample"  -> ((q89 _, Some(q89Sql))),
     "q90_tfidf_topterms"     -> ((q90 _, Some(q90Sql))),
-    "q91_ann_pq_adc"         -> ((q91 _, Some(q91Sql)))
+    "q91_ann_pq_adc"         -> ((q91 _, Some(q91Sql))),
+    "q93_sequence_packing"   -> ((q93 _, Some(q93Sql))),
+    "q94_quality_tiers"      -> ((q94 _, Some(q94Sql))),
+    "q95_intradoc_repetition" -> ((q95 _, Some(q95Sql)))
   )
 }

@@ -184,6 +184,22 @@ object PlanCheck {
       p.contains("WindowGroupLimit") && p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") && !p.contains("hashpartitioning(vec_id"))
 
+    // q93: packing parallelizes per source shard — the only exchange below
+    // the presentation sort is the source-key window shuffle, never a
+    // global-order single partition
+    check("q93_sequence_packing", "per-shard prefix sum: source-key window, no join")(p =>
+      p.contains("hashpartitioning(source") && !p.contains("Join") &&
+        !p.split("rangepartitioning", 2).last.contains("SinglePartition"))
+    // q94: quartile thresholds are a broadcast 1-row cross join onto the
+    // per-row tier projection
+    check("q94_quality_tiers", "thresholds broadcast; no cartesian")(p =>
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // q95: the n-gram repetition stats are array expressions per row — no
+    // explode into n-gram rows, no shuffle, no aggregation
+    check("q95_intradoc_repetition", "per-row: no hash shuffle/join/agg/explode")(p =>
+      !p.contains("hashpartitioning") && !p.contains("Join") &&
+        !p.contains("Aggregate") && !p.contains("Generate"))
+
     // ----------------------------------------------------------------
     // AQE skew-join demonstration: a synthetically skewed sort-merge join
     // (99% of 2M left rows on one key) must be split by

@@ -80,6 +80,43 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q93: offsets are exact per-source prefix sums; sequences align") {
+    val rows = graft.queries.LlmOps.q93(spark, d).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      var expected = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(3) == expected,
+          s"$src doc ${r.getLong(1)}: start_offset ${r.getLong(3)} != prefix sum $expected")
+        assert(r.getLong(4) == expected / 256 && r.getLong(5) == expected % 256)
+        expected += r.getLong(2)
+      }
+    }
+  }
+
+  test("q94: tiers are nonempty and strictly ordered by score") {
+    val rows = graft.queries.LlmOps.q94(spark, d).collect()
+    val byTier = rows.groupBy(_.getString(2)).view
+      .mapValues(_.map(_.getLong(1))).toMap
+    assert(byTier.keySet == Set("T1", "T2", "T3", "T4"), s"got tiers ${byTier.keySet}")
+    for ((lo, hi) <- Seq("T1" -> "T2", "T2" -> "T3", "T3" -> "T4"))
+      assert(byTier(lo).max < byTier(hi).min, s"$lo overlaps $hi")
+  }
+
+  test("q95: repetition fractions are in [0,1] and consistent with counts") {
+    val rows = graft.queries.LlmOps.q95(spark, d).collect()
+    rows.foreach { r =>
+      Seq((r.getLong(1), r.getDouble(2)), (r.getLong(3), r.getDouble(4))).foreach {
+        case (n, frac) =>
+          assert(frac >= 0.0 && frac <= 1.0)
+          if (n == 0L) assert(frac == 0.0, s"doc ${r.getLong(0)}: frac without n-grams")
+          // frac must be expressible as dup/n for integer dup
+          else assert((frac * n).round.toDouble / n == frac,
+            s"doc ${r.getLong(0)}: frac $frac not a multiple of 1/$n")
+      }
+    }
+  }
+
   test("span memo: overflow past the row cap falls back to persist") {
     val q80 = graft.SparkEntry.queries("q80_substring_spans")
     graft.queries.DedupSim.invalidateSessionCaches(spark, d)
