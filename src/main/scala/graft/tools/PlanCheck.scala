@@ -201,6 +201,81 @@ object PlanCheck {
         !p.contains("Aggregate") && !p.contains("Generate"))
 
     // ----------------------------------------------------------------
+    // Dynamic partition pruning demonstration: the partitioned corpus
+    // (q77's layout) joined to a FILTERED tiny dim on the partition column
+    // must prune partitions from the dim's runtime result, not scan all of
+    // them — the scan shows a dynamicpruningexpression in PartitionFilters.
+    // This is the join-driven complement of q77's static pruning: at 100 TB
+    // the filter usually lives on a dimension table, not the fact scan.
+    // ----------------------------------------------------------------
+    locally {
+      val q77 = graft.SparkEntry.queries("q77_partition_pruning")
+      q77(spark, sfDir) // ensures the partitioned layout exists
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prevInfer = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try {
+        val tmp = sys.props("java.io.tmpdir")
+        // the dim must be a FILE relation: DPP's benefit estimation declines
+        // a LocalRelation build side (measured here), which is also the
+        // realistic shape — at scale the dim is a table, not literals
+        spark.range(0, 5)
+          .selectExpr(
+            "CASE id WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' ELSE 'zh' END AS lang",
+            "CASE WHEN id < 2 THEN 'keep' ELSE 'drop' END AS action")
+          .write.mode("overwrite").parquet(s"$tmp/graft_dpp_dim")
+        val fact = spark.read.parquet(graft.queries.PipelineQueries.q77OutDir(sfDir))
+        val dim = spark.read.parquet(s"$tmp/graft_dpp_dim").filter("action = 'keep'")
+        val plan = fact.join(dim, "lang").groupBy("lang").count()
+          .queryExecution.executedPlan.toString
+        val ok = "PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined
+        println(f"${if (ok) "PASS" else "FAIL"}%s  dynamic_partition_pruning    dim filter prunes fact partitions at runtime")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevInfer match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+
+    // ----------------------------------------------------------------
+    // Runtime bloom-filter join pruning demonstration: a selective filter
+    // on one join side injects a bloom filter that prunes the other side's
+    // shuffle input at runtime (row-level runtime filtering — the shuffle
+    // analog of DPP). At 100 TB this cuts the big side's shuffle volume to
+    // ~the matching keys before the exchange.
+    // ----------------------------------------------------------------
+    locally {
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        // the application-side gate defaults to 10 GB — far above any local
+        // fixture; at 100 TB the default gate passes on its own
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val tmp = sys.props("java.io.tmpdir")
+        // file relations: InjectRuntimeFilter only treats a selective
+        // filter OVER A SCAN as a creation side, so Range/local relations
+        // don't qualify
+        spark.range(0, 2000000L).selectExpr("id % 100000 AS k", "id AS v")
+          .write.mode("overwrite").parquet(s"$tmp/graft_bloom_fact")
+        spark.range(0, 100000L).selectExpr("id AS k", "id % 17 AS grp")
+          .write.mode("overwrite").parquet(s"$tmp/graft_bloom_dim")
+        val fact = spark.read.parquet(s"$tmp/graft_bloom_fact")
+        val dim = spark.read.parquet(s"$tmp/graft_bloom_dim").filter("grp = 3")
+        val plan = fact.join(dim, "k").groupBy("grp").count()
+          .queryExecution.executedPlan.toString
+        val ok = plan.contains("might_contain") && plan.contains("bloom_filter_agg")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  runtime_bloom_filter         selective dim side injects a bloom filter on the fact scan")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
+    // ----------------------------------------------------------------
     // AQE skew-join demonstration: a synthetically skewed sort-merge join
     // (99% of 2M left rows on one key) must be split by
     // spark.sql.adaptive.skewJoin at runtime — the final adaptive plan marks
