@@ -1166,7 +1166,12 @@ object DedupSim {
     * over positions (codegen-free but per-row — no explode of the corpus
     * into token rows, no shuffle of document text). Docs with no spans
     * pass through whole via the null-interval branch. */
-  def q92(s: SparkSession, d: String): DataFrame = {
+  def q92(s: SparkSession, d: String): DataFrame =
+    strippedDocs(s, d).orderBy(col("doc_id"))
+
+  /** The unordered strip table — q92's body, also consumed by the q96
+    * end-to-end curation pipeline. */
+  private[queries] def strippedDocs(s: SparkSession, d: String): DataFrame = {
     val ivs = mergedDupIntervals(s, d)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("st"), col("en")))).as("ivs"))
@@ -1182,7 +1187,6 @@ object DedupSim {
         size(col("kept_pos")).cast("long").as("kept_tokens"),
         md5(expr("array_join(transform(kept_pos, p -> element_at(t, p)), ' ')"))
           .as("clean_md5"))
-      .orderBy(col("doc_id"))
   }
   val q92Sql: String = {
     val spans = q80Sql.replace("ORDER BY doc_a, doc_b, a_start, b_start", "")

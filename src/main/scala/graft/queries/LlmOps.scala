@@ -32,7 +32,12 @@ object LlmOps {
     * never shuffled; the only exchanges are the tiny eval-side distinct
     * and the per-doc rollup of (rare) hits. PlanCheck asserts the
     * broadcast. */
-  def q88(s: SparkSession, d: String): DataFrame = {
+  def q88(s: SparkSession, d: String): DataFrame =
+    decontamReport(s, d).orderBy(col("doc_id"))
+
+  /** The unordered decontamination report — q88's body, also consumed by
+    * the q96 end-to-end curation pipeline. */
+  private[queries] def decontamReport(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
     val w = toks
@@ -56,7 +61,6 @@ object LlmOps {
               coalesce(col("hit_windows"), lit(0L)).as("hit_windows"),
               coalesce(col("hit_fps"), lit(0L)).as("hit_fps"))
       .withColumn("contaminated", col("hit_windows") > 0)
-      .orderBy(col("doc_id"))
   }
   val q88Sql: String =
     """WITH toks AS (
@@ -363,7 +367,12 @@ object LlmOps {
     * (q75's pattern — fixed-size mergeable sketch instead of exact
     * per-group buffers); the tier assignment itself is per-row either
     * way. */
-  def q94(s: SparkSession, d: String): DataFrame = {
+  def q94(s: SparkSession, d: String): DataFrame =
+    tierAssignments(s, d).orderBy(col("doc_id"))
+
+  /** The unordered tier table — q94's body, also consumed by the q96
+    * end-to-end curation pipeline. */
+  private[queries] def tierAssignments(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d)
       .select(col("doc_id"),
         round(col("n_chars").cast("double") /
@@ -379,7 +388,6 @@ object LlmOps {
           .when(col("score_q6").cast("double") < col("p50"), "T2")
           .when(col("score_q6").cast("double") < col("p75"), "T3")
           .otherwise("T4").as("tier"))
-      .orderBy(col("doc_id"))
   }
   val q94Sql: String =
     """WITH scored AS (
@@ -455,6 +463,70 @@ object LlmOps {
        |FROM toks ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q96
+  /** END-TO-END corpus curation pipeline — the text analog of q30's audio
+    * e2e, composing the round-5 operators into the actual corpus build a
+    * 100 TB pipeline runs:
+    *
+    *   1. DECONTAMINATE (q88): drop eval-slice docs and any train doc
+    *      sharing an 8-token window with the eval set;
+    *   2. STRIP (q92): remove cross-document duplicated spans, keep docs
+    *      retaining >= 50% of their tokens;
+    *   3. QUALITY-GATE (q94): drop the bottom quartile (tier T1);
+    *   4. PACK (q93): cut the survivors' CLEANED token streams into
+    *      256-token training sequences per source shard.
+    *
+    * Output: the packing manifest of the curated corpus. Every stage is
+    * the already-verified operator — the oracle SQL is the literal
+    * composition of their CTEs, so this entry locks the COMPOSITION
+    * (join keys, filter order, survivor arithmetic), not new semantics.
+    * The gate filters are doc_id equi-joins against tiny flag sets; the
+    * pack window is per-source-shard as in q93. */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val strip = graft.queries.DedupSim.strippedDocs(s, d)
+    val clean = decontamReport(s, d)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val goodTier = tierAssignments(s, d)
+      .filter(col("tier") =!= "T1").select(col("doc_id"))
+    val survivors = strip
+      .join(clean, Seq("doc_id"))
+      .join(goodTier, Seq("doc_id"))
+      .filter(col("kept_tokens").cast("double") /
+        greatest(lit(1L), col("n_tokens")).cast("double") >= 0.5)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val prior = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("start_offset", coalesce(sum(col("kept_tokens")).over(prior), lit(0L)))
+      .select(col("source"), col("doc_id"), col("kept_tokens"), col("start_offset"),
+        expr(s"start_offset div $SeqLen").as("seq_idx"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  val q96Sql: String = {
+    val strip = graft.queries.DedupSim.q92Sql.replace("ORDER BY t.doc_id", "")
+    val deco = q88Sql.replace("ORDER BY t.doc_id", "")
+    val tier = q94Sql.replace("ORDER BY doc_id", "")
+    s"""WITH strip AS ($strip),
+       |deco AS ($deco),
+       |tier AS ($tier),
+       |surv AS (
+       |  SELECT d.source, s.doc_id, s.kept_tokens
+       |  FROM strip s
+       |  JOIN deco c USING (doc_id)
+       |  JOIN tier t USING (doc_id)
+       |  JOIN documents d USING (doc_id)
+       |  WHERE NOT c.contaminated AND t.tier <> 'T1'
+       |    AND CAST(s.kept_tokens AS DOUBLE) / CAST(greatest(1, s.n_tokens) AS DOUBLE) >= 0.5),
+       |o AS (
+       |  SELECT source, doc_id, kept_tokens,
+       |    CAST(coalesce(SUM(kept_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM surv)
+       |SELECT source, doc_id, kept_tokens, start_offset,
+       |  CAST(start_offset // $SeqLen AS BIGINT) AS seq_idx
+       |FROM o ORDER BY source, doc_id""".stripMargin
+  }
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),
     "q89_stratified_sample"  -> ((q89 _, Some(q89Sql))),
@@ -462,6 +534,7 @@ object LlmOps {
     "q91_ann_pq_adc"         -> ((q91 _, Some(q91Sql))),
     "q93_sequence_packing"   -> ((q93 _, Some(q93Sql))),
     "q94_quality_tiers"      -> ((q94 _, Some(q94Sql))),
-    "q95_intradoc_repetition" -> ((q95 _, Some(q95Sql)))
+    "q95_intradoc_repetition" -> ((q95 _, Some(q95Sql))),
+    "q96_curation_pipeline_e2e" -> ((q96 _, Some(q96Sql)))
   )
 }

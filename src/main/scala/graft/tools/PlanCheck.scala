@@ -199,6 +199,11 @@ object PlanCheck {
     check("q95_intradoc_repetition", "per-row: no hash shuffle/join/agg/explode")(p =>
       !p.contains("hashpartitioning") && !p.contains("Join") &&
         !p.contains("Aggregate") && !p.contains("Generate"))
+    // q96: four verified operators composed — the only nested-loop join
+    // allowed is q94's intended 1-row threshold broadcast
+    check("q96_curation_pipeline_e2e", "composition stays equi-join (1-row NLJ only)")(p =>
+      !p.contains("CartesianProduct") &&
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
 
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus

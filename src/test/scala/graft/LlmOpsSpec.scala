@@ -117,6 +117,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q96: every gate filters; offsets are prefix sums of CLEANED lengths") {
+    val out = graft.queries.LlmOps.q96(spark, d).collect()
+    assert(out.nonEmpty)
+    val contaminated = graft.queries.LlmOps.q88(spark, d).collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val t1 = graft.queries.LlmOps.q94(spark, d).collect()
+      .filter(_.getString(2) == "T1").map(_.getLong(0)).toSet
+    val strip = graft.queries.DedupSim.q92(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val doc = r.getLong(1)
+      assert(doc % 19 != 0, s"eval doc $doc survived")
+      assert(!contaminated.contains(doc), s"contaminated doc $doc survived")
+      assert(!t1.contains(doc), s"bottom-quartile doc $doc survived")
+      val (n, kept) = strip(doc)
+      assert(kept.toDouble / math.max(1L, n) >= 0.5, s"over-stripped doc $doc survived")
+      assert(r.getLong(2) == kept, s"doc $doc packs raw, not cleaned, length")
+    }
+    out.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      var expected = 0L
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(3) == expected && r.getLong(4) == expected / 256,
+          s"$src doc ${r.getLong(1)}: offset/seq mismatch")
+        expected += r.getLong(2)
+      }
+    }
+  }
+
   test("span memo: overflow past the row cap falls back to persist") {
     val q80 = graft.SparkEntry.queries("q80_substring_spans")
     graft.queries.DedupSim.invalidateSessionCaches(spark, d)
