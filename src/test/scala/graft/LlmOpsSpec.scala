@@ -164,6 +164,32 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stateful streaming is state-backend agnostic: RocksDB == default provider") {
+    // the at-scale state backend: RocksDB keeps streaming state on local
+    // disk instead of the executor heap, the requirement once keyed state
+    // outgrows memory. The stateful span merge (flatMapGroupsWithState,
+    // q87's operator) must produce the identical closed-session set under
+    // either provider — state semantics are backend-invariant.
+    val minUs = 3L * 60 * 1000000
+    val maxUs = 15L * 60 * 1000000
+    def run(name: String): Seq[Seq[Any]] = graft.streaming.Streaming
+      .spanMergeOnce(spark, d, minUs, maxUs, name)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val base = run("backend_default")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run("backend_rocksdb")
+      assert(rocks.nonEmpty && rocks == base,
+        "RocksDB state store diverged from the default provider")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
     val cov = graft.queries.DedupSim.q86(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
