@@ -527,6 +527,55 @@ object LlmOps {
        |FROM o ORDER BY source, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Ordered group concatenation — the deterministic "collect a group in
+    * event order" operator (user journeys, per-doc provenance trails).
+    * Spark's collect_list is ORDER-NONDETERMINISTIC across retries and
+    * partitionings, so the stable formulation is collect structs → sort by
+    * the total (ts, event_id) key → project — stated identically to the
+    * oracle's string_agg(... ORDER BY). Per-group state is the group's own
+    * rows (same bound as any collect); journeys are md5-compressed so the
+    * comparison pins every element and its order without hauling megabyte
+    * strings through the driver. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), s -> s.event_type), '>')"))
+          .as("journey_md5"))
+      .orderBy(col("user_id"))
+  val q97Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  md5(string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS journey_md5
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  /** Exponentially-weighted moving average per user — the sequential-fold
+    * time-series operator (smoothing, drift detection): e_0 = v_0,
+    * e_i = 0.25·v_i + 0.75·e_{i-1} over (ts, event_id) order. A sequential
+    * double fold is only cross-engine-exact if both engines state the SAME
+    * left-to-right reduction — here Spark's aggregate() HOF over the
+    * sorted collected values vs DuckDB's list_reduce over an ordered
+    * list() aggregate, both with first-element initialization. Per-user
+    * fold, one shuffle, group-bounded state. */
+  def q98(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("""aggregate(
+                  transform(array_sort(collect_list(struct(ts_us, event_id, value))),
+                            s -> s.value),
+                  cast(null as double),
+                  (acc, v) -> CASE WHEN acc IS NULL THEN v
+                              ELSE 0.25D * v + 0.75D * acc END)""").as("ewma"))
+      .orderBy(col("user_id"))
+  val q98Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  list_reduce(list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+      |              (acc, v) -> CAST(0.25 AS DOUBLE) * v + CAST(0.75 AS DOUBLE) * acc) AS ewma
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),
     "q89_stratified_sample"  -> ((q89 _, Some(q89Sql))),
@@ -535,6 +584,8 @@ object LlmOps {
     "q93_sequence_packing"   -> ((q93 _, Some(q93Sql))),
     "q94_quality_tiers"      -> ((q94 _, Some(q94Sql))),
     "q95_intradoc_repetition" -> ((q95 _, Some(q95Sql))),
-    "q96_curation_pipeline_e2e" -> ((q96 _, Some(q96Sql)))
+    "q96_curation_pipeline_e2e" -> ((q96 _, Some(q96Sql))),
+    "q97_ordered_group_concat" -> ((q97 _, Some(q97Sql))),
+    "q98_ewma"               -> ((q98 _, Some(q98Sql)))
   )
 }

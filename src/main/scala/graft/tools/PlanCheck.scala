@@ -204,6 +204,15 @@ object PlanCheck {
     check("q96_curation_pipeline_e2e", "composition stays equi-join (1-row NLJ only)")(p =>
       !p.contains("CartesianProduct") &&
         "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    // q97/q98: order-sensitive group folds are ONE user_id shuffle — the
+    // sort lives inside the per-group array expression, never as a plan
+    // Sort/Window below the aggregate
+    check("q97_ordered_group_concat", "one group shuffle, no window/join")(p =>
+      p.contains("hashpartitioning(user_id") && !p.contains("Join") &&
+        !p.contains("Window"))
+    check("q98_ewma", "one group shuffle, no window/join")(p =>
+      p.contains("hashpartitioning(user_id") && !p.contains("Join") &&
+        !p.contains("Window"))
 
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus

@@ -164,6 +164,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q97/q98: order-sensitive folds are partitioning-invariant") {
+    // collect_list order varies with physical layout; the array_sort
+    // formulation must erase that — identical results under an adversarial
+    // repartitioning of the input
+    val ev = graft.core.Tables.events(spark, d)
+    def journey(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg(md5(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), s -> s.event_type), '>')"))
+        .as("j"))
+      .orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    assert(journey(ev) == journey(ev.repartition(7, col("event_id"))))
+    // EWMA: driver-side replica of the fold over (ts_us, event_id) order
+    val rows = ev.select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).view.mapValues { g =>
+      g.sortBy(e => (e._2, e._3)).map(_._4).reduceLeft((acc, v) => 0.25 * v + 0.75 * acc)
+    }.toMap
+    graft.queries.LlmOps.q98(spark, d).collect().foreach { r =>
+      assert(r.getDouble(2) == expected(r.getLong(0)),
+        s"user ${r.getLong(0)}: ewma ${r.getDouble(2)} != replica ${expected(r.getLong(0))}")
+    }
+  }
+
   test("stateful streaming is state-backend agnostic: RocksDB == default provider") {
     // the at-scale state backend: RocksDB keeps streaming state on local
     // disk instead of the executor heap, the requirement once keyed state
