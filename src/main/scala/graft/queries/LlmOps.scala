@@ -576,6 +576,37 @@ object LlmOps {
       |              (acc, v) -> CAST(0.25 AS DOUBLE) * v + CAST(0.75 AS DOUBLE) * acc) AS ewma
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** VARIANT-typed semi-structured access (Spark 4's open-format binary
+    * JSON): props parses ONCE into a variant value, typed paths extract
+    * with variant_get — the columnar-shredding-friendly encoding that
+    * replaces per-access JSON string re-parsing (q48's
+    * get_json_object path) at scale. Extraction results must agree
+    * exactly with the string-path oracle; the synthetic second field
+    * exercises a nested path through the same variant value. */
+  def q99(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      // widen the JSON: nest the scalar under meta so one parse serves
+      // two typed paths (the variant point — parse once, extract many)
+      .withColumn("doc", concat(lit("{\"meta\":{\"src\":\"e"),
+        (col("event_id") % 5).cast("string"), lit("\"},\"payload\":"), col("props"), lit("}")))
+      .withColumn("v", parse_json(col("doc")))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.payload.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.meta.src', 'string')").as("src"),
+        expr("variant_get(v, '$.missing', 'bigint') IS NULL").as("missing_absent"))
+      .orderBy(col("event_id"))
+  val q99Sql: String =
+    """WITH j AS (
+      |  SELECT event_id,
+      |    '{"meta":{"src":"e' || CAST(event_id % 5 AS VARCHAR) || '"},"payload":' || props || '}' AS doc
+      |  FROM events)
+      |SELECT event_id,
+      |  TRY_CAST(json_extract_string(doc, '$.payload.k') AS BIGINT) AS k,
+      |  json_extract_string(doc, '$.meta.src') AS src,
+      |  TRY_CAST(json_extract_string(doc, '$.missing') AS BIGINT) IS NULL AS missing_absent
+      |FROM j ORDER BY event_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),
     "q89_stratified_sample"  -> ((q89 _, Some(q89Sql))),
@@ -586,6 +617,7 @@ object LlmOps {
     "q95_intradoc_repetition" -> ((q95 _, Some(q95Sql))),
     "q96_curation_pipeline_e2e" -> ((q96 _, Some(q96Sql))),
     "q97_ordered_group_concat" -> ((q97 _, Some(q97Sql))),
-    "q98_ewma"               -> ((q98 _, Some(q98Sql)))
+    "q98_ewma"               -> ((q98 _, Some(q98Sql))),
+    "q99_variant_extract"    -> ((q99 _, Some(q99Sql)))
   )
 }
