@@ -302,7 +302,31 @@ object Relational7 {
       |  TRUE AS acd_within_15pct, TRUE AS p50_within_5pct, TRUE AS p90_within_5pct
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** LATERAL correlated subquery with per-row LIMIT — "each customer's two
+    * most expensive orders" stated as the SQL-standard lateral join. The
+    * interesting part is what Catalyst does with it: the per-row
+    * correlated LIMIT decorrelates into a WindowGroupLimit (bounded heap
+    * per o_custkey) + plain equi-join — i.e. the optimizer derives q66's
+    * top-k-per-group shape from the lateral formulation, so the "run a
+    * subquery per outer row" semantics costs one group-limit pass and one
+    * join at any scale (PlanCheck pins that derivation). Both engines
+    * execute the identical SQL text. */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q100Sql)
+  }
+  val q100Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q100_lateral_topk"  -> ((q100 _, Some(q100Sql))),
     "q75_approx_aggregates" -> ((q75 _, Some(q75Sql))),
     "q66_topk_native"    -> ((q66 _, Some(q66Sql))),
     "q67_exists_subqueries" -> ((q67 _, Some(q67Sql))),

@@ -213,6 +213,12 @@ object PlanCheck {
     check("q98_ewma", "one group shuffle, no window/join")(p =>
       p.contains("hashpartitioning(user_id") && !p.contains("Join") &&
         !p.contains("Window"))
+    // q100: the correlated per-row LIMIT must decorrelate into a bounded
+    // group-limit + equi-join — never a per-outer-row nested loop
+    check("q100_lateral_topk", "lateral LIMIT decorrelates to WindowGroupLimit + hash join")(p =>
+      p.contains("WindowGroupLimit") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
 
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
