@@ -94,4 +94,43 @@ object Sessionize {
               col("sumValue").as("sum_q6"))
       .orderBy(col("key"), col("start_us"))
   }
+
+  final case class KeyedValue(key: Long, tsUs: Long, seq: Long, value: Double)
+  final case class EwmaResult(key: Long, nEvents: Long, ewma: Double)
+
+  /** EWMA as a secondary-sort fold — the O(1)-heap-per-key scale path for
+    * q98's recurrence (e_0 = v_0, e_i = α·v_i + (1-α)·e_{i-1}). The HOF
+    * formulation (LlmOps.q98) collects and sorts each key's values inside
+    * the aggregate — per-key memory is the group itself, which is the
+    * right plan until a key is pathologically hot. This operator is the
+    * same trade [[spanMerge]] makes for sessions: repartition on key,
+    * sort runs within partitions, fold left-to-right holding two scalars.
+    * The fold ORDER is identical to the HOF's array_sort order
+    * ((key, tsUs, seq) with unique seq), so results are BIT-IDENTICAL —
+    * LlmOpsSpec asserts exact equality between the two paths. */
+  def ewmaFold(events: Dataset[KeyedValue], alpha: Double): Dataset[EwmaResult] = {
+    import events.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    events
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsUs"), col("seq"))
+      .mapPartitions { it =>
+        new scala.collection.AbstractIterator[EwmaResult] {
+          private val buf = it.buffered
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): EwmaResult = {
+            val first = buf.next()
+            val key = first.key
+            var acc = first.value
+            var n = 1L
+            while (buf.hasNext && buf.head.key == key) {
+              val e = buf.next()
+              acc = alpha * e.value + beta * acc
+              n += 1
+            }
+            EwmaResult(key, n, acc)
+          }
+        }
+      }
+  }
 }

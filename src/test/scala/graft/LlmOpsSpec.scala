@@ -188,6 +188,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q98's HOF fold == Sessionize.ewmaFold secondary-sort path, bit-exact") {
+    // the two formulations of the same recurrence: per-group collect+sort
+    // inside an aggregate (q98) vs the O(1)-heap secondary-sort operator
+    // (the hot-key scale path). Same fold order -> identical doubles.
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, d)
+      .selectExpr("user_id AS key", "ts_us AS tsUs", "event_id AS seq", "value")
+      .as[graft.ops.Sessionize.KeyedValue]
+    val folded = graft.ops.Sessionize.ewmaFold(ev, alpha = 0.25).collect()
+      .map(r => r.key -> (r.nEvents, r.ewma)).toMap
+    val hof = graft.queries.LlmOps.q98(spark, d).collect()
+    assert(hof.nonEmpty && hof.length == folded.size)
+    hof.foreach { r =>
+      val (n, e) = folded(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == e,
+        s"user ${r.getLong(0)}: HOF ${r.getDouble(2)} != secondary-sort $e")
+    }
+  }
+
   test("stateful streaming is state-backend agnostic: RocksDB == default provider") {
     // the at-scale state backend: RocksDB keeps streaming state on local
     // disk instead of the executor heap, the requirement once keyed state
