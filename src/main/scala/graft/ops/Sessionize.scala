@@ -108,6 +108,46 @@ object Sessionize {
     * The fold ORDER is identical to the HOF's array_sort order
     * ((key, tsUs, seq) with unique seq), so results are BIT-IDENTICAL —
     * LlmOpsSpec asserts exact equality between the two paths. */
+  final case class KeyedToken(key: Long, tsUs: Long, seq: Long, token: String)
+  final case class ConcatDigest(key: Long, nEvents: Long, journeyMd5: String)
+
+  /** Ordered group concat as a ROLLING DIGEST — the constant-memory scale
+    * path for q97: instead of materializing each key's joined journey
+    * string (O(journey) heap in both the collect aggregate and any
+    * string_agg), the secondary-sort fold feeds each token (and the '>'
+    * separator between tokens) straight into an incremental MD5. Per key
+    * the heap holds one MessageDigest — however long the journey. Byte
+    * stream equals UTF-8(array_join(tokens, ">")), so the hex digest is
+    * IDENTICAL to q97's md5-of-joined-string (LlmOpsSpec asserts it). */
+  def orderedConcatMd5(events: Dataset[KeyedToken]): Dataset[ConcatDigest] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsUs"), col("seq"))
+      .mapPartitions { it =>
+        val sep = ">".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        new scala.collection.AbstractIterator[ConcatDigest] {
+          private val buf = it.buffered
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): ConcatDigest = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val first = buf.next()
+            val key = first.key
+            md.update(first.token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var n = 1L
+            while (buf.hasNext && buf.head.key == key) {
+              val e = buf.next()
+              md.update(sep)
+              md.update(e.token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              n += 1
+            }
+            ConcatDigest(key, n,
+              md.digest().map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+  }
+
   def ewmaFold(events: Dataset[KeyedValue], alpha: Double): Dataset[EwmaResult] = {
     import events.sparkSession.implicits._
     val beta = 1.0 - alpha

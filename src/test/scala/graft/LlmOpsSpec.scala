@@ -188,6 +188,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q97's journey md5 == Sessionize.orderedConcatMd5 rolling digest") {
+    // the constant-memory path: same byte stream fed incrementally into
+    // MD5 instead of materializing the joined journey string
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, d)
+      .selectExpr("user_id AS key", "ts_us AS tsUs", "event_id AS seq",
+        "event_type AS token")
+      .as[graft.ops.Sessionize.KeyedToken]
+    val rolled = graft.ops.Sessionize.orderedConcatMd5(ev).collect()
+      .map(r => r.key -> (r.nEvents, r.journeyMd5)).toMap
+    val hof = graft.queries.LlmOps.q97(spark, d).collect()
+    assert(hof.nonEmpty && hof.length == rolled.size)
+    hof.foreach { r =>
+      val (n, m) = rolled(r.getLong(0))
+      assert(r.getLong(1) == n && r.getString(2) == m,
+        s"user ${r.getLong(0)}: digest paths diverge")
+    }
+  }
+
   test("q98's HOF fold == Sessionize.ewmaFold secondary-sort path, bit-exact") {
     // the two formulations of the same recurrence: per-group collect+sort
     // inside an aggregate (q98) vs the O(1)-heap secondary-sort operator
