@@ -325,7 +325,61 @@ object Relational7 {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Calendar densification via a RECURSIVE CTE (Spark 4's WITH RECURSIVE):
+    * build the complete month spine from MIN to MAX order month by
+    * recursive +1-month steps, left-join the monthly aggregate, zero-fill
+    * gaps — the standard "no missing buckets in the report" warehouse pass.
+    * The spine is bounds-driven (the recursion carries its own stop month),
+    * so the same query adapts to any date range; months emit as strings
+    * (never raw timestamps — cross-engine parity rule). The recursion depth
+    * is months-between (~80 here), far under Spark's recursion-level guard;
+    * at scale the spine is rows-of-months (trivial) and the join is a
+    * broadcast of the spine onto the aggregate. */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT to_date(date_trunc('MONTH', MIN(o_orderdate))) AS mn,
+        |         to_date(date_trunc('MONTH', MAX(o_orderdate))) AS mx
+        |  FROM orders),
+        |spine(mon, mx) AS (
+        |  SELECT mn, mx FROM bounds
+        |  UNION ALL
+        |  SELECT add_months(mon, 1), mx FROM spine WHERE mon < mx),
+        |agg AS (
+        |  SELECT to_date(date_trunc('MONTH', o_orderdate)) AS mon,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY 1)
+        |SELECT date_format(s.mon, 'yyyy-MM') AS month,
+        |  coalesce(a.n_orders, 0L) AS n_orders,
+        |  coalesce(a.sum_price, 0.0D) AS sum_price
+        |FROM spine s LEFT JOIN agg a ON a.mon = s.mon
+        |ORDER BY month""".stripMargin)
+  }
+  val q101Sql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+      |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+      |  FROM orders),
+      |spine(mon, mx) AS (
+      |  SELECT mn, mx FROM bounds
+      |  UNION ALL
+      |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE mon < mx),
+      |agg AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+      |         COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM orders GROUP BY 1)
+      |SELECT strftime(s.mon, '%Y-%m') AS month,
+      |  coalesce(a.n_orders, 0) AS n_orders,
+      |  coalesce(a.sum_price, 0.0) AS sum_price
+      |FROM spine s LEFT JOIN agg a ON a.mon = s.mon
+      |ORDER BY month""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q101_month_spine"   -> ((q101 _, Some(q101Sql))),
     "q100_lateral_topk"  -> ((q100 _, Some(q100Sql))),
     "q75_approx_aggregates" -> ((q75 _, Some(q75Sql))),
     "q66_topk_native"    -> ((q66 _, Some(q66Sql))),
