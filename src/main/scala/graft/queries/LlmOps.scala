@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Training-corpus curation operators beyond dedup/similarity: benchmark
-  * decontamination, weighted stratified sampling (data mixing), and TF-IDF
-  * term scoring. These are the remaining workhorse passes of an LLM data
-  * pipeline that had no board entry — each is stated as the plan you would
-  * run at 100 TB (broadcast the small side, per-row projections for
-  * sampling, rank-filter windows that Spark 4 rewrites to group-limits).
+/** Training-corpus curation operators beyond dedup/similarity — the
+  * remaining workhorse passes of an LLM data pipeline: benchmark
+  * decontamination (q88), weighted stratified sampling / data mixing
+  * (q89), TF-IDF term scoring (q90), product-quantization ANN (q91),
+  * training-sequence packing (q93), quality-tier bucketing (q94),
+  * intra-document repetition (q95), the end-to-end curation pipeline
+  * composing them (q96), order-sensitive group folds (q97 journey concat,
+  * q98 EWMA — hot-key twins in ops/Sessionize), and VARIANT-typed
+  * semi-structured access (q99). Each is stated as the plan you would run
+  * at 100 TB: broadcast the small side, per-row projections for sampling
+  * and scoring, rank-filter windows that Spark 4 rewrites to group-limits.
   *
   * Generalizes the reference's corpus hygiene steps (dedup via UNIQUE keys,
   * quality gates — /root/reference/process_audio.py:62,155) to the
