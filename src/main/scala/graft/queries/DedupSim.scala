@@ -1221,7 +1221,109 @@ object DedupSim {
        |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q102
+  /** Text↔embedding consistency audit — cross-modal QA over the dedup
+    * pipeline: every TEXTUALLY verified near-dup pair (q45's LSH→Jaccard
+    * edges) is scored by the cosine of its members' embeddings; a pair
+    * that is word-identical but embedding-divergent is flagged suspicious
+    * (stale embedding, mislabeled row, or a hash collision worth a look).
+    * The pair set is tiny against the corpus, so it BROADCASTS onto the
+    * embedding table's two id-joins; the cosine runs in the codegen'd
+    * dot_f32 kernel. This is the join the reference's single-modality
+    * pipeline cannot express — text and vector evidence cross-checked in
+    * one plan. */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val pairs = q45(s, d) // (doc_a, doc_b, jaccard) — cached candidate path
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
+    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
+    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
+    emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+      .join(broadcast(pairs), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("cosine"),
+        (col("cosine") < 0.9).as("suspicious"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q102Sql: String = {
+    val pairs = q45Sql.replace("ORDER BY doc_a, doc_b", "")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""WITH pairs AS ($pairs),
+       |x AS (
+       |  SELECT p.doc_a, p.doc_b, p.jaccard,
+       |    ${fold("ea.embedding", "eb.embedding")} AS dot,
+       |    ${fold("ea.embedding", "ea.embedding")} AS na,
+       |    ${fold("eb.embedding", "eb.embedding")} AS nb
+       |  FROM pairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.doc_a
+       |  JOIN embeddings eb ON eb.vec_id = p.doc_b)
+       |SELECT doc_a, doc_b, jaccard, dot/(sqrt(na)*sqrt(nb)) AS cosine,
+       |  dot/(sqrt(na)*sqrt(nb)) < 0.9 AS suspicious
+       |FROM x ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q103
+  /** Bucketed hard-negative mining — the contrastive-training data op:
+    * for EVERY vector, the top-2 most-similar neighbors carrying a
+    * DIFFERENT label, candidates restricted to the vector's LSH bucket
+    * (q29's hyperplane cells) so the search is Σ bucket² work, never N².
+    * High-cosine different-label neighbors are exactly the "hard
+    * negatives" a contrastive objective needs; the bucket restriction is
+    * the stated recall trade (multi-probe widens it, q59). The rank
+    * filter is a WindowGroupLimit bounded heap per anchor. */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val signs = planeSigns
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketColNative(signs, "embedding"))
+    val a = emb.select(col("bucket"), col("vec_id"), col("label"), col("embedding").as("ea"))
+    val c = emb.select(col("bucket"), col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("embedding").as("eb"))
+    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
+    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
+    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neg_id"))
+    a.join(c, Seq("bucket"))
+      .filter(col("label") =!= col("neg_label"))
+      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("neg_id"), col("neg_label").cast("long").as("neg_label"), col("cosine"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+  val q103Sql: String = {
+    val signs = planeSigns
+    def projSql(e: String, j: Int): String = {
+      val arr = signs(j).mkString("[", ",", "]")
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($e[i] AS DOUBLE) * ($arr)[i]), (a,b) -> a+b)"
+    }
+    val bucketSql = (0 until NPlanes)
+      .map(j => s"(CASE WHEN ${projSql("embedding", j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""WITH be AS (
+       |  SELECT vec_id, label, embedding, $bucketSql AS bucket FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id, c.vec_id AS neg_id, c.label AS neg_label,
+       |    ${fold("a.embedding", "c.embedding")} AS dot,
+       |    ${fold("a.embedding", "a.embedding")} AS na,
+       |    ${fold("c.embedding", "c.embedding")} AS nb
+       |  FROM be a JOIN be c ON a.bucket = c.bucket AND a.label <> c.label),
+       |r AS (
+       |  SELECT vec_id, neg_id, neg_label, dot/(sqrt(na)*sqrt(nb)) AS cosine,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, neg_id) AS rnk
+       |  FROM p)
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neg_id,
+       |  CAST(neg_label AS BIGINT) AS neg_label, cosine
+       |FROM r WHERE rnk <= 2 ORDER BY vec_id, rnk""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q102_crossmodal_consistency" -> ((q102 _, Some(q102Sql))),
+    "q103_hard_negatives"   -> ((q103 _, Some(q103Sql))),
     "q80_substring_spans"   -> ((q80 _, Some(q80Sql))),
     "q86_dup_token_coverage" -> ((q86 _, Some(q86Sql))),
     "q92_strip_dup_spans"   -> ((q92 _, Some(q92Sql))),

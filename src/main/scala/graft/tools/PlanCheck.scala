@@ -213,6 +213,15 @@ object PlanCheck {
     check("q98_ewma", "one group shuffle, no window/join")(p =>
       p.contains("hashpartitioning(user_id") && !p.contains("Join") &&
         !p.contains("Window"))
+    // q102: the verified pair set broadcasts onto both embedding id-joins
+    check("q102_crossmodal_consistency", "pair set broadcasts; equi-joins only")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    // q103: bucket-restricted negatives — equi-join on the cell code plus
+    // a bounded-heap rank filter, never an all-pairs product
+    check("q103_hard_negatives", "bucket equi-join + WindowGroupLimit, no cartesian")(p =>
+      p.contains("WindowGroupLimit") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     // q100: the correlated per-row LIMIT must decorrelate into a bounded
     // group-limit + equi-join — never a per-outer-row nested loop
     check("q100_lateral_topk", "lateral LIMIT decorrelates to WindowGroupLimit + hash join")(p =>
