@@ -23,6 +23,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("board integrity: 103 uniquely-named entries, every oracle key resolves") {
+    // SparkEntry merges per-file defs maps with ++, which would SILENTLY
+    // drop an entry on a duplicated query name — pin the census so a
+    // collision fails loudly instead of shrinking the board
+    val qs = graft.SparkEntry.queries
+    assert(qs.size == 103, s"expected 103 board entries, got ${qs.size}")
+    val oracle = graft.SparkEntry.oracleSql
+    assert(oracle.size == 102, s"expected 102 oracle entries, got ${oracle.size}")
+    assert(oracle.keySet.subsetOf(qs.keySet))
+    assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
+      "only the audio e2e may be rows-only")
+  }
+
   test("q88: eval docs never appear; hit counts are bounded by window counts") {
     val out = graft.queries.LlmOps.q88(spark, d).collect()
     assert(out.nonEmpty)
