@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.DedupSim.defs ++
       graft.queries.DedupSim.defs2 ++
       graft.queries.LlmOps.defs ++
+      graft.queries.DataOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

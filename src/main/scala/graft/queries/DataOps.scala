@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Dataset-management operators a 100 TB pipeline runs between queries:
+  * snapshot DIFF (change-data-capture between two table versions, q104)
+  * and MERGE/upsert application of a changefeed (q105). The two are
+  * mutually verifying — q105 applies q104's change set to the old
+  * snapshot and must reproduce the new one, and its oracle recomputes the
+  * new snapshot independently, so a bug in either diff or merge breaks
+  * the hash gate.
+  *
+  * The reference's closest analog is its INSERT-OR-IGNORE append
+  * (/root/reference/process_audio.py:62,378) — insert-only, no update or
+  * delete detection; these generalize that to the full I/U/D changefeed a
+  * versioned dataset needs.
+  */
+object DataOps {
+
+  // ---------------------------------------------------------------- q104
+  /** Snapshot diff (CDC): given two versions of the orders table, emit the
+    * changefeed — rows only in v2 (op=I), rows only in v1 (op=D), and rows
+    * whose tracked column changed (op=U). Both versions derive
+    * deterministically from the driver's orders table: v1 lacks keys
+    * ending in 3 (later inserts), v2 lacks keys ending in 7 (deletes), and
+    * v2 reprices keys divisible by 5 (+1000.0 — an exact IEEE add, so both
+    * engines agree bit-for-bit).
+    *
+    * Scale shape: ONE full-outer join keyed on the snapshot key. With both
+    * snapshots bucketed/partitioned on that key (how versioned tables are
+    * laid out at 100 TB) this is an exchange-free zipper merge; unchanged
+    * rows — the overwhelming majority of a real diff — are filtered before
+    * any downstream work. The change predicate compares columns, never
+    * hashes whole rows. o_totalprice is non-null in this schema; nullable
+    * tracked columns would swap =!= for a null-safe inequality. */
+  def q104(s: SparkSession, d: String): DataFrame =
+    changeSet(s, d).orderBy(col("o_orderkey"))
+
+  /** v1: the "old" snapshot. */
+  private def snapV1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+
+  /** v2: the "new" snapshot — deletes keys ending in 7, reprices keys
+    * divisible by 5. */
+  private def snapV2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("new_price"))
+
+  /** The unordered changefeed — q104's body, also consumed by q105. */
+  private[queries] def changeSet(s: SparkSession, d: String): DataFrame = {
+    val v1 = snapV1(s, d).withColumnRenamed("o_orderkey", "k1")
+    val v2 = snapV2(s, d).withColumnRenamed("o_orderkey", "k2")
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .withColumn("op",
+        when(col("k1").isNull, "I")
+          .when(col("k2").isNull, "D")
+          .when(col("old_price") =!= col("new_price"), "U"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        col("op"), col("old_price"), col("new_price"))
+  }
+
+  val q104Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k1, o_totalprice AS old_price
+      |  FROM orders WHERE o_orderkey % 10 <> 3),
+      |v2 AS (
+      |  SELECT o_orderkey AS k2,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS new_price
+      |  FROM orders WHERE o_orderkey % 10 <> 7)
+      |SELECT coalesce(k1, k2) AS o_orderkey,
+      |  CASE WHEN k1 IS NULL THEN 'I'
+      |       WHEN k2 IS NULL THEN 'D'
+      |       WHEN old_price <> new_price THEN 'U' END AS op,
+      |  old_price, new_price
+      |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+      |WHERE k1 IS NULL OR k2 IS NULL OR old_price <> new_price
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  /** MERGE / upsert: apply q104's changefeed to the OLD snapshot — delete
+    * the D keys, overwrite the U keys with their new price, append the I
+    * rows — and emit the merged table. The oracle recomputes the NEW
+    * snapshot directly from orders, so the gate verifies the round trip
+    * merge(v1, diff(v1, v2)) == v2 through two independent derivations.
+    *
+    * Scale shape: a changefeed is small against the snapshot (here ~28% by
+    * construction; single-digit percent in practice), so it BROADCASTS
+    * onto the snapshot's scan — the big side never shuffles. The merge is
+    * one left join (D filtered, U coalesced) plus a union of the inserts;
+    * writing the result partitioned on the key keeps the next diff/merge
+    * cycle exchange-free. */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    // drop the changefeed's old_price: v1 already carries it, and the merge
+    // decision needs only (key, op, new_price)
+    val ch = changeSet(s, d).select(col("o_orderkey"), col("op"), col("new_price"))
+    val merged = snapV1(s, d)
+      .join(broadcast(ch), Seq("o_orderkey"), "left")
+      .filter(col("op").isNull || col("op") === "U")
+      .select(col("o_orderkey"),
+        when(col("op") === "U", col("new_price"))
+          .otherwise(col("old_price")).as("o_totalprice"))
+      .unionByName(
+        ch.filter(col("op") === "I")
+          .select(col("o_orderkey"), col("new_price").as("o_totalprice")))
+    merged.orderBy(col("o_orderkey"))
+  }
+  val q105Sql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 10 <> 7
+      |ORDER BY o_orderkey""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q104_snapshot_diff" -> ((q104 _, Some(q104Sql))),
+    "q105_merge_apply"   -> ((q105 _, Some(q105Sql))))
+}

@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 103 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 105 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 103, s"expected 103 board entries, got ${qs.size}")
+    assert(qs.size == 105, s"expected 105 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 102, s"expected 102 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 104, s"expected 104 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -264,6 +264,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  test("q104/q105: diff ops partition by construction; merge reproduces v2") {
+    val ch = graft.queries.DataOps.q104(spark, d).collect()
+    assert(ch.nonEmpty)
+    ch.foreach { r =>
+      val (k, op) = (r.getLong(0), r.getString(1))
+      op match {
+        case "I" =>
+          assert(k % 10 == 3 && r.isNullAt(2), s"insert row $k malformed")
+        case "D" =>
+          assert(k % 10 == 7 && r.isNullAt(3), s"delete row $k malformed")
+        case "U" =>
+          assert(k % 5 == 0 && r.getDouble(3) == r.getDouble(2) + 1000.0,
+            s"update row $k: price delta is not the stated repricing")
+        case other => fail(s"unknown op $other")
+      }
+    }
+    assert(Set("I", "D", "U").subsetOf(ch.map(_.getString(1)).toSet),
+      "the derived snapshots must exercise all three change ops")
+    // round trip INSIDE Spark too (the oracle checks it cross-engine):
+    // applying the changefeed to v1 must reproduce v2 exactly
+    val merged = graft.queries.DataOps.q105(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val v2 = spark.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(merged == v2, "merge(v1, diff(v1,v2)) != v2")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
