@@ -680,19 +680,23 @@ object DedupSim {
   private val IvfCells = 16
   private val IvfProbes = 4
 
-  def q59(s: SparkSession, d: String): DataFrame = {
+  /** The literal-codebook cell-score expression builder — shared by q59
+    * (ANN search), q106 (recall eval) and q107 (Lloyd M-step).
+    *
+    * The coarse codebook is tiny and FIXED (16 seed vectors standing in for
+    * an offline k-means codebook), so collect it once at plan-build time and
+    * embed it as literals. Cell assignment then becomes a pure per-row
+    * projection: all 16 scores in one expression tree, argmin by
+    * lexicographic struct-min — ZERO explode, ZERO shuffle. The round-2
+    * formulation (crossJoin seeds + row_number window) shuffled 16N rows
+    * for the same per-row decision; at 100× the corpus that shuffle is the
+    * operator's bottleneck, this projection is free. Scores are the same
+    * dot_f32 IEEE folds (the seed-norm literal folds constant-fold through
+    * the identical interpreted loop), so assignments match the oracle
+    * bit-for-bit. Returns the embeddings table plus the score-array builder:
+    * an array of (score, seed_id) structs, one entry per codebook cell. */
+  private def ivfCellScores(s: SparkSession, d: String): (DataFrame, Column => Column) = {
     val emb = Tables.embeddings(s, d)
-    // The coarse codebook is tiny and FIXED (16 seed vectors standing in for
-    // an offline k-means codebook), so collect it once at plan-build time and
-    // embed it as literals. Cell assignment then becomes a pure per-row
-    // projection: all 16 scores in one expression tree, argmin by
-    // lexicographic struct-min — ZERO explode, ZERO shuffle. The round-2
-    // formulation (crossJoin seeds + row_number window) shuffled 16N rows
-    // for the same per-row decision; at 100× the corpus that shuffle is the
-    // operator's bottleneck, this projection is free. Scores are the same
-    // dot_f32 IEEE folds (the seed-norm literal folds constant-fold through
-    // the identical interpreted loop), so assignments match the oracle
-    // bit-for-bit.
     val vecIdType = emb.schema("vec_id").dataType
     val seeds: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").cast("long"), col("embedding"))
@@ -708,7 +712,6 @@ object DedupSim {
         (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
       }
       .sortBy(_._1)
-    /** Array of (score, seed_id) structs — one entry per codebook cell. */
     def cellScores(embCol: Column): Column = array(seeds.map { case (sid, ce) =>
       val ceL = typedLit(ce)
       struct(
@@ -716,10 +719,25 @@ object DedupSim {
          lit(2.0) * graft.functions.GraftFunctions.dotF32(embCol, ceL)).as("score"),
         lit(sid).cast(vecIdType).as("seed_id"))
     }: _*)
-    // nearest cell = lexicographic min over (score, seed_id): same argmin +
-    // tie-break the window ORDER BY (score, seed_id) stated
-    val assign = emb.select(col("vec_id"), col("embedding"),
+    (emb, cellScores)
+  }
+
+  /** Every vector with its nearest codebook cell — the IVF E-step as a pure
+    * projection. Nearest cell = lexicographic min over (score, seed_id):
+    * same argmin + tie-break the oracle's window ORDER BY (score, seed_id)
+    * states. */
+  private def ivfAssignFrom(emb: DataFrame, cellScores: Column => Column): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
       array_min(cellScores(col("embedding"))).getField("seed_id").as("cell"))
+
+  private[graft] def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val (emb, cellScores) = ivfCellScores(s, d)
+    ivfAssignFrom(emb, cellScores)
+  }
+
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val (emb, cellScores) = ivfCellScores(s, d)
+    val assign = ivfAssignFrom(emb, cellScores)
     // queries probe their 4 nearest cells: sort the 16-struct array, take 4 —
     // still a projection; the explode is on the 5-query side only
     val probes = emb.filter(col("vec_id") < 5)
@@ -1321,9 +1339,120 @@ object DedupSim {
        |FROM r WHERE rnk <= 2 ORDER BY vec_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q106
+  /** ANN recall@k evaluation — the index-quality eval every ANN deployment
+    * runs before trusting its index: for each of the 5 query vectors,
+    * compare the IVF multi-probe top-3 (q59) against the brute-force exact
+    * top-3 ground truth and report hits + recall@3. Both rankings share the
+    * codegen'd dot_f32 cosine and the (cosine DESC, vec_id) tie-break, so
+    * recall measures exactly what the index DROPS (unprobed cells), never
+    * floating-point disagreement.
+    *
+    * Scale shape: ground truth is the q27-style 5-row broadcast scan (the
+    * eval query set is always tiny — this is an audit, not a serving path);
+    * the comparison join and rollup touch 15 rows. At 100 TB the exact side
+    * is the only full scan, and it is one pass. */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
+    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
+    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val ivf = q59(s, d).select(col("q_id"), col("vec_id"))
+    val hits = exact.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_at_3", col("hits").cast("double") / 3.0)
+      .orderBy(col("q_id"))
+  }
+  val q106Sql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    val ivf = q59Sql.replace("ORDER BY q_id, rnk", "")
+    s"""WITH ivf AS (SELECT q_id, vec_id FROM ($ivf) t),
+       |ep AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    ${fold("q.embedding", "e.embedding")} AS dot,
+       |    ${fold("q.embedding", "q.embedding")} AS nq,
+       |    ${fold("e.embedding", "e.embedding")} AS nc
+       |  FROM embeddings e JOIN embeddings q
+       |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |    FROM ep) WHERE rnk <= 3),
+       |h AS (
+       |  SELECT ex.q_id, COUNT(*) AS hits FROM ex
+       |  JOIN ivf ON ex.q_id = ivf.q_id AND ex.vec_id = ivf.vec_id
+       |  GROUP BY ex.q_id)
+       |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN h USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q107
+  /** One k-means Lloyd iteration over the embedding corpus — the training
+    * step that turns q59's stand-in codebook into a real one: E-step
+    * assigns every vector to its nearest codebook cell (the literal-
+    * projection argmin, zero shuffle), M-step recomputes each cell's
+    * centroid through the typed CentroidAggregator (integer-quantized
+    * element sums — order-independent exact arithmetic, ONE buffer per
+    * cell instead of 64 exploded rows per vector). Output long-form
+    * (cell, pos, mean_q6); iterating this query is Lloyd's algorithm.
+    *
+    * Scale shape: the only exchange is 16 cell buffers; the 64N explode in
+    * the oracle's formulation never happens on the Spark side. */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = graft.functions.CentroidAggregator.centroidQ6(Dim)
+    ivfAssign(s, d)
+      .select(col("cell").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .toDF("cell", "centroid")
+      .select(col("cell"), posexplode(col("centroid")))
+      .toDF("cell", "pos", "mean_q6")
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy(col("cell"), col("pos"))
+  }
+  val q107Sql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS ce FROM embeddings WHERE vec_id < $IvfCells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.seed_id,
+       |    ${fold("s.ce", "s.ce")} - 2 * ${fold("e.embedding", "s.ce")} AS score
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, seed_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |x AS (
+       |  SELECT cell, u.pos, round(embedding[u.pos + 1] * 1e6)::BIGINT AS q
+       |  FROM assign CROSS JOIN unnest(range(0, $Dim)) AS u(pos))
+       |SELECT cell, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q6
+       |FROM x GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q102_crossmodal_consistency" -> ((q102 _, Some(q102Sql))),
     "q103_hard_negatives"   -> ((q103 _, Some(q103Sql))),
+    "q106_ann_recall_eval"  -> ((q106 _, Some(q106Sql))),
+    "q107_kmeans_step"      -> ((q107 _, Some(q107Sql))),
     "q80_substring_spans"   -> ((q80 _, Some(q80Sql))),
     "q86_dup_token_coverage" -> ((q86 _, Some(q86Sql))),
     "q92_strip_dup_spans"   -> ((q92 _, Some(q92Sql))),

@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 105 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 107 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 105, s"expected 105 board entries, got ${qs.size}")
+    assert(qs.size == 107, s"expected 107 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 104, s"expected 104 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 106, s"expected 106 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -295,6 +295,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           .otherwise(col("o_totalprice")))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
     assert(merged == v2, "merge(v1, diff(v1,v2)) != v2")
+  }
+
+  test("q106: recall bounds hold and hits recompute from q59 vs brute force") {
+    val out = graft.queries.DedupSim.q106(spark, d).collect()
+    assert(out.length == 5, "one eval row per query vector")
+    out.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 3)
+      assert(recall == hits.toDouble / 3.0)
+    }
+    // multi-probe over 4/16 cells should find SOMETHING across 5 queries —
+    // an all-zero recall board means the assignment or probe arm broke
+    assert(out.map(_.getLong(1)).sum > 0, "IVF found no true neighbor at all")
+  }
+
+  test("q107: Lloyd M-step equals an independent explode-based recomputation") {
+    val fast = graft.queries.DedupSim.q107(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // independent path: same E-step assignment, M-step via posexplode +
+    // plain integer aggregation (the plan q107 exists to avoid)
+    val slow = graft.queries.DedupSim.ivfAssign(spark, d)
+      .select(col("cell").cast("long").as("cell"), posexplode(col("embedding")))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        expr("cast(round(cast(col as double) * 1e6) as bigint)").as("q"))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("q")).cast("double") / count(lit(1))).as("mean_q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == slow.keySet)
+    assert(fast.keySet.forall(k => fast(k) == slow(k)),
+      "aggregator centroids diverge from the explode recomputation")
+    assert(fast.keys.map(_._2).toSet.size == 64, "every dim position present")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
