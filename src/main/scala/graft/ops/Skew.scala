@@ -20,6 +20,26 @@ object Skew {
   def salt(saltBuckets: Int, cols: Column*): Column =
     pmod(hash(cols: _*), lit(saltBuckets))
 
+  /** Salted equi-join — the static skew treatment for a hot-keyed fact
+    * against a dim that is too large to broadcast: the fact side gets a
+    * deterministic salt in [0, saltBuckets), the dim side is replicated
+    * saltBuckets times with an exploded salt column, and the join key
+    * becomes (key, salt) — each hot key spreads over saltBuckets reducers
+    * instead of melting one. Row-identical to the unsalted join: the
+    * replication × salting is a partition of the original pair space.
+    *
+    * Decision order at scale: broadcast when the dim fits (q03); AQE skew
+    * split when runtime stats expose the skew (q58's runtime assertion);
+    * this when neither holds — e.g. a catastrophic low-cardinality key,
+    * where per-partition stats look uniform but per-KEY volume does not. */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String, saltBuckets: Int,
+                 saltFrom: Seq[Column]): DataFrame = {
+    val salted = big.withColumn("__salt", salt(saltBuckets, saltFrom: _*))
+    val repl = dim.withColumn("__salt",
+      explode(typedLit((0 until saltBuckets).toArray)))
+    salted.join(repl, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Two-phase salted aggregation:
     * {{{
     * Skew.saltedAggregate(df, Seq("user_id"), 16, Seq($"event_id"),

@@ -121,7 +121,88 @@ object DataOps {
       |FROM orders WHERE o_orderkey % 10 <> 7
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Salted skew JOIN — the join-side twin of q58's salted aggregation:
+    * events carry a catastrophically low-cardinality key (a handful of
+    * event types over millions of rows), so a plain shuffle join melts
+    * ≤5 reducers no matter how many executors exist. ops/Skew.saltedJoin
+    * spreads each hot key over 16 salt buckets (fact side salted
+    * deterministically from event_id, dim side replicated 16×); the result
+    * is row-identical to the unsalted join, which is exactly what the
+    * oracle states. The post-join rollup is safe on the same hot key
+    * because partial aggregation collapses it map-side.
+    *
+    * At scale this is the fallback when the dim can't broadcast and AQE's
+    * stats miss the skew (per-partition sizes look uniform when ALL keys
+    * are hot); PlanCheck asserts the join key actually includes the salt. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("double"))
+    graft.ops.Skew.saltedJoin(ev, dim, "event_type", 16, Seq(col("event_id")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * col("type_weight")).cast(DecimalType(18, 6)))
+          .cast("double").as("weighted_sum"))
+      .orderBy(col("event_type"))
+  }
+  val q108Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, CAST(len(event_type) AS DOUBLE) AS type_weight
+      |  FROM events)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value * d.type_weight AS DECIMAL(18,6))) AS DOUBLE) AS weighted_sum
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+  /** Literal-weight linear quality classifier — the fasttext-style learned
+    * quality gate every LLM corpus runs, with the trained model frozen
+    * into the query as literal weights: four cheap text features (token
+    * count, average token length, type-token ratio, stopword ratio) are
+    * combined into a logit; keep = logit > 0. Raw logit instead of a
+    * sigmoid keeps the arithmetic transcendental-free, so both engines
+    * agree bit-for-bit (the decision boundary is identical either way).
+    *
+    * Scale shape: pure per-row projection — no shuffle, no UDF; the
+    * feature extraction and the dot product are one codegen'd expression
+    * tree over the corpus scan. Swapping trained weights is a literal
+    * edit, not a plan change. */
+  def q109(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        split(trim(lower(col("text"))), "\\s+").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("double"))
+      .withColumn("avg_len", length(col("text")).cast("double") / col("n_tokens"))
+      .withColumn("ttr", size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("double") / col("n_tokens"))
+      .withColumn("logit",
+        lit(-2.0) + lit(0.004) * col("n_tokens") + lit(2.5) * col("ttr")
+          + lit(3.0) * col("stop_ratio") - lit(0.05) * col("avg_len"))
+      .select(col("doc_id"), col("logit"), (col("logit") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  val q109Sql: String =
+    """WITH x AS (
+      |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS DOUBLE) AS n_tokens,
+      |    CAST(len(text) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_len,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+      |    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |      / CAST(len(t) AS DOUBLE) AS stop_ratio
+      |  FROM x)
+      |SELECT doc_id,
+      |  -2.0 + 0.004 * n_tokens + 2.5 * ttr + 3.0 * stop_ratio - 0.05 * avg_len AS logit,
+      |  (-2.0 + 0.004 * n_tokens + 2.5 * ttr + 3.0 * stop_ratio - 0.05 * avg_len) > 0.0 AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q104_snapshot_diff" -> ((q104 _, Some(q104Sql))),
-    "q105_merge_apply"   -> ((q105 _, Some(q105Sql))))
+    "q105_merge_apply"   -> ((q105 _, Some(q105Sql))),
+    "q108_salted_skew_join" -> ((q108 _, Some(q108Sql))),
+    "q109_quality_classifier" -> ((q109 _, Some(q109Sql))))
 }

@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 107 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 109 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 107, s"expected 107 board entries, got ${qs.size}")
+    assert(qs.size == 109, s"expected 109 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 106, s"expected 106 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 108, s"expected 108 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -326,6 +326,43 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.keySet.forall(k => fast(k) == slow(k)),
       "aggregator centroids diverge from the explode recomputation")
     assert(fast.keys.map(_._2).toSet.size == 64, "every dim position present")
+  }
+
+  test("q108: salted join is row-identical to the plain join; salt spreads keys") {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.core.Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("double"))
+    val plain = ev.join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * col("type_weight")).cast(DecimalType(18, 6)))
+          .cast("double").as("weighted_sum"))
+      .collect().map(_.toSeq).toSet
+    val salted = graft.queries.DataOps.q108(spark, d).collect().map(_.toSeq).toSet
+    assert(salted == plain, "salting changed the join result")
+    // the mechanism itself: each hot key occupies all 16 salt buckets
+    val spread = graft.ops.Skew
+      .saltedJoin(ev, dim, "event_type", 16, Seq(col("event_id")))
+      .select(col("event_type"),
+        graft.ops.Skew.salt(16, col("event_id")).as("b"))
+      .distinct().groupBy(col("event_type")).count().collect()
+    assert(spread.nonEmpty && spread.forall(_.getLong(1) == 16),
+      "a hot key failed to spread over all 16 salt buckets")
+  }
+
+  test("q109: keep flag is exactly the sign of the logit, and both classes occur") {
+    val out = graft.queries.DataOps.q109(spark, d).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (logit, keep) = (r.getDouble(1), r.getBoolean(2))
+      assert(!logit.isNaN && !logit.isInfinite)
+      assert(keep == (logit > 0.0))
+    }
+    val keeps = out.count(_.getBoolean(2))
+    assert(keeps > 0 && keeps < out.length,
+      s"degenerate classifier: $keeps/${out.length} kept — weights need re-tuning")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
