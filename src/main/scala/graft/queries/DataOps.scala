@@ -200,9 +200,47 @@ object DataOps {
       |  (-2.0 + 0.004 * n_tokens + 2.5 * ttr + 3.0 * stop_ratio - 0.05 * avg_len) > 0.0 AS keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Heavy-hitter terms — every token whose corpus frequency exceeds N/32,
+    * answered WITHOUT a full-vocabulary groupBy: pass 1 is a single scan
+    * building per-partition Misra-Gries sketches (k=63 counters each,
+    * merged on the driver — bounded by construction, see
+    * ops/HeavyHitters.scala for the containment guarantee: 1/32 > 1/64 =
+    * 1/(k+1), so every true heavy hitter is a candidate); pass 2 recounts
+    * ONLY candidate tokens exactly, so the one exchange carries ≤ 63
+    * distinct keys after map-side partial aggregation. The recount makes
+    * the output exact and partitioning-independent, which is what lets an
+    * exact-count oracle hash-check a sketch-driven plan. */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(split(trim(lower(col("text"))), "\\s+").as("t"))
+    val (total, cand) =
+      graft.ops.HeavyHitters.sketch(toks.as[Seq[String]], k = 63)
+    val candTerms = cand.keys.toArray.sorted
+    val candFilter =
+      if (candTerms.isEmpty) lit(false) else col("term").isInCollection(candTerms)
+    Tables.documents(s, d)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(candFilter)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 32 > total)
+      .orderBy(col("term"))
+  }
+  val q110Sql: String =
+    """WITH toks AS (
+      |  SELECT u.tok FROM (
+      |    SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |    unnest(t) AS u(tok)),
+      |tot AS (SELECT COUNT(*) AS n FROM toks),
+      |c AS (SELECT tok AS term, COUNT(*) AS cnt FROM toks GROUP BY tok)
+      |SELECT c.term, c.cnt FROM c, tot WHERE c.cnt * 32 > tot.n
+      |ORDER BY term""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q104_snapshot_diff" -> ((q104 _, Some(q104Sql))),
     "q105_merge_apply"   -> ((q105 _, Some(q105Sql))),
     "q108_salted_skew_join" -> ((q108 _, Some(q108Sql))),
-    "q109_quality_classifier" -> ((q109 _, Some(q109Sql))))
+    "q109_quality_classifier" -> ((q109 _, Some(q109Sql))),
+    "q110_heavy_hitters" -> ((q110 _, Some(q110Sql))))
 }

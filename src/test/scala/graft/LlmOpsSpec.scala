@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 109 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 110 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 109, s"expected 109 board entries, got ${qs.size}")
+    assert(qs.size == 110, s"expected 110 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 108, s"expected 108 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 109, s"expected 109 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -363,6 +363,40 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keeps = out.count(_.getBoolean(2))
     assert(keeps > 0 && keeps < out.length,
       s"degenerate classifier: $keeps/${out.length} kept — weights need re-tuning")
+  }
+
+  test("Misra-Gries sketch: containment guarantee on an adversarial skewed stream") {
+    import spark.implicits._
+    // 4 partitions, tiny k=3 against a 40-term vocabulary: the sketch is
+    // under constant eviction pressure, which is exactly when the
+    // N/(k+1) containment bound must still hold
+    val hot = Seq.fill(400)("hot1") ++ Seq.fill(300)("hot2")
+    val noise = (0 until 600).map(i => s"t${i % 38}")
+    val docs = (hot ++ noise).grouped(25).map(_.toSeq).toSeq
+    val ds = spark.createDataset(docs).repartition(4)
+    val (total, cand) = graft.ops.HeavyHitters.sketch(ds, k = 3)
+    assert(total == 1300L, "token total must be exact")
+    // the guarantee, stated directly: any term with true count strictly
+    // above total/(k+1) = 1300/4 = 325 must survive the merged sketch —
+    // here hot1 (400); hot2 (300) sits below the bound and MAY be evicted
+    val mustSurvive = Seq("hot1" -> 400L, "hot2" -> 300L).filter(_._2 > total / (3 + 1))
+    mustSurvive.foreach { case (t, _) =>
+      assert(cand.contains(t), s"true heavy hitter $t evicted — MG guarantee broken")
+    }
+    assert(cand.size <= 3, "merged sketch exceeded k counters")
+  }
+
+  test("q110: sketch-driven heavy hitters equal the exact full groupBy") {
+    val fast = graft.queries.DataOps.q110(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 32 > total)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fast == exact, "sketch+recount diverged from the exact computation")
+    assert(fast.nonEmpty, "degenerate fixture: no term above N/32")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
