@@ -1448,7 +1448,88 @@ object DedupSim {
        |FROM x GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Incremental ingest dedup — the operational "daily batch" shape of the
+    * whole dedup stack: a NEW batch of documents (sources src16–src19
+    * standing in for today's crawl) is admitted against the EXISTING
+    * corpus. Each delta doc gets two verdicts in one plan: exact_dup
+    * (md5 content fingerprint already present in the base corpus — O24's
+    * INSERT-OR-IGNORE policy across batches) and near_dup (SimHash
+    * Hamming ≤ 3 against any base doc, via the same Manku banded join as
+    * q78 but BIPARTITE: delta bands only ever join base bands, so the
+    * candidate space is |delta|×|base| band collisions, never
+    * corpus²). action = drop_exact / drop_near / keep.
+    *
+    * Scale shape: base fingerprints arrive pre-computed at 100 TB (they're
+    * the output of yesterday's run) — here both sides derive from one
+    * documents scan; the signature table is the q25/q78 session memo, the
+    * banded join repartitions ONCE on (band_idx, band_val) and both
+    * bipartite sides reuse that exchange. The delta join-backs are
+    * left joins against distinct (hence non-multiplying) flag sets. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val deltaSrcs = Seq("src16", "src17", "src18", "src19")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        col("source").isInCollection(deltaSrcs).as("is_delta"))
+    val delta = docs.filter(col("is_delta"))
+    val baseFp = docs.filter(!col("is_delta")).select(col("fp")).distinct()
+      .withColumn("fp_hit", lit(true))
+    val bands = simhashSignatures(s, d).select(col("doc_id"), col("simhash"))
+      .join(docs.select(col("doc_id"), col("is_delta")), Seq("doc_id"))
+      .select(col("doc_id"), col("simhash"), col("is_delta"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(simhash, ${b * 15}) & 32767")): _*)))
+      .toDF("doc_id", "simhash", "is_delta", "band_idx", "band_val")
+      .repartition(col("band_idx"), col("band_val"))
+    val dB = bands.filter(col("is_delta")).alias("a")
+    val bB = bands.filter(!col("is_delta")).alias("b")
+    val near = dB.join(bB, col("a.band_idx") === col("b.band_idx") &&
+                           col("a.band_val") === col("b.band_val"))
+      .filter(bit_count(expr("a.simhash ^ b.simhash")) <= 3)
+      .select(col("a.doc_id").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(true))
+    delta.join(baseFp, Seq("fp"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("fp_hit"), lit(false)).as("exact_dup"),
+        coalesce(col("near_hit"), lit(false)).as("near_dup"))
+      .withColumn("action",
+        when(col("exact_dup"), "drop_exact")
+          .when(col("near_dup"), "drop_near")
+          .otherwise("keep"))
+      .orderBy(col("doc_id"))
+  }
+  val q111Sql: String =
+    s"""WITH $simhashVoteCtes,
+       |sig AS (SELECT doc_id, $simhashSqlExpr AS simhash FROM v),
+       |flags AS (
+       |  SELECT doc_id, source, md5(text) AS fp,
+       |    source IN ('src16','src17','src18','src19') AS is_delta
+       |  FROM documents),
+       |basefp AS (SELECT DISTINCT fp FROM flags WHERE NOT is_delta),
+       |bands AS (
+       |  SELECT f.is_delta, s.doc_id, s.simhash, bx.band_idx,
+       |    (s.simhash >> (15 * bx.band_idx)) & 32767 AS band_val
+       |  FROM sig s JOIN flags f USING (doc_id)
+       |  CROSS JOIN (VALUES (0), (1), (2), (3)) AS bx(band_idx)),
+       |near AS (
+       |  SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |       AND a.is_delta AND NOT b.is_delta
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT f.doc_id, f.source,
+       |  (bf.fp IS NOT NULL) AS exact_dup,
+       |  (n.doc_id IS NOT NULL) AS near_dup,
+       |  CASE WHEN bf.fp IS NOT NULL THEN 'drop_exact'
+       |       WHEN n.doc_id IS NOT NULL THEN 'drop_near'
+       |       ELSE 'keep' END AS action
+       |FROM flags f
+       |LEFT JOIN basefp bf ON f.fp = bf.fp
+       |LEFT JOIN near n ON f.doc_id = n.doc_id
+       |WHERE f.is_delta ORDER BY f.doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q111_delta_ingest_dedup" -> ((q111 _, Some(q111Sql))),
     "q102_crossmodal_consistency" -> ((q102 _, Some(q102Sql))),
     "q103_hard_negatives"   -> ((q103 _, Some(q103Sql))),
     "q106_ann_recall_eval"  -> ((q106 _, Some(q106Sql))),

@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 110 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 111 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 110, s"expected 110 board entries, got ${qs.size}")
+    assert(qs.size == 111, s"expected 111 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 109, s"expected 109 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 110, s"expected 110 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -397,6 +397,35 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(fast == exact, "sketch+recount diverged from the exact computation")
     assert(fast.nonEmpty, "degenerate fixture: no term above N/32")
+  }
+
+  test("q111 reconciles with q78: every cross-boundary near-dup pair flags its delta doc") {
+    val deltaSrcs = Set("src16", "src17", "src18", "src19")
+    val srcOf = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.queries.DedupSim.q111(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(deltaSrcs.contains(r.getString(1)), "a base doc leaked into the delta report")
+      val (ex, near, action) = (r.getBoolean(2), r.getBoolean(3), r.getString(4))
+      val expected = if (ex) "drop_exact" else if (near) "drop_near" else "keep"
+      assert(action == expected, s"doc ${r.getLong(0)}: action $action vs flags ($ex,$near)")
+    }
+    // cross-check against the corpus-wide q78 join: any near-dup pair with
+    // one member in each batch must have flagged its delta member
+    val flagged = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val crossPairs = graft.queries.DedupSim.q78(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (deltaSrcs.contains(srcOf(a)), deltaSrcs.contains(srcOf(b))) match {
+          case (true, false) => Some(a)
+          case (false, true) => Some(b)
+          case _             => None
+        }
+      }.toSet
+    assert(crossPairs.subsetOf(flagged),
+      s"q78 cross-boundary near-dups ${crossPairs -- flagged} missing from q111 flags")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
