@@ -229,6 +229,49 @@ object PlanCheck {
         (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
 
+    // q104: the snapshot diff is ONE full-outer sort-merge join on the
+    // snapshot key — never a nested loop; the change predicate filters
+    // above it
+    check("q104_snapshot_diff", "diff is one full-outer SMJ on the key")(p =>
+      p.contains("SortMergeJoin") && p.contains("FullOuter") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // q105: the changefeed broadcasts onto the snapshot scan — the big
+    // side never shuffles for the merge join
+    check("q105_merge_apply", "changefeed broadcasts onto the snapshot")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // q108: the salt must be part of the join key — event_type and __salt
+    // in the SAME hashpartitioning clause (q58's assertion, join-side).
+    // Broadcast disabled: at sf the replicated dim fits a broadcast, which
+    // would bypass the exchange this operator exists to rebalance.
+    locally {
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.SparkEntry.queries("q108_salted_skew_join")(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ok = "hashpartitioning\\(event_type[^)]*__salt".r.findFirstIn(plan).isDefined &&
+          !plan.contains("CartesianProduct")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  q108_salted_skew_join        salt reaches the join exchange")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    // q109: the classifier is a pure per-row projection over the scan
+    check("q109_quality_classifier", "scoring is per-row: no hash shuffle/join/agg")(p =>
+      !p.contains("hashpartitioning") && !p.contains("Join") && !p.contains("Aggregate"))
+    // q110: the recount aggregates partially before its exchange, and the
+    // plan contains no join — candidates arrive as a literal IN-set from
+    // the sketch pass, so the only shuffle carries ≤ k distinct keys
+    check("q110_heavy_hitters", "recount is partial-agg + literal IN-set, no join")(p =>
+      p.contains("partial") && !p.contains("Join"))
+    // q111: the bipartite near-dup join shuffles on the band keys only;
+    // nothing degenerates to a cartesian
+    check("q111_delta_ingest_dedup", "band-key exchange, no cartesian")(p =>
+      p.contains("hashpartitioning(band_idx") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
     // (q77's layout) joined to a FILTERED tiny dim on the partition column
