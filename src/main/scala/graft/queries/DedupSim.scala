@@ -1528,8 +1528,46 @@ object DedupSim {
        |LEFT JOIN near n ON f.doc_id = n.doc_id
        |WHERE f.is_delta ORDER BY f.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Edit-distance verification of SimHash near-dup candidates — the third
+    * verifier in the candidate→verify family (q45 verifies MinHash-LSH by
+    * Jaccard, q102 cross-checks by embedding cosine, this checks q78's
+    * Hamming pairs by CHARACTER-level Levenshtein): verified = edit
+    * distance ≤ 20% of the longer text, stated in integer arithmetic
+    * (dist × 5 ≤ max length) so both engines agree exactly.
+    *
+    * Scale shape: Levenshtein is O(len²) per pair — affordable PRECISELY
+    * because it runs on the banded join's candidates (a near-linear set),
+    * never all pairs; the tiny pair table broadcasts onto the two
+    * documents id-joins, so the corpus is scanned, not shuffled. */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val pairs = q78(s, d) // (doc_a, doc_b, hamming) — memoized signature path
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
+        (col("edit_dist") * 5 <= greatest(length(col("text_a")), length(col("text_b"))))
+          .as("verified"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q113Sql: String = {
+    val pairs = q78Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairs)
+       |SELECT p.doc_a, p.doc_b, p.hamming,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) * 5
+       |    <= greatest(len(a.text), len(b.text)) AS verified
+       |FROM pairs p
+       |JOIN documents a ON a.doc_id = p.doc_a
+       |JOIN documents b ON b.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q111_delta_ingest_dedup" -> ((q111 _, Some(q111Sql))),
+    "q113_editdist_verify"  -> ((q113 _, Some(q113Sql))),
     "q102_crossmodal_consistency" -> ((q102 _, Some(q102Sql))),
     "q103_hard_negatives"   -> ((q103 _, Some(q103Sql))),
     "q106_ann_recall_eval"  -> ((q106 _, Some(q106Sql))),

@@ -612,7 +612,69 @@ object LlmOps {
       |  TRY_CAST(json_extract_string(doc, '$.missing') AS BIGINT) IS NULL AS missing_absent
       |FROM j ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Bigram language-model fluency scoring — the KenLM-style statistical
+    * quality gate: train a bigram LM on the corpus itself (conditional
+    * probabilities p(w2|w1) = count(w1 w2) / count(w1 ·) with the
+    * denominator derived from the bigram table, so the model is
+    * self-consistent by construction), then score every document by its
+    * mean next-token probability. Low scores mark token soup; high scores
+    * mark formulaic repetition — both ends are curation signals.
+    *
+    * Exactness: p is one double division (same IEEE op both engines); the
+    * per-doc MEAN quantizes each p to DECIMAL(18,12) before summing, the
+    * repo's standard order-independent cross-engine sum, then divides as
+    * DOUBLE. No logs — the ranking is monotone in the probability, so the
+    * transcendental-free arithmetic changes nothing a curation gate cares
+    * about.
+    *
+    * Scale shape: the model tables are vocabulary-bounded (|V| and |V|² at
+    * most — MBs against a 100 TB corpus) and BROADCAST onto the per-doc
+    * bigram stream; the only large exchanges are the two model-building
+    * aggregations, both with map-side partial aggregation. */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("c")).as("u"))
+    bigrams
+      .join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(uc), Seq("w1"))
+      .select(col("doc_id"),
+        (col("c").cast("double") / col("u").cast("double"))
+          .cast(DecimalType(18, 12)).as("pq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("pq")).cast("double") / count(lit(1))).as("fluency"))
+      .orderBy(col("doc_id"))
+  }
+  val q112Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+      |uc AS (SELECT w1, SUM(c) AS u FROM bc GROUP BY w1),
+      |p AS (
+      |  SELECT g.doc_id,
+      |    CAST(CAST(bc.c AS DOUBLE) / CAST(uc.u AS DOUBLE) AS DECIMAL(18,12)) AS pq
+      |  FROM bg g
+      |  JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+      |  JOIN uc ON g.w1 = uc.w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(pq) AS DOUBLE) / COUNT(*) AS fluency
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q112_bigram_lm_score"   -> ((q112 _, Some(q112Sql))),
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),
     "q89_stratified_sample"  -> ((q89 _, Some(q89Sql))),
     "q90_tfidf_topterms"     -> ((q90 _, Some(q90Sql))),

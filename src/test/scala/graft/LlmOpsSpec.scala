@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 111 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 113 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 111, s"expected 111 board entries, got ${qs.size}")
+    assert(qs.size == 113, s"expected 113 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 110, s"expected 110 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 112, s"expected 112 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -426,6 +426,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.toSet
     assert(crossPairs.subsetOf(flagged),
       s"q78 cross-boundary near-dups ${crossPairs -- flagged} missing from q111 flags")
+  }
+
+  test("q112: probabilities are proper, bigram counts reconcile with token counts") {
+    val out = graft.queries.LlmOps.q112(spark, d).collect()
+    assert(out.length == 500)
+    val nToks = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (doc, nbg, fl) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nbg == nToks(doc) - 1, s"doc $doc: $nbg bigrams vs ${nToks(doc)} tokens")
+      assert(fl > 0.0 && fl <= 1.0, s"doc $doc: fluency $fl out of (0,1]")
+    }
+  }
+
+  test("q113: every q78 candidate pair gets a verdict; the flag restates the bound") {
+    val pairs = graft.queries.DedupSim.q78(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = graft.queries.DedupSim.q113(spark, d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs,
+      "verification must cover exactly the candidate set")
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (a, b, ham, dist, v) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(ham <= 3)
+      val maxLen = math.max(texts(a).length, texts(b).length)
+      assert(v == (dist * 5 <= maxLen), s"pair ($a,$b): flag disagrees with bound")
+    }
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
