@@ -237,10 +237,57 @@ object DataOps {
       |SELECT c.term, c.cnt FROM c, tot WHERE c.cnt * 32 > tot.n
       |ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** Bucketed co-located join — §4's shuffle-elimination layout promoted
+    * to the oracle board (it lived in ScaleSpec only): lineitem and orders
+    * are written as tables bucketed AND sorted by their join key, so the
+    * fact-fact join needs NO exchange on either side — at 100 TB this is
+    * the difference between a join that moves both tables and one that
+    * moves nothing (the layout paid the shuffle once, at write time, for
+    * every future join on that key). The only remaining exchange is the
+    * tiny post-join rollup. The write is once per (session, dir) — keyed
+    * tables are reused when they exist, the q77 idempotency pattern.
+    * PlanCheck asserts the join runs with no join-key exchange. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = bucketedTable(s, d, "li",
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "l_orderkey")
+    val or = bucketedTable(s, d, "ord",
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey")
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+  /** Write-once bucketed table keyed on (suffix, input dir); 8 buckets,
+    * sorted within buckets, external path under tmp. */
+  private def bucketedTable(s: SparkSession, d: String, suffix: String,
+                            df: DataFrame, key: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val name = s"graft_bkt_${suffix}_$tag"
+    if (!s.catalog.tableExists(name)) {
+      df.write.mode("overwrite")
+        .option("path", s"${sys.props("java.io.tmpdir")}/graft_bucketed_${suffix}_$tag")
+        .bucketBy(8, key).sortBy(key)
+        .format("parquet").saveAsTable(name)
+    }
+    s.table(name)
+  }
+  val q114Sql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q104_snapshot_diff" -> ((q104 _, Some(q104Sql))),
     "q105_merge_apply"   -> ((q105 _, Some(q105Sql))),
     "q108_salted_skew_join" -> ((q108 _, Some(q108Sql))),
     "q109_quality_classifier" -> ((q109 _, Some(q109Sql))),
-    "q110_heavy_hitters" -> ((q110 _, Some(q110Sql))))
+    "q110_heavy_hitters" -> ((q110 _, Some(q110Sql))),
+    "q114_bucketed_join" -> ((q114 _, Some(q114Sql))))
 }

@@ -266,6 +266,25 @@ object PlanCheck {
     // the sketch pass, so the only shuffle carries ≤ k distinct keys
     check("q110_heavy_hitters", "recount is partial-agg + literal IN-set, no join")(p =>
       p.contains("partial") && !p.contains("Join"))
+    // q114: the bucketed layout must make the fact-fact join exchange-free
+    // on the join key — the shuffle was paid once at write time. Broadcast
+    // disabled so the small sf orders side can't sidestep the claim.
+    locally {
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.SparkEntry.queries("q114_bucketed_join")(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ok = plan.contains("SortMergeJoin") &&
+          !plan.contains("hashpartitioning(l_orderkey") &&
+          !plan.contains("hashpartitioning(o_orderkey")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  q114_bucketed_join           co-located join: no join-key exchange")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     // q111: the bipartite near-dup join shuffles on the band keys only;
     // nothing degenerates to a cartesian
     check("q111_delta_ingest_dedup", "band-key exchange, no cartesian")(p =>
