@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Eighth batch: the classic multiway star join (TPC-H Q5 shape, q115),
+  * robust per-group outlier detection (median/MAD, q116), and a
+  * Deequ-style single-pass data-quality constraint audit (q117).
+  */
+object Relational8 {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.table(s, d, n)
+
+  /** Exact cross-engine double sum (see Relational.scala's header). */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // ---------------------------------------------------------------- q115
+  /** TPC-H Q5 shape — the 6-table star join with a cross-dimension
+    * correlation (supplier and customer must share a nation): the classic
+    * join-order stress test. Region filters nation (broadcast), nation
+    * qualifies both customer and supplier sides; the fact-side chain is
+    * lineitem→orders→customer with the supplier join carrying the
+    * n_nationkey correlation. At 100 TB: region/nation/supplier broadcast,
+    * orders' date filter pushes to its scan and prunes before the fact
+    * join, and the only big exchanges are the two fact-side equi-joins. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val nat = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  val q115Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+  /** Robust per-group outlier detection — median/MAD, the anomaly gate
+    * that survives the outliers it hunts (mean/stddev do not): an event is
+    * an outlier when its absolute deviation from its user's median exceeds
+    * 3× the user's median absolute deviation. Exact interpolated medians
+    * (q41's percentile ↔ quantile_cont parity); the two per-user stat
+    * tables are user-cardinality-sized and broadcast back onto the event
+    * stream, so the corpus shuffles only for the two stat aggregations. */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val med = ev.groupBy(col("user_id"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("user_id"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("user_id"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("adev") > lit(3.0) * col("mad")).as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+  val q116Sql: String =
+    """WITH med AS (
+      |  SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY user_id),
+      |dev AS (
+      |  SELECT e.event_id, e.user_id, e.value, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (user_id)),
+      |mad AS (
+      |  SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id)
+      |SELECT d.event_id, d.user_id, d.value, d.adev > 3.0 * m.mad AS is_outlier
+      |FROM dev d JOIN mad m USING (user_id) ORDER BY d.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+  /** Data-quality constraint audit (the Deequ pattern): one row of
+    * dataset-level verdicts over orders — row count, key uniqueness, null
+    * fraction of the FK, domain conformance of the status column, a
+    * value-range check, and referential integrity against customer. The
+    * main metrics are ONE aggregation pass over the scan; RI is one anti-
+    * join (at 100 TB: broadcast the distinct FK side or bloom-prefilter).
+    * This is the audit every ingest runs before promoting a snapshot —
+    * here its metrics are themselves oracle-checked. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val base = o.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("bad_status"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("neg_price"))
+    val orphans = o.join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
+    base.crossJoin(orphans)
+      .select(col("n_rows"), col("n_keys"),
+        (col("n_rows") === col("n_keys")).as("key_unique"),
+        col("null_custkey"), col("bad_status"), col("neg_price"),
+        col("orphan_orders"),
+        (col("orphan_orders") === 0L).as("ri_ok"))
+  }
+  val q117Sql: String =
+    """WITH base AS (
+      |  SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price
+      |  FROM orders),
+      |orph AS (
+      |  SELECT COUNT(*) AS orphan_orders FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |SELECT b.n_rows, b.n_keys, b.n_rows = b.n_keys AS key_unique,
+      |  b.null_custkey, b.bad_status, b.neg_price,
+      |  o.orphan_orders, o.orphan_orders = 0 AS ri_ok
+      |FROM base b, orph o""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q115_tpch_q5"        -> ((q115 _, Some(q115Sql))),
+    "q116_outlier_mad"    -> ((q116 _, Some(q116Sql))),
+    "q117_constraint_audit" -> ((q117 _, Some(q117Sql))))
+}

@@ -266,6 +266,27 @@ object PlanCheck {
     // the sketch pass, so the only shuffle carries ≤ k distinct keys
     check("q110_heavy_hitters", "recount is partial-agg + literal IN-set, no join")(p =>
       p.contains("partial") && !p.contains("Join"))
+    // q115: the Q5-shaped star join broadcasts its three dimension sides
+    // (region-filtered nation, supplier, and the planner's pick of the
+    // customer side at this sf) and pushes the date range to the orders scan
+    check("q115_tpch_q5", "dims broadcast; date filter pushed; no cartesian")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined)
+    // q116: every stat join-back is a broadcast (the deviation subtree
+    // appears twice — once feeding the MAD aggregation, once in the final
+    // scoring join — so there are THREE broadcast joins, not two); the
+    // event stream itself is never sort-merge-shuffled for a join, only
+    // aggregated
+    check("q116_outlier_mad", "stat tables broadcast back; corpus never join-shuffled")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size == 3 &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // q117: RI via hash anti-join; the only nested-loop is the intended
+    // 1-row×1-row metric cross join
+    check("q117_constraint_audit", "hash anti-join RI; 1-row NLJ only")(p =>
+      p.contains("LeftAnti") &&
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+        !p.contains("CartesianProduct"))
     // q114: the bucketed layout must make the fact-fact join exchange-free
     // on the join key — the shuffle was paid once at write time. Broadcast
     // disabled so the small sf orders side can't sidestep the claim.

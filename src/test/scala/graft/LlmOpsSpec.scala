@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 114 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 117 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 114, s"expected 114 board entries, got ${qs.size}")
+    assert(qs.size == 117, s"expected 117 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 113, s"expected 113 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 116, s"expected 116 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -457,6 +457,16 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val maxLen = math.max(texts(a).length, texts(b).length)
       assert(v == (dist * 5 <= maxLen), s"pair ($a,$b): flag disagrees with bound")
     }
+  }
+
+  test("q117: the driver's synthetic snapshot passes every constraint") {
+    val r = graft.queries.Relational8.q117(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getBoolean(2), "o_orderkey must be unique in the fixture")
+    assert(row.getLong(3) == 0 && row.getLong(4) == 0 && row.getLong(5) == 0,
+      "fixture violates a domain/null/range constraint the audit should count")
+    assert(row.getBoolean(7), "referential integrity orders→customer must hold")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
