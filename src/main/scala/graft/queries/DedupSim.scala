@@ -1565,9 +1565,41 @@ object DedupSim {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q121
+  /** Triangle enumeration over the verified near-dup graph — the graph
+    * statistic that separates chain-shaped duplicate clusters (scraped
+    * mirrors of mirrors) from clique-shaped ones (true content identity):
+    * a triangle means all three pairwise similarity checks passed. The
+    * standard distributed formulation: edges ordered (a < b — q45 emits
+    * them ordered), so each triangle is found exactly once via two
+    * equi-joins (wedge build on the shared vertex, then the closing-edge
+    * check). At 100 TB the near-dup edge set is corpus-sized at worst, and
+    * both joins shuffle on single vertex ids; no enumeration of open
+    * wedges survives the closing semi-check. */
+  def q121(s: SparkSession, d: String): DataFrame = {
+    val e = q45(s, d).select(col("doc_a"), col("doc_b")) // ordered a < b
+    val e1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val e3 = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+  val q121Sql: String = {
+    val pairs = q45Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH e AS (SELECT doc_a, doc_b FROM ($pairs) t)
+       |SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |FROM e e1
+       |JOIN e e2 ON e2.doc_a = e1.doc_b
+       |JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       |ORDER BY a, b, c""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q111_delta_ingest_dedup" -> ((q111 _, Some(q111Sql))),
     "q113_editdist_verify"  -> ((q113 _, Some(q113Sql))),
+    "q121_triangle_count"   -> ((q121 _, Some(q121Sql))),
     "q102_crossmodal_consistency" -> ((q102 _, Some(q102Sql))),
     "q103_hard_negatives"   -> ((q103 _, Some(q103Sql))),
     "q106_ann_recall_eval"  -> ((q106 _, Some(q106Sql))),

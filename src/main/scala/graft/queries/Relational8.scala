@@ -137,8 +137,145 @@ object Relational8 {
       |  o.orphan_orders, o.orphan_orders = 0 AS ri_ok
       |FROM base b, orph o""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Exact cross-engine linear regression + correlation per group —
+    * value regressed on the event's day, stated entirely through exact
+    * sufficient statistics: n and Σx/Σx² are integer sums (x is the day
+    * number centered to single digits, so every product stays far inside
+    * exact-double range), Σy/Σxy/Σy² are the repo's standard DECIMAL-
+    * quantized sums. The slope/intercept/corr formulas then run on exact
+    * inputs as identical double arithmetic — which is the only way
+    * cross-engine `corr`/`regr_slope` parity can be bit-exact (the
+    * built-ins use order-dependent streaming moments). At 100 TB: one
+    * partial-aggregated pass; the DECIMAL(18,6) sums swap to (38,6) when
+    * row counts push the bound. */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    // day 19723 = 2024-01-01 — centering x keeps n·Σx² within 2^53
+    val x = expr("ts_us div 86400000000") - lit(19723L)
+    val y = col("value")
+    Tables.events(s, d)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y").cast(DecimalType(18, 6))).as("sy_d"),
+        sum((col("x").cast("double") * col("y")).cast(DecimalType(18, 6))).as("sxy_d"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(18, 6))).as("syy_d"))
+      .select(col("event_type"), col("n"),
+        ((col("n").cast("double") * col("sxy_d").cast("double")
+          - col("sx").cast("double") * col("sy_d").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))).as("slope"),
+        ((col("n").cast("double") * col("sxy_d").cast("double")
+          - col("sx").cast("double") * col("sy_d").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy_d").cast("double")
+              - col("sy_d").cast("double") * col("sy_d").cast("double")))).as("corr"))
+      .orderBy(col("event_type"))
+  }
+  val q118Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - 19723 AS x,
+      |    value AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+      |    SUM(CAST(y AS DECIMAL(18,6))) AS sy_d,
+      |    SUM(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,6))) AS sxy_d,
+      |    SUM(x * x) AS sxx,
+      |    SUM(CAST(y * y AS DECIMAL(18,6))) AS syy_d
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy_d AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_d AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |  (CAST(n AS DOUBLE) * CAST(sxy_d AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_d AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy_d AS DOUBLE) - CAST(sy_d AS DOUBLE) * CAST(sy_d AS DOUBLE))) AS corr
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  /** Ordered funnel analysis (view → click → purchase): each user's
+    * furthest funnel stage, requiring strict temporal progression (the
+    * click must FOLLOW the first view, the purchase must follow that
+    * click) — the product-analytics query that a naive per-type count
+    * gets wrong. Three conditional-min aggregations chained by joins on
+    * user_id; per-user stage tables are user-cardinality-sized. Output is
+    * the stage histogram. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val u = e.select(col("user_id")).distinct()
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("tv"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_us") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("tc"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_us") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("tp"))
+    u.join(v.withColumn("hv", lit(1)), Seq("user_id"), "left")
+      .join(c.withColumn("hc", lit(1)), Seq("user_id"), "left")
+      .join(p.withColumn("hp", lit(1)), Seq("user_id"), "left")
+      .select(when(col("hp").isNotNull, 3L)
+        .when(col("hc").isNotNull, 2L)
+        .when(col("hv").isNotNull, 1L)
+        .otherwise(0L).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+  val q119Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |v AS (SELECT user_id, MIN(ts_us) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS tc FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_us > v.tv GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS tp FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > c.tc GROUP BY e.user_id)
+      |SELECT stage, COUNT(*) AS n_users FROM (
+      |  SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |              WHEN c.user_id IS NOT NULL THEN 2
+      |              WHEN v.user_id IS NOT NULL THEN 1
+      |              ELSE 0 END AS BIGINT) AS stage
+      |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |  LEFT JOIN p USING (user_id))
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  /** Cohort retention — users grouped by first-activity week, tracked by
+    * distinct activity in each subsequent week offset: the standard
+    * retention triangle. Week arithmetic is pure integer division on
+    * epoch-microseconds, so both engines agree exactly; the cohort
+    * assignment table is user-cardinality-sized and joins back onto the
+    * event stream. */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_us div 86400000000 div 7").as("wk"))
+    val f = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.join(broadcast(f), Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_wk"), col("offset_wk"))
+  }
+  val q120Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+      |SELECT f.cohort_wk, e.wk - f.cohort_wk AS offset_wk,
+      |  COUNT(DISTINCT e.user_id) AS active_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q115_tpch_q5"        -> ((q115 _, Some(q115Sql))),
     "q116_outlier_mad"    -> ((q116 _, Some(q116Sql))),
-    "q117_constraint_audit" -> ((q117 _, Some(q117Sql))))
+    "q117_constraint_audit" -> ((q117 _, Some(q117Sql))),
+    "q118_exact_regression" -> ((q118 _, Some(q118Sql))),
+    "q119_funnel"         -> ((q119 _, Some(q119Sql))),
+    "q120_cohort_retention" -> ((q120 _, Some(q120Sql))))
 }

@@ -287,6 +287,14 @@ object PlanCheck {
       p.contains("LeftAnti") &&
         "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
         !p.contains("CartesianProduct"))
+    // q118: the sufficient statistics are ONE aggregation pass with
+    // map-side combine — no join, no second scan
+    check("q118_exact_regression", "one partial-agg pass, no join")(p =>
+      p.contains("partial") && !p.contains("Join"))
+    // q120: the cohort table broadcasts back onto the event stream
+    check("q120_cohort_retention", "cohort assignment broadcasts back")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"))
     // q114: the bucketed layout must make the fact-fact join exchange-free
     // on the join key — the shuffle was paid once at write time. Broadcast
     // disabled so the small sf orders side can't sidestep the claim.

@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 117 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 121 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 117, s"expected 117 board entries, got ${qs.size}")
+    assert(qs.size == 121, s"expected 121 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 116, s"expected 116 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 120, s"expected 120 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -467,6 +467,42 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(3) == 0 && row.getLong(4) == 0 && row.getLong(5) == 0,
       "fixture violates a domain/null/range constraint the audit should count")
     assert(row.getBoolean(7), "referential integrity orders→customer must hold")
+  }
+
+  test("q119: funnel stages are monotone and user counts total the user universe") {
+    val out = graft.queries.Relational8.q119(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totalUsers = graft.core.Tables.events(spark, d)
+      .select(col("user_id")).distinct().count()
+    assert(out.values.sum == totalUsers, "stage histogram must partition all users")
+    // strict progression: a stage-3 user passed stages 1 and 2 by
+    // construction, so cumulative counts from the top must never exceed
+    // the count of users having reached the previous stage — verified
+    // against an independent unordered count: users with a purchase at
+    // all must be >= stage-3 users (ordering only removes users)
+    val purchasers = graft.core.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(out.getOrElse(3L, 0L) <= purchasers,
+      "ordered funnel cannot exceed the unordered purchaser count")
+  }
+
+  test("q121: every emitted triangle is three verified edges") {
+    val edges = graft.queries.DedupSim.q45(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tris = graft.queries.DedupSim.q121(spark, d).collect()
+    tris.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b && b < c, s"triangle ($a,$b,$c) not canonically ordered")
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)),
+        s"triangle ($a,$b,$c) uses a non-edge")
+    }
+    // independent recount from the driver-side edge set
+    val exact = for {
+      (a, b) <- edges.toSeq; (b2, c) <- edges.toSeq
+      if b2 == b && edges((a, c))
+    } yield (a, b, c)
+    assert(tris.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == exact.toSet)
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
