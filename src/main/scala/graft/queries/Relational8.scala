@@ -271,7 +271,65 @@ object Relational8 {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** SCD2 interval build — turn an event stream of attribute observations
+    * into the slowly-changing-dimension shape every warehouse maintains:
+    * one validity interval [valid_from, valid_to) per observation, closed
+    * by the user's next observation, open (null valid_to, is_current) on
+    * the latest. One window pass per user; event_id breaks timestamp ties
+    * deterministically. At 100 TB this runs per natural key with the same
+    * single user-keyed exchange. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+  val q122Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      |  FROM events)
+      |SELECT user_id, event_id, value, ts_us AS valid_from,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
+      |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** Hopping (sliding) window aggregation — the batch twin of streaming's
+    * overlapping windows: 10-minute windows sliding every 5, so each event
+    * lands in exactly two. The Spark side uses the native `window()`
+    * generator; the oracle states the same assignment as integer epoch
+    * arithmetic (two candidate starts per event) — cross-checking Spark's
+    * window alignment semantics against an independent formulation.
+    * At scale: the window struct is a per-row 2-element generator feeding
+    * a partial-aggregated groupBy; no self-join, no range join. */
+  def q124(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts_t"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(unix_micros(col("w.start").cast("timestamp")).as("w_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"))
+  val q124Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+      |x AS (
+      |  SELECT ts_us, value,
+      |    ((ts_us // 300000000) - u.k) * 300000000 AS w_start
+      |  FROM e, unnest(range(0, 2)) AS u(k)),
+      |f AS (SELECT * FROM x WHERE ts_us >= w_start AND ts_us < w_start + 600000000)
+      |SELECT w_start AS w_start_us, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM f GROUP BY w_start ORDER BY w_start""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q122_scd2_intervals" -> ((q122 _, Some(q122Sql))),
+    "q124_hopping_window" -> ((q124 _, Some(q124Sql))),
     "q115_tpch_q5"        -> ((q115 _, Some(q115Sql))),
     "q116_outlier_mad"    -> ((q116 _, Some(q116Sql))),
     "q117_constraint_audit" -> ((q117 _, Some(q117Sql))),

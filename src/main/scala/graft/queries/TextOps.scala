@@ -409,7 +409,46 @@ object TextOps {
        |FROM cnt ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Inverted-index build — the search-engine-side operator over the
+    * corpus: term → document-frequency, total term-frequency, and a
+    * deterministic digest of the full posting list (doc_id:tf pairs in
+    * doc_id order). The posting list is canonicalized by sorting the
+    * collected structs (q97's determinism recipe: collect_list's layout
+    * nondeterminism erased by array_sort on a unique key) and digested to
+    * md5 so the oracle comparison pins every posting and its order
+    * without shipping lists across engines.
+    *
+    * Scale shape: tf is one (term, doc_id) aggregation with map-side
+    * combine; postings are one term-keyed aggregation — for web-scale hot
+    * terms the posting array becomes the rolling-digest fold
+    * (Sessionize.orderedConcatMd5, constant memory however long the
+    * list), the documented q97 hot-key swap. */
+  def q123(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(doc_id, tf))), " +
+            "s -> concat(s.doc_id, ':', s.tf)), ' ')")).as("postings_md5"))
+      .orderBy(col("term"))
+  }
+  val q123Sql: String =
+    """WITH tf AS (
+      |  SELECT u.term, doc_id, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM documents) u
+      |  GROUP BY u.term, doc_id)
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |  md5(string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)) AS postings_md5
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q123_inverted_index" -> ((q123 _, Some(q123Sql))),
     "q49_token_counting" -> ((q49 _, Some(q49Sql))),
     "q74_bpe_tokenize"   -> ((q74 _, Some(q74Sql))),
     "q50_rolling_hash"   -> ((q50 _, Some(q50Sql))),
