@@ -283,7 +283,126 @@ object DataOps {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Temperature-based data-mixing schedule — the sampling knob every
+    * multi-source LLM corpus tunes: per-source weights (token counts)
+    * reweighted by w^(1/T) with T=2 (sqrt — IEEE-correctly-rounded in
+    * both engines, so the shares agree bit-exact), normalized against a
+    * DECIMAL-quantized denominator (the repo's order-independent sum),
+    * and turned into integer per-source quotas for a 1000-doc budget.
+    * Downstream the quotas feed q89's deterministic md5-rank selection.
+    * One corpus aggregation; everything after runs on 20 rows. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+    val tot = w.agg(
+      sum(col("tokens")).as("tot_tokens"),
+      sum(sqrt(col("tokens").cast("double")).cast(DecimalType(18, 6))).as("tot_sqrt"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("tot_tokens").cast("double")).as("raw_share"),
+        (sqrt(col("tokens").cast("double")) / col("tot_sqrt").cast("double")).as("temp_share"))
+      .withColumn("quota", floor(lit(1000.0) * col("temp_share")).cast("long"))
+      .orderBy(col("source"))
+  }
+  val q125Sql: String =
+    """WITH w AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+      |    SUM(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,6))) AS tot_sqrt
+      |  FROM w)
+      |SELECT source, n_docs, tokens,
+      |  CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS raw_share,
+      |  sqrt(CAST(tokens AS DOUBLE)) / CAST(tot_sqrt AS DOUBLE) AS temp_share,
+      |  CAST(floor(1000.0 * (sqrt(CAST(tokens AS DOUBLE)) / CAST(tot_sqrt AS DOUBLE))) AS BIGINT) AS quota
+      |FROM w, tot ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Reproducible epoch shuffle — the training-data ordering operator:
+    * each epoch permutes the corpus by a seeded content hash, giving
+    * every worker the same order with no RNG state. The scale point is
+    * HOW the global position is computed: never a single-partition
+    * row_number over the corpus (the oracle's formulation — fine for
+    * DuckDB, a driver-melting bottleneck for Spark). Instead the hash's
+    * first byte buckets rows into 256 groups; positions are within-bucket
+    * ranks plus broadcast cumulative bucket offsets — a distributed total
+    * order from one 256-way exchange and a 512-row offset table.
+    * PlanCheck asserts no SinglePartition window exists in the plan. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(typedLit(Array(0L, 1L))).as("epoch"))
+      .withColumn("h", md5(concat(lit("epoch"), col("epoch"), lit(":"), col("doc_id"))))
+      .withColumn("bucket",
+        expr("cast(conv(substring(h, 1, 2), 16, 10) as bigint)"))
+    val wIn = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val ranked = epochs.withColumn("rn", row_number().over(wIn))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = epochs.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("off"))
+    ranked.join(broadcast(offsets), Seq("epoch", "bucket"))
+      .select(col("epoch"), col("doc_id"), (col("off") + col("rn")).as("pos"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+  val q126Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id, u.epoch,
+      |    md5('epoch' || u.epoch || ':' || doc_id) AS h
+      |  FROM documents, unnest(ARRAY[0, 1]) AS u(epoch))
+      |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM e ORDER BY epoch, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  /** Parquet schema evolution — the data-lake reality that half a corpus
+    * was written before a column existed: two snapshots of orders land
+    * with different schemas (the newer adds o_orderstatus), and a
+    * mergeSchema read unions them with nulls backfilling the old files.
+    * The aggregate proves row counts, null accounting, and exact sums
+    * survive the merged read. Writes are idempotent per (session, dir) —
+    * the q77 pattern. */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = s"${sys.props("java.io.tmpdir")}/graft_schema_evo_${
+      java.lang.Integer.toHexString(d.hashCode)}"
+    val o = Tables.orders(s, d)
+    if (!new java.io.File(s"$base/p1/_SUCCESS").isFile ||
+        !new java.io.File(s"$base/p2/_SUCCESS").isFile) {
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/p1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$base/p2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$base/p1", s"$base/p2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+      .orderBy(col("status"))
+  }
+  val q127Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+      |            ELSE o_orderstatus END AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q125_temperature_mixing" -> ((q125 _, Some(q125Sql))),
+    "q126_epoch_shuffle"  -> ((q126 _, Some(q126Sql))),
+    "q127_schema_evolution" -> ((q127 _, Some(q127Sql))),
     "q104_snapshot_diff" -> ((q104 _, Some(q104Sql))),
     "q105_merge_apply"   -> ((q105 _, Some(q105Sql))),
     "q108_salted_skew_join" -> ((q108 _, Some(q108Sql))),

@@ -287,6 +287,11 @@ object PlanCheck {
       p.contains("LeftAnti") &&
         "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
         !p.contains("CartesianProduct"))
+    // q126: the epoch permutation must never compute its global positions
+    // through a single-partition window — the bucket/offset decomposition
+    // is the whole point of the operator
+    check("q126_epoch_shuffle", "no SinglePartition window anywhere in the plan")(p =>
+      !p.contains("SinglePartition") && p.contains("BroadcastHashJoin"))
     // q118: the sufficient statistics are ONE aggregation pass with
     // map-side combine — no join, no second scan
     check("q118_exact_regression", "one partial-agg pass, no join")(p =>

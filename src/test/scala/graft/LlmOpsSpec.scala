@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 124 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 127 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 124, s"expected 124 board entries, got ${qs.size}")
+    assert(qs.size == 127, s"expected 127 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 123, s"expected 123 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 126, s"expected 126 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -503,6 +503,35 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       if b2 == b && edges((a, c))
     } yield (a, b, c)
     assert(tris.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == exact.toSet)
+  }
+
+  test("q125: temperature flattens shares; quotas stay within budget") {
+    val out = graft.queries.DataOps.q125(spark, d).collect()
+    assert(out.nonEmpty)
+    val raw = out.map(_.getDouble(3))
+    val temp = out.map(_.getDouble(4))
+    // temp shares divide by the DECIMAL(18,6)-quantized denominator, so
+    // they sum to 1 only within the quantization residue (~1e-9 here)
+    assert(math.abs(raw.sum - 1.0) < 1e-9 && math.abs(temp.sum - 1.0) < 1e-6)
+    // T=2 must compress the spread: the hot source loses share, the cold
+    // one gains
+    assert(temp.max / temp.min < raw.max / raw.min,
+      "temperature reweighting failed to flatten the source distribution")
+    assert(out.map(_.getLong(5)).sum <= 1000, "quotas exceed the stated budget")
+  }
+
+  test("q126: each epoch is a permutation; epochs disagree on order") {
+    val out = graft.queries.DataOps.q126(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length / 2
+    (0L to 1L).foreach { ep =>
+      val pos = out.filter(_._1 == ep).map(_._3).sorted
+      assert(pos.toSeq == (1L to n).toSeq, s"epoch $ep positions are not a 1..$n permutation")
+    }
+    val order0 = out.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    val order1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    assert(order0 != order1, "the two epochs produced the identical order")
+    assert(order0.toSet == order1.toSet, "epochs must cover the same corpus")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
