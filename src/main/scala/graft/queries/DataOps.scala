@@ -399,7 +399,50 @@ object DataOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** Incremental aggregate maintenance — materialized-view delta algebra:
+    * yesterday's per-bucket aggregate (over snapshot v1) is brought up to
+    * date by FOLDING IN the q104 changefeed (+new for inserts, −old for
+    * deletes, new−old for updates) instead of rescanning the snapshot.
+    * The oracle recomputes the aggregate directly over v2, so the gate
+    * proves the delta algebra reproduces the full recomputation exactly —
+    * including the decimal quantization, which is applied per change row
+    * the same way the base aggregation applies it per source row (the
+    * +1000.0 repricing survives 4-decimal quantization distributively
+    * because price noise is ~1e-10 against a 5e-5 rounding boundary).
+    * At 100 TB this is THE pattern that turns a daily full-table rollup
+    * into a changefeed-sized job. */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val old = snapV1(s, d)
+      .groupBy((col("o_orderkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("old_price").cast(DecimalType(18, 4))).as("s0"))
+    val delta = changeSet(s, d)
+      .groupBy((col("o_orderkey") % 7).as("bucket"))
+      .agg(
+        sum(when(col("op") === "I", 1L).when(col("op") === "D", -1L).otherwise(0L)).as("dn"),
+        sum(when(col("op") === "I", col("new_price"))
+          .when(col("op") === "D", -col("old_price"))
+          .otherwise(col("new_price") - col("old_price"))
+          .cast(DecimalType(18, 4))).as("ds"))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    old.join(delta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s0"), zero) + coalesce(col("ds"), zero))
+          .cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+  val q129Sql: String =
+    """SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+      |                     ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 10 <> 7
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q129_incremental_agg" -> ((q129 _, Some(q129Sql))),
     "q125_temperature_mixing" -> ((q125 _, Some(q125Sql))),
     "q126_epoch_shuffle"  -> ((q126 _, Some(q126Sql))),
     "q127_schema_evolution" -> ((q127 _, Some(q127Sql))),

@@ -287,6 +287,26 @@ object PlanCheck {
       p.contains("LeftAnti") &&
         "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
         !p.contains("CartesianProduct"))
+    // q128 distributed shape: audit prefixJaccardPairs DIRECTLY (the q128
+    // entry reads the persisted shingle memo — the q24/q78 audit split).
+    // Broadcast disabled: the prefix self-join must be a hash join on the
+    // shingle key, the df table must aggregate partially, no cartesian.
+    locally {
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.queries.DedupSim.prefixJaccardPairs(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ok = plan.contains("partial") && !plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("hashpartitioning(pt")
+        println(f"${if (ok) "PASS" else "FAIL"}%s  q128_pairs(distributed)      partial df agg, shingle-key hash join, no cartesian")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     // q126: the epoch permutation must never compute its global positions
     // through a single-partition window — the bucket/offset decomposition
     // is the whole point of the operator

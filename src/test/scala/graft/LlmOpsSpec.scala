@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 127 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 129 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 127, s"expected 127 board entries, got ${qs.size}")
+    assert(qs.size == 129, s"expected 129 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 126, s"expected 126 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 128, s"expected 128 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     assert((qs.keySet -- oracle.keySet) == Set("q30_audio_pipeline_e2e"),
       "only the audio e2e may be rows-only")
@@ -532,6 +532,41 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val order1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
     assert(order0 != order1, "the two epochs produced the identical order")
     assert(order0.toSet == order1.toSet, "epochs must cover the same corpus")
+  }
+
+  test("q128: prefix filtering prunes candidates without losing a qualifying pair") {
+    // brute-force ground truth, driver-side, over the sf0.001 corpus —
+    // the same 3-word shingle sets the operator uses
+    val sets = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .collect().map { r =>
+        val w = r.getSeq[String](1)
+        r.getLong(0) -> w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).sortBy(_._1)
+    val exact = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ida, a) = sets(i); (idb, b) = sets(j)
+      inter = (a & b).size; uni = a.size + b.size - inter
+      if inter * 5 >= uni * 4
+    } yield (ida, idb)).toSet
+    val out = graft.queries.DedupSim.q128(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == exact, "prefix-filtered join diverged from brute force")
+    assert(out.nonEmpty, "degenerate fixture: no qualifying pair at sf0.001")
+  }
+
+  test("q129: the delta-maintained aggregate equals the direct v2 rollup") {
+    import org.apache.spark.sql.types.DecimalType
+    val direct = spark.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_orderkey") % 10 =!= 7)
+      .groupBy((col("o_orderkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).cast(DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+      .collect().map(_.toSeq).toSet
+    val incr = graft.queries.DataOps.q129(spark, d).collect().map(_.toSeq).toSet
+    assert(incr == direct, "incremental maintenance diverged from recomputation")
   }
 
   test("q92 reconciles with q86: stripped tokens == duplicated-token coverage") {
