@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.DedupSim.defs2 ++
       graft.queries.LlmOps.defs ++
       graft.queries.DataOps.defs ++
+      graft.queries.AnalyticsOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -959,6 +959,65 @@ object DedupSim {
        |FROM lab ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q133
+  /** Cluster CANONICALIZATION — q79 picks its keeper by first-writer-wins
+    * (minimum doc_id), the reference's INSERT-OR-IGNORE semantics
+    * (pa.py:62,378). Real corpus dedup keeps the BEST member of each
+    * near-dup cluster instead: here the longest document (n_chars, doc_id
+    * ascending tie-break — a deterministic total order, which is what
+    * makes the selection reproducible). Output: every document with its
+    * cluster, the cluster's elected keeper, and whether this row is it —
+    * the drop-list feed for the actual dedup delete pass.
+    *
+    * Scale shape: the election runs entirely on the edge-label table
+    * (dup-cluster members only — tiny vs the corpus) joined to just
+    * those documents' lengths; the corpus-sized pass is the same
+    * broadcast join-back q79 uses. argmax via max(struct(quality, -id))
+    * is one partial-aggregable pass, no window over data-sized input. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val pairs = q45(s, d).select(col("doc_a"), col("doc_b"))
+    val edgeLabels = componentLabels(s, pairs)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    // elect per-cluster keeper among edge-touched members: max n_chars,
+    // then smallest doc_id (negate for the struct max)
+    val keepers = edgeLabels
+      .join(docs, col("edge_doc") === col("doc_id"))
+      .groupBy(col("label"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("label"), (-col("best.nid")).as("keeper_id"))
+    docs.select(col("doc_id"))
+      .join(broadcast(edgeLabels), col("doc_id") === col("edge_doc"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .join(broadcast(keepers), col("cluster_id") === col("label"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"))
+      .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+  val q133Sql: String = {
+    val cand = q45Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS ($cand),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+       |lab AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |k AS (
+       |  SELECT cluster_id, doc_id AS keeper_id FROM (
+       |    SELECT lab.cluster_id, lab.doc_id,
+       |      row_number() OVER (PARTITION BY lab.cluster_id
+       |                         ORDER BY d.n_chars DESC, lab.doc_id) AS rn
+       |    FROM lab JOIN documents d USING (doc_id)) WHERE rn = 1)
+       |SELECT lab.doc_id, lab.cluster_id, k.keeper_id,
+       |  lab.doc_id = k.keeper_id AS is_keeper
+       |FROM lab JOIN k USING (cluster_id)
+       |ORDER BY lab.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q80
   /** Exact SUBSTRING-level dedup (round-4 verdict #1) — the workhorse
     * LLM-corpus operator the whole-document passes (q22/q09 exact, q24/q78
@@ -1725,6 +1784,7 @@ object DedupSim {
     "q86_dup_token_coverage" -> ((q86 _, Some(q86Sql))),
     "q92_strip_dup_spans"   -> ((q92 _, Some(q92Sql))),
     "q79_dedup_clusters"    -> ((q79 _, Some(q79Sql))),
+    "q133_cluster_keeper"   -> ((q133 _, Some(q133Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
     "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))),

@@ -345,6 +345,43 @@ object PlanCheck {
       p.contains("hashpartitioning(band_idx") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
 
+    check("q130_dataset_digest", "row digests partial-aggregate before the bucket exchange")(p =>
+      p.contains("partial") && p.contains("hashpartitioning(bucket"))
+    check("q131_embedding_stats", "posexplode feeds partial agg; 64-group exchange, no join")(p =>
+      p.contains("Generate") && p.contains("partial") &&
+        p.contains("hashpartitioning(pos") && !p.contains("Join"))
+    // q132 at-scale shape: with broadcast disabled, the interval overlap
+    // must be an equi-join shuffled on (supplier, time bucket) — the
+    // inequality predicates are post-join filters on candidates, never a
+    // cartesian per supplier
+    locally {
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.SparkEntry.queries("q132_interval_overlap")(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ok = !plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin") &&
+          "hashpartitioning\\(l_suppkey#\\d+L?, bucket".r.findFirstIn(plan).isDefined
+        println(f"${if (ok) "PASS" else "FAIL"}%s  q132(at-scale)               overlap join is (suppkey, bucket) equi-join, no cartesian")
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    check("q134_bpe_merge_step", "pair counts partial-agg; top-10 is TakeOrdered")(p =>
+      p.contains("partial") && p.contains("TakeOrderedAndProject"))
+    check("q136_time_weighted_avg", "ONE user_id exchange feeds window AND final agg")(p =>
+      "hashpartitioning\\(user_id".r.findAllIn(p).size == 1 &&
+        !p.contains("CartesianProduct") && !p.contains("Join"))
+    check("q137_equidepth_hist", "rank is per-coarse-bucket: no SinglePartition, no join")(p =>
+      !p.contains("SinglePartition") && p.contains("hashpartitioning(cb") &&
+        !p.contains("Join"))
+    check("q138_transition_matrix", "normalization window runs on the states² rollup only")(p =>
+      p.contains("partial") && !p.contains("CartesianProduct") &&
+        "hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
     // (q77's layout) joined to a FILTERED tiny dim on the partition column
