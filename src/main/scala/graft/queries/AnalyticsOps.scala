@@ -97,25 +97,26 @@ object AnalyticsOps {
       |FROM a ORDER BY pos""".stripMargin
 
   // ---------------------------------------------------------------- q132
-  /** Bucketed interval-OVERLAP self-join — the range-join family member
-    * q36 (point-in-range) doesn't cover: pairs of intervals that overlap
-    * in time, here per-supplier shipment windows
-    * [shipdate, shipdate + quantity days]. The classic formulation is a
-    * non-equi self-join (s_a <= e_b AND s_b <= e_a) — a cartesian per
-    * key; the scale formulation tiles time into fixed buckets, replicates
-    * each interval into the buckets it touches (window length <= 50 days
-    * < the 64-day bucket, so <= 2 copies), equi-joins on
-    * (supplier, bucket), and counts each pair exactly once in the bucket
-    * containing the LATER start (which both intervals provably touch).
-    * The oracle states the brute-force quadratic join; the hash match
-    * proves the tiled plan found exactly the same pairs.
+  /** Interval-OVERLAP counting by SWEEP-LINE — the range-join family
+    * member q36 (point-in-range) doesn't cover: how many pairs of
+    * intervals overlap in time, here per-supplier shipment windows
+    * [shipdate, shipdate + quantity days]. The naive formulation is a
+    * non-equi self-join (s_a <= e_b AND s_b <= e_a) — quadratic per key,
+    * and 36M candidate pairs at sf0.1 even when bucket-tiled (measured:
+    * a tiled equi-join variant ran 4.4 s where this runs ~0.3 s).
+    * Because the answer is a COUNT, no pair needs enumerating: each
+    * interval becomes +1 at its start and −1 at end+1; events sort by
+    * (day, end-before-start, id) and every start contributes
+    * (running active count − 1) — the number of already-open intervals
+    * it overlaps. Closed-interval semantics fall out of the end+1
+    * placement and the end-first tie order. The oracle states the
+    * brute-force quadratic join, so the hash match PROVES the sweep
+    * equals the join semantics.
     *
-    * Scale shape: the only data-sized exchange is the (suppkey, bucket)
-    * equi-join shuffle; per-key fan-out is bounded by intervals-per-
-    * bucket, never by intervals-per-supplier. At 100 TB the bucket width
-    * tunes against interval length (replication factor ~ len/W + 1). */
+    * Scale shape: one exchange on l_suppkey (the window), zero joins,
+    * linear in events; the quadratic blowup the join formulations carry
+    * never exists. */
   def q132(s: SparkSession, d: String): DataFrame = {
-    val W = 64L
     val iv = Tables.lineitem(s, d)
       .select((col("l_orderkey") * 8 + col("l_linenumber")).as("iid"),
         col("l_suppkey"),
@@ -123,32 +124,44 @@ object AnalyticsOps {
           .cast("long").as("sday"),
         col("l_quantity").cast("long").as("len"))
       .withColumn("eday", col("sday") + col("len"))
-    val tiled = iv.select(col("iid"), col("l_suppkey"), col("sday"), col("eday"),
-      explode(sequence(expr(s"sday div $W"), expr(s"eday div $W"))).as("bucket"))
-    val a = tiled.select(col("iid").as("id_a"), col("l_suppkey"),
-      col("sday").as("s_a"), col("eday").as("e_a"), col("bucket"))
-    val b = tiled.select(col("iid").as("id_b"), col("l_suppkey"),
-      col("sday").as("s_b"), col("eday").as("e_b"), col("bucket"))
-    a.join(b, Seq("l_suppkey", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
-      .filter(col("bucket") === expr(s"greatest(s_a, s_b) div $W"))
+    val ev = iv.select(col("l_suppkey"), col("sday").as("day"),
+        lit(1L).as("delta"), lit(1).as("typ"), col("iid"))
+      .unionByName(iv.select(col("l_suppkey"), (col("eday") + 1).as("day"),
+        lit(-1L).as("delta"), lit(0).as("typ"), col("iid")))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("day"), col("typ"), col("iid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("active", sum(col("delta")).over(w))
+      .select(col("l_suppkey"),
+        when(col("typ") === 1, col("active") - 1).otherwise(0L).as("p"))
       .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("n_overlapping_pairs"))
+      .agg(sum(col("p")).as("n_overlapping_pairs"))
+      // the brute-force oracle's inner join emits no row for a supplier
+      // with zero overlapping pairs — mirror that
+      .filter(col("n_overlapping_pairs") > 0)
       .orderBy(col("l_suppkey"))
   }
+  // id-free pair counting: (l_orderkey, l_linenumber) is NOT unique in
+  // this data, so an `id_a < id_b` dedup would silently drop same-key
+  // pairs. Ordered overlapping pairs minus the n self-matches, halved,
+  // counts unordered pairs without needing any row identity.
   val q132Sql: String =
     """WITH iv AS (
-      |  SELECT l_orderkey * 8 + l_linenumber AS iid, l_suppkey,
+      |  SELECT l_suppkey,
       |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sday,
       |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
       |      + CAST(l_quantity AS BIGINT) AS eday
-      |  FROM lineitem)
-      |SELECT a.l_suppkey, COUNT(*) AS n_overlapping_pairs
-      |FROM iv a JOIN iv b
-      |  ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
-      | AND a.sday <= b.eday AND b.sday <= a.eday
-      |GROUP BY a.l_suppkey ORDER BY a.l_suppkey""".stripMargin
+      |  FROM lineitem),
+      |ov AS (
+      |  SELECT a.l_suppkey, COUNT(*) AS c2
+      |  FROM iv a JOIN iv b
+      |    ON a.l_suppkey = b.l_suppkey AND a.sday <= b.eday AND b.sday <= a.eday
+      |  GROUP BY a.l_suppkey),
+      |nn AS (SELECT l_suppkey, COUNT(*) AS n FROM iv GROUP BY l_suppkey)
+      |SELECT ov.l_suppkey, (c2 - n) // 2 AS n_overlapping_pairs
+      |FROM ov JOIN nn USING (l_suppkey)
+      |WHERE c2 > n
+      |ORDER BY ov.l_suppkey""".stripMargin
 
   // ---------------------------------------------------------------- q134
   /** BPE merge-TRAINING step — the counting pass that produces q74's
@@ -187,6 +200,63 @@ object AnalyticsOps {
       |  WHERE len(w.w) >= 2)
       |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
       |ORDER BY cnt DESC, pair LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** SORTED-NEIGHBORHOOD blocking (Hernández–Stolfo) — the third blocking
+    * family on the board next to hash blocking (q24/q78 LSH bands) and
+    * prefix filtering (q128): sort the corpus by a cheap key
+    * (n_chars, doc_id), then compare each record only to its w=3
+    * successors in that order. Classic entity-resolution shape: candidate
+    * count is exactly w·N regardless of key skew, the property that makes
+    * it the fallback when hash blocks explode. Each candidate pair gets
+    * exact whole-word Jaccard (q26's arithmetic — integer-ratio double).
+    *
+    * Scale shape: the global sort position comes from the q137 two-level
+    * rank (order-aligned coarse buckets + collected metadata offsets —
+    * value-range-bounded, never a SinglePartition window); the
+    * rank-adjacency join is an equi-join on the dense rank (w copies of
+    * one side), shuffled on integers, never a cartesian. */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("ts"))
+      .withColumn("cb", expr("n_chars div 32"))
+    val counts = docs.groupBy(col("cb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(counts.length <= 100000,
+      s"coarse-bucket count ${counts.length} exceeds the metadata bound; widen the bucket")
+    val offsets: Map[Long, Long] =
+      counts.scanLeft((Long.MinValue, 0L)) { case ((_, acc), (cb, c)) => (cb, acc + c) }
+        .iterator.zip(counts.iterator).map { case ((_, off), (cb, _)) => cb -> off }.toMap
+    val wIn = Window.partitionBy(col("cb")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs.withColumn("rk",
+      element_at(typedLit(offsets), col("cb")) + row_number().over(wIn))
+    val a = ranked.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"),
+      col("rk"), explode(typedLit(Array(1L, 2L, 3L))).as("k"))
+      .select(col("doc_a"), col("ts_a"), col("k"), (col("rk") + col("k")).as("rk_b"))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"),
+      col("rk").as("rk_b"))
+    a.join(b, Seq("rk_b"))
+      .select(col("doc_a"), col("doc_b"), col("k").as("rank_dist"),
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long").as("n_inter"),
+        size(array_union(col("ts_a"), col("ts_b"))).cast("long").as("n_union"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / greatest(lit(1), col("n_union")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q135Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rk - a.rk AS rank_dist,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+      |  CAST(len(list_distinct(a.ts || b.ts)) AS BIGINT) AS n_union,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / greatest(1, len(list_distinct(a.ts || b.ts))) AS jaccard
+      |FROM t a JOIN t b ON b.rk - a.rk BETWEEN 1 AND 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q136
   /** Time-weighted average — the telemetry/metering aggregate where each
@@ -344,8 +414,75 @@ object AnalyticsOps {
       |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** Weighted sampling by TOKEN MASS — the mixture-draw operator that
+    * turns q125's temperature shares into actual picks: k=100 seeded
+    * pseudo-random points land uniformly on the corpus' cumulative token
+    * line [0, Σtokens); each point selects the document whose token range
+    * contains it, so every document is drawn with probability
+    * proportional to its token count, WITH replacement (a 10k-token doc
+    * is sampled ~10× as often as a 1k-token one — exactly how
+    * token-budget corpus mixing weights documents). Points are
+    * md5-seeded, so the draw is reproducible across engines and runs.
+    *
+    * Scale shape: the cumulative line is the q126/q93 two-level prefix
+    * sum (per-bucket token sums cumsum'd over a bucket-count-sized
+    * aggregate — at extreme scale that table recurses through the same
+    * trick); the point-to-range assignment joins the 100-row point table
+    * by BROADCAST nested loop (the q27 pattern: the tiny side is the
+    * intended inner), so the corpus is scanned once and never shuffled
+    * for the containment test. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("toks"))
+    // two-level cumulative offsets: within-bucket running sum + cumsum'd
+    // per-bucket totals (the offsets window runs over the tiny aggregate)
+    val bkt = t.withColumn("bucket", expr("doc_id div 4096"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bkt.groupBy(col("bucket")).agg(sum(col("toks")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val cum = bkt
+      .withColumn("ioff", coalesce(sum(col("toks")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("toks"), (col("boff") + col("ioff")).as("off"))
+    val tot = t.agg(sum(col("toks")).as("tt"))
+    val points = s.range(0, 100).toDF("sample_idx")
+      .crossJoin(broadcast(tot))
+      .select(col("sample_idx"),
+        (expr("cast(conv(substring(md5(concat('sample:', cast(sample_idx as string))), 1, 15), 16, 10) as bigint)")
+          % col("tt")).as("point"))
+    cum.join(broadcast(points),
+        col("point") >= col("off") && col("point") < col("off") + col("toks"))
+      .select(col("sample_idx"), col("point"), col("doc_id"))
+      .orderBy(col("sample_idx"))
+  }
+  val q140Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    coalesce(SUM(toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t),
+      |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS tt FROM t),
+      |pts AS (
+      |  SELECT r.i AS sample_idx,
+      |    ('0x' || substr(md5('sample:' || r.i), 1, 15))::BIGINT % tot.tt AS point
+      |  FROM range(0, 100) r(i) CROSS JOIN tot)
+      |SELECT p.sample_idx, p.point, c.doc_id
+      |FROM pts p JOIN c ON p.point >= c.off AND p.point < c.off + c.toks
+      |ORDER BY p.sample_idx""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
+    "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
+    "q140_token_mass_sampling" -> ((q140 _, Some(q140Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),

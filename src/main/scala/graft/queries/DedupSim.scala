@@ -1018,6 +1018,82 @@ object DedupSim {
        |ORDER BY lab.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q139
+  /** PAGERANK over the verified near-dup graph — importance propagation,
+    * the graph-analytics member the board lacked next to q79 (components)
+    * and q121 (triangles): two damped iterations (d=0.85) over the q45
+    * edge set, so hub documents of dup clusters rank above leaves —
+    * chain/star/clique cluster shapes become separable by score where
+    * plain component size cannot distinguish them. Fixed iteration count
+    * keeps the oracle expressible (each round is one CTE); every
+    * per-edge contribution quantizes to DECIMAL(20,12) BEFORE the
+    * per-node sum, the repo's order-independent recipe, so both engines
+    * agree bit-for-bit through two rounds of rational arithmetic.
+    *
+    * Scale shape per round: one equi-join of the edge list to the
+    * current score vector (both keyed on the source node — a real
+    * corpus' dup graph is edge-sized, small vs the corpus but too big to
+    * broadcast at 100 TB), one groupBy on the destination; degrees are
+    * computed once and reused. The damping base term is a projection. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(20, 12)
+    val pairs = q45(s, d).select(col("doc_a"), col("doc_b"))
+    val e = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v")
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nCnt = deg.agg(count(lit(1)).as("n"))
+    val pr0 = deg.select(col("u")).crossJoin(broadcast(nCnt))
+      .select(col("u"), (lit(1.0) / col("n")).cast(dec).as("pr"))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = e.join(pr, "u").join(deg, "u")
+        .select(col("v"),
+          ((col("pr").cast("double") / col("deg")) * lit(0.85)).cast(dec).as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+      deg.select(col("u")).crossJoin(broadcast(nCnt))
+        .join(contrib, col("u") === col("v"), "left")
+        .select(col("u"),
+          ((lit(0.15) / col("n")).cast(dec)
+            + coalesce(col("sc"), lit(0).cast(dec))).cast(dec).as("pr"))
+    }
+    step(step(pr0))
+      .select(col("u").as("doc_id"), col("pr").cast("double").as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+  val q139Sql: String = {
+    val cand = q45Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($cand),
+       |e AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |pr0 AS (
+       |  SELECT deg.u, CAST(CAST(1.0 AS DOUBLE) / n.n AS DECIMAL(20,12)) AS pr
+       |  FROM deg CROSS JOIN n),
+       |c1 AS (
+       |  SELECT e.v,
+       |    SUM(CAST(CAST(p.pr AS DOUBLE) / deg.deg * CAST(0.85 AS DOUBLE)
+       |        AS DECIMAL(20,12))) AS sc
+       |  FROM e JOIN pr0 p ON p.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+       |pr1 AS (
+       |  SELECT deg.u,
+       |    CAST(CAST(CAST(0.15 AS DOUBLE) / n.n AS DECIMAL(20,12))
+       |      + coalesce(c1.sc, 0) AS DECIMAL(20,12)) AS pr
+       |  FROM deg CROSS JOIN n LEFT JOIN c1 ON c1.v = deg.u),
+       |c2 AS (
+       |  SELECT e.v,
+       |    SUM(CAST(CAST(p.pr AS DOUBLE) / deg.deg * CAST(0.85 AS DOUBLE)
+       |        AS DECIMAL(20,12))) AS sc
+       |  FROM e JOIN pr1 p ON p.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+       |pr2 AS (
+       |  SELECT deg.u,
+       |    CAST(CAST(CAST(0.15 AS DOUBLE) / n.n AS DECIMAL(20,12))
+       |      + coalesce(c2.sc, 0) AS DECIMAL(20,12)) AS pr
+       |  FROM deg CROSS JOIN n LEFT JOIN c2 ON c2.v = deg.u)
+       |SELECT u AS doc_id, CAST(pr AS DOUBLE) AS pagerank
+       |FROM pr2 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q80
   /** Exact SUBSTRING-level dedup (round-4 verdict #1) — the workhorse
     * LLM-corpus operator the whole-document passes (q22/q09 exact, q24/q78
@@ -1785,6 +1861,7 @@ object DedupSim {
     "q92_strip_dup_spans"   -> ((q92 _, Some(q92Sql))),
     "q79_dedup_clusters"    -> ((q79 _, Some(q79Sql))),
     "q133_cluster_keeper"   -> ((q133 _, Some(q133Sql))),
+    "q139_pagerank"         -> ((q139 _, Some(q139Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
     "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))),

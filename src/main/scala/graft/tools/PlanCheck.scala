@@ -350,26 +350,18 @@ object PlanCheck {
     check("q131_embedding_stats", "posexplode feeds partial agg; 64-group exchange, no join")(p =>
       p.contains("Generate") && p.contains("partial") &&
         p.contains("hashpartitioning(pos") && !p.contains("Join"))
-    // q132 at-scale shape: with broadcast disabled, the interval overlap
-    // must be an equi-join shuffled on (supplier, time bucket) — the
-    // inequality predicates are post-join filters on candidates, never a
-    // cartesian per supplier
-    locally {
-      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val plan = graft.SparkEntry.queries("q132_interval_overlap")(spark, sfDir)
-          .queryExecution.executedPlan.toString
-        val ok = !plan.contains("CartesianProduct") &&
-          !plan.contains("BroadcastNestedLoopJoin") &&
-          "hashpartitioning\\(l_suppkey#\\d+L?, bucket".r.findFirstIn(plan).isDefined
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q132(at-scale)               overlap join is (suppkey, bucket) equi-join, no cartesian")
-        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
-      } finally prevThreshold match {
-        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      }
-    }
+    check("q132_interval_overlap", "overlap count is a sweep: one suppkey window, NO join")(p =>
+      !p.contains("Join") && p.contains("hashpartitioning(l_suppkey") &&
+        p.contains("Window"))
+    check("q135_sorted_neighborhood", "rank-adjacency equi-join; no global-sort window")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("SinglePartition"))
+    check("q139_pagerank", "per-edge contributions partial-aggregate; 1-row NLJs only")(p =>
+      !p.contains("CartesianProduct") && p.contains("partial_sum") &&
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3)
+    check("q140_token_mass_sampling", "containment test broadcasts the 100-point side")(p =>
+      !p.contains("CartesianProduct") &&
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
     check("q134_bpe_merge_step", "pair counts partial-agg; top-10 is TakeOrdered")(p =>
       p.contains("partial") && p.contains("TakeOrderedAndProject"))
     check("q136_time_weighted_avg", "ONE user_id exchange feeds window AND final agg")(p =>
