@@ -479,10 +479,40 @@ object AnalyticsOps {
       |FROM pts p JOIN c ON p.point >= c.off AND p.point < c.off + c.toks
       |ORDER BY p.sample_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Query THROUGH the custom DataSource V2 connector
+    * (sources/GenSource.scala): the deterministic generator table is
+    * declared like any other source, and the optimizer negotiates with
+    * it — the id range predicate FOLDS INTO the generator's bounds
+    * (89k of 100k rows are never produced), and column pruning reaches
+    * the reader (md5 is computed only because `h` is aggregated; `id`
+    * itself is consumed by the pushdown and never materialized). DuckDB
+    * states the identical table from range(), so the connector's whole
+    * read path — splits, pushdown, pruning, row materialization — faces
+    * the same hash gate as a parquet scan. PlanCheck asserts the live
+    * scan shows the folded bounds and the pruned column list. */
+  def q141(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.GenSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 90000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("hsum"))
+      .orderBy(col("bucket"))
+  val q141Sql: String =
+    """WITH t AS (
+      |  SELECT r.range AS id, md5(CAST(r.range AS VARCHAR)) AS h, r.range % 64 AS bucket
+      |  FROM range(0, 100000) r)
+      |SELECT bucket, COUNT(*) AS n,
+      |  CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT) AS BIGINT) AS hsum
+      |FROM t WHERE id >= 1000 AND id < 90000
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
     "q140_token_mass_sampling" -> ((q140 _, Some(q140Sql))),
+    "q141_custom_source_v2" -> ((q141 _, Some(q141Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A full DataSource V2 connector — the engine surface the reference's
+  * hardcoded directory walk (/root/reference/process_audio.py:79-92,396)
+  * stands in for: a custom TABLE the optimizer can negotiate with, not a
+  * function call. The table is a deterministic synthetic corpus
+  * (id BIGINT, h STRING = md5(id), bucket BIGINT = id % 64) of
+  * `rows` rows split into `slices` independent input partitions, which
+  * makes every correctness claim cross-checkable: DuckDB's range() can
+  * state the exact same table, so a query THROUGH the connector faces
+  * the same oracle as any parquet scan (q141).
+  *
+  * What it implements (and PlanCheck asserts on the live plan):
+  *   - SupportsPushDownFilters: id range/equality predicates FOLD INTO
+  *     the generator's [lo, hi) bounds — pushed filters never generate a
+  *     row, exactly how a real connector turns predicates into I/O
+  *     elision. Handled filters are consumed (not re-evaluated);
+  *     anything else stays a Spark-side residual.
+  *   - SupportsPushDownRequiredColumns: the reader materializes ONLY the
+  *     pruned schema — md5 is never computed when `h` isn't read.
+  *   - Batch planning: `slices` contiguous [start, end) splits, each a
+  *     serializable InputPartition — the multi-executor contract (no
+  *     driver state reaches the reader).
+  *
+  * At 100 TB the same three hooks are what make a connector viable:
+  *     splits ≈ cluster parallelism, predicate → partition elision,
+  *     projection → column elision. */
+class GenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GenSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GenTable(
+      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4))
+}
+
+object GenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("h", StringType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+
+  private[sources] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
+
+private[sources] class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_gen(rows=$rows)"
+  override def schema(): StructType = GenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, slices)
+}
+
+private[sources] class GenScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L          // inclusive
+  private var hi = rows        // exclusive
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = GenSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = ArrayBuffer.empty[Filter]
+    val accepted = ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); accepted += f
+      case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); accepted += f
+      case f @ LessThan("id", v: Long)           => hi = math.min(hi, v); accepted += f
+      case f @ LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); accepted += f
+      case f @ EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); accepted += f
+      case other => residual += other
+    }
+    pushed = accepted.toArray
+    residual.toArray
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices, required, pushed)
+}
+
+private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
+                               required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // surfaced in explain() — PlanCheck greps for the folded bounds and the
+  // pruned column list
+  override def description(): String =
+    s"GenScan(range=[$lo,$hi), cols=${required.fieldNames.mkString(",")}, " +
+      s"pushed=${pushed.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val span = hi - lo
+    (0 until n).map { i =>
+      GenPartition(lo + span * i / n, lo + span * (i + 1) / n,
+        required.fieldNames)
+    }.filter(p => p.end > p.start).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = GenReaderFactory
+}
+
+private[sources] case class GenPartition(start: Long, end: Long,
+                                         cols: Array[String]) extends InputPartition
+
+private[sources] object GenReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.cols.map {
+          case "id"     => cur: java.lang.Long
+          case "h"      => UTF8String.fromString(GenSource.md5Hex(cur.toString))
+          case "bucket" => (cur % 64): java.lang.Long
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}

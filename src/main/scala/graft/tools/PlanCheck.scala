@@ -353,6 +353,8 @@ object PlanCheck {
     check("q132_interval_overlap", "overlap count is a sweep: one suppkey window, NO join")(p =>
       !p.contains("Join") && p.contains("hashpartitioning(l_suppkey") &&
         p.contains("Window"))
+    check("q141_custom_source_v2", "DSv2 pushdown folds the id range; md5 column pruned in")(p =>
+      p.contains("range=[1000,90000)") && p.contains("cols=h,bucket"))
     check("q135_sorted_neighborhood", "rank-adjacency equi-join; no global-sort window")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("SinglePartition"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases of the DataSource V2 connector (sources/GenSource.scala)
+  * beyond q141's oracle gate: pushdown folding, empty ranges, split
+  * boundaries, and md5 parity with Spark's own expression. */
+class GenSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def gen(rows: Long, slices: Int) =
+    spark.read.format("graft.sources.GenSource")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  test("full scan yields exactly `rows` rows across all splits") {
+    assert(gen(1000, 7).count() == 1000L)
+    assert(gen(5, 16).count() == 5L) // more slices than rows: empty splits dropped
+  }
+
+  test("equality pushdown folds to a single row; contradictions to zero") {
+    val one = gen(1000, 4).filter(col("id") === 42L).collect()
+    assert(one.length == 1 && one(0).getLong(0) == 42L)
+    assert(gen(1000, 4).filter(col("id") > 900L && col("id") < 100L).count() == 0L)
+    assert(gen(1000, 4).filter(col("id") >= 1000L).count() == 0L)
+  }
+
+  test("generated md5 matches Spark's md5 expression row-for-row") {
+    val bad = gen(256, 4)
+      .withColumn("expect", md5(col("id").cast("string")))
+      .filter(col("h") =!= col("expect"))
+    assert(bad.count() == 0L)
+    val bb = gen(256, 4).filter(col("bucket") =!= col("id") % 64)
+    assert(bb.count() == 0L)
+  }
+
+  test("residual (non-id) filters still apply after pushdown") {
+    val n = gen(1000, 4)
+      .filter(col("id") >= 100L && col("id") < 200L && col("bucket") === 3L)
+      .count()
+    // ids 100..199: bucket 3 hits at 131 and 195
+    assert(n == 2L)
+  }
+}
