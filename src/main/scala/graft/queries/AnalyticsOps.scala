@@ -508,11 +508,105 @@ object AnalyticsOps {
       |FROM t WHERE id >= 1000 AND id < 90000
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Vocabulary truncation + OOV accounting — the tokenizer-coverage
+    * analysis run before committing to a vocab size: freeze the top-16
+    * corpus terms (count desc, term asc — the deterministic tie-break
+    * that makes the vocabulary reproducible, same contract as q134) and
+    * report each document's out-of-vocabulary token fraction against it.
+    * The board's twin decisions — which merges (q134) and which whole
+    * words (here) — bracket how real tokenizers are tuned.
+    *
+    * Scale shape: the vocabulary is a TakeOrdered over the term rollup
+    * (vocabulary-bounded, with map-side partial agg) broadcast back onto
+    * the token stream; per-doc accounting is one doc_id aggregation.
+    * The corpus is never shuffled on a term key. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(16)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_frac"))
+      .orderBy(col("doc_id"))
+  }
+  val q142Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, u.tok FROM (
+      |    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |    FROM documents), unnest(t) AS u(tok)),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+      |  ORDER BY c DESC, tok LIMIT 16)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+      |FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+  /** Distribution-rank window family — percent_rank, cume_dist, ntile:
+    * the three ranking functions q39 (rank/dense_rank/row_number) left
+    * uncovered, each per-supplier over shipment quantities. All three
+    * are integer-ratio arithmetic over within-group ranks, so both
+    * engines agree exactly (percent_rank = (rank−1)/(n−1), cume_dist =
+    * peers≤current / n, and ntile's uneven-bucket rule is identical).
+    *
+    * Scale shape: one l_suppkey exchange, three window functions over
+    * the same frame — Spark evaluates them in a single Window operator
+    * on one sort. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"), col("iid"))
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_quantity"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("iid"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("nt", ntile(4).over(w).cast("long"))
+      .orderBy(col("l_suppkey"), col("l_quantity"), col("iid"))
+  }
+  val q144Sql: String =
+    """SELECT l_suppkey, l_quantity, l_orderkey * 8 + l_linenumber AS iid,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS nt
+      |FROM lineitem WHERE l_suppkey <= 10
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity, l_orderkey * 8 + l_linenumber)
+      |ORDER BY l_suppkey, l_quantity, iid""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  /** COMPLETE aggregate pushdown through the DSv2 connector: COUNT(*),
+    * MIN(id), MAX(id) under a pushed id-range filter collapse into the
+    * source's closed-form metadata answer — the plan contains NO Spark
+    * aggregation and the reader produces exactly one row without
+    * generating any data (the connector analog of answering from parquet
+    * footer statistics). PlanCheck asserts the GenAggScan node and the
+    * absence of HashAggregate. */
+  def q145(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.GenSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter(col("id") >= 250 && col("id") < 75000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  val q145Sql: String =
+    """SELECT COUNT(*) AS n, MIN(r.range) AS min_id, MAX(r.range) AS max_id
+      |FROM range(0, 100000) r WHERE r.range >= 250 AND r.range < 75000""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
     "q140_token_mass_sampling" -> ((q140 _, Some(q140Sql))),
     "q141_custom_source_v2" -> ((q141 _, Some(q141Sql))),
+    "q142_vocab_oov"        -> ((q142 _, Some(q142Sql))),
+    "q144_rank_distributions" -> ((q144 _, Some(q144Sql))),
+    "q145_agg_pushdown_v2"  -> ((q145 _, Some(q145Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),

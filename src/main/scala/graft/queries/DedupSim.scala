@@ -1094,6 +1094,56 @@ object DedupSim {
        |FROM pr2 ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q143
+  /** N-gram NOVELTY scoring — the memorization-risk / information-density
+    * signal corpus audits compute: what fraction of a document's distinct
+    * 3-word shingles appear NOWHERE else in the corpus (document
+    * frequency exactly 1)? Boilerplate-heavy docs score near 0, unique
+    * content near 1 — the inverse lens of q95's intra-doc repetition,
+    * measured against the whole corpus instead of within the document.
+    *
+    * Scale shape: the shingle table (one memoized pass, shared with
+    * q24/q45/q128) is repartitioned ONCE on the shingle key; the df
+    * rollup and the df==1 join-back both consume that same exchange
+    * (ReuseExchange, the q78 layout), so novelty costs one term-keyed
+    * shuffle plus the per-doc rollup. */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val byTerm = shingleSets(s, d).repartition(col("term"))
+    val dfTab = byTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val uniq = byTerm
+      .join(dfTab.filter(col("df") === 1).select(col("term")), Seq("term"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    shingleSets(s, d).groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+  val q143Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)-1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ts
+      |  FROM tk WHERE len(t) >= 3),
+      |sh AS (SELECT doc_id, u.term FROM s, unnest(ts) AS u(term)),
+      |df AS (SELECT term, COUNT(*) AS df FROM sh GROUP BY term),
+      |uq AS (
+      |  SELECT sh.doc_id, COUNT(*) AS n_unique
+      |  FROM sh JOIN df ON df.term = sh.term AND df.df = 1
+      |  GROUP BY sh.doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.n_shingles,
+      |  coalesce(uq.n_unique, 0) AS n_unique,
+      |  CAST(coalesce(uq.n_unique, 0) AS DOUBLE)
+      |    / CAST(tot.n_shingles AS DOUBLE) AS novelty
+      |FROM tot LEFT JOIN uq ON uq.doc_id = tot.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q80
   /** Exact SUBSTRING-level dedup (round-4 verdict #1) — the workhorse
     * LLM-corpus operator the whole-document passes (q22/q09 exact, q24/q78
@@ -1862,6 +1912,7 @@ object DedupSim {
     "q79_dedup_clusters"    -> ((q79 _, Some(q79Sql))),
     "q133_cluster_keeper"   -> ((q133 _, Some(q133Sql))),
     "q139_pagerank"         -> ((q139 _, Some(q139Sql))),
+    "q143_ngram_novelty"    -> ((q143 _, Some(q143Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
     "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))),

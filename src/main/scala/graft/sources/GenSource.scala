@@ -5,7 +5,8 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -70,12 +71,43 @@ private[sources] class GenTable(rows: Long, slices: Int) extends Table with Supp
 }
 
 private[sources] class GenScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L          // inclusive
   private var hi = rows        // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = GenSource.schema
+  private var aggFuncs: Seq[String] = Nil
+
+  // COMPLETE aggregate pushdown: COUNT(*)/MIN(id)/MAX(id) with no GROUP BY
+  // are closed-form over the folded [lo, hi) bounds — the source answers
+  // the whole query from metadata, zero rows generated (the DSv2 analog of
+  // parquet footer-stats aggregation). Anything else is declined and Spark
+  // aggregates normally.
+  private def translate(a: Aggregation): Option[Seq[String]] = {
+    if (a.groupByExpressions.nonEmpty) return None
+    val fs = a.aggregateExpressions.map {
+      case _: CountStar => Some("count")
+      case m: Min => m.column match {
+        case nr: NamedReference if nr.fieldNames.sameElements(Array("id")) => Some("min")
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case nr: NamedReference if nr.fieldNames.sameElements(Array("id")) => Some("max")
+        case _ => None
+      }
+      case _ => None
+    }
+    if (fs.nonEmpty && fs.forall(_.isDefined)) Some(fs.toSeq.map(_.get)) else None
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translate(aggregation).isDefined
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    translate(aggregation) match {
+      case Some(fs) => aggFuncs = fs; true
+      case None     => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = ArrayBuffer.empty[Filter]
@@ -96,7 +128,45 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices, required, pushed)
+  override def build(): Scan =
+    if (aggFuncs.nonEmpty) new GenAggScan(lo, math.max(lo, hi), aggFuncs)
+    else new GenScan(lo, math.max(lo, hi), slices, required, pushed)
+}
+
+/** Closed-form scan for a completely-pushed aggregation: one partition,
+  * one row, computed from the folded bounds — no data generated. */
+private[sources] class GenAggScan(lo: Long, hi: Long, funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"agg_$i($f)", LongType, nullable = f != "count")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GenAggScan(range=[$lo,$hi), agg=${funcs.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenAggPartition(lo, hi, funcs))
+  override def createReaderFactory(): PartitionReaderFactory = GenAggReaderFactory
+}
+
+private[sources] case class GenAggPartition(lo: Long, hi: Long,
+                                            funcs: Seq[String]) extends InputPartition
+
+private[sources] object GenAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenAggPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.funcs.map {
+          case "count" => (math.max(0L, p.hi - p.lo)): java.lang.Long
+          case "min"   => if (p.hi > p.lo) (p.lo: java.lang.Long) else null
+          case "max"   => if (p.hi > p.lo) ((p.hi - 1): java.lang.Long) else null
+        }.toArray.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class GenScan(lo: Long, hi: Long, slices: Int,

@@ -355,6 +355,9 @@ object PlanCheck {
         p.contains("Window"))
     check("q141_custom_source_v2", "DSv2 pushdown folds the id range; md5 column pruned in")(p =>
       p.contains("range=[1000,90000)") && p.contains("cols=h,bucket"))
+    check("q145_agg_pushdown_v2", "aggregation answered BY the source: no Spark aggregate")(p =>
+      p.contains("GenAggScan(range=[250,75000), agg=count,min,max") &&
+        !p.contains("HashAggregate"))
     check("q135_sorted_neighborhood", "rank-adjacency equi-join; no global-sort window")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("SinglePartition"))

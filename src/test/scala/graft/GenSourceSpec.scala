@@ -43,6 +43,24 @@ class GenSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bb.count() == 0L)
   }
 
+  test("aggregate pushdown: empty range gives count 0 and null min/max") {
+    val r = gen(1000, 4).filter(col("id") >= 500L && col("id") < 100L)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("aggregate pushdown declines group-by and non-id aggregates; results still correct") {
+    // grouped: falls back to a normal Spark aggregation over generated rows
+    val g = gen(128, 4).groupBy(col("bucket")).agg(count(lit(1)).as("n")).collect()
+    assert(g.length == 64 && g.forall(_.getLong(1) == 2L))
+    val plan = gen(128, 4).groupBy(col("bucket")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("GenAggScan"))
+    // sum is not translatable -> declined, computed by Spark
+    val sm = gen(100, 4).agg(sum(col("id"))).collect()(0).getLong(0)
+    assert(sm == 4950L)
+  }
+
   test("residual (non-id) filters still apply after pushdown") {
     val n = gen(1000, 4)
       .filter(col("id") >= 100L && col("id") < 200L && col("bucket") === 3L)
