@@ -599,6 +599,43 @@ object AnalyticsOps {
     """SELECT COUNT(*) AS n, MIN(r.range) AS min_id, MAX(r.range) AS max_id
       |FROM range(0, 100000) r WHERE r.range >= 250 AND r.range < 75000""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  /** The custom connector as a STREAMING source — GenSource's
+    * MicroBatchStream face: the id line is the offset axis, each trigger
+    * admits 8192 ids, and the complete-mode aggregation accumulates
+    * state across the 7 micro-batches until the table is exhausted
+    * (processAllAvailable returns when latestOffset stops advancing).
+    * The final table must equal the one-shot batch aggregation over the
+    * same generator — which is exactly what the oracle states from
+    * range() — so the offset planning, per-batch splits, and cross-batch
+    * aggregation state all face the hash gate. The q32/q81 synchronous
+    * drive pattern; streaming shuffle partitions pinned to 4. */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_q146_${java.lang.Integer.toHexString(d.hashCode)}"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try {
+      val q = s.readStream.format("graft.sources.GenSource")
+        .option("rows", "50000").option("slices", "4").option("batchRows", "8192")
+        .load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("hsum"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set(key, prev)
+    s.table(name).orderBy(col("bucket"))
+  }
+  val q146Sql: String =
+    """WITH t AS (
+      |  SELECT md5(CAST(r.range AS VARCHAR)) AS h, r.range % 64 AS bucket
+      |  FROM range(0, 50000) r)
+      |SELECT bucket, COUNT(*) AS n,
+      |  CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT) AS BIGINT) AS hsum
+      |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -607,6 +644,7 @@ object AnalyticsOps {
     "q142_vocab_oov"        -> ((q142 _, Some(q142Sql))),
     "q144_rank_distributions" -> ((q144 _, Some(q144Sql))),
     "q145_agg_pushdown_v2"  -> ((q145 _, Some(q145Sql))),
+    "q146_stream_source_v2" -> ((q146 _, Some(q146Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),

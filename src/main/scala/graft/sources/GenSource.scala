@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -46,7 +47,8 @@ class GenSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new GenTable(
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4))
+      slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4),
+      batchRows = Option(properties.get("batchRows")).map(_.toLong).getOrElse(8192L))
 }
 
 object GenSource {
@@ -61,16 +63,17 @@ object GenSource {
   }
 }
 
-private[sources] class GenTable(rows: Long, slices: Int) extends Table with SupportsRead {
+private[sources] class GenTable(rows: Long, slices: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_gen(rows=$rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices)
+    new GenScanBuilder(rows, slices, batchRows)
 }
 
-private[sources] class GenScanBuilder(rows: Long, slices: Int)
+private[sources] class GenScanBuilder(rows: Long, slices: Int, batchRows: Long = 8192L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -130,7 +133,7 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int)
 
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new GenAggScan(lo, math.max(lo, hi), aggFuncs)
-    else new GenScan(lo, math.max(lo, hi), slices, required, pushed)
+    else new GenScan(lo, math.max(lo, hi), slices, required, pushed, batchRows)
 }
 
 /** Closed-form scan for a completely-pushed aggregation: one partition,
@@ -170,10 +173,20 @@ private[sources] object GenAggReaderFactory extends PartitionReaderFactory {
 }
 
 private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
-                               required: StructType, pushed: Array[Filter])
+                               required: StructType, pushed: Array[Filter],
+                               batchRows: Long = 8192L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** The same generator as a STREAMING source: the id line is the offset
+    * axis — each trigger admits the next `batchRows` ids as one
+    * micro-batch until the table is exhausted, after which latestOffset
+    * stops advancing and processAllAvailable returns. Pruning/pushdown
+    * negotiated by the ScanBuilder apply to the stream exactly as to the
+    * batch scan. Single-run semantics: offsets restart from lo in a new
+    * query (the deterministic generator makes replay idempotent). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, slices, batchRows, required)
   // surfaced in explain() — PlanCheck greps for the folded bounds and the
   // pruned column list
   override def description(): String =
@@ -193,6 +206,34 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
 
 private[sources] case class GenPartition(start: Long, end: Long,
                                          cols: Array[String]) extends InputPartition
+
+private[sources] case class GenOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
+                                           batchRows: Long, required: StructType)
+    extends MicroBatchStream {
+  private var cursor = lo
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def latestOffset(): Offset = {
+    cursor = math.min(hi, cursor + batchRows)
+    GenOffset(cursor)
+  }
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GenOffset].pos
+    val e0 = end.asInstanceOf[GenOffset].pos
+    val n = math.max(1, slices)
+    val span = e0 - s0
+    (0 until n).map { i =>
+      GenPartition(s0 + span * i / n, s0 + span * (i + 1) / n, required.fieldNames)
+    }.filter(p => p.end > p.start).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = GenReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] object GenReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

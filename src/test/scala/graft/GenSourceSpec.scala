@@ -61,6 +61,21 @@ class GenSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sm == 4950L)
   }
 
+  test("micro-batch stream drains the table in batchRows-sized batches, no dup/loss") {
+    val q = spark.readStream.format("graft.sources.GenSource")
+      .option("rows", "100").option("batchRows", "30").option("slices", "2").load()
+      .select(col("id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gen_stream_spec").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.map(_.batchId).distinct.length
+    q.stop()
+    val ids = spark.table("gen_stream_spec").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 100 && ids.sameElements(0L until 100L),
+      "stream must deliver each id exactly once")
+    assert(batches >= 4, s"expected >=4 micro-batches for 100 rows @30/batch, saw $batches")
+  }
+
   test("residual (non-id) filters still apply after pushdown") {
     val n = gen(1000, 4)
       .filter(col("id") >= 100L && col("id") < 200L && col("bucket") === 3L)
