@@ -636,6 +636,143 @@ object AnalyticsOps {
       |  CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT) AS BIGINT) AS hsum
       |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** Rolling z-score ANOMALY detection — the telemetry outlier monitor
+    * (q116's robust MAD pass is corpus-batch; this is the trailing-window
+    * form a monitor actually runs): per user, each event is scored
+    * against the exact mean/stddev of its trailing 8 events and flagged
+    * at |z| > 2. Full windows only (n = 8) — a warm-up row scored
+    * against 3 points is noise, and the gate states that explicitly.
+    *
+    * Cross-engine exactness: windowed SUM over doubles is NOT
+    * order-stable across engines (Spark buffers and folds in frame
+    * order; DuckDB sums segment-tree-wise — different rounding), so the
+    * value is DECIMAL-quantized BEFORE the frame sums; sums are then
+    * exact, and mean/var/sqrt/z derive by identical IEEE arithmetic.
+    *
+    * Scale shape: one user_id exchange, one sort, both frame aggregates
+    * in a single Window operator; the anomaly filter prunes to the
+    * handful of flagged rows before the output sort. */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-7, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value").cast(DecimalType(18, 6)).as("vq"))
+      // square in the base projection so all three frame aggregates share
+      // ONE Window operator (a post-window projection would split them)
+      .withColumn("vq2", (col("vq") * col("vq")).cast(DecimalType(38, 12)))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("vq"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("vq")).over(w).as("s1"),
+        sum(col("vq2")).over(w).as("s2"))
+      .filter(col("n_win") === 8)
+      .withColumn("mean", col("s1").cast("double") / 8.0)
+      .withColumn("variance",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / 8.0) / 8.0)
+      .filter(col("variance") > 0.0)
+      .withColumn("z", (col("vq").cast("double") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("vq").cast("double").as("value_q"), col("z"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+  val q147Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(value AS DECIMAL(18,6)) AS vq
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, ts_us, vq,
+      |    COUNT(*) OVER w AS n_win,
+      |    SUM(vq) OVER w AS s1,
+      |    SUM(CAST(vq * vq AS DECIMAL(38,12))) OVER w AS s2
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+      |z AS (
+      |  SELECT user_id, event_id, ts_us, CAST(vq AS DOUBLE) AS value_q,
+      |    (CAST(vq AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) / 8.0)
+      |      / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 8.0) / 8.0) AS z
+      |  FROM r
+      |  WHERE n_win = 8
+      |    AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 8.0) / 8.0 > 0.0)
+      |SELECT user_id, event_id, ts_us, value_q, z
+      |FROM z WHERE abs(z) > 2.0
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  /** STREAM-STATIC broadcast join — the one streaming join pattern the
+    * board lacked (q81 is stream-stream): the event stream, staged as
+    * three files → three micro-batches, enriches against a STATIC
+    * dimension (per-type weights) and accumulates a complete-mode
+    * rollup. The static side broadcasts into every micro-batch — at
+    * scale this is the canonical "enrich the firehose against reference
+    * data" topology, state-free on the dimension by construction. The
+    * oracle states the equivalent batch join + aggregation. */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_q148_${java.lang.Integer.toHexString(d.hashCode)}"
+    val staged = java.nio.file.Files.createTempDirectory("graft_q148_src").toString
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.repartition(3).write.mode("overwrite").parquet(staged)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("double"))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try {
+      val q = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") * col("type_weight")).cast(DecimalType(18, 6)))
+            .cast("double").as("weighted_sum"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set(key, prev)
+    s.table(name).orderBy(col("event_type"))
+  }
+  val q148Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, CAST(len(event_type) AS DOUBLE) AS type_weight
+      |  FROM events)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value * d.type_weight AS DECIMAL(18,6))) AS DOUBLE) AS weighted_sum
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q149
+  /** Per-GROUP approximate distinct with oracle-gated error bounds —
+    * q75's global sketch pass, per event type: HLL++ approximate
+    * distinct users next to the exact count, emitted as a boolean
+    * within-5% gate per group (TRUE is what the oracle states, so a
+    * sketch drifting out of tolerance in ANY group breaks the hash).
+    * At 100 TB the exact column is the one you drop and the sketch is
+    * the one you keep — the gate documents the error you accept.
+    *
+    * Scale shape: one group exchange; both the exact distinct (via
+    * partial aggregation) and the fixed-buffer HLL merge map-side. */
+  def q149(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("acd"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("acd") - col("exact_users")).cast("double")
+          / col("exact_users").cast("double") <= 0.05).as("acd_within_5pct"))
+      .orderBy(col("event_type"))
+  val q149Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  COUNT(*) AS n_events,
+      |  TRUE AS acd_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -645,6 +782,9 @@ object AnalyticsOps {
     "q144_rank_distributions" -> ((q144 _, Some(q144Sql))),
     "q145_agg_pushdown_v2"  -> ((q145 _, Some(q145Sql))),
     "q146_stream_source_v2" -> ((q146 _, Some(q146Sql))),
+    "q147_rolling_zscore"   -> ((q147 _, Some(q147Sql))),
+    "q148_stream_static_join" -> ((q148 _, Some(q148Sql))),
+    "q149_group_approx_distinct" -> ((q149 _, Some(q149Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),

@@ -1526,6 +1526,71 @@ object DedupSim {
        |FROM r WHERE rnk <= 2 ORDER BY vec_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q150
+  /** k-NN GRAPH construction through the custom physical operator — the
+    * corpus asset semantic-dedup, clustering, and retrieval-eval all
+    * start from: each vector's top-3 nearest neighbors (cosine, self
+    * excluded) among its LSH-bucket candidates. Composition point: the
+    * candidate generation is q29/q103's bucket equi-join, the scoring is
+    * the codegen'd dot_f32 kernel, and the per-group truncation is
+    * plans/TopKPerGroup — the bounded-heap native operator (q66) doing
+    * the rank-filter work a row_number window would pay a per-group sort
+    * for. The oracle states the same graph with a window, so the custom
+    * operator's heap semantics (ordering, tie-break, k-cut) are
+    * hash-checked against SQL semantics on real candidate data.
+    *
+    * Scale shape: Σ bucket² candidate pairs (never N²), one bucket
+    * equi-join, map-side partial top-k in the operator before its group
+    * exchange. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val signs = planeSigns
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketColNative(signs, "embedding"))
+    val a = emb.select(col("bucket"), col("vec_id"), col("embedding").as("ea"))
+    val c = emb.select(col("bucket"), col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
+    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
+    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
+    val scored = a.join(c, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+    graft.plans.TopK.topKPerGroup(
+        scored,
+        groupCols = Seq(col("vec_id")),
+        orderCols = Seq(col("cosine").desc, col("nbr_id").asc),
+        k = 3)
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("cosine").desc, col("nbr_id"))
+  }
+  val q150Sql: String = {
+    val signs = planeSigns
+    def projSql(e: String, j: Int): String = {
+      val arr = signs(j).mkString("[", ",", "]")
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($e[i] AS DOUBLE) * ($arr)[i]), (a,b) -> a+b)"
+    }
+    val bucketSql = (0 until NPlanes)
+      .map(j => s"(CASE WHEN ${projSql("embedding", j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id, c.vec_id AS nbr_id,
+       |    ${fold("a.embedding", "c.embedding")} AS dot,
+       |    ${fold("a.embedding", "a.embedding")} AS na,
+       |    ${fold("c.embedding", "c.embedding")} AS nb
+       |  FROM be a JOIN be c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |r AS (
+       |  SELECT vec_id, nbr_id, dot/(sqrt(na)*sqrt(nb)) AS cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, nbr_id) AS rnk
+       |  FROM p)
+       |SELECT vec_id, nbr_id, cosine
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, cosine DESC, nbr_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q106
   /** ANN recall@k evaluation — the index-quality eval every ANN deployment
     * runs before trusting its index: for each of the 5 query vectors,
@@ -1913,6 +1978,7 @@ object DedupSim {
     "q133_cluster_keeper"   -> ((q133 _, Some(q133Sql))),
     "q139_pagerank"         -> ((q139 _, Some(q139Sql))),
     "q143_ngram_novelty"    -> ((q143 _, Some(q143Sql))),
+    "q150_knn_graph"        -> ((q150 _, Some(q150Sql))),
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
     "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))),

@@ -367,6 +367,12 @@ object PlanCheck {
     check("q140_token_mass_sampling", "containment test broadcasts the 100-point side")(p =>
       !p.contains("CartesianProduct") &&
         "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    check("q147_rolling_zscore", "one user_id exchange; both frame sums in one Window; no join")(p =>
+      "hashpartitioning\\(user_id".r.findAllIn(p).size == 1 &&
+        !p.contains("Join") && "Window ".r.findAllIn(p).size == 1)
+    check("q150_knn_graph", "bucket equi-join + native partial top-k heap, no cartesian")(p =>
+      p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q134_bpe_merge_step", "pair counts partial-agg; top-10 is TakeOrdered")(p =>
       p.contains("partial") && p.contains("TakeOrderedAndProject"))
     check("q136_time_weighted_avg", "ONE user_id exchange feeds window AND final agg")(p =>
