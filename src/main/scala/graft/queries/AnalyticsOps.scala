@@ -773,6 +773,50 @@ object AnalyticsOps {
       |  TRUE AS acd_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+  /** Z-ORDER clustering audit — the multi-dimensional layout pass a
+    * lakehouse OPTIMIZE runs (ops/Layout.zValue): orders map to a
+    * (price-bucket, date-bucket) grid, each point gets its Morton
+    * Z-value, and the output reports each of 64 Z-ranges' count and
+    * bounding box. The small boxes ARE the point: sorting by the ONE
+    * Z column clusters BOTH dimensions, so files written in Z-range
+    * chunks carry tight min/max footers on price AND date and a
+    * predicate on either column prunes files (LayoutSpec measures the
+    * locality win vs a single-column sort; this entry hash-locks the
+    * interleave arithmetic itself against the oracle's bit-identical
+    * SQL). Pure per-row bit arithmetic plus one 64-group rollup. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    // floor() stated explicitly on both sides: DuckDB's double->BIGINT
+    // cast rounds where Spark's truncates
+    val x = least(lit(255L), floor(col("o_totalprice") / 2000.0).cast("long"))
+    val y = least(lit(255L),
+      expr("datediff(cast(o_orderdate as date), date'1995-01-01') div 10").cast("long"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), x.as("x"), y.as("y"))
+      .withColumn("z", graft.ops.Layout.zValue(col("x"), col("y"), 8))
+      .groupBy(expr("z div 1024").as("z_range"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("bbox_area",
+        (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+      .orderBy(col("z_range"))
+  }
+  val q151Sql: String = {
+    val z = graft.ops.Layout.zValueSql("x", "y", 8)
+    s"""WITH g AS (
+       |  SELECT o_orderkey,
+       |    least(255, CAST(floor(o_totalprice / 2000.0) AS BIGINT)) AS x,
+       |    least(255, date_diff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) // 10) AS y
+       |  FROM orders),
+       |zt AS (SELECT x, y, $z AS z FROM g)
+       |SELECT z // 1024 AS z_range, COUNT(*) AS n,
+       |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+       |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox_area
+       |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -785,6 +829,7 @@ object AnalyticsOps {
     "q147_rolling_zscore"   -> ((q147 _, Some(q147Sql))),
     "q148_stream_static_join" -> ((q148 _, Some(q148Sql))),
     "q149_group_approx_distinct" -> ((q149 _, Some(q149Sql))),
+    "q151_zorder_audit"     -> ((q151 _, Some(q151Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
