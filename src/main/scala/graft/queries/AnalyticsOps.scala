@@ -817,6 +817,143 @@ object AnalyticsOps {
        |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q152
+  /** Term-distribution DRIFT between corpus slices — the monitoring pass
+    * that catches a scraper change or a poisoned source before training:
+    * split the corpus (even vs odd source index), count the q142
+    * vocabulary's terms in each slice, and report each term's chi-square
+    * contribution against the pooled expectation. Chi-square instead of
+    * KL keeps the arithmetic transcendental-free: every statistic
+    * derives from exact integer counts by correctly-rounded double
+    * ops, so both engines agree bit-for-bit (a log-based divergence
+    * would not).
+    *
+    * Scale shape: token explode → (term, slice) rollup with map-side
+    * combine over a vocabulary-bounded key space; everything after the
+    * rollup runs on 16 rows. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 2 === 0)
+          .as("slice_a"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(16).select(col("tok"))
+    val counts = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("slice_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("slice_a"), 0L).otherwise(1L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("exp_a",
+        (col("n_a") + col("n_b")).cast("double") * col("tot_a").cast("double")
+          / (col("tot_a") + col("tot_b")).cast("double"))
+      .withColumn("exp_b",
+        (col("n_a") + col("n_b")).cast("double") * col("tot_b").cast("double")
+          / (col("tot_a") + col("tot_b")).cast("double"))
+      .select(col("tok"), col("n_a"), col("n_b"), col("exp_a"),
+        ((col("n_a").cast("double") - col("exp_a")) * (col("n_a").cast("double") - col("exp_a")) / col("exp_a")
+          + (col("n_b").cast("double") - col("exp_b")) * (col("n_b").cast("double") - col("exp_b")) / col("exp_b"))
+          .as("chi2_term"))
+      .orderBy(col("tok"))
+  }
+  val q152Sql: String =
+    """WITH tok AS (
+      |  SELECT CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0 AS slice_a,
+      |    u.tok
+      |  FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+      |        FROM documents), unnest(t) AS u(tok)),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+      |  ORDER BY c DESC, tok LIMIT 16),
+      |c AS (
+      |  SELECT t.tok,
+      |    CAST(SUM(CASE WHEN slice_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN slice_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM tok t JOIN vocab v ON v.tok = t.tok GROUP BY t.tok),
+      |tot AS (
+      |  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a, CAST(SUM(n_b) AS BIGINT) AS tot_b
+      |  FROM c)
+      |SELECT tok, n_a, n_b,
+      |  CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE)
+      |    / CAST(tot_a + tot_b AS DOUBLE) AS exp_a,
+      |  (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))
+      |    * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))
+      |    / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))
+      |  + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))
+      |    * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))
+      |    / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE)) AS chi2_term
+      |FROM c CROSS JOIN tot ORDER BY tok""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  /** Quality-GATE agreement (Cohen's kappa) — when two filters disagree,
+    * which do you trust? The eval pass that answers it: the q109
+    * literal-weight classifier's keep decision against a simple length
+    * gate (n_chars >= 150), as a confusion matrix plus chance-corrected
+    * kappa. Every statistic is a ratio of exact integer counts — one
+    * corpus pass, one 4-cell rollup, bit-exact cross-engine.
+    *
+    * Kappa near 0 means the learned gate adds signal a length cutoff
+    * doesn't have; near 1 means the classifier is an expensive proxy for
+    * length — exactly the decision this audit informs. */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("n_chars"),
+        split(trim(lower(col("text"))), "\\s+").as("t"), col("text"))
+      .withColumn("n_tokens", size(col("t")).cast("double"))
+      .withColumn("logit",
+        lit(-2.0) + lit(0.004) * col("n_tokens")
+          + lit(2.5) * (size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+          + lit(3.0) * (size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("double") / col("n_tokens"))
+          - lit(0.05) * (length(col("text")).cast("double") / col("n_tokens")))
+      .select((col("logit") > 0.0).as("g1"), (col("n_chars") >= 150L).as("g2"))
+    scored.agg(
+        sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("g1") && !col("g2"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("g1") && col("g2"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("g1") && !col("g2"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("n", (col("n11") + col("n10") + col("n01") + col("n00")).cast("double"))
+      .withColumn("po", (col("n11") + col("n00")).cast("double") / col("n"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")).cast("double") * (col("n11") + col("n01")).cast("double")
+          + (col("n01") + col("n00")).cast("double") * (col("n10") + col("n00")).cast("double"))
+          / (col("n") * col("n")))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po"), col("pe"),
+        ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+  }
+  val q153Sql: String =
+    """WITH x AS (
+      |  SELECT n_chars, string_split_regex(trim(lower(text)), '\s+') AS t, text
+      |  FROM documents),
+      |g AS (
+      |  SELECT
+      |    (-2.0 + 0.004 * CAST(len(t) AS DOUBLE)
+      |      + 2.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+      |      + 3.0 * (CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+      |      - 0.05 * (CAST(len(text) AS DOUBLE) / CAST(len(t) AS DOUBLE))) > 0.0 AS g1,
+      |    n_chars >= 150 AS g2
+      |  FROM x),
+      |m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM g)
+      |SELECT n11, n10, n01, n00,
+      |  CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+      |  (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+      |    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+      |    / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe,
+      |  (CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+      |    - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+      |       + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+      |      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))
+      |  / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+      |       + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+      |      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE))) AS kappa
+      |FROM m""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -830,6 +967,8 @@ object AnalyticsOps {
     "q148_stream_static_join" -> ((q148 _, Some(q148Sql))),
     "q149_group_approx_distinct" -> ((q149 _, Some(q149Sql))),
     "q151_zorder_audit"     -> ((q151 _, Some(q151Sql))),
+    "q152_term_drift"       -> ((q152 _, Some(q152Sql))),
+    "q153_gate_agreement"   -> ((q153 _, Some(q153Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
