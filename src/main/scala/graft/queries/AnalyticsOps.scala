@@ -954,6 +954,100 @@ object AnalyticsOps {
       |      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * CAST(n11 + n10 + n01 + n00 AS DOUBLE))) AS kappa
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** LAST-TOUCH attribution — the marketing-analytics assignment problem
+    * (and a second as-of-join shape next to q15): each purchase is
+    * credited to the user's most recent click strictly BEFORE it and at
+    * most 24h old; purchases with no qualifying click stay unattributed
+    * (NULL — real attribution keeps them, it doesn't drop them). The
+    * carry is last_value(... IGNORE NULLS) over an UNBOUNDED-to-(-1)
+    * frame on the per-user mixed event timeline — one window pass, no
+    * self-join, no inequality join.
+    *
+    * Scale shape: one user_id exchange; the window carries two columns
+    * of running state per user regardless of timeline length. */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        when(col("last_click_ts") >= col("ts_us") - 86400000000L, col("last_click_id"))
+          .as("attributed_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+  val q154Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, ts_us, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS last_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      |      OVER w AS last_click_ts
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+      |  CASE WHEN last_click_ts >= ts_us - 86400000000 THEN last_click_id END
+      |    AS attributed_click_id
+      |FROM c WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  /** Exact WEIGHTED median per group — the robust statistic q41's plain
+    * percentiles don't cover: each supplier's shipment price median
+    * weighted by quantity (a 40-unit line counts 40×). Lower weighted
+    * median by integer arithmetic: in (price, id) order, the first row
+    * whose running weight doubles past the group total — qualifying rows
+    * form a suffix of the order, so min(price) over them IS the first
+    * qualifying row's price, and the whole statistic reduces to one
+    * running-sum window plus a min. No doubles are compared until the
+    * final output column.
+    *
+    * Scale shape: one l_suppkey exchange shared by the window and the
+    * rollup; integer cumulative weights, no percentile buffer. */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice"), col("iid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("iid"),
+        col("l_extendedprice"), col("l_quantity").cast("long").as("qty"))
+      .withColumn("cumw", sum(col("qty")).over(w))
+      .withColumn("totw", sum(col("qty")).over(wTot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("weighted_median_price"),
+        max(col("totw")).as("total_weight"))
+      .orderBy(col("l_suppkey"))
+  }
+  val q155Sql: String =
+    """WITH x AS (
+      |  SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS iid,
+      |    l_extendedprice, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_suppkey, l_extendedprice,
+      |    SUM(qty) OVER (PARTITION BY l_suppkey
+      |                   ORDER BY l_extendedprice, iid
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(qty) OVER (PARTITION BY l_suppkey) AS totw
+      |  FROM x)
+      |SELECT l_suppkey, MIN(l_extendedprice) AS weighted_median_price,
+      |  CAST(MAX(totw) AS BIGINT) AS total_weight
+      |FROM r WHERE cumw * 2 >= totw
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -969,6 +1063,8 @@ object AnalyticsOps {
     "q151_zorder_audit"     -> ((q151 _, Some(q151Sql))),
     "q152_term_drift"       -> ((q152 _, Some(q152Sql))),
     "q153_gate_agreement"   -> ((q153 _, Some(q153Sql))),
+    "q154_last_touch_attribution" -> ((q154 _, Some(q154Sql))),
+    "q155_weighted_median"  -> ((q155 _, Some(q155Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),

@@ -373,6 +373,10 @@ object PlanCheck {
     check("q150_knn_graph", "bucket equi-join + native partial top-k heap, no cartesian")(p =>
       p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup") &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q154_last_touch_attribution", "one user_id exchange; window carry, no as-of join")(p =>
+      "hashpartitioning\\(user_id".r.findAllIn(p).size == 1 && !p.contains("Join"))
+    check("q155_weighted_median", "one suppkey exchange shared by both windows and rollup")(p =>
+      "hashpartitioning\\(l_suppkey".r.findAllIn(p).size == 1 && !p.contains("Join"))
     check("q134_bpe_merge_step", "pair counts partial-agg; top-10 is TakeOrdered")(p =>
       p.contains("partial") && p.contains("TakeOrderedAndProject"))
     check("q136_time_weighted_avg", "ONE user_id exchange feeds window AND final agg")(p =>
