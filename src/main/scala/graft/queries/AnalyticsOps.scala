@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,6 +18,30 @@ import graft.core.Tables
   * surface a corpus at scale needs on top of that.
   */
 object AnalyticsOps {
+
+  /** Two-level global-rank offsets (shared by q135/q137): collect the
+    * per-coarse-bucket counts — VALUE-RANGE-sized metadata, guarded —
+    * and return (exclusive-prefix-sum offsets keyed by bucket, total).
+    * Within-bucket row_number + offsets(bucket) is then the exact global
+    * rank with no SinglePartition window. */
+  private def coarseRankOffsets(df: DataFrame, bucket: Column): (Map[Long, Long], Long) = {
+    val counts = df.groupBy(bucket.as("cb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(counts.length <= 100000,
+      s"coarse-bucket count ${counts.length} exceeds the metadata bound; widen the bucket")
+    val offsets = counts.scanLeft((Long.MinValue, 0L)) { case ((_, acc), (cb, c)) => (cb, acc + c) }
+      .iterator.zip(counts.iterator).map { case ((_, off), (cb, _)) => cb -> off }.toMap
+    (offsets, counts.map(_._2).sum)
+  }
+
+  /** The frozen top-16 corpus vocabulary (count desc, term asc — the
+    * deterministic tie-break), shared by q142 (OOV accounting) and q152
+    * (drift audit) so both measure the SAME vocabulary. Input: one
+    * column named `tok`. */
+  private def top16Vocab(toks: DataFrame): DataFrame =
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(16)
+      .select(col("tok"))
 
   // ---------------------------------------------------------------- q130
   /** Dataset integrity digest — the Merkle-style fingerprint a versioned
@@ -221,13 +245,7 @@ object AnalyticsOps {
       .select(col("doc_id"), col("n_chars"),
         array_distinct(split(trim(lower(col("text"))), "\\s+")).as("ts"))
       .withColumn("cb", expr("n_chars div 32"))
-    val counts = docs.groupBy(col("cb")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    require(counts.length <= 100000,
-      s"coarse-bucket count ${counts.length} exceeds the metadata bound; widen the bucket")
-    val offsets: Map[Long, Long] =
-      counts.scanLeft((Long.MinValue, 0L)) { case ((_, acc), (cb, c)) => (cb, acc + c) }
-        .iterator.zip(counts.iterator).map { case ((_, off), (cb, _)) => cb -> off }.toMap
+    val (offsets, _) = coarseRankOffsets(docs, col("cb"))
     val wIn = Window.partitionBy(col("cb")).orderBy(col("n_chars"), col("doc_id"))
     val ranked = docs.withColumn("rk",
       element_at(typedLit(offsets), col("cb")) + row_number().over(wIn))
@@ -341,14 +359,7 @@ object AnalyticsOps {
     // pass 1: coarse-bucket histogram — bounded by the value range, not
     // the row count; the guard turns a mis-sized bucket width into an
     // error instead of a driver OOM
-    val counts = o.groupBy(col("cb")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    require(counts.length <= 100000,
-      s"coarse-bucket count ${counts.length} exceeds the metadata bound; widen the bucket")
-    val nTotal = counts.map(_._2).sum
-    val offsets: Map[Long, Long] =
-      counts.scanLeft((Long.MinValue, 0L)) { case ((_, acc), (cb, c)) => (cb, acc + c) }
-        .iterator.zip(counts.iterator).map { case ((_, off), (cb, _)) => cb -> off }.toMap
+    val (offsets, nTotal) = coarseRankOffsets(o, col("cb"))
     val wIn = Window.partitionBy(col("cb")).orderBy(col("o_totalprice"), col("o_orderkey"))
     o.withColumn("rn", row_number().over(wIn))
       .withColumn("off", element_at(typedLit(offsets), col("cb")))
@@ -524,9 +535,7 @@ object AnalyticsOps {
   def q142(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("tok")).limit(16)
-      .select(col("tok"), lit(1).as("in_vocab"))
+    val vocab = top16Vocab(toks).withColumn("in_vocab", lit(1))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -713,10 +722,14 @@ object AnalyticsOps {
     * oracle states the equivalent batch join + aggregation. */
   def q148(s: SparkSession, d: String): DataFrame = {
     val name = s"graft_q148_${java.lang.Integer.toHexString(d.hashCode)}"
-    val staged = java.nio.file.Files.createTempDirectory("graft_q148_src").toString
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    ev.repartition(3).write.mode("overwrite").parquet(staged)
+    // stage once per (dir) — the q77/q127 idempotency pattern; a fresh
+    // temp dir per call would leak one events copy per invocation
+    val staged = s"${sys.props("java.io.tmpdir")}/graft_q148_src_${
+      java.lang.Integer.toHexString(d.hashCode)}"
+    if (!new java.io.File(s"$staged/_SUCCESS").isFile)
+      ev.repartition(3).write.mode("overwrite").parquet(staged)
     val dim = ev.select(col("event_type")).distinct()
       .withColumn("type_weight", length(col("event_type")).cast("double"))
     val key = "spark.sql.shuffle.partitions"
@@ -787,10 +800,14 @@ object AnalyticsOps {
     * SQL). Pure per-row bit arithmetic plus one 64-group rollup. */
   def q151(s: SparkSession, d: String): DataFrame = {
     // floor() stated explicitly on both sides: DuckDB's double->BIGINT
-    // cast rounds where Spark's truncates
-    val x = least(lit(255L), floor(col("o_totalprice") / 2000.0).cast("long"))
-    val y = least(lit(255L),
-      expr("datediff(cast(o_orderdate as date), date'1995-01-01') div 10").cast("long"))
+    // cast rounds where Spark's truncates. Both axes clamp to [0, 255] —
+    // zValue interleaves low bits, so a pre-anchor date (negative
+    // datediff) would otherwise produce non-monotone Morton codes that
+    // BOTH engines compute identically (the gate could never catch it)
+    val x = greatest(lit(0L),
+      least(lit(255L), floor(col("o_totalprice") / 2000.0).cast("long")))
+    val y = greatest(lit(0L), least(lit(255L),
+      expr("datediff(cast(o_orderdate as date), date'1995-01-01') div 10").cast("long")))
     Tables.orders(s, d)
       .select(col("o_orderkey"), x.as("x"), y.as("y"))
       .withColumn("z", graft.ops.Layout.zValue(col("x"), col("y"), 8))
@@ -806,9 +823,9 @@ object AnalyticsOps {
     val z = graft.ops.Layout.zValueSql("x", "y", 8)
     s"""WITH g AS (
        |  SELECT o_orderkey,
-       |    least(255, CAST(floor(o_totalprice / 2000.0) AS BIGINT)) AS x,
-       |    least(255, date_diff('day', DATE '1995-01-01',
-       |      CAST(o_orderdate AS DATE)) // 10) AS y
+       |    greatest(0, least(255, CAST(floor(o_totalprice / 2000.0) AS BIGINT))) AS x,
+       |    greatest(0, least(255, date_diff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) // 10)) AS y
        |  FROM orders),
        |zt AS (SELECT x, y, $z AS z FROM g)
        |SELECT z // 1024 AS z_range, COUNT(*) AS n,
@@ -836,8 +853,7 @@ object AnalyticsOps {
       .select((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 2 === 0)
           .as("slice_a"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("tok")).limit(16).select(col("tok"))
+    val vocab = top16Vocab(toks.select(col("tok")))
     val counts = toks.join(broadcast(vocab), Seq("tok"))
       .groupBy(col("tok"))
       .agg(sum(when(col("slice_a"), 1L).otherwise(0L)).as("n_a"),
@@ -858,7 +874,7 @@ object AnalyticsOps {
   }
   val q152Sql: String =
     """WITH tok AS (
-      |  SELECT CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0 AS slice_a,
+      |  SELECT TRY_CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0 AS slice_a,
       |    u.tok
       |  FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
       |        FROM documents), unnest(t) AS u(tok)),

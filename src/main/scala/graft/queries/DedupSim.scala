@@ -1039,7 +1039,12 @@ object DedupSim {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(20, 12)
     val pairs = q45(s, d).select(col("doc_a"), col("doc_b"))
+    // the edge list feeds pr0, deg, and BOTH iterations' joins — without
+    // materialization each consumer would re-run the q45 verification
+    // join (AQE does not reuse multi-consumer subtrees, BASELINE.md);
+    // edges are edge-sized, so the eager checkpoint is cheap
     val e = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v")
+      .localCheckpoint(true)
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val nCnt = deg.agg(count(lit(1)).as("n"))
     val pr0 = deg.select(col("u")).crossJoin(broadcast(nCnt))

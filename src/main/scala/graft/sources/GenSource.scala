@@ -115,13 +115,22 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, batchRows: Long =
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = ArrayBuffer.empty[Filter]
     val accepted = ArrayBuffer.empty[Filter]
+    // Long.MaxValue guards: v + 1 would overflow to MinValue and silently
+    // flip the fold (accepted filters are consumed, so a wrong fold is a
+    // wrong ANSWER, not a slow plan). id > MaxValue is unsatisfiable; id
+    // <= MaxValue and = MaxValue need no upper narrowing (ids are < rows).
+    def markEmpty(): Unit = { lo = 1; hi = 0 }
     filters.foreach {
-      case f @ GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); accepted += f
+      case f @ GreaterThan("id", v: Long) =>
+        if (v == Long.MaxValue) markEmpty() else lo = math.max(lo, v + 1); accepted += f
       case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); accepted += f
       case f @ LessThan("id", v: Long)           => hi = math.min(hi, v); accepted += f
-      case f @ LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); accepted += f
+      case f @ LessThanOrEqual("id", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1); accepted += f
       case f @ EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); accepted += f
+        lo = math.max(lo, v)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+        accepted += f
       case other => residual += other
     }
     pushed = accepted.toArray
