@@ -1064,6 +1064,125 @@ object AnalyticsOps {
       |FROM r WHERE cumw * 2 >= totw
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  /** Conversion LATENCY distribution — the funnel's time axis (q119
+    * counts who converts; this measures how fast): per user, the delta
+    * from first view to first purchase-after-that-view, then the
+    * latency distribution (count, min, exact interpolated quartiles,
+    * max) over converting users. Integer microsecond arithmetic
+    * end-to-end; the quartiles use q41's percentile ↔ quantile_cont
+    * parity on integers.
+    *
+    * Scale shape: one user_id aggregation with conditional-min partial
+    * aggregates (the q119 funnel shape), then a 150-row distribution
+    * pass. */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("first_view"))
+    val firstPurchase = Tables.events(s, d)
+      .join(perUser, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts_us") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("ts_us")).as("first_purchase"))
+    firstPurchase
+      .select((col("first_purchase") - col("first_view")).as("latency_us"))
+      .agg(count(lit(1)).as("n_converting"),
+        min(col("latency_us")).as("min_us"),
+        expr("percentile(latency_us, 0.25)").as("p25_us"),
+        expr("percentile(latency_us, 0.5)").as("p50_us"),
+        expr("percentile(latency_us, 0.75)").as("p75_us"),
+        max(col("latency_us")).as("max_us"))
+  }
+  val q156Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |fv AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view
+      |  FROM e GROUP BY user_id),
+      |fp AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS first_purchase, fv.first_view
+      |  FROM e JOIN fv USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us >= fv.first_view
+      |  GROUP BY e.user_id, fv.first_view)
+      |SELECT COUNT(*) AS n_converting,
+      |  MIN(first_purchase - first_view) AS min_us,
+      |  quantile_cont(first_purchase - first_view, 0.25) AS p25_us,
+      |  quantile_cont(first_purchase - first_view, 0.5) AS p50_us,
+      |  quantile_cont(first_purchase - first_view, 0.75) AS p75_us,
+      |  MAX(first_purchase - first_view) AS max_us
+      |FROM fp""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** LINEAR interpolation repair — the time-series imputation q61's
+    * forward-fill doesn't cover (forward-fill holds a stale reading;
+    * interpolation reconstructs the trend between readings): every 5th
+    * event carries a reading, and gaps repair to
+    * prev + (next − prev)·(t − t_prev)/(t_next − t_prev). The carried
+    * prev/next reading-and-timestamp pairs come from IGNORE NULLS
+    * last/first over backward/forward frames — two frames on ONE
+    * per-user sort; edges (before first / after last reading) stay at
+    * the boundary reading. The ratio is integer-µs over integer-µs and
+    * the reading is decimal-quantized, so both engines derive the same
+    * doubles.
+    *
+    * Scale shape: one user_id exchange, one sort, all four carries in
+    * one Window operator pair. */
+  def q157(s: SparkSession, d: String): DataFrame = {
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_id") % 5 === 0, col("value").cast(DecimalType(18, 6)))
+          .as("reading"),
+        when(col("event_id") % 5 === 0, col("ts_us")).as("r_ts"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("reading"),
+        last(col("reading"), ignoreNulls = true).over(wB).as("pv"),
+        last(col("r_ts"), ignoreNulls = true).over(wB).as("pt"),
+        first(col("reading"), ignoreNulls = true).over(wF).as("nv"),
+        first(col("r_ts"), ignoreNulls = true).over(wF).as("nt"))
+      .withColumn("repaired",
+        when(col("reading").isNotNull, col("reading").cast("double"))
+          .when(col("pv").isNull, col("nv").cast("double"))
+          .when(col("nv").isNull, col("pv").cast("double"))
+          .otherwise(col("pv").cast("double")
+            + (col("nv").cast("double") - col("pv").cast("double"))
+              * (col("ts_us") - col("pt")).cast("double")
+              / (col("nt") - col("pt")).cast("double")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("reading").cast("double").as("reading"), col("repaired"))
+      .orderBy(col("event_id"))
+  }
+  val q157Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CASE WHEN event_id % 5 = 0 THEN CAST(value AS DECIMAL(18,6)) END AS reading,
+      |    CASE WHEN event_id % 5 = 0 THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS r_ts
+      |  FROM events),
+      |c AS (
+      |  SELECT event_id, user_id, ts_us, reading,
+      |    last_value(reading IGNORE NULLS) OVER wb AS pv,
+      |    last_value(r_ts IGNORE NULLS) OVER wb AS pt,
+      |    first_value(reading IGNORE NULLS) OVER wf AS nv,
+      |    first_value(r_ts IGNORE NULLS) OVER wf AS nt
+      |  FROM e
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id, ts_us, CAST(reading AS DOUBLE) AS reading,
+      |  CASE WHEN reading IS NOT NULL THEN CAST(reading AS DOUBLE)
+      |       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+      |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+      |       ELSE CAST(pv AS DOUBLE)
+      |         + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+      |           * CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END AS repaired
+      |FROM c ORDER BY event_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -1081,6 +1200,8 @@ object AnalyticsOps {
     "q153_gate_agreement"   -> ((q153 _, Some(q153Sql))),
     "q154_last_touch_attribution" -> ((q154 _, Some(q154Sql))),
     "q155_weighted_median"  -> ((q155 _, Some(q155Sql))),
+    "q156_conversion_latency" -> ((q156 _, Some(q156Sql))),
+    "q157_linear_interpolation" -> ((q157 _, Some(q157Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
