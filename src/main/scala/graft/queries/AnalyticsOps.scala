@@ -1183,6 +1183,104 @@ object AnalyticsOps {
       |           * CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END AS repaired
       |FROM c ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** BENFORD first-digit audit — the forensic data-quality check for
+    * fabricated or truncated numeric columns: the first-digit
+    * distribution of order totals against Benford's law, with each
+    * digit's chi-square contribution. The Benford expectations
+    * (log10(1+1/d)) enter as LITERAL constants, so the arithmetic stays
+    * transcendental-free and bit-exact cross-engine — the same trick as
+    * q109's frozen model weights. (This synthetic column is roughly
+    * uniform in [1k, 500k], so it FAILS Benford loudly — which is the
+    * audit working, not a bug: uniform-range generated data is exactly
+    * what this check exists to flag.)
+    *
+    * Scale shape: per-row digit extraction, 9-group rollup with
+    * map-side combine; everything after runs on 9 rows. */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    val benford = typedLit(Map(
+      1L -> 0.3010299956639812, 2L -> 0.17609125905568124,
+      3L -> 0.12493873660829993, 4L -> 0.09691001300805642,
+      5L -> 0.07918124604762482, 6L -> 0.06694678963061322,
+      7L -> 0.05799194697768673, 8L -> 0.05115252244738129,
+      9L -> 0.04575749056067514))
+    // first digit off the INTEGER part's string — double->string rendering
+    // is engine-specific; bigint->string is not (prices are >= 1, so the
+    // integer part always carries the leading digit)
+    val digits = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("expected_frac", element_at(benford, col("digit")))
+      .withColumn("expected_n", col("expected_frac") * col("n_total").cast("double"))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("observed_frac"),
+        col("expected_frac"),
+        ((col("n").cast("double") - col("expected_n"))
+          * (col("n").cast("double") - col("expected_n")) / col("expected_n"))
+          .as("chi2_digit"))
+      .orderBy(col("digit"))
+  }
+  val q158Sql: String =
+    """WITH b AS (
+      |  -- string->double parse is correctly rounded; a bare decimal literal
+      |  -- routes through DECIMAL(18,17) and loses the last ulp
+      |  SELECT d AS digit, CAST(f AS DOUBLE) AS expected_frac FROM (VALUES
+      |    (1, '0.3010299956639812'), (2, '0.17609125905568124'),
+      |    (3, '0.12493873660829993'), (4, '0.09691001300805642'),
+      |    (5, '0.07918124604762482'), (6, '0.06694678963061322'),
+      |    (7, '0.05799194697768673'), (8, '0.05115252244738129'),
+      |    (9, '0.04575749056067514')) t(d, f)),
+      |c AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+      |SELECT c.digit, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS observed_frac,
+      |  b.expected_frac,
+      |  (CAST(c.n AS DOUBLE) - b.expected_frac * CAST(t.n_total AS DOUBLE))
+      |    * (CAST(c.n AS DOUBLE) - b.expected_frac * CAST(t.n_total AS DOUBLE))
+      |    / (b.expected_frac * CAST(t.n_total AS DOUBLE)) AS chi2_digit
+      |FROM c CROSS JOIN t JOIN b ON b.digit = c.digit
+      |ORDER BY c.digit""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  /** Per-group MODE with deterministic tie-break — the categorical
+    * statistic the numeric family (median q116, weighted median q155,
+    * quantiles q41) doesn't cover: each supplier's most frequent
+    * shipment quantity, ties to the smallest value. Built-in mode() is
+    * tie-nondeterministic in both engines, so the query states the
+    * argmax explicitly — max(struct(count, -value)) — one
+    * partial-aggregable pass over the (group, value) rollup, no window.
+    *
+    * Scale shape: two exchanges ((supplier, value) rollup with map-side
+    * combine, then supplier argmax); never a per-group sort. */
+  def q159(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_suppkey"), col("qty")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_suppkey"))
+      .agg(max(struct(col("cnt"), (-col("qty")).as("nq"))).as("best"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("l_suppkey"), (-col("best.nq")).as("mode_qty"),
+        col("best.cnt").as("mode_count"), col("n_rows"))
+      .orderBy(col("l_suppkey"))
+  val q159Sql: String =
+    """WITH c AS (
+      |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_suppkey, qty, cnt,
+      |    row_number() OVER (PARTITION BY l_suppkey ORDER BY cnt DESC, qty) AS rn,
+      |    SUM(cnt) OVER (PARTITION BY l_suppkey) AS n_rows
+      |  FROM c)
+      |SELECT l_suppkey, qty AS mode_qty, cnt AS mode_count,
+      |  CAST(n_rows AS BIGINT) AS n_rows
+      |FROM r WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -1202,6 +1300,8 @@ object AnalyticsOps {
     "q155_weighted_median"  -> ((q155 _, Some(q155Sql))),
     "q156_conversion_latency" -> ((q156 _, Some(q156Sql))),
     "q157_linear_interpolation" -> ((q157 _, Some(q157Sql))),
+    "q158_benford_audit"    -> ((q158 _, Some(q158Sql))),
+    "q159_group_mode"       -> ((q159 _, Some(q159Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
