@@ -1281,6 +1281,90 @@ object AnalyticsOps {
       |  CAST(n_rows AS BIGINT) AS n_rows
       |FROM r WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+  /** 2-D SKYLINE (Pareto frontier) — the preference-query operator: the
+    * orders no other order dominates on (earlier date, lower price),
+    * i.e. the efficient frontier of the date/price tradeoff. In
+    * (date asc, price asc, key) order, a row is on the skyline iff its
+    * price is strictly below every EARLIER row's price — one running-min
+    * window, no quadratic dominance join (same-date ties: only the
+    * cheapest can survive, and the strict running-min comparison
+    * enforces exactly that).
+    *
+    * Scale shape: the running min needs a global order, so the window
+    * rides the q137 two-level rank machinery's cousin: a coarse date
+    * bucket exchange, per-bucket running min, then broadcast bucket-
+    * prefix minima fold in — no SinglePartition window. Kept simpler
+    * here: Spark's rangepartitioned global window over a 10k-row table
+    * (date, key) is the presentation form; the scale rewrite is the
+    * q137 pattern applied to min instead of count. */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"), col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr("datediff(cast(o_orderdate as date), date'1995-01-01')").cast("long").as("day"))
+      .withColumn("min_before", min(col("o_totalprice")).over(w))
+      .filter(col("min_before").isNull || col("o_totalprice") < col("min_before"))
+      .select(col("o_orderkey"), col("day"), col("o_totalprice"))
+      .orderBy(col("day"), col("o_orderkey"))
+  }
+  val q160Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderkey, day, o_totalprice,
+      |    MIN(o_totalprice) OVER (ORDER BY day, o_totalprice, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_before
+      |  FROM o)
+      |SELECT o_orderkey, day, o_totalprice
+      |FROM r WHERE min_before IS NULL OR o_totalprice < min_before
+      |ORDER BY day, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  /** Categorical STREAK run-length encoding — gaps-and-islands over a
+    * category instead of a time gap (q18) or a span diagonal (q80):
+    * consecutive same-type events per user collapse to one row per run
+    * (type, start, end, length). The island id is the classic
+    * two-rank difference: a global per-user sequence minus a per-
+    * (user, type) sequence is constant exactly within a run. The op
+    * behind session labeling, error-burst detection, and streak
+    * features.
+    *
+    * Scale shape: one user_id exchange feeds both ranking windows (same
+    * partitioning) and the final run rollup. */
+  def q161(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("ts_us")).as("run_start_us"), max(col("ts_us")).as("run_end_us"))
+      .select(col("user_id"), col("event_type"), col("run_start_us"),
+        col("run_end_us"), col("run_len"))
+      .orderBy(col("user_id"), col("run_start_us"), col("event_type"))
+  }
+  val q161Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+      |      AS grp
+      |  FROM e)
+      |SELECT user_id, event_type,
+      |  MIN(ts_us) AS run_start_us, MAX(ts_us) AS run_end_us,
+      |  COUNT(*) AS run_len
+      |FROM g GROUP BY user_id, event_type, grp
+      |ORDER BY user_id, run_start_us, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -1302,6 +1386,8 @@ object AnalyticsOps {
     "q157_linear_interpolation" -> ((q157 _, Some(q157Sql))),
     "q158_benford_audit"    -> ((q158 _, Some(q158Sql))),
     "q159_group_mode"       -> ((q159 _, Some(q159Sql))),
+    "q160_skyline"          -> ((q160 _, Some(q160Sql))),
+    "q161_streak_rle"       -> ((q161 _, Some(q161Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
