@@ -1287,24 +1287,41 @@ object AnalyticsOps {
     * i.e. the efficient frontier of the date/price tradeoff. In
     * (date asc, price asc, key) order, a row is on the skyline iff its
     * price is strictly below every EARLIER row's price — one running-min
-    * window, no quadratic dominance join (same-date ties: only the
+    * pass, no quadratic dominance join (same-date ties: only the
     * cheapest can survive, and the strict running-min comparison
     * enforces exactly that).
     *
-    * Scale shape: the running min needs a global order, so the window
-    * rides the q137 two-level rank machinery's cousin: a coarse date
-    * bucket exchange, per-bucket running min, then broadcast bucket-
-    * prefix minima fold in — no SinglePartition window. Kept simpler
-    * here: Spark's rangepartitioned global window over a 10k-row table
-    * (date, key) is the presentation form; the scale rewrite is the
-    * q137 pattern applied to min instead of count. */
+    * Scale shape: the global running min decomposes like q137's global
+    * rank — the oracle states a corpus-wide window, the plan refuses
+    * it: coarse 64-day buckets (order-aligned), per-bucket running min
+    * after ONE cb exchange, and the cross-bucket carry folded in as a
+    * literal prefix-minima map (value-range-sized metadata, collected
+    * under q137's guard). No SinglePartition window, no join,
+    * PlanCheck-pinned. */
   def q160(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("day"), col("o_totalprice"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.orders(s, d)
+    val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"),
         expr("datediff(cast(o_orderdate as date), date'1995-01-01')").cast("long").as("day"))
-      .withColumn("min_before", min(col("o_totalprice")).over(w))
+      .withColumn("cb", expr("day div 64"))
+    // bucket minima -> exclusive prefix minima over earlier buckets
+    val bMins = o.groupBy(col("cb")).agg(min(col("o_totalprice")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    require(bMins.length <= 100000,
+      s"coarse-bucket count ${bMins.length} exceeds the metadata bound; widen the bucket")
+    val prefixMin: Map[Long, Double] = bMins.foldLeft(
+        (Map.empty[Long, Double], Option.empty[Double])) {
+      case ((acc, run), (cb, m)) =>
+        (run.fold(acc)(p => acc + (cb -> p)), Some(run.fold(m)(math.min(_, m))))
+    }._1
+    val wIn = Window.partitionBy(col("cb"))
+      .orderBy(col("day"), col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // least() skips nulls in both engines: first row of a bucket carries
+    // only the prefix map's value; the global first row carries neither
+    val prefixCol =
+      if (prefixMin.isEmpty) lit(null).cast("double")
+      else element_at(typedLit(prefixMin), col("cb"))
+    o.withColumn("min_before", least(prefixCol, min(col("o_totalprice")).over(wIn)))
       .filter(col("min_before").isNull || col("o_totalprice") < col("min_before"))
       .select(col("o_orderkey"), col("day"), col("o_totalprice"))
       .orderBy(col("day"), col("o_orderkey"))

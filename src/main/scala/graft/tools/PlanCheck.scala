@@ -377,6 +377,9 @@ object PlanCheck {
       "hashpartitioning\\(user_id".r.findAllIn(p).size == 1 && !p.contains("Join"))
     check("q155_weighted_median", "one suppkey exchange shared by both windows and rollup")(p =>
       "hashpartitioning\\(l_suppkey".r.findAllIn(p).size == 1 && !p.contains("Join"))
+    check("q160_skyline", "running min is per-coarse-bucket: no SinglePartition, no join")(p =>
+      !p.contains("SinglePartition") && p.contains("hashpartitioning(cb") &&
+        !p.contains("Join"))
     check("q134_bpe_merge_step", "pair counts partial-agg; top-10 is TakeOrdered")(p =>
       p.contains("partial") && p.contains("TakeOrderedAndProject"))
     check("q136_time_weighted_avg", "ONE user_id exchange feeds window AND final agg")(p =>
