@@ -1382,6 +1382,55 @@ object AnalyticsOps {
       |FROM g GROUP BY user_id, event_type, grp
       |ORDER BY user_id, run_start_us, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** GROWTH accounting — the daily active/new/returning/cumulative user
+    * ledger every product-analytics stack maintains: per epoch day,
+    * event volume, distinct actives, first-ever-seen users (new),
+    * returning = active − new, and the cumulative user count (running
+    * sum of new — correct by definition, since each user is new exactly
+    * once). Pure integer arithmetic on epoch days.
+    *
+    * Scale shape: two corpus aggregations (per-day actives with partial
+    * distinct; per-user first-seen then its per-day rollup) joined on
+    * the DAY-RANGE-sized ledger; the running sum windows over that
+    * metadata-sized table, never the event stream. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(expr("ts_us div 86400000000").as("dayn"), col("user_id"))
+    val daily = ev.groupBy(col("dayn"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("active_users"))
+    val newPerDay = ev.groupBy(col("user_id")).agg(min(col("dayn")).as("d0"))
+      .groupBy(col("d0").as("dayn")).agg(count(lit(1)).as("new_users"))
+    val wCum = Window.orderBy(col("dayn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(newPerDay, Seq("dayn"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .select(col("dayn"), col("n_events"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        sum(col("new_users")).over(wCum).as("cumulative_users"))
+      .orderBy(col("dayn"))
+  }
+  val q162Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn, user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT dayn, COUNT(*) AS n_events,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      |  FROM e GROUP BY dayn),
+      |np AS (
+      |  SELECT d0 AS dayn, COUNT(*) AS new_users FROM (
+      |    SELECT user_id, MIN(dayn) AS d0 FROM e GROUP BY user_id)
+      |  GROUP BY d0)
+      |SELECT daily.dayn, n_events, active_users,
+      |  coalesce(np.new_users, 0) AS new_users,
+      |  active_users - coalesce(np.new_users, 0) AS returning_users,
+      |  CAST(SUM(coalesce(np.new_users, 0)) OVER (ORDER BY daily.dayn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+      |FROM daily LEFT JOIN np ON np.dayn = daily.dayn
+      |ORDER BY daily.dayn""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -1405,6 +1454,7 @@ object AnalyticsOps {
     "q159_group_mode"       -> ((q159 _, Some(q159Sql))),
     "q160_skyline"          -> ((q160 _, Some(q160Sql))),
     "q161_streak_rle"       -> ((q161 _, Some(q161Sql))),
+    "q162_growth_accounting" -> ((q162 _, Some(q162Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
