@@ -1431,6 +1431,173 @@ object AnalyticsOps {
       |FROM daily LEFT JOIN np ON np.dayn = daily.dayn
       |ORDER BY daily.dayn""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+  /** Event-type CO-OCCURRENCE with lift — market-basket association
+    * mining over user-day baskets: which event types appear together in
+    * the same basket more often than chance? lift(a,b) =
+    * n·joint/(cnt_a·cnt_b) — a single correctly-rounded arithmetic
+    * expression over exact integer counts, so both engines agree
+    * bit-for-bit. Lift > 1 is the association signal recommenders and
+    * anomaly rules are built from.
+    *
+    * Scale shape: baskets = DISTINCT (user, day, type) — one exchange
+    * with partial distinct; the pair join is per-basket (≤ C(types,2)
+    * fan-out per basket, types is a small fixed set); marginals are a
+    * types-sized table broadcast twice. */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("dayn"),
+        col("event_type"))
+      .distinct()
+    val nBaskets = basket.select(col("user_id"), col("dayn")).distinct().count()
+    val marg = basket.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val a = basket.withColumnRenamed("event_type", "type_a")
+    val b = basket.withColumnRenamed("event_type", "type_b")
+    a.join(b, Seq("user_id", "dayn"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("joint"))
+      .join(broadcast(marg.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("cnt", "cnt_a")), Seq("type_a"))
+      .join(broadcast(marg.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("cnt", "cnt_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("joint"), col("cnt_a"), col("cnt_b"),
+        (lit(nBaskets).cast("double") * col("joint").cast("double")
+          / (col("cnt_a").cast("double") * col("cnt_b").cast("double"))).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+  val q163Sql: String =
+    """WITH basket AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn, event_type
+      |  FROM events),
+      |nb AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, dayn FROM basket)),
+      |marg AS (SELECT event_type, COUNT(*) AS cnt FROM basket GROUP BY event_type),
+      |joint AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS joint
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.dayn = b.dayn AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, joint, ma.cnt AS cnt_a, mb.cnt AS cnt_b,
+      |  CAST(nb.n AS DOUBLE) * CAST(joint AS DOUBLE)
+      |    / (CAST(ma.cnt AS DOUBLE) * CAST(mb.cnt AS DOUBLE)) AS lift
+      |FROM joint JOIN marg ma ON ma.event_type = type_a
+      |           JOIN marg mb ON mb.event_type = type_b
+      |           CROSS JOIN nb
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  /** SOURCE-similarity matrix — the input to mixture design (which
+    * sources are redundant?): pairwise HISTOGRAM INTERSECTION
+    * Σ min(p_a(t), p_b(t)) over the frozen q142 vocabulary's term
+    * distributions, for every source pair. 1.0 = identical
+    * distributions, 0 = disjoint. Each per-term min is one double op on
+    * exact integer-ratio shares; the 16-term sum is DECIMAL-quantized
+    * (the repo's order-independent recipe).
+    *
+    * Scale shape: one (source, term) rollup over the corpus; the
+    * pairwise stage runs on a sources×vocab table (metadata-sized) —
+    * sources² never touches the corpus. */
+  def q164(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val vocab = top16Vocab(toks.select(col("tok")))
+    val dist = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("tok"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"))
+    val a = dist.select(col("source").as("src_a"), col("tok"), col("p").as("p_a"))
+    val b = dist.select(col("source").as("src_b"), col("tok"), col("p").as("p_b"))
+    a.join(b, Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(least(col("p_a"), col("p_b")).cast(DecimalType(20, 12)))
+        .cast("double").as("hist_intersection"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+  val q164Sql: String =
+    """WITH tok AS (
+      |  SELECT source, u.tok FROM (
+      |    SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+      |    FROM documents), unnest(t) AS u(tok)),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+      |  ORDER BY c DESC, tok LIMIT 16),
+      |d AS (
+      |  SELECT source, t.tok, COUNT(*) AS c
+      |  FROM tok t JOIN vocab v ON v.tok = t.tok GROUP BY source, t.tok),
+      |p AS (
+      |  SELECT source, tok,
+      |    CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+      |  FROM d)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(SUM(CAST(least(a.p, b.p) AS DECIMAL(20,12))) AS DOUBLE)
+      |    AS hist_intersection
+      |FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  /** TIME-CONSTRAINED funnel — q119's unconstrained view→click→purchase
+    * progression with the windows real funnels enforce: the click must
+    * land within 1h of the user's first view, and the purchase within
+    * 1h of that click. Three chained conditional-min aggregations, each
+    * anchored on the previous stage's timestamp (the chain is what makes
+    * this a different operator from q119: a click 3 days later no longer
+    * converts). Integer-µs arithmetic end-to-end; output is the stage
+    * histogram partitioning the user universe.
+    *
+    * Scale shape: three aggregations over the (already user-keyed)
+    * event stream with conditional-min partial aggregates, each
+    * join-back broadcastable (user-count-sized). */
+  def q165(s: SparkSession, d: String): DataFrame = {
+    val hour = 3600000000L
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val fv = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t_view"))
+      .filter(col("t_view").isNotNull)
+    val fc = ev.join(broadcast(fv), Seq("user_id"))
+      .filter(col("event_type") === "click"
+        && col("ts_us") > col("t_view") && col("ts_us") <= col("t_view") + hour)
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts_us")).as("t_click"))
+    val fp = ev.join(broadcast(fc), Seq("user_id"))
+      .filter(col("event_type") === "purchase"
+        && col("ts_us") > col("t_click") && col("ts_us") <= col("t_click") + hour)
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("ts_us")).as("t_purchase"))
+    val stages = fv.join(fc.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(fp.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+      .select(when(col("t_purchase").isNotNull, "3_purchased")
+        .when(col("t_click").isNotNull, "2_clicked")
+        .otherwise("1_viewed_only").as("stage"))
+    stages.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+  val q165Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |fv AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+      |  FROM e GROUP BY user_id HAVING t_view IS NOT NULL),
+      |fc AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS t_click
+      |  FROM e JOIN fv USING (user_id)
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts_us > fv.t_view AND e.ts_us <= fv.t_view + 3600000000
+      |  GROUP BY e.user_id),
+      |fp AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS t_purchase
+      |  FROM e JOIN fc USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts_us > fc.t_click AND e.ts_us <= fc.t_click + 3600000000
+      |  GROUP BY e.user_id)
+      |SELECT CASE WHEN fp.user_id IS NOT NULL THEN '3_purchased'
+      |            WHEN fc.user_id IS NOT NULL THEN '2_clicked'
+      |            ELSE '1_viewed_only' END AS stage,
+      |  COUNT(*) AS n_users
+      |FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -1455,6 +1622,9 @@ object AnalyticsOps {
     "q160_skyline"          -> ((q160 _, Some(q160Sql))),
     "q161_streak_rle"       -> ((q161 _, Some(q161Sql))),
     "q162_growth_accounting" -> ((q162 _, Some(q162Sql))),
+    "q163_cooccurrence_lift" -> ((q163 _, Some(q163Sql))),
+    "q164_source_similarity" -> ((q164 _, Some(q164Sql))),
+    "q165_constrained_funnel" -> ((q165 _, Some(q165Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
