@@ -1598,6 +1598,120 @@ object AnalyticsOps {
       |FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  /** Session-DEPTH distribution + bounce share — the engagement summary
+    * layered on q18's 30-minute gap sessionization: how many sessions
+    * contain 1 event (bounces), 2, 3, … capped at 10+, and each depth's
+    * share of all sessions. The share is one exact integer-ratio
+    * division; the cap keeps the output schema fixed as timelines grow.
+    *
+    * Scale shape: q18's one user_id exchange for the gap rule and the
+    * per-session rollup; the depth histogram is a ≤10-group aggregate
+    * with map-side combine. */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrder) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess"))
+        .over(wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val depths = sessions
+      .select(least(col("n_events"), lit(10L)).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_sessions"))
+    val tot = depths.agg(sum(col("n_sessions")).as("n_total"))
+    depths.crossJoin(broadcast(tot))
+      .select(col("depth"), col("n_sessions"),
+        (col("n_sessions").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy(col("depth"))
+  }
+  val q166Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |              > 1800000000 THEN 1 ELSE 0 END AS new_sess,
+      |    event_id
+      |  FROM e),
+      |x AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, sess_idx, COUNT(*) AS n_events
+      |  FROM x GROUP BY user_id, sess_idx),
+      |dep AS (
+      |  SELECT least(n_events, 10) AS depth, COUNT(*) AS n_sessions
+      |  FROM sess GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS n_total FROM dep)
+      |SELECT depth, n_sessions,
+      |  CAST(n_sessions AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+      |FROM dep CROSS JOIN t ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+  /** A/B TEST analysis (two-proportion z-statistic) — the experimentation
+    * readout: users deterministically split by id parity, conversion =
+    * a heavy purchaser (>= 14 purchases — every user in this synthetic
+    * stream buys at least once, which would make the naive "any
+    * purchase" rate exactly 1 and the pooled variance zero), and the
+    * pooled-variance z-score for the
+    * conversion-rate difference. Every term derives from four exact
+    * integer counts by correctly-rounded double ops (sqrt included), so
+    * both engines agree bit-for-bit — the deterministic assignment is
+    * also what makes an A/B readout reproducible in a real pipeline.
+    *
+    * Scale shape: one per-user conversion rollup (partial-aggregated),
+    * then a 2-group aggregate and a single-row projection. */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    val conv = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L)
+        .cast("long").as("converted"))
+      .select((col("user_id") % 2 === 0).as("grp_a"), col("converted"))
+    conv.agg(
+        sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp_a"), col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("grp_a"), col("converted")).otherwise(0L)).as("c_b"))
+      .withColumn("p_a", col("c_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("p_b", col("c_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p_pool",
+        (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")).cast("double"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        col("p_a"), col("p_b"),
+        ((col("p_a") - col("p_b"))
+          / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
+          .as("z_score"))
+  }
+  val q167Sql: String =
+    """WITH conv AS (
+      |  SELECT user_id % 2 = 0 AS grp_a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |         AS BIGINT) AS converted
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN grp_a THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN NOT grp_a THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM conv)
+      |SELECT n_a, c_a, n_b, c_b,
+      |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |  (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |  / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |    * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_score
+      |FROM m""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -1625,6 +1739,8 @@ object AnalyticsOps {
     "q163_cooccurrence_lift" -> ((q163 _, Some(q163Sql))),
     "q164_source_similarity" -> ((q164 _, Some(q164Sql))),
     "q165_constrained_funnel" -> ((q165 _, Some(q165Sql))),
+    "q166_session_depth"    -> ((q166 _, Some(q166Sql))),
+    "q167_ab_test"          -> ((q167 _, Some(q167Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
