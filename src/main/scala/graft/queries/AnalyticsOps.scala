@@ -1712,6 +1712,153 @@ object AnalyticsOps {
       |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_score
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Revenue CONCENTRATION — the whale-dependence audit (the Gini
+    * coefficient's robust cousin, transcendental- and global-sort-free):
+    * per-customer order totals tiled into exact deciles by the
+    * q137 two-level rank, then each decile's customer count and share of
+    * total revenue. Decile 9's share is the "top 10% of customers carry
+    * X% of revenue" number; exact DECIMAL revenue sums, shares as one
+    * decimal→double division each.
+    *
+    * Scale shape: one customer rollup (partial-aggregated), the
+    * two-level rank over the customer-totals table (corpus-derived but
+    * orders-of-magnitude smaller), a 10-group rollup. */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    val byCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+      .withColumn("cb", expr("cast(rev / 10000.0 as bigint)"))
+    val (offsets, nTotal) = coarseRankOffsets(byCust, col("cb"))
+    val wIn = Window.partitionBy(col("cb")).orderBy(col("rev"), col("o_custkey"))
+    val tiled = byCust
+      .withColumn("rn", row_number().over(wIn))
+      .withColumn("off", element_at(typedLit(offsets), col("cb")))
+      .select(col("rev"), expr(s"((off + rn - 1) * 10) div ${nTotal}L").as("decile"))
+    val tot = tiled.agg(sum(col("rev")).as("rev_total"))
+    tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_decile"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"),
+        col("rev_decile").cast("double").as("revenue"),
+        (col("rev_decile").cast("double") / col("rev_total").cast("double"))
+          .as("revenue_share"))
+      .orderBy(col("decile"))
+  }
+  val q168Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT rev,
+      |    (row_number() OVER (ORDER BY rev, o_custkey) - 1) * 10
+      |      // COUNT(*) OVER () AS decile
+      |  FROM c),
+      |t AS (SELECT SUM(rev) AS rev_total FROM r)
+      |SELECT decile, COUNT(*) AS n_customers,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev) AS DOUBLE) / CAST(t.rev_total AS DOUBLE) AS revenue_share
+      |FROM r CROSS JOIN t GROUP BY decile, t.rev_total ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  /** RFM SEGMENTATION — the classic customer scoring: Recency (days
+    * since the user's last purchase, against the stream's last day),
+    * Frequency (purchase count), Monetary (exact decimal purchase-value
+    * sum), each cut at fixed stated thresholds into low/high, and the
+    * 8-cell segment census. Fixed thresholds (not quantiles) keep the
+    * segment DEFINITION stable across reruns and data growth — the
+    * property a production scoring pipeline wants; integer/decimal
+    * arithmetic end-to-end.
+    *
+    * Scale shape: one user rollup with conditional partial aggregates;
+    * the global last-day scalar broadcasts; the census is 8 groups. */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts_us div 86400000000").as("dayn"))
+    val maxDay = ev.agg(max(col("dayn")).as("max_day"))
+    val rfm = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("dayn")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(18, 6))).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        (col("max_day") - col("last_day")).as("recency_days"),
+        col("freq"), col("monetary"))
+    rfm.select(
+        when(col("recency_days") <= 2, "R1").otherwise("R0").as("r"),
+        when(col("freq") >= 14, "F1").otherwise("F0").as("f"),
+        // decimal-vs-decimal comparison (DuckDB's 1300.0 literal is
+        // DECIMAL) — a double comparison could split the engines exactly
+        // at the boundary
+        when(col("monetary") >= lit(1300).cast(DecimalType(18, 6)), "M1")
+          .otherwise("M0").as("m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+  val q169Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+      |  FROM events),
+      |md AS (SELECT MAX(dayn) AS max_day FROM e),
+      |rfm AS (
+      |  SELECT user_id, md.max_day - MAX(dayn) AS recency_days,
+      |    COUNT(*) AS freq,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS monetary
+      |  FROM e CROSS JOIN md
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY user_id, md.max_day)
+      |SELECT CASE WHEN recency_days <= 2 THEN 'R1' ELSE 'R0' END AS r,
+      |  CASE WHEN freq >= 14 THEN 'F1' ELSE 'F0' END AS f,
+      |  CASE WHEN monetary >= 1300.0 THEN 'M1' ELSE 'M0' END AS m,
+      |  COUNT(*) AS n_users
+      |FROM rfm GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q170
+  /** DUPLICATE-transaction detection — the fraud/data-quality sweep for
+    * double-submits: same user, same whole-currency-unit amount
+    * (floor(value) — real sweeps match on rounded amounts because
+    * re-submits carry fee jitter; exact-double equality finds nothing in
+    * any realistic stream), within 24 hours. No pair join: sort each
+    * (user, amount) lane by time and flag rows whose predecessor in the
+    * lane is ≤24h older (every run of duplicates is caught — each
+    * non-first member flags against its neighbor). Emits the flagged
+    * rows with the gap for triage.
+    *
+    * Scale shape: one (user_id, amount) exchange, one lag window, a
+    * filter — linear, the quadratic same-amount join never exists. */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("amt"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        floor(col("value")).cast("long").as("amt"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_ts").isNotNull && col("ts_us") - col("prev_ts") <= 86400000000L)
+      .select(col("user_id"), col("event_id"), col("prev_id"),
+        col("amt"), (col("ts_us") - col("prev_ts")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+  val q170Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(floor(value) AS BIGINT) AS amt
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT user_id, event_id, ts_us, amt,
+      |    lag(ts_us) OVER w AS prev_ts,
+      |    lag(event_id) OVER w AS prev_id
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY user_id, amt ORDER BY ts_us, event_id))
+      |SELECT user_id, event_id, prev_id, amt, ts_us - prev_ts AS gap_us
+      |FROM l WHERE prev_ts IS NOT NULL AND ts_us - prev_ts <= 86400000000
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
@@ -1741,6 +1888,9 @@ object AnalyticsOps {
     "q165_constrained_funnel" -> ((q165 _, Some(q165Sql))),
     "q166_session_depth"    -> ((q166 _, Some(q166Sql))),
     "q167_ab_test"          -> ((q167 _, Some(q167Sql))),
+    "q168_revenue_concentration" -> ((q168 _, Some(q168Sql))),
+    "q169_rfm_segments"     -> ((q169 _, Some(q169Sql))),
+    "q170_duplicate_transactions" -> ((q170 _, Some(q170Sql))),
     "q131_embedding_stats"  -> ((q131 _, Some(q131Sql))),
     "q132_interval_overlap" -> ((q132 _, Some(q132Sql))),
     "q134_bpe_merge_step"   -> ((q134 _, Some(q134Sql))),
