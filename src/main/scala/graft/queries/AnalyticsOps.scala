@@ -724,10 +724,12 @@ object AnalyticsOps {
     val name = s"graft_q148_${java.lang.Integer.toHexString(d.hashCode)}"
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    // stage once per (dir) — the q77/q127 idempotency pattern; a fresh
-    // temp dir per call would leak one events copy per invocation
+    // stage once per SOURCE STATE — the q77/q127 idempotency pattern, but
+    // keyed on (path, size, mtime) so regenerated data at the same path
+    // re-stages instead of silently serving stale rows
+    val src = new java.io.File(s"$d/events.parquet")
     val staged = s"${sys.props("java.io.tmpdir")}/graft_q148_src_${
-      java.lang.Integer.toHexString(d.hashCode)}"
+      java.lang.Integer.toHexString((d, src.length, src.lastModified).hashCode)}"
     if (!new java.io.File(s"$staged/_SUCCESS").isFile)
       ev.repartition(3).write.mode("overwrite").parquet(staged)
     val dim = ev.select(col("event_type")).distinct()
@@ -1364,7 +1366,9 @@ object AnalyticsOps {
         min(col("ts_us")).as("run_start_us"), max(col("ts_us")).as("run_end_us"))
       .select(col("user_id"), col("event_type"), col("run_start_us"),
         col("run_end_us"), col("run_len"))
-      .orderBy(col("user_id"), col("run_start_us"), col("event_type"))
+      // run_end_us completes the total order: two same-type runs can share
+      // a start timestamp when ties split a run
+      .orderBy(col("user_id"), col("run_start_us"), col("event_type"), col("run_end_us"))
   }
   val q161Sql: String =
     """WITH e AS (
@@ -1380,7 +1384,7 @@ object AnalyticsOps {
       |  MIN(ts_us) AS run_start_us, MAX(ts_us) AS run_end_us,
       |  COUNT(*) AS run_len
       |FROM g GROUP BY user_id, event_type, grp
-      |ORDER BY user_id, run_start_us, event_type""".stripMargin
+      |ORDER BY user_id, run_start_us, event_type, run_end_us""".stripMargin
 
   // ---------------------------------------------------------------- q162
   /** GROWTH accounting — the daily active/new/returning/cumulative user
@@ -1445,11 +1449,17 @@ object AnalyticsOps {
     * fan-out per basket, types is a small fixed set); marginals are a
     * types-sized table broadcast twice. */
   def q163(s: SparkSession, d: String): DataFrame = {
+    // the basket table feeds marginals, the total, and BOTH self-join
+    // sides — materialize once (AQE does not reuse multi-consumer
+    // subtrees); the total folds in as a broadcast 1-row aggregate, never
+    // a driver-side count job
     val basket = Tables.events(s, d)
       .select(col("user_id"), expr("ts_us div 86400000000").as("dayn"),
         col("event_type"))
       .distinct()
-    val nBaskets = basket.select(col("user_id"), col("dayn")).distinct().count()
+      .localCheckpoint(true)
+    val nb = basket.select(col("user_id"), col("dayn")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     val marg = basket.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     val a = basket.withColumnRenamed("event_type", "type_a")
     val b = basket.withColumnRenamed("event_type", "type_b")
@@ -1460,8 +1470,9 @@ object AnalyticsOps {
         .withColumnRenamed("cnt", "cnt_a")), Seq("type_a"))
       .join(broadcast(marg.withColumnRenamed("event_type", "type_b")
         .withColumnRenamed("cnt", "cnt_b")), Seq("type_b"))
+      .crossJoin(broadcast(nb))
       .select(col("type_a"), col("type_b"), col("joint"), col("cnt_a"), col("cnt_b"),
-        (lit(nBaskets).cast("double") * col("joint").cast("double")
+        (col("n_baskets").cast("double") * col("joint").cast("double")
           / (col("cnt_a").cast("double") * col("cnt_b").cast("double"))).as("lift"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -1735,7 +1746,10 @@ object AnalyticsOps {
       .withColumn("rn", row_number().over(wIn))
       .withColumn("off", element_at(typedLit(offsets), col("cb")))
       .select(col("rev"), expr(s"((off + rn - 1) * 10) div ${nTotal}L").as("decile"))
-    val tot = tiled.agg(sum(col("rev")).as("rev_total"))
+    // total from byCust, not tiled — summing the tiled side would evaluate
+    // the rank window and offsets projection a second time for a value the
+    // upstream rollup already carries
+    val tot = byCust.agg(sum(col("rev")).as("rev_total"))
     tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_decile"))
       .crossJoin(broadcast(tot))
