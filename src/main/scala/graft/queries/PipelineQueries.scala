@@ -18,8 +18,16 @@ object PipelineQueries {
   // ---------------------------------------------------------------- q30
   /** Full audio pipeline over the deterministic synthesized WAV corpus
     * (FIXTURES.md §A.1): scan → decode → segment → metrics → filters → stub
-    * ASR → text filters → overlap window → wav export → metadata. Rows-only
-    * driver check; exact golden values are asserted in PipelineSpec. */
+    * ASR → text filters → overlap window → wav export → metadata.
+    *
+    * ORACLE-GATED since round 6: the pipeline is deterministic end-to-end
+    * (synthesized fixtures + the stub transcriber is a pure function of the
+    * audio), so the expected metadata rows are frozen as a DuckDB VALUES
+    * literal (q30Sql) and hash-checked like any other board row. Metrics are
+    * quantized to integers (×1000, round-half-up) so the comparison is exact —
+    * no float-formatting hazard between engines. This puts O1-O7, O9, O12,
+    * O14-O16, O22, O25-O26 on the oracle board in one stroke (round-5 verdict
+    * item 1); the un-rounded values remain asserted in PipelineSpec. */
   def q30(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_audio_fixture")
@@ -29,12 +37,24 @@ object PipelineQueries {
     graft.Pipeline.run(s, wavDir, outDir)
       .withColumn("wav_name", element_at(split(col("wav_path"), "/"), -1))
       .select(col("original_name"), col("wav_name"), col("text"),
-              round(col("rms"), 3).as("rms"),
-              round(col("clipping_percent"), 3).as("clipping_percent"),
-              round(col("music_ratio"), 3).as("music_ratio"),
+              round(col("rms") * 1000).cast("long").as("rms_q3"),
+              round(col("clipping_percent") * 1000).cast("long").as("clipping_q3"),
+              round(col("music_ratio") * 1000).cast("long").as("music_q3"),
               col("overlap_flag"))
       .orderBy(col("original_name"), col("wav_name"))
   }
+  /** Golden literal oracle, frozen from a GoldenDump run (tools/GoldenDump).
+    * Every value is the product of the full operator chain — a change to any
+    * of decode, downmix, normalize, resample, VAD, split, merge, pad, metric,
+    * filter, stub-ASR, text-filter, overlap or export naming breaks the hash. */
+  val q30Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('long_utterance.wav', 'long_utterance_0015s_0030s.wav', 'quality training voice batch speech', CAST(16605149 AS BIGINT), CAST(703 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('short_utterances.wav', 'short_utterances_0000s_0009s.wav', 'model clean hello audio', CAST(11915243 AS BIGINT), CAST(218 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('stereo_speech_441.wav', 'stereo_speech_441_0000s_0004s.wav', 'world data audio', CAST(13005557 AS BIGINT), CAST(250 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('tone_speechlike.wav', 'tone_speechlike_0000s_0010s.wav', 'hello training speech clean hello', CAST(12886670 AS BIGINT), CAST(254 AS BIGINT), CAST(430 AS BIGINT), FALSE)
+      |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
+      |ORDER BY original_name, wav_name""".stripMargin
 
   // ---------------------------------------------------------------- q31
   /** Span-based greedy merge on the events table (O8 generalized) — see
@@ -391,7 +411,7 @@ object PipelineQueries {
       |ORDER BY s.key, s.start_us""".stripMargin
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "q30_audio_pipeline_e2e" -> ((q30 _, None)),
+    "q30_audio_pipeline_e2e" -> ((q30 _, Some(q30Sql))),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
     "q32_stream_window_agg"  -> ((q32 _, Some(q32Sql))),
     "q33_multimodal_bytes"   -> ((q33 _, Some(q33Sql))),
