@@ -410,6 +410,42 @@ object PipelineQueries {
       |WHERE s.end_us - s.start_us >= 180000000
       |ORDER BY s.key, s.start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q171
+  /** O23+O24 persistence round trip ON THE ORACLE BOARD (round-5 verdict
+    * item 3; pa.py:49-76): `create_db(refresh=True)` ≡ Sinks.writeRefresh
+    * (drop-and-recreate), then one INSERT-OR-IGNORE batch via
+    * Sinks.appendIgnore that exercises BOTH dedup layers —
+    *   - in-batch first-writer-wins: two tagged variants per key, orderCols
+    *     picks 'b1' over 'b2';
+    *   - cross-batch ignore: keys already present in the refreshed base are
+    *     left-anti'd away.
+    * The read-back emits the final table and the oracle restates it
+    * relationally: base rows survive untouched, only even keys OUTSIDE the
+    * base arrive as 'b1', 'b2' never lands. The refresh at the top makes
+    * repeated runs idempotent (same reason q77 overwrites). */
+  def q171(s: SparkSession, d: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_o23_${
+      java.lang.Integer.toHexString(d.hashCode)}"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0).withColumn("tag", lit("base"))
+    graft.io.Sinks.writeRefresh(base, out)                       // O23 refresh
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val batch = evens.withColumn("tag", lit("b1"))
+      .unionAll(evens.withColumn("tag", lit("b2")))
+    graft.io.Sinks.appendIgnore(s, batch, out,                   // O24 ignore
+      key = "doc_id", orderCols = Seq("tag"))
+    s.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("tag"))
+      .orderBy(col("doc_id"))
+  }
+  val q171Sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 3 <> 0 THEN 'base' ELSE 'b1' END AS tag
+      |FROM documents
+      |WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_audio_pipeline_e2e" -> ((q30 _, Some(q30Sql))),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
@@ -422,5 +458,6 @@ object PipelineQueries {
     "q87_stream_span_merge" -> ((q87 _, Some(q87Sql))),
     "q83_csv_roundtrip"  -> ((q83 _, Some(q83Sql))),
     "q84_json_roundtrip" -> ((q84 _, Some(q84Sql))),
-    "q85_orc_roundtrip"  -> ((q85 _, Some(q85Sql))))
+    "q85_orc_roundtrip"  -> ((q85 _, Some(q85Sql))),
+    "q171_refresh_append_ignore" -> ((q171 _, Some(q171Sql))))
 }
