@@ -1,0 +1,85 @@
+package graft.ops
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import graft.io.WavCodec
+
+/** Real-ASR plug point (round-5 verdict item 5; pa.py:37-46, 241-278): a
+  * compile-checked process-boundary [[Inference.Transcriber]] that drives an
+  * external ASR worker (whisper.cpp `server`-style binary, a Python HF
+  * wrapper, …) over a length-prefixed stdin/stdout protocol. This is the
+  * documented way to attach a real model on a GPU cluster — the model runs
+  * in its own process (own memory, own CUDA context), one worker per
+  * executor JVM via [[Inference.Transcribers]]' per-JVM cache, and Spark
+  * never serializes model state.
+  *
+  * Wire protocol, one frame per segment:
+  *   driver->worker:  int32 BE byte-length, then that many bytes of a
+  *                    complete mono 16-bit PCM WAV at the segment's rate;
+  *   worker->driver:  int32 BE byte-length, then UTF-8 transcript bytes.
+  * A worker that exits or writes a malformed frame fails the task (Spark
+  * retries it elsewhere) — no silent empty transcripts.
+  *
+  * NEVER constructed in tests or by default: registration is config-gated
+  * behind `registerFromConf` (spark.graft.asr.command), and the stub remains
+  * the default transcriber everywhere offline.
+  */
+final class ProcessTranscriber(command: Seq[String]) extends Inference.Transcriber {
+  require(command.nonEmpty, "ProcessTranscriber needs a non-empty command")
+
+  // one worker process per Transcriber instance; Transcribers caches one
+  // instance per JVM, so this is the per-executor singleton the reference's
+  // module-level pipeline global becomes at cluster scale
+  @transient private lazy val worker: (DataOutputStream, DataInputStream) = {
+    val pb = new ProcessBuilder(command: _*)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // worker logs -> executor stderr
+    val p = pb.start()
+    sys.addShutdownHook { p.destroy() }
+    (new DataOutputStream(new java.io.BufferedOutputStream(p.getOutputStream)),
+     new DataInputStream(new java.io.BufferedInputStream(p.getInputStream)))
+  }
+
+  override def transcribe(batch: Seq[Inference.AsrInput]): Seq[String] = {
+    val (out, in) = worker
+    // write the whole micro-batch, then read all replies: keeps the worker's
+    // pipeline full without per-item round-trip latency (pa.py's batch_size=8
+    // batching preserved across the process boundary)
+    batch.foreach { a =>
+      val wav = WavCodec.encodeMono16(a.samples, a.sampleRate)
+      out.writeInt(wav.length)
+      out.write(wav)
+    }
+    out.flush()
+    batch.map { _ =>
+      val n = in.readInt()
+      require(n >= 0 && n <= (16 << 20), s"ASR worker sent absurd frame length $n")
+      val buf = new Array[Byte](n)
+      in.readFully(buf)
+      new String(buf, StandardCharsets.UTF_8)
+    }
+  }
+}
+
+object ProcessTranscriber {
+  /** Config-gated registration: if `spark.graft.asr.command` is set (a
+    * whitespace-separated argv), registers a ProcessTranscriber under
+    * `spark.graft.asr.name` (default "asr") and returns that name; otherwise
+    * returns "stub". Call once on the driver before Pipeline.run:
+    *
+    * {{{
+    * val name = ProcessTranscriber.registerFromConf(spark)
+    * Pipeline.run(spark, wavDir, outDir, transcriberName = name)
+    * }}}
+    */
+  def registerFromConf(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.asr.command") match {
+      case Some(cmd) if cmd.trim.nonEmpty =>
+        val name = spark.conf.getOption("spark.graft.asr.name").getOrElse("asr")
+        val argv = cmd.trim.split("\\s+").toSeq
+        Inference.Transcribers.register(name, () => new ProcessTranscriber(argv))
+        name
+      case _ => "stub"
+    }
+}

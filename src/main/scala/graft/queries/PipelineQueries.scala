@@ -117,14 +117,18 @@ object PipelineQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q76
-  /** Container-demux round trip, ORACLE-GATED: per document, synthesize a
-    * structurally-real AVI from doc_id-derived parameters, parse it back
-    * with the pure-JDK probe (RIFF chunk walk + avih header + movi demux),
-    * and emit the recovered metadata. The oracle states the expected
-    * parameters arithmetically — so a bug in either the builder or the
-    * parser (offsets, endianness, padding, chunk walking) breaks the hash.
-    * This puts the demux layer on the driver's correctness board, where
-    * DuckDB could never parse the binary itself. Per-row, shuffle-free. */
+  /** Container-demux + PCM-decode round trip, ORACLE-GATED: per document,
+    * synthesize a structurally-real TWO-STREAM AVI (video chunks + a real
+    * PCM audio stream, strh/strf WAVEFORMATEX and all) from doc_id-derived
+    * parameters, parse it back with the pure-JDK probe, demux the video
+    * frames, and REALLY DECODE the audio — WAVEFORMATEX parsed from the
+    * strl headers, `01wb` payloads concatenated across three uneven chunks,
+    * little-endian int16 → samples (round-5 verdict item 6: the byte-window
+    * stand-in now starts only at compressed codecs). The oracle restates
+    * every recovered value arithmetically — sample synthesis is integer
+    * (`(i*37 + id%11) % 2001 - 1000`), so DuckDB reproduces the decoded
+    * SUM/MIN/MAX exactly; any offset/endianness/padding/chunk-walk bug in
+    * builder OR parser breaks the hash. Per-row, shuffle-free. */
   def q76(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -133,25 +137,45 @@ object PipelineQueries {
         val h = (240 + id % 32).toInt
         val n = (1 + id % 7).toInt
         val fl = (32 + id % 16).toInt
-        val bytes = graft.ops.Multimodal.synthesizeAvi(w, h, n, fl)
+        val nPcm = (400 + id % 100).toInt
+        val salt = (id % 11).toInt
+        val bytes = graft.ops.Multimodal.synthesizeAviPcm(w, h, n, fl, nPcm,
+          i => ((i * 37 + salt) % 2001 - 1000).toShort)
         val p = graft.ops.Multimodal.probeContainer(bytes)
         val demuxed = graft.ops.Multimodal.aviMoviFrames(bytes).map(_.length).getOrElse(-1)
+        val (fmt, samples) = graft.ops.Multimodal.decodeAviPcm(bytes)
+          .getOrElse(throw new IllegalStateException("pcm decode failed"))
         (id, p.format, p.brand, p.width.toLong, p.height.toLong, p.totalFrames,
-          p.streams.toLong, p.chunks.length.toLong, demuxed.toLong)
+          p.streams.toLong, p.chunks.length.toLong, demuxed.toLong,
+          fmt.sampleRate.toLong, samples.length.toLong,
+          samples.foldLeft(0L)(_ + _), samples.min.toLong, samples.max.toLong)
       }
       .toDF("doc_id", "format", "brand", "width", "height", "total_frames",
-            "streams", "n_top_chunks", "n_demuxed_frames")
+            "streams", "n_top_chunks", "n_demuxed_frames",
+            "pcm_rate", "n_pcm", "pcm_sum", "pcm_min", "pcm_max")
       .orderBy(col("doc_id"))
   }
   val q76Sql: String =
-    """SELECT doc_id, 'riff-avi' AS format, 'AVI' AS brand,
-      |  CAST(320 + doc_id % 64 AS BIGINT) AS width,
-      |  CAST(240 + doc_id % 32 AS BIGINT) AS height,
-      |  CAST(1 + doc_id % 7 AS BIGINT) AS total_frames,
-      |  CAST(1 AS BIGINT) AS streams,
+    """WITH pcm AS (
+      |  SELECT d.doc_id,
+      |    CAST(SUM((t.i*37 + d.doc_id % 11) % 2001 - 1000) AS BIGINT) AS pcm_sum,
+      |    CAST(MIN((t.i*37 + d.doc_id % 11) % 2001 - 1000) AS BIGINT) AS pcm_min,
+      |    CAST(MAX((t.i*37 + d.doc_id % 11) % 2001 - 1000) AS BIGINT) AS pcm_max
+      |  FROM documents d, range(0, 500) t(i)
+      |  WHERE t.i < 400 + d.doc_id % 100
+      |  GROUP BY d.doc_id)
+      |SELECT d.doc_id, 'riff-avi' AS format, 'AVI' AS brand,
+      |  CAST(320 + d.doc_id % 64 AS BIGINT) AS width,
+      |  CAST(240 + d.doc_id % 32 AS BIGINT) AS height,
+      |  CAST(1 + d.doc_id % 7 AS BIGINT) AS total_frames,
+      |  CAST(2 AS BIGINT) AS streams,
       |  CAST(2 AS BIGINT) AS n_top_chunks,
-      |  CAST(1 + doc_id % 7 AS BIGINT) AS n_demuxed_frames
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |  CAST(1 + d.doc_id % 7 AS BIGINT) AS n_demuxed_frames,
+      |  CAST(16000 AS BIGINT) AS pcm_rate,
+      |  CAST(400 + d.doc_id % 100 AS BIGINT) AS n_pcm,
+      |  p.pcm_sum, p.pcm_min, p.pcm_max
+      |FROM documents d JOIN pcm p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q77
   /** Partitioned-write → partition-pruned-read round trip: documents written

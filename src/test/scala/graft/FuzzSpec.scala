@@ -43,6 +43,15 @@ class FuzzSpec extends AnyFunSuite {
       assert(samples.forall(_.length <= bytes.length))
       assert(samples.size <= bytes.length / 4 + 1)
     }
+    // the PCM-decode surface (round 6) has the same never-throw contract:
+    // None on garbage; any decoded sample array is bounded by the payload
+    Multimodal.aviAudioChunks(bytes).foreach { chunks =>
+      assert(chunks.forall(_.length <= bytes.length))
+    }
+    Multimodal.aviAudioFormat(bytes).foreach { f => assert(f.channels >= 0) }
+    Multimodal.decodeAviPcm(bytes).foreach { case (_, samples) =>
+      assert(samples.length <= bytes.length / 2 + 1)
+    }
   }
 
   // minimal local MP4 builder (independent of OpsSpec's): ftyp + a real
@@ -133,5 +142,37 @@ class FuzzSpec extends AnyFunSuite {
     val mp4 = validMp4(Seq(10, 17, 5))
     val s = Multimodal.mp4Samples(mp4)
     assert(s.exists(_.map(_.length).toSeq == Seq(10, 17, 5)))
+  }
+
+  test("PCM AVI round-trips: format parsed, chunks concatenated, samples exact") {
+    val n = 437
+    def pcm(i: Int): Short = ((i * 37 + 5) % 2001 - 1000).toShort
+    val avi = Multimodal.synthesizeAviPcm(320, 240, 3, 33, n, pcm)
+    val fmt = Multimodal.aviAudioFormat(avi)
+    assert(fmt.contains(Multimodal.PcmFormat(1, 1, 16000, 16)))
+    // three uneven chunks, sample-aligned
+    assert(Multimodal.aviAudioChunks(avi).exists(_.size == 3))
+    val decoded = Multimodal.decodeAviPcm(avi)
+    assert(decoded.isDefined)
+    assert(decoded.get._2.toSeq == (0 until n).map(pcm))
+    // video demux unaffected by the audio stream's presence
+    assert(Multimodal.aviMoviFrames(avi).exists(_.size == 3))
+    // the video-only builder has no audio stream -> stand-in path (None)
+    assert(Multimodal.decodeAviPcm(Multimodal.synthesizeAvi(320, 240, 3, 33)).isEmpty)
+  }
+
+  test("truncations/corruptions of the PCM AVI never throw") {
+    val avi = Multimodal.synthesizeAviPcm(320, 240, 3, 33, 437,
+      i => ((i * 37 + 5) % 2001 - 1000).toShort)
+    val mutated = for {
+      cut <- Gen.chooseNum(0, avi.length)
+      corrupt <- Gen.option(Gen.zip(Gen.chooseNum(0, avi.length - 1),
+        Gen.chooseNum(-128, 127).map(_.toByte)))
+    } yield {
+      val c = avi.take(cut)
+      corrupt.foreach { case (p, b) => if (p < c.length) c(p) = b }
+      c
+    }
+    forAllSampled(mutated, n = 400)(drive)
   }
 }
