@@ -18,11 +18,18 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     var failures = 0
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (String, Boolean)]
+    // every assertion funnels through rec so the run can be persisted as a
+    // diffable round artifact (PLANCHECK_r*.json, round-5 verdict item 7)
+    def rec(label: String, what: String, ok: Boolean): Unit = {
+      results(label) = (what, ok)
+      println(f"${if (ok) "PASS" else "FAIL"}%s  $label%-28s $what")
+    }
     def check(q: String, what: String)(cond: String => Boolean): Unit = {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val ok = cond(plan)
-      println(f"${if (ok) "PASS" else "FAIL"}%s  $q%-28s $what")
+      rec(q, what, ok)
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
 
@@ -68,7 +75,7 @@ object PlanCheck {
           // the band self-join shuffles on band keys (hash join, both sides
           // fed from the same sig subtree — ReuseExchange dedups at runtime)
           plan.contains("hashpartitioning(band_idx")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q24_candidates(distributed)  partial-agg sig, band-key hash join, no cartesian")
+        rec("q24_candidates(distributed)", "partial-agg sig, band-key hash join, no cartesian", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevThreshold match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
@@ -116,7 +123,7 @@ object PlanCheck {
         val ok = plan.contains("partial") && !plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin") &&
           plan.contains("hashpartitioning(band_idx")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q78_pairs(distributed)       partial votes, band-key hash join, no cartesian")
+        rec("q78_pairs(distributed)", "partial votes, band-key hash join, no cartesian", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevThreshold match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
@@ -137,7 +144,7 @@ object PlanCheck {
         val ok = plan.contains("partial") && !plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin") &&
           plan.contains("hashpartitioning(fp")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q80_spans(distributed)       fp-key hash join + partial agg, no cartesian")
+        rec("q80_spans(distributed)", "fp-key hash join + partial agg, no cartesian", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevThreshold match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
@@ -160,7 +167,7 @@ object PlanCheck {
         .partitionedReadAgg(spark, graft.queries.PipelineQueries.q77OutDir(sfDir))
         .queryExecution.executedPlan.toString
       val ok = "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined
-      println(f"${if (ok) "PASS" else "FAIL"}%s  q77_partition_pruning        lang predicate reaches PartitionFilters")
+      rec("q77_partition_pruning", "lang predicate reaches PartitionFilters", ok)
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
 
@@ -251,7 +258,7 @@ object PlanCheck {
           .queryExecution.executedPlan.toString
         val ok = "hashpartitioning\\(event_type[^)]*__salt".r.findFirstIn(plan).isDefined &&
           !plan.contains("CartesianProduct")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q108_salted_skew_join        salt reaches the join exchange")
+        rec("q108_salted_skew_join", "salt reaches the join exchange", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevThreshold match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
@@ -300,7 +307,7 @@ object PlanCheck {
         val ok = plan.contains("partial") && !plan.contains("CartesianProduct") &&
           !plan.contains("BroadcastNestedLoopJoin") &&
           plan.contains("hashpartitioning(pt")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q128_pairs(distributed)      partial df agg, shingle-key hash join, no cartesian")
+        rec("q128_pairs(distributed)", "partial df agg, shingle-key hash join, no cartesian", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevThreshold match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
@@ -332,7 +339,7 @@ object PlanCheck {
         val ok = plan.contains("SortMergeJoin") &&
           !plan.contains("hashpartitioning(l_orderkey") &&
           !plan.contains("hashpartitioning(o_orderkey")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  q114_bucketed_join           co-located join: no join-key exchange")
+        rec("q114_bucketed_join", "co-located join: no join-key exchange", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevThreshold match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
@@ -353,10 +360,17 @@ object PlanCheck {
     check("q132_interval_overlap", "overlap count is a sweep: one suppkey window, NO join")(p =>
       !p.contains("Join") && p.contains("hashpartitioning(l_suppkey") &&
         p.contains("Window"))
+    // cols/agg lists are matched as SETS: the optimizer's pruning order and
+    // the description's comma order are presentation details a Spark upgrade
+    // may change without any real regression (round-5 ADVICE)
+    def descList(p: String, key: String): Set[String] =
+      (key + "=([A-Za-z0-9_,]+)").r.findFirstMatchIn(p)
+        .map(_.group(1).split(",").toSet).getOrElse(Set.empty)
     check("q141_custom_source_v2", "DSv2 pushdown folds the id range; md5 column pruned in")(p =>
-      p.contains("range=[1000,90000)") && p.contains("cols=h,bucket"))
+      p.contains("range=[1000,90000)") && descList(p, "cols") == Set("h", "bucket"))
     check("q145_agg_pushdown_v2", "aggregation answered BY the source: no Spark aggregate")(p =>
-      p.contains("GenAggScan(range=[250,75000), agg=count,min,max") &&
+      p.contains("GenAggScan") && p.contains("range=[250,75000)") &&
+        descList(p, "agg") == Set("count", "min", "max") &&
         !p.contains("HashAggregate"))
     check("q135_sorted_neighborhood", "rank-adjacency equi-join; no global-sort window")(p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
@@ -421,7 +435,7 @@ object PlanCheck {
         val plan = fact.join(dim, "lang").groupBy("lang").count()
           .queryExecution.executedPlan.toString
         val ok = "PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(plan).isDefined
-        println(f"${if (ok) "PASS" else "FAIL"}%s  dynamic_partition_pruning    dim filter prunes fact partitions at runtime")
+        rec("dynamic_partition_pruning", "dim filter prunes fact partitions at runtime", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prevInfer match {
         case Some(v) => spark.conf.set(key, v)
@@ -459,7 +473,7 @@ object PlanCheck {
         val plan = fact.join(dim, "k").groupBy("grp").count()
           .queryExecution.executedPlan.toString
         val ok = plan.contains("might_contain") && plan.contains("bloom_filter_agg")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  runtime_bloom_filter         selective dim side injects a bloom filter on the fact scan")
+        rec("runtime_bloom_filter", "selective dim side injects a bloom filter on the fact scan", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
@@ -493,7 +507,7 @@ object PlanCheck {
         joined.queryExecution.toRdd.foreachPartition(_ => ())
         val plan = joined.queryExecution.executedPlan.toString
         val ok = plan.contains("skew=true")
-        println(f"${if (ok) "PASS" else "FAIL"}%s  aqe_skew_join${" " * 16} AQE splits the skewed partition (skew=true)")
+        rec("aqe_skew_join", "AQE splits the skewed partition (skew=true)", ok)
         if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
       } finally {
         def restore(key: String, prev: Option[String]): Unit = prev match {
@@ -506,6 +520,15 @@ object PlanCheck {
     }
 
     println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
+    // optional 2nd arg: persist the run as a diffable JSON artifact
+    args.drop(1).headOption.foreach { out =>
+      def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      val body = results.map { case (label, (what, ok)) =>
+        s"""  "${esc(label)}": {"what": "${esc(what)}", "pass": $ok}"""
+      }.mkString("{\n", ",\n", s",\n  \"_summary\": {\"checks\": ${results.size}, \"failures\": $failures}\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body)
+      println(s"wrote $out")
+    }
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
