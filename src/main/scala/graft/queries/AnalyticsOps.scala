@@ -34,6 +34,29 @@ object AnalyticsOps {
     (offsets, counts.map(_._2).sum)
   }
 
+  /** Inline-literal maps stop being cheap well before the 100k driver
+    * guard: near the bound, a typedLit map is a multi-megabyte expression
+    * tree that can blow codegen limits and stall planning (round-5 ADVICE
+    * item 4). Past this size the lookup becomes a broadcast hash join on a
+    * real (bucket, value) relation instead. */
+  private val InlineMapMax = 1024
+
+  /** Attach `offsets(bucketCol)` as column `outName`: a typedLit +
+    * element_at projection while the map is small (zero shuffle, fully
+    * codegen'd), a broadcast-joined offsets table beyond InlineMapMax (no
+    * exchange on the data side either — the big side's partitioning is
+    * untouched). */
+  private def attachOffset(df: DataFrame, bucketName: String,
+                           offsets: Map[Long, Long], outName: String): DataFrame =
+    if (offsets.size <= InlineMapMax)
+      df.withColumn(outName, element_at(typedLit(offsets), col(bucketName)))
+    else {
+      val s = df.sparkSession
+      import s.implicits._
+      val offDf = offsets.toSeq.sortBy(_._1).toDF(bucketName, outName)
+      df.join(broadcast(offDf), Seq(bucketName), "left")
+    }
+
   /** The frozen top-16 corpus vocabulary (count desc, term asc — the
     * deterministic tie-break), shared by q142 (OOV accounting) and q152
     * (drift audit) so both measure the SAME vocabulary. Input: one
@@ -247,8 +270,8 @@ object AnalyticsOps {
       .withColumn("cb", expr("n_chars div 32"))
     val (offsets, _) = coarseRankOffsets(docs, col("cb"))
     val wIn = Window.partitionBy(col("cb")).orderBy(col("n_chars"), col("doc_id"))
-    val ranked = docs.withColumn("rk",
-      element_at(typedLit(offsets), col("cb")) + row_number().over(wIn))
+    val ranked = attachOffset(docs, "cb", offsets, "__off")
+      .withColumn("rk", col("__off") + row_number().over(wIn)).drop("__off")
     val a = ranked.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"),
       col("rk"), explode(typedLit(Array(1L, 2L, 3L))).as("k"))
       .select(col("doc_a"), col("ts_a"), col("k"), (col("rk") + col("k")).as("rk_b"))
@@ -361,8 +384,7 @@ object AnalyticsOps {
     // error instead of a driver OOM
     val (offsets, nTotal) = coarseRankOffsets(o, col("cb"))
     val wIn = Window.partitionBy(col("cb")).orderBy(col("o_totalprice"), col("o_orderkey"))
-    o.withColumn("rn", row_number().over(wIn))
-      .withColumn("off", element_at(typedLit(offsets), col("cb")))
+    attachOffset(o.withColumn("rn", row_number().over(wIn)), "cb", offsets, "off")
       .select(col("o_totalprice"),
         expr(s"((off + rn - 1) * 16) div ${nTotal}L").as("tile"))
       .groupBy(col("tile"))
@@ -621,21 +643,22 @@ object AnalyticsOps {
     * drive pattern; streaming shuffle partitions pinned to 4. */
   def q146(s: SparkSession, d: String): DataFrame = {
     val name = s"graft_q146_${java.lang.Integer.toHexString(d.hashCode)}"
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "4")
-    try {
-      val q = s.readStream.format("graft.sources.GenSource")
-        .option("rows", "50000").option("slices", "4").option("batchRows", "8192")
-        .load()
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("hsum"))
-        .writeStream.outputMode("complete").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally s.conf.set(key, prev)
-    s.table(name).orderBy(col("bucket"))
+    // dedicated child session: the stateful-stream partition pinning (the
+    // q81 rationale) lands on a session-scoped SQLConf instead of mutating
+    // the shared session's global (round-5 ADVICE item 2) — a concurrent
+    // query on `s` can no longer observe the override
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.format("graft.sources.GenSource")
+      .option("rows", "50000").option("slices", "4").option("batchRows", "8192")
+      .load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("hsum"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s2.table(name).orderBy(col("bucket"))
   }
   val q146Sql: String =
     """WITH t AS (
@@ -722,7 +745,13 @@ object AnalyticsOps {
     * oracle states the equivalent batch join + aggregation. */
   def q148(s: SparkSession, d: String): DataFrame = {
     val name = s"graft_q148_${java.lang.Integer.toHexString(d.hashCode)}"
-    val ev = Tables.events(s, d)
+    // dedicated child session up front: the stream, its static dim side, and
+    // the memory sink must all live on ONE session, and pinning shuffle
+    // partitions there leaves the shared session's conf untouched
+    // (round-5 ADVICE item 2)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val ev = Tables.events(s2, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     // stage once per SOURCE STATE — the q77/q127 idempotency pattern, but
     // keyed on (path, size, mtime) so regenerated data at the same path
@@ -730,26 +759,38 @@ object AnalyticsOps {
     val src = new java.io.File(s"$d/events.parquet")
     val staged = s"${sys.props("java.io.tmpdir")}/graft_q148_src_${
       java.lang.Integer.toHexString((d, src.length, src.lastModified).hashCode)}"
-    if (!new java.io.File(s"$staged/_SUCCESS").isFile)
-      ev.repartition(3).write.mode("overwrite").parquet(staged)
+    // stage-once, race-free (round-5 ADVICE item 3): write to a unique tmp
+    // dir and atomically rename into place — two concurrent runs each build
+    // a complete copy and exactly one rename wins; the loser discards its
+    // tmp and reads the winner's. No reader ever sees a half-written dir.
+    if (!new java.io.File(s"$staged/_SUCCESS").isFile) {
+      val tmp = s"$staged.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      ev.repartition(3).write.mode("overwrite").parquet(tmp)
+      try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(staged),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // another run won the rename; discard our copy and use the winner's
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
     val dim = ev.select(col("event_type")).distinct()
       .withColumn("type_weight", length(col("event_type")).cast("double"))
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "4")
-    try {
-      val q = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-        .join(broadcast(dim), Seq("event_type"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum((col("value") * col("type_weight")).cast(DecimalType(18, 6)))
-            .cast("double").as("weighted_sum"))
-        .writeStream.outputMode("complete").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally s.conf.set(key, prev)
-    s.table(name).orderBy(col("event_type"))
+    val q = s2.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * col("type_weight")).cast(DecimalType(18, 6)))
+          .cast("double").as("weighted_sum"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s2.table(name).orderBy(col("event_type"))
   }
   val q148Sql: String =
     """WITH dim AS (
@@ -1742,9 +1783,8 @@ object AnalyticsOps {
       .withColumn("cb", expr("cast(rev / 10000.0 as bigint)"))
     val (offsets, nTotal) = coarseRankOffsets(byCust, col("cb"))
     val wIn = Window.partitionBy(col("cb")).orderBy(col("rev"), col("o_custkey"))
-    val tiled = byCust
-      .withColumn("rn", row_number().over(wIn))
-      .withColumn("off", element_at(typedLit(offsets), col("cb")))
+    val tiled = attachOffset(byCust.withColumn("rn", row_number().over(wIn)),
+        "cb", offsets, "off")
       .select(col("rev"), expr(s"((off + rn - 1) * 10) div ${nTotal}L").as("decile"))
     // total from byCust, not tiled — summing the tiled side would evaluate
     // the rank window and offsets projection a second time for a value the

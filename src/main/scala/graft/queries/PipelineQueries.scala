@@ -240,19 +240,19 @@ object PipelineQueries {
     * store (x4 store types for a stream-stream join) per partition — at
     * the board's data scale 32 partitions is pure fixed overhead
     * (measured: q81 9.4 s -> ~3 s at 4). On a real deployment this knob is
-    * sized to key cardinality instead; results are partition-invariant. */
-  private def withStreamShufflePartitions[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "4")
-    try body finally s.conf.set(key, prev)
+    * sized to key cardinality instead; results are partition-invariant.
+    * The pin lands on a DEDICATED child session (spark.newSession shares
+    * the context, not the SQLConf), so a concurrent query on the shared
+    * session never observes the override (round-5 ADVICE item 2). */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2
   }
 
   def q81(s: SparkSession, d: String): DataFrame =
-    withStreamShufflePartitions(s) {
-      graft.streaming.Streaming.intervalJoinOnce(s, d, withinMinutes = 5,
-        queryName = s"graft_q81_${java.lang.Integer.toHexString(d.hashCode)}")
-    }
+    graft.streaming.Streaming.intervalJoinOnce(streamSession(s), d, withinMinutes = 5,
+      queryName = s"graft_q81_${java.lang.Integer.toHexString(d.hashCode)}")
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
               unix_micros(col("a_ts")).as("a_ts_us"),
               unix_micros(col("b_ts")).as("b_ts_us"))
@@ -287,12 +287,10 @@ object PipelineQueries {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts_t", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType)))
-    withStreamShufflePartitions(s) {
-      graft.streaming.Streaming.dedupOnce(s, staged, schema,
-        tsCol = "ts_t", horizon = "2400 hours",
-        keyCols = Seq("user_id", "event_type"),
-        queryName = s"graft_q82_${java.lang.Integer.toHexString(d.hashCode)}")
-    }
+    graft.streaming.Streaming.dedupOnce(streamSession(s), staged, schema,
+      tsCol = "ts_t", horizon = "2400 hours",
+      keyCols = Seq("user_id", "event_type"),
+      queryName = s"graft_q82_${java.lang.Integer.toHexString(d.hashCode)}")
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }
@@ -403,11 +401,9 @@ object PipelineQueries {
     * accumulate in stream arrival order, which is not an oracle-exact
     * quantity; counts and boundaries are. */
   def q87(s: SparkSession, d: String): DataFrame =
-    withStreamShufflePartitions(s) {
-      graft.streaming.Streaming.spanMergeOnce(s, d,
-        minSpanUs = 180000000L, maxSpanUs = 900000000L,
-        queryName = s"graft_q87_${java.lang.Integer.toHexString(d.hashCode)}")
-    }
+    graft.streaming.Streaming.spanMergeOnce(streamSession(s), d,
+      minSpanUs = 180000000L, maxSpanUs = 900000000L,
+      queryName = s"graft_q87_${java.lang.Integer.toHexString(d.hashCode)}")
       .select(col("key"), col("startUs").as("start_us"), col("endUs").as("end_us"),
               col("nEvents").cast("long").as("n_events"))
       .orderBy(col("key"), col("start_us"))

@@ -192,8 +192,10 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
     * micro-batch until the table is exhausted, after which latestOffset
     * stops advancing and processAllAvailable returns. Pruning/pushdown
     * negotiated by the ScanBuilder apply to the stream exactly as to the
-    * batch scan. Single-run semantics: offsets restart from lo in a new
-    * query (the deterministic generator makes replay idempotent). */
+    * batch scan. Restart semantics: offsets restored from a checkpoint
+    * ratchet the cursor forward (see GenMicroBatchStream), so a restarted
+    * query resumes at the committed position; the deterministic generator
+    * makes any replayed batch idempotent. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GenMicroBatchStream(lo, hi, slices, batchRows, required)
   // surfaced in explain() — PlanCheck greps for the folded bounds and the
@@ -223,13 +225,25 @@ private[sources] case class GenOffset(pos: Long) extends Offset {
 private[sources] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
                                            batchRows: Long, required: StructType)
     extends MicroBatchStream {
+  // The cursor lives in memory, but every offset the engine hands BACK to
+  // the stream (checkpoint restore goes through deserializeOffset; each
+  // completed batch through commit) ratchets it forward — so a query
+  // restarted from a real checkpoint resumes AT the committed offset
+  // instead of emitting empty batches until the cursor catches up
+  // (round-5 ADVICE item 1).
   private var cursor = lo
+  private def ratchet(pos: Long): Unit =
+    cursor = math.min(hi, math.max(cursor, pos))
   override def initialOffset(): Offset = GenOffset(lo)
   override def latestOffset(): Offset = {
     cursor = math.min(hi, cursor + batchRows)
     GenOffset(cursor)
   }
-  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.toLong
+    ratchet(pos)
+    GenOffset(pos)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[GenOffset].pos
     val e0 = end.asInstanceOf[GenOffset].pos
@@ -240,7 +254,7 @@ private[sources] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
     }.filter(p => p.end > p.start).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = GenReaderFactory
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = ratchet(end.asInstanceOf[GenOffset].pos)
   override def stop(): Unit = ()
 }
 
