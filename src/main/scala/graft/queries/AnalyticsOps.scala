@@ -1913,7 +1913,39 @@ object AnalyticsOps {
       |FROM l WHERE prev_ts IS NOT NULL AND ts_us - prev_ts <= 86400000000
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Per-GROUP quantile-sketch accuracy gate (round 6) — q149's HLL gate,
+    * for quantiles: per order priority, the exact interpolated p50/p90
+    * (q41's percentile ↔ quantile_cont parity) next to
+    * approx_percentile's KLL-style sketch estimate, emitted as
+    * within-1%-relative boolean gates the oracle states as TRUE. At
+    * 100 TB the exact column is the one you drop; the gate documents the
+    * sketch error you accept, per group, hash-enforced. The approx
+    * estimates themselves stay OUT of the projection — they are
+    * sketch-implementation detail, not a cross-engine-stable quantity;
+    * the booleans are the contract. Scale shape: one group exchange,
+    * both aggregates partial-merge (the sketch is mergeable by design). */
+  def q173(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"))
+      .select(col("o_orderpriority"), col("n"), col("exact_p50"), col("exact_p90"),
+        (abs(col("a50") - col("exact_p50")) / col("exact_p50") <= 0.01).as("p50_within_1pct"),
+        (abs(col("a90") - col("exact_p90")) / col("exact_p90") <= 0.01).as("p90_within_1pct"))
+      .orderBy(col("o_orderpriority"))
+  val q173Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  quantile_cont(o_totalprice, 0.5) AS exact_p50,
+      |  quantile_cont(o_totalprice, 0.9) AS exact_p90,
+      |  TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q173_group_quantile_gate" -> ((q173 _, Some(q173Sql))),
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
     "q140_token_mass_sampling" -> ((q140 _, Some(q140Sql))),

@@ -1853,6 +1853,124 @@ object DedupSim {
        |ORDER BY a, b, c""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q172
+  /** BOUNDED multi-hop BFS over the verified near-dup graph (round 6) —
+    * the traversal family next to q79's components, q121's triangles and
+    * q139's PageRank: per-source minimum hop counts within 3 hops from
+    * the 5 smallest edge-touched nodes. The iterative frontier form is
+    * the at-scale shape: each hop is ONE equi-join of the current
+    * frontier against the edge table plus a visited anti-join — hop
+    * count × shuffles, never a transitive closure, and per-hop dedup
+    * keeps the frontier ≤ |V| however many walks exist (the recursive
+    * oracle enumerates walks and MINs them — exactly what the
+    * distributed plan refuses to materialize). */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    val pairs = q45(s, d).select(col("doc_a"), col("doc_b"))
+    val e = pairs.select(col("doc_a").as("es"), col("doc_b").as("et"))
+      .unionAll(pairs.select(col("doc_b").as("es"), col("doc_a").as("et")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcs = e.select(col("es").as("n")).distinct()
+        .orderBy(col("n")).limit(5)
+        .select(col("n").as("src"))
+      var levels = srcs.select(col("src"), col("src").as("doc_id"),
+        lit(0L).as("hops"))
+      var frontier = levels
+      for (h <- 1 to 3) {
+        val nxt = frontier.join(e, col("doc_id") === col("es"))
+          .select(col("src"), col("et").as("doc_id")).distinct()
+          .join(levels.select(col("src"), col("doc_id")), Seq("src", "doc_id"),
+            "left_anti")
+          .select(col("src"), col("doc_id"), lit(h.toLong).as("hops"))
+          // cut the iterative lineage per hop — at depth k the unchecked
+          // plan is exponential in k for the optimizer even when the data
+          // is tiny
+          .localCheckpoint(true)
+        levels = levels.unionAll(nxt)
+        frontier = nxt
+      }
+      levels.orderBy(col("src"), col("doc_id"))
+    } finally e.unpersist()
+  }
+  val q172Sql: String = {
+    val pairs = q45Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pr AS ($pairs),
+       |e AS (SELECT doc_a AS es, doc_b AS et FROM pr
+       |      UNION ALL SELECT doc_b, doc_a FROM pr),
+       |src AS (SELECT DISTINCT es AS n FROM e ORDER BY n LIMIT 5),
+       |walk(src, doc_id, hops) AS (
+       |  SELECT n, n, 0 FROM src
+       |  UNION ALL
+       |  SELECT w.src, e.et, w.hops + 1
+       |  FROM walk w JOIN e ON e.es = w.doc_id WHERE w.hops < 3)
+       |SELECT src, doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+       |FROM walk GROUP BY src, doc_id
+       |ORDER BY src, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q174
+  /** RECIPROCAL-RANK FUSION of two retrieval rankings (round 6) — the
+    * step after q27/q59/q91 produce candidate lists: per query vector,
+    * rank the corpus by cosine similarity AND by L2 distance (computed
+    * from the same three dot products: |a−b|² = |a|² + |b|² − 2a·b, so
+    * one kernel scan feeds both metrics), fuse with the standard
+    * RRF(k=60) score, emit the top-5. Ranks are integers, so the fused
+    * score 1/(60+r₁)+1/(60+r₂) is bit-exact cross-engine where raw
+    * score fusion would not be. Both rankings come from windows over
+    * the SAME q_id partitioning — one exchange feeds both. */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
+    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
+    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val wL2 = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val wFused = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", dot).withColumn("nq", nq).withColumn("nc", nc)
+      .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))))
+      .withColumn("d2", col("nq") + col("nc") - lit(2.0) * col("dot"))
+      .withColumn("r_cos", row_number().over(wCos))
+      .withColumn("r_l2", row_number().over(wL2))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("r_cos")) + lit(1.0) / (lit(60.0) + col("r_l2")))
+      .withColumn("rank", row_number().over(wFused))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("r_cos").cast("long").as("r_cos"), col("r_l2").cast("long").as("r_l2"),
+        col("rrf"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  val q174Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+      |p AS (
+      |  SELECT q_id, vec_id,
+      |    list_reduce(list_transform(range(1, len(qe)+1),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b) AS dot,
+      |    list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b) AS nq,
+      |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b) AS nc
+      |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+      |r AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS r_cos,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY nq + nc - 2*dot, vec_id) AS r_l2
+      |  FROM p),
+      |f AS (
+      |  SELECT q_id, vec_id, r_cos, r_l2,
+      |    1.0/(60.0 + r_cos) + 1.0/(60.0 + r_l2) AS rrf,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY 1.0/(60.0 + r_cos) + 1.0/(60.0 + r_l2) DESC, vec_id) AS rank
+      |  FROM r)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+      |  CAST(r_cos AS BIGINT) AS r_cos, CAST(r_l2 AS BIGINT) AS r_l2, rrf
+      |FROM f WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q128
   /** EXACT set-similarity join with prefix filtering (Chaudhuri/Bayardo/
     * PPJoin family) — the exact counterpart of q24's probabilistic
@@ -1987,5 +2105,7 @@ object DedupSim {
     "q44_embedding_neardup" -> ((q44 _, Some(q44Sql))),
     "q45_minhash_jaccard_verified" -> ((q45 _, Some(q45Sql))),
     "q51_centroid_aggregator" -> ((q51 _, Some(q51Sql))),
-    "q59_ann_ivf_multiprobe" -> ((q59 _, Some(q59Sql))))
+    "q59_ann_ivf_multiprobe" -> ((q59 _, Some(q59Sql))),
+    "q172_bounded_bfs"      -> ((q172 _, Some(q172Sql))),
+    "q174_rank_fusion"      -> ((q174 _, Some(q174Sql))))
 }
