@@ -405,6 +405,14 @@ object PlanCheck {
     check("q138_transition_matrix", "normalization window runs on the states² rollup only")(p =>
       p.contains("partial") && !p.contains("CartesianProduct") &&
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+    check("q173_group_quantile_gate", "exact + sketch percentiles partial-merge in one pass")(p =>
+      p.contains("partial_percentile") && p.contains("partial_approx_percentile") &&
+        "hashpartitioning\\(o_orderpriority".r.findAllIn(p).size <= 1)
+    check("q174_rank_fusion", "one q_id exchange feeds all three ranking windows")(p =>
+      "hashpartitioning\\(q_id".r.findAllIn(p).size == 1 &&
+        !p.contains("CartesianProduct") &&
+        // the 3-row query side rides a broadcast NLJ by design (q27 pattern)
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
 
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
