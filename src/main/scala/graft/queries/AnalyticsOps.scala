@@ -1944,8 +1944,112 @@ object AnalyticsOps {
       |  TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** ANALYZE-style column statistics (round 6) — the stats collection a
+    * catalog/CBO runs per table (row count, nulls, exact NDV, min/max per
+    * column), emitted as one row PER COLUMN: the operational twin of
+    * q117's constraint audit and q130's integrity digest. ONE pass: all
+    * per-column aggregates in a single aggregation (multi-distinct =
+    * Catalyst Expand — rows duplicate ×columns inside the scan, no extra
+    * scans), then an unpivot projection to (column, stats) rows.
+    * Doubles are ×1e6-quantized and all extremes rendered through BIGINT
+    * → string so the report is cross-engine exact; at 100 TB the NDV
+    * column is where approx_count_distinct swaps in (q149 documents that
+    * error gate). */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"),
+        round(col("l_quantity") * 1e6).cast("long").as("qty_q6"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("l_orderkey")).as("ndv_okey"),
+      min(col("l_orderkey")).as("min_okey"), max(col("l_orderkey")).as("max_okey"),
+      countDistinct(col("l_linenumber")).as("ndv_line"),
+      min(col("l_linenumber")).as("min_line"), max(col("l_linenumber")).as("max_line"),
+      countDistinct(col("l_returnflag")).as("ndv_flag"),
+      min(col("l_returnflag")).as("min_flag"), max(col("l_returnflag")).as("max_flag"),
+      countDistinct(col("qty_q6")).as("ndv_qty"),
+      min(col("qty_q6")).as("min_qty"), max(col("qty_q6")).as("max_qty"),
+      countDistinct(col("ship_us")).as("ndv_ship"),
+      min(col("ship_us")).as("min_ship"), max(col("ship_us")).as("max_ship"))
+    agg.selectExpr(
+      """stack(5,
+        |  'l_orderkey',   ndv_okey, cast(min_okey as string), cast(max_okey as string),
+        |  'l_linenumber', ndv_line, cast(min_line as string), cast(max_line as string),
+        |  'l_returnflag', ndv_flag, min_flag, max_flag,
+        |  'l_quantity_q6', ndv_qty, cast(min_qty as string), cast(max_qty as string),
+        |  'l_shipdate_us', ndv_ship, cast(min_ship as string), cast(max_ship as string)
+        |) as (column_name, ndv, min_s, max_s)""".stripMargin,
+      "n")
+      .select(col("column_name"), col("n"), col("ndv"), col("min_s"), col("max_s"))
+      .orderBy(col("column_name"))
+  }
+  val q175Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |    l_returnflag,
+      |    CAST(round(l_quantity * 1e6) AS BIGINT) AS qty_q6,
+      |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(DISTINCT l_orderkey) AS ndv_okey, MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+      |    COUNT(DISTINCT l_linenumber) AS ndv_line, MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line,
+      |    COUNT(DISTINCT l_returnflag) AS ndv_flag, MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,
+      |    COUNT(DISTINCT qty_q6) AS ndv_qty, MIN(qty_q6) AS min_qty, MAX(qty_q6) AS max_qty,
+      |    COUNT(DISTINCT ship_us) AS ndv_ship, MIN(ship_us) AS min_ship, MAX(ship_us) AS max_ship
+      |  FROM li)
+      |SELECT u.* FROM a, LATERAL (VALUES
+      |  ('l_orderkey', n, ndv_okey, CAST(min_okey AS VARCHAR), CAST(max_okey AS VARCHAR)),
+      |  ('l_linenumber', n, ndv_line, CAST(min_line AS VARCHAR), CAST(max_line AS VARCHAR)),
+      |  ('l_returnflag', n, ndv_flag, min_flag, max_flag),
+      |  ('l_quantity_q6', n, ndv_qty, CAST(min_qty AS VARCHAR), CAST(max_qty AS VARCHAR)),
+      |  ('l_shipdate_us', n, ndv_ship, CAST(min_ship AS VARCHAR), CAST(max_ship AS VARCHAR))
+      |) AS u(column_name, n, ndv, min_s, max_s)
+      |ORDER BY column_name""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  /** SEQUENCE-MOTIF counting over user journeys (round 6) — the CEP-style
+    * pattern query funnels cannot express (q119/q165 find FIRST
+    * progressions; this counts EVERY occurrence): each user's events
+    * collapse to an initials string in exact (ts, event_id) order (the
+    * q97 sorted-struct determinism recipe), and the view→click→purchase
+    * motif count falls out of fixed-substring arithmetic —
+    * (len − len(replace(s, 'vcp', ''))) / 3 — whose non-overlapping
+    * semantics are identical in every engine, where regex motif counting
+    * would hang on engine-specific match rules. One user_id exchange;
+    * journey strings are per-user-bounded. */
+  def q176(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy(col("user_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ts_us, event_id, ini))), x -> x.ini)"),
+        "").as("journey"))
+      .select(col("user_id"),
+        length(col("journey")).cast("long").as("seq_len"),
+        ((length(col("journey")) - length(expr("replace(journey, 'vcp', '')")))
+          / 3).cast("long").as("n_vcp"))
+      .filter(col("n_vcp") > 0)
+      .orderBy(col("user_id"))
+  val q176Sql: String =
+    """WITH j AS (
+      |  SELECT user_id,
+      |    string_agg(substring(event_type, 1, 1), ''
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS journey
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(journey) AS BIGINT) AS seq_len,
+      |  CAST((length(journey) - length(replace(journey, 'vcp', ''))) / 3 AS BIGINT) AS n_vcp
+      |FROM j WHERE length(journey) - length(replace(journey, 'vcp', '')) > 0
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q173_group_quantile_gate" -> ((q173 _, Some(q173Sql))),
+    "q175_analyze_stats"    -> ((q175 _, Some(q175Sql))),
+    "q176_sequence_motifs"  -> ((q176 _, Some(q176Sql))),
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),
     "q135_sorted_neighborhood" -> ((q135 _, Some(q135Sql))),
     "q140_token_mass_sampling" -> ((q140 _, Some(q140Sql))),
