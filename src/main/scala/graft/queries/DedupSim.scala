@@ -1909,15 +1909,30 @@ object DedupSim {
   }
 
   // ---------------------------------------------------------------- q174
-  /** RECIPROCAL-RANK FUSION of two retrieval rankings (round 6) — the
-    * step after q27/q59/q91 produce candidate lists: per query vector,
-    * rank the corpus by cosine similarity AND by L2 distance (computed
-    * from the same three dot products: |a−b|² = |a|² + |b|² − 2a·b, so
-    * one kernel scan feeds both metrics), fuse with the standard
-    * RRF(k=60) score, emit the top-5. Ranks are integers, so the fused
-    * score 1/(60+r₁)+1/(60+r₂) is bit-exact cross-engine where raw
-    * score fusion would not be. Both rankings come from windows over
-    * the SAME q_id partitioning — one exchange feeds both. */
+  /** RECIPROCAL-RANK FUSION of two retrieval rankings (round 6; made
+    * scale-safe round 7) — the step after q27/q59/q91 produce candidate
+    * lists: per query vector, retrieve the top-60 corpus candidates by
+    * cosine similarity AND by L2 distance (computed from the same three
+    * dot products: |a−b|² = |a|² + |b|² − 2a·b, so one kernel scan feeds
+    * both metrics), fuse with the standard RRF(k=60) score over the two
+    * CANDIDATE LISTS, emit the top-5. Ranks are integers, so the fused
+    * score 1/(60+r₁)+1/(60+r₂) is bit-exact cross-engine where raw score
+    * fusion would not be.
+    *
+    * Scale contract (the standard RRF-over-retrieval-lists semantics):
+    * each retrieval system contributes its TOP-[[q174RankCap]] list; a
+    * document outside a list contributes 0 from that list, and a document
+    * in neither list is not a candidate. This is what makes the plan
+    * 100×-safe: the round-6 formulation ranked the ENTIRE corpus twice in
+    * full-corpus window sorts over 3 q_id partitions (flagged weak in
+    * VERDICT r6); here one scan explodes each scored row into two
+    * (metric, sortKey) entries and a single native TopKPerGroup bounded
+    * heap over (q_id, metric) truncates BOTH rankings map-side — the
+    * exchange carries ≤ queries × metrics × 60 rows regardless of corpus
+    * size, and every Window below runs on that bounded candidate set.
+    * Within the kept top-60, row_number over the same total order equals
+    * the global rank, so ranks are unchanged from the full formulation. */
+  val q174RankCap = 60
   def q174(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 3)
@@ -1925,18 +1940,35 @@ object DedupSim {
     val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
     val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
     val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
-    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    val wL2 = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
-    val wFused = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
-    emb.crossJoin(broadcast(q))
+    // one corpus scan, two retrieval entries per row: sortKey is ascending
+    // for both metrics (-cosine is exact double negation, order-identical
+    // to cosine DESC), so one heap ordering serves both lists
+    val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", dot).withColumn("nq", nq).withColumn("nc", nc)
       .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))))
       .withColumn("d2", col("nq") + col("nc") - lit(2.0) * col("dot"))
-      .withColumn("r_cos", row_number().over(wCos))
-      .withColumn("r_l2", row_number().over(wL2))
+      .select(col("q_id"), col("vec_id"), explode(array(
+        struct(lit("cos").as("metric"), (-col("cosine")).as("sk")),
+        struct(lit("l2").as("metric"), col("d2").as("sk")))).as("m"))
+      .select(col("q_id"), col("vec_id"), col("m.metric").as("metric"),
+        col("m.sk").as("sk"))
+    val top = graft.plans.TopK.topKPerGroup(scored,
+      Seq(col("q_id"), col("metric")), Seq(col("sk").asc, col("vec_id").asc),
+      q174RankCap)
+    // ranks within the kept candidates (≤ cap rows per (q_id, metric) —
+    // this Window sorts candidate lists, not the corpus); then pivot the
+    // two lists back to one row per candidate: no join needed
+    val wList = Window.partitionBy(col("q_id"), col("metric"))
+      .orderBy(col("sk"), col("vec_id"))
+    val wFused = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
+    top.withColumn("r", row_number().over(wList))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(when(col("metric") === "cos", col("r"))).as("r_cos"),
+        max(when(col("metric") === "l2", col("r"))).as("r_l2"))
       .withColumn("rrf",
-        lit(1.0) / (lit(60.0) + col("r_cos")) + lit(1.0) / (lit(60.0) + col("r_l2")))
+        coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_l2")), lit(0.0)))
       .withColumn("rank", row_number().over(wFused))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"),
@@ -1961,14 +1993,21 @@ object DedupSim {
       |      ORDER BY nq + nc - 2*dot, vec_id) AS r_l2
       |  FROM p),
       |f AS (
+      |  SELECT q_id, vec_id,
+      |    CASE WHEN r_cos <= 60 THEN r_cos END AS r_cos,
+      |    CASE WHEN r_l2 <= 60 THEN r_l2 END AS r_l2
+      |  FROM r WHERE r_cos <= 60 OR r_l2 <= 60),
+      |g AS (
       |  SELECT q_id, vec_id, r_cos, r_l2,
-      |    1.0/(60.0 + r_cos) + 1.0/(60.0 + r_l2) AS rrf,
-      |    row_number() OVER (PARTITION BY q_id
-      |      ORDER BY 1.0/(60.0 + r_cos) + 1.0/(60.0 + r_l2) DESC, vec_id) AS rank
-      |  FROM r)
+      |    COALESCE(1.0/(60.0 + r_cos), 0) + COALESCE(1.0/(60.0 + r_l2), 0) AS rrf
+      |  FROM f),
+      |h AS (
+      |  SELECT q_id, vec_id, r_cos, r_l2, rrf,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS rank
+      |  FROM g)
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
       |  CAST(r_cos AS BIGINT) AS r_cos, CAST(r_l2 AS BIGINT) AS r_l2, rrf
-      |FROM f WHERE rank <= 5
+      |FROM h WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q128

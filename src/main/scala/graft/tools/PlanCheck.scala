@@ -408,8 +408,13 @@ object PlanCheck {
     check("q173_group_quantile_gate", "exact + sketch percentiles partial-merge in one pass")(p =>
       p.contains("partial_percentile") && p.contains("partial_approx_percentile") &&
         "hashpartitioning\\(o_orderpriority".r.findAllIn(p).size <= 1)
-    check("q174_rank_fusion", "one q_id exchange feeds all three ranking windows")(p =>
-      "hashpartitioning\\(q_id".r.findAllIn(p).size == 1 &&
+    check("q174_rank_fusion", "bounded heap truncates both rankings; no full-corpus window sort")(p =>
+      p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup") &&
+        // every Window node sits ABOVE the bounded heap (tree prints
+        // top-down, so all "Window" offsets must precede the Partial pass,
+        // which is the lowest heap node): windows sort candidate lists
+        // (≤ cap rows per group), never the corpus
+        p.lastIndexOf("Window ") < p.indexOf("TopKPerGroupPartial") &&
         !p.contains("CartesianProduct") &&
         // the 3-row query side rides a broadcast NLJ by design (q27 pattern)
         "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
