@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Trivial ASR worker for ProcessTranscriberSpec (stdlib only).
+
+Speaks graft.ops.ProcessTranscriber's wire protocol: reads int32-BE
+length-prefixed WAV frames on stdin, replies with int32-BE length-prefixed
+UTF-8 "transcripts" on stdout. The transcript is deterministic per frame —
+"<index>:<md5-prefix>:<byte-length>" — so the spec can verify both ORDER
+(index) and PAYLOAD INTEGRITY (md5 of exactly the bytes the driver sent).
+
+Modes (argv[1]):
+  echo         (default) reply to every frame until EOF
+  fat          like echo but the reply is padded to the INPUT frame's byte
+               length — accumulated replies far exceed the OS pipe buffer,
+               so a write-all-then-read-all driver deadlocks here while the
+               concurrent-drain driver completes (the round-6 advice path)
+  die-after-1  reply to the first frame, then exit(3) — worker-death path
+  absurd       reply with a 512 MiB length prefix and no payload — the
+               driver's absurd-frame guard must trip
+"""
+import hashlib
+import struct
+import sys
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "echo"
+inp = sys.stdin.buffer
+out = sys.stdout.buffer
+
+i = 0
+while True:
+    hdr = inp.read(4)
+    if len(hdr) < 4:
+        break  # EOF: driver closed stdin
+    (n,) = struct.unpack(">i", hdr)
+    payload = inp.read(n)
+    if len(payload) < n:
+        sys.exit(2)  # truncated frame from the driver
+    if mode == "absurd":
+        out.write(struct.pack(">i", 512 << 20))
+        out.flush()
+        sys.exit(0)
+    reply = f"{i}:{hashlib.md5(payload).hexdigest()[:8]}:{n}".encode()
+    if mode == "fat":
+        reply = reply + b"x" * max(0, n - len(reply))
+    out.write(struct.pack(">i", len(reply)))
+    out.write(reply)
+    out.flush()
+    if mode == "die-after-1":
+        sys.exit(3)
+    i += 1

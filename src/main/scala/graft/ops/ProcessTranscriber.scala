@@ -21,9 +21,26 @@ import graft.io.WavCodec
   * A worker that exits or writes a malformed frame fails the task (Spark
   * retries it elsewhere) — no silent empty transcripts.
   *
-  * NEVER constructed in tests or by default: registration is config-gated
-  * behind `registerFromConf` (spark.graft.asr.command), and the stub remains
-  * the default transcriber everywhere offline.
+  * Thread safety (round-6 advice): `Transcribers` caches ONE instance per
+  * JVM while local[N] runs N concurrent tasks in that JVM, so the whole
+  * exchange is `synchronized` — concurrent batches queue on the one worker
+  * pipe instead of interleaving frames on it. (A worker per thread would
+  * multiply resident model memory by the task slot count; serializing on
+  * one model process mirrors how a single-GPU worker behaves anyway.)
+  *
+  * Deadlock safety (round-6 advice): replies are drained CONCURRENTLY with
+  * the writes — a writer thread streams the batch in while this thread
+  * reads transcripts out. Write-all-then-read-all would deadlock once the
+  * worker's accumulated replies fill the OS stdout pipe buffer (~64 KB):
+  * the worker blocks writing, stops reading, and the driver blocks writing
+  * forever. Batching throughput is preserved — the worker's input pipe
+  * stays full without per-frame round-trip latency.
+  *
+  * Never ACTIVE in tests or by default: registration is config-gated behind
+  * `registerFromConf` (spark.graft.asr.command), and the stub remains the
+  * default transcriber everywhere offline. ProcessTranscriberSpec drives
+  * the wire protocol directly against a committed echo worker
+  * (scripts/asr_echo_worker.py) without registering it.
   */
 final class ProcessTranscriber(command: Seq[String]) extends Inference.Transcriber {
   require(command.nonEmpty, "ProcessTranscriber needs a non-empty command")
@@ -31,33 +48,49 @@ final class ProcessTranscriber(command: Seq[String]) extends Inference.Transcrib
   // one worker process per Transcriber instance; Transcribers caches one
   // instance per JVM, so this is the per-executor singleton the reference's
   // module-level pipeline global becomes at cluster scale
-  @transient private lazy val worker: (DataOutputStream, DataInputStream) = {
+  @transient private lazy val worker: (Process, DataOutputStream, DataInputStream) = {
     val pb = new ProcessBuilder(command: _*)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT) // worker logs -> executor stderr
     val p = pb.start()
     sys.addShutdownHook { p.destroy() }
-    (new DataOutputStream(new java.io.BufferedOutputStream(p.getOutputStream)),
+    (p,
+     new DataOutputStream(new java.io.BufferedOutputStream(p.getOutputStream)),
      new DataInputStream(new java.io.BufferedInputStream(p.getInputStream)))
   }
 
-  override def transcribe(batch: Seq[Inference.AsrInput]): Seq[String] = {
-    val (out, in) = worker
-    // write the whole micro-batch, then read all replies: keeps the worker's
-    // pipeline full without per-item round-trip latency (pa.py's batch_size=8
-    // batching preserved across the process boundary)
-    batch.foreach { a =>
-      val wav = WavCodec.encodeMono16(a.samples, a.sampleRate)
-      out.writeInt(wav.length)
-      out.write(wav)
-    }
-    out.flush()
-    batch.map { _ =>
-      val n = in.readInt()
-      require(n >= 0 && n <= (16 << 20), s"ASR worker sent absurd frame length $n")
-      val buf = new Array[Byte](n)
-      in.readFully(buf)
-      new String(buf, StandardCharsets.UTF_8)
+  override def transcribe(batch: Seq[Inference.AsrInput]): Seq[String] = this.synchronized {
+    val (p, out, in) = worker
+    // encode up front: codec failures should surface as codec exceptions on
+    // this thread, not as a half-written frame from the writer thread
+    val frames = batch.map(a => WavCodec.encodeMono16(a.samples, a.sampleRate))
+    @volatile var writeErr: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        frames.foreach { wav => out.writeInt(wav.length); out.write(wav) }
+        out.flush()
+      } catch { case t: Throwable => writeErr = t }
+    }, "graft-asr-writer")
+    writer.setDaemon(true)
+    writer.start()
+    try {
+      val texts = frames.map { _ =>
+        val n = in.readInt() // EOFException here = worker died mid-batch
+        require(n >= 0 && n <= (16 << 20), s"ASR worker sent absurd frame length $n")
+        val buf = new Array[Byte](n)
+        in.readFully(buf)
+        new String(buf, StandardCharsets.UTF_8)
+      }
+      writer.join()
+      if (writeErr != null) throw writeErr
+      texts
+    } catch {
+      case t: Throwable =>
+        // protocol is broken (dead or misbehaving worker): destroy the
+        // process so a writer blocked on a full input pipe unblocks with a
+        // broken pipe instead of leaking a stuck thread, then fail the task
+        p.destroy()
+        throw t
     }
   }
 }

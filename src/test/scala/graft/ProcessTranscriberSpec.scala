@@ -1,0 +1,117 @@
+package graft
+
+import java.io.EOFException
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.WavCodec
+import graft.ops.{Inference, ProcessTranscriber}
+
+/** End-to-end drive of the length-prefixed WAV↔transcript wire protocol
+  * (round-6 verdict item 3) against the committed stdlib-only echo worker
+  * `scripts/asr_echo_worker.py`. The worker replies
+  * "<index>:<md5-prefix-8>:<byte-length>" per frame, so these tests pin
+  * BOTH ordering (index) and payload integrity (md5 of exactly the WAV
+  * bytes the driver framed). Nothing here registers the transcriber — the
+  * stub stays the default everywhere; the spec constructs instances
+  * directly. */
+class ProcessTranscriberSpec extends AnyFunSuite {
+
+  private val workerScript = {
+    val f = new java.io.File("scripts/asr_echo_worker.py")
+    assert(f.isFile, s"worker script missing at ${f.getAbsolutePath}")
+    f.getPath
+  }
+
+  private def worker(mode: String*) =
+    new ProcessTranscriber(Seq("python3", workerScript) ++ mode)
+
+  /** deterministic per-index test signal (arbitrary but stable) */
+  private def input(i: Int, n: Int = 1600): Inference.AsrInput = {
+    val samples = Array.tabulate(n)(j => math.sin((i + 1) * 0.01 * j).toFloat)
+    Inference.AsrInput(samples, 16000)
+  }
+
+  private def expectedReply(i: Int, a: Inference.AsrInput): String = {
+    val wav = WavCodec.encodeMono16(a.samples, a.sampleRate)
+    val md5 = MessageDigest.getInstance("MD5").digest(wav)
+      .map(b => f"$b%02x").mkString.take(8)
+    s"$i:$md5:${wav.length}"
+  }
+
+  test("batch of 3: transcripts attach to the right segments, in order") {
+    val batch = Seq(input(0), input(1, 800), input(2, 2400))
+    val got = worker().transcribe(batch)
+    val want = batch.zipWithIndex.map { case (a, i) => expectedReply(i, a) }
+    assert(got == want)
+  }
+
+  test("sequential batches share one worker: frame index keeps advancing") {
+    val t = worker()
+    assert(t.transcribe(Seq(input(0))) == Seq(expectedReply(0, input(0))))
+    // same worker process: the second batch's frame is index 1, not 0
+    assert(t.transcribe(Seq(input(1))) == Seq(expectedReply(1, input(1))))
+  }
+
+  test("replies larger than the OS pipe buffer do not deadlock (concurrent drain)") {
+    // 64 frames x ~32 KB WAV; 'fat' mode pads each reply to its input frame's
+    // size, so accumulated replies (~2 MB) overflow the ~64 KB stdout pipe
+    // while the driver is still writing — the write-all-then-read-all shape
+    // deadlocks here; the writer-thread drain must complete
+    val batch = (0 until 64).map(i => input(i, 16000))
+    val got = worker("fat").transcribe(batch)
+    assert(got.size == 64)
+    batch.zipWithIndex.foreach { case (a, i) =>
+      val want = expectedReply(i, a)
+      assert(got(i).startsWith(want), s"frame $i: ${got(i).take(40)}")
+      assert(got(i).length == WavCodec.encodeMono16(a.samples, a.sampleRate).length)
+    }
+  }
+
+  test("concurrent tasks on one cached instance do not interleave frames") {
+    // local[N] shape: one Transcriber instance, N tasks calling it at once.
+    // Payload integrity (md5) per reply proves frames never interleaved on
+    // the pipe; consecutive indices within a batch prove batch atomicity.
+    val t = worker()
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]()
+    val threads = (0 until 8).map { k =>
+      new Thread(() => {
+        val batch = Seq(input(10 * k), input(10 * k + 1), input(10 * k + 2))
+        results.put(k, t.transcribe(batch))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(results.size == 8)
+    (0 until 8).foreach { k =>
+      val batch = Seq(input(10 * k), input(10 * k + 1), input(10 * k + 2))
+      val got = results.get(k)
+      val parts = got.map(_.split(":", 3))
+      // md5 + length match this batch's frames exactly
+      batch.zip(parts).foreach { case (a, p) =>
+        val wav = WavCodec.encodeMono16(a.samples, a.sampleRate)
+        val md5 = MessageDigest.getInstance("MD5").digest(wav)
+          .map(b => f"$b%02x").mkString.take(8)
+        assert(p(1) == md5 && p(2) == wav.length.toString, got.mkString("; "))
+      }
+      // batch atomicity: the worker numbered these three frames consecutively
+      val idx = parts.map(_(0).toInt)
+      assert(idx == Seq(idx.head, idx.head + 1, idx.head + 2), idx.mkString(","))
+    }
+  }
+
+  test("worker death mid-batch fails the task (no silent empties)") {
+    val e = intercept[Exception] {
+      worker("die-after-1").transcribe(Seq(input(0), input(1), input(2)))
+    }
+    assert(e.isInstanceOf[EOFException], e.toString)
+  }
+
+  test("absurd reply length trips the frame guard") {
+    val e = intercept[IllegalArgumentException] {
+      worker("absurd").transcribe(Seq(input(0)))
+    }
+    assert(e.getMessage.contains("absurd frame length"), e.getMessage)
+  }
+}
