@@ -21,6 +21,7 @@ Scala kernels (float-PCM formulations) reproduce these goldens exactly.
 
 Usage: pydub_mirror.py <wavDir> <outJson>
 """
+import hashlib
 import json
 import math
 import struct
@@ -88,6 +89,47 @@ def normalize_gain(samples, headroom=0.1):
     return 32768.0 * db_to_float(-headroom) / peak
 
 
+def ratecv(samples, in_rate, out_rate):
+    """CPython audioop.ratecv mirror (Modules/audioop.c): 16-bit mono,
+    weightA=1 weightB=0 (identity filter), state=None — exactly what
+    pydub.AudioSegment.set_frame_rate runs. Samples are int16-scale ints;
+    GETSAMPLE32 scales <<16, the interpolation
+    (prev*d + cur*(outrate-d))/outrate runs in C doubles (exact here:
+    products < 2^53) and truncates toward zero, SETSAMPLE32 emits >>16."""
+    g = math.gcd(in_rate, out_rate)
+    inrate, outrate = in_rate // g, out_rate // g
+    d = -outrate
+    prev_i = cur_i = 0
+    out = []
+    for s in samples:
+        prev_i, cur_i = cur_i, s << 16
+        d += outrate
+        while d >= 0:
+            cur_o = int((prev_i * d + cur_i * (outrate - d)) / outrate)
+            out.append(cur_o >> 16)
+            d -= inrate
+    return out
+
+
+def tomono(interleaved):
+    """CPython audioop.tomono mirror with fac1=fac2=0.5 (pydub
+    set_channels(1)): per frame floor-bound(l*0.5 + r*0.5) — note fbound
+    rounds toward -inf, clips at [minval+1 -> minval, maxval]."""
+    out = []
+    for i in range(0, len(interleaved) - 1, 2):
+        f = interleaved[i] * 0.5 + interleaved[i + 1] * 0.5
+        if f > 32767.0:
+            f = 32767.0
+        elif f < -32767.0:  # minval + 1.0
+            f = -32768.0
+        out.append(int(math.floor(f)))
+    return out
+
+
+def int16_md5(vals):
+    return hashlib.md5(struct.pack(f"<{len(vals)}h", *vals)).hexdigest()
+
+
 def main(wav_dir, out_json):
     import os
     golden = {}
@@ -103,6 +145,20 @@ def main(wav_dir, out_json):
                  "gain": normalize_gain(samples)}
         if channels == 1 and rate % 1000 == 0:
             entry["nonsilent"] = detect_nonsilent(samples, rate)
+        # set_frame_rate goldens (pa.py:89; round-6 verdict item 4): ratecv
+        # each fixture to a down- and an up-rate; the stereo fixture first
+        # rides tomono (pydub's set_channels(1) precedes set_frame_rate in
+        # pa.py:88-89), covering the int downmix semantics too
+        mono = samples
+        if channels == 2:
+            mono = tomono(samples)
+            entry["tomono_md5"] = int16_md5(mono)
+            entry["tomono_n"] = len(mono)
+        targets = [8000, 22050] if rate == 16000 else [16000]
+        entry["resample"] = [
+            {"to": t, "n": len(rs), "md5": int16_md5(rs), "head": rs[:12]}
+            for t in targets
+            for rs in [ratecv(mono, rate, t)]]
         golden[name] = entry
     with open(out_json, "w") as f:
         json.dump(golden, f, indent=1, sort_keys=True)

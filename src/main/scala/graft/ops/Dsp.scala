@@ -47,7 +47,17 @@ object Dsp {
 
   /** Linear-interpolation resample (pa.py:89, set_frame_rate(16000)). Linear
     * is deterministic and dependency-free; the operator contract (mono PCM at
-    * the target rate) is what downstream stages rely on. */
+    * the target rate) is what downstream stages rely on.
+    *
+    * Parity vs pydub (PydubParitySpec, pydub_golden.json): pydub's
+    * set_frame_rate is audioop.ratecv — also linear interpolation, but with
+    * a different phase accumulator; [[resampleRatecv]] mirrors it bit-exactly
+    * for corpora that must match pydub sample-for-sample. Measured deviation
+    * of THIS kernel vs ratecv over the AudioSynth corpus: integer-ratio
+    * downsampling (16 kHz → 8 kHz) is exact (both pick every 2nd sample);
+    * non-integer ratios (→ 22.05 kHz, 44.1 kHz → 16 kHz) stay within ±2
+    * int16 LSB per sample and within one sample in output length — the
+    * bound PydubParitySpec pins. */
   def resampleLinear(samples: Array[Float], fromRate: Int, toRate: Int): Array[Float] = {
     if (fromRate == toRate || samples.isEmpty) return samples
     val outLen = math.max(1, (samples.length.toLong * toRate / fromRate).toInt)
@@ -60,6 +70,64 @@ object Dsp {
       val i1 = math.min(i0 + 1, samples.length - 1)
       val frac = (pos - i0).toFloat
       out(i) = samples(i0) * (1 - frac) + samples(i1) * frac
+      i += 1
+    }
+    out
+  }
+
+  /** Bit-exact mirror of CPython `audioop.ratecv` (Modules/audioop.c) for
+    * 16-bit mono with the default identity filter (weightA=1, weightB=0,
+    * state=None) — exactly what pydub's `set_frame_rate` (pa.py:89) executes.
+    * Int16-scale ints in and out. The algorithm: scale each input <<16
+    * (GETSAMPLE32), run the d-accumulator loop emitting
+    * (prev·d + cur·(outrate−d))/outrate truncated toward zero (C double
+    * arithmetic — exact here, products < 2^53), and emit >>16 (SETSAMPLE32).
+    * This is the opt-in kernel for corpora that must match a pydub port
+    * sample-for-sample; the pipeline default is [[resampleLinear]] (see its
+    * deviation bound). PydubParitySpec pins this against goldens from the
+    * independent Python mirror (scripts/pydub_mirror.py). */
+  def resampleRatecv(samples: Array[Int], fromRate: Int, toRate: Int): Array[Int] = {
+    require(fromRate > 0 && toRate > 0, s"bad rates $fromRate -> $toRate")
+    if (fromRate == toRate) return samples // pydub set_frame_rate returns self
+    val g = java.math.BigInteger.valueOf(fromRate)
+      .gcd(java.math.BigInteger.valueOf(toRate)).intValue()
+    val inrate = fromRate / g
+    val outrate = toRate / g
+    var d = -outrate
+    var prev = 0
+    var cur = 0
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint((samples.length.toLong * toRate / fromRate).toInt + 2)
+    var i = 0
+    while (i < samples.length) {
+      prev = cur
+      cur = samples(i) << 16
+      d += outrate
+      while (d >= 0) {
+        val o = ((prev.toDouble * d + cur.toDouble * (outrate - d)) / outrate).toInt
+        out += (o >> 16)
+        d -= inrate
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Bit-exact mirror of CPython `audioop.tomono` with fac1=fac2=0.5 —
+    * pydub's `set_channels(1)` (pa.py:88). Per interleaved L/R frame:
+    * fbound(l·0.5 + r·0.5) = clip to [−32768, 32767] then floor (round
+    * toward −inf; note C's fbound maps anything below minval+1.0 to minval).
+    * The pipeline's float [[downmixMono]] averages exactly; this int form
+    * exists for pydub-parity goldens (PydubParitySpec). */
+  def tomonoInt16(interleaved: Array[Int]): Array[Int] = {
+    val n = interleaved.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var f = interleaved(2 * i) * 0.5 + interleaved(2 * i + 1) * 0.5
+      if (f > 32767.0) f = 32767.0
+      else if (f < -32767.0) f = -32768.0 // C fbound: < minval + 1.0 -> minval
+      out(i) = math.floor(f).toInt
       i += 1
     }
     out

@@ -73,6 +73,77 @@ class PydubParitySpec extends AnyFunSuite {
     }
   }
 
+  /** exact int16 samples back out of the float decode (s/32768 is lossless) */
+  private def int16Of(samples: Array[Float]): Array[Int] =
+    samples.map(f => math.round(f * 32768.0f))
+
+  private def md5Le(vals: Array[Int]): String = {
+    val buf = java.nio.ByteBuffer.allocate(vals.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(v => buf.putShort(v.toShort))
+    java.security.MessageDigest.getInstance("MD5").digest(buf.array())
+      .map(b => f"$b%02x").mkString
+  }
+
+  test("resampleRatecv matches audioop.ratecv bit-exactly on every fixture (O5)") {
+    golden.foreach { case (name, g) =>
+      val dec = WavCodec.decode(java.nio.file.Files.readAllBytes(corpus.resolve(name)))
+      val mono =
+        if (dec.channels == 2) {
+          // pydub order (pa.py:88-89): set_channels(1) precedes
+          // set_frame_rate — and the int downmix must match audioop.tomono
+          val m = Dsp.tomonoInt16(int16Of(dec.samples))
+          assert(m.length == g.get("tomono_n").asInt(), s"$name tomono length")
+          assert(md5Le(m) == g.get("tomono_md5").asText(), s"$name tomono md5")
+          m
+        } else int16Of(dec.samples)
+      val cases = g.get("resample")
+      (0 until cases.size()).foreach { i =>
+        val c = cases.get(i)
+        val to = c.get("to").asInt()
+        val got = Dsp.resampleRatecv(mono, dec.sampleRate, to)
+        assert(got.length == c.get("n").asInt(),
+          s"$name->$to: length ${got.length} vs ${c.get("n").asInt()}")
+        val head = c.get("head")
+        (0 until head.size()).foreach { j =>
+          assert(got(j) == head.get(j).asInt(), s"$name->$to: head sample $j")
+        }
+        assert(md5Le(got) == c.get("md5").asText(), s"$name->$to: md5 mismatch")
+      }
+    }
+  }
+
+  test("resampleLinear deviation vs ratecv is bounded: exact at 2:1, <=2 LSB otherwise") {
+    golden.foreach { case (name, g) =>
+      val dec = WavCodec.decode(java.nio.file.Files.readAllBytes(corpus.resolve(name)))
+      if (dec.channels == 1) {
+        val ints = int16Of(dec.samples)
+        val cases = g.get("resample")
+        (0 until cases.size()).foreach { i =>
+          val c = cases.get(i)
+          val to = c.get("to").asInt()
+          val ratecv = Dsp.resampleRatecv(ints, dec.sampleRate, to)
+          val lin = Dsp.resampleLinear(dec.samples, dec.sampleRate, to)
+          assert(math.abs(lin.length - ratecv.length) <= 1,
+            s"$name->$to: lengths ${lin.length} vs ${ratecv.length}")
+          val n = math.min(lin.length, ratecv.length)
+          var worst = 0.0
+          var j = 0
+          while (j < n) {
+            val d = math.abs(lin(j) * 32768.0 - ratecv(j))
+            if (d > worst) worst = d
+            j += 1
+          }
+          // 16k->8k is sample-picking for both kernels: exact. Non-integer
+          // ratios differ only in interpolation phase: the documented
+          // <=2-LSB bound (Dsp.resampleLinear scaladoc)
+          val bound = if (dec.sampleRate % to == 0) 0.5 else 2.0
+          assert(worst <= bound, s"$name->$to: worst deviation $worst int16 LSB")
+        }
+      }
+    }
+  }
+
   test("detectNonSilent matches pydub.silence.detect_nonsilent on every mono fixture") {
     golden.filter(_._2.has("nonsilent")).foreach { case (name, g) =>
       val dec = WavCodec.decode(java.nio.file.Files.readAllBytes(corpus.resolve(name)))
