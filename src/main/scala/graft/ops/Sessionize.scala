@@ -148,6 +148,73 @@ object Sessionize {
       }
   }
 
+  final case class MotifCount(key: Long, seqLen: Long, nMotif: Long)
+
+  /** Sequence-motif counting as a secondary-sort fold — the bounded-memory
+    * scale path for q176's journey recurrence. The HOF formulation
+    * (AnalyticsOps.q176) materializes each user's full journey string
+    * inside a collect_list aggregate: per-key memory is the journey itself,
+    * which is the right plan until a key is pathologically hot (a bot-grade
+    * user concentrates one giant string on one task). This fold holds O(1)
+    * state per key — the KMP match position, the event count, and the motif
+    * counter — however long the journey.
+    *
+    * Counting semantics are EXACTLY q176's fixed-substring arithmetic
+    * ((len − len(replace(s, motif, ''))) / len(motif)): `replace` consumes
+    * greedy non-overlapping left-to-right occurrences, which is precisely
+    * KMP with a reset-to-zero after each full match. The fold order
+    * ((key, tsUs, seq) with unique seq) matches the HOF's
+    * array_sort(struct(ts_us, event_id, ini)) order, so results are
+    * bit-identical — OpsSpec asserts equality on a 1M-event hot key. */
+  def motifCountFold(events: Dataset[KeyedToken], motif: String): Dataset[MotifCount] = {
+    require(motif.nonEmpty, "motif must be non-empty")
+    import events.sparkSession.implicits._
+    // KMP failure table: fail(j) = length of the longest proper prefix of
+    // motif(0..j) that is also a suffix — standard; built once on the driver
+    val fail = {
+      val f = new Array[Int](motif.length)
+      var k = 0
+      var j = 1
+      while (j < motif.length) {
+        while (k > 0 && motif(j) != motif(k)) k = f(k - 1)
+        if (motif(j) == motif(k)) k += 1
+        f(j) = k
+        j += 1
+      }
+      f
+    }
+    events
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsUs"), col("seq"))
+      .mapPartitions { it =>
+        new scala.collection.AbstractIterator[MotifCount] {
+          private val buf = it.buffered
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): MotifCount = {
+            val first = buf.next()
+            val key = first.key
+            var j = 0 // KMP state: chars of motif currently matched
+            var len = 0L // journey length in chars (== seq_len of the HOF path)
+            var hits = 0L
+            def feed(t: String): Unit = {
+              var i = 0
+              while (i < t.length) {
+                val c = t.charAt(i)
+                while (j > 0 && c != motif(j)) j = fail(j - 1)
+                if (c == motif(j)) j += 1
+                if (j == motif.length) { hits += 1; j = 0 } // non-overlapping: reset
+                i += 1
+              }
+              len += t.length
+            }
+            feed(first.token)
+            while (buf.hasNext && buf.head.key == key) feed(buf.next().token)
+            MotifCount(key, len, hits)
+          }
+        }
+      }
+  }
+
   def ewmaFold(events: Dataset[KeyedValue], alpha: Double): Dataset[EwmaResult] = {
     import events.sparkSession.implicits._
     val beta = 1.0 - alpha

@@ -1914,34 +1914,59 @@ object AnalyticsOps {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- q173
-  /** Per-GROUP quantile-sketch accuracy gate (round 6) — q149's HLL gate,
-    * for quantiles: per order priority, the exact interpolated p50/p90
-    * (q41's percentile ↔ quantile_cont parity) next to
-    * approx_percentile's KLL-style sketch estimate, emitted as
-    * within-1%-relative boolean gates the oracle states as TRUE. At
-    * 100 TB the exact column is the one you drop; the gate documents the
-    * sketch error you accept, per group, hash-enforced. The approx
-    * estimates themselves stay OUT of the projection — they are
-    * sketch-implementation detail, not a cross-engine-stable quantity;
-    * the booleans are the contract. Scale shape: one group exchange,
-    * both aggregates partial-merge (the sketch is mergeable by design). */
-  def q173(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .groupBy(col("o_orderpriority"))
+  /** Per-GROUP quantile-sketch accuracy gate (round 6; gate rewritten
+    * round 7 per advice) — q149's HLL gate, for quantiles: per order
+    * priority, the exact interpolated p50/p90 (q41's percentile ↔
+    * quantile_cont parity) next to boolean gates over approx_percentile's
+    * sketch estimates. The gates assert the bound the sketch actually
+    * CONTRACTS — rank error ≤ ε = 1/accuracy — not a value-error bound:
+    * Spark's approx_percentile (Greenwald-Khanna) guarantees the returned
+    * element's rank range [#(x < v)+1, #(x ≤ v)] intersects
+    * [⌊(p−ε)·n⌋, ⌈(p+ε)·n⌉]; a 1%-VALUE gate (the round-6 form) is data-
+    * and engine-version-dependent and can break the hash with no real
+    * regression. So the oracle's frozen TRUE is now invariant under Spark
+    * upgrades and data reshapes — any correct sketch satisfies it.
+    *
+    * Scale shape: the sketch pass is one group exchange with partial-merge
+    * aggregates; verifying the rank contract inherently needs a second
+    * pass over the data (count values below the returned estimate), joined
+    * via a broadcast of the 5-row sketch output — at 100 TB that second
+    * scan IS the audit's cost, and you run it exactly when auditing. The
+    * approx estimates themselves stay OUT of the projection — they are
+    * sketch-implementation detail; the booleans are the contract. */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    val acc = 10000
+    val eps = 1.0 / acc
+    val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
+    val sk = o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
         expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
-        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"))
+        expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("a50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $acc)").as("a90"))
+    val ranks = o
+      .join(broadcast(sk.select(col("o_orderpriority"), col("a50"), col("a90"))),
+        Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_totalprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("o_totalprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+    def rankOk(p: Double, lt: Column, le: Column): Column =
+      (lt + lit(1L) <= ceil((lit(p) + lit(eps)) * col("n"))) &&
+        (le >= floor((lit(p) - lit(eps)) * col("n")))
+    sk.join(ranks, Seq("o_orderpriority"))
       .select(col("o_orderpriority"), col("n"), col("exact_p50"), col("exact_p90"),
-        (abs(col("a50") - col("exact_p50")) / col("exact_p50") <= 0.01).as("p50_within_1pct"),
-        (abs(col("a90") - col("exact_p90")) / col("exact_p90") <= 0.01).as("p90_within_1pct"))
+        rankOk(0.5, col("lt50"), col("le50")).as("p50_rank_ok"),
+        rankOk(0.9, col("lt90"), col("le90")).as("p90_rank_ok"))
       .orderBy(col("o_orderpriority"))
+  }
   val q173Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n,
       |  quantile_cont(o_totalprice, 0.5) AS exact_p50,
       |  quantile_cont(o_totalprice, 0.9) AS exact_p90,
-      |  TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
+      |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q175
@@ -2026,8 +2051,16 @@ object AnalyticsOps {
     * motif count falls out of fixed-substring arithmetic —
     * (len − len(replace(s, 'vcp', ''))) / 3 — whose non-overlapping
     * semantics are identical in every engine, where regex motif counting
-    * would hang on engine-specific match rules. One user_id exchange;
-    * journey strings are per-user-bounded. */
+    * would hang on engine-specific match rules. One user_id exchange.
+    *
+    * Hot-key bound (round-7): journey strings are per-user — fine while
+    * the hottest user's event count fits comfortably on one task (the
+    * collect_list buffer IS the journey). Past that — rule of thumb:
+    * any single key beyond ~10M events / ~10 MB of journey, i.e. a
+    * bot-grade key at 100 TB — swap to [[q176Streaming]], the q97-style
+    * secondary-sort fold (Sessionize.motifCountFold) that holds O(1)
+    * state per key and is proven bit-identical on a 1M-event hot key
+    * (OpsSpec "motifCountFold matches the HOF journey path"). */
   def q176(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -2042,6 +2075,22 @@ object AnalyticsOps {
           / 3).cast("long").as("n_vcp"))
       .filter(col("n_vcp") > 0)
       .orderBy(col("user_id"))
+  /** The unbounded-key twin of [[q176]]: same rows, same order, computed by
+    * the constant-memory secondary-sort fold instead of a per-key collected
+    * journey (swap criteria in q176's scaladoc). */
+  def q176Streaming(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("key"), col("ts_us").as("tsUs"),
+        col("event_id").as("seq"), substring(col("event_type"), 1, 1).as("token"))
+      .as[graft.ops.Sessionize.KeyedToken]
+    graft.ops.Sessionize.motifCountFold(ev, "vcp").toDF()
+      .select(col("key").as("user_id"), col("seqLen").as("seq_len"),
+        col("nMotif").as("n_vcp"))
+      .filter(col("n_vcp") > 0)
+      .orderBy(col("user_id"))
+  }
+
   val q176Sql: String =
     """WITH j AS (
       |  SELECT user_id,

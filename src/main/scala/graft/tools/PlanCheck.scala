@@ -405,9 +405,10 @@ object PlanCheck {
     check("q138_transition_matrix", "normalization window runs on the states² rollup only")(p =>
       p.contains("partial") && !p.contains("CartesianProduct") &&
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
-    check("q173_group_quantile_gate", "exact + sketch percentiles partial-merge in one pass")(p =>
+    check("q173_group_quantile_gate", "partial-merge sketch pass; 5-row audit side broadcasts")(p =>
       p.contains("partial_percentile") && p.contains("partial_approx_percentile") &&
-        "hashpartitioning\\(o_orderpriority".r.findAllIn(p).size <= 1)
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"))
     check("q174_rank_fusion", "bounded heap truncates both rankings; no full-corpus window sort")(p =>
       p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup") &&
         // every Window node sits ABOVE the bounded heap (tree prints

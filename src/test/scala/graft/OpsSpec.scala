@@ -79,6 +79,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     bos.toByteArray
   }
 
+  test("motifCountFold matches the HOF journey path, incl. a 1M-event hot key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // (a) real-path parity at sf0.001: the streaming twin emits exactly
+    // the board query's rows
+    val dir = "/root/testdata/sf0.001"
+    val hofRows = graft.queries.AnalyticsOps.q176(spark, dir).collect().toSeq
+    val foldRows = graft.queries.AnalyticsOps.q176Streaming(spark, dir).collect().toSeq
+    assert(hofRows.nonEmpty && hofRows == foldRows)
+
+    // (b) the swap case q176's scaladoc documents: one bot-grade key with
+    // 1M events (journey = 1M chars on a single task for the HOF path),
+    // plus normal keys. Tokens are a closed-form function of the index so
+    // the fixture is deterministic; 'vcpx'-ish cycling yields real motif
+    // hits, including runs like 'vcvcp' that test the KMP restart.
+    val toks = Array("v", "c", "p", "x", "v", "c", "v", "p")
+    val hot = (0 until 1000000).map { i =>
+      graft.ops.Sessionize.KeyedToken(7L, (i * 13 % 997).toLong * 1000 + i / 997,
+        i.toLong, toks(i % toks.length))
+    }
+    val cold = (0 until 500).map { i =>
+      graft.ops.Sessionize.KeyedToken(i.toLong % 3, i.toLong * 10, i.toLong,
+        toks((i * 5 + 1) % toks.length))
+    }
+    val ev = spark.createDataset(hot ++ cold).repartition(4)
+    val folded = graft.ops.Sessionize.motifCountFold(ev, "vcp").collect()
+      .map(m => m.key -> (m.seqLen, m.nMotif)).toMap
+    // HOF replica over the same dataset — q176's exact expression chain
+    val hof = ev.toDF()
+      .groupBy(col("key"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "array_join(transform(array_sort(collect_list(struct(tsUs, seq, token))), x -> x.token), '')")
+        .as("journey"))
+      .select(col("key"), length(col("journey")).cast("long").as("seq_len"),
+        ((length(col("journey")) - length(expr("replace(journey, 'vcp', '')"))) / 3)
+          .cast("long").as("n"))
+      .collect()
+    assert(hof.length == folded.size)
+    hof.foreach { r =>
+      val (n, hits) = folded(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == hits,
+        s"key ${r.getLong(0)}: HOF (${r.getLong(1)},${r.getLong(2)}) != fold ($n,$hits)")
+    }
+    assert(folded(7L)._1 == 1000000L && folded(7L)._2 > 0L)
+  }
+
   test("multimodal featurize: real imageio decode, undecodable payload dropped") {
     import spark.implicits._
     val png = pngBytes(32, 16)
