@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * RIFF/AVI chunk headers (probe + genuine movi frame demux) and ISO-BMFF/
   * MP4 boxes (probe + genuine sample extraction through the stsz/stco/stsc
   * sample tables) — with a byte-window stand-in only for payloads of other
-  * formats; DECODING the extracted coded samples is where the documented
-  * stub begins (needs a codec the JDK doesn't ship). The Spark-side
-  * contracts — schema, partition-parallel execution, per-item error-skip —
-  * are identical throughout.
+  * formats. Extracted coded samples DECODE for real where the JDK ships the
+  * codec: MJPEG-in-AVI frames (one baseline JPEG per `##dc` chunk →
+  * [[frameStats]] raster dims + pixel CRC) and uncompressed 16-bit PCM
+  * audio ([[decodeAviPcm]]); the documented stub is now only codecs the JDK
+  * doesn't ship (H.26x/AAC/…), which keep the byte-window summary. The
+  * Spark-side contracts — schema, partition-parallel execution, per-item
+  * error-skip — are identical throughout.
   */
 object Multimodal {
 
@@ -128,6 +131,62 @@ object Multimodal {
           .collect { case (f, i) if i % everyNth == 0 => Frame(r.docId, i, f) }
       }
     })
+  }
+
+  final case class FrameStats(docId: Long, frameIdx: Int, nBytes: Long,
+                              magic: String, decoded: Boolean, width: Int,
+                              height: Int, checksum: Long)
+
+  /** Per-frame DECODE of demuxed video samples (round-7, closing the last
+    * documented video stub where the JDK honestly can): MJPEG streams carry
+    * one complete baseline JPEG per `##dc` chunk, which javax.imageio
+    * already decodes — so demuxed MJPEG frames get REAL raster stats (dims
+    * + the still-image path's encoding-invariant ARGB CRC, [[decodeImage]]
+    * semantics). Frames whose codec the JDK can't touch keep the honest
+    * byte-window summary: decoded=false, zero dims, checksum = CRC32 over
+    * the raw coded bytes. Partition-parallel; no per-item failure escapes
+    * (the fallback IS the failure path). */
+  def frameStats(frames: Dataset[Frame]): Dataset[FrameStats] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { f =>
+      val magic = f.content.take(4).map(b => f"${b & 0xff}%02x").mkString
+      try {
+        val m = decodeImage(f.content)
+        FrameStats(f.docId, f.frameIdx, f.content.length.toLong, magic,
+          decoded = true, m.width, m.height, m.checksum)
+      } catch {
+        case _: Exception =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(f.content)
+          FrameStats(f.docId, f.frameIdx, f.content.length.toLong, magic,
+            decoded = false, 0, 0, crc.getValue)
+      }
+    })
+  }
+
+  /** Deterministic JPEG frame fixture: a (w × h) raster whose pixels are a
+    * closed-form function of (x, y, seed), JPEG-encoded by the JDK writer.
+    * Drives the MJPEG-in-AVI decode path in specs; pixel CRCs of the
+    * decoded output are stable for a given JDK decoder. */
+  def synthesizeJpegFrame(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ($w, $h)")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + seed * 31) & 0xff
+        val g = (y * 11 + seed * 17) & 0xff
+        val b = ((x + y) * 3 + seed * 5) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
   }
 
   // ------------------------------------------------------------------
@@ -386,7 +445,17 @@ object Multimodal {
     * OpsSpec builds its own container bytes independently, so the parser is
     * not validated solely against this builder. */
   def synthesizeAvi(w: Int, h: Int, nFrames: Int, frameLen: Int): Array[Byte] = {
-    require(w > 0 && h > 0 && nFrames >= 0 && frameLen > 0, "bad avi params")
+    require(frameLen > 0, "bad avi params")
+    synthesizeAviWithFrames(w, h,
+      (0 until nFrames).map(i => Array.fill[Byte](frameLen)(i.toByte)))
+  }
+
+  /** [[synthesizeAvi]] generalized to ARBITRARY `00dc` payloads — feeding it
+    * [[synthesizeJpegFrame]] JPEGs yields a structurally-valid MJPEG AVI,
+    * the fixture behind [[frameStats]]' decoded path (OpsSpec). */
+  def synthesizeAviWithFrames(w: Int, h: Int,
+                              framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0, "bad avi params")
     def le(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
             ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -394,12 +463,13 @@ object Multimodal {
     val avih = new Array[Byte](56)
     def put(off: Int, v: Long): Unit = System.arraycopy(le(v), 0, avih, off, 4)
     put(0, 33333L) // dwMicroSecPerFrame ≈ 30 fps
-    put(16, nFrames.toLong); put(24, 1L); put(32, w.toLong); put(36, h.toLong)
+    put(16, framePayloads.length.toLong); put(24, 1L)
+    put(32, w.toLong); put(36, h.toLong)
     val hdrl = cc("LIST") ++ le(4L + 8 + avih.length) ++ cc("hdrl") ++
       cc("avih") ++ le(avih.length.toLong) ++ avih
-    val frames = (0 until nFrames).toArray.flatMap { i =>
-      cc("00dc") ++ le(frameLen.toLong) ++ Array.fill[Byte](frameLen)(i.toByte) ++
-        (if (frameLen % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val frames = framePayloads.toArray.flatMap { p =>
+      cc("00dc") ++ le(p.length.toLong) ++ p ++
+        (if (p.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
     }
     val movi = cc("LIST") ++ le(4L + frames.length) ++ cc("movi") ++ frames
     val body = cc("AVI ") ++ hdrl ++ movi
@@ -510,7 +580,10 @@ object Multimodal {
       if fmt.formatTag == 1 && fmt.bitsPerSample == 16
       chunks <- aviAudioChunks(bytes)
     } yield {
-      val total = chunks.map(_.length).sum / 2
+      // per-chunk pairs, not sum(bytes)/2: an odd-length ##wb chunk decodes
+      // floor(len/2) samples, and summing bytes first would leave phantom
+      // zero samples at the tail counted in n_pcm/min/max (round-6 advice)
+      val total = chunks.map(_.length / 2).sum
       val samples = new Array[Short](total)
       var si = 0
       chunks.foreach { c =>

@@ -260,6 +260,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!byDoc.contains(2L))
   }
 
+  test("MJPEG-in-AVI frames decode to real raster stats; alien codecs keep byte windows") {
+    import spark.implicits._
+    val (w, h) = (48, 32)
+    val jpegs = (0 until 5).map(i => Multimodal.synthesizeJpegFrame(w, h, i))
+    val mjpeg = Multimodal.synthesizeAviWithFrames(w, h, jpegs)
+    // a same-shape AVI whose 00dc payloads are NOT a JDK-decodable codec
+    val alien = Multimodal.synthesizeAvi(w, h, 3, 256)
+    val media = Seq(Multimodal.MediaRow(1, mjpeg), Multimodal.MediaRow(2, alien)).toDS()
+    val stats = Multimodal.frameStats(
+      Multimodal.frameSample(media, frameBytes = 4096, everyNth = 1))
+      .collect().groupBy(_.docId)
+
+    val dec = stats(1L).sortBy(_.frameIdx)
+    assert(dec.length == 5 && dec.forall(_.decoded))
+    assert(dec.forall(f => f.width == w && f.height == h))
+    assert(dec.forall(_.magic.startsWith("ffd8")), "JPEG SOI magic expected")
+    // the pixel CRC is the STILL-IMAGE path's semantics on the same payload
+    dec.zipWithIndex.foreach { case (f, i) =>
+      val still = Multimodal.decodeImage(jpegs(i))
+      assert(f.checksum == still.checksum && f.nBytes == jpegs(i).length.toLong,
+        s"frame $i diverges from decodeImage on the identical payload")
+    }
+    // distinct frames -> distinct rasters (the CRC is content, not constant)
+    assert(dec.map(_.checksum).distinct.length == 5)
+
+    val raw = stats(2L).sortBy(_.frameIdx)
+    assert(raw.length == 3 && raw.forall(!_.decoded))
+    assert(raw.forall(f => f.width == 0 && f.height == 0 && f.nBytes == 256L))
+    // byte-window checksum: CRC32 over the raw coded bytes
+    val crc0 = { val c = new java.util.zip.CRC32(); c.update(Array.fill[Byte](256)(0)); c.getValue }
+    assert(raw.head.checksum == crc0)
+  }
+
   // -- synthesized containers for the demux probe -----------------------
   // Minimal but STRUCTURALLY REAL files: the probe reads actual RIFF chunk
   // headers / MP4 box headers, so the test must write byte-exact layouts.
