@@ -2102,8 +2102,38 @@ object AnalyticsOps {
       |FROM j WHERE length(journey) - length(replace(journey, 'vcp', '')) > 0
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  /** DSv2 WRITE-face round trip (round 7) — q171's refresh → append →
+    * read-back pattern executed THROUGH the connector instead of parquet
+    * paths: truncate-write the first 100 generator rows into the
+    * StoreSource table (mode=overwrite plans as SupportsTruncate), append
+    * the next 50 (a second independent two-phase commit), then read the
+    * table back through the connector's scan. Both writes and the read
+    * negotiate with the same Table object — write commit protocol,
+    * truncate capability, and read/pruning face all exercised in one
+    * oracle row. Idempotent across runs: the leading truncate resets any
+    * prior state. Oracle: DuckDB states the identical 150-row corpus from
+    * range() + md5 (q141's recipe). */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_store_q177").toString
+    val gen = s.read.format("graft.sources.GenSource")
+      .option("rows", "150").option("slices", "4").load()
+    gen.filter(col("id") < 100).write.format("graft.sources.StoreSource")
+      .option("path", dir).mode("overwrite").save()
+    gen.filter(col("id") >= 100).write.format("graft.sources.StoreSource")
+      .option("path", dir).mode("append").save()
+    s.read.format("graft.sources.StoreSource").option("path", dir).load()
+      .orderBy(col("id"))
+  }
+  val q177Sql: String =
+    """SELECT r.range AS id, md5(CAST(r.range AS VARCHAR)) AS h,
+      |  r.range % 64 AS bucket
+      |FROM range(0, 150) r ORDER BY id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q173_group_quantile_gate" -> ((q173 _, Some(q173Sql))),
+    "q177_store_write_roundtrip" -> ((q177 _, Some(q177Sql))),
     "q175_analyze_stats"    -> ((q175 _, Some(q175Sql))),
     "q176_sequence_motifs"  -> ((q176 _, Some(q176Sql))),
     "q130_dataset_digest"   -> ((q130 _, Some(q130Sql))),

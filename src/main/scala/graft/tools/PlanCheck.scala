@@ -409,6 +409,8 @@ object PlanCheck {
       p.contains("partial_percentile") && p.contains("partial_approx_percentile") &&
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct"))
+    check("q177_store_write_roundtrip", "read-back rides the connector's scan, not a file source")(p =>
+      p.contains("StoreScan") && !p.contains("FileScan"))
     check("q174_rank_fusion", "bounded heap truncates both rankings; no full-corpus window sort")(p =>
       p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup") &&
         // every Window node sits ABOVE the bounded heap (tree prints

@@ -76,6 +76,67 @@ class GenSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 4, s"expected >=4 micro-batches for 100 rows @30/batch, saw $batches")
   }
 
+  // -- StoreSource: the DSv2 WRITE face ---------------------------------
+
+  private def storeDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_store_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+  private def store(path: String) =
+    spark.read.format("graft.sources.StoreSource").option("path", path).load()
+
+  test("store write face: overwrite truncates, append accumulates, values exact") {
+    val dir = storeDir("rw")
+    gen(100, 4).write.format("graft.sources.StoreSource")
+      .option("path", dir).mode("overwrite").save()
+    assert(store(dir).count() == 100L)
+    // append a disjoint range written from a second gen read
+    gen(150, 4).filter(col("id") >= 100L).write.format("graft.sources.StoreSource")
+      .option("path", dir).mode("append").save()
+    assert(store(dir).count() == 150L)
+    // overwrite again: truncate wipes BOTH prior commits
+    gen(10, 2).write.format("graft.sources.StoreSource")
+      .option("path", dir).mode("overwrite").save()
+    val back = store(dir).orderBy(col("id")).collect()
+    assert(back.map(_.getLong(0)).toSeq == (0L until 10L))
+    // round-tripped values are bit-exact vs the generator's own md5/bucket
+    back.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(1) == md)
+      assert(r.getLong(2) == r.getLong(0) % 64)
+    }
+  }
+
+  test("store read face prunes columns and reads an empty table as zero rows") {
+    val dir = storeDir("prune")
+    assert(store(dir).count() == 0L) // nothing committed yet
+    gen(64, 4).write.format("graft.sources.StoreSource")
+      .option("path", dir).mode("overwrite").save()
+    val pruned = store(dir).select("bucket")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=bucket"), plan.linesIterator.take(10).mkString("\n"))
+    assert(pruned.distinct().count() == 64L)
+  }
+
+  test("store write rejects a foreign schema and leaves no temp litter") {
+    import spark.implicits._
+    val dir = storeDir("schema")
+    val bad = Seq((1, "x")).toDF("a", "b")
+    intercept[Exception] {
+      bad.write.format("graft.sources.StoreSource")
+        .option("path", dir).mode("append").save()
+    }
+    // a committed write leaves only published .tsv files behind — no _tmp_
+    gen(8, 2).write.format("graft.sources.StoreSource")
+      .option("path", dir).mode("overwrite").save()
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.contains("_tmp_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("residual (non-id) filters still apply after pushdown") {
     val n = gen(1000, 4)
       .filter(col("id") >= 100L && col("id") < 200L && col("bucket") === 3L)
