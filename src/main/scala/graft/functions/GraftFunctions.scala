@@ -13,16 +13,27 @@ object GraftFunctions {
     ColumnBridge.column(
       DotProductF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Cosine similarity built from the native dot kernel — same IEEE op
-    * sequence as the HOF formulation the DuckDB oracles mirror. */
+  /** Fused kernel: STRUCT<dot, na, nb> of two ARRAY<FLOAT> columns in one
+    * traversal (codegen) — bit-identical fields to three dotF32 calls. */
+  def dotNormsF32(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotNormsF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity as ONE fused codegen expression (round 7; previously
+    * three dotF32 passes) — same IEEE op sequence as the HOF formulation
+    * the DuckDB oracles mirror, one array traversal by construction. */
   def cosineF32(a: Column, b: Column): Column =
-    dotF32(a, b) / (sqrt(dotF32(a, a)) * sqrt(dotF32(b, b)))
+    ColumnBridge.column(
+      CosineF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register SQL names on an existing session (tests / driver sessions that
     * were built without `spark.sql.extensions`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32", exprs => DotProductF32(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_norms_f32", exprs => DotNormsF32(exprs(0), exprs(1)), "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions hook: `.config("spark.sql.extensions",
@@ -34,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f32"),
       DotProductF32.info,
       exprs => DotProductF32(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_norms_f32"),
+      DotNormsF32.info,
+      exprs => DotNormsF32(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_f32"),
+      CosineF32.info,
+      exprs => CosineF32(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -416,13 +416,11 @@ object DedupSim {
     // native codegen'd kernel (graft.functions.DotProductF32): bit-identical
     // to the HOF fold the DuckDB oracle mirrors, without the intermediate
     // zipped-array allocation
-    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
-    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
-    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("cosine"))
@@ -505,13 +503,11 @@ object DedupSim {
       .withColumn("bucket", bucketCol("embedding"))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
-    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
-    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     emb.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id"),
@@ -568,12 +564,10 @@ object DedupSim {
     val emb = Tables.embeddings(s, d).withColumn("bucket", bucketCol("embedding"))
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
-    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
-    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("ea"), col("eb")))
       .filter(col("cosine") >= 0.35)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
@@ -746,13 +740,11 @@ object DedupSim {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         explode(slice(array_sort(cellScores(col("embedding"))), 1, IvfProbes)
           .getField("seed_id")).as("cell"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
-    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
-    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     assign.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id"),
@@ -1445,13 +1437,11 @@ object DedupSim {
   def q102(s: SparkSession, d: String): DataFrame = {
     val pairs = q45(s, d) // (doc_a, doc_b, jaccard) — cached candidate path
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
-    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
-    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
     emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
       .join(broadcast(pairs), Seq("doc_a"))
       .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
-      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("ea"), col("eb")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("cosine"),
         (col("cosine") < 0.9).as("suspicious"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1490,13 +1480,11 @@ object DedupSim {
     val a = emb.select(col("bucket"), col("vec_id"), col("label"), col("embedding").as("ea"))
     val c = emb.select(col("bucket"), col("vec_id").as("neg_id"),
       col("label").as("neg_label"), col("embedding").as("eb"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
-    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
-    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neg_id"))
     a.join(c, Seq("bucket"))
       .filter(col("label") =!= col("neg_label"))
-      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("ea"), col("eb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 2)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
@@ -1553,12 +1541,10 @@ object DedupSim {
       .withColumn("bucket", bucketColNative(signs, "embedding"))
     val a = emb.select(col("bucket"), col("vec_id"), col("embedding").as("ea"))
     val c = emb.select(col("bucket"), col("vec_id").as("nbr_id"), col("embedding").as("eb"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("ea"), col("eb"))
-    val na = graft.functions.GraftFunctions.dotF32(col("ea"), col("ea"))
-    val nb = graft.functions.GraftFunctions.dotF32(col("eb"), col("eb"))
     val scored = a.join(c, Seq("bucket"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("cosine", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("ea"), col("eb")))
       .select(col("vec_id"), col("nbr_id"), col("cosine"))
     graft.plans.TopK.topKPerGroup(
         scored,
@@ -1613,12 +1599,10 @@ object DedupSim {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
-    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
-    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     val exact = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", dot / (sqrt(nq) * sqrt(nc)))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("vec_id"))
@@ -1937,15 +1921,16 @@ object DedupSim {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val dot = graft.functions.GraftFunctions.dotF32(col("qe"), col("embedding"))
-    val nq = graft.functions.GraftFunctions.dotF32(col("qe"), col("qe"))
-    val nc = graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))
     // one corpus scan, two retrieval entries per row: sortKey is ascending
     // for both metrics (-cosine is exact double negation, order-identical
-    // to cosine DESC), so one heap ordering serves both lists
+    // to cosine DESC), so one heap ordering serves both lists. The fused
+    // dot_norms_f32 kernel feeds both metrics from ONE array traversal.
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", dot).withColumn("nq", nq).withColumn("nc", nc)
+      .withColumn("dn",
+        graft.functions.GraftFunctions.dotNormsF32(col("qe"), col("embedding")))
+      .withColumn("dot", col("dn.dot"))
+      .withColumn("nq", col("dn.na")).withColumn("nc", col("dn.nb"))
       .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))))
       .withColumn("d2", col("nq") + col("nc") - lit(2.0) * col("dot"))
       .select(col("q_id"), col("vec_id"), explode(array(
