@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every board query reads through here, so this is the one choke point
+    // that guarantees the plans-package strategy + optimizer rule are live
+    // on driver sessions built without spark.sql.extensions
+    graft.plans.GraftPlanner.ensure(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")

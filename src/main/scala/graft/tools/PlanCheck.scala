@@ -177,18 +177,18 @@ object PlanCheck {
     check("q88_decontaminate", "eval fps + hit rollup broadcast, corpus never SMJ'd")(p =>
       "BroadcastHashJoin".r.findAllIn(p).size == 2 &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    // q89/q90/q91: the rank filter must become a WindowGroupLimit so each
-    // map partition keeps only its top-k BEFORE the stratum shuffle — the
-    // constant bound (60 / 3 / 5) is what makes the window a bounded heap
-    check("q89_stratified_sample", "quota filter becomes a partial WindowGroupLimit")(p =>
-      p.contains("WindowGroupLimit") && p.contains("Partial"))
-    check("q90_tfidf_topterms", "df broadcasts onto tf; rank filter is a group-limit")(p =>
-      p.contains("WindowGroupLimit") && p.contains("BroadcastHashJoin") &&
-        p.contains("partial"))
+    // q89/q90/q91: the rank filter must become a partial bounded heap so
+    // each map partition keeps only its top-k BEFORE the stratum shuffle —
+    // WindowTopKRewrite subsumes Spark's sort-based WindowGroupLimit here,
+    // so the sortless TopKPerGroupPartial is the node to demand
+    check("q89_stratified_sample", "quota filter becomes a partial bounded heap")(p =>
+      p.contains("TopKPerGroupPartial"))
+    check("q90_tfidf_topterms", "df broadcasts onto tf; rank filter is a heap group-limit")(p =>
+      p.contains("TopKPerGroupPartial") && p.contains("BroadcastHashJoin"))
     // q91: PQ encoding is a literal-codebook projection (no vec_id shuffle,
     // mirroring q59); the query side is an intended 3-row broadcast NLJ
     check("q91_ann_pq_adc", "PQ encode is a projection; 3-row query side broadcast")(p =>
-      p.contains("WindowGroupLimit") && p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("TopKPerGroupPartial") && p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct") && !p.contains("hashpartitioning(vec_id"))
 
     // q93: packing parallelizes per source shard — the only exchange below
@@ -226,13 +226,13 @@ object PlanCheck {
         !p.contains("BroadcastNestedLoopJoin"))
     // q103: bucket-restricted negatives — equi-join on the cell code plus
     // a bounded-heap rank filter, never an all-pairs product
-    check("q103_hard_negatives", "bucket equi-join + WindowGroupLimit, no cartesian")(p =>
-      p.contains("WindowGroupLimit") && !p.contains("CartesianProduct") &&
+    check("q103_hard_negatives", "bucket equi-join + heap group-limit, no cartesian")(p =>
+      p.contains("TopKPerGroupPartial") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
     // q100: the correlated per-row LIMIT must decorrelate into a bounded
     // group-limit + equi-join — never a per-outer-row nested loop
-    check("q100_lateral_topk", "lateral LIMIT decorrelates to WindowGroupLimit + hash join")(p =>
-      p.contains("WindowGroupLimit") &&
+    check("q100_lateral_topk", "lateral LIMIT decorrelates to a heap group-limit + hash join")(p =>
+      p.contains("TopKPerGroupPartial") &&
         (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
 
@@ -413,14 +413,21 @@ object PlanCheck {
       p.contains("StoreScan") && !p.contains("FileScan"))
     check("q174_rank_fusion", "bounded heap truncates both rankings; no full-corpus window sort")(p =>
       p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup") &&
-        // every Window node sits ABOVE the bounded heap (tree prints
-        // top-down, so all "Window" offsets must precede the Partial pass,
-        // which is the lowest heap node): windows sort candidate lists
-        // (≤ cap rows per group), never the corpus
-        p.lastIndexOf("Window ") < p.indexOf("TopKPerGroupPartial") &&
+        // every Window node has a bounded heap BELOW it (tree prints
+        // top-down): the native k=60 heap caps the per-list ranking window,
+        // and WindowTopKRewrite caps the final RRF ranking window, so
+        // windows sort candidate lists (≤ cap rows per group), never the
+        // corpus. The lowest Window must still precede the lowest Partial.
+        p.lastIndexOf("Window ") < p.lastIndexOf("TopKPerGroupPartial") &&
         !p.contains("CartesianProduct") &&
         // the 3-row query side rides a broadcast NLJ by design (q27 pattern)
         "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    check("q27_cosine_topk", "WindowTopKRewrite: heap pre-pass caps the window's sort input")(p =>
+      p.contains("TopKPerGroupPartial") &&
+        // Window survives above the heap, re-ranking <= k rows per group
+        p.contains("Window ") && p.indexOf("Window ") < p.indexOf("TopKPerGroupPartial"))
+    check("q09_dedup_first_writer", "WindowTopKRewrite: rn=1 dedup rides a k=1 heap, not a per-key sort")(p =>
+      p.contains("TopKPerGroupPartial"))
 
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
