@@ -441,7 +441,52 @@ object DataOps {
       |FROM orders WHERE o_orderkey % 10 <> 7
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** Runtime bloom-filter semi-join reduction: the selective dim filter is
+    * pushed into the FACT side as a bloom membership test BEFORE the join
+    * shuffle. At 100 TB this is the difference between shuffling the whole
+    * fact table and shuffling the ~1/6 of it that can possibly match — the
+    * optimizer builds a bloom of the filtered dim's join keys at runtime
+    * (`InjectRuntimeFilter`) and the fact scan drops non-members map-side.
+    *
+    * The board session's thresholds would never fire at bench scale
+    * (application-side gate is 10 GB of scanned bytes), so the query runs
+    * on a SIBLING session (`newSession`: shared context, private conf) with
+    * the gates opened and broadcast disabled — the shuffle join is the case
+    * the bloom exists for, and nothing leaks into the shared session.
+    * PlanCheck demands the `might_contain` probe in the fact-side plan.
+    * The oracle is the plain join — the bloom is pure pruning, row-set
+    * silent (false positives only ever ADD candidate rows, which the real
+    * join condition then rejects). */
+  def q178(s0: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = s0.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    val dim = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_type"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    fact.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy(col("p_type"))
+  }
+  val q178Sql: String =
+    """SELECT p_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q178_bloom_prune_join" -> ((q178 _, Some(q178Sql))),
     "q129_incremental_agg" -> ((q129 _, Some(q129Sql))),
     "q125_temperature_mixing" -> ((q125 _, Some(q125Sql))),
     "q126_epoch_shuffle"  -> ((q126 _, Some(q126Sql))),

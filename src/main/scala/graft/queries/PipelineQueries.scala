@@ -267,6 +267,43 @@ object PipelineQueries {
       |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** Stream-stream LEFT OUTER interval join ON THE ORACLE BOARD — the
+    * missing outer sibling of q81. Semantically distinct from the inner
+    * join: unmatched left rows are emitted null-extended by WATERMARK-DRIVEN
+    * STATE EVICTION (the no-data micro-batch after the watermark passes the
+    * end of a row's join window), which is the mechanism that bounds outer
+    * state at 100 TB. Determinism: rows whose outer fate is undecided when
+    * the drive stops (a_ts inside the final watermark+interval horizon)
+    * are excluded on BOTH sides — the emitted prefix below
+    * max(ts) − 16 min (10 min delay + 5 min interval + 1 min margin) is
+    * exactly the batch LEFT JOIN there, which is the oracle. */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    // the horizon guard comes from the STATIC snapshot (exact max ts), not
+    // from the stream — one metadata-scale row, computed before the drive
+    val maxUs = Tables.events(s, d).agg(max(col("ts_us"))).head().getLong(0)
+    val cutoffUs = maxUs - 16L * 60L * 1000000L
+    graft.streaming.Streaming.intervalJoinLeftOuterOnce(streamSession(s), d,
+        withinMinutes = 5,
+        queryName = s"graft_q179_${java.lang.Integer.toHexString(d.hashCode)}")
+      .filter(unix_micros(col("a_ts")) <= cutoffUs)
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
+              unix_micros(col("a_ts")).as("a_ts_us"),
+              unix_micros(col("b_ts")).as("b_ts_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val q179Sql: String =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS a_ts_us,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS b_ts_us
+      |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id <> b.event_id
+      |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES
+      |WHERE epoch_us(CAST(a.ts AS TIMESTAMP)) <=
+      |  (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events) - 16 * 60 * 1000000
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Within-watermark streaming dedup ON THE ORACLE BOARD: events staged
     * into three files → three micro-batches (maxFilesPerTrigger=1), so
@@ -474,6 +511,7 @@ object PipelineQueries {
     "q76_container_roundtrip" -> ((q76 _, Some(q76Sql))),
     "q77_partition_pruning"  -> ((q77 _, Some(q77Sql))),
     "q81_stream_interval_join" -> ((q81 _, Some(q81Sql))),
+    "q179_stream_outer_join" -> ((q179 _, Some(q179Sql))),
     "q82_stream_dedup_watermark" -> ((q82 _, Some(q82Sql))),
     "q87_stream_span_merge" -> ((q87 _, Some(q87Sql))),
     "q83_csv_roundtrip"  -> ((q83 _, Some(q83Sql))),

@@ -105,7 +105,7 @@ object Streaming {
   /** Events of stream B within [0, `withinMinutes`] after each event of
     * stream A for the same user (self-pairs excluded). */
   def intervalJoinStreams(spark: SparkSession, dirA: String, dirB: String,
-                          withinMinutes: Int): DataFrame = {
+                          withinMinutes: Int, joinType: String = "inner"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(dir: String, p: String) = spark.readStream
       .schema(eventsSchema)
@@ -115,7 +115,8 @@ object Streaming {
       .selectExpr(s"event_id AS ${p}_id", s"user_id AS ${p}_user", s"ts_t AS ${p}_ts")
     side(dirA, "a").join(side(dirB, "b"),
       expr(s"""a_user = b_user AND a_id <> b_id AND
-              |b_ts >= a_ts AND b_ts <= a_ts + INTERVAL $withinMinutes MINUTES""".stripMargin))
+              |b_ts >= a_ts AND b_ts <= a_ts + INTERVAL $withinMinutes MINUTES""".stripMargin),
+      joinType)
   }
 
   /** Drive the interval join over the static snapshot; returns joined pairs. */
@@ -129,6 +130,35 @@ object Streaming {
       staged.toString
     }
     val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Drive the LEFT OUTER interval join over the static snapshot.
+    *
+    * Outer (null-extended) rows are emitted by WATERMARK-DRIVEN STATE
+    * EVICTION: a left row's fate is decided only once the watermark passes
+    * the end of its join window (a_ts + withinMinutes), which happens in
+    * the no-data micro-batch after the last data batch advanced the
+    * watermark to max(ts) − delay. Left rows inside that final horizon are
+    * still sitting in state when the drive stops — never matched, never
+    * null-emitted — so callers MUST restrict any deterministic comparison
+    * to rows safely below max(ts) − (delay + interval): the join's emitted
+    * prefix is exactly the batch LEFT JOIN there. That horizon discipline
+    * is the same one a production job lives with: an outer result is only
+    * final once the watermark says no future match can arrive. */
+  def intervalJoinLeftOuterOnce(spark: SparkSession, dir: String, withinMinutes: Int,
+                                queryName: String = "graft_ssjoin_lo"): DataFrame = {
+    def stage(): String = {
+      val staged = java.nio.file.Files.createTempDirectory("graft_ssjoin_lo_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      staged.toString
+    }
+    val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes, joinType = "leftOuter")
       .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop()

@@ -428,6 +428,13 @@ object PlanCheck {
         p.contains("Window ") && p.indexOf("Window ") < p.indexOf("TopKPerGroupPartial"))
     check("q09_dedup_first_writer", "WindowTopKRewrite: rn=1 dedup rides a k=1 heap, not a per-key sort")(p =>
       p.contains("TopKPerGroupPartial"))
+    check("q178_bloom_prune_join", "runtime bloom prunes the fact side BEFORE the join shuffle")(p =>
+      // the dim-key bloom is probed in the fact scan subtree (might_contain)
+      // and built by a runtime subquery (bloom_filter_agg); the join itself
+      // is the shuffle join the bloom exists for, not a broadcast
+      p.contains("might_contain") && p.contains("bloom_filter_agg") &&
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
+        !p.contains("BroadcastHashJoin"))
 
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
