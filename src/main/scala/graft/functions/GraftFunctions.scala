@@ -54,6 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineF32.info,
       exprs => CosineF32(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    e.injectOptimizerRule(_ => graft.plans.RewriteCosine)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

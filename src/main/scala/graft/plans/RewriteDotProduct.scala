@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.DotProductF32
+import graft.functions.{CosineF32, DotProductF32}
 
 /** Optimizer rule (the `Rule[LogicalPlan]` extension point, SURVEY §4):
   * rewrites the declarative higher-order-function dot product
@@ -50,5 +50,32 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           ((sameVar(aa, a) && sameVar(ap, p)) || (sameVar(aa, p) && sameVar(ap, a))) &&
           fin.exprId == f.exprId =>
       DotProductF32(left, right)
+  }
+}
+
+/** Companion rule: fuse the composed cosine
+  *
+  * {{{ dot_f32(a, b) / (sqrt(dot_f32(a, a)) * sqrt(dot_f32(b, b))) }}}
+  *
+  * into the single-traversal [[CosineF32]] kernel (three array passes → one).
+  * Exact by construction: the fused loop performs the identical IEEE
+  * accumulation for all three quantities and the identical final division,
+  * and is NULL exactly where the composed form is (ragged lengths or a null
+  * element null dot_f32, which nulls the division). Runs AFTER
+  * [[RewriteDotProduct]] in registration order, so the fully-declarative HOF
+  * cosine lowers in two steps: HOF → dot_f32 kernels → fused cosine.
+  * Double division never raises under ANSI (0/0 is NaN for doubles), so the
+  * fusion is eval-mode-indifferent. */
+object RewriteCosine extends Rule[LogicalPlan] {
+
+  private def norm(e: Expression, of: Expression): Boolean = e match {
+    case DotProductF32(u, v) => u.semanticEquals(of) && v.semanticEquals(of)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Divide(DotProductF32(a, b), Multiply(Sqrt(l), Sqrt(r), _), _)
+        if (norm(l, a) && norm(r, b)) || (norm(l, b) && norm(r, a)) =>
+      CosineF32(a, b)
   }
 }

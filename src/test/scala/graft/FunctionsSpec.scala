@@ -109,6 +109,34 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("RewriteCosine rule: composed dot/sqrt-norm cosine fuses to ONE kernel, bit-identical") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    GraftFunctions.register(spark)
+    val df = embDf.alias("a").join(embDf.alias("b"), expr("b.id = (a.id + 3) % 200"))
+      .select(col("a.id").as("id"), col("a.v").as("x"), col("b.v").as("y"))
+      .selectExpr("id",
+        "dot_f32(x, y) / (sqrt(dot_f32(x, x)) * sqrt(dot_f32(y, y))) AS cos")
+    val analyzed = df.queryExecution.analyzed
+    val rewritten = graft.plans.RewriteCosine(analyzed)
+    assert(rewritten.expressions.exists(_.exists(_.isInstanceOf[graft.functions.CosineF32])),
+      "fused kernel missing after rewrite")
+    // the three source kernels are gone — ONE traversal remains
+    assert(!rewritten.expressions.exists(_.exists(_.isInstanceOf[graft.functions.DotProductF32])))
+    val a = df.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    val b = ColumnBridge.ofRows(spark, rewritten).orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("RewriteCosine rule: mixed norms (sqrt of a DIFFERENT vector) must not fuse") {
+    GraftFunctions.register(spark)
+    // sqrt(dot(x,x)) * sqrt(dot(x,x)) — the second norm is not y's: not a cosine
+    val df = embDf.alias("a").join(embDf.alias("b"), expr("b.id = (a.id + 3) % 200"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+      .selectExpr("dot_f32(x, y) / (sqrt(dot_f32(x, x)) * sqrt(dot_f32(x, x))) AS notcos")
+    val rewritten = graft.plans.RewriteCosine(df.queryExecution.analyzed)
+    assert(!rewritten.expressions.exists(_.exists(_.isInstanceOf[graft.functions.CosineF32])))
+  }
+
   test("RewriteDotProduct rule: does NOT fire for non-float arrays or different folds") {
     // double arrays: semantics differ (no float read), rule must not touch it
     val doubles = spark.range(1, 50)
