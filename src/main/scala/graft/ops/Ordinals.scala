@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Global dense ordinals (stable row numbers over a total key order) WITHOUT
+  * the single-partition global sort that `row_number() OVER (ORDER BY k)`
+  * plans — the classic way to assign stable example IDs to a 100 TB corpus.
+  *
+  * Three partition-parallel steps:
+  *   1. range exchange on the key (`repartitionByRange`: sampled, balanced
+  *      boundaries — partition i holds keys strictly below partition i+1),
+  *   2. local sort within each partition,
+  *   3. `zipWithIndex`'s two-pass offset assignment: one lightweight job
+  *      counts rows per partition, the cumulative counts become per-partition
+  *      starting offsets, and a map pass adds offset + local index.
+  *
+  * The result equals the window formulation for any TOTAL key order — range
+  * boundaries only split the order between partitions, never reorder it —
+  * and is invariant to the partition count (OpsSpec proves 4-way = 9-way =
+  * window). Cost: one range exchange + one count job over the sorted data,
+  * versus the window's all-to-one exchange that serializes the entire
+  * dataset through a single task's sort.
+  */
+object Ordinals {
+  def globalOrdinal(df: DataFrame, key: Column, partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+    val schema = ranged.schema.add("ordinal", LongType, nullable = false)
+    val rows = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The exchange stage `globalOrdinal` rides, exposed for plan audits: the
+    * contract is `rangepartitioning(key, n)` with NO SinglePartition. */
+  def rangedStage(df: DataFrame, key: Column, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+}

@@ -441,6 +441,22 @@ object DataOps {
       |FROM orders WHERE o_orderkey % 10 <> 7
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** Global dense ordinal assignment (stable example IDs over the corpus)
+    * computed WITHOUT a single-partition global sort — range exchange +
+    * local sort + zipWithIndex's two-pass offsets (`ops/Ordinals`). The
+    * oracle states the same ordinals declaratively as
+    * row_number() OVER (ORDER BY doc_id), so the hash gate proves the
+    * distributed formulation equals the global-sort semantics exactly. */
+  def q180(s: SparkSession, d: String): DataFrame =
+    graft.ops.Ordinals.globalOrdinal(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), partitions = 8)
+      .orderBy(col("ordinal"))
+  val q180Sql: String =
+    """SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS ordinal
+      |FROM documents ORDER BY ordinal""".stripMargin
+
   // ---------------------------------------------------------------- q178
   /** Runtime bloom-filter semi-join reduction: the selective dim filter is
     * pushed into the FACT side as a bloom membership test BEFORE the join
@@ -487,6 +503,7 @@ object DataOps {
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q178_bloom_prune_join" -> ((q178 _, Some(q178Sql))),
+    "q180_global_ordinal" -> ((q180 _, Some(q180Sql))),
     "q129_incremental_agg" -> ((q129 _, Some(q129Sql))),
     "q125_temperature_mixing" -> ((q125 _, Some(q125Sql))),
     "q126_epoch_shuffle"  -> ((q126 _, Some(q126Sql))),

@@ -428,6 +428,19 @@ object PlanCheck {
         p.contains("Window ") && p.indexOf("Window ") < p.indexOf("TopKPerGroupPartial"))
     check("q09_dedup_first_writer", "WindowTopKRewrite: rn=1 dedup rides a k=1 heap, not a per-key sort")(p =>
       p.contains("TopKPerGroupPartial"))
+    // q180's board entry ends in a LogicalRDD (the zipWithIndex offset pass),
+    // so audit the exchange stage the operator rides directly: a range
+    // exchange with NO all-to-one sort — the whole point of the operator is
+    // that no task ever holds the global order
+    locally {
+      val plan = graft.ops.Ordinals.rangedStage(
+          graft.core.Tables.documents(spark, sfDir).select("doc_id"),
+          org.apache.spark.sql.functions.col("doc_id"), 8)
+        .queryExecution.executedPlan.toString
+      val ok = plan.contains("rangepartitioning(doc_id") && !plan.contains("SinglePartition")
+      rec("q180_ranged(stage)", "global ordinal rides a range exchange, never SinglePartition", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
     check("q178_bloom_prune_join", "runtime bloom prunes the fact side BEFORE the join shuffle")(p =>
       // the dim-key bloom is probed in the fact scan subtree (might_contain)
       // and built by a runtime subquery (bloom_filter_agg); the join itself

@@ -583,4 +583,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cov(2L) == ((13L, 10L, 10.0 / 13)))
     assert((100L to 117L).forall(cov(_)._2 == 0L))
   }
+
+  test("globalOrdinal: partition-count invariant and equal to the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.Ordinals
+    val df = spark.range(0, 5000).selectExpr("(id * 2654435761) % 100003 AS k", "id AS payload")
+      .filter(col("k").isNotNull)
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select("k", "payload", "ordinal").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val via4 = rows(Ordinals.globalOrdinal(df, col("k"), 4))
+    val via9 = rows(Ordinals.globalOrdinal(df, col("k"), 9))
+    val viaWindow = rows(df.withColumn("ordinal",
+      row_number().over(Window.orderBy(col("k"))).cast("long")))
+    assert(via4 == viaWindow, "range+offset ordinals must equal the global-sort window")
+    assert(via9 == viaWindow, "ordinals must be invariant to the partition count")
+    // the ranged stage the operator rides carries a range exchange, never
+    // the window's all-to-one SinglePartition sort
+    val stage = Ordinals.rangedStage(df, col("k"), 4)
+      .queryExecution.executedPlan.toString
+    assert(stage.contains("rangepartitioning(k"), stage)
+    assert(!stage.contains("SinglePartition"), stage)
+  }
 }
