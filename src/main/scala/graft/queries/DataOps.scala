@@ -457,6 +457,36 @@ object DataOps {
     """SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS ordinal
       |FROM documents ORDER BY ordinal""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** Distributed NTILE: equal-frequency corpus sharding (the "split the
+    * dataset into n equal chunks by key order" primitive) without the
+    * all-to-one sort NTILE's window plans. Built from q180's range-exchange
+    * ordinals plus NTILE's exact integer arithmetic: with N rows, n tiles,
+    * q = N div n and r = N mod n, the first r tiles hold q+1 rows —
+    *   tile(o) = ceil(o / (q+1))                     for o ≤ r(q+1)
+    *   tile(o) = r + ceil((o − r(q+1)) / q)          otherwise
+    * The oracle is the literal NTILE(10) window, so the hash gate holds the
+    * arithmetic to the exact window semantics, ties-to-first included. */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    val n = 10
+    val ord = graft.ops.Ordinals.globalOrdinal(
+      Tables.documents(s, d).select(col("doc_id")), col("doc_id"), partitions = 8)
+    val cnt = ord.agg(count(lit(1)).as("N"))
+    val q = floor(col("N") / n)
+    val r = col("N") % n
+    ord.crossJoin(broadcast(cnt))
+      .withColumn("tile",
+        when(col("ordinal") <= r * (q + lit(1)),
+             floor((col("ordinal") - 1) / (q + lit(1))) + 1)
+          .otherwise(r + floor((col("ordinal") - r * (q + lit(1)) - 1) / q) + 1)
+          .cast("long"))
+      .select(col("doc_id"), col("tile"))
+      .orderBy(col("doc_id"))
+  }
+  val q181Sql: String =
+    """SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS tile
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q178
   /** Runtime bloom-filter semi-join reduction: the selective dim filter is
     * pushed into the FACT side as a bloom membership test BEFORE the join
@@ -504,6 +534,7 @@ object DataOps {
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q178_bloom_prune_join" -> ((q178 _, Some(q178Sql))),
     "q180_global_ordinal" -> ((q180 _, Some(q180Sql))),
+    "q181_distributed_ntile" -> ((q181 _, Some(q181Sql))),
     "q129_incremental_agg" -> ((q129 _, Some(q129Sql))),
     "q125_temperature_mixing" -> ((q125 _, Some(q125Sql))),
     "q126_epoch_shuffle"  -> ((q126 _, Some(q126Sql))),
