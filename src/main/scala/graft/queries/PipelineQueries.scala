@@ -304,6 +304,47 @@ object PipelineQueries {
       |  (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events) - 16 * 60 * 1000000
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** Stream-stream FULL OUTER interval join — both directions of q179's
+    * eviction semantics at once: unmatched LEFT rows null-extend when the
+    * watermark clears their forward window, unmatched RIGHT rows when it
+    * clears their backward window. The horizon guard therefore applies to
+    * WHICHEVER side is present (COALESCE on both orders): a row below the
+    * cutoff has its outer fate decided, and a matched pair is kept only if
+    * both endpoints are below it — the same row-level predicate applied to
+    * the same join-result multiset on both engines, so the emitted prefix
+    * equals the batch FULL JOIN exactly. */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    val maxUs = Tables.events(s, d).agg(max(col("ts_us"))).head().getLong(0)
+    val cutoffUs = maxUs - 16L * 60L * 1000000L
+    val aUs = unix_micros(col("a_ts"))
+    val bUs = unix_micros(col("b_ts"))
+    graft.streaming.Streaming.intervalJoinOuterOnce(streamSession(s), d,
+        withinMinutes = 5, joinType = "fullOuter",
+        queryName = s"graft_q182_${java.lang.Integer.toHexString(d.hashCode)}")
+      .filter(coalesce(aUs, bUs) <= cutoffUs && coalesce(bUs, aUs) <= cutoffUs)
+      .select(col("a_id"), col("b_id"),
+              coalesce(col("a_user"), col("b_user")).as("user_id"),
+              aUs.as("a_ts_us"), bUs.as("b_ts_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val q182Sql: String =
+    """WITH m AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 16 * 60 * 1000000 AS cut
+      |           FROM events)
+      |SELECT a.event_id AS a_id, b.event_id AS b_id,
+      |  COALESCE(a.user_id, b.user_id) AS user_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS a_ts_us,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS b_ts_us
+      |FROM events a FULL JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id <> b.event_id
+      |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES
+      |WHERE COALESCE(epoch_us(CAST(a.ts AS TIMESTAMP)),
+      |               epoch_us(CAST(b.ts AS TIMESTAMP))) <= (SELECT cut FROM m)
+      |  AND COALESCE(epoch_us(CAST(b.ts AS TIMESTAMP)),
+      |               epoch_us(CAST(a.ts AS TIMESTAMP))) <= (SELECT cut FROM m)
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Within-watermark streaming dedup ON THE ORACLE BOARD: events staged
     * into three files → three micro-batches (maxFilesPerTrigger=1), so
@@ -512,6 +553,7 @@ object PipelineQueries {
     "q77_partition_pruning"  -> ((q77 _, Some(q77Sql))),
     "q81_stream_interval_join" -> ((q81 _, Some(q81Sql))),
     "q179_stream_outer_join" -> ((q179 _, Some(q179Sql))),
+    "q182_stream_full_outer_join" -> ((q182 _, Some(q182Sql))),
     "q82_stream_dedup_watermark" -> ((q82 _, Some(q82Sql))),
     "q87_stream_span_merge" -> ((q87 _, Some(q87Sql))),
     "q83_csv_roundtrip"  -> ((q83 _, Some(q83Sql))),

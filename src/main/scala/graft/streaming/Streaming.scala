@@ -150,15 +150,24 @@ object Streaming {
     * is the same one a production job lives with: an outer result is only
     * final once the watermark says no future match can arrive. */
   def intervalJoinLeftOuterOnce(spark: SparkSession, dir: String, withinMinutes: Int,
-                                queryName: String = "graft_ssjoin_lo"): DataFrame = {
+                                queryName: String = "graft_ssjoin_lo"): DataFrame =
+    intervalJoinOuterOnce(spark, dir, withinMinutes, "leftOuter", queryName)
+
+  /** Drive an OUTER interval join ("leftOuter" | "fullOuter") over the
+    * static snapshot; same eviction-horizon caveat as the left-outer doc
+    * above — for fullOuter it applies to BOTH sides (a right-outer null row
+    * is final only once the watermark clears ITS window too). */
+  def intervalJoinOuterOnce(spark: SparkSession, dir: String, withinMinutes: Int,
+                            joinType: String,
+                            queryName: String = "graft_ssjoin_out"): DataFrame = {
     def stage(): String = {
-      val staged = java.nio.file.Files.createTempDirectory("graft_ssjoin_lo_src")
+      val staged = java.nio.file.Files.createTempDirectory("graft_ssjoin_out_src")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
       staged.toString
     }
-    val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes, joinType = "leftOuter")
+    val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes, joinType)
       .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop()
