@@ -531,7 +531,46 @@ object DataOps {
       |WHERE p_type = 'PROMO'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  /** Count-min-sketch heavy-key prefilter: find the activity buckets holding
+    * ≥ 1/64 of all events WITHOUT shuffling the light keys. Pass 1 builds a
+    * 4×16 count-min sketch (one scan, sketch-sized exchange); pass 2 probes
+    * it as a literal codegen expression on the scan side, so only rows whose
+    * ESTIMATED frequency clears the threshold enter the group-by exchange —
+    * the q178 bloom slot, thresholded on frequency instead of membership.
+    * CM estimates never undercount, so every truly-heavy key survives the
+    * prefilter intact (the probe is per-key constant — all-or-nothing per
+    * key), and the exact recount afterwards rejects the collision-inflated
+    * light keys: the output is EXACT, which is why the oracle can state it
+    * as a plain GROUP BY ... HAVING. Width 16 < 17 live keys forces real
+    * collisions — the sketch is exercised, not vacuous.
+    *
+    * The key derives a geometric (power-law-like) activity distribution
+    * deterministically from event_id — `length(bin(x)) - 1` is floor(log2 x)
+    * in exact integer arithmetic (both engines agree character-for-
+    * character), so bucket k carries ~2^k/65536 of the mass: the hot-user
+    * shape CM exists for, reproducible in DuckDB. */
+  private def q183Key(c: Column): Column =
+    (length(bin(lit(1) + pmod(c, lit(65536)))) - 1).cast("long")
+
+  def q183(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(q183Key(col("event_id")).as("bucket"))
+    val sk = graft.ops.CountMin.build(ev, col("bucket"), depth = 4, width = 16)
+    ev.filter(sk.estimate(col("bucket")) * 64 >= sk.total)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 64 >= sk.total)
+      .orderBy(col("bucket"))
+  }
+  val q183Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(length(bin(1 + (event_id % 65536))) - 1 AS BIGINT) AS bucket
+      |  FROM events)
+      |SELECT bucket, COUNT(*) AS cnt FROM b
+      |GROUP BY bucket HAVING COUNT(*) * 64 >= (SELECT COUNT(*) FROM b)
+      |ORDER BY bucket""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q183_countmin_prefilter" -> ((q183 _, Some(q183Sql))),
     "q178_bloom_prune_join" -> ((q178 _, Some(q178Sql))),
     "q180_global_ordinal" -> ((q180 _, Some(q180Sql))),
     "q181_distributed_ntile" -> ((q181 _, Some(q181Sql))),

@@ -606,4 +606,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stage.contains("rangepartitioning(k"), stage)
     assert(!stage.contains("SinglePartition"), stage)
   }
+
+  test("count-min: never undercounts, honors the ε·N bound, prefilter is exact") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.CountMin
+    // skewed long-key stream: key k appears ~floor(4000/(k+1)) times
+    // (harmonic, Zipf-ish), 200 distinct keys, N ≈ 4000·H(200)
+    val df = spark.range(0, 200).selectExpr("id AS k", "CAST(floor(4000 / (id + 1)) AS INT) AS reps")
+      .selectExpr("explode(array_repeat(k, reps)) AS k")
+      .repartition(7) // arbitrary layout: the sketch must not care
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+
+    val sk = CountMin.build(df, col("k"), depth = 4, width = 64)
+    assert(sk.total == n, "row 0 must sum to the observation count")
+    val est = spark.range(0, 200).toDF("k")
+      .select(col("k"), sk.estimate(col("k")).as("est")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided guarantee: estimate >= true, always
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"undercount at key $k: est ${est(k)} < true $c")
+    }
+    // CM bound: est <= true + ε·N with ε = e/width, per-key w.h.p.; assert
+    // it for every key — deterministic here since data and hashes are fixed
+    val eps = math.E / 64
+    exact.foreach { case (k, c) =>
+      assert(est(k) <= c + (eps * n).toLong + 1,
+        s"key $k: est ${est(k)} vs true $c breaks the ε·N bound")
+    }
+    // the q183 pattern: estimate-prefilter then exact recount == plain
+    // groupBy-having, for any threshold (prefilter is per-key all-or-nothing
+    // and never drops a heavy key)
+    val t = n / 100
+    val got = df.filter(sk.estimate(col("k")) >= t)
+      .groupBy("k").count().filter(col("count") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.filter(_._2 >= t).toSet
+    assert(got == want, "prefiltered recount must equal the exact heavy-key set")
+  }
 }
