@@ -2131,7 +2131,41 @@ object AnalyticsOps {
       |  r.range % 64 AS bucket
       |FROM range(0, 150) r ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE` → UnionLoop): document
+    * revision lineage — every sampled doc walks its parent chain
+    * (parent = doc_id div 2, a deterministic binary-tree lineage) up to the
+    * root, emitting (root, ancestor, depth). DuckDB states the identical
+    * WITH RECURSIVE, so the hash gate proves Spark's brand-new fixpoint
+    * operator against an independent recursive engine. The manual
+    * frontier-loop twin is q172's bounded BFS — this is the declarative
+    * face of the same iterate-to-fixpoint capability, with the engine
+    * (not driver code) owning the loop.
+    *
+    * Scale shape: each recursion step is a projection+filter over the
+    * previous step's output only (no rescan of the base table, no join);
+    * depth is log2(max doc_id) ≈ 20 at 100 TB doc counts — far under the
+    * engine's recursion ceiling, with frontier size shrinking nothing but
+    * never growing (|step k| ≤ |roots|). Integer `div` keeps both engines
+    * character-exact. */
+  def q184(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""WITH RECURSIVE anc AS (
+         |  SELECT doc_id AS root, doc_id AS node, 0 AS depth
+         |  FROM parquet.`$d/documents.parquet` WHERE doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT root, node div 2, depth + 1 FROM anc WHERE node > 0)
+         |SELECT root, node, depth FROM anc ORDER BY root, depth""".stripMargin)
+  val q184Sql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT doc_id AS root, doc_id AS node, 0 AS depth
+      |  FROM documents WHERE doc_id % 97 = 0
+      |  UNION ALL
+      |  SELECT root, node // 2, depth + 1 FROM anc WHERE node > 0)
+      |SELECT root, node, depth FROM anc ORDER BY root, depth""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q184_recursive_lineage" -> ((q184 _, Some(q184Sql))),
     "q173_group_quantile_gate" -> ((q173 _, Some(q173Sql))),
     "q177_store_write_roundtrip" -> ((q177 _, Some(q177Sql))),
     "q175_analyze_stats"    -> ((q175 _, Some(q175Sql))),
