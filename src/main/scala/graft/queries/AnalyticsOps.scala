@@ -2164,7 +2164,62 @@ object AnalyticsOps {
       |  SELECT root, node // 2, depth + 1 FROM anc WHERE node > 0)
       |SELECT root, node, depth FROM anc ORDER BY root, depth""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Chi-squared independence audit between two categorical columns
+    * (lang × source) — the drift/association test a curation pipeline runs
+    * to catch "this source only feeds one language" skew before it biases a
+    * mixture. Per-cell contribution (obs − exp)²/exp over the FULL
+    * contingency grid — absent (lang, source) cells still carry expected
+    * mass, so the grid is completed by crossing the margins and left-joining
+    * the observed counts (a 1 row in a real corpus would silently deflate
+    * the statistic otherwise).
+    *
+    * Exactness: margins and N are integer; exp = CAST(rt·ct AS DOUBLE)/N and
+    * the cell term are the same IEEE op sequence in both engines (squaring
+    * by multiplication, never pow); each cell quantizes to DECIMAL(18,8)
+    * before the per-lang sum — the repo's order-independent cross-engine
+    * sum. No transcendentals anywhere.
+    *
+    * Scale shape: one groupBy over the corpus builds the observed cells;
+    * everything after is margin-sized (|langs| × |sources|) and broadcast —
+    * the statistic costs one aggregation regardless of corpus size. */
+  def q185(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val obs = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rt  = obs.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct  = obs.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val expCol = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    rt.crossJoin(broadcast(ct)).crossJoin(broadcast(tot))
+      .join(broadcast(obs), Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("exp", expCol)
+      .withColumn("cell",
+        ((col("o").cast("double") - col("exp")) * (col("o").cast("double") - col("exp"))
+          / col("exp")).cast(DecimalType(18, 8)))
+      .groupBy(col("lang"))
+      .agg(sum(col("o")).as("n_docs"), sum(col("cell")).cast("double").as("chi2"))
+      .orderBy(col("lang"))
+  }
+  val q185Sql: String =
+    """WITH obs AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY 1),
+      |ct AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS n FROM obs),
+      |grid AS (
+      |  SELECT rt.lang, ct.source, coalesce(obs.o, 0) AS o,
+      |    CAST(rt.rt * ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE) AS exp
+      |  FROM rt CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source)
+      |SELECT lang, CAST(SUM(o) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST((CAST(o AS DOUBLE) - exp) * (CAST(o AS DOUBLE) - exp) / exp
+      |       AS DECIMAL(18,8))) AS DOUBLE) AS chi2
+      |FROM grid GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q185_chisq_independence" -> ((q185 _, Some(q185Sql))),
     "q184_recursive_lineage" -> ((q184 _, Some(q184Sql))),
     "q173_group_quantile_gate" -> ((q173 _, Some(q173Sql))),
     "q177_store_write_roundtrip" -> ((q177 _, Some(q177Sql))),
