@@ -37,4 +37,31 @@ object Ordinals {
     * contract is `rangepartitioning(key, n)` with NO SinglePartition. */
   def rangedStage(df: DataFrame, key: Column, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+
+  /** Global INCLUSIVE prefix sum of a long column in total key order — the
+    * `SUM(v) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)` semantics without
+    * the window's all-to-one exchange. Same two-pass scheme as
+    * `globalOrdinal`: range exchange + local sort, a lightweight job reduces
+    * each partition to ONE subtotal, the scanned subtotals become
+    * per-partition starting offsets, and a map pass folds offset + local
+    * running sum. Requires a TOTAL key order (unique keys), as any
+    * order-dependent scan does. Appends `running` (LongType). */
+  def globalPrefixSum(df: DataFrame, key: Column, valueCol: String, partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+    val idx = ranged.schema.fieldIndex(valueCol)
+    val rdd = ranged.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator.single(i -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = ranged.schema.add("running", LongType, nullable = false)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(idx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

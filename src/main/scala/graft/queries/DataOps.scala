@@ -569,7 +569,42 @@ object DataOps {
       |GROUP BY bucket HAVING COUNT(*) * 64 >= (SELECT COUNT(*) FROM b)
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** Compaction planner: pack a small-file inventory into fixed-capacity
+    * output bins in key order — the maintenance pass that turns a 100 TB
+    * table's millions of drip-fed small files into target-sized ones. The
+    * plan is "concatenate in key order, cut every T bytes": a file's bin is
+    * its cumulative START offset div T, which needs a global running sum —
+    * computed here with `Ordinals.globalPrefixSum` (range exchange + one
+    * subtotal per partition + offset fold) instead of the window
+    * formulation's all-to-one sort, while the oracle states the same plan
+    * AS that window (`SUM ... ROWS UNBOUNDED PRECEDING`), so the hash gate
+    * proves the distributed scan-sum equals the declarative semantics.
+    * T = 2^14 keeps the div exact in both engines' integer arithmetic.
+    *
+    * Scale shape: an inventory is metadata (one row per FILE, not per
+    * record) — but at 100 TB that is still tens of millions of rows, past
+    * the single-task window sort this formulation avoids. */
+  def q186(s: SparkSession, d: String): DataFrame = {
+    val inv = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.ops.Ordinals.globalPrefixSum(inv, col("doc_id"), "n_chars", partitions = 8)
+      .withColumn("bin", expr("(running - n_chars) div 16384"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"))
+      .orderBy(col("bin"))
+  }
+  val q186Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM documents)
+      |SELECT CAST(start // 16384 AS BIGINT) AS bin, COUNT(*) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS bytes
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q186_compaction_bins" -> ((q186 _, Some(q186Sql))),
     "q183_countmin_prefilter" -> ((q183 _, Some(q183Sql))),
     "q178_bloom_prune_join" -> ((q178 _, Some(q178Sql))),
     "q180_global_ordinal" -> ((q180 _, Some(q180Sql))),

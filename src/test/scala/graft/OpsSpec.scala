@@ -607,6 +607,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!stage.contains("SinglePartition"), stage)
   }
 
+  test("globalPrefixSum: equals the window running sum, partition-count invariant") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.Ordinals
+    val df = spark.range(0, 3000).selectExpr("(id * 2654435761) % 100003 AS k", "id % 97 AS v")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select("k", "v", "running").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val via3 = rows(Ordinals.globalPrefixSum(df, col("k"), "v", 3))
+    val via8 = rows(Ordinals.globalPrefixSum(df, col("k"), "v", 8))
+    val viaWindow = rows(df.withColumn("running",
+      sum(col("v")).over(Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0))))
+    assert(via3 == viaWindow, "scan-sum must equal the window running sum")
+    assert(via8 == viaWindow, "prefix sums must be invariant to the partition count")
+  }
+
   test("count-min: never undercounts, honors the ε·N bound, prefilter is exact") {
     import org.apache.spark.sql.functions._
     import graft.ops.CountMin
