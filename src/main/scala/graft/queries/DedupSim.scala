@@ -2109,7 +2109,91 @@ object DedupSim {
       |FROM p WHERE inter * 5 >= uni * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+  /** Scalar-quantized (SQ8) ANN with symmetric INTEGER distance — the
+    * fourth index family next to LSH buckets (q29), IVF multi-probe (q59)
+    * and PQ/ADC (q91): every vector compresses 4× to one int8 code per
+    * dimension on a fixed affine grid over [-1, 1) (the "trained" range
+    * frozen as a literal, like q109's classifier weights), and candidates
+    * rank by the centered-code dot product Σ (qcᵢ−128)(cᵢ−128) — ALL-
+    * INTEGER arithmetic, the SIMD-friendly kernel real SQ8 deployments run,
+    * and character-exact across engines by construction (the only FP ops
+    * are the grid's x→floor((x+1)·128), identical IEEE in both). Evaluated
+    * q106-style: SQ8 top-3 per query vs exact-cosine top-3 → hits +
+    * recall@3, so the board row measures precisely what quantization loses.
+    *
+    * Scale shape: codes are 64 bytes/vector (4× less scan than f32); the
+    * row_number top-k is auto-rewritten to the TopKPerGroup bounded heap
+    * (WindowTopKRewrite), so no full-corpus per-query sort materializes. */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    val codeExpr =
+      "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 128.0d) AS BIGINT))"
+    val emb = Tables.embeddings(s, d)
+    val enc = emb.select(col("vec_id"), expr(codeExpr).as("code"))
+    val qsC = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val approx = enc.join(broadcast(qsC), col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qc, code, (a, b) -> (a - 128L) * (b - 128L)), 0L, (s, v) -> s + v)"))
+      .withColumn("rnk", row_number().over(wA)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val qsF = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = emb.join(broadcast(qsF), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wE)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_at_3", col("hits").cast("double") / 3.0)
+      .orderBy(col("q_id"))
+  }
+  val q187Sql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""WITH enc AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 128.0) AS BIGINT)) AS code
+       |  FROM embeddings),
+       |ap AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> (q.code[i] - 128) * (e.code[i] - 128)), (a,b) -> a+b) AS score
+       |  FROM enc e JOIN enc q ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |aq AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, vec_id) AS rnk FROM ap) WHERE rnk <= 3),
+       |ep AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    ${fold("q.embedding", "e.embedding")} AS dot,
+       |    ${fold("q.embedding", "q.embedding")} AS nq,
+       |    ${fold("e.embedding", "e.embedding")} AS nc
+       |  FROM embeddings e JOIN embeddings q
+       |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |    FROM ep) WHERE rnk <= 3),
+       |h AS (
+       |  SELECT ex.q_id, COUNT(*) AS hits FROM ex
+       |  JOIN aq ON ex.q_id = aq.q_id AND ex.vec_id = aq.vec_id
+       |  GROUP BY ex.q_id)
+       |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN h USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q187_sq8_recall" -> ((q187 _, Some(q187Sql))),
     "q111_delta_ingest_dedup" -> ((q111 _, Some(q111Sql))),
     "q113_editdist_verify"  -> ((q113 _, Some(q113Sql))),
     "q121_triangle_count"   -> ((q121 _, Some(q121Sql))),
