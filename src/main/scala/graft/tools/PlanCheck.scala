@@ -449,6 +449,24 @@ object PlanCheck {
         (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
         !p.contains("BroadcastHashJoin"))
 
+    check("q183_countmin_prefilter", "sketch probe is a codegen filter below the agg exchange")(p =>
+      // the count-min probe compiles to least(element_at(<literal>, pmod(xxhash64 ...)))
+      // inside a Filter on the scan side — no join, no second pass over data
+      p.contains("least(") && p.contains("xxhash64") && !p.contains("Join") &&
+        p.contains("partial_count"))
+    check("q184_recursive_lineage", "recursive CTE plans the engine's fixpoint loop, no cartesian")(p =>
+      p.contains("UnionLoop") && !p.contains("CartesianProduct"))
+    check("q185_chisq_independence", "margins broadcast onto the grid; corpus aggregated once")(p =>
+      p.contains("partial_count") && !p.contains("SortMergeJoin") &&
+        // the only joins are margin-sized broadcasts (incl. the deliberate
+        // |langs|x|sources| broadcast cross of the two margin tables)
+        p.contains("BroadcastHashJoin"))
+    check("q186_compaction_bins", "prefix sum rides the scan-sum pass, not a global window sort")(p =>
+      !p.contains("Window ") && !p.contains("SinglePartition") &&
+        p.contains("partial_count"))
+    check("q187_sq8_recall", "both rankings capped by the bounded heap; no full sort per query")(p =>
+      p.contains("TopKPerGroupPartial") && !p.contains("CartesianProduct"))
+
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
     // (q77's layout) joined to a FILTERED tiny dim on the partition column
