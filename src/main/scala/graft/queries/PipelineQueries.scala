@@ -544,7 +544,40 @@ object PipelineQueries {
       |WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** transformWithState (Spark 4's arbitrary-state streaming API) on the
+    * oracle board: per-user cumulative billing with threshold-crossing
+    * alerts — a named ValueState[Long] holds integer cents across triggers
+    * on the MANDATED RocksDB store, and a row is emitted whenever the
+    * running total crosses another multiple of 1000.00. Integer cents
+    * (floor(value·100) — floor because DuckDB rounds double→BIGINT casts
+    * while Spark truncates) and the pinned (ts, event_id) fold order make
+    * every emitted row oracle-exact: the DuckDB twin is the running-sum
+    * window with the crossing predicate cum div T > (cum−cents) div T.
+    * Cross-trigger state carry is proven separately in OpsSpec (two files
+    * arriving after start → two micro-batches, same output). */
+  def q188(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.billingAlertsOnce(streamSession(s), d,
+      thresholdCents = 100000L,
+      queryName = s"graft_q188_${java.lang.Integer.toHexString(d.hashCode)}")
+      .select(col("user_id"), col("event_id"), col("k"), col("cum_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  val q188Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, cents,
+      |    SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS cum
+      |  FROM e)
+      |SELECT user_id, event_id, CAST(cum // 100000 AS BIGINT) AS k,
+      |  CAST(cum AS BIGINT) AS cum_cents
+      |FROM r WHERE cum // 100000 > (cum - cents) // 100000
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q188_stream_threshold_alerts" -> ((q188 _, Some(q188Sql))),
     "q30_audio_pipeline_e2e" -> ((q30 _, Some(q30Sql))),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),
     "q32_stream_window_agg"  -> ((q32 _, Some(q32Sql))),

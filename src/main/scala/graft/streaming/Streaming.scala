@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming ingest mode (SURVEY §2.8 north-star extension): the
@@ -382,6 +383,87 @@ object Streaming {
       .format("memory")
       .queryName(queryName)
       .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  // ------------------------------------------------------------------
+  // transformWithState (Spark 4's arbitrary-state API, the successor to
+  // flatMapGroupsWithState): typed per-key state primitives (ValueState /
+  // ListState / MapState) resolved from a handle by NAME, so one processor
+  // can hold several independently-evolvable state variables — and the
+  // runtime requires the RocksDB provider, i.e. state lives off-heap on
+  // disk from the start, the 100 TB posture. Exercised here with the
+  // billing-threshold alert: per key, a cumulative integer-cents counter,
+  // emitting a row whenever the running total crosses another multiple of
+  // the threshold. Integer cents + a pinned (ts, event_id) fold order make
+  // every emitted row oracle-exact — unlike a double accumulator, whose
+  // arrival-order sums q87 had to exclude from its gate.
+  // ------------------------------------------------------------------
+
+  final case class BillEvent(user_id: Long, event_id: Long, ts_us: Long, cents: Long)
+  final case class BillCrossing(user_id: Long, event_id: Long, k: Long, cum_cents: Long)
+
+  /** Threshold-crossing processor: ValueState[Long] cumulative cents.
+    * Within a trigger the key's slice folds in (ts_us, event_id) order
+    * (bounded by the trigger — cap with maxFilesPerTrigger, the q87
+    * contract); across triggers the state carries the running total. */
+  final class ThresholdProcessor(thresholdCents: Long)
+      extends StatefulProcessor[Long, BillEvent, BillCrossing] {
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[BillEvent],
+                                 timers: TimerValues): Iterator[BillCrossing] = {
+      val sorted = rows.toArray
+      java.util.Arrays.sort(sorted,
+        Ordering.by((e: BillEvent) => (e.ts_us, e.event_id)))
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = Seq.newBuilder[BillCrossing]
+      sorted.foreach { e =>
+        val before = c
+        c += e.cents
+        if (c / thresholdCents > before / thresholdCents)
+          out += BillCrossing(key, e.event_id, c / thresholdCents, c)
+      }
+      cum.update(c)
+      out.result().iterator
+    }
+  }
+
+  /** The unbounded billing-alert stream. cents = floor(value·100): floor,
+    * not cast — DuckDB rounds double→BIGINT casts while Spark truncates,
+    * and floor is the one op both engines state identically. */
+  def billingAlertsStream(spark: SparkSession, streamDir: String,
+                          thresholdCents: Long): Dataset[BillCrossing] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .as[BillEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ThresholdProcessor(thresholdCents),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Drive the alert stream over the static snapshot (single trigger, q87
+    * protocol). transformWithState mandates the RocksDB state store — set
+    * on this session only (callers pass a dedicated child session). */
+  def billingAlertsOnce(spark: SparkSession, dir: String, thresholdCents: Long,
+                        queryName: String = "graft_billing"): DataFrame = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val staged = java.nio.file.Files.createTempDirectory("graft_billing_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = billingAlertsStream(spark, staged.toString, thresholdCents)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
