@@ -664,6 +664,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("statestore reader: q188's RocksDB ValueState reads back as the exact per-user totals") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streaming
+    // the ops-debugging loop at 100 TB: after (or during) a run, open the
+    // checkpoint with the `statestore` source and audit the state variables
+    // directly — no re-execution, no instrumented build
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft_ssr_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr_ckpt").toString
+    val q = Streaming.billingAlertsStream(s2, staged.toString, thresholdCents = 100000L)
+      .writeStream.outputMode("append").format("memory").queryName("ssr_spec")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val state = s2.read.format("statestore")
+      .option("stateVarName", "cum")
+      .load(ckpt)
+      .select(col("key.value").as("user_id"), col("value.value").as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = s2.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == want,
+      s"state read-back must equal the exact per-user cents totals (got ${state.size} keys)")
+  }
+
   test("count-min: never undercounts, honors the ε·N bound, prefilter is exact") {
     import org.apache.spark.sql.functions._
     import graft.ops.CountMin
