@@ -2218,7 +2218,45 @@ object AnalyticsOps {
       |       AS DECIMAL(18,8))) AS DOUBLE) AS chi2
       |FROM grid GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Storage-partitioned join (SPJ) through the DSv2 connector: two
+    * key-grouped GenSource tables (one split per `bucket` value, each split
+    * tagged with its partition key, the scan reporting
+    * KeyGroupedPartitioning) join on `bucket` with NO exchange on either
+    * side — the storage layout satisfies the join's distribution, negotiated
+    * through the connector API. This is the Iceberg-style co-located
+    * fact-fact join at 100 TB: q114 buys it with Spark's bucketed-table
+    * writes; here the SOURCE declares it, which is how lakehouse tables
+    * advertise their layout. The post-join rollup on the same key also
+    * rides the reported partitioning (no exchange), so the only exchange in
+    * the whole plan is the presentation ORDER BY. PlanCheck demands
+    * exactly that. Broadcast is disabled on a sibling session since a
+    * broadcast join would (correctly, but uninformatively) win at this
+    * fixture size — SPJ exists for two sides too big to broadcast.
+    *
+    * The oracle states the same join over DuckDB range() — the connector's
+    * read path faces the hash gate like any parquet scan (q141 pattern). */
+  def q189(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def gen(rows: Int) = s.read.format("graft.sources.GenSource")
+      .option("rows", rows.toString).option("keyGrouped", "true").load()
+    val a = gen(6400).select(col("id").as("a_id"), col("bucket"))
+    val b = gen(640).select(col("id").as("b_id"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("a_id") + col("b_id")).as("sum_ids"))
+      .orderBy(col("bucket"))
+  }
+  val q189Sql: String =
+    """SELECT a.range % 64 AS bucket, COUNT(*) AS n_pairs,
+      |  CAST(SUM(a.range + b.range) AS BIGINT) AS sum_ids
+      |FROM range(0, 6400) a JOIN range(0, 640) b ON a.range % 64 = b.range % 64
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q189_spj_colocated_join" -> ((q189 _, Some(q189Sql))),
     "q185_chisq_independence" -> ((q185 _, Some(q185Sql))),
     "q184_recursive_lineage" -> ((q184 _, Some(q184Sql))),
     "q173_group_quantile_gate" -> ((q173 _, Some(q173Sql))),

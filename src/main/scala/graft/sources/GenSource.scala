@@ -48,7 +48,8 @@ class GenSource extends TableProvider {
     new GenTable(
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4),
-      batchRows = Option(properties.get("batchRows")).map(_.toLong).getOrElse(8192L))
+      batchRows = Option(properties.get("batchRows")).map(_.toLong).getOrElse(8192L),
+      keyGrouped = Option(properties.get("keyGrouped")).exists(_.toBoolean))
 }
 
 object GenSource {
@@ -63,17 +64,19 @@ object GenSource {
   }
 }
 
-private[sources] class GenTable(rows: Long, slices: Int, batchRows: Long)
+private[sources] class GenTable(rows: Long, slices: Int, batchRows: Long,
+                                keyGrouped: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen(rows=$rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices, batchRows)
+    new GenScanBuilder(rows, slices, batchRows, keyGrouped)
 }
 
-private[sources] class GenScanBuilder(rows: Long, slices: Int, batchRows: Long = 8192L)
+private[sources] class GenScanBuilder(rows: Long, slices: Int, batchRows: Long = 8192L,
+                                      keyGrouped: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -142,7 +145,7 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, batchRows: Long =
 
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new GenAggScan(lo, math.max(lo, hi), aggFuncs)
-    else new GenScan(lo, math.max(lo, hi), slices, required, pushed, batchRows)
+    else new GenScan(lo, math.max(lo, hi), slices, required, pushed, batchRows, keyGrouped)
 }
 
 /** Closed-form scan for a completely-pushed aggregation: one partition,
@@ -183,10 +186,28 @@ private[sources] object GenAggReaderFactory extends PartitionReaderFactory {
 
 private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
                                required: StructType, pushed: Array[Filter],
-                               batchRows: Long = 8192L)
-    extends Scan with Batch {
+                               batchRows: Long = 8192L,
+                               keyGrouped: Boolean = false)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Storage-partitioned-join face: with keyGrouped=true the scan plans ONE
+    * partition per distinct `bucket` value (each tagged via HasPartitionKey)
+    * and REPORTS KeyGroupedPartitioning(identity(bucket), 64) — so a join of
+    * two such tables on `bucket` needs no exchange on either side: the
+    * storage layout IS the distribution, negotiated through the connector
+    * API instead of assumed (the DSv2 analog of q114's bucketed tables; at
+    * 100 TB this is Iceberg-style co-located fact-fact joins). Reported only
+    * while `bucket` survives column pruning — a clustering key the reader
+    * won't emit cannot satisfy any distribution. */
+  private def keyGroupedActive: Boolean =
+    keyGrouped && required.fieldNames.contains("bucket")
+  override def outputPartitioning(): partitioning.Partitioning =
+    if (keyGroupedActive)
+      new partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("bucket")), 64)
+    else new partitioning.UnknownPartitioning(math.max(1, slices))
   /** The same generator as a STREAMING source: the id line is the offset
     * axis — each trigger admits the next `batchRows` ids as one
     * micro-batch until the table is exhausted, after which latestOffset
@@ -205,6 +226,12 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
       s"pushed=${pushed.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (keyGroupedActive) {
+      // one partition per bucket value, ALL 64 present (possibly empty) so
+      // both sides of a co-located join expose identical partition values
+      return (0L until 64L).map(b =>
+        GenBucketPartition(b, lo, hi, required.fieldNames): InputPartition).toArray
+    }
     val n = math.max(1, slices)
     val span = hi - lo
     (0 until n).map { i =>
@@ -217,6 +244,16 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
 
 private[sources] case class GenPartition(start: Long, end: Long,
                                          cols: Array[String]) extends InputPartition
+
+/** A key-grouped split: every id in [start, end) with id % 64 == bucket.
+  * `partitionKey` is how the engine learns which bucket this split holds —
+  * the contract KeyGroupedPartitioning grouping rides on. */
+private[sources] case class GenBucketPartition(bucket: Long, start: Long, end: Long,
+                                               cols: Array[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 private[sources] case class GenOffset(pos: Long) extends Offset {
   override def json(): String = pos.toString
@@ -259,18 +296,26 @@ private[sources] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
 }
 
 private[sources] object GenReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GenPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GenPartition       => rangeReader(p.start, p.end, step = 1L, p.cols)
+      case p: GenBucketPartition =>
+        // first id >= start on this bucket's residue line, then stride 64
+        val first = p.start + java.lang.Math.floorMod(p.bucket - p.start, 64L)
+        rangeReader(first, p.end, step = 64L, p.cols)
+    }
+
+  private def rangeReader(start: Long, end: Long, step: Long,
+                          cols: Array[String]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
+      private var cur = start - step
+      override def next(): Boolean = { cur += step; cur < end }
       override def get(): InternalRow =
-        new GenericInternalRow(p.cols.map {
+        new GenericInternalRow(cols.map {
           case "id"     => cur: java.lang.Long
           case "h"      => UTF8String.fromString(GenSource.md5Hex(cur.toString))
           case "bucket" => (cur % 64): java.lang.Long
         }.asInstanceOf[Array[Any]])
       override def close(): Unit = ()
     }
-  }
 }

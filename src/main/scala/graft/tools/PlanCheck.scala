@@ -466,6 +466,12 @@ object PlanCheck {
         p.contains("partial_count"))
     check("q187_sq8_recall", "both rankings capped by the bounded heap; no full sort per query")(p =>
       p.contains("TopKPerGroupPartial") && !p.contains("CartesianProduct"))
+    check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
+      // the join and the bucket rollup both ride the connector's reported
+      // KeyGroupedPartitioning — the only exchange left is the ORDER BY's
+      // range partitioning
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
+        !p.contains("hashpartitioning") && !p.contains("BroadcastHashJoin"))
 
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus

@@ -144,4 +144,46 @@ class GenSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ids 100..199: bucket 3 hits at 131 and 195
     assert(n == 2L)
   }
+
+  private def genKeyed(rows: Long) = spark.read.format("graft.sources.GenSource")
+    .option("rows", rows.toString).option("keyGrouped", "true").load()
+
+  test("key-grouped scan: same rowset as the sliced scan, pushdown composes") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "h", "bucket").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(genKeyed(500)) == rows(gen(500, 4)),
+      "bucket-residue readers must enumerate exactly the id line")
+    // folded id bounds apply inside each bucket's stride walk
+    assert(rows(genKeyed(1000).filter(col("id") >= 100L && col("id") < 200L)) ==
+      rows(gen(1000, 4).filter(col("id") >= 100L && col("id") < 200L)))
+    // fewer rows than buckets: empty splits are planned, none invent rows
+    assert(genKeyed(10).count() == 10L)
+  }
+
+  test("storage-partitioned join: co-located DSv2 join plans no exchange") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def g(rows: Long) = s.read.format("graft.sources.GenSource")
+      .option("rows", rows.toString).option("keyGrouped", "true").load()
+    val joined = g(6400).select(col("id").as("a_id"), col("bucket"))
+      .join(g(640).select(col("id").as("b_id"), col("bucket")), Seq("bucket"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(25).mkString("\n"))
+    // and the result is the arithmetic truth: per bucket 100 x 10 pairs
+    assert(joined.count() == 64L * 100L * 10L)
+    // with v2 bucketing OFF (it defaults on in Spark 4) the same join
+    // shuffles — the layout negotiation is what removes the exchange, not
+    // fixture luck
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def g2(rows: Long) = s2.read.format("graft.sources.GenSource")
+      .option("rows", rows.toString).option("keyGrouped", "true").load()
+    val shuffled = g2(6400).select(col("id").as("a_id"), col("bucket"))
+      .join(g2(640).select(col("id").as("b_id"), col("bucket")), Seq("bucket"))
+      .queryExecution.executedPlan.toString
+    assert(shuffled.contains("Exchange"), shuffled.linesIterator.take(25).mkString("\n"))
+  }
 }
