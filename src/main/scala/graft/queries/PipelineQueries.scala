@@ -576,7 +576,42 @@ object PipelineQueries {
       |FROM r WHERE cum // 100000 > (cum - cents) // 100000
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** NATIVE streaming session windows on the oracle board — the engine-
+    * owned state path (session_window + watermark, append mode) next to
+    * the two hand-rolled ones (q87 flatMapGroupsWithState, q188
+    * transformWithState). Append mode withholds sessions the final
+    * watermark (max event time − 10 min) hasn't closed; the oracle states
+    * that horizon explicitly on top of q71's island decomposition — the
+    * same sessions, MINUS those whose end (last event + 30-min gap) is
+    * still above the watermark. sum_value survives the gate because each
+    * value quantizes to DECIMAL(18,6) before the order-free sum. */
+  def q190(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.sessionWindowOnce(streamSession(s), d,
+      queryName = s"graft_q190_${java.lang.Integer.toHexString(d.hashCode)}")
+      .orderBy(col("user_id"), col("start_us"))
+  val q190Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  FROM sessions GROUP BY user_id, sess_idx),
+      |wm AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS w FROM events)
+      |SELECT s.user_id, s.start_us, s.end_us, s.n_events, s.sum_value
+      |FROM sess s, wm WHERE s.end_us < wm.w
+      |ORDER BY s.user_id, s.start_us""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q190_stream_session_window" -> ((q190 _, Some(q190Sql))),
     "q188_stream_threshold_alerts" -> ((q188 _, Some(q188Sql))),
     "q30_audio_pipeline_e2e" -> ((q30 _, Some(q30Sql))),
     "q31_span_merge_events"  -> ((q31 _, Some(q31Sql))),

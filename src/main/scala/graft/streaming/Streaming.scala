@@ -388,6 +388,44 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** NATIVE streaming session windows — q71's `session_window` aggregation
+    * over an unbounded source with a watermark: the engine owns the session
+    * state (merge-on-overlap, one state row per open session), unlike the
+    * hand-rolled span-merge state of `spanMergeStream`. Append mode emits a
+    * session only once the watermark passes its end (start of first event →
+    * last event + gap), so the emitted set is deterministic for a given
+    * file sequence: every session closed at the final watermark. */
+  def sessionWindowStream(spark: SparkSession, streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Drive the session-window stream over the static snapshot (q87
+    * protocol: stage the single events file, one trigger, memory sink). */
+  def sessionWindowOnce(spark: SparkSession, dir: String,
+                        queryName: String = "graft_sesswin"): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_sesswin_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = sessionWindowStream(spark, staged.toString)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   // ------------------------------------------------------------------
   // transformWithState (Spark 4's arbitrary-state API, the successor to
   // flatMapGroupsWithState): typed per-key state primitives (ValueState /
