@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.LlmOps.defs ++
       graft.queries.DataOps.defs ++
       graft.queries.AnalyticsOps.defs ++
+      graft.queries.LayoutOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -64,4 +64,52 @@ object Ordinals {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Global EXCLUSIVE prefix max of a long column in total key order —
+    * `MAX(v) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` semantics without the window's all-to-one exchange. Same
+    * two-pass scheme as `globalPrefixSum`, with the max monoid: the range
+    * exchange orders partitions by `key`, each partition reduces to ONE
+    * local max, the scanned maxes become per-partition incoming maxes, and
+    * a map pass emits the running max BEFORE folding in the current row
+    * (exclusive — a row never sees its own value). Rows before any value is
+    * seen get NULL (the window's empty-frame semantics). `key` may carry
+    * `.desc` to fold in descending order — 2-D skyline's "best score among
+    * strictly better rows" is exactly this op on the desc-grouped axis.
+    * Appends `run_max` (LongType, nullable). */
+  def globalPrefixMaxExclusive(df: DataFrame, key: Column, valueCol: String,
+      partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+    val idx = ranged.schema.fieldIndex(valueCol)
+    val rdd = ranged.rdd
+    val partMaxes = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var m = Option.empty[Long]
+        it.foreach { r =>
+          val v = r.getLong(idx)
+          if (m.forall(_ < v)) m = Some(v)
+        }
+        Iterator.single(i -> m)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // incoming(i) = max of all partitions before i (None until one exists)
+    val incoming = partMaxes.scanLeft(Option.empty[Long]) { (acc, m) =>
+      (acc, m) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b)             => a.orElse(b)
+      }
+    }
+    val schema = ranged.schema.add("run_max", LongType, nullable = true)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = incoming(i)
+      it.map { r =>
+        val before = acc
+        val v = r.getLong(idx)
+        if (acc.forall(_ < v)) acc = Some(v)
+        Row.fromSeq(r.toSeq :+ before.map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

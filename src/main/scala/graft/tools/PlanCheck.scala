@@ -466,6 +466,26 @@ object PlanCheck {
         p.contains("partial_count"))
     check("q187_sq8_recall", "both rankings capped by the bounded heap; no full sort per query")(p =>
       p.contains("TopKPerGroupPartial") && !p.contains("CartesianProduct"))
+    check("q191_zorder_skipping", "layout audit avoids the oracle's global window sort")(p =>
+      // file assignment is globalOrdinal (range exchange + zipWithIndex,
+      // ending in LogicalRDDs here); the oracle's row_number() window —
+      // an all-to-one sort at 100 TB — must NOT appear
+      !p.contains("Window ") && !p.contains("SinglePartition"))
+    check("q192_gram_matrix", "Gram partials fold in mapPartitions; no explode blowup, no join")(p =>
+      // shuffle carries #partitions x 2080 partial rows: the object fold
+      // (SerializeFromObject) feeds a partial HashAggregate — never a
+      // Generate/explode of N x 4096 rows or a self-join
+      p.contains("SerializeFromObject") && p.contains("partial_sum") &&
+        !p.toLowerCase.contains("generate") && !p.contains("Join"))
+    check("q193_pareto_frontier", "skyline is group+prefix-max+equi-join, not the quadratic oracle")(p =>
+      // the oracle is a NOT EXISTS dominance self-join; the plan must carry
+      // neither a cartesian nor a window sort — just the grouped-table
+      // prefix pass (LogicalRDD) joined back on n_chars
+      !p.contains("CartesianProduct") && !p.contains("Window ") &&
+        !p.contains("SinglePartition"))
+    check("q194_drift_tv_bc", "drift grid is margin-sized broadcasts after one corpus aggregation")(p =>
+      p.contains("partial_count") && p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin"))
     check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
       // the join and the bucket rollup both ride the connector's reported
       // KeyGroupedPartitioning — the only exchange left is the ORDER BY's
