@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.DataOps.defs ++
       graft.queries.AnalyticsOps.defs ++
       graft.queries.LayoutOps.defs ++
+      graft.queries.GovernOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

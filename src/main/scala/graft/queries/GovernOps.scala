@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Round-7 continuation: governance and series-statistics operators — a
+  * K-ANONYMITY / L-DIVERSITY release audit over a generalization ladder
+  * (the privacy gate a dataset publication pipeline runs before shipping
+  * microdata), LAG-K AUTOCORRELATION of the daily revenue series (the
+  * seasonality detector behind forecast/anomaly jobs), per-source GINI /
+  * INVERSE-SIMPSON concentration (within-source diversity, complementing
+  * q194's cross-source drift), and a CLASSIFIER CALIBRATION audit with
+  * expected calibration error (the reliability diagram a quality-scoring
+  * pipeline publishes next to its threshold).
+  *
+  * The reference (/root/reference/process_audio.py) has no statistics or
+  * governance surface at all — these queries add the release-audit
+  * machinery a 100 TB corpus actually needs before data leaves the
+  * pipeline.
+  */
+object GovernOps {
+
+  // ---------------------------------------------------------------- q195
+  /** K-anonymity + l-diversity audit across a 3-level generalization
+    * ladder. Released microdata = orders ⋈ customer; quasi-identifiers
+    * (nation, market segment, order year) with o_orderpriority as the
+    * sensitive attribute. Levels: l0 full QI, l1 suppresses the segment,
+    * l2 generalizes nation → region. Per level: group count, minimum k,
+    * rows in groups below k=5 (the re-identification risk mass), and
+    * l-diversity violations (groups where every row shares one sensitive
+    * value).
+    *
+    * Scale shape: ONE corpus-scale aggregation builds the
+    * (QI ∪ sensitive) contingency table — (nation × segment × year ×
+    * priority) is grid-sized, not corpus-sized — and the table is
+    * localCheckpoint-materialized so every ladder level re-aggregates the
+    * GRID, never the corpus. The l2 region join is a broadcast against the
+    * 25-row nation table. All output metrics are integer counts — exact in
+    * any engine. */
+  def q195(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("sens"))
+    // one corpus pass; the ladder below only ever touches this grid
+    val cont = fact.groupBy("nat", "seg", "yr", "sens")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val reg = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"))
+    def audit(level: String, df: DataFrame, qi: Seq[String]): DataFrame = {
+      val perSens = df.groupBy((qi :+ "sens").map(col): _*)
+        .agg(sum(col("c")).as("c"))
+      val groups = perSens.groupBy(qi.map(col): _*)
+        .agg(sum(col("c")).as("k"), count(lit(1)).as("l"))
+      groups.agg(
+          sum(col("k")).cast("long").as("rows_total"),
+          count(lit(1)).as("n_groups"),
+          min(col("k")).cast("long").as("k_min"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long").as("rows_k_lt5"),
+          sum(when(col("l") < 2, 1L).otherwise(0L)).cast("long").as("groups_l1"),
+          sum(when(col("l") < 2, col("k")).otherwise(0L)).cast("long").as("rows_l1"))
+        .select(lit(level).as("level"), col("rows_total"), col("n_groups"),
+          col("k_min"), col("rows_k_lt5"), col("groups_l1"), col("rows_l1"))
+    }
+    audit("l0_nat_seg_year", cont, Seq("nat", "seg", "yr"))
+      .unionByName(audit("l1_nat_year", cont, Seq("nat", "yr")))
+      .unionByName(audit("l2_region_year",
+        cont.join(broadcast(reg), Seq("nat")), Seq("reg", "yr")))
+      .orderBy("level")
+  }
+  val q195Sql: String =
+    """WITH fact AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |         year(o_orderdate) AS yr, o_orderpriority AS sens
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cont AS (SELECT nat, seg, yr, sens, COUNT(*) AS c FROM fact GROUP BY 1,2,3,4),
+      |l0g AS (SELECT nat, seg, yr, SUM(c) AS k, COUNT(*) AS l FROM cont GROUP BY 1,2,3),
+      |l1s AS (SELECT nat, yr, sens, SUM(c) AS c FROM cont GROUP BY 1,2,3),
+      |l1g AS (SELECT nat, yr, SUM(c) AS k, COUNT(*) AS l FROM l1s GROUP BY 1,2),
+      |l2s AS (SELECT n_regionkey AS reg, yr, sens, SUM(c) AS c
+      |        FROM cont JOIN nation ON n_nationkey = nat GROUP BY 1,2,3),
+      |l2g AS (SELECT reg, yr, SUM(c) AS k, COUNT(*) AS l FROM l2s GROUP BY 1,2),
+      |m AS (
+      |  SELECT 'l0_nat_seg_year' AS level, k, l FROM l0g
+      |  UNION ALL SELECT 'l1_nat_year', k, l FROM l1g
+      |  UNION ALL SELECT 'l2_region_year', k, l FROM l2g)
+      |SELECT level, CAST(SUM(k) AS BIGINT) AS rows_total,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(k) AS BIGINT) AS k_min,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_k_lt5,
+      |  CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS groups_l1,
+      |  CAST(SUM(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT) AS rows_l1
+      |FROM m GROUP BY level ORDER BY level""".stripMargin
+
+  // ---------------------------------------------------------------- q196
+  /** Lag-k autocorrelation of the daily revenue series (lags 1–7): the
+    * weekly-seasonality detector. Pearson r between the series and its
+    * k-day shift, on exact integer cents: one corpus aggregation collapses
+    * orders to a day-grain series (≤ a few thousand rows at ANY corpus
+    * size — day grain is the scale invariant), the series is
+    * localCheckpoint-materialized, and the 7 lag pairings are broadcast
+    * self-joins of that tiny table.
+    *
+    * Cross-engine exactness: all six sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are exact DECIMAL(38,0) integer sums (HUGEINT on the
+    * oracle side); r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * evaluates in the identical operation order in both engines — decimal
+    * arithmetic is exact, the decimal→double cast, √, ×, / are each
+    * correctly rounded by IEEE contract — then quantizes to DECIMAL(18,9)
+    * for the gate. */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val series = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).cast("long").as("x"))
+      .localCheckpoint()
+    val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+    val b = series.toDF("day2", "y")
+    val dec = DecimalType(38, 0)
+    val g = series.crossJoin(broadcast(lags))
+      .withColumn("dnext", date_add(col("day"), col("lag")))
+      .join(broadcast(b), col("dnext") === col("day2"))
+      .groupBy("lag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    g.select(col("lag").cast("long").as("lag"),
+        col("n").cast("long").as("n_pairs"),
+        ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .cast(DecimalType(18, 9)).as("r"))
+      .orderBy("lag")
+  }
+  val q196Sql: String =
+    """WITH series AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
+      |pairs AS (
+      |  SELECT lags.lag AS lag, a.x AS x, b.x AS y
+      |  FROM series a CROSS JOIN lags
+      |  JOIN series b ON b.day = a.day + lags.lag),
+      |g AS (
+      |  SELECT lag, COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DECIMAL(18,9)) AS r
+      |FROM g ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+  /** Per-source language-concentration audit: Gini impurity 1−Σp²,
+    * inverse-Simpson effective language count 1/Σp², and the majority
+    * share max(p) — within-source diversity, the complement of q194's
+    * cross-source drift. All three are RATIONAL in the per-cell counts, so
+    * the query carries them as integer sufficient statistics (n_s, Σo²,
+    * max o) and performs each division once on exactly-representable
+    * integers (< 2⁵³ here; the documented 100 TB swap is DECIMAL
+    * numerators), floor-quantized to ppm/milli — no accumulation of
+    * floats anywhere. Two grid-sized aggregations after one corpus pass. */
+  def q197(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    cnt.groupBy("source").agg(
+        sum(col("o")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("o") * col("o")).cast("long").as("so2"),
+        max(col("o")).cast("long").as("max_o"))
+      .withColumn("ns2", col("n_docs") * col("n_docs"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        floor(lit(1e6) * (col("ns2") - col("so2")).cast("double") /
+          col("ns2").cast("double")).cast("long").as("gini_ppm"),
+        floor(lit(1000.0) * col("ns2").cast("double") /
+          col("so2").cast("double")).cast("long").as("inv_simpson_milli"),
+        floor(lit(1e6) * col("max_o").cast("double") /
+          col("n_docs").cast("double")).cast("long").as("pmax_ppm"))
+      .orderBy("source")
+  }
+  val q197Sql: String =
+    """WITH cnt AS (SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |per AS (
+      |  SELECT source, CAST(SUM(o) AS BIGINT) AS n_s, COUNT(*) AS n_langs,
+      |         CAST(SUM(o * o) AS BIGINT) AS so2, CAST(MAX(o) AS BIGINT) AS max_o
+      |  FROM cnt GROUP BY 1)
+      |SELECT source, n_s AS n_docs, CAST(n_langs AS BIGINT) AS n_langs,
+      |  CAST(FLOOR(1e6 * CAST(n_s * n_s - so2 AS DOUBLE) / CAST(n_s * n_s AS DOUBLE)) AS BIGINT) AS gini_ppm,
+      |  CAST(FLOOR(1000.0 * CAST(n_s * n_s AS DOUBLE) / CAST(so2 AS DOUBLE)) AS BIGINT) AS inv_simpson_milli,
+      |  CAST(FLOOR(1e6 * CAST(max_o AS DOUBLE) / CAST(n_s AS DOUBLE)) AS BIGINT) AS pmax_ppm
+      |FROM per ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+  /** Classifier calibration audit (reliability diagram + expected
+    * calibration error): a deterministic quality score in ppm
+    * (0.3·length-saturation + 0.7·lexical-diversity — the q109 family of
+    * closed-form scores) against the binary quality gate it tries to
+    * predict (length window ∧ ≥30 tokens). Scores bucket into 10
+    * fixed-width bins; per bin the audit reports confidence (mean score),
+    * accuracy (positive rate), and their gap; the bin=-1 summary row's gap
+    * IS the ECE: Σ_b |10⁶·pos_b − Σscore_b| / N — the n_b/N-weighted mean
+    * gap with every division deferred to the end, so the whole audit is
+    * integer arithmetic (floor divisions on non-negative longs; `div` here
+    * = `//` in the oracle).
+    *
+    * Scale shape: one corpus pass to a 10-row bin table,
+    * localCheckpoint-materialized so the per-bin face and the summary row
+    * both read the 10 rows, not the corpus. */
+  def q198(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.documents(s, d)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("n_chars"), size(col("toks")).as("nt"),
+        size(array_distinct(col("toks"))).as("ndt"))
+      .withColumn("len_norm",
+        least(col("n_chars"), lit(2000L)).cast("double") / lit(2000.0))
+      .withColumn("dv", col("ndt").cast("double") / col("nt").cast("double"))
+      .withColumn("score_ppm",
+        least(floor(lit(1e6) * (lit(0.3) * col("len_norm") + lit(0.7) * col("dv"))),
+          lit(999999L)).cast("long"))
+      .withColumn("label", col("n_chars").between(200, 5000) && col("nt") >= 30)
+      .withColumn("bin", expr("score_ppm div 100000"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("positives"),
+        sum(col("score_ppm")).as("s"))
+      .localCheckpoint()
+    val perBin = bins.select(col("bin"), col("n_docs"), col("positives"),
+      expr("s div n_docs").as("conf_ppm"),
+      expr("(1000000 * positives) div n_docs").as("acc_ppm"),
+      expr("abs(1000000 * positives - s) div n_docs").as("gap_ppm"))
+    val total = bins
+      .agg(sum(col("n_docs")).as("nn"), sum(col("positives")).as("pp"),
+        sum(col("s")).as("ss"),
+        sum(abs(lit(1000000L) * col("positives") - col("s"))).as("gg"))
+      .select(lit(-1L).as("bin"), col("nn").cast("long").as("n_docs"),
+        col("pp").cast("long").as("positives"),
+        expr("ss div nn").as("conf_ppm"),
+        expr("(1000000 * pp) div nn").as("acc_ppm"),
+        expr("gg div nn").as("gap_ppm"))
+    perBin.unionByName(total).orderBy("bin")
+  }
+  val q198Sql: String =
+    """WITH m AS (
+      |  SELECT n_chars, len(t) AS nt, len(list_distinct(t)) AS ndt
+      |  FROM (SELECT n_chars, string_split_regex(trim(lower(text)), '\s+') AS t
+      |        FROM documents)),
+      |sc AS (
+      |  SELECT CAST(LEAST(FLOOR(1e6 * (0.3 * (CAST(LEAST(n_chars, 2000) AS DOUBLE) / 2000.0)
+      |           + 0.7 * (CAST(ndt AS DOUBLE) / CAST(nt AS DOUBLE)))), 999999) AS BIGINT) AS score_ppm,
+      |    ((n_chars BETWEEN 200 AND 5000) AND nt >= 30) AS label
+      |  FROM m),
+      |bins AS (
+      |  SELECT score_ppm // 100000 AS bin, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+      |    CAST(SUM(score_ppm) AS BIGINT) AS s
+      |  FROM sc GROUP BY 1)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT) AS n_docs, positives,
+      |  s // n_docs AS conf_ppm,
+      |  (1000000 * positives) // n_docs AS acc_ppm,
+      |  abs(1000000 * positives - s) // n_docs AS gap_ppm
+      |FROM bins
+      |UNION ALL
+      |SELECT -1, CAST(SUM(n_docs) AS BIGINT), CAST(SUM(positives) AS BIGINT),
+      |  CAST(SUM(s) AS BIGINT) // CAST(SUM(n_docs) AS BIGINT),
+      |  (1000000 * CAST(SUM(positives) AS BIGINT)) // CAST(SUM(n_docs) AS BIGINT),
+      |  CAST(SUM(abs(1000000 * positives - s)) AS BIGINT) // CAST(SUM(n_docs) AS BIGINT)
+      |FROM bins
+      |ORDER BY bin""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q195_k_anonymity"      -> ((q195 _, Some(q195Sql))),
+    "q196_revenue_acf"      -> ((q196 _, Some(q196Sql))),
+    "q197_gini_diversity"   -> ((q197 _, Some(q197Sql))),
+    "q198_calibration_ece"  -> ((q198 _, Some(q198Sql))))
+}

@@ -486,6 +486,24 @@ object PlanCheck {
     check("q194_drift_tv_bc", "drift grid is margin-sized broadcasts after one corpus aggregation")(p =>
       p.contains("partial_count") && p.contains("BroadcastHashJoin") &&
         !p.contains("SortMergeJoin"))
+    check("q195_k_anonymity", "generalization ladder re-aggregates one materialized grid, never the corpus")(p =>
+      // the corpus scan happens ONCE, inside the contingency table's
+      // localCheckpoint — the audited plan's three union branches read the
+      // grid-sized LogicalRDD; the only file scan left is the 25-row
+      // nation dim feeding the l2 broadcast
+      p.contains("Union") && p.contains("Scan ExistingRDD") &&
+        !p.contains("orders.parquet") && !p.contains("customer.parquet") &&
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q196_revenue_acf", "lag pairings broadcast-join the day-grain series, not the corpus")(p =>
+      // series is checkpointed day-grain metadata; both the lag spine and
+      // the shifted side broadcast — no shuffle join, no corpus rescan
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.toLowerCase.contains("parquet"))
+    check("q197_gini_diversity", "concentration audit is pure aggregation — no join anywhere")(p =>
+      p.contains("partial_count") && !p.contains("Join"))
+    check("q198_calibration_ece", "bin face and ECE row both read the materialized 10-row bin table")(p =>
+      p.contains("Union") && !p.toLowerCase.contains("parquet") &&
+        !p.contains("Join") && !p.contains("Window "))
     check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
       // the join and the bucket rollup both ride the connector's reported
       // KeyGroupedPartitioning — the only exchange left is the ORDER BY's

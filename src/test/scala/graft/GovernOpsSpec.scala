@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the governance/statistics tier (q195–q198) beyond
+  * the DuckDB hash gate: the k-anonymity ladder is monotone (coarsening can
+  * only merge groups — k_min rises, group counts and risk mass fall), the
+  * autocorrelation coefficients recompute exactly from BigInt sufficient
+  * statistics, the concentration indices recompute per source, and the
+  * calibration bins partition the corpus with the summary row's gap equal
+  * to the recomputed ECE. */
+class GovernOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q195: ladder equals driver recompute; coarsening is monotone") {
+    val got = graft.queries.GovernOps.q195(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set("l0_nat_seg_year", "l1_nat_year", "l2_region_year"))
+    // driver recompute from raw microdata
+    val fact = graft.core.Tables.orders(spark, d)
+      .join(graft.core.Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        year(col("o_orderdate")).cast("long"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val regionOf = graft.core.Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def audit(qi: ((Long, String, Long, String)) => Product)
+        : (Long, Long, Long, Long, Long, Long) = {
+      // note .values.toSeq BEFORE .map: mapping a Map to (Long, Long) pairs
+      // would rebuild a Map and silently dedupe groups by their k
+      val groups = fact.groupBy(qi).values.toSeq.map { rows =>
+        (rows.size.toLong, rows.map(_._4).distinct.size.toLong)
+      }
+      (groups.map(_._1).sum, groups.size.toLong, groups.map(_._1).min,
+        groups.filter(_._1 < 5).map(_._1).sum,
+        groups.count(_._2 < 2).toLong,
+        groups.filter(_._2 < 2).map(_._1).sum)
+    }
+    assert(got("l0_nat_seg_year") == audit(t => (t._1, t._2, t._3)))
+    assert(got("l1_nat_year") == audit(t => (t._1, t._3)))
+    assert(got("l2_region_year") == audit(t => (regionOf(t._1), t._3)))
+    // monotonicity: a coarser level merges groups — rows stay, k_min can
+    // only rise, group count and sub-k risk mass can only fall
+    val Seq(l0, l1, l2) =
+      Seq("l0_nat_seg_year", "l1_nat_year", "l2_region_year").map(got)
+    assert(l0._1 == l1._1 && l1._1 == l2._1, "rows_total must not change")
+    assert(l0._3 <= l1._3 && l1._3 <= l2._3, "k_min must be non-decreasing")
+    assert(l0._2 >= l1._2 && l1._2 >= l2._2, "n_groups must be non-increasing")
+    assert(l0._4 >= l1._4 && l1._4 >= l2._4, "risk mass must be non-increasing")
+  }
+
+  test("q196: ACF recomputes exactly from BigInt sufficient statistics") {
+    val got = graft.queries.GovernOps.q196(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    val series = graft.core.Tables.orders(spark, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).cast("long").as("x"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    for (k <- 1 to 7) {
+      val pairs = series.toSeq.flatMap { case (day, x) =>
+        series.get(day.plusDays(k.toLong)).map(y => (BigInt(x), BigInt(y)))
+      }
+      val n = BigInt(pairs.size)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+      val expect = BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val (nPairs, gotR) = got(k.toLong)
+      assert(nPairs == pairs.size.toLong, s"lag $k pair count")
+      assert(BigDecimal(gotR) == expect, s"lag $k: got $gotR expect $expect")
+      assert(math.abs(r) <= 1.0 + 1e-12, s"lag $k r out of range")
+    }
+  }
+
+  test("q197: concentration indices recompute exactly per source") {
+    val got = graft.queries.GovernOps.q197(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val cnt = graft.core.Tables.documents(spark, d)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = cnt.keys.map(_._1).toSet
+    assert(got.keySet == sources && sources.size > 1)
+    sources.foreach { s =>
+      val os = cnt.collect { case ((`s`, _), c) => c }.toSeq
+      val ns = os.sum; val so2 = os.map(o => o * o).sum; val ns2 = ns * ns
+      val expect = (ns, os.size.toLong,
+        math.floor(1e6 * (ns2 - so2).toDouble / ns2.toDouble).toLong,
+        math.floor(1000.0 * ns2.toDouble / so2.toDouble).toLong,
+        math.floor(1e6 * os.max.toDouble / ns.toDouble).toLong)
+      assert(got(s) == expect, s"source $s concentration mismatch")
+      // sanity: gini in [0, 1e6), effective languages in [1, n_langs]
+      assert(got(s)._3 >= 0L && got(s)._3 < 1000000L)
+      assert(got(s)._4 >= 1000L && got(s)._4 <= 1000L * os.size)
+    }
+  }
+
+  test("q198: bins partition the corpus; the summary gap is the recomputed ECE") {
+    val rows = graft.queries.GovernOps.q198(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val (summary, bins) = rows.partition(_._1 == -1L)
+    assert(summary.length == 1 && bins.nonEmpty)
+    // driver recompute of (score_ppm, label) per doc from Spark-tokenized stats
+    val m = graft.core.Tables.documents(spark, d)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("n_chars"), size(col("toks")), size(array_distinct(col("toks"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val scored = m.map { case (nc, nt, ndt) =>
+      val lenNorm = math.min(nc, 2000L).toDouble / 2000.0
+      val dv = ndt.toDouble / nt.toDouble
+      val ppm = math.min(math.floor(1e6 * (0.3 * lenNorm + 0.7 * dv)).toLong, 999999L)
+      (ppm, nc >= 200 && nc <= 5000 && nt >= 30)
+    }
+    val expectBins = scored.groupBy(_._1 / 100000L).map { case (b, xs) =>
+      val n = xs.length.toLong; val pos = xs.count(_._2).toLong
+      val s = xs.map(_._1).sum
+      (b, n, pos, s / n, (1000000L * pos) / n, math.abs(1000000L * pos - s) / n)
+    }.toSeq.sortBy(_._1)
+    assert(bins.toSeq == expectBins, "per-bin rows mismatch")
+    val nAll = scored.length.toLong
+    assert(bins.map(_._2).sum == nAll, "bins must partition the corpus")
+    val ece = scored.groupBy(_._1 / 100000L).map { case (_, xs) =>
+      math.abs(1000000L * xs.count(_._2).toLong - xs.map(_._1).sum)
+    }.sum / nAll
+    assert(summary.head._6 == ece, "summary gap must equal the recomputed ECE")
+    assert(summary.head._2 == nAll)
+  }
+}
