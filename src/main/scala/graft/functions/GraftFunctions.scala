@@ -26,6 +26,12 @@ object GraftFunctions {
     ColumnBridge.column(
       CosineF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Hilbert-curve index of a quantized (x, y) cell on the 2^bits grid
+    * (codegen loop — the space-filling curve behind q200's layout audit). */
+  def hilbertD(x: Column, y: Column, bits: Int): Column =
+    ColumnBridge.column(
+      HilbertD(ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
+
   /** Register SQL names on an existing session (tests / driver sessions that
     * were built without `spark.sql.extensions`). */
   def register(spark: SparkSession): Unit = {

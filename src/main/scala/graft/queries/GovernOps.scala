@@ -281,8 +281,67 @@ object GovernOps {
       |FROM bins
       |ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  /** Segment-overlap matrix (the audience Venn): for every pair of event
+    * types, how many distinct users touched BOTH, plus the pairwise Jaccard
+    * — without ever joining users to users. The distributed pattern is the
+    * BITMAP ROLLUP: one corpus aggregation folds each user's segments into
+    * a single long bitmask (bit_or is idempotent, so no distinct pre-pass),
+    * the masks collapse to a ≤2^k-row HISTOGRAM, and the k² pair matrix is
+    * derived from the histogram by bit tests — the pair expansion touches
+    * mask-grid rows, never users. ≤64 segments by construction (`require`);
+    * the documented swap beyond that is chunked bitmaps (Roaring-style).
+    *
+    * The oracle is the INDEPENDENT quadratic formulation — distinct
+    * (user, type) self-joined on user — so the hash gate proves the bitmask
+    * rollup computes exactly the pairwise-distinct matrix. Jaccard defers
+    * its one division to integer floor-div on exact counts. */
+  def q199(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+    val dim = ev.select("event_type").distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("event_type")) - 1).cast("long"))
+      .localCheckpoint() // value-count-sized; the tiny window is bounded metadata
+    require(dim.count() <= 64L, "bitmask rollup holds ≤64 segments; chunk beyond")
+    val masks = ev.join(broadcast(dim), Seq("event_type"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT)))").as("mask"))
+    val hist = masks.groupBy("mask").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val pairs = dim.select(col("event_type").as("seg_a"), col("idx").as("ia"))
+      .crossJoin(dim.select(col("event_type").as("seg_b"), col("idx").as("ib")))
+      .filter(col("seg_a") <= col("seg_b"))
+    val totals = hist.crossJoin(broadcast(dim))
+      .filter(expr("(shiftright(mask, CAST(idx AS INT)) & 1) = 1"))
+      .groupBy("event_type").agg(sum(col("cnt")).cast("long").as("n"))
+    hist.crossJoin(broadcast(pairs))
+      .filter(expr("(shiftright(mask, CAST(ia AS INT)) & 1) = 1 AND " +
+        "(shiftright(mask, CAST(ib AS INT)) & 1) = 1"))
+      .groupBy("seg_a", "seg_b").agg(sum(col("cnt")).cast("long").as("n_both"))
+      .join(broadcast(totals.select(col("event_type").as("seg_a"), col("n").as("n_a"))), Seq("seg_a"))
+      .join(broadcast(totals.select(col("event_type").as("seg_b"), col("n").as("n_b"))), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("n_both"),
+        expr("(1000000 * n_both) div (n_a + n_b - n_both)").as("jaccard_ppm"))
+      .orderBy("seg_a", "seg_b")
+  }
+  val q199Sql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |segn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+      |pair AS (
+      |  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+      |         CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT seg_a, seg_b, n_both,
+      |  (1000000 * n_both) // (na.n + nb.n - n_both) AS jaccard_ppm
+      |FROM pair
+      |JOIN segn na ON na.event_type = seg_a
+      |JOIN segn nb ON nb.event_type = seg_b
+      |ORDER BY seg_a, seg_b""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q195_k_anonymity"      -> ((q195 _, Some(q195Sql))),
+    "q199_segment_overlap"  -> ((q199 _, Some(q199Sql))),
     "q196_revenue_acf"      -> ((q196 _, Some(q196Sql))),
     "q197_gini_diversity"   -> ((q197 _, Some(q197Sql))),
     "q198_calibration_ece"  -> ((q198 _, Some(q198Sql))))

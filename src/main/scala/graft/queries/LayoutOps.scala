@@ -32,10 +32,12 @@ object LayoutOps {
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
-  private val zSqlExpr: String =
-    (0 until 16).map { i =>
-      s"(((x >> $i) & 1) * ${1L << (2 * i)}) + (((y >> $i) & 1) * ${1L << (2 * i + 1)})"
+  private def zSqlExprOn(xn: String, yn: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"((($xn >> $i) & 1) * ${1L << (2 * i)}) + ((($yn >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
+
+  private val zSqlExpr: String = zSqlExprOn("x", "y")
 
   /** Z-order clustering vs linear sort, judged by what a scan can SKIP:
     * bin lineitem into 64 equal files two ways — linear `(x, y)` sort and
@@ -280,8 +282,124 @@ object LayoutOps {
       |  CAST(SUM(CAST(sqrt(p * m) AS DECIMAL(18,8))) AS DOUBLE) AS bc
       |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** The Hilbert step as an unrolled CTE chain for the oracle: each step
+    * folds one quadrant bit into `hd` and reflects/transposes (hx, hy) into
+    * the next sub-square's frame — the same loop body `HilbertD` generates
+    * as Java, stated as SQL. Pure integer ops, so both engines walk the
+    * identical curve. */
+  private def hilbertSqlSteps(bits: Int): String =
+    (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""h${i + 1} AS (
+         |  SELECT ok, ln, x, y, qx, qy,
+         |    hd + ${s * s} * xor(3 * rx, ry) AS hd,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END) ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END) ELSE hy END AS hy
+         |  FROM (SELECT *,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM h$i))""".stripMargin
+    }.mkString(",\n")
+
+  /** Hilbert-curve clustering vs the Morton curve, judged by the SAME
+    * zone-map skipping audit as q191 — the third point on the layout
+    * spectrum (linear → Z-order → Hilbert). Both curves run on the same
+    * range-quantized 8-bit grid (one metadata-sized max() pass fixes the
+    * quantization — the documented stand-in for the quantile binning a
+    * 100 TB OPTIMIZE job would use), rows are binned into 64 equal files
+    * per layout by `Ordinals.globalOrdinal` over the curve index, zone maps
+    * are built on the RAW dims, and the q191 predicates are audited against
+    * them. Hilbert's selling point over Z-order is locality — no long
+    * diagonal jumps, so per-file bounding boxes stay tighter and BOTH axes
+    * keep skipping (the spec asserts the locality claim; this board row
+    * hash-gates the audit numbers).
+    *
+    * The curve index itself is `HilbertD` — a codegen'd O(bits) loop in one
+    * expression node (a Column-level formulation would need an
+    * exponentially duplicated CASE tree); the oracle states the identical
+    * curve as an unrolled 8-step CTE chain. */
+  def q200(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    // one metadata agg fixes the quantization grid (driver-side 1-row max)
+    val m = raw.agg(max(col("x")).as("mx"), max(col("y")).as("my")).head()
+    val (mx, my) = (m.getLong(0), m.getLong(1))
+    val q = raw
+      .withColumn("qx", expr(s"(x * 256) div ${mx + 1}"))
+      .withColumn("qy", expr(s"(y * 256) div ${my + 1}"))
+      .withColumn("h", graft.functions.GraftFunctions.hilbertD(col("qx"), col("qy"), 8))
+      .withColumn("z", zInterleave(col("qx"), col("qy")))
+    val n = q.count()
+    def binned(layout: String, key: Column): DataFrame =
+      graft.ops.Ordinals.globalOrdinal(q, key, 32)
+        .withColumn("bin", expr(s"((ordinal - 1) * 64) div $n"))
+        .withColumn("layout", lit(layout))
+    val zones = binned("hilbert8", struct(col("h"), col("ok"), col("ln")))
+      .unionByName(binned("zorder8", struct(col("z"), col("ok"), col("ln"))))
+      .groupBy(col("layout"), col("bin"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        count(lit(1)).as("nrows"))
+    zones
+      .withColumn("skip_x", col("max_x") < 500 || col("min_x") > 700)
+      .withColumn("skip_y", col("max_y") < 30 || col("min_y") > 60)
+      .select(col("layout"), col("nrows"), explode(array(
+        struct(lit("x_range").as("pred"), col("skip_x").as("skip")),
+        struct(lit("y_range").as("pred"), col("skip_y").as("skip")),
+        struct(lit("xy_rect").as("pred"), (col("skip_x") || col("skip_y")).as("skip")))).as("a"))
+      .groupBy(col("layout"), col("a.pred").as("pred"))
+      .agg(count(lit(1)).as("bins_total"),
+        sum(when(col("a.skip"), 1L).otherwise(0L)).as("bins_skipped"),
+        sum(when(col("a.skip"), 0L).otherwise(col("nrows"))).as("rows_scanned"))
+      .orderBy(col("layout"), col("pred"))
+  }
+  val q200Sql: String =
+    s"""WITH mxy AS (
+       |  SELECT MAX(l_partkey) AS mx, MAX(l_suppkey) AS my FROM lineitem),
+       |h0 AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |         l_partkey AS x, l_suppkey AS y,
+       |         (l_partkey * 256) // (mx + 1) AS qx,
+       |         (l_suppkey * 256) // (my + 1) AS qy,
+       |         (l_partkey * 256) // (mx + 1) AS hx,
+       |         (l_suppkey * 256) // (my + 1) AS hy,
+       |         CAST(0 AS BIGINT) AS hd
+       |  FROM lineitem, mxy),
+       |${hilbertSqlSteps(8)},
+       |zed AS (SELECT ok, ln, x, y, hd, ${zSqlExprOn("qx", "qy", 8)} AS z FROM h8),
+       |n AS (SELECT COUNT(*) AS n FROM lineitem),
+       |hil AS (SELECT x, y,
+       |  ((row_number() OVER (ORDER BY hd, ok, ln) - 1) * 64) // (SELECT n FROM n) AS bin
+       |  FROM zed),
+       |zor AS (SELECT x, y,
+       |  ((row_number() OVER (ORDER BY z, ok, ln) - 1) * 64) // (SELECT n FROM n) AS bin
+       |  FROM zed),
+       |zones AS (
+       |  SELECT 'hilbert8' AS layout, bin, min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y, COUNT(*) AS nrows
+       |  FROM hil GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zorder8', bin, min(x), max(x), min(y), max(y), COUNT(*)
+       |  FROM zor GROUP BY 2),
+       |flags AS (
+       |  SELECT layout, nrows,
+       |    (max_x < 500 OR min_x > 700) AS skip_x,
+       |    (max_y < 30 OR min_y > 60) AS skip_y
+       |  FROM zones),
+       |un AS (
+       |  SELECT layout, 'x_range' AS pred, skip_x AS skip, nrows FROM flags
+       |  UNION ALL SELECT layout, 'y_range', skip_y, nrows FROM flags
+       |  UNION ALL SELECT layout, 'xy_rect', (skip_x OR skip_y), nrows FROM flags)
+       |SELECT layout, pred, COUNT(*) AS bins_total,
+       |  CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS bins_skipped,
+       |  CAST(SUM(CASE WHEN skip THEN 0 ELSE nrows END) AS BIGINT) AS rows_scanned
+       |FROM un GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q191_zorder_skipping"  -> ((q191 _, Some(q191Sql))),
+    "q200_hilbert_layout"   -> ((q200 _, Some(q200Sql))),
     "q192_gram_matrix"      -> ((q192 _, Some(q192Sql))),
     "q193_pareto_frontier"  -> ((q193 _, Some(q193Sql))),
     "q194_drift_tv_bc"      -> ((q194 _, Some(q194Sql))))

@@ -504,6 +504,20 @@ object PlanCheck {
     check("q198_calibration_ece", "bin face and ECE row both read the materialized 10-row bin table")(p =>
       p.contains("Union") && !p.toLowerCase.contains("parquet") &&
         !p.contains("Join") && !p.contains("Window "))
+    check("q199_segment_overlap", "pair matrix derives from the bitmask histogram, never a user-user join")(p =>
+      // the corpus-scale bit_or-per-user aggregation runs once, inside the
+      // histogram's localCheckpoint — the audited plan cross-joins the
+      // GRID-sized mask RDD against broadcast pair/segment spines; the
+      // quadratic user self-join lives only in the oracle
+      p.contains("Scan ExistingRDD") && p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("events.parquet") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"))
+    check("q200_hilbert_layout", "layout audit avoids the oracle's global window sort (q191 class)")(p =>
+      // the hilbert_d codegen loop and binning run inside globalOrdinal
+      // (range exchange + count job, ending in LogicalRDDs); the oracle's
+      // row_number() window — an all-to-one sort at 100 TB — must NOT appear
+      p.contains("Union") && p.contains("Scan ExistingRDD") &&
+        !p.contains("Window ") && !p.contains("SinglePartition"))
     check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
       // the join and the bucket rollup both ride the connector's reported
       // KeyGroupedPartitioning — the only exchange left is the ORDER BY's

@@ -93,6 +93,31 @@ class GovernOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q199: bitmask rollup equals the quadratic distinct-pair matrix") {
+    val got = graft.queries.GovernOps.q199(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute force: distinct (user, type) pairs, then the quadratic overlap
+    val ut = graft.core.Tables.events(spark, d)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    assert(types.size > 1 && got.nonEmpty)
+    for (a <- types; b <- types if a <= b) {
+      val both = (byType(a) intersect byType(b)).size.toLong
+      if (both == 0L) assert(!got.contains((a, b)), s"($a,$b) should be absent")
+      else {
+        val union = (byType(a) union byType(b)).size.toLong
+        assert(got((a, b)) == ((both, (1000000L * both) / union)),
+          s"overlap($a,$b)")
+      }
+    }
+    // diagonal rows are the per-segment audiences with jaccard exactly 1e6
+    types.foreach { t =>
+      assert(got((t, t)) == ((byType(t).size.toLong, 1000000L)), s"diag($t)")
+    }
+  }
+
   test("q197: concentration indices recompute exactly per source") {
     val got = graft.queries.GovernOps.q197(spark, d).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -89,6 +89,70 @@ class LayoutOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("zorder", "x_range"))._2 >= out(("linear", "x_range"))._2 - 8)
   }
 
+  test("HilbertD is a true Hilbert curve: bijective, unit-step adjacent, codegen equals reference") {
+    // plain-Scala reference of the quadrant-fold loop
+    def ref(bits: Int, x0: Long, y0: Long): Long = {
+      var x = x0; var y = y0; var d = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    // bijectivity + the defining adjacency property on the full 32x32 grid:
+    // consecutive d-values must be Manhattan-distance-1 neighbours
+    val bits = 5; val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val byD = cells.map { case (x, y) => ref(bits, x, y) -> (x, y) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until (n.toLong * n)).toSeq, "d must be a bijection")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between ($x1,$y1) and ($x2,$y2)")
+    }
+    // the codegen expression computes the same curve (8-bit, random cells)
+    val rnd = cells.filter { case (x, y) => (x * 31 + y * 17) % 7 == 0 }
+      .map { case (x, y) => (x * 8 + 3, y * 8 + 5) } // spread into the 8-bit grid
+    val df = spark.createDataFrame(rnd).toDF("x", "y")
+      .withColumn("h", graft.functions.GraftFunctions.hilbertD(col("x"), col("y"), 8))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == ref(8, r.getLong(0), r.getLong(1)),
+        s"hilbert(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("q200: skipping audit is sound and Hilbert keeps both-axis skipping with tighter boxes") {
+    val d01 = "/root/testdata/sf0.01"
+    val out = graft.queries.LayoutOps.q200(spark, d01).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 6)
+    val li = graft.core.Tables.lineitem(spark, d01)
+    val matchX = li.filter(col("l_partkey").between(500, 700)).count()
+    val matchY = li.filter(col("l_suppkey").between(30, 60)).count()
+    val matchXY = li.filter(col("l_partkey").between(500, 700) &&
+      col("l_suppkey").between(30, 60)).count()
+    out.foreach { case ((layout, pred), (total, skipped, scanned)) =>
+      assert(total == 64, s"$layout/$pred bins_total")
+      val need = pred match {
+        case "x_range" => matchX; case "y_range" => matchY; case _ => matchXY
+      }
+      assert(scanned >= need, s"$layout/$pred scans $scanned < $need matching rows")
+    }
+    // the locality claim: like the Z-curve (q191), Hilbert preserves
+    // skipping on BOTH axes — and never loses to it on the rectangle
+    assert(out(("hilbert8", "x_range"))._2 > 0L, "hilbert must skip on x")
+    assert(out(("hilbert8", "y_range"))._2 > 0L, "hilbert must skip on y")
+    assert(out(("hilbert8", "xy_rect"))._2 >= out(("zorder8", "xy_rect"))._2,
+      "hilbert should not lose to z-order on the rectangle predicate")
+  }
+
   test("q192: distributed Gram equals the naive driver computation, exactly") {
     val got = graft.queries.LayoutOps.q192(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
