@@ -29,19 +29,34 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos via the legacy conf and derive:
-    *   - `ts_us`: epoch microseconds (LONG) — integer `div` to keep exact
-    *     precision (a double division would corrupt 1.7e18-scale nanos), and
-    *     matching DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation;
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * driver testdata generations: parquet TIMESTAMP(NANOS) — which Spark's
+    * reader only accepts as a raw LONG via the legacy nanosAsLong conf — and
+    * plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize BOTH to the
+    * columns every downstream query uses:
+    *   - `ts_us`: epoch microseconds (LONG). Nanos branch: integer `div`
+    *     (a double division would corrupt 1.7e18-scale nanos), matching
+    *     DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation. Micros branch:
+    *     `unix_micros` under a UTC session zone, matching DuckDB's
+    *     `epoch_us` on the same file (both read the stored count verbatim).
     *   - `ts_t`: a µs-precision TIMESTAMP for window/time-bucket operations.
-    * The conf is runtime-settable so this works under the driver's session.
+    * Both confs are runtime-settable so this works under the driver's
+    * session; the branch is picked off the inferred schema, so one binary
+    * serves either testdata generation.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = table(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ =>
+        // TIMESTAMP_NTZ (or LTZ) µs file: pin the session zone to UTC so the
+        // ntz→instant reading is the stored micros count, byte-for-byte what
+        // DuckDB's epoch_us returns for the same cell.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        expr("unix_micros(cast(ts as timestamp))")
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 }

@@ -15,22 +15,47 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events.parquet schema with ts as raw nanos (see Tables.events). */
+  /** events.parquet schema with ts as raw nanos — the LEGACY testdata
+    * generation's shape; `eventsStreamRaw` swaps the ts field to whatever
+    * the staged files actually carry (see Tables.events). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming events ingest resilient to both testdata generations.
+    * FileStreamSource demands an explicit schema, but the driver's events
+    * files have shipped with two ts encodings (raw-NANOS int64 vs
+    * TIMESTAMP-micros — see Tables.events): batch-probe the footer of
+    * whatever file is already staged in the directory, state the matching
+    * schema, and normalize to `ts_us` (epoch micros, LONG) exactly as the
+    * batch reader does. An empty not-yet-fed directory falls back to the
+    * current µs-TIMESTAMP generation. */
+  def eventsStreamRaw(spark: SparkSession, streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType: DataType =
+      try spark.read.parquet(streamDir).schema("ts").dataType
+      catch { case _: Throwable => TimestampNTZType }
+    val schema = StructType(eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val tsUs = tsType match {
+      case LongType => expr("ts div 1000")
+      case _ =>
+        // µs file: UTC session zone makes ntz→instant the stored count,
+        // matching DuckDB's epoch_us on the same cell (see Tables.events)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        expr("unix_micros(cast(ts as timestamp))")
+    }
+    spark.readStream.schema(schema).parquet(streamDir).withColumn("ts_us", tsUs)
+  }
 
   /** Unbounded source → event-time tumbling window + watermark aggregation.
     * State is bounded by the watermark (10 min past event time), the
     * requirement for 100 TB continuous ingest. `streamDir` is a DIRECTORY
     * into which event parquet files arrive (FileStreamSource contract). */
   def windowedCounts(spark: SparkSession, streamDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    eventsStreamRaw(spark, streamDir)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "10 minutes")
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -107,11 +132,8 @@ object Streaming {
     * stream A for the same user (self-pairs excluded). */
   def intervalJoinStreams(spark: SparkSession, dirA: String, dirB: String,
                           withinMinutes: Int, joinType: String = "inner"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(dir: String, p: String) = spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    def side(dir: String, p: String) = eventsStreamRaw(spark, dir)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "10 minutes")
       .selectExpr(s"event_id AS ${p}_id", s"user_id AS ${p}_user", s"ts_t AS ${p}_ts")
     side(dirA, "a").join(side(dirB, "b"),
@@ -200,11 +222,7 @@ object Streaming {
   def spanMergeStream(spark: SparkSession, streamDir: String,
                       minSpanUs: Long, maxSpanUs: Long): Dataset[ClosedSession] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val events = eventsStreamRaw(spark, streamDir)
       .selectExpr("user_id", "ts_us", "value")
       .as[SEvent]
     events
@@ -396,11 +414,8 @@ object Streaming {
     * last event + gap), so the emitted set is deterministic for a given
     * file sequence: every session closed at the final watermark. */
   def sessionWindowStream(spark: SparkSession, streamDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    eventsStreamRaw(spark, streamDir)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "10 minutes")
       .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -477,11 +492,8 @@ object Streaming {
   def billingAlertsStream(spark: SparkSession, streamDir: String,
                           thresholdCents: Long): Dataset[BillCrossing] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir)
-      .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us",
+    eventsStreamRaw(spark, streamDir)
+      .selectExpr("user_id", "event_id", "ts_us",
         "CAST(floor(value * 100) AS BIGINT) AS cents")
       .as[BillEvent]
       .groupByKey(_.user_id)

@@ -631,24 +631,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.conf.set("spark.sql.shuffle.partitions", "4")
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s2.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // generation-agnostic read: Tables.events normalizes ts to ts_us
+    val raw = graft.core.Tables.events(s2, "/root/testdata/sf0.001")
     // time-split into two arrival files: equal ts always lands in one file,
     // so per-key cross-trigger order stays (ts, event_id)
-    val cut = raw.selectExpr("CAST(approx_percentile(ts, 0.5) AS BIGINT)").head.getLong(0)
+    val cut = raw.selectExpr("CAST(approx_percentile(ts_us, 0.5) AS BIGINT)").head.getLong(0)
     val streamDir = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
-    raw.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$streamDir/a")
+    val fileCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props").map(col)
+    raw.filter(col("ts_us") <= cut).select(fileCols: _*).coalesce(1).write.parquet(s"$streamDir/a")
     val q = Streaming.billingAlertsStream(s2, streamDir + "/a", thresholdCents = 100000L)
       .writeStream.outputMode("append").format("memory").queryName("tws_spec").start()
     try {
       q.processAllAvailable()
       val afterBatch1 = s2.table("tws_spec").count()
-      raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(s"$streamDir/a")
+      raw.filter(col("ts_us") > cut).select(fileCols: _*).coalesce(1).write.mode("append").parquet(s"$streamDir/a")
       q.processAllAvailable()
       val got = s2.table("tws_spec")
         .select("user_id", "event_id", "k", "cum_cents").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-      val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val want = raw
         .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
         .withColumn("cum", sum(col("cents")).over(w))
