@@ -34,6 +34,7 @@ object SparkEntry {
       graft.queries.AnalyticsOps.defs ++
       graft.queries.LayoutOps.defs ++
       graft.queries.GovernOps.defs ++
+      graft.queries.CorpusOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the corpus-assembly tier (q201–q204) beyond the
+  * DuckDB hash gate: the priority sample is exactly the top-k of a driver
+  * recompute and its estimator row is the DLT arithmetic; the IVM merge
+  * equals the from-scratch rollup without rescanning the corpus; the
+  * conjunctive search equals a driver-side inverted-index intersection;
+  * and the water-filling allocation satisfies the budget/cap/prefix
+  * optimality conditions. */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // q201 needs > k+1 docs for its τ row; sf0.01 has 500
+  private val d = "/root/testdata/sf0.01"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q201: sample is the exact top-k of a driver recompute; DLT estimator row") {
+    val rows = graft.queries.CorpusOps.q201(spark, d).collect()
+    val (summary, samp) = rows.partition(_.getLong(1) == -1L)
+    assert(summary.length == 1 && samp.length == 100)
+    // driver recompute of every doc's priority from the same md5 derivation
+    val pr = graft.core.Tables.documents(spark, d)
+      .selectExpr("doc_id", "cast(n_chars as bigint) AS w",
+        "cast(conv(substring(md5(concat('ps:', cast(doc_id as string))), 1, 10), 16, 10) as bigint) + 1 AS u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), (r.getLong(1) * (1L << 40)) / r.getLong(2)))
+    val wantTop = pr.sortBy(t => (-t._3, t._1)).take(101)
+    assert(samp.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      wantTop.take(100).toSeq, "sample must be the exact top-100 by (priority, doc_id)")
+    val tau = wantTop(100)._3
+    val est = wantTop.take(100).map(t => math.max(t._2, tau)).sum
+    val s = summary.head
+    assert(s.getLong(3) == tau && s.getLong(4) == est && s.getLong(5) == pr.map(_._2).sum)
+    // the estimator should land near the true mass (deterministic fixture,
+    // generous band — this guards gross arithmetic breakage, not variance)
+    assert(math.abs(s.getLong(4) - s.getLong(5)).toDouble / s.getLong(5) < 0.5)
+  }
+
+  test("q202: IVM merge equals the direct rollup and never rescans the corpus") {
+    val merged = graft.queries.CorpusOps.q202(spark, d)
+    val want = graft.core.Tables.documents(spark, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("source", "lang").collect().map(_.toSeq).toSeq
+    assert(merged.collect().map(_.toSeq).toSeq == want)
+    // the stored-view side must enter the plan as the checkpointed RDD, not
+    // a second parquet scan: exactly one FileScan (the delta side)
+    // AQE's toString prints Final + Initial plan; count scans in the final only
+    val plan = merged.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("ExistingRDD"), "view side must read the checkpoint")
+    assert("FileScan".r.findAllIn(plan).size <= 1,
+      s"IVM merge must scan parquet at most once (the delta):\n$plan")
+  }
+
+  test("q203: conjunctive search equals a driver-side posting intersection") {
+    val terms = Set("table", "hash", "merge")
+    val docs = graft.core.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val want = docs.flatMap { case (id, toks) =>
+      val tf = toks.filter(terms).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (tf.keySet == terms)
+        Some((id, tf("table"), tf("hash"), tf("merge"), tf.values.sum))
+      else None
+    }.sortBy(t => (-t._5, t._1)).take(20).toSeq
+    val got = graft.queries.CorpusOps.q203(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("q204: allocation satisfies budget, caps, and water-filling optimality") {
+    val rows = graft.queries.CorpusOps.q204(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = rows.map(_._2).sum
+    val budget = total * 3 / 5
+    val allocSum = rows.map(_._5).sum
+    val nUncapped = rows.count(_._4 == 0L)
+    assert(allocSum <= budget, "allocation must fit the budget")
+    assert(budget - allocSum < math.max(nUncapped, 1),
+      "floor losses only: within one char per uncapped source")
+    rows.foreach { case (src, t, _, capped, alloc, rate) =>
+      assert(alloc <= t, s"$src allocated more than it has")
+      if (capped == 1L) assert(alloc == t && rate == 1000000L,
+        s"capped $src must take its full mass")
+    }
+    // optimality: every capped source's demand ratio sits at or below every
+    // uncapped source's (the sorted-prefix structure of the exact solution)
+    val ratio = (r: (String, Long, Long, Long, Long, Long)) => r._2 * 1000000L / r._3
+    val maxCapped = rows.filter(_._4 == 1L).map(ratio)
+    val minUncapped = rows.filter(_._4 == 0L).map(ratio)
+    if (maxCapped.nonEmpty && minUncapped.nonEmpty)
+      assert(maxCapped.max <= minUncapped.min, "capped set must be the ratio prefix")
+    // uncapped sources all share one marginal rate λ = alloc/share (± floor)
+    val lam = rows.filter(_._4 == 0L).map(r => r._5 * 1000000L / r._3)
+    if (lam.nonEmpty)
+      assert(lam.max - lam.min <= 1000000L / rows.map(_._3).min,
+        "uncapped allocations must share the marginal water level")
+  }
+}
