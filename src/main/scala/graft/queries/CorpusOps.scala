@@ -196,10 +196,14 @@ object CorpusOps {
         | WHEN 'src12' THEN 35000 WHEN 'src13' THEN 30000 WHEN 'src14' THEN 30000
         | WHEN 'src15' THEN 25000 WHEN 'src16' THEN 25000 WHEN 'src17' THEN 25000
         | WHEN 'src18' THEN 25000 WHEN 'src19' THEN 20000 ELSE 1 END AS BIGINT)""".stripMargin
+    // ONE corpus aggregation; the materialized grid feeds every reference
+    // below (totals, windows, mass rollup) — without this the lazy DAG
+    // would rescan the corpus once per consumer
     val g = Tables.documents(s, d).groupBy("source")
       .agg(sum("n_chars").cast("long").as("t"))
       .withColumn("share", expr(shareCase))
       .withColumn("r", expr("(t * 1000000) div share"))
+      .localCheckpoint()
     val tot = g.agg(sum("t").cast("long").as("tt"), sum("share").cast("long").as("tsh"))
     // windows over the sources-sized grid (q195 discipline: grid, not corpus)
     val wPrev = Window.orderBy(col("r"), col("source"))

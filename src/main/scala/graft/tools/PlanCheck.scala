@@ -518,6 +518,26 @@ object PlanCheck {
       // row_number() window — an all-to-one sort at 100 TB — must NOT appear
       p.contains("Union") && p.contains("Scan ExistingRDD") &&
         !p.contains("Window ") && !p.contains("SinglePartition"))
+    check("q201_priority_sample", "sample is a bounded heap; the rank window sees k+1 rows, not the corpus")(p =>
+      // the only corpus-ordered operator must be TakeOrderedAndProject
+      // (map-side partial heaps); the row_number window and the estimator
+      // arithmetic run over the 101 survivors
+      p.contains("TakeOrderedAndProject") && p.contains("Window") &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    check("q202_incremental_view", "IVM merge scans parquet once (the delta); the view is the checkpoint")(p => {
+      val finalP = p.split("== Initial Plan ==").head
+      finalP.contains("Scan ExistingRDD") &&
+        "FileScan".r.findAllIn(finalP).size <= 1
+    })
+    check("q203_conjunctive_search", "posting intersection as filtered aggregation: no join, bounded top-k")(p =>
+      !p.contains("Join") && p.contains("TakeOrderedAndProject") &&
+        p.contains("partial_count"))
+    check("q204_mixture_waterfill", "water-filling windows run on the source grid; totals broadcast")(p =>
+      // one corpus aggregation; the grid windows are SinglePartition over
+      // ~20 rows (documented, q195 discipline) and the scalar totals enter
+      // via BroadcastNestedLoopJoin — never a corpus-side shuffle join
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&
+        "FileScan".r.findAllIn(p.split("== Initial Plan ==").head).size <= 1)
     check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
       // the join and the bucket rollup both ride the connector's reported
       // KeyGroupedPartitioning — the only exchange left is the ORDER BY's
