@@ -266,9 +266,341 @@ object CorpusOps {
       |FROM f, m
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q205
+  /** Semantic dedup (the SemDeDup recipe): cluster the embedding corpus
+    * with the IVF coarse codebook, then drop any vector that has a
+    * LOWER-id neighbor above the cosine threshold INSIDE ITS CLUSTER —
+    * first-writer-wins applied to semantic duplicates, with the cluster
+    * bucketing keeping the pair space Σ cell² instead of N². Reuses
+    * q59/q107's literal-codebook cell assignment (pure projection, zero
+    * shuffle) and the fused CosineF32 kernel; the oracle re-derives the
+    * identical cells and the quadratic within-cell neighbor test.
+    *
+    * Scale contract: Σ cell² stays subquadratic only if the codebook
+    * grows with the corpus (SemDeDup uses k ∝ √N; the codebook here is
+    * q107's trained artifact, so k is a retraining parameter, not a
+    * constant of the operator). At fixed k the within-cell join is the
+    * documented fallback-to-quadratic — same posture as q44's LSH
+    * buckets, whose plane count is the same dial.
+    *
+    * Output: every vector's verdict (cell, dropped, the electing
+    * neighbor) — booleans and ids only, no float in the gate. */
+  def q205(s: SparkSession, d: String): DataFrame = {
+    val assign = DedupSim.ivfAssign(s, d)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+    val nn = assign.select(col("cell"), col("vec_id").as("id"), col("embedding").as("e"))
+      .join(assign.select(col("cell"), col("vec_id").as("cand"), col("embedding").as("ce")),
+        Seq("cell"))
+      .filter(col("cand") < col("id") &&
+        graft.functions.GraftFunctions.cosineF32(col("e"), col("ce")) >= 0.35)
+      .groupBy(col("id")).agg(min(col("cand")).as("kept_twin"))
+    assign.join(nn, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("kept_twin").isNotNull.as("dropped"), col("kept_twin"))
+      .orderBy(col("vec_id"))
+  }
+  val q205Sql: String = {
+    val dim = 64; val cells = 16
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS ce FROM embeddings WHERE vec_id < $cells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.seed_id,
+       |    ${fold("s.ce", "s.ce")} - 2 * ${fold("e.embedding", "s.ce")} AS score
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, seed_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |pair AS (
+       |  SELECT a.vec_id AS id, b.vec_id AS cand,
+       |    ${fold("a.embedding", "b.embedding")} AS dot,
+       |    ${fold("a.embedding", "a.embedding")} AS na,
+       |    ${fold("b.embedding", "b.embedding")} AS nb
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id),
+       |nn AS (
+       |  SELECT id, MIN(cand) AS kept_twin FROM pair
+       |  WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.35 GROUP BY id)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  (nn.kept_twin IS NOT NULL) AS dropped, nn.kept_twin
+       |FROM assign a LEFT JOIN nn ON nn.id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q206
+  /** Type-2 slowly-changing dimension build from the event stream: per
+    * user, each event_type CHANGE opens a validity interval
+    * [valid_from, valid_to), the current state left open (NULL). The
+    * lakehouse dimension-versioning operator next to q104/q105's CDC —
+    * diff detects change between snapshots, SCD2 materializes change
+    * HISTORY from the raw stream.
+    *
+    * Scale shape: both windows partition by user_id — per-user event
+    * density is bounded (the q18/q97 discipline), so no partition ever
+    * sees more than one user's history; one exchange on user_id serves
+    * both windows. */
+  def q206(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version"))
+  }
+  val q206Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, event_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, ts_us, event_id, event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      |    FROM ev)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type, ts_us AS valid_from_us,
+      |  lead(ts_us) OVER w AS valid_to_us
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+  /** Per-source ordinary-least-squares fit of token count against char
+    * count — the drift audit "is chars-per-token stable across sources?"
+    * as exact arithmetic: five integer sufficient statistics per source
+    * (ONE corpus aggregation), slope/intercept/R² evaluated from them in
+    * DECIMAL(38,0) (HUGEINT in the oracle) with sign split from a single
+    * floor division, so the gate carries only BIGINTs and no float ever
+    * enters. The q196/q185 statistics discipline applied to regression.
+    * (At 100 TB the Σxy/Σx² accumulators themselves move to
+    * DECIMAL(38,0) sums — q196's posture; BIGINT holds through ~1e12
+    * rows at these magnitudes.) */
+  def q207(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+    // exact rationals in 38-digit integers; one floor division each, on
+    // absolute values so Spark div and DuckDB // agree (both truncate)
+    stats.select(col("source"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("den"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("deny"),
+        col("sx"), col("sy"))
+      .select(col("source"), col("n"),
+        expr("""CAST(CASE WHEN den = 0 THEN NULL
+                WHEN num < 0 THEN -((1000000 * (-num)) div den)
+                ELSE (1000000 * num) div den END AS BIGINT)""").as("slope_ppm"),
+        expr("""CAST(CASE WHEN den = 0 OR deny = 0 THEN NULL
+                ELSE (1000000 * num * num) div (den * deny) END AS BIGINT)""").as("r2_ppm"),
+        expr("""CAST(CASE WHEN den = 0 THEN NULL
+                WHEN (sy * den - num * sx) < 0
+                  THEN -((1000 * -(sy * den - num * sx)) div (CAST(n AS DECIMAL(38,0)) * den))
+                ELSE (1000 * (sy * den - num * sx)) div (CAST(n AS DECIMAL(38,0)) * den)
+                END AS BIGINT)""").as("intercept_milli"))
+      .orderBy(col("source"))
+  }
+  val q207Sql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS y
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM t GROUP BY source),
+      |r AS (
+      |  SELECT source, n,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny,
+      |    sx, sy
+      |  FROM st)
+      |SELECT source, n,
+      |  CAST(CASE WHEN den = 0 THEN NULL
+      |       WHEN num < 0 THEN -((1000000 * (-num)) // den)
+      |       ELSE (1000000 * num) // den END AS BIGINT) AS slope_ppm,
+      |  CAST(CASE WHEN den = 0 OR deny = 0 THEN NULL
+      |       ELSE (1000000 * num * num) // (den * deny) END AS BIGINT) AS r2_ppm,
+      |  CAST(CASE WHEN den = 0 THEN NULL
+      |       WHEN (sy * den - num * sx) < 0
+      |         THEN -((1000 * -(sy * den - num * sx)) // (CAST(n AS HUGEINT) * den))
+      |       ELSE (1000 * (sy * den - num * sx)) // (CAST(n AS HUGEINT) * den)
+      |       END AS BIGINT) AS intercept_milli
+      |FROM r
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+  /** Stratified priority sampling: q201's weighted sample drawn PER
+    * LANGUAGE (top-10 by priority within each stratum) — the per-stratum
+    * form a mixture pipeline actually draws. Stated as the row_number
+    * idiom so `WindowTopKRewrite` swaps in the sortless bounded heap
+    * (PlanCheck demands TopKPerGroupPartial): the shuffle carries at most
+    * langs×k rows per partition, never the corpus. */
+  def q208(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("pr").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat('ps:', cast(doc_id as string))), 1, 10), 16, 10) as bigint) + 1"))
+      .withColumn("pr", expr("(w * 1099511627776L) div u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("doc_id"), col("w"), col("pr").as("priority"))
+      .orderBy(col("lang"), col("rank"))
+  }
+  val q208Sql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    ('0x' || substr(md5('ps:' || doc_id), 1, 10))::BIGINT + 1 AS u
+      |  FROM documents),
+      |p AS (SELECT lang, doc_id, w, (w * 1099511627776) // u AS pr FROM h),
+      |r AS (SELECT lang, doc_id, w, pr,
+      |        row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id) AS rnk
+      |      FROM p)
+      |SELECT lang, CAST(rnk AS BIGINT) AS rank, doc_id, w, pr AS priority
+      |FROM r WHERE rnk <= 10
+      |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  /** q202's incremental view maintenance run CONTINUOUSLY: the documents
+    * table arrives as three micro-batches (maxFilesPerTrigger=1) and a
+    * foreachBatch sink merges each batch's delta-aggregate into the
+    * stored per-(source, lang) rollup — read old view, full-outer
+    * coalesce-merge, atomically swap. The final stored view must equal
+    * the from-scratch rollup (the IVM identity, now proven ACROSS
+    * BATCHES: merge is associative, so fold(merge, deltas) = V(∪deltas)).
+    *
+    * Scale shape: per trigger the work is batch-scan + grid merge — the
+    * view never exceeds (sources × langs) rows, and no batch ever
+    * rescans previous batches. The swap-dir write is the simple stand-in
+    * for a transactional table format's commit. */
+  def q209(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val staged = java.nio.file.Files.createTempDirectory("graft_q209_src").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val viewDir = java.nio.file.Files.createTempDirectory("graft_q209_view").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val delta = batch.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+        val old =
+          try ss.read.parquet(s"$viewDir/current").localCheckpoint()
+          catch { case _: Throwable =>
+            ss.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("source", StringType),
+                StructField("lang", StringType), StructField("n_docs", LongType),
+                StructField("sum_chars", LongType))))
+          }
+        val merged = old.as("v").join(delta.as("x"), Seq("source", "lang"), "full_outer")
+          .select(col("source"), col("lang"),
+            (coalesce(col("v.n_docs"), lit(0L)) + coalesce(col("x.n_docs"), lit(0L))).as("n_docs"),
+            (coalesce(col("v.sum_chars"), lit(0L)) + coalesce(col("x.sum_chars"), lit(0L))).as("sum_chars"))
+        // old is checkpointed, so overwriting the dir it came from is safe
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$viewDir/current")
+        ()
+      }
+      .queryName(s"graft_q209_${java.lang.Integer.toHexString(d.hashCode)}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$viewDir/current").orderBy(col("source"), col("lang"))
+  }
+  // the cross-batch fold must land exactly on the from-scratch rollup
+  val q209Sql: String = q202Sql
+
+  // ---------------------------------------------------------------- q210
+  /** Priority sampling maintained as a STREAMING sketch: q201's top-k by
+    * priority is a mergeable summary (the top-k of a union is the top-k
+    * of the per-part top-ks), so a foreachBatch sink keeps exactly k+1
+    * rows of state — merge the stored sample with the batch's bounded
+    * top-(k+1), truncate, swap. After all batches the stored sample IS
+    * q201's sample over the full corpus (same deterministic priorities),
+    * which is what the oracle states. The one-pass/bounded-state way a
+    * 100 TB ingest keeps a live weighted sample without ever rescanning.
+    */
+  def q210(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val staged = java.nio.file.Files.createTempDirectory("graft_q210_src").toString
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val sampDir = java.nio.file.Files.createTempDirectory("graft_q210_samp").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val part = batch
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+          .withColumn("u", expr(
+            "cast(conv(substring(md5(concat('ps:', cast(doc_id as string))), 1, 10), 16, 10) as bigint) + 1"))
+          .withColumn("pr", expr("(w * 1099511627776L) div u"))
+          .select(col("doc_id"), col("w"), col("pr"))
+          .orderBy(col("pr").desc, col("doc_id")).limit(101)
+        val old =
+          try ss.read.parquet(s"$sampDir/current").localCheckpoint()
+          catch { case _: Throwable => part.limit(0) }
+        old.unionByName(part)
+          .orderBy(col("pr").desc, col("doc_id")).limit(101)
+          .coalesce(1).write.mode("overwrite").parquet(s"$sampDir/current")
+        ()
+      }
+      .queryName(s"graft_q210_${java.lang.Integer.toHexString(d.hashCode)}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the stored k+1 state, ranked: rows 1..100 are THE sample, row 101 is τ
+    s.read.parquet(s"$sampDir/current")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pr").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("w"), col("pr").as("priority"))
+      .orderBy(col("rank"))
+  }
+  val q210Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    ('0x' || substr(md5('ps:' || doc_id), 1, 10))::BIGINT + 1 AS u
+      |  FROM documents),
+      |p AS (SELECT doc_id, w, (w * 1099511627776) // u AS pr FROM h),
+      |r AS (SELECT doc_id, w, pr,
+      |        row_number() OVER (ORDER BY pr DESC, doc_id) AS rnk FROM p)
+      |SELECT CAST(rnk AS BIGINT) AS rank, doc_id, w, pr AS priority
+      |FROM r WHERE rnk <= 101
+      |ORDER BY rank""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q201_priority_sample"   -> ((q201 _, Some(q201Sql))),
     "q202_incremental_view"  -> ((q202 _, Some(q202Sql))),
     "q203_conjunctive_search" -> ((q203 _, Some(q203Sql))),
-    "q204_mixture_waterfill" -> ((q204 _, Some(q204Sql))))
+    "q204_mixture_waterfill" -> ((q204 _, Some(q204Sql))),
+    "q205_semantic_dedup"    -> ((q205 _, Some(q205Sql))),
+    "q206_scd2_dimension"    -> ((q206 _, Some(q206Sql))),
+    "q207_grouped_ols"       -> ((q207 _, Some(q207Sql))),
+    "q208_stratified_priority" -> ((q208 _, Some(q208Sql))),
+    "q209_stream_ivm"        -> ((q209 _, Some(q209Sql))),
+    "q210_stream_sample"     -> ((q210 _, Some(q210Sql))))
 }

@@ -538,6 +538,17 @@ object PlanCheck {
       // via BroadcastNestedLoopJoin — never a corpus-side shuffle join
       p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&
         "FileScan".r.findAllIn(p.split("== Initial Plan ==").head).size <= 1)
+    check("q205_semantic_dedup", "cluster-bucketed pairs: equi-join on cell, never a cartesian")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("cosine_f32"))
+    check("q206_scd2_dimension", "both SCD2 windows ride ONE user_id exchange")(p =>
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(
+        p.split("== Initial Plan ==").head).size <= 1 &&
+        !p.contains("SinglePartition"))
+    check("q207_grouped_ols", "regression is one corpus aggregation — no join, no window")(p =>
+      p.contains("partial_count") && !p.contains("Join") && !p.contains("Window "))
+    check("q208_stratified_priority", "per-stratum sample rides the sortless bounded heap")(p =>
+      p.contains("TopKPerGroupPartial"))
     check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
       // the join and the bucket rollup both ride the connector's reported
       // KeyGroupedPartitioning — the only exchange left is the ORDER BY's

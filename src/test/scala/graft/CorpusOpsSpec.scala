@@ -79,6 +79,118 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("q205: verdicts equal a driver-side within-cell neighbor scan") {
+    val assign = graft.queries.DedupSim.ivfAssign(spark, d)
+      .selectExpr("cast(vec_id as long) AS vec_id", "embedding", "cast(cell as long) AS cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = assign.groupBy(_._3)
+    val want = assign.map { case (id, e, cell) =>
+      val twins = byCell(cell).filter(o => o._1 < id && cos(e, o._2) >= 0.35).map(_._1)
+      (id, cell, twins.nonEmpty, if (twins.nonEmpty) Some(twins.min) else None)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.CorpusOps.q205(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == want)
+    // the fixture must actually exercise both verdicts
+    assert(want.exists(_._3) && want.exists(!_._3))
+  }
+
+  test("q206: SCD2 intervals tile each user's history exactly") {
+    val rows = graft.queries.CorpusOps.q206(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"user $user versions")
+      // consecutive intervals chain: valid_to(k) == valid_from(k+1); only
+      // the last interval is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user interval chain broken")
+          assert(a._3 != b._3, s"user $user no-op version (type did not change)")
+        case _ => ()
+      }
+      assert(sorted.last._5.isEmpty, s"user $user current version must be open")
+    }
+    // history rebuild: replaying the intervals recovers each user's final state
+    val finalType = rows.groupBy(_._1).map { case (u, vs) => u -> vs.maxBy(_._2)._3 }
+    val lastEvents = graft.core.Tables.events(spark, d)
+      .selectExpr("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (u, es) => u -> es.maxBy(e => (e._2, e._3))._4 }
+    assert(finalType == lastEvents)
+  }
+
+  test("q207: slope/R2/intercept recompute exactly from BigInt statistics") {
+    val docs = graft.core.Tables.documents(spark, d)
+      .selectExpr("source", "cast(n_chars as long) AS x",
+        "cast(size(split(trim(lower(text)), '\\\\s+')) as long) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = graft.queries.CorpusOps.q207(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    docs.groupBy(_._1).foreach { case (src, rs) =>
+      val n = BigInt(rs.length)
+      val sx = BigInt(rs.map(_._2).sum); val sy = BigInt(rs.map(_._3).sum)
+      val sxy = rs.map(t => BigInt(t._2) * t._3).sum
+      val sxx = rs.map(t => BigInt(t._2) * t._2).sum
+      val syy = rs.map(t => BigInt(t._3) * t._3).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      val slope = if (num < 0) -((BigInt(1000000) * -num) / den) else (BigInt(1000000) * num) / den
+      val r2 = (BigInt(1000000) * num * num) / (den * deny)
+      val inum = sy * den - num * sx
+      val icept = if (inum < 0) -((BigInt(1000) * -inum) / (n * den))
+                  else (BigInt(1000) * inum) / (n * den)
+      val (gn, gs, gr2, gi) = got(src)
+      assert(gn == rs.length && gs == slope.toLong && gr2 == r2.toLong && gi == icept.toLong,
+        s"$src mismatch")
+    }
+  }
+
+  test("q208: per-lang sample equals the per-stratum top-10 of q201's priorities") {
+    val pr = graft.core.Tables.documents(spark, d)
+      .selectExpr("lang", "doc_id", "cast(n_chars as long) AS w",
+        "cast(conv(substring(md5(concat('ps:', cast(doc_id as string))), 1, 10), 16, 10) as bigint) + 1 AS u")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        (r.getLong(2) * (1L << 40)) / r.getLong(3)))
+    val want = pr.groupBy(_._1).toSeq.flatMap { case (lang, vs) =>
+      vs.sortBy(v => (-v._4, v._2)).take(10).zipWithIndex
+        .map { case (v, i) => (lang, (i + 1).toLong, v._2, v._3, v._4) }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.queries.CorpusOps.q208(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("q209/q210: streaming maintenance lands exactly on the batch twins") {
+    // IVM across micro-batches == one-shot IVM == direct rollup
+    val ivmStream = graft.queries.CorpusOps.q209(spark, d).collect().map(_.toSeq).toSeq
+    val ivmBatch = graft.queries.CorpusOps.q202(spark, d).collect().map(_.toSeq).toSeq
+    assert(ivmStream == ivmBatch)
+    // the maintained sample state == q201's sample (mergeable top-k), and
+    // the state is BOUNDED: exactly k+1 rows survive all batches
+    val sampStream = graft.queries.CorpusOps.q210(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sampStream.length == 101, "state must stay k+1 rows")
+    val sampBatch = graft.queries.CorpusOps.q201(spark, d).collect()
+      .filter(_.getLong(1) != -1L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sampStream.take(100).toSeq == sampBatch.toSeq,
+      "streamed sample must equal the one-shot priority sample")
+  }
+
   test("q204: allocation satisfies budget, caps, and water-filling optimality") {
     val rows = graft.queries.CorpusOps.q204(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
