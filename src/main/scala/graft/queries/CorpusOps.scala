@@ -506,14 +506,17 @@ object CorpusOps {
         val ss = batch.sparkSession
         val delta = batch.groupBy("source", "lang")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+        // first trigger only: absent dir → empty view. A READ FAILURE on an
+        // existing view must propagate — swallowing it would silently reset
+        // the accumulated state
         val old =
-          try ss.read.parquet(s"$viewDir/current").localCheckpoint()
-          catch { case _: Throwable =>
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$viewDir/current")))
+            ss.read.parquet(s"$viewDir/current").localCheckpoint()
+          else
             ss.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("source", StringType),
                 StructField("lang", StringType), StructField("n_docs", LongType),
                 StructField("sum_chars", LongType))))
-          }
         val merged = old.as("v").join(delta.as("x"), Seq("source", "lang"), "full_outer")
           .select(col("source"), col("lang"),
             (coalesce(col("v.n_docs"), lit(0L)) + coalesce(col("x.n_docs"), lit(0L))).as("n_docs"),
@@ -562,9 +565,12 @@ object CorpusOps {
           .withColumn("pr", expr("(w * 1099511627776L) div u"))
           .select(col("doc_id"), col("w"), col("pr"))
           .orderBy(col("pr").desc, col("doc_id")).limit(101)
+        // absent dir → first trigger; read failures on real state propagate
+        // (q209's reset-masking rationale)
         val old =
-          try ss.read.parquet(s"$sampDir/current").localCheckpoint()
-          catch { case _: Throwable => part.limit(0) }
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sampDir/current")))
+            ss.read.parquet(s"$sampDir/current").localCheckpoint()
+          else part.limit(0)
         old.unionByName(part)
           .orderBy(col("pr").desc, col("doc_id")).limit(101)
           .coalesce(1).write.mode("overwrite").parquet(s"$sampDir/current")
