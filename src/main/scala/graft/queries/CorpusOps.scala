@@ -474,6 +474,79 @@ object CorpusOps {
       |FROM r WHERE rnk <= 10
       |ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** POINT-IN-TIME join against the SCD2 dimension — the feature-store
+    * lookup that prevents training-data leakage: each probe event is
+    * joined to the dimension version that was valid AT ITS TIMESTAMP,
+    * never a later one. Formulated as the scale-safe as-of union trick
+    * (q15's discipline applied to versioned dimensions): dimension
+    * changes and probes union into one per-user timeline, one window
+    * pass carries the latest version forward (`last ignoreNulls`), and
+    * probes read their assignment — NO range join, NO per-probe interval
+    * scan; one user_id exchange total. Temporal contract: a version is
+    * visible from its valid_from instant inclusive, so a probe at the
+    * change instant sees the NEW version (dim rows sort before probe
+    * rows at equal ts via the kind column — both engines state the
+    * identical tiebreak). */
+  def q211(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    // the q206 dimension: change rows with version numbers
+    val dim = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("ts_us").as("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("version"),
+        col("event_type").as("state"))
+    val probes = ev.filter(expr("event_id % 7 = 0"))
+      .select(col("user_id"), col("ts_us").as("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("state"))
+    val wAsOf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), coalesce(col("event_id"), col("version")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.unionByName(probes)
+      .withColumn("as_of_version", last(col("version"), ignoreNulls = true).over(wAsOf))
+      .withColumn("as_of_state", last(col("state"), ignoreNulls = true).over(wAsOf))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_us"),
+        col("as_of_version"), col("as_of_state"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  val q211Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, event_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, ts_us, event_id, event_type,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version
+      |  FROM (
+      |    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      |    FROM ev)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |dim AS (
+      |  SELECT user_id, ts_us AS ts, 0 AS kind, CAST(NULL AS BIGINT) AS event_id,
+      |    version, event_type AS state
+      |  FROM chg),
+      |pr AS (
+      |  SELECT user_id, ts_us AS ts, 1 AS kind, event_id,
+      |    CAST(NULL AS BIGINT) AS version, CAST(NULL AS VARCHAR) AS state
+      |  FROM ev WHERE event_id % 7 = 0),
+      |u AS (SELECT * FROM dim UNION ALL SELECT * FROM pr),
+      |a AS (
+      |  SELECT user_id, kind, event_id, ts,
+      |    last_value(version IGNORE NULLS) OVER w AS as_of_version,
+      |    last_value(state IGNORE NULLS) OVER w AS as_of_state
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, kind, COALESCE(event_id, version)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, ts AS ts_us, as_of_version, as_of_state
+      |FROM a WHERE kind = 1
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ---------------------------------------------------------------- q209
   /** q202's incremental view maintenance run CONTINUOUSLY: the documents
     * table arrives as three micro-batches (maxFilesPerTrigger=1) and a
@@ -608,5 +681,6 @@ object CorpusOps {
     "q207_grouped_ols"       -> ((q207 _, Some(q207Sql))),
     "q208_stratified_priority" -> ((q208 _, Some(q208Sql))),
     "q209_stream_ivm"        -> ((q209 _, Some(q209Sql))),
-    "q210_stream_sample"     -> ((q210 _, Some(q210Sql))))
+    "q210_stream_sample"     -> ((q210 _, Some(q210Sql))),
+    "q211_point_in_time_join" -> ((q211 _, Some(q211Sql))))
 }

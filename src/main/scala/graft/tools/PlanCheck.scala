@@ -549,6 +549,9 @@ object PlanCheck {
       p.contains("partial_count") && !p.contains("Join") && !p.contains("Window "))
     check("q208_stratified_priority", "per-stratum sample rides the sortless bounded heap")(p =>
       p.contains("TopKPerGroupPartial"))
+    check("q211_point_in_time_join", "as-of union timeline: no range join, windows on user_id exchanges")(p =>
+      !p.contains("Join") && !p.contains("CartesianProduct") &&
+        p.contains("Union") && !p.contains("SinglePartition"))
     check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
       // the join and the bucket rollup both ride the connector's reported
       // KeyGroupedPartitioning — the only exchange left is the ORDER BY's

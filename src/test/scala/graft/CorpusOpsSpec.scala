@@ -174,6 +174,30 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("q211: every probe gets the version valid at its instant (no leakage)") {
+    val got = graft.queries.CorpusOps.q211(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getString(4))).toMap
+    // brute force: walk each user's SCD2 intervals per probe
+    val dim = graft.queries.CorpusOps.q206(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val probes = graft.core.Tables.events(spark, d)
+      .selectExpr("user_id", "ts_us", "event_id")
+      .filter(expr("event_id % 7 = 0")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.size == probes.length)
+    probes.foreach { case (user, ts, eid) =>
+      // visible-from-instant contract: valid_from <= ts, take the max
+      val versions = dim(user).filter(_._4 <= ts)
+      assert(versions.nonEmpty, s"probe before first version: user $user")
+      val want = versions.maxBy(_._2)
+      assert(got((user, eid)) == ((want._2, want._3)),
+        s"user $user event $eid at $ts: leakage or stale version")
+    }
+    // the fixture must exercise multi-version users (not all version 1)
+    assert(got.values.exists(_._1 > 1L))
+  }
+
   test("q209/q210: streaming maintenance lands exactly on the batch twins") {
     // IVM across micro-batches == one-shot IVM == direct rollup
     val ivmStream = graft.queries.CorpusOps.q209(spark, d).collect().map(_.toSeq).toSeq
