@@ -1,0 +1,99 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal TRANSACTION-LOG table format — the commit protocol that turns
+  * a directory of parquet files into a table with atomic commits, crash
+  * isolation, optimistic concurrency, and time travel (the Delta/Iceberg
+  * core, reduced to its essentials):
+  *
+  *   <dir>/part-<uuid>/ *.parquet      data files, written FIRST
+  *   <dir>/_txnlog/v00001.manifest     one committed version: the list of
+  *                                     data files (relative paths) this
+  *                                     commit ADDS
+  *
+  * Readers list the manifest chain and read exactly the union of listed
+  * files — a data directory with no manifest entry (a writer that died
+  * between data write and commit) is INVISIBLE, which is the crash-safety
+  * contract. Commit claims its version by HARD-LINKING the fully-written
+  * manifest into place: link(2) is atomic and fails with EEXIST if the
+  * version is taken, so two racing writers serialize optimistically — the
+  * loser retries under the next version number, never overwriting. (On
+  * object stores the link step becomes the store's put-if-absent /
+  * conditional-write primitive; everything else is unchanged.)
+  *
+  * Scale notes: manifests are metadata-sized (file LISTS, not data); the
+  * reader's planning cost is O(committed files), exactly a parquet
+  * multi-path scan afterward — pushdown/pruning reach the files as usual
+  * since the result IS spark.read.parquet(files). Compaction = commit a
+  * version whose manifest REPLACES prior files (not implemented here;
+  * add-only suffices for the board query and spec).
+  */
+object TxnLog {
+
+  private def logDir(dir: String): Path = Paths.get(dir, "_txnlog")
+
+  private def manifestPath(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"v$v%05d.manifest")
+
+  /** Largest committed version, 0 if none. */
+  def currentVersion(dir: String): Long = {
+    val ld = logDir(dir)
+    if (!Files.exists(ld)) 0L
+    else {
+      val vs = Files.list(ld).toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      if (vs.isEmpty) 0L else vs.max
+    }
+  }
+
+  /** Atomically commit `df` as the next version; returns the version won.
+    * Data lands fully before any manifest is visible; the manifest is
+    * hard-linked into place so readers never observe a partial one. */
+  def commit(df: DataFrame, dir: String): Long = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val rel = s"part-$uuid"
+    df.write.mode("errorifexists").parquet(s"$dir/$rel")
+    val files = new java.io.File(s"$dir/$rel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$rel/${f.getName}").sorted
+    require(files.nonEmpty, "commit of an empty dataframe writes no files")
+    Files.createDirectories(logDir(dir))
+    val tmp = Files.createTempFile(logDir(dir), ".pending-", ".tmp")
+    Files.write(tmp, (files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try {
+      var v = currentVersion(dir) + 1
+      while (true) {
+        try {
+          Files.createLink(manifestPath(dir, v), tmp) // atomic claim (EEXIST on loss)
+          return v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => v += 1 // lost the race; retry
+        }
+      }
+      v
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Read the table at `asOf` (default: latest). Only manifest-listed files
+    * are visible; orphaned data directories (crashed writers) are not. */
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val upto = asOf.getOrElse(Long.MaxValue)
+    val ld = logDir(dir)
+    require(Files.exists(ld), s"not a txnlog table (no ${ld})")
+    val manifests = Files.list(ld).toArray.map(_.asInstanceOf[Path])
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".manifest") &&
+          n.stripPrefix("v").stripSuffix(".manifest").toLong <= upto
+      }
+      .sortBy(_.getFileName.toString)
+    require(manifests.nonEmpty, s"no committed version <= $upto")
+    val files = manifests.flatMap(p =>
+      new String(Files.readAllBytes(p), "UTF-8").split("\n").filter(_.nonEmpty))
+      .map(rel => s"$dir/$rel")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+}

@@ -671,6 +671,48 @@ object CorpusOps {
       |FROM r WHERE rnk <= 101
       |ORDER BY rank""".stripMargin
 
+
+  // ---------------------------------------------------------------- q212
+  /** The transaction-log table format (io/TxnLog) ON THE ORACLE BOARD:
+    * two lineitem slices commit as versions 1 and 2, a third slice's data
+    * files land WITHOUT a manifest (a writer that died mid-commit), and
+    * the table is read back twice — latest and time-travel as-of v1.
+    * The oracle states what the commit protocol must make true: the
+    * crashed slice is INVISIBLE, and v1 sees only the first slice. Both
+    * faces aggregate (one union, as_of column) so the gate pins the
+    * visible ROW SET, not just counts. */
+  def q212(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q212_tbl").toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    graft.io.TxnLog.commit(li.filter(expr("l_orderkey % 3 = 0")), dir)
+    graft.io.TxnLog.commit(li.filter(expr("l_orderkey % 3 = 1")), dir)
+    // crashed writer: data files present, no manifest — must stay invisible
+    li.filter(expr("l_orderkey % 3 = 2"))
+      .write.parquet(s"$dir/part-orphaned-crash")
+    def face(asOf: Option[Long], tag: Long) =
+      graft.io.TxnLog.read(s, dir, asOf)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .withColumn("as_of", lit(tag))
+    face(None, 2L).unionByName(face(Some(1L), 1L))
+      .select(col("as_of"), col("l_returnflag"), col("n"), col("sum_qty"))
+      .orderBy(col("as_of"), col("l_returnflag"))
+  }
+  val q212Sql: String =
+    """SELECT CAST(1 AS BIGINT) AS as_of, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 3 = 0
+      |GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS as_of, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+      |GROUP BY l_returnflag
+      |ORDER BY as_of, l_returnflag""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q201_priority_sample"   -> ((q201 _, Some(q201Sql))),
     "q202_incremental_view"  -> ((q202 _, Some(q202Sql))),
@@ -682,5 +724,6 @@ object CorpusOps {
     "q208_stratified_priority" -> ((q208 _, Some(q208Sql))),
     "q209_stream_ivm"        -> ((q209 _, Some(q209Sql))),
     "q210_stream_sample"     -> ((q210 _, Some(q210Sql))),
-    "q211_point_in_time_join" -> ((q211 _, Some(q211Sql))))
+    "q211_point_in_time_join" -> ((q211 _, Some(q211Sql))),
+    "q212_txn_table"         -> ((q212 _, Some(q212Sql))))
 }

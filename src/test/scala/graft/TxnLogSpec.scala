@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The io/TxnLog commit protocol's contracts, beyond q212's hash gate:
+  * versions are linear, time travel sees exactly the prefix, crashed
+  * writers stay invisible, and RACING commits both land (optimistic
+  * concurrency through the atomic hard-link claim) without ever losing
+  * or duplicating a row. */
+class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_txnspec").toString
+
+  test("commits are linear versions; time travel reads exactly the prefix") {
+    val dir = freshTable()
+    import spark.implicits._
+    assert(graft.io.TxnLog.commit(Seq(1L, 2L).toDF("v"), dir) == 1L)
+    assert(graft.io.TxnLog.commit(Seq(3L).toDF("v"), dir) == 2L)
+    assert(graft.io.TxnLog.commit(Seq(4L, 5L).toDF("v"), dir) == 3L)
+    assert(graft.io.TxnLog.currentVersion(dir) == 3L)
+    def vals(asOf: Option[Long]) = graft.io.TxnLog.read(spark, dir, asOf)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals(None) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(vals(Some(1L)) == Seq(1L, 2L))
+    assert(vals(Some(2L)) == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir, Some(0L)))
+  }
+
+  test("a writer that died before its manifest is invisible") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(1L).toDF("v"), dir)
+    // crash simulation: data fully written, no manifest
+    Seq(99L, 98L).toDF("v").write.parquet(s"$dir/part-crashed-writer")
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(graft.io.TxnLog.currentVersion(dir) == 1L)
+  }
+
+  test("racing commits both land with distinct versions; no loss, no dupes") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(0L).toDF("v"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            graft.io.TxnLog.commit(Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("v"), dir)
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 4, s"version collision: $versions")
+      assert(versions.toSet == Set(2L, 3L, 4L, 5L))
+    } finally pool.shutdown()
+    val got = graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L))
+  }
+
+  test("reading a non-table or empty version range fails loudly") {
+    val dir = freshTable()
+    intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir))
+  }
+}
