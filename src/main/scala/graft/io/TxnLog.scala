@@ -24,12 +24,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * object stores the link step becomes the store's put-if-absent /
   * conditional-write primitive; everything else is unchanged.)
   *
+  * Manifest format: first line is the action marker — `A` (this commit
+  * ADDS its files to the visible set) or `R` (this commit REPLACES the
+  * visible set with its files: the compaction/rewrite action) — followed
+  * by one relative file path per line. Readers fold the manifest chain in
+  * version order: A appends, R resets. Compaction is therefore just
+  * `commit(read(latest), replace = true)` — old versions stay readable
+  * (time travel is unaffected) while the latest view plans only the
+  * compacted files.
+  *
   * Scale notes: manifests are metadata-sized (file LISTS, not data); the
   * reader's planning cost is O(committed files), exactly a parquet
   * multi-path scan afterward — pushdown/pruning reach the files as usual
-  * since the result IS spark.read.parquet(files). Compaction = commit a
-  * version whose manifest REPLACES prior files (not implemented here;
-  * add-only suffices for the board query and spec).
+  * since the result IS spark.read.parquet(files).
   */
 object TxnLog {
 
@@ -52,8 +59,10 @@ object TxnLog {
 
   /** Atomically commit `df` as the next version; returns the version won.
     * Data lands fully before any manifest is visible; the manifest is
-    * hard-linked into place so readers never observe a partial one. */
-  def commit(df: DataFrame, dir: String): Long = {
+    * hard-linked into place so readers never observe a partial one.
+    * `replace = true` makes this version RESET the visible set to its own
+    * files (the compaction action) instead of appending. */
+  def commit(df: DataFrame, dir: String, replace: Boolean = false): Long = {
     val uuid = java.util.UUID.randomUUID().toString
     val rel = s"part-$uuid"
     df.write.mode("errorifexists").parquet(s"$dir/$rel")
@@ -62,7 +71,8 @@ object TxnLog {
     require(files.nonEmpty, "commit of an empty dataframe writes no files")
     Files.createDirectories(logDir(dir))
     val tmp = Files.createTempFile(logDir(dir), ".pending-", ".tmp")
-    Files.write(tmp, (files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val marker = if (replace) "R" else "A"
+    Files.write(tmp, (marker + "\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
     try {
       var v = currentVersion(dir) + 1
       while (true) {
@@ -91,9 +101,24 @@ object TxnLog {
       }
       .sortBy(_.getFileName.toString)
     require(manifests.nonEmpty, s"no committed version <= $upto")
-    val files = manifests.flatMap(p =>
-      new String(Files.readAllBytes(p), "UTF-8").split("\n").filter(_.nonEmpty))
-      .map(rel => s"$dir/$rel")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    // fold the chain: A appends, R resets (legacy marker-less manifests
+    // from the first format revision read as adds)
+    val visible = manifests.foldLeft(Vector.empty[String]) { (acc, p) =>
+      val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
+        .filter(_.nonEmpty).toVector
+      lines.headOption match {
+        case Some("R") => lines.tail
+        case Some("A") => acc ++ lines.tail
+        case _         => acc ++ lines
+      }
+    }
+    spark.read.parquet(visible.map(rel => s"$dir/$rel"): _*)
   }
+
+  /** Compact: rewrite the current visible set as one replace-commit.
+    * Prior versions remain time-travel-readable; the latest view plans
+    * only the compacted files (the small-file maintenance pass — q186
+    * plans WHICH files to bin, this executes the rewrite). */
+  def compact(spark: SparkSession, dir: String): Long =
+    commit(read(spark, dir).localCheckpoint(), dir, replace = true)
 }

@@ -713,6 +713,48 @@ object CorpusOps {
       |GROUP BY l_returnflag
       |ORDER BY as_of, l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+  /** COMPACTION INVARIANCE on the txn-log table: three small commits,
+    * then `TxnLog.compact` rewrites the visible set as one replace-commit
+    * — the small-file maintenance pass (q186 plans which files to bin;
+    * this executes the rewrite through the commit protocol). The oracle
+    * states what compaction must preserve: the post-compaction rowset
+    * equals the union of the commits, and time travel to a
+    * PRE-compaction version still sees the original chain prefix. The
+    * file-set reduction itself (latest view plans only the compacted
+    * files) is asserted in TxnLogSpec — a rowset oracle can't see file
+    * counts, and must not. */
+  def q213(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q213_tbl").toString
+    val part = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    (0 until 3).foreach(i =>
+      graft.io.TxnLog.commit(part.filter(expr(s"p_partkey % 3 = $i")), dir))
+    graft.io.TxnLog.compact(s, dir) // version 4, replaces
+    def face(asOf: Option[Long], tag: Long) =
+      graft.io.TxnLog.read(s, dir, asOf)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+        .withColumn("as_of", lit(tag))
+    face(None, 4L)          // post-compaction: the whole table
+      .unionByName(face(Some(2L), 2L)) // pre-compaction prefix: slices 0, 1
+      .select(col("as_of"), col("p_brand"), col("n"), col("sum_price"))
+      .orderBy(col("as_of"), col("p_brand"))
+  }
+  val q213Sql: String =
+    """SELECT CAST(2 AS BIGINT) AS as_of, p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part WHERE p_partkey % 3 IN (0, 1)
+      |GROUP BY p_brand
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT) AS as_of, p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY as_of, p_brand""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q201_priority_sample"   -> ((q201 _, Some(q201Sql))),
     "q202_incremental_view"  -> ((q202 _, Some(q202Sql))),
@@ -725,5 +767,6 @@ object CorpusOps {
     "q209_stream_ivm"        -> ((q209 _, Some(q209Sql))),
     "q210_stream_sample"     -> ((q210 _, Some(q210Sql))),
     "q211_point_in_time_join" -> ((q211 _, Some(q211Sql))),
-    "q212_txn_table"         -> ((q212 _, Some(q212Sql))))
+    "q212_txn_table"         -> ((q212 _, Some(q212Sql))),
+    "q213_txn_compaction"    -> ((q213 _, Some(q213Sql))))
 }

@@ -67,6 +67,30 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(0L, 10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L))
   }
 
+  test("compaction replaces the visible file set, preserves rows and history") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(1L, 2L).toDF("v"), dir)
+    graft.io.TxnLog.commit(Seq(3L).toDF("v"), dir)
+    val cv = graft.io.TxnLog.compact(spark, dir)
+    assert(cv == 3L)
+    // rowset unchanged
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // latest view plans ONLY the compacted files: its input paths all share
+    // the one replace-commit's part dir
+    val inputs = graft.io.TxnLog.read(spark, dir).inputFiles
+    assert(inputs.nonEmpty && inputs.map(_.split("/part-")(1).split("/")(0)).toSet.size == 1,
+      s"latest view must read one part dir, got ${inputs.toSeq}")
+    // time travel to the pre-compaction chain still works
+    assert(graft.io.TxnLog.read(spark, dir, Some(1L)).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // appends after compaction stack on top of the replace
+    graft.io.TxnLog.commit(Seq(9L).toDF("v"), dir)
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 9L))
+  }
+
   test("reading a non-table or empty version range fails loudly") {
     val dir = freshTable()
     intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir))
