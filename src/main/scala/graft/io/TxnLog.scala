@@ -87,10 +87,9 @@ object TxnLog {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Read the table at `asOf` (default: latest). Only manifest-listed files
-    * are visible; orphaned data directories (crashed writers) are not. */
-  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
-    val upto = asOf.getOrElse(Long.MaxValue)
+  /** Visible file set (relative paths) at version `upto`: fold the chain —
+    * A appends, R resets (legacy marker-less manifests read as adds). */
+  private def visibleAt(dir: String, upto: Long): Vector[String] = {
     val ld = logDir(dir)
     require(Files.exists(ld), s"not a txnlog table (no ${ld})")
     val manifests = Files.list(ld).toArray.map(_.asInstanceOf[Path])
@@ -101,9 +100,7 @@ object TxnLog {
       }
       .sortBy(_.getFileName.toString)
     require(manifests.nonEmpty, s"no committed version <= $upto")
-    // fold the chain: A appends, R resets (legacy marker-less manifests
-    // from the first format revision read as adds)
-    val visible = manifests.foldLeft(Vector.empty[String]) { (acc, p) =>
+    manifests.foldLeft(Vector.empty[String]) { (acc, p) =>
       val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
         .filter(_.nonEmpty).toVector
       lines.headOption match {
@@ -112,7 +109,23 @@ object TxnLog {
         case _         => acc ++ lines
       }
     }
-    spark.read.parquet(visible.map(rel => s"$dir/$rel"): _*)
+  }
+
+  /** Oldest version whose data files are still on disk (advanced by
+    * vacuum); reads below it fail loudly instead of hitting deleted
+    * files mid-scan. */
+  def minVersion(dir: String): Long = {
+    val p = logDir(dir).resolve("min-version")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong else 1L
+  }
+
+  /** Read the table at `asOf` (default: latest). Only manifest-listed files
+    * are visible; orphaned data directories (crashed writers) are not. */
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val upto = asOf.getOrElse(Long.MaxValue)
+    require(upto >= minVersion(dir),
+      s"version $upto was vacuumed (oldest retained: ${minVersion(dir)})")
+    spark.read.parquet(visibleAt(dir, upto).map(rel => s"$dir/$rel"): _*)
   }
 
   /** Compact: rewrite the current visible set as one replace-commit.
@@ -121,4 +134,45 @@ object TxnLog {
     * plans WHICH files to bin, this executes the rewrite). */
   def compact(spark: SparkSession, dir: String): Long =
     commit(read(spark, dir).localCheckpoint(), dir, replace = true)
+
+  /** Vacuum: delete data files no retained version references, advancing
+    * the min-version watermark so vacuumed as-of reads fail LOUDLY at
+    * planning time rather than mid-scan on a missing file. Retains the
+    * newest `retainVersions` versions' visible sets (manifests — metadata
+    * — are kept forever; only data files are reclaimed). After an A-only
+    * chain this is a no-op (every file is still referenced); after a
+    * replace-commit it reclaims the pre-compaction files. Single-writer
+    * maintenance op by contract, and it must NOT run concurrently with an
+    * in-flight commit: a commit's data files land before its manifest, so
+    * a racing vacuum would reclaim them as orphans (real formats close
+    * this with a file-age retention threshold; the contract here keeps
+    * the essential-protocol scope). Returns the deleted relative paths. */
+  def vacuum(dir: String, retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val cur = currentVersion(dir)
+    require(cur > 0, "nothing committed")
+    val newMin = math.max(minVersion(dir), cur - retainVersions + 1)
+    val keep = (newMin to cur).flatMap(v => visibleAt(dir, v)).toSet
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part-"))
+    val victims = partDirs.flatMap { pd =>
+      pd.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !keep.contains(s"${pd.getName}/${f.getName}"))
+        .map(f => s"${pd.getName}/${f.getName}")
+    }.toSeq
+    // watermark FIRST: a reader that races the deletes already sees the
+    // new floor and refuses vacuumed versions
+    val tmp = Files.createTempFile(logDir(dir), ".minv-", ".tmp")
+    Files.write(tmp, (newMin.toString + "\n").getBytes("UTF-8"))
+    Files.move(tmp, logDir(dir).resolve("min-version"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    victims.foreach(rel => Files.deleteIfExists(Paths.get(dir, rel)))
+    partDirs.foreach(pd => if (pd.listFiles().forall(f =>
+      f.getName.startsWith("_") || f.getName.startsWith("."))) {
+      pd.listFiles().foreach(_.delete()); pd.delete()
+    })
+    victims
+  }
 }

@@ -755,6 +755,70 @@ object CorpusOps {
       |GROUP BY p_brand
       |ORDER BY as_of, p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** VERSIONED streaming IVM: q209's maintenance loop with the txn-log
+    * table as the stored view — each micro-batch commits the merged
+    * rollup as a REPLACE-commit, so the table accumulates the view's
+    * full history and every version is time-travel-readable. Batch
+    * arrival is made deterministic (one file per doc_id % 3 slice,
+    * staggered mod-times fix the FileStreamSource order), so EVERY
+    * version's content is oracle-stateable: as-of v = the rollup over
+    * slices 0..v−1. The output unions all three version faces — the
+    * gate pins the whole maintenance HISTORY, not just the final state. */
+  def q214(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val staged = java.nio.file.Files.createTempDirectory("graft_q214_src").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q214_tmp").toString
+      docs.filter(expr(s"doc_id % 3 = $i")).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val one = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/f$i.parquet")
+      java.nio.file.Files.move(one.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1)) // fix the arrival order
+    }
+    val tbl = java.nio.file.Files.createTempDirectory("graft_q214_tbl").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(staged)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val delta = batch.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+        val old =
+          if (graft.io.TxnLog.currentVersion(tbl) > 0)
+            graft.io.TxnLog.read(ss, tbl).localCheckpoint()
+          else delta.limit(0)
+        val merged = old.as("v").join(delta.as("x"), Seq("source", "lang"), "full_outer")
+          .select(col("source"), col("lang"),
+            (coalesce(col("v.n_docs"), lit(0L)) + coalesce(col("x.n_docs"), lit(0L))).as("n_docs"),
+            (coalesce(col("v.sum_chars"), lit(0L)) + coalesce(col("x.sum_chars"), lit(0L))).as("sum_chars"))
+        graft.io.TxnLog.commit(merged.coalesce(1), tbl, replace = true)
+        ()
+      }
+      .queryName(s"graft_q214_${java.lang.Integer.toHexString(d.hashCode)}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def face(v: Long) = graft.io.TxnLog.read(s, tbl, Some(v)).withColumn("as_of", lit(v))
+    face(1L).unionByName(face(2L)).unionByName(face(3L))
+      .select(col("as_of"), col("source"), col("lang"), col("n_docs"), col("sum_chars"))
+      .orderBy(col("as_of"), col("source"), col("lang"))
+  }
+  val q214Sql: String =
+    """SELECT CAST(v AS BIGINT) AS as_of, source, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents, (VALUES (1), (2), (3)) AS vs(v)
+      |WHERE doc_id % 3 < v
+      |GROUP BY v, source, lang
+      |ORDER BY as_of, source, lang""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q201_priority_sample"   -> ((q201 _, Some(q201Sql))),
     "q202_incremental_view"  -> ((q202 _, Some(q202Sql))),
@@ -768,5 +832,6 @@ object CorpusOps {
     "q210_stream_sample"     -> ((q210 _, Some(q210Sql))),
     "q211_point_in_time_join" -> ((q211 _, Some(q211Sql))),
     "q212_txn_table"         -> ((q212 _, Some(q212Sql))),
-    "q213_txn_compaction"    -> ((q213 _, Some(q213Sql))))
+    "q213_txn_compaction"    -> ((q213 _, Some(q213Sql))),
+    "q214_stream_ivm_versioned" -> ((q214 _, Some(q214Sql))))
 }

@@ -91,6 +91,29 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(1L, 2L, 3L, 9L))
   }
 
+  test("vacuum reclaims pre-compaction files; vacuumed versions refuse loudly") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(1L, 2L).toDF("v"), dir)
+    graft.io.TxnLog.commit(Seq(3L).toDF("v"), dir)
+    // A-only chain: every file referenced — vacuum is a no-op
+    assert(graft.io.TxnLog.vacuum(dir).isEmpty)
+    graft.io.TxnLog.compact(spark, dir) // v3 replaces
+    val deleted = graft.io.TxnLog.vacuum(dir, retainVersions = 1)
+    assert(deleted.nonEmpty, "pre-compaction files must be reclaimed")
+    assert(graft.io.TxnLog.minVersion(dir) == 3L)
+    // latest still reads fully
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // vacuumed as-of fails at PLANNING time, loudly
+    val e = intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir, Some(1L)))
+    assert(e.getMessage.contains("vacuumed"))
+    // only the compacted part dir survives on disk
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part-"))
+    assert(partDirs.length == 1, s"expected 1 surviving part dir, got ${partDirs.length}")
+  }
+
   test("reading a non-table or empty version range fails loudly") {
     val dir = freshTable()
     intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir))
