@@ -45,12 +45,20 @@ object TxnLog {
   private def manifestPath(dir: String, v: Long): Path =
     logDir(dir).resolve(f"v$v%05d.manifest")
 
+  /** Directory listing that CLOSES the underlying stream — Files.list
+    * leaks a DirectoryStream handle until GC otherwise, which a
+    * long-lived executor calling this per query would exhaust. */
+  private def listDir(p: Path): Array[Path] = {
+    val s = Files.list(p)
+    try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+  }
+
   /** Largest committed version, 0 if none. */
   def currentVersion(dir: String): Long = {
     val ld = logDir(dir)
     if (!Files.exists(ld)) 0L
     else {
-      val vs = Files.list(ld).toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      val vs = listDir(ld).map(_.getFileName.toString)
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
         .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
       if (vs.isEmpty) 0L else vs.max
@@ -92,7 +100,7 @@ object TxnLog {
   private def visibleAt(dir: String, upto: Long): Vector[String] = {
     val ld = logDir(dir)
     require(Files.exists(ld), s"not a txnlog table (no ${ld})")
-    val manifests = Files.list(ld).toArray.map(_.asInstanceOf[Path])
+    val manifests = listDir(ld)
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".manifest") &&
