@@ -7,16 +7,24 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 
 /** Round-7 continuation: corpus-ASSEMBLY operators — the stage after
-  * curation where a training corpus is actually put together. PRIORITY
-  * SAMPLING (Duffield–Lund–Thorup: a weighted sample with an unbiased
-  * total estimator, the sketch a 100 TB pipeline uses to audit corpus
-  * mass without a full pass), INCREMENTAL VIEW MAINTENANCE (merge a delta
-  * slice's aggregates into a stored rollup instead of recomputing the
-  * corpus), CONJUNCTIVE POSTING-LIST SEARCH (the inverted-index AND-query
-  * behind targeted corpus inspection), and a WATER-FILLING MIXTURE
-  * ALLOCATOR (closed-form: cap over-requested domains at their full size
-  * and redistribute the budget over the rest — the sampling-weight solver
-  * behind "hit target domain shares under a token budget").
+  * curation where a training corpus is actually put together, plus the
+  * table-maintenance machinery that stage runs on.
+  *
+  * Sampling: PRIORITY SAMPLING (q201, Duffield–Lund–Thorup — a weighted
+  * sample with an unbiased total estimator, integer-only so it's
+  * hash-exact), its PER-STRATUM form (q208, riding the bounded-heap
+  * rewrite) and its STREAMING form (q210 — top-k by priority is a
+  * mergeable summary, so k+1 rows of state survive any number of
+  * micro-batches). Mixture: the closed-form WATER-FILLING allocator
+  * (q204). Search: CONJUNCTIVE POSTING-LIST search (q203). Dedup:
+  * SemDeDup-style CLUSTER-BUCKETED semantic dedup (q205). Statistics:
+  * exact per-source OLS REGRESSION (q207). History: SCD2 DIMENSION build
+  * (q206) and the POINT-IN-TIME join against it (q211 — the
+  * feature-store leakage guard). Maintenance: INCREMENTAL VIEW
+  * MAINTENANCE one-shot (q202), across micro-batches (q209), and
+  * VERSIONED through the io/TxnLog commit protocol (q214); the protocol
+  * itself is driven by q212 (commit/crash/time-travel) and q213
+  * (compaction invariance).
   *
   * The reference (/root/reference/process_audio.py) has no corpus-assembly
   * surface; these extend the LLM-data-pipeline tier the same way
