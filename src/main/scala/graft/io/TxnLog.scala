@@ -139,9 +139,41 @@ object TxnLog {
   /** Compact: rewrite the current visible set as one replace-commit.
     * Prior versions remain time-travel-readable; the latest view plans
     * only the compacted files (the small-file maintenance pass — q186
-    * plans WHICH files to bin, this executes the rewrite). */
-  def compact(spark: SparkSession, dir: String): Long =
-    commit(read(spark, dir).localCheckpoint(), dir, replace = true)
+    * plans WHICH files to bin, this executes the rewrite). `numFiles > 0`
+    * coalesces the rewrite to that many files (the OPTIMIZE target-size
+    * dial, reduced to a count). */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 0): Long = {
+    val cur = read(spark, dir).localCheckpoint()
+    commit(if (numFiles > 0) cur.coalesce(numFiles) else cur, dir, replace = true)
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version — (version, action,
+    * n_files) parsed from the manifest chain. Metadata-only (no data file
+    * is opened), so it works on vacuumed prefixes too. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val ld = logDir(dir)
+    require(Files.exists(ld), s"not a txnlog table (no ${ld})")
+    val rows = listDir(ld)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".manifest")
+      }
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val n = p.getFileName.toString
+        val v = n.stripPrefix("v").stripSuffix(".manifest").toLong
+        val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
+          .filter(_.nonEmpty).toVector
+        val (action, files) = lines.headOption match {
+          case Some("R") => ("R", lines.tail)
+          case Some("A") => ("A", lines.tail)
+          case _         => ("A", lines)
+        }
+        (v, action, files.length.toLong)
+      }
+    import spark.implicits._
+    rows.toSeq.toDF("version", "action", "n_files")
+  }
 
   /** Vacuum: delete data files no retained version references, advancing
     * the min-version watermark so vacuumed as-of reads fail LOUDLY at

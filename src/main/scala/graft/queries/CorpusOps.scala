@@ -827,6 +827,38 @@ object CorpusOps {
       |GROUP BY v, source, lang
       |ORDER BY as_of, source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** DESCRIBE HISTORY on the txn-log table — the observability face of
+    * the commit protocol: one row per version with its action and file
+    * count (metadata-only, readable even over vacuumed prefixes), plus a
+    * summary row carrying the vacuum watermark. The lifecycle driven
+    * here: two single-file appends → a coalesced replace-compaction →
+    * vacuum — every step's ledger entry is a literal the oracle states,
+    * because the protocol makes each one deterministic. */
+  def q215(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q215_tbl").toString
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    graft.io.TxnLog.commit(nat.filter(expr("n_nationkey % 2 = 0")).coalesce(1), dir)
+    graft.io.TxnLog.commit(nat.filter(expr("n_nationkey % 2 = 1")).coalesce(1), dir)
+    graft.io.TxnLog.compact(s, dir, numFiles = 1)
+    graft.io.TxnLog.vacuum(dir)
+    graft.io.TxnLog.history(s, dir)
+      .select(col("version"), col("action"), col("n_files"))
+      .unionByName(s.range(1).select(lit(-1L).as("version"),
+        lit("min_version").as("action"),
+        lit(graft.io.TxnLog.minVersion(dir)).as("n_files")))
+      .orderBy(col("version"))
+  }
+  val q215Sql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(-1 AS BIGINT), 'min_version', CAST(3 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 'A', CAST(1 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'A', CAST(1 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'R', CAST(1 AS BIGINT))
+      |) AS t(version, action, n_files)
+      |ORDER BY version""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q201_priority_sample"   -> ((q201 _, Some(q201Sql))),
     "q202_incremental_view"  -> ((q202 _, Some(q202Sql))),
@@ -841,5 +873,6 @@ object CorpusOps {
     "q211_point_in_time_join" -> ((q211 _, Some(q211Sql))),
     "q212_txn_table"         -> ((q212 _, Some(q212Sql))),
     "q213_txn_compaction"    -> ((q213 _, Some(q213Sql))),
-    "q214_stream_ivm_versioned" -> ((q214 _, Some(q214Sql))))
+    "q214_stream_ivm_versioned" -> ((q214 _, Some(q214Sql))),
+    "q215_txn_history"       -> ((q215 _, Some(q215Sql))))
 }
