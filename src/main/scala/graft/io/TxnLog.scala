@@ -147,6 +147,17 @@ object TxnLog {
     commit(if (numFiles > 0) cur.coalesce(numFiles) else cur, dir, replace = true)
   }
 
+  /** Row-level DELETE, copy-on-write: rewrite the visible set without the
+    * matching rows as one replace-commit. The pre-delete version stays
+    * time-travel-readable until vacuumed — exactly the recovery story
+    * real formats sell. (Merge-on-read — delete vectors — is the
+    * documented at-scale refinement; copy-on-write is the semantics.) */
+  def delete(spark: SparkSession, dir: String, predicate: String): Long =
+    commit(read(spark, dir)
+      .filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.expr(predicate)))
+      .localCheckpoint(), dir, replace = true)
+
   /** DESCRIBE HISTORY: one row per committed version — (version, action,
     * n_files) parsed from the manifest chain. Metadata-only (no data file
     * is opened), so it works on vacuumed prefixes too. */

@@ -827,6 +827,42 @@ object CorpusOps {
       |GROUP BY v, source, lang
       |ORDER BY as_of, source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+  /** Row-level DELETE on the txn-log table (copy-on-write): customers of
+    * one market segment are erased — the GDPR/right-to-be-forgotten
+    * operation — as a replace-commit, so the latest view no longer
+    * contains them while the PRE-DELETE version remains readable until
+    * vacuum (the recovery window). Both faces are oracle-stated: as-of 1
+    * = the full table, latest = everything but the deleted segment. */
+  def q216(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q216_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    graft.io.TxnLog.commit(cust, dir)
+    graft.io.TxnLog.delete(s, dir, "c_mktsegment = 'BUILDING'")
+    def face(asOf: Option[Long], tag: Long) =
+      graft.io.TxnLog.read(s, dir, asOf)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_bal"))
+        .withColumn("as_of", lit(tag))
+    face(Some(1L), 1L).unionByName(face(None, 2L))
+      .select(col("as_of"), col("c_mktsegment"), col("n"), col("sum_bal"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+  val q216Sql: String =
+    """SELECT CAST(1 AS BIGINT) AS as_of, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS as_of, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_mktsegment <> 'BUILDING'
+      |GROUP BY c_mktsegment
+      |ORDER BY as_of, c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- q215
   /** DESCRIBE HISTORY on the txn-log table — the observability face of
     * the commit protocol: one row per version with its action and file
@@ -874,5 +910,6 @@ object CorpusOps {
     "q212_txn_table"         -> ((q212 _, Some(q212Sql))),
     "q213_txn_compaction"    -> ((q213 _, Some(q213Sql))),
     "q214_stream_ivm_versioned" -> ((q214 _, Some(q214Sql))),
-    "q215_txn_history"       -> ((q215 _, Some(q215Sql))))
+    "q215_txn_history"       -> ((q215 _, Some(q215Sql))),
+    "q216_txn_delete"        -> ((q216 _, Some(q216Sql))))
 }

@@ -114,6 +114,23 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partDirs.length == 1, s"expected 1 surviving part dir, got ${partDirs.length}")
   }
 
+  test("delete is copy-on-write: rows gone at latest, recoverable until vacuum") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(1L, 2L, 3L, 4L).toDF("v"), dir)
+    graft.io.TxnLog.delete(spark, dir, "v % 2 = 0")
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    // the recovery window: pre-delete version still fully readable
+    assert(graft.io.TxnLog.read(spark, dir, Some(1L)).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    // vacuum closes the window — deleted rows become unrecoverable
+    assert(graft.io.TxnLog.vacuum(dir).nonEmpty)
+    intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir, Some(1L)))
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+  }
+
   test("reading a non-table or empty version range fails loudly") {
     val dir = freshTable()
     intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir))
