@@ -110,11 +110,23 @@ object GovernOps {
     *
     * Cross-engine exactness: all six sufficient statistics (n, Σx, Σy,
     * Σxy, Σx², Σy²) are exact DECIMAL(38,0) integer sums (HUGEINT on the
-    * oracle side); r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
-    * evaluates in the identical operation order in both engines — decimal
-    * arithmetic is exact, the decimal→double cast, √, ×, / are each
-    * correctly rounded by IEEE contract — then quantizes to DECIMAL(18,9)
-    * for the gate. */
+    * oracle side), and — unlike the round-7 version, which lost the hash
+    * gate because Spark's decimal→double and DuckDB's HUGEINT→DOUBLE
+    * conversions are not both correctly rounded (DuckDB composes
+    * hi·2⁶⁴+lo in doubles → double rounding) — NO floating-point value
+    * ever reaches the gate. r is emitted as `r_e9`, the Pearson
+    * correlation quantized to 10⁻⁹ as a scaled integer:
+    *
+    *   num = nΣxy − ΣxΣy,  dxx = nΣx² − (Σx)²,  dyy = nΣy² − (Σy)²
+    *   r_e9 = sign(num) · round_half_away(|num|·10⁹ / (⌊√dxx⌋·⌊√dyy⌋))
+    *
+    * ⌊√v⌋ is the exact integer square root: a double `sqrt` supplies only
+    * the SEED (each engine's seed may differ by a few ulp), and an exact
+    * decimal-compare CASE over seed±3 picks the unique greatest s with
+    * s² ≤ v — so both engines land on the identical integer regardless of
+    * their float conversion quirks. The rounded division is
+    * ⌊(2|num|·10⁹ + D) / 2D⌋ on non-negative integers, where Spark `div`
+    * and DuckDB `//` agree (truncation == floor for non-negatives). */
   def q196(s: SparkSession, d: String): DataFrame = {
     val series = Tables.orders(s, d)
       .select(to_date(col("o_orderdate")).as("day"),
@@ -134,12 +146,28 @@ object GovernOps {
         sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
         sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
         sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    def isqrt(v: String): String = {
+      val s0 = s"CAST(FLOOR(SQRT(CAST($v AS DOUBLE))) AS DECIMAL(38,0))"
+      s"""($s0 + (CASE
+         |  WHEN ($s0 + 3) * ($s0 + 3) <= $v THEN 3
+         |  WHEN ($s0 + 2) * ($s0 + 2) <= $v THEN 2
+         |  WHEN ($s0 + 1) * ($s0 + 1) <= $v THEN 1
+         |  WHEN  $s0      *  $s0      <= $v THEN 0
+         |  WHEN ($s0 - 1) * ($s0 - 1) <= $v THEN -1
+         |  WHEN ($s0 - 2) * ($s0 - 2) <= $v THEN -2
+         |  ELSE -3 END))""".stripMargin
+    }
     g.select(col("lag").cast("long").as("lag"),
         col("n").cast("long").as("n_pairs"),
-        ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double"))))
-          .cast(DecimalType(18, 9)).as("r"))
+        (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("dxx"),
+        (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).as("dyy"))
+      .withColumn("den", expr(isqrt("dxx")) * expr(isqrt("dyy")))
+      .select(col("lag"), col("n_pairs"),
+        expr("""CAST(CASE WHEN den = 0 THEN NULL ELSE
+                  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+                  ((ABS(num) * 2000000000 + den) div (den * 2))
+                END AS BIGINT)""").as("r_e9"))
       .orderBy("lag")
   }
   val q196Sql: String =
@@ -158,12 +186,41 @@ object GovernOps {
       |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
       |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
       |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
-      |  FROM pairs GROUP BY 1)
+      |  FROM pairs GROUP BY 1),
+      |st AS (
+      |  SELECT lag, n, n * sxy - sx * sy AS num,
+      |         n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy
+      |  FROM g),
+      |sd AS (
+      |  SELECT lag, n, num,
+      |    CAST(FLOOR(SQRT(CAST(dxx AS DOUBLE))) AS HUGEINT) AS x0, dxx,
+      |    CAST(FLOOR(SQRT(CAST(dyy AS DOUBLE))) AS HUGEINT) AS y0, dyy
+      |  FROM st),
+      |rt AS (
+      |  SELECT lag, n, num,
+      |    (x0 + (CASE
+      |       WHEN (x0 + 3) * (x0 + 3) <= dxx THEN 3
+      |       WHEN (x0 + 2) * (x0 + 2) <= dxx THEN 2
+      |       WHEN (x0 + 1) * (x0 + 1) <= dxx THEN 1
+      |       WHEN  x0      *  x0      <= dxx THEN 0
+      |       WHEN (x0 - 1) * (x0 - 1) <= dxx THEN -1
+      |       WHEN (x0 - 2) * (x0 - 2) <= dxx THEN -2
+      |       ELSE -3 END)) *
+      |    (y0 + (CASE
+      |       WHEN (y0 + 3) * (y0 + 3) <= dyy THEN 3
+      |       WHEN (y0 + 2) * (y0 + 2) <= dyy THEN 2
+      |       WHEN (y0 + 1) * (y0 + 1) <= dyy THEN 1
+      |       WHEN  y0      *  y0      <= dyy THEN 0
+      |       WHEN (y0 - 1) * (y0 - 1) <= dyy THEN -1
+      |       WHEN (y0 - 2) * (y0 - 2) <= dyy THEN -2
+      |       ELSE -3 END)) AS den
+      |  FROM sd)
       |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
-      |  CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DECIMAL(18,9)) AS r
-      |FROM g ORDER BY lag""".stripMargin
+      |  CAST(CASE WHEN den = 0 THEN NULL ELSE
+      |         (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+      |         ((ABS(num) * 2000000000 + den) // (den * 2))
+      |       END AS BIGINT) AS r_e9
+      |FROM rt ORDER BY lag""".stripMargin
 
   // ---------------------------------------------------------------- q197
   /** Per-source language-concentration audit: Gini impurity 1−Σp²,

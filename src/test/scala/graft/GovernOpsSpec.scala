@@ -66,7 +66,7 @@ class GovernOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q196: ACF recomputes exactly from BigInt sufficient statistics") {
     val got = graft.queries.GovernOps.q196(spark, d).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.keySet == (1L to 7L).toSet)
     val series = graft.core.Tables.orders(spark, d)
       .select(to_date(col("o_orderdate")).as("day"),
@@ -83,13 +83,15 @@ class GovernOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val sxy = pairs.map(p => p._1 * p._2).sum
       val sxx = pairs.map(p => p._1 * p._1).sum
       val syy = pairs.map(p => p._2 * p._2).sum
-      val r = (n * sxy - sx * sy).toDouble /
-        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
-      val expect = BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val num = n * sxy - sx * sy
+      val dxx = n * sxx - sx * sx; val dyy = n * syy - sy * sy
+      // exact floor-isqrt (BigInteger.sqrt), then half-away-from-zero division
+      val den = BigInt(dxx.bigInteger.sqrt()) * BigInt(dyy.bigInteger.sqrt())
+      val expect = num.sign * ((num.abs * BigInt(2000000000L) + den) / (den * 2))
       val (nPairs, gotR) = got(k.toLong)
       assert(nPairs == pairs.size.toLong, s"lag $k pair count")
-      assert(BigDecimal(gotR) == expect, s"lag $k: got $gotR expect $expect")
-      assert(math.abs(r) <= 1.0 + 1e-12, s"lag $k r out of range")
+      assert(BigInt(gotR) == expect, s"lag $k: got $gotR expect $expect")
+      assert(expect.abs <= BigInt(1000000001L), s"lag $k r_e9 out of range")
     }
   }
 
