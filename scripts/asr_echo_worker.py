@@ -16,10 +16,14 @@ Modes (argv[1]):
   die-after-1  reply to the first frame, then exit(3) — worker-death path
   absurd       reply with a 512 MiB length prefix and no payload — the
                driver's absurd-frame guard must trip
+  slow         like echo but sleeps 1 s before each reply — lets the pool
+               spec prove >1 batch genuinely in flight (4 one-frame batches
+               on a 4-worker pool must finish far under the 4 s serial time)
 """
 import hashlib
 import struct
 import sys
+import time
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "echo"
 inp = sys.stdin.buffer
@@ -38,6 +42,8 @@ while True:
         out.write(struct.pack(">i", 512 << 20))
         out.flush()
         sys.exit(0)
+    if mode == "slow":
+        time.sleep(1.0)
     reply = f"{i}:{hashlib.md5(payload).hexdigest()[:8]}:{n}".encode()
     if mode == "fat":
         reply = reply + b"x" * max(0, n - len(reply))

@@ -27,6 +27,9 @@ class ProcessTranscriberSpec extends AnyFunSuite {
   private def worker(mode: String*) =
     new ProcessTranscriber(Seq("python3", workerScript) ++ mode)
 
+  private def pool(cap: Int, mode: String*) =
+    new ProcessTranscriber(Seq("python3", workerScript) ++ mode, maxWorkers = cap)
+
   /** deterministic per-index test signal (arbitrary but stable) */
   private def input(i: Int, n: Int = 1600): Inference.AsrInput = {
     val samples = Array.tabulate(n)(j => math.sin((i + 1) * 0.01 * j).toFloat)
@@ -99,6 +102,62 @@ class ProcessTranscriberSpec extends AnyFunSuite {
       val idx = parts.map(_(0).toInt)
       assert(idx == Seq(idx.head, idx.head + 1, idx.head + 2), idx.mkString(","))
     }
+  }
+
+  test("pool: >1 batch genuinely in flight, frames intact per worker") {
+    // 4 one-frame batches against 'slow' (1 s per reply) on a cap-4 pool.
+    // Serial execution = >= 4 s; concurrent must land far under that. Each
+    // fresh worker numbers its frames from 0, so all-indices-zero proves 4
+    // DISTINCT worker processes served the 4 batches; md5 per reply proves
+    // no cross-batch interleave on any pipe.
+    val t = pool(4, "slow")
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]()
+    val t0 = System.nanoTime()
+    val threads = (0 until 4).map { k =>
+      new Thread(() => results.put(k, t.transcribe(Seq(input(20 + k)))))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    assert(results.size == 4)
+    (0 until 4).foreach { k =>
+      val got = results.get(k)
+      assert(got == Seq(expectedReply(0, input(20 + k))), s"batch $k: $got")
+    }
+    assert(wallMs < 2500, s"4 slow batches took $wallMs ms — pool not concurrent")
+    // released workers are reused: a follow-up call advances an existing
+    // worker's frame index instead of spawning a 5th process
+    assert(t.transcribe(Seq(input(30))) == Seq(expectedReply(1, input(30))))
+  }
+
+  test("pool cap bounds spawns: 8 callers on a cap-2 pool use exactly 2 workers") {
+    // 'slow' (1 s/reply) guarantees the 8 borrows overlap, so the cap is the
+    // only thing limiting spawns: exactly 2 workers must serve all 8 frames.
+    val t = pool(2, "slow")
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]()
+    val threads = (0 until 8).map { k =>
+      new Thread(() => results.put(k, t.transcribe(Seq(input(40 + k)))))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(results.size == 8)
+    // every reply intact (md5+length pin the payload to the right batch)
+    (0 until 8).foreach { k =>
+      val p = results.get(k).head.split(":", 3)
+      val wav = WavCodec.encodeMono16(input(40 + k).samples, 16000)
+      val md5 = MessageDigest.getInstance("MD5").digest(wav)
+        .map(b => f"$b%02x").mkString.take(8)
+      assert(p(1) == md5 && p(2) == wav.length.toString)
+    }
+    // 8 frames served by exactly 2 workers: each worker numbers its own
+    // frames 0..k, so the index multiset must be two prefix-runs — the
+    // per-value counts start at 2 (two fresh workers) and never increase
+    val idx = results.values().stream().map[Int](s => s.head.split(":", 3)(0).toInt)
+      .toArray(n => new Array[Integer](n)).map(_.toInt).toSeq
+    val counts = (0 to idx.max).map(v => idx.count(_ == v))
+    assert(counts.head == 2, s"expected exactly 2 fresh workers, indices $idx")
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, s"indices $idx")
+    assert(counts.sum == 8, s"indices $idx")
   }
 
   test("worker death mid-batch fails the task (no silent empties)") {
