@@ -3,11 +3,12 @@ package graft.io
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, not}
 
 /** A minimal TRANSACTION-LOG table format — the commit protocol that turns
   * a directory of parquet files into a table with atomic commits, crash
-  * isolation, optimistic concurrency, and time travel (the Delta/Iceberg
-  * core, reduced to its essentials):
+  * isolation, optimistic concurrency, row-level deletes, and time travel
+  * (the Delta/Iceberg core, reduced to its essentials):
   *
   *   <dir>/part-<uuid>/ *.parquet      data files, written FIRST
   *   <dir>/_txnlog/v00001.manifest     one committed version: the list of
@@ -25,18 +26,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * conditional-write primitive; everything else is unchanged.)
   *
   * Manifest format: first line is the action marker — `A` (this commit
-  * ADDS its files to the visible set) or `R` (this commit REPLACES the
-  * visible set with its files: the compaction/rewrite action) — followed
-  * by one relative file path per line. Readers fold the manifest chain in
-  * version order: A appends, R resets. Compaction is therefore just
+  * ADDS its files to the visible set), `R` (this commit REPLACES the
+  * visible set with its files: the compaction/rewrite action), or
+  * `D <keyCols>` (this commit's files are a DELETE VECTOR: the distinct
+  * key values of deleted rows; comma-separated key column names ride in
+  * the marker line) — followed by one relative file path per line.
+  * Readers fold the manifest chain in NUMERIC version order: A appends,
+  * R resets (and clears pending delete vectors — a rewrite materializes
+  * them), D stacks an anti-join. Compaction is therefore just
   * `commit(read(latest), replace = true)` — old versions stay readable
   * (time travel is unaffected) while the latest view plans only the
   * compacted files.
   *
+  * Concurrency contract (round-7 advice): APPEND commits (A, D) never
+  * conflict — the version-retry loop is enough, because folding them in
+  * either order yields the same table. REPLACE commits (compact, CoW
+  * delete) read the visible set first, so an interleaved commit would be
+  * silently dropped by a blind retry (lost update); `compact`/`delete`
+  * therefore claim EXACTLY version base+1 (compare-and-swap on the
+  * version counter) and, on losing, re-read the new visible set and
+  * rebuild before trying again. Vacuum stays single-writer by contract.
+  *
+  * Delete vectors (merge-on-read): `deleteVector` commits the matching
+  * rows' KEY VALUES (metadata-sized) instead of rewriting the visible
+  * set — at 100 TB a one-row erasure writes one tiny file, not the
+  * table. Readers anti-join each visible vector on its key columns.
+  * Value-based vectors (not file/position-based) survive compaction and
+  * concurrent appends untouched: the anti-join semantics don't care
+  * which file a row lives in. `delete` (copy-on-write) remains the
+  * compaction-style alternative that physically removes bytes — the
+  * right-to-be-forgotten finalizer — and any replace-commit materializes
+  * all pending vectors. The usual lakehouse cadence is deleteVector for
+  * latency, periodic compact to purge.
+  *
   * Scale notes: manifests are metadata-sized (file LISTS, not data); the
   * reader's planning cost is O(committed files), exactly a parquet
   * multi-path scan afterward — pushdown/pruning reach the files as usual
-  * since the result IS spark.read.parquet(files).
+  * since the result IS spark.read.parquet(files) (delete vectors add
+  * broadcast-sized anti-joins on top).
   */
 object TxnLog {
 
@@ -53,71 +80,96 @@ object TxnLog {
     try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
   }
 
+  /** (version, manifest path) pairs, sorted by PARSED version — filename
+    * strings sort lexicographically, which diverges from numeric order
+    * once versions outgrow the zero-padding ('v100000' < 'v99999'). */
+  private def manifests(dir: String): Array[(Long, Path)] = {
+    val ld = logDir(dir)
+    if (!Files.exists(ld)) Array.empty
+    else listDir(ld).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.endsWith(".manifest"))
+        Some((n.stripPrefix("v").stripSuffix(".manifest").toLong, p))
+      else None
+    }.sortBy(_._1)
+  }
+
   /** Largest committed version, 0 if none. */
   def currentVersion(dir: String): Long = {
-    val ld = logDir(dir)
-    if (!Files.exists(ld)) 0L
-    else {
-      val vs = listDir(ld).map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-      if (vs.isEmpty) 0L else vs.max
-    }
+    val ms = manifests(dir)
+    if (ms.isEmpty) 0L else ms.last._1
+  }
+
+  private def writeData(df: DataFrame, dir: String): (String, Vector[String]) = {
+    val rel = s"part-${java.util.UUID.randomUUID().toString}"
+    df.write.mode("errorifexists").parquet(s"$dir/$rel")
+    val files = new java.io.File(s"$dir/$rel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$rel/${f.getName}").sorted.toVector
+    require(files.nonEmpty, "commit of an empty dataframe writes no files")
+    (rel, files)
+  }
+
+  /** Write the manifest body to a temp file and atomically claim version
+    * `v` by hard link. Returns false if `v` was already taken. */
+  private def tryClaim(dir: String, v: Long, marker: String, files: Seq[String]): Boolean = {
+    Files.createDirectories(logDir(dir))
+    val tmp = Files.createTempFile(logDir(dir), ".pending-", ".tmp")
+    Files.write(tmp, (marker + "\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(manifestPath(dir, v), tmp) // atomic claim (EEXIST on loss)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def commitWith(df: DataFrame, dir: String, marker: String): Long = {
+    val (_, files) = writeData(df, dir)
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, marker, files)) v += 1 // append-type: any slot works
+    v
   }
 
   /** Atomically commit `df` as the next version; returns the version won.
     * Data lands fully before any manifest is visible; the manifest is
     * hard-linked into place so readers never observe a partial one.
     * `replace = true` makes this version RESET the visible set to its own
-    * files (the compaction action) instead of appending. */
-  def commit(df: DataFrame, dir: String, replace: Boolean = false): Long = {
-    val uuid = java.util.UUID.randomUUID().toString
-    val rel = s"part-$uuid"
-    df.write.mode("errorifexists").parquet(s"$dir/$rel")
-    val files = new java.io.File(s"$dir/$rel").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => s"$rel/${f.getName}").sorted
-    require(files.nonEmpty, "commit of an empty dataframe writes no files")
-    Files.createDirectories(logDir(dir))
-    val tmp = Files.createTempFile(logDir(dir), ".pending-", ".tmp")
-    val marker = if (replace) "R" else "A"
-    Files.write(tmp, (marker + "\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
-    try {
-      var v = currentVersion(dir) + 1
-      while (true) {
-        try {
-          Files.createLink(manifestPath(dir, v), tmp) // atomic claim (EEXIST on loss)
-          return v
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => v += 1 // lost the race; retry
-        }
-      }
-      v
-    } finally Files.deleteIfExists(tmp)
-  }
+    * files (the compaction action) instead of appending. NOTE: a replace
+    * commit built FROM a read of this table should go through
+    * [[compact]]/[[delete]], which re-validate against concurrent commits;
+    * this raw entry point is for single-writer maintenance loops (e.g. the
+    * streaming IVM view) that own the table by contract. */
+  def commit(df: DataFrame, dir: String, replace: Boolean = false): Long =
+    commitWith(df, dir, if (replace) "R" else "A")
 
-  /** Visible file set (relative paths) at version `upto`: fold the chain —
-    * A appends, R resets (legacy marker-less manifests read as adds). */
-  private def visibleAt(dir: String, upto: Long): Vector[String] = {
+  /** One parsed manifest chain fold: the visible DATA files plus the
+    * visible DELETE VECTORS (vector files + key columns), at `upto`. */
+  private final case class Snapshot(files: Vector[String],
+                                    dvs: Vector[(Vector[String], Seq[String])])
+
+  private def snapshotAt(dir: String, upto: Long): Snapshot = {
     val ld = logDir(dir)
     require(Files.exists(ld), s"not a txnlog table (no ${ld})")
-    val manifests = listDir(ld)
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("v") && n.endsWith(".manifest") &&
-          n.stripPrefix("v").stripSuffix(".manifest").toLong <= upto
-      }
-      .sortBy(_.getFileName.toString)
-    require(manifests.nonEmpty, s"no committed version <= $upto")
-    manifests.foldLeft(Vector.empty[String]) { (acc, p) =>
+    val ms = manifests(dir).filter(_._1 <= upto)
+    require(ms.nonEmpty, s"no committed version <= $upto")
+    ms.foldLeft(Snapshot(Vector.empty, Vector.empty)) { case (acc, (_, p)) =>
       val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
         .filter(_.nonEmpty).toVector
       lines.headOption match {
-        case Some("R") => lines.tail
-        case Some("A") => acc ++ lines.tail
-        case _         => acc ++ lines
+        case Some("R") => Snapshot(lines.tail, Vector.empty) // rewrite materialized the vectors
+        case Some("A") => acc.copy(files = acc.files ++ lines.tail)
+        case Some(m) if m.startsWith("D ") =>
+          val keyCols = m.stripPrefix("D ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(keyCols.nonEmpty, s"delete-vector manifest $p has no key columns")
+          acc.copy(dvs = acc.dvs :+ ((lines.tail, keyCols)))
+        case _ => acc.copy(files = acc.files ++ lines) // legacy marker-less = adds
       }
     }
   }
+
+  /** Visible data file set (relative paths) at version `upto`. */
+  private def visibleAt(dir: String, upto: Long): Vector[String] =
+    snapshotAt(dir, upto).files
 
   /** Oldest version whose data files are still on disk (advanced by
     * vacuum); reads below it fail loudly instead of hitting deleted
@@ -128,60 +180,105 @@ object TxnLog {
   }
 
   /** Read the table at `asOf` (default: latest). Only manifest-listed files
-    * are visible; orphaned data directories (crashed writers) are not. */
+    * are visible; orphaned data directories (crashed writers) are not.
+    * Visible delete vectors apply as anti-joins on their key columns. A
+    * version that does not exist (above the head or below the vacuum
+    * watermark) fails at PLANNING time — never a silent wrong snapshot. */
   def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
     val upto = asOf.getOrElse(Long.MaxValue)
     require(upto >= minVersion(dir),
       s"version $upto was vacuumed (oldest retained: ${minVersion(dir)})")
-    spark.read.parquet(visibleAt(dir, upto).map(rel => s"$dir/$rel"): _*)
+    asOf.foreach(v => require(v <= currentVersion(dir),
+      s"version $v does not exist (current: ${currentVersion(dir)})"))
+    val snap = snapshotAt(dir, upto)
+    val base = spark.read.parquet(snap.files.map(rel => s"$dir/$rel"): _*)
+    snap.dvs.foldLeft(base) { case (df, (dvFiles, keyCols)) =>
+      df.join(spark.read.parquet(dvFiles.map(rel => s"$dir/$rel"): _*),
+        keyCols, "left_anti")
+    }
   }
 
-  /** Compact: rewrite the current visible set as one replace-commit.
-    * Prior versions remain time-travel-readable; the latest view plans
-    * only the compacted files (the small-file maintenance pass — q186
-    * plans WHICH files to bin, this executes the rewrite). `numFiles > 0`
-    * coalesces the rewrite to that many files (the OPTIMIZE target-size
-    * dial, reduced to a count). */
-  def compact(spark: SparkSession, dir: String, numFiles: Int = 0): Long = {
-    val cur = read(spark, dir).localCheckpoint()
-    commit(if (numFiles > 0) cur.coalesce(numFiles) else cur, dir, replace = true)
+  /** Run one replace-commit with conflict RE-VALIDATION: build the new
+    * visible set from the current snapshot, then claim EXACTLY base+1. If
+    * a concurrent commit interleaved (append, delete vector, another
+    * replace), the claim loses, the stale rewrite's data files are
+    * removed (no manifest ever referenced them — they are invisible by
+    * protocol), and the build re-runs against the new snapshot. This is
+    * what makes compact/delete safe against the lost-update race instead
+    * of silently dropping an interleaved append. */
+  private def replaceCommitValidated(spark: SparkSession, dir: String)
+                                    (build: DataFrame => DataFrame): Long = {
+    while (true) {
+      val base = currentVersion(dir)
+      val df = build(read(spark, dir)).localCheckpoint()
+      val (rel, files) = writeData(df, dir)
+      if (tryClaim(dir, base + 1, "R", files)) return base + 1
+      // lost the CAS: a commit interleaved since `base` — discard the stale
+      // rewrite (unreferenced by any manifest, so invisible) and rebuild
+      val d = new java.io.File(s"$dir/$rel")
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Compact: rewrite the current visible set as one replace-commit
+    * (re-validated against concurrent commits — see above). Prior versions
+    * remain time-travel-readable; the latest view plans only the compacted
+    * files, and any pending delete vectors are materialized into the
+    * rewrite (the small-file maintenance pass — q186 plans WHICH files to
+    * bin, this executes the rewrite). `numFiles > 0` coalesces the rewrite
+    * to that many files (the OPTIMIZE target-size dial, reduced to a
+    * count). */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 0): Long =
+    replaceCommitValidated(spark, dir)(cur =>
+      if (numFiles > 0) cur.coalesce(numFiles) else cur)
 
   /** Row-level DELETE, copy-on-write: rewrite the visible set without the
-    * matching rows as one replace-commit. The pre-delete version stays
-    * time-travel-readable until vacuumed — exactly the recovery story
-    * real formats sell. (Merge-on-read — delete vectors — is the
-    * documented at-scale refinement; copy-on-write is the semantics.) */
+    * matching rows as one replace-commit (re-validated against concurrent
+    * commits). The pre-delete version stays time-travel-readable until
+    * vacuumed — exactly the recovery story real formats sell. Use
+    * [[deleteVector]] for the merge-on-read path that avoids the rewrite. */
   def delete(spark: SparkSession, dir: String, predicate: String): Long =
-    commit(read(spark, dir)
-      .filter(org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.expr(predicate)))
-      .localCheckpoint(), dir, replace = true)
+    replaceCommitValidated(spark, dir)(_.filter(not(expr(predicate))))
+
+  /** Row-level DELETE, merge-on-read: commit the matching rows' distinct
+    * KEY VALUES as a delete vector — an append-type commit whose files are
+    * metadata-sized, so a one-row erasure never rewrites the table.
+    * Readers anti-join on `keyCols`; the next compact/delete materializes
+    * the vector physically. Snapshot semantics: rows appended AFTER the
+    * vector's snapshot with matching keys are also suppressed (value-based
+    * vectors delete BY KEY, not by file position — the property that makes
+    * them commute with compaction and appends). Returns the committed
+    * version, or the current version unchanged if nothing matched. */
+  def deleteVector(spark: SparkSession, dir: String, predicate: String,
+                   keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteVector needs at least one key column")
+    require(keyCols.forall(c => !c.contains(",") && c.trim.nonEmpty),
+      s"key column names must be comma-free: $keyCols")
+    val keys = read(spark, dir).filter(expr(predicate))
+      .select(keyCols.map(col): _*).distinct().localCheckpoint()
+    if (keys.isEmpty) currentVersion(dir)
+    else commitWith(keys, dir, "D " + keyCols.mkString(","))
+  }
 
   /** DESCRIBE HISTORY: one row per committed version — (version, action,
-    * n_files) parsed from the manifest chain. Metadata-only (no data file
-    * is opened), so it works on vacuumed prefixes too. */
+    * n_files) parsed from the manifest chain (action `D` = delete vector).
+    * Metadata-only (no data file is opened), so it works on vacuumed
+    * prefixes too. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val ld = logDir(dir)
     require(Files.exists(ld), s"not a txnlog table (no ${ld})")
-    val rows = listDir(ld)
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("v") && n.endsWith(".manifest")
+    val rows = manifests(dir).map { case (v, p) =>
+      val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
+        .filter(_.nonEmpty).toVector
+      val (action, files) = lines.headOption match {
+        case Some("R") => ("R", lines.tail)
+        case Some("A") => ("A", lines.tail)
+        case Some(m) if m.startsWith("D ") => ("D", lines.tail)
+        case _ => ("A", lines)
       }
-      .sortBy(_.getFileName.toString)
-      .map { p =>
-        val n = p.getFileName.toString
-        val v = n.stripPrefix("v").stripSuffix(".manifest").toLong
-        val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
-          .filter(_.nonEmpty).toVector
-        val (action, files) = lines.headOption match {
-          case Some("R") => ("R", lines.tail)
-          case Some("A") => ("A", lines.tail)
-          case _         => ("A", lines)
-        }
-        (v, action, files.length.toLong)
-      }
+      (v, action, files.length.toLong)
+    }
     import spark.implicits._
     rows.toSeq.toDF("version", "action", "n_files")
   }
@@ -189,21 +286,25 @@ object TxnLog {
   /** Vacuum: delete data files no retained version references, advancing
     * the min-version watermark so vacuumed as-of reads fail LOUDLY at
     * planning time rather than mid-scan on a missing file. Retains the
-    * newest `retainVersions` versions' visible sets (manifests — metadata
-    * — are kept forever; only data files are reclaimed). After an A-only
-    * chain this is a no-op (every file is still referenced); after a
-    * replace-commit it reclaims the pre-compaction files. Single-writer
-    * maintenance op by contract, and it must NOT run concurrently with an
-    * in-flight commit: a commit's data files land before its manifest, so
-    * a racing vacuum would reclaim them as orphans (real formats close
-    * this with a file-age retention threshold; the contract here keeps
-    * the essential-protocol scope). Returns the deleted relative paths. */
+    * newest `retainVersions` versions' visible sets — data files AND
+    * delete-vector files (manifests — metadata — are kept forever; only
+    * data files are reclaimed). After an A-only chain this is a no-op
+    * (every file is still referenced); after a replace-commit it reclaims
+    * the pre-compaction files. Single-writer maintenance op by contract,
+    * and it must NOT run concurrently with an in-flight commit: a commit's
+    * data files land before its manifest, so a racing vacuum would reclaim
+    * them as orphans (real formats close this with a file-age retention
+    * threshold; the contract here keeps the essential-protocol scope).
+    * Returns the deleted relative paths. */
   def vacuum(dir: String, retainVersions: Int = 1): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(dir)
     require(cur > 0, "nothing committed")
     val newMin = math.max(minVersion(dir), cur - retainVersions + 1)
-    val keep = (newMin to cur).flatMap(v => visibleAt(dir, v)).toSet
+    val keep = (newMin to cur).flatMap { v =>
+      val s = snapshotAt(dir, v)
+      s.files ++ s.dvs.flatMap(_._1)
+    }.toSet
     val partDirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("part-"))
     val victims = partDirs.flatMap { pd =>

@@ -895,6 +895,72 @@ object CorpusOps {
       |) AS t(version, action, n_files)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+  /** MERGE-ON-READ row deletes on the txn-log table (delete vectors) —
+    * the at-scale refinement of q216's copy-on-write: the erase commit
+    * writes only the matching rows' KEY VALUES (metadata-sized), never
+    * rewriting the 100-TB base, and readers anti-join the vector. The
+    * lifecycle driven: v1 commits the even-custkey half, v2 delete-vectors
+    * the BUILDING segment (by c_custkey), v3 appends the odd half — whose
+    * BUILDING customers SURVIVE, because value-based vectors suppress the
+    * keys captured at their snapshot, not a predicate — and v4 compacts,
+    * materializing the vector physically. Faces 1–4 pin every version's
+    * rowset (4 == 3 proves materialization invariance); the face-0 row
+    * pins the history ledger: actions A,D,A,R and an untouched vacuum
+    * watermark. */
+  def q217(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q217_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    graft.io.TxnLog.commit(cust.filter(expr("c_custkey % 2 = 0")), dir)
+    graft.io.TxnLog.deleteVector(s, dir, "c_mktsegment = 'BUILDING'", Seq("c_custkey"))
+    graft.io.TxnLog.commit(cust.filter(expr("c_custkey % 2 = 1")), dir)
+    graft.io.TxnLog.compact(s, dir)
+    def face(asOf: Option[Long], tag: Long) =
+      graft.io.TxnLog.read(s, dir, asOf)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_bal"))
+        .withColumn("as_of", lit(tag))
+    val actions = graft.io.TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(lit(0L).as("as_of"), lit(actions).as("c_mktsegment"),
+      lit(graft.io.TxnLog.currentVersion(dir)).as("n"),
+      lit(graft.io.TxnLog.minVersion(dir).toDouble).as("sum_bal"))
+    ledger.unionByName(
+        Seq(1L, 2L, 3L, 4L).map(v => face(Some(v), v)).reduce(_.unionByName(_)))
+      .select(col("as_of"), col("c_mktsegment"), col("n"), col("sum_bal"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+  val q217Sql: String =
+    """WITH f1 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |            WHERE c_custkey % 2 = 0),
+      |f2 AS (SELECT * FROM f1 WHERE c_mktsegment <> 'BUILDING'),
+      |f3 AS (SELECT * FROM f2 UNION ALL
+      |       SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |       WHERE c_custkey % 2 = 1),
+      |faces AS (
+      |  SELECT 1 AS as_of, c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM f1 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM f2 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 3, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM f3 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 4, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM f3 GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS as_of, 'ADAR' AS c_mktsegment,
+      |       CAST(4 AS BIGINT) AS n, CAST(1 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT CAST(as_of AS BIGINT), c_mktsegment, CAST(n AS BIGINT),
+      |       CAST(sum_bal AS DOUBLE)
+      |FROM faces
+      |ORDER BY as_of, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q201_priority_sample"   -> ((q201 _, Some(q201Sql))),
     "q202_incremental_view"  -> ((q202 _, Some(q202Sql))),
@@ -911,5 +977,6 @@ object CorpusOps {
     "q213_txn_compaction"    -> ((q213 _, Some(q213Sql))),
     "q214_stream_ivm_versioned" -> ((q214 _, Some(q214Sql))),
     "q215_txn_history"       -> ((q215 _, Some(q215Sql))),
-    "q216_txn_delete"        -> ((q216 _, Some(q216Sql))))
+    "q216_txn_delete"        -> ((q216 _, Some(q216Sql))),
+    "q217_txn_delete_vector" -> ((q217 _, Some(q217Sql))))
 }

@@ -135,4 +135,142 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = freshTable()
     intercept[IllegalArgumentException](graft.io.TxnLog.read(spark, dir))
   }
+
+  test("as-of above the head fails at planning time, not a silent latest") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(1L).toDF("v"), dir)
+    val e = intercept[IllegalArgumentException](
+      graft.io.TxnLog.read(spark, dir, Some(7L)))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("manifest fold follows numeric version order across the padding boundary") {
+    // v%05d padding makes 'v100000' sort lexicographically BEFORE 'v99999';
+    // the fold must order by parsed version or the A/R chain misfolds.
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(1L, 2L).toDF("v"), dir) // v1
+    graft.io.TxnLog.commit(Seq(3L).toDF("v"), dir)     // v2
+    val ld = java.nio.file.Paths.get(dir, "_txnlog")
+    def replaceBody(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      ld.resolve(f"v$v%05d.manifest")), "UTF-8").replaceFirst("^A\n", "R\n")
+    // hand-forge a far-future pair: v99999 replaces with v1's files,
+    // v100000 replaces with v2's files — numeric order must make v100000 win
+    java.nio.file.Files.write(ld.resolve("v99999.manifest"), replaceBody(1L).getBytes("UTF-8"))
+    java.nio.file.Files.write(ld.resolve("v100000.manifest"), replaceBody(2L).getBytes("UTF-8"))
+    assert(graft.io.TxnLog.currentVersion(dir) == 100000L)
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L), "lexicographic manifest order misfolded the chain")
+    val hist = graft.io.TxnLog.history(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist == Seq(1L, 2L, 99999L, 100000L), s"history order: $hist")
+  }
+
+  test("delete vector: merge-on-read now, materialized by the next rewrite") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 8L).toDF("v"), dir)          // v1
+    val dv = graft.io.TxnLog.deleteVector(spark, dir, "v % 3 = 0", Seq("v")) // v2
+    assert(dv == 2L)
+    // latest suppresses the keys without rewriting the base files
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L))
+    // the base files were NOT rewritten: v1's part dir still serves the scan
+    val v1Parts = graft.io.TxnLog.read(spark, dir, Some(1L)).inputFiles
+      .map(_.split("/part-")(1).split("/")(0)).toSet
+    val latestParts = graft.io.TxnLog.read(spark, dir).inputFiles
+      .map(_.split("/part-")(1).split("/")(0)).toSet
+    assert(v1Parts.subsetOf(latestParts),
+      "merge-on-read must keep planning the original base files")
+    // pre-delete version stays fully readable (the recovery window)
+    assert(graft.io.TxnLog.read(spark, dir, Some(1L)).collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 8L))
+    // value-based vectors delete BY KEY: a later append of a matching key
+    // is suppressed too (snapshot-independent, the commute-with-append rule)
+    graft.io.TxnLog.commit(Seq(3L, 10L).toDF("v"), dir)        // v3
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+    // history labels the vector commit D
+    val hist = graft.io.TxnLog.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist == Map(1L -> "A", 2L -> "D", 3L -> "A"))
+    // a no-match predicate is a no-op, not an empty commit
+    assert(graft.io.TxnLog.deleteVector(spark, dir, "v = 999", Seq("v")) == 3L)
+    // compaction materializes the vector: same rowset, single part dir, and
+    // the post-compaction read no longer depends on the vector files
+    graft.io.TxnLog.compact(spark, dir)
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+    assert(graft.io.TxnLog.read(spark, dir).inputFiles
+      .map(_.split("/part-")(1).split("/")(0)).toSet.size == 1)
+    // vacuum keeps only the compacted files; latest unchanged
+    assert(graft.io.TxnLog.vacuum(dir).nonEmpty)
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+  }
+
+  test("vacuum retains delete-vector files while their versions are retained") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 4L).toDF("v"), dir)
+    graft.io.TxnLog.deleteVector(spark, dir, "v = 2", Seq("v"))
+    // retain everything: the DV files must survive (latest still applies them)
+    graft.io.TxnLog.vacuum(dir, retainVersions = 2)
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 4L))
+  }
+
+  test("replace-commit re-validates: concurrent appends are never lost") {
+    // round-7 advice (medium): compact reads the visible set, then commits
+    // replace — a blind next-version retry would silently drop an append
+    // that interleaved. The CAS claim at base+1 + rebuild must keep every
+    // appended row through concurrent compactions.
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(0L).toDF("v"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val appender = pool.submit(new Runnable {
+        def run(): Unit = (1 to 6).foreach { i =>
+          graft.io.TxnLog.commit(Seq(i.toLong).toDF("v"), dir)
+        }
+      })
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = (1 to 3).foreach { _ =>
+          graft.io.TxnLog.compact(spark, dir); Thread.sleep(30)
+        }
+      })
+      appender.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      compactor.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == (0L to 6L), "a concurrent append was lost by a replace-commit")
+  }
+
+  test("delete vector racing compaction never resurrects deleted keys") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 20L).toDF("v"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val deleter = pool.submit(new Runnable {
+        def run(): Unit = (0 until 3).foreach { k =>
+          graft.io.TxnLog.deleteVector(spark, dir, s"v % 5 = $k", Seq("v"))
+        }
+      })
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = (1 to 3).foreach { _ =>
+          graft.io.TxnLog.compact(spark, dir); Thread.sleep(20)
+        }
+      })
+      deleter.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      compactor.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    // every key hit by any of the three vectors must be gone, regardless of
+    // how the vectors interleaved with the rewrites
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 20L).filter(v => v % 5 != 0 && v % 5 != 1 && v % 5 != 2),
+      "a compaction raced past a delete vector and resurrected keys")
+  }
 }
