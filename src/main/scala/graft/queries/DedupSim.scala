@@ -2060,7 +2060,17 @@ object DedupSim {
   def q128(s: SparkSession, d: String): DataFrame =
     q128From(shingleSets(s, d))
 
-  private def q128From(sh: DataFrame): DataFrame = {
+  /** Candidate pairs after prefix + length filtering, optionally with the
+    * PPJoin+ POSITIONAL stage. J >= 4/5 needs overlap O >=
+    * ceil(4(|A|+|B|)/9); at the pair's FIRST shared prefix token (global
+    * df,term order) every other shared element ranks after it in BOTH docs
+    * — any earlier-ordered shared element would rank inside both prefixes
+    * (ranks follow the one global order) and so would BE an earlier match
+    * — giving the sound bound O <= 1 + min(szA-i, szB-j). i and j are
+    * per-token ranks, both monotone in the global order, so the first
+    * match carries (min i, min j) and a plain min-agg replaces the old
+    * distinct() at the same shuffle count. */
+  private def q128Candidates(sh: DataFrame, positional: Boolean): DataFrame = {
     val dfT = sh.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // per doc: shingles rarest-first via windows over the doc_id
     // partitioning already in place; prefix length |A| - ceil(4|A|/5) + 1,
@@ -2071,13 +2081,34 @@ object DedupSim {
       .withColumn("sz", count(lit(1)).over(wCnt))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("term"), col("sz"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("term").as("pt"), col("sz").as("sza"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("term").as("pt"), col("sz").as("szb")), Seq("pt"))
+      .select(col("doc_id"), col("term"), col("sz"), col("rn"))
+    val grouped = pref.select(col("doc_id").as("doc_a"), col("term").as("pt"),
+        col("sz").as("sza"), col("rn").as("ia"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("term").as("pt"),
+        col("sz").as("szb"), col("rn").as("jb")), Seq("pt"))
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J >= 4/5 forces 5*min >= 4*max
       .filter(col("sza") * 5 >= col("szb") * 4 && col("szb") * 5 >= col("sza") * 4)
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sza")).as("sza"), first(col("szb")).as("szb"),
+        min(col("ia")).as("ia"), min(col("jb")).as("jb"))
+    val kept = if (positional)
+      grouped.filter(lit(1) + least(col("sza") - col("ia"), col("szb") - col("jb"))
+        >= expr("(4 * (sza + szb) + 8) div 9"))
+    else grouped
+    kept.select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Instrumentation for the scale report: candidate-pair count after
+    * prefix+length only vs after the positional stage too. */
+  private[graft] def q128CandidateCounts(s: SparkSession, d: String): (Long, Long) = {
+    val sh = shingleSets(s, d)
+    (q128Candidates(sh, positional = false).count(),
+     q128Candidates(sh, positional = true).count())
+  }
+
+  private def q128From(sh: DataFrame): DataFrame = {
+    val cand = q128Candidates(sh, positional = true)
     // set arrays for verification: same doc_id exchange, zero extra shuffle
     // (element order inside the array is irrelevant to intersection SIZE)
     val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("term")).as("ts"))

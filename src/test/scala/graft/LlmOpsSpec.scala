@@ -554,6 +554,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == exact, "prefix-filtered join diverged from brute force")
     assert(out.nonEmpty, "degenerate fixture: no qualifying pair at sf0.001")
+    // the PPJoin+ positional stage prunes candidates and (by the equality
+    // above) never a qualifying pair
+    val (pre, pos) = graft.queries.DedupSim.q128CandidateCounts(spark, d)
+    assert(pos <= pre, s"positional stage grew the candidate set: $pre -> $pos")
+    assert(exact.size.toLong <= pos, "candidates must cover all true pairs")
   }
 
   test("q129: the delta-maintained aggregate equals the direct v2 rollup") {
