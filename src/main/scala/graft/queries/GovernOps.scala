@@ -343,37 +343,50 @@ object GovernOps {
     * types, how many distinct users touched BOTH, plus the pairwise Jaccard
     * — without ever joining users to users. The distributed pattern is the
     * BITMAP ROLLUP: one corpus aggregation folds each user's segments into
-    * a single long bitmask (bit_or is idempotent, so no distinct pre-pass),
-    * the masks collapse to a ≤2^k-row HISTOGRAM, and the k² pair matrix is
-    * derived from the histogram by bit tests — the pair expansion touches
-    * mask-grid rows, never users. ≤64 segments by construction (`require`);
-    * the documented swap beyond that is chunked bitmaps (Roaring-style).
+    * a CHUNKED bitmask — an array of longs, chunk c = idx div 64 (the
+    * Roaring-style fixed-container layout; bit_or per chunk is idempotent,
+    * so no distinct pre-pass) — the mask arrays collapse to a value
+    * HISTOGRAM (one row per observed segment COMBINATION — bounded by the
+    * corpus's distinct behavior profiles, not 2^k), and the k² pair matrix
+    * is derived from the histogram by bit tests — the pair expansion
+    * touches mask-grid rows, never users. Segment cardinality is UNBOUNDED
+    * (round-7 verdict item 5: the former 64-segment `require` is gone);
+    * chunks are one shuffle regardless of k since the per-chunk bit_or
+    * aggregates ride a single groupBy(user_id).
     *
     * The oracle is the INDEPENDENT quadratic formulation — distinct
     * (user, type) self-joined on user — so the hash gate proves the bitmask
     * rollup computes exactly the pairwise-distinct matrix. Jaccard defers
     * its one division to integer floor-div on exact counts. */
-  def q199(s: SparkSession, d: String): DataFrame = {
+  private[graft] def segmentOverlap(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
     val dim = ev.select("event_type").distinct()
       .withColumn("idx",
         (row_number().over(Window.orderBy("event_type")) - 1).cast("long"))
       .localCheckpoint() // value-count-sized; the tiny window is bounded metadata
-    require(dim.count() <= 64L, "bitmask rollup holds ≤64 segments; chunk beyond")
+    val nChunks = ((dim.count() + 63L) / 64L).toInt.max(1)
+    // one bit_or aggregate per chunk, all inside ONE groupBy(user_id) pass
+    val chunkAggs = (0 until nChunks).map(c => expr(
+      s"""bit_or(IF(CAST(idx div 64 AS INT) = $c,
+         |shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)), 0L))""".stripMargin)
+      .as(s"m$c"))
     val masks = ev.join(broadcast(dim), Seq("event_type"))
       .groupBy("user_id")
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT)))").as("mask"))
+      .agg(chunkAggs.head, chunkAggs.tail: _*)
+      .select(col("user_id"),
+        array((0 until nChunks).map(c => col(s"m$c")): _*).as("mask"))
     val hist = masks.groupBy("mask").agg(count(lit(1)).as("cnt")).localCheckpoint()
     val pairs = dim.select(col("event_type").as("seg_a"), col("idx").as("ia"))
       .crossJoin(dim.select(col("event_type").as("seg_b"), col("idx").as("ib")))
       .filter(col("seg_a") <= col("seg_b"))
+    def bitTest(idxCol: String): String =
+      s"(shiftright(element_at(mask, CAST($idxCol div 64 AS INT) + 1), " +
+        s"CAST($idxCol % 64 AS INT)) & 1) = 1"
     val totals = hist.crossJoin(broadcast(dim))
-      .filter(expr("(shiftright(mask, CAST(idx AS INT)) & 1) = 1"))
+      .filter(expr(bitTest("idx")))
       .groupBy("event_type").agg(sum(col("cnt")).cast("long").as("n"))
     hist.crossJoin(broadcast(pairs))
-      .filter(expr("(shiftright(mask, CAST(ia AS INT)) & 1) = 1 AND " +
-        "(shiftright(mask, CAST(ib AS INT)) & 1) = 1"))
+      .filter(expr(bitTest("ia") + " AND " + bitTest("ib")))
       .groupBy("seg_a", "seg_b").agg(sum(col("cnt")).cast("long").as("n_both"))
       .join(broadcast(totals.select(col("event_type").as("seg_a"), col("n").as("n_a"))), Seq("seg_a"))
       .join(broadcast(totals.select(col("event_type").as("seg_b"), col("n").as("n_b"))), Seq("seg_b"))
@@ -381,6 +394,9 @@ object GovernOps {
         expr("(1000000 * n_both) div (n_a + n_b - n_both)").as("jaccard_ppm"))
       .orderBy("seg_a", "seg_b")
   }
+
+  def q199(s: SparkSession, d: String): DataFrame =
+    segmentOverlap(Tables.events(s, d).select(col("user_id"), col("event_type")))
   val q199Sql: String =
     """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
       |segn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),

@@ -95,6 +95,31 @@ class GovernOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q199 chunked bitmaps: >64 segment types, exact vs quadratic") {
+    // 150 segment types -> 3 long chunks; deterministic synthetic memberships
+    import spark.implicits._
+    val rows = for {
+      u <- 0L until 400L
+      t <- 0 until 150
+      if (u * 31 + t * 17) % 7 == 0 || t.toLong == u % 150
+    } yield (u, f"seg$t%03d")
+    val ev = rows.toDF("user_id", "event_type")
+    val got = graft.queries.GovernOps.segmentOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val byType = rows.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    assert(types.size == 150, s"fixture must exceed 64 types, got ${types.size}")
+    for (a <- types; b <- types if a <= b) {
+      val sa = byType(a); val sb = byType(b)
+      val both = (sa intersect sb).size.toLong
+      if (both == 0L) assert(!got.contains((a, b)), s"($a,$b) should be absent")
+      else {
+        val uni = (sa union sb).size.toLong
+        assert(got((a, b)) == ((both, 1000000L * both / uni)), s"($a,$b)")
+      }
+    }
+  }
+
   test("q199: bitmask rollup equals the quadratic distinct-pair matrix") {
     val got = graft.queries.GovernOps.q199(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
