@@ -610,7 +610,44 @@ object PipelineQueries {
       |FROM sess s, wm WHERE s.end_us < wm.w
       |ORDER BY s.user_id, s.start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** TIMER-driven session timeout on the oracle board — event-time timers
+    * (registerTimer / handleExpiredTimer), the primitive that
+    * distinguishes transformWithState from flatMapGroupsWithState, next
+    * to q188's ValueState accumulator. handleInputRows only folds state;
+    * every emitted row comes from a timer firing against the watermark,
+    * so the oracle states the timeout semantics directly: 30-min-gap
+    * sessions (break when the inter-event gap EXCEEDS 30 min; end = last
+    * event) whose end + gap has passed the final watermark, where the
+    * watermark is ms-floored exactly as the runtime tracks event-time
+    * stats: wm = (max_ts_us // 1000 − 600000) · 1000. Integer cents make
+    * every column order-free and exact. */
+  def q218(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.sessionTimeoutOnce(streamSession(s), d,
+      queryName = s"graft_q218_${java.lang.Integer.toHexString(d.hashCode)}")
+      .orderBy(col("user_id"), col("start_us"))
+  val q218Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |sessions AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM sessions GROUP BY user_id, sid),
+      |wm AS (SELECT (MAX(ts_us) // 1000 - 600000) * 1000 AS w FROM e)
+      |SELECT s.user_id, s.start_us, s.end_us, s.n_events, s.sum_cents
+      |FROM sess s, wm WHERE s.end_us + 1800000000 <= wm.w
+      |ORDER BY user_id, start_us""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q218_stream_session_timeout" -> ((q218 _, Some(q218Sql))),
     "q190_stream_session_window" -> ((q190 _, Some(q190Sql))),
     "q188_stream_threshold_alerts" -> ((q188 _, Some(q188Sql))),
     "q30_audio_pipeline_e2e" -> ((q30 _, Some(q30Sql))),

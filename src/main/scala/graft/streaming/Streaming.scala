@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming ingest mode (SURVEY §2.8 north-star extension): the
@@ -513,6 +514,123 @@ object Streaming {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
     val q = billingAlertsStream(spark, staged.toString, thresholdCents)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  // ------------------------------------------------------------------
+  // Timer-driven state expiry (round-7 verdict item 6): the API primitive
+  // that distinguishes transformWithState from its predecessors — EVENT-
+  // TIME TIMERS (registerTimer/handleExpiredTimer) — exercised as the
+  // session-timeout emitter. handleInputRows only FOLDS events into state
+  // (open session + closed-session list) and registers a timer at each
+  // session's end + gap; emission happens EXCLUSIVELY in
+  // handleExpiredTimer when the watermark passes a timer. This is the
+  // at-scale session shape: state per key is O(unclosed sessions), timers
+  // evict it as event time advances, and a key silent forever stops
+  // costing memory the moment its last timer fires.
+  // ------------------------------------------------------------------
+
+  final case class SessEvent(user_id: Long, ts_us: Long, cents: Long,
+                             ts_t: java.sql.Timestamp)
+  final case class Sess(start_us: Long, end_us: Long, n_events: Long, sum_cents: Long)
+  final case class SessionEmit(user_id: Long, start_us: Long, end_us: Long,
+                               n_events: Long, sum_cents: Long)
+
+  /** Session-timeout processor: gap-splits each key's events into
+    * sessions, held in state until their timer (end + gap, CEILED to the
+    * runtime's ms timer granularity) expires against the watermark.
+    * Emission rule — end_us + gap ≤ watermark_ms·1000 — is exactly the
+    * timer-fire rule (ceil(x/1000) ≤ w ⟺ x ≤ 1000·w on integers), so
+    * every emitted session is oracle-stateable from max event time:
+    * wm_ms = floor(max_us/1000) − delay_ms (Spark's event-time stats
+    * track ms). Timers for superseded session ends fire harmlessly: the
+    * handler re-checks ripeness, emits nothing early, and a session is
+    * removed from state the one time it emits. */
+  final class SessionTimeoutProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionEmit] {
+    @transient private var open: ValueState[Sess] = _
+    @transient private var closed: ListState[Sess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[Sess]("open",
+        org.apache.spark.sql.Encoders.product[Sess], TTLConfig.NONE)
+      closed = getHandle.getListState[Sess]("closed",
+        org.apache.spark.sql.Encoders.product[Sess], TTLConfig.NONE)
+    }
+
+    private def timerMs(endUs: Long): Long = (endUs + gapUs + 999L) / 1000L
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+                                 timers: TimerValues): Iterator[SessionEmit] = {
+      val sorted = rows.toArray
+      java.util.Arrays.sort(sorted, Ordering.by((e: SessEvent) => e.ts_us))
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(ss) if e.ts_us - ss.end_us <= gapUs =>
+            cur = Some(Sess(ss.start_us, e.ts_us, ss.n_events + 1L, ss.sum_cents + e.cents))
+          case Some(ss) =>
+            closed.appendValue(ss)
+            getHandle.registerTimer(timerMs(ss.end_us))
+            cur = Some(Sess(e.ts_us, e.ts_us, 1L, e.cents))
+          case None =>
+            cur = Some(Sess(e.ts_us, e.ts_us, 1L, e.cents))
+        }
+      }
+      cur.foreach { ss => open.update(ss); getHandle.registerTimer(timerMs(ss.end_us)) }
+      Iterator.empty // emission is the TIMER's job
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionEmit] = {
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      def ripe(ss: Sess): Boolean = ss.end_us + gapUs <= wmUs
+      val all = closed.get().toArray
+      val (emit, keep) = all.partition(ripe)
+      if (emit.nonEmpty) { closed.clear(); keep.foreach(closed.appendValue) }
+      var out = emit.toVector
+      if (open.exists()) {
+        val ss = open.get()
+        if (ripe(ss)) { out = out :+ ss; open.clear() }
+      }
+      out.sortBy(_.start_us).iterator
+        .map(ss => SessionEmit(key, ss.start_us, ss.end_us, ss.n_events, ss.sum_cents))
+    }
+  }
+
+  /** The unbounded session-timeout stream: 30-min gap sessions in integer
+    * cents, emitted only by timer expiry against the 10-min watermark. */
+  def sessionTimeoutStream(spark: SparkSession, streamDir: String,
+                           gapMinutes: Int = 30): Dataset[SessionEmit] = {
+    import spark.implicits._
+    eventsStreamRaw(spark, streamDir)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "10 minutes")
+      .selectExpr("user_id", "ts_us",
+        "CAST(floor(value * 100) AS BIGINT) AS cents", "ts_t")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Drive the session-timeout stream over the static snapshot: the data
+    * batch folds state and registers timers; the trailing no-data batch
+    * advances the watermark to max event time − 10 min and fires the ripe
+    * timers — so the emitted set is the deterministic "every session the
+    * final watermark closed". RocksDB provider as for billingAlertsOnce. */
+  def sessionTimeoutOnce(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+                         queryName: String = "graft_sesstimeout"): DataFrame = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val staged = java.nio.file.Files.createTempDirectory("graft_sesstimeout_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = sessionTimeoutStream(spark, staged.toString, gapMinutes)
       .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop()

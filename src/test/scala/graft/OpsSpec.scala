@@ -699,6 +699,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"state read-back must equal the exact per-user cents totals (got ${state.size} keys)")
   }
 
+  test("transformWithState timers: sessions emit on expiry, carry across triggers") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streaming
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw = graft.core.Tables.events(s2, "/root/testdata/sf0.001")
+    // time-split into two arrival files; the 10-min watermark delay makes an
+    // early-emitted session uncontinuable by construction (any continuing
+    // event would have ts <= end+gap <= wm1 < cut < batch-2 ts)
+    val cut = raw.selectExpr("CAST(approx_percentile(ts_us, 0.5) AS BIGINT)").head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_timer_src").toString
+    val fileCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props").map(col)
+    raw.filter(col("ts_us") <= cut).select(fileCols: _*).coalesce(1).write.parquet(s"$streamDir/a")
+    val q = Streaming.sessionTimeoutStream(s2, streamDir + "/a", gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("timer_spec").start()
+    try {
+      q.processAllAvailable()
+      val afterBatch1 = s2.table("timer_spec").count()
+      raw.filter(col("ts_us") > cut).select(fileCols: _*).coalesce(1)
+        .write.mode("append").parquet(s"$streamDir/a")
+      q.processAllAvailable()
+      val got = s2.table("timer_spec")
+        .select("user_id", "start_us", "end_us", "n_events", "sum_cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      // batch twin: gap sessions over the full data, closed by the FINAL
+      // ms-floored watermark (the q218 oracle's rule)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val maxUs = raw.agg(max(col("ts_us"))).head.getLong(0)
+      val wmUs = (maxUs / 1000L - 600000L) * 1000L
+      val want = raw
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .withColumn("brk", when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .filter(col("end_us") + 1800000000L <= wmUs)
+        .select("user_id", "start_us", "end_us", "n_events", "sum_cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, "timer-emitted sessions must equal the batch gap-session twin")
+      // timers fired in BOTH stream segments: mid-stream expiry emitted some
+      // sessions after batch 1, and batch 2's watermark advance emitted more
+      assert(afterBatch1 > 0 && afterBatch1 < want.size.toLong,
+        s"expected timer emissions in both segments, got $afterBatch1 of ${want.size}")
+    } finally q.stop()
+  }
+
   test("count-min: never undercounts, honors the ε·N bound, prefilter is exact") {
     import org.apache.spark.sql.functions._
     import graft.ops.CountMin
