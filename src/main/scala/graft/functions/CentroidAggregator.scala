@@ -54,4 +54,36 @@ object CentroidAggregator {
       override def outputEncoder: Encoder[Array[Double]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
     }
+
+  final case class SumsQ6(sums: Array[Long], n: Long)
+
+  /** Integer-exact form of [[centroidQ6]]: the raw Lloyd M-step sufficient
+    * statistics (per-dim q6 sums + count) with NO final division, so a
+    * consumer can quantize the mean deterministically (e.g. the trained-
+    * codebook path truncates sums(i)/n and re-floats — identical in Spark
+    * and the DuckDB oracle by integer-op construction). */
+  def sumsQ6(dim: Int): Aggregator[Array[Float], Buf, SumsQ6] =
+    new Aggregator[Array[Float], Buf, SumsQ6] {
+      override def zero: Buf = Buf(new Array[Long](dim), 0L)
+      override def reduce(b: Buf, a: Array[Float]): Buf = {
+        var i = 0
+        val m = math.min(dim, a.length)
+        while (i < m) {
+          b.sums(i) += math.round(a(i).toDouble * 1e6)
+          i += 1
+        }
+        b.n += 1
+        b
+      }
+      override def merge(x: Buf, y: Buf): Buf = {
+        var i = 0
+        while (i < dim) { x.sums(i) += y.sums(i); i += 1 }
+        x.n += y.n
+        x
+      }
+      override def finish(b: Buf): SumsQ6 = SumsQ6(b.sums, b.n)
+      override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      override def outputEncoder: Encoder[SumsQ6] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SumsQ6]()
+    }
 }

@@ -691,10 +691,10 @@ object DedupSim {
     * the identical interpreted loop), so assignments match the oracle
     * bit-for-bit. Returns the embeddings table plus the score-array builder:
     * an array of (score, seed_id) structs, one entry per codebook cell. */
-  private def ivfCellScores(s: SparkSession, d: String): (DataFrame, Column => Column) = {
-    val emb = Tables.embeddings(s, d)
-    val vecIdType = emb.schema("vec_id").dataType
-    val seeds: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < IvfCells)
+  /** The frozen seed codebook: the first [[IvfCells]] vectors, collected
+    * once at plan-build time. */
+  private def seedCodebook(s: SparkSession, d: String): Array[(Long, Array[Float])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < IvfCells)
       .select(col("vec_id").cast("long"), col("embedding"))
       .collect()
       .map { r =>
@@ -708,14 +708,60 @@ object DedupSim {
         (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
       }
       .sortBy(_._1)
-    def cellScores(embCol: Column): Column = array(seeds.map { case (sid, ce) =>
+
+  /** Literal score-array builder for any codebook: an array of
+    * (score, seed_id) structs, one per cell, as a pure projection. */
+  private def cellScoresFor(codebook: Array[(Long, Array[Float])],
+                            vecIdType: org.apache.spark.sql.types.DataType)
+                           (embCol: Column): Column =
+    array(codebook.map { case (sid, ce) =>
       val ceL = typedLit(ce)
       struct(
         (graft.functions.GraftFunctions.dotF32(ceL, ceL) -
          lit(2.0) * graft.functions.GraftFunctions.dotF32(embCol, ceL)).as("score"),
         lit(sid).cast(vecIdType).as("seed_id"))
     }: _*)
-    (emb, cellScores)
+
+  private def ivfCellScores(s: SparkSession, d: String): (DataFrame, Column => Column) = {
+    val emb = Tables.embeddings(s, d)
+    (emb, cellScoresFor(seedCodebook(s, d), emb.schema("vec_id").dataType))
+  }
+
+  /** TRAINED coarse codebook (round-7 verdict item 7): `rounds` full Lloyd
+    * iterations over the corpus, each one E-step (the zero-shuffle literal
+    * cell-assignment projection) + M-step (the 16-buffer sumsQ6 typed
+    * aggregator — integer-exact per-dim q6 sums, never a 64N explode).
+    * The new centroid re-QUANTIZES deterministically: q6-mean by
+    * truncating integer division, then one correctly-rounded double→float
+    * step — so both engines derive bit-identical codebooks from the same
+    * parquet and every downstream score stays hash-gateable. Empty cells
+    * keep their previous centroid (the standard Lloyd dead-cell rule).
+    * Codebook size is metadata (16×Dim); collecting it per round is the
+    * documented coarse-codebook training shape at any corpus size. */
+  private[graft] def trainedCodebook(s: SparkSession, d: String,
+                                     rounds: Int): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val vecIdType = emb.schema("vec_id").dataType
+    var code = seedCodebook(s, d)
+    (0 until rounds).foreach { _ =>
+      val assign = ivfAssignFrom(emb, cellScoresFor(code, vecIdType))
+      val stats = assign.select(col("cell").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.CentroidAggregator.sumsQ6(Dim).toColumn.name("st"))
+        .collect()
+        .toMap
+      code = code.map { case (cid, prev) =>
+        stats.get(cid) match {
+          case Some(st) if st.n > 0L =>
+            (cid, st.sums.map(q => ((q / st.n).toDouble / 1e6).toFloat))
+          case _ => (cid, prev)
+        }
+      }
+    }
+    code
   }
 
   /** Every vector with its nearest codebook cell — the IVF E-step as a pure
@@ -2223,7 +2269,132 @@ object DedupSim {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q219
+  /** Recall eval of the TRAINED IVF index (round-7 verdict item 7): the
+    * q106 protocol — approx top-3 vs exact-cosine top-3 per query — but
+    * the index behind it runs on a codebook refined by TWO full Lloyd
+    * iterations ([[trainedCodebook]]) instead of the frozen seed vectors:
+    * assignment cells AND the multi-probe list both use the trained
+    * centroids, so the board row measures what training buys (or costs)
+    * at the same probe budget. Hash-gated end to end: the oracle re-derives
+    * the identical codebook in SQL (integer q6 sums, truncating division,
+    * one double→REAL rounding), then replays assignment + probes + eval. */
+  def q219(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val code = trainedCodebook(s, d, rounds = 2)
+    val cs: Column => Column = cellScoresFor(code, emb.schema("vec_id").dataType)
+    val assign = ivfAssignFrom(emb, cs)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(slice(array_sort(cs(col("embedding"))), 1, IvfProbes)
+          .getField("seed_id")).as("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val approx = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_at_3", col("hits").cast("double") / 3.0)
+      .orderBy(col("q_id"))
+  }
+  val q219Sql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    // one Lloyd iteration in SQL: assign to `cb`, then re-quantize means —
+    // integer q6 sums, TRUNCATING division (DuckDB // truncates toward zero
+    // exactly like the Scala Long division), one double->REAL rounding step
+    def lloyd(cb: String, out: String): String =
+      s"""a_$out AS (
+         |  SELECT e.vec_id, e.embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN $cb c) r
+         |  JOIN embeddings e ON e.vec_id = r.vec_id AND r.rn = 1),
+         |x_$out AS (
+         |  SELECT cell, u.pos, CAST(round(embedding[u.pos + 1] * 1e6) AS BIGINT) AS q
+         |  FROM a_$out CROSS JOIN unnest(range(0, $Dim)) AS u(pos)),
+         |m_$out AS (
+         |  SELECT cell, pos, SUM(q) AS sq, COUNT(*) AS n FROM x_$out GROUP BY 1, 2),
+         |$out AS (
+         |  SELECT c.cid,
+         |    COALESCE(t.ce2, c.ce) AS ce
+         |  FROM $cb c LEFT JOIN (
+         |    SELECT cell AS cid,
+         |      list_transform(list(CAST(CAST(sq // n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY pos),
+         |        v -> v) AS ce2
+         |    FROM m_$out GROUP BY cell) t USING (cid))""".stripMargin
+    s"""WITH cb0 AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfCells),
+       |${lloyd("cb0", "cb1")},
+       |${lloyd("cb1", "cb2")},
+       |assign AS (
+       |  SELECT r.vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb2 c) r WHERE r.rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb2 c WHERE e.vec_id < 5) q
+       |  WHERE rn <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id FROM probes p
+       |  JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |ap AS (
+       |  SELECT c.q_id, c.vec_id FROM (
+       |    SELECT c.q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY c.q_id
+       |        ORDER BY ${fold("q.embedding", "e.embedding")} /
+       |          (sqrt(${fold("q.embedding", "q.embedding")}) *
+       |           sqrt(${fold("e.embedding", "e.embedding")})) DESC, c.vec_id) AS rnk
+       |    FROM cand c
+       |    JOIN embeddings q ON q.vec_id = c.q_id
+       |    JOIN embeddings e ON e.vec_id = c.vec_id) c WHERE rnk <= 3),
+       |ep AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    ${fold("q.embedding", "e.embedding")} AS dot,
+       |    ${fold("q.embedding", "q.embedding")} AS nq,
+       |    ${fold("e.embedding", "e.embedding")} AS nc
+       |  FROM embeddings e JOIN embeddings q
+       |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |    FROM ep) WHERE rnk <= 3),
+       |h AS (
+       |  SELECT ex.q_id, COUNT(*) AS hits FROM ex
+       |  JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+       |  GROUP BY ex.q_id)
+       |SELECT q.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN h USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q219_ann_trained_codebook" -> ((q219 _, Some(q219Sql))),
     "q187_sq8_recall" -> ((q187 _, Some(q187Sql))),
     "q111_delta_ingest_dedup" -> ((q111 _, Some(q111Sql))),
     "q113_editdist_verify"  -> ((q113 _, Some(q113Sql))),

@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 218 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 219 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 218, s"expected 218 board entries, got ${qs.size}")
+    assert(qs.size == 219, s"expected 219 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 218, s"expected 218 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 219, s"expected 219 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     // since round 6 the audio e2e carries a frozen golden-VALUES oracle, so
     // EVERY board entry is hash-gated — no rows-only exceptions remain
@@ -309,6 +309,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // multi-probe over 4/16 cells should find SOMETHING across 5 queries —
     // an all-zero recall board means the assignment or probe arm broke
     assert(out.map(_.getLong(1)).sum > 0, "IVF found no true neighbor at all")
+  }
+
+  test("q219: trained codebook is deterministic, moved, and recall-valid") {
+    val c1 = graft.queries.DedupSim.trainedCodebook(spark, d, rounds = 2)
+    val c2 = graft.queries.DedupSim.trainedCodebook(spark, d, rounds = 2)
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    c1.zip(c2).foreach { case ((ida, va), (idb, vb)) =>
+      assert(ida == idb && va.sameElements(vb), s"codebook not deterministic at cell $ida")
+    }
+    // training must actually move centroids off the frozen seed vectors
+    val seeds = graft.core.Tables.embeddings(spark, d)
+      .filter(col("vec_id") < 16).select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    assert(c1.exists { case (cid, v) => !v.sameElements(seeds(cid)) },
+      "two Lloyd rounds left every centroid identical to its seed")
+    val out = graft.queries.DedupSim.q219(spark, d).collect()
+    assert(out.length == 5, "one eval row per query vector")
+    out.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 3)
+      assert(recall == hits.toDouble / 3.0)
+    }
+    assert(out.map(_.getLong(1)).sum > 0, "trained IVF found no true neighbor at all")
   }
 
   test("q107: Lloyd M-step equals an independent explode-based recomputation") {
