@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * formats. Extracted coded samples DECODE for real where the JDK ships the
   * codec: MJPEG-in-AVI frames (one baseline JPEG per `##dc` chunk →
   * [[frameStats]] raster dims + pixel CRC) and uncompressed 16-bit PCM
-  * audio ([[decodeAviPcm]]); the documented stub is now only codecs the JDK
-  * doesn't ship (H.26x/AAC/…), which keep the byte-window summary. The
-  * Spark-side contracts — schema, partition-parallel execution, per-item
-  * error-skip — are identical throughout.
+  * audio ([[decodeAviPcm]]); COMPRESSED audio decodes for real too via the
+  * pure-JVM FLAC codec ([[graft.io.FlacCodec]] — full frame layer: fixed +
+  * LPC prediction, Rice partitions/escapes, stereo decorrelation, CRC-8/16;
+  * round-trip oracle-gated by q220). The remaining documented stub is only
+  * codecs with no JVM implementation here (H.26x/AAC/MP3/Opus), which keep
+  * the byte-window summary. The Spark-side contracts — schema,
+  * partition-parallel execution, per-item error-skip — are identical
+  * throughout.
   */
 object Multimodal {
 
