@@ -43,6 +43,16 @@ object Tables {
     * Both confs are runtime-settable so this works under the driver's
     * session; the branch is picked off the inferred schema, so one binary
     * serves either testdata generation.
+    *
+    * SIDE EFFECT (round-7 advice, documented contract): on the µs branch
+    * this SETS `spark.sql.session.timeZone` to UTC (and always sets
+    * `spark.sql.legacy.parquet.nanosAsLong`) on the passed session — the
+    * ntz→instant reading is only the stored count under UTC, and every
+    * graft entry point (Verify/Bench/ScaleBench, the specs) already runs
+    * UTC-pinned sessions. A caller embedding this library under another
+    * session zone should pass a dedicated `spark.newSession()` (the
+    * streaming queries' `streamSession` pattern) if it needs its own zone
+    * preserved.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,9 +34,13 @@ object Streaming {
     * current µs-TIMESTAMP generation. */
   def eventsStreamRaw(spark: SparkSession, streamDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // empty/not-yet-fed directory → fall back to the current generation;
+    // anything else (corrupt footer, IO failure) must PROPAGATE — a
+    // swallowed real error here would silently pin a possibly-wrong schema
+    // against the files that eventually arrive (round-7 advice)
     val tsType: DataType =
       try spark.read.parquet(streamDir).schema("ts").dataType
-      catch { case _: Throwable => TimestampNTZType }
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val schema = StructType(eventsSchema.fields.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val tsUs = tsType match {
