@@ -513,6 +513,11 @@ object Streaming {
                         queryName: String = "graft_billing"): DataFrame = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: per-batch state commits upload the delta, not
+    // a full RocksDB snapshot — the production posture for frequent small
+    // commits, and measurably cheaper for these single-drive runs too
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val staged = java.nio.file.Files.createTempDirectory("graft_billing_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -572,19 +577,26 @@ object Streaming {
       val sorted = rows.toArray
       java.util.Arrays.sort(sorted, Ordering.by((e: SessEvent) => e.ts_us))
       var cur = if (open.exists()) Option(open.get()) else None
+      var nextFire = Long.MaxValue
       sorted.foreach { e =>
         cur match {
           case Some(ss) if e.ts_us - ss.end_us <= gapUs =>
             cur = Some(Sess(ss.start_us, e.ts_us, ss.n_events + 1L, ss.sum_cents + e.cents))
           case Some(ss) =>
             closed.appendValue(ss)
-            getHandle.registerTimer(timerMs(ss.end_us))
+            nextFire = math.min(nextFire, timerMs(ss.end_us))
             cur = Some(Sess(e.ts_us, e.ts_us, 1L, e.cents))
           case None =>
             cur = Some(Sess(e.ts_us, e.ts_us, 1L, e.cents))
         }
       }
-      cur.foreach { ss => open.update(ss); getHandle.registerTimer(timerMs(ss.end_us)) }
+      cur.foreach { ss => open.update(ss); nextFire = math.min(nextFire, timerMs(ss.end_us)) }
+      // ONE armed timer per key — the earliest pending expiry — instead of
+      // one per session: the fire handler scans ALL state and re-arms the
+      // next pending, so O(sessions) timer writes collapse to O(1) per key
+      // per batch with identical emission semantics (a stale earlier timer
+      // fires harmlessly: nothing ripe, re-arm, done)
+      if (nextFire != Long.MaxValue) getHandle.registerTimer(nextFire)
       Iterator.empty // emission is the TIMER's job
     }
 
@@ -596,10 +608,17 @@ object Streaming {
       val (emit, keep) = all.partition(ripe)
       if (emit.nonEmpty) { closed.clear(); keep.foreach(closed.appendValue) }
       var out = emit.toVector
+      var stillOpen: Option[Sess] = None
       if (open.exists()) {
         val ss = open.get()
-        if (ripe(ss)) { out = out :+ ss; open.clear() }
+        if (ripe(ss)) { out = out :+ ss; open.clear() } else stillOpen = Some(ss)
       }
+      // re-arm the next pending expiry; everything kept is strictly future
+      // (not ripe ⟺ its timer > current watermark), so this never needs a
+      // same-batch refire
+      val pending = keep.iterator.map(ss => timerMs(ss.end_us)) ++
+        stillOpen.iterator.map(ss => timerMs(ss.end_us))
+      if (pending.nonEmpty) getHandle.registerTimer(pending.min)
       out.sortBy(_.start_us).iterator
         .map(ss => SessionEmit(key, ss.start_us, ss.end_us, ss.n_events, ss.sum_cents))
     }
@@ -630,6 +649,8 @@ object Streaming {
                          queryName: String = "graft_sesstimeout"): DataFrame = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val staged = java.nio.file.Files.createTempDirectory("graft_sesstimeout_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
