@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.LayoutOps.defs ++
       graft.queries.GovernOps.defs ++
       graft.queries.CorpusOps.defs ++
+      graft.queries.TxnOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

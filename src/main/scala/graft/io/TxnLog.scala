@@ -3,7 +3,7 @@ package graft.io
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, not}
+import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, max, min, not, regexp_extract}
 
 /** A minimal TRANSACTION-LOG table format — the commit protocol that turns
   * a directory of parquet files into a table with atomic commits, crash
@@ -27,13 +27,19 @@ import org.apache.spark.sql.functions.{col, expr, not}
   *
   * Manifest format: first line is the action marker — `A` (this commit
   * ADDS its files to the visible set), `R` (this commit REPLACES the
-  * visible set with its files: the compaction/rewrite action), or
+  * visible set with its files: the compaction/rewrite action),
   * `D <keyCols>` (this commit's files are a DELETE VECTOR: the distinct
   * key values of deleted rows; comma-separated key column names ride in
-  * the marker line) — followed by one relative file path per line.
+  * the marker line), or `X` (EXCHANGE: a file-granular rewrite — body
+  * lines are `-<rel>` removes and `+<rel>` adds, the Delta/Iceberg
+  * remove-action/add-action granularity that lets MERGE rewrite only the
+  * files it touched instead of the table) — followed by one relative
+  * file path per line (A/R/D).
   * Readers fold the manifest chain in NUMERIC version order: A appends,
   * R resets (and clears pending delete vectors — a rewrite materializes
-  * them), D stacks an anti-join. Compaction is therefore just
+  * them), D stacks an anti-join, X removes-then-adds (pending vectors
+  * stay pending: value-based anti-joins are idempotent, so re-applying
+  * them across exchanged files is exact). Compaction is therefore just
   * `commit(read(latest), replace = true)` — old versions stay readable
   * (time travel is unaffected) while the latest view plans only the
   * compacted files.
@@ -142,10 +148,112 @@ object TxnLog {
   def commit(df: DataFrame, dir: String, replace: Boolean = false): Long =
     commitWith(df, dir, if (replace) "R" else "A")
 
+  private def statsPath(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"v$v%05d.stats")
+
+  /** Append-commit with a COLUMN-STATISTICS SIDECAR (`v%05d.stats`): one
+    * `rel<TAB>col<TAB>min<TAB>max` line per (data file, stats column) —
+    * the manifest-level zone maps Iceberg keeps in its manifests, which
+    * let [[scanPruned]] drop whole files at PLANNING time, before any
+    * parquet footer is opened (at 100 TB the footers alone are a
+    * listing-and-IO storm; manifest stats are the metadata-sized answer).
+    * `statsCols` must be integral-valued (LongType-castable); all-null
+    * files simply omit their entry. The sidecar lands AFTER the manifest
+    * claim — a reader racing the gap sees no stats and keeps the files,
+    * which is always sound. */
+  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "commitWithStats needs at least one stats column")
+    val spark = df.sparkSession
+    val (_, files) = writeData(df, dir)
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, "A", files)) v += 1
+    val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
+      .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
+    // one tiny job over only the just-written files; result is
+    // (files × statsCols)-sized — metadata, never data
+    val rows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*).collect()
+    val lines = rows.flatMap { r =>
+      statsCols.flatMap { c =>
+        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+        if (mn == null || mx == null) None
+        else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+      }
+    }
+    val tmp = Files.createTempFile(logDir(dir), ".stats-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.move(tmp, statsPath(dir, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** A pruned scan: the DataFrame plus how many of the visible files its
+    * plan actually reads. */
+  final case class PrunedScan(df: DataFrame, plannedFiles: Int, totalFiles: Int)
+
+  /** Plan `column BETWEEN lo AND hi` over the latest snapshot using the
+    * manifest-level stats sidecars: a visible file whose [min,max] is
+    * disjoint from [lo,hi] never enters the scan's path list. Files with
+    * no recorded stats (compacted rewrites, all-null files, pre-stats
+    * commits) are always kept — missing metadata can only cost
+    * performance, never rows. The residual predicate still applies (stats
+    * prune files, not rows), and pending delete vectors apply as usual. */
+  def scanPruned(spark: SparkSession, dir: String, column: String,
+                 lo: Long, hi: Long): PrunedScan = {
+    val snap = snapshotAt(dir, Long.MaxValue)
+    val stats: Map[String, (Long, Long)] = manifests(dir).flatMap { case (v, _) =>
+      val sp = statsPath(dir, v)
+      if (!Files.exists(sp)) Array.empty[(String, (Long, Long))]
+      else new String(Files.readAllBytes(sp), "UTF-8").split("\n")
+        .filter(_.nonEmpty).flatMap { line =>
+          line.split("\t") match {
+            case Array(rel, c, mn, mx) if c == column =>
+              Some(rel -> ((mn.toLong, mx.toLong)))
+            case _ => None
+          }
+        }
+    }.toMap
+    val keep = snap.files.filter(f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val pred = col(column).between(lo, hi)
+    val df =
+      if (keep.isEmpty) read(spark, dir).filter(pred).limit(0)
+      else applyDvs(spark, dir,
+        spark.read.parquet(keep.map(rel => s"$dir/$rel"): _*).filter(pred), snap.dvs)
+    PrunedScan(df, keep.size, snap.files.size)
+  }
+
   /** One parsed manifest chain fold: the visible DATA files plus the
     * visible DELETE VECTORS (vector files + key columns), at `upto`. */
   private final case class Snapshot(files: Vector[String],
                                     dvs: Vector[(Vector[String], Seq[String])])
+
+  /** One manifest parsed: (action marker line, body lines). */
+  private def parseManifest(p: Path): (String, Vector[String]) = {
+    val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .filter(_.nonEmpty).toVector
+    lines.headOption match {
+      case Some(m) if m == "R" || m == "A" || m == "X" || m.startsWith("D ") =>
+        (m, lines.tail)
+      case _ => ("A", lines) // legacy marker-less = adds
+    }
+  }
+
+  private def foldOne(acc: Snapshot, p: Path): Snapshot =
+    parseManifest(p) match {
+      case ("R", body) => Snapshot(body, Vector.empty) // rewrite materialized the vectors
+      case ("A", body) => acc.copy(files = acc.files ++ body)
+      case ("X", body) =>
+        val removes = body.collect { case l if l.startsWith("-") => l.drop(1) }.toSet
+        val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
+        acc.copy(files = acc.files.filterNot(removes) ++ adds)
+      case (m, body) => // D <keyCols>
+        val keyCols = m.stripPrefix("D ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keyCols.nonEmpty, s"delete-vector manifest $p has no key columns")
+        acc.copy(dvs = acc.dvs :+ ((body, keyCols)))
+    }
 
   private def snapshotAt(dir: String, upto: Long): Snapshot = {
     val ld = logDir(dir)
@@ -153,17 +261,7 @@ object TxnLog {
     val ms = manifests(dir).filter(_._1 <= upto)
     require(ms.nonEmpty, s"no committed version <= $upto")
     ms.foldLeft(Snapshot(Vector.empty, Vector.empty)) { case (acc, (_, p)) =>
-      val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
-        .filter(_.nonEmpty).toVector
-      lines.headOption match {
-        case Some("R") => Snapshot(lines.tail, Vector.empty) // rewrite materialized the vectors
-        case Some("A") => acc.copy(files = acc.files ++ lines.tail)
-        case Some(m) if m.startsWith("D ") =>
-          val keyCols = m.stripPrefix("D ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          require(keyCols.nonEmpty, s"delete-vector manifest $p has no key columns")
-          acc.copy(dvs = acc.dvs :+ ((lines.tail, keyCols)))
-        case _ => acc.copy(files = acc.files ++ lines) // legacy marker-less = adds
-      }
+      foldOne(acc, p)
     }
   }
 
@@ -192,11 +290,17 @@ object TxnLog {
       s"version $v does not exist (current: ${currentVersion(dir)})"))
     val snap = snapshotAt(dir, upto)
     val base = spark.read.parquet(snap.files.map(rel => s"$dir/$rel"): _*)
-    snap.dvs.foldLeft(base) { case (df, (dvFiles, keyCols)) =>
-      df.join(spark.read.parquet(dvFiles.map(rel => s"$dir/$rel"): _*),
+    applyDvs(spark, dir, base, snap.dvs)
+  }
+
+  /** Anti-join every delete vector in `dvs` onto `df` (the merge-on-read
+    * reader path — each vector is a broadcast-sized key list). */
+  private def applyDvs(spark: SparkSession, dir: String, df: DataFrame,
+                       dvs: Vector[(Vector[String], Seq[String])]): DataFrame =
+    dvs.foldLeft(df) { case (acc, (dvFiles, keyCols)) =>
+      acc.join(spark.read.parquet(dvFiles.map(rel => s"$dir/$rel"): _*),
         keyCols, "left_anti")
     }
-  }
 
   /** Run one replace-commit with conflict RE-VALIDATION: build the new
     * visible set from the current snapshot, then claim EXACTLY base+1. If
@@ -261,26 +365,137 @@ object TxnLog {
     else commitWith(keys, dir, "D " + keyCols.mkString(","))
   }
 
+  /** MERGE INTO (upsert): rows of `source` whose `keyCols` match an
+    * existing target row REPLACE it (whole-row update); unmatched source
+    * rows INSERT. The at-scale property is FILE GRANULARITY: one semi-join
+    * pass finds the visible files that contain a matched key, ONLY those
+    * files are rewritten (matched rows dropped, all source rows appended),
+    * and the commit is an `X` exchange — remove touched, add rewritten —
+    * so a merge touching 1 of 10⁶ files moves one file's bytes, not
+    * 100 TB. Conflict story follows compact/delete: the exchange claims
+    * EXACTLY base+1 (CAS) and on losing re-derives the touched set against
+    * the new snapshot (the touched-file list itself is what a concurrent
+    * commit invalidates). With delete vectors PENDING, a source key the
+    * vector covers would be suppressed on read even after its re-insert —
+    * so merge falls back to one validated replace-commit, which
+    * materializes the vectors and keeps upsert semantics exact.
+    * `source` must carry the target schema; the driver-side touched-file
+    * list is metadata-sized (file names, not rows). Returns the version
+    * won (current version unchanged for an empty source). */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val src = source.localCheckpoint()
+    if (src.isEmpty) return currentVersion(dir)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    while (true) {
+      val base = currentVersion(dir)
+      val snap = snapshotAt(dir, base)
+      if (snap.dvs.nonEmpty)
+        return replaceCommitValidated(spark, dir)(cur =>
+          cur.join(srcKeys, keyCols, "left_anti").unionByName(src))
+      val withFile = spark.read.parquet(snap.files.map(rel => s"$dir/$rel"): _*)
+        .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+      val touched = withFile.join(srcKeys, keyCols, "left_semi")
+        .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
+      val rewritten =
+        if (touched.isEmpty) src
+        else spark.read.parquet(touched.map(rel => s"$dir/$rel").toSeq: _*)
+          .join(srcKeys, keyCols, "left_anti").unionByName(src)
+      val (rel, files) = writeData(rewritten.localCheckpoint(), dir)
+      val body = touched.map("-" + _).toVector ++ files.map("+" + _)
+      if (tryClaim(dir, base + 1, "X", body)) return base + 1
+      // lost the CAS — the touched-file set may be stale; discard and re-derive
+      val d = new java.io.File(s"$dir/$rel")
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** DESCRIBE HISTORY: one row per committed version — (version, action,
-    * n_files) parsed from the manifest chain (action `D` = delete vector).
+    * n_files) parsed from the manifest chain (action `D` = delete vector;
+    * `X` = exchange, whose n_files counts body lines: removes + adds).
     * Metadata-only (no data file is opened), so it works on vacuumed
     * prefixes too. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val ld = logDir(dir)
     require(Files.exists(ld), s"not a txnlog table (no ${ld})")
     val rows = manifests(dir).map { case (v, p) =>
-      val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
-        .filter(_.nonEmpty).toVector
-      val (action, files) = lines.headOption match {
-        case Some("R") => ("R", lines.tail)
-        case Some("A") => ("A", lines.tail)
-        case Some(m) if m.startsWith("D ") => ("D", lines.tail)
-        case _ => ("A", lines)
-      }
-      (v, action, files.length.toLong)
+      val (m, body) = parseManifest(p)
+      val action = if (m.startsWith("D ")) "D" else m
+      (v, action, body.length.toLong)
     }
     import spark.implicits._
     rows.toSeq.toDF("version", "action", "n_files")
+  }
+
+  /** CHANGE DATA FEED: the row-level changes each version in
+    * (`fromExclusive`, `to`] introduced, as table rows plus
+    * `_change_type` ('insert' | 'delete'; an update appears as its
+    * delete+insert pair) and `_commit_version`. Per-action derivation —
+    * and its cost — follows the manifest, never a full-history diff:
+    *
+    *  - `A`: the added files' rows, anti-joined against the delete
+    *    vectors pending AT that version (a vector suppresses matching
+    *    late appends, so a suppressed row never counts as an insert) —
+    *    file-bounded.
+    *  - `D`: the vector deletes exactly the rows visible at v−1 that
+    *    match its keys — one semi-join against the metadata-sized vector.
+    *  - `X` (merge): deletes = removed-files rows EXCEPT ALL added-files
+    *    rows; inserts = the reverse — bounded by the exchanged files,
+    *    which is what makes CDF over merges cheap at 100 TB.
+    *  - `R` (compact/CoW delete): the generic snapshot diff
+    *    read(v) EXCEPT ALL read(v−1) (and reverse) — the one expensive
+    *    path, exactly the case real formats also cannot derive without
+    *    explicit CDC files; a pure compaction yields zero rows.
+    *
+    * The fold identity — read(v) ≡ read(v−1) + inserts(v) − deletes(v)
+    * as multisets — holds at every step. Constant schema across the
+    * requested range is assumed (the table contract here). */
+  def changes(spark: SparkSession, dir: String, fromExclusive: Long,
+              to: Long): DataFrame = {
+    require(fromExclusive >= 0 && to > fromExclusive, s"bad range ($fromExclusive, $to]")
+    require(to <= currentVersion(dir),
+      s"version $to does not exist (current: ${currentVersion(dir)})")
+    val ms = manifests(dir).filter { case (v, _) => v > fromExclusive && v <= to }
+    def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    val parts = ms.flatMap { case (v, p) =>
+      val (m, body) = parseManifest(p)
+      def readRel(rels: Seq[String]): DataFrame =
+        spark.read.parquet(rels.map(rel => s"$dir/$rel"): _*)
+      m match {
+        case "A" =>
+          val pendingDvs = snapshotAt(dir, v).dvs
+          Seq(tagged(applyDvs(spark, dir, readRel(body), pendingDvs), "insert", v))
+        case "X" =>
+          val removes = body.collect { case l if l.startsWith("-") => l.drop(1) }
+          val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
+          val pendingDvs = snapshotAt(dir, v).dvs
+          def side(rels: Vector[String]) =
+            if (rels.isEmpty) None
+            else Some(applyDvs(spark, dir, readRel(rels), pendingDvs))
+          (side(removes), side(adds)) match {
+            case (Some(r), Some(a)) =>
+              Seq(tagged(a.exceptAll(r), "insert", v), tagged(r.exceptAll(a), "delete", v))
+            case (Some(r), None) => Seq(tagged(r, "delete", v))
+            case (None, Some(a)) => Seq(tagged(a, "insert", v))
+            case _ => Seq.empty
+          }
+        case "R" =>
+          val cur = read(spark, dir, Some(v))
+          val prev = read(spark, dir, Some(v - 1))
+          Seq(tagged(cur.exceptAll(prev), "insert", v),
+            tagged(prev.exceptAll(cur), "delete", v))
+        case d if d.startsWith("D ") =>
+          val keyCols = d.stripPrefix("D ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(tagged(read(spark, dir, Some(v - 1))
+            .join(readRel(body), keyCols, "left_semi"), "delete", v))
+        case _ => Seq.empty
+      }
+    }
+    require(parts.nonEmpty, s"no committed version in ($fromExclusive, $to]")
+    parts.reduce(_.unionByName(_))
   }
 
   /** Vacuum: delete data files no retained version references, advancing

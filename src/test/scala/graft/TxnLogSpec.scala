@@ -273,4 +273,154 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       == (1L to 20L).filter(v => v % 5 != 0 && v % 5 != 1 && v % 5 != 2),
       "a compaction raced past a delete vector and resurrected keys")
   }
+
+  // ------------------------------------------------------------- round 8:
+  // MERGE (X exchange), change data feed, manifest-stats file skipping
+
+  private def manifestBody(dir: String, v: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_txnlog", f"v$v%05d.manifest")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  test("merge upserts by key and rewrites ONLY the touched files") {
+    val dir = freshTable()
+    import spark.implicits._
+    // two files with disjoint key ranges: k 1-10 and k 11-20
+    graft.io.TxnLog.commit((1L to 10L).map(k => (k, k * 100)).toDF("k", "x").coalesce(1), dir)
+    graft.io.TxnLog.commit((11L to 20L).map(k => (k, k * 100)).toDF("k", "x").coalesce(1), dir)
+    val lowFile = manifestBody(dir, 1L).tail.head // rel path of the low-range file
+    val highFile = manifestBody(dir, 2L).tail.head
+    // source: update k=3 (x -> -1), insert k=99 — touches only the low file
+    val src = Seq((3L, -1L), (99L, 9900L)).toDF("k", "x")
+    val v = graft.io.TxnLog.merge(spark, dir, src, Seq("k"))
+    assert(v == 3L)
+    val got = graft.io.TxnLog.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expected = ((1L to 20L).filter(_ != 3L).map(k => (k, k * 100)) ++
+      Seq((3L, -1L), (99L, 9900L))).sortBy(_._1)
+    assert(got == expected, "merge result is not target-anti-source union source")
+    // file granularity: the X manifest removes exactly the low file and the
+    // untouched high file survives in the visible plan
+    val body = manifestBody(dir, 3L)
+    assert(body.head == "X")
+    assert(body.tail.filter(_.startsWith("-")) == Seq(s"-$lowFile"),
+      s"merge rewrote more than the touched file: $body")
+    val planned = graft.io.TxnLog.read(spark, dir).inputFiles.map(_.split("/").takeRight(2).mkString("/"))
+    assert(planned.contains(highFile), "the untouched file left the plan")
+    assert(!planned.contains(lowFile), "the replaced file is still planned")
+    // time travel: pre-merge version unchanged
+    assert(graft.io.TxnLog.read(spark, dir, Some(2L)).count() == 20L)
+  }
+
+  test("merge with no matches is a pure insert; empty source is a no-op") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq((1L, 1L)).toDF("k", "x"), dir)
+    val v = graft.io.TxnLog.merge(spark, dir, Seq((2L, 2L)).toDF("k", "x"), Seq("k"))
+    assert(v == 2L)
+    assert(manifestBody(dir, 2L).tail.forall(_.startsWith("+")), "pure insert removed files")
+    assert(graft.io.TxnLog.read(spark, dir).count() == 2L)
+    val v2 = graft.io.TxnLog.merge(spark, dir,
+      Seq((9L, 9L)).toDF("k", "x").filter("k < 0"), Seq("k"))
+    assert(v2 == 2L, "empty-source merge committed a version")
+  }
+
+  test("merge over pending delete vectors materializes them so re-inserts survive") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 5L).map(k => (k, k)).toDF("k", "x"), dir)
+    graft.io.TxnLog.deleteVector(spark, dir, "k = 2", Seq("k"))
+    // upsert key 2 back: with the vector pending a naive X-rewrite would be
+    // suppressed by the reader's anti-join — merge must fall back to the
+    // materializing replace-commit
+    graft.io.TxnLog.merge(spark, dir, Seq((2L, 22L)).toDF("k", "x"), Seq("k"))
+    val got = graft.io.TxnLog.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L), (2L, 22L), (3L, 3L), (4L, 4L), (5L, 5L)),
+      "re-inserted key was suppressed by a pending delete vector")
+    assert(manifestBody(dir, 3L).head == "R", "dv fallback should be a replace-commit")
+  }
+
+  test("merge racing a concurrent append loses the CAS and re-derives") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 8L).map(k => (k, k)).toDF("k", "x"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val merger = pool.submit(new Runnable {
+        def run(): Unit = (1 to 3).foreach { i =>
+          graft.io.TxnLog.merge(spark, dir,
+            Seq((i.toLong, -i.toLong)).toDF("k", "x"), Seq("k"))
+        }
+      })
+      val appender = pool.submit(new Runnable {
+        def run(): Unit = (101 to 103).foreach { k =>
+          graft.io.TxnLog.commit(Seq((k.toLong, k.toLong)).toDF("k", "x"), dir)
+          Thread.sleep(15)
+        }
+      })
+      merger.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      appender.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val got = graft.io.TxnLog.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expected = (Seq(1L, 2L, 3L).map(k => (k, -k)) ++
+      (4L to 8L).map(k => (k, k)) ++ (101L to 103L).map(k => (k, k))).sortBy(_._1)
+    assert(got == expected, "an append interleaved with merge was lost or double-applied")
+  }
+
+  test("change data feed satisfies read(v) == read(v-1) + inserts - deletes at every step") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 6L).map(k => (k, k * 10)).toDF("k", "x").coalesce(1), dir)
+    graft.io.TxnLog.commit((7L to 12L).map(k => (k, k * 10)).toDF("k", "x").coalesce(1), dir)
+    graft.io.TxnLog.merge(spark, dir, Seq((3L, -3L), (99L, 99L)).toDF("k", "x"), Seq("k"))
+    graft.io.TxnLog.deleteVector(spark, dir, "k % 4 = 0", Seq("k"))
+    graft.io.TxnLog.compact(spark, dir)
+    val cur = graft.io.TxnLog.currentVersion(dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("k", "x").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    (2L to cur).foreach { v =>
+      val feed = graft.io.TxnLog.changes(spark, dir, v - 1, v)
+      val ins = rows(feed.filter("_change_type = 'insert'"))
+      val del = rows(feed.filter("_change_type = 'delete'"))
+      val prev = rows(graft.io.TxnLog.read(spark, dir, Some(v - 1)))
+      val now = rows(graft.io.TxnLog.read(spark, dir, Some(v)))
+      assert(((prev ++ ins).sorted diff del) == now,
+        s"CDF fold identity broken at version $v: prev=$prev ins=$ins del=$del now=$now")
+    }
+    // the compaction step specifically must be change-free
+    assert(graft.io.TxnLog.changes(spark, dir, cur - 1, cur).count() == 0L,
+      "a pure compaction emitted CDF rows")
+    // a delete vector's CDF rows are full table rows, not just keys
+    val dv = graft.io.TxnLog.changes(spark, dir, 3L, 4L).filter("_change_type = 'delete'")
+    assert(rows(dv).forall { case (k, x) => x == k * 10 || x == -k }, "D rows lost their payload")
+  }
+
+  test("stats sidecar prunes disjoint files at planning time, never rows") {
+    val dir = freshTable()
+    import spark.implicits._
+    // three range-disjoint files with stats, one statless legacy file
+    graft.io.TxnLog.commitWithStats((1L to 10L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir, Seq("k"))
+    graft.io.TxnLog.commitWithStats((11L to 20L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir, Seq("k"))
+    graft.io.TxnLog.commitWithStats((21L to 30L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir, Seq("k"))
+    graft.io.TxnLog.commit(Seq((100L, 100L)).toDF("k", "x").coalesce(1), dir)
+    val scan = graft.io.TxnLog.scanPruned(spark, dir, "k", 12L, 18L)
+    // pruning: keeps the [11,20] file + the statless file (missing stats =
+    // keep), drops the two provably disjoint files
+    assert(scan.totalFiles == 4 && scan.plannedFiles == 2,
+      s"expected 2/4 planned, got ${scan.plannedFiles}/${scan.totalFiles}")
+    // soundness: pruned result == unpruned filter
+    assert(scan.df.collect().map(_.getLong(0)).sorted.toSeq == (12L to 18L),
+      "file skipping changed the rowset")
+    // delete vectors still apply through the pruned path
+    graft.io.TxnLog.deleteVector(spark, dir, "k = 15", Seq("k"))
+    val scan2 = graft.io.TxnLog.scanPruned(spark, dir, "k", 12L, 18L)
+    assert(scan2.df.collect().map(_.getLong(0)).sorted.toSeq
+      == (12L to 18L).filterNot(_ == 15L), "pruned scan missed a delete vector")
+  }
 }
