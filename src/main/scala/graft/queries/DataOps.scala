@@ -603,7 +603,113 @@ object DataOps {
       |  CAST(SUM(n_chars) AS BIGINT) AS bytes
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** AVRO container round trip through [[graft.sources.AvroSource]] (DSv2,
+    * round 8): documents are written out as one Avro container file per
+    * partition (executor-side, via the avro-core codec that ships with
+    * Spark's jars), read back through the connector, and aggregated per
+    * language with an exact md5 text checksum — so the gate proves the
+    * row-oriented codec round-trips every byte of every column. The scan
+    * pushes the projection INTO the codec: a reader schema narrowed to the
+    * required fields makes Avro's resolving decoder skip the bytes of
+    * unprojected columns (AvroSourceSpec pins that plus type fidelity). */
+  def q224(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q224_avro").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val schema = docs.schema
+    docs.repartition(4, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          graft.sources.AvroSource.writeFile(s"$dir/part-$pid.avro", schema, it)
+        }
+      }
+    s.read.format("graft.sources.AvroSource").option("path", dir).load()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")).as("hsum"))
+      .orderBy(col("lang"))
+  }
+  val q224Sql: String =
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS hsum
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q225
+  /** DETERMINISTIC HYPERLOGLOG (round 8): the mergeable distinct-count
+    * sketch with every bit pinned cross-engine — where q75/q149 use
+    * Spark's native approx_count_distinct (rows-only check impossible to
+    * hash-gate), this one IS hash-gated, registers and all. Recipe: a
+    * 60-bit md5 hash splits into bucket = h % 128 and a 53-bit suffix
+    * w = h div 128; the register update is rho(w) = 54 − length(bin(w))
+    * (leading-zero count via the minimal binary string — `bin` exists in
+    * both engines with identical semantics, so no log2 comes near the
+    * gate) folded with MAX per bucket: ONE map-side-combined aggregation
+    * to 128 rows regardless of corpus size, the sketch property that
+    * makes it mergeable across partitions/partial scans (SketchSpec
+    * proves merge-by-max == whole-corpus registers). The raw HLL
+    * estimator alpha·m²/Σ2^(−Mj) is evaluated INTEGER-EXACT: scale by
+    * 2^maxM so the harmonic sum is Σ2^(maxM−Mj) (exact BIGINT), with
+    * alpha(128) = 7213·m/(10·(1000m+1079)) as the exact rational and one
+    * truncating division where Spark `div` and DuckDB `//` agree; the
+    * small/large-range corrections (which need ln) stay OFF the gate,
+    * documented. Faces: all 128 registers, the raw estimate, and the
+    * exact distinct count it approximates. */
+  def q225(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.lineitem(s, d).select(col("l_partkey"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('hll:', cast(l_partkey as string))), 1, 15), 16, 10) as bigint)"))
+      .select((col("h") % 128).as("bucket"),
+        expr("54 - length(bin(h div 128))").as("rho"))
+    val regs = s.range(128).select(col("id").as("bucket"))
+      .join(hashed.groupBy("bucket").agg(max("rho").as("mr")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("mr"), lit(0L)).as("reg"))
+      .localCheckpoint() // 128 rows; everything below reads the grid, not the corpus
+    val est = regs.crossJoin(regs.agg(max("reg").as("maxM")))
+      .select(expr("shiftleft(1L, cast(maxM - reg as int))").as("t"), col("maxM"))
+      .groupBy("maxM").agg(sum("t").as("S"))
+      .select(expr(
+        """(cast(7213 as decimal(38,0)) * 2097152 * shiftleft(1L, cast(maxM as int)))
+          | div (cast(10 as decimal(38,0)) * 129079 * S)""".stripMargin).as("value"))
+      .select(lit("est").as("face"), lit(-1L).as("bucket"), col("value"))
+    val exact = Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("value"))
+      .select(lit("exact").as("face"), lit(-2L).as("bucket"), col("value"))
+    regs.select(lit("reg").as("face"), col("bucket"), col("reg").as("value"))
+      .unionByName(est).unionByName(exact)
+      .orderBy(col("face"), col("bucket"))
+  }
+  val q225Sql: String =
+    """WITH b AS (
+      |  SELECT ('0x' || substr(md5('hll:' || l_partkey), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |rho AS (SELECT h % 128 AS bucket, 54 - length(bin(h // 128)) AS rho FROM b),
+      |r0 AS (SELECT bucket, MAX(rho) AS mr FROM rho GROUP BY 1),
+      |regs AS (
+      |  SELECT g.range AS bucket, COALESCE(r0.mr, 0) AS reg
+      |  FROM range(128) g LEFT JOIN r0 ON r0.bucket = g.range),
+      |m AS (SELECT MAX(reg) AS maxm FROM regs),
+      |sden AS (
+      |  SELECT SUM((1::BIGINT << (m.maxm - reg))::HUGEINT) AS s,
+      |         ANY_VALUE(m.maxm) AS maxm
+      |  FROM regs, m),
+      |est AS (
+      |  SELECT (7213::HUGEINT * 2097152 * (1::BIGINT << maxm)::HUGEINT)
+      |         // (10::HUGEINT * 129079 * s) AS e
+      |  FROM sden)
+      |SELECT 'reg' AS face, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(reg AS BIGINT) AS value
+      |FROM regs
+      |UNION ALL
+      |SELECT 'est', CAST(-1 AS BIGINT), CAST(e AS BIGINT) FROM est
+      |UNION ALL
+      |SELECT 'exact', CAST(-2 AS BIGINT), COUNT(DISTINCT l_partkey) FROM lineitem
+      |ORDER BY face, bucket""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q224_avro_roundtrip" -> ((q224 _, Some(q224Sql))),
+    "q225_hll_registers" -> ((q225 _, Some(q225Sql))),
     "q186_compaction_bins" -> ((q186 _, Some(q186Sql))),
     "q183_countmin_prefilter" -> ((q183 _, Some(q183Sql))),
     "q178_bloom_prune_join" -> ((q178 _, Some(q178Sql))),
