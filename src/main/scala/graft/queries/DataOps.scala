@@ -707,7 +707,111 @@ object DataOps {
       |SELECT 'exact', CAST(-2 AS BIGINT), COUNT(DISTINCT l_partkey) FROM lineitem
       |ORDER BY face, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+  /** KMV / THETA SKETCH SET ALGEBRA (round 8): the k-minimum-values
+    * distinct sketch — the one that, unlike q225's HLL, supports SET
+    * OPERATIONS on sketches: per event_type keep the k=64 smallest
+    * distinct 60-bit hashes of user_id; θ = the k-th smallest, and
+    * D̂ = (k−1)·2⁶⁰ div θ (or the kept count when under k — exact by
+    * definition there). The UNION sketch of two types is computed from
+    * the two 64-row sketches ALONE (k smallest of their merge — never
+    * re-touching the corpus), and the intersection estimate is
+    * inclusion–exclusion over three estimates — the audience-overlap
+    * question q199 answers exactly, here answered from metadata-sized
+    * sketches. Everything on the gate is integer: hashes, θ, one
+    * truncating division per estimate. Scale shape: one partial-agg
+    * distinct on (type, hash), then the row_number≤k idiom that
+    * WindowTopKRewrite lowers to the per-group bounded heap; sketch
+    * algebra reads 128 rows. The exact faces (distinct-hash count,
+    * user-level intersection) ride along so the gate also states the
+    * estimator's actual error on this corpus. */
+  def q226(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val estExpr = s"case when kept < $k then kept else " +
+      s"cast((cast(${k - 1} as decimal(38,0)) * shiftleft(1L, 60)) div theta as bigint) end"
+    val dist = Tables.events(s, d)
+      .select(col("event_type"), expr(
+        "cast(conv(substring(md5(concat('kmv:', cast(user_id as string))), 1, 15), 16, 10) as bigint)")
+        .as("h"))
+      .distinct()
+    val sk = dist
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= k).select("event_type", "h")
+      .localCheckpoint() // the sketch: ≤ 64 rows per type — everything below reads THIS
+    val perType = sk.groupBy("event_type")
+      .agg(count(lit(1)).as("kept"), max(col("h")).as("theta"))
+      .withColumn("est", expr(estExpr))
+    val pair = Seq("click", "purchase")
+    val union = sk.filter(col("event_type").isInCollection(pair))
+      .select(col("h")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= k)
+      .agg(count(lit(1)).as("kept"), max(col("h")).as("theta"))
+      .withColumn("est", expr(estExpr))
+    val exact = dist.groupBy("event_type").agg(count(lit(1)).as("value"))
+      .select(lit("exact").as("face"), col("event_type").as("tag"), col("value"))
+    val interExact = Tables.events(s, d).filter(col("event_type") === "click")
+      .select("user_id").distinct()
+      .intersect(Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select("user_id").distinct())
+      .agg(count(lit(1)).as("value"))
+      .select(lit("inter_exact").as("face"), lit("click|purchase").as("tag"), col("value"))
+    val pairTag = lit("click|purchase")
+    val interEst = perType.filter(col("event_type") === "click").select(col("est").as("ea"))
+      .crossJoin(perType.filter(col("event_type") === "purchase").select(col("est").as("eb")))
+      .crossJoin(union.select(col("est").as("eu")))
+      .select(lit("inter_est").as("face"), pairTag.as("tag"),
+        (col("ea") + col("eb") - col("eu")).as("value"))
+    perType.select(lit("est").as("face"), col("event_type").as("tag"), col("est").as("value"))
+      .unionByName(perType.select(lit("theta").as("face"), col("event_type").as("tag"),
+        col("theta").as("value")))
+      .unionByName(exact)
+      .unionByName(union.select(lit("union_est").as("face"), pairTag.as("tag"),
+        col("est").as("value")))
+      .unionByName(interEst)
+      .unionByName(interExact)
+      .orderBy(col("face"), col("tag"))
+  }
+  val q226Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (SELECT event_type, h,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d),
+      |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+      |agg AS (SELECT event_type, COUNT(*) AS kept, MAX(h) AS theta FROM sk GROUP BY 1),
+      |est AS (
+      |  SELECT event_type, theta,
+      |    CASE WHEN kept < 64 THEN kept
+      |         ELSE CAST((63::HUGEINT * (1::BIGINT << 60)) // theta AS BIGINT) END AS est
+      |  FROM agg),
+      |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      |         SELECT DISTINCT h FROM sk WHERE event_type IN ('click', 'purchase')) u),
+      |ua AS (SELECT COUNT(*) AS kept, MAX(h) AS theta FROM ur WHERE rn <= 64),
+      |uest AS (
+      |  SELECT CASE WHEN kept < 64 THEN kept
+      |         ELSE CAST((63::HUGEINT * (1::BIGINT << 60)) // theta AS BIGINT) END AS est
+      |  FROM ua),
+      |ie AS (SELECT (SELECT est FROM est WHERE event_type = 'click')
+      |            + (SELECT est FROM est WHERE event_type = 'purchase')
+      |            - (SELECT est FROM uest) AS v),
+      |ix AS (SELECT COUNT(*) AS v FROM (
+      |         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |         INTERSECT
+      |         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t)
+      |SELECT 'est' AS face, event_type AS tag, CAST(est AS BIGINT) AS value FROM est
+      |UNION ALL SELECT 'theta', event_type, CAST(theta AS BIGINT) FROM est
+      |UNION ALL SELECT 'exact', event_type, CAST(COUNT(*) AS BIGINT)
+      |  FROM d GROUP BY event_type
+      |UNION ALL SELECT 'union_est', 'click|purchase', CAST(est AS BIGINT) FROM uest
+      |UNION ALL SELECT 'inter_est', 'click|purchase', CAST(v AS BIGINT) FROM ie
+      |UNION ALL SELECT 'inter_exact', 'click|purchase', CAST(v AS BIGINT) FROM ix
+      |ORDER BY face, tag""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q226_theta_sketch_algebra" -> ((q226 _, Some(q226Sql))),
     "q224_avro_roundtrip" -> ((q224 _, Some(q224Sql))),
     "q225_hll_registers" -> ((q225 _, Some(q225Sql))),
     "q186_compaction_bins" -> ((q186 _, Some(q186Sql))),

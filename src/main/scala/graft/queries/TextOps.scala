@@ -447,7 +447,71 @@ object TextOps {
       |  md5(string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)) AS postings_md5
       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------- q227
+  /** BM25 RANKING, log-free and hash-gated (round 8) — the probabilistic
+    * ranking function completing the IR tier (q123 index, q203 AND-search,
+    * q90 TF-IDF, q174 fusion). Standard BM25 needs ln(idf) — banned at the
+    * gate — so this is BM25-LITE: the same tf saturation and length
+    * normalization with the RAW Robertson idf ratio (N−df+½)/(df+½) kept
+    * as the exact rational (2N−2df+1)/(2df+1). With k1 = 6/5 and b = 3/4,
+    * each (doc, term) score clears ALL denominators (including avgdl = S/N
+    * as the exact rational) into ONE integer expression:
+    *   score_e6 = (44·S·tf·(2N−2df+1)·10⁶) div ((20·S·tf + 6·S + 18·dl·N)·(2df+1))
+    * evaluated in DECIMAL(38,0)/HUGEINT where Spark `div` and DuckDB `//`
+    * agree, then summed per doc (integer, order-independent). Scale shape:
+    * one tokenize pass for per-doc length, a term-filtered pass for tf
+    * (map-side IN-pruned like q203), df derived from tf, scalars
+    * broadcast; top-20 rides the (score, doc_id) bounded heap. Monotone in
+    * the true BM25 per term, so rankings agree wherever BM25's log and
+    * this ratio rank consistently — the documented trade for cross-engine
+    * exactness. */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("table", "hash", "merge")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corp = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("ss"))
+    val tf = toks.filter(col("term").isInCollection(terms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corp))
+      .withColumn("score_e6", expr(
+        """(cast(44 as decimal(38,0)) * ss * tf * (2*nn - 2*df + 1) * 1000000)
+          | div ((cast(20 as decimal(38,0)) * ss * tf + 6*ss + 18*dl*nn) * (2*df + 1))"""
+          .stripMargin))
+      .groupBy("doc_id")
+      .agg(sum(col("score_e6")).as("score_e6"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("score_e6"), col("n_terms"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(20)
+  }
+  val q227Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+      |corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS ss
+      |         FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok WHERE term IN ('table', 'hash', 'merge') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST((44::HUGEINT * ss * tf * (2*nn - 2*df + 1) * 1000000)
+      |      // ((20::HUGEINT * ss * tf + 6::HUGEINT * ss + 18::HUGEINT * dl.dl * nn)
+      |          * (2*df + 1)) AS BIGINT) AS score_e6
+      |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, corp)
+      |SELECT doc_id, CAST(SUM(score_e6) AS BIGINT) AS score_e6,
+      |       COUNT(*) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q227_bm25_ranking" -> ((q227 _, Some(q227Sql))),
     "q123_inverted_index" -> ((q123 _, Some(q123Sql))),
     "q49_token_counting" -> ((q49 _, Some(q49Sql))),
     "q74_bpe_tokenize"   -> ((q74 _, Some(q74Sql))),
