@@ -75,6 +75,12 @@ object TxnLog {
 
   private def logDir(dir: String): Path = Paths.get(dir, "_txnlog")
 
+  /** Manifest body lines are normally dir-relative; a `@`-prefixed line is
+    * an ABSOLUTE path into another table's data — the shallow-clone
+    * reference form. Resolution is the single seam every reader shares. */
+  private def resolve(dir: String, rel: String): String =
+    if (rel.startsWith("@")) rel.drop(1) else s"$dir/$rel"
+
   private def manifestPath(dir: String, v: Long): Path =
     logDir(dir).resolve(f"v$v%05d.manifest")
 
@@ -221,7 +227,7 @@ object TxnLog {
     val df =
       if (keep.isEmpty) read(spark, dir).filter(pred).limit(0)
       else applyDvs(spark, dir,
-        spark.read.parquet(keep.map(rel => s"$dir/$rel"): _*).filter(pred), snap.dvs)
+        spark.read.parquet(keep.map(resolve(dir, _)): _*).filter(pred), snap.dvs)
     PrunedScan(df, keep.size, snap.files.size)
   }
 
@@ -235,7 +241,8 @@ object TxnLog {
     val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
       .filter(_.nonEmpty).toVector
     lines.headOption match {
-      case Some(m) if m == "R" || m == "A" || m == "X" || m.startsWith("D ") =>
+      case Some(m) if m == "R" || m == "A" || m == "X" ||
+        m.startsWith("D ") || m.startsWith("T ") =>
         (m, lines.tail)
       case _ => ("A", lines) // legacy marker-less = adds
     }
@@ -245,6 +252,8 @@ object TxnLog {
     parseManifest(p) match {
       case ("R", body) => Snapshot(body, Vector.empty) // rewrite materialized the vectors
       case ("A", body) => acc.copy(files = acc.files ++ body)
+      case (t, body) if t.startsWith("T ") => // writer-txn append (exactly-once)
+        acc.copy(files = acc.files ++ body)
       case ("X", body) =>
         val removes = body.collect { case l if l.startsWith("-") => l.drop(1) }.toSet
         val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
@@ -289,7 +298,7 @@ object TxnLog {
     asOf.foreach(v => require(v <= currentVersion(dir),
       s"version $v does not exist (current: ${currentVersion(dir)})"))
     val snap = snapshotAt(dir, upto)
-    val base = spark.read.parquet(snap.files.map(rel => s"$dir/$rel"): _*)
+    val base = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
     applyDvs(spark, dir, base, snap.dvs)
   }
 
@@ -298,7 +307,7 @@ object TxnLog {
   private def applyDvs(spark: SparkSession, dir: String, df: DataFrame,
                        dvs: Vector[(Vector[String], Seq[String])]): DataFrame =
     dvs.foldLeft(df) { case (acc, (dvFiles, keyCols)) =>
-      acc.join(spark.read.parquet(dvFiles.map(rel => s"$dir/$rel"): _*),
+      acc.join(spark.read.parquet(dvFiles.map(resolve(dir, _)): _*),
         keyCols, "left_anti")
     }
 
@@ -391,16 +400,20 @@ object TxnLog {
     while (true) {
       val base = currentVersion(dir)
       val snap = snapshotAt(dir, base)
-      if (snap.dvs.nonEmpty)
+      // Pending vectors OR shallow-clone references: fall back to one
+      // validated replace-commit. Vectors would suppress re-inserted keys;
+      // external (`@`) files can't be exchanged — they belong to the
+      // source table, so the rewrite must localize them anyway.
+      if (snap.dvs.nonEmpty || snap.files.exists(_.startsWith("@")))
         return replaceCommitValidated(spark, dir)(cur =>
           cur.join(srcKeys, keyCols, "left_anti").unionByName(src))
-      val withFile = spark.read.parquet(snap.files.map(rel => s"$dir/$rel"): _*)
+      val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
         .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
       val touched = withFile.join(srcKeys, keyCols, "left_semi")
         .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
       val rewritten =
         if (touched.isEmpty) src
-        else spark.read.parquet(touched.map(rel => s"$dir/$rel").toSeq: _*)
+        else spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
           .join(srcKeys, keyCols, "left_anti").unionByName(src)
       val (rel, files) = writeData(rewritten.localCheckpoint(), dir)
       val body = touched.map("-" + _).toVector ++ files.map("+" + _)
@@ -410,6 +423,61 @@ object TxnLog {
       Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** SHALLOW CLONE: create table `dstDir` whose initial version references
+    * `srcDir`'s CURRENT snapshot by absolute path (`@`-prefixed manifest
+    * lines) — a 100 TB table clones in one metadata write, zero bytes
+    * copied. Pending delete vectors carry over as `D` commits referencing
+    * the source's vector files, so the clone's read equals the source's
+    * read at clone time. Afterward the two tables diverge independently:
+    * appends/vectors on either side are invisible to the other, and a
+    * clone-side `compact` LOCALIZES the data (rewrites external refs into
+    * clone-owned files), after which the clone no longer depends on the
+    * source. Contract (shared with real formats' shallow clones): until
+    * localized, a source-side `vacuum` that reclaims files the clone still
+    * references breaks the clone — retention policy must cover live
+    * clones. `dstDir` must be empty (no prior log). Returns the clone's
+    * current version. */
+  def clone(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    require(!Files.exists(logDir(dstDir)),
+      s"clone destination $dstDir is already a txnlog table")
+    val srcAbs = Paths.get(srcDir).toAbsolutePath.toString
+    val snap = snapshotAt(srcDir, Long.MaxValue)
+    require(snap.files.nonEmpty, "clone of an empty table")
+    def ext(rel: String): String =
+      if (rel.startsWith("@")) rel else s"@$srcAbs/$rel" // already-external refs pass through
+    var v = currentVersion(dstDir) + 1
+    while (!tryClaim(dstDir, v, "A", snap.files.map(ext))) v += 1
+    snap.dvs.foreach { case (dvFiles, keyCols) =>
+      var dv = currentVersion(dstDir) + 1
+      while (!tryClaim(dstDir, dv, "D " + keyCols.mkString(","), dvFiles.map(ext))) dv += 1
+    }
+    currentVersion(dstDir)
+  }
+
+  /** Version that committed writer txn (`writerId`, `batchId`), if any —
+    * the Delta `txn`-action lookup that makes streaming sinks exactly-once
+    * across restarts. Metadata-only (manifest markers). */
+  def txnVersion(dir: String, writerId: String, batchId: Long): Option[Long] =
+    manifests(dir).collectFirst {
+      case (v, p) if parseManifest(p)._1 == s"T $writerId $batchId" => v
+    }
+
+  /** IDEMPOTENT APPEND for streaming sinks: commit `df` tagged with
+    * (`writerId`, `batchId`); if that txn already committed — a replayed
+    * micro-batch after a driver restart — return its version WITHOUT
+    * writing, so foreachBatch + this = exactly-once table delivery on top
+    * of the source's replayed at-least-once. The check-then-commit pair is
+    * race-free under Structured Streaming's contract (one driver runs a
+    * given writerId's batches serially; a batchId never executes
+    * concurrently with itself). `writerId` is space-free (marker syntax). */
+  def commitIdempotent(df: DataFrame, dir: String, writerId: String,
+                       batchId: Long): Long = {
+    require(writerId.nonEmpty && !writerId.contains(" ") && !writerId.contains("\n"),
+      s"writerId must be a space-free token: '$writerId'")
+    txnVersion(dir, writerId, batchId).getOrElse(
+      commitWith(df, dir, s"T $writerId $batchId"))
   }
 
   /** DESCRIBE HISTORY: one row per committed version — (version, action,
@@ -422,7 +490,8 @@ object TxnLog {
     require(Files.exists(ld), s"not a txnlog table (no ${ld})")
     val rows = manifests(dir).map { case (v, p) =>
       val (m, body) = parseManifest(p)
-      val action = if (m.startsWith("D ")) "D" else m
+      val action =
+        if (m.startsWith("D ")) "D" else if (m.startsWith("T ")) "T" else m
       (v, action, body.length.toLong)
     }
     import spark.implicits._
@@ -463,9 +532,9 @@ object TxnLog {
     val parts = ms.flatMap { case (v, p) =>
       val (m, body) = parseManifest(p)
       def readRel(rels: Seq[String]): DataFrame =
-        spark.read.parquet(rels.map(rel => s"$dir/$rel"): _*)
+        spark.read.parquet(rels.map(resolve(dir, _)): _*)
       m match {
-        case "A" =>
+        case a if a == "A" || a.startsWith("T ") =>
           val pendingDvs = snapshotAt(dir, v).dvs
           Seq(tagged(applyDvs(spark, dir, readRel(body), pendingDvs), "insert", v))
         case "X" =>

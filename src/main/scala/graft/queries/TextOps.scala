@@ -510,7 +510,75 @@ object TextOps {
       |FROM scored GROUP BY doc_id
       |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  /** POSITIONAL PHRASE SEARCH over the inverted index (round 8) — the
+    * operator q123's postings lack: exact multi-word phrase matching via
+    * POSITIONAL postings (doc_id, term, pos) and a k-way adjacency join —
+    * word i of the phrase must appear at start+i. Per phrase: per-doc
+    * occurrence counts, doc counts, total occurrences, and the q123-recipe
+    * md5 digest of the (doc_id:hits) list so every posting is pinned
+    * cross-engine. Scale shape: the tokenize pass is IN-pruned map-side to
+    * the phrase vocabulary (3 terms here, never the corpus vocabulary);
+    * postings partition by term; each adjacency join is bounded by the
+    * RAREST term's posting list (the classic phrase-query cost model), and
+    * the per-phrase digest is one result-set-sized aggregation (hot-phrase
+    * swap: q97's ordered rolling-digest fold). */
+  def q230(s: SparkSession, d: String): DataFrame = {
+    val phrases = Seq("table hash", "stream table hash")
+    val vocab = phrases.flatMap(_.split(" ")).distinct
+    val post = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos0", "term")))
+      .filter(col("term").isInCollection(vocab))
+      .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos"))
+    val perPhrase = phrases.map { ph =>
+      val ws = ph.split(" ")
+      val start = post.filter(col("term") === ws.head)
+        .select(col("doc_id"), col("pos").as("p"))
+      val matches = ws.zipWithIndex.drop(1).foldLeft(start) { case (m, (w, i)) =>
+        m.join(post.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i).as("p")), Seq("doc_id", "p"))
+      }
+      matches.groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n_occurrences"),
+          md5(expr(
+            "array_join(transform(array_sort(collect_list(struct(doc_id, hits))), " +
+              "s -> concat(s.doc_id, ':', s.hits)), ' ')")).as("postings_md5"))
+        .select(lit(ph).as("phrase"), col("n_docs"), col("n_occurrences"),
+          col("postings_md5"))
+    }
+    perPhrase.reduce(_.unionByName(_)).orderBy(col("phrase"))
+  }
+  val q230Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term,
+      |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+      |  FROM documents),
+      |m1 AS (
+      |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE a.term = 'table' AND b.term = 'hash'
+      |  GROUP BY 1),
+      |m2 AS (
+      |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |  WHERE a.term = 'stream' AND b.term = 'table' AND c.term = 'hash'
+      |  GROUP BY 1)
+      |SELECT 'stream table hash' AS phrase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(hits) AS BIGINT) AS n_occurrences,
+      |       md5(string_agg(doc_id || ':' || hits, ' ' ORDER BY doc_id)) AS postings_md5
+      |FROM m2
+      |UNION ALL
+      |SELECT 'table hash', CAST(COUNT(*) AS BIGINT), CAST(SUM(hits) AS BIGINT),
+      |       md5(string_agg(doc_id || ':' || hits, ' ' ORDER BY doc_id))
+      |FROM m1
+      |ORDER BY phrase""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q230_phrase_search" -> ((q230 _, Some(q230Sql))),
     "q227_bm25_ranking" -> ((q227 _, Some(q227Sql))),
     "q123_inverted_index" -> ((q123 _, Some(q123Sql))),
     "q49_token_counting" -> ((q49 _, Some(q49Sql))),

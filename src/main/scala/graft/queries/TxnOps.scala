@@ -195,8 +195,146 @@ object TxnOps {
       |GROUP BY 1
       |ORDER BY o_oyear""".stripMargin
 
+  // ---------------------------------------------------------------- q228
+  /** SHALLOW CLONE (zero-copy table fork): source = two appends + a
+    * pending MACHINERY delete vector; [[TxnLog.clone]] forks it in ONE
+    * metadata write — the ledger face pins `part_dirs_at_clone = 0`, the
+    * no-bytes-copied claim — carrying the vector. The tables then diverge:
+    * the clone appends 25 'CLONED' nation-keyed rows and vectors away
+    * FURNITURE; the SOURCE appends 'SRCONLY' supplier-keyed rows AFTER the
+    * clone. Faces: source latest (sees SRCONLY, not the clone's edits),
+    * clone latest (sees CLONED + the carried MACHINERY suppression + its
+    * own FURNITURE vector, not SRCONLY) — exactly the fork semantics. The
+    * ledger also pins the clone's action chain ADAD (clone-A, carried-D,
+    * append-A, vector-D). At 100 TB: experiment branches, dev snapshots,
+    * and migration rehearsals all cost one manifest, not a copy. */
+  def q228(s: SparkSession, d: String): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft_q228_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_q228_dst").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 0")).coalesce(1), src)
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 1")).coalesce(1), src)
+    TxnLog.deleteVector(s, src, "c_mktsegment = 'MACHINERY'", Seq("c_custkey"))
+    TxnLog.clone(s, src, dst)
+    val partDirsAtClone = Option(new java.io.File(dst).listFiles()).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith("part-")).toLong
+    TxnLog.commit(Tables.nation(s, d).select(
+      (lit(9000000L) + col("n_nationkey")).as("c_custkey"),
+      lit("CLONED").as("c_mktsegment"),
+      (col("n_nationkey").cast("double") * lit(2.5)).as("c_acctbal")), dst)
+    TxnLog.deleteVector(s, dst, "c_mktsegment = 'FURNITURE'", Seq("c_custkey"))
+    TxnLog.commit(Tables.supplier(s, d).select(
+      (lit(8000000L) + col("s_suppkey")).as("c_custkey"),
+      lit("SRCONLY").as("c_mktsegment"),
+      (col("s_suppkey").cast("double") * lit(0.5)).as("c_acctbal")), src)
+    def face(dir: String, tag: Long) =
+      TxnLog.read(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .withColumn("face", lit(tag))
+    val actions = TxnLog.history(s, dst).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(lit(0L).as("face"), lit(actions).as("c_mktsegment"),
+      lit(partDirsAtClone).as("n"), lit(TxnLog.currentVersion(dst).toDouble).as("sum_bal"))
+    ledger.unionByName(face(src, 1L)).unionByName(face(dst, 2L))
+      .select(col("face"), col("c_mktsegment"), col("n"), col("sum_bal"))
+      .orderBy(col("face"), col("c_mktsegment"))
+  }
+  val q228Sql: String =
+    """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |srcface AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM (SELECT * FROM cust WHERE c_mktsegment <> 'MACHINERY'
+      |        UNION ALL
+      |        SELECT 8000000 + s_suppkey, 'SRCONLY', CAST(s_suppkey AS DOUBLE) * 0.5
+      |        FROM supplier)
+      |  GROUP BY 1),
+      |dstface AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM (SELECT * FROM cust
+      |        WHERE c_mktsegment NOT IN ('MACHINERY', 'FURNITURE')
+      |        UNION ALL
+      |        SELECT 9000000 + n_nationkey, 'CLONED', CAST(n_nationkey AS DOUBLE) * 2.5
+      |        FROM nation)
+      |  GROUP BY 1)
+      |SELECT CAST(0 AS BIGINT) AS face, 'ADAD' AS c_mktsegment,
+      |       CAST(0 AS BIGINT) AS n, CAST(4 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT 1, c_mktsegment, CAST(n AS BIGINT), CAST(sum_bal AS DOUBLE) FROM srcface
+      |UNION ALL
+      |SELECT 2, c_mktsegment, CAST(n AS BIGINT), CAST(sum_bal AS DOUBLE) FROM dstface
+      |ORDER BY face, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q229
+  /** EXACTLY-ONCE STREAMING SINK: events staged as three files drive three
+    * micro-batches (maxFilesPerTrigger=1); foreachBatch commits each batch
+    * through [[TxnLog.commitIdempotent]] — and immediately commits it
+    * AGAIN with the same (writerId, batchId), simulating the replay a
+    * driver restart produces. After the stream, a third replay of batchId
+    * 0 is attempted cold with a POISONED frame (the full table — if
+    * idempotence failed, counts double and the hash gate catches it). The
+    * rowset face proves the table equals the input EXACTLY (no batch
+    * landed twice); the ledger face pins currentVersion = 3 and the action
+    * chain TTT — three writer-txn commits, zero duplicates. This is the
+    * Delta `txn`-action pattern: the sink's table is idempotent under the
+    * source's at-least-once replay, which is what "exactly-once" means for
+    * a 100 TB streaming ingest. */
+  def q229(s: SparkSession, d: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_q229_src").toString
+    val tbl = java.nio.file.Files.createTempDirectory("graft_q229_tbl").toString
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    ev.repartition(3).write.mode("overwrite").parquet(staged)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val wid = "graft-q229"
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        TxnLog.commitIdempotent(batch, tbl, wid, id)
+        TxnLog.commitIdempotent(batch, tbl, wid, id) // in-flight replay: must no-op
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // cold replay after "restart": batch 0 re-delivered with a poisoned
+    // payload — the recorded txn must win and nothing must be written
+    TxnLog.commitIdempotent(s.read.parquet(staged), tbl, wid, 0L)
+    val face = TxnLog.read(s, tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("face", lit(1L))
+    val actions = TxnLog.history(s, tbl).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(lit(0L).as("face"), lit(actions).as("event_type"),
+      lit(TxnLog.currentVersion(tbl)).as("n"), lit(0L).as("id_sum"))
+    ledger.unionByName(face)
+      .select(col("face"), col("event_type"), col("n"), col("id_sum"))
+      .orderBy(col("face"), col("event_type"))
+  }
+  val q229Sql: String =
+    """SELECT CAST(0 AS BIGINT) AS face, 'TTT' AS event_type,
+      |       CAST(3 AS BIGINT) AS n, CAST(0 AS BIGINT) AS id_sum
+      |UNION ALL
+      |SELECT 1, event_type, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+      |FROM events GROUP BY 2
+      |ORDER BY face, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q221_txn_merge_upsert" -> ((q221 _, Some(q221Sql))),
     "q222_change_data_feed" -> ((q222 _, Some(q222Sql))),
-    "q223_stats_file_skipping" -> ((q223 _, Some(q223Sql))))
+    "q223_stats_file_skipping" -> ((q223 _, Some(q223Sql))),
+    "q228_txn_shallow_clone" -> ((q228 _, Some(q228Sql))),
+    "q229_stream_exactly_once" -> ((q229 _, Some(q229Sql))))
 }

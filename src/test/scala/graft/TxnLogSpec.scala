@@ -423,4 +423,75 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan2.df.collect().map(_.getLong(0)).sorted.toSeq
       == (12L to 18L).filterNot(_ == 15L), "pruned scan missed a delete vector")
   }
+
+  test("shallow clone is metadata-only, carries vectors, then diverges") {
+    val src = freshTable(); val dst = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 10L).toDF("v").coalesce(1), src)
+    graft.io.TxnLog.commit((11L to 20L).toDF("v").coalesce(1), src)
+    graft.io.TxnLog.deleteVector(spark, src, "v = 5", Seq("v"))
+    graft.io.TxnLog.clone(spark, src, dst)
+    // zero-copy: no data directory exists under the clone yet
+    assert(!new java.io.File(dst).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("part-")), "clone copied data")
+    def vals(dir: String) = graft.io.TxnLog.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals(dst) == (1L to 20L).filterNot(_ == 5L), "clone != source at clone time")
+    // divergence: edits on either side are invisible to the other
+    graft.io.TxnLog.commit(Seq(100L).toDF("v").coalesce(1), dst)
+    graft.io.TxnLog.deleteVector(spark, dst, "v = 1", Seq("v"))
+    graft.io.TxnLog.commit(Seq(200L).toDF("v").coalesce(1), src)
+    assert(vals(src) == ((1L to 20L) :+ 200L).filterNot(_ == 5L).sorted)
+    assert(vals(dst) == ((2L to 20L) :+ 100L).filterNot(_ == 5L).sorted)
+    // localize: compact rewrites external refs into clone-owned files,
+    // after which the clone survives source-side vacuum
+    graft.io.TxnLog.compact(spark, dst)
+    graft.io.TxnLog.compact(spark, src)
+    graft.io.TxnLog.vacuum(src)
+    assert(vals(dst) == ((2L to 20L) :+ 100L).filterNot(_ == 5L).sorted,
+      "localized clone broke after source vacuum")
+    // clone refuses a non-empty destination
+    intercept[IllegalArgumentException](graft.io.TxnLog.clone(spark, src, dst))
+  }
+
+  test("merge on an un-localized clone falls back to a validated replace") {
+    val src = freshTable(); val dst = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit((1L to 5L).map(k => (k, k * 10)).toDF("k", "x").coalesce(1), src)
+    graft.io.TxnLog.clone(spark, src, dst)
+    graft.io.TxnLog.merge(spark, dst, Seq((3L, -3L), (9L, -9L)).toDF("k", "x"), Seq("k"))
+    val rows = graft.io.TxnLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L), (3L, -3L), (4L, 40L), (5L, 50L), (9L, -9L)))
+    // the replace localized everything: no external refs remain, and the
+    // source is untouched
+    assert(graft.io.TxnLog.read(spark, src).count() == 5L)
+  }
+
+  test("idempotent writer txns: a replayed batch commits exactly once") {
+    val dir = freshTable()
+    import spark.implicits._
+    val v1 = graft.io.TxnLog.commitIdempotent(Seq(1L, 2L).toDF("v"), dir, "w", 0L)
+    val v2 = graft.io.TxnLog.commitIdempotent(Seq(3L).toDF("v"), dir, "w", 1L)
+    assert(v1 == 1L && v2 == 2L)
+    // replay batch 0 with a poisoned frame: recorded txn wins, no write
+    val r = graft.io.TxnLog.commitIdempotent(Seq(999L).toDF("v"), dir, "w", 0L)
+    assert(r == v1, "replay minted a new version")
+    assert(graft.io.TxnLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L), "replayed batch landed twice")
+    assert(graft.io.TxnLog.txnVersion(dir, "w", 1L).contains(2L))
+    assert(graft.io.TxnLog.txnVersion(dir, "w2", 0L).isEmpty,
+      "txn lookup leaked across writer ids")
+    // a different writer's batch 0 is a different txn and must land
+    graft.io.TxnLog.commitIdempotent(Seq(4L).toDF("v"), dir, "w2", 0L)
+    assert(graft.io.TxnLog.read(spark, dir).count() == 4L)
+    // history shows the T actions; CDF folds them as inserts
+    val acts = graft.io.TxnLog.history(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    assert(acts == "TTT", s"unexpected action chain $acts")
+    val cdf = graft.io.TxnLog.changes(spark, dir, 0L, 3L)
+    assert(cdf.filter("_change_type = 'insert'").count() == 4L)
+    intercept[IllegalArgumentException](
+      graft.io.TxnLog.commitIdempotent(Seq(1L).toDF("v"), dir, "bad writer", 9L))
+  }
 }
