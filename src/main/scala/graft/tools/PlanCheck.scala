@@ -559,6 +559,42 @@ object PlanCheck {
       (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
         !p.contains("hashpartitioning") && !p.contains("BroadcastHashJoin"))
 
+    // ---------------------------------------------------------------- r8
+    check("q227_bm25_ranking", "df broadcast to tf, top-20 is TakeOrdered")(p =>
+      p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject") &&
+        !p.contains("CartesianProduct"))
+    check("q230_phrase_search", "postings IN-pruned scan reads only (doc_id,text); no cartesian")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("ReadSchema") && !p.contains("embedding") && !p.contains("n_chars") &&
+        // per-doc hit counts fold map-side before the phrase-level digest
+        p.contains("partial_count"))
+    check("q224_avro_roundtrip", "DSv2 Avro scan, projection narrowed (no doc_id/source read)")(p =>
+      p.contains("BatchScan") && !p.contains("doc_id") && !p.contains("source"))
+    check("q225_hll_registers", "register grid folds map-side (partial max before exchange)")(p =>
+      p.contains("partial_max"))
+    check("q223_stats_file_skipping", "residual predicate still pushed below the manifest pruning")(p =>
+      // manifest stats dropped whole files at planning; the parquet scan
+      // over the survivors STILL carries the pushed range predicate
+      p.contains("PushedFilters: [IsNotNull(o_oyear), GreaterThanOrEqual(o_oyear"))
+    // Shallow-clone read shape: external (@) refs plan as a plain parquet
+    // multi-path scan; carried delete vectors apply as broadcast-sized
+    // anti-joins — never a cartesian, never a shuffle on the data side.
+    locally {
+      import spark.implicits._
+      val tmp = sys.props("java.io.tmpdir")
+      val src = s"$tmp/graft_plancheck_clone_src_${System.nanoTime()}"
+      val dst = s"$tmp/graft_plancheck_clone_dst_${System.nanoTime()}"
+      graft.io.TxnLog.commit((1L to 1000L).toDF("v").coalesce(1), src)
+      graft.io.TxnLog.deleteVector(spark, src, "v < 10", Seq("v"))
+      graft.io.TxnLog.clone(spark, src, dst)
+      val plan = graft.io.TxnLog.read(spark, dst)
+        .queryExecution.executedPlan.toString
+      val ok = plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin") &&
+        !plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin")
+      rec("clone_read(txnlog)", "clone read = parquet scan + broadcast anti-join vectors", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
+
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
     // (q77's layout) joined to a FILTERED tiny dim on the partition column
