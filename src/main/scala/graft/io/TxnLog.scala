@@ -291,14 +291,21 @@ object TxnLog {
     * Visible delete vectors apply as anti-joins on their key columns. A
     * version that does not exist (above the head or below the vacuum
     * watermark) fails at PLANNING time — never a silent wrong snapshot. */
-  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val upto = asOf.getOrElse(Long.MaxValue)
     require(upto >= minVersion(dir),
       s"version $upto was vacuumed (oldest retained: ${minVersion(dir)})")
     asOf.foreach(v => require(v <= currentVersion(dir),
       s"version $v does not exist (current: ${currentVersion(dir)})"))
     val snap = snapshotAt(dir, upto)
-    val base = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
+    // mergeSchema = SCHEMA EVOLUTION on read: a version that ADDED columns
+    // unions with older files' rows as nulls (time travel below the
+    // evolution point naturally serves the old schema). Off by default —
+    // the footer-union costs planning time a fixed-schema table never pays.
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val base = reader.parquet(snap.files.map(resolve(dir, _)): _*)
     applyDvs(spark, dir, base, snap.dvs)
   }
 

@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -331,10 +333,156 @@ object TxnOps {
       |FROM events GROUP BY 2
       |ORDER BY face, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+  /** CDF-DRIVEN INCREMENTAL VIEW MAINTENANCE — the consumer loop that
+    * closes the q222 feed: a downstream per-segment aggregate is maintained
+    * by POLLING [[TxnLog.changes]] with a version cursor (exactly how a
+    * lakehouse streaming source tails the commit ledger) and folding each
+    * increment — + inserts, − deletes — into the stored grid, never
+    * rescanning the table. Three polls cover a five-action lifecycle
+    * (append, append+merge, vector-delete+compact); the final folded state
+    * must equal the direct aggregate of the latest snapshot — the IVM
+    * identity read(latest) = fold(∅, increments) proven THROUGH the
+    * change feed, with the compaction contributing zero rows. The ledger
+    * face pins each poll's insert/delete row counts. At 100 TB the
+    * increment is bounded by the commits since the cursor, not the table. */
+  def q231(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q231_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    def fold(state: DataFrame, fromV: Long, toV: Long): (DataFrame, Long, Long) = {
+      val delta = TxnLog.changes(s, dir, fromV, toV)
+        .select(col("c_mktsegment"),
+          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)).as("sign"),
+          col("c_custkey"))
+      val nIns = delta.filter(col("sign") === 1L).count()
+      val nDel = delta.filter(col("sign") === -1L).count()
+      val merged = state.unionByName(
+        delta.groupBy(col("c_mktsegment"))
+          .agg(sum(col("sign")).as("n"), sum(col("sign") * col("c_custkey")).as("key_sum")))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).as("n"), sum(col("key_sum")).as("key_sum"))
+        .filter(col("n") > 0)
+        .localCheckpoint() // the stored view: grid-sized, never the table
+      (merged, nIns, nDel)
+    }
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType()
+        .add("c_mktsegment", "string").add("n", "long").add("key_sum", "long"))
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 0")).coalesce(1), dir)
+    val (s1, i1, d1) = fold(empty, 0L, TxnLog.currentVersion(dir))
+    var cursor = TxnLog.currentVersion(dir)
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 1")).coalesce(1), dir)
+    TxnLog.merge(s, dir, cust
+      .filter(expr("c_custkey % 2 = 0 AND c_mktsegment = 'BUILDING'"))
+      .select(col("c_custkey"), lit("UPSERTED").as("c_mktsegment"),
+        (-col("c_acctbal")).as("c_acctbal")), Seq("c_custkey"))
+    val (s2, i2, d2) = fold(s1, cursor, TxnLog.currentVersion(dir))
+    cursor = TxnLog.currentVersion(dir)
+    TxnLog.deleteVector(s, dir, "c_mktsegment = 'AUTOMOBILE'", Seq("c_custkey"))
+    TxnLog.compact(s, dir)
+    val (s3, i3, d3) = fold(s2, cursor, TxnLog.currentVersion(dir))
+    val polls = Seq((1L, i1, d1), (2L, i2, d2), (3L, i3, d3))
+    val ledger = s.createDataFrame(polls.map { case (p, i, dl) =>
+      Row(0L, s"poll$p", i, dl)
+    }.asJava, new org.apache.spark.sql.types.StructType()
+      .add("face", "long").add("c_mktsegment", "string")
+      .add("n", "long").add("key_sum", "long"))
+    ledger.unionByName(s3.withColumn("face", lit(1L))
+      .select(col("face"), col("c_mktsegment"), col("n"), col("key_sum")))
+      .orderBy(col("face"), col("c_mktsegment"))
+  }
+  val q231Sql: String =
+    """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |upd AS (SELECT c_custkey FROM cust
+      |        WHERE c_custkey % 2 = 0 AND c_mktsegment = 'BUILDING'),
+      |merged AS (
+      |  SELECT c_custkey, c_mktsegment FROM cust
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      |  UNION ALL
+      |  SELECT c_custkey, 'UPSERTED' FROM upd),
+      |final AS (SELECT * FROM merged WHERE c_mktsegment <> 'AUTOMOBILE'),
+      |polls AS (
+      |  SELECT 'poll1' AS tag,
+      |    (SELECT COUNT(*) FROM cust WHERE c_custkey % 2 = 0) AS i,
+      |    0 AS d
+      |  UNION ALL
+      |  SELECT 'poll2',
+      |    (SELECT COUNT(*) FROM cust WHERE c_custkey % 2 = 1)
+      |      + (SELECT COUNT(*) FROM upd),
+      |    (SELECT COUNT(*) FROM upd)
+      |  UNION ALL
+      |  SELECT 'poll3',
+      |    0,
+      |    (SELECT COUNT(*) FROM merged WHERE c_mktsegment = 'AUTOMOBILE'))
+      |SELECT CAST(0 AS BIGINT) AS face, tag AS c_mktsegment,
+      |       CAST(i AS BIGINT) AS n, CAST(d AS BIGINT) AS key_sum
+      |FROM polls
+      |UNION ALL
+      |SELECT 1, c_mktsegment, CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(c_custkey) AS BIGINT)
+      |FROM final GROUP BY 2
+      |ORDER BY face, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q232
+  /** SCHEMA EVOLUTION on the txn-log table: v1 commits (c_custkey,
+    * c_mktsegment) — two columns; v2 ADDS c_acctbal by committing the
+    * wider schema (evolution is just a commit whose files carry more
+    * columns); v3 vector-deletes MACHINERY. `read(mergeSchema = true)`
+    * serves the union — pre-evolution rows surface c_acctbal as NULL —
+    * while TIME TRAVEL to v1 naturally serves the OLD two-column schema
+    * (the ledger face pins both column counts). The rowset face aggregates
+    * per segment: total rows, rows with the new column present, and the
+    * exact decimal sum over just the post-evolution rows — each a claim
+    * about which generation a row came from. At 100 TB: adding a column
+    * never rewrites a file; old files simply don't store it. */
+  def q232(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q232_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 0"))
+      .select(col("c_custkey"), col("c_mktsegment")).coalesce(1), dir)
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 1")).coalesce(1), dir)
+    TxnLog.deleteVector(s, dir, "c_mktsegment = 'MACHINERY'", Seq("c_custkey"))
+    val colsV1 = TxnLog.read(s, dir, Some(1L), mergeSchema = true).columns.length.toLong
+    val latest = TxnLog.read(s, dir, mergeSchema = true)
+    val colsLatest = latest.columns.length.toLong
+    val face = latest.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("n_evolved"),
+        coalesce(sum(col("c_acctbal").cast(DecimalType(18, 2))), lit(0))
+          .cast("double").as("sum_bal"))
+      .withColumn("face", lit(1L))
+    val ledger = s.range(1).select(lit(0L).as("face"),
+      concat(lit("cols:"), lit(colsV1), lit(">"), lit(colsLatest)).as("c_mktsegment"),
+      lit(TxnLog.currentVersion(dir)).as("n"), lit(0L).as("n_evolved"),
+      lit(0.0).as("sum_bal"))
+    ledger.unionByName(face)
+      .select(col("face"), col("c_mktsegment"), col("n"), col("n_evolved"), col("sum_bal"))
+      .orderBy(col("face"), col("c_mktsegment"))
+  }
+  val q232Sql: String =
+    """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |vis AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+      |  FROM cust WHERE c_mktsegment <> 'MACHINERY')
+      |SELECT CAST(0 AS BIGINT) AS face, 'cols:2>3' AS c_mktsegment,
+      |       CAST(3 AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_evolved,
+      |       CAST(0 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT 1, c_mktsegment, COUNT(*), COUNT(c_acctbal),
+      |       CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE)
+      |FROM vis GROUP BY 2
+      |ORDER BY face, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q221_txn_merge_upsert" -> ((q221 _, Some(q221Sql))),
     "q222_change_data_feed" -> ((q222 _, Some(q222Sql))),
     "q223_stats_file_skipping" -> ((q223 _, Some(q223Sql))),
     "q228_txn_shallow_clone" -> ((q228 _, Some(q228Sql))),
-    "q229_stream_exactly_once" -> ((q229 _, Some(q229Sql))))
+    "q229_stream_exactly_once" -> ((q229 _, Some(q229Sql))),
+    "q231_cdf_apply_ivm" -> ((q231 _, Some(q231Sql))),
+    "q232_txn_schema_evolution" -> ((q232 _, Some(q232Sql))))
 }

@@ -468,6 +468,25 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.io.TxnLog.read(spark, src).count() == 5L)
   }
 
+  test("schema evolution: added column reads as null behind mergeSchema; time travel keeps the old shape") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), dir)
+    graft.io.TxnLog.commit(Seq((3L, "c", 30L)).toDF("k", "s", "extra").coalesce(1), dir)
+    val latest = graft.io.TxnLog.read(spark, dir, mergeSchema = true)
+    assert(latest.columns.toSeq == Seq("k", "s", "extra"))
+    val byK = latest.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byK == Map(1L -> None, 2L -> None, 3L -> Some(30L)),
+      "pre-evolution rows must surface the new column as null")
+    // time travel below the evolution point serves the OLD schema
+    assert(graft.io.TxnLog.read(spark, dir, Some(1L), mergeSchema = true)
+      .columns.toSeq == Seq("k", "s"))
+    // vectors key on columns present in every generation
+    graft.io.TxnLog.deleteVector(spark, dir, "k = 2", Seq("k"))
+    assert(graft.io.TxnLog.read(spark, dir, mergeSchema = true)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("idempotent writer txns: a replayed batch commits exactly once") {
     val dir = freshTable()
     import spark.implicits._
