@@ -167,25 +167,38 @@ object TxnLog {
     * files simply omit their entry. The sidecar lands AFTER the manifest
     * claim — a reader racing the gap sees no stats and keeps the files,
     * which is always sound. */
-  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String]): Long = {
+  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
+                      knownStats: Option[Seq[(String, Long, Long)]] = None): Long = {
     require(statsCols.nonEmpty, "commitWithStats needs at least one stats column")
+    knownStats.foreach(ks => require(ks.map(_._1).toSet == statsCols.toSet,
+      s"knownStats columns ${ks.map(_._1)} must match statsCols $statsCols"))
     val spark = df.sparkSession
     val (_, files) = writeData(df, dir)
     var v = currentVersion(dir) + 1
     while (!tryClaim(dir, v, "A", files)) v += 1
-    val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
-      .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
-    // one tiny job over only the just-written files; result is
-    // (files × statsCols)-sized — metadata, never data
-    val rows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*).collect()
-    val lines = rows.flatMap { r =>
-      statsCols.flatMap { c =>
-        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
-        if (mn == null || mx == null) None
-        else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
-      }
+    // Writer-known stats (the Iceberg-writer path): a writer that just
+    // partitioned by the stats column already KNOWS every file's bounds —
+    // e.g. a partition-value commit has min = max = the value — so the
+    // post-write stats scan is pure waste. The bounds apply to every file
+    // of this commit; a too-wide bound only costs pruning, never rows.
+    val lines = knownStats match {
+      case Some(ks) =>
+        files.flatMap(rel => ks.map { case (c, mn, mx) => s"$rel\t$c\t$mn\t$mx" })
+      case None =>
+        val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
+          .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
+        // one tiny job over only the just-written files; result is
+        // (files × statsCols)-sized — metadata, never data
+        val rows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*).collect()
+        rows.toVector.flatMap { r =>
+          statsCols.flatMap { c =>
+            val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+            if (mn == null || mx == null) None
+            else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+          }
+        }
     }
     val tmp = Files.createTempFile(logDir(dir), ".stats-", ".tmp")
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -241,7 +254,7 @@ object TxnLog {
     val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
       .filter(_.nonEmpty).toVector
     lines.headOption match {
-      case Some(m) if m == "R" || m == "A" || m == "X" ||
+      case Some(m) if m == "R" || m == "R noop" || m == "A" || m == "X" ||
         m.startsWith("D ") || m.startsWith("T ") =>
         (m, lines.tail)
       case _ => ("A", lines) // legacy marker-less = adds
@@ -250,7 +263,8 @@ object TxnLog {
 
   private def foldOne(acc: Snapshot, p: Path): Snapshot =
     parseManifest(p) match {
-      case ("R", body) => Snapshot(body, Vector.empty) // rewrite materialized the vectors
+      case (r, body) if r == "R" || r == "R noop" =>
+        Snapshot(body, Vector.empty) // rewrite materialized the vectors
       case ("A", body) => acc.copy(files = acc.files ++ body)
       case (t, body) if t.startsWith("T ") => // writer-txn append (exactly-once)
         acc.copy(files = acc.files ++ body)
@@ -326,13 +340,19 @@ object TxnLog {
     * protocol), and the build re-runs against the new snapshot. This is
     * what makes compact/delete safe against the lost-update race instead
     * of silently dropping an interleaved append. */
-  private def replaceCommitValidated(spark: SparkSession, dir: String)
+  private def replaceCommitValidated(spark: SparkSession, dir: String,
+                                     noop: Boolean = false)
                                     (build: DataFrame => DataFrame): Long = {
     while (true) {
       val base = currentVersion(dir)
       val df = build(read(spark, dir)).localCheckpoint()
       val (rel, files) = writeData(df, dir)
-      if (tryClaim(dir, base + 1, "R", files)) return base + 1
+      // `noop` = the caller guarantees the rewrite is LOGICALLY identity
+      // (compact: layout changes, content doesn't — pending vectors were
+      // already applied on the read it rewrote). Recorded in the marker —
+      // the Delta `operation=OPTIMIZE` pattern — so the change feed can
+      // skip the snapshot diff for pure compactions by metadata alone.
+      if (tryClaim(dir, base + 1, if (noop) "R noop" else "R", files)) return base + 1
       // lost the CAS: a commit interleaved since `base` — discard the stale
       // rewrite (unreferenced by any manifest, so invisible) and rebuild
       val d = new java.io.File(s"$dir/$rel")
@@ -350,7 +370,7 @@ object TxnLog {
     * to that many files (the OPTIMIZE target-size dial, reduced to a
     * count). */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 0): Long =
-    replaceCommitValidated(spark, dir)(cur =>
+    replaceCommitValidated(spark, dir, noop = true)(cur =>
       if (numFiles > 0) cur.coalesce(numFiles) else cur)
 
   /** Row-level DELETE, copy-on-write: rewrite the visible set without the
@@ -498,7 +518,8 @@ object TxnLog {
     val rows = manifests(dir).map { case (v, p) =>
       val (m, body) = parseManifest(p)
       val action =
-        if (m.startsWith("D ")) "D" else if (m.startsWith("T ")) "T" else m
+        if (m.startsWith("D ")) "D" else if (m.startsWith("T ")) "T"
+        else if (m.startsWith("R")) "R" else m
       (v, action, body.length.toLong)
     }
     import spark.implicits._
@@ -558,6 +579,7 @@ object TxnLog {
             case (None, Some(a)) => Seq(tagged(a, "insert", v))
             case _ => Seq.empty
           }
+        case "R noop" => Seq.empty // compaction: logically identity BY RECORD
         case "R" =>
           val cur = read(spark, dir, Some(v))
           val prev = read(spark, dir, Some(v - 1))
@@ -570,8 +592,10 @@ object TxnLog {
         case _ => Seq.empty
       }
     }
-    require(parts.nonEmpty, s"no committed version in ($fromExclusive, $to]")
-    parts.reduce(_.unionByName(_))
+    require(ms.nonEmpty, s"no committed version in ($fromExclusive, $to]")
+    if (parts.isEmpty) // the range holds only change-free commits (R noop)
+      tagged(read(spark, dir, Some(to)).limit(0), "insert", to)
+    else parts.reduce(_.unionByName(_))
   }
 
   /** Vacuum: delete data files no retained version references, advancing

@@ -20,6 +20,18 @@ import graft.io.TxnLog
   */
 object TxnOps {
 
+  /** Txn-protocol fixtures run many SMALL serial jobs (commit, semi-join,
+    * rewrite, CDF diff) over metadata-scale rowsets — at the board's data
+    * size 32 shuffle partitions is pure fixed overhead per job. Pin a
+    * dedicated child session to 8 (results are partition-invariant; the
+    * shared session never observes the override — the q81 streaming
+    * precedent). On a real deployment this follows data volume instead. */
+  private def txnSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2
+  }
+
   // ---------------------------------------------------------------- q221
   /** MERGE INTO (upsert) on the txn-log table, FILE-GRANULAR: v1 commits
     * the even-custkey half, v2 the odd half (one file each), v3 merges a
@@ -33,7 +45,8 @@ object TxnOps {
     * semantics). Faces: as-of 2 = the pre-merge table, as-of 3 = the
     * upserted table — exactly target-anti-source ∪ source — and the
     * face-0 ledger row pins the action chain AAX. */
-  def q221(s: SparkSession, d: String): DataFrame = {
+  def q221(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q221_tbl").toString
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -100,7 +113,8 @@ object TxnOps {
     * reader was already applying, so no logical change). The feed is
     * aggregated per (version, change_type) with an exact custkey checksum;
     * version 5 is absent from the output, which IS the compaction claim. */
-  def q222(s: SparkSession, d: String): DataFrame = {
+  def q222(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q222_tbl").toString
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -165,7 +179,8 @@ object TxnOps {
     * files total = distinct order years — both stated independently by
     * the oracle from the data. The rowset face proves pruning soundness:
     * the pruned scan aggregates to exactly the full-table filter. */
-  def q223(s: SparkSession, d: String): DataFrame = {
+  def q223(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q223_tbl").toString
     val ord = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -173,8 +188,10 @@ object TxnOps {
     val years = ord.select(col("o_oyear")).distinct().collect()
       .map(_.getLong(0)).sorted
     years.foreach { y =>
+      // partition-value commit: the writer KNOWS min = max = y, so the
+      // sidecar comes free (no post-write stats scan)
       TxnLog.commitWithStats(ord.filter(col("o_oyear") === y).coalesce(1),
-        dir, Seq("o_oyear"))
+        dir, Seq("o_oyear"), knownStats = Some(Seq(("o_oyear", y, y))))
     }
     val scan = TxnLog.scanPruned(s, dir, "o_oyear", 1997L, 1998L)
     val face = scan.df.groupBy(col("o_oyear"))
@@ -210,7 +227,8 @@ object TxnOps {
     * ledger also pins the clone's action chain ADAD (clone-A, carried-D,
     * append-A, vector-D). At 100 TB: experiment branches, dev snapshots,
     * and migration rehearsals all cost one manifest, not a copy. */
-  def q228(s: SparkSession, d: String): DataFrame = {
+  def q228(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
     val src = java.nio.file.Files.createTempDirectory("graft_q228_src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft_q228_dst").toString
     val cust = Tables.customer(s, d)
@@ -285,7 +303,8 @@ object TxnOps {
     * Delta `txn`-action pattern: the sink's table is idempotent under the
     * source's at-least-once replay, which is what "exactly-once" means for
     * a 100 TB streaming ingest. */
-  def q229(s: SparkSession, d: String): DataFrame = {
+  def q229(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
     val staged = java.nio.file.Files.createTempDirectory("graft_q229_src").toString
     val tbl = java.nio.file.Files.createTempDirectory("graft_q229_tbl").toString
     val ev = Tables.events(s, d)
@@ -346,25 +365,34 @@ object TxnOps {
     * change feed, with the compaction contributing zero rows. The ledger
     * face pins each poll's insert/delete row counts. At 100 TB the
     * increment is bounded by the commits since the cursor, not the table. */
-  def q231(s: SparkSession, d: String): DataFrame = {
+  def q231(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q231_tbl").toString
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     def fold(state: DataFrame, fromV: Long, toV: Long): (DataFrame, Long, Long) = {
-      val delta = TxnLog.changes(s, dir, fromV, toV)
+      // ONE pass over the change feed per poll: the (segment, sign) grid
+      // carries row counts and signed key sums, so the poll ledger and the
+      // view merge both derive from this grid-sized checkpoint — the CDF
+      // (which re-reads exchanged/diffed files on every action) is never
+      // evaluated twice
+      val grid = TxnLog.changes(s, dir, fromV, toV)
         .select(col("c_mktsegment"),
           when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)).as("sign"),
           col("c_custkey"))
-      val nIns = delta.filter(col("sign") === 1L).count()
-      val nDel = delta.filter(col("sign") === -1L).count()
+        .groupBy(col("c_mktsegment"), col("sign"))
+        .agg(count(lit(1)).as("rows"), sum(col("c_custkey")).as("keys"))
+        .localCheckpoint()
+      val counts = grid.groupBy(col("sign")).agg(sum(col("rows")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val merged = state.unionByName(
-        delta.groupBy(col("c_mktsegment"))
-          .agg(sum(col("sign")).as("n"), sum(col("sign") * col("c_custkey")).as("key_sum")))
+        grid.select(col("c_mktsegment"), (col("sign") * col("rows")).as("n"),
+          (col("sign") * col("keys")).as("key_sum")))
         .groupBy(col("c_mktsegment"))
         .agg(sum(col("n")).as("n"), sum(col("key_sum")).as("key_sum"))
         .filter(col("n") > 0)
         .localCheckpoint() // the stored view: grid-sized, never the table
-      (merged, nIns, nDel)
+      (merged, counts.getOrElse(1L, 0L), counts.getOrElse(-1L, 0L))
     }
     val empty = s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -437,7 +465,8 @@ object TxnOps {
     * exact decimal sum over just the post-evolution rows — each a claim
     * about which generation a row came from. At 100 TB: adding a column
     * never rewrites a file; old files simply don't store it. */
-  def q232(s: SparkSession, d: String): DataFrame = {
+  def q232(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q232_tbl").toString
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))

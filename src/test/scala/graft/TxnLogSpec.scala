@@ -390,9 +390,16 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(((prev ++ ins).sorted diff del) == now,
         s"CDF fold identity broken at version $v: prev=$prev ins=$ins del=$del now=$now")
     }
-    // the compaction step specifically must be change-free
+    // the compaction step specifically must be change-free — and cheap:
+    // compact records `R noop`, so the feed skips the snapshot diff
     assert(graft.io.TxnLog.changes(spark, dir, cur - 1, cur).count() == 0L,
       "a pure compaction emitted CDF rows")
+    // a CoW delete is a PLAIN R: the feed must still derive its real diff
+    graft.io.TxnLog.delete(spark, dir, "k = 1")
+    val cowDel = graft.io.TxnLog.changes(spark, dir, cur, cur + 1)
+    assert(rows(cowDel.filter("_change_type = 'delete'")) == Seq((1L, 10L)),
+      "CoW delete lost its CDF diff")
+    assert(cowDel.filter("_change_type = 'insert'").count() == 0L)
     // a delete vector's CDF rows are full table rows, not just keys
     val dv = graft.io.TxnLog.changes(spark, dir, 3L, 4L).filter("_change_type = 'delete'")
     assert(rows(dv).forall { case (k, x) => x == k * 10 || x == -k }, "D rows lost their payload")
@@ -422,6 +429,23 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scan2 = graft.io.TxnLog.scanPruned(spark, dir, "k", 12L, 18L)
     assert(scan2.df.collect().map(_.getLong(0)).sorted.toSeq
       == (12L to 18L).filterNot(_ == 15L), "pruned scan missed a delete vector")
+  }
+
+  test("writer-known stats prune identically to scanned stats") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commitWithStats((1L to 10L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir, Seq("k"), knownStats = Some(Seq(("k", 1L, 10L))))
+    graft.io.TxnLog.commitWithStats((11L to 20L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir, Seq("k"), knownStats = Some(Seq(("k", 11L, 20L))))
+    val scan = graft.io.TxnLog.scanPruned(spark, dir, "k", 3L, 7L)
+    assert(scan.totalFiles == 2 && scan.plannedFiles == 1)
+    assert(scan.df.collect().map(_.getLong(0)).sorted.toSeq == (3L to 7L))
+    // a mismatched column set refuses loudly
+    intercept[IllegalArgumentException] {
+      graft.io.TxnLog.commitWithStats(Seq((30L, 30L)).toDF("k", "x").coalesce(1),
+        dir, Seq("k"), knownStats = Some(Seq(("wrong", 0L, 0L))))
+    }
   }
 
   test("shallow clone is metadata-only, carries vectors, then diverges") {
