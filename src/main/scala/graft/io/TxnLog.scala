@@ -208,6 +208,21 @@ object TxnLog {
     v
   }
 
+  /** Every (file, column, min, max) sidecar line across the manifest
+    * chain — the union of all versions' zone maps. */
+  private def allStats(dir: String): Vector[(String, String, Long, Long)] =
+    manifests(dir).toVector.flatMap { case (v, _) =>
+      val sp = statsPath(dir, v)
+      if (!Files.exists(sp)) Vector.empty
+      else new String(Files.readAllBytes(sp), "UTF-8").split("\n")
+        .filter(_.nonEmpty).toVector.flatMap { line =>
+          line.split("\t") match {
+            case Array(rel, c, mn, mx) => Some((rel, c, mn.toLong, mx.toLong))
+            case _ => None
+          }
+        }
+    }
+
   /** A pruned scan: the DataFrame plus how many of the visible files its
     * plan actually reads. */
   final case class PrunedScan(df: DataFrame, plannedFiles: Int, totalFiles: Int)
@@ -222,17 +237,8 @@ object TxnLog {
   def scanPruned(spark: SparkSession, dir: String, column: String,
                  lo: Long, hi: Long): PrunedScan = {
     val snap = snapshotAt(dir, Long.MaxValue)
-    val stats: Map[String, (Long, Long)] = manifests(dir).flatMap { case (v, _) =>
-      val sp = statsPath(dir, v)
-      if (!Files.exists(sp)) Array.empty[(String, (Long, Long))]
-      else new String(Files.readAllBytes(sp), "UTF-8").split("\n")
-        .filter(_.nonEmpty).flatMap { line =>
-          line.split("\t") match {
-            case Array(rel, c, mn, mx) if c == column =>
-              Some(rel -> ((mn.toLong, mx.toLong)))
-            case _ => None
-          }
-        }
+    val stats: Map[String, (Long, Long)] = allStats(dir).collect {
+      case (rel, c, mn, mx) if c == column => rel -> ((mn, mx))
     }.toMap
     val keep = snap.files.filter(f =>
       stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
@@ -476,6 +482,20 @@ object TxnLog {
       if (rel.startsWith("@")) rel else s"@$srcAbs/$rel" // already-external refs pass through
     var v = currentVersion(dstDir) + 1
     while (!tryClaim(dstDir, v, "A", snap.files.map(ext))) v += 1
+    // carry the source's zone maps for the referenced files (keyed by the
+    // external ref, which is how the clone's scanPruned will look them up)
+    // — cloning preserves PLANNING metadata, not just data visibility
+    val visible = snap.files.toSet
+    val carried = allStats(srcDir).collect {
+      case (rel, c, mn, mx) if visible(rel) => s"${ext(rel)}\t$c\t$mn\t$mx"
+    }
+    if (carried.nonEmpty) {
+      val tmp = Files.createTempFile(logDir(dstDir), ".stats-", ".tmp")
+      Files.write(tmp, (carried.mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.move(tmp, statsPath(dstDir, v),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     snap.dvs.foreach { case (dvFiles, keyCols) =>
       var dv = currentVersion(dstDir) + 1
       while (!tryClaim(dstDir, dv, "D " + keyCols.mkString(","), dvFiles.map(ext))) dv += 1

@@ -478,6 +478,20 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](graft.io.TxnLog.clone(spark, src, dst))
   }
 
+  test("clone carries the source's zone maps: pruning works pre-localization") {
+    val src = freshTable(); val dst = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commitWithStats((1L to 10L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      src, Seq("k"), knownStats = Some(Seq(("k", 1L, 10L))))
+    graft.io.TxnLog.commitWithStats((11L to 20L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      src, Seq("k"), knownStats = Some(Seq(("k", 11L, 20L))))
+    graft.io.TxnLog.clone(spark, src, dst)
+    val scan = graft.io.TxnLog.scanPruned(spark, dst, "k", 14L, 16L)
+    assert(scan.totalFiles == 2 && scan.plannedFiles == 1,
+      s"clone lost the source's stats: ${scan.plannedFiles}/${scan.totalFiles} planned")
+    assert(scan.df.collect().map(_.getLong(0)).sorted.toSeq == (14L to 16L))
+  }
+
   test("merge on an un-localized clone falls back to a validated replace") {
     val src = freshTable(); val dst = freshTable()
     import spark.implicits._
