@@ -208,6 +208,103 @@ object TxnLog {
     v
   }
 
+  // ------------------------------------------------------------------
+  // Bloom-filter sidecars: the POINT-LOOKUP complement to the min/max
+  // zone maps (range pruning can't skip a file for `col = x` when x lies
+  // inside every file's range — the Delta bloom-index slot). Filter
+  // design is DETERMINISTIC and cross-engine replicable: m = 256 bits,
+  // k = 4 probes; probe j of key x is the j-th 16-bit word of
+  // md5("bloom:" + x) mod 256. A file's filter is the OR over its keys;
+  // a lookup keeps a file iff all 4 probe bits are set (or it has no
+  // filter — missing metadata can only cost performance, never rows).
+  // ------------------------------------------------------------------
+
+  /** Probe bit positions of one key (4 positions in [0, 256)). */
+  private[io] def bloomBits(value: String): Seq[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("bloom:" + value).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (0 until 4).map(j => Integer.parseInt(hex.substring(j * 4, j * 4 + 4), 16) % 256)
+  }
+
+  private def bloomPath(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"v$v%05d.bloom")
+
+  /** Append-commit with a BLOOM sidecar (`v%05d.bloom`: one
+    * `rel<TAB>col<TAB><64-hex>` line per file) over `bloomCol`'s values
+    * (stringified exactly as SQL CAST AS STRING — the cross-engine probe
+    * contract). One tiny job over the just-written files builds the
+    * 4-long words with bit_or — metadata-sized, map-side combined. */
+  def commitWithBloom(df: DataFrame, dir: String, bloomCol: String): Long = {
+    val spark = df.sparkSession
+    val (_, files) = writeData(df, dir)
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, "A", files)) v += 1
+    val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
+      .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+      .withColumn("__hex", expr(s"md5(concat('bloom:', cast($bloomCol as string)))"))
+      .select(col("__rel") +: (0 until 4).map(j =>
+        expr(s"conv(substring(__hex, ${j * 4 + 1}, 4), 16, 10) % 256")
+          .cast("int").as(s"__p$j")): _*)
+    val words = (0 until 4).flatMap(j => (0 until 4).map(w =>
+      expr(s"bit_or(case when __p$j div 64 = $w then shiftleft(1L, __p$j % 64) else 0L end)")
+        .as(s"__w${j}_$w")))
+    val rows = withRel.groupBy(col("__rel")).agg(words.head, words.tail: _*).collect()
+    val lines = rows.map { r =>
+      val merged = Array.fill(4)(0L)
+      for (j <- 0 until 4; w <- 0 until 4)
+        merged(w) |= r.getAs[Long](s"__w${j}_$w")
+      val hex = merged.map(x => f"$x%016x").mkString
+      s"${r.getAs[String]("__rel")}\t$bloomCol\t$hex"
+    }
+    val tmp = Files.createTempFile(logDir(dir), ".bloom-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.move(tmp, bloomPath(dir, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Every (file, column, 4-word filter) bloom line across the chain. */
+  private def allBlooms(dir: String): Vector[(String, String, Array[Long])] =
+    manifests(dir).toVector.flatMap { case (v, _) =>
+      val bp = bloomPath(dir, v)
+      if (!Files.exists(bp)) Vector.empty
+      else new String(Files.readAllBytes(bp), "UTF-8").split("\n")
+        .filter(_.nonEmpty).toVector.flatMap { line =>
+          line.split("\t") match {
+            case Array(rel, c, hex) if hex.length == 64 =>
+              Some((rel, c, (0 until 4).map(w =>
+                java.lang.Long.parseUnsignedLong(hex.substring(w * 16, w * 16 + 16), 16))
+                .toArray))
+            case _ => None
+          }
+        }
+    }
+
+  /** Plan `column = value` over the latest snapshot using the bloom
+    * sidecars: a visible file whose filter lacks any of the probe's bits
+    * provably excludes the key and never enters the scan. Files with no
+    * filter are kept. The residual equality still applies; pending delete
+    * vectors apply as usual. */
+  def scanPoint(spark: SparkSession, dir: String, column: String,
+                value: String): PrunedScan = {
+    val snap = snapshotAt(dir, Long.MaxValue)
+    val blooms: Map[String, Array[Long]] = allBlooms(dir).collect {
+      case (rel, c, words) if c == column => rel -> words
+    }.toMap
+    val probes = bloomBits(value)
+    def hits(words: Array[Long]): Boolean =
+      probes.forall(p => (words(p / 64) & (1L << (p % 64))) != 0L)
+    val keep = snap.files.filter(f => blooms.get(f).forall(hits))
+    val pred = expr(s"cast($column as string) = '${value.replace("'", "''")}'")
+    val df =
+      if (keep.isEmpty) read(spark, dir).filter(pred).limit(0)
+      else applyDvs(spark, dir,
+        spark.read.parquet(keep.map(resolve(dir, _)): _*).filter(pred), snap.dvs)
+    PrunedScan(df, keep.size, snap.files.size)
+  }
+
   /** Every (file, column, min, max) sidecar line across the manifest
     * chain — the union of all versions' zone maps. */
   private def allStats(dir: String): Vector[(String, String, Long, Long)] =

@@ -506,6 +506,67 @@ object TxnOps {
       |FROM vis GROUP BY 2
       |ORDER BY face, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q233
+  /** BLOOM-FILTER FILE SKIPPING — the POINT-LOOKUP complement to q223's
+    * zone maps (range stats cannot skip a file for `k = x` when x lies
+    * inside every file's min/max, exactly the case here: customers land in
+    * four files by custkey MOD 4, so every file spans the whole range).
+    * Each commit carries a 256-bit/4-probe bloom sidecar over c_custkey
+    * (probe j = j-th 16-bit md5 word mod 256 — deterministic and REPLAYED
+    * BY THE ORACLE, which rebuilds every file's filter and every probe's
+    * bits in SQL and states the planned-file count independently). Four
+    * probes: three present keys and one absent; `planned` counts the true
+    * file plus any bloom false positives — whatever the arithmetic says,
+    * both engines must agree bit-for-bit. The rowset columns prove
+    * soundness: each present probe finds exactly its row through the
+    * pruned scan, the absent probe finds nothing. At 100 TB this is the
+    * needle-in-haystack path: a point lookup opens the files the filter
+    * cannot exclude, not the table. */
+  def q233(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q233_tbl").toString
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    (0 until 4).foreach { m =>
+      TxnLog.commitWithBloom(
+        cust.filter(expr(s"c_custkey % 4 = $m")).coalesce(1), dir, "c_custkey")
+    }
+    val probes = Seq(1L, 2L, 7L, 987654321L)
+    val faces = probes.map { p =>
+      val scan = TxnLog.scanPoint(s, dir, "c_custkey", p.toString)
+      scan.df.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("c_custkey")), lit(0L)).as("key_sum"))
+        .select(lit(p).as("probe"), lit(scan.plannedFiles.toLong).as("planned"),
+          lit(scan.totalFiles.toLong).as("total"), col("n"), col("key_sum"))
+    }
+    faces.reduce(_.unionByName(_)).orderBy(col("probe"))
+  }
+  val q233Sql: String =
+    """WITH keys AS (SELECT c_custkey AS k, c_custkey % 4 AS f FROM customer),
+      |js(j) AS (VALUES (0), (1), (2), (3)),
+      |probes(p) AS (VALUES (1), (2), (7), (987654321)),
+      |filepos AS (
+      |  SELECT DISTINCT f,
+      |    ('0x' || substr(md5('bloom:' || CAST(k AS VARCHAR)), j*4+1, 4))::INT % 256 AS pos
+      |  FROM keys, js),
+      |pbits AS (
+      |  SELECT DISTINCT p,
+      |    ('0x' || substr(md5('bloom:' || CAST(p AS VARCHAR)), j*4+1, 4))::INT % 256 AS pos
+      |  FROM probes, js),
+      |hit AS (
+      |  SELECT x.p, x.f, BOOL_AND(fp.pos IS NOT NULL) AS all_in
+      |  FROM (SELECT pb.p, pb.pos, fs.f
+      |        FROM pbits pb CROSS JOIN (SELECT DISTINCT f FROM keys) fs(f)) x
+      |  LEFT JOIN filepos fp ON fp.f = x.f AND fp.pos = x.pos
+      |  GROUP BY 1, 2),
+      |planned AS (
+      |  SELECT p, COUNT(*) FILTER (WHERE all_in) AS planned FROM hit GROUP BY 1)
+      |SELECT CAST(p AS BIGINT) AS probe, CAST(planned AS BIGINT) AS planned,
+      |  CAST(4 AS BIGINT) AS total,
+      |  (SELECT COUNT(*) FROM keys WHERE k = p) AS n,
+      |  CAST((SELECT COALESCE(SUM(k), 0) FROM keys WHERE k = p) AS BIGINT) AS key_sum
+      |FROM planned
+      |ORDER BY probe""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q221_txn_merge_upsert" -> ((q221 _, Some(q221Sql))),
     "q222_change_data_feed" -> ((q222 _, Some(q222Sql))),
@@ -513,5 +574,6 @@ object TxnOps {
     "q228_txn_shallow_clone" -> ((q228 _, Some(q228Sql))),
     "q229_stream_exactly_once" -> ((q229 _, Some(q229Sql))),
     "q231_cdf_apply_ivm" -> ((q231 _, Some(q231Sql))),
-    "q232_txn_schema_evolution" -> ((q232 _, Some(q232Sql))))
+    "q232_txn_schema_evolution" -> ((q232 _, Some(q232Sql))),
+    "q233_bloom_point_lookup" -> ((q233 _, Some(q233Sql))))
 }

@@ -478,6 +478,36 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](graft.io.TxnLog.clone(spark, src, dst))
   }
 
+  test("bloom sidecar: point lookup excludes files the filter rules out, never rows") {
+    val dir = freshTable()
+    import spark.implicits._
+    // two disjoint key files with blooms + one bloom-less legacy file
+    graft.io.TxnLog.commitWithBloom((1L to 50L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir, "k")
+    graft.io.TxnLog.commitWithBloom((51L to 100L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir, "k")
+    graft.io.TxnLog.commit(Seq((500L, 500L)).toDF("k", "x").coalesce(1), dir)
+    val present = graft.io.TxnLog.scanPoint(spark, dir, "k", "42")
+    assert(present.totalFiles == 3, s"expected 3 visible files, got ${present.totalFiles}")
+    // soundness: the probe's row is found regardless of which files pruned
+    assert(present.df.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // the true file + the bloom-less file are always kept; file 2 may only
+    // survive as a bloom false positive
+    assert(present.plannedFiles >= 2 && present.plannedFiles <= 3)
+    // the bloom-less file's key is only reachable because missing = keep
+    assert(graft.io.TxnLog.scanPoint(spark, dir, "k", "500")
+      .df.collect().map(_.getLong(0)).toSeq == Seq(500L))
+    // absent key: zero rows whatever the filters plan
+    val absent = graft.io.TxnLog.scanPoint(spark, dir, "k", "424242")
+    assert(absent.df.count() == 0L)
+    // delete vectors apply through the point path
+    graft.io.TxnLog.deleteVector(spark, dir, "k = 42", Seq("k"))
+    assert(graft.io.TxnLog.scanPoint(spark, dir, "k", "42").df.count() == 0L)
+    // probe-bit derivation matches the committed filters: a key from file 1
+    // must hit file 1's filter (no false negatives by construction)
+    assert(graft.io.TxnLog.scanPoint(spark, dir, "k", "7").plannedFiles >= 2)
+  }
+
   test("clone carries the source's zone maps: pruning works pre-localization") {
     val src = freshTable(); val dst = freshTable()
     import spark.implicits._
