@@ -381,13 +381,103 @@ object TxnLog {
         acc.copy(dvs = acc.dvs :+ ((body, keyCols)))
     }
 
+  // ------------------------------------------------------------------
+  // CHECKPOINTS: the folded snapshot at a version, serialized, so a
+  // reader's planning cost is O(commits since the last checkpoint)
+  // instead of O(all commits) — at 100 TB a table accumulates 10⁵–10⁶
+  // commits and replaying the whole chain per query is the real
+  // metadata bottleneck (exactly why Delta checkpoints its log every 10
+  // commits and Iceberg snapshots its manifest list). Sidecar semantics
+  // (stats/bloom precedent): written atomically, never authoritative —
+  // a reader that misses one folds the full chain and gets the
+  // IDENTICAL snapshot, because manifests are immutable once claimed,
+  // so a checkpoint can never go stale for its own version.
+  // Format: `F <rel>` per visible data file, then one
+  // `V <keyCols><TAB><rel>...` line per pending delete vector (order
+  // preserved — vectors anti-join in commit order).
+  // ------------------------------------------------------------------
+
+  private def checkpointPath(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"v$v%05d.checkpoint")
+
+  private def checkpointVersions(dir: String): Array[Long] = {
+    val ld = logDir(dir)
+    if (!Files.exists(ld)) Array.empty
+    else listDir(ld).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.endsWith(".checkpoint"))
+        Some(n.stripPrefix("v").stripSuffix(".checkpoint").toLong)
+      else None
+    }.sorted
+  }
+
+  private def parseCheckpoint(dir: String, v: Long): Snapshot = {
+    val lines = new String(Files.readAllBytes(checkpointPath(dir, v)), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toVector
+    val files = lines.collect { case l if l.startsWith("F ") => l.drop(2) }
+    val dvs = lines.collect { case l if l.startsWith("V ") =>
+      val parts = l.split("\t").toVector
+      val keyCols = parts.head.drop(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      (parts.tail, keyCols)
+    }
+    Snapshot(files, dvs)
+  }
+
+  /** Write a checkpoint at the CURRENT version; returns that version.
+    * Any maintenance cadence works (every N commits, post-compaction,
+    * cron) — correctness never depends on when or whether one exists. */
+  def checkpoint(dir: String): Long = {
+    val v = currentVersion(dir)
+    require(v > 0, "nothing committed")
+    val snap = snapshotAt(dir, v)
+    val lines = snap.files.map("F " + _) ++ snap.dvs.map { case (fs, keyCols) =>
+      (("V " + keyCols.mkString(",")) +: fs).mkString("\t")
+    }
+    val tmp = Files.createTempFile(logDir(dir), ".ckpt-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.move(tmp, checkpointPath(dir, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Checkpoint only when ≥ `every` commits landed since the last one
+    * (or since genesis) — the Delta `checkpointInterval` dial for
+    * maintenance loops that commit continuously (e.g. streaming IVM).
+    * Returns the checkpointed version, or None when under the interval. */
+  def maybeCheckpoint(dir: String, every: Int = 10): Option[Long] = {
+    require(every >= 1, s"checkpoint interval must be >= 1: $every")
+    val cur = currentVersion(dir)
+    val last = checkpointVersions(dir).lastOption.getOrElse(0L)
+    if (cur - last >= every) Some(checkpoint(dir)) else None
+  }
+
+  /** Number of manifests a read at `asOf` replays — the planning-cost
+    * probe the checkpoint exists to bound: O(total commits) without one,
+    * O(commits since the newest usable checkpoint) with. */
+  def foldCost(dir: String, asOf: Option[Long] = None): Int = {
+    val upto = asOf.getOrElse(Long.MaxValue)
+    val ms = manifests(dir).filter(_._1 <= upto)
+    checkpointVersions(dir).filter(_ <= upto).lastOption match {
+      case Some(cv) => ms.count(_._1 > cv)
+      case None     => ms.length
+    }
+  }
+
   private def snapshotAt(dir: String, upto: Long): Snapshot = {
     val ld = logDir(dir)
     require(Files.exists(ld), s"not a txnlog table (no ${ld})")
     val ms = manifests(dir).filter(_._1 <= upto)
     require(ms.nonEmpty, s"no committed version <= $upto")
-    ms.foldLeft(Snapshot(Vector.empty, Vector.empty)) { case (acc, (_, p)) =>
-      foldOne(acc, p)
+    checkpointVersions(dir).filter(_ <= upto).lastOption match {
+      case Some(cv) =>
+        ms.filter(_._1 > cv).foldLeft(parseCheckpoint(dir, cv)) {
+          case (acc, (_, p)) => foldOne(acc, p)
+        }
+      case None =>
+        ms.foldLeft(Snapshot(Vector.empty, Vector.empty)) { case (acc, (_, p)) =>
+          foldOne(acc, p)
+        }
     }
   }
 

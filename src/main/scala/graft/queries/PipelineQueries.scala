@@ -691,7 +691,64 @@ object PipelineQueries {
       |FROM sess s, wm WHERE s.end_us + 1800000000 <= wm.w
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+  /** SECOND compressed-codec round trip (IMA ADPCM in the WAV container —
+    * the format pydub/ffmpeg would hand the reference transparently):
+    * per document, synthesize a ±1-step random walk, encode through REAL
+    * IMA-ADPCM blocks (io/AdpcmCodec: 4-bit quantizer, 89-step table,
+    * fact-truncated final block), decode back, and emit the DECODED
+    * aggregates. ADPCM is lossy in general, but the quantizer is exact
+    * on {−1,0,+1}-difference signals at step index 0 — so the oracle can
+    * recompute the walk ARITHMETICALLY (windowed prefix sum) and any
+    * bitstream or state-machine bug that costs even one sample one unit
+    * breaks the hash. n_blocks pins the container layout (505 samples
+    * per 256-byte block); `compressed` pins real 4:1-class compression.
+    * Per-row projection, shuffle-free — same 100 TB posture as q220. */
+  def q235(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (600 + id % 300).toInt
+        val salt = (id % 13).toInt
+        val pcm = new Array[Short](n)
+        var v = ((id % 5) * 100 - 200).toInt
+        pcm(0) = v.toShort
+        var i = 1
+        while (i < n) { v += ((i * 7 + salt) % 3) - 1; pcm(i) = v.toShort; i += 1 }
+        val wav = graft.io.AdpcmCodec.encodeWav(pcm, 16000, blockAlign = 256)
+        val (info, got) = graft.io.AdpcmCodec.decodeWav(wav)
+        require(got.length == n, s"doc $id: decoded ${got.length} of $n samples")
+        (id, info.sampleRate.toLong, got.length.toLong,
+          ((n + 504) / 505).toLong,
+          got.foldLeft(0L)(_ + _), got.min.toLong, got.max.toLong,
+          wav.length < n) // 4:1-class: well under half the 2n raw bytes
+      }
+      .toDF("doc_id", "rate", "n_decoded", "n_blocks",
+            "pcm_sum", "pcm_min", "pcm_max", "compressed")
+      .orderBy(col("doc_id"))
+  }
+  val q235Sql: String =
+    """WITH walk AS (
+      |  SELECT d.doc_id, t.i,
+      |    (d.doc_id % 5) * 100 - 200
+      |      + SUM(CASE WHEN t.i = 0 THEN 0
+      |                 ELSE (t.i*7 + d.doc_id % 13) % 3 - 1 END)
+      |        OVER (PARTITION BY d.doc_id ORDER BY t.i) AS s
+      |  FROM documents d, range(0, 900) t(i)
+      |  WHERE t.i < 600 + d.doc_id % 300),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(s) AS BIGINT) AS pcm_sum,
+      |    CAST(MIN(s) AS BIGINT) AS pcm_min,
+      |    CAST(MAX(s) AS BIGINT) AS pcm_max
+      |  FROM walk GROUP BY doc_id)
+      |SELECT doc_id, CAST(16000 AS BIGINT) AS rate, n AS n_decoded,
+      |  (n + 504) // 505 AS n_blocks, pcm_sum, pcm_min, pcm_max,
+      |  TRUE AS compressed
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),
     "q218_stream_session_timeout" -> ((q218 _, Some(q218Sql))),
     "q190_stream_session_window" -> ((q190 _, Some(q190Sql))),

@@ -567,7 +567,96 @@ object TxnOps {
       |FROM planned
       |ORDER BY probe""".stripMargin
 
+  // ---------------------------------------------------------------- q234
+  /** CHECKPOINTED LOG REPLAY: the reader-planning half of the commit
+    * protocol at depth. Lifecycle: v1/v2 append the customer halves, v3
+    * delete-vectors the MACHINERY segment, v4 appends nation-keyed
+    * INSERTED rows, CHECKPOINT at 4 (folds files + the still-pending
+    * vector into one sidecar), v5 appends the LATE nation rows PLUS a
+    * verbatim re-append of every MACHINERY row — which the checkpointed
+    * vector must keep suppressing (value-based delete-by-key survives
+    * serialization). Faces: as-of 2 (pre-delete), as-of 3 (vector
+    * applied via full replay), latest (seeded from the checkpoint, one
+    * manifest folded on top). Ledger rows pin the protocol metadata the
+    * checkpoint exists to bound: action chain AADAA at version 5, the
+    * checkpoint version 4, foldCost(latest) = 1 (one commit since the
+    * checkpoint) and foldCost(as-of 3) = 3 (below the checkpoint →
+    * full-prefix replay; time travel never reads a too-new seed). At
+    * 100 TB this is the difference between O(10⁶)-manifest planning per
+    * query and O(interval). */
+  def q234(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q234_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 0")).coalesce(1), dir) // v1
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 1")).coalesce(1), dir) // v2
+    TxnLog.deleteVector(s, dir, "c_mktsegment = 'MACHINERY'", Seq("c_custkey")) // v3
+    def nationRows(base: Long, seg: String, mult: Double) =
+      Tables.nation(s, d).select(
+        (lit(base) + col("n_nationkey")).as("c_custkey"),
+        lit(seg).as("c_mktsegment"),
+        (col("n_nationkey").cast("double") * lit(mult)).as("c_acctbal"))
+    TxnLog.commit(nationRows(9000000L, "INSERTED", 1.5).coalesce(1), dir) // v4
+    val ckptV = TxnLog.checkpoint(dir)
+    TxnLog.commit( // v5: LATE rows + the suppressed-by-vector re-append
+      nationRows(9500000L, "LATE", 2.5)
+        .unionByName(cust.filter(expr("c_mktsegment = 'MACHINERY'")))
+        .coalesce(1), dir)
+    def face(asOf: Option[Long], tag: Long) =
+      TxnLog.read(s, dir, asOf)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .withColumn("as_of", lit(tag))
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(
+      lit(0L).as("as_of"), lit(actions).as("c_mktsegment"),
+      lit(TxnLog.currentVersion(dir)).as("n"),
+      lit(TxnLog.foldCost(dir).toDouble).as("sum_bal"))
+      .unionByName(s.range(1).select(
+        lit(1L).as("as_of"), lit("ckpt").as("c_mktsegment"),
+        lit(ckptV).as("n"),
+        lit(TxnLog.foldCost(dir, Some(3L)).toDouble).as("sum_bal")))
+    ledger.unionByName(face(Some(2L), 2L)).unionByName(face(Some(3L), 3L))
+      .unionByName(face(None, 5L))
+      .select(col("as_of"), col("c_mktsegment"), col("n"), col("sum_bal"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+  val q234Sql: String =
+    """WITH target AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |kept AS (SELECT * FROM target WHERE c_mktsegment <> 'MACHINERY'),
+      |ins AS (
+      |  SELECT 9000000 + n_nationkey AS c_custkey, 'INSERTED' AS c_mktsegment,
+      |         CAST(n_nationkey AS DOUBLE) * 1.5 AS c_acctbal FROM nation),
+      |late AS (
+      |  SELECT 9500000 + n_nationkey, 'LATE', CAST(n_nationkey AS DOUBLE) * 2.5
+      |  FROM nation),
+      |v5 AS (SELECT * FROM kept UNION ALL SELECT * FROM ins
+      |       UNION ALL SELECT * FROM late),
+      |faces AS (
+      |  SELECT 2 AS as_of, c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM target GROUP BY 2
+      |  UNION ALL
+      |  SELECT 3, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM kept GROUP BY 2
+      |  UNION ALL
+      |  SELECT 5, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM v5 GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS as_of, 'AADAA' AS c_mktsegment,
+      |       CAST(5 AS BIGINT) AS n, CAST(1 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), 'ckpt', CAST(4 AS BIGINT), CAST(3 AS DOUBLE)
+      |UNION ALL
+      |SELECT CAST(as_of AS BIGINT), c_mktsegment, CAST(n AS BIGINT),
+      |       CAST(sum_bal AS DOUBLE)
+      |FROM faces
+      |ORDER BY as_of, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q234_txn_checkpoint" -> ((q234 _, Some(q234Sql))),
     "q221_txn_merge_upsert" -> ((q221 _, Some(q221Sql))),
     "q222_change_data_feed" -> ((q222 _, Some(q222Sql))),
     "q223_stats_file_skipping" -> ((q223 _, Some(q223Sql))),

@@ -581,4 +581,58 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       graft.io.TxnLog.commitIdempotent(Seq(1L).toDF("v"), dir, "bad writer", 9L))
   }
+
+  test("checkpoint: identical snapshots, bounded fold cost, correct seeding") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    (1 to 6).foreach(i => T.commit(Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("v"), dir))
+    T.deleteVector(spark, dir, "v = 30", Seq("v"))          // v7: pending vector
+    assert(T.foldCost(dir) == 7)
+    def latest = T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    val before = latest
+    assert(T.checkpoint(dir) == 7L)
+    // checkpoint is pure cache: same rows, vector still applied
+    assert(T.foldCost(dir) == 0)
+    assert(latest == before && !before.contains(30L))
+    // commits after the checkpoint fold ON TOP of the seed
+    T.commit(Seq(999L).toDF("v"), dir)                      // v8
+    assert(T.foldCost(dir) == 1)
+    assert(latest == (before :+ 999L).sorted)
+    // time travel BELOW the checkpoint ignores it (full-prefix fold)
+    assert(T.foldCost(dir, Some(3L)) == 3)
+    assert(T.read(spark, dir, Some(3L)).count() == 6L)
+    // a checkpointed pending vector still suppresses matching LATE appends
+    T.commit(Seq(30L, 31L).toDF("v"), dir)                  // v9
+    val after = latest
+    assert(!after.contains(30L) && after.contains(31L),
+      "checkpointed delete vector lost its by-key semantics")
+    // a replace-commit after the checkpoint resets the seed's file list
+    T.compact(spark, dir, numFiles = 1)                     // v10
+    assert(latest == after, "compaction changed the rowset")
+    // maybeCheckpoint honors the interval: 3 commits since v7 < every=4
+    assert(T.maybeCheckpoint(dir, every = 4).isEmpty)
+    assert(T.maybeCheckpoint(dir, every = 3).contains(10L))
+    assert(T.foldCost(dir) == 0)
+    assert(latest == after)
+  }
+
+  test("checkpoint equivalence under vacuum and shallow-clone refs") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq(1L, 2L).toDF("v"), dir)
+    T.commit(Seq(3L).toDF("v"), dir)
+    T.compact(spark, dir, numFiles = 1)   // v3: pre-compaction files now orphaned
+    T.checkpoint(dir)
+    T.vacuum(dir, retainVersions = 1)     // reclaims v1/v2 files
+    assert(T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L), "checkpointed read broke after vacuum")
+    // clone of a checkpointed table reads identically (external refs in seed)
+    val dst = freshTable()
+    T.clone(spark, dir, dst)
+    T.checkpoint(dst)
+    assert(T.read(spark, dst).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
 }
