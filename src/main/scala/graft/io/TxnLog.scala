@@ -358,7 +358,7 @@ object TxnLog {
       .filter(_.nonEmpty).toVector
     lines.headOption match {
       case Some(m) if m == "R" || m == "R noop" || m == "A" || m == "X" ||
-        m.startsWith("D ") || m.startsWith("T ") =>
+        m == "X noop" || m.startsWith("D ") || m.startsWith("T ") =>
         (m, lines.tail)
       case _ => ("A", lines) // legacy marker-less = adds
     }
@@ -371,7 +371,7 @@ object TxnLog {
       case ("A", body) => acc.copy(files = acc.files ++ body)
       case (t, body) if t.startsWith("T ") => // writer-txn append (exactly-once)
         acc.copy(files = acc.files ++ body)
-      case ("X", body) =>
+      case (x, body) if x == "X" || x == "X noop" =>
         val removes = body.collect { case l if l.startsWith("-") => l.drop(1) }.toSet
         val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
         acc.copy(files = acc.files.filterNot(removes) ++ adds)
@@ -566,6 +566,46 @@ object TxnLog {
     replaceCommitValidated(spark, dir, noop = true)(cur =>
       if (numFiles > 0) cur.coalesce(numFiles) else cur)
 
+  /** PARTIAL compaction: bin-pack only the visible files SMALLER than
+    * `thresholdBytes` into `targetFiles` rewrites, committed as an `X`
+    * exchange — large files never move. This is the OPTIMIZE semantics a
+    * 100 TB table actually needs: streaming/IVM appends leave a long
+    * tail of KB-sized files, and full [[compact]] pays a table-sized
+    * rewrite to fix a metadata-sized problem; the exchange here moves
+    * only the small tail's bytes (q186 plans WHICH files to bin; this
+    * executes the rewrite). Pending delete vectors stay PENDING across
+    * an X (value-based anti-joins re-apply exactly), so unlike the full
+    * rewrite this never materializes them — which is also what keeps it
+    * an exchange, not a replace. Concurrency follows merge: CAS-claim
+    * exactly base+1; on losing, discard the stale rewrite and re-derive
+    * the small-file set against the new snapshot. External (`@`) clone
+    * references are skipped — their bytes belong to the source table.
+    * Returns the version won, or the current version unchanged when
+    * fewer than two small files exist (nothing to pack). */
+  def compactSmall(spark: SparkSession, dir: String, thresholdBytes: Long,
+                   targetFiles: Int = 1): Long = {
+    require(thresholdBytes > 0 && targetFiles >= 1, "bad compactSmall sizing")
+    while (true) {
+      val base = currentVersion(dir)
+      val snap = snapshotAt(dir, base)
+      val smalls = snap.files.filter(f => !f.startsWith("@") &&
+        Files.size(Paths.get(dir, f)) < thresholdBytes)
+      if (smalls.size < 2) return base
+      val packed = spark.read.parquet(smalls.map(resolve(dir, _)): _*)
+        .coalesce(targetFiles).localCheckpoint()
+      val (rel, files) = writeData(packed, dir)
+      // `X noop`: record-identity by construction — the packed adds ARE
+      // the removed rows (vectors untouched on both sides), so the change
+      // feed can skip the diff by metadata alone (the R-noop pattern)
+      val body = smalls.map("-" + _) ++ files.map("+" + _)
+      if (tryClaim(dir, base + 1, "X noop", body)) return base + 1
+      // lost the CAS: the small-file set may be stale — discard, re-derive
+      val dd = new java.io.File(s"$dir/$rel")
+      Option(dd.listFiles()).foreach(_.foreach(_.delete())); dd.delete()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Row-level DELETE, copy-on-write: rewrite the visible set without the
     * matching rows as one replace-commit (re-validated against concurrent
     * commits). The pre-delete version stays time-travel-readable until
@@ -726,7 +766,7 @@ object TxnLog {
       val (m, body) = parseManifest(p)
       val action =
         if (m.startsWith("D ")) "D" else if (m.startsWith("T ")) "T"
-        else if (m.startsWith("R")) "R" else m
+        else if (m.startsWith("R")) "R" else if (m.startsWith("X")) "X" else m
       (v, action, body.length.toLong)
     }
     import spark.implicits._
@@ -786,7 +826,7 @@ object TxnLog {
             case (None, Some(a)) => Seq(tagged(a, "insert", v))
             case _ => Seq.empty
           }
-        case "R noop" => Seq.empty // compaction: logically identity BY RECORD
+        case "R noop" | "X noop" => Seq.empty // compaction: identity BY RECORD
         case "R" =>
           val cur = read(spark, dir, Some(v))
           val prev = read(spark, dir, Some(v - 1))

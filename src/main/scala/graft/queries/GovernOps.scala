@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -412,7 +413,85 @@ object GovernOps {
       |JOIN segn nb ON nb.event_type = seg_b
       |ORDER BY seg_a, seg_b""".stripMargin
 
+  // ---------------------------------------------------------------- q236
+  /** Two-sample KOLMOGOROV–SMIRNOV drift test, EXACT — the ECDF-based
+    * member of the drift family next to q194's binned TV/Bhattacharyya
+    * distances: does the order-total distribution of high-priority
+    * orders (1-URGENT/2-HIGH) differ from the rest? The KS statistic is
+    * sup over x of |ECDF_a(x) − ECDF_b(x)| = max over observed values of
+    * |cumA·N_b − cumB·N_a| / (N_a·N_b); the query reports the integer
+    * NUMERATOR in DECIMAL(38,0) plus both sample sizes and the argmax
+    * value (smallest value attaining the max) — exact rational
+    * sufficient statistics, never a float near the gate (the q196
+    * lesson; consumers divide at whatever precision they need).
+    *
+    * Scale shape: one value-grain aggregation (exchange on the value),
+    * then the global cumulative counts via the q137 two-level trick —
+    * per-COARSE-BUCKET running sums inside one shared window exchange
+    * plus broadcast bucket offsets (value-range-sized metadata, guarded)
+    * — so no SinglePartition window touches the grain table; the final
+    * argmax is a TakeOrdered(1) bounded heap, not a sort. The oracle
+    * states the same statistic with DuckDB's corpus-wide window, exactly
+    * the plan this one refuses. */
+  def q236(s: SparkSession, d: String): DataFrame = {
+    val isA = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val grain = Tables.orders(s, d)
+      .select(col("o_totalprice").as("v"), when(isA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
+      .withColumn("cbk", (col("v") / lit(10000.0)).cast("long"))
+    // pass 1: per-coarse-bucket sample masses — value-range-sized
+    val bucketSums = grain.groupBy(col("cbk"))
+      .agg(sum(col("na")).as("sa"), sum(col("nb")).as("sb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    require(bucketSums.length <= 100000,
+      s"coarse-bucket count ${bucketSums.length} exceeds the metadata bound")
+    val nA = bucketSums.map(_._2).sum
+    val nB = bucketSums.map(_._3).sum
+    def exclusivePrefix(sel: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      bucketSums.scanLeft((Long.MinValue, 0L)) { case ((_, acc), t) => (t._1, acc + sel(t)) }
+        .iterator.zip(bucketSums.iterator).map { case ((_, off), t) => t._1 -> off }.toMap
+    val offA = typedLit(exclusivePrefix(_._2))
+    val offB = typedLit(exclusivePrefix(_._3))
+    // pass 2: ONE bucket-partitioned window carries both running sums
+    val w = Window.partitionBy(col("cbk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = DecimalType(38, 0)
+    grain
+      .withColumn("ca", element_at(offA, col("cbk")) + sum(col("na")).over(w))
+      .withColumn("cb", element_at(offB, col("cbk")) + sum(col("nb")).over(w))
+      .select(col("v"),
+        abs(col("ca").cast(dec) * lit(nB) - col("cb").cast(dec) * lit(nA))
+          .cast(dec).as("ks_num"))
+      .orderBy(col("ks_num").desc, col("v"))
+      .limit(1)
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        col("ks_num"), col("v").as("at_value"))
+  }
+  val q236Sql: String =
+    """WITH base AS (
+      |  SELECT o_totalprice AS v,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |g AS (SELECT v, SUM(a) AS na, SUM(1 - a) AS nb FROM base GROUP BY v),
+      |c AS (
+      |  SELECT v,
+      |    SUM(na) OVER (ORDER BY v) AS ca,
+      |    SUM(nb) OVER (ORDER BY v) AS cb,
+      |    (SELECT SUM(a) FROM base) AS nat,
+      |    (SELECT SUM(1 - a) FROM base) AS nbt
+      |  FROM g)
+      |SELECT CAST(nat AS BIGINT) AS n_a, CAST(nbt AS BIGINT) AS n_b,
+      |  CAST(ABS(CAST(ca AS DECIMAL(38,0)) * nbt
+      |         - CAST(cb AS DECIMAL(38,0)) * nat) AS DECIMAL(38,0)) AS ks_num,
+      |  v AS at_value
+      |FROM c
+      |ORDER BY ks_num DESC, v
+      |LIMIT 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q236_ks_drift"         -> ((q236 _, Some(q236Sql))),
     "q195_k_anonymity"      -> ((q195 _, Some(q195Sql))),
     "q199_segment_overlap"  -> ((q199 _, Some(q199Sql))),
     "q196_revenue_acf"      -> ((q196 _, Some(q196Sql))),

@@ -655,7 +655,87 @@ object TxnOps {
       |FROM faces
       |ORDER BY as_of, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q237
+  /** PARTIAL COMPACTION (OPTIMIZE of the small-file tail): v1 commits the
+    * whole customer table as one large file; v2–v5 append four tiny
+    * nation-derived commits (the streaming-append tail); v6
+    * delete-vectors the BUILDING segment; v7 `compactSmall` bin-packs
+    * ONLY the four small files into one via an `X noop` exchange — the
+    * large file's bytes never move, and the pending vector stays pending
+    * (value-based anti-joins re-apply across the exchange). Faces: as-of
+    * 5 (pre-delete, pre-pack), latest (vector applied over the packed
+    * layout — identical rowset to an unpacked read). Ledger rows pin the
+    * protocol: action chain AAAAADX at version 7, the exchange body is
+    * exactly 5 lines (4 removes + 1 add), and the CDF over the exchange
+    * is EMPTY by metadata alone (X noop = record-identity, the
+    * OPTIMIZE-is-not-a-data-change contract). At 100 TB this is the
+    * maintenance op that fixes a metadata-sized problem at metadata-
+    * sized cost, where full compaction would rewrite the table. */
+  def q237(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q237_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    TxnLog.commit(cust.coalesce(1), dir)                                  // v1
+    (0 until 4).foreach { i =>                                            // v2..v5
+      TxnLog.commit(Tables.nation(s, d).select(
+        (lit(9000000L + i * 100L) + col("n_nationkey")).as("c_custkey"),
+        lit(s"PACK$i").as("c_mktsegment"),
+        (col("n_nationkey").cast("double") * lit(i + 0.5)).as("c_acctbal"))
+        .coalesce(1), dir)
+    }
+    TxnLog.deleteVector(s, dir, "c_mktsegment = 'BUILDING'", Seq("c_custkey")) // v6
+    // threshold sits an order of magnitude between the tail (~2 KB
+    // nation files) and the base file (≥15 KB at the gate's sf0.01)
+    TxnLog.compactSmall(s, dir, thresholdBytes = 8000L)                   // v7
+    def face(asOf: Option[Long], tag: Long) =
+      TxnLog.read(s, dir, asOf)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .withColumn("as_of", lit(tag))
+    val hist = TxnLog.history(s, dir).collect().sortBy(_.getLong(0))
+    val actions = hist.map(_.getString(1)).mkString
+    val xBody = hist.last.getLong(2)
+    val cdfRows = TxnLog.changes(s, dir, 6L, 7L).count()
+    val ledger = s.range(1).select(
+      lit(0L).as("as_of"), lit(actions).as("c_mktsegment"),
+      lit(TxnLog.currentVersion(dir)).as("n"), lit(cdfRows.toDouble).as("sum_bal"))
+      .unionByName(s.range(1).select(
+        lit(1L).as("as_of"), lit("xbody").as("c_mktsegment"),
+        lit(xBody).as("n"), lit(0.0).as("sum_bal")))
+    ledger.unionByName(face(Some(5L), 5L)).unionByName(face(None, 7L))
+      .select(col("as_of"), col("c_mktsegment"), col("n"), col("sum_bal"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+  val q237Sql: String =
+    """WITH target AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |packs AS (
+      |  SELECT 9000000 + i*100 + n_nationkey AS c_custkey,
+      |         'PACK' || CAST(i AS VARCHAR) AS c_mktsegment,
+      |         CAST(n_nationkey AS DOUBLE) * (i + 0.5) AS c_acctbal
+      |  FROM nation, range(0, 4) t(i)),
+      |v5 AS (SELECT * FROM target UNION ALL SELECT * FROM packs),
+      |v7 AS (SELECT * FROM v5 WHERE c_mktsegment <> 'BUILDING'),
+      |faces AS (
+      |  SELECT 5 AS as_of, c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM v5 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 7, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM v7 GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS as_of, 'AAAAADX' AS c_mktsegment,
+      |       CAST(7 AS BIGINT) AS n, CAST(0 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), 'xbody', CAST(5 AS BIGINT), CAST(0 AS DOUBLE)
+      |UNION ALL
+      |SELECT CAST(as_of AS BIGINT), c_mktsegment, CAST(n AS BIGINT),
+      |       CAST(sum_bal AS DOUBLE)
+      |FROM faces
+      |ORDER BY as_of, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q237_small_file_optimize" -> ((q237 _, Some(q237Sql))),
     "q234_txn_checkpoint" -> ((q234 _, Some(q234Sql))),
     "q221_txn_merge_upsert" -> ((q221 _, Some(q221Sql))),
     "q222_change_data_feed" -> ((q222 _, Some(q222Sql))),

@@ -402,6 +402,9 @@ object PlanCheck {
     check("q137_equidepth_hist", "rank is per-coarse-bucket: no SinglePartition, no join")(p =>
       !p.contains("SinglePartition") && p.contains("hashpartitioning(cb") &&
         !p.contains("Join"))
+    check("q236_ks_drift", "ECDF sums per-coarse-bucket; argmax is TakeOrdered(1), no join")(p =>
+      !p.contains("SinglePartition") && p.contains("hashpartitioning(cbk") &&
+        p.contains("TakeOrderedAndProject") && !p.contains("Join"))
     check("q138_transition_matrix", "normalization window runs on the states² rollup only")(p =>
       p.contains("partial") && !p.contains("CartesianProduct") &&
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1)

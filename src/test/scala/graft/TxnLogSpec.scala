@@ -617,6 +617,39 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest == after)
   }
 
+  test("compactSmall bin-packs only the small tail; big files never move") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    // one big commit (many rows, 1 file) + a tail of tiny commits
+    T.commit((1L to 50000L).toDF("v").coalesce(1), dir)
+    (0 until 4).foreach(i => T.commit(Seq(100000L + i).toDF("v").coalesce(1), dir))
+    val before = T.read(spark, dir).inputFiles.toSet // 5 data files, no dv yet
+    assert(before.size == 5)
+    val big = before.maxBy(f => java.nio.file.Files.size(
+      java.nio.file.Paths.get(new java.net.URI(f))))
+    T.deleteVector(spark, dir, "v = 100001", Seq("v"))   // v6: pending vector
+    val v = T.compactSmall(spark, dir, thresholdBytes = 100000L)
+    assert(v == 7L)
+    // read inputs = big file + 1 packed file + the dv file the anti-join scans
+    val after = T.read(spark, dir).inputFiles.toSet
+    assert(after.contains(big), "large file was rewritten")
+    assert(after.size == 3, s"small tail not packed: ${after.size} files")
+    assert(after.intersect(before - big).isEmpty, "a small file survived the pack")
+    // rowset invariant (vector still pending and applied), history = X
+    val got = T.read(spark, dir).collect().map(_.getLong(0)).sorted
+    assert(got.length == 50003 && !got.contains(100001L) && got.contains(100003L))
+    val acts = T.history(spark, dir).collect().sortBy(_.getLong(0))
+      .map(_.getString(1)).mkString
+    assert(acts == "AAAAADX", s"unexpected action chain $acts")
+    // the X-noop is change-free by metadata: CDF over it yields nothing
+    assert(T.changes(spark, dir, 6L, 7L).count() == 0L)
+    // below two small files: no-op
+    assert(T.compactSmall(spark, dir, thresholdBytes = 10L) == 7L)
+    // time travel below the exchange still sees the pre-pack layout
+    assert(T.read(spark, dir, Some(5L)).count() == 50004L)
+  }
+
   test("checkpoint equivalence under vacuum and shallow-clone refs") {
     val dir = freshTable()
     import spark.implicits._
