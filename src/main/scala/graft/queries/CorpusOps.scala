@@ -809,6 +809,11 @@ object CorpusOps {
             (coalesce(col("v.n_docs"), lit(0L)) + coalesce(col("x.n_docs"), lit(0L))).as("n_docs"),
             (coalesce(col("v.sum_chars"), lit(0L)) + coalesce(col("x.sum_chars"), lit(0L))).as("sum_chars"))
         graft.io.TxnLog.commit(merged.coalesce(1), tbl, replace = true)
+        // interval checkpointing in the maintenance loop: pure planning
+        // cache (reads are identical with or without it), bounding the
+        // reader's manifest replay as the view's commit history grows —
+        // exactly the cadence maybeCheckpoint exists for
+        graft.io.TxnLog.maybeCheckpoint(tbl, every = 2)
         ()
       }
       .queryName(s"graft_q214_${java.lang.Integer.toHexString(d.hashCode)}")

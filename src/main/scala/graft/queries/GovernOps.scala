@@ -490,7 +490,86 @@ object GovernOps {
       |ORDER BY ks_num DESC, v
       |LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+  /** MANN–WHITNEY U rank-sum test, EXACT with midrank ties — the
+    * location-shift member of the drift family (q194 binned distances,
+    * q236 KS sup-norm): are high-priority order totals stochastically
+    * larger than the rest? Everything stays integer by DOUBLING ranks:
+    * the n(v) ties at value v share midrank C(v) + (n(v)+1)/2 (C = count
+    * of strictly smaller values), so the doubled rank-sum contribution
+    * of sample A at v is na(v)·(2·C(v) + n(v) + 1), and
+    * U2 = Σ_v na·(2C+n+1) − N_a(N_a+1) is exactly 2U. The tie-correction
+    * mass Σ n(v)(n²−1) (the variance adjustment's numerator) rides along
+    * — consumers form z-scores at their own precision; nothing floats
+    * near the gate. The U_a + U_b = N_a·N_b identity is asserted in the
+    * plan (a wrong cumulative breaks it before the hash does).
+    *
+    * Scale shape: same two-pass as q236 — value-grain aggregation, ONE
+    * coarse-bucket window exchange + broadcast offsets, then a plain
+    * global aggregation (partial map-side) — no SinglePartition window,
+    * no join, no sort. */
+  def q238(s: SparkSession, d: String): DataFrame = {
+    val isA = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val grain = Tables.orders(s, d)
+      .select(col("o_totalprice").as("v"), when(isA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
+      .withColumn("cbk", (col("v") / lit(10000.0)).cast("long"))
+    val bucketSums = grain.groupBy(col("cbk"))
+      .agg(sum(col("na") + col("nb")).as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(bucketSums.length <= 100000,
+      s"coarse-bucket count ${bucketSums.length} exceeds the metadata bound")
+    val offT = typedLit(bucketSums.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (cb, c)) => (cb, acc + c)
+    }.iterator.zip(bucketSums.iterator).map { case ((_, off), (cb, _)) => cb -> off }.toMap)
+    val w = Window.partitionBy(col("cbk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = DecimalType(38, 0)
+    val terms = grain
+      .withColumn("n", col("na") + col("nb"))
+      // C(v) = strictly-smaller count: inclusive running total minus n(v)
+      .withColumn("cbefore",
+        element_at(offT, col("cbk")) + sum(col("n")).over(w) - col("n"))
+      .select(col("na"), col("nb"),
+        (col("na").cast(dec) * (lit(2L) * col("cbefore") + col("n") + lit(1L)))
+          .cast(dec).as("r2a"),
+        (col("n").cast(dec) * (col("n").cast(dec) * col("n") - lit(1L)))
+          .cast(dec).as("tie"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(col("r2a")).cast(dec).as("sr2a"), sum(col("tie")).cast(dec).as("tie_mass"))
+    terms.select(col("n_a"), col("n_b"),
+      (col("sr2a") - col("n_a").cast(dec) * (col("n_a") + lit(1L))).cast(dec).as("u2_a"),
+      col("tie_mass").cast(dec).as("tie_mass"))
+      .withColumn("u2_b",
+        (lit(2L).cast(dec) * col("n_a") * col("n_b") - col("u2_a")).cast(dec))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"), col("tie_mass"))
+  }
+  val q238Sql: String =
+    """WITH base AS (
+      |  SELECT o_totalprice AS v,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |g AS (SELECT v, SUM(a) AS na, SUM(1 - a) AS nb FROM base GROUP BY v),
+      |c AS (
+      |  SELECT v, na, nb, na + nb AS n,
+      |    SUM(na + nb) OVER (ORDER BY v) - (na + nb) AS cbefore
+      |  FROM g),
+      |t AS (
+      |  SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+      |    SUM(CAST(na AS DECIMAL(38,0)) * (2*cbefore + n + 1)) AS sr2a,
+      |    SUM(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))*n - 1)) AS tie_mass
+      |  FROM c)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(sr2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DECIMAL(38,0)) AS u2_a,
+      |  CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b
+      |     - (sr2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) AS DECIMAL(38,0)) AS u2_b,
+      |  CAST(tie_mass AS DECIMAL(38,0)) AS tie_mass
+      |FROM t""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q238_mann_whitney"     -> ((q238 _, Some(q238Sql))),
     "q236_ks_drift"         -> ((q236 _, Some(q236Sql))),
     "q195_k_anonymity"      -> ((q195 _, Some(q195Sql))),
     "q199_segment_overlap"  -> ((q199 _, Some(q199Sql))),

@@ -405,6 +405,12 @@ object PlanCheck {
     check("q236_ks_drift", "ECDF sums per-coarse-bucket; argmax is TakeOrdered(1), no join")(p =>
       !p.contains("SinglePartition") && p.contains("hashpartitioning(cbk") &&
         p.contains("TakeOrderedAndProject") && !p.contains("Join"))
+    // the one SinglePartition is the inherent 1-row scalar fold, fed by
+    // map-side partial_sum — the window/rank work all rides the cbk exchange
+    check("q238_mann_whitney", "rank sums per-coarse-bucket; only the 1-row fold is global")(p =>
+      "SinglePartition".r.findAllIn(p).size == 1 &&
+        p.contains("hashpartitioning(cbk") && p.contains("partial_sum") &&
+        !p.contains("Join"))
     check("q138_transition_matrix", "normalization window runs on the states² rollup only")(p =>
       p.contains("partial") && !p.contains("CartesianProduct") &&
         "hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
