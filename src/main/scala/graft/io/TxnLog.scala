@@ -845,6 +845,30 @@ object TxnLog {
     else parts.reduce(_.unionByName(_))
   }
 
+  /** Absolute paths of the data files APPEND commits (`A`/`T`) in
+    * (`fromExclusive`, `to`] added — the planning primitive behind
+    * [[graft.sources.TxnStreamSource]]'s version-ranged micro-batches.
+    * Record-identity maintenance commits (`R noop`/`X noop`) contribute
+    * nothing and are always skipped; any other non-append commit
+    * (replace, exchange, delete vector) makes the range unstreamable and
+    * fails LOUDLY unless `ignoreChanges` (then it is skipped — the
+    * reader accepts append-only-view semantics). Metadata-only. */
+  def addedFilesBetween(dir: String, fromExclusive: Long, to: Long,
+                        ignoreChanges: Boolean = false): Vector[String] =
+    manifests(dir).filter { case (v, _) => v > fromExclusive && v <= to }
+      .toVector.flatMap { case (v, p) =>
+        val (m, body) = parseManifest(p)
+        m match {
+          case a if a == "A" || a.startsWith("T ") => body.map(resolve(dir, _))
+          case "R noop" | "X noop" => Vector.empty
+          case other =>
+            require(ignoreChanges,
+              s"version $v is not an append (marker '$other'): streaming needs " +
+                "append-only history; set ignoreChanges=true to skip such commits")
+            Vector.empty
+        }
+      }
+
   /** Vacuum: delete data files no retained version references, advancing
     * the min-version watermark so vacuumed as-of reads fail LOUDLY at
     * planning time rather than mid-scan on a missing file. Retains the

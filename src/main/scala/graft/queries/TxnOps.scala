@@ -734,7 +734,54 @@ object TxnOps {
       |FROM faces
       |ORDER BY as_of, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q239
+  /** TABLE-CHANGES-AS-A-STREAM: readStream over the txn log through the
+    * DSv2 source (sources/TxnStreamSource) — offsets ARE commit
+    * versions, so discovery is O(1) metadata per trigger (never a
+    * directory walk) and a replayed batch re-reads exactly the same
+    * rows (manifests are immutable). Fixture: three append commits of
+    * the doc_id % 3 slices, `maxVersionsPerTrigger = 1` → one
+    * micro-batch per commit, each batch rolled up per (source, lang)
+    * and tagged with its batch id. The oracle restates batch b as the
+    * rollup of slice b — any mis-ranged offset, replayed file, or
+    * dropped commit breaks the hash. (TxnStreamSourceSpec drives the
+    * non-append poisoning, checkpoint restart, and pushdown contracts;
+    * q229 is the matching exactly-once SINK.) */
+  def q239(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q239_tbl").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    (0 until 3).foreach(i =>
+      TxnLog.commit(docs.filter(expr(s"doc_id % 3 = $i")).coalesce(1), dir))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    val q = s.readStream.format(classOf[graft.sources.TxnStreamSource].getName)
+      .option("path", dir).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .collect().foreach(r => rows.synchronized {
+            rows += ((id, r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          })
+        ()
+      }
+      .queryName(s"graft_q239_${java.lang.Integer.toHexString(d.hashCode)}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import s.implicits._
+    rows.toSeq.toDF("batch", "source", "lang", "n_docs", "sum_chars")
+      .orderBy(col("batch"), col("source"), col("lang"))
+  }
+  val q239Sql: String =
+    """SELECT CAST(doc_id % 3 AS BIGINT) AS batch, source, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1, 2, 3
+      |ORDER BY batch, source, lang""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q239_stream_txnlog_source" -> ((q239 _, Some(q239Sql))),
     "q237_small_file_optimize" -> ((q237 _, Some(q237Sql))),
     "q234_txn_checkpoint" -> ((q234 _, Some(q234Sql))),
     "q221_txn_merge_upsert" -> ((q221 _, Some(q221Sql))),

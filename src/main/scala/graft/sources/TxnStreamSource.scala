@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.TxnLog
+
+/** TABLE-CHANGES-AS-A-STREAM: a DSv2 micro-batch source over an
+  * [[graft.io.TxnLog]] table — the streaming half of the commit protocol
+  * (Delta's streaming source / Iceberg's incremental read, reduced to
+  * essentials). Offsets ARE commit versions: batch (s, e] delivers
+  * exactly the rows the append commits in that version range added, so
+  *
+  *  - offsets are REPLAY-EXACT: manifests are immutable once claimed, so
+  *    a checkpoint-restarted query re-reads precisely the same rows for
+  *    an uncommitted batch — stronger than file-listing sources, whose
+  *    directory state can shift under the replay;
+  *  - discovery is O(1) metadata per trigger (`currentVersion`), not a
+  *    directory walk — at 100 TB with 10⁶ files, listing IS the
+  *    bottleneck this source removes;
+  *  - paired with [[TxnLog.commitIdempotent]] in foreachBatch, table →
+  *    table pipelines are exactly-once end to end.
+  *
+  * Contract: APPEND-ONLY streams (`A`/`T` commits). Record-identity
+  * maintenance commits (`R noop`/`X noop` — compaction) are skipped by
+  * metadata alone. A replace/exchange/delete-vector commit fails the
+  * stream LOUDLY at planning time unless `ignoreChanges=true` (then its
+  * manifest is skipped, the Delta semantics of the same flag).
+  * Options: `path` (the table dir), `startingVersion` (exclusive floor,
+  * default 0 = from genesis), `maxVersionsPerTrigger` (rate limit),
+  * `ignoreChanges`. One InputPartition per data file; projection pushdown
+  * narrows the parquet read schema so unprojected columns never
+  * materialize. Type scope: long/int/double/float/boolean/string.
+  */
+class TxnStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    require(dir != null && dir.nonEmpty, "TxnStreamSource needs a 'path' option")
+    TxnStreamSource.schemaOf(dir)
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TxnStreamTable(properties.get("path"), schema,
+      Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      Option(properties.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
+      Option(properties.get("ignoreChanges")).exists(_.toBoolean))
+}
+
+object TxnStreamSource {
+  /** Spark schema from the FIRST visible data file's parquet footer. */
+  private[sources] def schemaOf(dir: String): StructType = {
+    val files = TxnLog.addedFilesBetween(dir, 0L, TxnLog.currentVersion(dir),
+      ignoreChanges = true)
+    require(files.nonEmpty, s"$dir has no committed data files to infer from")
+    val in = HadoopInputFile.fromPath(new HPath(files.head), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try toSpark(r.getFooter.getFileMetaData.getSchema) finally r.close()
+  }
+
+  private[sources] def toSpark(m: MessageType): StructType = {
+    import PrimitiveType.PrimitiveTypeName._
+    StructType(m.getFields.toArray.map { case f: org.apache.parquet.schema.Type =>
+      require(f.isPrimitive, s"nested parquet field ${f.getName} is out of scope")
+      val p = f.asPrimitiveType()
+      val t = p.getPrimitiveTypeName match {
+        case INT64   => LongType
+        case INT32   => IntegerType
+        case DOUBLE  => DoubleType
+        case FLOAT   => FloatType
+        case BOOLEAN => BooleanType
+        case BINARY
+          if p.getLogicalTypeAnnotation ==
+            LogicalTypeAnnotation.stringType() => StringType
+        case other => throw new IllegalArgumentException(
+          s"parquet type $other (${f.getName}) is out of the source's scope")
+      }
+      StructField(f.getName, t, nullable = true)
+    })
+  }
+
+  /** Projected read schema CUT FROM the file's own schema — repetition
+    * (required vs optional) must match the file exactly, so the
+    * projection selects the file's field nodes rather than synthesizing
+    * them from Spark types. */
+  private[sources] def projectFrom(fileSchema: MessageType,
+                                   names: Array[String]): MessageType =
+    new MessageType("spark_schema",
+      names.filter(fileSchema.containsField)
+        .map(n => fileSchema.getFields.get(fileSchema.getFieldIndex(n))): _*)
+}
+
+private[sources] class TxnStreamTable(dir: String, schema0: StructType,
+                                      startingVersion: Long, maxPerTrigger: Long,
+                                      ignoreChanges: Boolean)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_txnstream($dir)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxnStreamScanBuilder(dir, schema0, startingVersion, maxPerTrigger, ignoreChanges)
+}
+
+private[sources] class TxnStreamScanBuilder(dir: String, full: StructType,
+                                            startingVersion: Long, maxPerTrigger: Long,
+                                            ignoreChanges: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the source's field order; an empty projection (count-only)
+    // still needs one column to drive row iteration
+    required =
+      if (requiredSchema.isEmpty) StructType(full.fields.take(1))
+      else StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"TxnStreamScan(dir=$dir, cols=${required.fieldNames.mkString(",")})"
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new TxnMicroBatchStream(dir, required, startingVersion, maxPerTrigger, ignoreChanges)
+  }
+}
+
+private[sources] case class TxnOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
+                                           startingVersion: Long, maxPerTrigger: Long,
+                                           ignoreChanges: Boolean)
+    extends MicroBatchStream {
+  // ratchet pattern (GenMicroBatchStream precedent): offsets the engine
+  // hands back — checkpoint restore, batch commits — advance the cursor
+  // so a restarted query resumes at the committed version
+  private var cursor = startingVersion
+  private def ratchet(v: Long): Unit = cursor = math.max(cursor, v)
+  override def initialOffset(): Offset = TxnOffset(startingVersion)
+  override def latestOffset(): Offset = {
+    val head = TxnLog.currentVersion(dir)
+    // saturating add: the unlimited default is Long.MaxValue and the
+    // cursor is a real version — a raw sum overflows negative
+    val stepped =
+      if (cursor > Long.MaxValue - maxPerTrigger) Long.MaxValue
+      else cursor + maxPerTrigger
+    cursor = math.min(head, stepped)
+    TxnOffset(cursor)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    ratchet(v)
+    TxnOffset(v)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[TxnOffset].version
+    val e0 = end.asInstanceOf[TxnOffset].version
+    TxnLog.addedFilesBetween(dir, s0, e0, ignoreChanges)
+      .map(f => TxnFilePartition(f, required.fieldNames): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TxnStreamReaderFactory(required)
+  override def commit(end: Offset): Unit =
+    ratchet(end.asInstanceOf[TxnOffset].version)
+  override def stop(): Unit = ()
+}
+
+private[sources] case class TxnFilePartition(file: String, cols: Array[String])
+    extends InputPartition
+
+private[sources] class TxnStreamReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxnFilePartition]
+    val conf = new Configuration()
+    // projection pushdown THROUGH the codec: the requested read schema
+    // keeps unprojected columns' pages out of the decode entirely; it is
+    // cut from this file's footer so repetition levels match exactly
+    val fr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(p.file), conf))
+    val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      TxnStreamSource.projectFrom(fileSchema, required.fieldNames).toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), new HPath(p.file)).withConf(conf).build()
+    new PartitionReader[InternalRow] {
+      private var cur: Group = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow =
+        new GenericInternalRow(required.fields.indices.map { i =>
+          if (cur.getFieldRepetitionCount(i) == 0) null
+          else required.fields(i).dataType match {
+            case LongType    => cur.getLong(i, 0): java.lang.Long
+            case IntegerType => cur.getInteger(i, 0): java.lang.Integer
+            case DoubleType  => cur.getDouble(i, 0): java.lang.Double
+            case FloatType   => cur.getFloat(i, 0): java.lang.Float
+            case BooleanType => cur.getBoolean(i, 0): java.lang.Boolean
+            case StringType  => UTF8String.fromString(cur.getString(i, 0))
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }
+        }.toArray[Any])
+      override def close(): Unit = reader.close()
+    }
+  }
+}

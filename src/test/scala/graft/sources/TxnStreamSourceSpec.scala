@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TxnLog
+
+/** The txn-log streaming source's contracts: version-ranged micro-batches
+  * deliver exactly the appended rows, maintenance commits are invisible,
+  * non-append commits fail loudly (or are skipped under ignoreChanges),
+  * offsets resume across checkpoint restarts without duplicates, and
+  * projection pushdown narrows the parquet read. */
+class TxnStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_txnstream").toString
+
+  private def stream(dir: String, opts: Map[String, String] = Map.empty): DataFrame =
+    opts.foldLeft(spark.readStream.format(classOf[TxnStreamSource].getName)
+      .option("path", dir)) { case (r, (k, v)) => r.option(k, v) }.load()
+
+  /** Drain all available batches into a per-batch rowset log. */
+  private def drain(df: DataFrame, out: scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])],
+                    checkpoint: Option[String] = None): Unit = {
+    var w = df.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        out += ((id, batch.select("v").collect().map(_.getLong(0)).sorted.toSeq))
+        ()
+      }
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("micro-batches are version ranges; late commits arrive incrementally") {
+    val dir = freshTable()
+    import spark.implicits._
+    TxnLog.commit(Seq(1L, 2L).toDF("v").coalesce(1), dir)
+    TxnLog.commit(Seq(3L).toDF("v").coalesce(1), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    // rate-limited: one version per trigger → one batch per commit
+    val df = stream(dir, Map("maxVersionsPerTrigger" -> "1"))
+    drain(df, seen)
+    assert(seen.map(_._2) == Seq(Seq(1L, 2L), Seq(3L)),
+      s"unexpected batch contents ${seen.toSeq}")
+  }
+
+  test("maintenance commits are invisible; non-append fails loudly") {
+    val dir = freshTable()
+    import spark.implicits._
+    TxnLog.commit((1L to 4L).toDF("v").coalesce(1), dir)
+    (0 until 2).foreach(i => TxnLog.commit(Seq(100L + i).toDF("v").coalesce(1), dir))
+    TxnLog.compactSmall(spark, dir, thresholdBytes = 1 << 20) // X noop: packs all
+    TxnLog.commit(Seq(200L).toDF("v").coalesce(1), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir), seen)
+    // one catch-up batch: all appended rows exactly once, the pack invisible
+    assert(seen.flatMap(_._2).sorted == Seq(1L, 2L, 3L, 4L, 100L, 101L, 200L))
+    // a delete vector poisons the stream...
+    TxnLog.deleteVector(spark, dir, "v = 200", Seq("v"))
+    TxnLog.commit(Seq(300L).toDF("v").coalesce(1), dir)
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val failed = intercept[Exception] { drain(stream(dir), seen2) }
+    assert(failed.toString.contains("append") ||
+      Option(failed.getCause).exists(_.toString.contains("append")))
+    // ...unless ignoreChanges skips it (append-only-view semantics)
+    val seen3 = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir, Map("ignoreChanges" -> "true")), seen3)
+    assert(seen3.flatMap(_._2).contains(300L))
+  }
+
+  test("checkpoint restart resumes at the committed version, no duplicates") {
+    val dir = freshTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txnstream_ck").toString
+    import spark.implicits._
+    TxnLog.commit(Seq(1L).toDF("v").coalesce(1), dir)
+    TxnLog.commit(Seq(2L).toDF("v").coalesce(1), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir), seen, checkpoint = Some(ckpt))
+    assert(seen.flatMap(_._2).sorted == Seq(1L, 2L))
+    // new commits, NEW query instance, SAME checkpoint
+    TxnLog.commit(Seq(3L).toDF("v").coalesce(1), dir)
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir), seen2, checkpoint = Some(ckpt))
+    assert(seen2.flatMap(_._2) == Seq(3L), s"restart replayed: ${seen2.toSeq}")
+  }
+
+  test("startingVersion floors the stream; projection narrows the read") {
+    val dir = freshTable()
+    import spark.implicits._
+    Seq((1L, "aa"), (2L, "bb")).toDF("v", "s").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/seed") // not committed: invisible
+    TxnLog.commit(Seq((1L, "aa"), (2L, "bb")).toDF("v", "s").coalesce(1), dir)
+    TxnLog.commit(Seq((3L, "cc")).toDF("v", "s").coalesce(1), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir, Map("startingVersion" -> "1")).select("v"), seen)
+    assert(seen.flatMap(_._2) == Seq(3L), "startingVersion=1 must skip v1")
+    // pushdown: the projected message type is cut from the file schema —
+    // repetition preserved, unprojected fields absent
+    val schema = TxnStreamSource.schemaOf(dir)
+    assert(schema.fieldNames.toSeq == Seq("v", "s"))
+    val file = TxnLog.addedFilesBetween(dir, 0L, 2L).head
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), new org.apache.hadoop.conf.Configuration()))
+    val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val msg = TxnStreamSource.projectFrom(fileSchema, Array("v")).toString
+    assert(msg.contains("int64 v") && !msg.contains("binary s"))
+  }
+}
