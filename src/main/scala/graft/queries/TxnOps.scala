@@ -780,7 +780,68 @@ object TxnOps {
       |GROUP BY 1, 2, 3
       |ORDER BY batch, source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+  /** TABLE → TABLE streaming pipeline, EXACTLY-ONCE ON BOTH ENDS: the
+    * q239 source (offsets = versions, replay-exact) feeds foreachBatch,
+    * which lands each micro-batch's rollup in a SECOND txn-log table
+    * through commitIdempotent (writer-txn markers, q229) — the composed
+    * contract real lakehouse streaming sells: a crash between source
+    * checkpoint and sink commit replays the batch, the sink recognizes
+    * the (writerId, batchId) txn, and nothing lands twice. The fixture
+    * then REPLAYS batch 0 with a POISONED frame after the drain — the
+    * recorded txn must win (no write, version unchanged). Output: the
+    * sink table's rows (each batch's rollup tagged with its batch id —
+    * identical content to q239's oracle) plus a ledger row pinning the
+    * sink's action chain TTT, its version after the replay (still 3),
+    * and the replayed txn's resolved version (1). */
+  def q240(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_q240_src").toString
+    val dstDir = java.nio.file.Files.createTempDirectory("graft_q240_dst").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    (0 until 3).foreach(i =>
+      TxnLog.commit(docs.filter(expr(s"doc_id % 3 = $i")).coalesce(1), srcDir))
+    val q = s.readStream.format(classOf[graft.sources.TxnStreamSource].getName)
+      .option("path", srcDir).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .withColumn("batch", lit(id))
+        TxnLog.commitIdempotent(delta.coalesce(1), dstDir, "pipe", id)
+        ()
+      }
+      .queryName(s"graft_q240_${java.lang.Integer.toHexString(d.hashCode)}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // crash-replay: batch 0 arrives again, poisoned — the txn must win
+    val replayed = TxnLog.commitIdempotent(
+      s.range(1).select(lit("POISON").as("source"), lit("xx").as("lang"),
+        lit(-1L).as("n_docs"), lit(-1L).as("sum_chars"), lit(0L).as("batch")),
+      dstDir, "pipe", 0L)
+    val actions = TxnLog.history(s, dstDir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(
+      lit(-1L).as("batch"), lit(actions).as("source"), lit("_ledger").as("lang"),
+      lit(TxnLog.currentVersion(dstDir)).as("n_docs"), lit(replayed).as("sum_chars"))
+    TxnLog.read(s, dstDir)
+      .select(col("batch"), col("source"), col("lang"), col("n_docs"), col("sum_chars"))
+      .unionByName(ledger)
+      .orderBy(col("batch"), col("source"), col("lang"))
+  }
+  val q240Sql: String =
+    """SELECT CAST(-1 AS BIGINT) AS batch, 'TTT' AS source, '_ledger' AS lang,
+      |  CAST(3 AS BIGINT) AS n_docs, CAST(1 AS BIGINT) AS sum_chars
+      |UNION ALL
+      |SELECT CAST(doc_id % 3 AS BIGINT), source, lang,
+      |  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents
+      |GROUP BY 1, 2, 3
+      |ORDER BY batch, source, lang""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q240_stream_table_pipeline" -> ((q240 _, Some(q240Sql))),
     "q239_stream_txnlog_source" -> ((q239 _, Some(q239Sql))),
     "q237_small_file_optimize" -> ((q237 _, Some(q237Sql))),
     "q234_txn_checkpoint" -> ((q234 _, Some(q234Sql))),
