@@ -4,11 +4,13 @@ import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal RIFF/WAVE PCM codec — pure JVM, offline-safe, deterministic.
-  * Decode accepts PCM16/PCM8/float32, any channel count/rate (the shapes the
-  * reference's `AudioSegment.from_wav` accepts for its corpus, pa.py:85);
-  * encode always writes PCM16 mono (the canonical post-ingest form,
-  * pa.py:88-89). Malformed input throws — callers map that to the
-  * reference's per-file error-skip (pa.py:91-92).
+  * Decode accepts PCM16/PCM8/float32 at any channel count/rate (the shapes
+  * the reference's `AudioSegment.from_wav` accepts for its corpus,
+  * pa.py:85) plus mono IMA ADPCM (format 0x11, dispatched to
+  * [[AdpcmCodec]] — the transparent compressed-WAV handling pydub/ffmpeg
+  * gives the reference); encode always writes PCM16 mono (the canonical
+  * post-ingest form, pa.py:88-89). Malformed input throws — callers map
+  * that to the reference's per-file error-skip (pa.py:91-92).
   */
 object WavCodec {
 
@@ -54,6 +56,12 @@ object WavCodec {
       case (3, 32) =>
         val n = data.length / 4
         Array.tabulate(n)(i => db.getFloat(i * 4))
+      case (0x11, 4) =>
+        // IMA ADPCM rides the compressed-codec path (AdpcmCodec owns the
+        // block layer; mono is its documented scope) — the transparent
+        // dispatch pydub/ffmpeg gives the reference for "other formats"
+        require(channels == 1, s"ADPCM decode is mono-scoped, got $channels channels")
+        AdpcmCodec.decodeWav(bytes)._2.map(_ / 32768.0f)
       case other => throw new IllegalArgumentException(s"unsupported wav format $other")
     }
     Decoded(samples, channels, rate)

@@ -81,6 +81,15 @@ class AdpcmCodecSpec extends AnyFunSuite {
     assert(got.toSeq == pcm.toSeq)
   }
 
+  test("WavCodec dispatches format 0x11 through the ADPCM block layer") {
+    val pcm = walk(700, salt = 2, base = 100) // exact class: decode is lossless
+    val wav = AdpcmCodec.encodeWav(pcm, 16000)
+    val dec = graft.io.WavCodec.decode(wav)
+    assert(dec.channels == 1 && dec.sampleRate == 16000)
+    assert(dec.samples.length == 700)
+    assert(dec.samples.toSeq == pcm.map(_ / 32768.0f).toSeq)
+  }
+
   test("malformed streams fail loudly") {
     val ok = AdpcmCodec.encodeWav(walk(100, 1, 0), 8000)
     intercept[IllegalArgumentException](AdpcmCodec.decodeWav(ok.take(40))) // no data
