@@ -845,6 +845,82 @@ object TxnLog {
     else parts.reduce(_.unionByName(_))
   }
 
+  // ------------------------------------------------------------------
+  // CHECK constraints: declarative row predicates enforced AT COMMIT
+  // TIME (the Delta `ALTER TABLE ADD CONSTRAINT` slot). Constraints are
+  // table metadata (`_txnlog/constraints`, name<TAB>expr lines, written
+  // atomically); every constrained append validates BEFORE any manifest
+  // claims a version, so a violating batch never becomes visible — the
+  // governance gate a 100 TB ingest needs in the WRITER, where one scan
+  // of the new batch is metadata-cheap, instead of in readers where the
+  // damage is already table-wide. Validation cost: one aggregate over
+  // the incoming batch only (never the table).
+  // ------------------------------------------------------------------
+
+  private def constraintsPath(dir: String): Path =
+    logDir(dir).resolve("constraints")
+
+  /** Register a CHECK constraint (SQL boolean expression over the
+    * table's columns). Takes effect for every subsequent
+    * [[commitChecked]]; existing data is NOT re-validated (the Delta
+    * semantics — add constraints before data, or audit separately). */
+  def addConstraint(dir: String, name: String, expr: String): Unit = {
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
+      s"bad constraint name '$name'")
+    require(!expr.contains("\n"), "constraint expression must be one line")
+    Files.createDirectories(logDir(dir))
+    val prior = constraints(dir)
+    require(!prior.exists(_._1 == name), s"constraint '$name' already exists")
+    val lines = (prior :+ ((name, expr))).map { case (n, e) => s"$n\t$e" }
+    val tmp = Files.createTempFile(logDir(dir), ".constraints-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.move(tmp, constraintsPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The registered (name, expression) constraints, declaration order. */
+  def constraints(dir: String): Vector[(String, String)] = {
+    val p = constraintsPath(dir)
+    if (!Files.exists(p)) Vector.empty
+    else new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .filter(_.nonEmpty).toVector.flatMap { l =>
+        l.split("\t", 2) match {
+          case Array(n, e) => Some((n, e))
+          case _           => None
+        }
+      }
+  }
+
+  /** Violation of a named constraint, carried in the refusal. */
+  final class ConstraintViolation(val constraint: String, val expr: String,
+                                  val violations: Long)
+      extends IllegalArgumentException(
+        s"CHECK constraint '$constraint' ($expr) violated by $violations row(s); commit refused")
+
+  /** Append-commit with CHECK validation: one aggregate pass over the
+    * incoming batch counts violations of every registered constraint
+    * (null predicate results count as violations — a CHECK must prove
+    * true); the first violated constraint refuses the whole commit
+    * before any data file or manifest lands. */
+  def commitChecked(df: DataFrame, dir: String): Long = {
+    val cs = constraints(dir)
+    if (cs.nonEmpty) {
+      val aggs = cs.map { case (n, e) =>
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.coalesce(
+              expr(e).cast("boolean"), lit(false)), 0L).otherwise(1L)).as(n)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cs.zipWithIndex.foreach { case ((n, e), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch = clean
+        if (bad > 0) throw new ConstraintViolation(n, e, bad)
+      }
+    }
+    commit(df, dir)
+  }
+
   /** Absolute paths of the data files APPEND commits (`A`/`T`) in
     * (`fromExclusive`, `to`] added — the planning primitive behind
     * [[graft.sources.TxnStreamSource]]'s version-ranged micro-batches.

@@ -840,7 +840,71 @@ object TxnOps {
       |GROUP BY 1, 2, 3
       |ORDER BY batch, source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q241
+  /** CHECK CONSTRAINTS at commit time — the writer-side governance gate
+    * (Delta's ADD CONSTRAINT): `bal_nonneg` (c_acctbal >= 0) and
+    * `key_known` (c_custkey IS NOT NULL) registered before any data.
+    * v1 = the conforming non-negative half; then the FULL table is
+    * offered and REFUSED (the negative balances violate bal_nonneg —
+    * nothing lands, version unchanged); v2 = the violating half with
+    * balances negated, now conforming. The refusal's violation COUNT is
+    * itself oracle-derivable (count of negative balances), so the gate
+    * checks the validator's arithmetic, not just the refusal. Faces:
+    * the final table = nonneg ∪ negated-negatives, grouped per segment.
+    * Validation costs one aggregate over the incoming batch only —
+    * never the table — which is what makes the gate affordable at
+    * 100 TB ingest rates. */
+  def q241(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q241_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    TxnLog.addConstraint(dir, "bal_nonneg", "c_acctbal >= 0")
+    TxnLog.addConstraint(dir, "key_known", "c_custkey IS NOT NULL")
+    TxnLog.commitChecked(cust.filter(expr("c_acctbal >= 0")).coalesce(1), dir) // v1
+    val refused =
+      try { TxnLog.commitChecked(cust.coalesce(1), dir); null }
+      catch { case v: TxnLog.ConstraintViolation => v }
+    require(refused != null, "violating commit was not refused")
+    TxnLog.commitChecked( // v2: the offending rows, repaired
+      cust.filter(expr("c_acctbal < 0"))
+        .select(col("c_custkey"), col("c_mktsegment"), (-col("c_acctbal")).as("c_acctbal"))
+        .coalesce(1), dir)
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(
+      lit(0L).as("as_of"), lit(s"$actions:${refused.constraint}").as("c_mktsegment"),
+      lit(refused.violations).as("n"), lit(0.0).as("sum_bal"))
+    ledger.unionByName(
+      TxnLog.read(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .withColumn("as_of", lit(2L))
+        .select(col("as_of"), col("c_mktsegment"), col("n"), col("sum_bal")))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+  val q241Sql: String =
+    """WITH target AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |fixed AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM target WHERE c_acctbal >= 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, -c_acctbal FROM target WHERE c_acctbal < 0),
+      |faces AS (
+      |  SELECT 2 AS as_of, c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM fixed GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS as_of, 'AA:bal_nonneg' AS c_mktsegment,
+      |  (SELECT COUNT(*) FROM target WHERE NOT (c_acctbal >= 0)) AS n,
+      |  CAST(0 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT CAST(as_of AS BIGINT), c_mktsegment, CAST(n AS BIGINT),
+      |       CAST(sum_bal AS DOUBLE)
+      |FROM faces
+      |ORDER BY as_of, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q241_check_constraints" -> ((q241 _, Some(q241Sql))),
     "q240_stream_table_pipeline" -> ((q240 _, Some(q240Sql))),
     "q239_stream_txnlog_source" -> ((q239 _, Some(q239Sql))),
     "q237_small_file_optimize" -> ((q237 _, Some(q237Sql))),

@@ -650,6 +650,32 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.read(spark, dir, Some(5L)).count() == 50004L)
   }
 
+  test("CHECK constraints refuse violating commits before anything lands") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.addConstraint(dir, "v_pos", "v > 0")
+    T.addConstraint(dir, "v_small", "v < 1000")
+    intercept[IllegalArgumentException](T.addConstraint(dir, "v_pos", "v > 1"))
+    assert(T.commitChecked(Seq(1L, 2L).toDF("v"), dir) == 1L)
+    val ex = intercept[graft.io.TxnLog.ConstraintViolation](
+      T.commitChecked(Seq(3L, -4L, -5L).toDF("v"), dir))
+    assert(ex.constraint == "v_pos" && ex.violations == 2L)
+    // nothing landed: version unchanged, rowset unchanged
+    assert(T.currentVersion(dir) == 1L)
+    assert(T.read(spark, dir).count() == 2L)
+    // NULL predicate result = violation (CHECK must prove true)
+    val withNull = Seq(Some(5L), None).toDF("v")
+    val ex2 = intercept[graft.io.TxnLog.ConstraintViolation](
+      T.commitChecked(withNull, dir))
+    assert(ex2.violations == 1L)
+    // second constraint enforced too; conforming batch lands
+    intercept[graft.io.TxnLog.ConstraintViolation](
+      T.commitChecked(Seq(5000L).toDF("v"), dir))
+    assert(T.commitChecked(Seq(999L).toDF("v"), dir) == 2L)
+    assert(T.constraints(dir).map(_._1) == Vector("v_pos", "v_small"))
+  }
+
   test("checkpoint equivalence under vacuum and shallow-clone refs") {
     val dir = freshTable()
     import spark.implicits._
