@@ -347,10 +347,17 @@ object TxnLog {
     PrunedScan(df, keep.size, snap.files.size)
   }
 
-  /** One parsed manifest chain fold: the visible DATA files plus the
-    * visible DELETE VECTORS (vector files + key columns), at `upto`. */
+  /** One parsed manifest chain fold: the visible DATA files, the visible
+    * GLOBAL delete vectors (vector files + key columns — `D` commits,
+    * which suppress matching keys in past AND future files), and the
+    * SCOPED vectors (`U` update commits: vector files + key columns +
+    * the exact file set the vector applies to — the files visible below
+    * the update, so the update's own re-inserted rows and any later
+    * append escape suppression; `appliesTo` is derived from the fold
+    * position, never stored). */
   private final case class Snapshot(files: Vector[String],
-                                    dvs: Vector[(Vector[String], Seq[String])])
+                                    dvs: Vector[(Vector[String], Seq[String])],
+                                    scoped: Vector[(Vector[String], Seq[String], Set[String])] = Vector.empty)
 
   /** One manifest parsed: (action marker line, body lines). */
   private def parseManifest(p: Path): (String, Vector[String]) = {
@@ -358,7 +365,8 @@ object TxnLog {
       .filter(_.nonEmpty).toVector
     lines.headOption match {
       case Some(m) if m == "R" || m == "R noop" || m == "A" || m == "X" ||
-        m == "X noop" || m.startsWith("D ") || m.startsWith("T ") =>
+        m == "X noop" || m.startsWith("D ") || m.startsWith("T ") ||
+        m.startsWith("U ") =>
         (m, lines.tail)
       case _ => ("A", lines) // legacy marker-less = adds
     }
@@ -374,7 +382,21 @@ object TxnLog {
       case (x, body) if x == "X" || x == "X noop" =>
         val removes = body.collect { case l if l.startsWith("-") => l.drop(1) }.toSet
         val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
+        // scoped (update) vectors are file-set-bound: an exchange moving
+        // rows between files would let suppressed rows escape — writers
+        // (merge/compactSmall) materialize or refuse instead, so a chain
+        // can never hold both
+        require(acc.scoped.isEmpty,
+          s"exchange manifest $p folded over pending update vectors")
         acc.copy(files = acc.files.filterNot(removes) ++ adds)
+      case (u, body) if u.startsWith("U ") => // atomic MoR update
+        val keyCols = u.stripPrefix("U ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keyCols.nonEmpty, s"update manifest $p has no key columns")
+        val vecs = body.collect { case l if l.startsWith("V ") => l.drop(2) }
+        val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
+        require(vecs.nonEmpty && adds.nonEmpty, s"update manifest $p missing V/+ lines")
+        acc.copy(files = acc.files ++ adds,
+          scoped = acc.scoped :+ ((vecs, keyCols, acc.files.toSet)))
       case (m, body) => // D <keyCols>
         val keyCols = m.stripPrefix("D ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(keyCols.nonEmpty, s"delete-vector manifest $p has no key columns")
@@ -420,7 +442,13 @@ object TxnLog {
       val keyCols = parts.head.drop(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       (parts.tail, keyCols)
     }
-    Snapshot(files, dvs)
+    val scoped = lines.collect { case l if l.startsWith("S ") =>
+      val parts = l.split("\t").toVector
+      val keyCols = parts.head.drop(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val n = parts(1).toInt
+      (parts.slice(2, 2 + n), keyCols, parts.drop(2 + n).toSet)
+    }
+    Snapshot(files, dvs, scoped)
   }
 
   /** Write a checkpoint at the CURRENT version; returns that version.
@@ -430,9 +458,14 @@ object TxnLog {
     val v = currentVersion(dir)
     require(v > 0, "nothing committed")
     val snap = snapshotAt(dir, v)
-    val lines = snap.files.map("F " + _) ++ snap.dvs.map { case (fs, keyCols) =>
-      (("V " + keyCols.mkString(",")) +: fs).mkString("\t")
-    }
+    val lines = snap.files.map("F " + _) ++
+      snap.dvs.map { case (fs, keyCols) =>
+        (("V " + keyCols.mkString(",")) +: fs).mkString("\t")
+      } ++
+      snap.scoped.map { case (vfs, keyCols, at) =>
+        (Seq("S " + keyCols.mkString(","), vfs.length.toString) ++
+          vfs ++ at.toVector.sorted).mkString("\t")
+      }
     val tmp = Files.createTempFile(logDir(dir), ".ckpt-", ".tmp")
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     Files.move(tmp, checkpointPath(dir, v),
@@ -512,7 +545,26 @@ object TxnLog {
     // the footer-union costs planning time a fixed-schema table never pays.
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val base = reader.parquet(snap.files.map(resolve(dir, _)): _*)
+    val base =
+      if (snap.scoped.isEmpty) reader.parquet(snap.files.map(resolve(dir, _)): _*)
+      else {
+        // scoped (update) vectors bind to file SETS: group the visible
+        // files by which vectors apply, anti-join per group, union. The
+        // common single-update case is two groups — pre-update files
+        // (vector applies) and the update's own adds (it doesn't).
+        snap.files
+          .groupBy(f => snap.scoped.zipWithIndex.collect {
+            case ((_, _, at), i) if at(f) => i
+          })
+          .toVector.sortBy(_._1.mkString(","))
+          .map { case (idxs, fs) =>
+            idxs.foldLeft(reader.parquet(fs.map(resolve(dir, _)): _*)) { (acc, i) =>
+              val (vf, kc, _) = snap.scoped(i)
+              acc.join(spark.read.parquet(vf.map(resolve(dir, _)): _*), kc, "left_anti")
+            }
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+      }
     applyDvs(spark, dir, base, snap.dvs)
   }
 
@@ -588,6 +640,10 @@ object TxnLog {
     while (true) {
       val base = currentVersion(dir)
       val snap = snapshotAt(dir, base)
+      // pending UPDATE vectors bind to file sets an exchange would break —
+      // materialize them with a full rewrite instead (the Delta rule:
+      // OPTIMIZE rewrites DVs away)
+      if (snap.scoped.nonEmpty) return compact(spark, dir, targetFiles)
       val smalls = snap.files.filter(f => !f.startsWith("@") &&
         Files.size(Paths.get(dir, f)) < thresholdBytes)
       if (smalls.size < 2) return base
@@ -634,6 +690,54 @@ object TxnLog {
     else commitWith(keys, dir, "D " + keyCols.mkString(","))
   }
 
+  /** Row-level UPDATE, merge-on-read and ATOMIC: one `U <keyCols>`
+    * commit carries BOTH the matching rows' key values (`V` body lines
+    * — a delete vector) and the updated replacement rows (`+` lines),
+    * so readers never observe the between-state a deleteVector+commit
+    * pair would expose. The vector is SCOPED to the files visible below
+    * the update (derived from fold position, never stored): the
+    * update's own re-inserted keys and any LATER append with a matching
+    * key stay visible — update means "replace what was there", not
+    * "suppress this key forever" (the D-vector semantics). Set
+    * expressions apply in order, each seeing the previous ones' output.
+    * At 100 TB: a one-row update writes one key file + one row file —
+    * no table rewrite, no touched-file rewrite (the step beyond
+    * [[merge]]'s file-granular CoW). Concurrency follows merge:
+    * CAS-claim exactly base+1, on loss discard and re-derive (a blind
+    * retry could resurrect a concurrently-rewritten row). Replace-class
+    * maintenance materializes scoped vectors (compact) or refuses to
+    * exchange over them (compactSmall falls back to compact; merge
+    * falls back to a validated replace; clone refuses). Returns the
+    * version won, or the current version unchanged if nothing matched. */
+  def update(spark: SparkSession, dir: String, predicate: String,
+             set: Seq[(String, String)], keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "update needs at least one key column")
+    require(set.nonEmpty, "update needs at least one SET expression")
+    require(keyCols.forall(c => !c.contains(",") && c.trim.nonEmpty),
+      s"key column names must be comma-free: $keyCols")
+    while (true) {
+      val base = currentVersion(dir)
+      val cur = read(spark, dir)
+      val matching = cur.filter(expr(predicate)).localCheckpoint()
+      if (matching.isEmpty) return base
+      val keys = matching.select(keyCols.map(col): _*).distinct().localCheckpoint()
+      val updated = set.foldLeft(matching) { case (df, (c, e)) =>
+        df.withColumn(c, expr(e))
+      }.select(cur.columns.map(col).toSeq: _*).localCheckpoint()
+      val (vrel, vfiles) = writeData(keys, dir)
+      val (arel, afiles) = writeData(updated, dir)
+      val body = vfiles.map("V " + _) ++ afiles.map("+" + _)
+      if (tryClaim(dir, base + 1, "U " + keyCols.mkString(","), body)) return base + 1
+      // lost the CAS: both stale dirs are invisible (unreferenced) — drop
+      // them and re-derive against the new snapshot
+      Seq(vrel, arel).foreach { rel =>
+        val dd = new java.io.File(s"$dir/$rel")
+        Option(dd.listFiles()).foreach(_.foreach(_.delete())); dd.delete()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** MERGE INTO (upsert): rows of `source` whose `keyCols` match an
     * existing target row REPLACE it (whole-row update); unmatched source
     * rows INSERT. The at-scale property is FILE GRANULARITY: one semi-join
@@ -664,7 +768,7 @@ object TxnLog {
       // validated replace-commit. Vectors would suppress re-inserted keys;
       // external (`@`) files can't be exchanged — they belong to the
       // source table, so the rewrite must localize them anyway.
-      if (snap.dvs.nonEmpty || snap.files.exists(_.startsWith("@")))
+      if (snap.dvs.nonEmpty || snap.scoped.nonEmpty || snap.files.exists(_.startsWith("@")))
         return replaceCommitValidated(spark, dir)(cur =>
           cur.join(srcKeys, keyCols, "left_anti").unionByName(src))
       val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
@@ -705,6 +809,9 @@ object TxnLog {
     val srcAbs = Paths.get(srcDir).toAbsolutePath.toString
     val snap = snapshotAt(srcDir, Long.MaxValue)
     require(snap.files.nonEmpty, "clone of an empty table")
+    require(snap.scoped.isEmpty,
+      "clone with pending update vectors: their file-set scope cannot " +
+        "transplant — compact the source first")
     def ext(rel: String): String =
       if (rel.startsWith("@")) rel else s"@$srcAbs/$rel" // already-external refs pass through
     var v = currentVersion(dstDir) + 1
@@ -766,6 +873,7 @@ object TxnLog {
       val (m, body) = parseManifest(p)
       val action =
         if (m.startsWith("D ")) "D" else if (m.startsWith("T ")) "T"
+        else if (m.startsWith("U ")) "U"
         else if (m.startsWith("R")) "R" else if (m.startsWith("X")) "X" else m
       (v, action, body.length.toLong)
     }
@@ -836,6 +944,15 @@ object TxnLog {
           val keyCols = d.stripPrefix("D ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
           Seq(tagged(read(spark, dir, Some(v - 1))
             .join(readRel(body), keyCols, "left_semi"), "delete", v))
+        case u if u.startsWith("U ") => // update = its delete+insert pair
+          val keyCols = u.stripPrefix("U ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val vecs = body.collect { case l if l.startsWith("V ") => l.drop(2) }
+          val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
+          val pendingDvs = snapshotAt(dir, v).dvs
+          Seq(
+            tagged(read(spark, dir, Some(v - 1))
+              .join(readRel(vecs), keyCols, "left_semi"), "delete", v),
+            tagged(applyDvs(spark, dir, readRel(adds), pendingDvs), "insert", v))
         case _ => Seq.empty
       }
     }
@@ -965,7 +1082,7 @@ object TxnLog {
     val newMin = math.max(minVersion(dir), cur - retainVersions + 1)
     val keep = (newMin to cur).flatMap { v =>
       val s = snapshotAt(dir, v)
-      s.files ++ s.dvs.flatMap(_._1)
+      s.files ++ s.dvs.flatMap(_._1) ++ s.scoped.flatMap(_._1)
     }.toSet
     val partDirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("part-"))

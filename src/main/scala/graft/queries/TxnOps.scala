@@ -903,7 +903,79 @@ object TxnOps {
       |FROM faces
       |ORDER BY as_of, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q242
+  /** MERGE-ON-READ UPDATE, atomic and scoped: v1/v2 append the customer
+    * halves; v3 = ONE `U` commit negating every BUILDING balance (key
+    * values + replacement rows land together — readers never see the
+    * deleteVector+append between-state, and a one-row update at 100 TB
+    * writes one key file + one row file, no rewrite); v4 appends
+    * nation-keyed BUILDING rows whose keys COLLIDE with updated
+    * customers — they stay visible, because the update vector is scoped
+    * to the files below it (update replaces what WAS there; it is not
+    * the D-vector's suppress-forever). Faces: as-of 2 (pre-update),
+    * latest (negated BUILDING + the late rows). Ledger pins the AAUA
+    * chain and the CDF row count over the update version = 2 × BUILDING
+    * rows (its exact delete+insert pair). */
+  def q242(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q242_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 0")).coalesce(1), dir) // v1
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 1")).coalesce(1), dir) // v2
+    TxnLog.update(s, dir, "c_mktsegment = 'BUILDING'",
+      Seq("c_acctbal" -> "-c_acctbal"), Seq("c_custkey"))                  // v3
+    // v4: BUILDING rows keyed 1..25 — keys that EXIST among updated rows
+    TxnLog.commit(Tables.nation(s, d).select(
+      (lit(1L) + col("n_nationkey")).as("c_custkey"),
+      lit("BUILDING").as("c_mktsegment"),
+      (col("n_nationkey").cast("double") * lit(7.5)).as("c_acctbal"))
+      .coalesce(1), dir)
+    val cdfRows = TxnLog.changes(s, dir, 2L, 3L).count()
+    def face(asOf: Option[Long], tag: Long) =
+      TxnLog.read(s, dir, asOf)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .withColumn("as_of", lit(tag))
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(
+      lit(0L).as("as_of"), lit(actions).as("c_mktsegment"),
+      lit(cdfRows).as("n"), lit(0.0).as("sum_bal"))
+    ledger.unionByName(face(Some(2L), 2L)).unionByName(face(None, 4L))
+      .select(col("as_of"), col("c_mktsegment"), col("n"), col("sum_bal"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+  val q242Sql: String =
+    """WITH target AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |late AS (
+      |  SELECT 1 + n_nationkey AS c_custkey, 'BUILDING' AS c_mktsegment,
+      |         CAST(n_nationkey AS DOUBLE) * 7.5 AS c_acctbal FROM nation),
+      |v4 AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN -c_acctbal
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM target
+      |  UNION ALL SELECT * FROM late),
+      |faces AS (
+      |  SELECT 2 AS as_of, c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM target GROUP BY 2
+      |  UNION ALL
+      |  SELECT 4, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM v4 GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS as_of, 'AAUA' AS c_mktsegment,
+      |  2 * (SELECT COUNT(*) FROM target WHERE c_mktsegment = 'BUILDING') AS n,
+      |  CAST(0 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT CAST(as_of AS BIGINT), c_mktsegment, CAST(n AS BIGINT),
+      |       CAST(sum_bal AS DOUBLE)
+      |FROM faces
+      |ORDER BY as_of, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q242_txn_mor_update" -> ((q242 _, Some(q242Sql))),
     "q241_check_constraints" -> ((q241 _, Some(q241Sql))),
     "q240_stream_table_pipeline" -> ((q240 _, Some(q240Sql))),
     "q239_stream_txnlog_source" -> ((q239 _, Some(q239Sql))),

@@ -650,6 +650,75 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.read(spark, dir, Some(5L)).count() == 50004L)
   }
 
+  test("MoR update: atomic, scoped to prior files, later appends escape") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x").coalesce(1), dir) // v1
+    T.commit(Seq((4L, 40L)).toDF("k", "x").coalesce(1), dir)                       // v2
+    val v = T.update(spark, dir, "x >= 20 AND x <= 30", Seq("x" -> "x * 100"), Seq("k"))
+    assert(v == 3L)
+    def rows = T.read(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 2000L), (3L, 3000L), (4L, 40L)))
+    // time travel: pre-update face intact
+    assert(T.read(spark, dir, Some(2L)).collect().map(_.getLong(1)).sorted.toSeq
+      == Seq(10L, 20L, 30L, 40L))
+    // a LATER append with an updated key is visible (scoped, not global)
+    T.commit(Seq((2L, 999L)).toDF("k", "x").coalesce(1), dir)                      // v4
+    assert(rows.contains((2L, 999L)) && rows.contains((2L, 2000L)))
+    // CDF: the update is its delete+insert pair
+    val cdf = T.changes(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cdf == Seq(("delete", 2L, 20L), ("delete", 3L, 30L),
+      ("insert", 2L, 2000L), ("insert", 3L, 3000L)), s"cdf was $cdf")
+    // history shows U; no-match update is a no-op
+    assert(T.history(spark, dir).collect().sortBy(_.getLong(0))
+      .map(_.getString(1)).mkString == "AAUA")
+    assert(T.update(spark, dir, "x = 123456", Seq("x" -> "0"), Seq("k")) == 4L)
+    // compactSmall over a pending update vector MATERIALIZES (full compact)
+    val v2 = T.compactSmall(spark, dir, thresholdBytes = 1 << 20)
+    assert(T.history(spark, dir).collect().sortBy(_.getLong(0))
+      .map(_.getString(1)).mkString == "AAUAR")
+    val after = rows
+    assert(after.count(_._1 == 2L) == 2 && after.contains((2L, 2000L)))
+    // checkpoint round-trips the scoped vector (fresh fold vs seeded fold)
+    val dir2 = freshTable()
+    T.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1), dir2)
+    T.update(spark, dir2, "k = 2", Seq("x" -> "x + 5"), Seq("k"))
+    val plain = T.read(spark, dir2).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    T.checkpoint(dir2)
+    assert(T.foldCost(dir2) == 0)
+    val seeded = T.read(spark, dir2).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(seeded == plain && seeded == Seq((1L, 10L), (2L, 25L)))
+    // clone refuses while the update vector is pending
+    intercept[IllegalArgumentException](T.clone(spark, dir2, freshTable()))
+  }
+
+  test("update racing a concurrent append never loses the append") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit((1L to 20L).map(k => (k, k * 10L)).toDF("k", "x").coalesce(1), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val appender = pool.submit(new Runnable {
+        override def run(): Unit = (101L to 105L).foreach(k =>
+          T.commit(Seq((k, k)).toDF("k", "x").coalesce(1), dir))
+      })
+      val updater = pool.submit(new Runnable {
+        override def run(): Unit =
+          T.update(spark, dir, "k <= 5", Seq("x" -> "-x"), Seq("k"))
+      })
+      appender.get(); updater.get()
+    } finally pool.shutdown()
+    val rows = graft.io.TxnLog.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.length == 25, s"lost rows: ${rows.length}")
+    (1L to 5L).foreach(k => assert(rows.contains((k, -k * 10L)), s"key $k not updated"))
+    (101L to 105L).foreach(k => assert(rows.contains((k, k)), s"append $k lost"))
+  }
+
   test("CHECK constraints refuse violating commits before anything lands") {
     val dir = freshTable()
     import spark.implicits._
