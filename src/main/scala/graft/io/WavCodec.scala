@@ -6,9 +6,10 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** Minimal RIFF/WAVE PCM codec — pure JVM, offline-safe, deterministic.
   * Decode accepts PCM16/PCM8/float32 at any channel count/rate (the shapes
   * the reference's `AudioSegment.from_wav` accepts for its corpus,
-  * pa.py:85) plus mono IMA ADPCM (format 0x11, dispatched to
-  * [[AdpcmCodec]] — the transparent compressed-WAV handling pydub/ffmpeg
-  * gives the reference); encode always writes PCM16 mono (the canonical
+  * pa.py:85) plus the compressed WAV formats — mono IMA ADPCM (0x11,
+  * dispatched to [[AdpcmCodec]]) and G.711 µ-law/A-law (7/6, dispatched
+  * to [[G711Codec]]) — the transparent handling pydub/ffmpeg gives the
+  * reference; encode always writes PCM16 mono (the canonical
   * post-ingest form, pa.py:88-89). Malformed input throws — callers map
   * that to the reference's per-file error-skip (pa.py:91-92).
   */
@@ -56,6 +57,10 @@ object WavCodec {
       case (3, 32) =>
         val n = data.length / 4
         Array.tabulate(n)(i => db.getFloat(i * 4))
+      case (7, 8) => // G.711 µ-law: per-byte integer expansion
+        data.map(b => G711Codec.muLawDecodeSample(b) / 32768.0f)
+      case (6, 8) => // G.711 A-law
+        data.map(b => G711Codec.aLawDecodeSample(b) / 32768.0f)
       case (0x11, 4) =>
         // IMA ADPCM rides the compressed-codec path (AdpcmCodec owns the
         // block layer; mono is its documented scope) — the transparent

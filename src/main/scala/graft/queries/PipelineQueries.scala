@@ -747,7 +747,72 @@ object PipelineQueries {
       |  TRUE AS compressed
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q243
+  /** G.711 µ-law + A-law decode, ORACLE-EXACT: the telephony formats
+    * (WAV fmt 7/6 — call-center audio is what a transcription corpus
+    * ingests at scale). Unlike stateful codecs, both expansions are
+    * pure per-byte integer formulas, so the oracle recomputes every
+    * decoded sample ARITHMETICALLY: per document a deterministic code
+    * sequence is wrapped in each container, decoded through the
+    * WavCodec dispatch (container parsing + expansion both on trial),
+    * and the int16 aggregates must land on the SQL restatement of the
+    * ITU-T expansion — any sign/segment/bias slip in either law breaks
+    * the hash. Per-row, shuffle-free; `compressed` pins the 2:1 layout
+    * (8-bit codes vs int16). */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (400 + id % 200).toInt
+        val salt = (id % 13).toInt
+        val codes = Array.tabulate(n)(i => ((i * 37 + salt) % 256).toByte)
+        def ints(aLaw: Boolean): Array[Int] = {
+          val wav = graft.io.G711Codec.wrapWav(codes, 8000, aLaw)
+          val dec = graft.io.WavCodec.decode(wav)
+          require(dec.samples.length == n && wav.length < 2 * n,
+            s"doc $id: bad container round trip")
+          dec.samples.map(f => math.round(f * 32768f))
+        }
+        val mu = ints(aLaw = false)
+        val al = ints(aLaw = true)
+        (id, n.toLong, mu.map(_.toLong).sum, mu.min.toLong, mu.max.toLong,
+          al.map(_.toLong).sum, al.min.toLong, al.max.toLong)
+      }
+      .toDF("doc_id", "n_samples", "mu_sum", "mu_min", "mu_max",
+            "al_sum", "al_min", "al_max")
+      .orderBy(col("doc_id"))
+  }
+  val q243Sql: String =
+    """WITH codes AS (
+      |  SELECT d.doc_id, t.i, (t.i*37 + d.doc_id % 13) % 256 AS c
+      |  FROM documents d, range(0, 600) t(i)
+      |  WHERE t.i < 400 + d.doc_id % 200),
+      |dec AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (255 - c) >= 128 THEN -(((255-c) % 16) * 8 + 132)
+      |              * (1 << (((255-c) // 16) % 8)) + 132
+      |         ELSE (((255-c) % 16) * 8 + 132)
+      |              * (1 << (((255-c) // 16) % 8)) - 132 END AS mu,
+      |    CASE WHEN xor(c, 85) >= 128 THEN
+      |           CASE WHEN ((xor(c,85) // 16) % 8) = 0
+      |                THEN (xor(c,85) % 16) * 16 + 8
+      |                ELSE ((xor(c,85) % 16) * 16 + 264)
+      |                     * (1 << (((xor(c,85) // 16) % 8) - 1)) END
+      |         ELSE -(
+      |           CASE WHEN ((xor(c,85) // 16) % 8) = 0
+      |                THEN (xor(c,85) % 16) * 16 + 8
+      |                ELSE ((xor(c,85) % 16) * 16 + 264)
+      |                     * (1 << (((xor(c,85) // 16) % 8) - 1)) END) END AS al
+      |  FROM codes)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(mu) AS BIGINT) AS mu_sum, CAST(MIN(mu) AS BIGINT) AS mu_min,
+      |  CAST(MAX(mu) AS BIGINT) AS mu_max,
+      |  CAST(SUM(al) AS BIGINT) AS al_sum, CAST(MIN(al) AS BIGINT) AS al_min,
+      |  CAST(MAX(al) AS BIGINT) AS al_max
+      |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),
     "q218_stream_session_timeout" -> ((q218 _, Some(q218Sql))),
