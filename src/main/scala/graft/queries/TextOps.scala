@@ -577,7 +577,68 @@ object TextOps {
       |FROM m1
       |ORDER BY phrase""".stripMargin
 
+  // ---------------------------------------------------------------- q244
+  /** AHO–CORASICK blocklist scan — the multi-pattern filter a training
+    * corpus runs before release (blocklist terms, PII markers, license
+    * strings): ONE automaton pass per document counts ALL occurrences
+    * of K patterns simultaneously (goto trie + BFS failure links,
+    * ops/AhoCorasick), where the naive plan costs K regex scans per
+    * row. Patterns are chosen BORDERLESS (no proper prefix = suffix),
+    * which makes the automaton's all-occurrences counts equal DuckDB's
+    * non-overlapping replace() counts — the property the oracle's
+    * `(len − len(replace))/len` restatement rides on (the spec proves
+    * the overlap semantics on bordered patterns separately). Output:
+    * per-pattern corpus totals + document reach, and the release-gate
+    * face (documents whose scan+merge hit mass stays under the
+    * threshold). Scale: automaton broadcast (metadata-sized), per-row
+    * single pass, one 7-group aggregation — K never multiplies the
+    * scan. */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pats = Vector("table", "value", "scan", "merge", "spark a", "a")
+    val bc = s.sparkContext.broadcast(graft.ops.AhoCorasick.build(pats))
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val c = bc.value.countAll(text)
+        c.zipWithIndex.map { case (n, i) => (i, n, if (n > 0) 1L else 0L) } :+
+          ((pats.length, if (c(2) + c(3) < 25L) 1L else 0L, 1L))
+      }
+      .toDF("i", "h", "d")
+      .groupBy(col("i"))
+      .agg(sum(col("h")).as("total_hits"), sum(col("d")).as("n_docs"))
+    val names = typedLit((pats :+ "_kept_lt25").zipWithIndex.map {
+      case (p, i) => i -> p
+    }.toMap)
+    rows.select(element_at(names, col("i")).as("pattern"),
+        col("total_hits"), col("n_docs"))
+      .orderBy(col("pattern"))
+  }
+  val q244Sql: String =
+    """WITH pats(pat) AS (
+      |  VALUES ('table'), ('value'), ('scan'), ('merge'), ('spark a'), ('a')),
+      |hits AS (
+      |  SELECT d.doc_id, p.pat,
+      |    (length(d.text) - length(replace(d.text, p.pat, ''))) // length(p.pat) AS h
+      |  FROM documents d, pats p),
+      |per AS (
+      |  SELECT pat AS pattern, SUM(h) AS total_hits,
+      |         SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS n_docs
+      |  FROM hits GROUP BY 1),
+      |gate AS (
+      |  SELECT COUNT(*) FILTER (WHERE sm < 25) AS kept, COUNT(*) AS total
+      |  FROM (SELECT doc_id,
+      |          SUM(CASE WHEN pat IN ('scan', 'merge') THEN h ELSE 0 END) AS sm
+      |        FROM hits GROUP BY doc_id))
+      |SELECT pattern, CAST(total_hits AS BIGINT) AS total_hits,
+      |       CAST(n_docs AS BIGINT) AS n_docs
+      |FROM per
+      |UNION ALL
+      |SELECT '_kept_lt25', CAST(kept AS BIGINT), CAST(total AS BIGINT) FROM gate
+      |ORDER BY pattern""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q244_blocklist_scan" -> ((q244 _, Some(q244Sql))),
     "q230_phrase_search" -> ((q230 _, Some(q230Sql))),
     "q227_bm25_ranking" -> ((q227 _, Some(q227Sql))),
     "q123_inverted_index" -> ((q123 _, Some(q123Sql))),
