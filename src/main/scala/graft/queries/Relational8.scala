@@ -327,7 +327,103 @@ object Relational8 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM f GROUP BY w_start ORDER BY w_start""".stripMargin
 
+  // ---------------------------------------------------------------- q245
+  /** TPC-H Q7 shape (volume shipping): revenue between a nation PAIR in
+    * both directions, grouped by (supp_nation, cust_nation, ship year).
+    * The self-joined dimension (nation as n1 AND n2) with a disjunctive
+    * cross-side predicate is the classic optimizer case the board
+    * lacked next to Q5's correlated star. At 100 TB: both nation copies
+    * and supplier broadcast; the ship-date range pushes into the
+    * lineitem scan; the pair predicate prunes BEFORE the fact joins
+    * (supplier and customer are filtered to the two nations first, so
+    * the big joins carry only qualifying rows). */
+  def q245(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+    val cst = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cst, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+  val q245Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q246
+  /** TPC-H Q10 shape (returned items): per-customer lost revenue over
+    * returned lineitems in a quarter, top 20 — the join-then-top-k
+    * reporting query. At 100 TB: the order-date quarter and the
+    * R-return-flag both push into their scans BEFORE the fact join;
+    * nation broadcasts; and the top 20 is a TakeOrdered bounded heap,
+    * never a global sort of the customer rollup. */
+  def q246(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-04-01").cast("timestamp")
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  val q246Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q245_tpch_q7"        -> ((q245 _, Some(q245Sql))),
+    "q246_tpch_q10"       -> ((q246 _, Some(q246Sql))),
     "q122_scd2_intervals" -> ((q122 _, Some(q122Sql))),
     "q124_hopping_window" -> ((q124 _, Some(q124Sql))),
     "q115_tpch_q5"        -> ((q115 _, Some(q115Sql))),

@@ -280,6 +280,17 @@ object PlanCheck {
       "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
         "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined)
+    check("q245_tpch_q7", "nation-pair sides broadcast; ship-date pushed; no cartesian")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined)
+    check("q246_tpch_q10", "return-flag + quarter pushed; top 20 is TakeOrdered")(p =>
+      p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct") &&
+        "PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined &&
+        "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined)
+    check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
+      p.contains("partial_sum") && !p.contains("Join") &&
+        !p.contains("CartesianProduct"))
     // q116: every stat join-back is a broadcast (the deviation subtree
     // appears twice — once feeding the MAD aggregation, once in the final
     // scoring join — so there are THREE broadcast joins, not two); the
