@@ -789,6 +789,36 @@ object TxnLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** RESTORE: roll the table back to `toVersion` AS A NEW COMMIT — the
+    * undo operation (bad ingest, fat-fingered delete) that keeps history
+    * linear: nothing is erased, the restored state simply becomes the
+    * newest version (Delta RESTORE). When the target snapshot carries no
+    * pending vectors this is METADATA-ONLY: one `R` manifest re-listing
+    * the target's files (they still exist — vacuum permitting), zero
+    * bytes moved even at 100 TB. With vectors pending at the target the
+    * restore MATERIALIZES them (one validated replace-commit of the
+    * target's read — the rowset is exact either way). Refuses targets
+    * below the vacuum watermark (their files are gone) and above the
+    * head. Returns the version won. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    require(toVersion >= minVersion(dir),
+      s"version $toVersion was vacuumed (oldest retained: ${minVersion(dir)})")
+    require(toVersion <= currentVersion(dir),
+      s"version $toVersion does not exist (current: ${currentVersion(dir)})")
+    val target = snapshotAt(dir, toVersion)
+    if (target.dvs.isEmpty && target.scoped.isEmpty) {
+      var v = currentVersion(dir) + 1
+      // R-commit re-listing the target's files: restore commutes with
+      // nothing (it REPLACES), so any slot is as correct as base+1 — the
+      // restored content is version-pinned, not snapshot-derived
+      while (!tryClaim(dir, v, "R", target.files)) v += 1
+      v
+    } else {
+      val frozen = read(spark, dir, Some(toVersion)).localCheckpoint()
+      replaceCommitValidated(spark, dir)(_ => frozen)
+    }
+  }
+
   /** SHALLOW CLONE: create table `dstDir` whose initial version references
     * `srcDir`'s CURRENT snapshot by absolute path (`@`-prefixed manifest
     * lines) — a 100 TB table clones in one metadata write, zero bytes

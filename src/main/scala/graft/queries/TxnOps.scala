@@ -974,7 +974,58 @@ object TxnOps {
       |FROM faces
       |ORDER BY as_of, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q247
+  /** RESTORE — the undo commit: v1/v2 append the customer halves, v3 is
+    * the fat-fingered CoW DELETE of the BUILDING segment, v4 RESTOREs to
+    * version 2 as a NEW commit — metadata-only (the target snapshot has
+    * no pending vectors, so the restore manifest just re-lists v2's
+    * files: zero bytes moved even at 100 TB), history stays linear, and
+    * the bad state remains time-travel-readable until vacuum. Faces:
+    * as-of 3 (the damage), latest (the full table back). Ledger pins
+    * AARR at version 4. */
+  def q247(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q247_tbl").toString
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 0")).coalesce(1), dir) // v1
+    TxnLog.commit(cust.filter(expr("c_custkey % 2 = 1")).coalesce(1), dir) // v2
+    TxnLog.delete(s, dir, "c_mktsegment = 'BUILDING'")                     // v3
+    TxnLog.restore(s, dir, 2L)                                             // v4
+    def face(asOf: Option[Long], tag: Long) =
+      TxnLog.read(s, dir, asOf)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+        .withColumn("as_of", lit(tag))
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(
+      lit(0L).as("as_of"), lit(actions).as("c_mktsegment"),
+      lit(TxnLog.currentVersion(dir)).as("n"), lit(0.0).as("sum_bal"))
+    ledger.unionByName(face(Some(3L), 3L)).unionByName(face(None, 4L))
+      .select(col("as_of"), col("c_mktsegment"), col("n"), col("sum_bal"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+  val q247Sql: String =
+    """WITH target AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |faces AS (
+      |  SELECT 3 AS as_of, c_mktsegment, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      |  FROM target WHERE c_mktsegment <> 'BUILDING' GROUP BY 2
+      |  UNION ALL
+      |  SELECT 4, c_mktsegment, COUNT(*), SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |  FROM target GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS as_of, 'AARR' AS c_mktsegment,
+      |       CAST(4 AS BIGINT) AS n, CAST(0 AS DOUBLE) AS sum_bal
+      |UNION ALL
+      |SELECT CAST(as_of AS BIGINT), c_mktsegment, CAST(n AS BIGINT),
+      |       CAST(sum_bal AS DOUBLE)
+      |FROM faces
+      |ORDER BY as_of, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q247_txn_restore" -> ((q247 _, Some(q247Sql))),
     "q242_txn_mor_update" -> ((q242 _, Some(q242Sql))),
     "q241_check_constraints" -> ((q241 _, Some(q241Sql))),
     "q240_stream_table_pipeline" -> ((q240 _, Some(q240Sql))),

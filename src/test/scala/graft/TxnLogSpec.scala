@@ -650,6 +650,33 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.read(spark, dir, Some(5L)).count() == 50004L)
   }
 
+  test("restore rolls back as a new commit; history stays linear") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq(1L, 2L).toDF("v"), dir)            // v1
+    T.commit(Seq(3L).toDF("v"), dir)                // v2
+    T.delete(spark, dir, "v = 1")                   // v3: CoW delete (bad op)
+    def latest = T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(latest == Seq(2L, 3L))
+    // metadata-only restore: v2's snapshot had no vectors
+    assert(T.restore(spark, dir, 2L) == 4L)
+    assert(latest == Seq(1L, 2L, 3L))
+    // the bad state stays time-travel-readable (nothing erased)
+    assert(T.read(spark, dir, Some(3L)).count() == 2L)
+    assert(T.history(spark, dir).collect().sortBy(_.getLong(0))
+      .map(_.getString(1)).mkString == "AARR")
+    // vector-pending target: restore materializes (rowset exact)
+    T.deleteVector(spark, dir, "v = 2", Seq("v"))   // v5
+    T.commit(Seq(9L).toDF("v"), dir)                // v6
+    assert(T.restore(spark, dir, 5L) == 7L)
+    assert(latest == Seq(1L, 3L))
+    // guards: vacuumed / nonexistent targets refuse at planning time
+    intercept[IllegalArgumentException](T.restore(spark, dir, 99L))
+    T.vacuum(dir, retainVersions = 1)
+    intercept[IllegalArgumentException](T.restore(spark, dir, 2L))
+  }
+
   test("MoR update: atomic, scoped to prior files, later appends escape") {
     val dir = freshTable()
     import spark.implicits._
