@@ -421,7 +421,146 @@ object Relational8 {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q248
+  /** TPC-H Q4 shape (order-priority checking): count orders per priority
+    * that have at least one LATE lineitem (shipped after the order date
+    * — the schema's stand-in for Q4's commit<receipt), stated as EXISTS.
+    * The decorrelation story is the point: Catalyst plans the EXISTS as
+    * a left-semi HASH join (never a per-row subquery), the quarter
+    * filter pushes to the orders scan, and the rollup is 5 groups. */
+  def q248(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-07-01").cast("timestamp")
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_orderdate"))
+    val late = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(late,
+        ord("o_orderkey") === late("l_orderkey") && late("l_shipdate") > ord("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q248Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q249
+  /** TPC-H Q12 shape (priority-class counting): per lineitem group
+    * (return flag standing in for the schema-absent ship mode), count
+    * lines of high-priority (1/2) vs other orders via conditional
+    * aggregation after the fact join — Q12's CASE-inside-SUM pattern.
+    * At 100 TB the ship-date year pushes to the lineitem scan and the
+    * rollup is flag-grain. */
+  def q249(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val hi2 = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi2, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi2, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+  val q249Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q250
+  /** TPC-H Q14 shape (promotion effect): promo revenue share of one
+    * ship-month. Both the promo and total revenues are decimal-exact
+    * sums (the repo's cross-engine recipe); the share is then ONE
+    * correctly-rounded double division of those two exact operands —
+    * the q138 precedent — so nothing floats before the gate. Part
+    * broadcasts onto the month's lineitems. */
+  def q250(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-03-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 6))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 6))))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_share"))
+  }
+  val q250Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |            THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+      |            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+      |         AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01')
+      |SELECT promo_revenue, total_revenue,
+      |  100.0 * promo_revenue / total_revenue AS promo_share
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q251
+  /** TPC-H Q19 shape (discounted revenue over DISJUNCTIVE predicates):
+    * three (brand, size-range, quantity-range) alternatives OR-ed across
+    * the part join — the filter-pushdown stress case: the part-side
+    * conjuncts prune the broadcast build side, the common l_quantity
+    * bound pushes to the lineitem scan, and the OR evaluates post-join
+    * without ever falling back to a cartesian. */
+  def q251(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+    val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+  }
+  val q251Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 20 AND 30))
+      |  AND l_quantity BETWEEN 1 AND 30""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q248_tpch_q4"        -> ((q248 _, Some(q248Sql))),
+    "q249_tpch_q12"       -> ((q249 _, Some(q249Sql))),
+    "q250_tpch_q14"       -> ((q250 _, Some(q250Sql))),
+    "q251_tpch_q19"       -> ((q251 _, Some(q251Sql))),
     "q245_tpch_q7"        -> ((q245 _, Some(q245Sql))),
     "q246_tpch_q10"       -> ((q246 _, Some(q246Sql))),
     "q122_scd2_intervals" -> ((q122 _, Some(q122Sql))),

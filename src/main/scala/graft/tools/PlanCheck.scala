@@ -288,6 +288,16 @@ object PlanCheck {
       p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct") &&
         "PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined &&
         "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined)
+    check("q248_tpch_q4", "EXISTS decorrelates to a hash semi join; quarter pushed")(p =>
+      p.contains("LeftSemi") && !p.contains("BroadcastNestedLoopJoin") &&
+        "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined)
+    check("q250_tpch_q14", "part broadcasts onto the month's lineitems")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined)
+    check("q251_tpch_q19", "quantity bound pushed; OR evaluates post-join, no cartesian")(p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined)
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))
