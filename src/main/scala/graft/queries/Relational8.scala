@@ -556,7 +556,187 @@ object Relational8 {
       |        AND l_quantity BETWEEN 20 AND 30))
       |  AND l_quantity BETWEEN 1 AND 30""".stripMargin
 
+  // ---------------------------------------------------------------- q252
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-side
+    * aggregation — every predicate (ship year, discount band, quantity
+    * cap) pushes into the parquet scan, no join anywhere; the board's
+    * cleanest full-pushdown witness among the classics. */
+  def q252(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
+  }
+  val q252Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q253
+  /** TPC-H Q15 (top supplier): quarter revenue per supplier, then the
+    * suppliers AT the maximum — the view + global-scalar join-back
+    * shape. At 100 TB: one supplier-grain rollup; the max is a 1-row
+    * scalar broadcast back onto the (already metadata-sized) rollup,
+    * never a second pass over lineitem. */
+  def q253(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("total_revenue"))
+      .localCheckpoint() // the view feeds both the max and the join-back
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+  val q253Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+      |         AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q254
+  /** TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    * whose quantity is under 0.2× that part's average quantity — the
+    * correlated scalar-aggregate subquery, decorrelated into a
+    * per-part aggregate joined back. Cross-engine float discipline: the
+    * per-part average is a decimal-exact sum divided ONCE by the exact
+    * count, and the 0.2× threshold is one more multiply — identical
+    * IEEE ops both sides of the gate, so the comparison can never flip
+    * on an ulp. */
+  def q254(s: SparkSession, d: String): DataFrame = {
+    val brandParts = t(s, d, "part")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val l = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQ = l.groupBy(col("l_partkey").as("ap"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
+        count(lit(1))).as("avg_q"))
+    l.join(broadcast(avgQ), col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+      .agg((dsum(col("l_extendedprice"), 4) / lit(7.0)).as("avg_yearly"))
+  }
+  val q254Sql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |a AS (
+      |  SELECT l_partkey AS ap,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_q
+      |  FROM l GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+      |       AS avg_yearly
+      |FROM l JOIN a ON l_partkey = ap
+      |WHERE l_quantity < 0.2 * avg_q""".stripMargin
+
+  // ---------------------------------------------------------------- q255
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): supplier S is
+    * CULPABLE for an order when S shipped late (> 60 days after the
+    * order date), ANOTHER supplier contributed to the same order, and
+    * NO other contributor shipped late — the EXISTS + NOT-EXISTS
+    * double-correlation, planned as a semi join stacked on an anti
+    * join. Top 10 suppliers by culpable-order count, TakeOrdered. */
+  def q255(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      .localCheckpoint() // feeds the base and both correlated sides
+    val base = l.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateOthers = l.filter(col("late"))
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    base
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(10)
+  }
+  val q255Sql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |base AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+      |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM base b
+      |WHERE EXISTS (SELECT 1 FROM l WHERE l.l_orderkey = b.l_orderkey
+      |              AND l.l_suppkey <> b.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l WHERE l.l_orderkey = b.l_orderkey
+      |                  AND l.l_suppkey <> b.l_suppkey AND l.late)
+      |GROUP BY 1
+      |ORDER BY numwait DESC, l_suppkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q256
+  /** TPC-H Q22 shape (global sales opportunity): per market segment,
+    * the customers with above-average positive balances and no RECENT orders (none since 2000) —
+    * the anti join gated by a global scalar (decimal-exact sum / exact
+    * count, one division — the q254 discipline). At 100 TB the scalar
+    * broadcasts, the anti join is the only exchange pair. */
+  def q256(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val avgPos = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    cust.join(broadcast(avgPos)).filter(col("c_acctbal") > col("avg_bal"))
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val q256Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |         AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, a
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q252_tpch_q6"        -> ((q252 _, Some(q252Sql))),
+    "q253_tpch_q15"       -> ((q253 _, Some(q253Sql))),
+    "q254_tpch_q17"       -> ((q254 _, Some(q254Sql))),
+    "q255_tpch_q21"       -> ((q255 _, Some(q255Sql))),
+    "q256_tpch_q22"       -> ((q256 _, Some(q256Sql))),
     "q248_tpch_q4"        -> ((q248 _, Some(q248Sql))),
     "q249_tpch_q12"       -> ((q249 _, Some(q249Sql))),
     "q250_tpch_q14"       -> ((q250 _, Some(q250Sql))),

@@ -298,6 +298,16 @@ object PlanCheck {
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin") &&
         "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined)
+    check("q252_tpch_q6", "every predicate pushed; no join anywhere")(p =>
+      !p.contains("Join") &&
+        "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined &&
+        "PushedFilters: \\[[^\\]]*l_discount".r.findFirstIn(p).isDefined)
+    check("q253_tpch_q15", "global max broadcasts back onto the supplier rollup")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q255_tpch_q21", "double correlation plans as semi stacked on anti")(p =>
+      p.contains("LeftSemi") && p.contains("LeftAnti") &&
+        !p.contains("CartesianProduct"))
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))
