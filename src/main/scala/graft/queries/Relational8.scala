@@ -731,7 +731,92 @@ object Relational8 {
       |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q257
+  /** TPC-H Q13 (customer distribution): how many customers placed k
+    * orders, INCLUDING k = 0 — the LEFT OUTER join whose unmatched side
+    * must survive into the count, then a histogram of the counts. At
+    * 100 TB: one outer join on the customer key, one customer-grain
+    * count, and the k-histogram is a tiny second rollup. */
+  def q257(s: SparkSession, d: String): DataFrame = {
+    val perCust = t(s, d, "customer").select(col("c_custkey"))
+      .join(t(s, d, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count")) // count skips the null side
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+  val q257Sql: String =
+    """WITH per AS (
+      |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM per GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q258
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's yearly revenue — the two-level aggregate where the share
+    * is a DIVISION of two same-group sums. Both sums are decimal-exact
+    * (conditional numerator via CASE inside the same aggregation), the
+    * share is one correctly-rounded double division per year — the
+    * repo's float-at-the-gate discipline. Dims broadcast; the fact
+    * chain shuffles twice. */
+  def q258(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val dec = DecimalType(18, 6)
+    val asiaCust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    t(s, d, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .withColumn("vol", (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("n_name") === "NATION_5", col("vol"))
+          .otherwise(lit(0).cast(dec))).cast("double").as("nation_volume"),
+        sum(col("vol")).cast("double").as("region_volume"))
+      .select(col("o_year"), col("nation_volume"), col("region_volume"),
+        (col("nation_volume") / col("region_volume")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+  val q258Sql: String =
+    """WITH vols AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, n_name,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS vol
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |g AS (
+      |  SELECT o_year,
+      |    CAST(SUM(CASE WHEN n_name = 'NATION_5' THEN vol
+      |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+      |    CAST(SUM(vol) AS DOUBLE) AS region_volume
+      |  FROM vols GROUP BY 1)
+      |SELECT o_year, nation_volume, region_volume,
+      |  nation_volume / region_volume AS mkt_share
+      |FROM g ORDER BY o_year""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q257_tpch_q13"       -> ((q257 _, Some(q257Sql))),
+    "q258_tpch_q8"        -> ((q258 _, Some(q258Sql))),
     "q252_tpch_q6"        -> ((q252 _, Some(q252Sql))),
     "q253_tpch_q15"       -> ((q253 _, Some(q253Sql))),
     "q254_tpch_q17"       -> ((q254 _, Some(q254Sql))),
