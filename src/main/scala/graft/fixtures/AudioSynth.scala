@@ -148,4 +148,35 @@ object AudioSynth {
     Files.write(stamp, Array.emptyByteArray)
     files ++ Seq(stereo441, garbage)
   }
+
+  private def toPcm16(samples: Array[Float]): Array[Short] =
+    samples.map(f => math.max(-32768, math.min(32767, math.round(f * 32767f))).toShort)
+
+  private val CompressedCorpusVersion = 1
+
+  /** COMPRESSED fixture corpus (q259): the same deterministic speech-like
+    * content as the PCM corpus, but landed as µ-law, A-law, and IMA-ADPCM
+    * WAVs — what a call-center / telephony ingest actually delivers. The
+    * codecs are lossy, but deterministic: encoder and decoder are pure
+    * functions, so the pipeline's metadata over the round-tripped audio
+    * freezes into a golden exactly like q30's. */
+  def writeCompressedCorpus(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val expected = Seq("mulaw_speech.wav", "alaw_speech.wav",
+      "adpcm_speech.wav").map(d.resolve)
+    val stamp = d.resolve(s".corpus_comp_v$CompressedCorpusVersion")
+    if (Files.exists(stamp) &&
+        expected.forall(p => Files.exists(p) && Files.size(p) > 0))
+      return expected
+    Files.deleteIfExists(stamp)
+    Files.write(d.resolve("mulaw_speech.wav"),
+      graft.io.G711Codec.encodeWav(toPcm16(bursts(Seq(4000, 6000))), Rate))
+    Files.write(d.resolve("alaw_speech.wav"),
+      graft.io.G711Codec.encodeWav(toPcm16(bursts(Seq(5000, 3500))), Rate, aLaw = true))
+    Files.write(d.resolve("adpcm_speech.wav"),
+      graft.io.AdpcmCodec.encodeWav(toPcm16(bursts(Seq(7000))), Rate))
+    Files.write(stamp, Array.emptyByteArray)
+    expected
+  }
 }

@@ -747,6 +747,40 @@ object PipelineQueries {
       |  TRUE AS compressed
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q259
+  /** Full audio pipeline over the COMPRESSED fixture corpus — the q30
+    * chain (scan → decode → segment → metrics → filters → stub ASR →
+    * text filters → overlap → export → metadata) fed µ-law, A-law, and
+    * IMA-ADPCM WAVs instead of PCM: the telephony ingest path, proving
+    * the codec dispatch integrates with every downstream operator, not
+    * just its own round trip. The codecs are lossy but pure functions,
+    * so the post-round-trip metadata freezes into a golden VALUES
+    * oracle exactly like q30's (quantized metrics, ×1000 round-half-up).
+    * A garbage .wav rides along to keep the error-skip path on trial. */
+  def q259(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audio_fixture_comp")
+    val wavDir = base.resolve("wavs").toString
+    val outDir = base.resolve("out").toString
+    graft.fixtures.AudioSynth.writeCompressedCorpus(wavDir)
+    graft.Pipeline.run(s, wavDir, outDir)
+      .withColumn("wav_name", element_at(split(col("wav_path"), "/"), -1))
+      .select(col("original_name"), col("wav_name"), col("text"),
+              round(col("rms") * 1000).cast("long").as("rms_q3"),
+              round(col("clipping_percent") * 1000).cast("long").as("clipping_q3"),
+              round(col("music_ratio") * 1000).cast("long").as("music_q3"),
+              col("overlap_flag"))
+      .orderBy(col("original_name"), col("wav_name"))
+  }
+  /** Golden literal oracle (GoldenDump --q259), frozen like q30Sql. */
+  val q259Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('adpcm_speech.wav', 'adpcm_speech_0000s_0006s.wav', 'segment spark clean segment quality', CAST(12811654 AS BIGINT), CAST(15 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('alaw_speech.wav', 'alaw_speech_0000s_0008s.wav', 'segment voice segment model quality signal hello', CAST(13069442 AS BIGINT), CAST(984 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('mulaw_speech.wav', 'mulaw_speech_0000s_0010s.wav', 'signal model spark model batch audio hello', CAST(12704357 AS BIGINT), CAST(81 AS BIGINT), CAST(431 AS BIGINT), FALSE)
+      |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
+      |ORDER BY original_name, wav_name""".stripMargin
+
   // ---------------------------------------------------------------- q243
   /** G.711 µ-law + A-law decode, ORACLE-EXACT: the telephony formats
     * (WAV fmt 7/6 — call-center audio is what a transcription corpus
@@ -812,6 +846,7 @@ object PipelineQueries {
       |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),

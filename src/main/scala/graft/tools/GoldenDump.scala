@@ -12,7 +12,9 @@ object GoldenDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = graft.queries.PipelineQueries.q30(spark, "unused").collect()
+    val rows =
+      (if (args.contains("--q259")) graft.queries.PipelineQueries.q259(spark, "unused")
+       else graft.queries.PipelineQueries.q30(spark, "unused")).collect()
     def lit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"
       case b: Boolean => if (b) "TRUE" else "FALSE"
