@@ -308,6 +308,13 @@ object PlanCheck {
     check("q255_tpch_q21", "double correlation plans as semi stacked on anti")(p =>
       p.contains("LeftSemi") && p.contains("LeftAnti") &&
         !p.contains("CartesianProduct"))
+    check("q257_tpch_q13", "zero bucket via LeftOuter; both rollups partial-agg")(p =>
+      p.contains("LeftOuter") && p.contains("partial_count") &&
+        !p.contains("CartesianProduct"))
+    check("q258_tpch_q8", "region dims broadcast; one fact rollup carries both sums")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+        !p.contains("CartesianProduct") &&
+        "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined)
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))
