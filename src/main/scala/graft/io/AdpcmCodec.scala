@@ -158,6 +158,10 @@ object AdpcmCodec {
     var fmtAt = -1; var factSamples = -1; var dataAt = -1; var dataLen = -1
     while (p + 8 <= bytes.length) {
       val t = tag(p); val len = u32(p + 4).toInt
+      // a corrupt length must fail LOUDLY, not loop forever (negative
+      // advance) or read past the buffer
+      require(len >= 0 && p + 8 + len <= bytes.length,
+        s"chunk '$t' overruns the stream at offset $p (len $len)")
       t match {
         case "fmt " => fmtAt = p + 8
         case "fact" => factSamples = u32(p + 8).toInt

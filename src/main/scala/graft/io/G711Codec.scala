@@ -75,9 +75,14 @@ object G711Codec {
     * 6 = A-law; 8 bits/sample, blockAlign 1, fact = sample count). */
   def wrapWav(codes: Array[Byte], sampleRate: Int, aLaw: Boolean): Array[Byte] = {
     require(codes.nonEmpty, "empty signal")
+    // RIFF chunks are word-aligned: an odd data chunk carries one pad
+    // byte (excluded from the declared chunk size, included in the RIFF
+    // size) — external consumers enforce this even when lenient readers
+    // don't
+    val pad = codes.length & 1
     val out = new java.io.ByteArrayOutputStream()
     out.write("RIFF".getBytes("US-ASCII"))
-    le32(out, 4 + (8 + 18) + (8 + 4) + (8 + codes.length))
+    le32(out, 4 + (8 + 18) + (8 + 4) + (8 + codes.length + pad))
     out.write("WAVE".getBytes("US-ASCII"))
     out.write("fmt ".getBytes("US-ASCII")); le32(out, 18)
     le16(out, if (aLaw) 6 else 7)
@@ -91,6 +96,7 @@ object G711Codec {
     le32(out, codes.length)
     out.write("data".getBytes("US-ASCII")); le32(out, codes.length)
     out.write(codes)
+    if (pad == 1) out.write(0)
     out.toByteArray
   }
 

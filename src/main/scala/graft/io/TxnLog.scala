@@ -300,8 +300,7 @@ object TxnLog {
     val pred = expr(s"cast($column as string) = '${value.replace("'", "''")}'")
     val df =
       if (keep.isEmpty) read(spark, dir).filter(pred).limit(0)
-      else applyDvs(spark, dir,
-        spark.read.parquet(keep.map(resolve(dir, _)): _*).filter(pred), snap.dvs)
+      else readFileSet(spark, dir, keep, snap).filter(pred)
     PrunedScan(df, keep.size, snap.files.size)
   }
 
@@ -342,9 +341,39 @@ object TxnLog {
     val pred = col(column).between(lo, hi)
     val df =
       if (keep.isEmpty) read(spark, dir).filter(pred).limit(0)
-      else applyDvs(spark, dir,
-        spark.read.parquet(keep.map(resolve(dir, _)): _*).filter(pred), snap.dvs)
+      else readFileSet(spark, dir, keep, snap).filter(pred)
     PrunedScan(df, keep.size, snap.files.size)
+  }
+
+  /** Read a SUBSET of a snapshot's files with every vector the snapshot
+    * holds applied — scoped (update) vectors restricted to the subset
+    * members they bind to, then the global `D` vectors. The shared seam
+    * of read()/scanPoint/scanPruned: a pruned scan must never resurrect
+    * a row the full read suppresses. */
+  private def readFileSet(spark: SparkSession, dir: String,
+                          files: Vector[String], snap: Snapshot,
+                          mergeSchema: Boolean = false): DataFrame = {
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val base =
+      if (snap.scoped.isEmpty) reader.parquet(files.map(resolve(dir, _)): _*)
+      else {
+        // group the files by which scoped vectors apply, anti-join per
+        // group, union — the common single-update case is two groups
+        files
+          .groupBy(f => snap.scoped.zipWithIndex.collect {
+            case ((_, _, at), i) if at(f) => i
+          })
+          .toVector.sortBy(_._1.mkString(","))
+          .map { case (idxs, fs) =>
+            idxs.foldLeft(reader.parquet(fs.map(resolve(dir, _)): _*)) { (acc, i) =>
+              val (vf, kc, _) = snap.scoped(i)
+              acc.join(spark.read.parquet(vf.map(resolve(dir, _)): _*), kc, "left_anti")
+            }
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+      }
+    applyDvs(spark, dir, base, snap.dvs)
   }
 
   /** One parsed manifest chain fold: the visible DATA files, the visible
@@ -543,29 +572,7 @@ object TxnLog {
     // unions with older files' rows as nulls (time travel below the
     // evolution point naturally serves the old schema). Off by default —
     // the footer-union costs planning time a fixed-schema table never pays.
-    val reader =
-      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val base =
-      if (snap.scoped.isEmpty) reader.parquet(snap.files.map(resolve(dir, _)): _*)
-      else {
-        // scoped (update) vectors bind to file SETS: group the visible
-        // files by which vectors apply, anti-join per group, union. The
-        // common single-update case is two groups — pre-update files
-        // (vector applies) and the update's own adds (it doesn't).
-        snap.files
-          .groupBy(f => snap.scoped.zipWithIndex.collect {
-            case ((_, _, at), i) if at(f) => i
-          })
-          .toVector.sortBy(_._1.mkString(","))
-          .map { case (idxs, fs) =>
-            idxs.foldLeft(reader.parquet(fs.map(resolve(dir, _)): _*)) { (acc, i) =>
-              val (vf, kc, _) = snap.scoped(i)
-              acc.join(spark.read.parquet(vf.map(resolve(dir, _)): _*), kc, "left_anti")
-            }
-          }
-          .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
-      }
-    applyDvs(spark, dir, base, snap.dvs)
+    readFileSet(spark, dir, snap.files, snap, mergeSchema)
   }
 
   /** Anti-join every delete vector in `dvs` onto `df` (the merge-on-read
@@ -721,6 +728,17 @@ object TxnLog {
       val matching = cur.filter(expr(predicate)).localCheckpoint()
       if (matching.isEmpty) return base
       val keys = matching.select(keyCols.map(col): _*).distinct().localCheckpoint()
+      // the vector deletes BY KEY — if a visible row shares a matched
+      // key without matching the predicate, committing would silently
+      // erase it (suppressed by the vector, never re-inserted). Refuse
+      // loudly: key identity is the caller's contract, and the check is
+      // one semi-join count over the same read the update already paid.
+      val covered = cur.join(keys, keyCols, "left_semi").count()
+      val matched = matching.count()
+      require(covered == matched,
+        s"keyCols $keyCols do not identify the matched rows: ${covered - matched} " +
+          "non-matching row(s) share a matched key and would be lost — update by " +
+          "a unique key, or widen the predicate to cover them")
       val updated = set.foldLeft(matching) { case (df, (c, e)) =>
         df.withColumn(c, expr(e))
       }.select(cur.columns.map(col).toSeq: _*).localCheckpoint()
@@ -1010,7 +1028,10 @@ object TxnLog {
   /** Register a CHECK constraint (SQL boolean expression over the
     * table's columns). Takes effect for every subsequent
     * [[commitChecked]]; existing data is NOT re-validated (the Delta
-    * semantics — add constraints before data, or audit separately). */
+    * semantics — add constraints before data, or audit separately).
+    * Schema administration is SINGLE-WRITER by contract (the vacuum
+    * precedent): concurrent addConstraint calls are read-modify-write
+    * races on one metadata file. */
   def addConstraint(dir: String, name: String, expr: String): Unit = {
     require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
       s"bad constraint name '$name'")
@@ -1050,7 +1071,11 @@ object TxnLog {
     * (null predicate results count as violations — a CHECK must prove
     * true); the first violated constraint refuses the whole commit
     * before any data file or manifest lands. */
-  def commitChecked(df: DataFrame, dir: String): Long = {
+  def commitChecked(df0: DataFrame, dir: String): Long = {
+    // pin the batch FIRST: validating one execution of the plan and
+    // committing another would let a non-stable source (live directory,
+    // rand()) land rows the check never saw
+    val df = df0.localCheckpoint()
     val cs = constraints(dir)
     if (cs.nonEmpty) {
       val aggs = cs.map { case (n, e) =>

@@ -154,11 +154,14 @@ private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
   override def latestOffset(): Offset = {
     val head = TxnLog.currentVersion(dir)
     // saturating add: the unlimited default is Long.MaxValue and the
-    // cursor is a real version — a raw sum overflows negative
+    // cursor is a real version — a raw sum overflows negative. The outer
+    // max keeps the cursor from REGRESSING when the head is still below
+    // it (startingVersion ahead of the table): sliding back would later
+    // deliver the versions the floor was set to skip.
     val stepped =
       if (cursor > Long.MaxValue - maxPerTrigger) Long.MaxValue
       else cursor + maxPerTrigger
-    cursor = math.min(head, stepped)
+    cursor = math.max(cursor, math.min(head, stepped))
     TxnOffset(cursor)
   }
   override def deserializeOffset(json: String): Offset = {
@@ -193,8 +196,21 @@ private[sources] class TxnStreamReaderFactory(required: StructType)
     val fr = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(p.file), conf))
     val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val projected0 = TxnStreamSource.projectFrom(fileSchema, required.fieldNames)
+    // a file carrying NONE of the required columns still has rows to
+    // deliver (as all-null) — keep one file column to drive iteration
+    val projected =
+      if (projected0.getFieldCount > 0) projected0
+      else new MessageType("spark_schema", fileSchema.getFields.get(0))
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      TxnStreamSource.projectFrom(fileSchema, required.fieldNames).toString)
+      projected.toString)
+    // per-FILE field indices: a file predating a schema-evolution commit
+    // lacks later columns, so the materialized Group's positions shift —
+    // resolve every required field by NAME against this file's projection
+    // (-1 = absent: the row carries null, the mergeSchema batch-read
+    // semantics)
+    val fieldIdx: Array[Int] = required.fieldNames.map(n =>
+      if (projected.containsField(n)) projected.getFieldIndex(n) else -1)
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new GroupReadSupport(), new HPath(p.file)).withConf(conf).build()
     new PartitionReader[InternalRow] {
@@ -202,14 +218,15 @@ private[sources] class TxnStreamReaderFactory(required: StructType)
       override def next(): Boolean = { cur = reader.read(); cur != null }
       override def get(): InternalRow =
         new GenericInternalRow(required.fields.indices.map { i =>
-          if (cur.getFieldRepetitionCount(i) == 0) null
+          val gi = fieldIdx(i)
+          if (gi < 0 || cur.getFieldRepetitionCount(gi) == 0) null
           else required.fields(i).dataType match {
-            case LongType    => cur.getLong(i, 0): java.lang.Long
-            case IntegerType => cur.getInteger(i, 0): java.lang.Integer
-            case DoubleType  => cur.getDouble(i, 0): java.lang.Double
-            case FloatType   => cur.getFloat(i, 0): java.lang.Float
-            case BooleanType => cur.getBoolean(i, 0): java.lang.Boolean
-            case StringType  => UTF8String.fromString(cur.getString(i, 0))
+            case LongType    => cur.getLong(gi, 0): java.lang.Long
+            case IntegerType => cur.getInteger(gi, 0): java.lang.Integer
+            case DoubleType  => cur.getDouble(gi, 0): java.lang.Double
+            case FloatType   => cur.getFloat(gi, 0): java.lang.Float
+            case BooleanType => cur.getBoolean(gi, 0): java.lang.Boolean
+            case StringType  => UTF8String.fromString(cur.getString(gi, 0))
             case other => throw new IllegalStateException(s"unreachable: $other")
           }
         }.toArray[Any])

@@ -722,6 +722,30 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](T.clone(spark, dir2, freshTable()))
   }
 
+  test("pruned scans apply update vectors; collisions refuse loudly") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commitWithStats(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1),
+      dir, Seq("k"))
+    T.commitWithBloom(Seq((3L, 30L)).toDF("k", "x").coalesce(1), dir, "k")
+    T.update(spark, dir, "k = 2", Seq("x" -> "x * 10"), Seq("k"))
+    // scanPruned must not resurrect the pre-update row (one k=2, x=200)
+    val pruned = T.scanPruned(spark, dir, "k", 1L, 3L).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pruned == Seq((1L, 10L), (2L, 200L), (3L, 30L)), s"got $pruned")
+    val point = T.scanPoint(spark, dir, "k", "2").df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(point == Seq((2L, 200L)), s"got $point")
+    // a non-matching row sharing a matched key would be silently erased —
+    // the update must refuse instead
+    T.commit(Seq((7L, 70L), (7L, 71L)).toDF("k", "x").coalesce(1), dir)
+    val ex = intercept[IllegalArgumentException](
+      T.update(spark, dir, "x = 70", Seq("x" -> "0"), Seq("k")))
+    assert(ex.getMessage.contains("share a matched key"))
+    assert(T.read(spark, dir).filter("k = 7").count() == 2L, "refusal left a trace")
+  }
+
   test("update racing a concurrent append never loses the append") {
     val dir = freshTable()
     import spark.implicits._

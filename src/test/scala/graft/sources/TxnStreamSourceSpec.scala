@@ -95,6 +95,21 @@ class TxnStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen2.flatMap(_._2) == Seq(3L), s"restart replayed: ${seen2.toSeq}")
   }
 
+  test("startingVersion ahead of the head never regresses the cursor") {
+    val dir = freshTable()
+    import spark.implicits._
+    TxnLog.commit(Seq(1L).toDF("v").coalesce(1), dir)   // head = 1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    // floor above the head: nothing may be delivered now...
+    drain(stream(dir, Map("startingVersion" -> "5")), seen)
+    assert(seen.flatMap(_._2).isEmpty, s"floor violated: ${seen.toSeq}")
+    // ...and versions 2..5 stay excluded once the table catches up
+    (2L to 6L).foreach(i => TxnLog.commit(Seq(i * 100).toDF("v").coalesce(1), dir))
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir, Map("startingVersion" -> "5")), seen2)
+    assert(seen2.flatMap(_._2).sorted == Seq(600L), s"got ${seen2.toSeq}")
+  }
+
   test("startingVersion floors the stream; projection narrows the read") {
     val dir = freshTable()
     import spark.implicits._
