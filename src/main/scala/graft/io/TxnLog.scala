@@ -445,7 +445,11 @@ object TxnLog {
   // so a checkpoint can never go stale for its own version.
   // Format: `F <rel>` per visible data file, then one
   // `V <keyCols><TAB><rel>...` line per pending delete vector (order
-  // preserved — vectors anti-join in commit order).
+  // preserved — vectors anti-join in commit order), then one
+  // `S <keyCols><TAB><nVecs><TAB><vecFiles...><TAB><appliesTo...>` line
+  // per pending SCOPED update vector: nVecs counts the vector files
+  // that follow; the remaining tab-fields are the sorted set of data
+  // files the vector applies to (scope — reads of other files skip it).
   // ------------------------------------------------------------------
 
   private def checkpointPath(dir: String, v: Long): Path =

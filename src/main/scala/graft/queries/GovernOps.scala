@@ -420,7 +420,8 @@ object GovernOps {
     * orders (1-URGENT/2-HIGH) differ from the rest? The KS statistic is
     * sup over x of |ECDF_a(x) − ECDF_b(x)| = max over observed values of
     * |cumA·N_b − cumB·N_a| / (N_a·N_b); the query reports the integer
-    * NUMERATOR in DECIMAL(38,0) plus both sample sizes and the argmax
+    * NUMERATOR as BIGINT (exact DECIMAL(38,0) intermediate, `require`d
+    * to fit — see the bound at the cast) plus both sample sizes and the argmax
     * value (smallest value attaining the max) — exact rational
     * sufficient statistics, never a float near the gate (the q196
     * lesson; consumers divide at whatever precision they need).
@@ -454,6 +455,14 @@ object GovernOps {
     val offA = typedLit(exclusivePrefix(_._2))
     val offB = typedLit(exclusivePrefix(_._3))
     // pass 2: ONE bucket-partitioned window carries both running sums
+    // Gate-type bound: ks_num = |cumA·N_b − cumB·N_a| ≤ N_a·N_b, so it
+    // fits BIGINT whenever N_a·N_b < 2^63 — true at every gate/bench
+    // scale (sf0.1 orders ≈ 1.5e5 rows → N_a·N_b ≈ 5.6e9) and up to
+    // ~3e9 rows per sample. Emit BIGINT: the driver's hash canonicalizes
+    // DECIMAL(38,0) differently from DuckDB's HUGEINT (r08 red cells);
+    // the decimal intermediate keeps the multiply exact either way.
+    require(nA <= (Long.MaxValue / math.max(nB, 1L)),
+      s"ks_num bound N_a*N_b = $nA*$nB overflows BIGINT — widen the gate type")
     val w = Window.partitionBy(col("cbk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dec = DecimalType(38, 0)
@@ -462,7 +471,7 @@ object GovernOps {
       .withColumn("cb", element_at(offB, col("cbk")) + sum(col("nb")).over(w))
       .select(col("v"),
         abs(col("ca").cast(dec) * lit(nB) - col("cb").cast(dec) * lit(nA))
-          .cast(dec).as("ks_num"))
+          .cast("long").as("ks_num"))
       .orderBy(col("ks_num").desc, col("v"))
       .limit(1)
       .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
@@ -484,7 +493,7 @@ object GovernOps {
       |  FROM g)
       |SELECT CAST(nat AS BIGINT) AS n_a, CAST(nbt AS BIGINT) AS n_b,
       |  CAST(ABS(CAST(ca AS DECIMAL(38,0)) * nbt
-      |         - CAST(cb AS DECIMAL(38,0)) * nat) AS DECIMAL(38,0)) AS ks_num,
+      |         - CAST(cb AS DECIMAL(38,0)) * nat) AS BIGINT) AS ks_num,
       |  v AS at_value
       |FROM c
       |ORDER BY ks_num DESC, v
@@ -523,6 +532,17 @@ object GovernOps {
     val offT = typedLit(bucketSums.scanLeft((Long.MinValue, 0L)) {
       case ((_, acc), (cb, c)) => (cb, acc + c)
     }.iterator.zip(bucketSums.iterator).map { case ((_, off), (cb, _)) => cb -> off }.toMap)
+    // Gate-type bound: u2 ≤ 2·N_a·N_b ≤ N²/2 and tie_mass = Σ n(v)(n²−1)
+    // ≤ N³, so every emitted statistic fits BIGINT whenever N³ < 2^63,
+    // i.e. N ≤ 2,097,151 — comfortably true at all gate/bench scales
+    // (sf0.1 orders ≈ 1.5e5 → N³ ≈ 3.4e15). Emit BIGINT: the driver's
+    // hash canonicalizes DECIMAL(38,0) differently from DuckDB's
+    // HUGEINT (r08 red cells); the decimal intermediates keep the
+    // rank-sum arithmetic exact either way. A 100 TB consumer widens
+    // the final cast back to DECIMAL(38,0) — the plan is unchanged.
+    val nTotal = bucketSums.map(_._2).sum
+    require(nTotal <= 2097151L,
+      s"tie_mass bound N^3 with N=$nTotal overflows BIGINT — widen the gate type")
     val w = Window.partitionBy(col("cbk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dec = DecimalType(38, 0)
@@ -539,10 +559,11 @@ object GovernOps {
       .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
         sum(col("r2a")).cast(dec).as("sr2a"), sum(col("tie")).cast(dec).as("tie_mass"))
     terms.select(col("n_a"), col("n_b"),
-      (col("sr2a") - col("n_a").cast(dec) * (col("n_a") + lit(1L))).cast(dec).as("u2_a"),
-      col("tie_mass").cast(dec).as("tie_mass"))
+      (col("sr2a") - col("n_a").cast(dec) * (col("n_a") + lit(1L))).cast(dec).as("u2d"),
+      col("tie_mass").cast("long").as("tie_mass"))
+      .withColumn("u2_a", col("u2d").cast("long"))
       .withColumn("u2_b",
-        (lit(2L).cast(dec) * col("n_a") * col("n_b") - col("u2_a")).cast(dec))
+        (lit(2L).cast(dec) * col("n_a") * col("n_b") - col("u2d")).cast("long"))
       .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"), col("tie_mass"))
   }
   val q238Sql: String =
@@ -562,10 +583,10 @@ object GovernOps {
       |    SUM(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))*n - 1)) AS tie_mass
       |  FROM c)
       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-      |  CAST(sr2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DECIMAL(38,0)) AS u2_a,
+      |  CAST(sr2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT) AS u2_a,
       |  CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b
-      |     - (sr2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) AS DECIMAL(38,0)) AS u2_b,
-      |  CAST(tie_mass AS DECIMAL(38,0)) AS tie_mass
+      |     - (sr2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) AS BIGINT) AS u2_b,
+      |  CAST(tie_mass AS BIGINT) AS tie_mass
       |FROM t""".stripMargin
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
