@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Relational6.defs ++
       graft.queries.Relational7.defs ++
       graft.queries.Relational8.defs ++
+      graft.queries.Relational9.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.TextOps.defs2 ++
       graft.queries.DedupSim.defs ++

@@ -315,6 +315,26 @@ object PlanCheck {
       "BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
         !p.contains("CartesianProduct") &&
         "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined)
+    check("q260_tpch_q9", "part name filter pushed; supplier/nation broadcast; no cartesian")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !p.contains("CartesianProduct") &&
+        "PushedFilters: \\[[^\\]]*p_name".r.findFirstIn(p).isDefined)
+    check("q261_tpch_q20", "nested chain plans as stacked semi joins; year pushed to scan")(p =>
+      "LeftSemi".r.findAllIn(p).size >= 3 &&
+        !p.contains("CartesianProduct") &&
+        "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined)
+    check("q262_tpch_q2", "per-part min broadcasts back; part/supplier sides semi-pruned")(p =>
+      p.contains("LeftSemi") && p.contains("TakeOrderedAndProject") &&
+        "BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q263_tpch_q11", "scalar gate broadcasts onto part grain; corpus shuffles once")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+        p.contains("LeftSemi") && p.contains("partial_sum") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q264_tpch_q16", "pair-grain distinct partial-aggs; excluded suppliers anti-broadcast")(p =>
+      p.contains("LeftAnti") && p.contains("partial") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))
