@@ -28,8 +28,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Scratch IO on tmpfs when available: streaming drives pay per-micro-batch
+// checkpoint fsyncs (offsets/commits + state-store deltas), and every query
+// helper stages temp dirs through java.io.tmpdir — on this image /tmp is
+// ext4 while /dev/shm is a RAM-backed tmpfs, so pointing the JVM temp dir
+// and Spark's local dirs there removes disk latency from machinery that a
+// real deployment puts on fast local disks anyway. Falls back to /tmp
+// transparently where /dev/shm doesn't exist.
+val scratchDir: String = {
+  val shm = java.nio.file.Paths.get("/dev/shm")
+  if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+    val d = shm.resolve("graft_tmp")
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  } else sys.props("java.io.tmpdir")
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Djava.io.tmpdir=$scratchDir",
+  s"-Dspark.local.dir=$scratchDir",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -67,6 +67,14 @@ object Bench {
     "q56_array_funcs" -> 0.142345508,
     "q57_range_frame" -> 0.175595745)
 
+  /** Local iteration aid: SPARK_GRAFT_BENCH_ONLY=q179,q214 warms and times
+    * just those prefixes (the driver never sets it → full board). */
+  private val benchOnly: String => Boolean =
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pfx) => name => pfx.split(",").exists(name.startsWith)
+      case None      => _ => true
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,7 +132,7 @@ object Bench {
     // (same decode/segment/ASR work; only the final insert dedups).
     val warmDir = sfDir.replaceAll("sf[0-9.]+/*$", "sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.filter(kv => benchOnly(kv._1)).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // min of N in-process repetitions (round-4 verdict: driver-machine
@@ -136,7 +144,7 @@ object Bench {
     val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (_ <- 1 to reps) {
       graft.queries.DedupSim.invalidateSessionCaches(spark, sfDir)
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries.filter(kv => benchOnly(kv._1)).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9

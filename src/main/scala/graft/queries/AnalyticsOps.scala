@@ -649,6 +649,8 @@ object AnalyticsOps {
     // query on `s` can no longer observe the override
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // complete-mode sink: the no-data batch only evicts state — skip it
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = s2.readStream.format("graft.sources.GenSource")
       .option("rows", "50000").option("slices", "4").option("batchRows", "8192")
       .load()
@@ -751,6 +753,8 @@ object AnalyticsOps {
     // (round-5 ADVICE item 2)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // complete-mode sink: the no-data batch only evicts state — skip it
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ev = Tables.events(s2, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     // stage once per SOURCE STATE — the q77/q127 idempotency pattern, but

@@ -572,6 +572,8 @@ object CorpusOps {
     import org.apache.spark.sql.types._
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // update-mode IVM sinks emit on data arrival; skip the no-data batch
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val staged = java.nio.file.Files.createTempDirectory("graft_q209_src").toString
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -628,6 +630,8 @@ object CorpusOps {
     import org.apache.spark.sql.types._
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // update-mode IVM sinks emit on data arrival; skip the no-data batch
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val staged = java.nio.file.Files.createTempDirectory("graft_q210_src").toString
     Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       .repartition(3).write.mode("overwrite").parquet(staged)
@@ -777,6 +781,8 @@ object CorpusOps {
     import org.apache.spark.sql.types._
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // update-mode IVM sinks emit on data arrival; skip the no-data batch
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val staged = java.nio.file.Files.createTempDirectory("graft_q214_src").toString
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))

@@ -289,9 +289,21 @@ object PipelineQueries {
     * The pin lands on a DEDICATED child session (spark.newSession shares
     * the context, not the SQLConf), so a concurrent query on the shared
     * session never observes the override (round-5 ADVICE item 2). */
-  private def streamSession(s: SparkSession): SparkSession = {
+  /** @param needsIdleBatch keep Spark's no-data micro-batches (the extra
+    *   trigger after the watermark advances) ONLY where the emitted result
+    *   depends on watermark-driven finalization — outer-join null extension
+    *   (q179/q182), append-mode session windows (q190), event-time timers
+    *   (q218). Everywhere else (inner joins, dedup-on-arrival, NoTimeout
+    *   state, update/complete sinks) the idle batch only evicts state the
+    *   drive is about to drop, at ~0.5 s of state-store commit cost per
+    *   drive — measured on q81's profile (round-9; the whole streaming
+    *   block was ~29 s of the board). */
+  private def streamSession(s: SparkSession, needsIdleBatch: Boolean = false): SparkSession = {
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    if (!needsIdleBatch)
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2
   }
 
@@ -328,7 +340,7 @@ object PipelineQueries {
     // from the stream — one metadata-scale row, computed before the drive
     val maxUs = Tables.events(s, d).agg(max(col("ts_us"))).head().getLong(0)
     val cutoffUs = maxUs - 16L * 60L * 1000000L
-    graft.streaming.Streaming.intervalJoinLeftOuterOnce(streamSession(s), d,
+    graft.streaming.Streaming.intervalJoinLeftOuterOnce(streamSession(s, needsIdleBatch = true), d,
         withinMinutes = 5,
         queryName = s"graft_q179_${java.lang.Integer.toHexString(d.hashCode)}")
       .filter(unix_micros(col("a_ts")) <= cutoffUs)
@@ -364,7 +376,7 @@ object PipelineQueries {
     val cutoffUs = maxUs - 16L * 60L * 1000000L
     val aUs = unix_micros(col("a_ts"))
     val bUs = unix_micros(col("b_ts"))
-    graft.streaming.Streaming.intervalJoinOuterOnce(streamSession(s), d,
+    graft.streaming.Streaming.intervalJoinOuterOnce(streamSession(s, needsIdleBatch = true), d,
         withinMinutes = 5, joinType = "fullOuter",
         queryName = s"graft_q182_${java.lang.Integer.toHexString(d.hashCode)}")
       .filter(coalesce(aUs, bUs) <= cutoffUs && coalesce(bUs, aUs) <= cutoffUs)
@@ -632,7 +644,7 @@ object PipelineQueries {
     * still above the watermark. sum_value survives the gate because each
     * value quantizes to DECIMAL(18,6) before the order-free sum. */
   def q190(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Streaming.sessionWindowOnce(streamSession(s), d,
+    graft.streaming.Streaming.sessionWindowOnce(streamSession(s, needsIdleBatch = true), d,
       queryName = s"graft_q190_${java.lang.Integer.toHexString(d.hashCode)}")
       .orderBy(col("user_id"), col("start_us"))
   val q190Sql: String =
@@ -668,7 +680,7 @@ object PipelineQueries {
     * stats: wm = (max_ts_us // 1000 − 600000) · 1000. Integer cents make
     * every column order-free and exact. */
   def q218(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Streaming.sessionTimeoutOnce(streamSession(s), d,
+    graft.streaming.Streaming.sessionTimeoutOnce(streamSession(s, needsIdleBatch = true), d,
       queryName = s"graft_q218_${java.lang.Integer.toHexString(d.hashCode)}")
       .orderBy(col("user_id"), col("start_us"))
   val q218Sql: String =

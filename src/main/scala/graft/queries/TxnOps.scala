@@ -29,6 +29,10 @@ object TxnOps {
   private def txnSession(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // the streaming drives here (q229/q239/q240) are foreachBatch over a
+    // version-offset source — no watermark-driven emission, so the no-data
+    // micro-batch is pure per-drive overhead
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2
   }
 
@@ -213,6 +217,63 @@ object TxnOps {
       |WHERE year(o_orderdate) BETWEEN 1997 AND 1998
       |GROUP BY 1
       |ORDER BY o_oyear""".stripMargin
+
+  // ---------------------------------------------------------------- q265
+  /** HIVE-STYLE PARTITION PRUNING through the txn log (round 9) — the
+    * coarsest file skipping a 100 TB table has, cheaper than the q223
+    * stats sidecars because the file PATH is the metadata: commits land
+    * via [[TxnLog.commitPartitioned]], whose `col=val` dir segments let
+    * [[TxnLog.scanPruned]] drop files at planning time before any stats
+    * or bloom sidecar is consulted. The fixture also proves PARTITION-SPEC
+    * EVOLUTION: commit 1 is a PLAIN append (years ≤1996, column in-file,
+    * pre-evolution), commits 2–3 are partitioned by order year (column
+    * in-path) — exactly how a real table starts flat and adopts
+    * partitioning later. Faces: 0 = the planning ledger (files planned for
+    * year=1997 — the 1997 partition plus the un-prunable pre-evolution
+    * file — vs files total, both stated independently by the oracle from
+    * the year distribution); 1 = the pruned scan's aggregate (equals the
+    * full-table 1997 filter — pruning soundness, the residual predicate
+    * still drops the pre-evolution file's rows); 2 = the FULL evolution
+    * read's per-year rollup (path-derived and in-file partition values
+    * reconcile into one column). */
+  def q265(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q265_tbl").toString
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_oyear"))
+    TxnLog.commit(ord.filter(col("o_oyear") <= 1996).coalesce(1), dir)
+    TxnLog.commitPartitioned(ord.filter(col("o_oyear") === 1997).coalesce(1),
+      dir, Seq("o_oyear"))
+    TxnLog.commitPartitioned(ord.filter(col("o_oyear") >= 1998).coalesce(1),
+      dir, Seq("o_oyear"))
+    val scan = TxnLog.scanPruned(s, dir, "o_oyear", 1997L, 1997L)
+    val ledger = s.range(1).select(lit(0L).as("face"), lit(0L).as("o_oyear"),
+      lit(scan.plannedFiles.toLong).as("n"), lit(scan.totalFiles.toDouble).as("rev"))
+    def rollup(df: org.apache.spark.sql.DataFrame, face: Long) = df
+      .groupBy(col("o_oyear").cast("long").as("o_oyear"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("rev"))
+      .select(lit(face).as("face"), col("o_oyear"), col("n"), col("rev"))
+    ledger.unionByName(rollup(scan.df, 1L))
+      .unionByName(rollup(TxnLog.read(s, dir), 2L))
+      .orderBy(col("face"), col("o_oyear"))
+  }
+  val q265Sql: String =
+    """WITH yr AS (SELECT year(o_orderdate) AS y, o_totalprice FROM orders)
+      |SELECT CAST(0 AS BIGINT) AS face, CAST(0 AS BIGINT) AS o_oyear,
+      |       CAST(2 AS BIGINT) AS n,
+      |       CAST(1 + 1 + (SELECT COUNT(DISTINCT y) FROM yr WHERE y >= 1998)
+      |            AS DOUBLE) AS rev
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), CAST(y AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM yr WHERE y = 1997 GROUP BY y
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(y AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM yr GROUP BY y
+      |ORDER BY face, o_oyear""".stripMargin
 
   // ---------------------------------------------------------------- q228
   /** SHALLOW CLONE (zero-copy table fork): source = two appends + a
@@ -1039,5 +1100,6 @@ object TxnOps {
     "q229_stream_exactly_once" -> ((q229 _, Some(q229Sql))),
     "q231_cdf_apply_ivm" -> ((q231 _, Some(q231Sql))),
     "q232_txn_schema_evolution" -> ((q232 _, Some(q232Sql))),
-    "q233_bloom_point_lookup" -> ((q233 _, Some(q233Sql))))
+    "q233_bloom_point_lookup" -> ((q233 _, Some(q233Sql))),
+    "q265_partition_pruning" -> ((q265 _, Some(q265Sql))))
 }

@@ -335,6 +335,12 @@ object PlanCheck {
       p.contains("LeftAnti") && p.contains("partial") &&
         !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    // q265: partition pruning happens at PLANNING time (file-list
+    // construction) — the physical plan must show plain unioned scans
+    // with no join anywhere; the planned-vs-total file counts themselves
+    // are hash-gated in the entry's ledger row
+    check("q265_partition_pruning", "pruned plan is unioned scans; no join, no cartesian")(p =>
+      p.contains("Union") && !p.contains("Join") && !p.contains("CartesianProduct"))
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))

@@ -814,4 +814,40 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.read(spark, dst).collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 3L))
   }
+
+  test("partitioned commits: evolution read, pruning order, clone, vacuum") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    // v1 pre-evolution (k in-file), v2-v3 partitioned (k in-path)
+    T.commit(Seq((1L, 10L), (1L, 11L)).toDF("k", "v"), dir)
+    T.commitPartitioned(Seq((2L, 20L), (3L, 30L)).toDF("k", "v"), dir, Seq("k"))
+    T.commitPartitioned(Seq((4L, 40L)).toDF("k", "v"), dir, Seq("k"))
+    // the full read reconciles in-file and in-path partition columns
+    def rows(asOf: Option[Long] = None) = T.read(spark, dir, asOf)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows() == Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(rows(Some(1L)) == Seq((1L, 10L), (1L, 11L)), "time travel below evolution")
+    // partition pruning: k=3 plans only its partition dir plus the
+    // un-prunable pre-evolution file; rows are exact either way
+    val scan = T.scanPruned(spark, dir, "k", 3L, 3L)
+    assert(scan.totalFiles >= 4 && scan.plannedFiles < scan.totalFiles,
+      s"expected pruning, planned ${scan.plannedFiles} of ${scan.totalFiles}")
+    assert(scan.df.select("v").collect().map(_.getLong(0)).toSeq == Seq(30L))
+    // point lookup prunes by path equality before blooms
+    val pt = T.scanPoint(spark, dir, "k", "4")
+    assert(pt.plannedFiles < pt.totalFiles)
+    assert(pt.df.select("v").collect().map(_.getLong(0)).toSeq == Seq(40L))
+    // shallow clone keeps dir-encoded values readable through @-refs
+    val dst = freshTable()
+    T.clone(spark, dir, dst)
+    assert(T.read(spark, dst).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == rows())
+    // compaction rewrites flat (column becomes in-file data); vacuum then
+    // reclaims the nested partition files and empty col=val dirs
+    T.compact(spark, dir, numFiles = 1)
+    val victims = T.vacuum(dir, retainVersions = 1)
+    assert(victims.exists(_.contains("k=")), s"nested files not reclaimed: $victims")
+    assert(rows() == Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
 }
