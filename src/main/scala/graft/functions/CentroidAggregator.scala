@@ -86,4 +86,35 @@ object CentroidAggregator {
       override def outputEncoder: Encoder[SumsQ6] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SumsQ6]()
     }
+
+  /** [[sumsQ6]] over DOUBLE vectors (q266's PQ residual training): the
+    * quantization rounds the double directly — no float detour — so it
+    * matches DuckDB's `round(res * 1e6)` on the identical double. The
+    * half-up vs half-away divergence of `math.round` cannot fire: residual
+    * values are dyadic rationals (differences of float-cast doubles) and
+    * `x * 1e6` can only land exactly on .5 for non-dyadic x. */
+  def sumsQ6D(dim: Int): Aggregator[Array[Double], Buf, SumsQ6] =
+    new Aggregator[Array[Double], Buf, SumsQ6] {
+      override def zero: Buf = Buf(new Array[Long](dim), 0L)
+      override def reduce(b: Buf, a: Array[Double]): Buf = {
+        var i = 0
+        val m = math.min(dim, a.length)
+        while (i < m) {
+          b.sums(i) += math.round(a(i) * 1e6)
+          i += 1
+        }
+        b.n += 1
+        b
+      }
+      override def merge(x: Buf, y: Buf): Buf = {
+        var i = 0
+        while (i < dim) { x.sums(i) += y.sums(i); i += 1 }
+        x.n += y.n
+        x
+      }
+      override def finish(b: Buf): SumsQ6 = SumsQ6(b.sums, b.n)
+      override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      override def outputEncoder: Encoder[SumsQ6] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SumsQ6]()
+    }
 }

@@ -335,6 +335,13 @@ object PlanCheck {
       p.contains("LeftAnti") && p.contains("partial") &&
         !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    // q266: IVF-PQ — assignment/residual/codes are projections; the
+    // candidate join rides the broadcast probe list and the shortlist
+    // refine broadcasts (the only SMJs left are the 5-to-15-row recall
+    // bookkeeping joins, which AQE localizes at runtime), and no cartesian
+    check("q266_ann_ivf_pq", "codes are projections; probe+refine joins broadcast")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !p.contains("CartesianProduct"))
     // q265: partition pruning happens at PLANNING time (file-list
     // construction) — the physical plan must show plain unioned scans
     // with no join anywhere; the planned-vs-total file counts themselves
