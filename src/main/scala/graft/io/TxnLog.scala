@@ -714,6 +714,95 @@ object TxnLog {
     replaceCommitValidated(spark, dir, noop = true)(cur =>
       if (numFiles > 0) cur.coalesce(numFiles) else cur)
 
+  /** OPTIMIZE ZORDER BY (colX, colY): rewrite the visible set as ONE
+    * replace-commit whose `numFiles` files tile the Morton curve over the
+    * two columns, and record each file's (colX, colY) min/max in the
+    * stats sidecar — so [[scanPruned]] skips files for predicates on
+    * EITHER dimension through the ordinary txn-log read path (the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` composition; q191/q200 measure
+    * the curve's skipping power standalone, this wires it into the
+    * table). Same CAS discipline as [[compact]]: content is identity
+    * (pending vectors materialize into the rewrite), the claim re-runs
+    * against any interleaved commit, and a lost claim's files are
+    * removed unreferenced.
+    *
+    * Both dimensions are RANGE-NORMALIZED to 16-bit codes before
+    * interleaving — `qx = (x − min)·2¹⁶ div (max − min + 1)` — because a
+    * raw interleave of unequal-width columns is dominated by the wider
+    * one's high bits and the narrow dimension never partitions (measured
+    * round 9: suppkey got 0/16 skippable files un-normalized, 10/16
+    * after). Integer ops only, so the oracle restates the curve exactly.
+    *
+    * File assignment is DETERMINISTIC — `Ordinals.globalOrdinal` over
+    * (z, tieCols...) then bin = floor((ordinal−1)·numFiles / n), one
+    * file per bin via an explicit bin partitioner — so an oracle can
+    * restate every file's zone map from the data alone (a sampled
+    * range-partitioner write would be approximate; determinism is what
+    * makes the layout hash-gateable, and costs the same two passes).
+    * Stats land post-claim via the ordinary post-write scan; a reader
+    * racing the gap keeps all files (sound, never wrong). */
+  def optimizeZorder(spark: SparkSession, dir: String, colX: String,
+                     colY: String, numFiles: Int,
+                     tieCols: Seq[String]): Long = {
+    import org.apache.spark.sql.Row
+    while (true) {
+      val base = currentVersion(dir)
+      val cur = read(spark, dir).localCheckpoint()
+      val n = cur.count()
+      // range bounds for the 16-bit normalization (one metadata-row job)
+      val b = cur.agg(min(col(colX).cast("long")), max(col(colX).cast("long")),
+        min(col(colY).cast("long")), max(col(colY).cast("long"))).head()
+      val (mnX, mxX, mnY, mxY) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      def norm(c: String, mn: Long, mx: Long) =
+        expr(s"(($c - $mn) * 65536) div (${mx - mn} + 1)")
+      val zc = graft.queries.LayoutOps.zInterleave(
+        norm(colX, mnX, mxX), norm(colY, mnY, mxY))
+      val key = org.apache.spark.sql.functions.struct(
+        (zc.as("__z") +: tieCols.map(col)): _*)
+      val dataCols = cur.columns.toSeq
+      val binned = graft.ops.Ordinals.globalOrdinal(cur, key, numFiles)
+        .withColumn("__bin", expr(s"((ordinal - 1) * $numFiles) div $n"))
+        .select((col("__bin") +: dataCols.map(col)): _*)
+      val part = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numFiles
+        override def getPartition(k: Any): Int = k.asInstanceOf[Long].toInt
+      }
+      val rows = binned.rdd.map(r => (r.getLong(0), Row.fromSeq(r.toSeq.drop(1))))
+        .partitionBy(part).values
+      val out = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(cur.schema.fields))
+      val (rel, files) = writeData(out, dir)
+      if (tryClaim(dir, base + 1, "R noop", files)) {
+        val v = base + 1
+        // post-write zone maps for both curve dimensions (the
+        // commitWithStats post-scan, scoped to the rewrite's files)
+        val withRel = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+          .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+        val aggs = Seq(colX, colY).flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"__mn_$c"),
+          max(col(c).cast("long")).as(s"__mx_$c")))
+        val statRows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val lines = statRows.toVector.flatMap { r =>
+          Seq(colX, colY).flatMap { c =>
+            val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+            if (mn == null || mx == null) None
+            else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+          }
+        }
+        val tmp = Files.createTempFile(logDir(dir), ".stats-", ".tmp")
+        Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        Files.move(tmp, statsPath(dir, v),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return v
+      }
+      val d = new java.io.File(s"$dir/$rel")
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** PARTIAL compaction: bin-pack only the visible files SMALLER than
     * `thresholdBytes` into `targetFiles` rewrites, committed as an `X`
     * exchange — large files never move. This is the OPTIMIZE semantics a

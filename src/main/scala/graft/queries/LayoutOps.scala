@@ -32,7 +32,7 @@ object LayoutOps {
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
-  private def zSqlExprOn(xn: String, yn: String, bits: Int = 16): String =
+  private[graft] def zSqlExprOn(xn: String, yn: String, bits: Int = 16): String =
     (0 until bits).map { i =>
       s"((($xn >> $i) & 1) * ${1L << (2 * i)}) + ((($yn >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")

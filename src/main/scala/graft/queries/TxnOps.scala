@@ -275,6 +275,87 @@ object TxnOps {
       |FROM yr GROUP BY y
       |ORDER BY face, o_oyear""".stripMargin
 
+  // ---------------------------------------------------------------- q267
+  /** OPTIMIZE ZORDER through the txn log (round-9 verdict item 6) — the
+    * composition q191/q200 measured standalone and q237 packed without:
+    * three unordered appends land lineitem's (orderkey, linenumber,
+    * partkey, suppkey) projection, then [[TxnLog.optimizeZorder]] rewrites
+    * the table as ONE replace-commit of 16 Morton-tiled files with
+    * writer-recorded (x, y) zone maps, and the q223-style skipping audit
+    * runs THROUGH [[TxnLog.scanPruned]] — proving a reader skips files
+    * for predicates on EITHER curve dimension where the pre-optimize
+    * layout (append order) could prune nothing. Faces: 0/1 = the x-range
+    * and y-range planning ledgers (planned vs total files, both restated
+    * independently by the oracle from the deterministic curve binning);
+    * 2 = the pruned x-scan's aggregate (equals the full-table filter —
+    * pruning soundness); 3 = the full post-optimize read (compaction
+    * invariance: the rewrite changed layout, not content). */
+  def q267(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q267_tbl").toString
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+      col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    (0 until 3).foreach(i =>
+      TxnLog.commit(base.filter(expr(s"ok % 3 = $i")).coalesce(1), dir))
+    TxnLog.optimizeZorder(s, dir, "x", "y", numFiles = 16,
+      tieCols = Seq("ok", "ln"))
+    val sx = TxnLog.scanPruned(s, dir, "x", 500L, 700L)
+    val sy = TxnLog.scanPruned(s, dir, "y", 30L, 60L)
+    def ledger(face: Long, sc: TxnLog.PrunedScan) = s.range(1).select(
+      lit(face).as("face"), lit(sc.plannedFiles.toLong).as("n_rows"),
+      lit(sc.totalFiles.toLong).as("sum_x"), lit(0L).as("sum_y"))
+    def rollup(df: org.apache.spark.sql.DataFrame, face: Long) = df
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).cast("long").as("sum_x"),
+        sum(col("y")).cast("long").as("sum_y"))
+      .select(lit(face).as("face"), col("n_rows"), col("sum_x"), col("sum_y"))
+    ledger(0L, sx).unionByName(ledger(1L, sy))
+      .unionByName(rollup(sx.df, 2L))
+      .unionByName(rollup(TxnLog.read(s, dir), 3L))
+      .orderBy(col("face"))
+  }
+  val q267Sql: String = {
+    val z = graft.queries.LayoutOps.zSqlExprOn("qx", "qy")
+    s"""WITH base AS (
+       |  SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+       |         l_partkey AS x, l_suppkey AS y
+       |  FROM lineitem),
+       |bounds AS (SELECT min(x) AS mnx, max(x) AS mxx,
+       |                  min(y) AS mny, max(y) AS mxy FROM base),
+       |normed AS (
+       |  SELECT b.*,
+       |    ((x - mnx) * 65536) // (mxx - mnx + 1) AS qx,
+       |    ((y - mny) * 65536) // (mxy - mny + 1) AS qy
+       |  FROM base b, bounds),
+       |zed AS (SELECT *, $z AS z FROM normed),
+       |n AS (SELECT COUNT(*) AS n FROM base),
+       |binned AS (
+       |  SELECT x, y,
+       |    ((row_number() OVER (ORDER BY z, ok, ln) - 1) * 16) // (SELECT n FROM n) AS bin
+       |  FROM zed),
+       |zones AS (
+       |  SELECT bin, min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y
+       |  FROM binned GROUP BY 1)
+       |SELECT CAST(0 AS BIGINT) AS face,
+       |  (SELECT COUNT(*) FROM zones WHERE max_x >= 500 AND min_x <= 700) AS n_rows,
+       |  (SELECT COUNT(*) FROM zones) AS sum_x, CAST(0 AS BIGINT) AS sum_y
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT),
+       |  (SELECT COUNT(*) FROM zones WHERE max_y >= 30 AND min_y <= 60),
+       |  (SELECT COUNT(*) FROM zones), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), COUNT(*),
+       |  CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT)
+       |FROM base WHERE x BETWEEN 500 AND 700
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), COUNT(*),
+       |  CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT)
+       |FROM base
+       |ORDER BY face""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q228
   /** SHALLOW CLONE (zero-copy table fork): source = two appends + a
     * pending MACHINERY delete vector; [[TxnLog.clone]] forks it in ONE
@@ -1101,5 +1182,6 @@ object TxnOps {
     "q231_cdf_apply_ivm" -> ((q231 _, Some(q231Sql))),
     "q232_txn_schema_evolution" -> ((q232 _, Some(q232Sql))),
     "q233_bloom_point_lookup" -> ((q233 _, Some(q233Sql))),
-    "q265_partition_pruning" -> ((q265 _, Some(q265Sql))))
+    "q265_partition_pruning" -> ((q265 _, Some(q265Sql))),
+    "q267_txnlog_optimize_zorder" -> ((q267 _, Some(q267Sql))))
 }

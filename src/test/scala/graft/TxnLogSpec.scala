@@ -850,4 +850,32 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(victims.exists(_.contains("k=")), s"nested files not reclaimed: $victims")
     assert(rows() == Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)))
   }
+
+  test("optimizeZorder: both dimensions prune, content invariant, vectors fold in") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    // a 32x32 grid appended in row-major order: pre-optimize, a y-range
+    // predicate touches EVERY file (each append spans all y)
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y, x * 32 + y)
+    grid.grouped(256).foreach(g => T.commit(g.toDF("x", "y", "id").coalesce(1), dir))
+    // a pending delete vector must materialize into the rewrite
+    T.deleteVector(spark, dir, "id = 0", Seq("id"))
+    val v = T.optimizeZorder(spark, dir, "x", "y", numFiles = 8, tieCols = Seq("id"))
+    assert(v == T.currentVersion(dir))
+    // content invariance: same rows (minus the deleted one), vector gone
+    val got = T.read(spark, dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L until 1024L), "optimize changed table content")
+    // both curve dimensions skip files through the ordinary pruned path
+    val sx = T.scanPruned(spark, dir, "x", 3L, 6L)
+    val sy = T.scanPruned(spark, dir, "y", 3L, 6L)
+    assert(sx.totalFiles == 8 && sx.plannedFiles < 8,
+      s"x-pruning: ${sx.plannedFiles}/${sx.totalFiles}")
+    assert(sy.totalFiles == 8 && sy.plannedFiles < 8,
+      s"y-pruning: ${sy.plannedFiles}/${sy.totalFiles}")
+    // pruning soundness on both axes
+    assert(sx.df.count() == 4 * 32 && sy.df.count() == 4 * 32)
+    // time travel still sees the pre-optimize (pre-vector) layout
+    assert(T.read(spark, dir, Some(v - 2)).count() == 1024L)
+  }
 }
