@@ -92,6 +92,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts
+    // PROTOCOL-NEUTRAL r01 PIN (round-8 verdict item 9): the recorded r01
+    // baseline (30.36 s) predates the warmup/min-of-reps protocol, so the
+    // headline r01_subset ratio (~0.49x) mixes real speedups with protocol
+    // drift. This pass re-measures the 57 r01 queries under the r01-ERA
+    // protocol — genuinely cold JVM (it runs FIRST, before any warmup),
+    // single rep, same query order — so the protocol gap is pinned by
+    // measurement in every BENCH_r*.json, not estimated. Costs ~20 s once;
+    // the warmed protocol below then runs unchanged (its own warmup
+    // re-establishes every documented precondition, and session memos are
+    // evicted before every timed rep regardless).
+    val r01ProtoTotal: Option[Double] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) None
+      else Some {
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter(kv => r01Baseline.contains(kv._1)).map { case (_, fn) =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }.sum
+      }
     // Session warmup so the first timed query of each shape isn't charged
     // for one-time JVM/codegen/shuffle init: exercise the codegen templates
     // (agg, window, broadcast join, regex/hash expressions) and touch every
@@ -182,6 +203,12 @@ object Bench {
       def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(v))
       println(s"""{"metric":"r01_subset","value":${f(cur)},"unit":"sec","r01_value":${f(base)},"ratio":${f(ratio)},"n_shared":${shared.size},"sf":"$sfDir"}""")
+      // the cold-JVM single-rep pin measured above, against the full
+      // 57-query r01 total it replays (protocol-matched on both sides)
+      r01ProtoTotal.foreach { cold =>
+        val base57 = r01Baseline.values.sum
+        println(s"""{"metric":"r01_subset_r01proto","value":${f(cold)},"unit":"sec","r01_value":${f(base57)},"ratio":${f(cold / base57)},"n_shared":${r01Baseline.size},"sf":"$sfDir"}""")
+      }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()

@@ -44,14 +44,18 @@ import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, max, min
   * (time travel is unaffected) while the latest view plans only the
   * compacted files.
   *
-  * Concurrency contract (round-7 advice): APPEND commits (A, D) never
-  * conflict — the version-retry loop is enough, because folding them in
-  * either order yields the same table. REPLACE commits (compact, CoW
-  * delete) read the visible set first, so an interleaved commit would be
-  * silently dropped by a blind retry (lost update); `compact`/`delete`
-  * therefore claim EXACTLY version base+1 (compare-and-swap on the
-  * version counter) and, on losing, re-read the new visible set and
-  * rebuild before trying again. Vacuum stays single-writer by contract.
+  * Concurrency contract (round-7 advice; made explicit round 9): APPEND
+  * commits (A) never conflict — the version-retry loop is enough,
+  * because folding them in either order yields the same table. Every
+  * commit that READS first (compact, CoW delete, deleteVector, update,
+  * merge) claims EXACTLY version base+1 (compare-and-swap on the
+  * version counter) and, on losing, re-reads the new visible set and
+  * re-derives before trying again — serializability by serial
+  * re-execution. The full commit-pair semantics are the documented
+  * matrix at [[classifyConflict]]; keyed writers additionally accept
+  * `isolation = Isolation.Abort` to surface conflicting concurrent
+  * writes to the application instead of transparently re-executing.
+  * Vacuum stays single-writer by contract.
   *
   * Delete vectors (merge-on-read): `deleteVector` commits the matching
   * rows' KEY VALUES (metadata-sized) instead of rewriting the visible
@@ -855,24 +859,179 @@ object TxnLog {
   def delete(spark: SparkSession, dir: String, predicate: String): Long =
     replaceCommitValidated(spark, dir)(_.filter(not(expr(predicate))))
 
+  // ------------------------------------------------------------------
+  // WRITE-CONFLICT CLASSIFICATION: the commit-pair matrix, explicit.
+  // Every multi-writer race was already SAFE (CAS + re-derive = serial
+  // re-execution); this section makes the semantics of each pair a
+  // documented, testable surface the way Delta documents its
+  // write-serializable conflict table — including the one resolution
+  // re-derivation cannot give: letting the APPLICATION observe that a
+  // concurrent writer targeted the same rows.
+  // ------------------------------------------------------------------
+
+  /** What a writer whose snapshot went stale (lost the base+1 CAS) may
+    * do about ONE interleaved commit — see [[classifyConflict]]. */
+  sealed trait Resolution
+  object Resolution {
+    /** The pair commutes: commit in any order (blind appends read
+      * nothing, so no snapshot can go stale under them). */
+    case object NoConflict extends Resolution
+    /** Re-execute against the winner's snapshot. Serializable: the
+      * outcome equals having run strictly after the winner, and the
+      * loser's inputs are declarative (predicate / SET expressions /
+      * source rows), so re-execution preserves its semantics exactly. */
+    case object Rederive extends Resolution
+    /** Silent re-execution would discard intent: either both writers
+      * target the same keys (last-writer-wins would hide the first
+      * write from the application) or the winner replaced content the
+      * loser's whole read depended on. Under [[Isolation.Abort]] the
+      * loser throws [[ConcurrentWriteException]] instead. */
+    case object Conflict extends Resolution
+  }
+
+  /** How a keyed writer ([[update]] / [[deleteVector]] / [[merge]])
+    * resolves a lost CAS. [[Isolation.Rederive]] (default) re-runs on
+    * the new snapshot — full serializability by serial re-execution.
+    * [[Isolation.Abort]] throws [[ConcurrentWriteException]] when any
+    * interleaved commit classifies as [[Resolution.Conflict]] — the
+    * write-serializable surface for callers whose write encodes a
+    * read-modify-write computed OUTSIDE the engine from the stale
+    * snapshot, where transparent re-execution is exactly the lost
+    * update it looks like. Appends and content-identity maintenance
+    * (compact / zorder / compactSmall) never abort anyone. */
+  sealed trait Isolation
+  object Isolation {
+    case object Rederive extends Isolation
+    case object Abort extends Isolation
+  }
+
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** The commit-pair conflict matrix. `attempt` is the loser's manifest
+    * marker, `interleaved` one winner's; `keysOverlap` is consulted only
+    * for keyed winners (U/D) and may be expensive (a semi-join), hence
+    * by-name. Marker classes: blind append (`A`/`T`), content-identity
+    * maintenance (`R noop`/`X noop`), content-changing rewrite
+    * (`R`/`X`), keyed row ops (`U`/`D`).
+    *
+    *   attempt \ interleaved | append | maintenance | rewrite  | keyed (U/D)
+    *   append                | none   | none        | none     | none
+    *   maintenance           | re-run | re-run      | re-run   | re-run
+    *   rewrite               | re-run | re-run      | CONFLICT | CONFLICT
+    *   keyed (U/D/merge)     | re-run | re-run      | CONFLICT | overlap ? CONFLICT : re-run
+    *
+    * Appends never conflict in either role (fold-order-independent).
+    * Maintenance re-runs under everything and aborts no one — its
+    * content is identity, so re-execution loses nothing. A
+    * content-changing rewrite (CoW delete, restore, merge's replace
+    * fallback) invalidates every stale read wholesale: keyed attempts
+    * conflict with it, and two rewrites conflict with each other (their
+    * key sets are implicit in predicates, unknowable from manifests —
+    * conservative). Keyed-vs-keyed checks actual key intersection; an
+    * `X` exchange records files, not keys, so it classifies as a
+    * rewrite. Unknown future markers classify as rewrites (fail safe). */
+  def classifyConflict(attempt: String, interleaved: String,
+                       keysOverlap: => Boolean): Resolution = {
+    def cls(m: String): Char = m match {
+      case "A"                          => 'a'
+      case t if t.startsWith("T ")      => 'a'
+      case "R noop" | "X noop"          => 'm'
+      case u if u.startsWith("U ")      => 'k'
+      case d if d.startsWith("D ")      => 'k'
+      case _                            => 'r' // R, X, unknown: rewrite
+    }
+    (cls(attempt), cls(interleaved)) match {
+      case ('a', _)            => Resolution.NoConflict
+      case ('m', _)            => Resolution.Rederive
+      case (_, 'a') | (_, 'm') => Resolution.Rederive
+      case (_, 'r')            => Resolution.Conflict
+      case (_, 'k')            =>
+        if (keysOverlap) Resolution.Conflict else Resolution.Rederive
+    }
+  }
+
+  /** Manifests interleaved after `base`, oldest first — metadata-sized
+    * (the loser inspects at most the commits that beat it). */
+  private def interleavedSince(dir: String, base: Long): Vector[(Long, String, Vector[String])] =
+    manifests(dir).filter(_._1 > base).sortBy(_._1).toVector.map { case (v, p) =>
+      val (m, body) = parseManifest(p); (v, m, body)
+    }
+
+  /** Do our keys intersect an interleaved U/D commit's key files? Key
+    * files are metadata-sized, so the semi-join is broadcast-cheap.
+    * Different key-column sets are incomparable → conservative true. */
+  private def keyedOverlap(spark: SparkSession, dir: String, keys: DataFrame,
+                           keyCols: Seq[String], marker: String,
+                           body: Vector[String]): Boolean = {
+    val theirCols = marker.drop(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (theirCols.toSet != keyCols.toSet) return true
+    val rels =
+      if (marker.startsWith("U ")) body.collect { case l if l.startsWith("V ") => l.drop(2) }
+      else body
+    rels.isEmpty ||
+      spark.read.parquet(rels.map(resolve(dir, _)): _*)
+        .join(keys, keyCols.toSeq, "left_semi").limit(1).count() > 0
+  }
+
+  /** Abort-mode gate, called by a keyed writer that just lost its CAS:
+    * classify every interleaved commit and throw on the first
+    * [[Resolution.Conflict]]; returning normally means every pair
+    * re-derives and the caller may loop. */
+  private def enforceIsolation(spark: SparkSession, dir: String, base: Long,
+                               attemptMarker: String, isolation: Isolation,
+                               keys: DataFrame, keyCols: Seq[String]): Unit =
+    if (isolation == Isolation.Abort)
+      interleavedSince(dir, base).foreach { case (v, m, body) =>
+        if (classifyConflict(attemptMarker, m,
+            keyedOverlap(spark, dir, keys, keyCols, m, body)) == Resolution.Conflict)
+          throw new ConcurrentWriteException(
+            s"commit [$attemptMarker] from snapshot v$base conflicts with " +
+              s"interleaved v$v [$m]: overlapping keys or a content rewrite — " +
+              "retry on a fresh snapshot, or use Isolation.Rederive for " +
+              "transparent serial re-execution")
+      }
+
+  /** Test seam: runs between a keyed writer's snapshot read and its CAS
+    * claim, so specs can deterministically interleave a conflicting
+    * commit (thread races can't pin who loses). No-op in production. */
+  private[graft] var claimFence: () => Unit = () => ()
+
   /** Row-level DELETE, merge-on-read: commit the matching rows' distinct
-    * KEY VALUES as a delete vector — an append-type commit whose files are
-    * metadata-sized, so a one-row erasure never rewrites the table.
-    * Readers anti-join on `keyCols`; the next compact/delete materializes
-    * the vector physically. Snapshot semantics: rows appended AFTER the
-    * vector's snapshot with matching keys are also suppressed (value-based
-    * vectors delete BY KEY, not by file position — the property that makes
-    * them commute with compaction and appends). Returns the committed
-    * version, or the current version unchanged if nothing matched. */
+    * KEY VALUES as a delete vector — a metadata-sized commit, so a
+    * one-row erasure never rewrites the table. Readers anti-join on
+    * `keyCols`; the next compact/delete materializes the vector
+    * physically. Snapshot semantics: rows appended AFTER the vector's
+    * snapshot with matching keys are also suppressed (value-based
+    * vectors delete BY KEY, not by file position — the property that
+    * makes them commute with compaction and appends). Concurrency
+    * follows [[update]]: claim exactly base+1 and on loss re-derive the
+    * key set against the new snapshot (a blindly slot-bumped vector
+    * would carry keys matched on a stale read — rows a concurrent
+    * rewrite just changed out of the predicate would still die), or
+    * abort per `isolation` and [[classifyConflict]]. Returns the
+    * committed version, or the current version unchanged if nothing
+    * matched. */
   def deleteVector(spark: SparkSession, dir: String, predicate: String,
-                   keyCols: Seq[String]): Long = {
+                   keyCols: Seq[String],
+                   isolation: Isolation = Isolation.Rederive): Long = {
     require(keyCols.nonEmpty, "deleteVector needs at least one key column")
     require(keyCols.forall(c => !c.contains(",") && c.trim.nonEmpty),
       s"key column names must be comma-free: $keyCols")
-    val keys = read(spark, dir).filter(expr(predicate))
-      .select(keyCols.map(col): _*).distinct().localCheckpoint()
-    if (keys.isEmpty) currentVersion(dir)
-    else commitWith(keys, dir, "D " + keyCols.mkString(","))
+    val marker = "D " + keyCols.mkString(",")
+    while (true) {
+      val base = currentVersion(dir)
+      val keys = read(spark, dir).filter(expr(predicate))
+        .select(keyCols.map(col): _*).distinct().localCheckpoint()
+      if (keys.isEmpty) return base
+      val (rel, files) = writeData(keys, dir)
+      claimFence()
+      if (tryClaim(dir, base + 1, marker, files)) return base + 1
+      val d = new java.io.File(s"$dir/$rel")
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      enforceIsolation(spark, dir, base, marker, isolation, keys, keyCols)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Row-level UPDATE, merge-on-read and ATOMIC: one `U <keyCols>`
@@ -895,7 +1054,8 @@ object TxnLog {
     * falls back to a validated replace; clone refuses). Returns the
     * version won, or the current version unchanged if nothing matched. */
   def update(spark: SparkSession, dir: String, predicate: String,
-             set: Seq[(String, String)], keyCols: Seq[String]): Long = {
+             set: Seq[(String, String)], keyCols: Seq[String],
+             isolation: Isolation = Isolation.Rederive): Long = {
     require(keyCols.nonEmpty, "update needs at least one key column")
     require(set.nonEmpty, "update needs at least one SET expression")
     require(keyCols.forall(c => !c.contains(",") && c.trim.nonEmpty),
@@ -923,13 +1083,16 @@ object TxnLog {
       val (vrel, vfiles) = writeData(keys, dir)
       val (arel, afiles) = writeData(updated, dir)
       val body = vfiles.map("V " + _) ++ afiles.map("+" + _)
+      claimFence()
       if (tryClaim(dir, base + 1, "U " + keyCols.mkString(","), body)) return base + 1
       // lost the CAS: both stale dirs are invisible (unreferenced) — drop
-      // them and re-derive against the new snapshot
+      // them, then abort or re-derive per the isolation contract
       Seq(vrel, arel).foreach { rel =>
         val dd = new java.io.File(s"$dir/$rel")
         Option(dd.listFiles()).foreach(_.foreach(_.delete())); dd.delete()
       }
+      enforceIsolation(spark, dir, base, "U " + keyCols.mkString(","),
+        isolation, keys, keyCols)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -952,7 +1115,8 @@ object TxnLog {
     * list is metadata-sized (file names, not rows). Returns the version
     * won (current version unchanged for an empty source). */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-            keyCols: Seq[String]): Long = {
+            keyCols: Seq[String],
+            isolation: Isolation = Isolation.Rederive): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val src = source.localCheckpoint()
     if (src.isEmpty) return currentVersion(dir)
@@ -977,10 +1141,15 @@ object TxnLog {
           .join(srcKeys, keyCols, "left_anti").unionByName(src)
       val (rel, files) = writeData(rewritten.localCheckpoint(), dir)
       val body = touched.map("-" + _).toVector ++ files.map("+" + _)
+      claimFence()
       if (tryClaim(dir, base + 1, "X", body)) return base + 1
-      // lost the CAS — the touched-file set may be stale; discard and re-derive
+      // lost the CAS — the touched-file set may be stale; discard, then
+      // abort or re-derive per the isolation contract (the attempt
+      // classifies as `U`-like: merge's write set IS its source keys)
       val d = new java.io.File(s"$dir/$rel")
       Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      enforceIsolation(spark, dir, base, "U " + keyCols.mkString(","),
+        isolation, srcKeys, keyCols)
     }
     throw new IllegalStateException("unreachable")
   }

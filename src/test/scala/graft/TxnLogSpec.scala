@@ -878,4 +878,154 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time travel still sees the pre-optimize (pre-vector) layout
     assert(T.read(spark, dir, Some(v - 2)).count() == 1024L)
   }
+
+  // ---------------------------------------------------------------------
+  // WRITE-CONFLICT CLASSIFICATION: the commit-pair matrix, each pair
+  // exercised deterministically (claimFence interleaves the winner
+  // between the loser's snapshot and its CAS claim — thread races can't
+  // pin who loses).
+  // ---------------------------------------------------------------------
+
+  /** Arms the fence for exactly one firing, self-disarming BEFORE the
+    * injected commit runs (the injection itself is a keyed writer that
+    * would re-enter the fence). */
+  private def fenceOnce(inject: => Unit): Unit =
+    graft.io.TxnLog.claimFence = () => {
+      graft.io.TxnLog.claimFence = () => ()
+      inject
+    }
+
+  test("conflict matrix: classifyConflict encodes the documented table") {
+    val T = graft.io.TxnLog
+    import T.Resolution._
+    def c(a: String, i: String, ov: Boolean = false) = T.classifyConflict(a, i, ov)
+    // appends never conflict in the attempt role
+    for (i <- Seq("A", "R", "X", "R noop", "D k", "U k")) assert(c("A", i) == NoConflict)
+    assert(c("T w1 7", "U k", ov = true) == NoConflict)
+    // maintenance re-runs under everything, aborts no one
+    for (i <- Seq("A", "R", "X", "U k", "D k")) assert(c("R noop", i, ov = true) == Rederive)
+    assert(c("X noop", "R") == Rederive)
+    // interleaved appends/maintenance never abort a keyed attempt
+    for (a <- Seq("U k", "D k", "R", "X")) {
+      assert(c(a, "A", ov = true) == Rederive)
+      assert(c(a, "R noop", ov = true) == Rederive)
+      assert(c(a, "X noop", ov = true) == Rederive)
+    }
+    // content-changing rewrites invalidate stale reads wholesale
+    for (a <- Seq("U k", "D k", "R", "X"); i <- Seq("R", "X"))
+      assert(c(a, i) == Conflict)
+    // keyed vs keyed: actual key intersection decides
+    assert(c("U k", "U k", ov = true) == Conflict)
+    assert(c("U k", "D k", ov = false) == Rederive)
+    assert(c("D k", "U k", ov = true) == Conflict)
+    // unknown future marker classifies as a rewrite (fail safe)
+    assert(c("U k", "Z weird") == Conflict)
+  }
+
+  test("update vs append (Abort): appends never conflict — re-derives, both land") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit((1L to 5L).map(k => (k, k * 10L)).toDF("k", "x").coalesce(1), dir)
+    try {
+      fenceOnce(T.commit(Seq((9L, 90L)).toDF("k", "x").coalesce(1), dir))
+      T.update(spark, dir, "k <= 2", Seq("x" -> "-x"), Seq("k"),
+        isolation = T.Isolation.Abort)
+    } finally T.claimFence = () => ()
+    val rows = T.read(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.contains((9L, 90L)), "interleaved append lost")
+    assert(rows.contains((1L, -10L)) && rows.contains((2L, -20L)), "update lost")
+  }
+
+  test("update vs update, disjoint keys (Abort): re-derives, both apply") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "x").coalesce(1), dir)
+    try {
+      fenceOnce(T.update(spark, dir, "k >= 9", Seq("x" -> "0L"), Seq("k")))
+      T.update(spark, dir, "k <= 2", Seq("x" -> "-x"), Seq("k"),
+        isolation = T.Isolation.Abort)
+    } finally T.claimFence = () => ()
+    val m = T.read(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(9L) == 0L && m(10L) == 0L, "winner update lost")
+    assert(m(1L) == -10L && m(2L) == -20L, "loser update lost")
+  }
+
+  test("update vs update, overlapping keys (Abort): loser throws, winner intact") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit((1L to 5L).map(k => (k, k * 10L)).toDF("k", "x").coalesce(1), dir)
+    val ex = intercept[T.ConcurrentWriteException] {
+      try {
+        fenceOnce(T.update(spark, dir, "k = 2", Seq("x" -> "999L"), Seq("k")))
+        T.update(spark, dir, "k <= 3", Seq("x" -> "-x"), Seq("k"),
+          isolation = T.Isolation.Abort)
+      } finally T.claimFence = () => ()
+    }
+    assert(ex.getMessage.contains("conflicts with interleaved"))
+    val m = T.read(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) == 999L, "winner's write must survive")
+    assert(m(1L) == 10L && m(3L) == 30L, "aborted loser must leave no trace")
+  }
+
+  test("update vs update, overlapping keys (default Rederive): serial re-execution") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, 100L)).toDF("k", "x").coalesce(1), dir)
+    try {
+      fenceOnce(T.update(spark, dir, "k = 1", Seq("x" -> "x + 7"), Seq("k")))
+      // loser re-derives on the winner's output: (100 + 7) * 2
+      T.update(spark, dir, "k = 1", Seq("x" -> "x * 2"), Seq("k"))
+    } finally T.claimFence = () => ()
+    assert(T.read(spark, dir).collect().map(_.getLong(1)).toSeq == Seq(214L))
+  }
+
+  test("deleteVector vs compact (Abort): maintenance aborts no one — re-derives exactly") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    (1L to 3L).foreach(i =>
+      T.commit(((i * 10L) until (i * 10L + 5L)).map(k => (k, k)).toDF("k", "x").coalesce(1), dir))
+    try {
+      fenceOnce(T.compact(spark, dir, numFiles = 1))
+      T.deleteVector(spark, dir, "k >= 30", Seq("k"), isolation = T.Isolation.Abort)
+    } finally T.claimFence = () => ()
+    assert(T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == ((10L to 14L) ++ (20L to 24L)), "re-derived vector wrong after compaction")
+  }
+
+  test("deleteVector vs update (Rederive): stale-snapshot keys are re-derived, not replayed") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit((1L to 5L).map(k => (k, k * 10L)).toDF("k", "x").coalesce(1), dir)
+    try {
+      // winner moves k=2 OUT of the loser's predicate before the claim; a
+      // blindly slot-bumped vector (pre-round-9 behavior) would still
+      // carry k=2's key and erase the winner's row
+      fenceOnce(T.update(spark, dir, "k = 2", Seq("x" -> "1L"), Seq("k")))
+      T.deleteVector(spark, dir, "x >= 20", Seq("k"))
+    } finally T.claimFence = () => ()
+    val m = T.read(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 10L, 2L -> 1L), s"got $m")
+  }
+
+  test("merge vs update, overlapping keys (Abort): loser throws") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit((1L to 5L).map(k => (k, k * 10L)).toDF("k", "x").coalesce(1), dir)
+    intercept[T.ConcurrentWriteException] {
+      try {
+        fenceOnce(T.update(spark, dir, "k = 3", Seq("x" -> "0L"), Seq("k")))
+        T.merge(spark, dir, Seq((3L, -3L), (8L, -8L)).toDF("k", "x"), Seq("k"),
+          isolation = T.Isolation.Abort)
+      } finally T.claimFence = () => ()
+    }
+    val m = T.read(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(3L) == 0L && !m.contains(8L), "aborted merge must leave no trace")
+  }
 }
