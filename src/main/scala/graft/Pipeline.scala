@@ -45,10 +45,11 @@ object Pipeline {
   /** O1-O5: scan a directory of WAVs and decode each to normalized mono
     * 16 kHz float PCM (pa.py:79-92). Decode failures are skipped per file,
     * not fatal (pa.py:91-92). */
-  def decodeWavDir(spark: SparkSession, wavDir: String): Dataset[DecodedFile] =
+  def decodeWavDir(spark: SparkSession, wavDir: String,
+                   glob: String = "*.wav"): Dataset[DecodedFile] =
     decodeWavRows(
       spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.wav")
+        .option("pathGlobFilter", glob)
         .load(wavDir)
         .select(col("path"), col("content")))
 
@@ -215,9 +216,10 @@ object Pipeline {
     * DataFrame; callers persist it (refresh semantics = overwrite mode,
     * pa.py:401). */
   def run(spark: SparkSession, wavDir: String, outDir: String,
-          transcriberName: String = "stub"): DataFrame = {
+          transcriberName: String = "stub",
+          glob: String = "*.wav"): DataFrame = {
     Files.createDirectories(Paths.get(outDir))
-    val decoded = decodeWavDir(spark, wavDir)
+    val decoded = decodeWavDir(spark, wavDir, glob)
     val segments = segmentFiles(decoded)
     val audioOk = audioQuality(segments)
     val withText = transcribe(audioOk, transcriberName)

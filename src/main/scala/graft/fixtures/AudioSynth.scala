@@ -179,4 +179,37 @@ object AudioSynth {
     Files.write(stamp, Array.emptyByteArray)
     expected
   }
+
+  private val VorbisCorpusVersion = 2
+
+  /** LOSSY-format fixture corpus (q268): deterministic speech-like
+    * content landed as Ogg Vorbis — the MP3/Vorbis-class ingest the
+    * reference receives transparently through pydub/ffmpeg
+    * (`README.md:3`). Same contract as the compressed corpus: the
+    * encoder and decoder are pure functions, so pipeline metadata over
+    * the round-tripped audio freezes into a golden. A CRC-corrupted
+    * stream rides along to keep the per-file error-skip on trial
+    * against a plausible (not garbage) broken file. */
+  def writeVorbisCorpus(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val expected = Seq("vorbis_speech_a.ogg", "vorbis_speech_b.ogg",
+      "vorbis_speech_c.ogg", "vorbis_corrupt.ogg").map(d.resolve)
+    val stamp = d.resolve(s".corpus_vorbis_v$VorbisCorpusVersion")
+    if (Files.exists(stamp) &&
+        expected.forall(p => Files.exists(p) && Files.size(p) > 0))
+      return expected
+    Files.deleteIfExists(stamp)
+    Files.write(d.resolve("vorbis_speech_a.ogg"),
+      graft.io.VorbisCodec.encode(bursts(Seq(4000, 6000)), Rate))
+    Files.write(d.resolve("vorbis_speech_b.ogg"),
+      graft.io.VorbisCodec.encode(bursts(Seq(5500)), Rate))
+    Files.write(d.resolve("vorbis_speech_c.ogg"),
+      graft.io.VorbisCodec.encode(bursts(Seq(3200, 4100)), Rate))
+    val corrupt = graft.io.VorbisCodec.encode(bursts(Seq(1500)), Rate)
+    corrupt(200) = (corrupt(200) ^ 0x55).toByte // breaks a page CRC
+    Files.write(d.resolve("vorbis_corrupt.ogg"), corrupt)
+    Files.write(stamp, Array.emptyByteArray)
+    expected
+  }
 }

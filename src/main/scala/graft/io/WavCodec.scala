@@ -18,6 +18,14 @@ object WavCodec {
   final case class Decoded(samples: Array[Float], channels: Int, sampleRate: Int)
 
   def decode(bytes: Array[Byte]): Decoded = {
+    // container dispatch on magic: Ogg Vorbis rides its own container
+    // (the lossy-family ingest pydub/ffmpeg hands the reference
+    // transparently, README.md:3); everything else is RIFF/WAVE
+    if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g' &&
+        bytes(2) == 'g' && bytes(3) == 'S') {
+      val (info, samples) = VorbisCodec.decode(bytes)
+      return Decoded(samples, info.channels, info.sampleRate)
+    }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 44, s"too short for WAV: ${bytes.length} bytes")
     require(buf.getInt(0) == 0x46464952, "missing RIFF magic") // "RIFF"

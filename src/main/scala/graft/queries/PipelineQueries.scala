@@ -793,6 +793,44 @@ object PipelineQueries {
       |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
       |ORDER BY original_name, wav_name""".stripMargin
 
+  // ---------------------------------------------------------------- q268
+  /** Full audio pipeline over the OGG VORBIS fixture corpus — the q259
+    * contract extended to the MP3/Vorbis-class LOSSY family
+    * (`README.md:3`): q30's chain (scan → decode → segment → metrics →
+    * filters → stub ASR → text filters → overlap → export → metadata)
+    * fed Ogg Vorbis streams through [[graft.io.VorbisCodec]] and the
+    * `WavCodec.decode` magic dispatch. The encoder and decoder are pure
+    * deterministic functions, so the post-round-trip metadata freezes
+    * into a golden VALUES oracle exactly like q30/q259's. Two fixtures
+    * prove filters by ABSENCE (the q30 convention): `vorbis_corrupt` is
+    * a CRC-corrupted stream the Ogg page layer must reject into the
+    * per-file error-skip (pa.py:91-92 — subtler than q30's garbage
+    * bytes, the file LOOKS like valid Ogg), and `vorbis_speech_a`'s
+    * stub transcript lands on a banned outro phrase, so the TEXT filter
+    * chain fires on the Vorbis path too. */
+  def q268(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audio_fixture_vorbis")
+    val oggDir = base.resolve("oggs").toString
+    val outDir = base.resolve("out").toString
+    graft.fixtures.AudioSynth.writeVorbisCorpus(oggDir)
+    graft.Pipeline.run(s, oggDir, outDir, glob = "*.ogg")
+      .withColumn("wav_name", element_at(split(col("wav_path"), "/"), -1))
+      .select(col("original_name"), col("wav_name"), col("text"),
+              round(col("rms") * 1000).cast("long").as("rms_q3"),
+              round(col("clipping_percent") * 1000).cast("long").as("clipping_q3"),
+              round(col("music_ratio") * 1000).cast("long").as("music_q3"),
+              col("overlap_flag"))
+      .orderBy(col("original_name"), col("wav_name"))
+  }
+  /** Golden literal oracle (GoldenDump --q268), frozen like q30Sql. */
+  val q268Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('vorbis_speech_b.ogg', 'vorbis_speech_b_0000s_0005s.wav', 'world hello audio voice', CAST(10630296 AS BIGINT), CAST(15 AS BIGINT), CAST(432 AS BIGINT), FALSE),
+      |  ('vorbis_speech_c.ogg', 'vorbis_speech_c_0000s_0007s.wav', 'hello segment quality audio', CAST(10438654 AS BIGINT), CAST(16 AS BIGINT), CAST(432 AS BIGINT), FALSE)
+      |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
+      |ORDER BY original_name, wav_name""".stripMargin
+
   // ---------------------------------------------------------------- q243
   /** G.711 µ-law + A-law decode, ORACLE-EXACT: the telephony formats
     * (WAV fmt 7/6 — call-center audio is what a transcription corpus
@@ -859,6 +897,7 @@ object PipelineQueries {
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),
+    "q268_audio_pipeline_vorbis" -> ((q268 _, Some(q268Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),
