@@ -363,19 +363,50 @@ object TxnLog {
     PrunedScan(df, keep.size, snap.files.size)
   }
 
+  private def parseStatsLines(text: String): Vector[(String, String, Long, Long)] =
+    text.split("\n").filter(_.nonEmpty).toVector.flatMap { line =>
+      line.split("\t") match {
+        case Array(rel, c, mn, mx) => Some((rel, c, mn.toLong, mx.toLong))
+        case _ => None
+      }
+    }
+
+  private def statsSidecar(dir: String, v: Long): Vector[(String, String, Long, Long)] = {
+    val sp = statsPath(dir, v)
+    if (!Files.exists(sp)) Vector.empty
+    else parseStatsLines(new String(Files.readAllBytes(sp), "UTF-8"))
+  }
+
   /** Every (file, column, min, max) sidecar line across the manifest
-    * chain — the union of all versions' zone maps. */
+    * chain — the union of all versions' zone maps. O(all commits):
+    * reads every sidecar; used where completeness matters regardless of
+    * checkpoint state (clone's stats carry-over). Planning goes through
+    * [[statsTwoLevel]] instead. */
   private def allStats(dir: String): Vector[(String, String, Long, Long)] =
-    manifests(dir).toVector.flatMap { case (v, _) =>
-      val sp = statsPath(dir, v)
-      if (!Files.exists(sp)) Vector.empty
-      else new String(Files.readAllBytes(sp), "UTF-8").split("\n")
-        .filter(_.nonEmpty).toVector.flatMap { line =>
-          line.split("\t") match {
-            case Array(rel, c, mn, mx) => Some((rel, c, mn.toLong, mx.toLong))
-            case _ => None
-          }
-        }
+    manifests(dir).toVector.flatMap { case (v, _) => statsSidecar(dir, v) }
+
+  /** TWO-LEVEL stats lookup (the Iceberg manifest-list / Delta
+    * checkpoint-add-stats move): the newest checkpoint carries the
+    * visible files' zone maps as `Z` lines, so planning reads ONE
+    * checkpoint plus only the sidecars of commits AFTER it — O(commits
+    * since checkpoint), the same bound [[snapshotAt]] already enjoys
+    * for the file list. At 10⁵–10⁶ commits the per-version sidecar
+    * walk, not the data, is the planning bottleneck; this closes the
+    * gap the file-list checkpoint left. Without a checkpoint, falls
+    * back to the full walk. Sidecars below the checkpoint become
+    * ARCHIVABLE: deleting them changes nothing for latest-snapshot
+    * planning (the spec proves it) — missing stats only ever cost
+    * performance, never rows. */
+  private def statsTwoLevel(dir: String): Vector[(String, String, Long, Long)] =
+    checkpointVersions(dir).lastOption match {
+      case Some(cv) =>
+        val fromCkpt = parseStatsLines(
+          new String(Files.readAllBytes(checkpointPath(dir, cv)), "UTF-8")
+            .split("\n").filter(_.startsWith("Z ")).map(_.drop(2)).mkString("\n"))
+        val after = manifests(dir).toVector.filter(_._1 > cv)
+          .flatMap { case (v, _) => statsSidecar(dir, v) }
+        fromCkpt ++ after
+      case None => allStats(dir)
     }
 
   /** A pruned scan: the DataFrame plus how many of the visible files its
@@ -392,7 +423,7 @@ object TxnLog {
   def scanPruned(spark: SparkSession, dir: String, column: String,
                  lo: Long, hi: Long): PrunedScan = {
     val snap = snapshotAt(dir, Long.MaxValue)
-    val stats: Map[String, (Long, Long)] = allStats(dir).collect {
+    val stats: Map[String, (Long, Long)] = statsTwoLevel(dir).collect {
       case (rel, c, mn, mx) if c == column => rel -> ((mn, mx))
     }.toMap
     // partition pruning FIRST (dir-encoded value ⇒ exact zone map for the
@@ -538,7 +569,11 @@ object TxnLog {
   // `S <keyCols><TAB><nVecs><TAB><vecFiles...><TAB><appliesTo...>` line
   // per pending SCOPED update vector: nVecs counts the vector files
   // that follow; the remaining tab-fields are the sorted set of data
-  // files the vector applies to (scope — reads of other files skip it).
+  // files the vector applies to (scope — reads of other files skip it),
+  // then one `Z <rel><TAB><col><TAB><min><TAB><max>` line per visible
+  // (file, stats-column) zone map — the two-level stats layer (see
+  // statsTwoLevel): planning reads the checkpoint + post-checkpoint
+  // sidecars only, and pre-checkpoint sidecars become archivable.
   // ------------------------------------------------------------------
 
   private def checkpointPath(dir: String, v: Long): Path =
@@ -580,6 +615,16 @@ object TxnLog {
     val v = currentVersion(dir)
     require(v > 0, "nothing committed")
     val snap = snapshotAt(dir, v)
+    // carry the VISIBLE files' zone maps as `Z` lines (two-level stats,
+    // see statsTwoLevel) — dead stats of replaced files are dropped here,
+    // which is also the natural garbage collection for the stats layer.
+    // Sourced through the two-level path, not the raw sidecar walk, so a
+    // LATER checkpoint inherits an earlier one's Z lines even after the
+    // pre-checkpoint sidecars were archived.
+    val visible = snap.files.toSet
+    val statLines = statsTwoLevel(dir).collect {
+      case (rel, c, mn, mx) if visible(rel) => s"Z $rel\t$c\t$mn\t$mx"
+    }.distinct
     val lines = snap.files.map("F " + _) ++
       snap.dvs.map { case (fs, keyCols) =>
         (("V " + keyCols.mkString(",")) +: fs).mkString("\t")
@@ -587,7 +632,7 @@ object TxnLog {
       snap.scoped.map { case (vfs, keyCols, at) =>
         (Seq("S " + keyCols.mkString(","), vfs.length.toString) ++
           vfs ++ at.toVector.sorted).mkString("\t")
-      }
+      } ++ statLines
     val tmp = Files.createTempFile(logDir(dir), ".ckpt-", ".tmp")
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     Files.move(tmp, checkpointPath(dir, v),
@@ -1215,9 +1260,9 @@ object TxnLog {
     // external ref, which is how the clone's scanPruned will look them up)
     // — cloning preserves PLANNING metadata, not just data visibility
     val visible = snap.files.toSet
-    val carried = allStats(srcDir).collect {
+    val carried = statsTwoLevel(srcDir).collect {
       case (rel, c, mn, mx) if visible(rel) => s"${ext(rel)}\t$c\t$mn\t$mx"
-    }
+    }.distinct
     if (carried.nonEmpty) {
       val tmp = Files.createTempFile(logDir(dstDir), ".stats-", ".tmp")
       Files.write(tmp, (carried.mkString("\n") + "\n").getBytes("UTF-8"))

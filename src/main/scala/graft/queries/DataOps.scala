@@ -707,6 +707,100 @@ object DataOps {
       |SELECT 'exact', CAST(-2 AS BIGINT), COUNT(DISTINCT l_partkey) FROM lineitem
       |ORDER BY face, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q270
+  /** COUNT-MIN SKETCH (Cormode–Muthukrishnan) — the LINEAR sketch next
+    * to q110's Misra–Gries (comparison-based) and q225/q226's distinct
+    * sketches: d=4 hash rows × w=64 cells of plain counts. Three
+    * properties on trial, all deterministic and oracle-restated:
+    * (face 0) the sketch grid itself — one pass, the post-partial-agg
+    * exchange carries ≤ d·w·partitions rows, never N; (face 1) point
+    * estimates for a probe set: est = min over the item's d cells,
+    * with the one-sided guarantee est ≥ exact that makes CM usable as
+    * an admission filter at 100 TB (never misses a heavy item);
+    * (face 2) LINEARITY — sketch(all) − sketch(slice) equals
+    * sketch(all ∖ slice) cell-for-cell, the turnstile property
+    * Misra–Gries fundamentally lacks: deletions, retractions, and
+    * distributed slice-wise builds all merge by cellwise addition
+    * (mismatching cells must count 0). Hashes are the board's md5
+    * recipe, so both engines compute identical cells. */
+  def q270(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id").as("u"),
+      col("event_type").as("et")).localCheckpoint()
+    def cellOf(j: Int): Column = expr(
+      s"cast(conv(substring(md5(concat('cm$j:', cast(u as string))), 1, 15), 16, 10) as bigint) % 64")
+    def sketch(df: DataFrame): DataFrame = df
+      .select(explode(array((0 until 4).map(j =>
+        struct(lit(j.toLong).as("j"), cellOf(j).as("cell"))): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val all = sketch(ev).localCheckpoint()        // 256-row grids: checkpoint
+    val slice = sketch(ev.filter(col("et") === "click")).localCheckpoint()
+    val rem = sketch(ev.filter(col("et") =!= "click")).localCheckpoint()
+    val face0 = all.select(lit(0L).as("face"), (col("j") * 64 + col("cell")).as("k"),
+      col("cnt").as("v1"), lit(0L).as("v2"))
+    // probe set: a deterministic handful of users; est = min over d cells
+    val probes = ev.filter(col("u") % 13 === 0).groupBy(col("u"))
+      .agg(count(lit(1)).as("exact"))
+    val est = probes.select(col("u"), col("exact"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), cellOf(j).as("cell"))): _*)).as("c"))
+      .join(broadcast(all), col("c.j") === col("j") && col("c.cell") === col("cell"))
+      .groupBy(col("u"), col("exact")).agg(min(col("cnt")).as("est"))
+    val face1 = est.select(lit(1L).as("face"), col("u").as("k"),
+      col("exact").as("v1"), col("est").as("v2"))
+    // linearity: (all − slice) vs remainder, cellwise; 0 mismatches
+    val lin = all.select(col("j"), col("cell"), col("cnt").as("ca"))
+      .join(slice.select(col("j"), col("cell"), col("cnt").as("cs")),
+        Seq("j", "cell"), "left")
+      .join(rem.select(col("j"), col("cell"), col("cnt").as("cr")),
+        Seq("j", "cell"), "left")
+      .select((col("ca") - coalesce(col("cs"), lit(0L))).as("diff"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .agg(sum(when(col("diff") =!= col("cr"), 1L).otherwise(0L)).as("mismatches"))
+    val face2 = lin.select(lit(2L).as("face"), lit(-1L).as("k"),
+      col("mismatches").cast("long").as("v1"), lit(0L).as("v2"))
+    face0.unionByName(face1).unionByName(face2)
+      .orderBy(col("face"), col("k"))
+  }
+  val q270Sql: String =
+    """WITH ev AS (SELECT user_id AS u, event_type AS et FROM events),
+      |cells AS (
+      |  SELECT j.range AS j,
+      |    ('0x' || substr(md5('cm' || j.range || ':' || u), 1, 15))::BIGINT % 64 AS cell,
+      |    u, et
+      |  FROM ev, range(4) j),
+      |grid AS (
+      |  SELECT j, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+      |gslice AS (
+      |  SELECT j, cell, COUNT(*) AS cnt FROM cells WHERE et = 'click' GROUP BY 1, 2),
+      |grem AS (
+      |  SELECT j, cell, COUNT(*) AS cnt FROM cells WHERE et <> 'click' GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT u, COUNT(*) // 4 AS exact FROM cells WHERE u % 13 = 0 GROUP BY u),
+      |est AS (
+      |  SELECT c.u, ANY_VALUE(p.exact) AS exact, MIN(g.cnt) AS est
+      |  FROM (SELECT DISTINCT u, j, cell FROM cells WHERE u % 13 = 0) c
+      |  JOIN probes p ON p.u = c.u
+      |  JOIN grid g ON g.j = c.j AND g.cell = c.cell
+      |  GROUP BY c.u),
+      |lin AS (
+      |  SELECT SUM(CASE WHEN g.cnt - COALESCE(s.cnt, 0) <> COALESCE(r.cnt, 0)
+      |                  THEN 1 ELSE 0 END) AS mism
+      |  FROM grid g
+      |  LEFT JOIN gslice s ON s.j = g.j AND s.cell = g.cell
+      |  LEFT JOIN grem r ON r.j = g.j AND r.cell = g.cell)
+      |SELECT CAST(0 AS BIGINT) AS face, j * 64 + cell AS k,
+      |  CAST(cnt AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+      |FROM grid
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), u, CAST(exact AS BIGINT), CAST(est AS BIGINT)
+      |FROM est
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(-1 AS BIGINT), CAST(mism AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |FROM lin
+      |ORDER BY face, k""".stripMargin
+
   // ---------------------------------------------------------------- q226
   /** KMV / THETA SKETCH SET ALGEBRA (round 8): the k-minimum-values
     * distinct sketch — the one that, unlike q225's HLL, supports SET
@@ -812,6 +906,7 @@ object DataOps {
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q226_theta_sketch_algebra" -> ((q226 _, Some(q226Sql))),
+    "q270_count_min_sketch" -> ((q270 _, Some(q270Sql))),
     "q224_avro_roundtrip" -> ((q224 _, Some(q224Sql))),
     "q225_hll_registers" -> ((q225 _, Some(q225Sql))),
     "q186_compaction_bins" -> ((q186 _, Some(q186Sql))),

@@ -356,6 +356,75 @@ object TxnOps {
        |ORDER BY face""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q269
+  /** TWO-LEVEL METADATA PLANNING (Iceberg's manifest-list / Delta's
+    * checkpoint-add-stats move, composed onto q234's checkpoints and
+    * q223's stats sidecars): five range-bucketed appends land with zone
+    * maps, a checkpoint after the third CARRIES the visible files' stats
+    * as `Z` lines, the pre-checkpoint sidecars are then ARCHIVED
+    * (deleted — at 10⁵–10⁶ commits the per-version sidecar walk is the
+    * planning bottleneck, and archivability is the proof the walk is no
+    * longer needed), and [[TxnLog.scanPruned]] must still skip the same
+    * files using checkpoint + post-checkpoint sidecars only. Faces:
+    * 0 = planning ledger (planned vs total files + the post-checkpoint
+    * fold cost — all restated by the oracle from the deterministic
+    * range bucketing); 1 = the pruned scan's aggregate (soundness:
+    * equals the full-table filter); 2 = the full read (content
+    * untouched by metadata surgery). */
+  def q269(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q269_tbl").toString
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val maxPk = base.agg(max(col("pk"))).head().getLong(0)
+    def slice(i: Int) =
+      base.filter(expr(s"pk * 5 div ${maxPk + 1} = $i")).coalesce(1)
+    (0 until 3).foreach(i => TxnLog.commitWithStats(slice(i), dir, Seq("pk")))
+    val cv = TxnLog.checkpoint(dir)
+    (3 until 5).foreach(i => TxnLog.commitWithStats(slice(i), dir, Seq("pk")))
+    // archive every sidecar at or below the checkpoint
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_txnlog"))
+      .toArray.map(_.toString).filter(_.endsWith(".stats"))
+      .filter(_.split("/").last.stripPrefix("v").stripSuffix(".stats").toLong <= cv)
+      .foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    // query range: the middle of bucket 1 — exactly one bucket intersects
+    val lo = (maxPk + 1) / 5 + 2
+    val hi = 2 * (maxPk + 1) / 5 - 2
+    val sc = TxnLog.scanPruned(s, dir, "pk", lo, hi)
+    val ledger = s.range(1).select(lit(0L).as("face"),
+      lit(sc.plannedFiles.toLong).as("n_rows"),
+      lit(sc.totalFiles.toLong).as("sum_ok"),
+      lit(TxnLog.foldCost(dir).toLong).as("sum_pk"))
+    def rollup(df: org.apache.spark.sql.DataFrame, face: Long) = df
+      .agg(count(lit(1)).as("n_rows"), sum(col("ok")).cast("long").as("sum_ok"),
+        sum(col("pk")).cast("long").as("sum_pk"))
+      .select(lit(face).as("face"), col("n_rows"), col("sum_ok"), col("sum_pk"))
+    ledger.unionByName(rollup(sc.df, 1L))
+      .unionByName(rollup(TxnLog.read(s, dir), 2L))
+      .orderBy(col("face"))
+  }
+  val q269Sql: String =
+    """WITH base AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |mx AS (SELECT max(pk) AS m FROM base),
+      |buckets AS (
+      |  SELECT pk * 5 // (m + 1) AS b, min(pk) AS bmin, max(pk) AS bmax
+      |  FROM base, mx GROUP BY 1),
+      |q AS (SELECT (m + 1) // 5 + 2 AS lo, 2 * (m + 1) // 5 - 2 AS hi FROM mx)
+      |SELECT CAST(0 AS BIGINT) AS face,
+      |  (SELECT COUNT(*) FROM buckets, q WHERE bmax >= lo AND bmin <= hi) AS n_rows,
+      |  (SELECT COUNT(*) FROM buckets) AS sum_ok,
+      |  CAST(2 AS BIGINT) AS sum_pk
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), COUNT(*), CAST(SUM(ok) AS BIGINT),
+      |  CAST(SUM(pk) AS BIGINT)
+      |FROM base, q WHERE pk BETWEEN lo AND hi
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(ok) AS BIGINT),
+      |  CAST(SUM(pk) AS BIGINT)
+      |FROM base
+      |ORDER BY face""".stripMargin
+
   // ---------------------------------------------------------------- q228
   /** SHALLOW CLONE (zero-copy table fork): source = two appends + a
     * pending MACHINERY delete vector; [[TxnLog.clone]] forks it in ONE
@@ -1183,5 +1252,6 @@ object TxnOps {
     "q232_txn_schema_evolution" -> ((q232 _, Some(q232Sql))),
     "q233_bloom_point_lookup" -> ((q233 _, Some(q233Sql))),
     "q265_partition_pruning" -> ((q265 _, Some(q265Sql))),
-    "q267_txnlog_optimize_zorder" -> ((q267 _, Some(q267Sql))))
+    "q267_txnlog_optimize_zorder" -> ((q267 _, Some(q267Sql))),
+    "q269_two_level_stats" -> ((q269 _, Some(q269Sql))))
 }

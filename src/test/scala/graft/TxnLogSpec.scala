@@ -879,6 +879,53 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.read(spark, dir, Some(v - 2)).count() == 1024L)
   }
 
+  test("checkpoint carries zone maps: pre-checkpoint stats sidecars are archivable") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    def put(lo: Long): Unit = T.commitWithStats(
+      (lo until lo + 10L).map(k => (k, k)).toDF("k", "x").coalesce(1), dir, Seq("k"))
+    // three pre-checkpoint commits, checkpoint, two more commits
+    put(0L); put(100L); put(200L)
+    val cv = T.checkpoint(dir)
+    put(300L); put(400L)
+    def sidecars() = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_txnlog"))
+      .toArray.map(_.toString).filter(_.endsWith(".stats")).sorted
+    val pre = sidecars().filter { p =>
+      p.split("/").last.stripPrefix("v").stripSuffix(".stats").toLong <= cv
+    }
+    assert(pre.size == 3, s"expected 3 pre-checkpoint sidecars, got ${pre.toSeq}")
+    val before = T.scanPruned(spark, dir, "k", 100L, 109L)
+    assert(before.totalFiles == 5 && before.plannedFiles == 1)
+    // ARCHIVE (delete) the pre-checkpoint sidecars: planning must not change
+    pre.foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val after = T.scanPruned(spark, dir, "k", 100L, 109L)
+    assert(after.plannedFiles == 1 && after.totalFiles == 5,
+      s"checkpoint-carried stats lost: planned ${after.plannedFiles}")
+    assert(after.df.collect().map(_.getLong(0)).sorted.toSeq == (100L to 109L))
+    // a LATER checkpoint inherits the earlier one's Z lines (stats survive
+    // a second generation even though the original sidecars are gone)
+    put(500L)
+    T.checkpoint(dir)
+    sidecars().foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val third = T.scanPruned(spark, dir, "k", 100L, 109L)
+    assert(third.plannedFiles == 1 && third.totalFiles == 6,
+      s"second-generation checkpoint dropped inherited stats: ${third.plannedFiles}")
+    // control: WITHOUT a checkpoint, deleting sidecars loses pruning
+    // (sound — all files kept — but no skip), proving the checkpoint is
+    // what serves the stats above
+    val dir2 = freshTable()
+    T.commitWithStats((0L until 10L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir2, Seq("k"))
+    T.commitWithStats((100L until 110L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dir2, Seq("k"))
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir2, "_txnlog"))
+      .toArray.map(_.toString).filter(_.endsWith(".stats"))
+      .foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val ctl = T.scanPruned(spark, dir2, "k", 0L, 5L)
+    assert(ctl.plannedFiles == 2 && ctl.df.count() == 6)
+  }
+
   // ---------------------------------------------------------------------
   // WRITE-CONFLICT CLASSIFICATION: the commit-pair matrix, each pair
   // exercised deterministically (claimFence interleaves the winner
