@@ -321,21 +321,42 @@ object TxnLog {
     v
   }
 
-  /** Every (file, column, 4-word filter) bloom line across the chain. */
+  private def parseBloomLines(text: String): Vector[(String, String, Array[Long])] =
+    text.split("\n").filter(_.nonEmpty).toVector.flatMap { line =>
+      line.split("\t") match {
+        case Array(rel, c, hex) if hex.length == 64 =>
+          Some((rel, c, (0 until 4).map(w =>
+            java.lang.Long.parseUnsignedLong(hex.substring(w * 16, w * 16 + 16), 16))
+            .toArray))
+        case _ => None
+      }
+    }
+
+  private def bloomSidecar(dir: String, v: Long): Vector[(String, String, Array[Long])] = {
+    val bp = bloomPath(dir, v)
+    if (!Files.exists(bp)) Vector.empty
+    else parseBloomLines(new String(Files.readAllBytes(bp), "UTF-8"))
+  }
+
+  /** Every (file, column, 4-word filter) bloom line across the chain —
+    * the O(all commits) walk; planning uses [[bloomsTwoLevel]]. */
   private def allBlooms(dir: String): Vector[(String, String, Array[Long])] =
-    manifests(dir).toVector.flatMap { case (v, _) =>
-      val bp = bloomPath(dir, v)
-      if (!Files.exists(bp)) Vector.empty
-      else new String(Files.readAllBytes(bp), "UTF-8").split("\n")
-        .filter(_.nonEmpty).toVector.flatMap { line =>
-          line.split("\t") match {
-            case Array(rel, c, hex) if hex.length == 64 =>
-              Some((rel, c, (0 until 4).map(w =>
-                java.lang.Long.parseUnsignedLong(hex.substring(w * 16, w * 16 + 16), 16))
-                .toArray))
-            case _ => None
-          }
-        }
+    manifests(dir).toVector.flatMap { case (v, _) => bloomSidecar(dir, v) }
+
+  /** Two-level bloom lookup, exactly [[statsTwoLevel]]'s contract: the
+    * newest checkpoint carries visible files' filters as `B` lines
+    * (hex-serialized like the sidecars), planning reads checkpoint +
+    * post-checkpoint sidecars, pre-checkpoint bloom sidecars become
+    * archivable. */
+  private def bloomsTwoLevel(dir: String): Vector[(String, String, Array[Long])] =
+    checkpointVersions(dir).lastOption match {
+      case Some(cv) =>
+        val fromCkpt = parseBloomLines(
+          new String(Files.readAllBytes(checkpointPath(dir, cv)), "UTF-8")
+            .split("\n").filter(_.startsWith("B ")).map(_.drop(2)).mkString("\n"))
+        fromCkpt ++ manifests(dir).toVector.filter(_._1 > cv)
+          .flatMap { case (v, _) => bloomSidecar(dir, v) }
+      case None => allBlooms(dir)
     }
 
   /** Plan `column = value` over the latest snapshot using the bloom
@@ -346,7 +367,7 @@ object TxnLog {
   def scanPoint(spark: SparkSession, dir: String, column: String,
                 value: String): PrunedScan = {
     val snap = snapshotAt(dir, Long.MaxValue)
-    val blooms: Map[String, Array[Long]] = allBlooms(dir).collect {
+    val blooms: Map[String, Array[Long]] = bloomsTwoLevel(dir).collect {
       case (rel, c, words) if c == column => rel -> words
     }.toMap
     val probes = bloomBits(value)
@@ -571,9 +592,11 @@ object TxnLog {
   // that follow; the remaining tab-fields are the sorted set of data
   // files the vector applies to (scope — reads of other files skip it),
   // then one `Z <rel><TAB><col><TAB><min><TAB><max>` line per visible
-  // (file, stats-column) zone map — the two-level stats layer (see
-  // statsTwoLevel): planning reads the checkpoint + post-checkpoint
-  // sidecars only, and pre-checkpoint sidecars become archivable.
+  // (file, stats-column) zone map and one `B <rel><TAB><col><TAB><hex64>`
+  // line per visible (file, bloom-column) filter — the two-level
+  // metadata layer (see statsTwoLevel/bloomsTwoLevel): planning reads
+  // the checkpoint + post-checkpoint sidecars only, and pre-checkpoint
+  // sidecars become archivable.
   // ------------------------------------------------------------------
 
   private def checkpointPath(dir: String, v: Long): Path =
@@ -625,6 +648,10 @@ object TxnLog {
     val statLines = statsTwoLevel(dir).collect {
       case (rel, c, mn, mx) if visible(rel) => s"Z $rel\t$c\t$mn\t$mx"
     }.distinct
+    val bloomLines = bloomsTwoLevel(dir).collect {
+      case (rel, c, words) if visible(rel) =>
+        s"B $rel\t$c\t${words.map(w => f"$w%016x").mkString}"
+    }.distinct
     val lines = snap.files.map("F " + _) ++
       snap.dvs.map { case (fs, keyCols) =>
         (("V " + keyCols.mkString(",")) +: fs).mkString("\t")
@@ -632,7 +659,7 @@ object TxnLog {
       snap.scoped.map { case (vfs, keyCols, at) =>
         (Seq("S " + keyCols.mkString(","), vfs.length.toString) ++
           vfs ++ at.toVector.sorted).mkString("\t")
-      } ++ statLines
+      } ++ statLines ++ bloomLines
     val tmp = Files.createTempFile(logDir(dir), ".ckpt-", ".tmp")
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     Files.move(tmp, checkpointPath(dir, v),

@@ -911,6 +911,20 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val third = T.scanPruned(spark, dir, "k", 100L, 109L)
     assert(third.plannedFiles == 1 && third.totalFiles == 6,
       s"second-generation checkpoint dropped inherited stats: ${third.plannedFiles}")
+    // blooms get the identical two-level treatment: point-lookup filters
+    // survive sidecar archival through the checkpoint's B lines
+    val dirB = freshTable()
+    T.commitWithBloom(Seq((1L, 10L)).toDF("k", "x").coalesce(1), dirB, "k")
+    T.commitWithBloom(Seq((2L, 20L)).toDF("k", "x").coalesce(1), dirB, "k")
+    T.checkpoint(dirB)
+    T.commitWithBloom(Seq((3L, 30L)).toDF("k", "x").coalesce(1), dirB, "k")
+    java.nio.file.Files.list(java.nio.file.Paths.get(dirB, "_txnlog"))
+      .toArray.map(_.toString).filter(_.endsWith(".bloom")).sorted.dropRight(1)
+      .foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val pt = T.scanPoint(spark, dirB, "k", "2")
+    assert(pt.totalFiles == 3 && pt.plannedFiles == 1,
+      s"bloom archival lost pruning: ${pt.plannedFiles}/${pt.totalFiles}")
+    assert(pt.df.select("x").collect().map(_.getLong(0)).toSeq == Seq(20L))
     // control: WITHOUT a checkpoint, deleting sidecars loses pruning
     // (sound — all files kept — but no skip), proving the checkpoint is
     // what serves the stats above
