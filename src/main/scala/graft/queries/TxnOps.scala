@@ -425,6 +425,113 @@ object TxnOps {
       |FROM base
       |ORDER BY face""".stripMargin
 
+  // ---------------------------------------------------------------- q271
+  /** INCREMENTAL SEARCH-INDEX MAINTENANCE — q123's inverted index kept
+    * current from q222's change feed instead of rebuilt (the Hudi
+    * metadata-index / incremental-materialization pattern): the index
+    * state is a vocabulary-sized grid (term → df, Σtf, Σdoc_id, all
+    * SIGN-FOLDABLE — which is exactly why postings digests are not in
+    * the incremental state: a digest cannot absorb a delete), and each
+    * poll tokenizes ONLY the changed documents, aggregates a signed
+    * per-term delta (+1 insert, −1 delete; an update contributes both,
+    * so df cancels and tf moves by the edit), and merges grid-into-grid.
+    * Per poll the work is feed-sized + one term exchange — the corpus
+    * is never rescanned, the property that turns index maintenance from
+    * a nightly rebuild into a changefeed-sized job at 100 TB. Lifecycle
+    * on trial: two appends → poll → file-granular MERGE (text edit) +
+    * row-level delete vector + compaction (zero feed rows by metadata)
+    * → poll. Face 0 = the poll ledger (feed insert/delete row counts,
+    * oracle-restated from the action set); face 1 = the FINAL folded
+    * index, which must hash-equal the oracle's from-scratch index over
+    * the final table — the IVM identity across the whole lifecycle. */
+  def q271(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q271_tbl").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def poll(state: DataFrame, fromV: Long, toV: Long): (DataFrame, Long, Long) = {
+      val feed = TxnLog.changes(s, dir, fromV, toV)
+        .select(col("doc_id"),
+          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)).as("sign"),
+          col("text")).localCheckpoint() // feed-sized: one CDF evaluation per poll
+      val counts = feed.groupBy(col("sign")).agg(count(lit(1)).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // per-FEED-ROW term counts, not per (doc, sign): one lifecycle can
+      // legitimately emit two distinct −1 rows for a doc in one poll
+      // (merge deletes the old version, the vector deletes the new one)
+      // and each must contribute its own −1 to df — collapsing them on
+      // (doc_id, sign) under-counts the delete side
+      val delta = feed.withColumn("rid", monotonically_increasing_id())
+        .select(col("rid"), col("doc_id"), col("sign"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .groupBy(col("term"), col("rid"))
+        .agg(first(col("doc_id")).as("doc_id"), first(col("sign")).as("sign"),
+          count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(sum(col("sign")).as("df"), sum(col("sign") * col("tf")).as("tf"),
+          sum(col("sign") * col("doc_id")).as("id_sum"))
+      val merged = state.unionByName(delta)
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"),
+          sum(col("id_sum")).as("id_sum"))
+        .filter(col("df") > 0)
+        .localCheckpoint() // vocabulary-sized stored index, never the corpus
+      (merged, counts.getOrElse(1L, 0L), counts.getOrElse(-1L, 0L))
+    }
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType()
+        .add("term", "string").add("df", "long")
+        .add("tf", "long").add("id_sum", "long"))
+    TxnLog.commit(docs.filter(expr("doc_id % 3 = 0")).coalesce(1), dir)
+    TxnLog.commit(docs.filter(expr("doc_id % 3 = 1")).coalesce(1), dir)
+    val (s1, i1, d1) = poll(empty, 0L, TxnLog.currentVersion(dir))
+    val cursor = TxnLog.currentVersion(dir)
+    TxnLog.merge(s, dir,
+      docs.filter(expr("doc_id % 3 in (0, 1) and doc_id % 7 = 0"))
+        .select(col("doc_id"), concat(col("text"), lit(" graftedit")).as("text")),
+      Seq("doc_id"))
+    TxnLog.deleteVector(s, dir, "doc_id % 5 = 0", Seq("doc_id"))
+    TxnLog.compact(s, dir)
+    val (s2, i2, d2) = poll(s1, cursor, TxnLog.currentVersion(dir))
+    val ledger = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "poll1", i1, d1, 0L), Row(0L, "poll2", i2, d2, 0L)),
+      new org.apache.spark.sql.types.StructType()
+        .add("face", "long").add("term", "string").add("df", "long")
+        .add("tf", "long").add("id_sum", "long"))
+    ledger.unionByName(s2.select(lit(1L).as("face"), col("term"),
+        col("df"), col("tf"), col("id_sum")))
+      .orderBy(col("face"), col("term"))
+  }
+  val q271Sql: String =
+    """WITH tbl0 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |src AS (SELECT doc_id FROM tbl0 WHERE doc_id % 7 = 0),
+      |merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' graftedit' ELSE text END AS text
+      |  FROM tbl0),
+      |final AS (SELECT * FROM merged WHERE doc_id % 5 <> 0),
+      |tf AS (
+      |  SELECT u.term, doc_id, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM final) u
+      |  GROUP BY 1, 2),
+      |polls AS (
+      |  SELECT 'poll1' AS term, (SELECT COUNT(*) FROM tbl0) AS i, 0 AS d
+      |  UNION ALL
+      |  SELECT 'poll2', (SELECT COUNT(*) FROM src),
+      |    (SELECT COUNT(*) FROM src)
+      |      + (SELECT COUNT(*) FROM merged WHERE doc_id % 5 = 0))
+      |SELECT CAST(0 AS BIGINT) AS face, term, CAST(i AS BIGINT) AS df,
+      |  CAST(d AS BIGINT) AS tf, CAST(0 AS BIGINT) AS id_sum
+      |FROM polls
+      |UNION ALL
+      |SELECT 1, term, COUNT(*), CAST(SUM(tf) AS BIGINT),
+      |  CAST(SUM(doc_id) AS BIGINT)
+      |FROM tf GROUP BY 2
+      |ORDER BY face, term""".stripMargin
+
   // ---------------------------------------------------------------- q228
   /** SHALLOW CLONE (zero-copy table fork): source = two appends + a
     * pending MACHINERY delete vector; [[TxnLog.clone]] forks it in ONE
@@ -1253,5 +1360,6 @@ object TxnOps {
     "q233_bloom_point_lookup" -> ((q233 _, Some(q233Sql))),
     "q265_partition_pruning" -> ((q265 _, Some(q265Sql))),
     "q267_txnlog_optimize_zorder" -> ((q267 _, Some(q267Sql))),
-    "q269_two_level_stats" -> ((q269 _, Some(q269Sql))))
+    "q269_two_level_stats" -> ((q269 _, Some(q269Sql))),
+    "q271_incremental_index" -> ((q271 _, Some(q271Sql))))
 }
