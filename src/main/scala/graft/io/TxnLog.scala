@@ -3,7 +3,7 @@ package graft.io
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, max, min, not, regexp_extract}
+import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, not, substring_index}
 
 /** A minimal TRANSACTION-LOG table format — the commit protocol that turns
   * a directory of parquet files into a table with atomic commits, crash
@@ -242,7 +242,7 @@ object TxnLog {
         files.flatMap(rel => ks.map { case (c, mn, mx) => s"$rel\t$c\t$mn\t$mx" })
       case None =>
         val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
-          .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+          .withColumn("__rel", substring_index(input_file_name(), "/", -2))
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
         // one tiny job over only the just-written files; result is
@@ -297,7 +297,7 @@ object TxnLog {
     var v = currentVersion(dir) + 1
     while (!tryClaim(dir, v, "A", files)) v += 1
     val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
-      .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+      .withColumn("__rel", substring_index(input_file_name(), "/", -2))
       .withColumn("__hex", expr(s"md5(concat('bloom:', cast($bloomCol as string)))"))
       .select(col("__rel") +: (0 until 4).map(j =>
         expr(s"conv(substring(__hex, ${j * 4 + 1}, 4), 16, 10) % 256")
@@ -809,14 +809,17 @@ object TxnLog {
     * round 9: suppkey got 0/16 skippable files un-normalized, 10/16
     * after). Integer ops only, so the oracle restates the curve exactly.
     *
-    * File assignment is DETERMINISTIC — `Ordinals.globalOrdinal` over
-    * (z, tieCols...) then bin = floor((ordinal−1)·numFiles / n), one
+    * File assignment is DETERMINISTIC — global position in (z,
+    * tieCols...) order, then bin = floor((ordinal−1)·numFiles / n), one
     * file per bin via an explicit bin partitioner — so an oracle can
     * restate every file's zone map from the data alone (a sampled
     * range-partitioner write would be approximate; determinism is what
-    * makes the layout hash-gateable, and costs the same two passes).
-    * Stats land post-claim via the ordinary post-write scan; a reader
-    * racing the gap keeps all files (sound, never wrong). */
+    * makes the layout hash-gateable). The whole assignment is ONE range
+    * exchange on the curve key plus a per-partition-count job
+    * (globalPrefixSum's scheme, fused here so the binned rows flow
+    * straight into the partitioner — no ordinal column, no second full
+    * pass). Stats land post-claim via the ordinary post-write scan; a
+    * reader racing the gap keeps all files (sound, never wrong). */
   def optimizeZorder(spark: SparkSession, dir: String, colX: String,
                      colY: String, numFiles: Int,
                      tieCols: Seq[String]): Long = {
@@ -824,11 +827,14 @@ object TxnLog {
     while (true) {
       val base = currentVersion(dir)
       val cur = read(spark, dir).localCheckpoint()
-      val n = cur.count()
-      // range bounds for the 16-bit normalization (one metadata-row job)
-      val b = cur.agg(min(col(colX).cast("long")), max(col(colX).cast("long")),
+      // ONE aggregation: row count + both dimensions' 16-bit-normalization
+      // bounds (metadata-row job)
+      val b = cur.agg(count(lit(1)),
+        min(col(colX).cast("long")), max(col(colX).cast("long")),
         min(col(colY).cast("long")), max(col(colY).cast("long"))).head()
-      val (mnX, mxX, mnY, mxY) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val n = b.getLong(0)
+      require(n > 0, "optimizeZorder on an empty table")
+      val (mnX, mxX, mnY, mxY) = (b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))
       def norm(c: String, mn: Long, mx: Long) =
         expr(s"(($c - $mn) * 65536) div (${mx - mn} + 1)")
       val zc = graft.queries.LayoutOps.zInterleave(
@@ -836,15 +842,26 @@ object TxnLog {
       val key = org.apache.spark.sql.functions.struct(
         (zc.as("__z") +: tieCols.map(col)): _*)
       val dataCols = cur.columns.toSeq
-      val binned = graft.ops.Ordinals.globalOrdinal(cur, key, numFiles)
-        .withColumn("__bin", expr(s"((ordinal - 1) * $numFiles) div $n"))
-        .select((col("__bin") +: dataCols.map(col)): _*)
+      val ranged = cur.select((key.as("__k") +: dataCols.map(col)): _*)
+        .repartitionByRange(numFiles, col("__k")).sortWithinPartitions(col("__k"))
+        .rdd
+      val counts = ranged
+        .mapPartitionsWithIndex { (i, it) =>
+          Iterator.single(i -> it.foldLeft(0L)((a, _) => a + 1L))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
       val part = new org.apache.spark.Partitioner {
         override def numPartitions: Int = numFiles
         override def getPartition(k: Any): Int = k.asInstanceOf[Long].toInt
       }
-      val rows = binned.rdd.map(r => (r.getLong(0), Row.fromSeq(r.toSeq.drop(1))))
-        .partitionBy(part).values
+      val rows = ranged.mapPartitionsWithIndex { (i, it) =>
+        var ord = offsets(i)
+        it.map { r =>
+          ord += 1
+          ((ord - 1) * numFiles / n, Row.fromSeq(r.toSeq.drop(1)))
+        }
+      }.partitionBy(part).values
       val out = spark.createDataFrame(rows,
         org.apache.spark.sql.types.StructType(cur.schema.fields))
       val (rel, files) = writeData(out, dir)
@@ -853,7 +870,7 @@ object TxnLog {
         // post-write zone maps for both curve dimensions (the
         // commitWithStats post-scan, scoped to the rewrite's files)
         val withRel = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-          .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+          .withColumn("__rel", substring_index(input_file_name(), "/", -2))
         val aggs = Seq(colX, colY).flatMap(c => Seq(
           min(col(c).cast("long")).as(s"__mn_$c"),
           max(col(c).cast("long")).as(s"__mx_$c")))
@@ -1204,7 +1221,7 @@ object TxnLog {
         return replaceCommitValidated(spark, dir)(cur =>
           cur.join(srcKeys, keyCols, "left_anti").unionByName(src))
       val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
-        .withColumn("__rel", regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+        .withColumn("__rel", substring_index(input_file_name(), "/", -2))
       val touched = withFile.join(srcKeys, keyCols, "left_semi")
         .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
       val rewritten =

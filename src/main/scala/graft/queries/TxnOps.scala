@@ -296,8 +296,8 @@ object TxnOps {
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
       col("l_partkey").as("x"), col("l_suppkey").as("y"))
-    (0 until 3).foreach(i =>
-      TxnLog.commit(base.filter(expr(s"ok % 3 = $i")).coalesce(1), dir))
+    (0 until 3).foreach(i => // repartition(1): keep the scan parallel
+      TxnLog.commit(base.filter(expr(s"ok % 3 = $i")).repartition(1), dir))
     TxnLog.optimizeZorder(s, dir, "x", "y", numFiles = 16,
       tieCols = Seq("ok", "ln"))
     val sx = TxnLog.scanPruned(s, dir, "x", 500L, 700L)
@@ -377,8 +377,11 @@ object TxnOps {
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val maxPk = base.agg(max(col("pk"))).head().getLong(0)
+    // repartition(1), not coalesce(1): coalesce would pull the whole
+    // fact scan into ONE task — the slice must scan parallel and shuffle
+    // only its own rows into the single output file
     def slice(i: Int) =
-      base.filter(expr(s"pk * 5 div ${maxPk + 1} = $i")).coalesce(1)
+      base.filter(expr(s"pk * 5 div ${maxPk + 1} = $i")).repartition(1)
     (0 until 3).foreach(i => TxnLog.commitWithStats(slice(i), dir, Seq("pk")))
     val cv = TxnLog.checkpoint(dir)
     (3 until 5).foreach(i => TxnLog.commitWithStats(slice(i), dir, Seq("pk")))
