@@ -348,6 +348,14 @@ object PlanCheck {
     // are hash-gated in the entry's ledger row
     check("q265_partition_pruning", "pruned plan is unioned scans; no join, no cartesian")(p =>
       p.contains("Union") && !p.contains("Join") && !p.contains("CartesianProduct"))
+    // q270: the CM sketch builds via explode + PARTIAL aggregation, so the
+    // exchange after the map side carries at most d·w·partitions rows —
+    // never N; the estimate join rides the broadcast 256-row grid, and no
+    // sort-merge join or cartesian appears anywhere
+    check("q270_count_min_sketch", "sketch partial-aggregates before exchange; grid joins broadcast")(p =>
+      p.contains("Generate explode") && p.contains("partial_count") &&
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"))
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))
