@@ -3,7 +3,7 @@ package graft.io
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, not, substring_index}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, max, min, not, substring_index, when}
 
 /** A minimal TRANSACTION-LOG table format — the commit protocol that turns
   * a directory of parquet files into a table with atomic commits, crash
@@ -1237,6 +1237,116 @@ object TxnLog {
       // classifies as `U`-like: merge's write set IS its source keys)
       val d = new java.io.File(s"$dir/$rel")
       Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      enforceIsolation(spark, dir, base, "U " + keyCols.mkString(","),
+        isolation, srcKeys, keyCols)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Conditional-action spec for [[mergeInto]] — the full MERGE grammar
+    * reduced to its three clauses. Conditions and SET expressions
+    * evaluate with the TARGET row's columns in scope directly and the
+    * SOURCE row's columns as `src_<name>`:
+    *   - `deleteWhen`:  WHEN MATCHED AND <cond> THEN DELETE
+    *   - `updateSet`:   WHEN MATCHED [AND NOT deleted] THEN UPDATE SET —
+    *     expressions apply SIMULTANEOUSLY against the pre-update row
+    *     (standard SQL MERGE semantics; [[update]]'s sequential SETs are
+    *     the documented contrast)
+    *   - `insert`:      WHEN NOT MATCHED THEN INSERT (whole source row;
+    *     the source must carry the target schema)
+    * A matched row hit by neither delete nor update stays unchanged. */
+  final case class MergeActions(deleteWhen: Option[String] = None,
+                                updateSet: Option[Seq[(String, String)]] = None,
+                                insert: Boolean = true)
+
+  /** Apply [[MergeActions]] to a target slice: left-join the prefixed
+    * source, filter deletes, project simultaneous updates, union the
+    * not-matched inserts. Shared by the file-granular path (target =
+    * touched-file rows — they contain every matched key, so the insert
+    * anti-join is exact) and the replace fallback (target = the table). */
+  private def applyMergeActions(target: DataFrame, source: DataFrame,
+                                keyCols: Seq[String], a: MergeActions): DataFrame = {
+    val cols = target.columns.toSeq
+    val srcPref = source
+      .select(source.columns.map(c => col(c).as(s"src_$c")) :+ lit(true).as("__m"): _*)
+    val cond = keyCols.map(k => col(k) === col(s"src_$k")).reduce(_ && _)
+    val joined = target.join(srcPref, cond, "left")
+    val deleted = a.deleteWhen
+      .map(c => col("__m").isNotNull && coalesce(expr(c), lit(false)))
+      .getOrElse(lit(false))
+    val kept = joined.filter(!deleted)
+    val updated = a.updateSet match {
+      case Some(sets) =>
+        val bySet = sets.toMap
+        require(bySet.keySet.subsetOf(cols.toSet),
+          s"updateSet targets unknown columns: ${bySet.keySet -- cols}")
+        kept.select(cols.map { c =>
+          bySet.get(c) match {
+            case Some(e) => when(col("__m").isNotNull, expr(e)).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+      case None => kept.select(cols.map(col): _*)
+    }
+    if (!a.insert) updated
+    else {
+      require(source.columns.toSet == cols.toSet,
+        "insert action needs the source to carry the target schema")
+      val inserts = srcPref
+        .join(target.select(keyCols.map(col): _*).distinct(), cond, "left_anti")
+        .select(cols.map(c => col(s"src_$c").as(c)): _*)
+      updated.unionByName(inserts)
+    }
+  }
+
+  /** MERGE INTO with the FULL action grammar — [[merge]] is the
+    * whole-row-upsert special case; this is the general statement
+    * (Delta's `whenMatched.delete / whenMatched.updateExpr /
+    * whenNotMatched.insertAll`). Same at-scale property: ONE semi-join
+    * finds the files containing a matched key, only those files are
+    * rewritten through [[applyMergeActions]], and the commit is an `X`
+    * exchange — untouched files never move. Deletes that empty every
+    * touched file commit an exchange with removes only (no adds).
+    * Concurrency, pending-vector fallback, and isolation follow
+    * [[merge]] exactly. Returns the version won (current version
+    * unchanged for an empty source). */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                keyCols: Seq[String], actions: MergeActions,
+                isolation: Isolation = Isolation.Rederive): Long = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(actions.deleteWhen.nonEmpty || actions.updateSet.nonEmpty || actions.insert,
+      "mergeInto with no actions is a no-op statement")
+    val src = source.localCheckpoint()
+    if (src.isEmpty) return currentVersion(dir)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    while (true) {
+      val base = currentVersion(dir)
+      val snap = snapshotAt(dir, base)
+      if (snap.dvs.nonEmpty || snap.scoped.nonEmpty || snap.files.exists(_.startsWith("@")))
+        return replaceCommitValidated(spark, dir)(cur =>
+          applyMergeActions(cur, src, keyCols, actions))
+      val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
+        .withColumn("__rel", substring_index(input_file_name(), "/", -2))
+      val touched = withFile.join(srcKeys, keyCols, "left_semi")
+        .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
+      val targetSlice =
+        if (touched.isEmpty) read(spark, dir).limit(0)
+        else spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
+      val rewritten = applyMergeActions(targetSlice, src, keyCols, actions)
+        .localCheckpoint()
+      val (relFiles, body) =
+        if (rewritten.isEmpty) (None, touched.map("-" + _).toVector)
+        else {
+          val (rel, files) = writeData(rewritten, dir)
+          (Some(rel), touched.map("-" + _).toVector ++ files.map("+" + _))
+        }
+      if (body.isEmpty) return base // no matches, no inserts: a no-op statement
+      claimFence()
+      if (tryClaim(dir, base + 1, "X", body)) return base + 1
+      relFiles.foreach { rel =>
+        val d = new java.io.File(s"$dir/$rel")
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
       enforceIsolation(spark, dir, base, "U " + keyCols.mkString(","),
         isolation, srcKeys, keyCols)
     }

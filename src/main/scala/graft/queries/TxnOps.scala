@@ -535,6 +535,67 @@ object TxnOps {
       |FROM tf GROUP BY 2
       |ORDER BY face, term""".stripMargin
 
+  // ---------------------------------------------------------------- q272
+  /** MERGE INTO with the FULL action grammar (q221 gates the whole-row
+    * upsert; this gates the general statement): the target holds the
+    * %3 == 0 orders slice in TWO files (even/odd keys — file granularity
+    * means a source that misses a file leaves it unmoved, spec-pinned);
+    * the source carries %4 == 0 keys with shifted prices, so matched
+    * rows split three ways —
+    *   WHEN MATCHED AND src price > target price  THEN DELETE,
+    *   WHEN MATCHED                               THEN UPDATE SET
+    *     price = price + src price, status = 'M'  (simultaneous SETs,
+    *     both sides in scope),
+    *   WHEN NOT MATCHED                           THEN INSERT.
+    * The oracle restates the final table with plain joins/CASE (DuckDB
+    * has no MERGE — which is rather the point: the statement reduces to
+    * relational algebra, and the hash gate checks this engine's
+    * reduction). Price arithmetic is single-rounding IEEE on both
+    * engines (int expression added to a double once). */
+  def q272(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q272_tbl").toString
+    val base = Tables.orders(s, d).filter(expr("o_orderkey % 3 = 0"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    TxnLog.commit(base.filter(expr("o_orderkey % 2 = 0")).repartition(1), dir)
+    TxnLog.commit(base.filter(expr("o_orderkey % 2 = 1")).repartition(1), dir)
+    val src = Tables.orders(s, d).filter(expr("o_orderkey % 4 = 0"))
+      .select(col("o_orderkey"),
+        expr("o_totalprice + (o_orderkey % 2000 - 1000)").as("o_totalprice"),
+        lit("S").as("o_orderstatus"))
+    TxnLog.mergeInto(s, dir, src, Seq("o_orderkey"), TxnLog.MergeActions(
+      deleteWhen = Some("src_o_totalprice > o_totalprice"),
+      updateSet = Some(Seq(
+        "o_totalprice" -> "o_totalprice + src_o_totalprice",
+        "o_orderstatus" -> "'M'")),
+      insert = true))
+    TxnLog.read(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+  val q272Sql: String =
+    """WITH tbl AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |src AS (
+      |  SELECT o_orderkey,
+      |    o_totalprice + (o_orderkey % 2000 - 1000) AS o_totalprice,
+      |    'S' AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |deleted AS (
+      |  SELECT t.o_orderkey FROM tbl t JOIN src s USING (o_orderkey)
+      |  WHERE s.o_totalprice > t.o_totalprice)
+      |SELECT t.o_orderkey,
+      |  CASE WHEN s.o_orderkey IS NOT NULL
+      |       THEN t.o_totalprice + s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+      |  CASE WHEN s.o_orderkey IS NOT NULL THEN 'M' ELSE t.o_orderstatus END AS o_orderstatus
+      |FROM tbl t LEFT JOIN src s USING (o_orderkey)
+      |WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM deleted)
+      |UNION ALL
+      |SELECT s.* FROM src s
+      |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tbl)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q228
   /** SHALLOW CLONE (zero-copy table fork): source = two appends + a
     * pending MACHINERY delete vector; [[TxnLog.clone]] forks it in ONE
@@ -1364,5 +1425,6 @@ object TxnOps {
     "q265_partition_pruning" -> ((q265 _, Some(q265Sql))),
     "q267_txnlog_optimize_zorder" -> ((q267 _, Some(q267Sql))),
     "q269_two_level_stats" -> ((q269 _, Some(q269Sql))),
-    "q271_incremental_index" -> ((q271 _, Some(q271Sql))))
+    "q271_incremental_index" -> ((q271 _, Some(q271Sql))),
+    "q272_merge_into_actions" -> ((q272 _, Some(q272Sql))))
 }

@@ -879,6 +879,54 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.read(spark, dir, Some(v - 2)).count() == 1024L)
   }
 
+  test("mergeInto: delete/update/insert actions, file granularity, fallbacks") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    // two files: keys 1-5 and keys 11-15 — the source only touches the first
+    T.commit((1L to 5L).map(k => (k, k * 10L, "o")).toDF("k", "x", "s").coalesce(1), dir)
+    T.commit((11L to 15L).map(k => (k, k * 10L, "o")).toDF("k", "x", "s").coalesce(1), dir)
+    val filesBefore = T.history(spark, dir).count()
+    val src = Seq((1L, 999L, "n"), (2L, 5L, "n"), (21L, 210L, "n")).toDF("k", "x", "s")
+    T.mergeInto(spark, dir, src, Seq("k"), T.MergeActions(
+      deleteWhen = Some("src_x > x"),                    // kills k=1 (999 > 10)
+      updateSet = Some(Seq("x" -> "x + src_x", "s" -> "'m'")), // k=2 → 25
+      insert = true))                                    // k=21 inserts
+    val got = T.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((2L, 25L, "m"), (3L, 30L, "o"), (4L, 40L, "o"), (5L, 50L, "o"),
+      (11L, 110L, "o"), (12L, 120L, "o"), (13L, 130L, "o"), (14L, 140L, "o"),
+      (15L, 150L, "o"), (21L, 210L, "n")), s"got $got")
+    // file granularity: the untouched 11-15 file must not have moved —
+    // the exchange's remove set is exactly the one touched file
+    val manifests = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_txnlog"))
+      .toArray.map(_.toString).filter(_.endsWith(".manifest")).sorted
+    val xBody = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manifests.last)), "UTF-8")
+    assert(xBody.startsWith("X\n") && xBody.linesIterator.count(_.startsWith("-")) == 1,
+      s"expected one removed file, got:\n$xBody")
+    assert(filesBefore == 2)
+    // delete-only actions that empty every touched file: removes, no adds
+    val dir2 = freshTable()
+    T.commit(Seq((1L, 1L)).toDF("k", "x").coalesce(1), dir2)
+    T.commit(Seq((2L, 2L)).toDF("k", "x").coalesce(1), dir2)
+    T.mergeInto(spark, dir2, Seq((1L, 0L)).toDF("k", "x"), Seq("k"),
+      T.MergeActions(deleteWhen = Some("true"), insert = false))
+    assert(T.read(spark, dir2).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // no matches + insert off: a no-op statement, version unchanged
+    val v2 = T.currentVersion(dir2)
+    assert(T.mergeInto(spark, dir2, Seq((9L, 9L)).toDF("k", "x"), Seq("k"),
+      T.MergeActions(deleteWhen = Some("true"), insert = false)) == v2)
+    // pending delete vector: falls back to a validated replace, actions exact
+    val dir3 = freshTable()
+    T.commit((1L to 4L).map(k => (k, k * 10L)).toDF("k", "x").coalesce(1), dir3)
+    T.deleteVector(spark, dir3, "k = 4", Seq("k"))
+    T.mergeInto(spark, dir3, Seq((1L, 1L), (7L, 70L)).toDF("k", "x"), Seq("k"),
+      T.MergeActions(updateSet = Some(Seq("x" -> "x + src_x")), insert = true))
+    assert(T.read(spark, dir3).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq == Seq((1L, 11L), (2L, 20L), (3L, 30L), (7L, 70L)))
+  }
+
   test("checkpoint carries zone maps: pre-checkpoint stats sidecars are archivable") {
     val dir = freshTable()
     import spark.implicits._
