@@ -60,7 +60,7 @@ object VorbisCodec {
   }
 
   /** §9.2.2 float32_unpack: 21-bit mantissa, 10-bit exponent bias 788. */
-  private def float32Unpack(x: Int): Float = {
+  private[graft] def float32Unpack(x: Int): Float = {
     val mant = x & 0x1fffff
     val exp = (x >>> 21) & 0x3ff
     val v = mant.toDouble * math.pow(2.0, exp - 788)
@@ -80,7 +80,7 @@ object VorbisCodec {
   // codebooks
   // ------------------------------------------------------------------
 
-  private[io] final class Codebook(val dims: Int, val entries: Int,
+  private[graft] final class Codebook(val dims: Int, val entries: Int,
                                    val lengths: Array[Int], // 0 = unused
                                    val lookupType: Int, val minVal: Float,
                                    val deltaVal: Float, val sequenceP: Boolean,

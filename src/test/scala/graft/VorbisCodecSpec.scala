@@ -143,6 +143,68 @@ class VorbisCodecSpec extends AnyFunSuite {
   private val golden16Len = 758
   private val golden16Md5 = "a8cdb1b049c9105095e473aa26740904"
 
+  // -------------------------------------------- decoder-only machinery
+  // paths a conformant FOREIGN stream exercises that our encoder never
+  // emits: the spec's own huffman worked example, sparse codebooks, VQ
+  // lookup type 2 with the sequence flag, packed float32.
+
+  test("canonical huffman assignment matches the spec's worked example (§3.2.1)") {
+    // Vorbis I spec, decision-tree example: lengths [2,4,4,4,4,2,3,3]
+    // must assign 00, 0100, 0101, 0110, 0111, 10, 110, 111
+    val cb = new graft.io.VorbisCodec.Codebook(1, 8,
+      Array(2, 4, 4, 4, 4, 2, 3, 3), 0, 0f, 0f, false, Array.empty)
+    val want = Seq("00", "0100", "0101", "0110", "0111", "10", "110", "111")
+    (0 until 8).foreach { e =>
+      val got = (cb.codeLens(e) - 1 to 0 by -1)
+        .map(j => ((cb.codes(e) >> j) & 1L).toString).mkString
+      assert(got == want(e), s"entry $e: $got != ${want(e)}")
+    }
+    // and the tree decodes its own codewords (bit-by-bit walk)
+    val bw = new graft.io.OggBitWriter
+    Seq(5, 0, 7, 2).foreach(cb.writeEntry(bw, _))
+    val br = new graft.io.OggBitReader(bw.toBytes)
+    assert(Seq.fill(4)(cb.decodeEntry(br)) == Seq(5, 0, 7, 2))
+  }
+
+  test("sparse codebooks: unused entries never decode, used ones round-trip") {
+    // lengths 0 mark unused entries (the sparse form foreign setup
+    // headers carry); Kraft-complete over the used set {1,3}: both len 1
+    val cb = new graft.io.VorbisCodec.Codebook(1, 4,
+      Array(0, 1, 0, 1), 0, 0f, 0f, false, Array.empty)
+    assert(cb.codeLens(0) == 0 && cb.codeLens(2) == 0)
+    val bw = new graft.io.OggBitWriter
+    Seq(1, 3, 3, 1).foreach(cb.writeEntry(bw, _))
+    val br = new graft.io.OggBitReader(bw.toBytes)
+    assert(Seq.fill(4)(cb.decodeEntry(br)) == Seq(1, 3, 3, 1))
+    intercept[IllegalArgumentException](cb.writeEntry(new graft.io.OggBitWriter, 0))
+  }
+
+  test("over-specified codebooks refuse at construction") {
+    // three length-1 entries cannot fit a binary tree
+    intercept[IllegalArgumentException](new graft.io.VorbisCodec.Codebook(
+      1, 3, Array(1, 1, 1), 0, 0f, 0f, false, Array.empty))
+  }
+
+  test("VQ lookup type 2 with sequence_p: explicit table, cascading offsets") {
+    // §3.3: type 2 reads multiplicands per (entry, dim); sequence_p makes
+    // each component accumulate onto the previous one
+    val cb = new graft.io.VorbisCodec.Codebook(3, 2, Array(1, 1),
+      2, -1.0f, 0.5f, true, Array(0, 1, 2, 3, 4, 5))
+    // entry 0: v0 = 0*0.5 + (-1) = -1; v1 = 1*0.5 - 1 + v0 = -1.5; v2 = 2*0.5 - 1 + v1 = -1.5
+    assert(cb.vq(0).toSeq == Seq(-1.0f, -1.5f, -1.5f))
+    // entry 1: v0 = 3*0.5 - 1 = 0.5; v1 = 4*0.5 - 1 + 0.5 = 1.5; v2 = 5*0.5 - 1 + 1.5 = 3.0
+    assert(cb.vq(1).toSeq == Seq(0.5f, 1.5f, 3.0f))
+  }
+
+  test("float32_unpack: 21-bit mantissa, exponent bias 788, sign bit (§9.2.2)") {
+    val V = graft.io.VorbisCodec
+    assert(V.float32Unpack((788 << 21) | 1) == 1.0f)
+    assert(V.float32Unpack((788 << 21) | 5) == 5.0f)
+    assert(V.float32Unpack(0x80000000 | (788 << 21) | 2) == -2.0f)
+    assert(V.float32Unpack((787 << 21) | 1) == 0.5f) // exponent below bias
+    assert(V.float32Unpack(0) == 0.0f)
+  }
+
   // --------------------------------------------------------- dispatch
   test("WavCodec.decode dispatches OggS magic to the Vorbis decoder") {
     val rate = 16000
