@@ -1710,6 +1710,22 @@ object TxnLog {
       if (gone) f.delete() else false
     }
     partDirs.foreach(pruneEmpty(_): Unit)
-    victims
+    // SIDECAR ARCHIVAL (two-level metadata lifecycle): stats/bloom
+    // sidecars at or below the newest checkpoint are served from its
+    // Z/B lines for all latest-snapshot planning, so vacuum reclaims
+    // them with the data files. Known edge, sound by construction: a
+    // RESTORE can resurface a file whose only stats lived below the
+    // checkpoint — it simply plans unpruned afterward (missing metadata
+    // costs performance, never rows).
+    val archived = checkpointVersions(dir).lastOption.toSeq.flatMap { cv =>
+      manifests(dir).filter(_._1 <= cv).toSeq.flatMap { case (v, _) =>
+        Seq(statsPath(dir, v), bloomPath(dir, v)).filter(Files.exists(_)).map { p =>
+          val name = s"_txnlog/${p.getFileName}"
+          Files.deleteIfExists(p)
+          name
+        }
+      }
+    }
+    victims ++ archived
   }
 }

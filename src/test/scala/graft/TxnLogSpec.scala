@@ -973,6 +973,19 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pt.totalFiles == 3 && pt.plannedFiles == 1,
       s"bloom archival lost pruning: ${pt.plannedFiles}/${pt.totalFiles}")
     assert(pt.df.select("x").collect().map(_.getLong(0)).toSeq == Seq(20L))
+    // the lifecycle owns the archival: vacuum reclaims sidecars at or
+    // below the newest checkpoint automatically, and pruning persists
+    val dirV = freshTable()
+    T.commitWithStats((0L until 10L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dirV, Seq("k"))
+    T.commitWithStats((100L until 110L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      dirV, Seq("k"))
+    T.checkpoint(dirV)
+    val reclaimed = T.vacuum(dirV, retainVersions = 2)
+    assert(reclaimed.count(_.endsWith(".stats")) == 2,
+      s"vacuum should archive both superseded sidecars, got $reclaimed")
+    val sv = T.scanPruned(spark, dirV, "k", 0L, 5L)
+    assert(sv.totalFiles == 2 && sv.plannedFiles == 1 && sv.df.count() == 6)
     // control: WITHOUT a checkpoint, deleting sidecars loses pruning
     // (sound — all files kept — but no skip), proving the checkpoint is
     // what serves the stats above
