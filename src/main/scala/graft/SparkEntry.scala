@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.GovernOps.defs ++
       graft.queries.CorpusOps.defs ++
       graft.queries.TxnOps.defs ++
+      graft.queries.SpatialOps.defs ++
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

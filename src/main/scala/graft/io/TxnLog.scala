@@ -496,38 +496,70 @@ object TxnLog {
       (flatDf ++ partDfs)
         .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
-    val base =
-      if (snap.scoped.isEmpty) readLeaves(files)
-      else {
-        // group the files by which scoped vectors apply, anti-join per
-        // group, union — the common single-update case is two groups
-        files
-          .groupBy(f => snap.scoped.zipWithIndex.collect {
-            case ((_, _, at), i) if at(f) => i
-          })
-          .toVector.sortBy(_._1.mkString(","))
-          .map { case (idxs, fs) =>
-            idxs.foldLeft(readLeaves(fs)) { (acc, i) =>
-              val (vf, kc, _) = snap.scoped(i)
-              acc.join(spark.read.parquet(vf.map(resolve(dir, _)): _*), kc, "left_anti")
-            }
-          }
-          .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    // group the files by which renames and scoped vectors apply; per
+    // group: read, RENAME FIRST (a file inside a rename's scope carries
+    // the old physical name in-parquet), then anti-join its scoped
+    // vectors (key columns and vector files translated through the
+    // renames that folded after each vector), then union — the common
+    // single-update / single-rename cases are two groups
+    val base = files
+      .groupBy { f =>
+        (snap.renames.zipWithIndex.collect { case ((_, _, sc), i) if sc(f) => i },
+         snap.scoped.zipWithIndex.collect { case ((_, _, at, _), i) if at(f) => i })
       }
-    applyDvs(spark, dir, base, snap.dvs)
+      .toVector.sortBy { case ((rs, svs), _) => (rs.mkString(","), svs.mkString(",")) }
+      .map { case ((renIdxs, svIdxs), fs) =>
+        val renamed = renameDf(readLeaves(fs), renIdxs.map(snap.renames))
+        svIdxs.foldLeft(renamed) { (acc, i) =>
+          val (vf, kc, _, off) = snap.scoped(i)
+          val later = snap.renames.drop(off)
+          acc.join(renameDf(spark.read.parquet(vf.map(resolve(dir, _)): _*), later),
+            renameCols(kc, later), "left_anti")
+        }
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    // drops apply LAST — logical removal over whatever the files carry
+    snap.drops.foldLeft(applyDvs(spark, dir, base, snap.dvs, snap.renames))(_.drop(_))
   }
 
   /** One parsed manifest chain fold: the visible DATA files, the visible
     * GLOBAL delete vectors (vector files + key columns — `D` commits,
-    * which suppress matching keys in past AND future files), and the
+    * which suppress matching keys in past AND future files), the
     * SCOPED vectors (`U` update commits: vector files + key columns +
     * the exact file set the vector applies to — the files visible below
     * the update, so the update's own re-inserted rows and any later
     * append escape suppression; `appliesTo` is derived from the fold
-    * position, never stored). */
+    * position, never stored), and the COLUMN-MAPPING actions (`M`
+    * commits — metadata-only renames/drops, see [[renameColumn]]).
+    *
+    * Vector tuples carry a RENAME OFFSET — how many renames had folded
+    * when the vector committed. A vector's key columns and its key file
+    * are written in the LOGICAL names current at its commit; renames
+    * folding later shift the live names, so applying the vector
+    * translates its keys through exactly `renames.drop(offset)`. That
+    * makes renames COMMUTE with pending vectors — no materialization
+    * barrier (drops are the exception: dropping a pending vector's key
+    * column is refused at fold). A rename's `scope` is the file set
+    * visible when it folded: those files carry the OLD physical name
+    * in-parquet and get renamed on read; files added later were written
+    * with the new logical name and are untouched. */
   private final case class Snapshot(files: Vector[String],
-                                    dvs: Vector[(Vector[String], Seq[String])],
-                                    scoped: Vector[(Vector[String], Seq[String], Set[String])] = Vector.empty)
+                                    dvs: Vector[(Vector[String], Seq[String], Int)],
+                                    scoped: Vector[(Vector[String], Seq[String], Set[String], Int)] = Vector.empty,
+                                    renames: Vector[(String, String, Set[String])] = Vector.empty,
+                                    drops: Vector[String] = Vector.empty)
+
+  /** Translate key-column names through the renames that folded after a
+    * vector's commit (see the Snapshot doc). */
+  private def renameCols(kcs: Seq[String],
+                         rens: Seq[(String, String, Set[String])]): Seq[String] =
+    rens.foldLeft(kcs) { case (ks, (o, n, _)) => ks.map(k => if (k == o) n else k) }
+
+  /** Apply renames to a DataFrame in fold order (no-op per rename when
+    * the column is absent — `withColumnRenamed` semantics). */
+  private def renameDf(df: DataFrame,
+                       rens: Seq[(String, String, Set[String])]): DataFrame =
+    rens.foldLeft(df) { case (d, (o, n, _)) => d.withColumnRenamed(o, n) }
 
   /** One manifest parsed: (action marker line, body lines). */
   private def parseManifest(p: Path): (String, Vector[String]) = {
@@ -536,7 +568,7 @@ object TxnLog {
     lines.headOption match {
       case Some(m) if m == "R" || m == "R noop" || m == "A" || m == "X" ||
         m == "X noop" || m.startsWith("D ") || m.startsWith("T ") ||
-        m.startsWith("U ") =>
+        m.startsWith("U ") || m.startsWith("M ") =>
         (m, lines.tail)
       case _ => ("A", lines) // legacy marker-less = adds
     }
@@ -566,11 +598,36 @@ object TxnLog {
         val adds = body.collect { case l if l.startsWith("+") => l.drop(1) }
         require(vecs.nonEmpty && adds.nonEmpty, s"update manifest $p missing V/+ lines")
         acc.copy(files = acc.files ++ adds,
-          scoped = acc.scoped :+ ((vecs, keyCols, acc.files.toSet)))
+          scoped = acc.scoped :+ ((vecs, keyCols, acc.files.toSet, acc.renames.length)))
+      case (m, _) if m.startsWith("M ") => // metadata-only schema action
+        val parts = m.drop(2).split("\t").toVector
+        parts.head match {
+          case "rename" =>
+            val (o, n) = (parts(1), parts(2))
+            // no stable column IDs → a dropped name can never be reused
+            // or renamed over (the Delta column-mapping restriction)
+            require(!acc.drops.contains(o) && !acc.drops.contains(n),
+              s"rename $o -> $n touches a dropped column (manifest $p)")
+            acc.copy(renames = acc.renames :+ ((o, n, acc.files.toSet)))
+          case "drop" =>
+            val name = parts(1)
+            require(!acc.drops.contains(name), s"column $name already dropped ($p)")
+            // a pending vector keyed (post-translation) on the dropped
+            // column could no longer anti-join — refuse at the fold
+            val liveKeys = (acc.dvs.map(dv => (dv._2, dv._3)) ++
+              acc.scoped.map(sv => (sv._2, sv._4))).flatMap { case (kcs, off) =>
+                renameCols(kcs, acc.renames.drop(off))
+              }
+            require(!liveKeys.contains(name),
+              s"cannot drop '$name': a pending delete/update vector keys on it ($p)")
+            acc.copy(drops = acc.drops :+ name)
+          case other =>
+            throw new IllegalArgumentException(s"unknown schema action '$other' in $p")
+        }
       case (m, body) => // D <keyCols>
         val keyCols = m.stripPrefix("D ").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(keyCols.nonEmpty, s"delete-vector manifest $p has no key columns")
-        acc.copy(dvs = acc.dvs :+ ((body, keyCols)))
+        acc.copy(dvs = acc.dvs :+ ((body, keyCols, acc.renames.length)))
     }
 
   // ------------------------------------------------------------------
@@ -585,12 +642,18 @@ object TxnLog {
   // IDENTICAL snapshot, because manifests are immutable once claimed,
   // so a checkpoint can never go stale for its own version.
   // Format: `F <rel>` per visible data file, then one
-  // `V <keyCols><TAB><rel>...` line per pending delete vector (order
-  // preserved — vectors anti-join in commit order), then one
-  // `S <keyCols><TAB><nVecs><TAB><vecFiles...><TAB><appliesTo...>` line
-  // per pending SCOPED update vector: nVecs counts the vector files
+  // `V <keyCols><TAB><renOffset><TAB><rel>...` line per pending delete
+  // vector (order preserved — vectors anti-join in commit order;
+  // renOffset = how many renames had folded at the vector's commit, the
+  // key-translation anchor), then one
+  // `S <keyCols><TAB><renOffset><TAB><nVecs><TAB><vecFiles...><TAB><appliesTo...>`
+  // line per pending SCOPED update vector: nVecs counts the vector files
   // that follow; the remaining tab-fields are the sorted set of data
   // files the vector applies to (scope — reads of other files skip it),
+  // then the column-mapping actions in fold order: one
+  // `M rename<TAB><old><TAB><new><TAB><scopeFiles...>` line per rename
+  // (scope = files that carry the old physical name in-parquet) and one
+  // `M drop<TAB><name>` line per dropped column,
   // then one `Z <rel><TAB><col><TAB><min><TAB><max>` line per visible
   // (file, stats-column) zone map and one `B <rel><TAB><col><TAB><hex64>`
   // line per visible (file, bloom-column) filter — the two-level
@@ -620,15 +683,21 @@ object TxnLog {
     val dvs = lines.collect { case l if l.startsWith("V ") =>
       val parts = l.split("\t").toVector
       val keyCols = parts.head.drop(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      (parts.tail, keyCols)
+      (parts.drop(2), keyCols, parts(1).toInt)
     }
     val scoped = lines.collect { case l if l.startsWith("S ") =>
       val parts = l.split("\t").toVector
       val keyCols = parts.head.drop(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val n = parts(1).toInt
-      (parts.slice(2, 2 + n), keyCols, parts.drop(2 + n).toSet)
+      val off = parts(1).toInt
+      val n = parts(2).toInt
+      (parts.slice(3, 3 + n), keyCols, parts.drop(3 + n).toSet, off)
     }
-    Snapshot(files, dvs, scoped)
+    val renames = lines.collect { case l if l.startsWith("M rename\t") =>
+      val parts = l.split("\t").toVector
+      (parts(1), parts(2), parts.drop(3).toSet)
+    }
+    val drops = lines.collect { case l if l.startsWith("M drop\t") => l.split("\t")(1) }
+    Snapshot(files, dvs, scoped, renames, drops)
   }
 
   /** Write a checkpoint at the CURRENT version; returns that version.
@@ -653,13 +722,17 @@ object TxnLog {
         s"B $rel\t$c\t${words.map(w => f"$w%016x").mkString}"
     }.distinct
     val lines = snap.files.map("F " + _) ++
-      snap.dvs.map { case (fs, keyCols) =>
-        (("V " + keyCols.mkString(",")) +: fs).mkString("\t")
+      snap.dvs.map { case (fs, keyCols, off) =>
+        (Seq("V " + keyCols.mkString(","), off.toString) ++ fs).mkString("\t")
       } ++
-      snap.scoped.map { case (vfs, keyCols, at) =>
-        (Seq("S " + keyCols.mkString(","), vfs.length.toString) ++
+      snap.scoped.map { case (vfs, keyCols, at, off) =>
+        (Seq("S " + keyCols.mkString(","), off.toString, vfs.length.toString) ++
           vfs ++ at.toVector.sorted).mkString("\t")
-      } ++ statLines ++ bloomLines
+      } ++
+      snap.renames.map { case (o, n, sc) =>
+        (Seq("M rename", o, n) ++ sc.toVector.sorted).mkString("\t")
+      } ++
+      snap.drops.map(d => s"M drop\t$d") ++ statLines ++ bloomLines
     val tmp = Files.createTempFile(logDir(dir), ".ckpt-", ".tmp")
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     Files.move(tmp, checkpointPath(dir, v),
@@ -741,12 +814,16 @@ object TxnLog {
   }
 
   /** Anti-join every delete vector in `dvs` onto `df` (the merge-on-read
-    * reader path — each vector is a broadcast-sized key list). */
+    * reader path — each vector is a broadcast-sized key list). Key
+    * columns and vector files translate through the renames that folded
+    * after each vector (see the Snapshot doc). */
   private def applyDvs(spark: SparkSession, dir: String, df: DataFrame,
-                       dvs: Vector[(Vector[String], Seq[String])]): DataFrame =
-    dvs.foldLeft(df) { case (acc, (dvFiles, keyCols)) =>
-      acc.join(spark.read.parquet(dvFiles.map(resolve(dir, _)): _*),
-        keyCols, "left_anti")
+                       dvs: Vector[(Vector[String], Seq[String], Int)],
+                       renames: Vector[(String, String, Set[String])] = Vector.empty): DataFrame =
+    dvs.foldLeft(df) { case (acc, (dvFiles, keyCols, off)) =>
+      val later = renames.drop(off)
+      acc.join(renameDf(spark.read.parquet(dvFiles.map(resolve(dir, _)): _*), later),
+        renameCols(keyCols, later), "left_anti")
     }
 
   /** Run one replace-commit with conflict RE-VALIDATION: build the new
@@ -921,7 +998,10 @@ object TxnLog {
       // pending UPDATE vectors bind to file sets an exchange would break —
       // materialize them with a full rewrite instead (the Delta rule:
       // OPTIMIZE rewrites DVs away)
-      if (snap.scoped.nonEmpty) return compact(spark, dir, targetFiles)
+      // column-mapped snapshots also take the full rewrite: the packer
+      // below reads raw files, which would bypass the rename layer
+      if (snap.scoped.nonEmpty || snap.renames.nonEmpty || snap.drops.nonEmpty)
+        return compact(spark, dir, targetFiles)
       val smalls = snap.files.filter(f => !f.startsWith("@") &&
         Files.size(Paths.get(dir, f)) < thresholdBytes)
       if (smalls.size < 2) return base
@@ -947,6 +1027,64 @@ object TxnLog {
     * [[deleteVector]] for the merge-on-read path that avoids the rewrite. */
   def delete(spark: SparkSession, dir: String, predicate: String): Long =
     replaceCommitValidated(spark, dir)(_.filter(not(expr(predicate))))
+
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING: metadata-only RENAME and DROP (the Delta
+  // column-mapping move, scoped-rename style). A rename commits one
+  // `M rename` manifest — zero data files move, even at 100 TB; the
+  // read path renames the files that predate it (its fold-time scope)
+  // and serves files written afterward — which carry the new logical
+  // name in-parquet — untouched. A drop commits `M drop` and removes
+  // the column logically at read; bytes stay until the next rewrite.
+  // Any full rewrite (compact, CoW delete, restore-with-vectors,
+  // OPTIMIZE) reads through the mapping and MATERIALIZES it — the `R`
+  // fold resets the action list, exactly like pending vectors.
+  // Pending delete/update vectors COMMUTE with renames (each vector
+  // records its rename offset; applying it translates key columns and
+  // key files through the renames that folded later); dropping a
+  // column a pending vector keys on is refused. Contract: schema
+  // actions are table-owner operations — writers appending
+  // CONCURRENTLY with a rename may race it (a plain `A` append claims
+  // any slot and never re-validates; its files land in the rename's
+  // scope only if they fold below it), so run them in a maintenance
+  // window, like raw `commit(replace = true)`. Renaming onto a live
+  // column name, or renaming a column that never existed, is not
+  // validated here (the physical schema lives in the parquet footers,
+  // not the log) — a rename of an absent column is a visible no-op.
+  // ------------------------------------------------------------------
+
+  /** Metadata-only column rename; returns the version won. */
+  def renameColumn(dir: String, oldName: String, newName: String): Long = {
+    require(oldName.nonEmpty && newName.nonEmpty && oldName != newName,
+      s"bad rename: '$oldName' -> '$newName'")
+    require(Seq(oldName, newName).forall(c => !c.contains("\t") && !c.contains("\n")),
+      "column names must be tab/newline-free (manifest syntax)")
+    val snap = snapshotAt(dir, Long.MaxValue) // also: fail fast on a non-table
+    require(!snap.drops.contains(oldName) && !snap.drops.contains(newName),
+      s"rename $oldName -> $newName touches a dropped column")
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, s"M rename\t$oldName\t$newName", Seq.empty)) v += 1
+    v
+  }
+
+  /** Metadata-only column drop; returns the version won. Refused while a
+    * pending delete/update vector keys on the column (its anti-join
+    * needs it) — materialize via [[compact]] first. */
+  def dropColumn(dir: String, name: String): Long = {
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
+      s"bad column name: '$name'")
+    val snap = snapshotAt(dir, Long.MaxValue)
+    require(!snap.drops.contains(name), s"column $name already dropped")
+    val liveKeys = (snap.dvs.map(dv => (dv._2, dv._3)) ++
+      snap.scoped.map(sv => (sv._2, sv._4))).flatMap { case (kcs, off) =>
+        renameCols(kcs, snap.renames.drop(off))
+      }
+    require(!liveKeys.contains(name),
+      s"cannot drop '$name': a pending delete/update vector keys on it")
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, s"M drop\t$name", Seq.empty)) v += 1
+    v
+  }
 
   // ------------------------------------------------------------------
   // WRITE-CONFLICT CLASSIFICATION: the commit-pair matrix, explicit.
@@ -1217,7 +1355,9 @@ object TxnLog {
       // validated replace-commit. Vectors would suppress re-inserted keys;
       // external (`@`) files can't be exchanged — they belong to the
       // source table, so the rewrite must localize them anyway.
-      if (snap.dvs.nonEmpty || snap.scoped.nonEmpty || snap.files.exists(_.startsWith("@")))
+      if (snap.dvs.nonEmpty || snap.scoped.nonEmpty ||
+          snap.renames.nonEmpty || snap.drops.nonEmpty ||
+          snap.files.exists(_.startsWith("@")))
         return replaceCommitValidated(spark, dir)(cur =>
           cur.join(srcKeys, keyCols, "left_anti").unionByName(src))
       val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
@@ -1322,7 +1462,9 @@ object TxnLog {
     while (true) {
       val base = currentVersion(dir)
       val snap = snapshotAt(dir, base)
-      if (snap.dvs.nonEmpty || snap.scoped.nonEmpty || snap.files.exists(_.startsWith("@")))
+      if (snap.dvs.nonEmpty || snap.scoped.nonEmpty ||
+          snap.renames.nonEmpty || snap.drops.nonEmpty ||
+          snap.files.exists(_.startsWith("@")))
         return replaceCommitValidated(spark, dir)(cur =>
           applyMergeActions(cur, src, keyCols, actions))
       val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
@@ -1370,7 +1512,8 @@ object TxnLog {
     require(toVersion <= currentVersion(dir),
       s"version $toVersion does not exist (current: ${currentVersion(dir)})")
     val target = snapshotAt(dir, toVersion)
-    if (target.dvs.isEmpty && target.scoped.isEmpty) {
+    if (target.dvs.isEmpty && target.scoped.isEmpty &&
+        target.renames.isEmpty && target.drops.isEmpty) {
       var v = currentVersion(dir) + 1
       // R-commit re-listing the target's files: restore commutes with
       // nothing (it REPLACES), so any slot is as correct as base+1 — the
@@ -1406,6 +1549,9 @@ object TxnLog {
     require(snap.scoped.isEmpty,
       "clone with pending update vectors: their file-set scope cannot " +
         "transplant — compact the source first")
+    require(snap.renames.isEmpty && snap.drops.isEmpty,
+      "clone of a column-mapped table: the mapping's file scopes cannot " +
+        "transplant — compact the source first (materializes the mapping)")
     def ext(rel: String): String =
       if (rel.startsWith("@")) rel else s"@$srcAbs/$rel" // already-external refs pass through
     var v = currentVersion(dstDir) + 1
@@ -1424,7 +1570,7 @@ object TxnLog {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    snap.dvs.foreach { case (dvFiles, keyCols) =>
+    snap.dvs.foreach { case (dvFiles, keyCols, _) => // renames empty → offset 0
       var dv = currentVersion(dstDir) + 1
       while (!tryClaim(dstDir, dv, "D " + keyCols.mkString(","), dvFiles.map(ext))) dv += 1
     }
@@ -1467,7 +1613,7 @@ object TxnLog {
       val (m, body) = parseManifest(p)
       val action =
         if (m.startsWith("D ")) "D" else if (m.startsWith("T ")) "T"
-        else if (m.startsWith("U ")) "U"
+        else if (m.startsWith("U ")) "U" else if (m.startsWith("M ")) "M"
         else if (m.startsWith("R")) "R" else if (m.startsWith("X")) "X" else m
       (v, action, body.length.toLong)
     }
@@ -1503,6 +1649,19 @@ object TxnLog {
     require(fromExclusive >= 0 && to > fromExclusive, s"bad range ($fromExclusive, $to]")
     require(to <= currentVersion(dir),
       s"version $to does not exist (current: ${currentVersion(dir)})")
+    // the per-action derivations below read files RAW; an
+    // UN-MATERIALIZED column mapping at any DERIVED version in the
+    // range would shift row shape under them — the existing
+    // constant-schema contract, now enforced loudly. A mapping a later
+    // rewrite already materialized is fine: those versions' snapshots
+    // carry no actions (the `R` itself diffs through read(), which is
+    // mapping-aware, so only (fromExclusive, to] needs the check).
+    ((fromExclusive + 1L) to to).foreach { v =>
+      val sn = snapshotAt(dir, v)
+      require(sn.renames.isEmpty && sn.drops.isEmpty,
+        s"change feed range touches version $v with an un-materialized " +
+          "column mapping: compact first (materializes renames/drops)")
+    }
     val ms = manifests(dir).filter { case (v, _) => v > fromExclusive && v <= to }
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))

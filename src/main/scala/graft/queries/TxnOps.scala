@@ -1406,7 +1406,91 @@ object TxnOps {
       |FROM faces
       |ORDER BY as_of, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q274
+  /** COLUMN MAPPING on the txn-log table: metadata-only RENAME and DROP
+    * (the Delta column-mapping surface). Lifecycle under test, exercising
+    * every interplay the protocol promises:
+    *   v1 `A`  even-orderkey half (physical columns o_orderkey,
+    *           o_orderpriority, o_totalprice);
+    *   v2 `D`  delete vector keyed on o_orderpriority — all '5-LOW' rows
+    *           (committed BEFORE the rename, so applying it must
+    *           translate its key column AND its key file through the
+    *           rename that folds later — the rename-offset machinery);
+    *   v3 `M`  renameColumn o_orderpriority → priority: ZERO data bytes
+    *           move (TxnLogSpec pins the file census); v1's file is in
+    *           the rename's scope, later files are not;
+    *   v4 `A`  odd half written with the NEW logical name in-parquet —
+    *           the value-based vector still suppresses its '5-LOW' rows
+    *           (vectors delete by key, not by file);
+    *   v5 `M`  dropColumn o_totalprice — logical removal, bytes stay.
+    * Faces: as-of 1 serves the OLD schema (time travel below the rename
+    * — aliased here for union alignment), current serves the mapped
+    * table; the ledger row pins the action chain ADMAM + head version,
+    * and the schema row pins the final read's column list — the rename
+    * and the drop both visible in one string. At 100 TB this is the
+    * whole point: renaming a column on a billion-file table is one
+    * manifest write, and the next compaction materializes it for free. */
+  def q274(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q274_tbl").toString
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    TxnLog.commit(base.filter(expr("o_orderkey % 2 = 0")).coalesce(1), dir)
+    TxnLog.deleteVector(s, dir, "o_orderpriority = '5-LOW'", Seq("o_orderpriority"))
+    TxnLog.renameColumn(dir, "o_orderpriority", "priority")
+    TxnLog.commit(
+      base.filter(expr("o_orderkey % 2 = 1"))
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          col("o_totalprice")).coalesce(1), dir)
+    TxnLog.dropColumn(dir, "o_totalprice")
+    def agg(df: DataFrame, tag: Long) = df
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+      .withColumn("as_of", lit(tag))
+    val face1 = agg(TxnLog.read(s, dir, Some(1L))
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority")), 1L)
+    val cur = TxnLog.read(s, dir)
+    val faceNow = agg(cur, 5L)
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(lit(0L).as("as_of"), lit(actions).as("priority"),
+      lit(TxnLog.currentVersion(dir)).as("n"), lit(0L).as("sum_key"))
+    val schemaRow = s.range(1).select(lit(-1L).as("as_of"),
+      // sorted: the DV anti-join (a USING join) rotates its key column
+      // first — the proof is which columns EXIST, not their order
+      lit(cur.columns.sorted.mkString(",")).as("priority"), lit(0L).as("n"),
+      lit(0L).as("sum_key"))
+    ledger.unionByName(schemaRow).unionByName(face1).unionByName(faceNow)
+      .select(col("as_of"), col("priority"), col("n"), col("sum_key"))
+      .orderBy(col("as_of"), col("priority"))
+  }
+  val q274Sql: String =
+    """WITH ev AS (
+      |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+      |od AS (
+      |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1),
+      |final AS (
+      |  SELECT o_orderkey, o_orderpriority AS priority
+      |  FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)
+      |  WHERE o_orderpriority <> '5-LOW'),
+      |faces AS (
+      |  SELECT 1 AS as_of, o_orderpriority AS priority, COUNT(*) AS n,
+      |         SUM(o_orderkey) AS sum_key
+      |  FROM ev GROUP BY 2
+      |  UNION ALL
+      |  SELECT 5, priority, COUNT(*), SUM(o_orderkey) FROM final GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS as_of, 'ADMAM' AS priority,
+      |       CAST(5 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_key
+      |UNION ALL
+      |SELECT -1, 'o_orderkey,priority', 0, 0
+      |UNION ALL
+      |SELECT CAST(as_of AS BIGINT), priority, CAST(n AS BIGINT),
+      |       CAST(sum_key AS BIGINT)
+      |FROM faces
+      |ORDER BY as_of, priority""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q274_txn_column_mapping" -> ((q274 _, Some(q274Sql))),
     "q247_txn_restore" -> ((q247 _, Some(q247Sql))),
     "q242_txn_mor_update" -> ((q242 _, Some(q242Sql))),
     "q241_check_constraints" -> ((q241 _, Some(q241Sql))),

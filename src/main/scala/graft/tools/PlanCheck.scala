@@ -356,6 +356,15 @@ object PlanCheck {
       p.contains("Generate explode") && p.contains("partial_count") &&
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct"))
+    // q273: the grid radius join's whole claim is that the pair space is
+    // an ordinary EQUI-join on the cell key (the ×9 neighbor replication
+    // is a constant-factor Generate) — no cartesian, no nested loop; the
+    // exact-distance verify runs as a post-join filter on candidates
+    check("q273_grid_radius_join", "cell-key equi-join over ×9 explode; no cartesian")(p =>
+      p.contains("Generate explode") &&
+        (p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("SortMergeJoin")) &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))

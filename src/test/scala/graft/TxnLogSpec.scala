@@ -1150,4 +1150,143 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = T.read(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(3L) == 0L && !m.contains(8L), "aborted merge must leave no trace")
   }
+
+  /** Parquet data-file census under `dir` (everything outside _txnlog) —
+    * the metadata-only claims below are exactly "this number never moves". */
+  private def dataFileCensus(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_txnlog"))
+      .map(_.getPath).toSet
+  }
+
+  test("renameColumn is metadata-only; scope renames old files, new files ride") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "a").coalesce(1), dir)
+    val before = dataFileCensus(dir)
+    assert(T.renameColumn(dir, "a", "b") == 2L)
+    assert(dataFileCensus(dir) == before, "rename moved data bytes")
+    // post-rename append carries the new name physically
+    T.commit(Seq((3L, 30L)).toDF("k", "b").coalesce(1), dir)
+    val now = T.read(spark, dir)
+    assert(now.columns.toSet == Set("k", "b"))
+    assert(now.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // time travel below the rename serves the OLD schema
+    assert(T.read(spark, dir, Some(1L)).columns.toSet == Set("k", "a"))
+    // chained rename across the append: b -> c applies to BOTH epochs
+    T.renameColumn(dir, "b", "c")
+    val c = T.read(spark, dir)
+    assert(c.columns.toSet == Set("k", "c") &&
+      c.collect().map(_.getLong(1)).sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("pending vectors commute with renames: key columns translate") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "tag").coalesce(1), dir)
+    // vector keyed on `tag` BEFORE the rename…
+    T.deleteVector(spark, dir, "tag = 'x'", Seq("tag"))
+    // …rename folds later; the vector must still suppress by the NEW name
+    T.renameColumn(dir, "tag", "label")
+    T.commit(Seq((4L, "x"), (5L, "z")).toDF("k", "label").coalesce(1), dir)
+    val rows = T.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("label")).toMap
+    assert(rows == Map(2L -> "y", 5L -> "z"), s"got $rows")
+    // checkpoint round-trip: the offset-bearing V/M grammar rebuilds the fold
+    T.checkpoint(dir)
+    T.commit(Seq((6L, "x")).toDF("k", "label").coalesce(1), dir) // still suppressed
+    val rows2 = T.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("label")).toMap
+    assert(rows2 == Map(2L -> "y", 5L -> "z"), s"checkpoint-seeded read got $rows2")
+    assert(T.foldCost(dir) == 1, "read should fold only the post-checkpoint commit")
+  }
+
+  test("dropColumn is logical; refused while a pending vector keys on it") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, "x", 5L), (2L, "y", 6L)).toDF("k", "tag", "extra").coalesce(1), dir)
+    T.deleteVector(spark, dir, "tag = 'x'", Seq("tag"))
+    intercept[IllegalArgumentException](T.dropColumn(dir, "tag"))
+    // the vector's key survives a rename — the refusal follows the NEW name
+    T.renameColumn(dir, "tag", "label")
+    intercept[IllegalArgumentException](T.dropColumn(dir, "label"))
+    val before = dataFileCensus(dir)
+    T.dropColumn(dir, "extra") // not a vector key: fine, and metadata-only
+    assert(dataFileCensus(dir) == before)
+    val now = T.read(spark, dir)
+    assert(now.columns.toSet == Set("k", "label"))
+    assert(now.collect().map(_.getAs[Long]("k")).toSeq == Seq(2L))
+    // dropped names are never reusable (no stable column IDs)
+    intercept[IllegalArgumentException](T.renameColumn(dir, "extra", "extra2"))
+    intercept[IllegalArgumentException](T.renameColumn(dir, "label", "extra"))
+  }
+
+  test("compact materializes the mapping; clone/changes refuse until then") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, 10L, 7L), (2L, 20L, 8L)).toDF("k", "a", "junk").coalesce(1), dir)
+    T.renameColumn(dir, "a", "b")
+    T.dropColumn(dir, "junk")
+    // un-materialized mapping: clone and the change feed both refuse loudly
+    intercept[IllegalArgumentException](
+      T.clone(spark, dir, freshTable() + "/clone"))
+    intercept[IllegalArgumentException](T.changes(spark, dir, 0L, T.currentVersion(dir)))
+    val v = T.compact(spark, dir)
+    // physical names are now the logical ones: raw-read the R commit's
+    // files (vacuum reclaims the pre-compaction file so the census is
+    // exactly the rewrite)
+    T.vacuum(dir)
+    val raw = spark.read.parquet(dataFileCensus(dir).toSeq: _*)
+    assert(T.read(spark, dir).columns.toSet == Set("k", "b"))
+    assert(raw.columns.toSet.intersect(Set("a", "b", "junk")) == Set("b"),
+      s"compaction must write the mapped schema, got ${raw.columns.toSeq}")
+    // post-compaction the mapping is gone: CDF works across the compact
+    // (a pure rewrite diffs empty), but a range REACHING INTO the mapped
+    // versions still refuses — shape shifts mid-range
+    assert(T.changes(spark, dir, v - 1, v).count() == 0L)
+    intercept[IllegalArgumentException](T.changes(spark, dir, 0L, v))
+    val cdir = freshTable() + "/clone2"
+    T.clone(spark, dir, cdir)
+    assert(T.read(spark, cdir).collect().map(_.getLong(1)).sorted.toSeq == Seq(10L, 20L))
+  }
+
+  test("restore across a rename materializes it; below it is metadata-only") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, 10L)).toDF("k", "a").coalesce(1), dir) // v1
+    T.renameColumn(dir, "a", "b")                            // v2
+    T.commit(Seq((2L, 20L)).toDF("k", "b").coalesce(1), dir) // v3
+    // restore to v2: target snapshot carries the rename → materializing path
+    val v = T.restore(spark, dir, 2L)
+    val r = T.read(spark, dir)
+    assert(r.columns.toSet == Set("k", "b"))
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // restore to v1 (below the rename): metadata-only R re-listing
+    val before = dataFileCensus(dir)
+    T.restore(spark, dir, 1L)
+    assert(dataFileCensus(dir) == before, "below-the-rename restore moved bytes")
+    assert(T.read(spark, dir).columns.toSet == Set("k", "a"))
+    assert(v == 4L && T.currentVersion(dir) == 5L)
+  }
+
+  test("merge on a column-mapped table falls back to a validated replace") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "a").coalesce(1), dir)
+    T.renameColumn(dir, "a", "x")
+    T.merge(spark, dir, Seq((2L, -2L), (9L, 90L)).toDF("k", "x"), Seq("k"))
+    val m = T.read(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 10L, 2L -> -2L, 9L -> 90L), s"got $m")
+    // the replace materialized the mapping: a clone now succeeds
+    T.clone(spark, dir, freshTable() + "/clone3")
+  }
 }
