@@ -402,6 +402,44 @@ object PipelineQueries {
       |               epoch_us(CAST(a.ts AS TIMESTAMP))) <= (SELECT cut FROM m)
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q275
+  /** CHAINED STATEFUL OPERATORS on the oracle board: the q81 stream-stream
+    * interval join piped DIRECTLY into an event-time windowed aggregation
+    * in one streaming query (SPARK-42591 multi-stateful support) — the
+    * continuous pairs-per-hour rollup. Without chaining, the join output
+    * lands in a table and a second job re-reads it; chained, pairs never
+    * leave the executor and both state levels stay watermark-bounded.
+    * Determinism: a window is complete AND emitted once the join-output
+    * watermark (input wm − join interval) passes its end, so the prefix
+    * window_end ≤ max(ts) − 16 min (10 delay + 5 interval + 1 margin) is
+    * exactly the batch self-join's hourly rollup there — the oracle. */
+  def q275(s: SparkSession, d: String): DataFrame = {
+    val maxUs = Tables.events(s, d).agg(max(col("ts_us"))).head().getLong(0)
+    val cutoffUs = maxUs - 16L * 60L * 1000000L
+    graft.streaming.Streaming.joinWindowOnce(streamSession(s, needsIdleBatch = true), d,
+        withinMinutes = 5,
+        queryName = s"graft_q275_${java.lang.Integer.toHexString(d.hashCode)}")
+      .filter(col("window_end_us") <= cutoffUs)
+      .select(col("window_start_us"), col("n_pairs"), col("sum_b"))
+      .orderBy(col("window_start_us"))
+  }
+  val q275Sql: String =
+    """WITH m AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 16 * 60 * 1000000 AS cut
+      |           FROM events),
+      |pairs AS (
+      |  SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(a.ts AS TIMESTAMP)))
+      |           AS window_start_us,
+      |         b.event_id AS b_id
+      |  FROM events a JOIN events b ON a.user_id = b.user_id
+      |    AND a.event_id <> b.event_id
+      |    AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      |    AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES)
+      |SELECT window_start_us, COUNT(*) AS n_pairs,
+      |       CAST(SUM(b_id) AS BIGINT) AS sum_b
+      |FROM pairs
+      |WHERE window_start_us + 3600000000 <= (SELECT cut FROM m)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q82
   /** Within-watermark streaming dedup ON THE ORACLE BOARD: events staged
     * into three files → three micro-batches (maxFilesPerTrigger=1), so
@@ -913,6 +951,7 @@ object PipelineQueries {
     "q81_stream_interval_join" -> ((q81 _, Some(q81Sql))),
     "q179_stream_outer_join" -> ((q179 _, Some(q179Sql))),
     "q182_stream_full_outer_join" -> ((q182 _, Some(q182Sql))),
+    "q275_stream_join_window_agg" -> ((q275 _, Some(q275Sql))),
     "q82_stream_dedup_watermark" -> ((q82 _, Some(q82Sql))),
     "q87_stream_span_merge" -> ((q87 _, Some(q87Sql))),
     "q83_csv_roundtrip"  -> ((q83 _, Some(q83Sql))),

@@ -164,6 +164,48 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** CHAINED STATEFUL OPERATORS: the stream-stream interval join FOLLOWED
+    * BY an event-time windowed aggregation, in ONE streaming query — the
+    * multi-stateful-operator pipeline (SPARK-42591) that a continuous
+    * sessions-per-hour / pairs-per-hour rollup needs at 100 TB: without
+    * chaining, the join's output lands in a table and a second job
+    * re-reads it; chained, the pair never leaves the executor. The
+    * aggregation keys on the LEFT side's event time, so its windows
+    * finalize once the JOIN-OUTPUT watermark (input watermark minus the
+    * join's state-retention interval) passes each window end — Append
+    * mode then emits exactly the finalized windows. State on both levels
+    * stays watermark-bounded. */
+  def joinWindowStream(spark: SparkSession, dirA: String, dirB: String,
+                       withinMinutes: Int): DataFrame =
+    intervalJoinStreams(spark, dirA, dirB, withinMinutes)
+      .groupBy(window(col("a_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("b_id")).as("sum_b"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        unix_micros(col("window.end")).as("window_end_us"),
+        col("n_pairs"), col("sum_b"))
+
+  /** Drive the chained join→aggregation over the static snapshot.
+    * Determinism discipline (the q179 horizon rule, shifted by the
+    * aggregation): a window is BOTH complete (all pairs produced — needs
+    * the watermark past window_end + interval) and emitted (join-output
+    * watermark past window_end) once window_end ≤ max(ts) − (delay +
+    * interval + margin); callers compare only that prefix. */
+  def joinWindowOnce(spark: SparkSession, dir: String, withinMinutes: Int,
+                     queryName: String = "graft_jwin"): DataFrame = {
+    def stage(): String = {
+      val staged = java.nio.file.Files.createTempDirectory("graft_jwin_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      staged.toString
+    }
+    val q = joinWindowStream(spark, stage(), stage(), withinMinutes)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive the LEFT OUTER interval join over the static snapshot.
     *
     * Outer (null-extended) rows are emitted by WATERMARK-DRIVEN STATE

@@ -507,6 +507,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("chained stateful ops: streamed join→window agg equals the batch rollup") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val maxUs = graft.core.Tables.events(spark, dir)
+      .agg(max(col("ts_us"))).head().getLong(0)
+    val cutoffUs = maxUs - 16L * 60L * 1000000L
+    val streamed = graft.streaming.Streaming
+      .joinWindowOnce(spark, dir, withinMinutes = 5, "spec_jwin")
+      .filter(col("window_end_us") <= cutoffUs)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val ev = graft.core.Tables.events(spark, dir)
+      .selectExpr("event_id", "user_id", "timestamp_micros(ts_us) AS ts_t")
+    val a = ev.toDF("a_id", "a_user", "a_ts")
+    val b = ev.toDF("b_id", "b_user", "b_ts")
+    val batch = a.join(b, expr(
+        "a_user = b_user AND a_id <> b_id AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 5 MINUTES"))
+      .groupBy(window(col("a_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("b_id")).as("s"))
+      .select(unix_micros(col("window.start")).as("ws"),
+        unix_micros(col("window.end")).as("we"), col("n"), col("s"))
+      .filter(col("we") <= cutoffUs)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("orc source round-trips a table sample losslessly") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
