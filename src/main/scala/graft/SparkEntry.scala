@@ -37,7 +37,7 @@ object SparkEntry {
       graft.queries.GovernOps.defs ++
       graft.queries.CorpusOps.defs ++
       graft.queries.TxnOps.defs ++
-      graft.queries.SpatialOps.defs ++
+      graft.queries.SpatialOps.defs ++ // q273/q276 spatial family
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -94,6 +94,69 @@ object SpatialOps {
        |  CAST(MIN(d2) AS BIGINT) AS min_d2, CAST(SUM(d2) AS BIGINT) AS sum_d2
        |FROM p GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q276
+  /** Radius-bounded kNN join: the k nearest suppliers WITHIN distance R of
+    * each customer (k = 3), ties broken by supplier key — the spatial
+    * retrieval shape next to q273's set-valued radius join. The radius
+    * bound is what keeps kNN exact AND distributed: candidates come from
+    * the same 3×3 grid equi-join (sound for any pair within R), and the
+    * per-customer top-k is a bounded heap, not a sort — the
+    * WindowTopKRewrite rule turns the row_number ≤ k idiom into the
+    * O(keys×k)-memory heap operator, so no per-customer sort ever runs.
+    * Unbounded exact kNN (no radius) needs expanding-ring probes with a
+    * data-dependent round count — the documented trade: bound the radius
+    * and the plan is one join + one heap, at any scale. */
+  def q276(s: SparkSession, d: String): DataFrame = {
+    val cust = coords(Tables.customer(s, d), "c_custkey", 48271L, 69621L, "cx", "cy")
+    val supp = coords(Tables.supplier(s, d), "s_suppkey", 40503L, 65537L, "sx", "sy")
+      .withColumn("gx", expr(s"sx div $cell"))
+      .withColumn("gy", expr(s"sy div $cell"))
+    val offsets = typedLit(for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy))
+    val probes = cust
+      .withColumn("o", explode(offsets))
+      .withColumn("gx", expr(s"cx div $cell") + col("o._1"))
+      .withColumn("gy", expr(s"cy div $cell") + col("o._2"))
+      .drop("o")
+    val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+             (col("cy") - col("sy")) * (col("cy") - col("sy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey"))
+      .orderBy(col("d2"), col("s_suppkey"))
+    probes.join(supp, Seq("gx", "gy"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= r2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("c_custkey"), col("rank").cast("long").as("rank"),
+        col("s_suppkey"), col("d2"))
+      .orderBy(col("c_custkey"), col("rank"))
+  }
+  val q276Sql: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey,
+       |    (c_custkey * 48271) % $span AS cx,
+       |    (c_custkey * 69621) % $span AS cy
+       |  FROM customer),
+       |s AS (
+       |  SELECT s_suppkey,
+       |    (s_suppkey * 40503) % $span AS sx,
+       |    (s_suppkey * 65537) % $span AS sy
+       |  FROM supplier),
+       |p AS (
+       |  SELECT c_custkey, s_suppkey,
+       |    (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+       |  FROM c CROSS JOIN s
+       |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= $r2),
+       |r AS (
+       |  SELECT c_custkey, s_suppkey, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rank
+       |  FROM p)
+       |SELECT c_custkey, CAST(rank AS BIGINT) AS rank, s_suppkey,
+       |  CAST(d2 AS BIGINT) AS d2
+       |FROM r WHERE rank <= 3
+       |ORDER BY c_custkey, rank""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "q273_grid_radius_join" -> ((q273 _, Some(q273Sql))))
+    "q273_grid_radius_join" -> ((q273 _, Some(q273Sql))),
+    "q276_spatial_knn_join" -> ((q276 _, Some(q276Sql))))
 }

@@ -365,6 +365,11 @@ object PlanCheck {
         (p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
           p.contains("SortMergeJoin")) &&
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // q276: same grid equi-join, and the per-customer top-3 must ride the
+    // sortless bounded heap (WindowTopKRewrite), never a per-group sort
+    check("q276_spatial_knn_join", "grid equi-join + heap group-limit; no cartesian")(p =>
+      p.contains("TopKPerGroupPartial") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q244_blocklist_scan", "one automaton pass per row; 7-group agg, no join")(p =>
       p.contains("partial_sum") && !p.contains("Join") &&
         !p.contains("CartesianProduct"))
