@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_na
   * lines are `-<rel>` removes and `+<rel>` adds, the Delta/Iceberg
   * remove-action/add-action granularity that lets MERGE rewrite only the
   * files it touched instead of the table) — followed by one relative
-  * file path per line (A/R/D).
+  * file path per line (A/R/D). Every marker line carries an
+  * ` @<micros>` IN-COMMIT TIMESTAMP suffix (stamped inside the atomic
+  * claim, clamped monotone against the previous manifest — the Delta
+  * in-commit-timestamps move that makes `TIMESTAMP AS OF` survive log
+  * copies and writer clock skew); readers strip it before matching the
+  * action, and legacy unstamped manifests resolve by file mtime.
   * Readers fold the manifest chain in NUMERIC version order: A appends,
   * R resets (and clears pending delete vectors — a rewrite materializes
   * them), D stacks an anti-join, X removes-then-adds (pending vectors
@@ -179,10 +184,34 @@ object TxnLog {
 
   /** Write the manifest body to a temp file and atomically claim version
     * `v` by hard link. Returns false if `v` was already taken. */
+  /** Commit-time clock, micros. Overridable seam (like [[claimFence]]) so
+    * specs and deterministic fixtures can inject logical timestamps; the
+    * monotonicity clamp in [[tryClaim]] applies either way. */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis() * 1000L
+
+  /** IN-COMMIT timestamp of a manifest: the ` @<micros>` marker suffix.
+    * Legacy manifests (pre-stamp) fall back to file mtime — the same
+    * contract Delta documents for tables below the in-commit-timestamp
+    * protocol version: resolution still works, determinism is only
+    * guaranteed from the first stamped commit on. */
+  private def stampOf(p: Path): Long = {
+    val first = new String(Files.readAllBytes(p), "UTF-8")
+      .split("\n", 2).head
+    val i = first.lastIndexOf(" @")
+    if (i >= 0 && first.drop(i + 2).nonEmpty && first.drop(i + 2).forall(_.isDigit))
+      first.drop(i + 2).toLong
+    else Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L
+  }
+
   private def tryClaim(dir: String, v: Long, marker: String, files: Seq[String]): Boolean = {
     Files.createDirectories(logDir(dir))
+    // in-commit timestamp, clamped MONOTONIC against the newest manifest
+    // (the Delta in-commit-timestamps guarantee: a commit's stamp never
+    // regresses even under clock skew between writers)
+    val prev = manifests(dir).lastOption.map { case (_, p) => stampOf(p) }.getOrElse(0L)
+    val stamp = math.max(clock(), prev + 1L)
     val tmp = Files.createTempFile(logDir(dir), ".pending-", ".tmp")
-    Files.write(tmp, (marker + "\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.write(tmp, (s"$marker @$stamp\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
     try {
       Files.createLink(manifestPath(dir, v), tmp) // atomic claim (EEXIST on loss)
       true
@@ -561,10 +590,21 @@ object TxnLog {
                        rens: Seq[(String, String, Set[String])]): DataFrame =
     rens.foldLeft(df) { case (d, (o, n, _)) => d.withColumnRenamed(o, n) }
 
-  /** One manifest parsed: (action marker line, body lines). */
+  /** One manifest parsed: (action marker line, body lines). The marker is
+    * returned with its ` @<micros>` in-commit timestamp suffix STRIPPED,
+    * so every marker matcher below (fold, conflict class, txn lookup)
+    * sees the bare action. */
   private def parseManifest(p: Path): (String, Vector[String]) = {
-    val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n")
+    val raw = new String(Files.readAllBytes(p), "UTF-8").split("\n")
       .filter(_.nonEmpty).toVector
+    val lines = raw.headOption match {
+      case Some(h) =>
+        val i = h.lastIndexOf(" @")
+        if (i >= 0 && h.drop(i + 2).nonEmpty && h.drop(i + 2).forall(_.isDigit))
+          h.take(i) +: raw.tail
+        else raw
+      case None => raw
+    }
     lines.headOption match {
       case Some(m) if m == "R" || m == "R noop" || m == "A" || m == "X" ||
         m == "X noop" || m.startsWith("D ") || m.startsWith("T ") ||
@@ -792,6 +832,39 @@ object TxnLog {
     val p = logDir(dir).resolve("min-version")
     if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong else 1L
   }
+
+  /** Effective in-commit timestamps, oldest first: (version, ts) with the
+    * RUNNING MAX applied, so the sequence is monotone by construction even
+    * if two racing writers' raw stamps interleaved (the claim protocol
+    * cannot re-validate a stamp after the link wins; the running max makes
+    * `TIMESTAMP AS OF` resolution deterministic and order-consistent
+    * regardless — a regressed raw stamp can never shadow an earlier
+    * version). Legacy unstamped manifests contribute their file mtime. */
+  def commitTimestamps(dir: String): Vector[(Long, Long)] = {
+    var run = 0L
+    manifests(dir).toVector.map { case (v, p) =>
+      run = math.max(run, stampOf(p)); (v, run)
+    }
+  }
+
+  /** `TIMESTAMP AS OF`: the newest version whose effective in-commit
+    * timestamp is ≤ `tsMicros` — fails loudly when the table is younger
+    * than the probe (no silent empty read) or the resolved version was
+    * vacuumed. */
+  def versionAtTimestamp(dir: String, tsMicros: Long): Long = {
+    val ts = commitTimestamps(dir)
+    require(ts.nonEmpty, s"not a txnlog table (no commits): $dir")
+    val at = ts.takeWhile(_._2 <= tsMicros)
+    require(at.nonEmpty,
+      s"no version at timestamp $tsMicros (oldest commit: ${ts.head._2})")
+    at.last._1
+  }
+
+  /** Read the table as of a timestamp (micros) — resolves through
+    * [[versionAtTimestamp]], then the ordinary versioned read (vacuum
+    * watermark and column mapping apply as usual). */
+  def readAtTimestamp(spark: SparkSession, dir: String, tsMicros: Long): DataFrame =
+    read(spark, dir, Some(versionAtTimestamp(dir, tsMicros)))
 
   /** Read the table at `asOf` (default: latest). Only manifest-listed files
     * are visible; orphaned data directories (crashed writers) are not.

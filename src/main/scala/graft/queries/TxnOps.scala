@@ -1489,7 +1489,77 @@ object TxnOps {
       |FROM faces
       |ORDER BY as_of, priority""".stripMargin
 
+  // ---------------------------------------------------------------- q277
+  /** TIME TRAVEL BY TIMESTAMP (`TIMESTAMP AS OF`) on in-commit timestamps:
+    * every claim stamps its manifest marker with a monotonically-clamped
+    * commit time (the Delta in-commit-timestamps move — mtime-based
+    * resolution breaks the moment a log is copied or a filesystem skews;
+    * the stamp rides INSIDE the atomic commit). Four commits at injected
+    * logical clocks 1s/2s/3s/4s (the clock seam keeps the entry
+    * hash-deterministic; production uses the wall clock through the same
+    * clamp): three priority slices, then a delete vector. Probes pin the
+    * resolution semantics: strictly-between → floor version; boundary
+    * timestamp → inclusive; post-vector probe sees the deletion. The
+    * ledger face hashes the full (version, effective-stamp) sequence —
+    * running-max monotone by construction. A probe below the oldest
+    * commit refuses loudly (TxnLogSpec). */
+  def q277(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q277_tbl").toString
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    def slice(p: String) = base.filter(col("o_orderpriority") === p).coalesce(1)
+    val prevClock = TxnLog.clock
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      TxnLog.clock = () => t.get()
+      t.set(1000000L); TxnLog.commit(slice("1-URGENT"), dir)
+      t.set(2000000L); TxnLog.commit(slice("2-HIGH"), dir)
+      t.set(3000000L); TxnLog.commit(slice("3-MEDIUM"), dir)
+      t.set(4000000L)
+      TxnLog.deleteVector(s, dir, "o_orderpriority = '1-URGENT'", Seq("o_orderpriority"))
+    } finally TxnLog.clock = prevClock
+    def face(probeUs: Long) = TxnLog.readAtTimestamp(s, dir, probeUs)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("probe_us", lit(probeUs))
+    val stamps = TxnLog.commitTimestamps(dir)
+      .map { case (v, ts) => s"$v:$ts" }.mkString("|")
+    val ledger = s.range(1).select(lit(0L).as("probe_us"), lit(stamps).as("priority"),
+      lit(TxnLog.currentVersion(dir)).as("n"))
+    ledger.unionByName(face(1500000L)).unionByName(face(2000000L))
+      .unionByName(face(3999999L)).unionByName(face(4000000L))
+      .select(col("probe_us"), col("priority"), col("n"))
+      .orderBy(col("probe_us"), col("priority"))
+  }
+  val q277Sql: String =
+    """WITH s1 AS (SELECT o_orderkey, o_orderpriority FROM orders
+      |            WHERE o_orderpriority = '1-URGENT'),
+      |s2 AS (SELECT o_orderkey, o_orderpriority FROM orders
+      |       WHERE o_orderpriority = '2-HIGH'),
+      |s3 AS (SELECT o_orderkey, o_orderpriority FROM orders
+      |       WHERE o_orderpriority = '3-MEDIUM'),
+      |faces AS (
+      |  SELECT 1500000 AS probe_us, o_orderpriority AS priority, COUNT(*) AS n
+      |  FROM s1 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2000000, o_orderpriority, COUNT(*)
+      |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 3999999, o_orderpriority, COUNT(*)
+      |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |        UNION ALL SELECT * FROM s3) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 4000000, o_orderpriority, COUNT(*)
+      |  FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3) GROUP BY 2)
+      |SELECT CAST(0 AS BIGINT) AS probe_us,
+      |       '1:1000000|2:2000000|3:3000000|4:4000000' AS priority,
+      |       CAST(4 AS BIGINT) AS n
+      |UNION ALL
+      |SELECT CAST(probe_us AS BIGINT), priority, CAST(n AS BIGINT) FROM faces
+      |ORDER BY probe_us, priority""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q277_txn_time_travel_ts" -> ((q277 _, Some(q277Sql))),
     "q274_txn_column_mapping" -> ((q274 _, Some(q274Sql))),
     "q247_txn_restore" -> ((q247 _, Some(q247Sql))),
     "q242_txn_mor_update" -> ((q242 _, Some(q242Sql))),

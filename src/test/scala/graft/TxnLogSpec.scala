@@ -154,7 +154,7 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.io.TxnLog.commit(Seq(3L).toDF("v"), dir)     // v2
     val ld = java.nio.file.Paths.get(dir, "_txnlog")
     def replaceBody(v: Long) = new String(java.nio.file.Files.readAllBytes(
-      ld.resolve(f"v$v%05d.manifest")), "UTF-8").replaceFirst("^A\n", "R\n")
+      ld.resolve(f"v$v%05d.manifest")), "UTF-8").replaceFirst("^A", "R")
     // hand-forge a far-future pair: v99999 replaces with v1's files,
     // v100000 replaces with v2's files — numeric order must make v100000 win
     java.nio.file.Files.write(ld.resolve("v99999.manifest"), replaceBody(1L).getBytes("UTF-8"))
@@ -277,10 +277,13 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ------------------------------------------------------------- round 8:
   // MERGE (X exchange), change data feed, manifest-stats file skipping
 
+  /** Manifest body with the marker's ` @<micros>` in-commit stamp stripped
+    * (assertions below pin the bare action grammar). */
   private def manifestBody(dir: String, v: Long): Seq[String] = {
     val p = java.nio.file.Paths.get(dir, "_txnlog", f"v$v%05d.manifest")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       .split("\n").filter(_.nonEmpty).toSeq
+    raw.headOption.fold(raw)(h => h.replaceFirst(" @\\d+$", "") +: raw.tail)
   }
 
   test("merge upserts by key and rewrites ONLY the touched files") {
@@ -903,7 +906,8 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toArray.map(_.toString).filter(_.endsWith(".manifest")).sorted
     val xBody = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(manifests.last)), "UTF-8")
-    assert(xBody.startsWith("X\n") && xBody.linesIterator.count(_.startsWith("-")) == 1,
+    assert(xBody.linesIterator.next().replaceFirst(" @\\d+$", "") == "X" &&
+      xBody.linesIterator.count(_.startsWith("-")) == 1,
       s"expected one removed file, got:\n$xBody")
     assert(filesBefore == 2)
     // delete-only actions that empty every touched file: removes, no adds
@@ -1288,5 +1292,52 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map(1L -> 10L, 2L -> -2L, 9L -> 90L), s"got $m")
     // the replace materialized the mapping: a clone now succeeds
     T.clone(spark, dir, freshTable() + "/clone3")
+  }
+
+  test("in-commit timestamps: monotone clamp, boundary resolution, loud refusals") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    val prevClock = T.clock
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      T.clock = () => t.get()
+      t.set(100L); T.commit(Seq(1L).toDF("v"), dir)
+      // a REGRESSING wall clock (skewed second writer) never regresses the
+      // stamp: clamp to prev + 1
+      t.set(50L); T.commit(Seq(2L).toDF("v"), dir)
+      t.set(300L); T.commit(Seq(3L).toDF("v"), dir)
+    } finally T.clock = prevClock
+    assert(T.commitTimestamps(dir) == Vector((1L, 100L), (2L, 101L), (3L, 300L)))
+    assert(T.versionAtTimestamp(dir, 100L) == 1L) // boundary is inclusive
+    assert(T.versionAtTimestamp(dir, 299L) == 2L)
+    assert(T.versionAtTimestamp(dir, Long.MaxValue) == 3L)
+    intercept[IllegalArgumentException](T.versionAtTimestamp(dir, 99L))
+    assert(T.readAtTimestamp(spark, dir, 101L).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("unstamped (legacy) manifests resolve by mtime; stamped commits stay exact") {
+    val dir = freshTable()
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    T.commit(Seq(1L).toDF("v"), dir)
+    // forge a legacy manifest: strip the stamp suffix off v1's marker line
+    val m1 = java.nio.file.Paths.get(dir, "_txnlog", "v00001.manifest")
+    val lines = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8").split("\n")
+    val stripped = (lines.head.takeWhile(_ != '@').trim +: lines.tail).mkString("\n")
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir, "_txnlog"), ".forge-", ".tmp")
+    java.nio.file.Files.write(tmp, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, m1,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // reads still work (stamp parsing must not choke on legacy markers)
+    assert(T.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // resolution falls back to mtime for v1 — a far-future probe finds it
+    assert(T.versionAtTimestamp(dir, Long.MaxValue) == 1L)
+    // and a stamped commit on top continues the monotone sequence
+    T.commit(Seq(2L).toDF("v"), dir)
+    val ts = T.commitTimestamps(dir)
+    assert(ts.map(_._1) == Vector(1L, 2L) && ts(1)._2 > ts(0)._2)
   }
 }
