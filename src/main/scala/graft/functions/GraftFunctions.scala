@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectOptimizerRule(_ => graft.plans.RewriteCosine)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -117,5 +117,9 @@ object GraftPlanner {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ WindowTopKRewrite
     }
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
+    }
   }
 }

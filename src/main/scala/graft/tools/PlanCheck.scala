@@ -810,6 +810,47 @@ object PlanCheck {
       }
     }
 
+    // ----------------------------------------------------------------
+    // q278's rewrite rule, probed with a live registration (the board
+    // query materializes inside its registration window, so its returned
+    // plan is a LocalRelation — pin the physical shape here instead):
+    // with the MV registered, a derivable rollup's EXECUTED plan must
+    // scan the MV parquet and not lineitem; with it unregistered, the
+    // same query must scan lineitem. The rewrite's routing decision is
+    // also hash-gated per face via q278's mv_used column.
+    // ----------------------------------------------------------------
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val li = graft.core.Tables.lineitem(spark, sfDir)
+      val dec = DecimalType(18, 4)
+      val mvDir = java.nio.file.Files.createTempDirectory("graft_plancheck_mv").toString
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(dec)).as("sum_qty"))
+        .coalesce(1).write.parquet(s"$mvDir/mv")
+      graft.plans.MvRewrite.register(graft.plans.MvRewrite.MvDef(
+        s"$sfDir/lineitem.parquet", s"$mvDir/mv",
+        Seq("l_returnflag", "l_linestatus"), "cnt",
+        Seq(graft.plans.MvRewrite.MvMeasure("sum", "l_quantity", Some(dec), "sum_qty"))))
+      try {
+        def probe() = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("l_quantity").cast(dec)).cast("double").as("sv"))
+          .queryExecution.executedPlan.toString
+        val routedPlan = probe()
+        val ok = routedPlan.contains("graft_plancheck_mv") &&
+          !routedPlan.contains("lineitem.parquet")
+        rec("q278_mv_rewrite", "registered MV replaces the fact scan in the executed plan", ok)
+        if (!ok) { failures += 1; println(routedPlan.linesIterator.take(40).mkString("\n")) }
+        graft.plans.MvRewrite.clear()
+        val plainPlan = probe()
+        val ok2 = plainPlan.contains("lineitem.parquet") &&
+          !plainPlan.contains("graft_plancheck_mv")
+        rec("q278_mv_rewrite_off", "unregistered: the same query scans the fact table", ok2)
+        if (!ok2) { failures += 1; println(plainPlan.linesIterator.take(40).mkString("\n")) }
+      } finally graft.plans.MvRewrite.clear()
+    }
+
     println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
     // optional 2nd arg: persist the run as a diffable JSON artifact
     args.drop(1).headOption.foreach { out =>

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftPlanner
+import graft.plans.MvRewrite
+import graft.plans.MvRewrite.{MvDef, MvMeasure}
+
+/** Specs for the materialized-view rewrite rule: rewritten plans must scan
+  * the MV instead of the base table with results byte-identical to the
+  * unrewritten formulation, and every shape the MV cannot answer must be
+  * left untouched. */
+class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftPlanner.ensure(s)
+    s
+  }
+
+  override def afterAll(): Unit = {
+    MvRewrite.clear()
+    spark.stop()
+  }
+
+  private lazy val baseDir = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvspec").toString
+    val rnd = new scala.util.Random(11)
+    (0 until 4000)
+      .map(i => (s"g${i % 7}", s"h${i % 3}", rnd.nextInt(1000).toDouble / 4, i.toLong))
+      .toDF("k1", "k2", "v", "id")
+      .coalesce(1).write.parquet(s"$dir/base")
+    dir
+  }
+  private def base: DataFrame = spark.read.parquet(s"$baseDir/base")
+
+  private val dec = DecimalType(18, 4)
+
+  private def buildAndRegisterMv(): MvDef = {
+    val mvPath = s"$baseDir/mv_${System.nanoTime()}"
+    base.groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v").cast(dec)).as("sum_v"),
+           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .coalesce(1).write.parquet(mvPath)
+    val d = MvDef(s"$baseDir/base", mvPath, Seq("k1", "k2"), "cnt",
+      Seq(MvMeasure("sum", "v", Some(dec), "sum_v"),
+          MvMeasure("min", "v", None, "min_v"),
+          MvMeasure("max", "v", None, "max_v")))
+    MvRewrite.register(d)
+    d
+  }
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def usesMv(df: DataFrame, mv: MvDef): Boolean = {
+    val ps = scanPaths(df)
+    ps.exists(_.endsWith(mv.mvPath.drop(mv.mvPath.lastIndexOf('/')))) &&
+      !ps.exists(_.endsWith("/base"))
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("exact-grouping query routes to the MV with identical results") {
+    val mv = buildAndRegisterMv()
+    try {
+      def q(d: DataFrame) = d.groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).cast("double").as("sv"),
+             max(col("v")).as("mx"))
+      val rewritten = q(base)
+      assert(usesMv(rewritten, mv), rewritten.queryExecution.optimizedPlan.toString)
+      MvRewrite.clear()
+      val plain = q(base)
+      assert(!usesMv(plain, mv))
+      MvRewrite.register(mv)
+      assert(sortedRows(rewritten) == sortedRows(plain))
+    } finally MvRewrite.clear()
+  }
+
+  test("coarser rollup re-aggregates MV partials exactly") {
+    val mv = buildAndRegisterMv()
+    try {
+      def q(d: DataFrame) = d.groupBy(col("k1"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sv"),
+             min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val rewritten = q(base)
+      assert(usesMv(rewritten, mv))
+      MvRewrite.clear()
+      assert(sortedRows(rewritten) == sortedRows(q(base)))
+    } finally MvRewrite.clear()
+  }
+
+  test("key-column filter commutes through the rewrite") {
+    val mv = buildAndRegisterMv()
+    try {
+      def q(d: DataFrame) = d.filter(col("k2") =!= "h1").groupBy(col("k1"))
+        .agg(sum(col("v").cast(dec)).as("sv"))
+      val rewritten = q(base)
+      assert(usesMv(rewritten, mv))
+      MvRewrite.clear()
+      assert(sortedRows(rewritten) == sortedRows(q(base)))
+    } finally MvRewrite.clear()
+  }
+
+  test("downstream operators resolve against the rewritten node (pinned ExprIds)") {
+    val mv = buildAndRegisterMv()
+    try {
+      val df = base.groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 100)
+        .orderBy(col("k1"), col("k2"))
+        .select(concat(col("k1"), lit("/"), col("k2")).as("k"), col("n"))
+      assert(usesMv(df, mv))
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      MvRewrite.clear()
+      val want = base.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 100).orderBy(col("k1"), col("k2"))
+        .select(concat(col("k1"), lit("/"), col("k2")).as("k"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want && got.nonEmpty)
+    } finally MvRewrite.clear()
+  }
+
+  test("underivable shapes are left untouched") {
+    val mv = buildAndRegisterMv()
+    try {
+      // filter on a non-key column (cannot commute)
+      assert(!usesMv(base.filter(col("v") > 100)
+        .groupBy(col("k1")).agg(count(lit(1)).as("n")), mv))
+      // DISTINCT aggregate (not derivable from partials)
+      assert(!usesMv(base.groupBy(col("k1"))
+        .agg(countDistinct(col("k2")).as("n")), mv))
+      // sum of a non-measure column
+      assert(!usesMv(base.groupBy(col("k1"))
+        .agg(sum(col("id")).as("s")), mv))
+      // sum through a DIFFERENT cast than the declared measure
+      assert(!usesMv(base.groupBy(col("k1"))
+        .agg(sum(col("v").cast(DecimalType(20, 6))).as("s")), mv))
+      // grouping by a non-key expression
+      assert(!usesMv(base.groupBy(upper(col("k1")).as("u"))
+        .agg(count(lit(1)).as("n")), mv))
+      // AVG partials are not declared
+      assert(!usesMv(base.groupBy(col("k1")).agg(avg(col("v")).as("a")), mv))
+    } finally MvRewrite.clear()
+  }
+
+  test("empty registry is a strict no-op; unregister closes the window") {
+    MvRewrite.clear()
+    val mv = buildAndRegisterMv()
+    MvRewrite.unregister(mv.basePath)
+    assert(!usesMv(base.groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n")), mv))
+  }
+}
