@@ -933,7 +933,80 @@ object PipelineQueries {
       |  CAST(MAX(al) AS BIGINT) AS al_max
       |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q279
+  /** LATE-DATA ACCOUNTING ON THE ORACLE BOARD: the rows a watermark drops
+    * must be auditable, not silent (at 100 TB "the dashboard is missing
+    * some events" is unanswerable without a dropped-rows ledger). Two
+    * arrival waves over the hourly aggregation: the RECENT wave (newest
+    * 2 days of events) advances the watermark to max(ts) − 10 min; the
+    * LATE wave (everything older than 4 days — at least 4 days below the
+    * watermark, so no boundary case exists) is then refused row-for-row
+    * by the watermark. The ledger face reports the engine's own
+    * StateOperatorProgress.numRowsDroppedByWatermark counter, which the
+    * oracle states relationally as the DISTINCT (window × type) group
+    * count of the late slice — the counter ticks at the state operator,
+    * after partial aggregation, one per refused GROUP (the deterministic
+    * granularity; see lateDataAuditOnce); the window faces are the
+    * emitted hourly aggregation, horizon-guarded the q179 way (windows
+    * ending ≤ max − delay − 1 min margin are provably finalized and
+    * emitted). The barrier wave (one row AT max ts — its window is never
+    * emitted and sits beyond the horizon guard, so no face sees it)
+    * absorbs the engine's one-batch watermark-propagation lag. A wrong
+    * watermark rule, a dropped-counter regression, or late rows leaking
+    * INTO the aggregation all break the hash. */
+  def q279(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val recentLoUs = maxUs - 2L * 86400L * 1000000L
+    val lateHiUs   = maxUs - 4L * 86400L * 1000000L
+    val cols = Seq(col("ts_t"), col("event_type"), col("value"))
+    val (tbl, dropped) = graft.streaming.Streaming.lateDataAuditOnce(
+      streamSession(s),
+      recent = ev.filter(col("ts_us") >= recentLoUs).select(cols: _*),
+      barrier = s.range(1).select(
+        timestamp_micros(lit(maxUs)).as("ts_t"),
+        lit("barrier").as("event_type"), lit(0.0).as("value")),
+      late = ev.filter(col("ts_us") < lateHiUs).select(cols: _*),
+      delay = "10 minutes",
+      queryName = s"graft_q279_${java.lang.Integer.toHexString(d.hashCode)}")
+    // emitted-window horizon: end ≤ wm − margin ⇒ finalized regardless of
+    // the engine's boundary rule (the q179/q190 discipline)
+    val horizonUs = maxUs - 600000000L - 60000000L
+    val windows = tbl
+      .filter(col("window_start_us") + 3600000000L <= horizonUs)
+      .select(lit("window").as("face"), col("window_start_us"),
+              col("event_type"), col("n"), col("sum_value"))
+    val ledger = s.range(1).select(lit("dropped").as("face"),
+      lit(null).cast("long").as("window_start_us"),
+      lit(null).cast("string").as("event_type"),
+      lit(dropped).as("n"), lit(null).cast("double").as("sum_value"))
+    ledger.unionByName(windows)
+      .orderBy(col("face"), col("window_start_us"), col("event_type"))
+  }
+  val q279Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS m FROM events),
+      |w AS (
+      |  SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS ws,
+      |         event_type, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  FROM events, mx
+      |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= m - 172800000000
+      |  GROUP BY 1, 2)
+      |SELECT 'dropped' AS face, CAST(NULL AS BIGINT) AS window_start_us,
+      |       CAST(NULL AS VARCHAR) AS event_type,
+      |       (SELECT COUNT(*) FROM (
+      |          SELECT DISTINCT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+      |                 event_type
+      |          FROM events, mx
+      |          WHERE epoch_us(CAST(ts AS TIMESTAMP)) < m - 345600000000)) AS n,
+      |       CAST(NULL AS DOUBLE) AS sum_value
+      |UNION ALL
+      |SELECT 'window', ws, event_type, n, sum_value FROM w, mx
+      |WHERE ws + 3600000000 <= m - 660000000
+      |ORDER BY face, window_start_us, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q279_stream_late_audit" -> ((q279 _, Some(q279Sql))),
     "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),
     "q268_audio_pipeline_vorbis" -> ((q268 _, Some(q268Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),

@@ -703,4 +703,78 @@ object Streaming {
     finally q.stop()
     spark.table(queryName)
   }
+
+  // ------------------------------------------------------------------
+  // Late-data accounting: watermark-dropped rows are OBSERVABLE, not
+  // silent. At 100 TB a pipeline that drops late arrivals without a
+  // ledger cannot be audited — the per-batch
+  // StateOperatorProgress.numRowsDroppedByWatermark counter is the
+  // engine's own accounting of exactly the rows the watermark refused,
+  // and this drive surfaces it next to the aggregation those rows never
+  // entered.
+  // ------------------------------------------------------------------
+
+  /** Drive a watermarked hourly aggregation over THREE arrival waves —
+    * `recent` (advancing the watermark), `barrier` (one batch whose only
+    * job is to let the advanced watermark take effect), then `late`
+    * (entirely below it) — and return the emitted windows PLUS the
+    * engine-counted number of state rows dropped by the watermark.
+    *
+    * Why a barrier wave: the late-record filter in batch N evaluates
+    * against the watermark in force when N was CONSTRUCTED, which
+    * incorporates event-time stats only up to batch N−2's data (the
+    * documented one-batch propagation lag; progress reports the
+    * end-of-batch value, which is ahead of the filter's). Without the
+    * barrier, the late wave would ride the pre-advance watermark and
+    * sail into state. On a real continuous deployment the lag is one
+    * trigger (~seconds) and irrelevant; in a drive-to-completion test it
+    * must be staged explicitly. Empirically pinned by OpsSpec.
+    *
+    * Granularity: `numRowsDroppedByWatermark` ticks at the STATE
+    * operator, i.e. after partial aggregation and the group exchange —
+    * one count per dropped (window × key) GROUP, not per input row.
+    * That is the deterministic quantity (each group merges in exactly
+    * one shuffle partition), and the one that matters for state-size
+    * accounting.
+    *
+    * Waves land as single parquet files copied into the source directory
+    * between `processAllAvailable()` calls, so batch order is arrival
+    * order, not a listing race. Inputs carry (ts_t TIMESTAMP,
+    * event_type STRING, value DOUBLE). */
+  def lateDataAuditOnce(spark: SparkSession, recent: DataFrame, barrier: DataFrame,
+                        late: DataFrame, delay: String,
+                        queryName: String = "graft_lateaudit"): (DataFrame, Long) = {
+    def onePart(df: DataFrame, tag: String): java.nio.file.Path = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_lateaudit_$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val part = java.nio.file.Files.list(out).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.endsWith("_SUCCESS")).min
+      java.nio.file.Paths.get(part)
+    }
+    val files = Seq(onePart(recent, "recent"), onePart(barrier, "barrier"),
+                    onePart(late, "late"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_lateaudit_src")
+    val schema = StructType(Seq(
+      StructField("ts_t", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    java.nio.file.Files.copy(files.head, staged.resolve("wave0.parquet"))
+    val agg = spark.readStream.schema(schema).parquet(staged.toString)
+      .withWatermark("ts_t", delay)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+              col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    val dropped = try {
+      q.processAllAvailable() // wave 0: watermark advances to max − delay
+      files.tail.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f, staged.resolve(s"wave${i + 1}.parquet"))
+        q.processAllAvailable() // wave 1: barrier; wave 2: dropped wholesale
+      }
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    } finally q.stop()
+    (spark.table(queryName), dropped)
+  }
 }

@@ -814,4 +814,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = exact.filter(_._2 >= t).toSet
     assert(got == want, "prefiltered recount must equal the exact heavy-key set")
   }
+
+  test("lateDataAuditOnce: late groups drop with engine accounting; none leak") {
+    // recent wave: 100 rows over 100 s at epoch 1706000000 (2 minute-hours
+    // irrelevant — 1h windows ⇒ ONE window), plus a late wave 4 days older
+    // in 3 distinct (window × type) groups. The drive must (a) keep every
+    // late row out of the emitted aggregation, (b) report exactly 3 dropped
+    // state rows (group granularity — 50 late input rows), and (c) emit the
+    // recent window(s) the final watermark closed.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val baseUs = 1706000000000000L
+    // recent: one row per minute for 100 min; the base epoch sits 53m20s
+    // into its hour, so hour boundaries fall at +6:40 and +66:40 — the
+    // final watermark (+99min − 10s) closes the first two windows (7 and
+    // 60 rows) and leaves the third open
+    val recent = ss.range(100).selectExpr(
+      s"timestamp_micros($baseUs + id * 60000000) AS ts_t",
+      "'a' AS event_type", "1.0 AS value")
+    val barrier = ss.range(1).selectExpr(
+      s"timestamp_micros($baseUs + 99L * 60000000) AS ts_t",
+      "'barrier' AS event_type", "0.0 AS value")
+    val lateUs = baseUs - 4L * 86400L * 1000000L
+    // 75 rows in two types. The base epoch sits 53m20s into its hour, so
+    // epoch-aligned hour boundaries fall at +6:40 and +66:40: x at
+    // +0..24 min straddles the first boundary (groups (H0,x), (H1,x)); y at
+    // +30..54 min is inside H1; y at +70..94 min is inside H2 — 4 distinct
+    // (window × type) groups, which is what the state operator refuses
+    val late = ss.range(75).selectExpr(
+      s"""timestamp_micros($lateUs + CASE WHEN id < 25 THEN id
+         |  WHEN id < 50 THEN 30 + (id - 25)
+         |  ELSE 70 + (id - 50) END * 60000000) AS ts_t""".stripMargin,
+      "CASE WHEN id < 25 THEN 'x' ELSE 'y' END AS event_type",
+      "1.0 AS value")
+    val (tbl, dropped) = graft.streaming.Streaming.lateDataAuditOnce(
+      ss, recent, barrier, late, delay = "10 seconds",
+      queryName = "graft_lateaudit_spec")
+    assert(dropped == 4L, s"expected 4 dropped groups, got $dropped")
+    val rows = tbl.collect()
+    // nothing from the late wave (its epoch-hour starts are 4 days old)
+    assert(rows.forall(_.getLong(0) >= baseUs - 3600000000L),
+      rows.mkString("; "))
+    // the two closed recent windows were emitted with exact counts; the
+    // open third window was not
+    val h0 = baseUs - (baseUs % 3600000000L)
+    val counts = rows.filter(_.getString(1) == "a")
+      .map(r => (r.getLong(0) - h0) / 3600000000L -> r.getLong(2)).toMap
+    assert(counts == Map(0L -> 7L, 1L -> 60L), rows.mkString("; "))
+  }
 }
