@@ -64,9 +64,16 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * root path), stored at `mvPath`, grouped by `keys`, with a COUNT(*)
     * partial in `cntCol` and SUM/MIN/MAX partials in `measures`. The MV
     * must have been built over the FULL base table (no filter) — that is
-    * what makes key-predicate commuting and rollup re-aggregation sound. */
+    * what makes key-predicate commuting and rollup re-aggregation sound.
+    *
+    * `exactRoots` is the MULTI-FILE form (a txn-log table read is a scan
+    * over the snapshot's file list, not one directory): when set, the
+    * rewrite fires only on a scan whose root-path set EQUALS it — the
+    * file set doubles as the FRESHNESS TOKEN, since any commit changes
+    * the visible files and silently un-matches a stale MV. */
   final case class MvDef(basePath: String, mvPath: String, keys: Seq[String],
-                         cntCol: String, measures: Seq[MvMeasure])
+                         cntCol: String, measures: Seq[MvMeasure],
+                         exactRoots: Option[Set[String]] = None)
 
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
 
@@ -96,16 +103,28 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  private def scanRoot(r: LogicalRelation): Option[String] = r.relation match {
-    case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-      Some(norm(fs.location.rootPaths.head.toString))
+  private def scanRoots(r: LogicalRelation): Option[Set[String]] = r.relation match {
+    case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty =>
+      Some(fs.location.rootPaths.map(p => norm(p.toString)).toSet)
     case _ => None
+  }
+
+  /** The registered MV this scan is allowed to answer: single-root defs
+    * match a one-directory scan on the normalized path; exact-root defs
+    * match iff the scan's file set EQUALS the registered snapshot's. */
+  private def defFor(roots: Set[String]): Option[MvDef] = {
+    if (roots.size == 1) {
+      val hit = registry.get(roots.head)
+      if (hit != null && hit.exactRoots.isEmpty) return Some(hit)
+    }
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.find(_.exactRoots.contains(roots))
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     (scan, conds) <- stripToScan(agg.child, Nil)
-    root          <- scanRoot(scan)
-    mv            <- Option(registry.get(root))
+    roots         <- scanRoots(scan)
+    mv            <- defFor(roots)
     rewritten     <- rewriteOnto(agg, conds, mv)
   } yield rewritten
 

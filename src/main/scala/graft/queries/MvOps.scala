@@ -148,6 +148,151 @@ object MvOps {
       |  FROM lineitem GROUP BY 2
       |) ORDER BY face, rf, ls""".stripMargin
 
+  // ---------------------------------------------------------------- q280
+  /** INCREMENTALLY-MAINTAINED MV over a TXN-LOG TABLE, routed by the
+    * rewrite rule — the three round-9 pieces composed the way a warehouse
+    * actually runs them: the MV's partials are kept current FROM THE
+    * CHANGE FEED (never a base recompute), and the visible FILE SET of
+    * the registered snapshot is the freshness token (`MvDef.exactRoots`)
+    * — any commit changes the file list and silently un-matches a stale
+    * MV, the failure mode that makes naive MV routing dangerous.
+    *
+    *   v1: orders slice committed; MV = per-priority (cnt, sum DECIMAL
+    *       total) partials; probe v1 routes to the MV (plan-read flag).
+    *   v2: a MERGE upserts — repriced rows (update = delete+insert in
+    *       the feed) and brand-new keys; the MV is advanced by ONE pass
+    *       over `TxnLog.changes(v1→v2]`: Δcnt = Σ(±1), Δsum = Σ(±total)
+    *       per group, full-outer-applied to the old partials (groups may
+    *       appear; cnt=0 groups drop). COUNT/SUM are the
+    *       self-maintainable aggregates — MIN/MAX need recompute under
+    *       deletes, the classic IVM asymmetry, so this MV declares none.
+    *   Probe v2 routes to the UPDATED MV; a probe of the v2 scan while
+    *   only the STALE v1 MV is registered must NOT route (freshness
+    *   face, mv_used=false, values still correct — from the base).
+    *
+    * The oracle recomputes both table states relationally from orders
+    * (the merge's transforms are exact: +1024.0 repricing is an IEEE
+    * add), so a wrong feed sign, a missed group, a stale-MV hit, or a
+    * routing regression all break the hash. */
+  def q280(s: SparkSession, d: String): DataFrame = {
+    import graft.io.TxnLog
+    val orders = Tables.orders(s, d) // ensures the rule is live on s
+    val dir = java.nio.file.Files.createTempDirectory("graft_q280_tbl").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_q280_mv").toString
+    val dec = DecimalType(18, 4)
+    val base = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    TxnLog.commit(base.coalesce(2), dir) // v1
+
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("o_totalprice").cast(dec)).as("sum_total"))
+    val mv1 = s"$mvDir/v1"
+    partials(TxnLog.read(s, dir)).coalesce(1).write.parquet(mv1)
+
+    /** MV definition pinned to the CURRENT snapshot's file set — captured
+      * at call time, so a def built at v1 goes stale (and un-matches) the
+      * moment a commit changes the visible files. */
+    def snapshotDef(mvPath: String): MvDef = MvDef(
+      basePath = dir, mvPath = mvPath,
+      keys = Seq("o_orderpriority"), cntCol = "cnt",
+      measures = Seq(MvMeasure("sum", "o_totalprice", Some(dec), "sum_total")),
+      exactRoots = Some(TxnLog.read(s, dir).inputFiles
+        .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet))
+
+    def probe(tag: String, expectMv: Option[String]): DataFrame = {
+      val q = TxnLog.read(s, dir).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast(dec)).cast("double").as("sum_total"))
+      val ps = scanPaths(q)
+      val used = expectMv.exists(mv => ps.contains(mv)) &&
+        !ps.exists(_.contains("graft_q280_tbl"))
+      // materialize inside the registration window (the q278 hygiene)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      q.withColumn("face", lit(tag)).withColumn("mv_used", lit(used))
+        .collect().foreach(rows.add)
+      s.createDataFrame(rows,
+        q.withColumn("face", lit(tag)).withColumn("mv_used", lit(false)).schema)
+    }
+
+    try {
+      val defV1 = snapshotDef(mv1) // pinned to v1's file set
+      MvRewrite.register(defV1)
+      val faceV1 = probe("v1_routed", Some(mv1))
+
+      // v2: MERGE — reprice every 5th key (+1024.0, exact) and insert
+      // fresh keys shifted beyond the key range
+      MvRewrite.unregister(dir)
+      val repriced = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1024.0))
+      val inserts = orders.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+                col("o_orderpriority"), col("o_totalprice"))
+      TxnLog.merge(s, dir, repriced.unionByName(inserts), Seq("o_orderkey")) // v2
+
+      // stale-MV face: the v1 def (pinned to v1's files) is still
+      // registered, but the merge changed the visible set — the rewrite
+      // must refuse and the values must come from the base table
+      MvRewrite.register(defV1)
+      val faceStale = probe("v2_stale_mv", Some(mv1))
+      MvRewrite.clear()
+
+      // advance the MV from the change feed — one pass over (v1, v2]
+      val delta = TxnLog.changes(s, dir, 1L, 2L)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("dcnt"),
+             sum(when(col("_change_type") === "insert",
+                      col("o_totalprice").cast(dec))
+               .otherwise(-col("o_totalprice").cast(dec))).as("dsum"))
+      val mv2 = s"$mvDir/v2"
+      s.read.parquet(mv1).join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+                (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("cnt"),
+                (coalesce(col("sum_total"), lit(0).cast(dec)) +
+                 coalesce(col("dsum"), lit(0).cast(dec))).as("sum_total"))
+        .filter(col("cnt") > 0)
+        .coalesce(1).write.parquet(mv2)
+
+      MvRewrite.register(snapshotDef(mv2)) // pinned to v2's file set
+      val faceV2 = probe("v2_routed", Some(mv2))
+
+      faceV1.unionByName(faceStale).unionByName(faceV2)
+        .select(col("face"), col("o_orderpriority"), col("n"),
+                col("sum_total"), col("mv_used"))
+        .orderBy(col("face"), col("o_orderpriority"))
+    } finally MvRewrite.clear()
+  }
+
+  val q280Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1024.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 = 0),
+      |f1 AS (
+      |  SELECT 'v1_routed' AS face, o_orderpriority, COUNT(*) AS n,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+      |         TRUE AS mv_used
+      |  FROM base GROUP BY 2),
+      |fs AS (
+      |  SELECT 'v2_stale_mv', o_orderpriority, COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), FALSE
+      |  FROM v2 GROUP BY 2),
+      |f2 AS (
+      |  SELECT 'v2_routed', o_orderpriority, COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), TRUE
+      |  FROM v2 GROUP BY 2)
+      |SELECT * FROM f1 UNION ALL SELECT * FROM fs UNION ALL SELECT * FROM f2
+      |ORDER BY face, o_orderpriority""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "q278_mv_rewrite" -> ((q278 _, Some(q278Sql))))
+    "q278_mv_rewrite" -> ((q278 _, Some(q278Sql))),
+    "q280_mv_incremental_routing" -> ((q280 _, Some(q280Sql))))
 }

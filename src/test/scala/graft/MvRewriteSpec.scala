@@ -168,4 +168,42 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!usesMv(base.groupBy(col("k1"), col("k2"))
       .agg(count(lit(1)).as("n")), mv))
   }
+
+  test("exact-root defs: multi-file scans match by file set; stale sets refuse") {
+    import org.apache.spark.sql.functions._
+    // a "table" that is a list of files, read file-set style (the txn-log
+    // read shape): two part files
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvspec_multi").toString
+    base.filter(col("id") % 2 === 0).coalesce(1).write.parquet(s"$dir/p0")
+    base.filter(col("id") % 2 === 1).coalesce(1).write.parquet(s"$dir/p1")
+    def files(sub: String) = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, sub)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    val fileSet = (files("p0") ++ files("p1")).toSeq
+    def tbl = spark.read.parquet(fileSet: _*)
+    val mvPath = s"$dir/mv"
+    tbl.groupBy(col("k1")).agg(count(lit(1)).as("cnt")).coalesce(1).write.parquet(mvPath)
+    val d = MvRewrite.MvDef(dir, mvPath, Seq("k1"), "cnt", Nil,
+      exactRoots = Some(fileSet.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet))
+    MvRewrite.register(d)
+    try {
+      def q(t: DataFrame) = t.groupBy(col("k1")).agg(count(lit(1)).as("n"))
+      val routed = q(tbl)
+      assert(scanPaths(routed).exists(_.endsWith("/mv")), routed.queryExecution.optimizedPlan)
+      // results identical to the unrewritten plan
+      MvRewrite.clear()
+      val plainRows = sortedRows(q(tbl))
+      MvRewrite.register(d)
+      assert(sortedRows(routed) == plainRows)
+      // a DIFFERENT file set (one file dropped — "a commit happened") must
+      // NOT match the stale def
+      val shrunk = spark.read.parquet(files("p0").toSeq: _*)
+      assert(!scanPaths(q(shrunk)).exists(_.endsWith("/mv")))
+      // a superset must not match either
+      val extra = s"$dir/p2"
+      base.limit(5).coalesce(1).write.parquet(extra)
+      val grown = spark.read.parquet((fileSet ++ files("p2")): _*)
+      assert(!scanPaths(q(grown)).exists(_.endsWith("/mv")))
+    } finally MvRewrite.clear()
+  }
 }
