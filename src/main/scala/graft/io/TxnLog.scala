@@ -866,6 +866,18 @@ object TxnLog {
   def readAtTimestamp(spark: SparkSession, dir: String, tsMicros: Long): DataFrame =
     read(spark, dir, Some(versionAtTimestamp(dir, tsMicros)))
 
+  /** CONSISTENT MULTI-TABLE SNAPSHOT: resolve every table to the version
+    * an observer at `tsMicros` would have seen — (dir → version), all from
+    * the same in-commit-timestamp axis, so a fact/dimension join at T can
+    * never pair a post-T fact with a pre-T dim or vice versa (the version
+    * skew an uncoordinated two-table read silently produces). Stamps are
+    * per-table monotone (the claim clamp); cross-table comparability is
+    * the shared clock's contract, exactly as in any multi-table lakehouse.
+    * Fails loudly if ANY table is younger than the probe — a silent
+    * partial snapshot is the bug this API exists to prevent. */
+  def snapshotAtTimestamp(dirs: Seq[String], tsMicros: Long): Map[String, Long] =
+    dirs.map(d => d -> versionAtTimestamp(d, tsMicros)).toMap
+
   /** Read the table at `asOf` (default: latest). Only manifest-listed files
     * are visible; orphaned data directories (crashed writers) are not.
     * Visible delete vectors apply as anti-joins on their key columns. A

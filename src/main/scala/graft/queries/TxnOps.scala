@@ -1558,7 +1558,74 @@ object TxnOps {
       |SELECT CAST(probe_us AS BIGINT), priority, CAST(n AS BIGINT) FROM faces
       |ORDER BY probe_us, priority""".stripMargin
 
+  // ---------------------------------------------------------------- q281
+  /** CONSISTENT MULTI-TABLE TIME TRAVEL on the shared in-commit-timestamp
+    * axis (q277 across tables): a fact and a dimension evolve interleaved —
+    * fact v1 @1s, dim v1 @2s, fact v2 (append) @3s, dim v2 (segment remap,
+    * replace) @4s — and `TxnLog.snapshotAtTimestamp` resolves BOTH tables
+    * to what one observer at T saw. Three probes join fact⋈dim and roll up
+    * per segment: T=2.5s (f1, d1), T=3.5s (f2, d1 — the MIXED face: the
+    * fact moved, the dim hadn't; exactly the version skew an uncoordinated
+    * two-table read hides), T=9s (f2, d2). The oracle restates each face's
+    * version pair relationally, so a wrong per-table resolution, a skew in
+    * either direction, or a remap leak across T=4s breaks the hash. A
+    * probe older than the youngest table refuses loudly (TxnLogSpec). */
+  def q281(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q281").toString
+    val (factDir, dimDir) = (s"$tmp/fact", s"$tmp/dim")
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val dim2 = cust.withColumn("c_mktsegment",
+      when(col("c_custkey") % 2 === 0, lit("REMAPPED")).otherwise(col("c_mktsegment")))
+    val prevClock = TxnLog.clock
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      TxnLog.clock = () => t.get()
+      t.set(1000000L); TxnLog.commit(orders.filter(col("o_orderkey") % 4 === 0).coalesce(1), factDir)
+      t.set(2000000L); TxnLog.commit(cust.coalesce(1), dimDir)
+      t.set(3000000L); TxnLog.commit(orders.filter(col("o_orderkey") % 4 === 2).coalesce(1), factDir)
+      t.set(4000000L); TxnLog.commit(dim2.coalesce(1), dimDir, replace = true)
+    } finally TxnLog.clock = prevClock
+    def face(probeUs: Long) = {
+      val vs = TxnLog.snapshotAtTimestamp(Seq(factDir, dimDir), probeUs)
+      TxnLog.read(s, factDir, Some(vs(factDir)))
+        .join(TxnLog.read(s, dimDir, Some(vs(dimDir))),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("total"))
+        .withColumn("probe_us", lit(probeUs))
+    }
+    face(2500000L).unionByName(face(3500000L)).unionByName(face(9000000L))
+      .select(col("probe_us"), col("c_mktsegment"), col("n"), col("total"))
+      .orderBy(col("probe_us"), col("c_mktsegment"))
+  }
+  val q281Sql: String =
+    """WITH f1 AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
+      |f2 AS (SELECT o_custkey, o_totalprice FROM orders
+      |       WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 2),
+      |d1 AS (SELECT c_custkey, c_mktsegment FROM customer),
+      |d2 AS (SELECT c_custkey,
+      |              CASE WHEN c_custkey % 2 = 0 THEN 'REMAPPED'
+      |                   ELSE c_mktsegment END AS c_mktsegment
+      |       FROM customer)
+      |SELECT CAST(2500000 AS BIGINT) AS probe_us, c_mktsegment, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM f1 JOIN d1 ON o_custkey = c_custkey GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(3500000 AS BIGINT), c_mktsegment, COUNT(*),
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM f2 JOIN d1 ON o_custkey = c_custkey GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(9000000 AS BIGINT), c_mktsegment, COUNT(*),
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM f2 JOIN d2 ON o_custkey = c_custkey GROUP BY 2
+      |ORDER BY probe_us, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q281_multi_table_as_of" -> ((q281 _, Some(q281Sql))),
     "q277_txn_time_travel_ts" -> ((q277 _, Some(q277Sql))),
     "q274_txn_column_mapping" -> ((q274 _, Some(q274Sql))),
     "q247_txn_restore" -> ((q247 _, Some(q247Sql))),

@@ -1340,4 +1340,21 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ts = T.commitTimestamps(dir)
     assert(ts.map(_._1) == Vector(1L, 2L) && ts(1)._2 > ts(0)._2)
   }
+
+  test("snapshotAtTimestamp refuses a probe older than ANY member table") {
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    val (a, b) = (freshTable(), freshTable())
+    val prevClock = T.clock
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      T.clock = () => t.get()
+      t.set(100L); T.commit(Seq(1L).toDF("v"), a)
+      t.set(300L); T.commit(Seq(2L).toDF("v"), b)
+    } finally T.clock = prevClock
+    // between the tables' first commits: a partial snapshot would silently
+    // drop b — the API must refuse instead
+    intercept[IllegalArgumentException](T.snapshotAtTimestamp(Seq(a, b), 200L))
+    assert(T.snapshotAtTimestamp(Seq(a, b), 300L) == Map(a -> 1L, b -> 1L))
+  }
 }
