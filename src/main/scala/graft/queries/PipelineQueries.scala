@@ -1005,7 +1005,36 @@ object PipelineQueries {
       |WHERE ws + 3600000000 <= m - 660000000
       |ORDER BY face, window_start_us, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q282
+  /** BOUNDED CATCH-UP (Trigger.AvailableNow) ON THE ORACLE BOARD: the
+    * backfill pattern — drain everything available under the source's
+    * rate limit (1 file/batch over a 3-file snapshot) in bounded
+    * micro-batches, then self-terminate. The ledger face pins the drain
+    * to exactly 3 data batches (the rate limit held: no batch swallowed
+    * the backlog), and the aggregate faces must equal the one-shot batch
+    * rollup (nothing lost or duplicated across the bounded batches —
+    * complete-mode state carries exactly once). */
+  def q282(s: SparkSession, d: String): DataFrame = {
+    val (tbl, batches) = graft.streaming.Streaming.availableNowOnce(
+      streamSession(s), d,
+      queryName = s"graft_q282_${java.lang.Integer.toHexString(d.hashCode)}")
+    val rows = tbl.select(lit("agg").as("face"), col("event_type"),
+                          col("n"), col("sum_value"))
+    val ledger = s.range(1).select(lit("batches").as("face"),
+      lit(null).cast("string").as("event_type"), lit(batches).as("n"),
+      lit(null).cast("double").as("sum_value"))
+    ledger.unionByName(rows).orderBy(col("face"), col("event_type"))
+  }
+  val q282Sql: String =
+    """SELECT 'agg' AS face, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 2
+      |UNION ALL
+      |SELECT 'batches', NULL, 3, NULL
+      |ORDER BY face, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q282_stream_available_now" -> ((q282 _, Some(q282Sql))),
     "q279_stream_late_audit" -> ((q279 _, Some(q279Sql))),
     "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),
     "q268_audio_pipeline_vorbis" -> ((q268 _, Some(q268Sql))),

@@ -705,6 +705,50 @@ object Streaming {
   }
 
   // ------------------------------------------------------------------
+  // Bounded catch-up: Trigger.AvailableNow is THE backfill/maintenance
+  // trigger at scale — process everything available under the source's
+  // rate limits (maxFilesPerTrigger here) in a sequence of bounded
+  // micro-batches, then TERMINATE. Unlike processAllAvailable (a test
+  // harness wait on a continuous query), AvailableNow is the deployment
+  // contract: a cron-scheduled job that drains the backlog without ever
+  // loading it in one batch — at 100 TB the difference between a
+  // memory-bounded catch-up and an OOM.
+  // ------------------------------------------------------------------
+
+  /** Drain a 3-file staged snapshot through a complete-mode aggregation
+    * under AvailableNow + maxFilesPerTrigger=1 — one bounded batch per
+    * file, self-terminating — and return the final aggregate plus the
+    * number of DATA batches the drain took (the rate-limit evidence: 3
+    * files at 1 file/batch is exactly 3). */
+  def availableNowOnce(spark: SparkSession, dir: String,
+                       queryName: String = "graft_availnow"): (DataFrame, Long) = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_availnow_src").toString
+    eventsStatic(spark, dir)
+      .select(col("event_type"), col("value"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(staged)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // AvailableNow terminates itself at the backlog end
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    (spark.table(queryName), dataBatches)
+  }
+
+  /** The static events table shaped like the stream sees it (ts-normalized
+    * through the same probe as eventsStreamRaw). */
+  private def eventsStatic(spark: SparkSession, dir: String) =
+    graft.core.Tables.events(spark, dir)
+
+  // ------------------------------------------------------------------
   // Late-data accounting: watermark-dropped rows are OBSERVABLE, not
   // silent. At 100 TB a pipeline that drops late arrivals without a
   // ledger cannot be audited — the per-batch
