@@ -1,0 +1,61 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** QUERY RESULT REUSE keyed on (canonical plan, snapshot versions) — the
+  * Snowflake result-cache / Databricks query-result-reuse move, sound here
+  * because txn-log snapshots are IMMUTABLE: a result computed over
+  * (table@v) is valid forever under that key, and any commit changes the
+  * version and therefore the key — invalidation is structural, never a
+  * TTL guess. At 100 TB the dashboards that re-issue the same rollup all
+  * day should hit a metadata lookup, not the cluster.
+  *
+  * The key is md5 over the query's CANONICALIZED optimized plan (Catalyst's
+  * own plan identity: ExprIds normalized positionally, so two builds of
+  * the same query collide correctly) plus the sorted (table, version)
+  * dependency list the caller declares. Entries are parquet directories
+  * claimed ATOMICALLY by directory rename — two racing writers of the same
+  * key resolve to one entry, the loser's work discarded (the TxnLog
+  * link-claim discipline, directory-shaped).
+  *
+  * The caller declares dependencies explicitly (`deps`) because a file
+  * list alone does not name the table — the same contract real result
+  * caches have with their catalogs. */
+object ResultCache {
+
+  /** A cache outcome: the result (always read FROM the cache entry, so hit
+    * and miss return byte-identical storage), whether it was served
+    * without execution, and the key it lives under. */
+  final case class Cached(df: DataFrame, hit: Boolean, key: String)
+
+  def key(df: DataFrame, deps: Seq[(String, Long)]): String = {
+    val canon = df.queryExecution.optimizedPlan.canonicalized.toString
+    val depTag = deps.map { case (d, v) => s"$d@$v" }.sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((canon + "\n" + depTag).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Serve `df` from `cacheDir` under its (plan, deps) key, executing and
+    * admitting it on a miss. */
+  def cached(spark: SparkSession, cacheDir: String, df: DataFrame,
+             deps: Seq[(String, Long)]): Cached = {
+    val k = key(df, deps)
+    val entry = Paths.get(cacheDir, k)
+    if (Files.exists(entry.resolve("_SUCCESS")))
+      return Cached(spark.read.parquet(entry.toString), hit = true, k)
+    val tmp = Files.createTempDirectory(Paths.get(cacheDir), s".pending-$k-")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, entry, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException if Files.exists(entry) =>
+        // lost the claim race: the winner's entry serves; drop ours
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    Cached(spark.read.parquet(entry.toString), hit = false, k)
+  }
+}

@@ -1624,7 +1624,57 @@ object TxnOps {
       |FROM f2 JOIN d2 ON o_custkey = c_custkey GROUP BY 2
       |ORDER BY probe_us, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q283
+  /** QUERY RESULT REUSE on snapshot identity ([[graft.io.ResultCache]]):
+    * the same rollup issued twice over table@v1 — first executes and
+    * admits (miss), second serves from the cache entry (hit, zero table
+    * IO); a commit moves the table to v2 and the SAME query text misses
+    * again and computes fresh values — invalidation is STRUCTURAL (the
+    * version is in the key), never a TTL guess. Sound because snapshots
+    * are immutable. The hit/miss ledger AND both result states are
+    * hash-gated; a false hit after the commit would surface v1 values on
+    * the v2 face and break the oracle. */
+  def q283(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q283").toString
+    val (dir, cacheDir) = (s"$tmp/tbl", s"$tmp/cache")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cacheDir))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"))
+    TxnLog.commit(cust.filter(col("c_custkey") % 2 === 0).coalesce(1), dir) // v1
+    def rollup() = TxnLog.read(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double").as("bal"))
+    def serve(tag: String) = {
+      val c = graft.io.ResultCache.cached(s, cacheDir, rollup(),
+        Seq(dir -> TxnLog.currentVersion(dir)))
+      c.df.select(lit(tag).as("face"), col("c_mktsegment"), col("n"), col("bal"),
+                  lit(c.hit).as("hit"))
+    }
+    val first = serve("v1_first")   // miss: executes + admits
+    val second = serve("v1_second") // hit: served from the entry
+    TxnLog.commit(cust.filter(col("c_custkey") % 2 === 1).coalesce(1), dir) // v2
+    val third = serve("v2_fresh")   // miss again: version is in the key
+    first.unionByName(second).unionByName(third)
+      .orderBy(col("face"), col("c_mktsegment"))
+  }
+  val q283Sql: String =
+    """WITH v1 AS (SELECT c_mktsegment, COUNT(*) AS n,
+      |              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+      |            FROM customer WHERE c_custkey % 2 = 0 GROUP BY 1),
+      |v2 AS (SELECT c_mktsegment, COUNT(*) AS n,
+      |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+      |       FROM customer GROUP BY 1)
+      |SELECT 'v1_first' AS face, c_mktsegment, n, bal, FALSE AS hit FROM v1
+      |UNION ALL
+      |SELECT 'v1_second', c_mktsegment, n, bal, TRUE FROM v1
+      |UNION ALL
+      |SELECT 'v2_fresh', c_mktsegment, n, bal, FALSE FROM v2
+      |ORDER BY face, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q283_result_cache" -> ((q283 _, Some(q283Sql))),
     "q281_multi_table_as_of" -> ((q281 _, Some(q281Sql))),
     "q277_txn_time_travel_ts" -> ((q277 _, Some(q277Sql))),
     "q274_txn_column_mapping" -> ((q274 _, Some(q274Sql))),

@@ -1357,4 +1357,37 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](T.snapshotAtTimestamp(Seq(a, b), 200L))
     assert(T.snapshotAtTimestamp(Seq(a, b), 300L) == Map(a -> 1L, b -> 1L))
   }
+
+  test("ResultCache: plan+version keyed hits, structural invalidation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.io.TxnLog
+    val C = graft.io.ResultCache
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rcache")
+    val dir = tmp.resolve("tbl").toString
+    val cache = tmp.resolve("cache").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cache))
+    T.commit(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "g"), dir)
+    def q() = T.read(spark, dir).groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val c1 = C.cached(spark, cache, q(), Seq(dir -> T.currentVersion(dir)))
+    assert(!c1.hit)
+    val c2 = C.cached(spark, cache, q(), Seq(dir -> T.currentVersion(dir)))
+    assert(c2.hit && c2.key == c1.key)
+    assert(c2.df.collect().map(_.toString).sorted.toSeq ==
+           c1.df.collect().map(_.toString).sorted.toSeq)
+    // a different plan keys differently even at the same version
+    val other = C.cached(spark, cache,
+      q().filter(col("n") > 1), Seq(dir -> T.currentVersion(dir)))
+    assert(!other.hit && other.key != c1.key)
+    // a commit changes the declared version -> structural miss, fresh rows
+    T.commit(Seq((4L, "a")).toDF("k", "g"), dir)
+    val c3 = C.cached(spark, cache, q(), Seq(dir -> T.currentVersion(dir)))
+    assert(!c3.hit && c3.key != c1.key)
+    assert(c3.df.filter(col("g") === "a").head().getLong(1) == 3L)
+    // and the old entry still serves readers of the old version: the v1
+    // read plan (same snapshot files) re-keys to c1's entry and hits
+    def qv1() = T.read(spark, dir, Some(1L)).groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val c4 = C.cached(spark, cache, qv1(), Seq(dir -> 1L))
+    assert(c4.hit && c4.key == c1.key)
+  }
 }
