@@ -75,13 +75,19 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
                          cntCol: String, measures: Seq[MvMeasure],
                          exactRoots: Option[Set[String]] = None)
 
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  /** Several MVs may cover one base (a grouping LATTICE — the (rf) rollup
+    * next to the (rf, ls) one); candidates are tried coarsest-first, so a
+    * query grouped by (rf) is answered from the rf-grained MV when both
+    * are eligible — fewer MV rows, same answer. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, List[MvDef]]()
 
   /** Normalized path identity: scheme-free absolute path, so
     * `/x/lineitem.parquet` and `file:/x/lineitem.parquet` match. */
   private def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  def register(d: MvDef): Unit = registry.put(norm(d.basePath), d)
+  def register(d: MvDef): Unit =
+    registry.merge(norm(d.basePath), List(d), (a, b) => b ::: a)
   def unregister(basePath: String): Unit = registry.remove(norm(basePath))
   def clear(): Unit = registry.clear()
 
@@ -109,23 +115,26 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** The registered MV this scan is allowed to answer: single-root defs
-    * match a one-directory scan on the normalized path; exact-root defs
-    * match iff the scan's file set EQUALS the registered snapshot's. */
-  private def defFor(roots: Set[String]): Option[MvDef] = {
-    if (roots.size == 1) {
-      val hit = registry.get(roots.head)
-      if (hit != null && hit.exactRoots.isEmpty) return Some(hit)
-    }
+  /** The registered MVs this scan is allowed to answer, COARSEST first
+    * (fewest grouping keys = fewest MV rows): single-root defs match a
+    * one-directory scan on the normalized path; exact-root defs match iff
+    * the scan's file set EQUALS the registered snapshot's. */
+  private def defsFor(roots: Set[String]): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
-    registry.values.asScala.find(_.exactRoots.contains(roots))
+    val byPath =
+      if (roots.size == 1)
+        Option(registry.get(roots.head)).getOrElse(Nil).filter(_.exactRoots.isEmpty)
+      else Nil
+    val byFileSet = registry.values.asScala.flatten
+      .filter(_.exactRoots.contains(roots)).toSeq
+    (byPath ++ byFileSet).sortBy(_.keys.length)
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     (scan, conds) <- stripToScan(agg.child, Nil)
     roots         <- scanRoots(scan)
-    mv            <- defFor(roots)
-    rewritten     <- rewriteOnto(agg, conds, mv)
+    rewritten     <- defsFor(roots).view
+                       .flatMap(mv => rewriteOnto(agg, conds, mv)).headOption
   } yield rewritten
 
   private def rewriteOnto(agg: Aggregate, conds: Seq[Expression],

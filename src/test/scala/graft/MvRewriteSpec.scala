@@ -206,4 +206,39 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!scanPaths(q(grown)).exists(_.endsWith("/mv")))
     } finally MvRewrite.clear()
   }
+
+  test("grouping lattice: the coarsest eligible MV answers") {
+    import org.apache.spark.sql.functions._
+    val fine = buildAndRegisterMv() // keys (k1, k2)
+    // a COARSER (k1) MV over the same base, same measure grammar
+    val coarsePath = s"$baseDir/mv_coarse_${System.nanoTime()}"
+    base.groupBy(col("k1"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v").cast(dec)).as("sum_v"))
+      .coalesce(1).write.parquet(coarsePath)
+    val coarse = MvDef(s"$baseDir/base", coarsePath, Seq("k1"), "cnt",
+      Seq(MvMeasure("sum", "v", Some(dec), "sum_v")))
+    MvRewrite.register(coarse)
+    try {
+      def paths(df: DataFrame) = scanPaths(df)
+      // grouped by k1: BOTH are eligible; the coarse one must win
+      val byK1 = base.groupBy(col("k1"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sv"))
+      assert(paths(byK1).exists(_.contains("mv_coarse_")), paths(byK1).mkString(","))
+      // grouped by (k1, k2): only the fine MV is eligible
+      val byBoth = base.groupBy(col("k1"), col("k2"))
+        .agg(count(lit(1)).as("n"))
+      assert(usesMv(byBoth, fine) && !paths(byBoth).exists(_.contains("mv_coarse_")))
+      // a min() query: the coarse MV lacks the measure, the fine one serves
+      val needMin = base.groupBy(col("k1")).agg(min(col("v")).as("mn"))
+      assert(usesMv(needMin, fine) && !paths(needMin).exists(_.contains("mv_coarse_")))
+      // values identical either way
+      MvRewrite.clear()
+      val want = byK1.collect().map(_.toString).sorted.toSeq
+      MvRewrite.register(fine); MvRewrite.register(coarse)
+      val got = base.groupBy(col("k1"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sv"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+    } finally MvRewrite.clear()
+  }
 }
