@@ -851,6 +851,53 @@ object PlanCheck {
       } finally graft.plans.MvRewrite.clear()
     }
 
+    // ----------------------------------------------------------------
+    // Cost-based join reorder: with ANALYZE'd column stats and CBO on,
+    // the syntactically fact-first 3-table join (big ⋈ mid ⋈ small)
+    // must reorder to join the two SMALL sides first — the star-schema
+    // order that keeps the fact table out of the intermediate result.
+    // At 100 TB a syntax-order join of fact⋈fact-sized intermediates is
+    // the classic plan catastrophe the optimizer's stats exist to avoid;
+    // this pins that the engine surface (ANALYZE → catalog stats → CBO
+    // reorder) is wired and live, and that WITHOUT stats the plan keeps
+    // syntax order (the control).
+    // ----------------------------------------------------------------
+    {
+      val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.range(500000).selectExpr("id AS a_k", "id % 100 AS a_v")
+          .write.mode("overwrite").saveAsTable("graft_cbo_big")
+        spark.range(500).selectExpr("id AS b_k")
+          .write.mode("overwrite").saveAsTable("graft_cbo_small")
+        spark.range(100000).selectExpr("id AS c_k", "id % 500 AS c_b")
+          .write.mode("overwrite").saveAsTable("graft_cbo_mid")
+        val sql = """SELECT count(*) FROM graft_cbo_big
+                    |JOIN graft_cbo_mid ON a_k = c_k
+                    |JOIN graft_cbo_small ON c_b = b_k""".stripMargin
+        def outerJoin(): String = spark.sql(sql).queryExecution.optimizedPlan
+          .toString.linesIterator.find(_.contains("Join Inner")).getOrElse("")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        val control = outerJoin() // syntax order: small join outermost
+        val okCtl = control.contains("c_b") && !control.contains("a_k")
+        rec("cbo_reorder_off", "without stats/CBO the join keeps syntax order", okCtl)
+        if (!okCtl) { failures += 1; println(control) }
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        Seq("graft_cbo_big", "graft_cbo_small", "graft_cbo_mid").foreach(t =>
+          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+        val reordered = outerJoin() // fact joins LAST: outermost is a_k = c_k
+        val ok = reordered.contains("a_k") && !reordered.contains("c_b")
+        rec("cbo_reorder_on", "ANALYZE stats + CBO push the fact join outermost", ok)
+        if (!ok) { failures += 1; println(reordered) }
+      } finally {
+        prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+        Seq("graft_cbo_big", "graft_cbo_small", "graft_cbo_mid").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+
     println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
     // optional 2nd arg: persist the run as a diffable JSON artifact
     args.drop(1).headOption.foreach { out =>
