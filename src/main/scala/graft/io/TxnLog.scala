@@ -1423,12 +1423,19 @@ object TxnLog {
     * vector covers would be suppressed on read even after its re-insert —
     * so merge falls back to one validated replace-commit, which
     * materializes the vectors and keeps upsert semantics exact.
-    * `source` must carry the target schema; the driver-side touched-file
-    * list is metadata-sized (file names, not rows). Returns the version
-    * won (current version unchanged for an empty source). */
+    * `source` must carry the target schema — unless `evolveSchema`:
+    * then source columns ABSENT from the target widen the table (the
+    * Delta autoMerge move: rewritten/new files carry the new column,
+    * untouched files simply don't store it, and a `mergeSchema = true`
+    * read reconciles by name — adding a column never rewrites 100 TB),
+    * and target columns absent from the source fill NULL on inserted
+    * rows. The driver-side touched-file list is metadata-sized (file
+    * names, not rows). Returns the version won (current version
+    * unchanged for an empty source). */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String],
-            isolation: Isolation = Isolation.Rederive): Long = {
+            isolation: Isolation = Isolation.Rederive,
+            evolveSchema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val src = source.localCheckpoint()
     if (src.isEmpty) return currentVersion(dir)
@@ -1444,7 +1451,8 @@ object TxnLog {
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
           snap.files.exists(_.startsWith("@")))
         return replaceCommitValidated(spark, dir)(cur =>
-          cur.join(srcKeys, keyCols, "left_anti").unionByName(src))
+          cur.join(srcKeys, keyCols, "left_anti")
+            .unionByName(src, allowMissingColumns = evolveSchema))
       val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
         .withColumn("__rel", substring_index(input_file_name(), "/", -2))
       val touched = withFile.join(srcKeys, keyCols, "left_semi")
@@ -1452,7 +1460,8 @@ object TxnLog {
       val rewritten =
         if (touched.isEmpty) src
         else spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
-          .join(srcKeys, keyCols, "left_anti").unionByName(src)
+          .join(srcKeys, keyCols, "left_anti")
+          .unionByName(src, allowMissingColumns = evolveSchema)
       val (rel, files) = writeData(rewritten.localCheckpoint(), dir)
       val body = touched.map("-" + _).toVector ++ files.map("+" + _)
       claimFence()

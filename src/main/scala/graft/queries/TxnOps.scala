@@ -1673,7 +1673,58 @@ object TxnOps {
       |SELECT 'v2_fresh', c_mktsegment, n, bal, FALSE FROM v2
       |ORDER BY face, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q284
+  /** MERGE WITH SCHEMA EVOLUTION (the Delta autoMerge move, write-side):
+    * the upsert source carries a column the table never had — the merge
+    * WIDENS the table in the same commit: rewritten and new files store
+    * `c_acctbal`, untouched files simply don't, and the mergeSchema read
+    * reconciles by name. At 100 TB adding a column must never rewrite
+    * the table; only the files the merge touched anyway move. The
+    * decisive relational fact: after evolution, `c_acctbal` is non-null
+    * EXACTLY for the source's keys (rows that rode a rewritten file
+    * without matching get NULL like untouched rows — unionByName fills,
+    * never invents), so the oracle states evolved counts and sums
+    * per segment without knowing file boundaries. */
+  def q284(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q284_tbl").toString
+    val cust = Tables.customer(s, d)
+    // v1-v2: the NARROW table (no balance column), two files
+    val narrow = cust.select(col("c_custkey"), col("c_mktsegment"))
+    TxnLog.commit(narrow.filter(col("c_custkey") % 2 === 0).coalesce(1), dir)
+    TxnLog.commit(narrow.filter(col("c_custkey") % 2 === 1).coalesce(1), dir)
+    // v3: upserts arrive ALREADY carrying the new column — segment fix
+    // for every 10th key plus fresh keys, both with balances
+    val source = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("EVOLVED").as("c_mktsegment"), col("c_acctbal"))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+                col("c_mktsegment"), col("c_acctbal")))
+    TxnLog.merge(s, dir, source, Seq("c_custkey"), evolveSchema = true)
+    TxnLog.read(s, dir, mergeSchema = true)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           count(col("c_acctbal")).as("n_evolved"),
+           coalesce(sum(col("c_acctbal").cast(DecimalType(18, 4))), lit(0))
+             .cast("double").as("bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val q284Sql: String =
+    """WITH merged AS (
+      |  SELECT c.c_custkey,
+      |         CASE WHEN c.c_custkey % 10 = 0 THEN 'EVOLVED'
+      |              ELSE c.c_mktsegment END AS c_mktsegment,
+      |         CASE WHEN c.c_custkey % 10 = 0 THEN c.c_acctbal END AS c_acctbal
+      |  FROM customer c
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 3)
+      |SELECT c_mktsegment, COUNT(*) AS n, COUNT(c_acctbal) AS n_evolved,
+      |       CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 0) AS DOUBLE) AS bal
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),
     "q283_result_cache" -> ((q283 _, Some(q283Sql))),
     "q281_multi_table_as_of" -> ((q281 _, Some(q281Sql))),
     "q277_txn_time_travel_ts" -> ((q277 _, Some(q277Sql))),

@@ -1390,4 +1390,28 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c4 = C.cached(spark, cache, qv1(), Seq(dir -> 1L))
     assert(c4.hit && c4.key == c1.key)
   }
+
+  test("merge schema evolution: widen on demand, refuse silently-dropped columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.io.TxnLog
+    val dir = freshTable()
+    T.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "g"), dir)
+    // a WIDER source without the flag must fail loudly (unionByName refuses)
+    val wide = Seq((2L, "B", 9.5), (3L, "c", 1.5)).toDF("k", "g", "x")
+    intercept[org.apache.spark.sql.AnalysisException](
+      T.merge(spark, dir, wide, Seq("k")))
+    // with evolveSchema the table widens: merged keys carry x, untouched
+    // rows read NULL through the mergeSchema read
+    T.merge(spark, dir, wide, Seq("k"), evolveSchema = true)
+    val rows = T.read(spark, dir, mergeSchema = true)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", null), (2L, "B", 9.5), (3L, "c", 1.5)))
+    // a NARROWER source (missing g) with the flag inserts NULL-filled rows
+    val narrow = Seq((4L, 2.5)).toDF("k", "x")
+    T.merge(spark, dir, narrow, Seq("k"), evolveSchema = true)
+    val r4 = T.read(spark, dir, mergeSchema = true).filter(col("k") === 4L).head()
+    assert(r4.isNullAt(r4.fieldIndex("g")) && r4.getDouble(r4.fieldIndex("x")) == 2.5)
+  }
 }
