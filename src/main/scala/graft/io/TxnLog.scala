@@ -1695,6 +1695,27 @@ object TxnLog {
       commitWith(df, dir, s"T $writerId $batchId"))
   }
 
+  /** File-granular sibling of [[commitIdempotent]] for writers that
+    * produced their data files THEMSELVES (the DSv2 streaming sink's
+    * executor-side parquet writers): registers already-written relative
+    * paths under the same `T writerId batchId` exactly-once marker. A
+    * replayed epoch returns the committed version without registering
+    * anything — the replay's freshly-staged files stay orphans (invisible
+    * to every reader; vacuum reclaims them), which is exactly the
+    * add-file/txn-action discipline Delta sinks use. An empty epoch
+    * commits a marker with no files, so the txn lookup still dedupes it. */
+  def commitFilesIdempotent(dir: String, writerId: String, batchId: Long,
+                            relFiles: Seq[String]): Long = {
+    require(writerId.nonEmpty && !writerId.contains(" ") && !writerId.contains("\n"),
+      s"writerId must be a space-free token: '$writerId'")
+    txnVersion(dir, writerId, batchId).getOrElse {
+      Files.createDirectories(logDir(dir))
+      var v = currentVersion(dir) + 1
+      while (!tryClaim(dir, v, s"T $writerId $batchId", relFiles.sorted)) v += 1
+      v
+    }
+  }
+
   /** DESCRIBE HISTORY: one row per committed version — (version, action,
     * n_files) parsed from the manifest chain (action `D` = delete vector;
     * `X` = exchange, whose n_files counts body lines: removes + adds).

@@ -1723,7 +1723,78 @@ object TxnOps {
       |       CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 0) AS DOUBLE) AS bal
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q285
+  /** DSv2 STREAMING SINK into the txn log ([[graft.sources.TxnSink]]):
+    * `writeStream.format(...)` — the data files are written by the
+    * EXECUTORS (parquet-mr, one file per task; rows never collect to the
+    * driver) and each epoch registers atomically under the
+    * `T dsv2-<queryId> <epoch>` exactly-once marker. The replay proof
+    * exercises the ENGINE's own path, not the API: after the drive
+    * completes, the checkpoint's last commit record is deleted and the
+    * stream RESTARTED — Structured Streaming re-executes the final
+    * micro-batch through the full sink (new staged files and all), and
+    * the sink's epoch commit finds its txn marker and registers NOTHING.
+    * The replay's files stay orphans (manifest-only visibility; vacuum's
+    * jurisdiction). Faces: per-type rollup of the table (equal to the
+    * source snapshot — nothing lost, NOTHING DUPLICATED despite the
+    * replayed epoch) and the action ledger (exactly 3 `T` versions). */
+  def q285(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val staged = java.nio.file.Files.createTempDirectory("graft_q285_src").toString
+    val tbl = java.nio.file.Files.createTempDirectory("graft_q285_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q285_ckpt").toString
+    Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def drive(): Unit = {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream.format("graft.sources.TxnSink")
+        .option("path", tbl).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drive() // 3 files -> epochs 0..2, versions 1..3
+    // force the engine to REPLAY the last epoch: drop its commit record
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
+    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
+    // the local FS keeps a checksum sidecar next to each record; the
+    // replay's rewrite collides with a stale one — drop it with the record
+    val lastName = java.nio.file.Paths.get(last).getFileName.toString
+    java.nio.file.Files.deleteIfExists(commits.resolve(s".$lastName.crc"))
+    drive() // replayed epoch hits its txn marker; registers nothing
+    val face = TxnLog.read(s, tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .withColumn("face", lit(1L))
+    val actions = TxnLog.history(s, tbl).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(lit(0L).as("face"), lit(actions).as("event_type"),
+      lit(TxnLog.currentVersion(tbl)).as("n"), lit(null).cast("double").as("sum_value"))
+    ledger.unionByName(face)
+      .select(col("face"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("face"), col("event_type"))
+  }
+  val q285Sql: String =
+    """SELECT CAST(0 AS BIGINT) AS face, 'TTT' AS event_type,
+      |       CAST(3 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_value
+      |UNION ALL
+      |SELECT 1, event_type, COUNT(*),
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |FROM events GROUP BY 2
+      |ORDER BY face, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q285_dsv2_txn_sink" -> ((q285 _, Some(q285Sql))),
     "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),
     "q283_result_cache" -> ((q283 _, Some(q283Sql))),
     "q281_multi_table_as_of" -> ((q281 _, Some(q281Sql))),

@@ -1414,4 +1414,33 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r4 = T.read(spark, dir, mergeSchema = true).filter(col("k") === 4L).head()
     assert(r4.isNullAt(r4.fieldIndex("g")) && r4.getDouble(r4.fieldIndex("x")) == 2.5)
   }
+
+  test("DSv2 sink: schema refusal at plan time; file-commit idempotence") {
+    import org.apache.spark.sql.types._
+    // nested/array columns refuse loudly before any task runs
+    intercept[IllegalArgumentException](graft.sources.TxnSinkWriter.toParquetType(
+      StructType(Seq(StructField("a", ArrayType(LongType))))))
+    // file-granular txn commit: a replayed (writer, batch) returns the
+    // committed version and registers nothing; an empty epoch still dedupes
+    val T = graft.io.TxnLog
+    val dir = freshTable()
+    import spark.implicits._
+    T.commit(Seq(1L).toDF("v"), dir) // v1, so the table exists
+    val rel = "txnsink-e00000/f.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "txnsink-e00000"))
+    Seq(7L).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/txnsink-e00000/stage")
+    val part = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "txnsink-e00000/stage")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(dir, rel))
+    val v = T.commitFilesIdempotent(dir, "w1", 0L, Seq(rel))
+    assert(T.commitFilesIdempotent(dir, "w1", 0L, Seq("other/ignored.parquet")) == v)
+    assert(T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L))
+    // empty epoch: a marker-only version that still dedupes its replay
+    val v2 = T.commitFilesIdempotent(dir, "w1", 1L, Nil)
+    assert(T.commitFilesIdempotent(dir, "w1", 1L, Nil) == v2)
+    assert(T.read(spark, dir).count() == 2L)
+  }
 }
