@@ -1695,6 +1695,16 @@ object TxnLog {
       commitWith(df, dir, s"T $writerId $batchId"))
   }
 
+  /** Append already-written relative file paths as the next version — the
+    * batch-write commit for executor-side writers (no replay identity, so
+    * no txn marker; the claim loop takes any free slot like any append). */
+  def commitFiles(dir: String, relFiles: Seq[String]): Long = {
+    Files.createDirectories(logDir(dir))
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, "A", relFiles.sorted)) v += 1
+    v
+  }
+
   /** File-granular sibling of [[commitIdempotent]] for writers that
     * produced their data files THEMSELVES (the DSv2 streaming sink's
     * executor-side parquet writers): registers already-written relative

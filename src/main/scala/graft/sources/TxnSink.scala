@@ -58,13 +58,15 @@ private[sources] class TxnSinkTable(dir: String, sinkSchema: StructType)
   override def name(): String = s"graft-txnlog-sink($dir)"
   override def schema(): StructType = sinkSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.STREAMING_WRITE)
+    util.EnumSet.of(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
           new TxnStreamingWrite(dir, info.schema(), info.queryId())
+        override def toBatch: BatchWrite =
+          new TxnBatchWrite(dir, info.schema())
       }
     }
 }
@@ -85,6 +87,30 @@ private[sources] class TxnStreamingWrite(dir: String, schema: StructType,
     messages.collect { case TxnSinkFile(rel) if rel.nonEmpty => rel }.foreach { rel =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
     }
+}
+
+/** Batch twin: `df.write.format("graft.sources.TxnSink").option("path", dir)
+  * .save()` — same executor-side writers, the commit is one plain append
+  * claim (`A`): all of the write's files become visible atomically or none
+  * do. Batch writes carry no replay identity, so no txn marker. */
+private[sources] class TxnBatchWrite(dir: String, schema: StructType) extends BatchWrite {
+  TxnSinkWriter.toParquetType(schema)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TxnBatchWriterFactory(dir, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case TxnSinkFile(rel) if rel.nonEmpty => rel }
+    graft.io.TxnLog.commitFiles(dir, files.toSeq.sorted)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case TxnSinkFile(rel) if rel.nonEmpty => rel }.foreach { rel =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+    }
+}
+
+private[sources] class TxnBatchWriterFactory(dir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TxnSinkWriter(dir, schema, partitionId, taskId, epochId = -1L)
 }
 
 private[sources] case class TxnSinkFile(rel: String) extends WriterCommitMessage
@@ -129,8 +155,10 @@ object TxnSinkWriter {
 private[sources] class TxnSinkWriter(dir: String, schema: StructType,
                                      partitionId: Int, taskId: Long,
                                      epochId: Long) extends DataWriter[InternalRow] {
-  private val rel =
-    f"txnsink-e$epochId%05d/part-$partitionId%05d-t$taskId.parquet"
+  private val rel = // batch writes (epoch −1) stage under a uuid instead
+    if (epochId >= 0) f"txnsink-e$epochId%05d/part-$partitionId%05d-t$taskId.parquet"
+    else s"txnsink-b${java.util.UUID.randomUUID().toString.take(8)}/" +
+      f"part-$partitionId%05d-t$taskId.parquet"
   private var writer: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = _
   private lazy val factory = new SimpleGroupFactory(TxnSinkWriter.toParquetType(schema))

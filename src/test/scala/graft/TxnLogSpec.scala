@@ -1443,4 +1443,22 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.commitFilesIdempotent(dir, "w1", 1L, Nil) == v2)
     assert(T.read(spark, dir).count() == 2L)
   }
+
+  test("DSv2 batch write: save() appends atomically through the log") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = freshTable()
+    val T = graft.io.TxnLog
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g").repartition(2)
+      .write.format("graft.sources.TxnSink").option("path", dir).mode("append").save()
+    assert(T.currentVersion(dir) == 1L)
+    assert(T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a second save appends a second version; both visible
+    Seq((3L, "c")).toDF("k", "g")
+      .write.format("graft.sources.TxnSink").option("path", dir).mode("append").save()
+    assert(T.currentVersion(dir) == 2L)
+    assert(T.read(spark, dir).count() == 3L)
+    // time travel still works over sink-written versions
+    assert(T.read(spark, dir, Some(1L)).count() == 2L)
+  }
 }
