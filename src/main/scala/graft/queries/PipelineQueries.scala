@@ -1033,7 +1033,60 @@ object PipelineQueries {
       |SELECT 'batches', NULL, 3, NULL
       |ORDER BY face, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q286
+  /** ROW-GRANULAR late-data accounting (q279's operator contrast): the
+    * same three-wave staging over `dropDuplicatesWithinWatermark` — no
+    * partial aggregation precedes dedup state, so EVERY late input row
+    * reaches the operator and the engine's dropped counter equals the
+    * late slice's ROW COUNT (q279's aggregation counted GROUPS). The
+    * pair pins what the same metric means per operator class — "3
+    * windows" vs "2,455 events" is the difference an audit cares about.
+    * The barrier wave re-sends the max-ts event's own key, so it is
+    * suppressed as an ordinary within-horizon duplicate and no face
+    * sees it. The kept face is q82's contract: emitted KEYS are
+    * deterministic (the surviving representative row is not — only keys
+    * are gated). */
+  def q286(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(s, d)
+    val maxRow = ev.orderBy(col("ts_us").desc, col("event_id"))
+      .select(col("ts_us"), col("user_id"), col("event_type")).head()
+    val maxUs = maxRow.getLong(0)
+    val recentLoUs = maxUs - 2L * 86400L * 1000000L
+    val lateHiUs   = maxUs - 4L * 86400L * 1000000L
+    val cols = Seq(col("ts_t"), col("user_id"), col("event_type"))
+    val schema = StructType(Seq(
+      StructField("ts_t", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val (tbl, dropped) = graft.streaming.Streaming.lateDedupAuditOnce(
+      streamSession(s),
+      recent = ev.filter(col("ts_us") >= recentLoUs).select(cols: _*),
+      barrier = s.range(1).select(timestamp_micros(lit(maxUs)).as("ts_t"),
+        lit(maxRow.getLong(1)).as("user_id"), lit(maxRow.getString(2)).as("event_type")),
+      late = ev.filter(col("ts_us") < lateHiUs).select(cols: _*),
+      keyCols = Seq("user_id", "event_type"), delay = "10 minutes", schema = schema,
+      queryName = s"graft_q286_${java.lang.Integer.toHexString(d.hashCode)}")
+    val kept = tbl.select(lit("kept").as("face"), col("user_id"),
+      col("event_type"), lit(1L).as("n"))
+    val ledger = s.range(1).select(lit("dropped").as("face"),
+      lit(null).cast("long").as("user_id"), lit(null).cast("string").as("event_type"),
+      lit(dropped).as("n"))
+    ledger.unionByName(kept)
+      .orderBy(col("face"), col("user_id"), col("event_type"))
+  }
+  val q286Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS m FROM events)
+      |SELECT 'dropped' AS face, CAST(NULL AS BIGINT) AS user_id,
+      |       CAST(NULL AS VARCHAR) AS event_type,
+      |       (SELECT COUNT(*) FROM events, mx
+      |        WHERE epoch_us(CAST(ts AS TIMESTAMP)) < m - 345600000000) AS n
+      |UNION ALL
+      |SELECT DISTINCT 'kept', user_id, event_type, 1
+      |FROM events, mx WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= m - 172800000000
+      |ORDER BY face, user_id, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q286_stream_late_dedup_audit" -> ((q286 _, Some(q286Sql))),
     "q282_stream_available_now" -> ((q282 _, Some(q282Sql))),
     "q279_stream_late_audit" -> ((q279 _, Some(q279Sql))),
     "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),

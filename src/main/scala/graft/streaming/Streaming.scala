@@ -704,6 +704,45 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** The dedup sibling of [[lateDataAuditOnce]]: same three-wave staging,
+    * but the stateful operator is `dropDuplicatesWithinWatermark` — and
+    * the dropped-rows counter is ROW-granular here (no partial
+    * aggregation precedes the dedup state: every late input row reaches
+    * the operator and is refused individually), where the aggregation's
+    * counter ticks per GROUP. The pair documents what the metric actually
+    * measures per operator class — the difference between "we dropped
+    * 3 windows" and "we dropped 90k events" in an audit. Inputs carry
+    * (ts_t TIMESTAMP, and the key columns). */
+  def lateDedupAuditOnce(spark: SparkSession, recent: DataFrame, barrier: DataFrame,
+                         late: DataFrame, keyCols: Seq[String], delay: String,
+                         schema: StructType,
+                         queryName: String = "graft_latededup"): (DataFrame, Long) = {
+    def onePart(df: DataFrame, tag: String): java.nio.file.Path = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_latededup_$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      java.nio.file.Paths.get(java.nio.file.Files.list(out).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).min)
+    }
+    val files = Seq(onePart(recent, "recent"), onePart(barrier, "barrier"),
+                    onePart(late, "late"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_latededup_src")
+    java.nio.file.Files.copy(files.head, staged.resolve("wave0.parquet"))
+    val q = spark.readStream.schema(schema).parquet(staged.toString)
+      .withWatermark("ts_t", delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    val dropped = try {
+      q.processAllAvailable()
+      files.tail.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f, staged.resolve(s"wave${i + 1}.parquet"))
+        q.processAllAvailable()
+      }
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    } finally q.stop()
+    (spark.table(queryName), dropped)
+  }
+
   // ------------------------------------------------------------------
   // Bounded catch-up: Trigger.AvailableNow is THE backfill/maintenance
   // trigger at scale — process everything available under the source's
