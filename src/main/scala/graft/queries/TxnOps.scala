@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1793,7 +1793,113 @@ object TxnOps {
       |FROM events GROUP BY 2
       |ORDER BY face, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q287
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE from TWO change feeds — the IVM
+    * family (q202/q209/q231 maintain aggregates; q280 maintains MV
+    * partials) extended to the JOIN view, via the signed-multiset
+    * identity every IVM engine implements:
+    *
+    *   Δ(F ⋈ D) = ΔF⋈D_old  ∪  F_old⋈ΔD  ∪  ΔF⋈ΔD
+    *
+    * with each term's sign the PRODUCT of its sides' signs (insert = +1,
+    * delete = −1; an update is its delete+insert pair in the feed). Both
+    * tables evolve by MERGE (fact repriced + new orders; dim segments
+    * remapped), the view applies the signed delta — group by the full
+    * row, net multiplicity must land in {0, 1}, loudly checked — and the
+    * maintained view is rolled up NEXT TO the direct join of the v2
+    * snapshots: both faces hash-gate against the same oracle rollup, so
+    * a wrong sign, a missed cross term, or a double-application breaks
+    * the gate in one face but not the other. At 100 TB the delta terms
+    * are feed-sized joins; the view is never recomputed from the fact
+    * table. */
+  def q287(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q287").toString
+    val (fDir, dDir) = (s"$tmp/fact", s"$tmp/dim")
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    TxnLog.commit(orders.filter(col("o_orderkey") % 3 === 0).coalesce(2), fDir) // F v1
+    TxnLog.commit(cust.coalesce(1), dDir)                                       // D v1
+    val fOld = TxnLog.read(s, fDir).localCheckpoint()
+    val dOld = TxnLog.read(s, dDir).localCheckpoint()
+    val vOld = fOld.join(dOld, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("c_mktsegment")).localCheckpoint() // the materialized view @v1
+
+    // both tables move: fact repriced (%15==0) + fresh orders; dim remapped
+    TxnLog.merge(s, fDir,
+      orders.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1024.0))
+        .unionByName(orders.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+                  col("o_custkey"), col("o_totalprice"))),
+      Seq("o_orderkey"))
+    TxnLog.merge(s, dDir,
+      cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("REMAPPED").as("c_mktsegment")),
+      Seq("c_custkey"))
+
+    def signed(changes: DataFrame) = changes.withColumn("sgn",
+      when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .drop("_change_type", "_commit_version")
+    val dF = signed(TxnLog.changes(s, fDir, 1L, 2L)).localCheckpoint()
+    val dD = signed(TxnLog.changes(s, dDir, 1L, 2L)).localCheckpoint()
+
+    val viewCols = Seq(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                       col("c_mktsegment"))
+    def term(f: DataFrame, dd: DataFrame, sgn: Column) =
+      f.join(dd, col("o_custkey") === col("c_custkey"))
+        .select(viewCols :+ sgn.as("sgn"): _*)
+    val delta =
+      term(dF, dOld, col("sgn"))
+        .unionByName(term(fOld, dD, col("sgn")))
+        .unionByName(term(dF.withColumnRenamed("sgn", "sf"),
+                          dD.withColumnRenamed("sgn", "sd"),
+                          col("sf") * col("sd")))
+    val vNew = vOld.withColumn("sgn", lit(1L)).unionByName(delta)
+      .groupBy(viewCols: _*).agg(sum(col("sgn")).as("net"))
+      .filter(col("net") =!= 0L)
+    // multiset sanity: every surviving row must have multiplicity exactly 1
+    require(vNew.filter(col("net") =!= 1L).isEmpty,
+      "IVM net multiplicity outside {0,1} — signed application is wrong")
+
+    def rollup(v: DataFrame, tag: String) = v
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("total"))
+      .withColumn("face", lit(tag))
+    val direct = TxnLog.read(s, fDir).join(TxnLog.read(s, dDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(viewCols: _*)
+    rollup(vNew.drop("net"), "ivm").unionByName(rollup(direct, "direct"))
+      .select(col("face"), col("c_mktsegment"), col("n"), col("total"))
+      .orderBy(col("face"), col("c_mktsegment"))
+  }
+  val q287Sql: String =
+    """WITH f2 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1024.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 11 = 0),
+      |d2 AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 0 THEN 'REMAPPED'
+      |              ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer),
+      |v AS (SELECT c_mktsegment, COUNT(*) AS n,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |      FROM f2 JOIN d2 ON o_custkey = c_custkey GROUP BY 1)
+      |SELECT 'direct' AS face, c_mktsegment, n, total FROM v
+      |UNION ALL
+      |SELECT 'ivm', c_mktsegment, n, total FROM v
+      |ORDER BY face, c_mktsegment""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q287_ivm_join_view" -> ((q287 _, Some(q287Sql))),
     "q285_dsv2_txn_sink" -> ((q285 _, Some(q285Sql))),
     "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),
     "q283_result_cache" -> ((q283 _, Some(q283Sql))),
