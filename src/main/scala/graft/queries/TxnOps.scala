@@ -1898,7 +1898,71 @@ object TxnOps {
       |SELECT 'ivm', c_mktsegment, n, total FROM v
       |ORDER BY face, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q288
+  /** FULLY-DSv2 TABLE→TABLE PIPELINE: [[graft.sources.TxnStreamSource]]
+    * tails the source table's commit ledger (one version per trigger) and
+    * [[graft.sources.TxnSink]] lands the filtered rows — NO foreachBatch
+    * anywhere (q240 is the foreachBatch formulation): the engine owns
+    * both ends, offsets on the version axis, epochs under txn markers.
+    * Exactly-once END TO END is proven through the engine's restart path
+    * (q285's move): the checkpoint's last commit record is deleted and
+    * the stream re-driven — the replayed epoch re-reads its source
+    * version, re-runs the transform, re-stages files, and the sink's txn
+    * marker refuses the re-registration. Faces: the destination rollup
+    * (equal to the batch-filtered source — nothing lost, nothing
+    * duplicated) and the action ledger (exactly 3 `T` epochs). */
+  def q288(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q288").toString
+    val (srcDir, dstDir, ckpt) = (s"$tmp/src", s"$tmp/dst", s"$tmp/ckpt")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    (0 until 3).foreach(i =>
+      TxnLog.commit(docs.filter(expr(s"doc_id % 3 = $i")).coalesce(1), srcDir))
+    def drive(): Unit = {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = s2.readStream.format(classOf[graft.sources.TxnStreamSource].getName)
+        .option("path", srcDir).option("maxVersionsPerTrigger", "1").load()
+        .filter(col("n_chars") >= 100) // the in-flight transform
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .writeStream.format("graft.sources.TxnSink")
+        .option("path", dstDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drive()
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
+    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
+    java.nio.file.Files.deleteIfExists(commits.resolve(
+      s".${java.nio.file.Paths.get(last).getFileName}.crc"))
+    drive() // engine replays the last epoch end-to-end; the marker refuses
+    val face = TxnLog.read(s, dstDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("batch", lit(1L))
+    val actions = TxnLog.history(s, dstDir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(lit(0L).as("batch"), lit(actions).as("source"),
+      lit("_ledger").as("lang"), lit(TxnLog.currentVersion(dstDir)).as("n"),
+      lit(0L).as("sum_chars"))
+    ledger.unionByName(face)
+      .select(col("batch"), col("source"), col("lang"), col("n"), col("sum_chars"))
+      .orderBy(col("batch"), col("source"), col("lang"))
+  }
+  val q288Sql: String =
+    """SELECT CAST(0 AS BIGINT) AS batch, 'TTT' AS source, '_ledger' AS lang,
+      |       CAST(3 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_chars
+      |UNION ALL
+      |SELECT 1, source, lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents WHERE n_chars >= 100
+      |GROUP BY 2, 3
+      |ORDER BY batch, source, lang""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q288_dsv2_pipeline" -> ((q288 _, Some(q288Sql))),
     "q287_ivm_join_view" -> ((q287 _, Some(q287Sql))),
     "q285_dsv2_txn_sink" -> ((q285 _, Some(q285Sql))),
     "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),
