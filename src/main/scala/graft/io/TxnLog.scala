@@ -1970,7 +1970,11 @@ object TxnLog {
       s.files ++ s.dvs.flatMap(_._1) ++ s.scoped.flatMap(_._1)
     }.toSet
     val partDirs = new java.io.File(dir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("part-"))
+      .filter(f => f.isDirectory &&
+        // ordinary commits stage under part-<uuid>; the DSv2 sink stages
+        // under txnsink-e<epoch>/-b<uuid> — replayed-epoch and failed-task
+        // orphans live there and are exactly vacuum's jurisdiction
+        (f.getName.startsWith("part-") || f.getName.startsWith("txnsink-")))
     // recursive: partitioned commits nest their parquet under col=val dirs
     val victims = partDirs.flatMap(pd =>
       walkParquet(dir, pd.getName).filterNot(keep.contains)).toSeq

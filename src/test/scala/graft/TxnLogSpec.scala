@@ -1461,4 +1461,23 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time travel still works over sink-written versions
     assert(T.read(spark, dir, Some(1L)).count() == 2L)
   }
+
+  test("vacuum reclaims DSv2 sink orphans; committed sink files survive") {
+    import spark.implicits._
+    val T = graft.io.TxnLog
+    val dir = freshTable()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+      .write.format("graft.sources.TxnSink").option("path", dir).mode("append").save()
+    // a replayed-epoch / failed-task orphan: staged under txnsink-, never
+    // registered in any manifest
+    val orphanDir = java.nio.file.Paths.get(dir, "txnsink-e00099")
+    java.nio.file.Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val victims = T.vacuum(dir)
+    assert(victims.contains("txnsink-e00099/part-orphan.parquet"), victims)
+    assert(!java.nio.file.Files.exists(orphan))
+    // the registered sink files are untouched and the table still reads
+    assert(T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
 }
