@@ -102,7 +102,10 @@ object Ogg {
     * continuation, 2 = beginning-of-stream, 4 = end-of-stream. */
   def page(payload: Array[Byte], headerType: Int, granule: Long,
            serial: Int, seq: Int): Array[Byte] = {
-    require(payload.length <= 255 * 255, s"page payload too large: ${payload.length}")
+    // nSegs must fit the single-byte segment-count field: payload == 255*255
+    // would need 256 lacing values (255 full + one terminating <255), which
+    // truncates to 0 and emits a corrupt page — hence strictly-less-than.
+    require(payload.length < 255 * 255, s"page payload too large: ${payload.length}")
     val nSegs = payload.length / 255 + 1 // final lacing < 255 ends the packet
     val header = new Array[Byte](27 + nSegs)
     header(0) = 'O'; header(1) = 'g'; header(2) = 'g'; header(3) = 'S'

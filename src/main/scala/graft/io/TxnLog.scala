@@ -1500,6 +1500,17 @@ object TxnLog {
     * anti-join is exact) and the replace fallback (target = the table). */
   private def applyMergeActions(target: DataFrame, source: DataFrame,
                                 keyCols: Seq[String], a: MergeActions): DataFrame = {
+    // A source with duplicate keys would silently multiply matched target
+    // rows through the left join (and insert both copies). SQL MERGE and
+    // Delta raise on multiple source matches — so do we, loudly, before
+    // any file is rewritten. Cost: one aggregation over the (delta-sized)
+    // source, short-circuited at the first duplicate.
+    val dup = source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has duplicate keys (e.g. ${dup.headOption.fold("")(
+        r => keyCols.zipWithIndex.map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", "))}): " +
+        "a target row may not match more than one source row")
     val cols = target.columns.toSeq
     val srcPref = source
       .select(source.columns.map(c => col(c).as(s"src_$c")) :+ lit(true).as("__m"): _*)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
 
 /** MATERIALIZED-VIEW REWRITE (the `injectOptimizerRule` extension point,
   * SURVEY §4): transparently answer aggregate queries over a fact table from
@@ -29,17 +29,31 @@ import org.apache.spark.sql.types.DataType
   * partials:
   *
   *   - `COUNT(<non-null literal>)`  → `SUM(mv.cnt)`        (same LongType)
+  *   - `COUNT(col)` / `COUNT(CAST(col AS t))` → `SUM(mv.cnt_col)` where the
+  *     MV declares a per-group NON-NULL count partial for that column (an
+  *     `agg = "cnt"` measure) — COUNT(*) cannot stand in, the base column
+  *     may hold nulls the MV's row count would miscount
   *   - `SUM(col)` / `SUM(CAST(col AS t))` → `SUM(mv.sum_col)` re-aggregated,
   *     CAST back to the original result type (sum-of-sums widens decimal
   *     precision by 10; the values are the same numbers, so the cast is
   *     exact) — SUM is what makes rollup-from-partials sound: a sum of
   *     group sums is the group sum of the coarser grouping
+  *   - `AVG(col)` → `SUM(mv.sum_col) / SUM(mv.cnt_col)` when BOTH partials
+  *     are declared, through a division tree mirroring `Average`'s own
+  *     `evaluateExpression` node-for-node (same operand types, same
+  *     `Divide` eval mode), so the derived value rounds identically to
+  *     the direct plan's
   *   - `MIN(col)` / `MAX(col)`      → `MIN(mv.min_col)` / `MAX(mv.max_col)`
   *
-  * Anything else — DISTINCT aggregates, FILTER clauses, AVG (derivable but
-  * its partial pair is not declared here), expressions over group keys,
-  * predicates on non-key columns — leaves the plan untouched: the rewrite
-  * is strictly opt-in per shape, never lossy.
+  * A GLOBAL aggregate (empty GROUP BY) whose key predicate matches no MV
+  * group must still return a row: COUNT over the base is 0 there, but SUM
+  * over zero MV rows is NULL — so derived counts are wrapped in
+  * `coalesce(..., 0)` exactly when the grouping is empty (grouped
+  * aggregates just drop the group, matching the base).
+  *
+  * Anything else — DISTINCT aggregates, FILTER clauses, expressions over
+  * group keys, predicates on non-key columns — leaves the plan untouched:
+  * the rewrite is strictly opt-in per shape, never lossy.
   *
   * Output attribute `ExprId`s are PINNED to the original aggregate's output
   * (aliases re-use the original ids), so every parent operator — the
@@ -169,17 +183,58 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         .flatMap(m => mvAttr(m.mvCol))
     }
 
+    /** A derived count: SUM over MV count partials. Per MV group the SUM
+      * is never null (MV groups are non-empty) — but a GLOBAL aggregate
+      * whose filter dropped every MV group sums zero rows → NULL, where
+      * COUNT over the base says 0. Coalesce exactly in that shape. */
+    def countFrom(ae: AggregateExpression, cntAttr: Attribute): Expression = {
+      val summed: Expression = ae.copy(aggregateFunction = Sum(cntAttr),
+                                       resultId = NamedExpression.newExprId)
+      if (agg.groupingExpressions.isEmpty) Coalesce(Seq(summed, Literal(0L)))
+      else summed
+    }
+
     /** Derive one aggregate call from MV partials, or None. */
     def derive(ae: AggregateExpression): Option[Expression] = {
       if (ae.mode != Complete || ae.isDistinct || ae.filter.nonEmpty) return None
       ae.aggregateFunction match {
         case c: Count if c.children.nonEmpty &&
             c.children.forall(ch => ch.foldable && ch.eval(EmptyRow) != null) =>
-          // COUNT of rows → SUM of per-group counts (LongType both ways;
-          // MV groups are non-empty so the SUM is never null-on-empty)
-          mvAttr(mv.cntCol).map(cnt =>
-            ae.copy(aggregateFunction = Sum(cnt),
-                    resultId = NamedExpression.newExprId))
+          // COUNT of rows → SUM of per-group counts (LongType both ways)
+          mvAttr(mv.cntCol).map(countFrom(ae, _))
+        case c: Count if c.children.sizeIs == 1 =>
+          // COUNT(col): needs the column's declared NON-NULL count partial
+          // (COUNT(*) would miscount if the base column holds nulls)
+          measureFor("cnt", c.children.head).map(countFrom(ae, _))
+        case av: Average =>
+          // AVG(col) = SUM(sum partials) / SUM(count partials), through a
+          // division tree mirroring Average.evaluateExpression — same
+          // operand types, same LEGACY Divide — so rounding is identical
+          // to the direct plan. Empty-group behavior matches for free:
+          // AVG over no rows is NULL on both paths.
+          for {
+            sumAttr <- measureFor("sum", av.child)
+            cntAttr <- measureFor("cnt", av.child)
+          } yield {
+            def sumAgg(a: Attribute) =
+              ae.copy(aggregateFunction = Sum(a),
+                      resultId = NamedExpression.newExprId)
+            av.child.dataType match {
+              case dt: DecimalType =>
+                val (p, s) = (dt.precision, dt.scale)
+                // Average's internal sum buffer is Decimal(p+10, s); our
+                // sum-of-sums widens further, so cast back (exact — it is
+                // the same total Average itself would hold)
+                val sumT = DecimalType(math.min(p + 10, DecimalType.MAX_PRECISION), s)
+                Cast(Divide(Cast(sumAgg(sumAttr), sumT),
+                            Cast(sumAgg(cntAttr), DecimalType(20, 0)),
+                            EvalMode.LEGACY),
+                     av.dataType)
+              case _ =>
+                Divide(Cast(sumAgg(sumAttr), DoubleType),
+                       Cast(sumAgg(cntAttr), DoubleType), EvalMode.LEGACY)
+            }
+          }
         case s: Sum =>
           measureFor("sum", s.child).map { m =>
             val re = ae.copy(aggregateFunction = s.copy(child = m),

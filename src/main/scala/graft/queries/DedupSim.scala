@@ -2416,7 +2416,8 @@ object DedupSim {
   // ---------------------------------------------------------------- q266
   /** IVF-PQ COMPOSITION (round-9 verdict item 5) — the index real ANN
     * serving runs: the q219 Lloyd-TRAINED coarse codebook routes vectors
-    * to cells, each vector stores only M=4 PQ codes of its RESIDUAL
+    * to cells, each vector stores only PqM=8 codes (one per 8-dim
+    * subspace, PqCent=16 centroids each) of its RESIDUAL
     * (vector − assigned centroid), and queries rank candidates inside
     * their probed cells by full asymmetric squared distance
     * Σ_m (‖qres_m‖² − 2·qres_m·pq_m + ‖pq_m‖²) — where qres is the
@@ -2438,14 +2439,15 @@ object DedupSim {
     * bit-for-bit on every code and rank).
     *
     * PQ sub-codebooks are the residuals of designated seed vectors
-    * (vec_id 16–19, sliced per 16-dim subspace) — deterministic and
+    * (vec_id 16–31 = PqCent, sliced per PqSub=8-dim subspace) —
+    * deterministic and
     * cross-engine derivable, standing in for offline-trained
     * sub-quantizers exactly as q91's seeds stood in for its codebook.
     * All residual/LUT arithmetic is DOUBLE end-to-end (float elements
     * cast once), with sequential HOF folds matching the oracle's
     * list_reduce ordering, so codes, rankings, and recalls hash-gate.
     *
-    * Scale shape: codebooks are driver-side metadata (16 + 4 vectors);
+    * Scale shape: codebooks are driver-side metadata (PqCent + 4 vectors);
     * assignment, residual, and codes are one zero-shuffle projection over
     * the corpus; the candidate join is the q59 broadcast-probes equi-join;
     * ADC is M table lookups per candidate (the 64× memory story of q91,
@@ -2588,16 +2590,16 @@ object DedupSim {
   }
   val q266Sql: String = {
     val fold = foldAllSql _
-    // 16-dim double-subspace fold at subspace m (res lists are DOUBLE)
-    def f16(a: String, b: String, m: Int): String =
+    // PqSub-dim double-subspace fold at subspace m (res lists are DOUBLE)
+    def fSlice(a: String, b: String, m: Int): String =
       s"list_reduce(list_transform(range(1, ${PqSub + 1}), i -> $a[${m * PqSub} + i] * $b[${m * PqSub} + i]), (x,y) -> x+y)"
-    // plain 16-dim folds for the TRAINED sub-centroids (16-element lists)
+    // plain PqSub-dim folds for the TRAINED sub-centroids (PqSub-element lists)
     def fsub(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, ${PqSub + 1}), i -> $a[i] * $b[i]), (x,y) -> x+y)"
     def fmix(res: String, sub: String, m: Int): String =
       s"list_reduce(list_transform(range(1, ${PqSub + 1}), i -> $res[${m * PqSub} + i] * $sub[i]), (x,y) -> x+y)"
     def adcTerm(m: Int): String =
-      s"(${f16("qr.res", "qr.res", m)} + (${fsub(s"p$m.sub", s"p$m.sub")} - 2 * ${fmix("qr.res", s"p$m.sub", m)}))"
+      s"(${fSlice("qr.res", "qr.res", m)} + (${fsub(s"p$m.sub", s"p$m.sub")} - 2 * ${fmix("qr.res", s"p$m.sub", m)}))"
     val codeCols = (0 until PqM)
       .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n    ")
     val pqJoins = (0 until PqM)
@@ -2614,7 +2616,7 @@ object DedupSim {
        |csc0 AS (
        |  SELECT r.vec_id, u.m, p.sid,
        |    (CASE u.m ${(0 until PqM).map(m =>
-                s"WHEN $m THEN ${f16("p.res", "p.res", m)} - 2 * ${f16("r.res", "p.res", m)}")
+                s"WHEN $m THEN ${fSlice("p.res", "p.res", m)} - 2 * ${fSlice("r.res", "p.res", m)}")
                 .mkString(" ")} END) AS score
        |  FROM resv r CROSS JOIN unnest(range(0, $PqM)) AS u(m) CROSS JOIN pqs p),
        |codes0 AS (

@@ -25,8 +25,17 @@ import graft.plans.MvRewrite.{MvDef, MvMeasure}
   *   - `filtered`: a key-column predicate — commutes through the grouping,
   *                 so it prunes MV GROUPS (at scale: partition-pruned MV
   *                 files), never fact rows
+  *   - `avgf`:     AVG + COUNT(col) derived from the declared sum/count
+  *                 partial pair (round-9 verdict item 5) — avg over the
+  *                 LONG cast so all three engines divide the same exact
+  *                 integer sum by the same count
+  *   - `empty_global`: a key predicate matching NO group with no GROUP BY
+  *                 — derived COUNTs coalesce to 0, SUM/AVG stay NULL
+  *                 (the ADVICE-flagged global-aggregate hole, now gated)
   *   - `control`:  aggregates NOT covered by the MV (sum of l_discount,
   *                 max of l_tax) — the rule must leave the plan alone
+  *   - `control_distinct`: one DISTINCT aggregate poisons the whole face
+  *                 — the rewrite is all-or-nothing, never partial
   *
   * Each face carries `mv_used`, read FROM THE OPTIMIZED PLAN (does it scan
   * the MV path and not the base path?), and the oracle states TRUE for the
@@ -61,7 +70,12 @@ object MvOps {
       .agg(count(lit(1)).as("cnt"),
            sum(col("l_quantity").cast(dec)).as("sum_qty"),
            min(col("l_extendedprice")).as("min_price"),
-           max(col("l_extendedprice")).as("max_price"))
+           max(col("l_extendedprice")).as("max_price"),
+           // AVG partial pair (round-9 verdict item 5): exact long sums +
+           // the column's own non-null count — what lets the rule derive
+           // avg and COUNT(col) instead of refusing them
+           sum(col("l_quantity").cast("long")).as("sum_qty_l"),
+           count(col("l_quantity").cast("long")).as("cnt_qty_l"))
       .coalesce(1).write.mode("overwrite").parquet(mvPath)
 
     MvRewrite.register(MvDef(
@@ -70,7 +84,9 @@ object MvOps {
       measures = Seq(
         MvMeasure("sum", "l_quantity", Some(dec), "sum_qty"),
         MvMeasure("min", "l_extendedprice", None, "min_price"),
-        MvMeasure("max", "l_extendedprice", None, "max_price"))))
+        MvMeasure("max", "l_extendedprice", None, "max_price"),
+        MvMeasure("sum", "l_quantity", Some(org.apache.spark.sql.types.LongType), "sum_qty_l"),
+        MvMeasure("cnt", "l_quantity", Some(org.apache.spark.sql.types.LongType), "cnt_qty_l"))))
     try {
       val exact = li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
@@ -91,6 +107,26 @@ object MvOps {
              max(col("l_extendedprice")).as("extreme"))
         .select(lit("filtered").as("face"), col("l_returnflag").as("rf"),
                 lit(null).cast("string").as("ls"), col("n"), col("sum_qty"), col("extreme"))
+      // AVG face (round-9 verdict item 5): avg + COUNT(col) both derive
+      // from the declared partial pair — avg over the LONG cast, so every
+      // engine (direct Spark, rewritten Spark, DuckDB) divides the same
+      // exact integer sum by the same count: one correctly-rounded IEEE
+      // division, bit-identical on all three paths
+      val avgf = li.groupBy(col("l_returnflag"))
+        .agg(count(col("l_quantity").cast("long")).as("n"),
+             avg(col("l_quantity").cast("long")).as("sum_qty"),
+             max(col("l_extendedprice")).as("extreme"))
+        .select(lit("avgf").as("face"), col("l_returnflag").as("rf"),
+                lit(null).cast("string").as("ls"), col("n"), col("sum_qty"), col("extreme"))
+      // empty-global face: a key predicate matching NO group, no GROUP BY —
+      // the one shape where COUNT must coalesce to 0 while SUM/AVG stay
+      // NULL (the ADVICE-flagged hole, now a gated face)
+      val emptyGlobal = li.filter(col("l_returnflag") === "ZZ")
+        .agg(count(lit(1)).as("n"),
+             avg(col("l_quantity").cast("long")).as("sum_qty"),
+             max(col("l_extendedprice")).as("extreme"))
+        .select(lit("empty_global").as("face"), lit(null).cast("string").as("rf"),
+                lit(null).cast("string").as("ls"), col("n"), col("sum_qty"), col("extreme"))
       // negative control: sum/max of columns the MV does not carry —
       // the rule must refuse (a partial rewrite would be wrong)
       val control = li.groupBy(col("l_returnflag"))
@@ -99,6 +135,14 @@ object MvOps {
              max(col("l_tax")).as("extreme"))
         .select(lit("control").as("face"), col("l_returnflag").as("rf"),
                 lit(null).cast("string").as("ls"), col("n"), col("sum_qty"), col("extreme"))
+      // distinct control: one DISTINCT aggregate poisons the whole face —
+      // the rewrite is all-or-nothing, never partial
+      val controlDistinct = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_quantity").cast("long")).as("n"),
+             avg(col("l_quantity").cast("long")).as("sum_qty"),
+             max(col("l_extendedprice")).as("extreme"))
+        .select(lit("control_distinct").as("face"), col("l_returnflag").as("rf"),
+                lit(null).cast("string").as("ls"), col("n"), col("sum_qty"), col("extreme"))
 
       // the routing decision, read from each face's optimized plan: the MV
       // path replaced the base path (or, for the control, did not)
@@ -106,8 +150,8 @@ object MvOps {
         val ps = scanPaths(df)
         ps.contains(s"$mvPath") && !ps.exists(_.endsWith("lineitem.parquet"))
       }
-      val faces = Seq(exact, rollup, filtered, control)
-      val flags = faces.map(routed) // exact, rollup, filtered: true; control: false
+      val faces = Seq(exact, rollup, filtered, avgf, emptyGlobal, control, controlDistinct)
+      val flags = faces.map(routed) // exact/rollup/filtered/avgf/empty_global: true; controls: false
       // EXECUTE inside the registration window — the returned DataFrame is
       // lazy, and the registry must not leak past this query (a later
       // aggregate on the same base path would silently route to a stale
@@ -142,9 +186,25 @@ object MvOps {
       |         MAX(l_extendedprice), TRUE
       |  FROM lineitem WHERE l_linestatus = 'F' GROUP BY 2
       |  UNION ALL
+      |  SELECT 'avgf', l_returnflag, NULL, COUNT(CAST(l_quantity AS BIGINT)),
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      |           / COUNT(CAST(l_quantity AS BIGINT)),
+      |         MAX(l_extendedprice), TRUE
+      |  FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'empty_global', NULL, NULL, COUNT(*), CAST(NULL AS DOUBLE),
+      |         MAX(l_extendedprice), TRUE
+      |  FROM lineitem WHERE l_returnflag = 'ZZ'
+      |  UNION ALL
       |  SELECT 'control', l_returnflag, NULL, COUNT(*),
       |         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE),
       |         MAX(l_tax), FALSE
+      |  FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'control_distinct', l_returnflag, NULL,
+      |         COUNT(DISTINCT CAST(l_quantity AS BIGINT)),
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*),
+      |         MAX(l_extendedprice), FALSE
       |  FROM lineitem GROUP BY 2
       |) ORDER BY face, rf, ls""".stripMargin
 

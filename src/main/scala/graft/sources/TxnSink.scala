@@ -76,7 +76,7 @@ private[sources] class TxnStreamingWrite(dir: String, schema: StructType,
   TxnSinkWriter.toParquetType(schema) // refuse unsupported schemas at plan time
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new TxnSinkWriterFactory(dir, schema)
+    new TxnSinkWriterFactory(dir, schema, queryId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case TxnSinkFile(rel) if rel.nonEmpty => rel }
@@ -115,11 +115,13 @@ private[sources] class TxnBatchWriterFactory(dir: String, schema: StructType)
 
 private[sources] case class TxnSinkFile(rel: String) extends WriterCommitMessage
 
-private[sources] class TxnSinkWriterFactory(dir: String, schema: StructType)
+private[sources] class TxnSinkWriterFactory(dir: String, schema: StructType,
+                                            queryId: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new TxnSinkWriter(dir, schema, partitionId, taskId, epochId)
+    new TxnSinkWriter(dir, schema, partitionId, taskId, epochId,
+      queryTag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8))
 }
 
 object TxnSinkWriter {
@@ -154,9 +156,15 @@ object TxnSinkWriter {
   * the manifest. */
 private[sources] class TxnSinkWriter(dir: String, schema: StructType,
                                      partitionId: Int, taskId: Long,
-                                     epochId: Long) extends DataWriter[InternalRow] {
+                                     epochId: Long, queryTag: String = "")
+    extends DataWriter[InternalRow] {
   private val rel = // batch writes (epoch −1) stage under a uuid instead
-    if (epochId >= 0) f"txnsink-e$epochId%05d/part-$partitionId%05d-t$taskId.parquet"
+    // Streaming stages under (queryId, epoch): two queries (or two apps)
+    // writing the same table dir at the same epoch/partition must not
+    // collide on a staged path or cross-delete in abort(). Vacuum's
+    // orphan matcher keys on the `txnsink-` prefix, which both forms keep.
+    if (epochId >= 0)
+      f"txnsink-e$epochId%05d-q$queryTag/part-$partitionId%05d-t$taskId.parquet"
     else s"txnsink-b${java.util.UUID.randomUUID().toString.take(8)}/" +
       f"part-$partitionId%05d-t$taskId.parquet"
   private var writer: org.apache.parquet.hadoop.ParquetWriter[

@@ -51,12 +51,17 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mvPath = s"$baseDir/mv_${System.nanoTime()}"
     base.groupBy(col("k1"), col("k2"))
       .agg(count(lit(1)).as("cnt"), sum(col("v").cast(dec)).as("sum_v"),
-           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+           min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+           count(col("v").cast(dec)).as("cnt_vd"),
+           sum(col("id")).as("sum_id"), count(col("id")).as("cnt_id"))
       .coalesce(1).write.parquet(mvPath)
     val d = MvDef(s"$baseDir/base", mvPath, Seq("k1", "k2"), "cnt",
       Seq(MvMeasure("sum", "v", Some(dec), "sum_v"),
           MvMeasure("min", "v", None, "min_v"),
-          MvMeasure("max", "v", None, "max_v")))
+          MvMeasure("max", "v", None, "max_v"),
+          MvMeasure("cnt", "v", Some(dec), "cnt_vd"),
+          MvMeasure("sum", "id", None, "sum_id"),
+          MvMeasure("cnt", "id", None, "cnt_id")))
     MvRewrite.register(d)
     d
   }
@@ -147,16 +152,17 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       // DISTINCT aggregate (not derivable from partials)
       assert(!usesMv(base.groupBy(col("k1"))
         .agg(countDistinct(col("k2")).as("n")), mv))
-      // sum of a non-measure column
+      // sum of a non-measure expression (id is declared only as a bare
+      // column; an arithmetic child is not derivable)
       assert(!usesMv(base.groupBy(col("k1"))
-        .agg(sum(col("id")).as("s")), mv))
+        .agg(sum(col("id") * 2).as("s")), mv))
       // sum through a DIFFERENT cast than the declared measure
       assert(!usesMv(base.groupBy(col("k1"))
         .agg(sum(col("v").cast(DecimalType(20, 6))).as("s")), mv))
       // grouping by a non-key expression
       assert(!usesMv(base.groupBy(upper(col("k1")).as("u"))
         .agg(count(lit(1)).as("n")), mv))
-      // AVG partials are not declared
+      // AVG whose sum/count partials are not declared for that child
       assert(!usesMv(base.groupBy(col("k1")).agg(avg(col("v")).as("a")), mv))
     } finally MvRewrite.clear()
   }
@@ -239,6 +245,50 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sv"))
         .collect().map(_.toString).sorted.toSeq
       assert(got == want)
+    } finally MvRewrite.clear()
+  }
+
+  test("AVG and COUNT(col) derive from declared sum+count partials") {
+    val mv = buildAndRegisterMv()
+    try {
+      // long child (exact integer-double sums) and decimal child (the
+      // division tree mirrors Average's own, so rounding is identical)
+      def q(d: DataFrame) = d.groupBy(col("k1"))
+        .agg(avg(col("id")).as("a_l"), avg(col("v").cast(dec)).as("a_d"),
+             count(col("id")).as("c"))
+      val rewritten = q(base)
+      assert(usesMv(rewritten, mv), rewritten.queryExecution.optimizedPlan.toString)
+      MvRewrite.clear()
+      val plain = q(base)
+      assert(!usesMv(plain, mv))
+      MvRewrite.register(mv)
+      assert(sortedRows(rewritten) == sortedRows(plain))
+    } finally MvRewrite.clear()
+  }
+
+  test("AVG without a declared count partial refuses; DISTINCT refuses") {
+    val mv = buildAndRegisterMv()
+    try {
+      // avg(v) uncast: no ("sum","v",None) measure → whole rewrite refused
+      val noPartial = base.groupBy(col("k1")).agg(avg(col("v")).as("a"))
+      assert(!usesMv(noPartial, mv))
+      val distinct = base.groupBy(col("k1")).agg(countDistinct(col("id")).as("n"))
+      assert(!usesMv(distinct, mv))
+    } finally MvRewrite.clear()
+  }
+
+  test("global COUNT over a no-match key filter returns 0 from the MV, not NULL") {
+    val mv = buildAndRegisterMv()
+    try {
+      val q = base.filter(col("k1") === "no_such_group")
+        .agg(count(lit(1)).as("n"), count(col("id")).as("nc"),
+             sum(col("v").cast(dec)).as("sv"), avg(col("id")).as("av"))
+      assert(usesMv(q, mv), q.queryExecution.optimizedPlan.toString)
+      val r = q.collect()
+      assert(r.length == 1)
+      assert(r(0).getLong(0) == 0L, "COUNT(*) must coalesce to 0 on empty global agg")
+      assert(r(0).getLong(1) == 0L, "COUNT(col) must coalesce to 0 on empty global agg")
+      assert(r(0).isNullAt(2) && r(0).isNullAt(3), "SUM/AVG stay NULL on empty")
     } finally MvRewrite.clear()
   }
 }
