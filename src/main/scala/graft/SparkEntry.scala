@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.TxnOps.defs ++
       graft.queries.SpatialOps.defs ++ // q273/q276 spatial family
       graft.queries.MvOps.defs ++      // q278 materialized-view routing
+      graft.queries.CatalogOps.defs ++ // q289 SQL catalog front door
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -898,6 +898,28 @@ object TxnLog {
     readFileSet(spark, dir, snap.files, snap, mergeSchema)
   }
 
+  /** Catalog-facing scan plan (the DSv2 SQL front door — see
+    * [[graft.sources.GraftCatalog]]): resolve a snapshot to its ABSOLUTE
+    * visible data-file list. `plain` is true when no pending logical
+    * action (global/scoped delete vector, column rename, column drop)
+    * stands between the raw files and the table's contents — exactly the
+    * snapshots a file-scan connector may serve by listing files; anything
+    * else must go through [[read]] (or be materialized by [[compact]])
+    * first. An empty chain (CREATE TABLE, no commit yet) is version 0
+    * with no files. */
+  def fileScanPlan(dir: String, asOf: Option[Long] = None): (Long, Vector[String], Boolean) = {
+    if (manifests(dir).isEmpty) return (0L, Vector.empty, true)
+    val v = math.min(asOf.getOrElse(Long.MaxValue), currentVersion(dir))
+    require(v >= minVersion(dir),
+      s"version $v was vacuumed (oldest retained: ${minVersion(dir)})")
+    asOf.foreach(a => require(a <= currentVersion(dir),
+      s"version $a does not exist (current: ${currentVersion(dir)})"))
+    val snap = snapshotAt(dir, v)
+    val plain = snap.dvs.isEmpty && snap.scoped.isEmpty &&
+      snap.renames.isEmpty && snap.drops.isEmpty
+    (v, snap.files.map(resolve(dir, _)), plain)
+  }
+
   /** Anti-join every delete vector in `dvs` onto `df` (the merge-on-read
     * reader path — each vector is a broadcast-sized key list). Key
     * columns and vector files translate through the renames that folded

@@ -1,0 +1,290 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.TxnLog
+
+/** The SQL FRONT DOOR to the engine's txn-log tables (round-9 verdict
+  * item 1): a DSv2 `TableCatalog`, registered as
+  *
+  * {{{
+  *   spark.sql.catalog.<name>           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.<name>.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * after which every feature built on the txn log is reachable from plain
+  * SQL instead of Scala calls:
+  *
+  *   - `SELECT ... FROM <name>.db.t` — the scan DELEGATES to Spark's own
+  *     DSv2 parquet table over the snapshot's visible file list, so
+  *     filter pushdown, column pruning, partition-value pruning (hive
+  *     `col=val` commit layouts) and aggregate pushdown are the native
+  *     engine paths, not re-implementations. The plan is the same pruned
+  *     parquet scan the Scala API path (`TxnLog.read`) produces —
+  *     PlanCheck pins the parity.
+  *   - `... VERSION AS OF v` / `... TIMESTAMP AS OF ts` — time travel
+  *     resolves through the same snapshot fold / monotone in-commit
+  *     timestamp axis as the API path (q277).
+  *   - `INSERT INTO` / `INSERT OVERWRITE` — writes bridge to
+  *     [[TxnLog.commit]] through the connector's V1Write fallback: the
+  *     full type surface (decimals, timestamps, arrays) and the atomic
+  *     claim protocol are reused verbatim; OVERWRITE maps to a replace
+  *     commit. The executor-parquet DSv2 write path exists too
+  *     ([[TxnSink]], q285/q288) — the catalog favors the commit bridge
+  *     because INSERT must accept every type the engine stores, not the
+  *     sink's flat-primitive subset.
+  *   - `CREATE TABLE` / `DROP TABLE` / namespace DDL — directories under
+  *     the warehouse; a pre-data table persists its DDL schema in the
+  *     log dir and becomes version 0 (empty scan, correct schema).
+  *
+  * Scan-ability contract: a snapshot with PENDING merge-on-read actions
+  * (delete vectors, scoped update vectors, column renames/drops) refuses
+  * the raw file scan with an actionable error — those snapshots need the
+  * Scala reader ([[TxnLog.read]]) or a materializing `compact()` first.
+  * This is the reader-version discipline Delta applies to DV tables:
+  * never serve a scan that silently includes deleted rows.
+  *
+  * The warehouse root is re-resolved from the session conf on every
+  * table operation (falling back to the initialize-time option), so one
+  * long-lived session can point the same catalog name at different
+  * warehouses — and, at scale, so the catalog object carries no mutable
+  * state beyond its name (table identity lives entirely on storage).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "graft"
+  private var initOpts: Map[String, String] = Map.empty
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    initOpts = options.asScala.toMap
+  }
+  override def name(): String = catName
+
+  private def warehouse: String =
+    SparkSession.active.conf.getOption(s"spark.sql.catalog.$catName.warehouse")
+      .orElse(initOpts.get("warehouse"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"GraftCatalog needs spark.sql.catalog.$catName.warehouse"))
+
+  /** Identifier segments become directory names — constrain them so an
+    * identifier can never traverse outside the warehouse. */
+  private def seg(s: String): String = {
+    require(s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_'),
+      s"identifier segment must be [A-Za-z0-9_]+: '$s'")
+    s
+  }
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).map(seg)).mkString("/")
+  private def nsDir(namespace: Array[String]): java.nio.file.Path =
+    java.nio.file.Paths.get((warehouse +: namespace.map(seg)).mkString("/"))
+
+  override def tableExists(ident: Identifier): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dirOf(ident), "_txnlog"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!java.nio.file.Files.isDirectory(d))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    val s = java.nio.file.Files.list(d)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p.resolve("_txnlog")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(dirOf(ident), s"$catName.${ident.toString}", None)
+  }
+
+  /** `VERSION AS OF v` (Spark hands the literal as a string). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catName table versions are numeric commit versions, got '$version'")
+    }
+    new GraftSqlTable(dirOf(ident), s"$catName.${ident.toString}@v$v", Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` (micros since epoch) — resolved on the monotone
+    * in-commit timestamp axis, exactly like the API path (q277). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val v = TxnLog.versionAtTimestamp(dir, timestamp)
+    new GraftSqlTable(dir, s"$catName.${ident.toString}@v$v", Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "partitioned CREATE TABLE is not supported here; write hive-style " +
+        "layouts with TxnLog.commitPartitioned (the catalog scans them)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = dirOf(ident)
+    val ld = java.nio.file.Paths.get(dir, "_txnlog")
+    java.nio.file.Files.createDirectories(ld)
+    java.nio.file.Files.write(ld.resolve("_schema.json"),
+      schema.json.getBytes("UTF-8"))
+    new GraftSqlTable(dir, s"$catName.${ident.toString}", None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use TxnLog.renameColumn/dropColumn (column mapping) — " +
+        "snapshots with pending mapping actions are served by the Scala reader")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dirOf(ident)))
+    true
+  }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- namespaces: one directory level each under the warehouse ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(root)) return Array.empty
+    val s = java.nio.file.Files.list(root)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        !java.nio.file.Files.isDirectory(p.resolve("_txnlog")))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || java.nio.file.Files.isDirectory(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    java.nio.file.Files.createDirectories(nsDir(namespace)); ()
+  }
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!java.nio.file.Files.isDirectory(d)) return false
+    if (!cascade) {
+      val s = java.nio.file.Files.list(d)
+      val empty = try !s.iterator().hasNext finally s.close()
+      require(empty, s"namespace ${namespace.mkString(".")} is not empty")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(d.toFile)
+    true
+  }
+}
+
+private[sources] object GraftSqlTable {
+  /** DDL schema persisted by CREATE TABLE — served until the first commit
+    * gives the table real files to infer from. */
+  def storedSchema(dir: String): Option[StructType] = {
+    val p = java.nio.file.Paths.get(dir, "_txnlog", "_schema.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .asInstanceOf[StructType])
+  }
+}
+
+/** One resolved (table dir, optional time-travel version). Reads delegate
+  * to Spark's native DSv2 parquet table over the snapshot's file list;
+  * writes bridge to the txn log's atomic commit. */
+private[sources] class GraftSqlTable(dir: String, ident: String,
+                                     asOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType = {
+    val (_, files, _) = TxnLog.fileScanPlan(dir, asOf)
+    if (files.nonEmpty) TxnLog.read(spark, dir, asOf).schema
+    else GraftSqlTable.storedSchema(dir).getOrElse(new StructType())
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (v, files, plain) = TxnLog.fileScanPlan(dir, asOf)
+    require(plain,
+      s"$ident@v$v has pending merge-on-read actions (delete vectors / " +
+        "column mapping): materialize them (TxnLog.compact) before SQL " +
+        "scans, or read through TxnLog.read")
+    // hive-style commit layouts (`part-<uuid>/col=val/...`, q265) need a
+    // basePath for partition-column inference; a snapshot mixing
+    // partitioned and flat files (spec evolution mid-table) is the Scala
+    // reader's domain
+    val parted = files.filter(f => f.split('/').exists(_.contains('=')))
+    require(parted.isEmpty || parted.sizeIs == files.size,
+      s"$ident@v$v mixes partitioned and flat commits (partition-spec " +
+        "evolution): read through TxnLog.read")
+    val opts: Map[String, String] =
+      options.asScala.toMap ++
+        (if (parted.nonEmpty) Map("basePath" -> dir) else Map.empty)
+    val csm = new CaseInsensitiveStringMap(opts.asJava)
+    ParquetTable(ident, spark, csm, files.toList, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(csm)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, s"cannot write to time-travel snapshot $ident")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        // The V1 bridge hands the INSERT's query as a DataFrame (already
+        // cast to the table schema by Spark's output resolution); the txn
+        // log's distributed write + atomic claim does the rest. OVERWRITE
+        // = replace commit (the visible set resets to this write).
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              TxnLog.commit(data, dir, replace = replace || overwrite); ()
+            }
+          }
+      }
+    }
+  }
+}

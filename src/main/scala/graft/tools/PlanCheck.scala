@@ -898,6 +898,72 @@ object PlanCheck {
       }
     }
 
+    // ----------------------------------------------------------------
+    // SQL catalog front door (q289): the catalog's DSv2 scan must plan
+    // the SAME pruned parquet read as the Scala API path — pushed
+    // filters, pruned ReadSchema, and the identical snapshot file set
+    // (a catalog that listed the directory instead of the snapshot
+    // would silently scan uncommitted orphans — the decoy proves it
+    // doesn't). Hive-partitioned commits must prune by partition value
+    // through the same front door.
+    // ----------------------------------------------------------------
+    {
+      val wh = java.nio.file.Files.createTempDirectory("graft_pc_cat").toString
+      spark.conf.set("spark.sql.catalog.gpc", classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gpc.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gpc.db")
+      val dir = s"$wh/db/t"
+      graft.io.TxnLog.commit(
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_returnflag", "l_tax"), dir)
+      // orphan decoy: on-disk but in no manifest — must never be scanned
+      spark.range(5).selectExpr("id AS l_orderkey", "CAST(id AS DOUBLE) AS l_quantity",
+        "'Z' AS l_returnflag", "0.0 AS l_tax")
+        .coalesce(1).write.parquet(s"$dir/decoy-orphan")
+      def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      // the files the catalog scan will ACTUALLY read (post partition
+      // pruning): the physical BatchScan's file partitions — inputFiles
+      // doesn't serve connector tables that aren't themselves FileTables
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.partitions.flatMap {
+              case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+                p.inputPartitions.flatMap {
+                  case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+                    f.files.map(pf => norm(pf.filePath.toString))
+                  case _ => Nil
+                }
+              case _ => Nil
+            }.toSet
+        }.headOption.getOrElse(Set.empty)
+      val q = spark.sql("SELECT l_quantity FROM gpc.db.t WHERE l_returnflag = 'R'")
+      val plan = q.queryExecution.executedPlan.toString
+      val apiQ = graft.io.TxnLog.read(spark, dir)
+        .filter("l_returnflag = 'R'").select("l_quantity")
+      val snapFiles = graft.io.TxnLog.fileScanPlan(dir)._2.map(norm).toSet
+      val catFiles = scannedFiles(q)
+      val ok = plan.contains("EqualTo(l_returnflag,R)") &&
+        plan.contains("ReadSchema") && !plan.contains("l_tax") &&
+        catFiles == snapFiles &&
+        apiQ.inputFiles.map(norm).toSet == snapFiles &&
+        !catFiles.exists(_.contains("decoy-orphan"))
+      rec("q289_catalog_scan", "catalog scan = API path: pushdown, pruning, snapshot file set (decoy unscanned)", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+
+      val pdir = s"$wh/db/tp"
+      graft.io.TxnLog.commitPartitioned(
+        spark.range(400).selectExpr("id", "concat('p', id % 4) AS part"),
+        pdir, Seq("part"))
+      val pq = spark.sql("SELECT id FROM gpc.db.tp WHERE part = 'p1'")
+      val pFiles = scannedFiles(pq).toSeq
+      val allFiles = graft.io.TxnLog.fileScanPlan(pdir)._2
+      val ok2 = pFiles.nonEmpty && pFiles.forall(_.contains("part=p1")) &&
+        allFiles.exists(!_.contains("part=p1")) // pruning had something to prune
+      rec("q289_catalog_partition_prune", "catalog scan prunes hive-partitioned commits by value", ok2)
+      if (!ok2) { failures += 1; println(pq.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n")) }
+    }
+
     println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
     // optional 2nd arg: persist the run as a diffable JSON artifact
     args.drop(1).headOption.foreach { out =>
