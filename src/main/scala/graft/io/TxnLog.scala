@@ -1980,6 +1980,80 @@ object TxnLog {
         }
       }
 
+  // ------------------------------------------------------------------
+  // STREAMING CHANGE FEED (the DSv2 CDF source's planner half): change
+  // rows served file-based so executor-side readers never run a
+  // derivation. Appends are served from their own data files (Delta's
+  // add-file fast path); every other action's rows are MATERIALIZED
+  // once under `_txnlog/_cdf/v<N>/` — computed by [[changes]] on the
+  // driver at plan time, published by atomic rename, immutable after
+  // (manifests are immutable, so the derivation is deterministic and a
+  // checkpoint replay re-reads identical files). A 100 TB deployment
+  // would write these AT COMMIT TIME from the mutating operator's own
+  // row sets (it already holds them); the lazy cache keeps the protocol
+  // identical without instrumenting every writer.
+  // ------------------------------------------------------------------
+
+  private def cdfRoot(dir: String): Path = logDir(dir).resolve("_cdf")
+  private def cdfVDir(dir: String, v: Long): Path = cdfRoot(dir).resolve(f"v$v%05d")
+
+  private def parquetLeaves(p: Path): Vector[String] =
+    listDir(p).filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).sorted.toVector
+
+  /** Materialize version `v`'s change rows ([[changes]] over (v-1, v]) as
+    * parquet under the log dir — idempotent: the directory is staged and
+    * atomically renamed into place, a racing second materializer loses
+    * the rename and reads the winner's files. Returns the absolute
+    * change-file paths (columns: table schema + `_change_type`,
+    * `_commit_version`). */
+  def materializeChanges(spark: SparkSession, dir: String, v: Long): Vector[String] = {
+    val tgt = cdfVDir(dir, v)
+    if (!Files.isDirectory(tgt)) {
+      Files.createDirectories(cdfRoot(dir))
+      val tmp = Files.createTempDirectory(cdfRoot(dir), s".tmp-v$v-")
+      val staged = tmp.resolve("data")
+      changes(spark, dir, v - 1, v).coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      try Files.move(staged, tgt, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }
+    }
+    parquetLeaves(tgt)
+  }
+
+  /** Per-version feed plan for the streaming CDF source over
+    * (fromExclusive, to]: `(version, changeTypeTag, files)` where a
+    * non-empty tag means the files are raw APPEND data files whose every
+    * row is one change of that type (the reader synthesizes the meta
+    * columns), and an empty tag means materialized change files that
+    * carry `_change_type`/`_commit_version` themselves. Append versions
+    * with a pending global delete vector take the materialized path too
+    * — a global vector suppresses matching keys in FUTURE files, so the
+    * raw file would over-deliver. Record-identity maintenance commits
+    * (`R noop`/`X noop`) are skipped by metadata alone. */
+  def changeFeedPlan(spark: SparkSession, dir: String, fromExclusive: Long,
+                     to: Long): Vector[(Long, String, Vector[String])] =
+    manifests(dir).filter { case (v, _) => v > fromExclusive && v <= to }
+      .toVector.flatMap { case (v, p) =>
+        val (m, body) = parseManifest(p)
+        m match {
+          case "R noop" | "X noop" => Vector.empty
+          case a if (a == "A" || a.startsWith("T ")) && snapshotAt(dir, v).dvs.isEmpty =>
+            if (body.isEmpty) Vector.empty // empty idempotent epoch
+            else Vector((v, "insert", body.map(resolve(dir, _))))
+          case _ =>
+            Vector((v, "", materializeChanges(spark, dir, v)))
+        }
+      }
+
   /** Vacuum: delete data files no retained version references, advancing
     * the min-version watermark so vacuumed as-of reads fail LOUDLY at
     * planning time rather than mid-scan on a missing file. Retains the

@@ -1961,8 +1961,117 @@ object TxnOps {
       |GROUP BY 2, 3
       |ORDER BY batch, source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q290
+  /** STREAMING CHANGE FEED, FULLY DSv2 (round-9 verdict item 3): the
+    * q271 incremental-index lifecycle re-run with `readStream` +
+    * `readChangeFeed=true` instead of driver-side polling — the engine
+    * owns the whole path: [[graft.sources.TxnStreamSource]] serves
+    * per-version CHANGE rows (appends from their own files, the merge's
+    * X and the delete vector's D from change files materialized once
+    * under the log), a stateless transform explodes them into SIGNED
+    * term occurrences (+1 insert, −1 delete), and
+    * [[graft.sources.TxnSink]] lands them under exactly-once epoch
+    * markers. Exactly-once is proven through the engine's restart path
+    * (q288's move — last checkpoint commit record deleted, stream
+    * re-driven, the sink's txn marker refuses the replayed epoch).
+    *
+    * Source lifecycle: append, append, file-granular MERGE (text edit —
+    * its feed is the edit's delete+insert pair, unchanged rows in the
+    * rewritten files cancel), row-level delete vector, compaction
+    * (record-identity: feed-skipped by metadata). Faces: the per-version
+    * feed ledger (occurrence counts by change type — a wrong X/D
+    * derivation or a replayed epoch breaks it), the epoch count, and the
+    * FINAL index folded PURELY from the sink's occurrence rows, which
+    * must hash-equal the oracle's from-scratch index over the final
+    * table state — the IVM identity carried end-to-end through the
+    * DSv2 path. */
+  def q290(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q290").toString
+    val (srcDir, dstDir, ckpt) = (s"$tmp/src", s"$tmp/dst", s"$tmp/ckpt")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    TxnLog.commit(docs.filter(expr("doc_id % 3 = 0")).coalesce(1), srcDir) // v1 A
+    TxnLog.commit(docs.filter(expr("doc_id % 3 = 1")).coalesce(1), srcDir) // v2 A
+    TxnLog.merge(s, srcDir,
+      docs.filter(expr("doc_id % 3 in (0, 1) and doc_id % 7 = 0"))
+        .select(col("doc_id"), concat(col("text"), lit(" graftedit")).as("text")),
+      Seq("doc_id"))                                                       // v3 X
+    TxnLog.deleteVector(s, srcDir, "doc_id % 5 = 0", Seq("doc_id"))        // v4 D
+    TxnLog.compact(s, srcDir)                                              // v5 R noop
+    def drive(): Unit = {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q = s2.readStream.format(classOf[graft.sources.TxnStreamSource].getName)
+        .option("path", srcDir).option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load()
+        .select(col("doc_id"),
+          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)).as("sign"),
+          col("_commit_version").as("cv"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .writeStream.format("graft.sources.TxnSink")
+        .option("path", dstDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drive()
+    // engine-path replay (q285/q288): drop the checkpoint's last commit
+    // record; the re-driven stream replays that epoch end to end and the
+    // sink's marker refuses the re-registration
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
+    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
+    java.nio.file.Files.deleteIfExists(commits.resolve(
+      s".${java.nio.file.Paths.get(last).getFileName}.crc"))
+    drive()
+    val occ = TxnLog.read(s, dstDir) // (doc_id, sign, cv, term) occurrences
+    val epochs = s.range(1).select(lit(0L).as("face"), lit(0L).as("cv"),
+      lit("epochs").as("ct"), lit("").as("term"),
+      lit(TxnLog.currentVersion(dstDir)).as("n"))
+    val ledger = occ.groupBy(col("cv"),
+        when(col("sign") === 1L, "insert").otherwise("delete").as("ct"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(0L).as("face"), col("cv"), col("ct"), lit("").as("term"), col("n"))
+    val index = occ.groupBy(col("term")).agg(sum(col("sign")).as("n"))
+      .filter(col("n") > 0) // net-zero = absent from the final corpus
+      .select(lit(1L).as("face"), lit(0L).as("cv"), lit("").as("ct"),
+              col("term"), col("n"))
+    epochs.unionByName(ledger).unionByName(index)
+      .orderBy(col("face"), col("cv"), col("ct"), col("term"))
+  }
+  val q290Sql: String =
+    """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |t1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+      |e  AS (SELECT doc_id, text FROM documents
+      |       WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 = 0),
+      |v3 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' graftedit' ELSE text END AS text
+      |       FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |fin AS (SELECT * FROM v3 WHERE doc_id % 5 <> 0),
+      |tf AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |       FROM fin)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS face, CAST(0 AS BIGINT) AS cv,
+      |         'epochs' AS ct, '' AS term, CAST(5 AS BIGINT) AS n
+      |  UNION ALL
+      |  SELECT 0, 1, 'insert', '', CAST(COALESCE(SUM(len(string_split_regex(trim(lower(text)), '\s+'))), 0) AS BIGINT) FROM t0
+      |  UNION ALL
+      |  SELECT 0, 2, 'insert', '', CAST(COALESCE(SUM(len(string_split_regex(trim(lower(text)), '\s+'))), 0) AS BIGINT) FROM t1
+      |  UNION ALL
+      |  SELECT 0, 3, 'delete', '', CAST(COALESCE(SUM(len(string_split_regex(trim(lower(text)), '\s+'))), 0) AS BIGINT) FROM e
+      |  UNION ALL
+      |  SELECT 0, 3, 'insert', '', CAST(COALESCE(SUM(len(string_split_regex(trim(lower(text || ' graftedit')), '\s+'))), 0) AS BIGINT) FROM e
+      |  UNION ALL
+      |  SELECT 0, 4, 'delete', '', CAST(COALESCE(SUM(len(string_split_regex(trim(lower(text)), '\s+'))), 0) AS BIGINT)
+      |  FROM v3 WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 1, 0, '', term, COUNT(*) FROM tf GROUP BY term
+      |) ORDER BY face, cv, ct, term""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q288_dsv2_pipeline" -> ((q288 _, Some(q288Sql))),
+    "q290_cdf_stream_pipeline" -> ((q290 _, Some(q290Sql))),
     "q287_ivm_join_view" -> ((q287 _, Some(q287Sql))),
     "q285_dsv2_txn_sink" -> ((q285 _, Some(q285Sql))),
     "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),

@@ -42,27 +42,49 @@ import graft.io.TxnLog
   * metadata alone. A replace/exchange/delete-vector commit fails the
   * stream LOUDLY at planning time unless `ignoreChanges=true` (then its
   * manifest is skipped, the Delta semantics of the same flag).
+  *
+  * `readChangeFeed=true` lifts the append-only contract (round-9 verdict
+  * item 3, Delta's `readChangeFeed` shape): each trigger serves CHANGE
+  * rows — the table schema plus `_change_type` ('insert'/'delete') and
+  * `_commit_version` — for every version in the batch's range. Appends
+  * stream their own data files tagged as inserts; merge/update/delete/
+  * replace versions stream change files materialized once under the log
+  * dir ([[TxnLog.materializeChanges]] — driver-side at plan time,
+  * immutable after, so checkpoint replays re-read identical bytes). This
+  * is what lets incremental consumers (the q271 index, the q280 MV) run
+  * fully-DSv2 end to end instead of driver-side polling loops.
+  *
   * Options: `path` (the table dir), `startingVersion` (exclusive floor,
   * default 0 = from genesis), `maxVersionsPerTrigger` (rate limit),
-  * `ignoreChanges`. One InputPartition per data file; projection pushdown
-  * narrows the parquet read schema so unprojected columns never
-  * materialize. Type scope: long/int/double/float/boolean/string.
+  * `ignoreChanges`, `readChangeFeed`. One InputPartition per data file;
+  * projection pushdown narrows the parquet read schema so unprojected
+  * columns never materialize. Type scope: long/int/double/float/boolean/
+  * string.
   */
 class TxnStreamSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
     require(dir != null && dir.nonEmpty, "TxnStreamSource needs a 'path' option")
-    TxnStreamSource.schemaOf(dir)
+    val base = TxnStreamSource.schemaOf(dir)
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      TxnStreamSource.withCdfColumns(base)
+    else base
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new TxnStreamTable(properties.get("path"), schema,
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
       Option(properties.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
-      Option(properties.get("ignoreChanges")).exists(_.toBoolean))
+      Option(properties.get("ignoreChanges")).exists(_.toBoolean),
+      Option(properties.get("readChangeFeed")).exists(_.toBoolean))
 }
 
 object TxnStreamSource {
+  /** CDF mode serves the table schema plus the change-row meta columns
+    * (the Delta `table_changes` shape). */
+  private[sources] def withCdfColumns(base: StructType): StructType =
+    base.add("_change_type", StringType).add("_commit_version", LongType)
+
   /** Spark schema from the FIRST visible data file's parquet footer. */
   private[sources] def schemaOf(dir: String): StructType = {
     val files = TxnLog.addedFilesBetween(dir, 0L, TxnLog.currentVersion(dir),
@@ -107,19 +129,22 @@ object TxnStreamSource {
 
 private[sources] class TxnStreamTable(dir: String, schema0: StructType,
                                       startingVersion: Long, maxPerTrigger: Long,
-                                      ignoreChanges: Boolean)
+                                      ignoreChanges: Boolean,
+                                      readChangeFeed: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_txnstream($dir)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxnStreamScanBuilder(dir, schema0, startingVersion, maxPerTrigger, ignoreChanges)
+    new TxnStreamScanBuilder(dir, schema0, startingVersion, maxPerTrigger,
+      ignoreChanges, readChangeFeed)
 }
 
 private[sources] class TxnStreamScanBuilder(dir: String, full: StructType,
                                             startingVersion: Long, maxPerTrigger: Long,
-                                            ignoreChanges: Boolean)
+                                            ignoreChanges: Boolean,
+                                            readChangeFeed: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -131,9 +156,10 @@ private[sources] class TxnStreamScanBuilder(dir: String, full: StructType,
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
     override def description(): String =
-      s"TxnStreamScan(dir=$dir, cols=${required.fieldNames.mkString(",")})"
+      s"TxnStreamScan(dir=$dir, cdf=$readChangeFeed, cols=${required.fieldNames.mkString(",")})"
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new TxnMicroBatchStream(dir, required, startingVersion, maxPerTrigger, ignoreChanges)
+      new TxnMicroBatchStream(dir, required, startingVersion, maxPerTrigger,
+        ignoreChanges, readChangeFeed)
   }
 }
 
@@ -143,7 +169,8 @@ private[sources] case class TxnOffset(version: Long) extends Offset {
 
 private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
                                            startingVersion: Long, maxPerTrigger: Long,
-                                           ignoreChanges: Boolean)
+                                           ignoreChanges: Boolean,
+                                           readChangeFeed: Boolean = false)
     extends MicroBatchStream {
   // ratchet pattern (GenMicroBatchStream precedent): offsets the engine
   // hands back — checkpoint restore, batch commits — advance the cursor
@@ -172,8 +199,20 @@ private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[TxnOffset].version
     val e0 = end.asInstanceOf[TxnOffset].version
-    TxnLog.addedFilesBetween(dir, s0, e0, ignoreChanges)
-      .map(f => TxnFilePartition(f, required.fieldNames): InputPartition).toArray
+    if (!readChangeFeed)
+      TxnLog.addedFilesBetween(dir, s0, e0, ignoreChanges)
+        .map(f => TxnFilePartition(f, required.fieldNames): InputPartition).toArray
+    else {
+      // CDF mode: the planner half runs DRIVER-SIDE — materializing a
+      // non-append version's change rows is a Spark job here (once; the
+      // files are an immutable cache, so checkpoint replays re-read
+      // identical bytes)
+      val spark = org.apache.spark.sql.SparkSession.active
+      TxnLog.changeFeedPlan(spark, dir, s0, e0).flatMap { case (v, tag, files) =>
+        files.map(f =>
+          TxnFilePartition(f, required.fieldNames, tag, v): InputPartition)
+      }.toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TxnStreamReaderFactory(required)
@@ -182,7 +221,14 @@ private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-private[sources] case class TxnFilePartition(file: String, cols: Array[String])
+/** `tag` non-empty = a raw append data file in CDF mode: every row is one
+  * change of that type at `tagVersion`, and the reader synthesizes the
+  * `_change_type`/`_commit_version` columns (absent in the file). Empty
+  * tag = either non-CDF mode or a materialized change file that carries
+  * the meta columns itself. */
+private[sources] case class TxnFilePartition(file: String, cols: Array[String],
+                                             tag: String = "",
+                                             tagVersion: Long = -1L)
     extends InputPartition
 
 private[sources] class TxnStreamReaderFactory(required: StructType)
@@ -219,7 +265,15 @@ private[sources] class TxnStreamReaderFactory(required: StructType)
       override def get(): InternalRow =
         new GenericInternalRow(required.fields.indices.map { i =>
           val gi = fieldIdx(i)
-          if (gi < 0 || cur.getFieldRepetitionCount(gi) == 0) null
+          // raw-append CDF partitions synthesize the meta columns the
+          // data file doesn't carry
+          if (gi < 0 && p.tag.nonEmpty &&
+              required.fields(i).name == "_change_type")
+            UTF8String.fromString(p.tag)
+          else if (gi < 0 && p.tag.nonEmpty &&
+              required.fields(i).name == "_commit_version")
+            (p.tagVersion: java.lang.Long)
+          else if (gi < 0 || cur.getFieldRepetitionCount(gi) == 0) null
           else required.fields(i).dataType match {
             case LongType    => cur.getLong(gi, 0): java.lang.Long
             case IntegerType => cur.getInteger(gi, 0): java.lang.Integer

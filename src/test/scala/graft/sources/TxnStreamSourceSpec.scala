@@ -132,4 +132,69 @@ class TxnStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val msg = TxnStreamSource.projectFrom(fileSchema, Array("v")).toString
     assert(msg.contains("int64 v") && !msg.contains("binary s"))
   }
+
+  /** Drain a CDF stream into (change_type, version, v) triples. */
+  private def drainCdf(dir: String,
+                       out: scala.collection.mutable.ArrayBuffer[(String, Long, Long)]): Unit = {
+    val df = stream(dir, Map("readChangeFeed" -> "true"))
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out ++= batch.select("_change_type", "_commit_version", "v").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("readChangeFeed serves inserts and derived deletes; matches the changes() API") {
+    import spark.implicits._
+    val dir = freshTable()
+    TxnLog.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("v", "s").coalesce(1), dir)
+    TxnLog.commit(Seq((4L, "d"), (5L, "e")).toDF("v", "s").coalesce(1), dir)
+    TxnLog.deleteVector(spark, dir, "v % 2 = 0", Seq("v"))          // v3: D
+    TxnLog.merge(spark, dir,
+      Seq((1L, "a2"), (9L, "i")).toDF("v", "s"), Seq("v"))          // v4: X
+    TxnLog.compact(spark, dir)                                      // v5: noop
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    drainCdf(dir, seen)
+    val api = TxnLog.changes(spark, dir, 0L, TxnLog.currentVersion(dir))
+      .select("_change_type", "_commit_version", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(seen.sorted.toSeq == api.sorted.toSeq,
+      s"stream=${seen.sorted} api=${api.sorted.toSeq}")
+    // spot semantics: v3 deletes evens; v4 edits v=1 (delete+insert) and inserts 9
+    assert(seen.count { case (ct, cv, _) => ct == "delete" && cv == 3 } == 2)
+    assert(seen.contains(("delete", 4L, 1L)) && seen.contains(("insert", 4L, 1L)))
+    assert(seen.contains(("insert", 4L, 9L)))
+    assert(!seen.exists(_._2 == 5L), "compaction must be feed-invisible")
+  }
+
+  test("append after a global delete vector must not over-deliver suppressed rows") {
+    import spark.implicits._
+    val dir = freshTable()
+    TxnLog.commit(Seq((1L, "a"), (2L, "b")).toDF("v", "s").coalesce(1), dir)
+    TxnLog.deleteVector(spark, dir, "v >= 2", Seq("v")) // global: suppresses FUTURE files too
+    // v3 append carries v=2 — the pending global vector suppresses it on
+    // read, so the feed must not say it was inserted
+    TxnLog.commit(Seq((2L, "zombie"), (7L, "g")).toDF("v", "s").coalesce(1), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    drainCdf(dir, seen)
+    val v3 = seen.filter(_._2 == 3L)
+    assert(v3.map(t => (t._1, t._3)).sorted == Seq(("insert", 7L)),
+      s"v3 feed over-delivered: $v3")
+  }
+
+  test("materialized change files are an immutable cache — second read reuses them") {
+    import spark.implicits._
+    val dir = freshTable()
+    TxnLog.commit(Seq((1L, "a"), (2L, "b")).toDF("v", "s").coalesce(1), dir)
+    TxnLog.deleteVector(spark, dir, "v = 1", Seq("v"))
+    val f1 = TxnLog.materializeChanges(spark, dir, 2L)
+    val stamps = f1.map(p => java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p)).toMillis)
+    val f2 = TxnLog.materializeChanges(spark, dir, 2L)
+    assert(f1 == f2)
+    assert(f2.map(p => java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p)).toMillis) == stamps, "cache was rewritten")
+  }
 }
