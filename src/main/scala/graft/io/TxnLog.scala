@@ -1007,71 +1007,235 @@ object TxnLog {
   def optimizeZorder(spark: SparkSession, dir: String, colX: String,
                      colY: String, numFiles: Int,
                      tieCols: Seq[String]): Long = {
-    import org.apache.spark.sql.Row
     while (true) {
       val base = currentVersion(dir)
       val cur = read(spark, dir).localCheckpoint()
       // ONE aggregation: row count + both dimensions' 16-bit-normalization
       // bounds (metadata-row job)
-      val b = cur.agg(count(lit(1)),
-        min(col(colX).cast("long")), max(col(colX).cast("long")),
-        min(col(colY).cast("long")), max(col(colY).cast("long"))).head()
-      val n = b.getLong(0)
+      val (n, bounds) = countAndBounds(cur, colX, colY)
       require(n > 0, "optimizeZorder on an empty table")
-      val (mnX, mxX, mnY, mxY) = (b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))
-      def norm(c: String, mn: Long, mx: Long) =
-        expr(s"(($c - $mn) * 65536) div (${mx - mn} + 1)")
-      val zc = graft.queries.LayoutOps.zInterleave(
-        norm(colX, mnX, mxX), norm(colY, mnY, mxY))
-      val key = org.apache.spark.sql.functions.struct(
-        (zc.as("__z") +: tieCols.map(col)): _*)
-      val dataCols = cur.columns.toSeq
-      val ranged = cur.select((key.as("__k") +: dataCols.map(col)): _*)
-        .repartitionByRange(numFiles, col("__k")).sortWithinPartitions(col("__k"))
-        .rdd
-      val counts = ranged
-        .mapPartitionsWithIndex { (i, it) =>
-          Iterator.single(i -> it.foldLeft(0L)((a, _) => a + 1L))
-        }
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = counts.scanLeft(0L)(_ + _)
-      val part = new org.apache.spark.Partitioner {
-        override def numPartitions: Int = numFiles
-        override def getPartition(k: Any): Int = k.asInstanceOf[Long].toInt
-      }
-      val rows = ranged.mapPartitionsWithIndex { (i, it) =>
-        var ord = offsets(i)
-        it.map { r =>
-          ord += 1
-          ((ord - 1) * numFiles / n, Row.fromSeq(r.toSeq.drop(1)))
-        }
-      }.partitionBy(part).values
-      val out = spark.createDataFrame(rows,
-        org.apache.spark.sql.types.StructType(cur.schema.fields))
-      val (rel, files) = writeData(out, dir)
+      val (rel, files) = zTiledFiles(spark, dir, cur, colX, colY, tieCols,
+        numFiles, bounds, n)
       if (tryClaim(dir, base + 1, "R noop", files)) {
         val v = base + 1
-        // post-write zone maps for both curve dimensions (the
-        // commitWithStats post-scan, scoped to the rewrite's files)
-        val withRel = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-          .withColumn("__rel", substring_index(input_file_name(), "/", -2))
-        val aggs = Seq(colX, colY).flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"__mn_$c"),
-          max(col(c).cast("long")).as(s"__mx_$c")))
-        val statRows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*)
-          .collect()
-        val lines = statRows.toVector.flatMap { r =>
-          Seq(colX, colY).flatMap { c =>
-            val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
-            if (mn == null || mx == null) None
-            else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
-          }
+        writeZoneStats(spark, dir, v, files, Seq(colX, colY))
+        return v
+      }
+      val d = new java.io.File(s"$dir/$rel")
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def countAndBounds(cur: DataFrame, colX: String,
+                             colY: String): (Long, (Long, Long, Long, Long)) = {
+    val b = cur.agg(count(lit(1)),
+      min(col(colX).cast("long")), max(col(colX).cast("long")),
+      min(col(colY).cast("long")), max(col(colY).cast("long"))).head()
+    val n = b.getLong(0)
+    (n, if (n == 0) (0L, 0L, 0L, 0L)
+        else (b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4)))
+  }
+
+  /** Deterministic z-tiled rewrite of `cur` (n rows) into `numFiles`
+    * files: 16-bit range-normalized Morton code (values outside the
+    * normalization frame CLAMP to its edges — identity when the frame is
+    * the data's own bounds, and what keeps an incremental pass's codes
+    * on the same curve as the frame-setting full pass), global position
+    * in (z, tieCols...) order, bin = floor((ordinal−1)·numFiles / n).
+    * One range exchange + a per-partition-count job; returns writeData's
+    * (rel dir, relative files). */
+  private def zTiledFiles(spark: SparkSession, dir: String, cur: DataFrame,
+                          colX: String, colY: String, tieCols: Seq[String],
+                          numFiles: Int, bounds: (Long, Long, Long, Long),
+                          n: Long): (String, Vector[String]) = {
+    import org.apache.spark.sql.Row
+    val (mnX, mxX, mnY, mxY) = bounds
+    def norm(c: String, mn: Long, mx: Long) =
+      expr(s"((least(greatest($c, $mn), $mx) - $mn) * 65536) div (${mx - mn} + 1)")
+    val zc = graft.queries.LayoutOps.zInterleave(
+      norm(colX, mnX, mxX), norm(colY, mnY, mxY))
+    val key = org.apache.spark.sql.functions.struct(
+      (zc.as("__z") +: tieCols.map(col)): _*)
+    val dataCols = cur.columns.toSeq
+    val ranged = cur.select((key.as("__k") +: dataCols.map(col)): _*)
+      .repartitionByRange(numFiles, col("__k")).sortWithinPartitions(col("__k"))
+      .rdd
+    val counts = ranged
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.foldLeft(0L)((a, _) => a + 1L))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = numFiles
+      override def getPartition(k: Any): Int = k.asInstanceOf[Long].toInt
+    }
+    val rows = ranged.mapPartitionsWithIndex { (i, it) =>
+      var ord = offsets(i)
+      it.map { r =>
+        ord += 1
+        ((ord - 1) * numFiles / n, Row.fromSeq(r.toSeq.drop(1)))
+      }
+    }.partitionBy(part).values
+    val out = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(cur.schema.fields))
+    writeData(out, dir)
+  }
+
+  /** Post-write zone maps for the given columns (the commitWithStats
+    * post-scan, scoped to a rewrite's files), published as version `v`'s
+    * stats sidecar. A reader racing the claim→sidecar gap keeps all
+    * files — sound, never wrong. */
+  private def writeZoneStats(spark: SparkSession, dir: String, v: Long,
+                             files: Seq[String], cols: Seq[String]): Unit = {
+    val withRel = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      .withColumn("__rel", substring_index(input_file_name(), "/", -2))
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    val statRows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = statRows.toVector.flatMap { r =>
+      cols.flatMap { c =>
+        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+        if (mn == null || mx == null) None
+        else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+      }
+    }
+    val tmp = Files.createTempFile(logDir(dir), ".stats-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.move(tmp, statsPath(dir, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  // ------------------------------------------------------------------
+  // INCREMENTAL CLUSTERING (the Delta liquid-clustering shape): the
+  // clustering spec is TABLE METADATA, and each OPTIMIZE pass rewrites
+  // ONLY the files appended since the last one — already-clustered
+  // files never move again. At 100 TB this is the difference between a
+  // table-sized rewrite per maintenance window (q267's full ZORDER —
+  // correct, but its cost scales with the table) and a rewrite that
+  // scales with the INGEST since last optimize. The first pass sets the
+  // table's normalization frame (its own data bounds, persisted);
+  // later passes clamp onto that frame so every generation's codes lie
+  // on one curve and zone-map skipping spans generations.
+  // ------------------------------------------------------------------
+
+  private def clusteringPath(dir: String): Path = logDir(dir).resolve("clustering")
+  private def clusteredSetPath(dir: String): Path = logDir(dir).resolve("clustered-files")
+
+  private def writeMetaFile(p: Path, content: String): Unit = {
+    val tmp = Files.createTempFile(p.getParent, ".meta-", ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Record the clustering spec (the `ALTER TABLE ... CLUSTER BY` slot).
+    * Takes effect on the next [[optimizeClustered]]; single-writer
+    * metadata op by contract (the addConstraint precedent). Re-declaring
+    * a DIFFERENT spec resets the clustered state — the next optimize is
+    * a full re-cluster under the new spec. */
+  def clusterBy(dir: String, colX: String, colY: String,
+                tieCols: Seq[String] = Nil): Unit = {
+    require((Seq(colX, colY) ++ tieCols).forall(c =>
+      c.nonEmpty && !c.contains("\t") && !c.contains("\n")), "bad column name")
+    Files.createDirectories(logDir(dir))
+    val prev = clusteringOf(dir)
+    writeMetaFile(clusteringPath(dir),
+      s"cols\t$colX\t$colY\t${tieCols.mkString(",")}\n")
+    if (!prev.map(p => (p._1, p._2, p._3)).contains((colX, colY, tieCols)))
+      Files.deleteIfExists(clusteredSetPath(dir))
+    ()
+  }
+
+  /** The recorded spec: (colX, colY, tieCols, bounds-if-set). */
+  def clusteringOf(dir: String): Option[(String, String, Seq[String],
+                                         Option[(Long, Long, Long, Long)])] = {
+    val p = clusteringPath(dir)
+    if (!Files.exists(p)) return None
+    val lines = new String(Files.readAllBytes(p), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    val cols = lines.find(_.startsWith("cols\t")).map(_.split("\t", -1))
+    cols.map { c =>
+      val tie = c.lift(3).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+      val b = lines.find(_.startsWith("bounds\t")).map(_.split("\t"))
+        .map(a => (a(1).toLong, a(2).toLong, a(3).toLong, a(4).toLong))
+      (c(1), c(2), tie, b)
+    }
+  }
+
+  /** The relative files recorded as clustered (intersect with the
+    * current snapshot to interpret — a replace commit can retire them). */
+  def clusteredFiles(dir: String): Set[String] = {
+    val p = clusteredSetPath(dir)
+    if (!Files.exists(p)) Set.empty
+    else new String(Files.readAllBytes(p), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet
+  }
+
+  /** OPTIMIZE on the recorded clustering spec, incrementally. First call
+    * = a full z-order rewrite that also persists the normalization frame
+    * and the clustered file set. Every later call rewrites ONLY the
+    * visible files not in that set (the appends since), commits them as
+    * an `X noop` exchange — clustered files' bytes are never touched
+    * again — and writes the new files' zone maps so [[scanPruned]] skips
+    * across generations. Returns the version won (or the current version
+    * unchanged when there is nothing new to cluster). Pending GLOBAL
+    * delete vectors stay pending across the exchange (value-based, the
+    * compactSmall rule); scoped vectors / column mappings require a
+    * materializing [[compact]] first. */
+  def optimizeClustered(spark: SparkSession, dir: String, numFiles: Int): Long = {
+    val (cx, cy, tie, bounds0) = clusteringOf(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no clustering spec on $dir: call clusterBy first"))
+    if (bounds0.isEmpty) {
+      // first pass: full rewrite, frame-setting
+      while (true) {
+        val base = currentVersion(dir)
+        val cur = read(spark, dir).localCheckpoint()
+        val (n, bounds) = countAndBounds(cur, cx, cy)
+        require(n > 0, "optimizeClustered on an empty table")
+        val (rel, files) = zTiledFiles(spark, dir, cur, cx, cy, tie,
+          numFiles, bounds, n)
+        if (tryClaim(dir, base + 1, "R noop", files)) {
+          val v = base + 1
+          writeZoneStats(spark, dir, v, files, Seq(cx, cy))
+          writeMetaFile(clusteringPath(dir),
+            s"cols\t$cx\t$cy\t${tie.mkString(",")}\n" +
+              s"bounds\t${bounds._1}\t${bounds._2}\t${bounds._3}\t${bounds._4}\n")
+          writeMetaFile(clusteredSetPath(dir), files.sorted.mkString("", "\n", "\n"))
+          return v
         }
-        val tmp = Files.createTempFile(logDir(dir), ".stats-", ".tmp")
-        Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-        Files.move(tmp, statsPath(dir, v),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val d = new java.io.File(s"$dir/$rel")
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    while (true) {
+      val base = currentVersion(dir)
+      val snap = snapshotAt(dir, base)
+      require(snap.scoped.isEmpty && snap.renames.isEmpty && snap.drops.isEmpty,
+        "pending scoped vectors / column mapping: compact() first " +
+          "(materializes), then re-run optimizeClustered")
+      val clustered = clusteredFiles(dir).intersect(snap.files.toSet)
+      val cands = snap.files.filter(f => !clustered(f) && !f.startsWith("@"))
+      if (cands.isEmpty) return base
+      val cur = spark.read.parquet(cands.map(resolve(dir, _)): _*).localCheckpoint()
+      val n = cur.count()
+      if (n == 0) return base
+      val (rel, files) = zTiledFiles(spark, dir, cur, cx, cy, tie,
+        numFiles, bounds0.get, n)
+      val body = cands.map("-" + _) ++ files.map("+" + _)
+      if (tryClaim(dir, base + 1, "X noop", body)) {
+        val v = base + 1
+        writeZoneStats(spark, dir, v, files, Seq(cx, cy))
+        writeMetaFile(clusteredSetPath(dir),
+          (clustered ++ files).toVector.sorted.mkString("", "\n", "\n"))
         return v
       }
       val d = new java.io.File(s"$dir/$rel")

@@ -356,6 +356,114 @@ object TxnOps {
        |ORDER BY face""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q291
+  /** INCREMENTAL OPTIMIZE (round-9 verdict item 4, the Delta
+    * liquid-clustering shape): q267's ZORDER is a whole-table rewrite —
+    * correct, but its cost scales with the table; a real 100 TB table
+    * re-clusters INCREMENTALLY. Here the clustering spec is table
+    * metadata ([[TxnLog.clusterBy]]), the first
+    * [[TxnLog.optimizeClustered]] is the frame-setting full rewrite
+    * (8 files, its own bounds persisted as the table's normalization
+    * frame), two more appends land, and the second optimize rewrites
+    * ONLY those two files (an `X noop` exchange, 4 new files) with codes
+    * CLAMPED onto the first pass's frame so both generations lie on one
+    * curve. Proofs carried by the faces:
+    *   0: first-generation files NEVER MOVE — all 8 still visible with
+    *      byte-identical (size, mtime) after the incremental pass
+    *      (q221's file-granularity discipline applied to OPTIMIZE);
+    *      total visible files = 12; a third optimize with nothing new
+    *      is a version-preserving no-op.
+    *   1: zone-map planning ledger for an x-range THROUGH
+    *      [[TxnLog.scanPruned]] — planned vs total restated by the
+    *      oracle from the deterministic two-generation binning (gen-1:
+    *      8 bins over its own bounds; gen-2: 4 bins clamped onto them),
+    *      so skipping spans generations.
+    *   2/3: pruned-scan aggregate = full filter (soundness) and the
+    *      full read (two optimizes changed layout, never content). */
+  def q291(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q291_tbl").toString
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+      col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    (0 until 2).foreach(i =>
+      TxnLog.commit(base.filter(expr(s"ok % 4 = $i")).repartition(1), dir)) // v1 v2
+    TxnLog.clusterBy(dir, "x", "y", tieCols = Seq("ok", "ln"))
+    TxnLog.optimizeClustered(s, dir, numFiles = 8)                          // v3 full
+    def stamp(f: String) = {
+      val p = java.nio.file.Paths.get(f)
+      (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    }
+    val gen1 = TxnLog.fileScanPlan(dir)._2
+    val stamps1 = gen1.map(f => f -> stamp(f)).toMap
+    (2 until 4).foreach(i =>
+      TxnLog.commit(base.filter(expr(s"ok % 4 = $i")).repartition(1), dir)) // v4 v5
+    val vInc = TxnLog.optimizeClustered(s, dir, numFiles = 4)               // v6 incr
+    val vNoop = TxnLog.optimizeClustered(s, dir, numFiles = 4)              // no-op
+    val visNow = TxnLog.fileScanPlan(dir)._2.toSet
+    val untouched = gen1.count(f => visNow.contains(f) && stamps1(f) == stamp(f))
+    val sx = TxnLog.scanPruned(s, dir, "x", 500L, 700L)
+    val ledger0 = s.range(1).select(lit(0L).as("face"),
+      lit(untouched.toLong).as("n_rows"), lit(visNow.size.toLong).as("sum_x"),
+      lit(if (vNoop == vInc) 1L else 0L).as("sum_y"))
+    val ledger1 = s.range(1).select(lit(1L).as("face"),
+      lit(sx.plannedFiles.toLong).as("n_rows"),
+      lit(sx.totalFiles.toLong).as("sum_x"), lit(0L).as("sum_y"))
+    def rollup(df: org.apache.spark.sql.DataFrame, face: Long) = df
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).cast("long").as("sum_x"),
+        sum(col("y")).cast("long").as("sum_y"))
+      .select(lit(face).as("face"), col("n_rows"), col("sum_x"), col("sum_y"))
+    ledger0.unionByName(ledger1)
+      .unionByName(rollup(sx.df, 2L))
+      .unionByName(rollup(TxnLog.read(s, dir), 3L))
+      .orderBy(col("face"))
+  }
+  val q291Sql: String = {
+    val z = graft.queries.LayoutOps.zSqlExprOn("qx", "qy")
+    s"""WITH base AS (
+       |  SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+       |         l_partkey AS x, l_suppkey AS y
+       |  FROM lineitem),
+       |g1 AS (SELECT * FROM base WHERE ok % 4 IN (0, 1)),
+       |g2 AS (SELECT * FROM base WHERE ok % 4 IN (2, 3)),
+       |bounds AS (SELECT min(x) AS mnx, max(x) AS mxx,
+       |                  min(y) AS mny, max(y) AS mxy FROM g1),
+       |n1 AS (SELECT COUNT(*) AS n FROM g1),
+       |n2 AS (SELECT COUNT(*) AS n FROM g2),
+       |z1 AS (
+       |  SELECT g.*, ((x - mnx) * 65536) // (mxx - mnx + 1) AS qx,
+       |              ((y - mny) * 65536) // (mxy - mny + 1) AS qy
+       |  FROM g1 g, bounds),
+       |z2 AS (
+       |  SELECT g.*,
+       |    ((least(greatest(x, mnx), mxx) - mnx) * 65536) // (mxx - mnx + 1) AS qx,
+       |    ((least(greatest(y, mny), mxy) - mny) * 65536) // (mxy - mny + 1) AS qy
+       |  FROM g2 g, bounds),
+       |b1 AS (SELECT x, ((row_number() OVER (ORDER BY $z, ok, ln) - 1) * 8)
+       |         // (SELECT n FROM n1) AS bin FROM z1),
+       |b2 AS (SELECT x, 100 + ((row_number() OVER (ORDER BY $z, ok, ln) - 1) * 4)
+       |         // (SELECT n FROM n2) AS bin FROM z2),
+       |zones AS (
+       |  SELECT bin, min(x) AS min_x, max(x) AS max_x
+       |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) GROUP BY 1)
+       |SELECT CAST(0 AS BIGINT) AS face, CAST(8 AS BIGINT) AS n_rows,
+       |       CAST(12 AS BIGINT) AS sum_x, CAST(1 AS BIGINT) AS sum_y
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT),
+       |  (SELECT COUNT(*) FROM zones WHERE max_x >= 500 AND min_x <= 700),
+       |  (SELECT COUNT(*) FROM zones), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), COUNT(*),
+       |  CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT)
+       |FROM base WHERE x BETWEEN 500 AND 700
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), COUNT(*),
+       |  CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT)
+       |FROM base
+       |ORDER BY face""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q269
   /** TWO-LEVEL METADATA PLANNING (Iceberg's manifest-list / Delta's
     * checkpoint-add-stats move, composed onto q234's checkpoints and
@@ -2072,6 +2180,7 @@ object TxnOps {
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q288_dsv2_pipeline" -> ((q288 _, Some(q288Sql))),
     "q290_cdf_stream_pipeline" -> ((q290 _, Some(q290Sql))),
+    "q291_incremental_optimize" -> ((q291 _, Some(q291Sql))),
     "q287_ivm_join_view" -> ((q287 _, Some(q287Sql))),
     "q285_dsv2_txn_sink" -> ((q285 _, Some(q285Sql))),
     "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),

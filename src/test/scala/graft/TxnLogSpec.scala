@@ -1480,4 +1480,34 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the registered sink files are untouched and the table still reads
     assert(T.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("incremental clustering: content identity, DV passthrough, re-spec reset") {
+    val T = graft.io.TxnLog
+    val dir = freshTable()
+    import spark.implicits._
+    def rows(n: Int, off: Int) =
+      (0 until n).map(i => ((i + off).toLong, (i * 37 % 101).toLong, s"r${i + off}"))
+        .toDF("x", "y", "s")
+    T.commit(rows(300, 0).repartition(1), dir)
+    T.clusterBy(dir, "x", "y")
+    val v1 = T.optimizeClustered(spark, dir, 4) // full, frame-setting
+    val want1 = T.read(spark, dir).collect().map(_.toString).sorted.toSeq
+    T.commit(rows(100, 1000).repartition(1), dir) // x beyond the frame: clamps
+    // a pending GLOBAL delete vector rides through the exchange
+    T.deleteVector(spark, dir, "x % 10 = 3", Seq("x"))
+    val v2 = T.optimizeClustered(spark, dir, 2)
+    assert(v2 > v1)
+    val got = T.read(spark, dir).collect().map(_.toString).sorted.toSeq
+    val wantAll = (want1 ++ rows(100, 1000).collect().map(_.toString))
+      .filterNot(_.split(",")(0).drop(1).toLong % 10 == 3).sorted
+    assert(got == wantAll, "incremental pass changed content")
+    // re-declaring a DIFFERENT spec resets the clustered set: the next
+    // optimize is a full re-cluster (every file rewritten)
+    val before = T.fileScanPlan(dir)._2.toSet
+    T.clusterBy(dir, "y", "x")
+    T.optimizeClustered(spark, dir, 3)
+    val after = T.fileScanPlan(dir)._2.toSet
+    assert(after.intersect(before).isEmpty, "re-spec must fully re-cluster")
+    assert(T.read(spark, dir).collect().map(_.toString).sorted.toSeq == wantAll)
+  }
 }
