@@ -19,11 +19,20 @@ Modes (argv[1]):
   slow         like echo but sleeps 1 s before each reply — lets the pool
                spec prove >1 batch genuinely in flight (4 one-frame batches
                on a 4-worker pool must finish far under the 4 s serial time)
+  dsp          decode the frame as a WAV with the STANDARD-LIBRARY `wave`
+               decoder and reply content-derived integer features —
+               "sr=<rate> n=<frames> rms=<r> zc=<z> peak=<p>" — proving the
+               driver's framing carries a WAV any third-party decoder
+               accepts (what a real HF/whisper wrapper does first), not
+               just opaque bytes
 """
 import hashlib
+import io
+import math
 import struct
 import sys
 import time
+import wave
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "echo"
 inp = sys.stdin.buffer
@@ -44,6 +53,23 @@ while True:
         sys.exit(0)
     if mode == "slow":
         time.sleep(1.0)
+    if mode == "dsp":
+        w = wave.open(io.BytesIO(payload))
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            sys.exit(4)  # driver contract: mono 16-bit PCM
+        sr = w.getframerate()
+        nf = w.getnframes()
+        xs = struct.unpack("<%dh" % nf, w.readframes(nf))
+        sq = sum(x * x for x in xs)
+        rms = math.isqrt(sq // nf) if nf else 0
+        zc = sum(1 for a, b in zip(xs, xs[1:]) if (a < 0) != (b < 0))
+        peak = max((abs(x) for x in xs), default=0)
+        reply = f"sr={sr} n={nf} rms={rms} zc={zc} peak={peak}".encode()
+        out.write(struct.pack(">i", len(reply)))
+        out.write(reply)
+        out.flush()
+        i += 1
+        continue
     reply = f"{i}:{hashlib.md5(payload).hexdigest()[:8]}:{n}".encode()
     if mode == "fat":
         reply = reply + b"x" * max(0, n - len(reply))

@@ -43,6 +43,43 @@ class ProcessTranscriberSpec extends AnyFunSuite {
     s"$i:$md5:${wav.length}"
   }
 
+  /** Mirror of the `dsp` worker's features, computed by independently
+    * re-parsing the RIFF container the driver framed (chunk walk + LE
+    * int16 read — NOT WavCodec's own decoder, so an encoder bug can't
+    * cancel out). Integer math end to end: both sides agree exactly. */
+  private def dspExpected(a: Inference.AsrInput): String = {
+    val wav = WavCodec.encodeMono16(a.samples, a.sampleRate)
+    def le32(o: Int) = (wav(o) & 0xff) | ((wav(o + 1) & 0xff) << 8) |
+      ((wav(o + 2) & 0xff) << 16) | ((wav(o + 3) & 0xff) << 24)
+    var o = 12
+    while (!(wav(o) == 'd' && wav(o + 1) == 'a' && wav(o + 2) == 't' &&
+             wav(o + 3) == 'a')) o += 8 + le32(o + 4)
+    val n = le32(o + 4) / 2
+    val xs = Array.tabulate(n)(i =>
+      (((wav(o + 8 + 2 * i) & 0xff) | (wav(o + 9 + 2 * i) << 8)).toShort).toInt)
+    def isqrt(v: Long): Long = {
+      var r = math.sqrt(v.toDouble).toLong
+      while (r * r > v) r -= 1
+      while ((r + 1) * (r + 1) <= v) r += 1
+      r
+    }
+    val sq = xs.foldLeft(0L)((acc, x) => acc + x.toLong * x)
+    val rms = if (n == 0) 0L else isqrt(sq / n)
+    val zc = xs.indices.drop(1).count(i => (xs(i - 1) < 0) != (xs(i) < 0))
+    val peak = if (n == 0) 0 else xs.map(math.abs).max
+    s"sr=${a.sampleRate} n=$n rms=$rms zc=$zc peak=$peak"
+  }
+
+  test("dsp mode: the worker DECODES the framed WAV with python's stdlib " +
+       "wave module and replies content-derived features") {
+    val batch = Seq(input(0), input(1, 800), input(2, 2400))
+    val got = worker("dsp").transcribe(batch)
+    assert(got == batch.map(dspExpected))
+    // a different sample rate survives the container round trip
+    val a8k = Inference.AsrInput(input(3, 640).samples, 8000)
+    assert(worker("dsp").transcribe(Seq(a8k)) == Seq(dspExpected(a8k)))
+  }
+
   test("batch of 3: transcripts attach to the right segments, in order") {
     val batch = Seq(input(0), input(1, 800), input(2, 2400))
     val got = worker().transcribe(batch)
