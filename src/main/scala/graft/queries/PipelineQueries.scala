@@ -414,23 +414,31 @@ object PipelineQueries {
     * window_end ≤ max(ts) − 16 min (10 delay + 5 interval + 1 margin) is
     * exactly the batch self-join's hourly rollup there — the oracle. */
   def q275(s: SparkSession, d: String): DataFrame = {
-    val maxUs = Tables.events(s, d).agg(max(col("ts_us"))).head().getLong(0)
+    // fixture sizing (round-9 verdict item 2): chaining two stateful
+    // operators is the claim, not pair volume — the even-user half keeps
+    // both state levels exercised at roughly half the join work. The
+    // cutoff derives from the SAME slice (the stream's watermark only
+    // sees these rows).
+    val maxUs = Tables.events(s, d).filter(expr("user_id % 2 = 0"))
+      .agg(max(col("ts_us"))).head().getLong(0)
     val cutoffUs = maxUs - 16L * 60L * 1000000L
     graft.streaming.Streaming.joinWindowOnce(streamSession(s, needsIdleBatch = true), d,
         withinMinutes = 5,
-        queryName = s"graft_q275_${java.lang.Integer.toHexString(d.hashCode)}")
+        queryName = s"graft_q275_${java.lang.Integer.toHexString(d.hashCode)}",
+        where = Some("user_id % 2 = 0"))
       .filter(col("window_end_us") <= cutoffUs)
       .select(col("window_start_us"), col("n_pairs"), col("sum_b"))
       .orderBy(col("window_start_us"))
   }
   val q275Sql: String =
-    """WITH m AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 16 * 60 * 1000000 AS cut
-      |           FROM events),
+    """WITH ev AS (SELECT * FROM events WHERE user_id % 2 = 0),
+      |m AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 16 * 60 * 1000000 AS cut
+      |           FROM ev),
       |pairs AS (
       |  SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(a.ts AS TIMESTAMP)))
       |           AS window_start_us,
       |         b.event_id AS b_id
-      |  FROM events a JOIN events b ON a.user_id = b.user_id
+      |  FROM ev a JOIN ev b ON a.user_id = b.user_id
       |    AND a.event_id <> b.event_id
       |    AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
       |    AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES)

@@ -293,11 +293,18 @@ object TxnOps {
   def q267(s0: SparkSession, d: String): DataFrame = {
     val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q267_tbl").toString
+    // Fixture sizing (round-9 verdict item 2): the operator claim — zone
+    // maps skip files through the log on either curve dimension — needs
+    // unordered appends and a rewrite, not the whole fact table; the
+    // even-orderkey half keeps every face's shape at half the staging and
+    // rewrite cost. localCheckpoint: the three slice-commits cut from ONE
+    // scan of the projection instead of three.
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
       col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      .filter(expr("ok % 2 = 0")).localCheckpoint()
     (0 until 3).foreach(i => // repartition(1): keep the scan parallel
-      TxnLog.commit(base.filter(expr(s"ok % 3 = $i")).repartition(1), dir))
+      TxnLog.commit(base.filter(expr(s"ok % 6 = ${2 * i}")).repartition(1), dir))
     TxnLog.optimizeZorder(s, dir, "x", "y", numFiles = 16,
       tieCols = Seq("ok", "ln"))
     val sx = TxnLog.scanPruned(s, dir, "x", 500L, 700L)
@@ -320,7 +327,7 @@ object TxnOps {
     s"""WITH base AS (
        |  SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
        |         l_partkey AS x, l_suppkey AS y
-       |  FROM lineitem),
+       |  FROM lineitem WHERE l_orderkey % 2 = 0),
        |bounds AS (SELECT min(x) AS mnx, max(x) AS mxx,
        |                  min(y) AS mny, max(y) AS mxy FROM base),
        |normed AS (
@@ -383,11 +390,13 @@ object TxnOps {
   def q291(s0: SparkSession, d: String): DataFrame = {
     val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q291_tbl").toString
+    // fixture sizing + single-scan staging: the q267 note applies
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
       col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      .filter(expr("ok % 2 = 0")).localCheckpoint()
     (0 until 2).foreach(i =>
-      TxnLog.commit(base.filter(expr(s"ok % 4 = $i")).repartition(1), dir)) // v1 v2
+      TxnLog.commit(base.filter(expr(s"ok % 8 = ${2 * i}")).repartition(1), dir)) // v1 v2
     TxnLog.clusterBy(dir, "x", "y", tieCols = Seq("ok", "ln"))
     TxnLog.optimizeClustered(s, dir, numFiles = 8)                          // v3 full
     def stamp(f: String) = {
@@ -397,7 +406,7 @@ object TxnOps {
     val gen1 = TxnLog.fileScanPlan(dir)._2
     val stamps1 = gen1.map(f => f -> stamp(f)).toMap
     (2 until 4).foreach(i =>
-      TxnLog.commit(base.filter(expr(s"ok % 4 = $i")).repartition(1), dir)) // v4 v5
+      TxnLog.commit(base.filter(expr(s"ok % 8 = ${2 * i}")).repartition(1), dir)) // v4 v5
     val vInc = TxnLog.optimizeClustered(s, dir, numFiles = 4)               // v6 incr
     val vNoop = TxnLog.optimizeClustered(s, dir, numFiles = 4)              // no-op
     val visNow = TxnLog.fileScanPlan(dir)._2.toSet
@@ -424,9 +433,9 @@ object TxnOps {
     s"""WITH base AS (
        |  SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
        |         l_partkey AS x, l_suppkey AS y
-       |  FROM lineitem),
-       |g1 AS (SELECT * FROM base WHERE ok % 4 IN (0, 1)),
-       |g2 AS (SELECT * FROM base WHERE ok % 4 IN (2, 3)),
+       |  FROM lineitem WHERE l_orderkey % 2 = 0),
+       |g1 AS (SELECT * FROM base WHERE ok % 8 IN (0, 2)),
+       |g2 AS (SELECT * FROM base WHERE ok % 8 IN (4, 6)),
        |bounds AS (SELECT min(x) AS mnx, max(x) AS mxx,
        |                  min(y) AS mny, max(y) AS mxy FROM g1),
        |n1 AS (SELECT COUNT(*) AS n FROM g1),
@@ -482,8 +491,13 @@ object TxnOps {
   def q269(s0: SparkSession, d: String): DataFrame = {
     val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q269_tbl").toString
+    // fixture sizing + single-scan staging (round-9 verdict item 2): the
+    // two-level-planning claim is about METADATA (checkpoint-carried
+    // stats), so the even-orderkey half carries it at half the staging
+    // cost, and the five slice-commits + bounds agg cut from one scan
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(expr("ok % 2 = 0")).localCheckpoint()
     val maxPk = base.agg(max(col("pk"))).head().getLong(0)
     // repartition(1), not coalesce(1): coalesce would pull the whole
     // fact scan into ONE task — the slice must scan parallel and shuffle
@@ -516,7 +530,8 @@ object TxnOps {
   }
   val q269Sql: String =
     """WITH base AS (
-      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_orderkey % 2 = 0),
       |mx AS (SELECT max(pk) AS m FROM base),
       |buckets AS (
       |  SELECT pk * 5 // (m + 1) AS b, min(pk) AS bmin, max(pk) AS bmax
@@ -558,7 +573,12 @@ object TxnOps {
   def q271(s0: SparkSession, d: String): DataFrame = {
     val s = txnSession(s0)
     val dir = java.nio.file.Files.createTempDirectory("graft_q271_tbl").toString
+    // fixture sizing (round-9 verdict item 2): the incremental-index claim
+    // needs a multi-action lifecycle, not corpus bulk — the %6∈{0,3} third
+    // halves the tokenize work of the previous %3∈{0,1} slice, and the
+    // checkpoint stages it with ONE scan of documents
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(expr("doc_id % 6 in (0, 3)")).localCheckpoint()
     def poll(state: DataFrame, fromV: Long, toV: Long): (DataFrame, Long, Long) = {
       val feed = TxnLog.changes(s, dir, fromV, toV)
         .select(col("doc_id"),
@@ -593,12 +613,12 @@ object TxnOps {
       new org.apache.spark.sql.types.StructType()
         .add("term", "string").add("df", "long")
         .add("tf", "long").add("id_sum", "long"))
-    TxnLog.commit(docs.filter(expr("doc_id % 3 = 0")).coalesce(1), dir)
-    TxnLog.commit(docs.filter(expr("doc_id % 3 = 1")).coalesce(1), dir)
+    TxnLog.commit(docs.filter(expr("doc_id % 6 = 0")).coalesce(1), dir)
+    TxnLog.commit(docs.filter(expr("doc_id % 6 = 3")).coalesce(1), dir)
     val (s1, i1, d1) = poll(empty, 0L, TxnLog.currentVersion(dir))
     val cursor = TxnLog.currentVersion(dir)
     TxnLog.merge(s, dir,
-      docs.filter(expr("doc_id % 3 in (0, 1) and doc_id % 7 = 0"))
+      docs.filter(expr("doc_id % 7 = 0"))
         .select(col("doc_id"), concat(col("text"), lit(" graftedit")).as("text")),
       Seq("doc_id"))
     TxnLog.deleteVector(s, dir, "doc_id % 5 = 0", Seq("doc_id"))
@@ -616,7 +636,7 @@ object TxnOps {
   }
   val q271Sql: String =
     """WITH tbl0 AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 6 IN (0, 3)),
       |src AS (SELECT doc_id FROM tbl0 WHERE doc_id % 7 = 0),
       |merged AS (
       |  SELECT doc_id,
@@ -2097,11 +2117,13 @@ object TxnOps {
     val s = txnSession(s0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q290").toString
     val (srcDir, dstDir, ckpt) = (s"$tmp/src", s"$tmp/dst", s"$tmp/ckpt")
+    // fixture sizing + single-scan staging: the q271 note applies
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    TxnLog.commit(docs.filter(expr("doc_id % 3 = 0")).coalesce(1), srcDir) // v1 A
-    TxnLog.commit(docs.filter(expr("doc_id % 3 = 1")).coalesce(1), srcDir) // v2 A
+      .filter(expr("doc_id % 6 in (0, 3)")).localCheckpoint()
+    TxnLog.commit(docs.filter(expr("doc_id % 6 = 0")).coalesce(1), srcDir) // v1 A
+    TxnLog.commit(docs.filter(expr("doc_id % 6 = 3")).coalesce(1), srcDir) // v2 A
     TxnLog.merge(s, srcDir,
-      docs.filter(expr("doc_id % 3 in (0, 1) and doc_id % 7 = 0"))
+      docs.filter(expr("doc_id % 7 = 0"))
         .select(col("doc_id"), concat(col("text"), lit(" graftedit")).as("text")),
       Seq("doc_id"))                                                       // v3 X
     TxnLog.deleteVector(s, srcDir, "doc_id % 5 = 0", Seq("doc_id"))        // v4 D
@@ -2149,13 +2171,13 @@ object TxnOps {
       .orderBy(col("face"), col("cv"), col("ct"), col("term"))
   }
   val q290Sql: String =
-    """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-      |t1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+    """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0),
+      |t1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 = 3),
       |e  AS (SELECT doc_id, text FROM documents
-      |       WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 = 0),
+      |       WHERE doc_id % 6 IN (0, 3) AND doc_id % 7 = 0),
       |v3 AS (SELECT doc_id,
       |         CASE WHEN doc_id % 7 = 0 THEN text || ' graftedit' ELSE text END AS text
-      |       FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |       FROM documents WHERE doc_id % 6 IN (0, 3)),
       |fin AS (SELECT * FROM v3 WHERE doc_id % 5 <> 0),
       |tf AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
       |       FROM fin)

@@ -191,12 +191,38 @@ object Streaming {
     * watermark past window_end) once window_end ≤ max(ts) − (delay +
     * interval + margin); callers compare only that prefix. */
   def joinWindowOnce(spark: SparkSession, dir: String, withinMinutes: Int,
-                     queryName: String = "graft_jwin"): DataFrame = {
+                     queryName: String = "graft_jwin",
+                     where: Option[String] = None): DataFrame = {
+    // `where` pre-filters the staged snapshot (both sides) — fixture
+    // sizing for the board drive; callers must derive any watermark
+    // cutoff from the SAME filtered slice, since the stream's watermark
+    // only ever sees these rows
     def stage(): String = {
       val staged = java.nio.file.Files.createTempDirectory("graft_jwin_src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
+      where match {
+        case None =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"),
+            staged.resolve("events.parquet"))
+        case Some(w) =>
+          // FileStreamSource lists only the staged root — land ONE flat
+          // file there, not a part-file subdirectory. nanosAsLong first:
+          // the filter job must read whichever events generation is on
+          // disk the same way the stream will.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val tmpOut = staged.resolve("_stage")
+          spark.read.parquet(s"$dir/events.parquet").filter(w).coalesce(1)
+            .write.mode("overwrite").parquet(tmpOut.toString)
+          val part = java.nio.file.Files.list(tmpOut).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("empty staged slice"))
+          java.nio.file.Files.move(part, staged.resolve("events.parquet"))
+          java.nio.file.Files.list(tmpOut).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          java.nio.file.Files.deleteIfExists(tmpOut)
+      }
       staged.toString
     }
     val q = joinWindowStream(spark, stage(), stage(), withinMinutes)
