@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RewriteCosine)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    e.injectOptimizerRule(_ => graft.plans.SqlDml)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

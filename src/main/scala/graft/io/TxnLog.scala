@@ -2,7 +2,7 @@ package graft.io
 
 import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, max, min, not, substring_index, when}
 
 /** A minimal TRANSACTION-LOG table format — the commit protocol that turns
@@ -1299,6 +1299,98 @@ object TxnLog {
   def delete(spark: SparkSession, dir: String, predicate: String): Long =
     replaceCommitValidated(spark, dir)(_.filter(not(expr(predicate))))
 
+  /** Row-level DELETE, FILE-GRANULAR copy-on-write — the scale path
+    * between [[delete]] (whole-table rewrite) and [[deleteVector]]
+    * (merge-on-read): one pass over the visible set finds the files
+    * containing a matching row, ONLY those files are rewritten without
+    * the matched rows, and the commit is an `X` exchange — a predicate
+    * touching 1 of 10⁶ files moves one file's bytes, not 100 TB. NULL
+    * predicate values keep the row (SQL DELETE semantics). Falls back to
+    * one validated replace-commit when the snapshot carries pending
+    * vectors / column mapping / external clone references or hive-layout
+    * commits (the exchange needs flat `rel/file` paths). Concurrency
+    * follows [[mergeInto]]: claim exactly base+1, on loss re-derive the
+    * touched set against the new snapshot — or abort per `isolation`
+    * ([[classifyConflict]] classes an exchange as a content rewrite).
+    * This is the statement SQL `DELETE FROM t WHERE p` lowers to
+    * ([[graft.plans.SqlDml]]). Returns the version won (unchanged if
+    * nothing matched). */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column,
+                  isolation: Isolation = Isolation.Rederive): Long =
+    rewriteWhere(spark, dir, cond, isolation, "deleteWhere")(
+      (df, hit) => df.filter(!hit))
+
+  /** Row-level UPDATE, FILE-GRANULAR copy-on-write: same touched-file
+    * discovery and `X` exchange as [[deleteWhere]], with matched rows
+    * taking the SET expressions SIMULTANEOUSLY (standard SQL UPDATE —
+    * every value sees the pre-update row; [[update]]'s sequential SETs
+    * and key-file vectors are the merge-on-read contrast). Values cast
+    * to the column's type, so a rewrite never widens the schema. This is
+    * the statement SQL `UPDATE t SET ... WHERE p` lowers to. Returns the
+    * version won (unchanged if nothing matched). */
+  def updateWhere(spark: SparkSession, dir: String,
+                  set: Seq[(String, Column)], cond: Column,
+                  isolation: Isolation = Isolation.Rederive): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET expression")
+    require(set.map(_._1).distinct.size == set.size,
+      "updateWhere assigns a column twice")
+    rewriteWhere(spark, dir, cond, isolation, "updateWhere") { (df, hit) =>
+      val bySet = set.toMap
+      val types = df.schema.map(f => f.name -> f.dataType).toMap
+      require(bySet.keySet.subsetOf(types.keySet),
+        s"updateWhere targets unknown columns: ${bySet.keySet -- types.keySet}")
+      df.select(df.columns.toSeq.map { c =>
+        bySet.get(c) match {
+          case Some(e) => when(hit, e.cast(types(c))).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** Shared skeleton of [[deleteWhere]]/[[updateWhere]]: find the files a
+    * predicate touches, rewrite only them through `transform` (which sees
+    * the null-safe hit column), exchange. */
+  private def rewriteWhere(spark: SparkSession, dir: String, cond: Column,
+                           isolation: Isolation, op: String)
+                          (transform: (DataFrame, Column) => DataFrame): Long = {
+    val hit = coalesce(cond, lit(false))
+    while (true) {
+      val base = currentVersion(dir)
+      val snap = snapshotAt(dir, base)
+      if (snap.files.isEmpty) return base
+      if (snap.dvs.nonEmpty || snap.scoped.nonEmpty ||
+          snap.renames.nonEmpty || snap.drops.nonEmpty ||
+          snap.files.exists(f => f.startsWith("@") || f.count(_ == '/') != 1))
+        return replaceCommitValidated(spark, dir)(cur => transform(cur, hit))
+      val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
+        .withColumn("__rel", substring_index(input_file_name(), "/", -2))
+      val touched = withFile.filter(hit)
+        .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
+      if (touched.isEmpty) return base
+      val slice = spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
+      val rewritten = transform(slice, hit).localCheckpoint()
+      val (relFiles, body) =
+        if (rewritten.isEmpty) (None, touched.map("-" + _).toVector)
+        else {
+          val (rel, files) = writeData(rewritten, dir)
+          (Some(rel), touched.map("-" + _).toVector ++ files.map("+" + _))
+        }
+      claimFence()
+      if (tryClaim(dir, base + 1, "X", body)) return base + 1
+      relFiles.foreach { rel =>
+        val d = new java.io.File(s"$dir/$rel")
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
+      // an exchange classifies as a content rewrite — under Abort it
+      // conflicts with any interleaved rewrite or keyed op (the key
+      // DataFrame is never consulted for the 'r' attempt class)
+      enforceIsolation(spark, dir, base, "R", isolation,
+        spark.emptyDataFrame, Nil)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ------------------------------------------------------------------
   // COLUMN MAPPING: metadata-only RENAME and DROP (the Delta
   // column-mapping move, scoped-rename style). A rename commits one
@@ -1679,13 +1771,39 @@ object TxnLog {
                                 updateSet: Option[Seq[(String, String)]] = None,
                                 insert: Boolean = true)
 
-  /** Apply [[MergeActions]] to a target slice: left-join the prefixed
+  /** The FULLY-GENERAL merge grammar, Column-typed — what the SQL front
+    * door ([[graft.plans.SqlDml]]) lowers a `MERGE INTO` statement to.
+    * Conditions and value expressions see the TARGET row's columns bare
+    * and the SOURCE row's as `src_<name>` (the [[MergeActions]] scope):
+    *   - `deleteWhen`: matched rows satisfying it are deleted
+    *   - `updateWhen`/`updateSet`: surviving matched rows satisfying the
+    *     gate take the SETs SIMULTANEOUSLY (pre-update row in scope)
+    *   - `insert`: `Some((cond, proj))` — not-matched source rows passing
+    *     `cond` insert through `proj` (one value per target column,
+    *     evaluated over `src_` columns); `None` = no insert clause.
+    * SQL's first-matching-clause-wins over [delete, update] in either
+    * order is encodable: delete-first maps directly; update-first maps
+    * to `deleteWhen := del && !upd` (the statement rewriter does this). */
+  private[graft] final case class MergeGrammar(
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      updateSet: Option[Seq[(String, Column)]] = None,
+      insert: Option[(Option[Column], Seq[(String, Column)])] = None)
+
+  private def toGrammar(a: MergeActions, targetCols: Seq[String]): MergeGrammar =
+    MergeGrammar(
+      deleteWhen = a.deleteWhen.map(expr),
+      updateSet = a.updateSet.map(_.map { case (c, e) => c -> expr(e) }),
+      insert = if (a.insert) Some((None, targetCols.map(c => c -> col(s"src_$c"))))
+               else None)
+
+  /** Apply a [[MergeGrammar]] to a target slice: left-join the prefixed
     * source, filter deletes, project simultaneous updates, union the
     * not-matched inserts. Shared by the file-granular path (target =
     * touched-file rows — they contain every matched key, so the insert
     * anti-join is exact) and the replace fallback (target = the table). */
-  private def applyMergeActions(target: DataFrame, source: DataFrame,
-                                keyCols: Seq[String], a: MergeActions): DataFrame = {
+  private def applyMergeGrammar(target: DataFrame, source: DataFrame,
+                                keyCols: Seq[String], g: MergeGrammar): DataFrame = {
     // A source with duplicate keys would silently multiply matched target
     // rows through the left join (and insert both copies). SQL MERGE and
     // Delta raise on multiple source matches — so do we, loudly, before
@@ -1698,35 +1816,51 @@ object TxnLog {
         r => keyCols.zipWithIndex.map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", "))}): " +
         "a target row may not match more than one source row")
     val cols = target.columns.toSeq
+    val types = target.schema.map(f => f.name -> f.dataType).toMap
     val srcPref = source
       .select(source.columns.map(c => col(c).as(s"src_$c")) :+ lit(true).as("__m"): _*)
     val cond = keyCols.map(k => col(k) === col(s"src_$k")).reduce(_ && _)
     val joined = target.join(srcPref, cond, "left")
-    val deleted = a.deleteWhen
-      .map(c => col("__m").isNotNull && coalesce(expr(c), lit(false)))
+    val deleted = g.deleteWhen
+      .map(c => col("__m").isNotNull && coalesce(c, lit(false)))
       .getOrElse(lit(false))
     val kept = joined.filter(!deleted)
-    val updated = a.updateSet match {
+    val updated = g.updateSet match {
       case Some(sets) =>
         val bySet = sets.toMap
+        require(bySet.size == sets.size, "updateSet assigns a column twice")
         require(bySet.keySet.subsetOf(cols.toSet),
           s"updateSet targets unknown columns: ${bySet.keySet -- cols}")
+        val gate = g.updateWhen
+          .map(c => col("__m").isNotNull && coalesce(c, lit(false)))
+          .getOrElse(col("__m").isNotNull)
         kept.select(cols.map { c =>
           bySet.get(c) match {
-            case Some(e) => when(col("__m").isNotNull, expr(e)).otherwise(col(c)).as(c)
+            case Some(e) => when(gate, e.cast(types(c))).otherwise(col(c)).as(c)
             case None    => col(c)
           }
         }: _*)
       case None => kept.select(cols.map(col): _*)
     }
-    if (!a.insert) updated
-    else {
-      require(source.columns.toSet == cols.toSet,
-        "insert action needs the source to carry the target schema")
-      val inserts = srcPref
-        .join(target.select(keyCols.map(col): _*).distinct(), cond, "left_anti")
-        .select(cols.map(c => col(s"src_$c").as(c)): _*)
-      updated.unionByName(inserts)
+    g.insert match {
+      case None => updated
+      case Some((icond, proj)) =>
+        val byCol = proj.toMap
+        require(byCol.size == proj.size, "insert projection assigns a column twice")
+        require(byCol.keySet.subsetOf(cols.toSet),
+          s"insert projection targets unknown columns: ${byCol.keySet -- cols}")
+        require(keyCols.forall(byCol.contains),
+          s"insert projection must assign every merge key ($keyCols): a row " +
+            "inserted without its key would be unreachable by later merges")
+        val anti = srcPref
+          .join(target.select(keyCols.map(col): _*).distinct(), cond, "left_anti")
+        val gated = icond.map(c => anti.filter(coalesce(c, lit(false)))).getOrElse(anti)
+        // unassigned columns fill NULL (SQL INSERT semantics); every value
+        // casts to the target column type, so the union never widens
+        val inserts = gated.select(cols.map(c => byCol.get(c)
+          .map(_.cast(types(c)))
+          .getOrElse(lit(null).cast(types(c))).as(c)): _*)
+        updated.unionByName(inserts)
     }
   }
 
@@ -1744,9 +1878,25 @@ object TxnLog {
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                 keyCols: Seq[String], actions: MergeActions,
                 isolation: Isolation = Isolation.Rederive): Long = {
-    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     require(actions.deleteWhen.nonEmpty || actions.updateSet.nonEmpty || actions.insert,
       "mergeInto with no actions is a no-op statement")
+    val targetCols = read(spark, dir).columns.toSeq
+    mergeGrammar(spark, dir, source, keyCols, toGrammar(actions, targetCols),
+      isolation)
+  }
+
+  /** [[mergeInto]]'s engine, grammar-typed — also the landing point for
+    * SQL `MERGE INTO` statements ([[graft.plans.SqlDml]]). Same at-scale
+    * contract: one semi-join finds the touched files, only they rewrite,
+    * `X` exchange, pending-vector replace fallback, CAS + isolation. */
+  private[graft] def mergeGrammar(spark: SparkSession, dir: String,
+                                  source: DataFrame, keyCols: Seq[String],
+                                  grammar: MergeGrammar,
+                                  isolation: Isolation = Isolation.Rederive): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(grammar.deleteWhen.nonEmpty || grammar.updateSet.nonEmpty ||
+        grammar.insert.nonEmpty,
+      "merge with no actions is a no-op statement")
     val src = source.localCheckpoint()
     if (src.isEmpty) return currentVersion(dir)
     val srcKeys = src.select(keyCols.map(col): _*).distinct().localCheckpoint()
@@ -1757,7 +1907,7 @@ object TxnLog {
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
           snap.files.exists(_.startsWith("@")))
         return replaceCommitValidated(spark, dir)(cur =>
-          applyMergeActions(cur, src, keyCols, actions))
+          applyMergeGrammar(cur, src, keyCols, grammar))
       val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
         .withColumn("__rel", substring_index(input_file_name(), "/", -2))
       val touched = withFile.join(srcKeys, keyCols, "left_semi")
@@ -1765,7 +1915,7 @@ object TxnLog {
       val targetSlice =
         if (touched.isEmpty) read(spark, dir).limit(0)
         else spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
-      val rewritten = applyMergeActions(targetSlice, src, keyCols, actions)
+      val rewritten = applyMergeGrammar(targetSlice, src, keyCols, grammar)
         .localCheckpoint()
       val (relFiles, body) =
         if (rewritten.isEmpty) (None, touched.map("-" + _).toVector)

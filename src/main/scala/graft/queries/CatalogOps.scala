@@ -79,6 +79,109 @@ object CatalogOps {
       |  FROM f WHERE l_orderkey % 2 = 0 GROUP BY 2, 3
       |) ORDER BY face, rf, ls""".stripMargin
 
+  /** q292 — SQL row-level DML through the catalog ([[graft.plans.SqlDml]]):
+    * DELETE, UPDATE, and the full MERGE grammar (conditional update +
+    * delete + explicit-projection insert, SQL first-clause-wins order) as
+    * `spark.sql(...)` STATEMENTS, lowered onto the txn log's file-granular
+    * primitives. Faces:
+    *
+    *   - `final`: per-priority aggregate of the table after all three
+    *     statements (the DML semantics, oracle-recomputed relationally)
+    *   - `v_del`: the same aggregate `VERSION AS OF 3` — time travel
+    *     composes with SQL DML (the post-DELETE, pre-UPDATE snapshot)
+    *   - `hist`:  the commit-action sequence A,A,X,X,X as a golden face —
+    *     every DML statement committed a file EXCHANGE (only touched
+    *     files rewrite), never a whole-table replace. That is the 100 TB
+    *     claim, pinned in the hash; SqlDmlSpec pins the file-level bytes.
+    *
+    * Float discipline: the UPDATE halves (exact), the MERGE adds 512.0
+    * (exact at these magnitudes), and sums go through DECIMAL(18,4). */
+  def q292(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    graft.plans.SqlDml.ensure(s)
+    val wh = java.nio.file.Files.createTempDirectory("graft_q292_wh").toString
+    s.conf.set("spark.sql.catalog.gdml", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdml.db")
+    s.sql("""CREATE TABLE gdml.db.ord (
+      o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+      o_orderpriority STRING)""")
+    def ins(m8: Int): Unit = {
+      s.sql(s"""INSERT INTO gdml.db.ord
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 8 = $m8"""); ()
+    }
+    ins(0) // v1
+    ins(2) // v2
+    s.sql("""DELETE FROM gdml.db.ord
+      WHERE o_totalprice < 50000 AND o_orderpriority = '1-URGENT'""") // v3
+    s.sql("""UPDATE gdml.db.ord SET o_totalprice = o_totalprice * 0.5
+      WHERE o_orderpriority = '5-LOW'""")                             // v4
+    s.sql(s"""MERGE INTO gdml.db.ord t USING (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 16 = 0 THEN -1.0 ELSE 512.0 END AS bump
+        FROM parquet.`$d/orders.parquet`
+        WHERE o_orderkey % 8 IN (0, 1) AND o_orderkey % 5 = 0) src
+      ON t.o_orderkey = src.o_orderkey
+      WHEN MATCHED AND src.bump > 0 THEN
+        UPDATE SET o_totalprice = t.o_totalprice + src.bump
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice,
+        o_orderpriority) VALUES (src.o_orderkey, 0, src.bump, 'MERGED')""") // v5
+    def face(from: String, tag: String): DataFrame = s.sql(
+      s"""SELECT '$tag' AS face, o_orderpriority AS pri, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM $from GROUP BY o_orderpriority""")
+    val hist = TxnLog.history(s, s"$wh/db/ord")
+      .select(lit("hist").as("face"),
+        substring(col("action"), 1, 1).as("pri"),
+        col("version").cast("long").as("n"),
+        lit(null).cast("double").as("sum_price"))
+    face("gdml.db.ord", "final")
+      .unionByName(face("gdml.db.ord VERSION AS OF 3", "v_del"))
+      .unionByName(hist)
+      .orderBy(col("face"), col("pri"), col("n"))
+  }
+
+  val q292Sql: String =
+    """WITH v2 AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 8 IN (0, 2)),
+      |v3 AS (SELECT * FROM v2
+      |       WHERE NOT (o_totalprice < 50000 AND o_orderpriority = '1-URGENT')),
+      |v4 AS (SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice * 0.5
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         o_orderpriority FROM v3),
+      |src AS (SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 16 = 0 THEN -1.0 ELSE 512.0 END AS bump
+      |        FROM orders WHERE o_orderkey % 8 IN (0, 1) AND o_orderkey % 5 = 0),
+      |v5 AS (
+      |  SELECT t.o_orderkey, t.o_custkey,
+      |         CASE WHEN s.o_orderkey IS NOT NULL AND s.bump > 0
+      |              THEN t.o_totalprice + s.bump ELSE t.o_totalprice END
+      |           AS o_totalprice,
+      |         t.o_orderpriority
+      |  FROM v4 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      |  WHERE NOT (s.o_orderkey IS NOT NULL AND NOT COALESCE(s.bump > 0, FALSE))
+      |  UNION ALL
+      |  SELECT s.o_orderkey, 0, s.bump, 'MERGED'
+      |  FROM src s LEFT JOIN v4 t ON s.o_orderkey = t.o_orderkey
+      |  WHERE t.o_orderkey IS NULL),
+      |faces AS (
+      |  SELECT 'final' AS face, o_orderpriority AS pri, COUNT(*) AS n,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  FROM v5 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'v_del', o_orderpriority, COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM v3 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'hist', a, v, CAST(NULL AS DOUBLE)
+      |  FROM (VALUES ('A', 1), ('A', 2), ('X', 3), ('X', 4), ('X', 5)) h(a, v))
+      |SELECT * FROM faces ORDER BY face, pri, n""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "q289_sql_catalog" -> ((q289 _, Some(q289Sql))))
+    "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),
+    "q292_sql_dml" -> ((q292 _, Some(q292Sql))))
 }

@@ -213,7 +213,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-private[sources] object GraftSqlTable {
+private[graft] object GraftSqlTable {
   /** DDL schema persisted by CREATE TABLE — served until the first commit
     * gives the table real files to infer from. */
   def storedSchema(dir: String): Option[StructType] = {
@@ -228,11 +228,18 @@ private[sources] object GraftSqlTable {
 /** One resolved (table dir, optional time-travel version). Reads delegate
   * to Spark's native DSv2 parquet table over the snapshot's file list;
   * writes bridge to the txn log's atomic commit. */
-private[sources] class GraftSqlTable(dir: String, ident: String,
-                                     asOf: Option[Long])
+private[graft] class GraftSqlTable(dir: String, ident: String,
+                                   asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite {
 
   private def spark = SparkSession.active
+
+  /** Storage location — what the SQL DML rewrites ([[graft.plans.SqlDml]])
+    * hand to the TxnLog primitives. */
+  private[graft] def tableDir: String = dir
+  /** Time-travel pin, if this resolution came from `VERSION/TIMESTAMP AS
+    * OF` — DML against a pinned snapshot is refused. */
+  private[graft] def timeTravel: Option[Long] = asOf
 
   override def name(): String = ident
 
