@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.TxnOps.defs ++
       graft.queries.SpatialOps.defs ++ // q273/q276 spatial family
       graft.queries.MvOps.defs ++      // q278 materialized-view routing
-      graft.queries.CatalogOps.defs ++ // q289 SQL catalog front door
+      graft.queries.CatalogOps.defs ++ // q289/q292 SQL catalog front door
+      graft.queries.ImageQueries.defs ++ // q293/q294 image multimodal
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,268 @@
+package graft.io
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM PNG codec (decode + conformant encode) — the IMAGE half of
+  * the multimodal-column story, next to the audio family ([[WavCodec]],
+  * [[FlacCodec]], [[VorbisCodec]], ...). The reference pipeline treats
+  * media as opaque bytes decoded at the edge (`process_audio.py`'s
+  * pydub ingest); an LLM training-data pipeline does the same to image
+  * corpora, so the engine carries a real codec rather than a stub.
+  * Everything here derives from the public PNG specification (W3C
+  * PNG / RFC 2083): the byte-level container (length-type-data-CRC32
+  * chunks), zlib datastream (`java.util.zip`, the JDK's own
+  * implementation), and the five scanline filters with their exact
+  * integer arithmetic — there are no memorized tables; CRC32 is the
+  * JDK's.
+  *
+  * Decoder scope (documented like [[AdpcmCodec]]/[[VorbisCodec]]):
+  * bit depth 8, color types 0 (grayscale), 2 (RGB) and 6 (RGBA),
+  * non-interlaced, single zlib stream over any number of IDAT chunks.
+  * Within that scope the decode path is the real spec machinery —
+  * signature check, per-chunk CRC verification, IHDR validation, IDAT
+  * concatenation, inflate, and the full five-filter reconstruction
+  * (None/Sub/Up/Average/Paeth, including Paeth's exact tie-breaking
+  * order). Palette, 16-bit, and Adam7 streams are refused with a
+  * descriptive error, never mis-decoded.
+  *
+  * Encoder: writes the same scope, choosing each row's filter by the
+  * spec's recommended minimum-sum-of-absolute-differences heuristic
+  * over all five filters — so decode exercises every filter type on
+  * realistic data, and a decoder that botches any filter fails the
+  * roundtrip. */
+object PngCodec {
+
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte]) {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"unsupported channel count: $channels")
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+  }
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // ------------------------------------------------------------------
+  // encode
+  // ------------------------------------------------------------------
+
+  def encode(img: Image): Array[Byte] = {
+    val colorType = img.channels match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+    }
+    val ihdr = new Array[Byte](13)
+    writeBE(ihdr, 0, img.width)
+    writeBE(ihdr, 4, img.height)
+    ihdr(8) = 8            // bit depth
+    ihdr(9) = colorType.toByte
+    ihdr(10) = 0           // compression: deflate
+    ihdr(11) = 0           // filter method 0
+    ihdr(12) = 0           // no interlace
+    val raw = filterScanlines(img)
+    val idat = deflate(raw)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Per-row adaptive filtering: the spec's minimum-sum-of-absolute-
+    * differences heuristic over all five filter types. */
+  private def filterScanlines(img: Image): Array[Byte] = {
+    val bpp = img.channels
+    val stride = img.width * bpp
+    val out = new Array[Byte]((stride + 1) * img.height)
+    val prior = new Array[Byte](stride) // zero row above the first
+    val cand = Array.ofDim[Byte](5, stride)
+    var y = 0
+    while (y < img.height) {
+      val row = java.util.Arrays.copyOfRange(
+        img.pixels, y * stride, (y + 1) * stride)
+      var best = 0
+      var bestSum = Long.MaxValue
+      var f = 0
+      while (f < 5) {
+        var sum = 0L
+        var x = 0
+        while (x < stride) {
+          val left = if (x >= bpp) row(x - bpp) & 0xff else 0
+          val up = prior(x) & 0xff
+          val ul = if (x >= bpp) prior(x - bpp) & 0xff else 0
+          val v = row(x) & 0xff
+          val filtered = f match {
+            case 0 => v
+            case 1 => (v - left) & 0xff
+            case 2 => (v - up) & 0xff
+            case 3 => (v - (left + up) / 2) & 0xff
+            case 4 => (v - paeth(left, up, ul)) & 0xff
+          }
+          cand(f)(x) = filtered.toByte
+          // the heuristic treats filtered bytes as signed deltas
+          sum += math.abs(filtered.toByte.toInt)
+          x += 1
+        }
+        if (sum < bestSum) { bestSum = sum; best = f }
+        f += 1
+      }
+      out(y * (stride + 1)) = best.toByte
+      System.arraycopy(cand(best), 0, out, y * (stride + 1) + 1, stride)
+      System.arraycopy(row, 0, prior, 0, stride)
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // decode
+  // ------------------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+      "not a PNG: bad signature")
+    var pos = 8
+    var width = 0; var height = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos < bytes.length && !seenIend) {
+      require(pos + 8 <= bytes.length, "truncated chunk header")
+      val len = readBE(bytes, pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated chunk (declared $len bytes)")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      // CRC32 covers type + data (spec §5.3)
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val stored = readBE(bytes, pos + 8 + len)
+      require(crc.getValue.toInt == stored,
+        f"CRC mismatch in $typ chunk (got ${stored}%08x, computed ${crc.getValue.toInt}%08x)")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, "bad IHDR")
+          seenIhdr = true
+          width = readBE(bytes, pos + 8)
+          height = readBE(bytes, pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val compression = bytes(pos + 18) & 0xff
+          val filterMethod = bytes(pos + 19) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
+          channels = colorType match {
+            case 0 => 1
+            case 2 => 3
+            case 6 => 4
+            case 3 => throw new IllegalArgumentException(
+              "unsupported color type 3 (palette)")
+            case 4 => throw new IllegalArgumentException(
+              "unsupported color type 4 (gray+alpha)")
+            case c => throw new IllegalArgumentException(s"bad color type $c")
+          }
+          require(compression == 0, s"bad compression method $compression")
+          require(filterMethod == 0, s"bad filter method $filterMethod")
+          require(interlace == 0, "unsupported: Adam7 interlacing")
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr && seenIend, "missing IHDR or IEND")
+    val stride = width * channels
+    val raw = inflate(idat.toByteArray, (stride + 1) * height)
+    require(raw.length == (stride + 1) * height,
+      s"decompressed ${raw.length} bytes, expected ${(stride + 1) * height}")
+    val px = new Array[Byte](stride * height)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xff
+      require(f <= 4, s"bad filter type $f in row $y")
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) & 0xff else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+        }
+        px(y * stride + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, channels, px)
+  }
+
+  /** Paeth predictor, spec §9.4 — the tie-break order (left, up, upper-
+    * left) is normative. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  // ------------------------------------------------------------------
+  // container plumbing
+  // ------------------------------------------------------------------
+
+  private def writeBE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+  private def readBE(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
+      ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream,
+                         typ: String, data: Array[Byte]): Unit = {
+    val lenB = new Array[Byte](4); writeBE(lenB, 0, data.length)
+    out.write(lenB)
+    val typB = typ.getBytes("US-ASCII")
+    out.write(typB)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(typB); crc.update(data)
+    val crcB = new Array[Byte](4); writeBE(crcB, 0, crc.getValue.toInt)
+    out.write(crcB)
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(z: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(z)
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished() || !inf.needsInput,
+        "truncated zlib stream in IDAT")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+}

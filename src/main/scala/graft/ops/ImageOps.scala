@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.io.PngCodec.Image
+
+/** Image kernels over decoded pixel buffers — the feature-extraction /
+  * resize / fingerprint layer of the image-multimodal family (decode is
+  * [[graft.io.PngCodec]]). Every kernel is INTEGER-EXACT on purpose:
+  * the board oracles restate each one relationally (DuckDB regenerates
+  * the pixels from the same closed-form synthesis and aggregates), so
+  * the whole encode → PNG bytes → decode → kernel path is hash-gated
+  * with no golden values and no float tolerance. */
+object ImageOps {
+
+  /** Deterministic synthetic pixels (the fixture generator, and the
+    * formula the oracles restate). Kinds: 0 horizontal gradient (gray),
+    * 1 vertical gradient (gray), 2 checkerboard 8px (gray), 3 RGB with
+    * one kind per channel. All math is integer (floor division). */
+  def synth(w: Int, h: Int, kind: Int): Image = {
+    require(w > 1 && h > 1, s"degenerate image ${w}x$h")
+    def v(x: Int, y: Int, c: Int): Int = (if (kind == 3) c else kind) match {
+      case 0 => x * 255 / (w - 1)
+      case 1 => y * 255 / (h - 1)
+      case _ => (x / 8 + y / 8) % 2 * 255
+    }
+    val ch = if (kind == 3) 3 else 1
+    val px = new Array[Byte](w * h * ch)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) { px(i) = v(x, y, c).toByte; i += 1; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, ch, px)
+  }
+
+  /** (pixel sum, clipped-white count, position-weighted checksum): the
+    * weighted sum Σ v·(x+1)·(3y+7)·(c+1) pins every pixel's VALUE AND
+    * POSITION — a transposed, shifted, or channel-swapped decode cannot
+    * hash-collide. Fits a Long with headroom (≤2¹¹ per side). */
+  def stats(img: Image): (Long, Long, Long) = {
+    var sum = 0L; var clip = 0L; var wsum = 0L
+    var i = 0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        var c = 0
+        while (c < img.channels) {
+          val v = img.pixels(i) & 0xff
+          sum += v
+          if (v == 255) clip += 1
+          wsum += v.toLong * (x + 1) * (3L * y + 7) * (c + 1)
+          i += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (sum, clip, wsum)
+  }
+
+  /** Nearest-neighbor resize with the floor source map sx = i·w/W — the
+    * standard integer mapping, restatable in SQL. */
+  def resizeNearest(img: Image, outW: Int, outH: Int): Image = {
+    val px = new Array[Byte](outW * outH * img.channels)
+    var i = 0
+    var j = 0
+    while (j < outH) {
+      val sy = j * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        var c = 0
+        while (c < img.channels) {
+          px(i) = img.pixels((sy * img.width + sx) * img.channels + c)
+          i += 1; c += 1
+        }
+        x += 1
+      }
+      j += 1
+    }
+    Image(outW, outH, img.channels, px)
+  }
+
+  /** Integer grayscale: the channel value for 1-channel images, floor
+    * (r+g+b)/3 for 3/4-channel (alpha ignored). */
+  private def grayAt(img: Image, x: Int, y: Int): Int = {
+    val base = (y * img.width + x) * img.channels
+    if (img.channels == 1) img.pixels(base) & 0xff
+    else ((img.pixels(base) & 0xff) + (img.pixels(base + 1) & 0xff) +
+      (img.pixels(base + 2) & 0xff)) / 3
+  }
+
+  /** dHash perceptual fingerprint as a 64-char bit string: box-mean the
+    * grayscale to a 9×8 grid (pixel x lands in box x·9/w — floor), then
+    * bit (i,j) = mean(i,j) < mean(i+1,j). Returned as a STRING so the
+    * oracle restates it without 64-bit shift edge cases; near-identical
+    * content (same pattern at any size) collides, which is the dedup
+    * key. Requires w ≥ 9, h ≥ 8 (every box nonempty). */
+  def dhash(img: Image): String = {
+    require(img.width >= 9 && img.height >= 8,
+      s"dhash needs ≥9x8 input, got ${img.width}x${img.height}")
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < img.height) {
+      val j = y * 8 / img.height
+      var x = 0
+      while (x < img.width) {
+        val i = x * 9 / img.width
+        sums(j)(i) += grayAt(img, x, y)
+        counts(j)(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new StringBuilder(64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val l = sums(j)(i) / counts(j)(i)
+        val r = sums(j)(i + 1) / counts(j)(i + 1)
+        sb.append(if (l < r) '1' else '0')
+        i += 1
+      }
+      j += 1
+    }
+    sb.toString
+  }
+}

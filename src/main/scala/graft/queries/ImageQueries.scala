@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.io.PngCodec
+import graft.ops.ImageOps
+
+/** IMAGE MULTIMODAL family: binary image columns decoded by a REAL
+  * pure-JVM PNG codec ([[graft.io.PngCodec]] — chunks, CRC32, zlib, all
+  * five scanline filters), then feature-extracted / resized /
+  * fingerprinted by integer-exact kernels ([[graft.ops.ImageOps]]).
+  *
+  * The oracle story is stronger than the audio family's golden values:
+  * pixels are synthesized from closed-form integer formulas of
+  * (image id, x, y), so DuckDB REGENERATES every pixel relationally
+  * (correlated `generate_series`) and recomputes each metric — the
+  * Spark side only hash-matches if `decode(encode(pixels))` reproduced
+  * every byte AND every kernel's integer arithmetic agrees. No float
+  * tolerance, no frozen constants.
+  *
+  * Scale shape: images ride as a `binary` column; encode/decode/kernels
+  * run inside `Dataset.map` on executors (one image per row, no driver
+  * loop, no shuffle before the final per-image projection); the dedup
+  * entry shuffles once on the 64-bit fingerprint — pair space is
+  * Σ bucket², never N², the same contract as the text dedup family. */
+object ImageQueries {
+
+  /** Per-image synthesis parameters — integer formulas both engines
+    * restate: w = 16+8·(id%5) ∈ [16,48], h = 16+8·(id%7) ∈ [16,64],
+    * kind = id%4 (3 = RGB). */
+  private case class Spec(id: Long, w: Int, h: Int, kind: Int)
+  private def specs(s: SparkSession, d: String, everyNth: Long) = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % everyNth === 0)
+      .as[Long]
+      .map(id => Spec(id, 16 + (id % 5).toInt * 8, 16 + (id % 7).toInt * 8,
+        (id % 4).toInt))
+  }
+
+  // ---------------------------------------------------------------- q293
+  /** PNG encode → bytes → decode → integer metrics, one row per image:
+    * dims/channels, pixel sum, clipped-white count, the position-weighted
+    * checksum (value AND position pinned), and the same checksum after a
+    * nearest-neighbor resize to 12×12. A decoder that mis-reconstructs
+    * any filter row, or a resize off by one source pixel, hash-fails. */
+  def q293(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val png = PngCodec.encode(ImageOps.synth(sp.w, sp.h, sp.kind))
+        (sp.id, sp.kind, png) // the binary column at rest
+      }
+      .map { case (id, kind, png) =>
+        val img = PngCodec.decode(png)
+        val (sum, clip, wsum) = ImageOps.stats(img)
+        val (_, _, rzWsum) = ImageOps.stats(ImageOps.resizeNearest(img, 12, 12))
+        (id, img.width, img.height, img.channels, sum, clip, wsum, rzWsum)
+      }
+      .toDF("img_id", "w", "h", "ch", "px_sum", "clip_cnt", "wsum", "rz_wsum")
+      .orderBy(col("img_id"))
+  }
+
+  private val pixelCte =
+    """ids AS (
+      |  SELECT doc_id AS id,
+      |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
+      |         CAST(doc_id % 4 AS BIGINT) AS kind
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id, w, h, kind, gx.x AS x, gy.y AS y, gc.c AS c,
+      |         CASE CASE WHEN kind = 3 THEN gc.c ELSE kind END
+      |           WHEN 0 THEN gx.x * 255 // (w - 1)
+      |           WHEN 1 THEN gy.y * 255 // (h - 1)
+      |           ELSE ((gx.x // 8 + gy.y // 8) % 2) * 255 END AS v
+      |  FROM ids
+      |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 63) gy(y) ON gy.y < h
+      |  JOIN generate_series(0, 2) gc(c)
+      |    ON gc.c <= CASE WHEN kind = 3 THEN 2 ELSE 0 END)""".stripMargin
+
+  val q293Sql: String =
+    s"""WITH $pixelCte,
+      |rz AS (
+      |  SELECT ids.id, gi.i, gj.j, gc.c,
+      |         gi.i * ids.w // 12 AS sx, gj.j * ids.h // 12 AS sy
+      |  FROM ids
+      |  JOIN generate_series(0, 11) gi(i) ON TRUE
+      |  JOIN generate_series(0, 11) gj(j) ON TRUE
+      |  JOIN generate_series(0, 2) gc(c)
+      |    ON gc.c <= CASE WHEN ids.kind = 3 THEN 2 ELSE 0 END),
+      |rzv AS (
+      |  SELECT rz.id, rz.i, rz.j, rz.c, px.v
+      |  FROM rz JOIN px ON px.id = rz.id AND px.x = rz.sx
+      |                 AND px.y = rz.sy AND px.c = rz.c)
+      |SELECT ids.id AS img_id,
+      |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
+      |       CAST(CASE WHEN ids.kind = 3 THEN 3 ELSE 1 END AS INT) AS ch,
+      |       m.px_sum, m.clip_cnt, m.wsum, r.rz_wsum
+      |FROM ids
+      |JOIN (SELECT id, CAST(SUM(v) AS BIGINT) AS px_sum,
+      |             CAST(SUM(CASE WHEN v = 255 THEN 1 ELSE 0 END) AS BIGINT) AS clip_cnt,
+      |             CAST(SUM(v * (x + 1) * (3 * y + 7) * (c + 1)) AS BIGINT) AS wsum
+      |      FROM px GROUP BY id) m ON m.id = ids.id
+      |JOIN (SELECT id, CAST(SUM(v * (i + 1) * (3 * j + 7) * (c + 1)) AS BIGINT) AS rz_wsum
+      |      FROM rzv GROUP BY id) r ON r.id = ids.id
+      |ORDER BY img_id""".stripMargin
+
+  // ---------------------------------------------------------------- q294
+  /** Image near-dup dedup by dHash fingerprint: decode → grayscale →
+    * 9×8 box means → 64-bit difference hash (as a bit string), then ONE
+    * shuffle groups identical fingerprints — the same pattern at any
+    * size collides (a horizontal gradient is a horizontal gradient at
+    * 16×16 and 48×64), different patterns separate. Output: one row per
+    * duplicate GROUP (hash, group size, id span, sizes-in-group count)
+    * — the image analogue of the text-dedup cluster entries. */
+  def q294(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val png = PngCodec.encode(ImageOps.synth(sp.w, sp.h, sp.kind))
+        val img = PngCodec.decode(png)
+        (sp.id, ImageOps.dhash(img), s"${img.width}x${img.height}")
+      }
+      .toDF("img_id", "dhash", "dims")
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("img_id")).as("min_id"),
+        max(col("img_id")).as("max_id"),
+        countDistinct(col("dims")).as("n_dims"))
+      .filter(col("n_imgs") >= 2)
+      .orderBy(col("dhash"))
+  }
+
+  val q294Sql: String =
+    s"""WITH $pixelCte,
+      |gpx AS (
+      |  SELECT id, w, h, x, y,
+      |         CASE WHEN kind = 3 THEN SUM(v) // 3 ELSE SUM(v) END AS g
+      |  FROM px GROUP BY id, w, h, kind, x, y),
+      |boxes AS (
+      |  SELECT id, x * 9 // w AS bi, y * 8 // h AS bj,
+      |         SUM(g) // COUNT(*) AS m
+      |  FROM gpx GROUP BY id, x * 9 // w, y * 8 // h),
+      |bits AS (
+      |  SELECT l.id, l.bj, l.bi,
+      |         CASE WHEN l.m < r.m THEN '1' ELSE '0' END AS b
+      |  FROM boxes l JOIN boxes r
+      |    ON l.id = r.id AND l.bj = r.bj AND r.bi = l.bi + 1
+      |  WHERE l.bi < 8),
+      |hashes AS (
+      |  SELECT id, STRING_AGG(b, '' ORDER BY bj, bi) AS dhash,
+      |         ANY_VALUE(w) AS w, ANY_VALUE(h) AS h
+      |  FROM bits JOIN ids USING (id) GROUP BY id)
+      |SELECT dhash, COUNT(*) AS n_imgs, MIN(id) AS min_id, MAX(id) AS max_id,
+      |       COUNT(DISTINCT CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR)) AS n_dims
+      |FROM hashes GROUP BY dhash HAVING COUNT(*) >= 2
+      |ORDER BY dhash""".stripMargin
+
+  val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
+    "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))))
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.util.zip.{CRC32, Inflater}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.PngCodec
+import graft.io.PngCodec.Image
+import graft.ops.ImageOps
+
+/** PNG codec: roundtrip fidelity across color types and content shapes,
+  * filter coverage, CRC/structure validation, scope refusals. */
+class PngCodecSpec extends AnyFunSuite {
+
+  /** Deterministic LCG noise — worst case for filters, best for coverage. */
+  private def noise(w: Int, h: Int, ch: Int, seed: Long): Image = {
+    var s = seed
+    val px = Array.fill[Byte](w * h * ch) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33).toByte
+    }
+    Image(w, h, ch, px)
+  }
+
+  private def roundtrip(img: Image): Unit = {
+    val dec = PngCodec.decode(PngCodec.encode(img))
+    assert(dec.width == img.width && dec.height == img.height &&
+      dec.channels == img.channels)
+    assert(java.util.Arrays.equals(dec.pixels, img.pixels))
+  }
+
+  test("roundtrip: noise, every supported color type") {
+    roundtrip(noise(33, 17, 1, 1L))  // gray, odd dims
+    roundtrip(noise(24, 24, 3, 2L))  // RGB
+    roundtrip(noise(19, 31, 4, 3L))  // RGBA
+  }
+
+  test("roundtrip: structured content (gradients, checker, flat)") {
+    roundtrip(ImageOps.synth(48, 64, 0))
+    roundtrip(ImageOps.synth(16, 16, 1))
+    roundtrip(ImageOps.synth(40, 24, 2))
+    roundtrip(ImageOps.synth(33, 41, 3))
+    roundtrip(Image(7, 5, 3, Array.fill[Byte](7 * 5 * 3)(42)))
+    roundtrip(Image(1, 1, 1, Array[Byte](0))) // hmm: 1x1 is legal PNG
+  }
+
+  test("adaptive encoder exercises multiple filter types (decode proves them)") {
+    // mixed content: flat rows favor Up, gradients favor Sub, noise Paeth/None
+    val w = 32; val h = 24
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          (if (y < 8) 100                      // flat
+           else if (y < 16) x * 8              // gradient
+           else (x * 2654435761L >>> 28).toInt // noisy
+          ).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val img = Image(w, h, 1, px)
+    val png = PngCodec.encode(img)
+    roundtrip(img)
+    // parse the container in-test (public format): pull IDAT, inflate,
+    // collect the per-row filter bytes the adaptive heuristic chose
+    var pos = 8
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos < png.length) {
+      val len = ((png(pos) & 0xff) << 24) | ((png(pos + 1) & 0xff) << 16) |
+        ((png(pos + 2) & 0xff) << 8) | (png(pos + 3) & 0xff)
+      val typ = new String(png, pos + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(png, pos + 8, len)
+      pos += 12 + len
+    }
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((w + 1) * h)
+    var off = 0
+    while (!inf.finished() && off < raw.length)
+      off += inf.inflate(raw, off, raw.length - off)
+    val filters = (0 until h).map(y2 => raw(y2 * (w + 1)).toInt).toSet
+    assert(filters.size >= 3, s"expected ≥3 distinct filters, got $filters")
+  }
+
+  test("corrupted chunk CRC is rejected") {
+    val png = PngCodec.encode(noise(16, 16, 1, 7L))
+    val bad = png.clone()
+    bad(40) = (bad(40) ^ 0x01).toByte // inside IHDR data or IDAT
+    val e = intercept[IllegalArgumentException](PngCodec.decode(bad))
+    assert(e.getMessage.toLowerCase.contains("crc") ||
+      e.getMessage.toLowerCase.contains("bad"))
+  }
+
+  test("unsupported shapes are refused, never mis-decoded") {
+    // flip the interlace byte (IHDR data offset 12 → absolute 8+8+12=28)
+    // and restore the CRC so ONLY the scope check can object
+    val png = PngCodec.encode(noise(16, 16, 1, 9L))
+    def withIhdrByte(off: Int, v: Byte): Array[Byte] = {
+      val b = png.clone()
+      b(16 + off) = v
+      val crc = new CRC32()
+      crc.update(b, 12, 4 + 13) // type + IHDR data
+      val cv = crc.getValue.toInt
+      b(29) = (cv >>> 24).toByte; b(30) = (cv >>> 16).toByte
+      b(31) = (cv >>> 8).toByte; b(32) = cv.toByte
+      b
+    }
+    val e1 = intercept[IllegalArgumentException](
+      PngCodec.decode(withIhdrByte(12, 1))) // Adam7
+    assert(e1.getMessage.contains("interlac"))
+    val e2 = intercept[IllegalArgumentException](
+      PngCodec.decode(withIhdrByte(8, 16))) // 16-bit
+    assert(e2.getMessage.contains("bit depth"))
+    val e3 = intercept[IllegalArgumentException](
+      PngCodec.decode(withIhdrByte(9, 3))) // palette
+    assert(e3.getMessage.contains("palette"))
+    // bad signature
+    val sig = png.clone(); sig(0) = 0
+    intercept[IllegalArgumentException](PngCodec.decode(sig))
+  }
+
+  test("image kernels: integer contracts") {
+    // stats on a known tiny image
+    val img = Image(2, 2, 1, Array[Byte](0, 127.toByte, 255.toByte, 64))
+    val (sum, clip, wsum) = ImageOps.stats(img)
+    assert(sum == 0 + 127 + 255 + 64)
+    assert(clip == 1)
+    // wsum = Σ v(x+1)(3y+7)(c+1): (0,0)=0·1·7, (1,0)=127·2·7, (0,1)=255·1·10, (1,1)=64·2·10
+    assert(wsum == 127L * 2 * 7 + 255L * 10 + 64L * 2 * 10)
+    // nearest resize maps sx = i*w/W exactly
+    val rz = ImageOps.resizeNearest(img, 4, 2)
+    assert((rz.pixels(0) & 0xff) == 0 && (rz.pixels(1) & 0xff) == 0 &&
+      (rz.pixels(2) & 0xff) == 127 && (rz.pixels(3) & 0xff) == 127)
+    // dhash: horizontal gradient is all-ones at ANY size; vertical all-zeros
+    assert(ImageOps.dhash(ImageOps.synth(16, 16, 0)) == "1" * 64)
+    assert(ImageOps.dhash(ImageOps.synth(48, 64, 0)) == "1" * 64)
+    assert(ImageOps.dhash(ImageOps.synth(24, 40, 1)) == "0" * 64)
+  }
+}
