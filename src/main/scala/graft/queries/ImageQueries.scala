@@ -159,7 +159,76 @@ object ImageQueries {
       |FROM hashes GROUP BY dhash HAVING COUNT(*) >= 2
       |ORDER BY dhash""".stripMargin
 
+  // ---------------------------------------------------------------- q295
+  /** Baseline JPEG e2e — the LOSSY image class ([[graft.io.JpegCodec]]):
+    * a fixed 24-image corpus (same synthesis formulas, dir-independent
+    * like the audio e2e) encodes to real baseline JPEG (in-stream DQT +
+    * frequency-built DHT), decodes back, and reports integer metrics of
+    * the DECODED pixels plus the reconstruction-error envelope vs the
+    * source (max abs diff, sum of squared error). Lossy ⇒ the oracle is
+    * a frozen golden-VALUES literal (the q30/q268 discipline — decode is
+    * double-precision closed-form math, bit-deterministic on the JVM);
+    * JpegCodecSpec pins the exactness/boundedness claims behind it. */
+  def q295(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.range(0, 24).as[Long]
+      .map { id =>
+        val w = 16 + (id % 5).toInt * 8
+        val h = 16 + (id % 7).toInt * 8
+        val kind = (id % 4).toInt
+        val src = ImageOps.synth(w, h, kind)
+        val jpg = graft.io.JpegCodec.encode(src)
+        val dec = graft.io.JpegCodec.decode(jpg)
+        val (sum, _, wsum) = ImageOps.stats(dec)
+        var maxDiff = 0L; var sse = 0L
+        var i = 0
+        while (i < src.pixels.length) {
+          val dd = ((src.pixels(i) & 0xff) - (dec.pixels(i) & 0xff)).toLong
+          if (math.abs(dd) > maxDiff) maxDiff = math.abs(dd)
+          sse += dd * dd
+          i += 1
+        }
+        (id, dec.width, dec.height, dec.channels, sum, wsum, maxDiff, sse)
+      }
+      .toDF("img_id", "w", "h", "ch", "px_sum", "wsum", "max_diff", "sse")
+      .orderBy(col("img_id"))
+  }
+
+  /** Golden literal oracle (GoldenDump --q295), frozen like q30Sql. Note
+    * the checkerboard images (kind 2: ids 2,6,10,...) decode EXACTLY
+    * (max_diff=0): their 8-px squares align with JPEG's 8×8 block grid,
+    * so every block is flat — the DC-only exactness JpegCodecSpec pins. */
+  val q295Sql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 16, 16, 1, CAST(32640 AS BIGINT), CAST(10904144 AS BIGINT), CAST(3 AS BIGINT), CAST(512 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 24, 24, 1, CAST(73344 AS BIGINT), CAST(49500600 AS BIGINT), CAST(2 AS BIGINT), CAST(888 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 32, 32, 1, CAST(130560 AS BIGINT), CAST(108984960 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 40, 40, 3, CAST(602615 AS BIGINT), CAST(1871899569 AS BIGINT), CAST(6 AS BIGINT), CAST(11537 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 48, 48, 1, CAST(292944 AS BIGINT), CAST(742032120 AS BIGINT), CAST(2 AS BIGINT), CAST(1632 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), 16, 56, 1, CAST(113792 AS BIGINT), CAST(114157856 AS BIGINT), CAST(2 AS BIGINT), CAST(528 AS BIGINT)),
+      |  (CAST(6 AS BIGINT), 24, 64, 1, CAST(195840 AS BIGINT), CAST(258264000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(7 AS BIGINT), 32, 16, 3, CAST(195472 AS BIGINT), CAST(209974820 AS BIGINT), CAST(5 AS BIGINT), CAST(4498 AS BIGINT)),
+      |  (CAST(8 AS BIGINT), 40, 24, 1, CAST(122112 AS BIGINT), CAST(138535632 AS BIGINT), CAST(1 AS BIGINT), CAST(432 AS BIGINT)),
+      |  (CAST(9 AS BIGINT), 48, 32, 1, CAST(195120 AS BIGINT), CAST(335191752 AS BIGINT), CAST(2 AS BIGINT), CAST(1056 AS BIGINT)),
+      |  (CAST(10 AS BIGINT), 16, 40, 1, CAST(81600 AS BIGINT), CAST(49706640 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(11 AS BIGINT), 24, 48, 3, CAST(439366 AS BIGINT), CAST(1010894833 AS BIGINT), CAST(8 AS BIGINT), CAST(13150 AS BIGINT)),
+      |  (CAST(12 AS BIGINT), 32, 56, 1, CAST(227584 AS BIGINT), CAST(448774480 AS BIGINT), CAST(1 AS BIGINT), CAST(728 AS BIGINT)),
+      |  (CAST(13 AS BIGINT), 40, 64, 1, CAST(325120 AS BIGINT), CAST(893790160 AS BIGINT), CAST(1 AS BIGINT), CAST(240 AS BIGINT)),
+      |  (CAST(14 AS BIGINT), 48, 16, 1, CAST(97920 AS BIGINT), CAST(66071520 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(15 AS BIGINT), 16, 24, 3, CAST(146538 AS BIGINT), CAST(127535400 AS BIGINT), CAST(8 AS BIGINT), CAST(4946 AS BIGINT)),
+      |  (CAST(16 AS BIGINT), 24, 32, 1, CAST(97792 AS BIGINT), CAST(87178464 AS BIGINT), CAST(2 AS BIGINT), CAST(864 AS BIGINT)),
+      |  (CAST(17 AS BIGINT), 32, 40, 1, CAST(162816 AS BIGINT), CAST(231054912 AS BIGINT), CAST(1 AS BIGINT), CAST(576 AS BIGINT)),
+      |  (CAST(18 AS BIGINT), 40, 48, 1, CAST(244800 AS BIGINT), CAST(400970160 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(19 AS BIGINT), 48, 56, 3, CAST(1025817 AS BIGINT), CAST(5281961390 AS BIGINT), CAST(6 AS BIGINT), CAST(14833 AS BIGINT)),
+      |  (CAST(20 AS BIGINT), 16, 64, 1, CAST(130560 AS BIGINT), CAST(150070592 AS BIGINT), CAST(3 AS BIGINT), CAST(2048 AS BIGINT)),
+      |  (CAST(21 AS BIGINT), 24, 16, 1, CAST(48960 AS BIGINT), CAST(23234400 AS BIGINT), CAST(2 AS BIGINT), CAST(384 AS BIGINT)),
+      |  (CAST(22 AS BIGINT), 32, 24, 1, CAST(97920 AS BIGINT), CAST(72468960 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(23 AS BIGINT), 40, 32, 3, CAST(488700 AS BIGINT), CAST(1267100311 AS BIGINT), CAST(6 AS BIGINT), CAST(8604 AS BIGINT))
+      |) t(img_id, w, h, ch, px_sum, wsum, max_diff, sse)
+      |ORDER BY img_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
-    "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))))
+    "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),
+    "q295_image_jpeg_e2e" -> ((q295 _, Some(q295Sql))))
 }
