@@ -227,8 +227,67 @@ object ImageQueries {
       |) t(img_id, w, h, ch, px_sum, wsum, max_diff, sse)
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q296
+  /** VIDEO leg of the multimodal family ([[graft.io.AviMjpeg]]): six
+    * fixed MJPEG-in-AVI clips (per-frame baseline JPEGs of the synthesis
+    * formulas, kind cycling per frame), muxed → demuxed → FRAME-SAMPLED
+    * (every 3rd frame — the op that makes video tractable at 100 TB:
+    * demux walks metadata-sized chunk headers, decode is paid only for
+    * kept frames) → decoded → integer metrics per sampled frame. Golden
+    * oracle (lossy JPEG inside), frozen via GoldenDump --q296. */
+  def q296(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.range(0, 6).as[Long]
+      .flatMap { vid =>
+        val w = 16 + (vid % 3).toInt * 16
+        val h = 16 + (vid % 2).toInt * 8
+        val nFrames = 8 + (vid % 5).toInt
+        val frames = Vector.tabulate(nFrames)(f =>
+          graft.io.JpegCodec.encode(ImageOps.synth(w, h, ((vid + f) % 4).toInt)))
+        val avi = graft.io.AviMjpeg.mux(graft.io.AviMjpeg.Video(w, h, 24, frames))
+        val video = graft.io.AviMjpeg.demux(avi)
+        graft.io.AviMjpeg.sampleFrames(video, 3).map { case (idx, jpg) =>
+          val img = graft.io.JpegCodec.decode(jpg)
+          val (sum, _, wsum) = ImageOps.stats(img)
+          (vid, idx, video.width, video.height, video.fps,
+            video.frames.length, img.channels, sum, wsum)
+        }
+      }
+      .toDF("vid", "frame_idx", "w", "h", "fps", "n_frames", "ch",
+        "px_sum", "wsum")
+      .orderBy(col("vid"), col("frame_idx"))
+  }
+
+  /** Golden literal oracle (GoldenDump --q296), frozen like q295Sql. */
+  val q296Sql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 0, 16, 16, 24, 8, 1, CAST(32640 AS BIGINT), CAST(10904144 AS BIGINT)),
+      |  (CAST(0 AS BIGINT), 3, 16, 16, 24, 8, 3, CAST(97917 AS BIGINT), CAST(51817126 AS BIGINT)),
+      |  (CAST(0 AS BIGINT), 6, 16, 16, 24, 8, 1, CAST(32640 AS BIGINT), CAST(6617760 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 0, 32, 24, 24, 9, 1, CAST(97792 AS BIGINT), CAST(87121056 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 3, 32, 24, 24, 9, 1, CAST(97536 AS BIGINT), CAST(89181840 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 6, 32, 24, 24, 9, 3, CAST(292975 AS BIGINT), CAST(480129131 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 0, 48, 16, 24, 10, 1, CAST(97920 AS BIGINT), CAST(66071520 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 3, 48, 16, 24, 10, 1, CAST(97920 AS BIGINT), CAST(91078848 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 6, 48, 16, 24, 10, 1, CAST(97648 AS BIGINT), CAST(94150312 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 9, 48, 16, 24, 10, 3, CAST(292703 AS BIGINT), CAST(473760994 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 0, 16, 24, 24, 11, 3, CAST(146538 AS BIGINT), CAST(127535400 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 3, 16, 24, 24, 11, 1, CAST(48960 AS BIGINT), CAST(19979760 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 6, 16, 24, 24, 11, 1, CAST(48896 AS BIGINT), CAST(22440272 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 9, 16, 24, 24, 11, 1, CAST(48960 AS BIGINT), CAST(23009592 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 0, 32, 16, 24, 12, 1, CAST(65024 AS BIGINT), CAST(42262880 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 3, 32, 16, 24, 12, 3, CAST(195472 AS BIGINT), CAST(209974820 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 6, 32, 16, 24, 12, 1, CAST(65280 AS BIGINT), CAST(28641600 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 9, 32, 16, 24, 12, 1, CAST(65280 AS BIGINT), CAST(40892544 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), 0, 48, 24, 24, 8, 1, CAST(146688 AS BIGINT), CAST(194042352 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), 3, 48, 24, 24, 8, 1, CAST(146472 AS BIGINT), CAST(198673116 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), 6, 48, 24, 24, 8, 3, CAST(439361 AS BIGINT), CAST(1057715413 AS BIGINT))
+      |) t(vid, frame_idx, w, h, fps, n_frames, ch, px_sum, wsum)
+      |ORDER BY vid, frame_idx""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
     "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),
-    "q295_image_jpeg_e2e" -> ((q295 _, Some(q295Sql))))
+    "q295_image_jpeg_e2e" -> ((q295 _, Some(q295Sql))),
+    "q296_video_mjpeg_e2e" -> ((q296 _, Some(q296Sql))))
 }
