@@ -964,6 +964,56 @@ object PlanCheck {
       if (!ok2) { failures += 1; println(pq.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n")) }
     }
 
+    // ----------------------------------------------------------------
+    // SQL DML lowering (q292): the optimizer must rewrite all three DML
+    // statements on a catalog table into graft commands — asserted on
+    // the OPTIMIZED plan without executing (CommandExecutionMode.SKIP),
+    // so this pins the lowering itself: had it not fired, the planner
+    // would throw "table does not support deletes" at 100 TB just as at
+    // 10 rows.
+    // ----------------------------------------------------------------
+    {
+      graft.plans.SqlDml.ensure(spark)
+      val wh = java.nio.file.Files.createTempDirectory("graft_pc_dml").toString
+      spark.conf.set("spark.sql.catalog.gdml", classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gdml.db")
+      spark.sql("CREATE TABLE gdml.db.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO gdml.db.t VALUES (1, 1.0), (2, 2.0)")
+      def lowered(sql: String) =
+        spark.sessionState.executePlan(
+          spark.sessionState.sqlParser.parsePlan(sql),
+          org.apache.spark.sql.execution.CommandExecutionMode.SKIP).optimizedPlan
+      val okD = lowered("DELETE FROM gdml.db.t WHERE k = 1")
+        .isInstanceOf[graft.plans.GraftDeleteCommand]
+      val okU = lowered("UPDATE gdml.db.t SET v = v + 1 WHERE k = 2")
+        .isInstanceOf[graft.plans.GraftUpdateCommand]
+      val okM = lowered("""MERGE INTO gdml.db.t USING (SELECT 2 AS k, 9.0 AS nv) s
+          ON gdml.db.t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.nv
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+        .isInstanceOf[graft.plans.GraftMergeCommand]
+      val ok = okD && okU && okM
+      rec("q292_dml_lowering",
+        "DELETE/UPDATE/MERGE optimize to graft commands (D/U/M = " +
+          s"$okD/$okU/$okM)", ok)
+      if (!ok) failures += 1
+    }
+
+    // image multimodal shapes: codecs are map-side work, dedup pays ONE
+    // keyed shuffle — the plan must show exactly that
+    check("q293_image_png_e2e", "map-only codec path: no hash shuffle (sort exchange only)")(p =>
+      !p.contains("Exchange hashpartitioning"))
+    // countDistinct(dims) expands to Spark's standard two-phase distinct
+    // aggregate: one exchange on (dhash, dims), one on (dhash) — BOTH
+    // keyed fingerprint-first with map-side partials, never a global one
+    check("q294_image_dedup_dhash", "every exchange keyed fingerprint-first, partial agg before each")(p => {
+      val hashEx = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
+      hashEx.nonEmpty && hashEx.size <= 2 &&
+        hashEx.forall(_.contains("hashpartitioning(dhash")) &&
+        p.contains("partial_")
+    })
+
     println(if (failures == 0) "== all plan checks passed ==" else s"== $failures FAILED ==")
     // optional 2nd arg: persist the run as a diffable JSON artifact
     args.drop(1).headOption.foreach { out =>
