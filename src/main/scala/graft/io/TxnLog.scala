@@ -1330,11 +1330,12 @@ object TxnLog {
     * version won (unchanged if nothing matched). */
   def updateWhere(spark: SparkSession, dir: String,
                   set: Seq[(String, Column)], cond: Column,
-                  isolation: Isolation = Isolation.Rederive): Long = {
+                  isolation: Isolation = Isolation.Rederive,
+                  widenTo: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET expression")
     require(set.map(_._1).distinct.size == set.size,
       "updateWhere assigns a column twice")
-    rewriteWhere(spark, dir, cond, isolation, "updateWhere") { (df, hit) =>
+    rewriteWhere(spark, dir, cond, isolation, "updateWhere", widenTo) { (df, hit) =>
       val bySet = set.toMap
       val types = df.schema.map(f => f.name -> f.dataType).toMap
       require(bySet.keySet.subsetOf(types.keySet),
@@ -1348,13 +1349,37 @@ object TxnLog {
     }
   }
 
+  /** Serve a file slice at the caller's declared schema (`widenTo` — the
+    * catalog's view after a metadata-only ADD COLUMN): files read with
+    * footer merging (some may already store the column, some predate
+    * it), columns no file stores fill NULL, output order = declared
+    * order. Without `widenTo` the slice serves raw. */
+  private def widenSlice(df: DataFrame,
+                         widenTo: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    widenTo match {
+      case None => df
+      case Some(s) =>
+        val have = df.columns.toSet
+        df.select(s.fields.toSeq.map(f =>
+          if (have.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)) ++
+          df.columns.toSeq.filterNot(s.fieldNames.contains).map(col): _*)
+    }
+
   /** Shared skeleton of [[deleteWhere]]/[[updateWhere]]: find the files a
     * predicate touches, rewrite only them through `transform` (which sees
     * the null-safe hit column), exchange. */
   private def rewriteWhere(spark: SparkSession, dir: String, cond: Column,
-                           isolation: Isolation, op: String)
+                           isolation: Isolation, op: String,
+                           widenTo: Option[org.apache.spark.sql.types.StructType] = None)
                           (transform: (DataFrame, Column) => DataFrame): Long = {
     val hit = coalesce(cond, lit(false))
+    // post-ADD-COLUMN tables mix file schemas: merge footers so no file's
+    // stored values are silently dropped by single-footer inference
+    def readFiles(paths: Seq[String]) = widenTo match {
+      case Some(_) => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
     while (true) {
       val base = currentVersion(dir)
       val snap = snapshotAt(dir, base)
@@ -1362,13 +1387,14 @@ object TxnLog {
       if (snap.dvs.nonEmpty || snap.scoped.nonEmpty ||
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
           snap.files.exists(f => f.startsWith("@") || f.count(_ == '/') != 1))
-        return replaceCommitValidated(spark, dir)(cur => transform(cur, hit))
-      val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
+        return replaceCommitValidated(spark, dir)(cur =>
+          transform(widenSlice(cur, widenTo), hit))
+      val withFile = widenSlice(readFiles(snap.files.map(resolve(dir, _))), widenTo)
         .withColumn("__rel", substring_index(input_file_name(), "/", -2))
       val touched = withFile.filter(hit)
         .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
       if (touched.isEmpty) return base
-      val slice = spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
+      val slice = widenSlice(readFiles(touched.map(resolve(dir, _))), widenTo)
       val rewritten = transform(slice, hit).localCheckpoint()
       val (relFiles, body) =
         if (rewritten.isEmpty) (None, touched.map("-" + _).toVector)

@@ -69,8 +69,15 @@ object SqlDml extends Rule[LogicalPlan] {
           case Assignment(k: AttributeReference, v) if !v.semanticEquals(k) =>
             names(k.exprId) -> toCol(v, names)
         }
+        // the statement's resolved schema rides along: after a
+        // metadata-only ADD COLUMN the touched files may predate the
+        // column, and the rewrite must serve (and write) the table's
+        // declared width — this is how `UPDATE ... SET newcol = ...`
+        // BACKFILLS a column added without rewriting anything
+        val declared = org.apache.spark.sql.types.StructType(target.output.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
         GraftUpdateCommand(tbl.tableDir, sets,
-          cond.map(toCol(_, names)).getOrElse(lit(true)))
+          cond.map(toCol(_, names)).getOrElse(lit(true)), declared)
       }
     case m: MergeIntoTable =>
       graftTable(m.targetTable).fold(plan) { tbl =>
@@ -232,12 +239,16 @@ case class GraftDeleteCommand(dir: String, cond: Column)
   }
 }
 
-/** `UPDATE <graft table> SET ... WHERE p` — file-granular CoW update. */
+/** `UPDATE <graft table> SET ... WHERE p` — file-granular CoW update,
+  * serving (and writing) the statement's declared schema so it can
+  * backfill metadata-added columns. */
 case class GraftUpdateCommand(dir: String, set: Seq[(String, Column)],
-                              cond: Column)
+                              cond: Column,
+                              declared: org.apache.spark.sql.types.StructType)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    if (set.nonEmpty) TxnLog.updateWhere(session, dir, set, cond)
+    if (set.nonEmpty)
+      TxnLog.updateWhere(session, dir, set, cond, widenTo = Some(declared))
     Seq.empty
   }
 }

@@ -181,7 +181,79 @@ object CatalogOps {
       |  FROM (VALUES ('A', 1), ('A', 2), ('X', 3), ('X', 4), ('X', 5)) h(a, v))
       |SELECT * FROM faces ORDER BY face, pri, n""".stripMargin
 
+  /** q297 — SQL SCHEMA EVOLUTION through the catalog: the full lifecycle
+    * as `spark.sql` statements.
+    *
+    *   v1,v2  INSERT two slices                      (narrow schema)
+    *   —      ALTER TABLE ADD COLUMNS (tier STRING)  — METADATA-ONLY:
+    *          zero files rewritten, existing rows read NULL (face
+    *          `added` pins the count, captured eagerly at this point)
+    *   v3     UPDATE SET tier = CASE ...             — the BACKFILL: the
+    *          file-granular CoW update serves the table's declared width
+    *          over files that predate the column (mergeSchema + NULL
+    *          fill), writes it back materialized
+    *   v4     INSERT a third slice WITH tier         (wide writes land)
+    *   v5     ALTER TABLE RENAME COLUMN o_totalprice TO amount — an
+    *          `M rename` column-mapping commit, zero files move; the SQL
+    *          scan now REFUSES (reader-version discipline) until
+    *   v6     TxnLog.compact materializes the mapping (the maintenance
+    *          window op), after which face `final` reads the renamed,
+    *          backfilled, widened table — all three evolution steps
+    *          composed, hash-gated relationally. */
+  def q297(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    graft.plans.SqlDml.ensure(s)
+    val wh = java.nio.file.Files.createTempDirectory("graft_q297_wh").toString
+    s.conf.set("spark.sql.catalog.gevo", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gevo.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gevo.db")
+    s.sql("CREATE TABLE gevo.db.ord (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    def ins(m8: Int): Unit = {
+      s.sql(s"""INSERT INTO gevo.db.ord
+        SELECT o_orderkey, o_totalprice
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 8 = $m8"""); ()
+    }
+    ins(0); ins(4)                                                    // v1 v2
+    s.sql("ALTER TABLE gevo.db.ord ADD COLUMNS (tier STRING)")        // metadata
+    val addedNull = s.sql(
+      "SELECT COUNT(*) AS n FROM gevo.db.ord WHERE tier IS NULL").head().getLong(0)
+    s.sql("""UPDATE gevo.db.ord SET tier =
+      CASE WHEN o_totalprice >= 150000 THEN 'hi' ELSE 'lo' END""")    // v3
+    s.sql(s"""INSERT INTO gevo.db.ord
+      SELECT o_orderkey, o_totalprice, 'new'
+      FROM parquet.`$d/orders.parquet`
+      WHERE o_orderkey % 8 = 2 AND o_orderkey % 3 = 0""")             // v4
+    s.sql("ALTER TABLE gevo.db.ord RENAME COLUMN o_totalprice TO amount") // v5 M
+    TxnLog.compact(s, s"$wh/db/ord")                                  // v6 R
+    s.sql(s"""SELECT 'added' AS face, 'all' AS tier,
+        CAST($addedNull AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_amt""")
+      .unionByName(s.sql(
+        """SELECT 'final' AS face, tier, COUNT(*) AS n,
+           CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amt
+           FROM gevo.db.ord GROUP BY tier"""))
+      .orderBy(col("face"), col("tier"))
+  }
+
+  val q297Sql: String =
+    """WITH v2 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 8 IN (0, 4)),
+      |v4 AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         CASE WHEN o_totalprice >= 150000 THEN 'hi' ELSE 'lo' END AS tier
+      |  FROM v2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'new' FROM orders
+      |  WHERE o_orderkey % 8 = 2 AND o_orderkey % 3 = 0)
+      |SELECT 'added' AS face, 'all' AS tier,
+      |       (SELECT COUNT(*) FROM v2) AS n, CAST(NULL AS DOUBLE) AS sum_amt
+      |UNION ALL
+      |SELECT 'final', tier, COUNT(*),
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM v4 GROUP BY tier
+      |ORDER BY face, tier""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),
-    "q292_sql_dml" -> ((q292 _, Some(q292Sql))))
+    "q292_sql_dml" -> ((q292 _, Some(q292Sql))),
+    "q297_sql_schema_evolution" -> ((q297 _, Some(q297Sql))))
 }

@@ -148,10 +148,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(dir, s"$catName.${ident.toString}", None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use TxnLog.renameColumn/dropColumn (column mapping) — " +
-        "snapshots with pending mapping actions are served by the Scala reader")
+  /** SQL schema evolution (round 10):
+    *
+    *   - `ADD COLUMNS` is METADATA-ONLY: the served schema (persisted as
+    *     `_txnlog/_schema.json`) widens; existing files simply don't
+    *     store the column and reconcile to NULL by name on read — the
+    *     Delta/autoMerge property that adding a column never rewrites
+    *     100 TB. Scope: top-level nullable columns; the schema lives in
+    *     the CATALOG (not versioned through the log), the documented
+    *     Hive-metastore-style contract — time travel pins DATA, the
+    *     widened schema serves every version (old snapshots read NULL).
+    *   - `RENAME/DROP COLUMN` delegate to the txn log's column mapping
+    *     (`M rename`/`M drop` commits — metadata-only, zero files move);
+    *     the SQL scan then refuses until a rewrite materializes the
+    *     mapping (`TxnLog.compact` — the reader-version discipline), and
+    *     the stored DDL schema is kept in sync so the post-compact
+    *     catalog schema is the renamed one. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    def persist(s: StructType): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_txnlog", "_schema.json"),
+        s.json.getBytes("UTF-8")); ()
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported (top-level columns only)")
+        require(a.isNullable,
+          "ADD COLUMN must be nullable: existing rows fill NULL")
+        val name = a.fieldNames()(0)
+        val cur = new GraftSqlTable(dir, ident.toString, None).schema
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        persist(cur.add(name, a.dataType(), nullable = true))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
+        val old = r.fieldNames()(0)
+        TxnLog.renameColumn(dir, old, r.newName)
+        GraftSqlTable.storedSchema(dir).foreach(s => persist(StructType(
+          s.fields.map(f => if (f.name == old) f.copy(name = r.newName) else f))))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested DROP COLUMN is not supported")
+        TxnLog.dropColumn(dir, d.fieldNames()(0))
+        GraftSqlTable.storedSchema(dir).foreach(s => persist(StructType(
+          s.fields.filterNot(_.name == d.fieldNames()(0)))))
+      case c => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported: $c")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
@@ -243,10 +290,23 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
 
   override def name(): String = ident
 
+  /** Files-inferred schema reconciled with the stored DDL schema: stored
+    * fields lead (in DDL order — they may include metadata-only ADDed
+    * columns no file stores yet), physical fields the DDL doesn't know
+    * (e.g. a Scala-side `merge(evolveSchema)` widened past the catalog)
+    * append after. */
   override lazy val schema: StructType = {
     val (_, files, _) = TxnLog.fileScanPlan(dir, asOf)
-    if (files.nonEmpty) TxnLog.read(spark, dir, asOf).schema
-    else GraftSqlTable.storedSchema(dir).getOrElse(new StructType())
+    val inferred =
+      if (files.nonEmpty) Some(TxnLog.read(spark, dir, asOf).schema) else None
+    (GraftSqlTable.storedSchema(dir), inferred) match {
+      case (Some(st), Some(inf)) =>
+        StructType(st.fields ++
+          inf.fields.filterNot(f => st.fieldNames.contains(f.name)))
+      case (Some(st), None) => st
+      case (None, Some(inf)) => inf
+      case (None, None) => new StructType()
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
