@@ -252,8 +252,86 @@ object CatalogOps {
       |FROM v4 GROUP BY tier
       |ORDER BY face, tier""".stripMargin
 
+  /** q298 — the NAME-ADDRESSED streaming pipeline: both ends of a
+    * Structured Streaming query resolve through the catalog —
+    * `spark.readStream.table("gst.db.src")` (the catalog table's scan
+    * now serves `toMicroBatchStream`: the txn-log version axis, one
+    * commit per trigger here) → filter/project → `writeStream.toTable
+    * ("gst.db.dst")` (the DSv2 streaming sink with atomic epoch commits
+    * under exactly-once txn markers) — q288's machinery with ZERO
+    * format/path strings; tables are created, written and read as SQL
+    * names. Two drives (second catches up with the source's second
+    * INSERT), then q285's replay probe: the checkpoint's last commit
+    * record is deleted and the stream restarted — the re-executed epoch
+    * finds its txn marker and registers NOTHING. Faces: the dst rollup
+    * (nothing lost, nothing duplicated) and the dst action ledger
+    * (exactly 2 `T` epochs despite the replay). */
+  def q298(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q298_wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q298_ckpt").toString
+    s.conf.set("spark.sql.catalog.gst", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gst.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gst.db")
+    s.sql("CREATE TABLE gst.db.src (event_id BIGINT, event_type STRING, value DOUBLE)")
+    s.sql("CREATE TABLE gst.db.dst (event_id BIGINT, event_type STRING, v2 DOUBLE)")
+    def ins(m4: Int): Unit = {
+      s.sql(s"""INSERT INTO gst.db.src
+        SELECT event_id, event_type, value
+        FROM parquet.`$d/events.parquet` WHERE event_id % 4 = $m4"""); ()
+    }
+    def drive(): Unit = {
+      val q = s.readStream.option("maxVersionsPerTrigger", "1")
+        .table("gst.db.src")
+        .filter(col("event_type") =!= "view")
+        .select(col("event_id"), col("event_type"),
+          (col("value") * 2.0).as("v2")) // *2: IEEE-exact
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .toTable("gst.db.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    ins(0)  // src v1
+    drive() // epoch 0
+    ins(2)  // src v2
+    drive() // epoch 1
+    // q285's exactly-once probe, through the NAME-addressed path
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
+    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve(s".${java.nio.file.Paths.get(last).getFileName}.crc"))
+    drive() // replayed epoch registers nothing
+    val dstDir = s"$wh/db/dst"
+    val actions = TxnLog.history(s, dstDir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    s.sql(s"""SELECT CAST(0 AS BIGINT) AS face, '$actions' AS event_type,
+        CAST(${TxnLog.currentVersion(dstDir)} AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS sum_v2""")
+      .unionByName(s.sql(
+        """SELECT CAST(1 AS BIGINT) AS face, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(v2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_v2
+           FROM gst.db.dst GROUP BY event_type"""))
+      .orderBy(col("face"), col("event_type"))
+  }
+
+  val q298Sql: String =
+    """SELECT CAST(0 AS BIGINT) AS face, 'TT' AS event_type,
+      |       CAST(2 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_v2
+      |UNION ALL
+      |SELECT 1, event_type, COUNT(*),
+      |       CAST(SUM(CAST(value * 2 AS DECIMAL(18,6))) AS DOUBLE)
+      |FROM events WHERE event_id % 2 = 0 AND event_type <> 'view'
+      |GROUP BY event_type
+      |ORDER BY face, event_type""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),
     "q292_sql_dml" -> ((q292 _, Some(q292Sql))),
-    "q297_sql_schema_evolution" -> ((q297 _, Some(q297Sql))))
+    "q297_sql_schema_evolution" -> ((q297 _, Some(q297Sql))),
+    "q298_catalog_stream_pipeline" -> ((q298 _, Some(q298Sql))))
 }

@@ -311,8 +311,17 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
+  /** Batch scans delegate to Spark's DSv2 parquet builder untouched (the
+    * bridge wrapper forwards every pushdown mixin), and the SAME built
+    * scan serves `spark.readStream.table(...)`: `toMicroBatchStream`
+    * hands the pruned schema to the txn-log micro-batch source (appends
+    * per commit version; `maxVersionsPerTrigger`/`startingVersion`/
+    * `ignoreChanges` read options apply; the change-feed mode stays on
+    * the format-based source — its extra `_change_*` columns don't fit a
+    * catalog table's fixed resolution schema). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (v, files, plain) = TxnLog.fileScanPlan(dir, asOf)
     require(plain,
@@ -331,8 +340,18 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
       options.asScala.toMap ++
         (if (parted.nonEmpty) Map("basePath" -> dir) else Map.empty)
     val csm = new CaseInsensitiveStringMap(opts.asJava)
-    ParquetTable(ident, spark, csm, files.toList, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(csm)
+    val parquetBuilder = ParquetTable(ident, spark, csm, files.toList,
+      Some(schema), classOf[ParquetFileFormat]).newScanBuilder(csm)
+    new org.apache.spark.sql.graftbridge.StreamCapableScanBuilder(
+      parquetBuilder,
+      (prunedSchema, _) => {
+        require(asOf.isEmpty, s"cannot stream from time-travel snapshot $ident")
+        new TxnMicroBatchStream(dir, prunedSchema,
+          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+            .getOrElse(Long.MaxValue),
+          Option(options.get("ignoreChanges")).exists(_.toBoolean))
+      })
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -351,6 +370,15 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
               TxnLog.commit(data, dir, replace = replace || overwrite); ()
             }
           }
+        // `writeStream.toTable(...)`: the executor-parquet streaming sink
+        // with atomic epoch commits under exactly-once txn markers — the
+        // q285/q288 machinery, reached by table NAME instead of format +
+        // path. (Streaming writes carry the sink's flat-primitive type
+        // scope; the V1 batch bridge above keeps the full type surface.)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!replace, "streaming writes append; OVERWRITE is batch-only")
+          new TxnStreamingWrite(dir, info.schema(), info.queryId())
+        }
       }
     }
   }
