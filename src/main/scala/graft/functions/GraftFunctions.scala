@@ -64,6 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectOptimizerRule(_ => graft.plans.SqlDml)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,0 +1,130 @@
+package graft.plans
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.io.TxnLog
+import graft.sources.{GraftCatalog, GraftSqlTable}
+
+/** MAINTENANCE SQL — `OPTIMIZE` and `VACUUM` statements (the Delta
+  * parser-extension pattern: a thin front parser claims ONLY the two
+  * statements Spark's grammar doesn't have, everything else delegates to
+  * the session parser untouched):
+  *
+  *   OPTIMIZE <cat>.<db>.<t>                      → clustered tables
+  *     re-cluster INCREMENTALLY (q291's new-files-only rewrite);
+  *     unclustered tables compact (content-identity replace)
+  *   OPTIMIZE <cat>.<db>.<t> ZORDER BY (x, y)     → the q267 Morton
+  *     rewrite + stats sidecar, from SQL text
+  *   VACUUM <cat>.<db>.<t> [RETAIN <n> VERSIONS]  → reclaim files below
+  *     the retention watermark; returns the reclaimed count
+  *
+  * Parsers are session-BUILD-time configuration (unlike optimizer rules
+  * there is no post-build hook), so the engine's own mains build their
+  * sessions with `spark.sql.extensions=graft.functions.GraftExtensions`;
+  * `newSession()` children inherit it. Table names resolve through the
+  * session's catalog manager at RUN time and must land on a graft
+  * catalog (three-part names; the statements are meaningless elsewhere). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeZorder(t, x, y) =>
+      GraftOptimizeCommand(split(t), Some((x, y)))
+    case Optimize(t) =>
+      GraftOptimizeCommand(split(t), None)
+    case VacuumRetain(t, n) =>
+      GraftVacuumCommand(split(t), n.toInt)
+    case Vacuum(t) =>
+      GraftVacuumCommand(split(t), 1)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  private def split(name: String): Seq[String] = name.split('.').toSeq
+
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+}
+
+object GraftSqlParser {
+  // anchored, case-insensitive, whitespace-tolerant; identifiers stay
+  // [A-Za-z0-9_] per the catalog's own path-safety constraint
+  private val id = """([\w.]+)"""
+  private[plans] val OptimizeZorder: Regex =
+    ("""(?is)^\s*OPTIMIZE\s+""" + id +
+      """\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$""").r
+  private[plans] val Optimize: Regex =
+    ("""(?is)^\s*OPTIMIZE\s+""" + id + """\s*;?\s*$""").r
+  private[plans] val VacuumRetain: Regex =
+    ("""(?is)^\s*VACUUM\s+""" + id + """\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""").r
+  private[plans] val Vacuum: Regex =
+    ("""(?is)^\s*VACUUM\s+""" + id + """\s*;?\s*$""").r
+
+  /** Resolve a three-part name through the session's catalog manager to
+    * the graft table's storage dir. */
+  private[plans] def dirOf(session: SparkSession, name: Seq[String]): String = {
+    require(name.length == 3,
+      s"maintenance statements need a fully-qualified <catalog>.<db>.<table> " +
+        s"name, got ${name.mkString(".")}")
+    val cat = session.sessionState.catalogManager.catalog(name.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"'${name.head}' is not a graft catalog (${other.getClass.getSimpleName}): " +
+          "OPTIMIZE/VACUUM apply to graft txn-log tables")
+    }
+    cat.loadTable(Identifier.of(Array(name(1)), name(2))) match {
+      case t: GraftSqlTable => t.tableDir
+      case other => throw new IllegalStateException(s"unexpected table $other")
+    }
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (x, y)]` — returns the version won. */
+case class GraftOptimizeCommand(name: Seq[String],
+                                zorder: Option[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    val v = zorder match {
+      case Some((x, y)) =>
+        TxnLog.optimizeZorder(session, dir, x, y, numFiles = 16, tieCols = Nil)
+      case None => TxnLog.clusteringOf(dir) match {
+        case Some(_) => TxnLog.optimizeClustered(session, dir, numFiles = 8)
+        case None    => TxnLog.compact(session, dir)
+      }
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` — returns the reclaimed-file count. */
+case class GraftVacuumCommand(name: Seq[String], retainVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("reclaimed", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    Seq(Row(TxnLog.vacuum(dir, retainVersions).size.toLong))
+  }
+}

@@ -329,9 +329,80 @@ object CatalogOps {
       |GROUP BY event_type
       |ORDER BY face, event_type""".stripMargin
 
+  /** q299 — MAINTENANCE SQL ([[graft.plans.GraftSqlParser]], the Delta
+    * parser-extension pattern): `OPTIMIZE`, `OPTIMIZE ... ZORDER BY` and
+    * `VACUUM ... RETAIN n VERSIONS` as statements. Lifecycle: three
+    * INSERTs (v1–v3), a file-granular SQL DELETE (v4 `X`), `OPTIMIZE`
+    * (compact, v5 `R`), `OPTIMIZE ZORDER BY (x, y)` (Morton rewrite +
+    * stats sidecar, v6 `R`), then `VACUUM RETAIN 1 VERSIONS`. Faces:
+    *   - `ledger:AAAXRR` — the action sequence + final version (every
+    *     statement routed to the right commit class)
+    *   - `prune` — post-ZORDER, a narrow x-range scan plans FEWER files
+    *     than the visible set (the sidecar is live), stated as a boolean
+    *   - `rollup` — the table AFTER optimize+vacuum still equals the
+    *     relational restatement (maintenance is content-identity; vacuum
+    *     reclaimed ≥1 file, also a boolean face) */
+  def q299(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession() // inherits the session extensions (parser)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q299_wh").toString
+    s.conf.set("spark.sql.catalog.gmt", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gmt.warehouse", wh)
+    graft.plans.SqlDml.ensure(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gmt.db")
+    s.sql("CREATE TABLE gmt.db.t (ok BIGINT, x BIGINT, y BIGINT)")
+    def ins(m48: Int): Unit = {
+      s.sql(s"""INSERT INTO gmt.db.t
+        SELECT l_orderkey, l_partkey, l_suppkey
+        FROM parquet.`$d/lineitem.parquet` WHERE l_orderkey % 48 = $m48"""); ()
+    }
+    ins(0); ins(16); ins(32)                                  // v1 v2 v3
+    s.sql("DELETE FROM gmt.db.t WHERE x % 5 = 0")             // v4 X
+    s.sql("OPTIMIZE gmt.db.t").collect()                      // v5 R (compact)
+    s.sql("OPTIMIZE gmt.db.t ZORDER BY (x, y)").collect()     // v6 R + sidecar
+    val reclaimed = s.sql("VACUUM gmt.db.t RETAIN 1 VERSIONS").head().getLong(0)
+    val dir = s"$wh/db/t"
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    val pruned = TxnLog.scanPruned(s, dir, "x", 1L, 40L)
+    val prunedLess = pruned.plannedFiles < pruned.totalFiles
+    s.sql(s"""SELECT 'ledger:$actions' AS face,
+        CAST(${TxnLog.currentVersion(dir)} AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS sum_xy""")
+      .unionByName(s.sql(s"""SELECT 'prune' AS face,
+        CAST(${if (prunedLess) 1 else 0} AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS sum_xy"""))
+      .unionByName(s.sql(s"""SELECT 'vacuum' AS face,
+        CAST(${if (reclaimed > 0) 1 else 0} AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS sum_xy"""))
+      .unionByName(s.sql(
+        """SELECT 'rollup' AS face, COUNT(*) AS n,
+           CAST(SUM(CAST(x + y AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy
+           FROM gmt.db.t"""))
+      .orderBy(col("face"))
+  }
+
+  val q299Sql: String =
+    """WITH base AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS x, l_suppkey AS y
+      |  FROM lineitem WHERE l_orderkey % 16 = 0),
+      |kept AS (SELECT * FROM base WHERE x % 5 <> 0)
+      |SELECT 'ledger:AAAXRR' AS face, CAST(6 AS BIGINT) AS n,
+      |       CAST(NULL AS DOUBLE) AS sum_xy
+      |UNION ALL
+      |SELECT 'prune', 1, CAST(NULL AS DOUBLE)
+      |UNION ALL
+      |SELECT 'vacuum', 1, CAST(NULL AS DOUBLE)
+      |UNION ALL
+      |SELECT 'rollup', COUNT(*),
+      |       CAST(SUM(CAST(x + y AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM kept
+      |ORDER BY face""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),
     "q292_sql_dml" -> ((q292 _, Some(q292Sql))),
     "q297_sql_schema_evolution" -> ((q297 _, Some(q297Sql))),
-    "q298_catalog_stream_pipeline" -> ((q298 _, Some(q298Sql))))
+    "q298_catalog_stream_pipeline" -> ((q298 _, Some(q298Sql))),
+    "q299_maintenance_sql" -> ((q299 _, Some(q299Sql))))
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * the fixture corpus or a DSP kernel intentionally changes. */
 object GoldenDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions").master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object PlanCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions").master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -14,7 +14,8 @@ object QTime {
       case Seq() | Seq("all") => graft.SparkEntry.queries.keys.toSeq.sorted
       case qs => qs
     }
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

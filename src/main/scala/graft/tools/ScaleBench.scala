@@ -16,6 +16,7 @@ object ScaleBench {
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TxnLog
+
+/** Maintenance SQL statements (q299's parser): routing, delegation, and
+  * the statement semantics. */
+class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("maintenance-sql-spec")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fresh(tag: String): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_maint_$tag").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql(s"CREATE TABLE gm.db.$tag (k BIGINT, x BIGINT, y BIGINT)")
+    (s"gm.db.$tag", s"$wh/db/$tag")
+  }
+
+  test("everything that is not OPTIMIZE/VACUUM delegates untouched") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // a query merely MENTIONING the keywords is not intercepted
+    assert(spark.sql("SELECT 'OPTIMIZE gm.db.x' AS s").head().getString(0)
+      .startsWith("OPTIMIZE"))
+  }
+
+  test("OPTIMIZE compacts (content identity) and returns the version won") {
+    val (t, dir) = fresh("opt")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 2, id * 3 FROM range(0, 40)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 2, id * 3 FROM range(40, 80)")
+    val before = spark.sql(s"SELECT SUM(x + y) AS s FROM $t").head().getLong(0)
+    val v = spark.sql(s"OPTIMIZE $t").head().getLong(0)
+    assert(v == TxnLog.currentVersion(dir))
+    assert(spark.sql(s"SELECT SUM(x + y) AS s FROM $t").head().getLong(0) == before)
+    val actions = TxnLog.history(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    assert(actions == "AAR", s"got '$actions'")
+  }
+
+  test("OPTIMIZE ZORDER BY powers the stats sidecar (pruned scans)") {
+    val (t, dir) = fresh("zord")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 100, id % 97 FROM range(0, 4000)")
+    spark.sql(s"OPTIMIZE $t ZORDER BY (x, y)").collect()
+    val pr = TxnLog.scanPruned(spark, dir, "x", 1L, 10L)
+    assert(pr.plannedFiles < pr.totalFiles,
+      s"zorder sidecar not live: ${pr.plannedFiles}/${pr.totalFiles}")
+  }
+
+  test("OPTIMIZE on a clustered table routes to the incremental path") {
+    val (t, dir) = fresh("clus")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 50, id % 47 FROM range(0, 1000)")
+    TxnLog.clusterBy(dir, "x", "y", tieCols = Seq("k"))
+    spark.sql(s"OPTIMIZE $t").collect() // full clustered rewrite (first pass)
+    val gen1 = TxnLog.clusteredFiles(dir)
+    spark.sql(s"INSERT INTO $t SELECT id, id % 50, id % 47 FROM range(1000, 1500)")
+    spark.sql(s"OPTIMIZE $t").collect() // incremental: gen1 files untouched
+    val visible = TxnLog.fileScanPlan(dir)._2.map(_.split('/').takeRight(2).mkString("/")).toSet
+    assert(gen1.nonEmpty && gen1.forall(visible.contains),
+      "incremental OPTIMIZE moved already-clustered files")
+  }
+
+  test("VACUUM reclaims below the retention watermark and reports the count") {
+    val (t, dir) = fresh("vac")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 1)")
+    spark.sql(s"INSERT INTO $t VALUES (2, 2, 2)")
+    spark.sql(s"OPTIMIZE $t").collect() // v3 rewrite: v1/v2 files now stale
+    val n = spark.sql(s"VACUUM $t RETAIN 1 VERSIONS").head().getLong(0)
+    assert(n >= 2, s"expected >=2 reclaimed files, got $n")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $t").head().getLong(0) == 2L)
+  }
+
+  test("maintenance on a non-graft name refuses loudly") {
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    val e = intercept[Exception](spark.sql("OPTIMIZE spark_catalog.default.nope").collect())
+    assert(msgs(e).exists(m => m.contains("graft catalog") || m.contains("not a graft")))
+    val e2 = intercept[Exception](spark.sql("VACUUM justonepart").collect())
+    assert(msgs(e2).exists(_.contains("fully-qualified")))
+  }
+}
