@@ -96,6 +96,27 @@ object ImageOps {
       (img.pixels(base + 2) & 0xff)) / 3
   }
 
+  /** Integer Laplacian sharpness: Σ over INTERIOR pixels of
+    * |4·g(x,y) − g(x−1,y) − g(x+1,y) − g(x,y−1) − g(x,y+1)| on the
+    * grayscale — the focus/edge-energy proxy an image curation gate
+    * thresholds on (blurry/flat content scores ~0, block edges score
+    * ~4·255 each). Integer-exact, restatable in SQL by neighbor joins
+    * over the regenerated pixels. */
+  def sharpness(img: Image): Long = {
+    var s = 0L
+    var y = 1
+    while (y < img.height - 1) {
+      var x = 1
+      while (x < img.width - 1) {
+        s += math.abs(4L * grayAt(img, x, y) - grayAt(img, x - 1, y) -
+          grayAt(img, x + 1, y) - grayAt(img, x, y - 1) - grayAt(img, x, y + 1))
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
   /** dHash perceptual fingerprint as a 64-char bit string: box-mean the
     * grayscale to a 9×8 grid (pixel x lands in box x·9/w — floor), then
     * bit (i,j) = mean(i,j) < mean(i+1,j). Returned as a STRING so the

@@ -285,9 +285,113 @@ object ImageQueries {
       |) t(vid, frame_idx, w, h, fps, n_frames, ch, px_sum, wsum)
       |ORDER BY vid, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q300
+  /** IMAGE CURATION PIPELINE e2e — the reference's pipeline shape
+    * (decode → quality gate → dedup → transform → lossy sink) on the
+    * image corpus, composing the whole round-10 image stack:
+    * PNG decode → integer-Laplacian SHARPNESS gate (flat gradients score
+    * ~0 per pixel and drop; checkers/RGB score ≥5 per pixel and stay —
+    * thresholds stated with a wide deterministic margin) → dHash
+    * keep-first dedup over survivors → resize 24×24 → JPEG re-encode →
+    * decode-back with a bounded-error contract. Faces:
+    *   - `census` (per kind): total vs gate-kept counts — relational
+    *     oracle recomputes the Laplacian by neighbor joins on the
+    *     regenerated pixels
+    *   - `keeper` (per duplicate group): first-writer id + group size
+    *   - `jpeg_ok`: EVERY keeper's 24×24 JPEG roundtrip lands within
+    *     max-abs-diff ≤ 72 with exact dims (resize shifts the checker
+    *     edges off the 8×8 block grid, so ringing peaks at 61 across
+    *     the corpus — measured; the bound is the honest envelope, not
+    *     flat exactness) — a bounded claim that holds at ANY scale
+    *     factor, so the face is a literal TRUE, not a golden. */
+  def q300(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val metas = specs(s, d, 3L)
+      .map { sp =>
+        val png = PngCodec.encode(ImageOps.synth(sp.w, sp.h, sp.kind))
+        val img = PngCodec.decode(png)
+        (sp.id, sp.kind, img.width, img.height,
+          ImageOps.sharpness(img), ImageOps.dhash(img))
+      }
+      .toDF("id", "kind", "w", "h", "sharp", "dhash")
+      .localCheckpoint()
+    val kept = metas.filter(col("sharp") * 4 >= col("w") * col("h") * 20)
+    val census = metas
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sharp") * 4 >= col("w") * col("h") * 20, 1L)
+          .otherwise(0L)).as("m"))
+      .select(lit("census").as("face"), col("kind").cast("string").as("k"),
+        col("n"), col("m"))
+    val keepers = kept.groupBy(col("dhash"))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
+      .select(lit("keeper").as("face"), col("keeper").cast("string").as("k"),
+        col("n"), lit(null).cast("long").as("m"))
+    val jpegOk = kept.select(col("id"), col("kind"), col("w"), col("h"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, kind, w, h) =>
+        val rz = ImageOps.resizeNearest(ImageOps.synth(w, h, kind), 24, 24)
+        val dec = graft.io.JpegCodec.decode(graft.io.JpegCodec.encode(rz))
+        val ok = dec.width == 24 && dec.height == 24 &&
+          dec.channels == rz.channels &&
+          rz.pixels.indices.forall(i =>
+            math.abs((rz.pixels(i) & 0xff) - (dec.pixels(i) & 0xff)) <= 72)
+        (id, if (ok) 1L else 0L)
+      }.toDF("id", "ok")
+      .agg(min(col("ok")).as("allok"), count(lit(1)).as("nk"))
+      .select(lit("jpeg_ok").as("face"), lit("all").as("k"),
+        col("allok").as("n"), col("nk").as("m"))
+    census.unionByName(keepers).unionByName(jpegOk)
+      .orderBy(col("face"), col("k"))
+  }
+
+  val q300Sql: String =
+    s"""WITH $pixelCte,
+      |gpx AS (
+      |  SELECT id, w, h, kind, x, y,
+      |         CASE WHEN kind = 3 THEN SUM(v) // 3 ELSE SUM(v) END AS g
+      |  FROM px GROUP BY id, w, h, kind, x, y),
+      |lap AS (
+      |  SELECT c.id, CAST(SUM(ABS(4 * c.g - l.g - r.g - u.g - dn.g)) AS BIGINT) AS sharp
+      |  FROM gpx c
+      |  JOIN gpx l  ON l.id = c.id AND l.y = c.y AND l.x = c.x - 1
+      |  JOIN gpx r  ON r.id = c.id AND r.y = c.y AND r.x = c.x + 1
+      |  JOIN gpx u  ON u.id = c.id AND u.x = c.x AND u.y = c.y - 1
+      |  JOIN gpx dn ON dn.id = c.id AND dn.x = c.x AND dn.y = c.y + 1
+      |  GROUP BY c.id),
+      |meta AS (
+      |  SELECT ids.id, ids.kind, ids.w, ids.h, lap.sharp,
+      |         lap.sharp * 4 >= ids.w * ids.h * 20 AS kept
+      |  FROM ids JOIN lap ON lap.id = ids.id),
+      |boxes AS (
+      |  SELECT id, x * 9 // w AS bi, y * 8 // h AS bj, SUM(g) // COUNT(*) AS m
+      |  FROM gpx WHERE id IN (SELECT id FROM meta WHERE kept)
+      |  GROUP BY id, x * 9 // w, y * 8 // h),
+      |bits AS (
+      |  SELECT l.id, l.bj, l.bi, CASE WHEN l.m < r.m THEN '1' ELSE '0' END AS b
+      |  FROM boxes l JOIN boxes r
+      |    ON l.id = r.id AND l.bj = r.bj AND r.bi = l.bi + 1
+      |  WHERE l.bi < 8),
+      |hashes AS (
+      |  SELECT id, STRING_AGG(b, '' ORDER BY bj, bi) AS dhash
+      |  FROM bits GROUP BY id),
+      |faces AS (
+      |  SELECT 'census' AS face, CAST(kind AS VARCHAR) AS k,
+      |         COUNT(*) AS n,
+      |         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM meta GROUP BY kind
+      |  UNION ALL
+      |  SELECT 'keeper', CAST(MIN(id) AS VARCHAR), COUNT(*), CAST(NULL AS BIGINT)
+      |  FROM hashes GROUP BY dhash
+      |  UNION ALL
+      |  SELECT 'jpeg_ok', 'all', 1,
+      |         (SELECT COUNT(*) FROM meta WHERE kept))
+      |SELECT * FROM faces ORDER BY face, k""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
     "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),
     "q295_image_jpeg_e2e" -> ((q295 _, Some(q295Sql))),
-    "q296_video_mjpeg_e2e" -> ((q296 _, Some(q296Sql))))
+    "q296_video_mjpeg_e2e" -> ((q296 _, Some(q296Sql))),
+    "q300_image_curation_e2e" -> ((q300 _, Some(q300Sql))))
 }
