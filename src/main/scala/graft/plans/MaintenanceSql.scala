@@ -46,6 +46,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(split(t), n.toInt)
     case Vacuum(t) =>
       GraftVacuumCommand(split(t), 1)
+    case DescribeHistory(t) =>
+      GraftDescribeHistoryCommand(split(t))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -78,6 +80,8 @@ object GraftSqlParser {
     ("""(?is)^\s*VACUUM\s+""" + id + """\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""").r
   private[plans] val Vacuum: Regex =
     ("""(?is)^\s*VACUUM\s+""" + id + """\s*;?\s*$""").r
+  private[plans] val DescribeHistory: Regex =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + id + """\s*;?\s*$""").r
 
   /** Resolve a three-part name through the session's catalog manager to
     * the graft table's storage dir. */
@@ -115,6 +119,23 @@ case class GraftOptimizeCommand(name: Seq[String],
       }
     }
     Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the commit ledger (version, action class,
+  * manifest body size), newest first, as a statement. */
+case class GraftDescribeHistoryCommand(name: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("action", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    TxnLog.history(session, dir).collect()
+      .sortBy(-_.getLong(0))
+      .map(r => Row(r.getLong(0), r.getString(1), r.getLong(2))).toSeq
   }
 }
 

@@ -84,6 +84,18 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT COUNT(*) AS c FROM $t").head().getLong(0) == 2L)
   }
 
+  test("DESCRIBE HISTORY returns the commit ledger, newest first") {
+    val (t, _) = fresh("hist")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 1)")
+    spark.sql(s"INSERT INTO $t VALUES (2, 2, 2)")
+    spark.sql(s"DELETE FROM $t WHERE k = 1")
+    val rows = spark.sql(s"DESCRIBE HISTORY $t").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("X", "A", "A"))
+    // DESCRIBE without HISTORY still delegates to Spark's own statement
+    assert(spark.sql(s"DESCRIBE TABLE $t").collect().nonEmpty)
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
