@@ -96,6 +96,31 @@ object ImageOps {
       (img.pixels(base + 2) & 0xff)) / 3
   }
 
+  /** 64-dim integer feature vector: 8×8 grid of grayscale box means
+    * (pixel x lands in box x·8/w — q294's dHash geometry without the
+    * comparison step), row-major. The image-similarity embedding: exact
+    * integer dot products rank neighbors with zero float noise, and an
+    * oracle restates every coordinate relationally. Requires w,h ≥ 8. */
+  def boxFeatures(img: Image): Array[Long] = {
+    require(img.width >= 8 && img.height >= 8,
+      s"boxFeatures needs ≥8x8 input, got ${img.width}x${img.height}")
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < img.height) {
+      val j = y * 8 / img.height
+      var x = 0
+      while (x < img.width) {
+        val i = x * 8 / img.width
+        sums(j * 8 + i) += grayAt(img, x, y)
+        counts(j * 8 + i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(64)(k => sums(k) / counts(k))
+  }
+
   /** Integer Laplacian sharpness: Σ over INTERIOR pixels of
     * |4·g(x,y) − g(x−1,y) − g(x+1,y) − g(x,y−1) − g(x,y+1)| on the
     * grayscale — the focus/edge-energy proxy an image curation gate

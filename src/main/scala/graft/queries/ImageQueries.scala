@@ -388,10 +388,74 @@ object ImageQueries {
       |         (SELECT COUNT(*) FROM meta WHERE kept))
       |SELECT * FROM faces ORDER BY face, k""".stripMargin
 
+  // ---------------------------------------------------------------- q301
+  /** IMAGE SIMILARITY SEARCH — the similarity-search family extended to
+    * image features: each image embeds as a 64-dim INTEGER vector (8×8
+    * grayscale box means — [[ImageOps.boxFeatures]]), query images
+    * (every 5th) rank the corpus by EXACT integer dot product through
+    * codegen'd higher-order functions (`zip_with` + `aggregate` — no
+    * UDF), top-3 per query with the (dot desc, id asc) tie-break the
+    * oracle restates. Float-free by construction, so ranking is
+    * bit-deterministic cross-engine. Scale shape: the query WORKLOAD is
+    * a CONSTANT (24 fixed ids — a query set, not a second corpus), so
+    * the broadcast nested-loop scan is strictly LINEAR in corpus size
+    * (q27's brute-force-baseline contract; measured 94× at 10× data
+    * when the query side was mistakenly let scale with the corpus —
+    * the LSH-bucketed q29 path is the design for corpus-sized query
+    * sets); one row per (query, candidate) pair, the rank filter
+    * lowers to the bounded heap when WindowTopKRewrite is live. */
+  def q301(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = specs(s, d, 3L)
+      .map { sp =>
+        val img = PngCodec.decode(PngCodec.encode(ImageOps.synth(sp.w, sp.h, sp.kind)))
+        (sp.id, ImageOps.boxFeatures(img))
+      }
+      .toDF("id", "f").localCheckpoint()
+    val queries = feats.filter(col("id") % 15 === 0 && col("id") < 360)
+      .select(col("id").as("q_id"), col("f").as("qf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+    feats.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("c_id"),
+        expr("aggregate(zip_with(qf, f, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"), col("dot"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q301Sql: String =
+    s"""WITH $pixelCte,
+      |gpx AS (
+      |  SELECT id, w, h, x, y,
+      |         CASE WHEN kind = 3 THEN SUM(v) // 3 ELSE SUM(v) END AS g
+      |  FROM px GROUP BY id, w, h, kind, x, y),
+      |feat AS (
+      |  SELECT id, x * 8 // w AS bi, y * 8 // h AS bj,
+      |         SUM(g) // COUNT(*) AS m
+      |  FROM gpx GROUP BY id, x * 8 // w, y * 8 // h),
+      |dots AS (
+      |  SELECT qf.id AS q_id, cf.id AS c_id,
+      |         CAST(SUM(qf.m * cf.m) AS BIGINT) AS dot
+      |  FROM feat qf JOIN feat cf
+      |    ON qf.bi = cf.bi AND qf.bj = cf.bj AND cf.id <> qf.id
+      |  WHERE qf.id % 15 = 0 AND qf.id < 360 GROUP BY qf.id, cf.id),
+      |ranked AS (
+      |  SELECT q_id, c_id, dot,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rnk
+      |  FROM dots)
+      |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, dot
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
     "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),
     "q295_image_jpeg_e2e" -> ((q295 _, Some(q295Sql))),
     "q296_video_mjpeg_e2e" -> ((q296 _, Some(q296Sql))),
-    "q300_image_curation_e2e" -> ((q300 _, Some(q300Sql))))
+    "q300_image_curation_e2e" -> ((q300 _, Some(q300Sql))),
+    "q301_image_similarity" -> ((q301 _, Some(q301Sql))))
 }
