@@ -1005,6 +1005,12 @@ object PlanCheck {
     // keyed shuffle — the plan must show exactly that
     check("q293_image_png_e2e", "map-only codec path: no hash shuffle (sort exchange only)")(p =>
       !p.contains("Exchange hashpartitioning"))
+    // image similarity: the 24-query workload broadcasts (scan is linear
+    // in corpus size) and the rank-3 filter lowers to the bounded heap —
+    // no per-query sort of the full pair set
+    check("q301_image_similarity", "query side broadcast; top-k via bounded heap")(p =>
+      p.contains("BroadcastNestedLoopJoin") && p.contains("TopKPerGroup"))
+
     // countDistinct(dims) expands to Spark's standard two-phase distinct
     // aggregate: one exchange on (dhash, dims), one on (dhash) — BOTH
     // keyed fingerprint-first with map-side partials, never a global one
