@@ -891,6 +891,21 @@ object TxnLog {
     asOf.foreach(v => require(v <= currentVersion(dir),
       s"version $v does not exist (current: ${currentVersion(dir)})"))
     val snap = snapshotAt(dir, upto)
+    // The visible set can be legitimately EMPTY (a removes-only exchange:
+    // full-table DELETE, a merge whose delete clause emptied every touched
+    // file): serve ZERO ROWS at the schema of the most recent version
+    // that still had files, so downstream plans keep resolving — an empty
+    // table is a state, not an error.
+    if (snap.files.isEmpty) {
+      val cur = math.min(upto, currentVersion(dir))
+      val lastWithFiles = (cur to minVersion(dir) by -1).iterator
+        .map(v => snapshotAt(dir, v)).find(_.files.nonEmpty)
+      return lastWithFiles match {
+        case Some(prev) =>
+          readFileSet(spark, dir, prev.files, prev, mergeSchema).limit(0)
+        case None => spark.emptyDataFrame // never had data: no schema to serve
+      }
+    }
     // mergeSchema = SCHEMA EVOLUTION on read: a version that ADDED columns
     // unions with older files' rows as nulls (time travel below the
     // evolution point naturally serves the old schema). Off by default —

@@ -126,6 +126,25 @@ class SqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).getDouble(1) == 7.0 && rows(2).isNullAt(2)) // inserted, grp NULL
   }
 
+  test("full-table DELETE empties the table; the state survives and refills") {
+    val (t, dir) = freshTable("fullwipe")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'a' FROM range(0, 20)")
+    spark.sql(s"DELETE FROM $t") // removes-only exchange: empty visible set
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 0L)
+    // the Scala reader serves ZERO ROWS at the last known schema
+    val empty = TxnLog.read(spark, dir)
+    assert(empty.count() == 0L)
+    assert(empty.schema.fieldNames.toSeq == Seq("k", "v", "grp"))
+    // and the table refills normally
+    spark.sql(s"INSERT INTO $t VALUES (7, 7.0, 'b')")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 1L)
+    // full delete with PENDING VECTORS takes the replace fallback and
+    // lands the same empty state
+    TxnLog.deleteVector(spark, dir, "k = 99", Seq("k"))
+    spark.sql(s"DELETE FROM $t")
+    assert(TxnLog.read(spark, dir).count() == 0L)
+  }
+
   test("deleteWhere/updateWhere are no-ops when nothing matches") {
     val (t, dir) = freshTable("noop")
     spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a')")
