@@ -290,16 +290,22 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
 
   override def name(): String = ident
 
-  /** Files-inferred schema reconciled with the stored DDL schema: stored
-    * fields lead (in DDL order — they may include metadata-only ADDed
-    * columns no file stores yet), physical fields the DDL doesn't know
-    * (e.g. a Scala-side `merge(evolveSchema)` widened past the catalog)
-    * append after. */
+  /** HEAD resolutions serve the files-inferred schema reconciled with
+    * the stored DDL schema: stored fields lead (in DDL order — they may
+    * include metadata-only ADDed columns no file stores yet), physical
+    * fields the DDL doesn't know (e.g. a Scala-side
+    * `merge(evolveSchema)` widened past the catalog) append after.
+    * TIME-TRAVEL resolutions serve their own era's PHYSICAL schema
+    * instead: the catalog schema is current-state metadata, and applying
+    * it to a pinned snapshot would silently NULL a column the old files
+    * store under its pre-rename name. */
   override lazy val schema: StructType = {
     val (_, files, _) = TxnLog.fileScanPlan(dir, asOf)
     val inferred =
       if (files.nonEmpty) Some(TxnLog.read(spark, dir, asOf).schema) else None
-    (GraftSqlTable.storedSchema(dir), inferred) match {
+    if (asOf.isDefined)
+      inferred.orElse(GraftSqlTable.storedSchema(dir)).getOrElse(new StructType())
+    else (GraftSqlTable.storedSchema(dir), inferred) match {
       case (Some(st), Some(inf)) =>
         StructType(st.fields ++
           inf.fields.filterNot(f => st.fieldNames.contains(f.name)))

@@ -76,6 +76,24 @@ class CatalogEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.table(t).schema.fieldNames.contains("v"))
   }
 
+  test("time travel serves the snapshot's OWN schema, not the evolved one") {
+    val (t, dir) = freshTable("ttschema")
+    spark.sql(s"INSERT INTO $t VALUES (1, 2.5)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO amount")
+    TxnLog.compact(spark, dir) // materialize: head now reads `amount`
+    assert(spark.sql(s"SELECT amount FROM $t").head().getDouble(0) == 2.5)
+    // the pinned snapshot predates the rename: its files store `v`, and
+    // the DATA must come back under that era's name — never NULL
+    val old = spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    assert(old.length == 1 && old.head.schema.fieldNames.contains("v"))
+    assert(old.head.getDouble(old.head.fieldIndex("v")) == 2.5)
+    // ADD COLUMN likewise: old versions serve the narrow schema
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING)")
+    assert(!spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+      .schema.fieldNames.contains("tag"))
+    assert(spark.table(t).schema.fieldNames.contains("tag"))
+  }
+
   test("DROP COLUMN through SQL, materialized by compact") {
     val (t, dir) = freshTable("dropcol")
     spark.sql(s"INSERT INTO $t VALUES (7, 9.0)")
