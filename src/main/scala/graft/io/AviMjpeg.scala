@@ -125,8 +125,10 @@ object AviMjpeg {
   /** THE scale op for video corpora: decode only every `nth` frame —
     * the demux walks metadata-sized chunk headers; JPEG decode cost is
     * paid solely for sampled frames. */
-  def sampleFrames(v: Video, nth: Int): Vector[(Int, Array[Byte])] =
+  def sampleFrames(v: Video, nth: Int): Vector[(Int, Array[Byte])] = {
+    require(nth >= 1, s"sampleFrames stride must be >= 1, got $nth")
     v.frames.zipWithIndex.collect {
       case (f, i) if i % nth == 0 => (i, f)
     }
+  }
 }

@@ -897,9 +897,23 @@ object TxnLog {
     // that still had files, so downstream plans keep resolving — an empty
     // table is a state, not an error.
     if (snap.files.isEmpty) {
+      // ONE forward fold finds the last version whose set was non-empty
+      // (re-folding per walked version would be O(versions²) on a table
+      // emptied early in a long history); starts from the same checkpoint
+      // snapshotAt uses, so pre-checkpoint manifests never re-parse
       val cur = math.min(upto, currentVersion(dir))
-      val lastWithFiles = (cur to minVersion(dir) by -1).iterator
-        .map(v => snapshotAt(dir, v)).find(_.files.nonEmpty)
+      val (seed, from) = checkpointVersions(dir).filter(_ <= cur).lastOption match {
+        case Some(cv) => (parseCheckpoint(dir, cv), cv)
+        case None     => (Snapshot(Vector.empty, Vector.empty), Long.MinValue)
+      }
+      val seed0 = if (seed.files.nonEmpty) Some(seed) else None
+      val lastWithFiles = manifests(dir)
+        .filter { case (v, _) => v > from && v <= cur }.sortBy(_._1)
+        .foldLeft((seed, seed0)) {
+          case ((acc, best), (_, p)) =>
+            val next = foldOne(acc, p)
+            (next, if (next.files.nonEmpty) Some(next) else best)
+        }._2
       return lastWithFiles match {
         case Some(prev) =>
           readFileSet(spark, dir, prev.files, prev, mergeSchema).limit(0)
@@ -1161,10 +1175,14 @@ object TxnLog {
       c.nonEmpty && !c.contains("\t") && !c.contains("\n")), "bad column name")
     Files.createDirectories(logDir(dir))
     val prev = clusteringOf(dir)
+    // re-declaring the SAME spec is a no-op: rewriting the meta file here
+    // would drop its `bounds` line (the normalization frame the first
+    // optimize persisted) and silently degrade the next OPTIMIZE to a
+    // full-table rewrite — the exact cost the incremental path avoids
+    if (prev.exists(p => (p._1, p._2, p._3) == ((colX, colY, tieCols)))) return
     writeMetaFile(clusteringPath(dir),
       s"cols\t$colX\t$colY\t${tieCols.mkString(",")}\n")
-    if (!prev.map(p => (p._1, p._2, p._3)).contains((colX, colY, tieCols)))
-      Files.deleteIfExists(clusteredSetPath(dir))
+    Files.deleteIfExists(clusteredSetPath(dir))
     ()
   }
 
@@ -2375,9 +2393,7 @@ object TxnLog {
         case _: java.nio.file.FileAlreadyExistsException => () // lost the race
         case _: java.nio.file.DirectoryNotEmptyException => ()
       } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
+        def rm(f: java.io.File): Unit = FsUtil.deleteRecursively(f)
         rm(tmp.toFile)
       }
     }

@@ -24,8 +24,10 @@ import graft.sources.{GraftCatalog, GraftSqlTable}
   *     unclustered tables compact (content-identity replace)
   *   OPTIMIZE <cat>.<db>.<t> ZORDER BY (x, y)     → the q267 Morton
   *     rewrite + stats sidecar, from SQL text
-  *   VACUUM <cat>.<db>.<t> [RETAIN <n> VERSIONS]  → reclaim files below
-  *     the retention watermark; returns the reclaimed count
+  *   VACUUM <cat>.<db>.<t> RETAIN <n> VERSIONS    → reclaim files below
+  *     the retention watermark; returns the reclaimed count. The RETAIN
+  *     clause is REQUIRED: a bare VACUUM would silently destroy all time
+  *     travel (the Delta default-retention guard, version-count form)
   *
   * Parsers are session-BUILD-time configuration (unlike optimizer rules
   * there is no post-build hook), so the engine's own mains build their
@@ -43,9 +45,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Optimize(t) =>
       GraftOptimizeCommand(split(t), None)
     case VacuumRetain(t, n) =>
-      GraftVacuumCommand(split(t), n.toInt)
+      GraftVacuumCommand(split(t), Some(n.toInt))
     case Vacuum(t) =>
-      GraftVacuumCommand(split(t), 1)
+      GraftVacuumCommand(split(t), None)
     case DescribeHistory(t) =>
       GraftDescribeHistoryCommand(split(t))
     case _ => delegate.parsePlan(sqlText)
@@ -139,13 +141,21 @@ case class GraftDescribeHistoryCommand(name: Seq[String])
   }
 }
 
-/** `VACUUM t [RETAIN n VERSIONS]` — returns the reclaimed-file count. */
-case class GraftVacuumCommand(name: Seq[String], retainVersions: Int)
+/** `VACUUM t RETAIN n VERSIONS` — returns the reclaimed-file count. The
+  * retention clause is mandatory: a defaulted bare VACUUM would advance
+  * the watermark to the head and irreversibly delete every historical
+  * file — the explicitness IS the safety (Delta's retention-duration
+  * guard, in this format's version-count terms). */
+case class GraftVacuumCommand(name: Seq[String], retainVersions: Option[Int])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("reclaimed", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.dirOf(session, name)
-    Seq(Row(TxnLog.vacuum(dir, retainVersions).size.toLong))
+    val retain = retainVersions.getOrElse(throw new IllegalArgumentException(
+      "bare VACUUM would drop ALL history below the head: state the " +
+        "retention explicitly — VACUUM <table> RETAIN <n> VERSIONS"))
+    require(retain >= 1, s"RETAIN must be >= 1 version, got $retain")
+    Seq(Row(TxnLog.vacuum(dir, retain).size.toLong))
   }
 }

@@ -41,8 +41,17 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
   *   - `AVG(col)` → `SUM(mv.sum_col) / SUM(mv.cnt_col)` when BOTH partials
   *     are declared, through a division tree mirroring `Average`'s own
   *     `evaluateExpression` node-for-node (same operand types, same
-  *     `Divide` eval mode), so the derived value rounds identically to
-  *     the direct plan's
+  *     `Divide` eval mode). Rounding contract, stated precisely: for
+  *     DECIMAL children both paths are exact — bit-identical always. For
+  *     long/double children Spark's own Average accumulates a DOUBLE
+  *     buffer in partition order, so its direct result is itself
+  *     order-dependent once intermediate sums leave exact-double range
+  *     (> 2⁵³ for longs, any rounding for doubles); the derived value is
+  *     the correctly-rounded quotient of the EXACT declared partials —
+  *     inside exact-double range the two coincide bit-for-bit (the
+  *     oracle-gated q278 case), beyond it the rewrite is at least as
+  *     accurate as any one ordering of the direct plan, not a bit-copy
+  *     of one particular run
   *   - `MIN(col)` / `MAX(col)`      → `MIN(mv.min_col)` / `MAX(mv.max_col)`
   *
   * A GLOBAL aggregate (empty GROUP BY) whose key predicate matches no MV
@@ -209,9 +218,13 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case av: Average =>
           // AVG(col) = SUM(sum partials) / SUM(count partials), through a
           // division tree mirroring Average.evaluateExpression — same
-          // operand types, same LEGACY Divide — so rounding is identical
-          // to the direct plan. Empty-group behavior matches for free:
-          // AVG over no rows is NULL on both paths.
+          // operand types, same LEGACY Divide. Decimal children: exact =
+          // bit-identical. Long/double children: exact partials, so
+          // identical inside exact-double range and strictly better-
+          // conditioned beyond it, where Spark's own double buffer is
+          // partition-order-dependent (contract in the header). Empty-
+          // group behavior matches for free: AVG over no rows is NULL on
+          // both paths.
           for {
             sumAttr <- measureFor("sum", av.child)
             cntAttr <- measureFor("cnt", av.child)

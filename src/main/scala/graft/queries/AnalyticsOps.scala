@@ -776,8 +776,7 @@ object AnalyticsOps {
       catch { case _: java.nio.file.FileSystemException =>
         // another run won the rename; discard our copy and use the winner's
         def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
+          graft.io.FsUtil.deleteRecursively(f): Unit
         }
         rm(new java.io.File(tmp))
       }

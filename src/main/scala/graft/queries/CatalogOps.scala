@@ -27,7 +27,10 @@ import graft.io.TxnLog
   * claim. Nothing here is driver-sized except the DDL. */
 object CatalogOps {
 
-  def q289(s: SparkSession, d: String): DataFrame = {
+  def q289(s0: SparkSession, d: String): DataFrame = {
+    // own session like every catalog sibling (q292/q297/q298/q299): the
+    // registration and the created tables never leak into the board run
+    val s = s0.newSession()
     val wh = java.nio.file.Files.createTempDirectory("graft_q289_wh").toString
     // the catalog object is cached per session by name; the warehouse is
     // re-resolved from the conf on every operation, so repeated runs with
@@ -299,12 +302,7 @@ object CatalogOps {
     ins(2)  // src v2
     drive() // epoch 1
     // q285's exactly-once probe, through the NAME-addressed path
-    val commits = java.nio.file.Paths.get(ckpt, "commits")
-    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
-      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
-    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
-    java.nio.file.Files.deleteIfExists(
-      commits.resolve(s".${java.nio.file.Paths.get(last).getFileName}.crc"))
+    graft.streaming.Streaming.replayLastEpoch(ckpt)
     drive() // replayed epoch registers nothing
     val dstDir = s"$wh/db/dst"
     val actions = TxnLog.history(s, dstDir).collect()

@@ -1890,14 +1890,7 @@ object TxnOps {
     }
     drive() // 3 files -> epochs 0..2, versions 1..3
     // force the engine to REPLAY the last epoch: drop its commit record
-    val commits = java.nio.file.Paths.get(ckpt, "commits")
-    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
-      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
-    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
-    // the local FS keeps a checksum sidecar next to each record; the
-    // replay's rewrite collides with a stale one — drop it with the record
-    val lastName = java.nio.file.Paths.get(last).getFileName.toString
-    java.nio.file.Files.deleteIfExists(commits.resolve(s".$lastName.crc"))
+    graft.streaming.Streaming.replayLastEpoch(ckpt)
     drive() // replayed epoch hits its txn marker; registers nothing
     val face = TxnLog.read(s, tbl)
       .groupBy(col("event_type"))
@@ -2060,12 +2053,7 @@ object TxnOps {
       try q.processAllAvailable() finally q.stop()
     }
     drive()
-    val commits = java.nio.file.Paths.get(ckpt, "commits")
-    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
-      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
-    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
-    java.nio.file.Files.deleteIfExists(commits.resolve(
-      s".${java.nio.file.Paths.get(last).getFileName}.crc"))
+    graft.streaming.Streaming.replayLastEpoch(ckpt)
     drive() // engine replays the last epoch end-to-end; the marker refuses
     val face = TxnLog.read(s, dstDir)
       .groupBy(col("source"), col("lang"))
@@ -2148,12 +2136,7 @@ object TxnOps {
     // engine-path replay (q285/q288): drop the checkpoint's last commit
     // record; the re-driven stream replays that epoch end to end and the
     // sink's marker refuses the re-registration
-    val commits = java.nio.file.Paths.get(ckpt, "commits")
-    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
-      .filter(p => !p.endsWith(".tmp") && !p.endsWith(".crc")).max
-    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
-    java.nio.file.Files.deleteIfExists(commits.resolve(
-      s".${java.nio.file.Paths.get(last).getFileName}.crc"))
+    graft.streaming.Streaming.replayLastEpoch(ckpt)
     drive()
     val occ = TxnLog.read(s, dstDir) // (doc_id, sign, cv, term) occurrences
     val epochs = s.range(1).select(lit(0L).as("face"), lit(0L).as("cv"),

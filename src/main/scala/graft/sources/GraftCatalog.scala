@@ -202,10 +202,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dirOf(ident)))
+    graft.io.FsUtil.deleteRecursively(new java.io.File(dirOf(ident)))
     true
   }
 
@@ -252,10 +249,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val empty = try !s.iterator().hasNext finally s.close()
       require(empty, s"namespace ${namespace.mkString(".")} is not empty")
     }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(d.toFile)
+    graft.io.FsUtil.deleteRecursively(d.toFile)
     true
   }
 }

@@ -190,6 +190,23 @@ object Streaming {
     * the watermark past window_end + interval) and emitted (join-output
     * watermark past window_end) once window_end ≤ max(ts) − (delay +
     * interval + margin); callers compare only that prefix. */
+  /** Exactly-once probe (q285/q288/q290/q298): delete the checkpoint's
+    * LAST commit record (and its checksum sidecar) so a restarted stream
+    * re-executes that epoch through the full sink — whose txn marker
+    * must then refuse the re-registration. NUMERIC max: Spark names
+    * commit files 0,1,…,10 unpadded, so a lexicographic max would pick
+    * '9' over '10' and corrupt the checkpoint once epochs reach double
+    * digits. */
+  def replayLastEpoch(ckpt: String): Unit = {
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val records = Option(commits.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.forall(_.isDigit))
+    require(records.nonEmpty, s"no commit records under $commits")
+    val last = records.maxBy(_.getName.toLong)
+    java.nio.file.Files.delete(last.toPath)
+    java.nio.file.Files.deleteIfExists(commits.resolve(s".${last.getName}.crc"))
+  }
+
   def joinWindowOnce(spark: SparkSession, dir: String, withinMinutes: Int,
                      queryName: String = "graft_jwin",
                      where: Option[String] = None): DataFrame = {
@@ -213,14 +230,13 @@ object Streaming {
           val tmpOut = staged.resolve("_stage")
           spark.read.parquet(s"$dir/events.parquet").filter(w).coalesce(1)
             .write.mode("overwrite").parquet(tmpOut.toString)
-          val part = java.nio.file.Files.list(tmpOut).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .find(_.getFileName.toString.endsWith(".parquet"))
+          // File.listFiles, not Files.list: no stream handle to leak
+          val listed = Option(tmpOut.toFile.listFiles()).getOrElse(Array.empty)
+          val part = listed.find(_.getName.endsWith(".parquet"))
             .getOrElse(throw new IllegalStateException("empty staged slice"))
-          java.nio.file.Files.move(part, staged.resolve("events.parquet"))
-          java.nio.file.Files.list(tmpOut).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          java.nio.file.Files.move(part.toPath, staged.resolve("events.parquet"))
+          Option(tmpOut.toFile.listFiles()).getOrElse(Array.empty)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
           java.nio.file.Files.deleteIfExists(tmpOut)
       }
       staged.toString

@@ -96,6 +96,38 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"DESCRIBE TABLE $t").collect().nonEmpty)
   }
 
+  test("bare VACUUM refuses: retention must be explicit") {
+    val (t, dir) = fresh("barevac")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 1)")
+    spark.sql(s"INSERT INTO $t VALUES (2, 2, 2)")
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    val e = intercept[Exception](spark.sql(s"VACUUM $t").collect())
+    assert(msgs(e).exists(_.contains("RETAIN")))
+    // nothing was reclaimed: history is fully intact
+    assert(graft.io.TxnLog.minVersion(dir) == 1L)
+  }
+
+  test("repeated clusterBy with the SAME spec keeps incremental state") {
+    val (t, dir) = fresh("reclus")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 50, id % 47 FROM range(0, 1000)")
+    graft.io.TxnLog.clusterBy(dir, "x", "y", tieCols = Seq("k"))
+    spark.sql(s"OPTIMIZE $t").collect() // first pass persists bounds + set
+    val gen1 = graft.io.TxnLog.clusteredFiles(dir)
+    assert(gen1.nonEmpty)
+    // idempotent re-declaration (setup code re-running) must NOT reset
+    graft.io.TxnLog.clusterBy(dir, "x", "y", tieCols = Seq("k"))
+    assert(graft.io.TxnLog.clusteredFiles(dir) == gen1)
+    assert(graft.io.TxnLog.clusteringOf(dir).exists(_._4.nonEmpty),
+      "bounds line lost on same-spec re-declaration")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 50, id % 47 FROM range(1000, 1200)")
+    spark.sql(s"OPTIMIZE $t").collect() // must stay incremental
+    val visible = graft.io.TxnLog.fileScanPlan(dir)._2
+      .map(_.split('/').takeRight(2).mkString("/")).toSet
+    assert(gen1.forall(visible.contains),
+      "same-spec clusterBy degraded OPTIMIZE to a full rewrite")
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
