@@ -495,36 +495,43 @@ object TxnLog {
     * members they bind to, then the global `D` vectors. The shared seam
     * of read()/scanPoint/scanPruned: a pruned scan must never resurrect
     * a row the full read suppresses. */
+  /** Partition-aware read of an explicit relative-file list: an explicit
+    * list loses dir-encoded partition columns unless `basePath` points at
+    * the commit dir the `col=val` segments hang off. Plain files (no kv
+    * segment) batch into ONE reader call; partitioned files group per
+    * commit dir (their part-<uuid> root — also correct for `@`-absolute
+    * clone refs, whose base lives in the SOURCE table) — O(commits)
+    * calls, metadata-sized. The unions reconcile by name: a partition
+    * column rides in-path for partitioned commits and in-file for plain
+    * ones (spec evolution). Shared by [[readFileSet]] and the
+    * file-subset maintenance passes ([[optimizeClustered]]). */
+  private def readLeavesRaw(spark: SparkSession, dir: String,
+                            fs: Vector[String],
+                            mergeSchema: Boolean = false): DataFrame = {
+    def mkReader() =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val (parted, flat) = fs.partition(_.split('/').exists(_.contains('=')))
+    val flatDf =
+      if (flat.isEmpty) Vector.empty
+      else Vector(mkReader().parquet(flat.map(resolve(dir, _)): _*))
+    def baseOf(f: String): String = {
+      val segs = resolve(dir, f).split('/')
+      segs.take(segs.indexWhere(_.contains('='))).mkString("/")
+    }
+    val partDfs = parted.groupBy(baseOf).toVector.sortBy(_._1)
+      .map { case (bp, fs2) =>
+        mkReader().option("basePath", bp)
+          .parquet(fs2.map(resolve(dir, _)): _*)
+      }
+    (flatDf ++ partDfs)
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+  }
+
   private def readFileSet(spark: SparkSession, dir: String,
                           files: Vector[String], snap: Snapshot,
                           mergeSchema: Boolean = false): DataFrame = {
-    def mkReader() =
-      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    // Partition-aware leaf reads: an explicit file list loses dir-encoded
-    // partition columns unless `basePath` points at the commit dir the
-    // `col=val` segments hang off. Plain files (no kv segment) batch into
-    // ONE reader call; partitioned files group per commit dir (their
-    // part-<uuid> root — also correct for `@`-absolute clone refs, whose
-    // base lives in the SOURCE table) — O(commits) calls, metadata-sized.
-    // The unions reconcile by name: a partition column rides in-path for
-    // partitioned commits and in-file for plain ones (spec evolution).
-    def readLeaves(fs: Vector[String]): DataFrame = {
-      val (parted, flat) = fs.partition(_.split('/').exists(_.contains('=')))
-      val flatDf =
-        if (flat.isEmpty) Vector.empty
-        else Vector(mkReader().parquet(flat.map(resolve(dir, _)): _*))
-      def baseOf(f: String): String = {
-        val segs = resolve(dir, f).split('/')
-        segs.take(segs.indexWhere(_.contains('='))).mkString("/")
-      }
-      val partDfs = parted.groupBy(baseOf).toVector.sortBy(_._1)
-        .map { case (bp, fs2) =>
-          mkReader().option("basePath", bp)
-            .parquet(fs2.map(resolve(dir, _)): _*)
-        }
-      (flatDf ++ partDfs)
-        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
-    }
+    def readLeaves(fs: Vector[String]): DataFrame =
+      readLeavesRaw(spark, dir, fs, mergeSchema)
     // group the files by which renames and scoped vectors apply; per
     // group: read, RENAME FIRST (a file inside a rename's scope carries
     // the old physical name in-parquet), then anti-join its scoped
@@ -900,24 +907,40 @@ object TxnLog {
       // ONE forward fold finds the last version whose set was non-empty
       // (re-folding per walked version would be O(versions²) on a table
       // emptied early in a long history); starts from the same checkpoint
-      // snapshotAt uses, so pre-checkpoint manifests never re-parse
+      // snapshotAt uses, so pre-checkpoint manifests never re-parse.
+      // Only versions AT OR ABOVE the vacuum watermark qualify — a
+      // non-empty version below it has no data files left on disk, and
+      // serving its schema would crash mid-scan instead of returning the
+      // zero rows an empty table legitimately holds.
+      val minV = minVersion(dir)
       val cur = math.min(upto, currentVersion(dir))
       val (seed, from) = checkpointVersions(dir).filter(_ <= cur).lastOption match {
         case Some(cv) => (parseCheckpoint(dir, cv), cv)
         case None     => (Snapshot(Vector.empty, Vector.empty), Long.MinValue)
       }
-      val seed0 = if (seed.files.nonEmpty) Some(seed) else None
+      val seed0 = if (seed.files.nonEmpty && from >= minV) Some(seed) else None
       val lastWithFiles = manifests(dir)
         .filter { case (v, _) => v > from && v <= cur }.sortBy(_._1)
         .foldLeft((seed, seed0)) {
-          case ((acc, best), (_, p)) =>
+          case ((acc, best), (v, p)) =>
             val next = foldOne(acc, p)
-            (next, if (next.files.nonEmpty) Some(next) else best)
+            (next, if (next.files.nonEmpty && v >= minV) Some(next) else best)
         }._2
       return lastWithFiles match {
         case Some(prev) =>
           readFileSet(spark, dir, prev.files, prev, mergeSchema).limit(0)
-        case None => spark.emptyDataFrame // never had data: no schema to serve
+        case None =>
+          // last non-empty version vacuumed (or the table never held
+          // data): serve the stored DDL schema if CREATE TABLE persisted
+          // one, else a schemaless empty frame — zero rows either way
+          val sp = logDir(dir).resolve("_schema.json")
+          if (Files.exists(sp))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.DataType.fromJson(
+                new String(Files.readAllBytes(sp), "UTF-8"))
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+          else spark.emptyDataFrame
       }
     }
     // mergeSchema = SCHEMA EVOLUTION on read: a version that ADDED columns
@@ -971,11 +994,12 @@ object TxnLog {
     * what makes compact/delete safe against the lost-update race instead
     * of silently dropping an interleaved append. */
   private def replaceCommitValidated(spark: SparkSession, dir: String,
-                                     noop: Boolean = false)
+                                     noop: Boolean = false,
+                                     mergeSchema: Boolean = false)
                                     (build: DataFrame => DataFrame): Long = {
     while (true) {
       val base = currentVersion(dir)
-      val df = build(read(spark, dir)).localCheckpoint()
+      val df = build(read(spark, dir, mergeSchema = mergeSchema)).localCheckpoint()
       val (rel, files) = writeData(df, dir)
       // `noop` = the caller guarantees the rewrite is LOGICALLY identity
       // (compact: layout changes, content doesn't — pending vectors were
@@ -1258,7 +1282,10 @@ object TxnLog {
       val clustered = clusteredFiles(dir).intersect(snap.files.toSet)
       val cands = snap.files.filter(f => !clustered(f) && !f.startsWith("@"))
       if (cands.isEmpty) return base
-      val cur = spark.read.parquet(cands.map(resolve(dir, _)): _*).localCheckpoint()
+      // partition-aware candidate read: hive-layout commit files keep
+      // their dir-encoded partition column (the rewrite stores it in-file
+      // afterward — the readFileSet unions reconcile the two by name)
+      val cur = readLeavesRaw(spark, dir, cands).localCheckpoint()
       val n = cur.count()
       if (n == 0) return base
       val (rel, files) = zTiledFiles(spark, dir, cur, cx, cy, tie,
@@ -1349,8 +1376,9 @@ object TxnLog {
     * ([[graft.plans.SqlDml]]). Returns the version won (unchanged if
     * nothing matched). */
   def deleteWhere(spark: SparkSession, dir: String, cond: Column,
-                  isolation: Isolation = Isolation.Rederive): Long =
-    rewriteWhere(spark, dir, cond, isolation, "deleteWhere")(
+                  isolation: Isolation = Isolation.Rederive,
+                  widenTo: Option[org.apache.spark.sql.types.StructType] = None): Long =
+    rewriteWhere(spark, dir, cond, isolation, "deleteWhere", widenTo)(
       (df, hit) => df.filter(!hit))
 
   /** Row-level UPDATE, FILE-GRANULAR copy-on-write: same touched-file
@@ -1420,7 +1448,10 @@ object TxnLog {
       if (snap.dvs.nonEmpty || snap.scoped.nonEmpty ||
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
           snap.files.exists(f => f.startsWith("@") || f.count(_ == '/') != 1))
-        return replaceCommitValidated(spark, dir)(cur =>
+        // with a declared schema the fallback read must also merge footers,
+        // or widenSlice would NULL-fill a column some files do store
+        return replaceCommitValidated(spark, dir,
+            mergeSchema = widenTo.nonEmpty)(cur =>
           transform(widenSlice(cur, widenTo), hit))
       val withFile = widenSlice(readFiles(snap.files.map(resolve(dir, _))), widenTo)
         .withColumn("__rel", substring_index(input_file_name(), "/", -2))
@@ -1783,10 +1814,12 @@ object TxnLog {
       // Pending vectors OR shallow-clone references: fall back to one
       // validated replace-commit. Vectors would suppress re-inserted keys;
       // external (`@`) files can't be exchanged — they belong to the
-      // source table, so the rewrite must localize them anyway.
+      // source table, so the rewrite must localize them anyway. Hive-layout
+      // commits fall back too: a leaf read loses the dir-encoded partition
+      // column (read() routes through readFileSet's basePath grouping).
       if (snap.dvs.nonEmpty || snap.scoped.nonEmpty ||
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
-          snap.files.exists(_.startsWith("@")))
+          snap.files.exists(f => f.startsWith("@") || f.count(_ == '/') != 1))
         return replaceCommitValidated(spark, dir)(cur =>
           cur.join(srcKeys, keyCols, "left_anti")
             .unionByName(src, allowMissingColumns = evolveSchema))
@@ -1832,29 +1865,40 @@ object TxnLog {
 
   /** The FULLY-GENERAL merge grammar, Column-typed — what the SQL front
     * door ([[graft.plans.SqlDml]]) lowers a `MERGE INTO` statement to.
+    * The full Delta-style clause surface: each of the three WHEN families
+    * is an ORDERED clause list, and within a family a row takes the FIRST
+    * clause whose condition passes (SQL MERGE's first-matching-clause-wins
+    * — encoded here once, so every caller gets it by construction).
+    *
     * Conditions and value expressions see the TARGET row's columns bare
     * and the SOURCE row's as `src_<name>` (the [[MergeActions]] scope):
-    *   - `deleteWhen`: matched rows satisfying it are deleted
-    *   - `updateWhen`/`updateSet`: surviving matched rows satisfying the
-    *     gate take the SETs SIMULTANEOUSLY (pre-update row in scope)
-    *   - `insert`: `Some((cond, proj))` — not-matched source rows passing
-    *     `cond` insert through `proj` (one value per target column,
-    *     evaluated over `src_` columns); `None` = no insert clause.
-    * SQL's first-matching-clause-wins over [delete, update] in either
-    * order is encodable: delete-first maps directly; update-first maps
-    * to `deleteWhen := del && !upd` (the statement rewriter does this). */
+    *   - `matched`: WHEN MATCHED [AND cond] THEN UPDATE SET sets /
+    *     DELETE — `(cond, Some(sets))` is an UPDATE clause (SETs apply
+    *     SIMULTANEOUSLY against the pre-update row), `(cond, None)` is a
+    *     DELETE clause; `cond = None` means unconditional.
+    *   - `notMatched`: WHEN NOT MATCHED [AND cond] THEN INSERT — each
+    *     clause is `(cond, proj)`, one value per target column evaluated
+    *     over `src_` columns; unprojected columns fill NULL.
+    *   - `notMatchedBySource`: WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    *     UPDATE/DELETE — applies to TARGET rows with no source match;
+    *     conditions and SETs see target columns only (the `src_` side is
+    *     all-NULL there by construction, and the statement analyzer
+    *     refuses source references in these clauses anyway). */
   private[graft] final case class MergeGrammar(
-      deleteWhen: Option[Column] = None,
-      updateWhen: Option[Column] = None,
-      updateSet: Option[Seq[(String, Column)]] = None,
-      insert: Option[(Option[Column], Seq[(String, Column)])] = None)
+      matched: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil,
+      notMatched: Seq[(Option[Column], Seq[(String, Column)])] = Nil,
+      notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] = Nil)
 
   private def toGrammar(a: MergeActions, targetCols: Seq[String]): MergeGrammar =
     MergeGrammar(
-      deleteWhen = a.deleteWhen.map(expr),
-      updateSet = a.updateSet.map(_.map { case (c, e) => c -> expr(e) }),
-      insert = if (a.insert) Some((None, targetCols.map(c => c -> col(s"src_$c"))))
-               else None)
+      // delete clause FIRST: MergeActions documents updates as applying
+      // to SURVIVING matched rows, which first-clause-wins encodes
+      matched = a.deleteWhen.map(c => (Some(expr(c)), None)).toSeq ++
+        a.updateSet.map(sets =>
+          (None, Some(sets.map { case (c, e) => c -> expr(e) }))).toSeq,
+      notMatched =
+        if (a.insert) Seq((None, targetCols.map(c => c -> col(s"src_$c"))))
+        else Nil)
 
   /** Apply a [[MergeGrammar]] to a target slice: left-join the prefixed
     * source, filter deletes, project simultaneous updates, union the
@@ -1876,50 +1920,84 @@ object TxnLog {
         "a target row may not match more than one source row")
     val cols = target.columns.toSeq
     val types = target.schema.map(f => f.name -> f.dataType).toMap
+    def checkSets(sets: Seq[(String, Column)], what: String): Map[String, Column] = {
+      val bySet = sets.toMap
+      require(bySet.size == sets.size, s"$what assigns a column twice")
+      require(bySet.keySet.subsetOf(cols.toSet),
+        s"$what targets unknown columns: ${bySet.keySet -- cols}")
+      bySet
+    }
     val srcPref = source
       .select(source.columns.map(c => col(c).as(s"src_$c")) :+ lit(true).as("__m"): _*)
     val cond = keyCols.map(k => col(k) === col(s"src_$k")).reduce(_ && _)
     val joined = target.join(srcPref, cond, "left")
-    val deleted = g.deleteWhen
-      .map(c => col("__m").isNotNull && coalesce(c, lit(false)))
-      .getOrElse(lit(false))
-    val kept = joined.filter(!deleted)
-    val updated = g.updateSet match {
-      case Some(sets) =>
-        val bySet = sets.toMap
-        require(bySet.size == sets.size, "updateSet assigns a column twice")
-        require(bySet.keySet.subsetOf(cols.toSet),
-          s"updateSet targets unknown columns: ${bySet.keySet -- cols}")
-        val gate = g.updateWhen
-          .map(c => col("__m").isNotNull && coalesce(c, lit(false)))
-          .getOrElse(col("__m").isNotNull)
-        kept.select(cols.map { c =>
-          bySet.get(c) match {
-            case Some(e) => when(gate, e.cast(types(c))).otherwise(col(c)).as(c)
-            case None    => col(c)
-          }
-        }: _*)
-      case None => kept.select(cols.map(col): _*)
+
+    // FIRST-CLAUSE-WINS gates: clause i fires when its own condition
+    // passes under the family's scope AND no earlier clause fired. NULL
+    // conditions don't fire (SQL boolean gate semantics).
+    def gates(clauses: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+              scope: Column): Seq[Column] = {
+      var prior: Column = lit(false)
+      clauses.map { case (c, _) =>
+        val own = scope && coalesce(c.getOrElse(lit(true)), lit(false))
+        val fire = own && !prior
+        prior = prior || own
+        fire
+      }
     }
-    g.insert match {
-      case None => updated
-      case Some((icond, proj)) =>
-        val byCol = proj.toMap
-        require(byCol.size == proj.size, "insert projection assigns a column twice")
-        require(byCol.keySet.subsetOf(cols.toSet),
-          s"insert projection targets unknown columns: ${byCol.keySet -- cols}")
+    val rowClauses =
+      g.matched.zip(gates(g.matched, col("__m").isNotNull)) ++
+      g.notMatchedBySource.zip(gates(g.notMatchedBySource, col("__m").isNull))
+    val deleted = rowClauses.collect { case ((_, None), fire) => fire }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val kept = joined.filter(!deleted)
+    val updClauses = rowClauses.collect { case ((_, Some(sets)), fire) =>
+      (checkSets(sets, "MERGE UPDATE SET"), fire)
+    }
+    val updated =
+      if (updClauses.isEmpty) kept.select(cols.map(col): _*)
+      else kept.select(cols.map { c =>
+        // per column: CASE over the clauses that set it, in clause order
+        // (gates are disjoint, so order here is cosmetic), ELSE unchanged
+        val cases = updClauses.flatMap { case (bySet, fire) =>
+          bySet.get(c).map(e => (fire, e))
+        }
+        if (cases.isEmpty) col(c)
+        else cases.foldRight(col(c)) { case ((fire, e), els) =>
+          when(fire, e.cast(types(c))).otherwise(els)
+        }.as(c)
+      }: _*)
+
+    if (g.notMatched.isEmpty) updated
+    else {
+      g.notMatched.foreach { case (_, proj) =>
+        val byCol = checkSets(proj, "MERGE INSERT projection")
         require(keyCols.forall(byCol.contains),
           s"insert projection must assign every merge key ($keyCols): a row " +
             "inserted without its key would be unreachable by later merges")
-        val anti = srcPref
-          .join(target.select(keyCols.map(col): _*).distinct(), cond, "left_anti")
-        val gated = icond.map(c => anti.filter(coalesce(c, lit(false)))).getOrElse(anti)
-        // unassigned columns fill NULL (SQL INSERT semantics); every value
-        // casts to the target column type, so the union never widens
-        val inserts = gated.select(cols.map(c => byCol.get(c)
-          .map(_.cast(types(c)))
-          .getOrElse(lit(null).cast(types(c))).as(c)): _*)
-        updated.unionByName(inserts)
+      }
+      val anti = srcPref
+        .join(target.select(keyCols.map(col): _*).distinct(), cond, "left_anti")
+      val iGates = {
+        var prior: Column = lit(false)
+        g.notMatched.map { case (c, _) =>
+          val own = coalesce(c.getOrElse(lit(true)), lit(false))
+          val fire = own && !prior
+          prior = prior || own
+          fire
+        }
+      }
+      val any = iGates.reduce(_ || _)
+      // unassigned columns fill NULL (SQL INSERT semantics); every value
+      // casts to the target column type, so the union never widens
+      val inserts = anti.filter(any).select(cols.map { c =>
+        iGates.zip(g.notMatched).foldRight(lit(null).cast(types(c))) {
+          case ((fire, (_, proj)), els) =>
+            when(fire, proj.toMap.get(c).map(_.cast(types(c)))
+              .getOrElse(lit(null).cast(types(c)))).otherwise(els)
+        }.as(c)
+      }: _*)
+      updated.unionByName(inserts)
     }
   }
 
@@ -1951,29 +2029,56 @@ object TxnLog {
   private[graft] def mergeGrammar(spark: SparkSession, dir: String,
                                   source: DataFrame, keyCols: Seq[String],
                                   grammar: MergeGrammar,
-                                  isolation: Isolation = Isolation.Rederive): Long = {
+                                  isolation: Isolation = Isolation.Rederive,
+                                  widenTo: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    require(grammar.deleteWhen.nonEmpty || grammar.updateSet.nonEmpty ||
-        grammar.insert.nonEmpty,
+    require(grammar.matched.nonEmpty || grammar.notMatched.nonEmpty ||
+        grammar.notMatchedBySource.nonEmpty,
       "merge with no actions is a no-op statement")
     val src = source.localCheckpoint()
-    if (src.isEmpty) return currentVersion(dir)
+    // an empty source is a no-op — UNLESS by-source clauses exist: then
+    // EVERY target row is not-matched-by-source and the clauses apply
+    if (src.isEmpty && grammar.notMatchedBySource.isEmpty)
+      return currentVersion(dir)
     val srcKeys = src.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    // a file is touched when it holds a MATCHED key — or, with by-source
+    // clauses, a row with no source match passing any clause condition
+    // (conditions there see target columns only, so they evaluate on the
+    // bare scan). An unconditional by-source clause touches every file.
+    val bySrcHit: Option[Column] =
+      if (grammar.notMatchedBySource.isEmpty) None
+      else Some(grammar.notMatchedBySource
+        .map(_._1.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+        .reduce(_ || _))
+    // post-ADD-COLUMN tables mix file schemas: with a declared schema in
+    // play, merge footers so no file's stored values are NULL-filled
+    def readFiles(paths: Seq[String]) = widenTo match {
+      case Some(_) => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
     while (true) {
       val base = currentVersion(dir)
       val snap = snapshotAt(dir, base)
+      // hive-layout commits join the fallback set: leaf reads would lose
+      // the dir-encoded partition column (readFileSet's basePath grouping
+      // exists for exactly this; read() routes through it)
       if (snap.dvs.nonEmpty || snap.scoped.nonEmpty ||
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
-          snap.files.exists(_.startsWith("@")))
-        return replaceCommitValidated(spark, dir)(cur =>
-          applyMergeGrammar(cur, src, keyCols, grammar))
-      val withFile = spark.read.parquet(snap.files.map(resolve(dir, _)): _*)
+          snap.files.exists(f => f.startsWith("@") || f.count(_ == '/') != 1))
+        return replaceCommitValidated(spark, dir,
+            mergeSchema = widenTo.nonEmpty)(cur =>
+          applyMergeGrammar(widenSlice(cur, widenTo), src, keyCols, grammar))
+      val withFile = widenSlice(readFiles(snap.files.map(resolve(dir, _))), widenTo)
         .withColumn("__rel", substring_index(input_file_name(), "/", -2))
-      val touched = withFile.join(srcKeys, keyCols, "left_semi")
-        .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
-      val targetSlice =
-        if (touched.isEmpty) read(spark, dir).limit(0)
-        else spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
+      val touched = (bySrcHit match {
+        case None => withFile.join(srcKeys, keyCols, "left_semi")
+        case Some(h) =>
+          withFile.join(srcKeys.withColumn("__sm", lit(true)), keyCols, "left")
+            .filter(col("__sm").isNotNull || h)
+      }).select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
+      val targetSlice = widenSlice(
+        if (touched.isEmpty) read(spark, dir, mergeSchema = widenTo.nonEmpty).limit(0)
+        else readFiles(touched.map(resolve(dir, _)).toSeq), widenTo)
       val rewritten = applyMergeGrammar(targetSlice, src, keyCols, grammar)
         .localCheckpoint()
       val (relFiles, body) =

@@ -36,12 +36,16 @@ import graft.sources.GraftSqlTable
   * the planner (where "table does not support deletes" would otherwise
   * throw) never sees them.
   *
+  * MERGE carries the full Delta-style clause surface: any number of
+  * conditional WHEN MATCHED UPDATE/DELETE clauses (first matching clause
+  * wins, per SQL), any number of WHEN NOT MATCHED INSERT clauses, and
+  * WHEN NOT MATCHED BY SOURCE UPDATE/DELETE (target rows with no source
+  * match; an unconditional clause touches every file by construction).
+  *
   * Scope (refused loudly, never silently misplanned): MERGE needs an
-  * equality-conjunction ON clause (the file-granular path keys on it), at
-  * most one UPDATE and one DELETE among the matched clauses (their SQL
-  * first-clause-wins order is encoded into the grammar), no
-  * NOT MATCHED BY SOURCE clauses, no schema evolution; DML against a
-  * time-travel resolution is refused like the write path. */
+  * equality-conjunction ON clause (the file-granular path keys on it),
+  * no schema evolution through SQL; nested-field SET targets are refused;
+  * DML against a time-travel resolution is refused like the write path. */
 object SqlDml extends Rule[LogicalPlan] {
 
   /** Idempotent post-build injection (the TopKStrategy pattern). */
@@ -56,28 +60,25 @@ object SqlDml extends Rule[LogicalPlan] {
     case DeleteFromTable(target, cond) =>
       graftTable(target).fold(plan) { tbl =>
         requireWritable(tbl, "DELETE")
+        // the declared schema rides along for the same reason as UPDATE's:
+        // after a metadata-only ADD COLUMN the touched files mix schemas,
+        // and the rewrite must merge footers (not single-footer-infer) or
+        // files that DO store the added column would lose its values
         GraftDeleteCommand(tbl.tableDir,
-          toCol(cond, bareNames(target)))
+          toCol(cond, bareNames(target)), declaredSchema(target))
       }
     case UpdateTable(target, assignments, cond) =>
       graftTable(target).fold(plan) { tbl =>
         requireWritable(tbl, "UPDATE")
         val names = bareNames(target)
-        // analysis aligns assignments to the full schema with identity
-        // entries for untouched columns — drop those, keep real SETs
-        val sets = assignments.collect {
-          case Assignment(k: AttributeReference, v) if !v.semanticEquals(k) =>
-            names(k.exprId) -> toCol(v, names)
-        }
+        val sets = collectSets(assignments, names, names, "UPDATE")
         // the statement's resolved schema rides along: after a
         // metadata-only ADD COLUMN the touched files may predate the
         // column, and the rewrite must serve (and write) the table's
         // declared width — this is how `UPDATE ... SET newcol = ...`
         // BACKFILLS a column added without rewriting anything
-        val declared = org.apache.spark.sql.types.StructType(target.output.map(a =>
-          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
         GraftUpdateCommand(tbl.tableDir, sets,
-          cond.map(toCol(_, names)).getOrElse(lit(true)), declared)
+          cond.map(toCol(_, names)).getOrElse(lit(true)), declaredSchema(target))
       }
     case m: MergeIntoTable =>
       graftTable(m.targetTable).fold(plan) { tbl =>
@@ -114,6 +115,30 @@ object SqlDml extends Rule[LogicalPlan] {
   private def bareNames(p: LogicalPlan): Map[ExprId, String] =
     p.output.map(a => a.exprId -> a.name).toMap
 
+  /** The statement's resolved view of the target table. */
+  private def declaredSchema(p: LogicalPlan): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(p.output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+
+  /** SET assignments → (column, value) pairs. Analysis aligns assignments
+    * to the full schema with identity entries for untouched columns —
+    * those drop; real SETs keep. A key that is not a top-level column
+    * (nested-field assignment, `SET s.x = 1`) is REFUSED loudly — the
+    * file-granular rewrite sets whole columns, and silently dropping the
+    * assignment would partially apply the statement. */
+  private def collectSets(assignments: Seq[Assignment],
+                          keyNames: Map[ExprId, String],
+                          scopeNames: Map[ExprId, String],
+                          stmt: String): Seq[(String, Column)] =
+    assignments.flatMap {
+      case Assignment(k: AttributeReference, v) =>
+        if (v.semanticEquals(k)) None
+        else Some(keyNames(k.exprId) -> toCol(v, scopeNames))
+      case a => throw new IllegalArgumentException(
+        s"$stmt SET target must be a top-level column of the graft table, " +
+          s"got: ${a.key.sql} (nested-field assignment is not supported)")
+    }
+
   /** Resolved expression → Column over the rewrite's column scope: every
     * attribute re-anchors by name (bare target names, `src_`-prefixed
     * source names), everything else — casts, functions, literals — rides
@@ -136,9 +161,6 @@ object SqlDml extends Rule[LogicalPlan] {
   }
 
   private def lowerMerge(m: MergeIntoTable, tbl: GraftSqlTable): LogicalPlan = {
-    require(m.notMatchedBySourceActions.isEmpty,
-      "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on graft " +
-        "tables (express it as a separate DELETE/UPDATE statement)")
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported through SQL (use " +
         "TxnLog.merge(evolveSchema = true))")
@@ -178,63 +200,64 @@ object SqlDml extends Rule[LogicalPlan] {
       .map { case (a, n) => a.exprId -> s"src_$n" }.toMap
     val names = tNames ++ sNames
 
-    // matched clauses: at most one UPDATE and one DELETE; SQL applies the
-    // FIRST matching clause, so when UPDATE precedes DELETE the delete
-    // condition picks up "and not the update's"
-    val (updates, others) = m.matchedActions.partition(_.isInstanceOf[UpdateAction])
-    val deletes = others.map {
-      case d: DeleteAction => d
-      case a => throw new IllegalArgumentException(
-        s"unsupported WHEN MATCHED action on graft tables: $a")
+    // the full Delta-style clause surface, preserved in statement order —
+    // MergeGrammar encodes first-matching-clause-wins within each family
+    def rowClause(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
+                  family: String): (Option[Column], Option[Seq[(String, Column)]]) =
+      a match {
+        case d: DeleteAction =>
+          (d.condition.map(toCol(_, names)), None)
+        case u: UpdateAction =>
+          (u.condition.map(toCol(_, names)),
+            Some(collectSets(u.assignments, tNames, names, s"MERGE $family UPDATE")))
+        case other => throw new IllegalArgumentException(
+          s"unsupported $family action on graft tables: $other")
+      }
+    val matched = m.matchedActions.map(rowClause(_, "WHEN MATCHED"))
+    // BY SOURCE conditions/SETs see target columns only (the analyzer
+    // refuses source references there) — the bare tNames scope enforces it
+    val bySource = m.notMatchedBySourceActions.map {
+      case d: DeleteAction =>
+        (d.condition.map(toCol(_, tNames)), None)
+      case u: UpdateAction =>
+        (u.condition.map(toCol(_, tNames)),
+          Some(collectSets(u.assignments, tNames, tNames,
+            "MERGE WHEN NOT MATCHED BY SOURCE UPDATE")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action on graft tables: $other")
     }
-    require(updates.size <= 1 && deletes.size <= 1,
-      "at most one WHEN MATCHED UPDATE and one WHEN MATCHED DELETE clause " +
-        "is supported on graft tables")
-    val upd = updates.headOption.map(_.asInstanceOf[UpdateAction])
-    val del = deletes.headOption
-    val updWhen = upd.flatMap(_.condition).map(toCol(_, names))
-    val delWhen = del.map { d =>
-      val own = d.condition.map(toCol(_, names)).getOrElse(lit(true))
-      val updateFirst = upd.exists(u =>
-        m.matchedActions.indexOf(u) < m.matchedActions.indexOf(d))
-      if (updateFirst)
-        own && not(coalesce(updWhen.getOrElse(lit(true)), lit(false)))
-      else own
-    }
-    val updSet = upd.map(_.assignments.collect {
-      case Assignment(k: AttributeReference, v) if !v.semanticEquals(k) =>
-        tNames(k.exprId) -> toCol(v, names)
-    })
-
-    val ins = m.notMatchedActions match {
-      case Seq()                  => None
-      case Seq(ia: InsertAction)  =>
-        Some((ia.condition.map(toCol(_, names)),
+    val inserts = m.notMatchedActions.map {
+      case ia: InsertAction =>
+        (ia.condition.map(toCol(_, names)),
           ia.assignments.map {
             case Assignment(k: AttributeReference, v) =>
               tNames(k.exprId) -> toCol(v, names)
             case a => throw new IllegalArgumentException(
               s"unsupported INSERT assignment target: ${a.key.sql}")
-          }))
-      case as => throw new IllegalArgumentException(
-        s"at most one WHEN NOT MATCHED INSERT clause is supported, got ${as.size}")
+          })
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action on graft tables: $other")
     }
 
     GraftMergeCommand(tbl.tableDir, m.sourceTable, srcFinalNames,
       keyPairs.map(_._1.name).distinct,
       TxnLog.MergeGrammar(
-        deleteWhen = delWhen,
-        updateWhen = updWhen,
-        updateSet = updSet.filter(_.nonEmpty),
-        insert = ins))
+        matched = matched,
+        notMatched = inserts,
+        notMatchedBySource = bySource),
+      declaredSchema(m.targetTable))
   }
 }
 
-/** `DELETE FROM <graft table> WHERE p` — file-granular CoW delete. */
-case class GraftDeleteCommand(dir: String, cond: Column)
+/** `DELETE FROM <graft table> WHERE p` — file-granular CoW delete. The
+  * declared schema rides along so the rewrite merges footers on a
+  * mixed-schema (post-ADD-COLUMN) table instead of single-footer
+  * inference silently dropping stored values of the added column. */
+case class GraftDeleteCommand(dir: String, cond: Column,
+                              declared: org.apache.spark.sql.types.StructType)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    TxnLog.deleteWhere(session, dir, cond)
+    TxnLog.deleteWhere(session, dir, cond, widenTo = Some(declared))
     Seq.empty
   }
 }
@@ -258,12 +281,14 @@ case class GraftUpdateCommand(dir: String, set: Seq[(String, Column)],
   * the target's name), then the grammar drives the file-granular merge. */
 case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
                              srcNames: Seq[String], keyCols: Seq[String],
-                             grammar: TxnLog.MergeGrammar)
+                             grammar: TxnLog.MergeGrammar,
+                             declared: org.apache.spark.sql.types.StructType)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
   override def run(session: SparkSession): Seq[Row] = {
     val src = ColumnBridge.ofRows(session, sourcePlan).toDF(srcNames: _*)
-    TxnLog.mergeGrammar(session, dir, src, keyCols, grammar)
+    TxnLog.mergeGrammar(session, dir, src, keyCols, grammar,
+      widenTo = Some(declared))
     Seq.empty
   }
 }

@@ -83,17 +83,21 @@ object CatalogOps {
       |) ORDER BY face, rf, ls""".stripMargin
 
   /** q292 — SQL row-level DML through the catalog ([[graft.plans.SqlDml]]):
-    * DELETE, UPDATE, and the full MERGE grammar (conditional update +
-    * delete + explicit-projection insert, SQL first-clause-wins order) as
-    * `spark.sql(...)` STATEMENTS, lowered onto the txn log's file-granular
-    * primitives. Faces:
+    * DELETE, UPDATE, and the FULL Delta-style MERGE grammar as
+    * `spark.sql(...)` STATEMENTS, lowered onto the txn log's
+    * file-granular primitives. The first MERGE (v5) exercises
+    * conditional-update + delete + explicit-projection insert; the second
+    * (v6, round-10 verdict item 2) exercises TWO conditional WHEN MATCHED
+    * clauses (first-clause-wins pinned: rows passing both take the first)
+    * and WHEN NOT MATCHED BY SOURCE ... DELETE (gated, so only a subset
+    * of unmatched 'MERGED' rows go). Faces:
     *
-    *   - `final`: per-priority aggregate of the table after all three
-    *     statements (the DML semantics, oracle-recomputed relationally)
-    *   - `v_del`: the same aggregate `VERSION AS OF 3` — time travel
-    *     composes with SQL DML (the post-DELETE, pre-UPDATE snapshot)
-    *   - `hist`:  the commit-action sequence A,A,X,X,X as a golden face —
-    *     every DML statement committed a file EXCHANGE (only touched
+    *   - `final`: per-priority aggregate after all four statements
+    *   - `v_m1`:  the same aggregate `VERSION AS OF 5` (post-first-MERGE)
+    *   - `v_del`: `VERSION AS OF 3` — time travel composes with SQL DML
+    *     (the post-DELETE, pre-UPDATE snapshot)
+    *   - `hist`:  the commit-action sequence A,A,X,X,X,X as a golden face
+    *     — every DML statement committed a file EXCHANGE (only touched
     *     files rewrite), never a whole-table replace. That is the 100 TB
     *     claim, pinned in the hash; SqlDmlSpec pins the file-level bytes.
     *
@@ -131,6 +135,20 @@ object CatalogOps {
       WHEN MATCHED THEN DELETE
       WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice,
         o_orderpriority) VALUES (src.o_orderkey, 0, src.bump, 'MERGED')""") // v5
+    // v6 — the FULL clause surface (round-10 verdict item 2): two
+    // CONDITIONAL WHEN MATCHED clauses (SQL first-clause-wins: a row
+    // passing both takes 'BIG', never 'MID') plus WHEN NOT MATCHED BY
+    // SOURCE (target rows with no source match) with a gated DELETE
+    s.sql(s"""MERGE INTO gdml.db.ord t USING (
+        SELECT o_orderkey FROM parquet.`$d/orders.parquet`
+        WHERE o_orderkey % 8 IN (0, 2) AND o_orderkey % 7 = 0) src
+      ON t.o_orderkey = src.o_orderkey
+      WHEN MATCHED AND t.o_totalprice > 100000 THEN
+        UPDATE SET o_orderpriority = 'BIG'
+      WHEN MATCHED AND t.o_totalprice > 20000 THEN
+        UPDATE SET o_orderpriority = 'MID'
+      WHEN NOT MATCHED BY SOURCE AND t.o_orderpriority = 'MERGED'
+        AND t.o_orderkey % 3 = 0 THEN DELETE""")                        // v6
     def face(from: String, tag: String): DataFrame = s.sql(
       s"""SELECT '$tag' AS face, o_orderpriority AS pri, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -142,6 +160,7 @@ object CatalogOps {
         lit(null).cast("double").as("sum_price"))
     face("gdml.db.ord", "final")
       .unionByName(face("gdml.db.ord VERSION AS OF 3", "v_del"))
+      .unionByName(face("gdml.db.ord VERSION AS OF 5", "v_m1"))
       .unionByName(hist)
       .orderBy(col("face"), col("pri"), col("n"))
   }
@@ -171,9 +190,25 @@ object CatalogOps {
       |  SELECT s.o_orderkey, 0, s.bump, 'MERGED'
       |  FROM src s LEFT JOIN v4 t ON s.o_orderkey = t.o_orderkey
       |  WHERE t.o_orderkey IS NULL),
+      |src2 AS (SELECT o_orderkey FROM orders
+      |         WHERE o_orderkey % 8 IN (0, 2) AND o_orderkey % 7 = 0),
+      |v6 AS (
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_totalprice,
+      |         CASE WHEN m.o_orderkey IS NOT NULL AND t.o_totalprice > 100000
+      |                THEN 'BIG'
+      |              WHEN m.o_orderkey IS NOT NULL AND t.o_totalprice > 20000
+      |                THEN 'MID'
+      |              ELSE t.o_orderpriority END AS o_orderpriority
+      |  FROM v5 t LEFT JOIN src2 m ON t.o_orderkey = m.o_orderkey
+      |  WHERE NOT (m.o_orderkey IS NULL AND t.o_orderpriority = 'MERGED'
+      |             AND t.o_orderkey % 3 = 0)),
       |faces AS (
       |  SELECT 'final' AS face, o_orderpriority AS pri, COUNT(*) AS n,
       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  FROM v6 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'v_m1', o_orderpriority, COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
       |  FROM v5 GROUP BY 2
       |  UNION ALL
       |  SELECT 'v_del', o_orderpriority, COUNT(*),
@@ -181,7 +216,8 @@ object CatalogOps {
       |  FROM v3 GROUP BY 2
       |  UNION ALL
       |  SELECT 'hist', a, v, CAST(NULL AS DOUBLE)
-      |  FROM (VALUES ('A', 1), ('A', 2), ('X', 3), ('X', 4), ('X', 5)) h(a, v))
+      |  FROM (VALUES ('A', 1), ('A', 2), ('X', 3), ('X', 4), ('X', 5), ('X', 6))
+      |       h(a, v))
       |SELECT * FROM faces ORDER BY face, pri, n""".stripMargin
 
   /** q297 — SQL SCHEMA EVOLUTION through the catalog: the full lifecycle

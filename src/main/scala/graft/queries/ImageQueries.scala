@@ -451,11 +451,84 @@ object ImageQueries {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q302
+  /** JPEG 4:2:0 + RESTART-INTERVAL e2e (round-10 verdict item 1): the
+    * q295 corpus re-encoded the way REAL camera/web JPEGs arrive — RGB
+    * images carry 2×2 luma subsampling (chroma planes box-averaged to
+    * half resolution), and EVERY stream carries DRI with an RSTn marker
+    * every 1–3 MCUs (id-dependent, so marker cadence varies across the
+    * corpus). Metrics are the q295 shape: decoded integer stats + the
+    * reconstruction-error envelope vs the source. Gray streams isolate
+    * the restart machinery (max_diff matches q295's unrestarted values
+    * EXACTLY — restarts are lossless framing); RGB streams additionally
+    * pay the bounded subsampling cost. Golden oracle (GoldenDump
+    * --q302); JpegCodecSpec pins the bounds and the resync behavior. */
+  def q302(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.range(0, 24).as[Long]
+      .map { id =>
+        val w = 16 + (id % 5).toInt * 8
+        val h = 16 + (id % 7).toInt * 8
+        val kind = (id % 4).toInt
+        val src = ImageOps.synth(w, h, kind)
+        val jpg = graft.io.JpegCodec.encode(src,
+          subsample = src.channels == 3,
+          restartInterval = 1 + (id % 3).toInt)
+        val dec = graft.io.JpegCodec.decode(jpg)
+        val (sum, _, wsum) = ImageOps.stats(dec)
+        var maxDiff = 0L; var sse = 0L
+        var i = 0
+        while (i < src.pixels.length) {
+          val dd = ((src.pixels(i) & 0xff) - (dec.pixels(i) & 0xff)).toLong
+          if (math.abs(dd) > maxDiff) maxDiff = math.abs(dd)
+          sse += dd * dd
+          i += 1
+        }
+        (id, dec.width, dec.height, dec.channels, sum, wsum, maxDiff, sse)
+      }
+      .toDF("img_id", "w", "h", "ch", "px_sum", "wsum", "max_diff", "sse")
+      .orderBy(col("img_id"))
+  }
+
+  /** Golden literal oracle (GoldenDump --q302), frozen like q295Sql. The
+    * gray rows (ch=1) equal q295's values EXACTLY — restart markers are
+    * lossless framing; the RGB rows carry the bounded 4:2:0 chroma cost
+    * (kind 3's checker channel subsamples hardest: max_diff ≤ 27). */
+  val q302Sql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 16, 16, 1, CAST(32640 AS BIGINT), CAST(10904144 AS BIGINT), CAST(3 AS BIGINT), CAST(512 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 24, 24, 1, CAST(73344 AS BIGINT), CAST(49500600 AS BIGINT), CAST(2 AS BIGINT), CAST(888 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 32, 32, 1, CAST(130560 AS BIGINT), CAST(108984960 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 40, 40, 3, CAST(602852 AS BIGINT), CAST(1872654440 AS BIGINT), CAST(20 AS BIGINT), CAST(130280 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 48, 48, 1, CAST(292944 AS BIGINT), CAST(742032120 AS BIGINT), CAST(2 AS BIGINT), CAST(1632 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), 16, 56, 1, CAST(113792 AS BIGINT), CAST(114157856 AS BIGINT), CAST(2 AS BIGINT), CAST(528 AS BIGINT)),
+      |  (CAST(6 AS BIGINT), 24, 64, 1, CAST(195840 AS BIGINT), CAST(258264000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(7 AS BIGINT), 32, 16, 3, CAST(195471 AS BIGINT), CAST(210220832 AS BIGINT), CAST(27 AS BIGINT), CAST(75045 AS BIGINT)),
+      |  (CAST(8 AS BIGINT), 40, 24, 1, CAST(122112 AS BIGINT), CAST(138535632 AS BIGINT), CAST(1 AS BIGINT), CAST(432 AS BIGINT)),
+      |  (CAST(9 AS BIGINT), 48, 32, 1, CAST(195120 AS BIGINT), CAST(335191752 AS BIGINT), CAST(2 AS BIGINT), CAST(1056 AS BIGINT)),
+      |  (CAST(10 AS BIGINT), 16, 40, 1, CAST(81600 AS BIGINT), CAST(49706640 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(11 AS BIGINT), 24, 48, 3, CAST(439284 AS BIGINT), CAST(1011217144 AS BIGINT), CAST(26 AS BIGINT), CAST(105556 AS BIGINT)),
+      |  (CAST(12 AS BIGINT), 32, 56, 1, CAST(227584 AS BIGINT), CAST(448774480 AS BIGINT), CAST(1 AS BIGINT), CAST(728 AS BIGINT)),
+      |  (CAST(13 AS BIGINT), 40, 64, 1, CAST(325120 AS BIGINT), CAST(893790160 AS BIGINT), CAST(1 AS BIGINT), CAST(240 AS BIGINT)),
+      |  (CAST(14 AS BIGINT), 48, 16, 1, CAST(97920 AS BIGINT), CAST(66071520 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(15 AS BIGINT), 16, 24, 3, CAST(146552 AS BIGINT), CAST(127441303 AS BIGINT), CAST(25 AS BIGINT), CAST(53974 AS BIGINT)),
+      |  (CAST(16 AS BIGINT), 24, 32, 1, CAST(97792 AS BIGINT), CAST(87178464 AS BIGINT), CAST(2 AS BIGINT), CAST(864 AS BIGINT)),
+      |  (CAST(17 AS BIGINT), 32, 40, 1, CAST(162816 AS BIGINT), CAST(231054912 AS BIGINT), CAST(1 AS BIGINT), CAST(576 AS BIGINT)),
+      |  (CAST(18 AS BIGINT), 40, 48, 1, CAST(244800 AS BIGINT), CAST(400970160 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(19 AS BIGINT), 48, 56, 3, CAST(1025761 AS BIGINT), CAST(5280687583 AS BIGINT), CAST(22 AS BIGINT), CAST(229925 AS BIGINT)),
+      |  (CAST(20 AS BIGINT), 16, 64, 1, CAST(130560 AS BIGINT), CAST(150070592 AS BIGINT), CAST(3 AS BIGINT), CAST(2048 AS BIGINT)),
+      |  (CAST(21 AS BIGINT), 24, 16, 1, CAST(48960 AS BIGINT), CAST(23234400 AS BIGINT), CAST(2 AS BIGINT), CAST(384 AS BIGINT)),
+      |  (CAST(22 AS BIGINT), 32, 24, 1, CAST(97920 AS BIGINT), CAST(72468960 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(23 AS BIGINT), 40, 32, 3, CAST(488832 AS BIGINT), CAST(1268221980 AS BIGINT), CAST(22 AS BIGINT), CAST(124104 AS BIGINT))
+      |) t(img_id, w, h, ch, px_sum, wsum, max_diff, sse)
+      |ORDER BY img_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
     "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),
     "q295_image_jpeg_e2e" -> ((q295 _, Some(q295Sql))),
     "q296_video_mjpeg_e2e" -> ((q296 _, Some(q296Sql))),
     "q300_image_curation_e2e" -> ((q300 _, Some(q300Sql))),
-    "q301_image_similarity" -> ((q301 _, Some(q301Sql))))
+    "q301_image_similarity" -> ((q301 _, Some(q301Sql))),
+    "q302_image_jpeg420_restart_e2e" -> ((q302 _, Some(q302Sql))))
 }

@@ -89,8 +89,8 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.decode(patch(_(p + 1) = 0xc2.toByte))) // progressive
     assert(e1.getMessage.contains("progressive"))
     val e2 = intercept[IllegalArgumentException](
-      JpegCodec.decode(patch(_(sofBody + 7) = 0x22.toByte))) // 2x2 subsampling
-    assert(e2.getMessage.contains("subsampling"))
+      JpegCodec.decode(patch(_(sofBody + 7) = 0x50.toByte))) // H=5: out of spec
+    assert(e2.getMessage.contains("sampling factors"))
     val e3 = intercept[IllegalArgumentException](
       JpegCodec.decode(patch(_(sofBody) = 12.toByte))) // 12-bit
     assert(e3.getMessage.contains("8-bit"))
@@ -98,6 +98,117 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JpegCodec.decode(bad)) // no SOI
     intercept[Exception](
       JpegCodec.decode(java.util.Arrays.copyOf(enc, enc.length / 2))) // truncated
+  }
+
+  test("4:2:0 chroma subsampling: luma near-exact, chroma bounded, dims survive") {
+    // smooth RGB gradients: subsampled chroma is a box mean of a gentle
+    // ramp, so the reconstruction stays within a tight envelope
+    for ((w, h) <- Seq((32, 32), (33, 41), (17, 23), (48, 40))) {
+      val rgb = ImageOps.synth(w, h, 3)
+      val enc = JpegCodec.encode(rgb, subsample = true)
+      val dec = JpegCodec.decode(enc)
+      assert(dec.width == w && dec.height == h && dec.channels == 3)
+      assert(maxDiff(rgb, dec) <= 40, s"4:2:0 ${w}x$h err ${maxDiff(rgb, dec)}")
+    }
+    // the stream really IS subsampled: SOF declares 2x2 luma / 1x1 chroma
+    // (size comparisons are content-dependent — a block-aligned checker is
+    // DC-only at 4:4:4 but AC-dense at half-res — so pin the structure)
+    val enc420 = JpegCodec.encode(ImageOps.synth(48, 64, 3), subsample = true)
+    var p = 2
+    while ((enc420(p + 1) & 0xff) != 0xc0)
+      p += 2 + (((enc420(p + 2) & 0xff) << 8) | (enc420(p + 3) & 0xff))
+    assert((enc420(p + 4 + 7) & 0xff) == 0x22, "SOF must declare 2x2 luma")
+    assert((enc420(p + 4 + 10) & 0xff) == 0x11, "SOF must declare 1x1 chroma")
+    // and a smooth gradient — the honest size case — does get smaller
+    val smooth = ImageOps.synth(64, 48, 3)
+    // kind 3's third channel is a checker; build an all-gradient RGB
+    val rgbSmooth = Image(64, 48, 3, Array.tabulate[Byte](64 * 48 * 3) { i =>
+      val pix = i / 3; val c = i % 3
+      val x = pix % 64; val y = pix / 64
+      (if (c == 0) x * 255 / 63 else if (c == 1) y * 255 / 47
+       else (x * 255 / 63 + y * 255 / 47) / 2).toByte
+    })
+    assert(smooth.channels == 3)
+    val s444 = JpegCodec.encode(rgbSmooth).length
+    val s420 = JpegCodec.encode(rgbSmooth, subsample = true).length
+    assert(s420 < s444, s"4:2:0 ($s420) not smaller than 4:4:4 ($s444) on smooth RGB")
+    // GRAY content through 4:2:0: chroma planes are flat 128 (DC-only),
+    // so the luma path alone decides — matches the 1-channel bound
+    val grayRgb = {
+      val g = ImageOps.synth(40, 32, 0)
+      Image(40, 32, 3, Array.tabulate[Byte](40 * 32 * 3)(i => g.pixels(i / 3)))
+    }
+    assert(maxDiff(grayRgb, JpegCodec.decode(JpegCodec.encode(grayRgb,
+      subsample = true))) <= 8)
+  }
+
+  test("restart intervals: DRI/RSTn streams decode identically to unrestarted") {
+    for (kind <- 0 to 3; ri <- Seq(1, 2, 7)) {
+      val img = ImageOps.synth(33, 41, kind)
+      val plain = JpegCodec.decode(JpegCodec.encode(img))
+      val rst = JpegCodec.decode(JpegCodec.encode(img, restartInterval = ri))
+      assert(java.util.Arrays.equals(plain.pixels, rst.pixels),
+        s"kind=$kind ri=$ri decode differs from unrestarted")
+    }
+    // restarts compose with 4:2:0 (the camera-JPEG shape)
+    val rgb = ImageOps.synth(48, 40, 3)
+    val a = JpegCodec.decode(JpegCodec.encode(rgb, subsample = true))
+    val b = JpegCodec.decode(JpegCodec.encode(rgb, subsample = true,
+      restartInterval = 2))
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+  }
+
+  test("restart resync: a corrupted MCU run damages ONLY its interval") {
+    // 64x64 gray gradient, 1 MCU per restart interval: 64 intervals
+    val img = ImageOps.synth(64, 64, 1)
+    val enc = JpegCodec.encode(img, restartInterval = 1)
+    val clean = JpegCodec.decode(enc)
+    // find the 5th RSTn marker and trash the bytes AFTER it (interval 5's
+    // entropy data) up to (not including) the 6th marker
+    def rstPositions(b: Array[Byte]): Vector[Int] =
+      (0 until b.length - 1).collect {
+        case i if (b(i) & 0xff) == 0xff &&
+          (b(i + 1) & 0xff) >= 0xd0 && (b(i + 1) & 0xff) <= 0xd7 => i
+      }.toVector
+    val rsts = rstPositions(enc)
+    assert(rsts.size >= 10, s"expected many restart markers, got ${rsts.size}")
+    val bad = enc.clone()
+    var i = rsts(4) + 2
+    while (i < rsts(5)) { bad(i) = 0x55; i += 1 } // no 0xFF: markers intact
+    val dec = JpegCodec.decode(bad)
+    assert(dec.width == 64 && dec.height == 64)
+    // intervals 0-4 and 6.. must match the clean decode EXACTLY (the DC
+    // predictor reset at each RSTn is what makes interval 6 recoverable);
+    // interval 5 = MCU (row 0, col 5) → pixels x∈[40,48), y∈[0,8)
+    val w = 64
+    def damaged(x: Int, y: Int): Boolean = y < 8 && x >= 40 && x < 48
+    for (y <- 0 until 64; x <- 0 until w) {
+      val idx = y * w + x
+      if (!damaged(x, y))
+        assert(dec.pixels(idx) == clean.pixels(idx),
+          s"resync corrupted pixel outside the damaged interval at ($x,$y)")
+    }
+    // the damaged block differs from clean somewhere (the corruption is real)
+    assert((0 until 8).exists(y => (40 until 48).exists(x =>
+      dec.pixels(y * w + x) != clean.pixels(y * w + x))))
+  }
+
+  test("defaults are byte-stable: no DRI segment, 1x1 factors (golden compat)") {
+    val enc = JpegCodec.encode(ImageOps.synth(24, 16, 3))
+    // no DRI marker anywhere in the headers
+    var p = 2
+    var sawDri = false
+    var sof = -1
+    while (sof < 0) {
+      val m = enc(p + 1) & 0xff
+      if (m == 0xdd) sawDri = true
+      if (m == 0xc0) sof = p + 4
+      else p += 2 + (((enc(p + 2) & 0xff) << 8) | (enc(p + 3) & 0xff))
+    }
+    assert(!sawDri, "default encode must not emit DRI")
+    for (c <- 0 until 3)
+      assert((enc(sof + 7 + 3 * c) & 0xff) == 0x11,
+        "default encode must keep 1x1 sampling")
   }
 
   test("encoder Huffman tables are canonical and 16-bit-capped") {

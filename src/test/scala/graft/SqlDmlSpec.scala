@@ -153,4 +153,100 @@ class SqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"UPDATE $t SET v = 0.0 WHERE k > 100")
     assert(TxnLog.currentVersion(dir) == v1, "no-match DML must not commit")
   }
+
+  test("multiple conditional WHEN MATCHED clauses: first matching clause wins") {
+    val (t, _) = freshTable("multimatch")
+    spark.sql(s"INSERT INTO $t VALUES (1, 150.0, 'a'), (2, 50.0, 'a'), " +
+      "(3, 5.0, 'a'), (4, 1.0, 'a')")
+    // k=1 passes BOTH update conditions — the FIRST clause must win;
+    // k=2 passes only the second; k=3 falls through to the delete;
+    // k=4 is matched but passes no clause — unchanged
+    spark.sql(s"""MERGE INTO $t USING (
+      SELECT * FROM VALUES (1), (2), (3), (4) AS s(k)) src
+      ON $t.k = src.k
+      WHEN MATCHED AND v > 100 THEN UPDATE SET grp = 'big'
+      WHEN MATCHED AND v > 10  THEN UPDATE SET grp = 'mid', v = v + 1000.0
+      WHEN MATCHED AND v > 2   THEN DELETE""")
+    val rows = spark.sql(s"SELECT k, v, grp FROM $t ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L)) // k=3 deleted
+    assert(rows(0).getDouble(1) == 150.0 && rows(0).getString(2) == "big",
+      "first clause must win for k=1 (second clause's SETs must not apply)")
+    assert(rows(1).getDouble(1) == 1050.0 && rows(1).getString(2) == "mid")
+    assert(rows(2).getDouble(1) == 1.0 && rows(2).getString(2) == "a")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: update and delete legs; empty source applies to all") {
+    val (t, _) = freshTable("bysource")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'a'), " +
+      "(3, 30.0, 'a'), (4, 40.0, 'a')")
+    // src matches k=1 only. k=2/3/4 are not-matched-by-source:
+    // k=4 (v>35) deletes, k=2/3 take the stale-mark update
+    spark.sql(s"""MERGE INTO $t USING (SELECT 1 AS k) src
+      ON $t.k = src.k
+      WHEN MATCHED THEN UPDATE SET grp = 'hit'
+      WHEN NOT MATCHED BY SOURCE AND v > 35 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grp = 'stale'""")
+    val rows = spark.sql(s"SELECT k, grp FROM $t ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("hit", "stale", "stale"))
+    // EMPTY source: every target row is not-matched-by-source (the one
+    // shape where an empty source is NOT a no-op)
+    spark.sql(s"""MERGE INTO $t USING (
+      SELECT 1 AS k FROM range(1) WHERE 1 = 0) src
+      ON $t.k = src.k
+      WHEN NOT MATCHED BY SOURCE AND grp = 'stale' THEN DELETE""")
+    assert(spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("nested-field SET targets are refused loudly, not silently dropped") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqldml_nested").toString
+    spark.conf.set("spark.sql.catalog.gt", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db")
+    spark.sql("CREATE TABLE gt.db.nested (k BIGINT, s STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql("INSERT INTO gt.db.nested SELECT 1, named_struct('a', 1L, 'b', 'x')")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gt.db.nested SET s.a = 2 WHERE k = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("top-level column")),
+      s"expected the nested-SET refusal, got: ${e.getMessage}")
+    // the row is untouched — the statement did NOT partially apply
+    assert(spark.sql("SELECT s.a FROM gt.db.nested").head().getLong(0) == 1L)
+  }
+
+  test("DML after metadata-only ADD COLUMN preserves the stored values (DELETE and MERGE)") {
+    // each statement gets its OWN mixed-schema table: the first DML
+    // materializes the width, so reuse would mask the bug for the second
+    def mixed(tag: String): String = {
+      val (t, _) = freshTable(tag)
+      spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'old' FROM range(0, 10)")
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING)")
+      // partial backfill: only the NEW file stores `tag`
+      spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'new', " +
+        "CONCAT('t', CAST(id AS STRING)) FROM range(100, 110)")
+      t
+    }
+    // DELETE touches BOTH files: the rewrite must keep the new file's
+    // stored tag values (single-footer inference would NULL them)
+    val td = mixed("evodel")
+    spark.sql(s"DELETE FROM $td WHERE k IN (1, 101)")
+    assert(spark.sql(s"SELECT tag FROM $td WHERE k = 105").head().getString(0) == "t105",
+      "DELETE dropped the metadata-added column's stored values")
+    // a predicate ON the added column resolves over pre-evolution files
+    spark.sql(s"UPDATE $td SET tag = 'backfilled' WHERE tag IS NULL")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $td WHERE tag = 'backfilled'")
+      .head().getLong(0) == 9L)
+    // MERGE touching both schema generations preserves them too
+    val tm = mixed("evomerge")
+    spark.sql(s"""MERGE INTO $tm USING (
+      SELECT * FROM VALUES (2, 'u2'), (102, 'u102') AS s(k, ntag)) src
+      ON $tm.k = src.k
+      WHEN MATCHED THEN UPDATE SET v = v + 0.5""")
+    val afterMerge = spark.sql(s"SELECT tag, v FROM $tm WHERE k = 102").head()
+    assert(afterMerge.getString(0) == "t102" && afterMerge.getDouble(1) == 102.5,
+      "MERGE dropped the metadata-added column's stored values")
+    assert(spark.sql(s"SELECT v FROM $tm WHERE k = 2").head().getDouble(0) == 2.5)
+  }
 }

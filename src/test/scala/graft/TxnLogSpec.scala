@@ -1510,4 +1510,55 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.intersect(before).isEmpty, "re-spec must fully re-cluster")
     assert(T.read(spark, dir).collect().map(_.toString).sorted.toSeq == wantAll)
   }
+
+  test("incremental clustering keeps hive-partitioned candidates' dir-encoded column") {
+    val T = graft.io.TxnLog
+    val dir = freshTable()
+    import spark.implicits._
+    def rows(n: Int, off: Int) =
+      (0 until n).map(i => ((i + off).toLong, (i * 37 % 101).toLong, (i + off) % 3))
+        .toDF("x", "y", "p")
+    T.commit(rows(200, 0).repartition(1), dir)
+    T.clusterBy(dir, "x", "y")
+    T.optimizeClustered(spark, dir, 4) // full pass sets the frame
+    // the appends since arrive HIVE-PARTITIONED: their `p` lives in the
+    // directory path, not in the files — a bare leaf read would drop it
+    // (or throw if `p` were a cluster column)
+    T.commitPartitioned(rows(90, 1000), dir, Seq("p"))
+    val want = (rows(200, 0).collect() ++ rows(90, 1000).collect())
+      .map(_.toString).sorted.toSeq
+    T.optimizeClustered(spark, dir, 2)
+    val got = T.read(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(got == want, "incremental clustering lost the partition column")
+    // and the partition values specifically survived the rewrite
+    assert(T.read(spark, dir).filter("x >= 1000 AND p = 2").count() == 30L)
+  }
+
+  test("reading an empty table whose last non-empty version was vacuumed") {
+    val T = graft.io.TxnLog
+    val dir = freshTable()
+    import spark.implicits._
+    T.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir) // v1
+    T.deleteWhere(spark, dir, org.apache.spark.sql.functions.lit(true)) // v2: empty
+    T.vacuum(dir, retainVersions = 1) // v1's files are GONE from disk
+    // before the fix this crashed scanning v1's deleted files; the
+    // contract is zero rows, schemaless (no DDL schema was ever stored)
+    val df = T.read(spark, dir)
+    assert(df.count() == 0L)
+    // with a stored DDL schema (the catalog's CREATE TABLE artifact), the
+    // declared schema is served instead
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_txnlog", "_schema.json"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))).json.getBytes("UTF-8"))
+    val df2 = T.read(spark, dir)
+    assert(df2.count() == 0L)
+    assert(df2.schema.fieldNames.toSeq == Seq("k", "s"))
+    // the table refills normally afterward
+    T.commit(Seq((9L, "z")).toDF("k", "s"), dir)
+    assert(T.read(spark, dir).count() == 1L)
+  }
 }
