@@ -161,15 +161,55 @@ object TxnLog {
 
   /** Append-commit `df` partitioned by `partCols` (hive dir-encoding).
     * The partition columns must exist in `df`; they are stored in the
-    * file PATHS, not the file bodies, and reappear on every read. */
-  def commitPartitioned(df: DataFrame, dir: String, partCols: Seq[String]): Long = {
+    * file PATHS, not the file bodies, and reappear on every read.
+    * `replace = true` makes the version RESET the visible set (the
+    * INSERT OVERWRITE action for partitioned catalog tables). */
+  def commitPartitioned(df: DataFrame, dir: String, partCols: Seq[String],
+                        replace: Boolean = false): Long = {
     require(partCols.nonEmpty, "commitPartitioned needs at least one partition column")
     val rel = s"part-${java.util.UUID.randomUUID().toString}"
     df.write.mode("errorifexists").partitionBy(partCols: _*).parquet(s"$dir/$rel")
     val files = walkParquet(dir, rel)
     require(files.nonEmpty, "commit of an empty dataframe writes no files")
     var v = currentVersion(dir) + 1
-    while (!tryClaim(dir, v, "A", files)) v += 1
+    while (!tryClaim(dir, v, if (replace) "R" else "A", files)) v += 1
+    v
+  }
+
+  /** Partitioned commit into the table's SHARED hive tree (`pdata/...`)
+    * — the layout the SQL catalog writes. Per-commit `part-<uuid>` roots
+    * ([[commitPartitioned]]) are cheapest for the Scala reader (it groups
+    * per commit), but Spark's DSv2 partition DISCOVERY requires every
+    * file of one scan to hang off a single base — two commits' differing
+    * `part-<uuid>` segments read as "conflicting directory structures".
+    * Landing every partitioned commit under one `pdata/col=val/...` root
+    * gives any number of commits one basePath, so the catalog's native
+    * parquet scan (and its partition pruning) just works. The staged
+    * write MOVES into place — renames, zero data bytes — with the commit
+    * uuid prefixed to each file name so concurrent writers never
+    * collide; a crash mid-move leaves only unreferenced orphans, which
+    * is vacuum's ordinary jurisdiction. */
+  def commitPartitionedShared(df: DataFrame, dir: String, partCols: Seq[String],
+                              replace: Boolean = false): Long = {
+    require(partCols.nonEmpty,
+      "commitPartitionedShared needs at least one partition column")
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = s"part-$uuid"
+    df.write.mode("errorifexists").partitionBy(partCols: _*).parquet(s"$dir/$stage")
+    val staged = walkParquet(dir, stage)
+    require(staged.nonEmpty, "commit of an empty dataframe writes no files")
+    val files = staged.map { rel =>
+      val sub = rel.stripPrefix(s"$stage/") // col=val/.../name.parquet
+      val i = sub.lastIndexOf('/')
+      val tgt = s"pdata/${sub.take(i)}/$uuid-${sub.drop(i + 1)}"
+      val tp = Paths.get(dir, tgt)
+      Files.createDirectories(tp.getParent)
+      Files.move(Paths.get(dir, rel), tp)
+      tgt
+    }
+    graft.io.FsUtil.deleteRecursively(new java.io.File(s"$dir/$stage"))
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, if (replace) "R" else "A", files)) v += 1
     v
   }
 
@@ -2556,8 +2596,10 @@ object TxnLog {
       .filter(f => f.isDirectory &&
         // ordinary commits stage under part-<uuid>; the DSv2 sink stages
         // under txnsink-e<epoch>/-b<uuid> — replayed-epoch and failed-task
-        // orphans live there and are exactly vacuum's jurisdiction
-        (f.getName.startsWith("part-") || f.getName.startsWith("txnsink-")))
+        // orphans live there and are exactly vacuum's jurisdiction; the
+        // shared hive tree (catalog partitioned writes) lives under pdata
+        (f.getName.startsWith("part-") || f.getName.startsWith("txnsink-") ||
+          f.getName == "pdata"))
     // recursive: partitioned commits nest their parquet under col=val dirs
     val victims = partDirs.flatMap(pd =>
       walkParquet(dir, pd.getName).filterNot(keep.contains)).toSeq

@@ -433,8 +433,78 @@ object CatalogOps {
       |FROM kept
       |ORDER BY face""".stripMargin
 
+  /** q303 — PARTITIONED DDL through the catalog (round-10 verdict item
+    * 3): `CREATE TABLE ... PARTITIONED BY (...) AS SELECT ...` lands the
+    * data in q265's hive `col=val` layout (the partition value lives in
+    * the file PATH — the coarsest, cheapest pruning a 100 TB table has),
+    * a second partitioned INSERT appends, and `ALTER TABLE ... RENAME TO`
+    * moves the whole table — one directory-level move, zero data bytes —
+    * with data, history, and time travel surviving under the new name.
+    * Faces (all through the RENAMED name):
+    *   - `agg`:    per-priority rollup (partition column read from paths)
+    *   - `tt_v1`:  the same rollup `VERSION AS OF 1` (CTAS slice only)
+    *   - `layout`: 1 = every visible file carries the `o_orderpriority=`
+    *     path segment (the hive-layout claim, stated as a boolean)
+    *   - `hist`:   actions A,A — both writes were partitioned appends
+    * PlanCheck pins the pruning claim (partition filter reaches the DSv2
+    * file index; non-matching partitions are never planned). */
+  def q303(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft_q303_wh").toString
+    s.conf.set("spark.sql.catalog.gpt", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gpt.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpt.db")
+    s.sql(s"""CREATE TABLE gpt.db.ord PARTITIONED BY (o_orderpriority) AS
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 4 = 0""")      // v1
+    s.sql(s"""INSERT INTO gpt.db.ord
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 4 = 2""")      // v2
+    s.sql("ALTER TABLE gpt.db.ord RENAME TO gpt.db.ordren")
+    val dir = s"$wh/db/ordren"
+    val files = TxnLog.fileScanPlan(dir)._2
+    val layoutOk = files.nonEmpty && files.forall(_.contains("o_orderpriority="))
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    def face(from: String, tag: String): DataFrame = s.sql(
+      s"""SELECT '$tag' AS face, o_orderpriority AS pri, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM $from GROUP BY o_orderpriority""")
+    face("gpt.db.ordren", "agg")
+      .unionByName(face("gpt.db.ordren VERSION AS OF 1", "tt_v1"))
+      .unionByName(s.sql(s"""SELECT 'layout' AS face,
+        '${if (layoutOk) 1 else 0}' AS pri, CAST(${files.size} > 0 AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS sum_price"""))
+      .unionByName(s.sql(s"""SELECT 'hist' AS face, '$actions' AS pri,
+        CAST(${TxnLog.currentVersion(dir)} AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS sum_price"""))
+      .orderBy(col("face"), col("pri"))
+  }
+
+  val q303Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      |faces AS (
+      |  SELECT 'agg' AS face, o_orderpriority AS pri, COUNT(*) AS n,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  FROM v2 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'tt_v1', o_orderpriority, COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM v1 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'layout', '1', 1, CAST(NULL AS DOUBLE)
+      |  UNION ALL
+      |  SELECT 'hist', 'AA', 2, CAST(NULL AS DOUBLE))
+      |SELECT * FROM faces ORDER BY face, pri""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),
+    "q303_sql_partitioned_ctas" -> ((q303 _, Some(q303Sql))),
     "q292_sql_dml" -> ((q292 _, Some(q292Sql))),
     "q297_sql_schema_evolution" -> ((q297 _, Some(q297Sql))),
     "q298_catalog_stream_pipeline" -> ((q298 _, Some(q298Sql))),

@@ -133,18 +133,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(dir, s"$catName.${ident.toString}@v$v", Some(v))
   }
 
+  /** `CREATE TABLE [PARTITIONED BY (cols)]` — and therefore partitioned
+    * CTAS: Spark drives CTAS on a non-staging catalog as createTable +
+    * INSERT, and the write bridge routes partitioned tables through
+    * [[TxnLog.commitPartitioned]], so the data lands in q265's hive
+    * `col=val` layout and partition-pruned scans are the native DSv2
+    * parquet path. Scope: IDENTITY partition transforms on top-level
+    * schema columns (the hive layout — bucket/days/etc. transforms are
+    * refused loudly). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "partitioned CREATE TABLE is not supported here; write hive-style " +
-        "layouts with TxnLog.commitPartitioned (the catalog scans them)")
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val fn = t.references()(0).fieldNames()
+        require(fn.length == 1,
+          s"nested partition column not supported: ${t.describe}")
+        val n = fn(0)
+        require(schema.fieldNames.contains(n),
+          s"partition column $n is not in the table schema")
+        seg(n) // partition values become path segments — same safety rule
+      case t => throw new IllegalArgumentException(
+        s"only identity partition transforms are supported, got ${t.describe}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     val ld = java.nio.file.Paths.get(dir, "_txnlog")
     java.nio.file.Files.createDirectories(ld)
     java.nio.file.Files.write(ld.resolve("_schema.json"),
       schema.json.getBytes("UTF-8"))
+    if (partCols.nonEmpty)
+      java.nio.file.Files.write(ld.resolve("_partition-cols"),
+        partCols.mkString("", "\n", "\n").getBytes("UTF-8"))
     new GraftSqlTable(dir, s"$catName.${ident.toString}", None)
   }
 
@@ -206,8 +226,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
-  override def renameTable(old: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** `ALTER TABLE ... RENAME TO ...` — a DIRECTORY-level move: table
+    * identity lives entirely on storage (the log, data, DDL schema and
+    * partition spec all ride inside the table dir), so the rename is one
+    * atomic filesystem move, zero data bytes copied — even at 100 TB.
+    * (On an object store this becomes the metastore pointer swap.) */
+  override def renameTable(old: Identifier, to: Identifier): Unit = {
+    // Spark hands RENAME TO's target as the user-typed multipart name —
+    // which may still carry this catalog's name as its head segment, or
+    // no namespace at all (unqualified target keeps the source namespace)
+    val toNs = to.namespace() match {
+      case ns if ns.nonEmpty && ns(0) == catName => ns.drop(1)
+      case ns if ns.isEmpty                      => old.namespace()
+      case ns                                    => ns
+    }
+    val target = Identifier.of(toNs, to.name())
+    if (!tableExists(old)) throw new NoSuchTableException(old)
+    if (tableExists(target)) throw new TableAlreadyExistsException(target)
+    val dst = java.nio.file.Paths.get(dirOf(target))
+    require(java.nio.file.Files.isDirectory(dst.getParent),
+      s"target namespace ${toNs.mkString(".")} does not exist")
+    java.nio.file.Files.move(java.nio.file.Paths.get(dirOf(old)), dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 
   // ---- namespaces: one directory level each under the warehouse ----
 
@@ -264,6 +306,15 @@ private[graft] object GraftSqlTable {
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
       .asInstanceOf[StructType])
   }
+
+  /** Partition spec persisted by `CREATE TABLE ... PARTITIONED BY` —
+    * routes every INSERT through the hive-layout commit. */
+  def storedPartCols(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_txnlog", "_partition-cols")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+  }
 }
 
 /** One resolved (table dir, optional time-travel version). Reads delegate
@@ -314,6 +365,13 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
+  /** The declared partition spec (identity transforms — the hive
+    * layout), surfaced so DESCRIBE/SHOW and Spark's write-distribution
+    * planning see the table as partitioned. */
+  override def partitioning(): Array[Transform] =
+    GraftSqlTable.storedPartCols(dir).toArray.map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity)
+
   /** Batch scans delegate to Spark's DSv2 parquet builder untouched (the
     * bridge wrapper forwards every pushdown mixin), and the SAME built
     * scan serves `spark.readStream.table(...)`: `toMicroBatchStream`
@@ -328,17 +386,27 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
       s"$ident@v$v has pending merge-on-read actions (delete vectors / " +
         "column mapping): materialize them (TxnLog.compact) before SQL " +
         "scans, or read through TxnLog.read")
-    // hive-style commit layouts (`part-<uuid>/col=val/...`, q265) need a
-    // basePath for partition-column inference; a snapshot mixing
-    // partitioned and flat files (spec evolution mid-table) is the Scala
-    // reader's domain
+    // hive-style commit layouts (the shared `pdata/col=val/...` tree the
+    // catalog writes, or a single `part-<uuid>/col=val/...` commit, q265)
+    // need a basePath for partition-column inference; a snapshot mixing
+    // partitioned and flat files (spec evolution mid-table), or multiple
+    // per-commit partition roots, is the Scala reader's domain — Spark's
+    // discovery refuses conflicting bases
     val parted = files.filter(f => f.split('/').exists(_.contains('=')))
     require(parted.isEmpty || parted.sizeIs == files.size,
       s"$ident@v$v mixes partitioned and flat commits (partition-spec " +
         "evolution): read through TxnLog.read")
+    val bases = parted.map { f =>
+      val segs = f.split('/')
+      segs.take(segs.indexWhere(_.contains('='))).mkString("/")
+    }.distinct
+    require(bases.sizeIs <= 1,
+      s"$ident@v$v spreads partitioned files over ${bases.size} commit " +
+        "roots (Scala-API commitPartitioned layout): read through " +
+        "TxnLog.read, or write through the catalog (shared pdata tree)")
     val opts: Map[String, String] =
       options.asScala.toMap ++
-        (if (parted.nonEmpty) Map("basePath" -> dir) else Map.empty)
+        bases.headOption.map("basePath" -> _).toMap
     val csm = new CaseInsensitiveStringMap(opts.asJava)
     val parquetBuilder = ParquetTable(ident, spark, csm, files.toList,
       Some(schema), classOf[ParquetFileFormat]).newScanBuilder(csm)
@@ -367,7 +435,14 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              TxnLog.commit(data, dir, replace = replace || overwrite); ()
+              val partCols = GraftSqlTable.storedPartCols(dir)
+              if (partCols.nonEmpty)
+                // the SHARED hive tree: any number of commits keep one
+                // basePath, so the catalog's own scan stays native
+                TxnLog.commitPartitionedShared(data, dir, partCols,
+                  replace = replace || overwrite)
+              else TxnLog.commit(data, dir, replace = replace || overwrite)
+              ()
             }
           }
         // `writeStream.toTable(...)`: the executor-parquet streaming sink

@@ -1001,6 +1001,28 @@ object PlanCheck {
       if (!ok) failures += 1
     }
 
+    // q303: the catalog's partitioned tables (shared pdata hive tree) must
+    // give NATIVE partition pruning — the partition predicate lands in the
+    // scan's PartitionFilters (pruned at the file index, before any footer
+    // is opened), never as a post-scan row filter
+    {
+      val wh = java.nio.file.Files.createTempDirectory("graft_pc_part").toString
+      spark.conf.set("spark.sql.catalog.gpt", classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gpt.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gpt.db")
+      spark.sql("""CREATE TABLE gpt.db.pt PARTITIONED BY (p) AS
+        SELECT id AS k, CAST(id % 7 AS STRING) AS p FROM range(0, 1000)""")
+      spark.sql("INSERT INTO gpt.db.pt SELECT id, CAST(id % 7 AS STRING) " +
+        "FROM range(1000, 2000)") // second commit: shared tree must still scan
+      val plan = spark.sql("SELECT COUNT(*) FROM gpt.db.pt WHERE p = '3'")
+        .queryExecution.executedPlan.toString
+      val ok = "PartitionFilters: \\[[^\\]]*p".r.findFirstIn(plan).isDefined &&
+        !plan.contains("Filter (p")
+      rec("q303_partitioned_catalog",
+        "partition predicate reaches PartitionFilters across two commits", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
+
     // image multimodal shapes: codecs are map-side work, dedup pays ONE
     // keyed shuffle — the plan must show exactly that
     check("q293_image_png_e2e", "map-only codec path: no hash shuffle (sort exchange only)")(p =>

@@ -119,4 +119,76 @@ class CatalogEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (req STRING NOT NULL)"))
     assert(msgs(nn).exists(m => m.contains("nullable") || m.contains("NOT NULL")))
   }
+
+  test("partitioned CREATE TABLE + INSERT land the hive col=val layout") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_part").toString
+    spark.conf.set("spark.sql.catalog.ge.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ge.db")
+    spark.sql("CREATE TABLE ge.db.pt (k BIGINT, v DOUBLE, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO ge.db.pt SELECT id, CAST(id AS DOUBLE), " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(0, 100)")
+    // the manifest paths carry the dir-encoded partition values
+    val files = TxnLog.fileScanPlan(s"$wh/db/pt")._2
+    assert(files.nonEmpty && files.forall(_.contains("p=")),
+      s"expected hive layout, got ${files.take(3)}")
+    // the partition column reads back (from the PATH, not file bodies)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.pt WHERE p = 'even'")
+      .head().getLong(0) == 50L)
+    // the declared spec is visible to SQL
+    assert(spark.sql("SHOW CREATE TABLE ge.db.pt").head().getString(0)
+      .contains("PARTITIONED BY"))
+    // partition pruning reaches the scan: a p-filtered plan reads fewer
+    // files than the table holds
+    val plan = spark.sql("SELECT SUM(v) FROM ge.db.pt WHERE p = 'even'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("p=even") || !plan.contains("p=odd"),
+      "partition filter did not reach the file index")
+    // INSERT OVERWRITE = partitioned replace commit
+    spark.sql("INSERT OVERWRITE ge.db.pt SELECT id, 1.0, 'only' FROM range(0, 7)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.pt").head().getLong(0) == 7L)
+    assert(spark.sql("SELECT DISTINCT p FROM ge.db.pt").head().getString(0) == "only")
+  }
+
+  test("partitioned CTAS through the catalog (create + partitioned write)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_ctas").toString
+    spark.conf.set("spark.sql.catalog.ge.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ge.db")
+    spark.sql("""CREATE TABLE ge.db.ctas PARTITIONED BY (par) AS
+      SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v,
+             CAST(id % 3 AS STRING) AS par FROM range(0, 90)""")
+    val files = TxnLog.fileScanPlan(s"$wh/db/ctas")._2
+    assert(files.nonEmpty && files.forall(_.contains("par=")),
+      s"CTAS did not land hive layout: ${files.take(3)}")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.ctas WHERE par = '1'")
+      .head().getLong(0) == 30L)
+    assert(spark.sql("SELECT SUM(v) AS s FROM ge.db.ctas").head().getDouble(0)
+      == (0 until 90).map(_ * 2.0).sum)
+    // non-identity transforms refuse loudly
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE ge.db.bad (k BIGINT, p BIGINT) PARTITIONED BY (bucket(4, p))"))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.contains("identity") || m.contains("bucket")))
+  }
+
+  test("RENAME TABLE is a directory-level move; data and history survive") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_ren").toString
+    spark.conf.set("spark.sql.catalog.ge.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ge.db")
+    spark.sql("CREATE TABLE ge.db.orig (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO ge.db.orig VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("INSERT INTO ge.db.orig VALUES (3, 3.5)")
+    spark.sql("ALTER TABLE ge.db.orig RENAME TO ge.db.renamed")
+    // old name gone, new name serves the data AND the version history
+    intercept[Exception](spark.sql("SELECT * FROM ge.db.orig").collect())
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.renamed").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.renamed VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    assert(TxnLog.currentVersion(s"$wh/db/renamed") == 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/db/orig")))
+    // renaming onto an existing table refuses
+    spark.sql("CREATE TABLE ge.db.other (k BIGINT)")
+    intercept[Exception](
+      spark.sql("ALTER TABLE ge.db.renamed RENAME TO ge.db.other"))
+  }
 }
