@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.MvOps.defs ++      // q278 materialized-view routing
       graft.queries.CatalogOps.defs ++ // q289/q292 SQL catalog front door
       graft.queries.ImageQueries.defs ++ // q293/q294 image multimodal
+      graft.queries.SqlFnOps.defs ++   // q305 SQL-function front door
       graft.queries.PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -477,7 +477,7 @@ object DedupSim {
   private val NPlanes = 8
 
   /** Deterministic ±1: parity of the first hex nibble of md5("plane:j:i"). */
-  private[queries] def planeSigns: Array[Array[Int]] = {
+  private[graft] def planeSigns: Array[Array[Int]] = {
     val mdt = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(NPlanes, Dim) { (j, i) =>
       val h = mdt.digest(s"plane:$j:$i".getBytes("UTF-8"))

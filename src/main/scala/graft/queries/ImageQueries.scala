@@ -523,7 +523,97 @@ object ImageQueries {
       |) t(img_id, w, h, ch, px_sum, wsum, max_diff, sse)
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q304
+  /** CORPUS-SIZED image ANN (round-10 verdict item 4) — q301's query set
+    * is a pinned constant; here EVERY image is a query, and the search
+    * stays sub-quadratic the way the text-ANN family does (q29's shape):
+    *
+    *   1. bucket each image by its dHash TOP-ROW (8 gradient bits — a
+    *      similarity-preserving signature: same pattern ⇒ same bucket at
+    *      any size, q294's collision property);
+    *   2. HOT-BUCKET GUARD: each bucket's candidate pool is its 64
+    *      smallest-id members (deterministic, oracle-restatable — a
+    *      STATED recall boundary, not a silent cap: the synthetic corpus
+    *      has O(1) distinct patterns, so any similarity-preserving hash
+    *      concentrates; real corpora spread, and the pool then IS the
+    *      bucket). The pool ranking itself is a bounded heap
+    *      (rank ≤ 64 lowers through WindowTopKRewrite);
+    *   3. queries join ONLY their bucket's pool — pair space is
+    *      Σ bucket·min(bucket,64) ≤ 64·N, LINEAR in corpus size;
+    *   4. exact integer dot on the 64-dim box-mean features (codegen'd
+    *      zip_with/aggregate, no UDF), top-3 per query via the bounded
+    *      heap, (dot desc, id asc) tie-break the oracle restates. */
+  def q304(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = specs(s, d, 3L)
+      .map { sp =>
+        val img = PngCodec.decode(PngCodec.encode(ImageOps.synth(sp.w, sp.h, sp.kind)))
+        (sp.id, ImageOps.boxFeatures(img), ImageOps.dhash(img).take(8))
+      }
+      .toDF("id", "f", "bucket").localCheckpoint()
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("id"))
+    val pool = feats.withColumn("pr", row_number().over(wPool))
+      .filter(col("pr") <= 64)
+      .select(col("bucket"), col("id").as("c_id"), col("f").as("cf"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+    feats.select(col("bucket"), col("id").as("q_id"), col("f").as("qf"))
+      .join(pool, Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        expr("aggregate(zip_with(qf, cf, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("dot"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("c_id"), col("dot"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q304Sql: String =
+    s"""WITH $pixelCte,
+      |gpx AS (
+      |  SELECT id, w, h, kind, x, y,
+      |         CASE WHEN kind = 3 THEN SUM(v) // 3 ELSE SUM(v) END AS g
+      |  FROM px GROUP BY id, w, h, kind, x, y),
+      |dboxes AS (
+      |  SELECT id, x * 9 // w AS bi, y * 8 // h AS bj, SUM(g) // COUNT(*) AS m
+      |  FROM gpx GROUP BY id, x * 9 // w, y * 8 // h),
+      |dbits AS (
+      |  SELECT l.id, l.bi, CASE WHEN l.m < r.m THEN '1' ELSE '0' END AS b
+      |  FROM dboxes l JOIN dboxes r
+      |    ON l.id = r.id AND r.bj = 0 AND l.bj = 0 AND r.bi = l.bi + 1
+      |  WHERE l.bi < 8),
+      |bk AS (
+      |  SELECT id, STRING_AGG(b, '' ORDER BY bi) AS bucket
+      |  FROM dbits GROUP BY id),
+      |feat AS (
+      |  SELECT id, x * 8 // w AS bi, y * 8 // h AS bj, SUM(g) // COUNT(*) AS m
+      |  FROM gpx GROUP BY id, x * 8 // w, y * 8 // h),
+      |pool AS (
+      |  SELECT bucket, id AS c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) AS pr
+      |  FROM bk),
+      |pairs AS (
+      |  SELECT q.id AS q_id, c.c_id
+      |  FROM bk q JOIN pool c ON q.bucket = c.bucket
+      |  WHERE c.pr <= 64 AND c.c_id <> q.id),
+      |dots AS (
+      |  SELECT p.q_id, p.c_id, CAST(SUM(qf.m * cf.m) AS BIGINT) AS dot
+      |  FROM pairs p
+      |  JOIN feat qf ON qf.id = p.q_id
+      |  JOIN feat cf ON cf.id = p.c_id AND cf.bi = qf.bi AND cf.bj = qf.bj
+      |  GROUP BY p.q_id, p.c_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, dot,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rnk
+      |  FROM dots)
+      |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, dot
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q304_image_ann_bucketed" -> ((q304 _, Some(q304Sql))),
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
     "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),
     "q295_image_jpeg_e2e" -> ((q295 _, Some(q295Sql))),

@@ -1032,6 +1032,12 @@ object PlanCheck {
     // no per-query sort of the full pair set
     check("q301_image_similarity", "query side broadcast; top-k via bounded heap")(p =>
       p.contains("BroadcastNestedLoopJoin") && p.contains("TopKPerGroup"))
+    // q304: corpus-sized query side — the bucket join must be a HASH join
+    // (never cartesian/NLJ on the corpus), and BOTH rank filters (the
+    // 64-member pool guard and the top-3) lower to bounded heaps
+    check("q304_image_ann_bucketed", "bucket hash join; pool + top-k are bounded heaps")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        "TopKPerGroup".r.findAllIn(p).size >= 2)
 
     // countDistinct(dims) expands to Spark's standard two-phase distinct
     // aggregate: one exchange on (dhash, dims), one on (dhash) — BOTH
