@@ -418,7 +418,12 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
           Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
           Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
             .getOrElse(Long.MaxValue),
-          Option(options.get("ignoreChanges")).exists(_.toBoolean))
+          Option(options.get("ignoreChanges")).exists(_.toBoolean),
+          readChangeFeed = false,
+          maxFiles = Option(options.get("maxFilesPerTrigger"))
+            .map(_.toLong).getOrElse(0L),
+          maxBytes = Option(options.get("maxBytesPerTrigger"))
+            .map(_.toLong).getOrElse(0L))
       })
   }
 

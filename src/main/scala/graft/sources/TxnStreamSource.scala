@@ -55,7 +55,12 @@ import graft.io.TxnLog
   * fully-DSv2 end to end instead of driver-side polling loops.
   *
   * Options: `path` (the table dir), `startingVersion` (exclusive floor,
-  * default 0 = from genesis), `maxVersionsPerTrigger` (rate limit),
+  * default 0 = from genesis), `maxVersionsPerTrigger` (version-count rate
+  * limit), `maxFilesPerTrigger` / `maxBytesPerTrigger` (ADMISSION
+  * CONTROL for a 100 TB backlog: each trigger admits whole commits until
+  * the file/byte budget is spent — a commit is never split, and the
+  * first commit of a trigger always admits even oversized, so the stream
+  * can't stall; composes with AvailableNow catch-up, q282's shape),
   * `ignoreChanges`, `readChangeFeed`. One InputPartition per data file;
   * projection pushdown narrows the parquet read schema so unprojected
   * columns never materialize. Type scope: long/int/double/float/boolean/
@@ -76,7 +81,9 @@ class TxnStreamSource extends TableProvider {
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
       Option(properties.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
       Option(properties.get("ignoreChanges")).exists(_.toBoolean),
-      Option(properties.get("readChangeFeed")).exists(_.toBoolean))
+      Option(properties.get("readChangeFeed")).exists(_.toBoolean),
+      Option(properties.get("maxFilesPerTrigger")).map(_.toLong).getOrElse(0L),
+      Option(properties.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L))
 }
 
 object TxnStreamSource {
@@ -130,7 +137,8 @@ object TxnStreamSource {
 private[sources] class TxnStreamTable(dir: String, schema0: StructType,
                                       startingVersion: Long, maxPerTrigger: Long,
                                       ignoreChanges: Boolean,
-                                      readChangeFeed: Boolean = false)
+                                      readChangeFeed: Boolean = false,
+                                      maxFiles: Long = 0L, maxBytes: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft_txnstream($dir)"
   override def schema(): StructType = schema0
@@ -138,13 +146,14 @@ private[sources] class TxnStreamTable(dir: String, schema0: StructType,
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxnStreamScanBuilder(dir, schema0, startingVersion, maxPerTrigger,
-      ignoreChanges, readChangeFeed)
+      ignoreChanges, readChangeFeed, maxFiles, maxBytes)
 }
 
 private[sources] class TxnStreamScanBuilder(dir: String, full: StructType,
                                             startingVersion: Long, maxPerTrigger: Long,
                                             ignoreChanges: Boolean,
-                                            readChangeFeed: Boolean)
+                                            readChangeFeed: Boolean,
+                                            maxFiles: Long = 0L, maxBytes: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -159,7 +168,7 @@ private[sources] class TxnStreamScanBuilder(dir: String, full: StructType,
       s"TxnStreamScan(dir=$dir, cdf=$readChangeFeed, cols=${required.fieldNames.mkString(",")})"
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new TxnMicroBatchStream(dir, required, startingVersion, maxPerTrigger,
-        ignoreChanges, readChangeFeed)
+        ignoreChanges, readChangeFeed, maxFiles, maxBytes)
   }
 }
 
@@ -170,27 +179,74 @@ private[sources] case class TxnOffset(version: Long) extends Offset {
 private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
                                            startingVersion: Long, maxPerTrigger: Long,
                                            ignoreChanges: Boolean,
-                                           readChangeFeed: Boolean = false)
-    extends MicroBatchStream {
+                                           readChangeFeed: Boolean = false,
+                                           maxFiles: Long = 0L, maxBytes: Long = 0L)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  require((maxFiles <= 0 && maxBytes <= 0) || !readChangeFeed,
+    "maxFilesPerTrigger/maxBytesPerTrigger apply to the append stream; the " +
+      "change feed rate-limits by version (maxVersionsPerTrigger)")
   // ratchet pattern (GenMicroBatchStream precedent): offsets the engine
   // hands back — checkpoint restore, batch commits — advance the cursor
   // so a restarted query resumes at the committed version
   private var cursor = startingVersion
   private def ratchet(v: Long): Unit = cursor = math.max(cursor, v)
   override def initialOffset(): Offset = TxnOffset(startingVersion)
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  /** ADMISSION CONTROL (100 TB backlog discipline) through the engine's
+    * SupportsAdmissionControl seam — the `start` parameter is the TRUE
+    * resume point (checkpoint-restored on restart), so the budget walk
+    * can never regress below a committed offset the way a source-local
+    * cursor could. Versions admit WHOLE up to the first one that blows
+    * the file/byte budget — a commit is never split (the version axis is
+    * the atomicity unit), and the first commit of a trigger always
+    * admits even oversized, so one fat commit cannot stall the stream
+    * (Delta's admission makes the same call). The walk is metadata-sized
+    * — one manifest parse (+ file stats under maxBytes) per version. */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = math.max(start.asInstanceOf[TxnOffset].version, startingVersion)
+    ratchet(s)
     val head = TxnLog.currentVersion(dir)
     // saturating add: the unlimited default is Long.MaxValue and the
-    // cursor is a real version — a raw sum overflows negative. The outer
-    // max keeps the cursor from REGRESSING when the head is still below
-    // it (startingVersion ahead of the table): sliding back would later
-    // deliver the versions the floor was set to skip.
+    // start is a real version — a raw sum overflows negative. The outer
+    // max keeps the offset from REGRESSING when the head is still below
+    // the floor (startingVersion ahead of the table): sliding back would
+    // later deliver the versions the floor was set to skip.
     val stepped =
-      if (cursor > Long.MaxValue - maxPerTrigger) Long.MaxValue
-      else cursor + maxPerTrigger
-    cursor = math.max(cursor, math.min(head, stepped))
-    TxnOffset(cursor)
+      if (s > Long.MaxValue - maxPerTrigger) Long.MaxValue
+      else s + maxPerTrigger
+    val target = math.max(s, math.min(head, stepped))
+    val admitted =
+      if ((maxFiles <= 0 && maxBytes <= 0) || target <= s) target
+      else {
+        var e = s
+        var nFiles = 0L; var nBytes = 0L
+        var v = s + 1
+        var full = false
+        while (!full && v <= target) {
+          val fs = TxnLog.addedFilesBetween(dir, v - 1, v, ignoreChanges)
+          val fb =
+            if (maxBytes <= 0) 0L
+            else fs.map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+          if (e > s &&
+              ((maxFiles > 0 && nFiles + fs.size > maxFiles) ||
+               (maxBytes > 0 && nBytes + fb > maxBytes))) full = true
+          else { e = v; nFiles += fs.size; nBytes += fb; v += 1 }
+        }
+        e
+      }
+    ratchet(admitted)
+    TxnOffset(admitted)
   }
+  override def latestOffset(): Offset =
+    // the engine routes through the admission variant when
+    // SupportsAdmissionControl is implemented; keep the legacy entry
+    // correct for any direct caller (specs, tooling)
+    latestOffset(TxnOffset(cursor), getDefaultReadLimit)
   override def deserializeOffset(json: String): Offset = {
     val v = json.toLong
     ratchet(v)

@@ -197,4 +197,61 @@ class TxnStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f2.map(p => java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(p)).toMillis) == stamps, "cache was rewritten")
   }
+
+  test("maxFilesPerTrigger admits whole commits until the file budget is spent") {
+    val dir = freshTable()
+    import spark.implicits._
+    // v1: 2 files, v2: 1 file, v3: 1 file, v4: 3 files
+    TxnLog.commit(Seq(1L, 2L).toDF("v").repartition(2), dir)
+    TxnLog.commit(Seq(3L).toDF("v").coalesce(1), dir)
+    TxnLog.commit(Seq(4L).toDF("v").coalesce(1), dir)
+    TxnLog.commit(Seq(5L, 6L, 7L).toDF("v").repartition(3), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir, Map("maxFilesPerTrigger" -> "2")), seen)
+    // batch 0: v1 alone (2 files = budget); batch 1: v2+v3 (2 files);
+    // batch 2: v4 (3 files > budget, but the FIRST commit of a trigger
+    // always admits whole — commits are never split)
+    assert(seen.map(_._2) == Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L, 7L)),
+      s"unexpected admission ${seen.toSeq}")
+  }
+
+  test("maxBytesPerTrigger: one oversized commit per trigger, never split") {
+    val dir = freshTable()
+    import spark.implicits._
+    TxnLog.commit(Seq(1L, 2L).toDF("v").repartition(2), dir) // 2 files, >1 byte
+    TxnLog.commit(Seq(3L).toDF("v").coalesce(1), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir, Map("maxBytesPerTrigger" -> "1")), seen)
+    // every commit exceeds 1 byte → exactly one commit per trigger, each
+    // delivered WHOLE (v1's two files arrive together)
+    assert(seen.map(_._2) == Seq(Seq(1L, 2L), Seq(3L)),
+      s"unexpected byte admission ${seen.toSeq}")
+  }
+
+  test("admission control replays exactly-once across a checkpoint restart") {
+    val dir = freshTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_ckpt").toString
+    import spark.implicits._
+    (1 to 4).foreach(i => TxnLog.commit(Seq(i.toLong).toDF("v").coalesce(1), dir))
+    val run1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir, Map("maxFilesPerTrigger" -> "2")), run1, Some(ckpt))
+    assert(run1.map(_._2) == Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    // new commits + restart from the same checkpoint: only the new
+    // versions arrive, same 2-files-per-trigger cadence, zero duplicates
+    (5 to 7).foreach(i => TxnLog.commit(Seq(i.toLong).toDF("v").coalesce(1), dir))
+    val run2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drain(stream(dir, Map("maxFilesPerTrigger" -> "2")), run2, Some(ckpt))
+    assert(run2.map(_._2) == Seq(Seq(5L, 6L), Seq(7L)),
+      s"restart over-/under-delivered: ${run2.toSeq}")
+    // the CDF mode refuses the file/byte limits loudly (version-limited)
+    val e = intercept[Exception] {
+      stream(dir, Map("readChangeFeed" -> "true", "maxFilesPerTrigger" -> "1"))
+        .writeStream.outputMode("append")
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+        .processAllAvailable()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("maxFilesPerTrigger")), s"got: $e")
+  }
 }
