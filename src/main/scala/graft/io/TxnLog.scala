@@ -191,8 +191,21 @@ object TxnLog {
     * is vacuum's ordinary jurisdiction. */
   def commitPartitionedShared(df: DataFrame, dir: String, partCols: Seq[String],
                               replace: Boolean = false): Long = {
+    val files = stagePartitionedShared(df, dir, partCols)
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, if (replace) "R" else "A", files)) v += 1
+    v
+  }
+
+  /** The shared-tree write half of [[commitPartitionedShared]]: stage a
+    * partitioned write, rename its leaves into `pdata/col=val/...` with
+    * the staging uuid prefixed, return the manifest-ready relative paths
+    * (unreferenced until a claim lands — a caller that loses its CAS
+    * deletes them; a crash leaves orphans for vacuum). */
+  private def stagePartitionedShared(df: DataFrame, dir: String,
+                                     partCols: Seq[String]): Vector[String] = {
     require(partCols.nonEmpty,
-      "commitPartitionedShared needs at least one partition column")
+      "partitioned shared write needs at least one partition column")
     val uuid = java.util.UUID.randomUUID().toString
     val stage = s"part-$uuid"
     df.write.mode("errorifexists").partitionBy(partCols: _*).parquet(s"$dir/$stage")
@@ -208,9 +221,7 @@ object TxnLog {
       tgt
     }
     graft.io.FsUtil.deleteRecursively(new java.io.File(s"$dir/$stage"))
-    var v = currentVersion(dir) + 1
-    while (!tryClaim(dir, v, if (replace) "R" else "A", files)) v += 1
-    v
+    files
   }
 
   /** The dir-encoded partition value of `column` in a manifest path, if
@@ -1035,12 +1046,33 @@ object TxnLog {
     * of silently dropping an interleaved append. */
   private def replaceCommitValidated(spark: SparkSession, dir: String,
                                      noop: Boolean = false,
-                                     mergeSchema: Boolean = false)
+                                     mergeSchema: Boolean = false,
+                                     partitionBy: Seq[String] = Nil)
                                     (build: DataFrame => DataFrame): Long = {
     while (true) {
       val base = currentVersion(dir)
       val df = build(read(spark, dir, mergeSchema = mergeSchema)).localCheckpoint()
-      val (rel, files) = writeData(df, dir)
+      // `partitionBy` keeps a PARTITIONED table's layout through the
+      // rewrite (the SQL DML fallback on catalog tables): the replace
+      // lands in the shared pdata tree, so later catalog scans still see
+      // one hive structure instead of a flat/partitioned mix
+      val (files, cleanup) =
+        if (partitionBy.isEmpty) {
+          val (rel, fs) = writeData(df, dir)
+          (fs, () => {
+            val d = new java.io.File(s"$dir/$rel")
+            Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete(); ()
+          })
+        } else if (df.isEmpty) {
+          // a partitioned write of ZERO rows produces no kv dirs — commit
+          // an empty R instead (the visible set resets to nothing; the
+          // empty read serves the stored DDL schema)
+          (Vector.empty[String], () => ())
+        } else {
+          val fs = stagePartitionedShared(df, dir, partitionBy)
+          (fs, () => fs.foreach(f =>
+            Files.deleteIfExists(Paths.get(dir, f))): Unit)
+        }
       // `noop` = the caller guarantees the rewrite is LOGICALLY identity
       // (compact: layout changes, content doesn't — pending vectors were
       // already applied on the read it rewrote). Recorded in the marker —
@@ -1049,8 +1081,7 @@ object TxnLog {
       if (tryClaim(dir, base + 1, if (noop) "R noop" else "R", files)) return base + 1
       // lost the CAS: a commit interleaved since `base` — discard the stale
       // rewrite (unreferenced by any manifest, so invisible) and rebuild
-      val d = new java.io.File(s"$dir/$rel")
-      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      cleanup()
     }
     throw new IllegalStateException("unreachable")
   }
@@ -1417,9 +1448,10 @@ object TxnLog {
     * nothing matched). */
   def deleteWhere(spark: SparkSession, dir: String, cond: Column,
                   isolation: Isolation = Isolation.Rederive,
-                  widenTo: Option[org.apache.spark.sql.types.StructType] = None): Long =
-    rewriteWhere(spark, dir, cond, isolation, "deleteWhere", widenTo)(
-      (df, hit) => df.filter(!hit))
+                  widenTo: Option[org.apache.spark.sql.types.StructType] = None,
+                  partitionBy: Seq[String] = Nil): Long =
+    rewriteWhere(spark, dir, cond, isolation, "deleteWhere", widenTo,
+      partitionBy)((df, hit) => df.filter(!hit))
 
   /** Row-level UPDATE, FILE-GRANULAR copy-on-write: same touched-file
     * discovery and `X` exchange as [[deleteWhere]], with matched rows
@@ -1432,11 +1464,13 @@ object TxnLog {
   def updateWhere(spark: SparkSession, dir: String,
                   set: Seq[(String, Column)], cond: Column,
                   isolation: Isolation = Isolation.Rederive,
-                  widenTo: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+                  widenTo: Option[org.apache.spark.sql.types.StructType] = None,
+                  partitionBy: Seq[String] = Nil): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET expression")
     require(set.map(_._1).distinct.size == set.size,
       "updateWhere assigns a column twice")
-    rewriteWhere(spark, dir, cond, isolation, "updateWhere", widenTo) { (df, hit) =>
+    rewriteWhere(spark, dir, cond, isolation, "updateWhere", widenTo,
+      partitionBy) { (df, hit) =>
       val bySet = set.toMap
       val types = df.schema.map(f => f.name -> f.dataType).toMap
       require(bySet.keySet.subsetOf(types.keySet),
@@ -1472,7 +1506,8 @@ object TxnLog {
     * the null-safe hit column), exchange. */
   private def rewriteWhere(spark: SparkSession, dir: String, cond: Column,
                            isolation: Isolation, op: String,
-                           widenTo: Option[org.apache.spark.sql.types.StructType] = None)
+                           widenTo: Option[org.apache.spark.sql.types.StructType] = None,
+                           partitionBy: Seq[String] = Nil)
                           (transform: (DataFrame, Column) => DataFrame): Long = {
     val hit = coalesce(cond, lit(false))
     // post-ADD-COLUMN tables mix file schemas: merge footers so no file's
@@ -1489,9 +1524,10 @@ object TxnLog {
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
           snap.files.exists(f => f.startsWith("@") || f.count(_ == '/') != 1))
         // with a declared schema the fallback read must also merge footers,
-        // or widenSlice would NULL-fill a column some files do store
+        // or widenSlice would NULL-fill a column some files do store;
+        // partitioned catalog tables keep their hive layout through it
         return replaceCommitValidated(spark, dir,
-            mergeSchema = widenTo.nonEmpty)(cur =>
+            mergeSchema = widenTo.nonEmpty, partitionBy = partitionBy)(cur =>
           transform(widenSlice(cur, widenTo), hit))
       val withFile = widenSlice(readFiles(snap.files.map(resolve(dir, _))), widenTo)
         .withColumn("__rel", substring_index(input_file_name(), "/", -2))
@@ -2070,7 +2106,8 @@ object TxnLog {
                                   source: DataFrame, keyCols: Seq[String],
                                   grammar: MergeGrammar,
                                   isolation: Isolation = Isolation.Rederive,
-                                  widenTo: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+                                  widenTo: Option[org.apache.spark.sql.types.StructType] = None,
+                                  partitionBy: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(grammar.matched.nonEmpty || grammar.notMatched.nonEmpty ||
         grammar.notMatchedBySource.nonEmpty,
@@ -2106,7 +2143,7 @@ object TxnLog {
           snap.renames.nonEmpty || snap.drops.nonEmpty ||
           snap.files.exists(f => f.startsWith("@") || f.count(_ == '/') != 1))
         return replaceCommitValidated(spark, dir,
-            mergeSchema = widenTo.nonEmpty)(cur =>
+            mergeSchema = widenTo.nonEmpty, partitionBy = partitionBy)(cur =>
           applyMergeGrammar(widenSlice(cur, widenTo), src, keyCols, grammar))
       val withFile = widenSlice(readFiles(snap.files.map(resolve(dir, _))), widenTo)
         .withColumn("__rel", substring_index(input_file_name(), "/", -2))

@@ -257,7 +257,8 @@ case class GraftDeleteCommand(dir: String, cond: Column,
                               declared: org.apache.spark.sql.types.StructType)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    TxnLog.deleteWhere(session, dir, cond, widenTo = Some(declared))
+    TxnLog.deleteWhere(session, dir, cond, widenTo = Some(declared),
+      partitionBy = GraftSqlTable.storedPartCols(dir))
     Seq.empty
   }
 }
@@ -271,7 +272,8 @@ case class GraftUpdateCommand(dir: String, set: Seq[(String, Column)],
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     if (set.nonEmpty)
-      TxnLog.updateWhere(session, dir, set, cond, widenTo = Some(declared))
+      TxnLog.updateWhere(session, dir, set, cond, widenTo = Some(declared),
+        partitionBy = GraftSqlTable.storedPartCols(dir))
     Seq.empty
   }
 }
@@ -288,7 +290,8 @@ case class GraftMergeCommand(dir: String, sourcePlan: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val src = ColumnBridge.ofRows(session, sourcePlan).toDF(srcNames: _*)
     TxnLog.mergeGrammar(session, dir, src, keyCols, grammar,
-      widenTo = Some(declared))
+      widenTo = Some(declared),
+      partitionBy = GraftSqlTable.storedPartCols(dir))
     Seq.empty
   }
 }

@@ -38,23 +38,34 @@ object SqlFnOps {
     * literals and the shingle expression are interpolated, not computed
     * at call time). Exposed for the spec. */
   private[graft] def registrationSql: Seq[String] = {
-    // q24's tokenization: lowercase, whitespace split, first 30 tokens
-    val tk = """slice(split(trim(lower(t)), '\\s+'), 1, 30)"""
-    // 3-token shingles, i = 0 .. size-3 (element_at is 1-based)
-    val sh = s"transform(sequence(0, size($tk) - 3), i -> " +
-      s"concat(element_at($tk, i + 1), ' ', element_at($tk, i + 2), ' ', " +
-      s"element_at($tk, i + 3)))"
-    // min over shingles of (g1 + k·g2) mod P, as a string
+    // PERFORMANCE SHAPE (measured the hard way: the naive inlining cost
+    // 157 s at sf0.1): SQL-UDF bodies inline into interpreted HOF
+    // lambdas, where every reference to a subexpression RE-EVALUATES it —
+    // an `element_at(split(...), i)` per shingle token re-ran the regex
+    // split ~670× per document. Each shared subexpression is therefore
+    // BOUND ONCE as a lambda variable via the single-element
+    // `element_at(transform(array(<expr>), x -> <body>), 1)` idiom:
+    // tokens split once, each shingle md5s once, the 8 hash mins fold
+    // over one precomputed (g1, g2) struct array. Same keys, ~300× less
+    // work (0.5 s at sf0.1).
+    def bind(expr: String, v: String, body: String): String =
+      s"element_at(transform(array($expr), $v -> $body), 1)"
+    val tkExpr = """slice(split(trim(lower(t)), '\\s+'), 1, 30)"""
+    // per shingle: md5 once (bound as hx), then the two 60-bit halves
+    val hsExpr = "transform(sequence(0, size(tk) - 3), i -> " +
+      bind("md5(concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), " +
+        "' ', element_at(tk, i + 3)))", "hx",
+        s"named_struct('g1', cast(conv(substring(hx, 1, 15), 16, 10) as bigint) % $P, " +
+          s"'g2', cast(conv(substring(hx, 17, 15), 16, 10) as bigint) % $P)") + ")"
     def hmin(kExpr: String): String =
-      s"cast(array_min(transform($sh, s_ -> " +
-        s"(cast(conv(substring(md5(s_), 1, 15), 16, 10) as bigint) % $P + " +
-        s"($kExpr) * (cast(conv(substring(md5(s_), 17, 15), 16, 10) as bigint) % $P)) % $P" +
-        s")) as string)"
-    val bandsBody =
-      s"CASE WHEN size($tk) >= 3 THEN transform(sequence(0, 3), b -> " +
-        s"concat(${hmin("cast(2 * b as bigint)")}, '_', " +
-        s"${hmin("cast(2 * b + 1 as bigint)")})) " +
-        "ELSE array() END"
+      s"cast(array_min(transform(hs, h -> " +
+        s"(h.g1 + ($kExpr) * h.g2) % $P)) as string)"
+    val bandsBody = bind(tkExpr, "tk",
+      "CASE WHEN size(tk) >= 3 THEN " +
+        bind(hsExpr, "hs",
+          s"transform(sequence(0, 3), b -> concat(${hmin("cast(2 * b as bigint)")}, " +
+            s"'_', ${hmin("cast(2 * b + 1 as bigint)")}))") +
+        " ELSE array() END")
     val signs = DedupSim.planeSigns
     val bucketBody = signs.indices.map { j =>
       val arr = signs(j).map(v => s"cast($v as float)").mkString("array(", ", ", ")")

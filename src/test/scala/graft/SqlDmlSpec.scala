@@ -154,6 +154,41 @@ class SqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxnLog.currentVersion(dir) == v1, "no-match DML must not commit")
   }
 
+  test("DML on a partitioned catalog table keeps the hive layout (scans stay native)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqldml_pdml").toString
+    spark.conf.set("spark.sql.catalog.gt", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db")
+    spark.sql("CREATE TABLE gt.db.pdml (k BIGINT, v DOUBLE, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gt.db.pdml SELECT id, CAST(id AS DOUBLE), " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 40)")
+    val dir = s"$wh/db/pdml"
+    // DELETE routes through the replace fallback (hive layout) but the
+    // rewrite must LAND PARTITIONED — otherwise the next partitioned
+    // INSERT mixes layouts and the catalog scan refuses
+    spark.sql("DELETE FROM gt.db.pdml WHERE k < 10")
+    assert(TxnLog.fileScanPlan(dir)._2.forall(_.contains("p=")),
+      "DELETE flattened the partitioned layout")
+    spark.sql("INSERT INTO gt.db.pdml VALUES (100, 1.0, 'c')")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gt.db.pdml").head().getLong(0) == 31L)
+    // UPDATE and MERGE keep it too; the partition column (path-encoded)
+    // survives every rewrite
+    spark.sql("UPDATE gt.db.pdml SET v = v + 0.5 WHERE p = 'a'")
+    spark.sql("""MERGE INTO gt.db.pdml t USING (SELECT 100 AS k, 9.0 AS nv) s
+      ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    assert(TxnLog.fileScanPlan(dir)._2.forall(_.contains("p=")))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gt.db.pdml WHERE p = 'a'")
+      .head().getLong(0) == 15L)
+    assert(spark.sql("SELECT v FROM gt.db.pdml WHERE k = 10").head().getDouble(0) == 10.5)
+    assert(spark.sql("SELECT v FROM gt.db.pdml WHERE k = 100").head().getDouble(0) == 9.0)
+    // full-table DELETE: zero-row partitioned rewrite commits an empty R
+    // and the table still serves its declared schema, then refills
+    spark.sql("DELETE FROM gt.db.pdml")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gt.db.pdml").head().getLong(0) == 0L)
+    spark.sql("INSERT INTO gt.db.pdml VALUES (7, 7.0, 'z')")
+    assert(spark.sql("SELECT p FROM gt.db.pdml").head().getString(0) == "z")
+  }
+
   test("multiple conditional WHEN MATCHED clauses: first matching clause wins") {
     val (t, _) = freshTable("multimatch")
     spark.sql(s"INSERT INTO $t VALUES (1, 150.0, 'a'), (2, 50.0, 'a'), " +
