@@ -182,7 +182,7 @@ private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
                                            readChangeFeed: Boolean = false,
                                            maxFiles: Long = 0L, maxBytes: Long = 0L)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   require((maxFiles <= 0 && maxBytes <= 0) || !readChangeFeed,
     "maxFilesPerTrigger/maxBytesPerTrigger apply to the append stream; the " +
       "change feed rate-limits by version (maxVersionsPerTrigger)")
@@ -191,6 +191,14 @@ private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
   // so a restarted query resumes at the committed version
   private var cursor = startingVersion
   private def ratchet(v: Long): Unit = cursor = math.max(cursor, v)
+  // Trigger.AvailableNow (SupportsTriggerAvailableNow): the head is
+  // FROZEN at prepare time, so the query drains exactly the backlog that
+  // existed when it started — in as many rate-limited batches as the
+  // admission budget dictates — and terminates even if writers keep
+  // committing underneath
+  private var availableNowCap = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = TxnLog.currentVersion(dir)
   override def initialOffset(): Offset = TxnOffset(startingVersion)
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -210,7 +218,7 @@ private[sources] class TxnMicroBatchStream(dir: String, required: StructType,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = math.max(start.asInstanceOf[TxnOffset].version, startingVersion)
     ratchet(s)
-    val head = TxnLog.currentVersion(dir)
+    val head = math.min(TxnLog.currentVersion(dir), availableNowCap)
     // saturating add: the unlimited default is Long.MaxValue and the
     // start is a real version — a raw sum overflows negative. The outer
     // max keeps the offset from REGRESSING when the head is still below

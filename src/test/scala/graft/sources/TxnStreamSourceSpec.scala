@@ -198,6 +198,23 @@ class TxnStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(p)).toMillis) == stamps, "cache was rewritten")
   }
 
+  test("Trigger.AvailableNow drains the prepare-time backlog in budget-sized batches") {
+    val dir = freshTable()
+    import spark.implicits._
+    (1 to 5).foreach(i => TxnLog.commit(Seq(i.toLong).toDF("v").coalesce(1), dir))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = stream(dir, Map("maxFilesPerTrigger" -> "2"))
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        seen += ((id, batch.select("v").collect().map(_.getLong(0)).sorted.toSeq))
+        ()
+      }.start()
+    q.awaitTermination() // AvailableNow terminates itself at the backlog end
+    assert(seen.map(_._2) == Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L)),
+      s"AvailableNow did not honor the admission budget: ${seen.toSeq}")
+  }
+
   test("maxFilesPerTrigger admits whole commits until the file budget is spent") {
     val dir = freshTable()
     import spark.implicits._
