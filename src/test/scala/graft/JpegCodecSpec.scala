@@ -142,6 +142,29 @@ class JpegCodecSpec extends AnyFunSuite {
       subsample = true))) <= 8)
   }
 
+  test("4:2:2 (horizontal-only) subsampling: the (2,1) decode path on real streams") {
+    for ((w, h) <- Seq((32, 32), (33, 41), (17, 23))) {
+      val rgb = ImageOps.synth(w, h, 3)
+      val enc = JpegCodec.encode(rgb, subsample = true, chroma = "422")
+      // SOF declares 2x1 luma / 1x1 chroma
+      var p = 2
+      while ((enc(p + 1) & 0xff) != 0xc0)
+        p += 2 + (((enc(p + 2) & 0xff) << 8) | (enc(p + 3) & 0xff))
+      assert((enc(p + 4 + 7) & 0xff) == 0x21, "SOF must declare 2x1 luma")
+      assert((enc(p + 4 + 10) & 0xff) == 0x11, "SOF must declare 1x1 chroma")
+      val dec = JpegCodec.decode(enc)
+      assert(dec.width == w && dec.height == h && dec.channels == 3)
+      // horizontal-only averaging loses less than 4:2:0 on these fixtures
+      assert(maxDiff(rgb, dec) <= 40, s"4:2:2 ${w}x$h err ${maxDiff(rgb, dec)}")
+    }
+    // 4:2:2 composes with restart intervals like every other layout
+    val rgb = ImageOps.synth(48, 40, 3)
+    val a = JpegCodec.decode(JpegCodec.encode(rgb, subsample = true, chroma = "422"))
+    val b = JpegCodec.decode(JpegCodec.encode(rgb, subsample = true,
+      chroma = "422", restartInterval = 3))
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+  }
+
   test("restart intervals: DRI/RSTn streams decode identically to unrestarted") {
     for (kind <- 0 to 3; ri <- Seq(1, 2, 7)) {
       val img = ImageOps.synth(33, 41, kind)
