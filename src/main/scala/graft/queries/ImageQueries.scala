@@ -612,7 +612,43 @@ object ImageQueries {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q306
+  /** PROGRESSIVE JPEG e2e: the q295 corpus encoded as SOF2 multi-scan
+    * streams (spectral selection + successive approximation — the other
+    * layout real web JPEGs ship in) and decoded back. The oracle is
+    * q295's golden VALUES VERBATIM, which is the point: progressive
+    * transmission reconstructs the IDENTICAL quantized-coefficient
+    * matrix, so every decoded pixel — and therefore every metric — must
+    * equal the baseline entry's. A defect anywhere in the progressive
+    * machinery (EOB runs, refinement correction bits, band walks)
+    * hash-fails against numbers frozen from a DIFFERENT code path. */
+  def q306(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.range(0, 24).as[Long]
+      .map { id =>
+        val w = 16 + (id % 5).toInt * 8
+        val h = 16 + (id % 7).toInt * 8
+        val kind = (id % 4).toInt
+        val src = ImageOps.synth(w, h, kind)
+        val jpg = graft.io.JpegCodec.encode(src, progressive = true)
+        val dec = graft.io.JpegCodec.decode(jpg)
+        val (sum, _, wsum) = ImageOps.stats(dec)
+        var maxDiff = 0L; var sse = 0L
+        var i = 0
+        while (i < src.pixels.length) {
+          val dd = ((src.pixels(i) & 0xff) - (dec.pixels(i) & 0xff)).toLong
+          if (math.abs(dd) > maxDiff) maxDiff = math.abs(dd)
+          sse += dd * dd
+          i += 1
+        }
+        (id, dec.width, dec.height, dec.channels, sum, wsum, maxDiff, sse)
+      }
+      .toDF("img_id", "w", "h", "ch", "px_sum", "wsum", "max_diff", "sse")
+      .orderBy(col("img_id"))
+  }
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
     "q304_image_ann_bucketed" -> ((q304 _, Some(q304Sql))),
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
     "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),

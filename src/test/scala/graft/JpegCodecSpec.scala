@@ -85,9 +85,12 @@ class JpegCodecSpec extends AnyFunSuite {
     while ((enc(p + 1) & 0xff) != 0xc0)
       p += 2 + (((enc(p + 2) & 0xff) << 8) | (enc(p + 3) & 0xff))
     val sofBody = p + 4
+    // SOF2 is SUPPORTED now — but relabeling a BASELINE stream as
+    // progressive yields an interleaved Ss=0,Se=63 scan, which is
+    // malformed under SOF2 and must refuse, never mis-decode
     val e1 = intercept[IllegalArgumentException](
-      JpegCodec.decode(patch(_(p + 1) = 0xc2.toByte))) // progressive
-    assert(e1.getMessage.contains("progressive"))
+      JpegCodec.decode(patch(_(p + 1) = 0xc2.toByte)))
+    assert(e1.getMessage.contains("Se=0"))
     val e2 = intercept[IllegalArgumentException](
       JpegCodec.decode(patch(_(sofBody + 7) = 0x50.toByte))) // H=5: out of spec
     assert(e2.getMessage.contains("sampling factors"))
@@ -232,6 +235,46 @@ class JpegCodecSpec extends AnyFunSuite {
     for (c <- 0 until 3)
       assert((enc(sof + 7 + 3 * c) & 0xff) == 0x11,
         "default encode must keep 1x1 sampling")
+  }
+
+  test("progressive (SOF2) decodes BIT-IDENTICALLY to the baseline stream") {
+    // the gate is exact by construction: both streams transmit the SAME
+    // quantized coefficient matrix, so decoded pixels must be equal —
+    // any defect in spectral selection, successive approximation, EOB
+    // runs, or refinement correction bits breaks the equality
+    for (kind <- 0 to 3; (w, h) <- Seq((32, 32), (33, 41), (17, 23))) {
+      val img = ImageOps.synth(w, h, kind)
+      val base = JpegCodec.decode(JpegCodec.encode(img))
+      val prog = JpegCodec.decode(JpegCodec.encode(img, progressive = true))
+      assert(java.util.Arrays.equals(base.pixels, prog.pixels),
+        s"progressive decode differs from baseline for kind=$kind ${w}x$h")
+    }
+    // noise stresses the refinement entropy paths (dense corrections,
+    // ZRLs inside runs, short EOB runs) far harder than the gradients
+    var s = 7L
+    val noise = Image(41, 26, 3, Array.fill[Byte](41 * 26 * 3) {
+      s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 40).toByte
+    })
+    assert(java.util.Arrays.equals(
+      JpegCodec.decode(JpegCodec.encode(noise)).pixels,
+      JpegCodec.decode(JpegCodec.encode(noise, progressive = true)).pixels),
+      "progressive decode differs on noise content")
+    // progressive composes with both subsampling layouts
+    for (ch <- Seq("420", "422")) {
+      val rgb = ImageOps.synth(48, 40, 3)
+      val b = JpegCodec.decode(JpegCodec.encode(rgb, subsample = true, chroma = ch))
+      val p = JpegCodec.decode(JpegCodec.encode(rgb, subsample = true,
+        chroma = ch, progressive = true))
+      assert(java.util.Arrays.equals(b.pixels, p.pixels),
+        s"progressive+$ch differs from baseline+$ch")
+    }
+    // structure: SOF2 present, multi-scan script
+    val enc = JpegCodec.encode(ImageOps.synth(24, 24, 3), progressive = true)
+    assert((0 until enc.length - 1).exists(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc2), "missing SOF2")
+    val nScans = (0 until enc.length - 1).count(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda)
+    assert(nScans >= 8, s"expected a multi-scan script, got $nScans SOS markers")
   }
 
   test("encoder Huffman tables are canonical and 16-bit-capped") {
