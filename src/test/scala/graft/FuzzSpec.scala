@@ -175,4 +175,42 @@ class FuzzSpec extends AnyFunSuite {
     }
     forAllSampled(mutated, n = 400)(drive)
   }
+
+  test("JPEG decode under truncation/corruption: loud Exception or a sane image, never an Error") {
+    // the decoder's garbage contract differs from the demuxers': it may
+    // THROW (the pipeline's per-item error-skip catches Exception), but it
+    // must never hang, never allocate unboundedly (the SOF dimension
+    // sanity bound), and never return an image violating its own header —
+    // across BASELINE, RESTART-INTERVAL, and PROGRESSIVE streams
+    val fixtures = Seq(
+      graft.io.JpegCodec.encode(graft.ops.ImageOps.synth(24, 16, 3)),
+      graft.io.JpegCodec.encode(graft.ops.ImageOps.synth(17, 23, 3),
+        subsample = true, restartInterval = 2),
+      graft.io.JpegCodec.encode(graft.ops.ImageOps.synth(24, 16, 3),
+        progressive = true))
+    def driveJpeg(bytes: Array[Byte]): Unit =
+      try {
+        val img = graft.io.JpegCodec.decode(bytes)
+        assert(img.width > 0 && img.height > 0 &&
+          img.pixels.length == img.width * img.height * img.channels)
+        assert(img.width.toLong * img.height <= (1L << 24))
+      } catch { case _: Exception => () } // loud refusal is in-contract
+    fixtures.foreach { fx =>
+      val mutated = for {
+        cut <- Gen.chooseNum(2, fx.length)
+        corrupt <- Gen.option(Gen.zip(Gen.chooseNum(2, fx.length - 1),
+          Gen.chooseNum(-128, 127).map(_.toByte)))
+      } yield {
+        val c = fx.take(cut)
+        corrupt.foreach { case (p, b) => if (p < c.length) c(p) = b }
+        c
+      }
+      forAllSampled(mutated, n = 250)(driveJpeg)
+    }
+    // pure garbage behind the SOI magic
+    val garbage = Gen.containerOf[Array, Byte](
+      Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(b => Array[Byte](0xff.toByte, 0xd8.toByte) ++ b)
+    forAllSampled(garbage, n = 200)(driveJpeg)
+  }
 }
