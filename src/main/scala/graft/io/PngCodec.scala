@@ -16,20 +16,25 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * JDK's.
   *
   * Decoder scope (documented like [[AdpcmCodec]]/[[VorbisCodec]]):
-  * bit depth 8, color types 0 (grayscale), 2 (RGB) and 6 (RGBA),
-  * non-interlaced, single zlib stream over any number of IDAT chunks.
-  * Within that scope the decode path is the real spec machinery —
-  * signature check, per-chunk CRC verification, IHDR validation, IDAT
-  * concatenation, inflate, and the full five-filter reconstruction
-  * (None/Sub/Up/Average/Paeth, including Paeth's exact tie-breaking
-  * order). Palette, 16-bit, and Adam7 streams are refused with a
-  * descriptive error, never mis-decoded.
+  * bit depth 8, color types 0 (grayscale), 2 (RGB), 3 (PALETTE — the
+  * web-graphics layout: PLTE lookup, indices filtered at 1 byte/px)
+  * and 6 (RGBA), BOTH interlace methods (none and ADAM7 — seven
+  * sub-image passes, each filtered independently, scattered back on
+  * the 8×8 lattice), single zlib stream over any number of IDAT
+  * chunks. Within that scope the decode path is the real spec
+  * machinery — signature check, per-chunk CRC verification, IHDR
+  * validation, IDAT concatenation, inflate, and the full five-filter
+  * reconstruction (None/Sub/Up/Average/Paeth, including Paeth's exact
+  * tie-breaking order). 16-bit, gray+alpha, and tRNS streams are
+  * refused with a descriptive error, never mis-decoded.
   *
-  * Encoder: writes the same scope, choosing each row's filter by the
-  * spec's recommended minimum-sum-of-absolute-differences heuristic
-  * over all five filters — so decode exercises every filter type on
-  * realistic data, and a decoder that botches any filter fails the
-  * roundtrip. */
+  * Encoder: writes the same scope (`interlaced`/`palette` options),
+  * choosing each row's filter by the spec's recommended minimum-sum-
+  * of-absolute-differences heuristic over all five filters — so decode
+  * exercises every filter type on realistic data, and a decoder that
+  * botches any filter fails the roundtrip. PNG is LOSSLESS, so every
+  * scope combination gates BIT-EXACTLY: interlaced and palette streams
+  * must decode to the identical pixels the plain stream carries. */
 object PngCodec {
 
   final case class Image(width: Int, height: Int, channels: Int,
@@ -47,12 +52,51 @@ object PngCodec {
   // encode
   // ------------------------------------------------------------------
 
-  def encode(img: Image): Array[Byte] = {
-    val colorType = img.channels match {
-      case 1 => 0
-      case 3 => 2
-      case 4 => 6
-    }
+  /** The Adam7 pass lattice: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+  private def passDims(w: Int, h: Int, p: (Int, Int, Int, Int)): (Int, Int) = {
+    val (x0, y0, dx, dy) = p
+    (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+     if (h > y0) (h - y0 + dy - 1) / dy else 0)
+  }
+
+  def encode(img: Image, interlaced: Boolean = false,
+             palette: Boolean = false): Array[Byte] = {
+    require(!palette || img.channels != 4,
+      "palette encode carries RGB/gray images (no alpha)")
+    // palette mode: indices stream at 1 byte/px through a PLTE lookup
+    val (colorType, bpp, data, plte) =
+      if (palette) {
+        val lut = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+        val idx = new Array[Byte](img.width * img.height)
+        var p = 0
+        while (p < img.width * img.height) {
+          val base = p * img.channels
+          val key =
+            if (img.channels == 1) {
+              val g = img.pixels(base) & 0xff; (g << 16) | (g << 8) | g
+            } else
+              ((img.pixels(base) & 0xff) << 16) |
+                ((img.pixels(base + 1) & 0xff) << 8) |
+                (img.pixels(base + 2) & 0xff)
+          val id = lut.getOrElseUpdate(key, lut.size)
+          require(lut.size <= 256,
+            "palette encode needs <= 256 distinct colors")
+          idx(p) = id.toByte
+          p += 1
+        }
+        val pl = new Array[Byte](lut.size * 3)
+        lut.keys.zipWithIndex.foreach { case (k, j) =>
+          pl(j * 3) = (k >> 16).toByte
+          pl(j * 3 + 1) = (k >> 8).toByte
+          pl(j * 3 + 2) = k.toByte
+        }
+        (3, 1, idx, Some(pl))
+      } else
+        (img.channels match { case 1 => 0; case 3 => 2; case 4 => 6 },
+          img.channels, img.pixels, None)
     val ihdr = new Array[Byte](13)
     writeBE(ihdr, 0, img.width)
     writeBE(ihdr, 4, img.height)
@@ -60,12 +104,41 @@ object PngCodec {
     ihdr(9) = colorType.toByte
     ihdr(10) = 0           // compression: deflate
     ihdr(11) = 0           // filter method 0
-    ihdr(12) = 0           // no interlace
-    val raw = filterScanlines(img)
+    ihdr(12) = if (interlaced) 1 else 0
+    val raw =
+      if (!interlaced) filterRows(data, img.width, img.height, bpp)
+      else {
+        // each Adam7 pass filters as an INDEPENDENT sub-image
+        val o = new java.io.ByteArrayOutputStream()
+        Adam7.foreach { pass =>
+          val (x0, y0, dx, dy) = pass
+          val (pw, ph) = passDims(img.width, img.height, pass)
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](pw * ph * bpp)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                var ch = 0
+                while (ch < bpp) {
+                  sub((j * pw + i) * bpp + ch) =
+                    data(((y0 + j * dy) * img.width + (x0 + i * dx)) * bpp + ch)
+                  ch += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+            o.write(filterRows(sub, pw, ph, bpp))
+          }
+        }
+        o.toByteArray
+      }
     val idat = deflate(raw)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature)
     writeChunk(out, "IHDR", ihdr)
+    plte.foreach(writeChunk(out, "PLTE", _))
     writeChunk(out, "IDAT", idat)
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -73,16 +146,16 @@ object PngCodec {
 
   /** Per-row adaptive filtering: the spec's minimum-sum-of-absolute-
     * differences heuristic over all five filter types. */
-  private def filterScanlines(img: Image): Array[Byte] = {
-    val bpp = img.channels
-    val stride = img.width * bpp
-    val out = new Array[Byte]((stride + 1) * img.height)
+  private def filterRows(pixels: Array[Byte], width: Int, height: Int,
+                         bpp: Int): Array[Byte] = {
+    val stride = width * bpp
+    val out = new Array[Byte]((stride + 1) * height)
     val prior = new Array[Byte](stride) // zero row above the first
     val cand = Array.ofDim[Byte](5, stride)
     var y = 0
-    while (y < img.height) {
+    while (y < height) {
       val row = java.util.Arrays.copyOfRange(
-        img.pixels, y * stride, (y + 1) * stride)
+        pixels, y * stride, (y + 1) * stride)
       var best = 0
       var bestSum = Long.MaxValue
       var f = 0
@@ -127,6 +200,9 @@ object PngCodec {
     var pos = 8
     var width = 0; var height = 0; var channels = 0
     var seenIhdr = false; var seenIend = false
+    var interlaced = false
+    var paletted = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (pos < bytes.length && !seenIend) {
       require(pos + 8 <= bytes.length, "truncated chunk header")
@@ -156,16 +232,23 @@ object PngCodec {
           channels = colorType match {
             case 0 => 1
             case 2 => 3
+            case 3 => paletted = true; 1 // indices: 1 byte/px pre-lookup
             case 6 => 4
-            case 3 => throw new IllegalArgumentException(
-              "unsupported color type 3 (palette)")
             case 4 => throw new IllegalArgumentException(
               "unsupported color type 4 (gray+alpha)")
             case c => throw new IllegalArgumentException(s"bad color type $c")
           }
           require(compression == 0, s"bad compression method $compression")
           require(filterMethod == 0, s"bad filter method $filterMethod")
-          require(interlace == 0, "unsupported: Adam7 interlacing")
+          require(interlace == 0 || interlace == 1,
+            s"bad interlace method $interlace")
+          interlaced = interlace == 1
+        case "PLTE" =>
+          require(seenIhdr, "PLTE before IHDR")
+          require(len % 3 == 0 && len >= 3 && len <= 768, s"bad PLTE size $len")
+          plte = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        case "tRNS" => throw new IllegalArgumentException(
+          "unsupported: tRNS transparency")
         case "IDAT" =>
           require(seenIhdr, "IDAT before IHDR")
           idat.write(bytes, pos + 8, len)
@@ -175,19 +258,82 @@ object PngCodec {
       pos += 12 + len
     }
     require(seenIhdr && seenIend, "missing IHDR or IEND")
-    val stride = width * channels
-    val raw = inflate(idat.toByteArray, (stride + 1) * height)
-    require(raw.length == (stride + 1) * height,
-      s"decompressed ${raw.length} bytes, expected ${(stride + 1) * height}")
-    val px = new Array[Byte](stride * height)
+    require(!paletted || plte != null, "palette image without a PLTE chunk")
     val bpp = channels
+    val stride = width * bpp
+    // expected raw size: one filter byte per scanline — per Adam7 pass
+    // sub-image when interlaced (empty passes contribute nothing)
+    val expected =
+      if (!interlaced) (stride + 1) * height
+      else Adam7.map { p =>
+        val (pw, ph) = passDims(width, height, p)
+        if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+      }.sum
+    val raw = inflate(idat.toByteArray, expected)
+    require(raw.length == expected,
+      s"decompressed ${raw.length} bytes, expected $expected")
+    val px =
+      if (!interlaced) defilter(raw, 0, width, height, bpp)
+      else {
+        // each pass de-filters as an independent sub-image, then its
+        // pixels scatter back onto the 8×8 lattice
+        val full = new Array[Byte](stride * height)
+        var off = 0
+        Adam7.foreach { pass =>
+          val (x0, y0, dx, dy) = pass
+          val (pw, ph) = passDims(width, height, pass)
+          if (pw > 0 && ph > 0) {
+            val sub = defilter(raw, off, pw, ph, bpp)
+            off += ph * (1 + pw * bpp)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                var ch = 0
+                while (ch < bpp) {
+                  full(((y0 + j * dy) * width + (x0 + i * dx)) * bpp + ch) =
+                    sub((j * pw + i) * bpp + ch)
+                  ch += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+          }
+        }
+        full
+      }
+    if (!paletted) Image(width, height, channels, px)
+    else {
+      // PLTE lookup: indices → RGB triples
+      val n = plte.length / 3
+      val out = new Array[Byte](width * height * 3)
+      var p = 0
+      while (p < width * height) {
+        val idx = px(p) & 0xff
+        require(idx < n, s"palette index $idx outside PLTE ($n entries)")
+        out(p * 3) = plte(idx * 3)
+        out(p * 3 + 1) = plte(idx * 3 + 1)
+        out(p * 3 + 2) = plte(idx * 3 + 2)
+        p += 1
+      }
+      Image(width, height, 3, out)
+    }
+  }
+
+  /** Reconstruct one (sub-)image's scanlines from `raw` at `off` — the
+    * five-filter inverse, shared by the plain path and each Adam7 pass. */
+  private def defilter(raw: Array[Byte], off: Int, width: Int, height: Int,
+                       bpp: Int): Array[Byte] = {
+    val stride = width * bpp
+    val px = new Array[Byte](stride * height)
     var y = 0
     while (y < height) {
-      val f = raw(y * (stride + 1)) & 0xff
+      val f = raw(off + y * (stride + 1)) & 0xff
       require(f <= 4, s"bad filter type $f in row $y")
       var x = 0
       while (x < stride) {
-        val v = raw(y * (stride + 1) + 1 + x) & 0xff
+        val v = raw(off + y * (stride + 1) + 1 + x) & 0xff
         val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
         val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
         val ul = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) & 0xff else 0
@@ -203,7 +349,7 @@ object PngCodec {
       }
       y += 1
     }
-    Image(width, height, channels, px)
+    px
   }
 
   /** Paeth predictor, spec §9.4 — the tie-break order (left, up, upper-

@@ -612,6 +612,41 @@ object ImageQueries {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q307
+  /** ADAM7-INTERLACED PNG e2e: q293's corpus re-encoded with the
+    * interlace method real web PNGs often ship with (seven sub-image
+    * passes, each filtered independently, scattered back on the 8×8
+    * lattice; checkers additionally route through PALETTE color — the
+    * PLTE-indexed layout). PNG is LOSSLESS, so the oracle is q293's
+    * FULLY-RELATIONAL pixel restatement VERBATIM: DuckDB regenerates
+    * every pixel and recomputes every metric; the hash matches only if
+    * the interlaced (and palette) decode reproduced every byte. */
+  def q307(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val src = ImageOps.synth(sp.w, sp.h, sp.kind)
+        val png = PngCodec.encode(src, interlaced = true,
+          palette = sp.kind == 2) // checkers: 2 colors → PLTE layout
+        (sp.id, sp.kind, png)
+      }
+      .map { case (id, kind, png) =>
+        val img0 = PngCodec.decode(png)
+        // palette decode expands to RGB; gray checkers fold back so the
+        // metrics stay q293's (all three channels equal by construction)
+        val img =
+          if (kind == 2 && img0.channels == 3)
+            PngCodec.Image(img0.width, img0.height, 1,
+              Array.tabulate[Byte](img0.width * img0.height)(p => img0.pixels(p * 3)))
+          else img0
+        val (sum, clip, wsum) = ImageOps.stats(img)
+        val (_, _, rzWsum) = ImageOps.stats(ImageOps.resizeNearest(img, 12, 12))
+        (id, img.width, img.height, img.channels, sum, clip, wsum, rzWsum)
+      }
+      .toDF("img_id", "w", "h", "ch", "px_sum", "clip_cnt", "wsum", "rz_wsum")
+      .orderBy(col("img_id"))
+  }
+
   // ---------------------------------------------------------------- q306
   /** PROGRESSIVE JPEG e2e: the q295 corpus encoded as SOF2 multi-scan
     * streams (spectral selection + successive approximation — the other
@@ -649,6 +684,7 @@ object ImageQueries {
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
+    "q307_image_png_interlaced_e2e" -> ((q307 _, Some(q293Sql))),
     "q304_image_ann_bucketed" -> ((q304 _, Some(q304Sql))),
     "q293_image_png_e2e" -> ((q293 _, Some(q293Sql))),
     "q294_image_dedup_dhash" -> ((q294 _, Some(q294Sql))),

@@ -108,18 +108,56 @@ class PngCodecSpec extends AnyFunSuite {
       b(31) = (cv >>> 8).toByte; b(32) = cv.toByte
       b
     }
+    // interlace is SUPPORTED now — but relabeling a PLAIN stream as
+    // Adam7 makes its pass structure a lie (wrong decompressed size):
+    // it must refuse, never mis-decode
     val e1 = intercept[IllegalArgumentException](
-      PngCodec.decode(withIhdrByte(12, 1))) // Adam7
-    assert(e1.getMessage.contains("interlac"))
+      PngCodec.decode(withIhdrByte(12, 1)))
+    assert(e1.getMessage.contains("expected"))
     val e2 = intercept[IllegalArgumentException](
       PngCodec.decode(withIhdrByte(8, 16))) // 16-bit
     assert(e2.getMessage.contains("bit depth"))
+    // palette is SUPPORTED now — but relabeling a gray stream as
+    // color type 3 leaves it without a PLTE: loud refusal
     val e3 = intercept[IllegalArgumentException](
-      PngCodec.decode(withIhdrByte(9, 3))) // palette
-    assert(e3.getMessage.contains("palette"))
+      PngCodec.decode(withIhdrByte(9, 3)))
+    assert(e3.getMessage.contains("PLTE"))
     // bad signature
     val sig = png.clone(); sig(0) = 0
     intercept[IllegalArgumentException](PngCodec.decode(sig))
+  }
+
+  test("Adam7 interlaced and palette streams decode BIT-EXACTLY (PNG is lossless)") {
+    for ((w, h, ch, seed) <- Seq((16, 16, 1, 3L), (33, 41, 3, 7L),
+        (17, 23, 4, 11L), (7, 5, 3, 13L), (1, 9, 1, 17L), (9, 1, 3, 19L))) {
+      val img = noise(w, h, ch, seed)
+      val plain = PngCodec.decode(PngCodec.encode(img))
+      val inter = PngCodec.decode(PngCodec.encode(img, interlaced = true))
+      assert(java.util.Arrays.equals(plain.pixels, inter.pixels),
+        s"Adam7 differs from plain for ${w}x$h ch=$ch")
+      // the interlaced stream really declares Adam7
+      assert((PngCodec.encode(img, interlaced = true)(16 + 12) & 0xff) == 1)
+    }
+    // palette: a <=256-color image roundtrips exactly, expanded to RGB
+    val checker = graft.ops.ImageOps.synth(24, 24, 2) // 2 colors, 1 channel
+    val viaPal = PngCodec.decode(PngCodec.encode(checker, palette = true))
+    assert(viaPal.channels == 3)
+    (0 until 24 * 24).foreach { p =>
+      val g = checker.pixels(p)
+      assert(viaPal.pixels(p * 3) == g && viaPal.pixels(p * 3 + 1) == g &&
+        viaPal.pixels(p * 3 + 2) == g)
+    }
+    // an RGB image with few colors survives palette + Adam7 COMBINED
+    val rgb = PngCodec.Image(16, 12, 3, Array.tabulate[Byte](16 * 12 * 3) { i =>
+      val p = i / 3; (((p % 16) / 4 * 40 + (i % 3) * 7) & 0x7f).toByte
+    })
+    val both = PngCodec.decode(PngCodec.encode(rgb, interlaced = true, palette = true))
+    assert(java.util.Arrays.equals(both.pixels, rgb.pixels),
+      "palette+Adam7 roundtrip not exact")
+    // too many distinct colors refuses loudly
+    val many = noise(32, 32, 3, 23L)
+    val e = intercept[IllegalArgumentException](PngCodec.encode(many, palette = true))
+    assert(e.getMessage.contains("256"))
   }
 
   test("image kernels: integer contracts") {
