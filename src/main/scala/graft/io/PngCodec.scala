@@ -228,6 +228,12 @@ object PngCodec {
           val filterMethod = bytes(pos + 19) & 0xff
           val interlace = bytes(pos + 20) & 0xff
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          // dimension sanity bound (the JpegCodec rule): a corrupted IHDR
+          // declaring 2³¹-pixel dims would allocate gigabytes before the
+          // datastream refutes it — an executor-killing Error instead of
+          // a loud decode Exception
+          require(width.toLong * height <= (1L << 24),
+            s"unreasonable dimensions ${width}x$height")
           require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
           channels = colorType match {
             case 0 => 1

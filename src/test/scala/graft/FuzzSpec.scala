@@ -213,4 +213,32 @@ class FuzzSpec extends AnyFunSuite {
       .map(b => Array[Byte](0xff.toByte, 0xd8.toByte) ++ b)
     forAllSampled(garbage, n = 200)(driveJpeg)
   }
+
+  test("PNG decode under truncation/corruption: loud Exception or a sane image, never an Error") {
+    val img = graft.ops.ImageOps.synth(24, 16, 3)
+    val fixtures = Seq(
+      graft.io.PngCodec.encode(img),
+      graft.io.PngCodec.encode(img, interlaced = true),
+      graft.io.PngCodec.encode(graft.ops.ImageOps.synth(24, 24, 2),
+        interlaced = true, palette = true))
+    def drivePng(bytes: Array[Byte]): Unit =
+      try {
+        val out = graft.io.PngCodec.decode(bytes)
+        assert(out.width > 0 && out.height > 0 &&
+          out.pixels.length == out.width * out.height * out.channels)
+        assert(out.width.toLong * out.height <= (1L << 24))
+      } catch { case _: Exception => () } // loud refusal is in-contract
+    fixtures.foreach { fx =>
+      val mutated = for {
+        cut <- Gen.chooseNum(8, fx.length)
+        corrupt <- Gen.option(Gen.zip(Gen.chooseNum(8, fx.length - 1),
+          Gen.chooseNum(-128, 127).map(_.toByte)))
+      } yield {
+        val c = fx.take(cut)
+        corrupt.foreach { case (p, b) => if (p < c.length) c(p) = b }
+        c
+      }
+      forAllSampled(mutated, n = 250)(drivePng)
+    }
+  }
 }
