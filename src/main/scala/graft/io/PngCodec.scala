@@ -16,17 +16,24 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * JDK's.
   *
   * Decoder scope (documented like [[AdpcmCodec]]/[[VorbisCodec]]):
-  * bit depth 8, color types 0 (grayscale), 2 (RGB), 3 (PALETTE — the
-  * web-graphics layout: PLTE lookup, indices filtered at 1 byte/px)
-  * and 6 (RGBA), BOTH interlace methods (none and ADAM7 — seven
-  * sub-image passes, each filtered independently, scattered back on
-  * the 8×8 lattice), single zlib stream over any number of IDAT
-  * chunks. Within that scope the decode path is the real spec
+  * bit depth 8, ALL FIVE color types — 0 (grayscale), 2 (RGB), 3
+  * (PALETTE — the web-graphics layout: PLTE lookup, indices filtered
+  * at 1 byte/px), 4 (gray+alpha, 2 bytes/px) and 6 (RGBA) — BOTH
+  * interlace methods (none and ADAM7 — seven sub-image passes, each
+  * filtered independently, scattered back on the 8×8 lattice), single
+  * zlib stream over any number of IDAT chunks, and tRNS transparency
+  * in every position the spec allows it (per-palette-entry alpha on
+  * type 3 — the transparent-web-graphic layout — and the color-key
+  * form on types 0/2, where the keyed sample value reads as fully
+  * transparent; tRNS on 4/6 is refused as the spec forbids it).
+  * Transparency EXPANDS on decode: type-3+tRNS reads as RGBA,
+  * type-0+tRNS as gray+alpha, type-2+tRNS as RGBA — alpha is data,
+  * never dropped. Within that scope the decode path is the real spec
   * machinery — signature check, per-chunk CRC verification, IHDR
   * validation, IDAT concatenation, inflate, and the full five-filter
   * reconstruction (None/Sub/Up/Average/Paeth, including Paeth's exact
-  * tie-breaking order). 16-bit, gray+alpha, and tRNS streams are
-  * refused with a descriptive error, never mis-decoded.
+  * tie-breaking order). 16-bit streams are refused with a descriptive
+  * error, never mis-decoded.
   *
   * Encoder: writes the same scope (`interlaced`/`palette` options),
   * choosing each row's filter by the spec's recommended minimum-sum-
@@ -39,7 +46,7 @@ object PngCodec {
 
   final case class Image(width: Int, height: Int, channels: Int,
                          pixels: Array[Byte]) {
-    require(channels == 1 || channels == 3 || channels == 4,
+    require(channels >= 1 && channels <= 4, // 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA
       s"unsupported channel count: $channels")
     require(pixels.length == width * height * channels,
       s"pixel buffer ${pixels.length} != $width*$height*$channels")
@@ -64,39 +71,61 @@ object PngCodec {
 
   def encode(img: Image, interlaced: Boolean = false,
              palette: Boolean = false): Array[Byte] = {
-    require(!palette || img.channels != 4,
-      "palette encode carries RGB/gray images (no alpha)")
-    // palette mode: indices stream at 1 byte/px through a PLTE lookup
-    val (colorType, bpp, data, plte) =
+    require(!palette || img.channels != 2,
+      "palette encode carries gray/RGB/RGBA images (gray+alpha is type 4)")
+    // palette mode: indices stream at 1 byte/px through a PLTE lookup;
+    // RGBA input additionally emits per-entry alpha as a tRNS chunk —
+    // the transparent-web-graphic layout. The spec's recommended
+    // ordering (transparent entries FIRST) lets tRNS truncate after the
+    // last non-opaque entry, so decode also exercises the
+    // shorter-than-PLTE case with implied 255s.
+    val (colorType, bpp, data, plte, trns) =
       if (palette) {
         val lut = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
-        val idx = new Array[Byte](img.width * img.height)
+        val keys = new Array[Int](img.width * img.height)
         var p = 0
         while (p < img.width * img.height) {
           val base = p * img.channels
           val key =
             if (img.channels == 1) {
-              val g = img.pixels(base) & 0xff; (g << 16) | (g << 8) | g
-            } else
-              ((img.pixels(base) & 0xff) << 16) |
+              val g = img.pixels(base) & 0xff
+              (255 << 24) | (g << 16) | (g << 8) | g
+            } else {
+              val a = if (img.channels == 4) img.pixels(base + 3) & 0xff else 255
+              (a << 24) |
+                ((img.pixels(base) & 0xff) << 16) |
                 ((img.pixels(base + 1) & 0xff) << 8) |
                 (img.pixels(base + 2) & 0xff)
-          val id = lut.getOrElseUpdate(key, lut.size)
+            }
+          lut.getOrElseUpdate(key, lut.size)
           require(lut.size <= 256,
             "palette encode needs <= 256 distinct colors")
-          idx(p) = id.toByte
+          keys(p) = key
           p += 1
         }
-        val pl = new Array[Byte](lut.size * 3)
-        lut.keys.zipWithIndex.foreach { case (k, j) =>
+        // transparent-first entry order (alpha ascending, stable)
+        val order = lut.keys.toArray.sortBy(k => ((k >>> 24), lut(k)))
+        val rank = order.zipWithIndex.toMap
+        val idx = new Array[Byte](img.width * img.height)
+        p = 0
+        while (p < img.width * img.height) {
+          idx(p) = rank(keys(p)).toByte; p += 1
+        }
+        val pl = new Array[Byte](order.length * 3)
+        order.zipWithIndex.foreach { case (k, j) =>
           pl(j * 3) = (k >> 16).toByte
           pl(j * 3 + 1) = (k >> 8).toByte
           pl(j * 3 + 2) = k.toByte
         }
-        (3, 1, idx, Some(pl))
+        val lastNonOpaque = order.lastIndexWhere(k => (k >>> 24) != 255)
+        val tr =
+          if (lastNonOpaque < 0) None
+          else Some(Array.tabulate[Byte](lastNonOpaque + 1)(j =>
+            (order(j) >>> 24).toByte))
+        (3, 1, idx, Some(pl), tr)
       } else
-        (img.channels match { case 1 => 0; case 3 => 2; case 4 => 6 },
-          img.channels, img.pixels, None)
+        (img.channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 },
+          img.channels, img.pixels, None, None)
     val ihdr = new Array[Byte](13)
     writeBE(ihdr, 0, img.width)
     writeBE(ihdr, 4, img.height)
@@ -139,6 +168,7 @@ object PngCodec {
     out.write(Signature)
     writeChunk(out, "IHDR", ihdr)
     plte.foreach(writeChunk(out, "PLTE", _))
+    trns.foreach(writeChunk(out, "tRNS", _)) // spec: after PLTE, before IDAT
     writeChunk(out, "IDAT", idat)
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -194,7 +224,12 @@ object PngCodec {
   // decode
   // ------------------------------------------------------------------
 
-  def decode(bytes: Array[Byte]): Image = {
+  /** `maxPixels` bounds w×h BEFORE the pixel buffer allocates (a
+    * corrupted IHDR declaring 2³¹-pixel dims would OOM the executor
+    * before the datastream refutes it). The default admits a 4096×4096
+    * still; callers with legitimately larger inputs raise it per call —
+    * the [[JpegCodec.decode]] contract. */
+  def decode(bytes: Array[Byte], maxPixels: Long = 1L << 24): Image = {
     require(bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
       "not a PNG: bad signature")
     var pos = 8
@@ -202,7 +237,9 @@ object PngCodec {
     var seenIhdr = false; var seenIend = false
     var interlaced = false
     var paletted = false
+    var colorTyp = -1
     var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (pos < bytes.length && !seenIend) {
       require(pos + 8 <= bytes.length, "truncated chunk header")
@@ -228,20 +265,18 @@ object PngCodec {
           val filterMethod = bytes(pos + 19) & 0xff
           val interlace = bytes(pos + 20) & 0xff
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-          // dimension sanity bound (the JpegCodec rule): a corrupted IHDR
-          // declaring 2³¹-pixel dims would allocate gigabytes before the
-          // datastream refutes it — an executor-killing Error instead of
-          // a loud decode Exception
-          require(width.toLong * height <= (1L << 24),
-            s"unreasonable dimensions ${width}x$height")
+          // dimension sanity bound — caller-tunable, see decode()'s doc
+          require(width.toLong * height <= maxPixels,
+            s"unreasonable dimensions ${width}x$height (limit $maxPixels " +
+              "px; raise decode(bytes, maxPixels = ...) for larger inputs)")
           require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
+          colorTyp = colorType
           channels = colorType match {
             case 0 => 1
             case 2 => 3
             case 3 => paletted = true; 1 // indices: 1 byte/px pre-lookup
+            case 4 => 2 // gray+alpha
             case 6 => 4
-            case 4 => throw new IllegalArgumentException(
-              "unsupported color type 4 (gray+alpha)")
             case c => throw new IllegalArgumentException(s"bad color type $c")
           }
           require(compression == 0, s"bad compression method $compression")
@@ -253,8 +288,14 @@ object PngCodec {
           require(seenIhdr, "PLTE before IHDR")
           require(len % 3 == 0 && len >= 3 && len <= 768, s"bad PLTE size $len")
           plte = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
-        case "tRNS" => throw new IllegalArgumentException(
-          "unsupported: tRNS transparency")
+        case "tRNS" =>
+          require(seenIhdr, "tRNS before IHDR")
+          // spec §11.3.2: forbidden on color types that already carry an
+          // alpha channel; the payload shape depends on the color type
+          // (validated at expansion below, once PLTE is known too)
+          require(colorTyp != 4 && colorTyp != 6,
+            s"tRNS is forbidden on color type $colorTyp (alpha already present)")
+          trns = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
         case "IDAT" =>
           require(seenIhdr, "IDAT before IHDR")
           idat.write(bytes, pos + 8, len)
@@ -309,22 +350,59 @@ object PngCodec {
         }
         full
       }
-    if (!paletted) Image(width, height, channels, px)
-    else {
-      // PLTE lookup: indices → RGB triples
+    if (paletted) {
+      // PLTE lookup: indices → RGB triples; with tRNS, → RGBA (per-entry
+      // alpha, entries past the tRNS length implied fully opaque —
+      // spec §11.3.2 lets tRNS truncate after the last non-opaque entry)
       val n = plte.length / 3
-      val out = new Array[Byte](width * height * 3)
+      require(trns == null || trns.length <= n,
+        s"tRNS carries ${trns.length} alphas for $n palette entries")
+      val outCh = if (trns == null) 3 else 4
+      val out = new Array[Byte](width * height * outCh)
       var p = 0
       while (p < width * height) {
         val idx = px(p) & 0xff
         require(idx < n, s"palette index $idx outside PLTE ($n entries)")
-        out(p * 3) = plte(idx * 3)
-        out(p * 3 + 1) = plte(idx * 3 + 1)
-        out(p * 3 + 2) = plte(idx * 3 + 2)
+        out(p * outCh) = plte(idx * 3)
+        out(p * outCh + 1) = plte(idx * 3 + 1)
+        out(p * outCh + 2) = plte(idx * 3 + 2)
+        if (outCh == 4)
+          out(p * outCh + 3) =
+            if (idx < trns.length) trns(idx) else 255.toByte
         p += 1
       }
-      Image(width, height, 3, out)
-    }
+      Image(width, height, outCh, out)
+    } else if (trns != null && colorTyp == 0) {
+      // gray color key: the keyed sample value reads fully transparent —
+      // expansion carries the alpha as data (gray → gray+alpha)
+      require(trns.length == 2, s"bad tRNS length ${trns.length} for gray")
+      val key = trns(1) & 0xff // depth 8: low byte of the 2-byte sample
+      val out = new Array[Byte](width * height * 2)
+      var p = 0
+      while (p < width * height) {
+        val g = px(p) & 0xff
+        out(p * 2) = px(p)
+        out(p * 2 + 1) = if (g == key) 0 else 255.toByte
+        p += 1
+      }
+      Image(width, height, 2, out)
+    } else if (trns != null && colorTyp == 2) {
+      // RGB color key → RGBA
+      require(trns.length == 6, s"bad tRNS length ${trns.length} for RGB")
+      val kr = trns(1) & 0xff; val kg = trns(3) & 0xff; val kb = trns(5) & 0xff
+      val out = new Array[Byte](width * height * 4)
+      var p = 0
+      while (p < width * height) {
+        val r = px(p * 3) & 0xff; val g = px(p * 3 + 1) & 0xff
+        val b = px(p * 3 + 2) & 0xff
+        out(p * 4) = px(p * 3)
+        out(p * 4 + 1) = px(p * 3 + 1)
+        out(p * 4 + 2) = px(p * 3 + 2)
+        out(p * 4 + 3) = if (r == kr && g == kg && b == kb) 0 else 255.toByte
+        p += 1
+      }
+      Image(width, height, 4, out)
+    } else Image(width, height, channels, px)
   }
 
   /** Reconstruct one (sub-)image's scanlines from `raw` at `off` — the

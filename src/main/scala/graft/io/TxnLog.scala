@@ -192,6 +192,13 @@ object TxnLog {
   def commitPartitionedShared(df: DataFrame, dir: String, partCols: Seq[String],
                               replace: Boolean = false): Long = {
     val files = stagePartitionedShared(df, dir, partCols)
+    // Empty source: a partitioned write of zero rows stages no files
+    // (hive dir-encoding has nowhere to land them). Mirror the DML
+    // path's replaceCommitValidated empty branch — `INSERT INTO pt
+    // SELECT ... WHERE false` is a valid, common possibly-empty ETL
+    // increment and must no-op, not error; an empty OVERWRITE truncates
+    // (commits an empty R), the Delta-style contract.
+    if (files.isEmpty && !replace) return currentVersion(dir)
     var v = currentVersion(dir) + 1
     while (!tryClaim(dir, v, if (replace) "R" else "A", files)) v += 1
     v
@@ -209,8 +216,7 @@ object TxnLog {
     val uuid = java.util.UUID.randomUUID().toString
     val stage = s"part-$uuid"
     df.write.mode("errorifexists").partitionBy(partCols: _*).parquet(s"$dir/$stage")
-    val staged = walkParquet(dir, stage)
-    require(staged.nonEmpty, "commit of an empty dataframe writes no files")
+    val staged = walkParquet(dir, stage) // empty source ⇒ empty (caller decides)
     val files = staged.map { rel =>
       val sub = rel.stripPrefix(s"$stage/") // col=val/.../name.parquet
       val i = sub.lastIndexOf('/')
@@ -222,6 +228,41 @@ object TxnLog {
     }
     graft.io.FsUtil.deleteRecursively(new java.io.File(s"$dir/$stage"))
     files
+  }
+
+  /** Stage `df`'s rows as UNREFERENCED data files — invisible by
+    * protocol until a [[claimStagedReplace]] lands — the write half of
+    * the SQL catalog's atomic CREATE OR REPLACE TABLE (DSv2
+    * StagingTableCatalog): the CTAS/RTAS query executes against
+    * pre-swap state, its output stages here, and the swap is the single
+    * manifest claim. Flat tables stage a plain `part-<uuid>` dir;
+    * partitioned tables stage into the shared `pdata` tree. An empty
+    * source stages ZERO files (valid: the claim then commits an empty
+    * visible set — REPLACE to empty). A caller that aborts deletes the
+    * returned paths; a crash leaves orphans for vacuum, like every
+    * other write path. */
+  private[graft] def stageOnly(df: DataFrame, dir: String,
+                               partCols: Seq[String]): Vector[String] =
+    if (partCols.nonEmpty) stagePartitionedShared(df, dir, partCols)
+    else {
+      val rel = s"part-${java.util.UUID.randomUUID().toString}"
+      df.write.mode("errorifexists").parquet(s"$dir/$rel")
+      val files = Option(new java.io.File(s"$dir/$rel").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"$rel/${f.getName}").sorted.toVector
+      if (files.isEmpty) // zero rows: drop the empty staging dir
+        graft.io.FsUtil.deleteRecursively(new java.io.File(s"$dir/$rel"))
+      files
+    }
+
+  /** The claim half of [[stageOnly]]: one REPLACE commit whose visible
+    * set is exactly the staged files. CAS-safe like every claim — a
+    * concurrent commit just moves the version this replace lands at. */
+  private[graft] def claimStagedReplace(dir: String, files: Seq[String]): Long = {
+    var v = currentVersion(dir) + 1
+    while (!tryClaim(dir, v, "R", files)) v += 1
+    v
   }
 
   /** The dir-encoded partition value of `column` in a manifest path, if
@@ -2615,12 +2656,21 @@ object TxnLog {
     * data files are reclaimed). After an A-only chain this is a no-op
     * (every file is still referenced); after a replace-commit it reclaims
     * the pre-compaction files. Single-writer maintenance op by contract,
-    * and it must NOT run concurrently with an in-flight commit: a commit's
-    * data files land before its manifest, so a racing vacuum would reclaim
-    * them as orphans (real formats close this with a file-age retention
-    * threshold; the contract here keeps the essential-protocol scope).
-    * Returns the deleted relative paths. */
-  def vacuum(dir: String, retainVersions: Int = 1): Seq[String] = {
+    * and with `graceMillis = 0` it must NOT run concurrently with an
+    * in-flight commit: EVERY write path lands data files before its
+    * manifest (ordinary commits under `part-<uuid>`, the DSv2 sink under
+    * `txnsink-*`, and — the widest window — `commitPartitionedShared`
+    * moves files into the shared `pdata` tree BEFORE its claim), so a
+    * racing vacuum would reclaim in-flight staging as orphans and the
+    * claim would then commit a manifest referencing deleted files.
+    * `graceMillis > 0` closes that window the way real formats do
+    * (Delta's tombstone-retention pattern): unreferenced files YOUNGER
+    * than the horizon are presumed in-flight staging and skipped — they
+    * become reclaimable on the next vacuum after they age past the grace.
+    * Size the grace above the longest plausible stage→claim gap (minutes
+    * dwarfs it). Returns the deleted relative paths. */
+  def vacuum(dir: String, retainVersions: Int = 1,
+             graceMillis: Long = 0L): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(dir)
     require(cur > 0, "nothing committed")
@@ -2637,9 +2687,14 @@ object TxnLog {
         // shared hive tree (catalog partitioned writes) lives under pdata
         (f.getName.startsWith("part-") || f.getName.startsWith("txnsink-") ||
           f.getName == "pdata"))
-    // recursive: partitioned commits nest their parquet under col=val dirs
+    // recursive: partitioned commits nest their parquet under col=val dirs;
+    // the age filter is the in-flight-staging guard (doc above)
+    val horizon = System.currentTimeMillis() - graceMillis
     val victims = partDirs.flatMap(pd =>
-      walkParquet(dir, pd.getName).filterNot(keep.contains)).toSeq
+      walkParquet(dir, pd.getName).filterNot(keep.contains))
+      .filter(rel => graceMillis <= 0L ||
+        Files.getLastModifiedTime(Paths.get(dir, rel)).toMillis <= horizon)
+      .toSeq
     // watermark FIRST: a reader that races the deletes already sees the
     // new floor and refuses vacuumed versions
     val tmp = Files.createTempFile(logDir(dir), ".minv-", ".tmp")

@@ -682,7 +682,135 @@ object ImageQueries {
       .orderBy(col("img_id"))
   }
 
+  // ---------------------------------------------------------------- q308
+  /** PNG TRANSPARENCY e2e — the two remaining real-world PNG shapes:
+    * even ids synthesize an RGBA graphic with ≤15 distinct colors and
+    * REAL transparency (fully-transparent + translucent + opaque) and
+    * ship it as PALETTE + tRNS (the transparent-web-graphic layout —
+    * per-entry alpha, tRNS truncated after the last non-opaque entry);
+    * odd ids synthesize gray+alpha and ship as COLOR TYPE 4 (2 bytes/px,
+    * every fourth one Adam7-interlaced on top). Decode EXPANDS the
+    * transparency back to per-pixel alpha (type 3+tRNS → RGBA, type 4 →
+    * gray+alpha), and the oracle restates every channel of every pixel
+    * relationally from the same closed-form integer formulas — the hash
+    * matches only if PLTE lookup, tRNS expansion (including the implied-
+    * 255 tail), and the 2-channel filter path reproduced every byte.
+    * Alpha is DATA here: color_sum/alpha_sum/transp_cnt/wsum all pin it. */
+  def q308(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val png =
+          if (sp.id % 2 == 0) {
+            // palette+tRNS route: 5 base colors × 3 alpha levels
+            val px = new Array[Byte](sp.w * sp.h * 4)
+            var y = 0
+            while (y < sp.h) {
+              var x = 0
+              while (x < sp.w) {
+                val ci = (x * 7 + y * 3) % 5
+                val base = (y * sp.w + x) * 4
+                px(base) = (ci * 50 + 10).toByte
+                px(base + 1) = ((ci * ci % 7) * 30).toByte
+                px(base + 2) = (255 - ci * 40).toByte
+                px(base + 3) =
+                  (if ((x + y) % 4 == 0) 0
+                   else if ((x * y) % 7 == 0) 128 else 255).toByte
+                x += 1
+              }
+              y += 1
+            }
+            PngCodec.encode(PngCodec.Image(sp.w, sp.h, 4, px), palette = true)
+          } else {
+            // gray+alpha route (color type 4), some interlaced
+            val px = new Array[Byte](sp.w * sp.h * 2)
+            var y = 0
+            while (y < sp.h) {
+              var x = 0
+              while (x < sp.w) {
+                val base = (y * sp.w + x) * 2
+                px(base) = ((x * 13 + y * 7) % 256).toByte
+                px(base + 1) = ((x + y * 5) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            PngCodec.encode(PngCodec.Image(sp.w, sp.h, 2, px),
+              interlaced = sp.id % 4 == 3)
+          }
+        (sp.id, png)
+      }
+      .map { case (id, png) =>
+        val img = PngCodec.decode(png)
+        val alphaC = img.channels - 1 // RGBA→3, gray+alpha→1
+        var colorSum = 0L; var alphaSum = 0L; var transp = 0L; var wsum = 0L
+        var p = 0
+        while (p < img.width * img.height) {
+          val x = p % img.width; val y = p / img.width
+          var c = 0
+          while (c < img.channels) {
+            val v = img.pixels(p * img.channels + c) & 0xff
+            if (c == alphaC) {
+              alphaSum += v
+              if (v == 0) transp += 1
+            } else colorSum += v
+            wsum += v.toLong * (x + 1) * (3 * y + 7) * (c + 1)
+            c += 1
+          }
+          p += 1
+        }
+        (id, img.width, img.height, img.channels, colorSum, alphaSum,
+          transp, wsum)
+      }
+      .toDF("img_id", "w", "h", "ch", "color_sum", "alpha_sum",
+        "transp_cnt", "wsum")
+      .orderBy(col("img_id"))
+  }
+
+  val q308Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS id,
+      |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
+      |         CAST(doc_id % 2 AS BIGINT) AS fam
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id, w, h, fam, gx.x AS x, gy.y AS y, gc.c AS c,
+      |         CASE WHEN fam = 0 THEN
+      |           CASE gc.c
+      |             WHEN 0 THEN ((gx.x * 7 + gy.y * 3) % 5) * 50 + 10
+      |             WHEN 1 THEN (((gx.x * 7 + gy.y * 3) % 5)
+      |                          * ((gx.x * 7 + gy.y * 3) % 5) % 7) * 30
+      |             WHEN 2 THEN 255 - ((gx.x * 7 + gy.y * 3) % 5) * 40
+      |             ELSE CASE WHEN (gx.x + gy.y) % 4 = 0 THEN 0
+      |                       WHEN (gx.x * gy.y) % 7 = 0 THEN 128
+      |                       ELSE 255 END
+      |           END
+      |         ELSE
+      |           CASE gc.c WHEN 0 THEN (gx.x * 13 + gy.y * 7) % 256
+      |                     ELSE (gx.x + gy.y * 5) % 256 END
+      |         END AS v,
+      |         CASE WHEN fam = 0 THEN 3 ELSE 1 END AS ac
+      |  FROM ids
+      |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 63) gy(y) ON gy.y < h
+      |  JOIN generate_series(0, 3) gc(c)
+      |    ON gc.c <= CASE WHEN fam = 0 THEN 3 ELSE 1 END)
+      |SELECT ids.id AS img_id,
+      |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
+      |       CAST(CASE WHEN ids.fam = 0 THEN 4 ELSE 2 END AS INT) AS ch,
+      |       m.color_sum, m.alpha_sum, m.transp_cnt, m.wsum
+      |FROM ids
+      |JOIN (SELECT id,
+      |             CAST(SUM(CASE WHEN c <> ac THEN v ELSE 0 END) AS BIGINT) AS color_sum,
+      |             CAST(SUM(CASE WHEN c = ac THEN v ELSE 0 END) AS BIGINT) AS alpha_sum,
+      |             CAST(SUM(CASE WHEN c = ac AND v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS transp_cnt,
+      |             CAST(SUM(v * (x + 1) * (3 * y + 7) * (c + 1)) AS BIGINT) AS wsum
+      |      FROM px GROUP BY id) m ON m.id = ids.id
+      |ORDER BY img_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q308_image_png_transparency_e2e" -> ((q308 _, Some(q308Sql))),
     "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
     "q307_image_png_interlaced_e2e" -> ((q307 _, Some(q293Sql))),
     "q304_image_ann_bucketed" -> ((q304 _, Some(q304Sql))),

@@ -149,6 +149,32 @@ class CatalogEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT DISTINCT p FROM ge.db.pt").head().getString(0) == "only")
   }
 
+  test("empty partitioned INSERT no-ops; empty OVERWRITE truncates") {
+    // the possibly-empty ETL increment: `INSERT ... WHERE false` must be
+    // a valid no-op on a PARTITIONED catalog table (zero rows stage zero
+    // files under hive dir-encoding), matching the unpartitioned path
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_emptyins").toString
+    spark.conf.set("spark.sql.catalog.ge.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ge.db")
+    spark.sql("CREATE TABLE ge.db.ept (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO ge.db.ept SELECT id, 'a' FROM range(0, 5)")
+    val dir = s"$wh/db/ept"
+    val vBefore = TxnLog.currentVersion(dir)
+    spark.sql("INSERT INTO ge.db.ept SELECT id, 'b' FROM range(0, 5) WHERE 1 = 0")
+    assert(TxnLog.currentVersion(dir) == vBefore,
+      "empty partitioned INSERT must not commit a version")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.ept").head().getLong(0) == 5L)
+    // empty OVERWRITE = truncate (an empty R commit); DDL schema survives
+    spark.sql("INSERT OVERWRITE ge.db.ept SELECT id, 'c' FROM range(0, 5) WHERE 1 = 0")
+    assert(TxnLog.currentVersion(dir) == vBefore + 1)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.ept").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT * FROM ge.db.ept").schema.fieldNames.toSeq ==
+      Seq("k", "p"))
+    // the truncated table accepts new rows and time-travels back
+    spark.sql("INSERT INTO ge.db.ept SELECT id, 'd' FROM range(0, 3)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.ept").head().getLong(0) == 3L)
+  }
+
   test("partitioned CTAS through the catalog (create + partitioned write)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_evo_ctas").toString
     spark.conf.set("spark.sql.catalog.ge.warehouse", wh)

@@ -216,11 +216,21 @@ class FuzzSpec extends AnyFunSuite {
 
   test("PNG decode under truncation/corruption: loud Exception or a sane image, never an Error") {
     val img = graft.ops.ImageOps.synth(24, 16, 3)
+    // an RGBA image with real transparency: its palette encode carries a
+    // tRNS chunk, so the fuzz walks the transparency machinery too
+    val rgbaPx = Array.tabulate[Byte](16 * 16 * 4)(i =>
+      if (i % 4 == 3) (if ((i / 4) % 5 == 0) 0 else 255).toByte
+      else ((i * 7) % 6 * 40).toByte)
+    val grayAlpha = graft.io.PngCodec.Image(12, 12, 2,
+      Array.tabulate[Byte](12 * 12 * 2)(i => (i * 31).toByte))
     val fixtures = Seq(
       graft.io.PngCodec.encode(img),
       graft.io.PngCodec.encode(img, interlaced = true),
       graft.io.PngCodec.encode(graft.ops.ImageOps.synth(24, 24, 2),
-        interlaced = true, palette = true))
+        interlaced = true, palette = true),
+      graft.io.PngCodec.encode(graft.io.PngCodec.Image(16, 16, 4, rgbaPx),
+        palette = true),
+      graft.io.PngCodec.encode(grayAlpha, interlaced = true))
     def drivePng(bytes: Array[Byte]): Unit =
       try {
         val out = graft.io.PngCodec.decode(bytes)

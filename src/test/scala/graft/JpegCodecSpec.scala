@@ -277,6 +277,78 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(nScans >= 8, s"expected a multi-scan script, got $nScans SOS markers")
   }
 
+  test("missing tables fail loudly even under DRI (resync covers entropy damage only)") {
+    // strip every DHT segment from a DRI stream: a structural header
+    // defect must stay terminal — before the fix the per-interval resync
+    // catch swallowed it in EVERY interval and the image "decoded" to
+    // all-mid-gray silently
+    val enc = JpegCodec.encode(ImageOps.synth(32, 32, 1), restartInterval = 2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, 2) // SOI
+    var p = 2
+    var done = false
+    while (!done) {
+      val m = enc(p + 1) & 0xff
+      val len = ((enc(p + 2) & 0xff) << 8) | (enc(p + 3) & 0xff)
+      if (m == 0xda) { // SOS: copy the rest verbatim (entropy + EOI)
+        out.write(enc, p, enc.length - p); done = true
+      } else {
+        if (m != 0xc4) out.write(enc, p, 2 + len)
+        p += 2 + len
+      }
+    }
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(out.toByteArray))
+    assert(e.getMessage.contains("Huffman table"), e.getMessage)
+  }
+
+  test("systematic corruption of EVERY interval refuses instead of decoding gray") {
+    // all-ones entropy bits (FF 00 stuffed pairs) hit the reserved
+    // all-ones codeword in every interval — zero intervals survive, and
+    // the decoder must refuse the all-mid-gray result rather than return
+    // it as a "successful" decode
+    val enc = JpegCodec.encode(ImageOps.synth(32, 32, 1), restartInterval = 1)
+    // walk headers to the SOS entropy start
+    var p = 2
+    while ((enc(p + 1) & 0xff) != 0xda)
+      p += 2 + (((enc(p + 2) & 0xff) << 8) | (enc(p + 3) & 0xff))
+    val entropyStart = p + 2 + (((enc(p + 2) & 0xff) << 8) | (enc(p + 3) & 0xff))
+    val bad = enc.clone()
+    // overwrite every entropy region (between RST markers) with FF 00
+    // pairs; markers themselves stay intact so resync CAN find them
+    var i = entropyStart
+    var phase = 0
+    while (i < bad.length - 2) {
+      val isMarker = (bad(i) & 0xff) == 0xff && {
+        val n = bad(i + 1) & 0xff
+        (n >= 0xd0 && n <= 0xd7) || n == 0xd9
+      }
+      if (isMarker) { i += 2; phase = 0 }
+      else {
+        // trailing byte before a marker must not be a bare FF
+        val nextIsMarker = (bad(i + 1) & 0xff) == 0xff && i + 2 < bad.length && {
+          val n = bad(i + 2) & 0xff
+          (n >= 0xd0 && n <= 0xd7) || n == 0xd9
+        }
+        bad(i) = if (phase == 0 && !nextIsMarker) 0xff.toByte else 0x00.toByte
+        phase ^= 1
+        i += 1
+      }
+    }
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(bad))
+    assert(e.getMessage.contains("every restart interval"), e.getMessage)
+  }
+
+  test("pixel bound is caller-tunable (maxPixels), refusal names the dial") {
+    val enc = JpegCodec.encode(ImageOps.synth(64, 48, 3))
+    val e = intercept[IllegalArgumentException](
+      JpegCodec.decode(enc, maxPixels = 1000L))
+    assert(e.getMessage.contains("unreasonable dimensions") &&
+      e.getMessage.contains("maxPixels"), e.getMessage)
+    // raising the bound admits the same stream
+    val img = JpegCodec.decode(enc, maxPixels = 64L * 48)
+    assert(img.width == 64 && img.height == 48)
+  }
+
   test("encoder Huffman tables are canonical and 16-bit-capped") {
     // skewed frequencies force long codes; the cap + all-ones reservation
     // must still yield a decodable stream (roundtrip proves both sides)

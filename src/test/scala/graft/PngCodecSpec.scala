@@ -160,6 +160,138 @@ class PngCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("256"))
   }
 
+  test("gray+alpha (color type 4) roundtrips bit-exactly, plain and Adam7") {
+    for (seed <- Seq(21L, 22L); (w, h) <- Seq((17, 23), (8, 8), (1, 5))) {
+      val img = noise(w, h, 2, seed)
+      roundtrip(img)
+      val inter = PngCodec.decode(PngCodec.encode(img, interlaced = true))
+      assert(inter.channels == 2 &&
+        java.util.Arrays.equals(inter.pixels, img.pixels))
+    }
+    // the stream really declares color type 4
+    assert((PngCodec.encode(noise(4, 4, 2, 23L))(16 + 9) & 0xff) == 4)
+  }
+
+  test("palette+tRNS: RGBA web graphic roundtrips; tRNS truncates after last non-opaque") {
+    // 6 distinct RGBA colors, two transparent/translucent
+    val colors = Array(
+      Array[Byte](10, 20, 30, 0),            // fully transparent
+      Array[Byte](40, 50, 60, 127.toByte),   // translucent
+      Array[Byte](70, 80, 90, 255.toByte),
+      Array[Byte](1, 2, 3, 255.toByte),
+      Array[Byte](200.toByte, 100, 50, 255.toByte),
+      Array[Byte](0, 0, 0, 255.toByte))
+    val w = 24; val h = 16
+    val px = new Array[Byte](w * h * 4)
+    for (p <- 0 until w * h; c <- 0 until 4)
+      px(p * 4 + c) = colors((p * 7 + p / w) % colors.length)(c)
+    val img = Image(w, h, 4, px)
+    val enc = PngCodec.encode(img, palette = true)
+    assert((enc(16 + 9) & 0xff) == 3, "must declare color type 3")
+    // walk chunks: PLTE and tRNS both present, tRNS SHORTER than PLTE
+    def chunks(b: Array[Byte]): Seq[(String, Int)] = {
+      var pos = 8; val out = Seq.newBuilder[(String, Int)]
+      while (pos < b.length) {
+        val len = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+          ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        out += ((new String(b, pos + 4, 4, "US-ASCII"), len))
+        pos += 12 + len
+      }
+      out.result()
+    }
+    val cs = chunks(enc).toMap
+    assert(cs.contains("tRNS") && cs("tRNS") == 2,
+      s"tRNS must cover exactly the 2 non-opaque entries, got ${cs.get("tRNS")}")
+    assert(cs("PLTE") == 6 * 3)
+    // decode restores the FULL RGBA data (alpha is data, never dropped)
+    val dec = PngCodec.decode(enc)
+    assert(dec.channels == 4 && java.util.Arrays.equals(dec.pixels, px))
+    // and composes with Adam7
+    val decI = PngCodec.decode(PngCodec.encode(img, interlaced = true, palette = true))
+    assert(decI.channels == 4 && java.util.Arrays.equals(decI.pixels, px))
+    // all-opaque RGBA palettizes with NO tRNS (pure type 3, reads RGB)
+    val opaque = Image(4, 4, 4, Array.tabulate[Byte](64)(i =>
+      if (i % 4 == 3) 255.toByte else (i * 3).toByte))
+    val encO = PngCodec.encode(opaque, palette = true)
+    assert(!chunks(encO).exists(_._1 == "tRNS"))
+    assert(PngCodec.decode(encO).channels == 3)
+  }
+
+  /** Splice a tRNS chunk (correct CRC) immediately before the first IDAT
+    * of an encoded stream — builds the color-key layouts the encoder
+    * doesn't emit, from the outside, like a real file would carry them. */
+  private def withTrns(png: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    var pos = 8
+    while (new String(png, pos + 4, 4, "US-ASCII") != "IDAT")
+      pos += 12 + (((png(pos) & 0xff) << 24) | ((png(pos + 1) & 0xff) << 16) |
+        ((png(pos + 2) & 0xff) << 8) | (png(pos + 3) & 0xff))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, pos)
+    val lenB = Array[Byte]((payload.length >>> 24).toByte,
+      (payload.length >>> 16).toByte, (payload.length >>> 8).toByte,
+      payload.length.toByte)
+    out.write(lenB)
+    val typB = "tRNS".getBytes("US-ASCII")
+    out.write(typB)
+    out.write(payload)
+    val crc = new CRC32(); crc.update(typB); crc.update(payload)
+    val cv = crc.getValue.toInt
+    out.write(Array[Byte]((cv >>> 24).toByte, (cv >>> 16).toByte,
+      (cv >>> 8).toByte, cv.toByte))
+    out.write(png, pos, png.length - pos)
+    out.toByteArray
+  }
+
+  test("tRNS color key: gray reads gray+alpha, RGB reads RGBA, keyed pixels transparent") {
+    // gray: key value 77 — every 77 sample must read alpha 0
+    val gpx = Array.tabulate[Byte](12 * 5)(i => if (i % 3 == 0) 77 else (i * 11).toByte)
+    val gray = Image(12, 5, 1, gpx)
+    val gdec = PngCodec.decode(withTrns(PngCodec.encode(gray), Array[Byte](0, 77)))
+    assert(gdec.channels == 2)
+    for (p <- 0 until 12 * 5) {
+      assert(gdec.pixels(p * 2) == gpx(p), "gray sample must survive")
+      val expA = if ((gpx(p) & 0xff) == 77) 0 else 255
+      assert((gdec.pixels(p * 2 + 1) & 0xff) == expA, s"alpha at $p")
+    }
+    // RGB: key (5, 6, 7)
+    val rpx = Array.tabulate[Byte](9 * 4 * 3) { i =>
+      val p = i / 3
+      if (p % 4 == 0) Seq[Byte](5, 6, 7)(i % 3) else (i * 13).toByte
+    }
+    val rgb = Image(9, 4, 3, rpx)
+    val rdec = PngCodec.decode(
+      withTrns(PngCodec.encode(rgb), Array[Byte](0, 5, 0, 6, 0, 7)))
+    assert(rdec.channels == 4)
+    for (p <- 0 until 9 * 4) {
+      for (c <- 0 until 3)
+        assert(rdec.pixels(p * 4 + c) == rpx(p * 3 + c))
+      val keyed = (rpx(p * 3) & 0xff) == 5 && (rpx(p * 3 + 1) & 0xff) == 6 &&
+        (rpx(p * 3 + 2) & 0xff) == 7
+      assert((rdec.pixels(p * 4 + 3) & 0xff) == (if (keyed) 0 else 255))
+    }
+    // tRNS is FORBIDDEN where alpha already exists (types 4 and 6)
+    val e4 = intercept[IllegalArgumentException](PngCodec.decode(
+      withTrns(PngCodec.encode(noise(4, 4, 2, 31L)), Array[Byte](0, 1))))
+    assert(e4.getMessage.contains("forbidden"))
+    val e6 = intercept[IllegalArgumentException](PngCodec.decode(
+      withTrns(PngCodec.encode(noise(4, 4, 4, 32L)), Array[Byte](0, 1))))
+    assert(e6.getMessage.contains("forbidden"))
+    // malformed payload lengths refuse loudly
+    val eLen = intercept[IllegalArgumentException](PngCodec.decode(
+      withTrns(PngCodec.encode(gray), Array[Byte](77))))
+    assert(eLen.getMessage.contains("tRNS length"))
+  }
+
+  test("pixel bound is caller-tunable (maxPixels), refusal names the dial") {
+    val enc = PngCodec.encode(noise(64, 48, 3, 9L))
+    val e = intercept[IllegalArgumentException](
+      PngCodec.decode(enc, maxPixels = 1000L))
+    assert(e.getMessage.contains("unreasonable dimensions") &&
+      e.getMessage.contains("maxPixels"), e.getMessage)
+    val img = PngCodec.decode(enc, maxPixels = 64L * 48)
+    assert(img.width == 64 && img.height == 48)
+  }
+
   test("image kernels: integer contracts") {
     // stats on a known tiny image
     val img = Image(2, 2, 1, Array[Byte](0, 127.toByte, 255.toByte, 64))

@@ -114,6 +114,35 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partDirs.length == 1, s"expected 1 surviving part dir, got ${partDirs.length}")
   }
 
+  test("vacuum grace skips young unreferenced files (in-flight staging guard)") {
+    val dir = freshTable()
+    import spark.implicits._
+    graft.io.TxnLog.commit(Seq(1L, 2L).toDF("v"), dir)
+    graft.io.TxnLog.compact(spark, dir) // v2 replaces → v1's file is an orphan
+    // AGE the real orphan so only the planted "in-flight" file is young
+    val old = System.currentTimeMillis() - 3600_000L
+    def ageAll(f: java.io.File): Unit = {
+      f.setLastModified(old)
+      Option(f.listFiles()).foreach(_.foreach(ageAll))
+    }
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+      .foreach(ageAll)
+    // plant a fresh unreferenced file where commitPartitionedShared stages
+    // BEFORE its claim lands — the exact race the grace exists to survive
+    val staged = java.nio.file.Paths.get(dir, "pdata", "p=x", "inflight.parquet")
+    java.nio.file.Files.createDirectories(staged.getParent)
+    java.nio.file.Files.write(staged, Array[Byte](1, 2, 3))
+    val deleted = graft.io.TxnLog.vacuum(dir, graceMillis = 600_000L)
+    assert(deleted.nonEmpty, "the aged orphan must still be reclaimed")
+    assert(java.nio.file.Files.exists(staged),
+      "a young unreferenced file is presumed in-flight staging and must survive")
+    // past the grace it is an ordinary orphan
+    staged.toFile.setLastModified(old)
+    val second = graft.io.TxnLog.vacuum(dir, graceMillis = 600_000L)
+    assert(second.exists(_.endsWith("inflight.parquet")))
+    assert(!java.nio.file.Files.exists(staged))
+  }
+
   test("delete is copy-on-write: rows gone at latest, recoverable until vacuum") {
     val dir = freshTable()
     import spark.implicits._
