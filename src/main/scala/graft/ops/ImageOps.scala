@@ -38,6 +38,28 @@ object ImageOps {
     Image(w, h, ch, px)
   }
 
+  /** Composite a 4-channel CMYK image (Adobe's STORED ink-inverted
+    * convention, as [[graft.io.JpegCodec.decode]] returns it: 255 = no
+    * ink) to RGB. With C' = stored value = 255·(1−C) and likewise K',
+    * the standard composite R = 255·(1−C)·(1−K) reduces to the integer
+    * form R = C'·K'/255 (floor) — exact, so the board oracle restates
+    * it relationally with no float tolerance. */
+  def cmykToRgb(img: Image): Image = {
+    require(img.channels == 4, s"cmykToRgb needs 4 channels, got ${img.channels}")
+    val out = new Array[Byte](img.width * img.height * 3)
+    var p = 0
+    while (p < img.width * img.height) {
+      val k = img.pixels(p * 4 + 3) & 0xff
+      var c = 0
+      while (c < 3) {
+        out(p * 3 + c) = ((img.pixels(p * 4 + c) & 0xff) * k / 255).toByte
+        c += 1
+      }
+      p += 1
+    }
+    Image(img.width, img.height, 3, out)
+  }
+
   /** (pixel sum, clipped-white count, position-weighted checksum): the
     * weighted sum Σ v·(x+1)·(3y+7)·(c+1) pins every pixel's VALUE AND
     * POSITION — a transposed, shifted, or channel-swapped decode cannot

@@ -28,6 +28,11 @@ import graft.sources.{GraftCatalog, GraftSqlTable}
   *     the retention watermark; returns the reclaimed count. The RETAIN
   *     clause is REQUIRED: a bare VACUUM would silently destroy all time
   *     travel (the Delta default-retention guard, version-count form)
+  *   DESCRIBE HISTORY / DESCRIBE DETAIL <t>       → the commit ledger /
+  *     the current-state card, both metadata-only
+  *   SHOW PARTITIONS <cat>.<db>.<t>               → live partitions from
+  *     the manifest's dir-encoded paths (no file opened; three-part
+  *     names only — the session catalog's own grammar keeps bare names)
   *
   * Parsers are session-BUILD-time configuration (unlike optimizer rules
   * there is no post-build hook), so the engine's own mains build their
@@ -50,6 +55,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(split(t), None)
     case DescribeHistory(t) =>
       GraftDescribeHistoryCommand(split(t))
+    case DescribeDetail(t) =>
+      GraftDescribeDetailCommand(split(t))
+    case ShowPartitions(t) if t.contains('.') =>
+      // three-part names only — a bare `SHOW PARTITIONS t` (session
+      // catalog) stays with Spark's own grammar untouched
+      GraftShowPartitionsCommand(split(t))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -84,6 +95,10 @@ object GraftSqlParser {
     ("""(?is)^\s*VACUUM\s+""" + id + """\s*;?\s*$""").r
   private[plans] val DescribeHistory: Regex =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + id + """\s*;?\s*$""").r
+  private[plans] val DescribeDetail: Regex =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + id + """\s*;?\s*$""").r
+  private[plans] val ShowPartitions: Regex =
+    ("""(?is)^\s*SHOW\s+PARTITIONS\s+""" + id + """\s*;?\s*$""").r
 
   /** Resolve a three-part name through the session's catalog manager to
     * the graft table's storage dir. */
@@ -138,6 +153,70 @@ case class GraftDescribeHistoryCommand(name: Seq[String])
     TxnLog.history(session, dir).collect()
       .sortBy(-_.getLong(0))
       .map(r => Row(r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the table's current-state card, METADATA-ONLY
+  * (no data file is opened: version, retention floor and the visible
+  * file list come from the manifest chain; sizes are filesystem stat
+  * calls; partition/clustering specs are catalog metadata). The Delta
+  * statement of the same name, in this format's terms. */
+case class GraftDescribeDetailCommand(name: Seq[String])
+    extends LeafRunnableCommand {
+  private def str = org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", str, nullable = false)(),
+    AttributeReference("location", str, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("min_version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_cols", str, nullable = false)(),
+    AttributeReference("cluster_by", str, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    val (v, files, _) = TxnLog.fileScanPlan(dir) // resolved absolute paths
+    val size = files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+    val partCols = GraftSqlTable.storedPartCols(dir)
+    val cluster = TxnLog.clusteringOf(dir)
+      .map { case (x, y, _, _) => s"$x,$y" }.getOrElse("")
+    Seq(Row("graft", dir, v, TxnLog.minVersion(dir), files.size.toLong,
+      size, partCols.mkString(","), cluster))
+  }
+}
+
+/** `SHOW PARTITIONS <cat>.<db>.<t>` — one row per live partition of the
+  * CURRENT snapshot, METADATA-ONLY: partition values are dir-encoded in
+  * the manifest paths (`col=val` segments), so the listing never opens a
+  * file — the property that makes it viable on a 100 TB table. Emits the
+  * hive-style spec string plus the partition's visible file count. */
+case class GraftShowPartitionsCommand(name: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    val partCols = GraftSqlTable.storedPartCols(dir)
+    require(partCols.nonEmpty,
+      s"${name.mkString(".")} is not a partitioned table")
+    val (_, files, _) = TxnLog.fileScanPlan(dir)
+    files
+      .map { rel =>
+        val kv = rel.split('/').filter(_.contains('='))
+          .map { seg =>
+            val i = seg.indexOf('=')
+            (seg.take(i), java.net.URLDecoder.decode(seg.drop(i + 1), "UTF-8"))
+          }.toMap
+        partCols.map(c => s"$c=${kv.getOrElse(c,
+          throw new IllegalStateException(
+            s"file $rel lacks a dir-encoded value for partition column $c"))}")
+          .mkString("/")
+      }
+      .groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (p, fs) => Row(p, fs.size.toLong) }
   }
 }
 

@@ -441,13 +441,20 @@ object CatalogOps {
     * moves the whole table — one directory-level move, zero data bytes —
     * with data, history, and time travel surviving under the new name.
     * Faces (all through the RENAMED name):
-    *   - `agg`:    per-priority rollup (partition column read from paths)
+    *   - `agg`:    per-priority rollup `VERSION AS OF 2` — the full
+    *     CTAS+INSERT state, read back ACROSS the later replace
     *   - `tt_v1`:  the same rollup `VERSION AS OF 1` (CTAS slice only)
-    *   - `layout`: 1 = every visible file carries the `o_orderpriority=`
-    *     path segment (the hive-layout claim, stated as a boolean)
-    *   - `hist`:   actions A,A — both writes were partitioned appends
+    *   - `repl`:   the rollup at LATEST, after an atomic
+    *     `REPLACE TABLE ... PARTITIONED BY ... AS SELECT` that halves
+    *     the table by reading FROM ITSELF (the RTAS query executes
+    *     against pre-swap state; the swap is one manifest claim —
+    *     [[graft.sources.GraftCatalog.stageReplace]])
+    *   - `layout`: 1 = every visible file (post-replace) carries the
+    *     `o_orderpriority=` path segment (the hive-layout claim)
+    *   - `hist`:   actions R,A,R at version 3 — atomic CTAS commits a
+    *     replace, the INSERT appends, the RTAS replaces
     * PlanCheck pins the pruning claim (partition filter reaches the DSv2
-    * file index; non-matching partitions are never planned). */
+    * file index) and that a FAILED RTAS aborts without litter. */
   def q303(s0: SparkSession, d: String): DataFrame = {
     val s = s0.newSession()
     val wh = java.nio.file.Files.createTempDirectory("graft_q303_wh").toString
@@ -456,11 +463,16 @@ object CatalogOps {
     s.sql("CREATE NAMESPACE IF NOT EXISTS gpt.db")
     s.sql(s"""CREATE TABLE gpt.db.ord PARTITIONED BY (o_orderpriority) AS
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 4 = 0""")      // v1
+      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 4 = 0""")      // v1 (R)
     s.sql(s"""INSERT INTO gpt.db.ord
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 4 = 2""")      // v2
+      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 4 = 2""")      // v2 (A)
     s.sql("ALTER TABLE gpt.db.ord RENAME TO gpt.db.ordren")
+    // v3 (R): atomic RTAS reading from the table it replaces — the query
+    // runs against v2, stages invisibly, and swaps at one claim
+    s.sql("""REPLACE TABLE gpt.db.ordren PARTITIONED BY (o_orderpriority) AS
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM gpt.db.ordren WHERE o_orderkey % 8 = 0""")
     val dir = s"$wh/db/ordren"
     val files = TxnLog.fileScanPlan(dir)._2
     val layoutOk = files.nonEmpty && files.forall(_.contains("o_orderpriority="))
@@ -470,8 +482,9 @@ object CatalogOps {
       s"""SELECT '$tag' AS face, o_orderpriority AS pri, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM $from GROUP BY o_orderpriority""")
-    face("gpt.db.ordren", "agg")
+    face("gpt.db.ordren VERSION AS OF 2", "agg")
       .unionByName(face("gpt.db.ordren VERSION AS OF 1", "tt_v1"))
+      .unionByName(face("gpt.db.ordren", "repl"))
       .unionByName(s.sql(s"""SELECT 'layout' AS face,
         '${if (layoutOk) 1 else 0}' AS pri, CAST(${files.size} > 0 AS BIGINT) AS n,
         CAST(NULL AS DOUBLE) AS sum_price"""))
@@ -488,6 +501,7 @@ object CatalogOps {
       |v2 AS (
       |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
       |  FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 8 = 0),
       |faces AS (
       |  SELECT 'agg' AS face, o_orderpriority AS pri, COUNT(*) AS n,
       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -497,12 +511,75 @@ object CatalogOps {
       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
       |  FROM v1 GROUP BY 2
       |  UNION ALL
+      |  SELECT 'repl', o_orderpriority, COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM v3 GROUP BY 2
+      |  UNION ALL
       |  SELECT 'layout', '1', 1, CAST(NULL AS DOUBLE)
       |  UNION ALL
-      |  SELECT 'hist', 'AA', 2, CAST(NULL AS DOUBLE))
+      |  SELECT 'hist', 'RAR', 3, CAST(NULL AS DOUBLE))
       |SELECT * FROM faces ORDER BY face, pri""".stripMargin
 
+  /** q309 — TABLE-METADATA STATEMENTS (`DESCRIBE DETAIL`,
+    * `SHOW PARTITIONS` — round-11 verdict item 4, next to q299's
+    * OPTIMIZE/VACUUM/DESCRIBE HISTORY): both are METADATA-ONLY reads of
+    * the txn-log manifest — DETAIL is the current-state card (version,
+    * retention floor, visible file census, partition spec), PARTITIONS
+    * lists live partitions from the manifest's dir-encoded `col=val`
+    * paths without opening one data file — the property that keeps both
+    * viable on a 100 TB table. Faces:
+    *   - `detail`:  n = current version; flag folds the invariant
+    *     checks (format/location/min_version/files/size/spec) to 1
+    *   - `part:pri=<v>`: one per live partition from SHOW PARTITIONS,
+    *     n = that partition's ROW count (the partition list must agree
+    *     with a real group-by), flag = partition holds >= 1 file
+    * The oracle restates the partition census relationally — a phantom
+    * or missing partition in the manifest listing hash-fails. */
+  def q309(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q309_wh").toString
+    s.conf.set("spark.sql.catalog.gmd", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gmd.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gmd.db")
+    s.sql(s"""CREATE TABLE gmd.db.ord PARTITIONED BY (pri) AS
+      SELECT o_orderkey AS ok, o_totalprice AS price, o_orderpriority AS pri
+      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 8 = 0""")   // v1 (R)
+    s.sql(s"""INSERT INTO gmd.db.ord
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 8 = 4""")   // v2 (A)
+    val det = s.sql("DESCRIBE DETAIL gmd.db.ord").head()
+    val detOk = det.getString(0) == "graft" &&
+      det.getString(1) == s"$wh/db/ord" &&
+      det.getLong(3) == 1L &&           // min_version: nothing vacuumed
+      det.getLong(4) > 0L && det.getLong(5) > 0L &&
+      det.getString(6) == "pri" && det.getString(7).isEmpty
+    val parts = s.sql("SHOW PARTITIONS gmd.db.ord")
+      .select(col("partition"),
+        (col("n_files") >= 1L).cast("long").as("flag"))
+    val counts = s.table("gmd.db.ord").groupBy(col("pri")).count()
+    parts
+      .join(counts, expr("partition = concat('pri=', pri)"))
+      .select(concat(lit("part:"), col("partition")).as("face"),
+        col("count").as("n"), col("flag"))
+      .unionByName(s.sql(s"""SELECT 'detail' AS face,
+        CAST(${det.getLong(2)} AS BIGINT) AS n,
+        CAST(${if (detOk) 1 else 0} AS BIGINT) AS flag"""))
+      .orderBy(col("face"))
+  }
+
+  val q309Sql: String =
+    """WITH rows_ AS (
+      |  SELECT o_orderkey, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 8 IN (0, 4))
+      |SELECT 'detail' AS face, CAST(2 AS BIGINT) AS n, CAST(1 AS BIGINT) AS flag
+      |UNION ALL
+      |SELECT 'part:pri=' || o_orderpriority, COUNT(*), 1
+      |FROM rows_ GROUP BY o_orderpriority
+      |ORDER BY face""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q309_sql_table_metadata" -> ((q309 _, Some(q309Sql))),
     "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),
     "q303_sql_partitioned_ctas" -> ((q303 _, Some(q303Sql))),
     "q292_sql_dml" -> ((q292 _, Some(q292Sql))),

@@ -809,7 +809,67 @@ object ImageQueries {
       |      FROM px GROUP BY id) m ON m.id = ids.id
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q310
+  /** CMYK JPEG e2e (Adobe APP14, print-pipeline class) + EXIF
+    * orientation passthrough: a fixed 24-image CMYK workload (closed-
+    * form ink planes, stored ink-inverted) encodes as YCCK (even ids —
+    * the layout Photoshop emits) or raw CMYK (odd ids), each stream
+    * additionally tagged with EXIF orientation 1-8 in a minimal APP1.
+    * Decode returns the 4 stored ink channels; compositing to RGB is
+    * the INTEGER kernel R = C'·K'/255 ([[ImageOps.cmykToRgb]]);
+    * orientation reads back as METADATA (never applied to pixels — a
+    * pipeline that auto-rotated would break byte-level dedup against
+    * the original). Oracle: goldens frozen from the deterministic
+    * decode (the q295 pattern — dims/transform/orientation are exact by
+    * construction; sums pin the composite; max_diff/sse pin the lossy
+    * roundtrip against the source ink planes). */
+  def q310(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.range(0, 24).as[Long]
+      .map { id =>
+        val w = 16 + (id % 5).toInt * 8
+        val h = 16 + (id % 7).toInt * 8
+        val transform = if (id % 2 == 0) 2 else 0
+        val orient = (id % 8 + 1).toInt
+        val px = new Array[Byte](w * h * 4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (y * w + x) * 4
+            px(base) = (x * 255 / (w - 1)).toByte
+            px(base + 1) = (y * 255 / (h - 1)).toByte
+            px(base + 2) = ((x / 8 + y / 8) % 2 * 255).toByte
+            px(base + 3) = (255 - (x + y) % 64).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val src = PngCodec.Image(w, h, 4, px)
+        val jpg = graft.io.JpegCodec.encode(src, cmykTransform = transform,
+          exifOrientation = orient)
+        val dec = graft.io.JpegCodec.decode(jpg)
+        val rgb = ImageOps.cmykToRgb(dec)
+        val (sum, _, wsum) = ImageOps.stats(rgb)
+        var maxDiff = 0L; var sse = 0L
+        var i = 0
+        while (i < px.length) {
+          val dd = ((px(i) & 0xff) - (dec.pixels(i) & 0xff)).toLong
+          if (math.abs(dd) > maxDiff) maxDiff = math.abs(dd)
+          sse += dd * dd
+          i += 1
+        }
+        val orientRead = graft.io.JpegCodec.exifOrientation(jpg).getOrElse(-1)
+        (id, dec.width, dec.height, dec.channels, transform, orientRead,
+          sum, wsum, maxDiff, sse)
+      }
+      .toDF("img_id", "w", "h", "ch", "transform", "orient",
+        "rgb_sum", "rgb_wsum", "max_diff", "sse")
+      .orderBy(col("img_id"))
+  }
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q310_image_jpeg_cmyk_e2e" -> ((q310 _, Some(Q310Golden.sql))),
     "q308_image_png_transparency_e2e" -> ((q308 _, Some(q308Sql))),
     "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
     "q307_image_png_interlaced_e2e" -> ((q307 _, Some(q293Sql))),

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -64,7 +64,8 @@ import graft.io.TxnLog
   * warehouses — and, at scale, so the catalog object carries no mutable
   * state beyond its name (table identity lives entirely on storage).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catName: String = "graft"
   private var initOpts: Map[String, String] = Map.empty
@@ -133,18 +134,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(dir, s"$catName.${ident.toString}@v$v", Some(v))
   }
 
-  /** `CREATE TABLE [PARTITIONED BY (cols)]` — and therefore partitioned
-    * CTAS: Spark drives CTAS on a non-staging catalog as createTable +
-    * INSERT, and the write bridge routes partitioned tables through
-    * [[TxnLog.commitPartitioned]], so the data lands in q265's hive
-    * `col=val` layout and partition-pruned scans are the native DSv2
-    * parquet path. Scope: IDENTITY partition transforms on top-level
-    * schema columns (the hive layout — bucket/days/etc. transforms are
-    * refused loudly). */
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
-    val partCols = partitions.map {
+  /** IDENTITY partition transforms on top-level schema columns (the hive
+    * layout) — everything else refused loudly. Shared by CREATE TABLE and
+    * the staged CREATE/REPLACE paths. */
+  private def identityPartCols(partitions: Array[Transform],
+                               schema: StructType): Seq[String] =
+    partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         val fn = t.references()(0).fieldNames()
         require(fn.length == 1,
@@ -156,8 +151,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case t => throw new IllegalArgumentException(
         s"only identity partition transforms are supported, got ${t.describe}")
     }
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val dir = dirOf(ident)
+
+  /** Persist the catalog-owned table metadata (DDL schema + partition
+    * spec) into the table's log dir. REPLACE overwrites both — including
+    * REMOVING a stale partition spec when the new table is flat, so
+    * later INSERTs don't route through a partition column the new
+    * schema may not even hold. */
+  private[sources] def persistMeta(dir: String, schema: StructType,
+                                   partCols: Seq[String]): Unit = {
     val ld = java.nio.file.Paths.get(dir, "_txnlog")
     java.nio.file.Files.createDirectories(ld)
     java.nio.file.Files.write(ld.resolve("_schema.json"),
@@ -165,7 +166,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (partCols.nonEmpty)
       java.nio.file.Files.write(ld.resolve("_partition-cols"),
         partCols.mkString("", "\n", "\n").getBytes("UTF-8"))
+    else
+      java.nio.file.Files.deleteIfExists(ld.resolve("_partition-cols"))
+    ()
+  }
+
+  /** `CREATE TABLE [PARTITIONED BY (cols)]` — and therefore partitioned
+    * CTAS: Spark drives CTAS on a non-staging catalog as createTable +
+    * INSERT, and the write bridge routes partitioned tables through
+    * [[TxnLog.commitPartitioned]], so the data lands in q265's hive
+    * `col=val` layout and partition-pruned scans are the native DSv2
+    * parquet path. (Atomic CTAS/RTAS go through the staging methods
+    * below instead.) */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val partCols = identityPartCols(partitions, schema)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = dirOf(ident)
+    persistMeta(dir, schema, partCols)
     new GraftSqlTable(dir, s"$catName.${ident.toString}", None)
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / REPLACE / CREATE OR REPLACE ----
+  //
+  // Spark drives `[CREATE OR] REPLACE TABLE [AS SELECT]` on a staging
+  // catalog as stage → write → commitStagedChanges (abort on any
+  // failure). The txn log already has the exact primitive this needs:
+  // staged data files are UNREFERENCED (invisible by protocol) until a
+  // manifest claim, so the entire swap — data AND the schema/partition
+  // spec — becomes visible at the single claim, and readers see the
+  // pre-replace table until that instant. REPLACE commits through the
+  // SAME log (an R action), so time travel back across the replace
+  // works like any other replace commit; old-version reads serve their
+  // own era's physical schema ([[GraftSqlTable.schema]]).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, existedBefore = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, existedBefore = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, existedBefore = tableExists(ident))
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    existedBefore: Boolean): StagedTable = {
+    val partCols = identityPartCols(partitions, schema)
+    val dir = dirOf(ident)
+    // the staging write needs a directory to land files in; for a NEW
+    // table this creates it (abort removes it wholly — no litter), for
+    // REPLACE the existing dir is untouched until commit
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    new StagedGraftTable(this, s"$catName.${ident.toString}", dir, schema,
+      partCols, existedBefore)
   }
 
   /** SQL schema evolution (round 10):
@@ -461,5 +526,81 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
         }
       }
     }
+  }
+}
+
+/** The in-flight half of an atomic `[CREATE OR] REPLACE TABLE [AS
+  * SELECT]` ([[GraftCatalog.stageCreate]]/`stageReplace`): the CTAS/RTAS
+  * query writes THROUGH this table into unreferenced staging (the txn
+  * log's ordinary invisibility window), and `commitStagedChanges` makes
+  * the whole swap — data, DDL schema, partition spec — visible at one
+  * manifest claim. `abortStagedChanges` deletes the staged files (and,
+  * for a table that didn't exist before, the whole directory), so a
+  * failed CTAS/RTAS leaves no litter and NEVER a half-visible table.
+  *
+  * The schema/partition-spec files land immediately before the claim
+  * (the catalog's documented Hive-metastore-style contract: the DDL
+  * schema is current-state metadata, data visibility is the claim); a
+  * crash in that instant leaves metadata ahead of data by one commit —
+  * the same window every ALTER TABLE has, and re-running the REPLACE
+  * heals it. */
+private[sources] class StagedGraftTable(cat: GraftCatalog, ident: String,
+                                        dir: String, newSchema: StructType,
+                                        partCols: Seq[String],
+                                        existedBefore: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  @volatile private var staged: Vector[String] = Vector.empty
+  @volatile private var wrote = false
+
+  override def name(): String = ident
+  override def schema(): StructType = newSchema
+  override def partitioning(): Array[Transform] =
+    partCols.toArray.map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans arrive as truncate+append; the staged claim is a
+      // replace commit either way, so truncate is inherently satisfied
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              staged = TxnLog.stageOnly(data, dir, partCols)
+              wrote = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    // metadata + claim back-to-back: the new DDL schema/partition spec
+    // and the staged visible set become the table in one commit
+    // boundary. A bare REPLACE TABLE (no AS SELECT) stages nothing and
+    // commits an empty R — the truncate-to-new-schema semantics.
+    cat.persistMeta(dir, newSchema, partCols)
+    TxnLog.claimStagedReplace(dir, staged)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    staged.foreach { rel =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+      // flat staging leaves an empty part-<uuid> dir; drop it too
+      val parent = java.nio.file.Paths.get(dir, rel).getParent
+      if (java.nio.file.Files.isDirectory(parent)) {
+        val s = java.nio.file.Files.list(parent)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) java.nio.file.Files.deleteIfExists(parent)
+      }
+      ()
+    }
+    if (!existedBefore)
+      graft.io.FsUtil.deleteRecursively(new java.io.File(dir))
+    ()
   }
 }

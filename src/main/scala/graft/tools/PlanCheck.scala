@@ -1023,6 +1023,46 @@ object PlanCheck {
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
 
+    // q303 REPLACE face: a FAILED atomic RTAS must abort without litter —
+    // no version lands, no staged parquet survives, and (for a table that
+    // never existed) no directory either. This is the StagingTableCatalog
+    // contract the round-12 replace path sells; a leak here becomes
+    // unbounded storage growth under retried ETL at 100 TB.
+    {
+      val wh = java.nio.file.Files.createTempDirectory("graft_pc_rtas").toString
+      spark.conf.set("spark.sql.catalog.gpt.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gpt.db")
+      spark.sql("CREATE TABLE gpt.db.rt AS SELECT id AS k FROM range(0, 10)")
+      val dir = s"$wh/db/rt"
+      def census(): Set[String] = {
+        def walk(f: java.io.File, pfx: String): Set[String] =
+          Option(f.listFiles()).map(_.toSet).getOrElse(Set.empty).flatMap { c =>
+            if (c.isDirectory) walk(c, s"$pfx/${c.getName}")
+            else Set(s"$pfx/${c.getName}")
+          }
+        walk(new java.io.File(dir), "").filter(_.endsWith(".parquet"))
+      }
+      val before = census()
+      val vBefore = graft.io.TxnLog.currentVersion(dir)
+      val threw = try {
+        spark.sql("REPLACE TABLE gpt.db.rt AS " +
+          "SELECT assert_true(id < 1) AS a FROM range(0, 100)")
+        false
+      } catch { case _: Exception => true }
+      val threwNew = try {
+        spark.sql("CREATE TABLE gpt.db.rtnew AS " +
+          "SELECT assert_true(id < 1) AS a FROM range(0, 100)")
+        false
+      } catch { case _: Exception => true }
+      val ok = threw && threwNew &&
+        graft.io.TxnLog.currentVersion(dir) == vBefore &&
+        census() == before &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/db/rtnew"))
+      rec("q303_rtas_abort_clean",
+        "failed atomic RTAS/CTAS: no version, no staged litter, no ghost dir", ok)
+      if (!ok) failures += 1
+    }
+
     // image multimodal shapes: codecs are map-side work, dedup pays ONE
     // keyed shuffle — the plan must show exactly that
     check("q293_image_png_e2e", "map-only codec path: no hash shuffle (sort exchange only)")(p =>

@@ -149,6 +149,85 @@ class CatalogEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT DISTINCT p FROM ge.db.pt").head().getString(0) == "only")
   }
 
+  test("REPLACE TABLE AS SELECT is atomic: one claim, time travel crosses it") {
+    val (t, dir) = freshTable("rtas")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.0), (2, 2.0)")
+    val vBefore = TxnLog.currentVersion(dir)
+    // RTAS with a DIFFERENT schema: data + DDL schema swap in one commit
+    spark.sql(s"REPLACE TABLE $t AS SELECT id AS n, CONCAT('r', id) AS tag FROM range(0, 3)")
+    assert(TxnLog.currentVersion(dir) == vBefore + 1,
+      "the whole replace must be exactly one commit")
+    val rows = spark.sql(s"SELECT n, tag FROM $t ORDER BY n").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "r0"), (1L, "r1"), (2L, "r2")))
+    // time travel BACK across the replace: the old era's data and schema
+    val old = spark.sql(s"SELECT * FROM $t VERSION AS OF $vBefore")
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(old.count() == 2)
+    // bare REPLACE TABLE (no AS SELECT) = truncate to a new schema
+    spark.sql(s"REPLACE TABLE $t (a BIGINT, b STRING)")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 0L)
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("a", "b"))
+    // CREATE OR REPLACE on a MISSING table creates it
+    spark.sql(s"CREATE OR REPLACE TABLE ${t}2 AS SELECT 42 AS x")
+    assert(spark.sql(s"SELECT x FROM ${t}2").head().getInt(0) == 42)
+  }
+
+  test("failed RTAS aborts cleanly: table unchanged, staged files removed") {
+    val (t, dir) = freshTable("rtasfail")
+    spark.sql(s"INSERT INTO $t VALUES (7, 7.5)")
+    def census(): Set[String] = {
+      def walk(f: java.io.File, pfx: String): Set[String] =
+        Option(f.listFiles()).map(_.toSet).getOrElse(Set.empty).flatMap { c =>
+          if (c.isDirectory) walk(c, s"$pfx/${c.getName}")
+          else Set(s"$pfx/${c.getName}")
+        }
+      walk(new java.io.File(dir), "").filter(_.endsWith(".parquet"))
+    }
+    val before = census()
+    val vBefore = TxnLog.currentVersion(dir)
+    // the SELECT throws mid-write → abortStagedChanges
+    intercept[Exception](spark.sql(
+      s"REPLACE TABLE $t AS SELECT assert_true(id < 1) AS a, id FROM range(0, 100)"))
+    assert(TxnLog.currentVersion(dir) == vBefore, "no version may land")
+    assert(census() == before, s"staged litter left behind: ${census() -- before}")
+    assert(spark.sql(s"SELECT k FROM $t").head().getLong(0) == 7L,
+      "old table must be intact")
+    // failed atomic CTAS on a NEW table leaves NO table behind
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE ${t}_new AS SELECT assert_true(id < 1) AS a FROM range(0, 100)"))
+    assert(!spark.catalog.tableExists(s"${t}_new"))
+    intercept[Exception](spark.sql(s"SELECT * FROM ${t}_new"))
+  }
+
+  test("REPLACE TABLE swaps the partition spec both directions") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_evo_rp").toString
+    spark.conf.set("spark.sql.catalog.ge", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ge.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ge.db")
+    spark.sql("CREATE TABLE ge.db.rp (k BIGINT, p STRING)")
+    spark.sql("INSERT INTO ge.db.rp VALUES (1, 'a')")
+    val dir = s"$wh/db/rp"
+    // flat → partitioned: the new spec routes the staged write hive-style
+    spark.sql("""CREATE OR REPLACE TABLE ge.db.rp PARTITIONED BY (p) AS
+      SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS p
+      FROM range(0, 10)""")
+    val files = TxnLog.fileScanPlan(dir)._2
+    assert(files.nonEmpty && files.forall(_.contains("p=")),
+      s"expected hive layout after replace, got ${files.take(3)}")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.rp WHERE p = 'e'")
+      .head().getLong(0) == 5L)
+    // later INSERTs follow the NEW spec
+    spark.sql("INSERT INTO ge.db.rp VALUES (100, 'x')")
+    assert(TxnLog.fileScanPlan(dir)._2.forall(_.contains("p=")))
+    // partitioned → flat: the stale spec must be REMOVED, not inherited
+    spark.sql("REPLACE TABLE ge.db.rp AS SELECT id AS z FROM range(0, 4)")
+    assert(TxnLog.fileScanPlan(dir)._2.forall(!_.contains("=")),
+      "replace to a flat table must drop the old partition spec")
+    spark.sql("INSERT INTO ge.db.rp VALUES (9)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ge.db.rp").head().getLong(0) == 5L)
+  }
+
   test("empty partitioned INSERT no-ops; empty OVERWRITE truncates") {
     // the possibly-empty ETL increment: `INSERT ... WHERE false` must be
     // a valid no-op on a PARTITIONED catalog table (zero rows stage zero

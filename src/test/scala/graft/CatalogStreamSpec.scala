@@ -68,6 +68,44 @@ class CatalogStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).nonEmpty)
   }
 
+  test("admission control rides the catalog route: byte budget honored across a mid-backlog restart") {
+    // q282 pins AvailableNow on the path-addressed source and
+    // TxnStreamSourceSpec covers the budgets there; this drives the
+    // CATALOG route (readStream.table → GraftSqlTable.toMicroBatchStream)
+    // and proves the checkpoint-restored offset still honors the budget
+    val (t, _) = fresh("adm")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO $t SELECT id, 'g', CAST(id AS DOUBLE) " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cstream_admck").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def drive(trigger: Option[org.apache.spark.sql.streaming.Trigger]): Unit = {
+      var w = spark.readStream.option("maxBytesPerTrigger", "1").table(t)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+      trigger.foreach(tr => w = w.trigger(tr))
+      val q = w.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen += b.select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+        ()
+      }.start()
+      try {
+        if (trigger.isEmpty) q.processAllAvailable() else q.awaitTermination()
+      } finally q.stop()
+    }
+    // run 1: Trigger.Once = exactly ONE budgeted batch, then stop — the
+    // checkpoint now sits genuinely MID-BACKLOG (v1 consumed, v2-v4 not)
+    drive(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    assert(seen.toSeq == Seq((0L until 10L).toSeq),
+      s"Trigger.Once must admit exactly the first commit: ${seen.toSeq}")
+    // run 2: restart from the checkpoint — the remaining backlog drains
+    // one commit per trigger (every commit exceeds the 1-byte budget;
+    // commits are never split), zero duplicates, zero gaps
+    drive(None)
+    assert(seen.toSeq == (0 until 4).map(i => (i * 10L until i * 10L + 10L).toSeq),
+      s"restart broke the budget cadence or replayed rows: ${seen.toSeq}")
+  }
+
   test("writeStream.toTable commits one T epoch per data batch, idempotently keyed") {
     val (src, srcDir) = fresh("wsrc")
     // same warehouse: fresh() would re-point the catalog and lose src

@@ -349,6 +349,98 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(img.width == 64 && img.height == 48)
   }
 
+  test("CMYK/YCCK (Adobe APP14): roundtrips bounded, flat exact, untagged refused") {
+    // deterministic 4-channel CMYK fixture (stored ink-inverted values)
+    def mk(w: Int, h: Int): graft.io.PngCodec.Image = {
+      val px = new Array[Byte](w * h * 4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (y * w + x) * 4
+          px(base) = (x * 255 / (w - 1)).toByte          // C'
+          px(base + 1) = (y * 255 / (h - 1)).toByte      // M'
+          px(base + 2) = ((x / 8 + y / 8) % 2 * 255).toByte // Y'
+          px(base + 3) = (255 - (x + y) % 64).toByte     // K'
+          x += 1
+        }
+        y += 1
+      }
+      graft.io.PngCodec.Image(w, h, 4, px)
+    }
+    for (transform <- Seq(0, 2)) {
+      val src = mk(32, 24)
+      val enc = JpegCodec.encode(src, cmykTransform = transform)
+      // the stream declares 4 components and carries the Adobe tag
+      val dec = JpegCodec.decode(enc)
+      assert(dec.width == 32 && dec.height == 24 && dec.channels == 4)
+      var maxDiff = 0
+      var i = 0
+      while (i < src.pixels.length) {
+        maxDiff = math.max(maxDiff,
+          math.abs((src.pixels(i) & 0xff) - (dec.pixels(i) & 0xff)))
+        i += 1
+      }
+      assert(maxDiff <= 40, s"transform=$transform maxDiff=$maxDiff")
+    }
+    // flat 8x8-aligned CMYK: transform 0 reconstructs EXACTLY (all four
+    // planes ride the luma table — the DC-only contract); transform 2's
+    // chroma-table DC rounding costs at most a couple of code values
+    // (the same reason the flat-exact contract is stated for GRAY)
+    val flat = graft.io.PngCodec.Image(16, 16,
+      4, Array.tabulate[Byte](16 * 16 * 4)(i => Seq[Byte](100, (150).toByte,
+        (200).toByte, (250).toByte)(i % 4)))
+    val dec0 = JpegCodec.decode(JpegCodec.encode(flat, cmykTransform = 0))
+    assert(java.util.Arrays.equals(dec0.pixels, flat.pixels),
+      "flat CMYK must be exact under transform 0")
+    val dec2 = JpegCodec.decode(JpegCodec.encode(flat, cmykTransform = 2))
+    val flatDiff = flat.pixels.indices.map(i =>
+      math.abs((flat.pixels(i) & 0xff) - (dec2.pixels(i) & 0xff))).max
+    assert(flatDiff <= 4, s"flat YCCK drifted $flatDiff")
+    // stripping APP14 makes the stream ambiguous → loud refusal
+    val enc = JpegCodec.encode(mk(16, 16))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, 2)
+    var p = 2
+    var done = false
+    while (!done) {
+      val m = enc(p + 1) & 0xff
+      val len = ((enc(p + 2) & 0xff) << 8) | (enc(p + 3) & 0xff)
+      if (m == 0xda) { out.write(enc, p, enc.length - p); done = true }
+      else { if (m != 0xee) out.write(enc, p, 2 + len); p += 2 + len }
+    }
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(out.toByteArray))
+    assert(e.getMessage.contains("APP14"), e.getMessage)
+    // 4-component progressive is out of scope on the encode side
+    intercept[IllegalArgumentException](
+      JpegCodec.encode(mk(16, 16), progressive = true))
+    // the composite kernel: integer contract R = C'*K'/255
+    val comp = graft.ops.ImageOps.cmykToRgb(flat)
+    assert(comp.channels == 3)
+    assert((comp.pixels(0) & 0xff) == 100 * 250 / 255)
+    assert((comp.pixels(1) & 0xff) == 150 * 250 / 255)
+    assert((comp.pixels(2) & 0xff) == 200 * 250 / 255)
+  }
+
+  test("EXIF orientation: embedded APP1 reads back; absence reads None") {
+    val img = ImageOps.synth(24, 16, 3)
+    for (o <- 1 to 8) {
+      val enc = JpegCodec.encode(img, exifOrientation = o)
+      assert(JpegCodec.exifOrientation(enc).contains(o), s"orientation $o")
+      // the tag is metadata-only: pixels decode identically to untagged
+      val plain = JpegCodec.decode(JpegCodec.encode(img))
+      val tagged = JpegCodec.decode(enc)
+      assert(java.util.Arrays.equals(plain.pixels, tagged.pixels))
+    }
+    assert(JpegCodec.exifOrientation(JpegCodec.encode(img)).isEmpty)
+    assert(JpegCodec.exifOrientation(Array[Byte](1, 2, 3)).isEmpty)
+    // composes with the other stream features (restarts, subsampling)
+    val enc2 = JpegCodec.encode(ImageOps.synth(48, 32, 3), subsample = true,
+      restartInterval = 2, exifOrientation = 6)
+    assert(JpegCodec.exifOrientation(enc2).contains(6))
+    assert(JpegCodec.decode(enc2).width == 48)
+  }
+
   test("encoder Huffman tables are canonical and 16-bit-capped") {
     // skewed frequencies force long codes; the cap + all-ones reservation
     // must still yield a decodable stream (roundtrip proves both sides)

@@ -96,6 +96,49 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"DESCRIBE TABLE $t").collect().nonEmpty)
   }
 
+  test("DESCRIBE DETAIL is the metadata-only current-state card") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_dd").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("CREATE TABLE gm.db.dd (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gm.db.dd SELECT id, CASE WHEN id % 2 = 0 THEN 'a' " +
+      "ELSE 'b' END FROM range(0, 20)")
+    val r = spark.sql("DESCRIBE DETAIL gm.db.dd").head()
+    assert(r.getString(0) == "graft")
+    assert(r.getString(1) == s"$wh/db/dd")
+    assert(r.getLong(2) == 1L, "version")
+    assert(r.getLong(3) == 1L, "min_version")
+    assert(r.getLong(4) >= 2L, "at least one file per partition value")
+    assert(r.getLong(5) > 0L, "size_bytes")
+    assert(r.getString(6) == "p")
+    assert(r.getString(7) == "", "no clustering declared")
+    // short form parses too
+    assert(spark.sql("DESC DETAIL gm.db.dd").head().getLong(2) == 1L)
+  }
+
+  test("SHOW PARTITIONS lists live partitions from manifest paths only") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_sp").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("CREATE TABLE gm.db.sp (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gm.db.sp SELECT id, CAST(id % 3 AS STRING) FROM range(0, 30)")
+    val parts = spark.sql("SHOW PARTITIONS gm.db.sp").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.map(_._1).toSeq == Seq("p=0", "p=1", "p=2"))
+    assert(parts.forall(_._2 >= 1L))
+    // a partition REMOVED by overwrite disappears from the listing —
+    // the listing reflects the CURRENT snapshot, not directory contents
+    spark.sql("INSERT OVERWRITE gm.db.sp SELECT id, 'only' FROM range(0, 5)")
+    assert(spark.sql("SHOW PARTITIONS gm.db.sp").collect()
+      .map(_.getString(0)).toSeq == Seq("p=only"))
+    // unpartitioned tables refuse
+    spark.sql("CREATE TABLE gm.db.flat (k BIGINT)")
+    val e = intercept[Exception](spark.sql("SHOW PARTITIONS gm.db.flat").collect())
+    assert(e.getMessage.contains("not a partitioned table"))
+  }
+
   test("bare VACUUM refuses: retention must be explicit") {
     val (t, dir) = fresh("barevac")
     spark.sql(s"INSERT INTO $t VALUES (1, 1, 1)")
