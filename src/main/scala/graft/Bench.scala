@@ -8,7 +8,7 @@ object Bench {
     * emit that subtotal itself — BEFORE the driver's 2 KB tail capture —
     * so the gate stops depending on which per-query entries survive
     * truncation (round-6 verdict item 2). */
-  private val r01Baseline: Map[String, Double] = Map(
+  private[graft] val r01Baseline: Map[String, Double] = Map(
     "q01_agg_tpch_q1" -> 0.274828895,
     "q02_filter_project" -> 0.211693635,
     "q03_join_dims_broadcast" -> 0.621815144,

@@ -2261,13 +2261,24 @@ object TxnLog {
     * source. Contract (shared with real formats' shallow clones): until
     * localized, a source-side `vacuum` that reclaims files the clone still
     * references breaks the clone — retention policy must cover live
-    * clones. `dstDir` must be empty (no prior log). Returns the clone's
-    * current version. */
-  def clone(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    * clones. `dstDir` must be empty (no prior log). `asOf` pins the
+    * source SNAPSHOT VERSION the clone references (`SHALLOW CLONE ...
+    * VERSION AS OF n` — fork the table as it stood BEFORE a bad write,
+    * without restoring the source): validated against the vacuum
+    * watermark exactly like a versioned read, since the referenced files
+    * must still exist. Returns the clone's current version. */
+  def clone(spark: SparkSession, srcDir: String, dstDir: String,
+            asOf: Option[Long] = None): Long = {
     require(!Files.exists(logDir(dstDir)),
       s"clone destination $dstDir is already a txnlog table")
+    asOf.foreach { v =>
+      require(v >= minVersion(srcDir),
+        s"clone source version $v was vacuumed (oldest retained: ${minVersion(srcDir)})")
+      require(v <= currentVersion(srcDir),
+        s"clone source version $v does not exist (current: ${currentVersion(srcDir)})")
+    }
     val srcAbs = Paths.get(srcDir).toAbsolutePath.toString
-    val snap = snapshotAt(srcDir, Long.MaxValue)
+    val snap = snapshotAt(srcDir, asOf.getOrElse(Long.MaxValue))
     require(snap.files.nonEmpty, "clone of an empty table")
     require(snap.scoped.isEmpty,
       "clone with pending update vectors: their file-set scope cannot " +

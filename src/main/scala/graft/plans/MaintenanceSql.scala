@@ -61,6 +61,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // three-part names only — a bare `SHOW PARTITIONS t` (session
       // catalog) stays with Spark's own grammar untouched
       GraftShowPartitionsCommand(split(t))
+    case RestoreVersion(t, v) =>
+      GraftRestoreCommand(split(t), Left(v.toLong))
+    case RestoreTimestamp(t, ts) =>
+      GraftRestoreCommand(split(t), Right(ts))
+    case ShallowCloneVersion(dst, src, v) =>
+      GraftCloneCommand(split(dst), split(src), Some(v.toLong))
+    case ShallowClone(dst, src) =>
+      GraftCloneCommand(split(dst), split(src), None)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -99,6 +107,18 @@ object GraftSqlParser {
     ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + id + """\s*;?\s*$""").r
   private[plans] val ShowPartitions: Regex =
     ("""(?is)^\s*SHOW\s+PARTITIONS\s+""" + id + """\s*;?\s*$""").r
+  private[plans] val RestoreVersion: Regex =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+""" + id +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private[plans] val RestoreTimestamp: Regex =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+""" + id +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
+  private[plans] val ShallowCloneVersion: Regex =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + id + """\s+SHALLOW\s+CLONE\s+""" + id +
+      """\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private[plans] val ShallowClone: Regex =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + id + """\s+SHALLOW\s+CLONE\s+""" + id +
+      """\s*;?\s*$""").r
 
   /** Resolve a three-part name through the session's catalog manager to
     * the graft table's storage dir. */
@@ -217,6 +237,83 @@ case class GraftShowPartitionsCommand(name: Seq[String])
       }
       .groupBy(identity).toSeq.sortBy(_._1)
       .map { case (p, fs) => Row(p, fs.size.toLong) }
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` (and the `TO TIMESTAMP AS OF
+  * '<ts>'` form — the literal is interpreted in UTC, matching the
+  * engine's session timezone convention and the log's in-commit UTC
+  * stamps) — roll the table back AS A NEW COMMIT ([[TxnLog.restore]]):
+  * history stays linear, nothing is erased, and when the target snapshot
+  * carries no pending vectors the restore is METADATA-ONLY (one `R`
+  * manifest re-listing files that still exist — zero bytes moved at
+  * 100 TB). Emits (restored_version, new_version). */
+case class GraftRestoreCommand(name: Seq[String],
+                               target: Either[Long, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    val toVersion = target match {
+      case Left(v) => v
+      case Right(ts) =>
+        val micros = java.time.LocalDateTime
+          .parse(ts.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        TxnLog.versionAtTimestamp(dir,
+          micros.getEpochSecond * 1000000L + micros.getNano / 1000L)
+    }
+    val v = TxnLog.restore(session, dir, toVersion)
+    Seq(Row(toVersion, v))
+  }
+}
+
+/** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n]` — fork the
+  * source's (optionally version-pinned) snapshot as a NEW catalog table
+  * in ONE metadata write ([[TxnLog.clone]]): the clone's initial
+  * manifest references the source's data files by absolute path, zero
+  * data bytes copied — a 100 TB table forks in O(manifest). Afterward
+  * the tables diverge independently; a clone-side OPTIMIZE/compact
+  * localizes the data. Scope: flat sources only (a hive-layout source's
+  * partition values live in ITS directory tree — external references
+  * would break the clone's basePath partition discovery; Delta clones
+  * carry per-file partition tuples in the log, this format keeps them
+  * path-encoded — refused loudly), and the clone takes the source's
+  * CURRENT catalog schema (the documented contract: schema lives in the
+  * catalog, data is what's versioned). Emits (version, n_files). */
+case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
+                             asOf: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcDir = GraftSqlParser.dirOf(session, src)
+    require(GraftSqlTable.storedPartCols(srcDir).isEmpty,
+      s"SHALLOW CLONE of a partitioned table is not supported: " +
+        s"${src.mkString(".")}'s partition values are dir-encoded in its " +
+        "own tree and external references cannot join the clone's basePath " +
+        "— compact the source to a flat layout first")
+    require(dst.length == 3, s"clone destination needs a fully-qualified " +
+      s"<catalog>.<db>.<table> name, got ${dst.mkString(".")}")
+    val cat = session.sessionState.catalogManager.catalog(dst.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"'${dst.head}' is not a graft catalog (${other.getClass.getSimpleName})")
+    }
+    val ident = Identifier.of(Array(dst(1)), dst(2))
+    require(!cat.tableExists(ident),
+      s"clone destination ${dst.mkString(".")} already exists")
+    val dstDir = cat.tableDirFor(ident)
+    val v = TxnLog.clone(session, srcDir, dstDir, asOf)
+    // the clone serves the source's CURRENT catalog schema; fall back to
+    // the physical schema when the source predates stored-DDL metadata
+    val schema = GraftSqlTable.storedSchema(srcDir).getOrElse(
+      session.read.parquet(TxnLog.fileScanPlan(srcDir)._2.head).schema)
+    cat.persistCloneMeta(dstDir, schema)
+    Seq(Row(v, TxnLog.fileScanPlan(dstDir)._2.size.toLong))
   }
 }
 

@@ -578,7 +578,109 @@ object CatalogOps {
       |FROM rows_ GROUP BY o_orderpriority
       |ORDER BY face""".stripMargin
 
+  /** q311 — RESTORE + SHALLOW CLONE as SQL STATEMENTS (round-12: the
+    * two recovery/forking verbs a lakehouse user types after a bad
+    * write, both O(metadata) at 100 TB):
+    *
+    *   v1 CTAS (%4=0) → v2 INSERT (%4=2) → v3 fat-finger
+    *   INSERT OVERWRITE (%16=0) → `CREATE TABLE tc SHALLOW CLONE t
+    *   VERSION AS OF 2` (fork the PRE-DAMAGE state — one manifest of
+    *   external refs, zero data bytes copied) → `RESTORE TABLE t TO
+    *   VERSION AS OF 2` (v4: one R manifest re-listing v2's files —
+    *   metadata-only, nothing erased) → INSERT INTO tc (%4=1; the clone
+    *   diverges independently).
+    *
+    * Faces (q303's shape):
+    *   - `restored`: rollup of t at LATEST = exactly v2's content
+    *   - `tt_v3`:    rollup `VERSION AS OF 3` — the damage is STILL in
+    *     history (restore appends, never erases)
+    *   - `clone`:    rollup of tc = v2 content + the divergence insert
+    *   - `indep`:    t has ZERO %4=1 rows — the clone's insert is
+    *     invisible to the source (divergence isolation)
+    *   - `zero_copy`: at clone time every referenced file was EXTERNAL
+    *     (lives under t's dir) and tc's own dir held no data files
+    *   - `hist`:     t actions R,A,R,R at v4; tc actions A,A at v2 —
+    *     both version axes pinned literally */
+  def q311(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q311_wh").toString
+    s.conf.set("spark.sql.catalog.grc", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.grc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS grc.db")
+    def sel(pred: String): String =
+      s"""SELECT o_orderkey AS ok, o_totalprice AS price,
+         o_orderpriority AS pri FROM parquet.`$d/orders.parquet`
+         WHERE $pred"""
+    s.sql(s"CREATE TABLE grc.db.t AS ${sel("o_orderkey % 4 = 0")}")     // v1 R
+    s.sql(s"INSERT INTO grc.db.t ${sel("o_orderkey % 4 = 2")}")         // v2 A
+    s.sql(s"INSERT OVERWRITE grc.db.t ${sel("o_orderkey % 16 = 0")}")   // v3 R
+    s.sql("CREATE TABLE grc.db.tc SHALLOW CLONE grc.db.t VERSION AS OF 2")
+    val tcDir = s"$wh/db/tc"
+    // zero-copy census, taken BEFORE the divergence insert lands local
+    // files: every v1 ref resolves OUTSIDE tc's dir, none under it
+    val cloneFiles = TxnLog.fileScanPlan(tcDir)._2
+    val localData = new java.io.File(tcDir).listFiles().count(_.getName != "_txnlog")
+    s.sql("RESTORE TABLE grc.db.t TO VERSION AS OF 2")                  // v4 R
+    s.sql(s"INSERT INTO grc.db.tc ${sel("o_orderkey % 4 = 1")}")        // tc v2 A
+    val tDir = s"$wh/db/t"
+    def actions(dir: String): String = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    def face(from: String, tag: String): DataFrame = s.sql(
+      s"""SELECT '$tag' AS face, pri, COUNT(*) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM $from GROUP BY pri""")
+    face("grc.db.t", "restored")
+      .unionByName(face("grc.db.t VERSION AS OF 3", "tt_v3"))
+      .unionByName(face("grc.db.tc", "clone"))
+      .unionByName(s.sql(s"""SELECT 'indep' AS face, '' AS pri,
+        (SELECT COUNT(*) FROM grc.db.t WHERE ok % 4 = 1) AS n,
+        CAST(NULL AS DOUBLE) AS sum_price"""))
+      .unionByName(s.sql(s"""SELECT 'zero_copy' AS face, '' AS pri,
+        CAST(${if (cloneFiles.nonEmpty && cloneFiles.forall(f => !f.startsWith(tcDir)) && localData == 0) 1 else 0}
+          AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_price"""))
+      .unionByName(s.sql(s"""SELECT 'hist' AS face,
+        '${actions(tDir)}_${actions(tcDir)}' AS pri,
+        CAST(${TxnLog.currentVersion(tDir)} AS BIGINT) AS n,
+        CAST(${TxnLog.currentVersion(tcDir)} AS DOUBLE) AS sum_price"""))
+      .orderBy(col("face"), col("pri"))
+  }
+
+  val q311Sql: String =
+    """WITH v2 AS (
+      |  SELECT o_orderkey AS ok, o_totalprice AS price,
+      |         o_orderpriority AS pri
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      |v3 AS (
+      |  SELECT o_orderkey AS ok, o_totalprice AS price,
+      |         o_orderpriority AS pri
+      |  FROM orders WHERE o_orderkey % 16 = 0),
+      |cl AS (
+      |  SELECT o_orderkey AS ok, o_totalprice AS price,
+      |         o_orderpriority AS pri
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)),
+      |faces AS (
+      |  SELECT 'restored' AS face, pri, COUNT(*) AS n,
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  FROM v2 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'tt_v3', pri, COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM v3 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'clone', pri, COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM cl GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'indep', '', 0, CAST(NULL AS DOUBLE)
+      |  UNION ALL
+      |  SELECT 'zero_copy', '', 1, CAST(NULL AS DOUBLE)
+      |  UNION ALL
+      |  SELECT 'hist', 'RARR_AA', 4, CAST(2 AS DOUBLE))
+      |SELECT * FROM faces ORDER BY face, pri""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q311_sql_restore_clone" -> ((q311 _, Some(q311Sql))),
     "q309_sql_table_metadata" -> ((q309 _, Some(q309Sql))),
     "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),
     "q303_sql_partitioned_ctas" -> ((q303 _, Some(q303Sql))),

@@ -91,6 +91,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   private def dirOf(ident: Identifier): String =
     (warehouse +: (ident.namespace() :+ ident.name()).map(seg)).mkString("/")
+  /** Storage dir a (possibly not-yet-existing) identifier maps to —
+    * the seam `CREATE TABLE ... SHALLOW CLONE` needs: the clone command
+    * materializes the destination OUTSIDE the DSv2 createTable path
+    * (its initial version is a manifest of external references, not a
+    * write), then registers metadata via [[persistCloneMeta]]. */
+  private[graft] def tableDirFor(ident: Identifier): String = dirOf(ident)
+  private[graft] def persistCloneMeta(dir: String, schema: StructType): Unit =
+    persistMeta(dir, schema, Nil)
   private def nsDir(namespace: Array[String]): java.nio.file.Path =
     java.nio.file.Paths.get((warehouse +: namespace.map(seg)).mkString("/"))
 

@@ -698,6 +698,32 @@ object PlanCheck {
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
 
+    // q311's SQL route: `CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF n`
+    // through the catalog — the clone commit is METADATA-ONLY (zero data
+    // files land under the clone's dir) and the clone's scan plans as the
+    // native DSv2 parquet BatchScan over the external refs, pushdown intact.
+    locally {
+      val s = spark.newSession()
+      val wh = java.nio.file.Files.createTempDirectory("graft_pc_sqlclone").toString
+      s.conf.set("spark.sql.catalog.gpc", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gpc.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gpc.db")
+      s.sql("CREATE TABLE gpc.db.src AS SELECT id AS k, id * 2 AS x FROM range(0, 1000)")
+      s.sql("INSERT OVERWRITE gpc.db.src SELECT id, id FROM range(0, 10)")
+      s.sql("CREATE TABLE gpc.db.cl SHALLOW CLONE gpc.db.src VERSION AS OF 1")
+      val localData = new java.io.File(s"$wh/db/cl").listFiles()
+        .count(_.getName != "_txnlog")
+      val plan = s.sql("SELECT k FROM gpc.db.cl WHERE x > 100")
+        .queryExecution.executedPlan.toString
+      val ok = localData == 0 && plan.contains("BatchScan") &&
+        plan.contains("PushedFilters: [IsNotNull(x), GreaterThan(x,100)]") &&
+        !plan.contains("CartesianProduct")
+      rec("q311_sql_clone_scan",
+        "SQL shallow clone: zero local data files; scan = pushed-down BatchScan", ok)
+      if (!ok) { failures += 1
+        println(s"localData=$localData\n" + plan.linesIterator.take(30).mkString("\n")) }
+    }
+
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
     // (q77's layout) joined to a FILTERED tiny dim on the partition column

@@ -25,8 +25,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val wanted = names.split(",").toSeq
     val qs = graft.SparkEntry.queries
+    // "ALL" = the complete board in name order (full-board SCALECHECK pass);
+    // otherwise a comma list of exact names.
+    val wanted =
+      if (names == "ALL") qs.keys.toSeq.sorted else names.split(",").toSeq
     // compile-warmup pass at sf0.001 (Bench protocol: measure execution,
     // not Janino/C2 latency)
     val warmDir = "/root/testdata/sf0.001"

@@ -171,6 +171,85 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "same-spec clusterBy degraded OPTIMIZE to a full rewrite")
   }
 
+  test("RESTORE TO VERSION AS OF rolls back as a new metadata-only commit") {
+    val (t, dir) = fresh("rest")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(0, 50)")        // v1 A
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(50, 80)")       // v2 A
+    spark.sql(s"INSERT OVERWRITE $t SELECT id, id, id FROM range(0, 5)")    // v3 R
+    val dataDirs = new java.io.File(dir).listFiles().count(_.getName != "_txnlog")
+    val r = spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 2").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 80L)
+    // metadata-only: the R manifest re-lists v2's files, no data dir added
+    assert(new java.io.File(dir).listFiles().count(_.getName != "_txnlog") == dataDirs)
+    // history stays linear — the damage is still readable at v3
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t VERSION AS OF 3")
+      .head().getLong(0) == 5L)
+    val actions = TxnLog.history(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    assert(actions == "AARR", s"got '$actions'")
+    // refusals: above head, below the floor
+    val e = intercept[Exception](
+      spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("does not exist"))
+    val e2 = intercept[Exception](
+      spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 0").collect())
+    assert(e2.getMessage != null)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves through the in-commit clock") {
+    val (t, dir) = fresh("restts")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(0, 30)")        // v1
+    spark.sql(s"INSERT OVERWRITE $t SELECT id, id, id FROM range(0, 3)")    // v2
+    // v1's effective in-commit stamp, rendered as a UTC literal
+    val ts1 = TxnLog.commitTimestamps(dir).head._2
+    val lit = java.time.Instant.ofEpochSecond(ts1 / 1000000L,
+        (ts1 % 1000000L) * 1000L)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val r = spark.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF '$lit'").head()
+    assert(r.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 30L)
+  }
+
+  test("SHALLOW CLONE forks a version pin zero-copy; tables then diverge") {
+    val (t, dir) = fresh("clsrc")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(0, 40)")        // v1
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(40, 60)")       // v2
+    spark.sql(s"INSERT OVERWRITE $t SELECT id, id, id FROM range(0, 2)")    // v3
+    val r = spark.sql(s"CREATE TABLE gm.db.cldst SHALLOW CLONE $t VERSION AS OF 2")
+      .head()
+    assert(r.getLong(0) == 1L && r.getLong(1) > 0L)
+    val dstDir = dir.replaceAll("/clsrc$", "/cldst")
+    // zero-copy: every referenced file is external, no local data dir
+    assert(TxnLog.fileScanPlan(dstDir)._2.forall(!_.startsWith(dstDir)))
+    assert(new java.io.File(dstDir).listFiles().forall(_.getName == "_txnlog"))
+    // the clone serves the pinned snapshot, not the damaged head
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.cldst").head().getLong(0) == 60L)
+    // divergence: writes on either side are invisible to the other
+    spark.sql("INSERT INTO gm.db.cldst SELECT id, id, id FROM range(100, 110)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.cldst").head().getLong(0) == 70L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 2L)
+    // schema carried from the source's catalog schema
+    assert(spark.table("gm.db.cldst").schema.fieldNames.toSeq == Seq("k", "x", "y"))
+    // refusal: destination exists
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE gm.db.cldst SHALLOW CLONE $t").collect())
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("SHALLOW CLONE of a partitioned source refuses loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_clpart").toString
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("""CREATE TABLE gm.db.pt (k BIGINT, p STRING) PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO gm.db.pt SELECT id, CAST(id % 3 AS STRING) FROM range(0, 30)")
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE gm.db.ptc SHALLOW CLONE gm.db.pt").collect())
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
