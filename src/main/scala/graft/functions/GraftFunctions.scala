@@ -59,6 +59,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_f32"),
       CosineF32.info,
       exprs => CosineF32(exprs(0), exprs(1))))
+    // `table_changes('<cat>.<db>.<t>', fromExclusive[, to])` — Delta's
+    // batch CDF table-valued function: the row-level changes each version
+    // in (from, to] introduced, as table rows + `_change_type` /
+    // `_commit_version` ([[graft.io.TxnLog.changes]] — per-action
+    // derivation off the manifest, never a full-history diff; appends
+    // serve their own files, vector deletes materialize once). Args must
+    // be literals (the table name resolves through the session's catalog
+    // manager at analysis time, exactly when the snapshot is pinned).
+    e.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.io.TxnLog", "table_changes"),
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        require(exprs.length == 2 || exprs.length == 3,
+          "table_changes(table_name, from_version_exclusive[, to_version])")
+        def litOf(i: Int): Any = exprs(i) match {
+          case Literal(v, _) => v
+          case other => throw new IllegalArgumentException(
+            s"table_changes arguments must be literals, got $other")
+        }
+        val name = String.valueOf(litOf(0))
+        val parts = name.split('.')
+        require(parts.length == 3,
+          s"table_changes needs a fully-qualified <catalog>.<db>.<table> " +
+            s"name, got $name")
+        val spark = SparkSession.active
+        val dir = graft.plans.GraftSqlParser.dirOf(spark, parts.toSeq)
+        val from = String.valueOf(litOf(1)).toLong
+        val to = if (exprs.length == 3) String.valueOf(litOf(2)).toLong
+          else graft.io.TxnLog.currentVersion(dir)
+        graft.io.TxnLog.changes(spark, dir, from, to).queryExecution.analyzed
+      }))
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     e.injectOptimizerRule(_ => graft.plans.RewriteCosine)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)

@@ -16,9 +16,21 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * JDK's.
   *
   * Decoder scope (documented like [[AdpcmCodec]]/[[VorbisCodec]]):
-  * bit depth 8, ALL FIVE color types — 0 (grayscale), 2 (RGB), 3
-  * (PALETTE — the web-graphics layout: PLTE lookup, indices filtered
-  * at 1 byte/px), 4 (gray+alpha, 2 bytes/px) and 6 (RGBA) — BOTH
+  * ALL FIVE color types — 0 (grayscale), 2 (RGB), 3 (PALETTE — the
+  * web-graphics layout: PLTE lookup), 4 (gray+alpha) and 6 (RGBA) —
+  * at EVERY legal bit depth (spec §11.2.2): gray 1/2/4/8/16, palette
+  * 1/2/4/8 (sub-byte indices pack MSB-first within scanline bytes),
+  * RGB/GA/RGBA 8/16. Sub-byte gray expands by LEFT-BIT REPLICATION
+  * (the spec's sample-scaling: d-bit value v reads as v·255/(2^d−1) —
+  * exact and invertible, so the expansion is lossless); 16-bit
+  * streams decode through the separate [[decode16]] surface into
+  * [[Image16]] (full 16-bit samples as stored — the 8-bit [[decode]]
+  * REFUSES them rather than silently halving precision; the lossy
+  * display downsample is the caller's explicit [[Image16.toEight]]).
+  * Filtering is byte-oriented at every depth (spec §9: the filter
+  * offset is max(1, bytes-per-pixel), so sub-byte rows filter at
+  * 1-byte granularity and 16-bit rows at 2·channels) — ONE shared
+  * filter implementation serves all depths. BOTH
   * interlace methods (none and ADAM7 — seven sub-image passes, each
   * filtered independently, scattered back on the 8×8 lattice), single
   * zlib stream over any number of IDAT chunks, and tRNS transparency
@@ -52,6 +64,21 @@ object PngCodec {
       s"pixel buffer ${pixels.length} != $width*$height*$channels")
   }
 
+  /** 16-bit-per-sample image — the deep-color surface ([[decode16]]/
+    * [[encode16]]). Samples are UNSIGNED 16-bit stored in shorts
+    * (mask with 0xffff); [[toEight]] is the spec's display downsample
+    * (top byte) — explicitly lossy, never on a bit-exact gate path. */
+  final case class Image16(width: Int, height: Int, channels: Int,
+                           samples: Array[Short]) {
+    require(channels >= 1 && channels <= 4,
+      s"unsupported channel count: $channels")
+    require(samples.length == width * height * channels,
+      s"sample buffer ${samples.length} != $width*$height*$channels")
+    def toEight: Image =
+      Image(width, height, channels,
+        samples.map(s => ((s & 0xffff) >>> 8).toByte))
+  }
+
   private val Signature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -69,10 +96,20 @@ object PngCodec {
      if (h > y0) (h - y0 + dy - 1) / dy else 0)
   }
 
+  /** `bitDepth` < 8 packs sub-byte samples MSB-first (spec §7.2):
+    * grayscale inputs must be EXACT left-bit-replication multiples
+    * (255/(2^d−1) steps — the invertibility condition that keeps the
+    * roundtrip bit-exact; anything else refuses rather than quantizes)
+    * and palette images must fit 2^d entries. */
   def encode(img: Image, interlaced: Boolean = false,
-             palette: Boolean = false): Array[Byte] = {
+             palette: Boolean = false, bitDepth: Int = 8): Array[Byte] = {
     require(!palette || img.channels != 2,
       "palette encode carries gray/RGB/RGBA images (gray+alpha is type 4)")
+    require(bitDepth == 8 || bitDepth == 4 || bitDepth == 2 || bitDepth == 1,
+      s"encode bit depth must be 1/2/4/8, got $bitDepth (16 is encode16)")
+    require(bitDepth == 8 || palette || img.channels == 1,
+      s"sub-byte depth $bitDepth carries grayscale or palette images only " +
+        "(spec §11.2.2)")
     // palette mode: indices stream at 1 byte/px through a PLTE lookup;
     // RGBA input additionally emits per-entry alpha as a tRNS chunk —
     // the transparent-web-graphic layout. The spec's recommended
@@ -126,43 +163,65 @@ object PngCodec {
       } else
         (img.channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 },
           img.channels, img.pixels, None, None)
+    // byte samples → raw sample VALUES at the target depth: palette
+    // indices must fit, sub-byte gray must sit exactly on the
+    // replication lattice (v = raw·255/(2^d−1))
+    val samples = new Array[Int](data.length)
+    if (bitDepth == 8) {
+      var i = 0
+      while (i < data.length) { samples(i) = data(i) & 0xff; i += 1 }
+    } else if (palette) {
+      var i = 0
+      while (i < data.length) {
+        val idx = data(i) & 0xff
+        require(idx < (1 << bitDepth),
+          s"palette encode at depth $bitDepth fits ${1 << bitDepth} " +
+            s"entries, image uses index $idx")
+        samples(i) = idx; i += 1
+      }
+    } else {
+      val step = 255 / ((1 << bitDepth) - 1)
+      var i = 0
+      while (i < data.length) {
+        val v = data(i) & 0xff
+        require(v % step == 0,
+          s"gray value $v is not representable at depth $bitDepth " +
+            s"(needs a multiple of $step) — quantize explicitly first")
+        samples(i) = v / step; i += 1
+      }
+    }
+    val raw = packFiltered(samples, img.width, img.height, bpp, bitDepth,
+      interlaced)
+    assemble(img.width, img.height, bitDepth, colorType, interlaced,
+      plte, trns, raw)
+  }
+
+  /** Depth-16 encode — all four sample layouts (gray / gray+alpha /
+    * RGB / RGBA), plain or Adam7. Roundtrips [[decode16]] bit-exactly
+    * (PNG is lossless at every depth). */
+  def encode16(img: Image16, interlaced: Boolean = false): Array[Byte] = {
+    val colorType = img.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val samples = new Array[Int](img.samples.length)
+    var i = 0
+    while (i < samples.length) { samples(i) = img.samples(i) & 0xffff; i += 1 }
+    val raw = packFiltered(samples, img.width, img.height, img.channels, 16,
+      interlaced)
+    assemble(img.width, img.height, 16, colorType, interlaced, None, None, raw)
+  }
+
+  private def assemble(w: Int, h: Int, depth: Int, colorType: Int,
+                       interlaced: Boolean, plte: Option[Array[Byte]],
+                       trns: Option[Array[Byte]],
+                       raw: Array[Byte]): Array[Byte] = {
     val ihdr = new Array[Byte](13)
-    writeBE(ihdr, 0, img.width)
-    writeBE(ihdr, 4, img.height)
-    ihdr(8) = 8            // bit depth
+    writeBE(ihdr, 0, w)
+    writeBE(ihdr, 4, h)
+    ihdr(8) = depth.toByte
     ihdr(9) = colorType.toByte
     ihdr(10) = 0           // compression: deflate
     ihdr(11) = 0           // filter method 0
     ihdr(12) = if (interlaced) 1 else 0
-    val raw =
-      if (!interlaced) filterRows(data, img.width, img.height, bpp)
-      else {
-        // each Adam7 pass filters as an INDEPENDENT sub-image
-        val o = new java.io.ByteArrayOutputStream()
-        Adam7.foreach { pass =>
-          val (x0, y0, dx, dy) = pass
-          val (pw, ph) = passDims(img.width, img.height, pass)
-          if (pw > 0 && ph > 0) {
-            val sub = new Array[Byte](pw * ph * bpp)
-            var j = 0
-            while (j < ph) {
-              var i = 0
-              while (i < pw) {
-                var ch = 0
-                while (ch < bpp) {
-                  sub((j * pw + i) * bpp + ch) =
-                    data(((y0 + j * dy) * img.width + (x0 + i * dx)) * bpp + ch)
-                  ch += 1
-                }
-                i += 1
-              }
-              j += 1
-            }
-            o.write(filterRows(sub, pw, ph, bpp))
-          }
-        }
-        o.toByteArray
-      }
     val idat = deflate(raw)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature)
@@ -174,11 +233,79 @@ object PngCodec {
     out.toByteArray
   }
 
+  /** Scanline serialization shared by every depth: pack one
+    * (sub-)image's sample values into spec §7.2 scanlines (sub-byte
+    * samples MSB-first within a byte, 16-bit big-endian, rows padded
+    * to a byte boundary), then filter. Interlaced images pack each
+    * Adam7 pass as an independent sub-image. `spp` = samples/pixel. */
+  private def packFiltered(samples: Array[Int], w: Int, h: Int, spp: Int,
+                           depth: Int, interlaced: Boolean): Array[Byte] = {
+    def pack(sub: Array[Int], pw: Int, ph: Int): Array[Byte] = {
+      val rb = (pw * spp * depth + 7) / 8
+      val packed = new Array[Byte](rb * ph)
+      var y = 0
+      while (y < ph) {
+        val rowBase = y * rb
+        var bitPos = 0
+        var s = y * pw * spp
+        val rowEnd = (y + 1) * pw * spp
+        while (s < rowEnd) {
+          val v = sub(s)
+          if (depth == 16) {
+            packed(rowBase + bitPos / 8) = (v >>> 8).toByte
+            packed(rowBase + bitPos / 8 + 1) = v.toByte
+          } else if (depth == 8) {
+            packed(rowBase + bitPos / 8) = v.toByte
+          } else {
+            val bi = rowBase + bitPos / 8
+            val shift = 8 - depth - (bitPos % 8)
+            packed(bi) = ((packed(bi) & 0xff) | (v << shift)).toByte
+          }
+          bitPos += depth
+          s += 1
+        }
+        y += 1
+      }
+      filterRows(packed, rb, ph, math.max(1, spp * depth / 8))
+    }
+    if (!interlaced) pack(samples, w, h)
+    else {
+      // each Adam7 pass filters (and byte-packs) as an INDEPENDENT
+      // sub-image — sub-byte passes pad at the PASS row boundary
+      val o = new java.io.ByteArrayOutputStream()
+      Adam7.foreach { pass =>
+        val (x0, y0, dx, dy) = pass
+        val (pw, ph) = passDims(w, h, pass)
+        if (pw > 0 && ph > 0) {
+          val sub = new Array[Int](pw * ph * spp)
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              var ch = 0
+              while (ch < spp) {
+                sub((j * pw + i) * spp + ch) =
+                  samples(((y0 + j * dy) * w + (x0 + i * dx)) * spp + ch)
+                ch += 1
+              }
+              i += 1
+            }
+            j += 1
+          }
+          o.write(pack(sub, pw, ph))
+        }
+      }
+      o.toByteArray
+    }
+  }
+
   /** Per-row adaptive filtering: the spec's minimum-sum-of-absolute-
-    * differences heuristic over all five filter types. */
-  private def filterRows(pixels: Array[Byte], width: Int, height: Int,
+    * differences heuristic over all five filter types. `stride` is the
+    * packed scanline width in BYTES; `bpp` the filter offset
+    * (max(1, bytes-per-pixel) — spec §9.2), so one implementation
+    * serves sub-byte, 8-bit and 16-bit layouts. */
+  private def filterRows(pixels: Array[Byte], stride: Int, height: Int,
                          bpp: Int): Array[Byte] = {
-    val stride = width * bpp
     val out = new Array[Byte]((stride + 1) * height)
     val prior = new Array[Byte](stride) // zero row above the first
     val cand = Array.ofDim[Byte](5, stride)
@@ -228,8 +355,138 @@ object PngCodec {
     * corrupted IHDR declaring 2³¹-pixel dims would OOM the executor
     * before the datastream refutes it). The default admits a 4096×4096
     * still; callers with legitimately larger inputs raise it per call —
-    * the [[JpegCodec.decode]] contract. */
+    * the [[JpegCodec.decode]] contract. Depths 1–8 decode here
+    * (sub-byte gray expands losslessly by left-bit replication);
+    * 16-bit streams REFUSE — [[decode16]] is the precision-preserving
+    * surface. */
   def decode(bytes: Array[Byte], maxPixels: Long = 1L << 24): Image = {
+    val d = decodeCore(bytes, maxPixels)
+    require(d.bitDepth <= 8,
+      "16-bit stream: decode() would silently halve sample precision — " +
+        "decode16() preserves it (then Image16.toEight if 8 bits suffice)")
+    val width = d.width; val height = d.height
+    val samples = d.samples; val trns = d.trns
+    if (d.paletted) {
+      // PLTE lookup: indices → RGB triples; with tRNS, → RGBA (per-entry
+      // alpha, entries past the tRNS length implied fully opaque —
+      // spec §11.3.2 lets tRNS truncate after the last non-opaque entry)
+      val plte = d.plte
+      val n = plte.length / 3
+      require(trns == null || trns.length <= n,
+        s"tRNS carries ${trns.length} alphas for $n palette entries")
+      val outCh = if (trns == null) 3 else 4
+      val out = new Array[Byte](width * height * outCh)
+      var p = 0
+      while (p < width * height) {
+        val idx = samples(p)
+        require(idx < n, s"palette index $idx outside PLTE ($n entries)")
+        out(p * outCh) = plte(idx * 3)
+        out(p * outCh + 1) = plte(idx * 3 + 1)
+        out(p * outCh + 2) = plte(idx * 3 + 2)
+        if (outCh == 4)
+          out(p * outCh + 3) =
+            if (idx < trns.length) trns(idx) else 255.toByte
+        p += 1
+      }
+      Image(width, height, outCh, out)
+    } else {
+      // sub-byte gray scales by left-bit replication: v·255/(2^d−1) —
+      // exact (the divisor divides 255 for every legal d)
+      val step = 255 / ((1 << d.bitDepth) - 1)
+      if (trns != null && d.colorTyp == 0) {
+        // gray color key: the keyed RAW sample reads fully transparent —
+        // expansion carries the alpha as data (gray → gray+alpha)
+        require(trns.length == 2, s"bad tRNS length ${trns.length} for gray")
+        val key = (((trns(0) & 0xff) << 8) | (trns(1) & 0xff)) &
+          ((1 << d.bitDepth) - 1)
+        val out = new Array[Byte](width * height * 2)
+        var p = 0
+        while (p < width * height) {
+          out(p * 2) = (samples(p) * step).toByte
+          out(p * 2 + 1) = if (samples(p) == key) 0 else 255.toByte
+          p += 1
+        }
+        Image(width, height, 2, out)
+      } else if (trns != null && d.colorTyp == 2) {
+        // RGB color key → RGBA (depth 8 here; depth 16 is decode16's)
+        require(trns.length == 6, s"bad tRNS length ${trns.length} for RGB")
+        val kr = trns(1) & 0xff; val kg = trns(3) & 0xff; val kb = trns(5) & 0xff
+        val out = new Array[Byte](width * height * 4)
+        var p = 0
+        while (p < width * height) {
+          val r = samples(p * 3); val g = samples(p * 3 + 1)
+          val b = samples(p * 3 + 2)
+          out(p * 4) = r.toByte
+          out(p * 4 + 1) = g.toByte
+          out(p * 4 + 2) = b.toByte
+          out(p * 4 + 3) = if (r == kr && g == kg && b == kb) 0 else 255.toByte
+          p += 1
+        }
+        Image(width, height, 4, out)
+      } else {
+        val out = new Array[Byte](samples.length)
+        var i = 0
+        while (i < samples.length) { out(i) = (samples(i) * step).toByte; i += 1 }
+        Image(width, height, d.channels, out)
+      }
+    }
+  }
+
+  /** Deep-color decode: 16-bit streams only (lower depths are
+    * [[decode]]'s). tRNS color keys expand exactly like the 8-bit
+    * path, with full 16-bit key comparison and 0/65535 alpha. */
+  def decode16(bytes: Array[Byte], maxPixels: Long = 1L << 24): Image16 = {
+    val d = decodeCore(bytes, maxPixels)
+    require(d.bitDepth == 16,
+      s"depth-${d.bitDepth} stream: decode() is the 8-bit surface")
+    val width = d.width; val height = d.height
+    val samples = d.samples; val trns = d.trns
+    def be16(a: Array[Byte], off: Int): Int =
+      ((a(off) & 0xff) << 8) | (a(off + 1) & 0xff)
+    if (trns != null && d.colorTyp == 0) {
+      require(trns.length == 2, s"bad tRNS length ${trns.length} for gray")
+      val key = be16(trns, 0)
+      val out = new Array[Short](width * height * 2)
+      var p = 0
+      while (p < width * height) {
+        out(p * 2) = samples(p).toShort
+        out(p * 2 + 1) = if (samples(p) == key) 0 else 0xffff.toShort
+        p += 1
+      }
+      Image16(width, height, 2, out)
+    } else if (trns != null && d.colorTyp == 2) {
+      require(trns.length == 6, s"bad tRNS length ${trns.length} for RGB")
+      val kr = be16(trns, 0); val kg = be16(trns, 2); val kb = be16(trns, 4)
+      val out = new Array[Short](width * height * 4)
+      var p = 0
+      while (p < width * height) {
+        val r = samples(p * 3); val g = samples(p * 3 + 1)
+        val b = samples(p * 3 + 2)
+        out(p * 4) = r.toShort
+        out(p * 4 + 1) = g.toShort
+        out(p * 4 + 2) = b.toShort
+        out(p * 4 + 3) =
+          if (r == kr && g == kg && b == kb) 0 else 0xffff.toShort
+        p += 1
+      }
+      Image16(width, height, 4, out)
+    } else {
+      val out = new Array[Short](samples.length)
+      var i = 0
+      while (i < samples.length) { out(i) = samples(i).toShort; i += 1 }
+      Image16(width, height, d.channels, out)
+    }
+  }
+
+  /** Everything depth-independent: container walk, IHDR validation,
+    * inflate, de-filter (byte-oriented at every depth), bit-unpack to
+    * one Int per SAMPLE (palette: the index, pre-lookup). */
+  private final case class Decoded(width: Int, height: Int, channels: Int,
+                                   colorTyp: Int, bitDepth: Int,
+                                   paletted: Boolean, plte: Array[Byte],
+                                   trns: Array[Byte], samples: Array[Int])
+
+  private def decodeCore(bytes: Array[Byte], maxPixels: Long): Decoded = {
     require(bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
       "not a PNG: bad signature")
     var pos = 8
@@ -238,6 +495,7 @@ object PngCodec {
     var interlaced = false
     var paletted = false
     var colorTyp = -1
+    var depth = 0
     var plte: Array[Byte] = null
     var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -269,16 +527,26 @@ object PngCodec {
           require(width.toLong * height <= maxPixels,
             s"unreasonable dimensions ${width}x$height (limit $maxPixels " +
               "px; raise decode(bytes, maxPixels = ...) for larger inputs)")
-          require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
           colorTyp = colorType
           channels = colorType match {
             case 0 => 1
             case 2 => 3
-            case 3 => paletted = true; 1 // indices: 1 byte/px pre-lookup
+            case 3 => paletted = true; 1 // indices: 1 sample/px pre-lookup
             case 4 => 2 // gray+alpha
             case 6 => 4
             case c => throw new IllegalArgumentException(s"bad color type $c")
           }
+          // spec §11.2.2's legal (color type, depth) matrix — anything
+          // else refuses loudly, never mis-decodes
+          val legal = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case _ => Set(8, 16)
+          }
+          require(legal(bitDepth),
+            s"illegal bit depth $bitDepth for color type $colorType " +
+              s"(spec allows ${legal.toSeq.sorted.mkString("/")})")
+          depth = bitDepth
           require(compression == 0, s"bad compression method $compression")
           require(filterMethod == 0, s"bad filter method $filterMethod")
           require(interlace == 0 || interlace == 1,
@@ -306,110 +574,89 @@ object PngCodec {
     }
     require(seenIhdr && seenIend, "missing IHDR or IEND")
     require(!paletted || plte != null, "palette image without a PLTE chunk")
-    val bpp = channels
-    val stride = width * bpp
-    // expected raw size: one filter byte per scanline — per Adam7 pass
-    // sub-image when interlaced (empty passes contribute nothing)
+    val spp = channels // samples per pixel (palette: 1 index)
+    def rowBytesOf(wpx: Int): Int = (wpx * spp * depth + 7) / 8
+    val fbpp = math.max(1, spp * depth / 8) // filter offset, spec §9.2
+    // expected raw size: one filter byte per PACKED scanline — per
+    // Adam7 pass sub-image when interlaced (sub-byte rows pad to a
+    // byte boundary at each pass's own width; empty passes contribute
+    // nothing)
     val expected =
-      if (!interlaced) (stride + 1) * height
+      if (!interlaced) (rowBytesOf(width) + 1) * height
       else Adam7.map { p =>
         val (pw, ph) = passDims(width, height, p)
-        if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+        if (pw > 0 && ph > 0) ph * (1 + rowBytesOf(pw)) else 0
       }.sum
     val raw = inflate(idat.toByteArray, expected)
     require(raw.length == expected,
       s"decompressed ${raw.length} bytes, expected $expected")
-    val px =
-      if (!interlaced) defilter(raw, 0, width, height, bpp)
-      else {
-        // each pass de-filters as an independent sub-image, then its
-        // pixels scatter back onto the 8×8 lattice
-        val full = new Array[Byte](stride * height)
-        var off = 0
-        Adam7.foreach { pass =>
-          val (x0, y0, dx, dy) = pass
-          val (pw, ph) = passDims(width, height, pass)
-          if (pw > 0 && ph > 0) {
-            val sub = defilter(raw, off, pw, ph, bpp)
-            off += ph * (1 + pw * bpp)
-            var j = 0
-            while (j < ph) {
-              var i = 0
-              while (i < pw) {
-                var ch = 0
-                while (ch < bpp) {
-                  full(((y0 + j * dy) * width + (x0 + i * dx)) * bpp + ch) =
-                    sub((j * pw + i) * bpp + ch)
-                  ch += 1
-                }
-                i += 1
+    val samples = new Array[Int](width * height * spp)
+    if (!interlaced) {
+      val rb = rowBytesOf(width)
+      val px = defilter(raw, 0, rb, height, fbpp)
+      var y = 0
+      while (y < height) {
+        unpackRow(px, y * rb, width * spp, depth, samples, y * width * spp)
+        y += 1
+      }
+    } else {
+      // each pass de-filters and unpacks as an independent sub-image,
+      // then its SAMPLES scatter back onto the 8×8 lattice
+      var off = 0
+      Adam7.foreach { pass =>
+        val (x0, y0, dx, dy) = pass
+        val (pw, ph) = passDims(width, height, pass)
+        if (pw > 0 && ph > 0) {
+          val rb = rowBytesOf(pw)
+          val sub = defilter(raw, off, rb, ph, fbpp)
+          off += ph * (1 + rb)
+          val rowBuf = new Array[Int](pw * spp)
+          var j = 0
+          while (j < ph) {
+            unpackRow(sub, j * rb, pw * spp, depth, rowBuf, 0)
+            var i = 0
+            while (i < pw) {
+              var ch = 0
+              while (ch < spp) {
+                samples(((y0 + j * dy) * width + (x0 + i * dx)) * spp + ch) =
+                  rowBuf(i * spp + ch)
+                ch += 1
               }
-              j += 1
+              i += 1
             }
+            j += 1
           }
         }
-        full
       }
-    if (paletted) {
-      // PLTE lookup: indices → RGB triples; with tRNS, → RGBA (per-entry
-      // alpha, entries past the tRNS length implied fully opaque —
-      // spec §11.3.2 lets tRNS truncate after the last non-opaque entry)
-      val n = plte.length / 3
-      require(trns == null || trns.length <= n,
-        s"tRNS carries ${trns.length} alphas for $n palette entries")
-      val outCh = if (trns == null) 3 else 4
-      val out = new Array[Byte](width * height * outCh)
-      var p = 0
-      while (p < width * height) {
-        val idx = px(p) & 0xff
-        require(idx < n, s"palette index $idx outside PLTE ($n entries)")
-        out(p * outCh) = plte(idx * 3)
-        out(p * outCh + 1) = plte(idx * 3 + 1)
-        out(p * outCh + 2) = plte(idx * 3 + 2)
-        if (outCh == 4)
-          out(p * outCh + 3) =
-            if (idx < trns.length) trns(idx) else 255.toByte
-        p += 1
-      }
-      Image(width, height, outCh, out)
-    } else if (trns != null && colorTyp == 0) {
-      // gray color key: the keyed sample value reads fully transparent —
-      // expansion carries the alpha as data (gray → gray+alpha)
-      require(trns.length == 2, s"bad tRNS length ${trns.length} for gray")
-      val key = trns(1) & 0xff // depth 8: low byte of the 2-byte sample
-      val out = new Array[Byte](width * height * 2)
-      var p = 0
-      while (p < width * height) {
-        val g = px(p) & 0xff
-        out(p * 2) = px(p)
-        out(p * 2 + 1) = if (g == key) 0 else 255.toByte
-        p += 1
-      }
-      Image(width, height, 2, out)
-    } else if (trns != null && colorTyp == 2) {
-      // RGB color key → RGBA
-      require(trns.length == 6, s"bad tRNS length ${trns.length} for RGB")
-      val kr = trns(1) & 0xff; val kg = trns(3) & 0xff; val kb = trns(5) & 0xff
-      val out = new Array[Byte](width * height * 4)
-      var p = 0
-      while (p < width * height) {
-        val r = px(p * 3) & 0xff; val g = px(p * 3 + 1) & 0xff
-        val b = px(p * 3 + 2) & 0xff
-        out(p * 4) = px(p * 3)
-        out(p * 4 + 1) = px(p * 3 + 1)
-        out(p * 4 + 2) = px(p * 3 + 2)
-        out(p * 4 + 3) = if (r == kr && g == kg && b == kb) 0 else 255.toByte
-        p += 1
-      }
-      Image(width, height, 4, out)
-    } else Image(width, height, channels, px)
+    }
+    Decoded(width, height, channels, colorTyp, depth, paletted, plte, trns,
+      samples)
+  }
+
+  /** Spec §7.2 scanline deserialization: sub-byte samples MSB-first
+    * within a byte, 16-bit big-endian — one Int per sample. */
+  private def unpackRow(row: Array[Byte], base: Int, n: Int, depth: Int,
+                        out: Array[Int], outBase: Int): Unit = {
+    var s = 0
+    var bitPos = 0
+    while (s < n) {
+      out(outBase + s) =
+        if (depth == 16) {
+          val bi = base + bitPos / 8
+          ((row(bi) & 0xff) << 8) | (row(bi + 1) & 0xff)
+        } else if (depth == 8) row(base + bitPos / 8) & 0xff
+        else ((row(base + bitPos / 8) & 0xff) >>>
+          (8 - depth - bitPos % 8)) & ((1 << depth) - 1)
+      bitPos += depth
+      s += 1
+    }
   }
 
   /** Reconstruct one (sub-)image's scanlines from `raw` at `off` — the
-    * five-filter inverse, shared by the plain path and each Adam7 pass. */
-  private def defilter(raw: Array[Byte], off: Int, width: Int, height: Int,
+    * five-filter inverse, shared by the plain path and each Adam7 pass.
+    * `stride` = packed scanline bytes; `bpp` = the filter offset. */
+  private def defilter(raw: Array[Byte], off: Int, stride: Int, height: Int,
                        bpp: Int): Array[Byte] = {
-    val stride = width * bpp
     val px = new Array[Byte](stride * height)
     var y = 0
     while (y < height) {

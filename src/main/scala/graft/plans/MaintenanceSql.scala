@@ -121,8 +121,8 @@ object GraftSqlParser {
       """\s*;?\s*$""").r
 
   /** Resolve a three-part name through the session's catalog manager to
-    * the graft table's storage dir. */
-  private[plans] def dirOf(session: SparkSession, name: Seq[String]): String = {
+    * the graft table's storage dir (shared with the `table_changes` TVF). */
+  private[graft] def dirOf(session: SparkSession, name: Seq[String]): String = {
     require(name.length == 3,
       s"maintenance statements need a fully-qualified <catalog>.<db>.<table> " +
         s"name, got ${name.mkString(".")}")

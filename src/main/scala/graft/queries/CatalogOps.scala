@@ -679,7 +679,82 @@ object CatalogOps {
       |  SELECT 'hist', 'RARR_AA', 4, CAST(2 AS DOUBLE))
       |SELECT * FROM faces ORDER BY face, pri""".stripMargin
 
+  /** q313 — BATCH CHANGE DATA FEED from SQL text: Delta's
+    * `table_changes(name, from[, to])` TABLE-VALUED FUNCTION, injected
+    * through `SparkSessionExtensions.injectTableFunction` — the last
+    * CDF surface that wasn't reachable as a pure statement (the
+    * streaming feed is q290's `readChangeFeed`). Resolution happens at
+    * analysis time: the literal name goes through the session's catalog
+    * manager, the version range through [[TxnLog.changes]] — per-action
+    * derivation off the manifest (appends serve their own files; a CoW
+    * DELETE/UPDATE diffs only its EXCHANGED files — the file-granular
+    * bound that keeps CDF cheap at 100 TB; an update appears as its
+    * delete+insert pair).
+    *
+    * Lifecycle: two INSERTs (v1, v2 — 'insert' changes), a DELETE
+    * (v3 — 'delete'), an UPDATE doubling price on a slice (v4 — the
+    * delete+insert pair, old and new prices). Faces: `feed` aggregates
+    * the full (0, 4] range per (version, change type); `tail` drives
+    * the 2-arg form (to = current). Every row is closed-form in the
+    * source predicates, so the oracle restates the whole feed. */
+  def q313(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q313_wh").toString
+    s.conf.set("spark.sql.catalog.gcd", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcd.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcd.db")
+    s.sql("CREATE TABLE gcd.db.t (ok BIGINT, price DOUBLE, pri STRING)")
+    def sel(pred: String): String =
+      s"""SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM parquet.`$d/orders.parquet` WHERE $pred"""
+    s.sql(s"INSERT INTO gcd.db.t ${sel("o_orderkey % 4 = 0")}")        // v1
+    s.sql(s"INSERT INTO gcd.db.t ${sel("o_orderkey % 4 = 1")}")        // v2
+    s.sql("DELETE FROM gcd.db.t WHERE ok % 8 = 1")                     // v3
+    s.sql("UPDATE gcd.db.t SET price = price * 2 WHERE ok % 8 = 0")    // v4
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT 'feed' AS face, _commit_version AS v, _change_type AS t,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sp
+        |  FROM table_changes('gcd.db.t', 0, 4) GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT 'tail', _commit_version, _change_type, COUNT(*),
+        |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM table_changes('gcd.db.t', 2) GROUP BY 2, 3)
+        |ORDER BY face, v, t""".stripMargin)
+  }
+
+  val q313Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey AS ok, o_totalprice AS price FROM orders),
+      |i1 AS (SELECT * FROM b WHERE ok % 4 = 0),
+      |i2 AS (SELECT * FROM b WHERE ok % 4 = 1),
+      |d3 AS (SELECT * FROM i2 WHERE ok % 8 = 1),
+      |u4 AS (SELECT * FROM i1 WHERE ok % 8 = 0),
+      |chg AS (
+      |  SELECT CAST(1 AS BIGINT) AS v, 'insert' AS t, COUNT(*) AS n,
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sp FROM i1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'insert', COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) FROM i2
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'delete', COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) FROM d3
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), 'delete', COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) FROM u4
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), 'insert', COUNT(*),
+      |         CAST(SUM(CAST(price * 2 AS DECIMAL(18,4))) AS DOUBLE) FROM u4)
+      |SELECT * FROM (
+      |  SELECT 'feed' AS face, v, t, n, sp FROM chg
+      |  UNION ALL
+      |  SELECT 'tail', v, t, n, sp FROM chg WHERE v >= 3)
+      |ORDER BY face, v, t""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q313_sql_table_changes" -> ((q313 _, Some(q313Sql))),
     "q311_sql_restore_clone" -> ((q311 _, Some(q311Sql))),
     "q309_sql_table_metadata" -> ((q309 _, Some(q309Sql))),
     "q289_sql_catalog" -> ((q289 _, Some(q289Sql))),

@@ -809,6 +809,135 @@ object ImageQueries {
       |      FROM px GROUP BY id) m ON m.id = ids.id
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q312
+  /** PNG bit-depth e2e (round 12): the corpus through every depth class
+    * beyond 8 — 4-bit gray (left-bit-replication expansion, some
+    * Adam7), 2-bit palette (sub-byte indices), and 16-BIT RGB through
+    * the deep-color surface ([[PngCodec.encode16]]/[[PngCodec.decode16]]
+    * — full 16-bit samples, never silently halved). PNG is lossless at
+    * every depth, so each family gates BIT-EXACTLY: the oracle restates
+    * every sample value of every pixel relationally (closed-form in
+    * (x, y, c)), summed raw — a decoder off by one bit position, one
+    * replication step, or one byte of a 16-bit pair hash-fails. */
+  def q312(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val fam = ((sp.id % 9) / 3).toInt
+        val png = fam match {
+          case 0 => // 4-bit gray on the replication lattice
+            val px = Array.tabulate[Byte](sp.w * sp.h) { p =>
+              val x = p % sp.w; val y = p / sp.w
+              (((x * 5 + y * 3) % 16) * 17).toByte
+            }
+            PngCodec.encode(PngCodec.Image(sp.w, sp.h, 1, px),
+              interlaced = sp.id % 2 == 0, bitDepth = 4)
+          case 1 => // 2-bit palette, 4 colors
+            val px = new Array[Byte](sp.w * sp.h * 3)
+            var p = 0
+            while (p < sp.w * sp.h) {
+              val x = p % sp.w; val y = p / sp.w
+              val ci = (x + 2 * y) % 4
+              px(p * 3) = (ci * 60 + 15).toByte
+              px(p * 3 + 1) = (200 - ci * 50).toByte
+              px(p * 3 + 2) = (ci * ci * 31 % 256).toByte
+              p += 1
+            }
+            PngCodec.encode(PngCodec.Image(sp.w, sp.h, 3, px),
+              palette = true, bitDepth = 2)
+          case _ => // 16-bit RGB through the deep surface
+            val smp = new Array[Short](sp.w * sp.h * 3)
+            var p = 0
+            while (p < sp.w * sp.h) {
+              val x = p % sp.w; val y = p / sp.w
+              var c = 0
+              while (c < 3) {
+                smp(p * 3 + c) =
+                  ((x * (257 + c * 31) + y * 1031 + c * 7777) % 65536).toShort
+                c += 1
+              }
+              p += 1
+            }
+            PngCodec.encode16(PngCodec.Image16(sp.w, sp.h, 3, smp),
+              interlaced = sp.id % 2 == 0)
+        }
+        (sp.id, fam, png)
+      }
+      .map { case (id, fam, png) =>
+        var sampSum = 0L; var wsum = 0L; var w = 0; var h = 0; var ch = 0
+        if (fam == 2) {
+          val img = PngCodec.decode16(png)
+          w = img.width; h = img.height; ch = img.channels
+          var p = 0
+          while (p < w * h) {
+            val x = p % w; val y = p / w
+            var c = 0
+            while (c < ch) {
+              val v = img.samples(p * ch + c) & 0xffff
+              sampSum += v
+              wsum += v.toLong * (x + 1) * (3 * y + 7) * (c + 1)
+              c += 1
+            }
+            p += 1
+          }
+        } else {
+          val img = PngCodec.decode(png)
+          w = img.width; h = img.height; ch = img.channels
+          var p = 0
+          while (p < w * h) {
+            val x = p % w; val y = p / w
+            var c = 0
+            while (c < ch) {
+              val v = img.pixels(p * ch + c) & 0xff
+              sampSum += v
+              wsum += v.toLong * (x + 1) * (3 * y + 7) * (c + 1)
+              c += 1
+            }
+            p += 1
+          }
+        }
+        (id, fam, w, h, ch, sampSum, wsum)
+      }
+      .toDF("img_id", "fam", "w", "h", "ch", "samp_sum", "wsum")
+      .orderBy(col("img_id"))
+  }
+
+  val q312Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS id,
+      |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
+      |         CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+      |                   WHEN doc_id % 9 = 3 THEN 1 ELSE 2 END AS BIGINT) AS fam
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id, w, h, fam, gx.x AS x, gy.y AS y, gc.c AS c,
+      |         CASE WHEN fam = 0 THEN ((gx.x * 5 + gy.y * 3) % 16) * 17
+      |              WHEN fam = 1 THEN
+      |           CASE gc.c
+      |             WHEN 0 THEN ((gx.x + 2 * gy.y) % 4) * 60 + 15
+      |             WHEN 1 THEN 200 - ((gx.x + 2 * gy.y) % 4) * 50
+      |             ELSE ((gx.x + 2 * gy.y) % 4) * ((gx.x + 2 * gy.y) % 4)
+      |                  * 31 % 256
+      |           END
+      |              ELSE (gx.x * (257 + gc.c * 31) + gy.y * 1031
+      |                    + gc.c * 7777) % 65536
+      |         END AS v
+      |  FROM ids
+      |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 63) gy(y) ON gy.y < h
+      |  JOIN generate_series(0, 2) gc(c)
+      |    ON gc.c <= CASE WHEN fam = 0 THEN 0 ELSE 2 END)
+      |SELECT ids.id AS img_id, CAST(ids.fam AS INT) AS fam,
+      |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
+      |       CAST(CASE WHEN ids.fam = 0 THEN 1 ELSE 3 END AS INT) AS ch,
+      |       m.samp_sum, m.wsum
+      |FROM ids
+      |JOIN (SELECT id, CAST(SUM(v) AS BIGINT) AS samp_sum,
+      |             CAST(SUM(v * (x + 1) * (3 * y + 7) * (c + 1)) AS BIGINT) AS wsum
+      |      FROM px GROUP BY id) m ON m.id = ids.id
+      |ORDER BY img_id""".stripMargin
+
   // ---------------------------------------------------------------- q310
   /** CMYK JPEG e2e (Adobe APP14, print-pipeline class) + EXIF
     * orientation passthrough: a fixed 24-image CMYK workload (closed-
@@ -870,6 +999,7 @@ object ImageQueries {
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q310_image_jpeg_cmyk_e2e" -> ((q310 _, Some(Q310Golden.sql))),
+    "q312_image_png_bitdepth_e2e" -> ((q312 _, Some(q312Sql))),
     "q308_image_png_transparency_e2e" -> ((q308 _, Some(q308Sql))),
     "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
     "q307_image_png_interlaced_e2e" -> ((q307 _, Some(q293Sql))),

@@ -223,6 +223,11 @@ class FuzzSpec extends AnyFunSuite {
       else ((i * 7) % 6 * 40).toByte)
     val grayAlpha = graft.io.PngCodec.Image(12, 12, 2,
       Array.tabulate[Byte](12 * 12 * 2)(i => (i * 31).toByte))
+    // sub-byte and 16-bit fixtures walk the bit-unpack machinery
+    val gray4 = graft.io.PngCodec.Image(14, 10,
+      1, Array.tabulate[Byte](140)(i => ((i % 16) * 17).toByte))
+    val deep = graft.io.PngCodec.Image16(11, 9, 3,
+      Array.tabulate[Short](11 * 9 * 3)(i => (i * 4111).toShort))
     val fixtures = Seq(
       graft.io.PngCodec.encode(img),
       graft.io.PngCodec.encode(img, interlaced = true),
@@ -230,14 +235,27 @@ class FuzzSpec extends AnyFunSuite {
         interlaced = true, palette = true),
       graft.io.PngCodec.encode(graft.io.PngCodec.Image(16, 16, 4, rgbaPx),
         palette = true),
-      graft.io.PngCodec.encode(grayAlpha, interlaced = true))
+      graft.io.PngCodec.encode(grayAlpha, interlaced = true),
+      graft.io.PngCodec.encode(gray4, interlaced = true, bitDepth = 4),
+      graft.io.PngCodec.encode(graft.io.PngCodec.Image(14, 10, 1,
+        Array.tabulate[Byte](140)(i => ((i % 4) * 85).toByte)),
+        palette = true, bitDepth = 2),
+      graft.io.PngCodec.encode16(deep),
+      graft.io.PngCodec.encode16(deep, interlaced = true))
     def drivePng(bytes: Array[Byte]): Unit =
       try {
         val out = graft.io.PngCodec.decode(bytes)
         assert(out.width > 0 && out.height > 0 &&
           out.pixels.length == out.width * out.height * out.channels)
         assert(out.width.toLong * out.height <= (1L << 24))
-      } catch { case _: Exception => () } // loud refusal is in-contract
+      } catch { case _: Exception =>
+        // loud refusal is in-contract; a 16-bit stream may refuse HERE
+        // and still decode through the deep surface — drive it too
+        try {
+          val o16 = graft.io.PngCodec.decode16(bytes)
+          assert(o16.samples.length == o16.width * o16.height * o16.channels)
+        } catch { case _: Exception => () }
+      }
     fixtures.foreach { fx =>
       val mutated = for {
         cut <- Gen.chooseNum(8, fx.length)

@@ -250,6 +250,26 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("table_changes TVF: arity/literal/name validation; ranges compose") {
+    val (t, dir) = fresh("cdf")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(0, 20)")   // v1
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(20, 30)")  // v2
+    val full = spark.sql(s"SELECT * FROM table_changes('$t', 0, 2)")
+    assert(full.count() == 30L)
+    assert(full.columns.contains("_change_type") &&
+      full.columns.contains("_commit_version"))
+    // 2-arg form reads to the current head
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM table_changes('$t', 1)")
+      .head().getLong(0) == 10L)
+    // non-literal args refuse at analysis
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM table_changes('$t', (SELECT 1))").collect())
+    assert(e.getMessage.contains("literal"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('bare', 0)").collect())
+    assert(e2.getMessage.contains("fully-qualified"))
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
