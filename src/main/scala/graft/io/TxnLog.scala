@@ -545,11 +545,78 @@ object TxnLog {
         val fromCkpt = parseStatsLines(
           new String(Files.readAllBytes(checkpointPath(dir, cv)), "UTF-8")
             .split("\n").filter(_.startsWith("Z ")).map(_.drop(2)).mkString("\n"))
-        val after = manifests(dir).toVector.filter(_._1 > cv)
+        // `>= cv`, not `> cv`: [[analyzeStats]] MERGES new zone maps into
+        // the HEAD version's sidecar, which may be the checkpointed
+        // version itself — re-reading cv's sidecar costs one duplicate
+        // line set (consumers key by (rel, col); the later, possibly
+        // tighter analyze line wins) and keeps post-checkpoint analyzes
+        // visible. Only sidecars strictly BELOW cv are archivable.
+        val after = manifests(dir).toVector.filter(_._1 >= cv)
           .flatMap { case (v, _) => statsSidecar(dir, v) }
         fromCkpt ++ after
       case None => allStats(dir)
     }
+
+  /** ANALYZE: build min/max zone maps for the CURRENT snapshot's files
+    * WITHOUT rewriting a byte — the statement a 100 TB table that was
+    * ingested before stats existed (or arrived via clone/migration)
+    * needs: one metadata-sized job over the visible files (per-file
+    * min/max, grouped by input file — result is files × columns rows),
+    * merged into the HEAD version's sidecar (new lines win over stale
+    * ones for the same (file, column)). Visibility composes with the
+    * two-level layer: [[statsTwoLevel]] reads sidecars from the newest
+    * checkpoint's version onward, so an analyze AFTER a head checkpoint
+    * still plans. Stats are ADVISORY metadata — a racing writer's new
+    * files simply aren't covered (analyze again), and pruning by stored
+    * rows is sound under pending delete vectors (vectors only remove
+    * rows). Partition columns refuse: their values are dir-encoded and
+    * [[scanPruned]] already prunes them from the path. Returns the
+    * number of (file, column) zone-map entries now covering the head. */
+  def analyzeStats(spark: SparkSession, dir: String,
+                   statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "analyzeStats needs at least one column")
+    val v = currentVersion(dir)
+    val snap = snapshotAt(dir, Long.MaxValue)
+    require(snap.renames.isEmpty && snap.drops.isEmpty,
+      "analyze on an un-materialized column mapping: compact first")
+    require(snap.files.nonEmpty, s"nothing committed in $dir")
+    statsCols.foreach { c =>
+      require(!snap.files.exists(f => partValue(f, c).isDefined),
+        s"column $c is dir-encoded (partition column): its values prune " +
+          "from the file PATH already — analyze covers data columns")
+    }
+    val byAbs: Map[String, String] =
+      snap.files.map(rel => resolve(dir, rel) -> rel).toMap
+    val withRel = spark.read.option("mergeSchema", "true")
+      .parquet(byAbs.keys.toSeq: _*)
+      .withColumn("__f", input_file_name())
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    val rows = withRel.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+      .collect() // files-sized: metadata, never data
+    val fresh = rows.toVector.flatMap { r =>
+      val abs = new java.net.URI(r.getAs[String]("__f")).getPath
+      val rel = byAbs.getOrElse(abs, throw new IllegalStateException(
+        s"scanned file $abs is not in the snapshot"))
+      statsCols.flatMap { c =>
+        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+        if (mn == null || mx == null) None // all-null file: no entry
+        else Some(s"$rel\t$c\t$mn\t$mx")
+      }
+    }
+    val freshKeys = fresh.map(l => l.split("\t").take(2).mkString("\t")).toSet
+    val kept = statsSidecar(dir, v).collect {
+      case (rel, c, mn, mx) if !freshKeys(s"$rel\t$c") => s"$rel\t$c\t$mn\t$mx"
+    }
+    val lines = kept ++ fresh
+    val tmp = Files.createTempFile(logDir(dir), ".stats-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.move(tmp, statsPath(dir, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fresh.size.toLong
+  }
 
   /** A pruned scan: the DataFrame plus how many of the visible files its
     * plan actually reads. */

@@ -69,6 +69,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCloneCommand(split(dst), split(src), Some(v.toLong))
     case ShallowClone(dst, src) =>
       GraftCloneCommand(split(dst), split(src), None)
+    case AnalyzeStats(t, cols) if t.split('.').length == 3 =>
+      // three-part graft names only — Spark's own ANALYZE TABLE keeps
+      // session-catalog (1/2-part) names untouched
+      GraftAnalyzeCommand(split(t),
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -119,6 +124,9 @@ object GraftSqlParser {
   private[plans] val ShallowClone: Regex =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + id + """\s+SHALLOW\s+CLONE\s+""" + id +
       """\s*;?\s*$""").r
+  private[plans] val AnalyzeStats: Regex =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + id +
+      """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+\(?\s*([\w,\s]+?)\s*\)?\s*;?\s*$""").r
 
   /** Resolve a three-part name through the session's catalog manager to
     * the graft table's storage dir (shared with the `table_changes` TVF). */
@@ -314,6 +322,29 @@ case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
       session.read.parquet(TxnLog.fileScanPlan(srcDir)._2.head).schema)
     cat.persistCloneMeta(dstDir, schema)
     Seq(Row(v, TxnLog.fileScanPlan(dstDir)._2.size.toLong))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS c1[, c2...]` — build
+  * min/max zone maps for the CURRENT snapshot's files without rewriting
+  * a byte ([[TxnLog.analyzeStats]]): the statement that gives an
+  * inherited/migrated 100 TB table manifest-level file skipping. One
+  * metadata-sized job per call; partition columns refuse (their values
+  * already prune from the path). Emits (version, n_entries). */
+case class GraftAnalyzeCommand(name: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_entries", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    val partCols = GraftSqlTable.storedPartCols(dir).toSet
+    val bad = cols.filter(partCols)
+    require(bad.isEmpty,
+      s"partition column(s) ${bad.mkString(", ")} prune from the file " +
+        "path already — ANALYZE covers data columns")
+    val n = TxnLog.analyzeStats(session, dir, cols)
+    Seq(Row(TxnLog.currentVersion(dir), n))
   }
 }
 

@@ -753,7 +753,65 @@ object CatalogOps {
       |  SELECT 'tail', v, t, n, sp FROM chg WHERE v >= 3)
       |ORDER BY face, v, t""".stripMargin
 
+  /** q314 — `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` as a
+    * STATEMENT: build manifest-level zone maps for files that were
+    * written WITHOUT stats — the inherited/migrated-table story q223's
+    * writer-known sidecars can't cover (at 100 TB you cannot rewrite the
+    * table to get file skipping; one metadata-sized job per call). The
+    * fixture lands three year-disjoint INSERTs through the catalog (no
+    * sidecars exist), probes [1997, 1998] BEFORE the statement (no
+    * pruning: planned == total — proving ANALYZE is what enables the
+    * skipping), runs the statement, and probes again (planned < total,
+    * ≥1 kept). Faces: `ledger` folds the before/after pruning arithmetic
+    * and the statement's coverage count (n_entries == visible files)
+    * into one flag; `rows` is the pruned scan's aggregate — exactly the
+    * full-table filter (pruning soundness, hash-exact). */
+  def q314(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q314_wh").toString
+    s.conf.set("spark.sql.catalog.gan", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gan.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gan.db")
+    s.sql("CREATE TABLE gan.db.ord (ok BIGINT, price DOUBLE, oyear BIGINT)")
+    def ins(pred: String): Unit = {
+      s.sql(s"""INSERT INTO gan.db.ord
+        SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT)
+        FROM parquet.`$d/orders.parquet` WHERE year(o_orderdate) $pred"""); ()
+    }
+    ins("<= 1995"); ins("IN (1996, 1997)"); ins(">= 1998")
+    val dir = s"$wh/db/ord"
+    val pre = TxnLog.scanPruned(s, dir, "oyear", 1997L, 1998L)
+    val res = s.sql(
+      "ANALYZE TABLE gan.db.ord COMPUTE STATISTICS FOR COLUMNS oyear").head()
+    val post = TxnLog.scanPruned(s, dir, "oyear", 1997L, 1998L)
+    val ok = pre.plannedFiles == pre.totalFiles && // nothing skippable before
+      post.plannedFiles < post.totalFiles &&       // files dropped at planning
+      post.plannedFiles >= 1 &&
+      res.getLong(1) == post.totalFiles.toLong     // every visible file covered
+    val rows = post.df.groupBy(col("oyear"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)").as("rev"))
+      .select(lit("rows").as("face"), col("oyear"), col("n"), col("rev"))
+    rows.unionByName(s.sql(s"""SELECT 'ledger' AS face,
+        CAST(0 AS BIGINT) AS oyear, CAST(${if (ok) 1 else 0} AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS rev"""))
+      .orderBy(col("face"), col("oyear"))
+  }
+
+  val q314Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'ledger' AS face, CAST(0 AS BIGINT) AS oyear,
+      |         CAST(1 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS rev
+      |  UNION ALL
+      |  SELECT 'rows', CAST(year(o_orderdate) AS BIGINT), COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM orders WHERE year(o_orderdate) BETWEEN 1997 AND 1998
+      |  GROUP BY 2)
+      |ORDER BY face, oyear""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q314_sql_analyze_stats" -> ((q314 _, Some(q314Sql))),
     "q313_sql_table_changes" -> ((q313 _, Some(q313Sql))),
     "q311_sql_restore_clone" -> ((q311 _, Some(q311Sql))),
     "q309_sql_table_metadata" -> ((q309 _, Some(q309Sql))),

@@ -270,6 +270,46 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("fully-qualified"))
   }
 
+  test("ANALYZE TABLE builds zone maps with no rewrite; visible past a head checkpoint") {
+    val (t, dir) = fresh("anlz")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 10, id FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 10, id FROM range(5000, 6000)")
+    val pre = TxnLog.scanPruned(spark, dir, "y", 0L, 999L)
+    assert(pre.plannedFiles == pre.totalFiles, "no stats yet: nothing skippable")
+    val dataDirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_ != "_txnlog").sorted.toSeq
+    // checkpoint AT the head first — the analyze must still reach
+    // planning (statsTwoLevel reads sidecars from the checkpoint version
+    // onward, not strictly after it)
+    TxnLog.checkpoint(dir)
+    val r = spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS y").head()
+    assert(r.getLong(1) == pre.totalFiles.toLong, "every visible file covered")
+    val post = TxnLog.scanPruned(spark, dir, "y", 0L, 999L)
+    assert(post.plannedFiles < post.totalFiles && post.plannedFiles >= 1)
+    assert(post.df.count() == 1000L, "pruning soundness: exact rowset")
+    // ANALYZE moved zero data bytes
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_ != "_txnlog").sorted.toSeq == dataDirs)
+    // a later INSERT's files are uncovered until the next analyze
+    spark.sql(s"INSERT INTO $t SELECT id, id % 10, id FROM range(9000, 9100)")
+    val stale = TxnLog.scanPruned(spark, dir, "y", 0L, 999L)
+    assert(stale.plannedFiles > post.plannedFiles, "new files always kept")
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS y").collect()
+    val again = TxnLog.scanPruned(spark, dir, "y", 0L, 999L)
+    assert(again.plannedFiles == post.plannedFiles)
+  }
+
+  test("ANALYZE refuses partition columns (path prunes them already)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_anlzp").toString
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("CREATE TABLE gm.db.apt (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gm.db.apt SELECT id, CAST(id % 3 AS STRING) FROM range(0, 30)")
+    val e = intercept[Exception](
+      spark.sql("ANALYZE TABLE gm.db.apt COMPUTE STATISTICS FOR COLUMNS p").collect())
+    assert(e.getMessage.contains("partition column"))
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
