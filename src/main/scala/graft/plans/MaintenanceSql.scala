@@ -359,9 +359,18 @@ case class GraftVacuumCommand(name: Seq[String], retainVersions: Option[Int])
     Seq(AttributeReference("reclaimed", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.dirOf(session, name)
-    val retain = retainVersions.getOrElse(throw new IllegalArgumentException(
-      "bare VACUUM would drop ALL history below the head: state the " +
-        "retention explicitly — VACUUM <table> RETAIN <n> VERSIONS"))
+    // bare VACUUM consults the table's own retention property first —
+    // the Delta `deletedFileRetentionDuration` pattern in version-count
+    // terms: a table can carry its policy, and only a table with NEITHER
+    // an explicit clause NOR a stored policy refuses
+    val stored = GraftSqlTable.storedProps(dir)
+      .get("graft.vacuum.retainVersions").map(_.toInt)
+    val retain = retainVersions.orElse(stored).getOrElse(
+      throw new IllegalArgumentException(
+        "bare VACUUM would drop ALL history below the head: state the " +
+          "retention explicitly — VACUUM <table> RETAIN <n> VERSIONS — or " +
+          "store a policy: ALTER TABLE ... SET TBLPROPERTIES" +
+          "('graft.vacuum.retainVersions'='<n>')"))
     require(retain >= 1, s"RETAIN must be >= 1 version, got $retain")
     Seq(Row(TxnLog.vacuum(dir, retain).size.toLong))
   }

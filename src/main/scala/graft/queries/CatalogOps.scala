@@ -810,7 +810,73 @@ object CatalogOps {
       |  GROUP BY 2)
       |ORDER BY face, oyear""".stripMargin
 
+  /** q315 — TABLE PROPERTIES end-to-end, and a property with TEETH:
+    * `TBLPROPERTIES` at CREATE, `ALTER TABLE ... SET/UNSET
+    * TBLPROPERTIES`, and `SHOW TBLPROPERTIES` all ride Spark's OWN DSv2
+    * grammar (the catalog persists a properties file next to the DDL
+    * schema and serves it through `Table.properties()` — zero parser
+    * code), and `graft.vacuum.retainVersions` is read by bare `VACUUM`
+    * as the table's stored retention policy (Delta's
+    * deletedFileRetentionDuration pattern in version-count terms — the
+    * policy travels WITH the table, so every operator vacuums it
+    * consistently). Lifecycle: create-with-properties → two OVERWRITEs
+    * (history to reclaim) → SET adds a property, UNSET removes one →
+    * bare VACUUM succeeds off the stored policy. Faces: `prop:*` = the
+    * exact SHOW TBLPROPERTIES rows after the edits; `vacuum` folds
+    * (reclaimed ≥ 1, floor == 3, below-floor read refuses) into one
+    * flag with the floor pinned; `data` = the surviving rowset. */
+  def q315(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q315_wh").toString
+    s.conf.set("spark.sql.catalog.gtp", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gtp.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gtp.db")
+    s.sql("""CREATE TABLE gtp.db.t (ok BIGINT, price DOUBLE)
+      TBLPROPERTIES('graft.vacuum.retainVersions'='1', 'team'='curation')""")
+    def sel(m: Int): String =
+      s"""SELECT o_orderkey, o_totalprice
+         FROM parquet.`$d/orders.parquet` WHERE o_orderkey % $m = 0"""
+    s.sql(s"INSERT INTO gtp.db.t ${sel(3)}")            // v1
+    s.sql(s"INSERT OVERWRITE gtp.db.t ${sel(9)}")       // v2 (R)
+    s.sql(s"INSERT OVERWRITE gtp.db.t ${sel(27)}")      // v3 (R)
+    s.sql("ALTER TABLE gtp.db.t SET TBLPROPERTIES('quality'='gold')")
+    s.sql("ALTER TABLE gtp.db.t UNSET TBLPROPERTIES('team')")
+    val reclaimed = s.sql("VACUUM gtp.db.t").head().getLong(0) // stored policy
+    val dir = s"$wh/db/t"
+    val belowFloorRefuses =
+      try { s.sql("SELECT * FROM gtp.db.t VERSION AS OF 2").collect(); false }
+      catch { case _: Exception => true }
+    val vacuumOk = reclaimed >= 1 && TxnLog.minVersion(dir) == 3L &&
+      belowFloorRefuses
+    s.sql("SHOW TBLPROPERTIES gtp.db.t")
+      .select(concat(lit("prop:"), col("key"), lit("="), col("value")).as("face"),
+        lit(0L).as("n"), lit(null).cast("double").as("x"))
+      .unionByName(s.sql(s"""SELECT 'vacuum' AS face,
+        CAST(${if (vacuumOk) 1 else 0} AS BIGINT) AS n,
+        CAST(${TxnLog.minVersion(dir)} AS DOUBLE) AS x"""))
+      .unionByName(s.sql("""SELECT 'data' AS face, COUNT(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS x
+        FROM gtp.db.t"""))
+      .orderBy(col("face"))
+  }
+
+  val q315Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'prop:graft.vacuum.retainVersions=1' AS face,
+      |         CAST(0 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x
+      |  UNION ALL
+      |  SELECT 'prop:quality=gold', 0, CAST(NULL AS DOUBLE)
+      |  UNION ALL
+      |  SELECT 'vacuum', 1, CAST(3 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT 'data', COUNT(*),
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 27 = 0)
+      |ORDER BY face""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q315_sql_tblproperties" -> ((q315 _, Some(q315Sql))),
     "q314_sql_analyze_stats" -> ((q314 _, Some(q314Sql))),
     "q313_sql_table_changes" -> ((q313 _, Some(q313Sql))),
     "q311_sql_restore_clone" -> ((q311 _, Some(q311Sql))),

@@ -193,7 +193,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     persistMeta(dir, schema, partCols)
+    GraftSqlTable.persistProps(dir, userProps(properties))
     new GraftSqlTable(dir, s"$catName.${ident.toString}", None)
+  }
+
+  /** The DSv2 properties map mixes the user's TBLPROPERTIES with Spark's
+    * implementation details (provider/location/owner/...) — persist only
+    * the user's. */
+  private def userProps(properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap.filter { case (k, _) =>
+      !GraftSqlTable.SparkInternalProps(k) && !k.startsWith("option.")
+    }
   }
 
   // ---- StagingTableCatalog: atomic CTAS / REPLACE / CREATE OR REPLACE ----
@@ -213,24 +224,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    stage(ident, schema, partitions, existedBefore = false)
+    stage(ident, schema, partitions, existedBefore = false, properties)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    stage(ident, schema, partitions, existedBefore = true)
+    stage(ident, schema, partitions, existedBefore = true, properties)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable =
-    stage(ident, schema, partitions, existedBefore = tableExists(ident))
+    stage(ident, schema, partitions, existedBefore = tableExists(ident), properties)
 
   private def stage(ident: Identifier, schema: StructType,
-                    partitions: Array[Transform],
-                    existedBefore: Boolean): StagedTable = {
+                    partitions: Array[Transform], existedBefore: Boolean,
+                    properties: util.Map[String, String]): StagedTable = {
     val partCols = identityPartCols(partitions, schema)
     val dir = dirOf(ident)
     // the staging write needs a directory to land files in; for a NEW
@@ -238,7 +249,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // REPLACE the existing dir is untouched until commit
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     new StagedGraftTable(this, s"$catName.${ident.toString}", dir, schema,
-      partCols, existedBefore)
+      partCols, existedBefore, userProps(properties))
   }
 
   /** SQL schema evolution (round 10):
@@ -287,6 +298,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         TxnLog.dropColumn(dir, d.fieldNames()(0))
         GraftSqlTable.storedSchema(dir).foreach(s => persist(StructType(
           s.fields.filterNot(_.name == d.fieldNames()(0)))))
+      case s: TableChange.SetProperty => // ALTER TABLE ... SET TBLPROPERTIES
+        GraftSqlTable.persistProps(dir,
+          GraftSqlTable.storedProps(dir) + (s.property -> s.value))
+      case r: TableChange.RemoveProperty => // ... UNSET TBLPROPERTIES
+        GraftSqlTable.persistProps(dir,
+          GraftSqlTable.storedProps(dir) - r.property)
       case c => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: $c")
     }
@@ -388,6 +405,48 @@ private[graft] object GraftSqlTable {
     else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       .split("\n").filter(_.nonEmpty).toSeq
   }
+
+  /** Table properties (`TBLPROPERTIES` at CREATE, `ALTER TABLE ...
+    * SET/UNSET TBLPROPERTIES` after) — catalog-owned metadata like the
+    * DDL schema, persisted as a java.util.Properties file (JDK escaping
+    * handles arbitrary values; atomic move on write). Spark's own
+    * `SHOW TBLPROPERTIES` statement serves straight from these via
+    * [[GraftSqlTable.properties]]; the engine reads
+    * `graft.vacuum.retainVersions` as the bare-VACUUM default. */
+  def storedProps(dir: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(dir, "_txnlog", "_properties")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+  }
+
+  /** Spark feeds DSv2 implementation details through the same map the
+    * user's TBLPROPERTIES travel in — keep only the user's. */
+  private[sources] val SparkInternalProps: Set[String] =
+    Set("provider", "location", "owner", "external", "is_managed_location")
+
+  def persistProps(dir: String, props: Map[String, String]): Unit = {
+    val ld = java.nio.file.Paths.get(dir, "_txnlog")
+    java.nio.file.Files.createDirectories(ld)
+    val target = ld.resolve("_properties")
+    if (props.isEmpty) { java.nio.file.Files.deleteIfExists(target); () }
+    else {
+      val jp = new java.util.Properties()
+      props.foreach { case (k, v) => jp.setProperty(k, v) }
+      val tmp = java.nio.file.Files.createTempFile(ld, ".props-", ".tmp")
+      val out = java.nio.file.Files.newOutputStream(tmp)
+      try jp.store(out, null) finally out.close()
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+  }
 }
 
 /** One resolved (table dir, optional time-travel version). Reads delegate
@@ -407,6 +466,13 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
   private[graft] def timeTravel: Option[Long] = asOf
 
   override def name(): String = ident
+
+  /** Served straight from the persisted catalog metadata — Spark's own
+    * `SHOW TBLPROPERTIES` statement reads this map for DSv2 tables. */
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    GraftSqlTable.storedProps(dir).asJava
+  }
 
   /** HEAD resolutions serve the files-inferred schema reconciled with
     * the stored DDL schema: stored fields lead (in DDL order — they may
@@ -555,7 +621,8 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
 private[sources] class StagedGraftTable(cat: GraftCatalog, ident: String,
                                         dir: String, newSchema: StructType,
                                         partCols: Seq[String],
-                                        existedBefore: Boolean)
+                                        existedBefore: Boolean,
+                                        props: Map[String, String])
     extends StagedTable with SupportsWrite {
 
   @volatile private var staged: Vector[String] = Vector.empty
@@ -591,6 +658,9 @@ private[sources] class StagedGraftTable(cat: GraftCatalog, ident: String,
     // boundary. A bare REPLACE TABLE (no AS SELECT) stages nothing and
     // commits an empty R — the truncate-to-new-schema semantics.
     cat.persistMeta(dir, newSchema, partCols)
+    // REPLACE resets properties to the new statement's TBLPROPERTIES
+    // (Delta's REPLACE semantics) — stale knobs must not survive a swap
+    GraftSqlTable.persistProps(dir, props)
     TxnLog.claimStagedReplace(dir, staged)
     ()
   }

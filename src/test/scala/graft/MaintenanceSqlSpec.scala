@@ -310,6 +310,28 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("TBLPROPERTIES: create/set/unset persist; REPLACE resets; vacuum policy") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_props").toString
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("""CREATE TABLE gm.db.pt2 (k BIGINT)
+      TBLPROPERTIES('a'='1', 'graft.vacuum.retainVersions'='2')""")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES gm.db.pt2").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props() == Map("a" -> "1", "graft.vacuum.retainVersions" -> "2"))
+    spark.sql("ALTER TABLE gm.db.pt2 SET TBLPROPERTIES('b'='x', 'a'='2')")
+    spark.sql("ALTER TABLE gm.db.pt2 UNSET TBLPROPERTIES('graft.vacuum.retainVersions')")
+    assert(props() == Map("a" -> "2", "b" -> "x"))
+    // policy removed → bare VACUUM refuses again, naming both outs
+    spark.sql("INSERT INTO gm.db.pt2 SELECT id FROM range(0, 10)")
+    val e = intercept[Exception](spark.sql("VACUUM gm.db.pt2").collect())
+    assert(e.getMessage.contains("TBLPROPERTIES"))
+    // REPLACE resets properties to the new statement's (none here)
+    spark.sql("REPLACE TABLE gm.db.pt2 AS SELECT id AS k FROM range(0, 5)")
+    assert(props().isEmpty, "stale properties must not survive a REPLACE")
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
