@@ -2285,6 +2285,65 @@ object TxnLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** CONVERT IN PLACE (Delta's `CONVERT TO DELTA`): turn a directory of
+    * EXISTING parquet files into a txn-log table by LISTING them into the
+    * first manifest — zero bytes rewritten, which is the only viable
+    * migration for 100 TB of historical parquet. Flat layout: every
+    * `*.parquet` under `dir` (any nesting; `_`-prefixed artifacts like
+    * `_SUCCESS` ignored) becomes a v1 entry. Hive layout (`partCols`
+    * non-empty): the top-level `col=val` directories MOVE under `pdata/`
+    * — one rename per partition directory, zero data bytes — because
+    * that is the shared-basePath tree the catalog's partitioned commits
+    * already use, so post-convert INSERTs, partition pruning and SHOW
+    * PARTITIONS compose with the converted files as if the engine had
+    * written them. Refuses an already-converted dir, an empty dir, a
+    * flat convert over a hive tree (and vice versa). Returns v1. */
+  def convertInPlace(dir: String, partCols: Seq[String] = Nil): Long = {
+    require(!Files.exists(logDir(dir)),
+      s"$dir is already a txnlog table (CONVERT is for plain parquet)")
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"no such directory: $dir")
+    def walk(p: Path): Vector[Path] =
+      listDir(p).toVector.flatMap { c =>
+        val n = c.getFileName.toString
+        if (n.startsWith("_") || n.startsWith(".")) Vector.empty
+        else if (Files.isDirectory(c)) walk(c)
+        else if (n.endsWith(".parquet")) Vector(c)
+        else Vector.empty
+      }
+    if (partCols.isEmpty) {
+      val leaves = walk(root)
+      require(leaves.nonEmpty, s"no parquet files under $dir")
+      val rels = leaves.map(p => root.relativize(p).toString)
+      require(!rels.exists(_.split('/').exists(_.contains('='))),
+        "directory carries hive col=val segments: convert with " +
+          "PARTITIONED BY so the layout registers as partitioned")
+      require(tryClaim(dir, 1, "A", rels), s"convert race lost on $dir")
+      1L
+    } else {
+      val top = listDir(root).filter(Files.isDirectory(_))
+        .filterNot(_.getFileName.toString.startsWith("_"))
+      val hive = top.filter(_.getFileName.toString.contains('='))
+      require(hive.nonEmpty,
+        s"PARTITIONED BY ${partCols.mkString(",")} needs top-level " +
+          "col=val directories")
+      require(hive.forall(
+        _.getFileName.toString.startsWith(partCols.head + "=")),
+        s"top-level directories must partition by ${partCols.head}")
+      val pdata = root.resolve("pdata")
+      Files.createDirectories(pdata)
+      hive.foreach { d =>
+        Files.move(d, pdata.resolve(d.getFileName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      val leaves = walk(pdata)
+      require(leaves.nonEmpty, s"no parquet files under $dir's partitions")
+      val rels = leaves.map(p => root.relativize(p).toString)
+      require(tryClaim(dir, 1, "A", rels), s"convert race lost on $dir")
+      1L
+    }
+  }
+
   /** RESTORE: roll the table back to `toVersion` AS A NEW COMMIT — the
     * undo operation (bad ingest, fat-fingered delete) that keeps history
     * linear: nothing is erased, the restored state simply becomes the

@@ -69,6 +69,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCloneCommand(split(dst), split(src), Some(v.toLong))
     case ShallowClone(dst, src) =>
       GraftCloneCommand(split(dst), split(src), None)
+    case ConvertPart(t, cols) =>
+      GraftConvertCommand(split(t),
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    case Convert(t) =>
+      GraftConvertCommand(split(t), Nil)
     case AnalyzeStats(t, cols) if t.split('.').length == 3 =>
       // three-part graft names only — Spark's own ANALYZE TABLE keeps
       // session-catalog (1/2-part) names untouched
@@ -124,6 +129,11 @@ object GraftSqlParser {
   private[plans] val ShallowClone: Regex =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + id + """\s+SHALLOW\s+CLONE\s+""" + id +
       """\s*;?\s*$""").r
+  private[plans] val ConvertPart: Regex =
+    ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+""" + id +
+      """\s+PARTITIONED\s+BY\s*\(\s*([\w,\s]+?)\s*\)\s*;?\s*$""").r
+  private[plans] val Convert: Regex =
+    ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+""" + id + """\s*;?\s*$""").r
   private[plans] val AnalyzeStats: Regex =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + id +
       """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+\(?\s*([\w,\s]+?)\s*\)?\s*;?\s*$""").r
@@ -322,6 +332,45 @@ case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
       session.read.parquet(TxnLog.fileScanPlan(srcDir)._2.head).schema)
     cat.persistCloneMeta(dstDir, schema)
     Seq(Row(v, TxnLog.fileScanPlan(dstDir)._2.size.toLong))
+  }
+}
+
+/** `CONVERT TO GRAFT <cat>.<db>.<t> [PARTITIONED BY (cols)]` — Delta's
+  * CONVERT TO DELTA: turn a directory of EXISTING parquet (already at
+  * the identifier's warehouse path — dropped there by a copy, a rename,
+  * or a historical pipeline) into a catalog table by LISTING the files
+  * into the first manifest ([[TxnLog.convertInPlace]]) — zero bytes
+  * rewritten, the only viable migration for 100 TB of historical
+  * parquet. Hive layouts convert with PARTITIONED BY: the top-level
+  * `col=val` dirs move under `pdata/` (one rename each), landing the
+  * EXACT tree the catalog's partitioned commits use — post-convert
+  * INSERTs, pruning, SHOW PARTITIONS and time travel all compose as if
+  * the engine had written the data. Emits (version, n_files). */
+case class GraftConvertCommand(name: Seq[String], partCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(name.length == 3, s"CONVERT needs a fully-qualified " +
+      s"<catalog>.<db>.<table> name, got ${name.mkString(".")}")
+    val cat = session.sessionState.catalogManager.catalog(name.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"'${name.head}' is not a graft catalog (${other.getClass.getSimpleName})")
+    }
+    val ident = Identifier.of(Array(name(1)), name(2))
+    require(!cat.tableExists(ident),
+      s"${name.mkString(".")} is already a table")
+    val dir = cat.tableDirFor(ident)
+    val v = TxnLog.convertInPlace(dir, partCols)
+    // register catalog metadata off the files themselves (hive reads
+    // through pdata so the partition column lands in the schema)
+    val schema =
+      if (partCols.isEmpty) session.read.parquet(dir).schema
+      else session.read.parquet(s"$dir/pdata").schema
+    cat.persistMetaFor(dir, schema, partCols)
+    Seq(Row(v, TxnLog.fileScanPlan(dir)._2.size.toLong))
   }
 }
 

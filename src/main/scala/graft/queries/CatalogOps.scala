@@ -875,7 +875,84 @@ object CatalogOps {
       |  FROM orders WHERE o_orderkey % 27 = 0)
       |ORDER BY face""".stripMargin
 
+  /** q316 — `CONVERT TO GRAFT`: the MIGRATION statement (Delta's CONVERT
+    * TO DELTA). Plain parquet written by ordinary `df.write.parquet` —
+    * one flat directory, one hive-partitioned tree — becomes two catalog
+    * tables by LISTING the existing files into first manifests: zero
+    * bytes rewritten (at 100 TB, rewriting history is not a migration
+    * path). The hive tree's `col=val` dirs move under `pdata/` (one
+    * rename each) so they land the EXACT layout the catalog's
+    * partitioned commits use. Everything then composes as if the engine
+    * had written the data: post-convert INSERTs append (flat bridge /
+    * shared-pdata), `VERSION AS OF 1` serves exactly the converted
+    * files, SHOW PARTITIONS lists the imported partitions. Faces:
+    *   - `flat`/`part`: per-priority rollups of both tables AFTER their
+    *     post-convert appends (converted ∪ appended rows, hash-exact)
+    *   - `tt`: the flat table `VERSION AS OF 1` — the converted slice
+    *   - `parts`: live-partition census of the hive import */
+  def q316(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q316_wh").toString
+    s.conf.set("spark.sql.catalog.gcv", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcv.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcv.db")
+    val src = s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey").as("ok"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("pri"))
+    // historical parquet, written by a pre-engine pipeline
+    src.filter(col("ok") % 3 === 0).write.parquet(s"$wh/db/raw")
+    src.filter(col("ok") % 3 === 1).write.partitionBy("pri")
+      .parquet(s"$wh/db/rawp")
+    s.sql("CONVERT TO GRAFT gcv.db.raw")
+    s.sql("CONVERT TO GRAFT gcv.db.rawp PARTITIONED BY (pri)")
+    def sel(pred: String): String =
+      s"""SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM parquet.`$d/orders.parquet` WHERE $pred"""
+    s.sql(s"INSERT INTO gcv.db.raw ${sel("o_orderkey % 9 = 2")}")
+    s.sql(s"INSERT INTO gcv.db.rawp ${sel("o_orderkey % 9 = 4")}")
+    def face(from: String, tag: String): DataFrame = s.sql(
+      s"""SELECT '$tag' AS face, pri, COUNT(*) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sp
+         FROM $from GROUP BY pri""")
+    val nParts = s.sql("SHOW PARTITIONS gcv.db.rawp").count()
+    face("gcv.db.raw", "flat")
+      .unionByName(face("gcv.db.rawp", "part"))
+      .unionByName(face("gcv.db.raw VERSION AS OF 1", "tt"))
+      .unionByName(s.sql(s"""SELECT 'parts' AS face, '' AS pri,
+        CAST($nParts AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sp"""))
+      .orderBy(col("face"), col("pri"))
+  }
+
+  val q316Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey AS ok, o_totalprice AS price,
+      |         o_orderpriority AS pri FROM orders),
+      |flat AS (
+      |  SELECT * FROM b WHERE ok % 3 = 0
+      |  UNION ALL SELECT * FROM b WHERE ok % 9 = 2),
+      |part AS (
+      |  SELECT * FROM b WHERE ok % 3 = 1
+      |  UNION ALL SELECT * FROM b WHERE ok % 9 = 4),
+      |faces AS (
+      |  SELECT 'flat' AS face, pri, COUNT(*) AS n,
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sp
+      |  FROM flat GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'part', pri, COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM part GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'tt', pri, COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM b WHERE ok % 3 = 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'parts', '', (SELECT COUNT(DISTINCT pri) FROM b WHERE ok % 3 = 1),
+      |         CAST(NULL AS DOUBLE))
+      |SELECT * FROM faces ORDER BY face, pri""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q316_sql_convert" -> ((q316 _, Some(q316Sql))),
     "q315_sql_tblproperties" -> ((q315 _, Some(q315Sql))),
     "q314_sql_analyze_stats" -> ((q314 _, Some(q314Sql))),
     "q313_sql_table_changes" -> ((q313 _, Some(q313Sql))),

@@ -99,6 +99,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[graft] def tableDirFor(ident: Identifier): String = dirOf(ident)
   private[graft] def persistCloneMeta(dir: String, schema: StructType): Unit =
     persistMeta(dir, schema, Nil)
+  /** Metadata registration for tables materialized OUTSIDE the DSv2
+    * createTable path (SHALLOW CLONE, CONVERT TO GRAFT). */
+  private[graft] def persistMetaFor(dir: String, schema: StructType,
+                                    partCols: Seq[String]): Unit =
+    persistMeta(dir, schema, partCols)
   private def nsDir(namespace: Array[String]): java.nio.file.Path =
     java.nio.file.Paths.get((warehouse +: namespace.map(seg)).mkString("/"))
 

@@ -332,6 +332,39 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(props().isEmpty, "stale properties must not survive a REPLACE")
   }
 
+  test("CONVERT TO GRAFT edges: layout mismatches and double-convert refuse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_conv").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    // a hive tree converted WITHOUT PARTITIONED BY refuses (silently
+    // registering partition values as data loss is the failure mode).
+    // Partition values stay non-numeric: convert registers the INFERRED
+    // partition type, and 'g0' infers STRING
+    spark.range(0, 30).selectExpr("id AS k", "concat('g', id % 3) AS p")
+      .write.partitionBy("p").parquet(s"$wh/db/ht")
+    val e = intercept[Exception](
+      spark.sql("CONVERT TO GRAFT gm.db.ht").collect())
+    assert(e.getMessage.contains("PARTITIONED BY"))
+    // with the clause it lands, prunes, and takes partitioned INSERTs
+    val r = spark.sql("CONVERT TO GRAFT gm.db.ht PARTITIONED BY (p)").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) > 0L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.ht WHERE p = 'g1'")
+      .head().getLong(0) == 10L)
+    spark.sql("INSERT INTO gm.db.ht SELECT id, concat('g', id % 3) FROM range(30, 33)")
+    assert(spark.table("gm.db.ht").count() == 33L)
+    assert(spark.sql("SHOW PARTITIONS gm.db.ht").count() == 3L)
+    // double convert refuses: it's already a table
+    val e2 = intercept[Exception](
+      spark.sql("CONVERT TO GRAFT gm.db.ht PARTITIONED BY (p)").collect())
+    assert(e2.getMessage.contains("already"))
+    // a flat dir with the clause refuses (no col=val tree to move)
+    spark.range(0, 10).toDF("k").write.parquet(s"$wh/db/fl")
+    val e3 = intercept[Exception](
+      spark.sql("CONVERT TO GRAFT gm.db.fl PARTITIONED BY (k)").collect())
+    assert(e3.getMessage.contains("col=val"))
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
