@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectOptimizerRule(_ => graft.plans.SqlDml)
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // analysis-time: vectored catalog snapshots serve as merge-on-read
+    // plans instead of refusing (must run BEFORE optimizer pushdown —
+    // see MorScan's header)
+    e.injectResolutionRule(_ => graft.plans.MorScan)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

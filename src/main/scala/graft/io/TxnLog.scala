@@ -618,6 +618,21 @@ object TxnLog {
     fresh.size.toLong
   }
 
+  /** True when the (optionally pinned) snapshot carries pending delete /
+    * scoped-update VECTORS and no column mapping — the shape
+    * [[graft.plans.MorScan]] serves through SQL by inlining [[read]]'s
+    * anti-join plan (a pending rename/drop still refuses: translating
+    * physical names under arbitrary SQL is the mapping's compact-first
+    * contract). Metadata-only. */
+  def pendingVectorsOnly(dir: String, asOf: Option[Long] = None): Boolean = {
+    if (!Files.exists(logDir(dir)) || currentVersion(dir) == 0) false
+    else {
+      val s = snapshotAt(dir, asOf.getOrElse(Long.MaxValue))
+      (s.dvs.nonEmpty || s.scoped.nonEmpty) &&
+        s.renames.isEmpty && s.drops.isEmpty
+    }
+  }
+
   /** A pruned scan: the DataFrame plus how many of the visible files its
     * plan actually reads. */
   final case class PrunedScan(df: DataFrame, plannedFiles: Int, totalFiles: Int)

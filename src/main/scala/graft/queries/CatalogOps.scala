@@ -951,7 +951,70 @@ object CatalogOps {
       |         CAST(NULL AS DOUBLE))
       |SELECT * FROM faces ORDER BY face, pri""".stripMargin
 
+  /** q317 — MERGE-ON-READ SQL SCANS (Delta's deletion-vector read path,
+    * [[graft.plans.MorScan]]): a catalog table with PENDING delete
+    * vectors serves plain `SELECT` — the analysis rule inlines
+    * `TxnLog.read`'s plan (parquet scan + broadcast anti-joins) in place
+    * of the DSv2 relation BEFORE scan pushdown would refuse it. At
+    * 100 TB: a one-row GDPR erasure no longer makes the table unreadable
+    * until a full rewrite. Lifecycle: two INSERTs, a vector on `ok`
+    * values, a LATE append (the vector suppresses matching keys by
+    * VALUE — the appended slice is key-disjoint and survives), a second
+    * stacked vector on `pri`. Faces:
+    *   - `cur`:  rollup at LATEST — both vectors applied, late append in
+    *   - `tt2`:  `VERSION AS OF 2` — pre-vector, the PLAIN scan path
+    *   - `tt3`:  `VERSION AS OF 3` — only the first vector applies (the
+    *     version axis composes with merge-on-read) */
+  def q317(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val wh = java.nio.file.Files.createTempDirectory("graft_q317_wh").toString
+    s.conf.set("spark.sql.catalog.gdv", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gdv.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdv.db")
+    s.sql("CREATE TABLE gdv.db.t (ok BIGINT, price DOUBLE, pri STRING)")
+    def sel(pred: String): String =
+      s"""SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM parquet.`$d/orders.parquet` WHERE $pred"""
+    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 4 = 0")}")   // v1
+    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 4 = 2")}")   // v2
+    val dir = s"$wh/db/t"
+    TxnLog.deleteVector(s, dir, "ok % 8 = 0", Seq("ok"))          // v3
+    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 8 = 1")}")   // v4
+    TxnLog.deleteVector(s, dir, "pri = '1-URGENT'", Seq("pri"))   // v5
+    def face(from: String, tag: String): DataFrame = s.sql(
+      s"""SELECT '$tag' AS face, pri, COUNT(*) AS n,
+         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sp
+         FROM $from GROUP BY pri""")
+    face("gdv.db.t", "cur")
+      .unionByName(face("gdv.db.t VERSION AS OF 2", "tt2"))
+      .unionByName(face("gdv.db.t VERSION AS OF 3", "tt3"))
+      .orderBy(col("face"), col("pri"))
+  }
+
+  val q317Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey AS ok, o_totalprice AS price,
+      |         o_orderpriority AS pri FROM orders),
+      |vis AS (
+      |  SELECT * FROM b WHERE ok % 4 IN (0, 2)
+      |  UNION ALL SELECT * FROM b WHERE ok % 8 = 1),
+      |faces AS (
+      |  SELECT 'cur' AS face, pri, COUNT(*) AS n,
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sp
+      |  FROM vis WHERE ok % 8 <> 0 AND pri <> '1-URGENT' GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'tt2', pri, COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM b WHERE ok % 4 IN (0, 2) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'tt3', pri, COUNT(*),
+      |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM b WHERE ok % 4 IN (0, 2) AND ok % 8 <> 0 GROUP BY 2)
+      |SELECT * FROM faces ORDER BY face, pri""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q317_sql_dv_scan" -> ((q317 _, Some(q317Sql))),
     "q316_sql_convert" -> ((q316 _, Some(q316Sql))),
     "q315_sql_tblproperties" -> ((q315 _, Some(q315Sql))),
     "q314_sql_analyze_stats" -> ((q314 _, Some(q314Sql))),

@@ -53,10 +53,12 @@ import graft.io.TxnLog
   *
   * Scan-ability contract: a snapshot with PENDING merge-on-read actions
   * (delete vectors, scoped update vectors, column renames/drops) refuses
-  * the raw file scan with an actionable error — those snapshots need the
-  * Scala reader ([[TxnLog.read]]) or a materializing `compact()` first.
-  * This is the reader-version discipline Delta applies to DV tables:
-  * never serve a scan that silently includes deleted rows.
+  * the RAW file scan with an actionable error — never serve a scan that
+  * silently includes deleted rows. Sessions built with the engine's
+  * extensions lift the VECTOR half from SQL: [[graft.plans.MorScan]]
+  * (analysis rule) inlines [[TxnLog.read]]'s anti-join plan in place of
+  * the relation, so vectored tables stay readable without a compact;
+  * pending column mappings still take the compact-first contract.
   *
   * The warehouse root is re-resolved from the session conf on every
   * table operation (falling back to the initialize-time option), so one
@@ -469,6 +471,12 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
   /** Time-travel pin, if this resolution came from `VERSION/TIMESTAMP AS
     * OF` — DML against a pinned snapshot is refused. */
   private[graft] def timeTravel: Option[Long] = asOf
+
+  /** Pending vectors, no mapping: [[graft.plans.MorScan]] (analysis
+    * rule, sessions built with GraftExtensions) serves this resolution
+    * as a merge-on-read plan instead of the raw-scan refusal below. */
+  private[graft] def vectorMergeOnRead: Boolean =
+    TxnLog.pendingVectorsOnly(dir, asOf)
 
   override def name(): String = ident
 

@@ -724,6 +724,28 @@ object PlanCheck {
         println(s"localData=$localData\n" + plan.linesIterator.take(30).mkString("\n")) }
     }
 
+    // q317's merge-on-read SQL scan: a vectored catalog table serves
+    // SELECT as parquet scan + BROADCAST anti-join (vector side is
+    // metadata-sized), residual predicate still pushed to parquet,
+    // never a cartesian or sort-merge on the data side.
+    locally {
+      val s = spark.newSession()
+      val wh = java.nio.file.Files.createTempDirectory("graft_pc_morscan").toString
+      s.conf.set("spark.sql.catalog.gpm", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gpm.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gpm.db")
+      s.sql("CREATE TABLE gpm.db.t AS SELECT id AS k, id * 2 AS x FROM range(0, 2000)")
+      graft.io.TxnLog.deleteVector(s, s"$wh/db/t", "k < 100", Seq("k"))
+      val plan = s.sql("SELECT k FROM gpm.db.t WHERE x > 500")
+        .queryExecution.executedPlan.toString
+      val ok = plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin") &&
+        plan.contains("PushedFilters: [IsNotNull(x), GreaterThan(x,500)]") &&
+        !plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin")
+      rec("q317_mor_scan",
+        "vectored SQL scan = pushed parquet + broadcast anti-join", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
+
     // ----------------------------------------------------------------
     // Dynamic partition pruning demonstration: the partitioned corpus
     // (q77's layout) joined to a FILTERED tiny dim on the partition column

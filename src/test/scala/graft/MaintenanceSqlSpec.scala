@@ -365,6 +365,41 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.contains("col=val"))
   }
 
+  test("merge-on-read SQL scans: vectored tables readable; writes/DML untouched") {
+    val (t, dir) = fresh("mor")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(0, 100)")
+    TxnLog.deleteVector(spark, dir, "k >= 50", Seq("k"))
+    // SELECT serves the exact rowset with the vector applied — no compact
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 50L)
+    assert(spark.sql(s"SELECT SUM(x) AS s FROM $t WHERE k % 2 = 0")
+      .head().getLong(0) == (0L until 50L by 2).sum)
+    // time travel BELOW the vector takes the plain path
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+    // stacked vectors compose
+    TxnLog.deleteVector(spark, dir, "y < 10", Seq("y"))
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 40L)
+    // INSERT still writes through the bridge (target never rewritten);
+    // the vector suppresses matching late appends by value
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(100, 110)")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 50L)
+    // INSERT reading FROM the vectored table (query side) rewrites too
+    spark.sql(s"CREATE TABLE gm.db.morcopy (k BIGINT, x BIGINT, y BIGINT)")
+    spark.sql(s"INSERT INTO gm.db.morcopy SELECT k, x, y FROM $t")
+    assert(spark.table("gm.db.morcopy").count() == 50L)
+    // the vectored plan carries the anti-join, never a cartesian
+    val p = spark.sql(s"SELECT k FROM $t WHERE x > 5")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") && !p.contains("CartesianProduct"), p.take(500))
+    // SQL DML on the vectored table still lowers through SqlDml — the
+    // CoW rewrite MATERIALIZES the pending vectors, so the scan after it
+    // is the plain path again (no anti-join left)
+    spark.sql(s"DELETE FROM $t WHERE k >= 40")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 30L)
+    assert(!spark.sql(s"SELECT k FROM $t").queryExecution.executedPlan
+      .toString.contains("LeftAnti"))
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
