@@ -60,12 +60,30 @@ object SqlDml extends Rule[LogicalPlan] {
     case DeleteFromTable(target, cond) =>
       graftTable(target).fold(plan) { tbl =>
         requireWritable(tbl, "DELETE")
-        // the declared schema rides along for the same reason as UPDATE's:
-        // after a metadata-only ADD COLUMN the touched files mix schemas,
-        // and the rewrite must merge footers (not single-footer-infer) or
-        // files that DO store the added column would lose its values
-        GraftDeleteCommand(tbl.tableDir,
-          toCol(cond, bareNames(target)), declaredSchema(target))
+        // Vector routing (Delta's DV-write mode, opted in per table):
+        // with `graft.dml.useVectors=true` + `graft.keys=k1[,k2]` in
+        // TBLPROPERTIES, DELETE commits the matching rows' KEY VALUES as
+        // a delete vector — a metadata-sized commit instead of a CoW
+        // rewrite (a one-row GDPR erasure on a 100 TB table writes one
+        // tiny file; MorScan keeps the table readable; compaction
+        // materializes later). The policy travels WITH the table.
+        val props = GraftSqlTable.storedProps(tbl.tableDir)
+        if (props.get("graft.dml.useVectors").contains("true")) {
+          val keys = props.getOrElse("graft.keys",
+            throw new IllegalArgumentException(
+              "graft.dml.useVectors=true needs graft.keys='k1[,k2]' in " +
+                "TBLPROPERTIES (the vector's anti-join key columns)"))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          GraftDeleteVectorCommand(tbl.tableDir,
+            ColumnBridge.expression(toCol(cond, bareNames(target))).sql, keys)
+        } else
+          // the declared schema rides along for the same reason as
+          // UPDATE's: after a metadata-only ADD COLUMN the touched files
+          // mix schemas, and the rewrite must merge footers (not
+          // single-footer-infer) or files that DO store the added column
+          // would lose its values
+          GraftDeleteCommand(tbl.tableDir,
+            toCol(cond, bareNames(target)), declaredSchema(target))
       }
     case UpdateTable(target, assignments, cond) =>
       graftTable(target).fold(plan) { tbl =>
@@ -259,6 +277,19 @@ case class GraftDeleteCommand(dir: String, cond: Column,
   override def run(session: SparkSession): Seq[Row] = {
     TxnLog.deleteWhere(session, dir, cond, widenTo = Some(declared),
       partitionBy = GraftSqlTable.storedPartCols(dir))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <graft table> WHERE p` under the table's
+  * `graft.dml.useVectors` policy — merge-on-read: commits the matching
+  * rows' distinct key values ([[TxnLog.deleteVector]]) instead of
+  * rewriting files. */
+case class GraftDeleteVectorCommand(dir: String, predicate: String,
+                                    keys: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TxnLog.deleteVector(session, dir, predicate, keys)
     Seq.empty
   }
 }

@@ -972,16 +972,21 @@ object CatalogOps {
     s.conf.set("spark.sql.catalog.gdv", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.gdv.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS gdv.db")
-    s.sql("CREATE TABLE gdv.db.t (ok BIGINT, price DOUBLE, pri STRING)")
+    // the DV-WRITE policy travels in TBLPROPERTIES: DELETE statements
+    // commit vectors (metadata-sized) instead of CoW rewrites
+    s.sql("""CREATE TABLE gdv.db.t (ok BIGINT, price DOUBLE, pri STRING)
+      TBLPROPERTIES('graft.dml.useVectors'='true', 'graft.keys'='ok')""")
     def sel(pred: String): String =
       s"""SELECT o_orderkey, o_totalprice, o_orderpriority
          FROM parquet.`$d/orders.parquet` WHERE $pred"""
-    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 4 = 0")}")   // v1
-    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 4 = 2")}")   // v2
+    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 4 = 0")}")   // v1 A
+    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 4 = 2")}")   // v2 A
+    s.sql("DELETE FROM gdv.db.t WHERE ok % 8 = 0")                // v3 D
+    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 8 = 1")}")   // v4 A
+    s.sql("DELETE FROM gdv.db.t WHERE pri = '1-URGENT'")          // v5 D
     val dir = s"$wh/db/t"
-    TxnLog.deleteVector(s, dir, "ok % 8 = 0", Seq("ok"))          // v3
-    s.sql(s"INSERT INTO gdv.db.t ${sel("o_orderkey % 8 = 1")}")   // v4
-    TxnLog.deleteVector(s, dir, "pri = '1-URGENT'", Seq("pri"))   // v5
+    val actions = TxnLog.history(s, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
     def face(from: String, tag: String): DataFrame = s.sql(
       s"""SELECT '$tag' AS face, pri, COUNT(*) AS n,
          CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sp
@@ -989,6 +994,9 @@ object CatalogOps {
     face("gdv.db.t", "cur")
       .unionByName(face("gdv.db.t VERSION AS OF 2", "tt2"))
       .unionByName(face("gdv.db.t VERSION AS OF 3", "tt3"))
+      .unionByName(s.sql(s"""SELECT 'hist' AS face, '$actions' AS pri,
+        CAST(${TxnLog.currentVersion(dir)} AS BIGINT) AS n,
+        CAST(NULL AS DOUBLE) AS sp"""))
       .orderBy(col("face"), col("pri"))
   }
 
@@ -1010,7 +1018,9 @@ object CatalogOps {
       |  UNION ALL
       |  SELECT 'tt3', pri, COUNT(*),
       |         CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
-      |  FROM b WHERE ok % 4 IN (0, 2) AND ok % 8 <> 0 GROUP BY 2)
+      |  FROM b WHERE ok % 4 IN (0, 2) AND ok % 8 <> 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'hist', 'AADAD', 5, CAST(NULL AS DOUBLE))
       |SELECT * FROM faces ORDER BY face, pri""".stripMargin
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(

@@ -400,6 +400,44 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toString.contains("LeftAnti"))
   }
 
+  test("DV-write policy: DELETE commits a vector instead of rewriting files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_dvw").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("""CREATE TABLE gm.db.dvw (k BIGINT, x BIGINT)
+      TBLPROPERTIES('graft.dml.useVectors'='true', 'graft.keys'='k')""")
+    spark.sql("INSERT INTO gm.db.dvw SELECT id, id * 2 FROM range(0, 100)")
+    val dir = s"$wh/db/dvw"
+    val dataDirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_ != "_txnlog").sorted.toSeq
+    spark.sql("DELETE FROM gm.db.dvw WHERE x >= 100")
+    // a D commit, not an exchange: no data dir added or removed
+    val actions = TxnLog.history(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    assert(actions == "AD", s"got '$actions'")
+    // (the vector's own key file lands under a new part dir — the census
+    // below proves the ORIGINAL data dirs all survived untouched)
+    val after = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_ != "_txnlog").sorted.toSeq
+    assert(dataDirs.forall(after.contains), "original data dirs rewritten")
+    // the table reads exactly (merge-on-read scan)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.dvw").head().getLong(0) == 50L)
+    // policy without keys refuses loudly
+    spark.sql("ALTER TABLE gm.db.dvw UNSET TBLPROPERTIES('graft.keys')")
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM gm.db.dvw WHERE k = 1").collect())
+    assert(e.getMessage.contains("graft.keys"))
+    // policy off: DELETE goes back to the CoW exchange
+    spark.sql("ALTER TABLE gm.db.dvw UNSET TBLPROPERTIES('graft.dml.useVectors')")
+    spark.sql("DELETE FROM gm.db.dvw WHERE k < 10")
+    val acts2 = TxnLog.history(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    assert(acts2.startsWith("AD") && (acts2.endsWith("X") || acts2.endsWith("R")),
+      s"got '$acts2'")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.dvw").head().getLong(0) == 40L)
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
