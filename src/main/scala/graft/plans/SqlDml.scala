@@ -90,13 +90,32 @@ object SqlDml extends Rule[LogicalPlan] {
         requireWritable(tbl, "UPDATE")
         val names = bareNames(target)
         val sets = collectSets(assignments, names, names, "UPDATE")
-        // the statement's resolved schema rides along: after a
-        // metadata-only ADD COLUMN the touched files may predate the
-        // column, and the rewrite must serve (and write) the table's
-        // declared width — this is how `UPDATE ... SET newcol = ...`
-        // BACKFILLS a column added without rewriting anything
-        GraftUpdateCommand(tbl.tableDir, sets,
-          cond.map(toCol(_, names)).getOrElse(lit(true)), declaredSchema(target))
+        val props = GraftSqlTable.storedProps(tbl.tableDir)
+        if (props.get("graft.dml.useVectors").contains("true")) {
+          // vector routing, the UPDATE half of the DELETE policy above:
+          // one atomic `U` commit carries the key vector + replacement
+          // rows ([[TxnLog.update]]) — a one-row update writes one key
+          // file + one row file, no touched-file rewrite. The replacement
+          // rows land at read()'s width (metadata-ADDed columns reconcile
+          // to NULL by name, like every other file that predates them).
+          val keys = props.getOrElse("graft.keys",
+            throw new IllegalArgumentException(
+              "graft.dml.useVectors=true needs graft.keys='k1[,k2]' in " +
+                "TBLPROPERTIES (the vector's anti-join key columns)"))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          GraftUpdateVectorCommand(tbl.tableDir,
+            cond.map(c => ColumnBridge.expression(toCol(c, names)).sql)
+              .getOrElse("true"),
+            sets.map { case (c, v) => c -> ColumnBridge.expression(v).sql },
+            keys)
+        } else
+          // the statement's resolved schema rides along: after a
+          // metadata-only ADD COLUMN the touched files may predate the
+          // column, and the rewrite must serve (and write) the table's
+          // declared width — this is how `UPDATE ... SET newcol = ...`
+          // BACKFILLS a column added without rewriting anything
+          GraftUpdateCommand(tbl.tableDir, sets,
+            cond.map(toCol(_, names)).getOrElse(lit(true)), declaredSchema(target))
       }
     case m: MergeIntoTable =>
       graftTable(m.targetTable).fold(plan) { tbl =>
@@ -290,6 +309,19 @@ case class GraftDeleteVectorCommand(dir: String, predicate: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     TxnLog.deleteVector(session, dir, predicate, keys)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <graft table> SET ... WHERE p` under `graft.dml.useVectors`
+  * — atomic merge-on-read update ([[TxnLog.update]]): one `U` commit
+  * carries the key vector and the replacement rows. */
+case class GraftUpdateVectorCommand(dir: String, predicate: String,
+                                    set: Seq[(String, String)],
+                                    keys: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TxnLog.update(session, dir, predicate, set, keys)
     Seq.empty
   }
 }

@@ -428,6 +428,17 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](
       spark.sql("DELETE FROM gm.db.dvw WHERE k = 1").collect())
     assert(e.getMessage.contains("graft.keys"))
+    // UPDATE under the policy: one atomic U commit (vector + replacement
+    // rows), original data dirs still untouched
+    spark.sql("ALTER TABLE gm.db.dvw SET TBLPROPERTIES('graft.keys'='k')")
+    spark.sql("UPDATE gm.db.dvw SET x = x + 1000 WHERE k < 5")
+    val acts1 = TxnLog.history(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    assert(acts1 == "ADU", s"got '$acts1'")
+    assert(spark.sql("SELECT SUM(x) AS s FROM gm.db.dvw WHERE k < 5")
+      .head().getLong(0) == (0L until 5L).map(_ * 2 + 1000).sum)
+    assert(dataDirs.forall(new java.io.File(dir).listFiles().map(_.getName).contains),
+      "original data dirs rewritten by vector UPDATE")
     // policy off: DELETE goes back to the CoW exchange
     spark.sql("ALTER TABLE gm.db.dvw UNSET TBLPROPERTIES('graft.dml.useVectors')")
     spark.sql("DELETE FROM gm.db.dvw WHERE k < 10")
