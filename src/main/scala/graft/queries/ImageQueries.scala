@@ -938,6 +938,102 @@ object ImageQueries {
       |      FROM px GROUP BY id) m ON m.id = ids.id
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q318
+  /** 12-BIT JPEG e2e (round 12): the corpus through the deep-color
+    * extended-sequential class (`JpegCodec.encode12`/`decode12` — SOF1,
+    * 16-bit DQT entries, full 12-bit samples in [[PngCodec.Image16]]).
+    * Two families, both with ORACLE-EXACT gates and no goldens:
+    *   - fam 0 (gray, EXACT): per-8×8-block flat values — DC-only blocks
+    *     with Q(0,0)=8 reconstruct exactly at ANY precision (the q295
+    *     argument), so the oracle restates every 12-bit sample
+    *     closed-form in (⌊x/8⌋, ⌊y/8⌋) and the digest is hash-exact.
+    *   - fam 1 (RGB, BOUNDED, literal-TRUE): per-block flat colors keep
+    *     every YCbCr plane block-flat, so only the DC rounds — the
+    *     max-abs-diff ≤ 3 envelope folds to a flag the oracle states
+    *     literally, valid at any corpus size. */
+  def q318(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val fam = (sp.id % 2).toInt
+        if (fam == 0) {
+          val smp = Array.tabulate[Short](sp.w * sp.h) { p =>
+            val bx = (p % sp.w) / 8; val by = (p / sp.w) / 8
+            (((bx * 7 + by * 5) % 60) * 68 + 5).toShort
+          }
+          (sp.id, fam,
+            graft.io.JpegCodec.encode12(PngCodec.Image16(sp.w, sp.h, 1, smp)),
+            Array.empty[Short])
+        } else {
+          val smp = new Array[Short](sp.w * sp.h * 3)
+          var p = 0
+          while (p < sp.w * sp.h) {
+            val bx = (p % sp.w) / 8; val by = (p / sp.w) / 8
+            smp(p * 3) = ((bx * 11 + by * 3) % 16 * 250 + 40).toShort
+            smp(p * 3 + 1) = (4095 - ((bx + by * 2) % 16) * 200).toShort
+            smp(p * 3 + 2) = ((bx * bx + by) % 13 * 300 + 10).toShort
+            p += 1
+          }
+          (sp.id, fam,
+            graft.io.JpegCodec.encode12(PngCodec.Image16(sp.w, sp.h, 3, smp)), smp)
+        }
+      }
+      .map { case (id, fam, jpg, src) =>
+        val img = graft.io.JpegCodec.decode12(jpg)
+        if (fam == 0) {
+          var ss = 0L; var ws = 0L
+          var p = 0
+          while (p < img.width * img.height) {
+            val x = p % img.width; val y = p / img.width
+            val v = img.samples(p) & 0xffff
+            ss += v
+            ws += v.toLong * (x + 1) * (3 * y + 7)
+            p += 1
+          }
+          (id, fam, img.width, img.height, img.channels, ss, ws)
+        } else {
+          var md = 0
+          var i = 0
+          while (i < src.length) {
+            md = math.max(md,
+              math.abs((src(i) & 0xffff) - (img.samples(i) & 0xffff)))
+            i += 1
+          }
+          (id, fam, img.width, img.height, img.channels,
+            if (md <= 3) 1L else 0L, img.samples.length.toLong)
+        }
+      }
+      .toDF("img_id", "fam", "w", "h", "ch", "a", "b")
+      .orderBy(col("img_id"))
+  }
+
+  val q318Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS id,
+      |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
+      |         CAST(doc_id % 2 AS BIGINT) AS fam
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id, w, h, gx.x AS x, gy.y AS y,
+      |         ((CAST(FLOOR(gx.x / 8) AS BIGINT) * 7
+      |           + CAST(FLOOR(gy.y / 8) AS BIGINT) * 5) % 60) * 68 + 5 AS v
+      |  FROM ids
+      |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 63) gy(y) ON gy.y < h
+      |  WHERE fam = 0)
+      |SELECT ids.id AS img_id, CAST(ids.fam AS INT) AS fam,
+      |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
+      |       CAST(CASE WHEN ids.fam = 0 THEN 1 ELSE 3 END AS INT) AS ch,
+      |       CASE WHEN ids.fam = 0 THEN m.samp_sum ELSE 1 END AS a,
+      |       CASE WHEN ids.fam = 0 THEN m.wsum
+      |            ELSE ids.w * ids.h * 3 END AS b
+      |FROM ids
+      |LEFT JOIN (SELECT id, CAST(SUM(v) AS BIGINT) AS samp_sum,
+      |                  CAST(SUM(v * (x + 1) * (3 * y + 7)) AS BIGINT) AS wsum
+      |           FROM px GROUP BY id) m ON m.id = ids.id
+      |ORDER BY img_id""".stripMargin
+
   // ---------------------------------------------------------------- q310
   /** CMYK JPEG e2e (Adobe APP14, print-pipeline class) + EXIF
     * orientation passthrough: a fixed 24-image CMYK workload (closed-
@@ -1000,6 +1096,7 @@ object ImageQueries {
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q310_image_jpeg_cmyk_e2e" -> ((q310 _, Some(Q310Golden.sql))),
     "q312_image_png_bitdepth_e2e" -> ((q312 _, Some(q312Sql))),
+    "q318_image_jpeg12_e2e" -> ((q318 _, Some(q318Sql))),
     "q308_image_png_transparency_e2e" -> ((q308 _, Some(q308Sql))),
     "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
     "q307_image_png_interlaced_e2e" -> ((q307 _, Some(q293Sql))),

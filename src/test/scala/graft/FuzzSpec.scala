@@ -187,14 +187,23 @@ class FuzzSpec extends AnyFunSuite {
       graft.io.JpegCodec.encode(graft.ops.ImageOps.synth(17, 23, 3),
         subsample = true, restartInterval = 2),
       graft.io.JpegCodec.encode(graft.ops.ImageOps.synth(24, 16, 3),
-        progressive = true))
+        progressive = true),
+      graft.io.JpegCodec.encode12(graft.io.PngCodec.Image16(15, 11, 3,
+        Array.tabulate[Short](15 * 11 * 3)(i => ((i * 997) % 4096).toShort))))
     def driveJpeg(bytes: Array[Byte]): Unit =
       try {
         val img = graft.io.JpegCodec.decode(bytes)
         assert(img.width > 0 && img.height > 0 &&
           img.pixels.length == img.width * img.height * img.channels)
         assert(img.width.toLong * img.height <= (1L << 24))
-      } catch { case _: Exception => () } // loud refusal is in-contract
+      } catch { case _: Exception =>
+        // loud refusal is in-contract; a 12-bit stream refuses HERE and
+        // decodes through the deep surface — drive it too
+        try {
+          val d = graft.io.JpegCodec.decode12(bytes)
+          assert(d.samples.length == d.width * d.height * d.channels)
+        } catch { case _: Exception => () }
+      }
     fixtures.foreach { fx =>
       val mutated = for {
         cut <- Gen.chooseNum(2, fx.length)

@@ -454,4 +454,108 @@ class JpegCodecSpec extends AnyFunSuite {
     val dec = JpegCodec.decode(JpegCodec.encode(img))
     assert(dec.pixels.length == img.pixels.length)
   }
+
+  // ------------------------------------------------------------------
+  // 12-bit extended sequential (SOF1) — the deep-color class
+  // ------------------------------------------------------------------
+
+  import graft.io.PngCodec.Image16
+
+  test("12-bit: flat 8x8-aligned gray reconstructs EXACTLY at full width") {
+    for (v <- Seq(0, 1, 2048, 3000, 4095)) {
+      val img = Image16(32, 16, 1, Array.fill[Short](32 * 16)(v.toShort))
+      val dec = JpegCodec.decode12(JpegCodec.encode12(img))
+      assert(dec.width == 32 && dec.height == 16 && dec.channels == 1)
+      assert(dec.samples.forall(x => (x & 0xffff) == v), s"flat 12-bit $v not exact")
+    }
+    // per-block flat values: every block its own DC, still exact
+    val w = 40; val h = 24
+    val smp = Array.tabulate[Short](w * h) { p =>
+      val bx = (p % w) / 8; val by = (p / w) / 8
+      (((bx * 7 + by * 5) % 60) * 68 + 5).toShort
+    }
+    val dec = JpegCodec.decode12(JpegCodec.encode12(Image16(w, h, 1, smp)))
+    assert(java.util.Arrays.equals(dec.samples, smp), "blockwise flat not exact")
+  }
+
+  test("12-bit: noisy gray roundtrips with bounded error; dims/channels exact") {
+    var s = 7L
+    val smp = Array.fill[Short](40 * 24) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 40) % 4096).toShort
+    }
+    val img = Image16(40, 24, 1, smp)
+    val dec = JpegCodec.decode12(JpegCodec.encode12(img))
+    assert(dec.width == 40 && dec.height == 24 && dec.channels == 1)
+    val err = smp.indices.map(i =>
+      math.abs((smp(i) & 0xffff) - (dec.samples(i) & 0xffff))).max
+    // the quantization tables are the 8-bit encoder's — at 12-bit input
+    // range the same absolute coefficient loss applies, so the bound is
+    // the 8-bit noise bound's magnitude, not 16x it
+    assert(err <= 220, s"12-bit noise err $err")
+  }
+
+  test("12-bit: flat RGB color roundtrips within the DC rounding envelope") {
+    val w = 24; val h = 16
+    val smp = new Array[Short](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      smp(p * 3) = 3000; smp(p * 3 + 1) = 1234; smp(p * 3 + 2) = 77
+      p += 1
+    }
+    val dec = JpegCodec.decode12(JpegCodec.encode12(Image16(w, h, 3, smp)))
+    val err = smp.indices.map(i =>
+      math.abs((smp(i) & 0xffff) - (dec.samples(i) & 0xffff))).max
+    // flat color: each YCbCr plane is flat so only the DC rounds (<= 0.5
+    // per plane pre-inverse); the inverse transform mixes three planes
+    assert(err <= 3, s"flat RGB err $err")
+  }
+
+  test("12-bit: the two decode surfaces refuse each other's precision by name") {
+    val deep = JpegCodec.encode12(Image16(8, 8, 1,
+      Array.fill[Short](64)(1000)))
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(deep))
+    assert(e.getMessage.contains("decode12"))
+    val shallow = JpegCodec.encode(Image(8, 8, 1, Array.fill[Byte](64)(10)))
+    val e2 = intercept[IllegalArgumentException](JpegCodec.decode12(shallow))
+    assert(e2.getMessage.contains("8-bit"))
+  }
+
+  test("SOF1 at 8-bit precision decodes identically to the same stream as SOF0") {
+    // extended sequential is a superset of baseline: relabeling the SOF
+    // marker must not change one pixel (same entropy data, same tables)
+    val img = ImageOps.synth(32, 24, 2)
+    val base = JpegCodec.encode(img)
+    val sofAt = {
+      var pos = 2; var at = -1
+      while (at < 0) {
+        val m = base(pos + 1) & 0xff
+        if (m == 0xc0) at = pos
+        else pos += 2 + (((base(pos + 2) & 0xff) << 8) | (base(pos + 3) & 0xff))
+      }
+      at
+    }
+    val relabeled = base.clone(); relabeled(sofAt + 1) = 0xc1.toByte
+    val a = JpegCodec.decode(base); val b = JpegCodec.decode(relabeled)
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+  }
+
+  test("12-bit progressive refuses loudly; out-of-range samples refuse at encode") {
+    val deep = JpegCodec.encode12(Image16(8, 8, 1, Array.fill[Short](64)(9)))
+    val sofAt = {
+      var pos = 2; var at = -1
+      while (at < 0) {
+        val m = deep(pos + 1) & 0xff
+        if (m == 0xc1) at = pos
+        else pos += 2 + (((deep(pos + 2) & 0xff) << 8) | (deep(pos + 3) & 0xff))
+      }
+      at
+    }
+    val relabeled = deep.clone(); relabeled(sofAt + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decode12(relabeled))
+    assert(e.getMessage.contains("precision"))
+    val e2 = intercept[IllegalArgumentException](
+      JpegCodec.encode12(Image16(8, 8, 1, Array.fill[Short](64)(4096))))
+    assert(e2.getMessage.contains("12-bit range"))
+  }
 }
