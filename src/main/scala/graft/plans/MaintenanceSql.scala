@@ -74,6 +74,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case Convert(t) =>
       GraftConvertCommand(split(t), Nil)
+    case Checkpoint(t) if t.contains('.') =>
+      GraftCheckpointCommand(split(t))
     case AnalyzeStats(t, cols) if t.split('.').length == 3 =>
       // three-part graft names only — Spark's own ANALYZE TABLE keeps
       // session-catalog (1/2-part) names untouched
@@ -134,6 +136,8 @@ object GraftSqlParser {
       """\s+PARTITIONED\s+BY\s*\(\s*([\w,\s]+?)\s*\)\s*;?\s*$""").r
   private[plans] val Convert: Regex =
     ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+""" + id + """\s*;?\s*$""").r
+  private[plans] val Checkpoint: Regex =
+    ("""(?is)^\s*CHECKPOINT\s+""" + id + """\s*;?\s*$""").r
   private[plans] val AnalyzeStats: Regex =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + id +
       """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+\(?\s*([\w,\s]+?)\s*\)?\s*;?\s*$""").r
@@ -371,6 +375,22 @@ case class GraftConvertCommand(name: Seq[String], partCols: Seq[String])
       else session.read.parquet(s"$dir/pdata").schema
     cat.persistMetaFor(dir, schema, partCols)
     Seq(Row(v, TxnLog.fileScanPlan(dir)._2.size.toLong))
+  }
+}
+
+/** `CHECKPOINT t` — write a log checkpoint at the current version
+  * ([[TxnLog.checkpoint]]): planning then reads ONE checkpoint plus the
+  * commits after it instead of folding the whole manifest chain — the
+  * O(commits-since-checkpoint) bound that keeps a 10⁵-commit table's
+  * planning metadata-sized. Any cadence is correct; correctness never
+  * depends on whether one exists. Emits the checkpointed version. */
+case class GraftCheckpointCommand(name: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, name)
+    Seq(Row(TxnLog.checkpoint(dir)))
   }
 }
 

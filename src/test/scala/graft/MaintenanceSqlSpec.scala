@@ -449,6 +449,21 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.dvw").head().getLong(0) == 40L)
   }
 
+  test("CHECKPOINT statement writes a log checkpoint; planning agrees") {
+    val (t, dir) = fresh("ckpt")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(50, 80)")
+    val v = spark.sql(s"CHECKPOINT $t").head().getLong(0)
+    assert(v == TxnLog.currentVersion(dir))
+    // reads after the checkpoint fold from it, identically
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 80L)
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(80, 85)")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) == 85L)
+    // a query merely mentioning the keyword stays with Spark's grammar
+    assert(spark.sql("SELECT 'CHECKPOINT gm.db.x' AS s").head().getString(0)
+      .startsWith("CHECKPOINT"))
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
