@@ -1,0 +1,328 @@
+package graft.io
+
+import java.util.zip.{Deflater, Inflater}
+
+/** Pure-JVM TIFF codec (decode + conformant encode) — the ARCHIVAL /
+  * scanned-document image class, next to [[PngCodec]] (web lossless) and
+  * [[JpegCodec]] (transform-coded): real corpora of scans, scientific
+  * captures and print masters arrive as TIFF, and a curation pipeline
+  * that can't open them loses the class entirely. Everything derives
+  * from the public TIFF 6.0 specification: the II/MM byte-order header,
+  * the IFD tag walk, strip-based sample storage, and (for compression 8,
+  * the zlib/"AdobeDeflate" form) the JDK's own inflater — no memorized
+  * tables anywhere.
+  *
+  * Decoder scope (documented like the other codecs):
+  *   - BOTH byte orders (II little-endian / MM big-endian) — the order
+  *     governs every IFD field AND 16-bit sample bytes;
+  *   - bit depths 8 and 16 (all samples equal width), 1 or 3 samples
+  *     per pixel (grayscale min-is-black / RGB), CHUNKY planar layout;
+  *   - compression 1 (none) and 8 (zlib deflate) — per STRIP, any
+  *     RowsPerStrip (strips are TIFF's parallelism/IO unit: each strip
+  *     decompresses independently, which is what would make a tiled
+  *     100 TB scan corpus splittable);
+  *   - tiles, planar=2, palettes, sub-byte depths, predictors (tag 317
+  *     ≠ 1), and other compressions (LZW/CCITT/JPEG-in-TIFF) are
+  *     REFUSED with a descriptive error, never mis-decoded.
+  *
+  * TIFF is LOSSLESS in this scope, so every gate is BIT-EXACT: 8-bit
+  * images roundtrip through [[PngCodec.Image]], 16-bit through
+  * [[PngCodec.Image16]] — the same two-surface split PNG and JPEG use
+  * (the 8-bit [[decode]] refuses 16-bit streams by name). */
+object TiffCodec {
+
+  import PngCodec.{Image, Image16}
+
+  // ------------------------------------------------------------------
+  // encode
+  // ------------------------------------------------------------------
+
+  def encode(img: Image, deflate: Boolean = false,
+             bigEndian: Boolean = false): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
+    val samples = new Array[Int](img.pixels.length)
+    var i = 0
+    while (i < samples.length) { samples(i) = img.pixels(i) & 0xff; i += 1 }
+    encodeImpl(img.width, img.height, img.channels, 8, samples, deflate,
+      bigEndian)
+  }
+
+  def encode16(img: Image16, deflate: Boolean = false,
+               bigEndian: Boolean = false): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
+    val samples = new Array[Int](img.samples.length)
+    var i = 0
+    while (i < samples.length) { samples(i) = img.samples(i) & 0xffff; i += 1 }
+    encodeImpl(img.width, img.height, img.channels, 16, samples, deflate,
+      bigEndian)
+  }
+
+  /** One IFD, strip-based layout (RowsPerStrip = 16 — several strips on
+    * ordinary fixtures, so the strip walk is really exercised), sample
+    * bytes in the FILE's byte order. */
+  private def encodeImpl(w: Int, h: Int, spp: Int, bits: Int,
+                         samples: Array[Int], deflate: Boolean,
+                         bigEndian: Boolean): Array[Byte] = {
+    val rowBytes = w * spp * (bits / 8)
+    val rowsPerStrip = 16
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      val raw = new Array[Byte](rows * rowBytes)
+      var r = 0
+      while (r < rows) {
+        val y = s * rowsPerStrip + r
+        var c = 0
+        while (c < w * spp) {
+          val v = samples(y * w * spp + c)
+          if (bits == 8) raw(r * rowBytes + c) = v.toByte
+          else {
+            val o = r * rowBytes + c * 2
+            if (bigEndian) { raw(o) = (v >>> 8).toByte; raw(o + 1) = v.toByte }
+            else { raw(o) = v.toByte; raw(o + 1) = (v >>> 8).toByte }
+          }
+          c += 1
+        }
+        r += 1
+      }
+      if (deflate) zip(raw) else raw
+    }
+    // layout: 8-byte header, IFD, [out-of-line value arrays], strip data
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Seq[Long])]
+    // (tag, type, count, values) — type 3 = SHORT, 4 = LONG
+    entries += ((256, 4, 1, Seq(w.toLong)))                    // ImageWidth
+    entries += ((257, 4, 1, Seq(h.toLong)))                    // ImageLength
+    entries += ((258, 3, spp, Seq.fill(spp)(bits.toLong)))     // BitsPerSample
+    entries += ((259, 3, 1, Seq(if (deflate) 8L else 1L)))     // Compression
+    entries += ((262, 3, 1, Seq(if (spp == 1) 1L else 2L)))    // Photometric
+    entries += ((273, 4, nStrips, Seq.fill(nStrips)(0L)))      // StripOffsets (patched)
+    entries += ((277, 3, 1, Seq(spp.toLong)))                  // SamplesPerPixel
+    entries += ((278, 4, 1, Seq(rowsPerStrip.toLong)))         // RowsPerStrip
+    entries += ((279, 4, nStrips, strips.map(_.length.toLong))) // StripByteCounts
+    val sorted = entries.sortBy(_._1) // spec: ascending tag order
+    val ifdAt = 8
+    val ifdSize = 2 + sorted.length * 12 + 4
+    // out-of-line arrays land right after the IFD
+    var extraAt = ifdAt + ifdSize
+    val extraOffsets = sorted.map { case (_, typ, count, _) =>
+      val sz = count * (if (typ == 3) 2 else 4)
+      if (sz > 4) { val at = extraAt; extraAt += sz; at } else -1
+    }
+    val dataAt = extraAt
+    val stripOffsets = strips.scanLeft(dataAt.toLong)(_ + _.length).init
+    val patched = sorted.map { case e @ (tag, typ, count, _) =>
+      if (tag == 273) (tag, typ, count, stripOffsets) else e
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write(v >>> 8); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write(v >>> 8) }
+    def w32(v: Long): Unit =
+      if (bigEndian) { out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+        out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt) }
+      else { out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+        out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt) }
+    // header
+    out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+    w16(42); w32(ifdAt.toLong)
+    // IFD
+    w16(patched.length)
+    patched.zipWithIndex.foreach { case ((tag, typ, count, values), i) =>
+      w16(tag); w16(typ); w32(count.toLong)
+      val sz = count * (if (typ == 3) 2 else 4)
+      if (sz <= 4) {
+        // inline values, padded to 4 bytes (written value-by-value in
+        // the file's byte order, left-justified per spec)
+        val before = out.size()
+        values.foreach(v => if (typ == 3) w16(v.toInt) else w32(v))
+        while (out.size() - before < 4) out.write(0)
+      } else w32(extraOffsets(i).toLong)
+    }
+    w32(0L) // next IFD: none
+    // out-of-line arrays
+    patched.zipWithIndex.foreach { case ((_, typ, count, values), i) =>
+      if (count * (if (typ == 3) 2 else 4) > 4)
+        values.foreach(v => if (typ == 3) w16(v.toInt) else w32(v))
+    }
+    strips.foreach(out.write(_))
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // decode
+  // ------------------------------------------------------------------
+
+  def decode(bytes: Array[Byte], maxPixels: Long = 1L << 24): Image = {
+    val (w, h, spp, bits, samples) = decodeImpl(bytes, maxPixels)
+    require(bits == 8,
+      "16-bit TIFF: decode() would halve sample precision silently — " +
+        "decode16() preserves it")
+    Image(w, h, spp, samples.map(_.toByte))
+  }
+
+  def decode16(bytes: Array[Byte], maxPixels: Long = 1L << 24): Image16 = {
+    val (w, h, spp, bits, samples) = decodeImpl(bytes, maxPixels)
+    require(bits == 16, s"$bits-bit TIFF: decode() is the 8-bit surface")
+    Image16(w, h, spp, samples.map(_.toShort))
+  }
+
+  private def decodeImpl(bytes: Array[Byte],
+                         maxPixels: Long): (Int, Int, Int, Int, Array[Int]) = {
+    require(bytes.length >= 8, "not a TIFF: too short")
+    val le = (bytes(0) & 0xff, bytes(1) & 0xff) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException(
+        "not a TIFF: bad byte-order mark")
+    }
+    def u16(p: Int): Int = {
+      require(p >= 0 && p + 2 <= bytes.length, "truncated TIFF")
+      if (le) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    }
+    def u32(p: Int): Long = {
+      require(p >= 0 && p + 4 <= bytes.length, "truncated TIFF")
+      if (le) (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+      else ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    }
+    require(u16(2) == 42, s"not a TIFF: bad magic ${u16(2)}")
+    val ifdAt = u32(4)
+    require(ifdAt >= 8 && ifdAt < bytes.length, "bad IFD offset")
+    val n = u16(ifdAt.toInt)
+    require(n > 0 && n < 4096, s"unreasonable IFD entry count $n")
+    // tag -> (type, count, value position)
+    var w = 0L; var h = 0L; var spp = 1; var bits = -1
+    var compression = 1; var photometric = -1; var rowsPerStrip = Long.MaxValue
+    var planar = 1; var predictor = 1
+    var stripOff: Vector[Long] = Vector.empty
+    var stripLen: Vector[Long] = Vector.empty
+    var i = 0
+    while (i < n) {
+      val e = ifdAt.toInt + 2 + i * 12
+      val tag = u16(e); val typ = u16(e + 2); val count = u32(e + 4)
+      require(count >= 0 && count < (1L << 24), s"unreasonable tag count $count")
+      def width = if (typ == 3) 2 else if (typ == 4) 4 else
+        throw new IllegalArgumentException(
+          s"unsupported value type $typ for tag $tag (SHORT/LONG)")
+      def valPos: Int =
+        if (count * width <= 4) e + 8 else u32(e + 8).toInt
+      def value(j: Int): Long = {
+        val p = valPos + j * width
+        if (typ == 3) u16(p).toLong else u32(p)
+      }
+      tag match {
+        case 256 => w = value(0)
+        case 257 => h = value(0)
+        case 258 =>
+          bits = value(0).toInt
+          var j = 1
+          while (j < count) {
+            require(value(j).toInt == bits,
+              "unsupported: mixed per-sample bit depths")
+            j += 1
+          }
+        case 259 => compression = value(0).toInt
+        case 262 => photometric = value(0).toInt
+        case 273 => stripOff = (0 until count.toInt).map(value(_)).toVector
+        case 277 => spp = value(0).toInt
+        case 278 => rowsPerStrip = value(0)
+        case 279 => stripLen = (0 until count.toInt).map(value(_)).toVector
+        case 284 => planar = value(0).toInt
+        case 317 => predictor = value(0).toInt
+        case 322 | 323 | 324 | 325 =>
+          throw new IllegalArgumentException(
+            "unsupported: tiled TIFF (strip layouts only)")
+        case _ => () // ancillary tags skipped (resolution, software, ...)
+      }
+      i += 1
+    }
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(w * h <= maxPixels,
+      s"unreasonable dimensions ${w}x$h (limit $maxPixels px; raise " +
+        "decode(bytes, maxPixels = ...) for larger inputs)")
+    require(bits == 8 || bits == 16, s"unsupported bit depth $bits (8/16)")
+    require(spp == 1 || spp == 3,
+      s"unsupported samples-per-pixel $spp (gray or RGB)")
+    require(compression == 1 || compression == 8,
+      s"unsupported compression $compression (1 = none, 8 = deflate; " +
+        "LZW/CCITT/JPEG-in-TIFF are off-scope)")
+    require(planar == 1, "unsupported: planar configuration 2 (chunky only)")
+    require(predictor == 1, s"unsupported predictor $predictor")
+    require(photometric == (if (spp == 1) 1 else 2) || photometric < 0,
+      s"unsupported photometric $photometric for $spp sample(s)")
+    require(stripOff.nonEmpty && stripOff.length == stripLen.length,
+      s"strip offsets (${stripOff.length}) and counts (${stripLen.length}) disagree")
+    val wi = w.toInt; val hi = h.toInt
+    val rps = math.min(rowsPerStrip, h).toInt
+    require(rps > 0, "bad RowsPerStrip")
+    require(stripOff.length.toLong == (hi + rps - 1) / rps,
+      s"strip count ${stripOff.length} does not cover $hi rows at $rps/strip")
+    val rowBytes = wi * spp * (bits / 8)
+    val samples = new Array[Int](wi * hi * spp)
+    var s = 0
+    while (s < stripOff.length) {
+      val off = stripOff(s); val len = stripLen(s)
+      require(off >= 0 && len >= 0 && off + len <= bytes.length,
+        s"strip $s [$off, ${off + len}) outside the file")
+      val rows = math.min(rps, hi - s * rps)
+      val raw =
+        if (compression == 1)
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+        else unzip(bytes, off.toInt, len.toInt, rows * rowBytes)
+      require(raw.length == rows * rowBytes,
+        s"strip $s carries ${raw.length} bytes, expected ${rows * rowBytes}")
+      var r = 0
+      while (r < rows) {
+        val y = s * rps + r
+        var c = 0
+        while (c < wi * spp) {
+          samples(y * wi * spp + c) =
+            if (bits == 8) raw(r * rowBytes + c) & 0xff
+            else {
+              val o = r * rowBytes + c * 2
+              if (le) (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
+              else ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
+            }
+          c += 1
+        }
+        r += 1
+      }
+      s += 1
+    }
+    (wi, hi, spp, bits, samples)
+  }
+
+  private def zip(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def unzip(z: Array[Byte], off: Int, len: Int,
+                    expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(z, off, len)
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished() || !inf.needsInput,
+        "truncated zlib stream in TIFF strip")
+      // a strip cannot legally inflate past its declared row span —
+      // bound the allocation before trusting the stream
+      require(out.size() + n <= expected + 8192,
+        "TIFF strip inflates past its declared size")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+}

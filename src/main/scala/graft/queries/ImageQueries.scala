@@ -1034,6 +1034,108 @@ object ImageQueries {
       |           FROM px GROUP BY id) m ON m.id = ids.id
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q319
+  /** TIFF e2e (round 12): the ARCHIVAL/scan image class
+    * ([[graft.io.TiffCodec]] — IFD walk, strip storage, both byte
+    * orders, zlib-deflate compression, 8/16-bit). TIFF is LOSSLESS in
+    * this scope, so all three families gate BIT-EXACTLY against a fully
+    * relational per-sample oracle: fam 0 = 8-bit gray, deflate strips;
+    * fam 1 = 8-bit RGB, uncompressed, BIG-ENDIAN (the MM order walks the
+    * whole IFD differently); fam 2 = 16-bit gray, deflate, through the
+    * deep surface (`decode16` — sample bytes honor the file's order). */
+  def q319(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val fam = ((sp.id % 9) / 3).toInt
+        val tif = fam match {
+          case 0 =>
+            val px = Array.tabulate[Byte](sp.w * sp.h) { p =>
+              ((p % sp.w * 13 + p / sp.w * 7) % 256).toByte
+            }
+            graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 1, px),
+              deflate = true)
+          case 1 =>
+            val px = new Array[Byte](sp.w * sp.h * 3)
+            var p = 0
+            while (p < sp.w * sp.h) {
+              val x = p % sp.w; val y = p / sp.w
+              px(p * 3) = ((x * 5 + y) % 256).toByte
+              px(p * 3 + 1) = ((x + y * 11) % 256).toByte
+              px(p * 3 + 2) = ((x * y + 3) % 256).toByte
+              p += 1
+            }
+            graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 3, px),
+              bigEndian = true)
+          case _ =>
+            val smp = Array.tabulate[Short](sp.w * sp.h) { p =>
+              ((p % sp.w * 257 + p / sp.w * 1031) % 65536).toShort
+            }
+            graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, smp),
+              deflate = true)
+        }
+        (sp.id, fam, tif)
+      }
+      .map { case (id, fam, tif) =>
+        var ss = 0L; var ws = 0L; var w = 0; var h = 0; var ch = 0
+        def fold(v: Int, p: Int, width: Int, chs: Int): Unit = {
+          val x = p / chs % width; val y = p / chs / width; val c = p % chs
+          ss += v
+          ws += v.toLong * (x + 1) * (3 * y + 7) * (c + 1)
+        }
+        if (fam == 2) {
+          val img = graft.io.TiffCodec.decode16(tif)
+          w = img.width; h = img.height; ch = img.channels
+          var i = 0
+          while (i < img.samples.length) {
+            fold(img.samples(i) & 0xffff, i, w, ch); i += 1
+          }
+        } else {
+          val img = graft.io.TiffCodec.decode(tif)
+          w = img.width; h = img.height; ch = img.channels
+          var i = 0
+          while (i < img.pixels.length) {
+            fold(img.pixels(i) & 0xff, i, w, ch); i += 1
+          }
+        }
+        (id, fam, w, h, ch, ss, ws)
+      }
+      .toDF("img_id", "fam", "w", "h", "ch", "samp_sum", "wsum")
+      .orderBy(col("img_id"))
+  }
+
+  val q319Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS id,
+      |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
+      |         CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+      |                   WHEN doc_id % 9 = 3 THEN 1 ELSE 2 END AS BIGINT) AS fam
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id, w, h, fam, gx.x AS x, gy.y AS y, gc.c AS c,
+      |         CASE WHEN fam = 0 THEN (gx.x * 13 + gy.y * 7) % 256
+      |              WHEN fam = 1 THEN
+      |           CASE gc.c WHEN 0 THEN (gx.x * 5 + gy.y) % 256
+      |                     WHEN 1 THEN (gx.x + gy.y * 11) % 256
+      |                     ELSE (gx.x * gy.y + 3) % 256 END
+      |              ELSE (gx.x * 257 + gy.y * 1031) % 65536
+      |         END AS v
+      |  FROM ids
+      |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 63) gy(y) ON gy.y < h
+      |  JOIN generate_series(0, 2) gc(c)
+      |    ON gc.c <= CASE WHEN fam = 1 THEN 2 ELSE 0 END)
+      |SELECT ids.id AS img_id, CAST(ids.fam AS INT) AS fam,
+      |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
+      |       CAST(CASE WHEN ids.fam = 1 THEN 3 ELSE 1 END AS INT) AS ch,
+      |       m.samp_sum, m.wsum
+      |FROM ids
+      |JOIN (SELECT id, CAST(SUM(v) AS BIGINT) AS samp_sum,
+      |             CAST(SUM(v * (x + 1) * (3 * y + 7) * (c + 1)) AS BIGINT) AS wsum
+      |      FROM px GROUP BY id) m ON m.id = ids.id
+      |ORDER BY img_id""".stripMargin
+
   // ---------------------------------------------------------------- q310
   /** CMYK JPEG e2e (Adobe APP14, print-pipeline class) + EXIF
     * orientation passthrough: a fixed 24-image CMYK workload (closed-
@@ -1097,6 +1199,7 @@ object ImageQueries {
     "q310_image_jpeg_cmyk_e2e" -> ((q310 _, Some(Q310Golden.sql))),
     "q312_image_png_bitdepth_e2e" -> ((q312 _, Some(q312Sql))),
     "q318_image_jpeg12_e2e" -> ((q318 _, Some(q318Sql))),
+    "q319_image_tiff_e2e" -> ((q319 _, Some(q319Sql))),
     "q308_image_png_transparency_e2e" -> ((q308 _, Some(q308Sql))),
     "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
     "q307_image_png_interlaced_e2e" -> ((q307 _, Some(q293Sql))),

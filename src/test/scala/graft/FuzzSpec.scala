@@ -223,6 +223,46 @@ class FuzzSpec extends AnyFunSuite {
     forAllSampled(garbage, n = 200)(driveJpeg)
   }
 
+  test("TIFF decode under truncation/corruption: loud Exception or a sane image, never an Error") {
+    val fixtures = Seq(
+      graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(24, 40, 3)),
+      graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(17, 33, 2),
+        deflate = true),
+      graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(24, 16, 0),
+        bigEndian = true),
+      graft.io.TiffCodec.encode16(graft.io.PngCodec.Image16(11, 21, 1,
+        Array.tabulate[Short](11 * 21)(i => (i * 911).toShort)), deflate = true))
+    def driveTiff(bytes: Array[Byte]): Unit =
+      try {
+        val img = graft.io.TiffCodec.decode(bytes)
+        assert(img.width > 0 && img.height > 0 &&
+          img.pixels.length == img.width * img.height * img.channels)
+        assert(img.width.toLong * img.height <= (1L << 24))
+      } catch { case _: Exception =>
+        try {
+          val d = graft.io.TiffCodec.decode16(bytes)
+          assert(d.samples.length == d.width * d.height * d.channels)
+        } catch { case _: Exception => () } // loud refusal is in-contract
+      }
+    fixtures.foreach { fx =>
+      val mutated = for {
+        cut <- Gen.chooseNum(2, fx.length)
+        corrupt <- Gen.option(Gen.zip(Gen.chooseNum(0, fx.length - 1),
+          Gen.chooseNum(-128, 127).map(_.toByte)))
+      } yield {
+        val c = fx.take(cut)
+        corrupt.foreach { case (p, b) => if (p < c.length) c(p) = b }
+        c
+      }
+      forAllSampled(mutated, n = 250)(driveTiff)
+    }
+    // pure garbage behind a valid order mark
+    val garbage = Gen.containerOf[Array, Byte](
+      Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(b => Array[Byte]('I', 'I', 42, 0) ++ b)
+    forAllSampled(garbage, n = 200)(driveTiff)
+  }
+
   test("PNG decode under truncation/corruption: loud Exception or a sane image, never an Error") {
     val img = graft.ops.ImageOps.synth(24, 16, 3)
     // an RGBA image with real transparency: its palette encode carries a
