@@ -464,6 +464,59 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .startsWith("CHECKPOINT"))
   }
 
+  test("table_changes composes with vector DML and merge-on-read scans") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_cdfv").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("""CREATE TABLE gm.db.cdv (k BIGINT, x BIGINT)
+      TBLPROPERTIES('graft.dml.useVectors'='true', 'graft.keys'='k')""")
+    spark.sql("INSERT INTO gm.db.cdv SELECT id, id FROM range(0, 40)")  // v1 A
+    spark.sql("DELETE FROM gm.db.cdv WHERE k >= 30")                    // v2 D
+    spark.sql("UPDATE gm.db.cdv SET x = x + 100 WHERE k < 3")           // v3 U
+    // the batch CDF derives each action's exact row-level changes:
+    //   v1: 40 inserts; v2: 10 deletes (the vector's keys against v1);
+    //   v3: the update's delete+insert pair (old x, new x)
+    val feed = spark.sql(
+      """SELECT _commit_version AS v, _change_type AS t, COUNT(*) AS n,
+        |       SUM(x) AS sx
+        |FROM table_changes('gm.db.cdv', 0, 3) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(feed.toSeq == Seq(
+      (1L, "insert", 40L, (0L until 40L).sum),
+      (2L, "delete", 10L, (30L until 40L).sum),
+      (3L, "delete", 3L, 0L + 1L + 2L),
+      (3L, "insert", 3L, 100L + 101L + 102L)), feed.mkString(", "))
+    // and the merge-on-read scan agrees with the fold of the feed
+    assert(spark.sql("SELECT COUNT(*) AS n, SUM(x) AS s FROM gm.db.cdv")
+      .head().toSeq == Seq(30L, (0L until 30L).sum + 300L))
+  }
+
+  test("RESTORE composes with vectors: a vectored target materializes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_rstv").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("""CREATE TABLE gm.db.rsv (k BIGINT, x BIGINT)
+      TBLPROPERTIES('graft.dml.useVectors'='true', 'graft.keys'='k')""")
+    spark.sql("INSERT INTO gm.db.rsv SELECT id, id FROM range(0, 50)")  // v1 A
+    spark.sql("DELETE FROM gm.db.rsv WHERE k >= 40")                    // v2 D
+    spark.sql("INSERT OVERWRITE gm.db.rsv SELECT id, id FROM range(0, 2)") // v3 R
+    // restoring to the VECTORED version cannot be a metadata-only file
+    // re-list (the vector must apply) — TxnLog.restore materializes it
+    val r = spark.sql("RESTORE TABLE gm.db.rsv TO VERSION AS OF 2").head()
+    assert(r.getLong(0) == 2L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.rsv").head().getLong(0) == 40L)
+    // history stays linear: the vectored era still reads merge-on-read
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.rsv VERSION AS OF 2")
+      .head().getLong(0) == 40L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.rsv VERSION AS OF 3")
+      .head().getLong(0) == 2L)
+    // the restored head is PLAIN (vectors materialized): no anti-join
+    assert(!spark.sql("SELECT k FROM gm.db.rsv").queryExecution.executedPlan
+      .toString.contains("LeftAnti"))
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
