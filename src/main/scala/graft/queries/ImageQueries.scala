@@ -1136,6 +1136,101 @@ object ImageQueries {
       |      FROM px GROUP BY id) m ON m.id = ids.id
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q320
+  /** MIXED-FORMAT corpus through ONE FRONT DOOR (round 12,
+    * [[graft.io.ImageCodecs]]): real corpora arrive with PNG, JPEG and
+    * TIFF side by side and unreliable extensions — routing sniffs the
+    * MAGIC BYTES (O(1) per blob, no metadata column) and preserves the
+    * family's precision contract (8-bit → Image, deep → Image16, never
+    * silently quantized). Three families, one per format, EVERY one
+    * oracle-exact: fam 0 = 8-bit PNG (lossless), fam 1 = 16-bit TIFF
+    * through the DEEP side of the dispatcher (lossless), fam 2 = 8-bit
+    * JPEG flat-blocks (DC-only ⇒ exact). The `fmt` column pins that the
+    * sniffer routed each blob to the right codec. */
+  def q320(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val fam = ((sp.id % 9) / 3).toInt
+        val blob = fam match {
+          case 0 =>
+            val px = Array.tabulate[Byte](sp.w * sp.h) { p =>
+              ((p % sp.w * 9 + p / sp.w * 4) % 256).toByte
+            }
+            PngCodec.encode(PngCodec.Image(sp.w, sp.h, 1, px))
+          case 1 =>
+            val smp = Array.tabulate[Short](sp.w * sp.h) { p =>
+              ((p % sp.w * 313 + p / sp.w * 577) % 65536).toShort
+            }
+            graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, smp),
+              deflate = true)
+          case _ =>
+            val px = Array.tabulate[Byte](sp.w * sp.h) { p =>
+              val bx = (p % sp.w) / 8; val by = (p / sp.w) / 8
+              (((bx * 3 + by) % 32) * 8 + 3).toByte
+            }
+            graft.io.JpegCodec.encode(PngCodec.Image(sp.w, sp.h, 1, px))
+        }
+        (sp.id, fam, blob)
+      }
+      .map { case (id, fam, blob) =>
+        val fmt = graft.io.ImageCodecs.sniff(blob)
+        var ss = 0L; var ws = 0L; var w = 0; var h = 0; var ch = 0
+        graft.io.ImageCodecs.decodeAny(blob) match {
+          case Left(img) =>
+            w = img.width; h = img.height; ch = img.channels
+            var p = 0
+            while (p < img.pixels.length) {
+              val x = p % w; val y = p / w
+              val v = img.pixels(p) & 0xff
+              ss += v; ws += v.toLong * (x + 1) * (3 * y + 7)
+              p += 1
+            }
+          case Right(img) =>
+            w = img.width; h = img.height; ch = img.channels
+            var p = 0
+            while (p < img.samples.length) {
+              val x = p % w; val y = p / w
+              val v = img.samples(p) & 0xffff
+              ss += v; ws += v.toLong * (x + 1) * (3 * y + 7)
+              p += 1
+            }
+        }
+        (id, fam, fmt, w, h, ch, ss, ws)
+      }
+      .toDF("img_id", "fam", "fmt", "w", "h", "ch", "samp_sum", "wsum")
+      .orderBy(col("img_id"))
+  }
+
+  val q320Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS id,
+      |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
+      |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
+      |         CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+      |                   WHEN doc_id % 9 = 3 THEN 1 ELSE 2 END AS BIGINT) AS fam
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id, gx.x AS x, gy.y AS y,
+      |         CASE WHEN fam = 0 THEN (gx.x * 9 + gy.y * 4) % 256
+      |              WHEN fam = 1 THEN (gx.x * 313 + gy.y * 577) % 65536
+      |              ELSE ((CAST(FLOOR(gx.x / 8) AS BIGINT) * 3
+      |                     + CAST(FLOOR(gy.y / 8) AS BIGINT)) % 32) * 8 + 3
+      |         END AS v
+      |  FROM ids
+      |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 63) gy(y) ON gy.y < h)
+      |SELECT ids.id AS img_id, CAST(ids.fam AS INT) AS fam,
+      |       CASE ids.fam WHEN 0 THEN 'png' WHEN 1 THEN 'tiff'
+      |            ELSE 'jpeg' END AS fmt,
+      |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
+      |       CAST(1 AS INT) AS ch, m.samp_sum, m.wsum
+      |FROM ids
+      |JOIN (SELECT id, CAST(SUM(v) AS BIGINT) AS samp_sum,
+      |             CAST(SUM(v * (x + 1) * (3 * y + 7)) AS BIGINT) AS wsum
+      |      FROM px GROUP BY id) m ON m.id = ids.id
+      |ORDER BY img_id""".stripMargin
+
   // ---------------------------------------------------------------- q310
   /** CMYK JPEG e2e (Adobe APP14, print-pipeline class) + EXIF
     * orientation passthrough: a fixed 24-image CMYK workload (closed-
@@ -1200,6 +1295,7 @@ object ImageQueries {
     "q312_image_png_bitdepth_e2e" -> ((q312 _, Some(q312Sql))),
     "q318_image_jpeg12_e2e" -> ((q318 _, Some(q318Sql))),
     "q319_image_tiff_e2e" -> ((q319 _, Some(q319Sql))),
+    "q320_image_multiformat_e2e" -> ((q320 _, Some(q320Sql))),
     "q308_image_png_transparency_e2e" -> ((q308 _, Some(q308Sql))),
     "q306_image_jpeg_progressive_e2e" -> ((q306 _, Some(q295Sql))),
     "q307_image_png_interlaced_e2e" -> ((q307 _, Some(q293Sql))),
