@@ -4,9 +4,10 @@ import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal RIFF/WAVE PCM codec — pure JVM, offline-safe, deterministic.
-  * Decode accepts PCM16/PCM8/float32 at any channel count/rate (the shapes
-  * the reference's `AudioSegment.from_wav` accepts for its corpus,
-  * pa.py:85) plus the compressed WAV formats — mono IMA ADPCM (0x11,
+  * Decode accepts PCM16/PCM8/PCM24/PCM32/float32 at any channel
+  * count/rate (the shapes the reference's `AudioSegment.from_wav`
+  * accepts for its corpus, pa.py:85 — PCM24 is the studio-capture
+  * width real voice corpora arrive in) plus the compressed WAV formats — mono IMA ADPCM (0x11,
   * dispatched to [[AdpcmCodec]]) and G.711 µ-law/A-law (7/6, dispatched
   * to [[G711Codec]]) — the transparent handling pydub/ffmpeg gives the
   * reference; encode always writes PCM16 mono (the canonical
@@ -62,6 +63,18 @@ object WavCodec {
         Array.tabulate(n)(i => db.getShort(i * 2) / 32768.0f)
       case (1, 8) => // PCM8 is unsigned
         Array.tabulate(data.length)(i => ((data(i) & 0xff) - 128) / 128.0f)
+      case (1, 24) =>
+        // PCM24: 3-byte little-endian signed — the studio capture width.
+        // The high byte sign-extends through the shift (byte -> int)
+        val n = data.length / 3
+        Array.tabulate(n) { i =>
+          val v = (data(i * 3) & 0xff) | ((data(i * 3 + 1) & 0xff) << 8) |
+            (data(i * 3 + 2) << 16)
+          v / 8388608.0f
+        }
+      case (1, 32) =>
+        val n = data.length / 4
+        Array.tabulate(n)(i => (db.getInt(i * 4) / 2147483648.0).toFloat)
       case (3, 32) =>
         val n = data.length / 4
         Array.tabulate(n)(i => db.getFloat(i * 4))

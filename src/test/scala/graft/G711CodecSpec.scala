@@ -54,4 +54,33 @@ class G711CodecSpec extends AnyFunSuite {
     assert(al.samples.toSeq == codes.map(b =>
       G711Codec.aLawDecodeSample(b) / 32768.0f).toSeq)
   }
+
+  test("PCM24 and PCM32 WAV decode exactly (studio capture widths)") {
+    def wav(fmt: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val hdr = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(0x46464952); hdr.putInt(36 + data.length)
+      hdr.putInt(0x45564157); hdr.putInt(0x20746d66); hdr.putInt(16)
+      hdr.putShort(fmt.toShort); hdr.putShort(1)
+      hdr.putInt(16000); hdr.putInt(16000 * bits / 8)
+      hdr.putShort((bits / 8).toShort); hdr.putShort(bits.toShort)
+      hdr.putInt(0x61746164); hdr.putInt(data.length)
+      hdr.array() ++ data
+    }
+    val v24 = Seq(-8388608, -1, 0, 1, 8388607, 4242424, -333333)
+    val d24 = v24.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)).toArray
+    val dec24 = WavCodec.decode(wav(1, 24, d24))
+    assert(dec24.samples.toSeq == v24.map(_ / 8388608.0f))
+    val v32 = Seq(Int.MinValue, -1, 0, 1, Int.MaxValue, 987654321)
+    val b32 = java.nio.ByteBuffer.allocate(v32.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    v32.foreach(b32.putInt)
+    val dec32 = WavCodec.decode(wav(1, 32, b32.array()))
+    assert(dec32.samples.toSeq == v32.map(v => (v / 2147483648.0).toFloat))
+    // an unsupported pairing still refuses loudly
+    val e = intercept[IllegalArgumentException](
+      WavCodec.decode(wav(1, 12, new Array[Byte](12))))
+    assert(e.getMessage.contains("unsupported wav format"))
+  }
 }
