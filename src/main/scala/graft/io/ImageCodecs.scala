@@ -40,22 +40,17 @@ object ImageCodecs {
           Right(PngCodec.decode16(bytes, maxPixels))
         else Left(PngCodec.decode(bytes, maxPixels))
       case "jpeg" =>
-        // precision lives in the SOF segment — try the 8-bit surface
-        // first (the overwhelmingly common case), fall to deep on its
-        // named refusal
-        try Left(JpegCodec.decode(bytes, maxPixels))
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("decode12") =>
-            Right(JpegCodec.decode12(bytes, maxPixels))
-        }
+        // precision lives in the SOF segment — the marker-walk probe
+        // reads it from segment lengths alone, so a 12-bit stream
+        // entropy-decodes exactly once (no try-8-bit-first double work)
+        if (JpegCodec.precisionProbe(bytes) == 12)
+          Right(JpegCodec.decode12(bytes, maxPixels))
+        else Left(JpegCodec.decode(bytes, maxPixels))
       case "tiff" =>
-        try Left(TiffCodec.decode(bytes, maxPixels))
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("decode16") =>
-            Right(TiffCodec.decode16(bytes, maxPixels))
-        }
+        // precision is the BitsPerSample tag — an IFD walk, no strip read
+        if (TiffCodec.bitsProbe(bytes) == 16)
+          Right(TiffCodec.decode16(bytes, maxPixels))
+        else Left(TiffCodec.decode(bytes, maxPixels))
       case other => throw new IllegalArgumentException(
         s"not a decodable image (magic sniffed: $other)")
     }

@@ -17,13 +17,19 @@ import java.util.zip.{Deflater, Inflater}
   *     governs every IFD field AND 16-bit sample bytes;
   *   - bit depths 8 and 16 (all samples equal width), 1 or 3 samples
   *     per pixel (grayscale min-is-black / RGB), CHUNKY planar layout;
-  *   - compression 1 (none) and 8 (zlib deflate) — per STRIP, any
-  *     RowsPerStrip (strips are TIFF's parallelism/IO unit: each strip
-  *     decompresses independently, which is what would make a tiled
-  *     100 TB scan corpus splittable);
-  *   - tiles, planar=2, palettes, sub-byte depths, predictors (tag 317
-  *     ≠ 1), and other compressions (LZW/CCITT/JPEG-in-TIFF) are
-  *     REFUSED with a descriptive error, never mis-decoded.
+  *   - compression 1 (none), 5 (LZW — TIFF 6.0 §13: MSB-first codes,
+  *     Clear=256/EOI=257, the spec's EARLY code-width change at table
+  *     sizes 511/1023/2047, table reset at 4094) and 8 (zlib deflate) —
+  *     per STRIP, any RowsPerStrip (strips are TIFF's parallelism/IO
+  *     unit: each strip decompresses independently, which is what would
+  *     make a tiled 100 TB scan corpus splittable);
+  *   - predictor 2 (tag 317, horizontal differencing — the dominant
+  *     archival-scan companion to LZW): per-row per-channel deltas on
+  *     SAMPLE values (16-bit lanes difference as 16-bit values, then
+  *     pack in the file's byte order);
+  *   - tiles, planar=2, palettes, sub-byte depths, the floating-point
+  *     predictor (317=3), and other compressions (CCITT/JPEG-in-TIFF)
+  *     are REFUSED with a descriptive error, never mis-decoded.
   *
   * TIFF is LOSSLESS in this scope, so every gate is BIT-EXACT: 8-bit
   * images roundtrip through [[PngCodec.Image]], 16-bit through
@@ -38,35 +44,42 @@ object TiffCodec {
   // ------------------------------------------------------------------
 
   def encode(img: Image, deflate: Boolean = false,
-             bigEndian: Boolean = false): Array[Byte] = {
+             bigEndian: Boolean = false, lzw: Boolean = false,
+             predictor: Boolean = false): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
+    require(!(deflate && lzw), "pick ONE compression (deflate or lzw)")
     val samples = new Array[Int](img.pixels.length)
     var i = 0
     while (i < samples.length) { samples(i) = img.pixels(i) & 0xff; i += 1 }
-    encodeImpl(img.width, img.height, img.channels, 8, samples, deflate,
-      bigEndian)
+    encodeImpl(img.width, img.height, img.channels, 8, samples,
+      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian)
   }
 
   def encode16(img: Image16, deflate: Boolean = false,
-               bigEndian: Boolean = false): Array[Byte] = {
+               bigEndian: Boolean = false, lzw: Boolean = false,
+               predictor: Boolean = false): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
+    require(!(deflate && lzw), "pick ONE compression (deflate or lzw)")
     val samples = new Array[Int](img.samples.length)
     var i = 0
     while (i < samples.length) { samples(i) = img.samples(i) & 0xffff; i += 1 }
-    encodeImpl(img.width, img.height, img.channels, 16, samples, deflate,
-      bigEndian)
+    encodeImpl(img.width, img.height, img.channels, 16, samples,
+      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian)
   }
 
   /** One IFD, strip-based layout (RowsPerStrip = 16 — several strips on
     * ordinary fixtures, so the strip walk is really exercised), sample
-    * bytes in the FILE's byte order. */
+    * bytes in the FILE's byte order. `comp`: 1 none / 5 LZW / 8 deflate;
+    * `predictor`: horizontal differencing on sample values (resets at
+    * every row start; 16-bit lanes difference before byte-packing). */
   private def encodeImpl(w: Int, h: Int, spp: Int, bits: Int,
-                         samples: Array[Int], deflate: Boolean,
+                         samples: Array[Int], comp: Int, predictor: Boolean,
                          bigEndian: Boolean): Array[Byte] = {
     val rowBytes = w * spp * (bits / 8)
     val rowsPerStrip = 16
+    val mask = (1 << bits) - 1
     val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
     val strips = (0 until nStrips).map { s =>
       val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
@@ -76,7 +89,10 @@ object TiffCodec {
         val y = s * rowsPerStrip + r
         var c = 0
         while (c < w * spp) {
-          val v = samples(y * w * spp + c)
+          val at = y * w * spp + c
+          val v =
+            if (predictor && c >= spp) (samples(at) - samples(at - spp)) & mask
+            else samples(at)
           if (bits == 8) raw(r * rowBytes + c) = v.toByte
           else {
             val o = r * rowBytes + c * 2
@@ -87,7 +103,11 @@ object TiffCodec {
         }
         r += 1
       }
-      if (deflate) zip(raw) else raw
+      comp match {
+        case 5 => lzwCompress(raw)
+        case 8 => zip(raw)
+        case _ => raw
+      }
     }
     // layout: 8-byte header, IFD, [out-of-line value arrays], strip data
     val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Seq[Long])]
@@ -95,12 +115,13 @@ object TiffCodec {
     entries += ((256, 4, 1, Seq(w.toLong)))                    // ImageWidth
     entries += ((257, 4, 1, Seq(h.toLong)))                    // ImageLength
     entries += ((258, 3, spp, Seq.fill(spp)(bits.toLong)))     // BitsPerSample
-    entries += ((259, 3, 1, Seq(if (deflate) 8L else 1L)))     // Compression
+    entries += ((259, 3, 1, Seq(comp.toLong)))                 // Compression
     entries += ((262, 3, 1, Seq(if (spp == 1) 1L else 2L)))    // Photometric
     entries += ((273, 4, nStrips, Seq.fill(nStrips)(0L)))      // StripOffsets (patched)
     entries += ((277, 3, 1, Seq(spp.toLong)))                  // SamplesPerPixel
     entries += ((278, 4, 1, Seq(rowsPerStrip.toLong)))         // RowsPerStrip
     entries += ((279, 4, nStrips, strips.map(_.length.toLong))) // StripByteCounts
+    if (predictor) entries += ((317, 3, 1, Seq(2L)))           // Predictor
     val sorted = entries.sortBy(_._1) // spec: ascending tag order
     val ifdAt = 8
     val ifdSize = 2 + sorted.length * 12 + 4
@@ -161,6 +182,38 @@ object TiffCodec {
         "decode16() preserves it")
     Image(w, h, spp, samples.map(_.toByte))
   }
+
+  /** Cheap dispatch probe: BitsPerSample (tag 258) from the first IFD —
+    * byte-order-aware tag walk, no strip touched. Answers 8 when the
+    * walk can't conclude (the routed decode re-validates everything), so
+    * [[ImageCodecs.decodeAny]] picks its surface WITHOUT
+    * exception-message matching. */
+  def bitsProbe(bytes: Array[Byte]): Int = try {
+    if (bytes.length < 8) return 8
+    val le = bytes(0) == 'I'
+    def u16(p: Int): Int =
+      if (le) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (le) (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+      else ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (u16(e) == 258) {
+        val typ = u16(e + 2); val count = u32(e + 4)
+        val width = if (typ == 3) 2 else 4
+        val vp = if (count * width <= 4) e + 8 else u32(e + 8).toInt
+        return if (typ == 3) u16(vp) else u32(vp).toInt
+      }
+      i += 1
+    }
+    8
+  } catch { case _: Exception => 8 }
 
   def decode16(bytes: Array[Byte], maxPixels: Long = 1L << 24): Image16 = {
     val (w, h, spp, bits, samples) = decodeImpl(bytes, maxPixels)
@@ -247,11 +300,13 @@ object TiffCodec {
     require(bits == 8 || bits == 16, s"unsupported bit depth $bits (8/16)")
     require(spp == 1 || spp == 3,
       s"unsupported samples-per-pixel $spp (gray or RGB)")
-    require(compression == 1 || compression == 8,
-      s"unsupported compression $compression (1 = none, 8 = deflate; " +
-        "LZW/CCITT/JPEG-in-TIFF are off-scope)")
+    require(compression == 1 || compression == 5 || compression == 8,
+      s"unsupported compression $compression (1 = none, 5 = LZW, " +
+        "8 = deflate; CCITT/JPEG-in-TIFF are off-scope)")
     require(planar == 1, "unsupported: planar configuration 2 (chunky only)")
-    require(predictor == 1, s"unsupported predictor $predictor")
+    require(predictor == 1 || predictor == 2,
+      s"unsupported predictor $predictor (1 = none, 2 = horizontal; " +
+        "the floating-point predictor 3 is off-scope)")
     require(photometric == (if (spp == 1) 1 else 2) || photometric < 0,
       s"unsupported photometric $photometric for $spp sample(s)")
     require(stripOff.nonEmpty && stripOff.length == stripLen.length,
@@ -269,24 +324,32 @@ object TiffCodec {
       require(off >= 0 && len >= 0 && off + len <= bytes.length,
         s"strip $s [$off, ${off + len}) outside the file")
       val rows = math.min(rps, hi - s * rps)
-      val raw =
-        if (compression == 1)
-          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
-        else unzip(bytes, off.toInt, len.toInt, rows * rowBytes)
+      val raw = compression match {
+        case 1 => java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+        case 5 => lzwDecompress(bytes, off.toInt, len.toInt, rows * rowBytes)
+        case _ => unzip(bytes, off.toInt, len.toInt, rows * rowBytes)
+      }
       require(raw.length == rows * rowBytes,
         s"strip $s carries ${raw.length} bytes, expected ${rows * rowBytes}")
+      val mask = (1 << bits) - 1
       var r = 0
       while (r < rows) {
         val y = s * rps + r
         var c = 0
         while (c < wi * spp) {
-          samples(y * wi * spp + c) =
+          val at = y * wi * spp + c
+          val v =
             if (bits == 8) raw(r * rowBytes + c) & 0xff
             else {
               val o = r * rowBytes + c * 2
               if (le) (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
               else ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
             }
+          // horizontal predictor: samples are stored as left-neighbor
+          // deltas per channel, accumulating within the row
+          samples(at) =
+            if (predictor == 2 && c >= spp) (v + samples(at - spp)) & mask
+            else v
           c += 1
         }
         r += 1
@@ -294,6 +357,129 @@ object TiffCodec {
       s += 1
     }
     (wi, hi, spp, bits, samples)
+  }
+
+  // ------------------------------------------------------------------
+  // LZW (TIFF 6.0 §13) — MSB-first code packing, Clear=256 / EOI=257,
+  // first table code 258, the spec's EARLY code-width change (9→10 bits
+  // when the next free code reaches 511, →11 at 1023, →12 at 2047 —
+  // one code earlier than GIF), table reset via Clear at 4094.
+  // private[graft] so the spec can pin the bitstream and the reset path
+  // directly, independent of the strip plumbing.
+  // ------------------------------------------------------------------
+
+  private[graft] def lzwCompress(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    var acc = 0L; var nAcc = 0
+    var bits = 9
+    def put(code: Int): Unit = {
+      acc = (acc << bits) | code; nAcc += bits
+      while (nAcc >= 8) { out.write(((acc >>> (nAcc - 8)) & 0xff).toInt); nAcc -= 8 }
+    }
+    // dictionary: key = (prefixCode << 8) | nextByte  (codes < 4096)
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var nextCode = 258
+    put(256) // spec: every strip's code stream begins with Clear
+    if (raw.nonEmpty) {
+      var prefix = raw(0) & 0xff
+      var i = 1
+      while (i < raw.length) {
+        val k = raw(i) & 0xff
+        val key = (prefix << 8) | k
+        val e = dict.get(key)
+        if (e != null) prefix = e.intValue()
+        else {
+          put(prefix)
+          dict.put(key, nextCode); nextCode += 1
+          if (nextCode == (1 << bits) - 1 && bits < 12) bits += 1
+          if (nextCode == 4094) { // table full: reset mid-stream
+            put(256)
+            dict.clear(); nextCode = 258; bits = 9
+          }
+          prefix = k
+        }
+        i += 1
+      }
+      put(prefix)
+    }
+    put(257) // EOI
+    if (nAcc > 0) out.write(((acc << (8 - nAcc)) & 0xff).toInt) // flush, zero-pad
+    out.toByteArray
+  }
+
+  private[graft] def lzwDecompress(z: Array[Byte], off: Int, len: Int,
+                                   expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outAt = 0
+    var acc = 0L; var nAcc = 0; var at = off
+    var bits = 9
+    def next(): Int = {
+      while (nAcc < bits) {
+        require(at < off + len && at < z.length, "truncated LZW strip (no EOI)")
+        acc = (acc << 8) | (z(at) & 0xff); at += 1; nAcc += 8
+      }
+      nAcc -= bits
+      ((acc >>> nAcc) & ((1 << bits) - 1)).toInt
+    }
+    // table: code -> (prefix code, final byte); strings emit via walk-back
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var nextCode = 258
+    def emit(code: Int): Byte = { // returns the string's FIRST byte
+      var c = code; var top = 0
+      while (c >= 258) {
+        require(top < stack.length, "corrupt LZW table chain")
+        stack(top) = suffix(c); top += 1; c = prefix(c)
+      }
+      val first = c.toByte
+      require(outAt + top + 1 <= expected,
+        "LZW strip inflates past its declared row span")
+      out(outAt) = first; outAt += 1
+      while (top > 0) { top -= 1; out(outAt) = stack(top); outAt += 1 }
+      first
+    }
+    var old = -1
+    var code = next()
+    while (code != 257) {
+      if (code == 256) { // Clear: reset table and width, re-prime
+        nextCode = 258; bits = 9; old = -1
+        code = next()
+        if (code != 257) {
+          require(code < 256, s"LZW code $code right after Clear")
+          emit(code); old = code
+          code = next()
+        }
+      } else {
+        require(old >= 0, s"LZW stream must start with Clear (got $code)")
+        // the decoder's table lags the encoder's by ONE entry (it learns
+        // entry n only from the code AFTER the one that created it), so
+        // its width change fires one entry earlier: at (1<<bits)-2 where
+        // the encoder fires at (1<<bits)-1
+        if (code < nextCode && code != 256 && code != 257) {
+          val first = emit(code)
+          if (nextCode < 4096) {
+            prefix(nextCode) = old; suffix(nextCode) = first; nextCode += 1
+            if (nextCode == (1 << bits) - 2 && bits < 12) bits += 1
+          }
+          old = code
+        } else if (code == nextCode) { // the KwKwK case
+          // string = table[old] + firstByte(table[old])
+          var c = old
+          while (c >= 258) c = prefix(c)
+          prefix(nextCode) = old; suffix(nextCode) = c.toByte
+          emit(nextCode)
+          nextCode += 1
+          if (nextCode == (1 << bits) - 2 && bits < 12) bits += 1
+          old = code
+        } else throw new IllegalArgumentException(
+          s"LZW code $code beyond table size $nextCode")
+        code = next()
+      }
+    }
+    require(outAt == expected,
+      s"LZW strip carries $outAt bytes, expected $expected")
+    out
   }
 
   private def zip(raw: Array[Byte]): Array[Byte] = {

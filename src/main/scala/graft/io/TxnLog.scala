@@ -2346,15 +2346,33 @@ object TxnLog {
         _.getFileName.toString.startsWith(partCols.head + "=")),
         s"top-level directories must partition by ${partCols.head}")
       val pdata = root.resolve("pdata")
-      Files.createDirectories(pdata)
-      hive.foreach { d =>
-        Files.move(d, pdata.resolve(d.getFileName),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-      val leaves = walk(pdata)
-      require(leaves.nonEmpty, s"no parquet files under $dir's partitions")
-      val rels = leaves.map(p => root.relativize(p).toString)
+      // compute the POST-move relative paths from the pre-move tree and
+      // claim the manifest BEFORE any rename: if the claim loses a race
+      // the source tree is untouched, and a rename failure mid-way rolls
+      // back both the completed moves and the claimed log — "zero
+      // rewrite" migration must never strand a half-mutated tree
+      val rels = hive.flatMap(d =>
+        walk(d).map(p => s"pdata/${root.relativize(p)}"))
+      require(rels.nonEmpty, s"no parquet files under $dir's partitions")
       require(tryClaim(dir, 1, "A", rels), s"convert race lost on $dir")
+      val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+      try {
+        Files.createDirectories(pdata)
+        hive.foreach { d =>
+          Files.move(d, pdata.resolve(d.getFileName),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          moved += d
+        }
+      } catch {
+        case e: Throwable =>
+          moved.foreach { d => // undo in reverse: restore the source tree
+            Files.move(pdata.resolve(d.getFileName), d,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          Files.deleteIfExists(pdata)
+          graft.io.FsUtil.deleteRecursively(logDir(dir).toFile) // our claim
+          throw e
+      }
       1L
     }
   }

@@ -57,9 +57,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftDescribeHistoryCommand(split(t))
     case DescribeDetail(t) =>
       GraftDescribeDetailCommand(split(t))
-    case ShowPartitions(t) if t.contains('.') =>
-      // three-part names only — a bare `SHOW PARTITIONS t` (session
-      // catalog) stays with Spark's own grammar untouched
+    case ShowPartitions(t) if claims(t) =>
+      // graft-catalog three-part names only — a bare `SHOW PARTITIONS t`
+      // or any session-catalog name stays with Spark's own grammar
       GraftShowPartitionsCommand(split(t))
     case RestoreVersion(t, v) =>
       GraftRestoreCommand(split(t), Left(v.toLong))
@@ -76,15 +76,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftConvertCommand(split(t), Nil)
     case Checkpoint(t) if t.contains('.') =>
       GraftCheckpointCommand(split(t))
-    case AnalyzeStats(t, cols) if t.split('.').length == 3 =>
-      // three-part graft names only — Spark's own ANALYZE TABLE keeps
-      // session-catalog (1/2-part) names untouched
+    case AnalyzeStats(t, cols) if claims(t) =>
+      // graft-catalog three-part names only — Spark's own ANALYZE TABLE
+      // keeps session-catalog names AND other catalogs' tables untouched
       GraftAnalyzeCommand(split(t),
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
   private def split(name: String): Seq[String] = name.split('.').toSeq
+
+  /** Statements that shadow GENUINE Spark grammar (ANALYZE TABLE, SHOW
+    * PARTITIONS) are claimed only when the name is three-part AND its
+    * catalog resolves to a graft catalog — anything else falls through
+    * to the session parser so Spark's own semantics keep working. */
+  private def claims(name: String): Boolean =
+    name.split('.').length == 3 && GraftSqlParser.isGraftCatalog(name.split('.').head)
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
@@ -141,6 +148,18 @@ object GraftSqlParser {
   private[plans] val AnalyzeStats: Regex =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + id +
       """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+\(?\s*([\w,\s]+?)\s*\)?\s*;?\s*$""").r
+
+  /** Does `name` resolve to a [[GraftCatalog]] in the active session?
+    * Used at PARSE time to keep the front parser from claiming Spark's
+    * own statements over other catalogs (a non-graft `ANALYZE TABLE
+    * spark_catalog.db.t ...` must reach Spark's native command, not fail
+    * in [[dirOf]] at run time). Resolution failures — unknown catalog,
+    * no active session — answer false: the delegate owns those. */
+  private[graft] def isGraftCatalog(catName: String): Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      try s.sessionState.catalogManager.catalog(catName).isInstanceOf[GraftCatalog]
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   /** Resolve a three-part name through the session's catalog manager to
     * the graft table's storage dir (shared with the `table_changes` TVF). */
@@ -331,10 +350,19 @@ case class GraftCloneCommand(dst: Seq[String], src: Seq[String],
     val dstDir = cat.tableDirFor(ident)
     val v = TxnLog.clone(session, srcDir, dstDir, asOf)
     // the clone serves the source's CURRENT catalog schema; fall back to
-    // the physical schema when the source predates stored-DDL metadata
+    // the physical schema when the source predates stored-DDL metadata.
+    // (No stored-schema HISTORY exists to pin a `VERSION AS OF` clone to
+    // the schema as of that version — and without column mapping, which
+    // clone refuses, evolution is additive: later-ADDed columns serve
+    // NULL over the pinned files, same as on the source itself.)
     val schema = GraftSqlTable.storedSchema(srcDir).getOrElse(
       session.read.parquet(TxnLog.fileScanPlan(srcDir)._2.head).schema)
     cat.persistCloneMeta(dstDir, schema)
+    // TBLPROPERTIES travel with the clone: a source whose DML policy or
+    // vacuum retention lives in properties (graft.dml.useVectors,
+    // graft.vacuum.retainVersions) must not silently lose it on fork
+    val props = GraftSqlTable.storedProps(srcDir)
+    if (props.nonEmpty) GraftSqlTable.persistProps(dstDir, props)
     Seq(Row(v, TxnLog.fileScanPlan(dstDir)._2.size.toLong))
   }
 }

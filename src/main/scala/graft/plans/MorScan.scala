@@ -54,12 +54,17 @@ object MorScan extends Rule[LogicalPlan] {
     case p => rewriteIn(p)
   }
 
-  private def rewriteIn(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case r: DataSourceV2Relation => r.table match {
-      case g: GraftSqlTable if g.vectorMergeOnRead => inline(r, g)
-      case _ => r
+  // transformWithSubqueries, not transform: a vectored table referenced
+  // only inside IN/EXISTS/scalar subqueries must inline too, or the
+  // advertised "vectored tables readable from SQL" contract breaks with
+  // the raw-scan refusal exactly when the reference hides in a subquery
+  private def rewriteIn(plan: LogicalPlan): LogicalPlan =
+    plan.transformWithSubqueries {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftSqlTable if g.vectorMergeOnRead => inline(r, g)
+        case _ => r
+      }
     }
-  }
 
   private def inline(r: DataSourceV2Relation, g: GraftSqlTable): LogicalPlan = {
     val spark = SparkSession.active

@@ -558,4 +558,17 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.encode12(Image16(8, 8, 1, Array.fill[Short](64)(4096))))
     assert(e2.getMessage.contains("12-bit range"))
   }
+
+  test("precisionProbe reads the SOF byte from segment lengths alone") {
+    val img = ImageOps.synth(24, 16, 5)
+    assert(JpegCodec.precisionProbe(JpegCodec.encode(img)) == 8)
+    assert(JpegCodec.precisionProbe(
+      JpegCodec.encode(img, progressive = true)) == 8)
+    assert(JpegCodec.precisionProbe(JpegCodec.encode12(
+      Image16(8, 8, 1, Array.fill[Short](64)(700)))) == 12)
+    // inconclusive inputs answer 8 — the routed decode validates
+    assert(JpegCodec.precisionProbe(Array[Byte](0xff.toByte, 0xd8.toByte)) == 8)
+    assert(JpegCodec.precisionProbe(Array.fill[Byte](16)(0x55)) == 8)
+    assert(JpegCodec.precisionProbe(Array.empty[Byte]) == 8)
+  }
 }

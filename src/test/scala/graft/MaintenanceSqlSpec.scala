@@ -517,6 +517,70 @@ class MaintenanceSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toString.contains("LeftAnti"))
   }
 
+  test("ANALYZE/SHOW PARTITIONS over non-graft catalogs keep Spark semantics") {
+    // genuine Spark statements the front parser SHADOWS must reach
+    // Spark's native commands whenever the name is not a graft table —
+    // session-catalog three-part names included
+    spark.sql("DROP TABLE IF EXISTS delegate_natv")
+    spark.sql("CREATE TABLE delegate_natv (k BIGINT, x BIGINT) USING parquet")
+    spark.sql("INSERT INTO delegate_natv SELECT id, id * 3 FROM range(0, 20)")
+    // pre-guard this became GraftAnalyzeCommand and failed in dirOf
+    spark.sql("ANALYZE TABLE spark_catalog.default.delegate_natv " +
+      "COMPUTE STATISTICS FOR COLUMNS x")
+    val desc = spark.sql("DESC EXTENDED delegate_natv x").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("max").contains("57"), desc.toString)
+    // SHOW PARTITIONS on a session-catalog partitioned table: native
+    spark.sql("DROP TABLE IF EXISTS delegate_part")
+    spark.sql("CREATE TABLE delegate_part (k BIGINT) USING parquet " +
+      "PARTITIONED BY (p INT)")
+    spark.sql("INSERT INTO delegate_part SELECT id, CAST(id % 2 AS INT) " +
+      "FROM range(0, 6)")
+    assert(spark.sql("SHOW PARTITIONS spark_catalog.default.delegate_part")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("p=0", "p=1"))
+    spark.sql("DROP TABLE delegate_natv")
+    spark.sql("DROP TABLE delegate_part")
+  }
+
+  test("SHALLOW CLONE carries TBLPROPERTIES: the fork keeps its DML policy") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_clp").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("""CREATE TABLE gm.db.clp (k BIGINT, x BIGINT)
+      TBLPROPERTIES('graft.dml.useVectors'='true', 'graft.keys'='k',
+                    'graft.vacuum.retainVersions'='5')""")
+    spark.sql("INSERT INTO gm.db.clp SELECT id, id FROM range(0, 50)")
+    spark.sql("CREATE TABLE gm.db.clpd SHALLOW CLONE gm.db.clp")
+    val cloned = graft.sources.GraftSqlTable.storedProps(s"$wh/db/clpd")
+    assert(cloned.get("graft.dml.useVectors").contains("true") &&
+      cloned.get("graft.keys").contains("k") &&
+      cloned.get("graft.vacuum.retainVersions").contains("5"), cloned.toString)
+    // the policy ACTS on the clone: DELETE commits a vector (D), no CoW
+    spark.sql("DELETE FROM gm.db.clpd WHERE k >= 40")
+    val acts = TxnLog.history(spark, s"$wh/db/clpd").collect()
+      .sortBy(_.getLong(0)).map(_.getString(1).take(1)).mkString
+    assert(acts == "AD", s"got '$acts'")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.clpd").head().getLong(0) == 40L)
+    // and the source is untouched
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gm.db.clp").head().getLong(0) == 50L)
+  }
+
+  test("merge-on-read inlines inside subqueries too") {
+    val (t, dir) = fresh("morsub")
+    spark.sql(s"INSERT INTO $t SELECT id, id, id FROM range(0, 100)")
+    TxnLog.deleteVector(spark, dir, "k >= 50", Seq("k"))
+    // the vectored table appears ONLY inside subquery expressions —
+    // plan.transform alone would never reach it and the raw-scan
+    // refusal would fire at pushdown
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM range(0, 200) " +
+      s"WHERE id IN (SELECT k FROM $t)").head().getLong(0) == 50L)
+    assert(spark.sql(s"SELECT (SELECT COUNT(*) FROM $t) AS c")
+      .head().getLong(0) == 50L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM range(0, 10) r " +
+      s"WHERE EXISTS (SELECT 1 FROM $t WHERE k = r.id)").head().getLong(0) == 10L)
+  }
+
   test("maintenance on a non-graft name refuses loudly") {
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)

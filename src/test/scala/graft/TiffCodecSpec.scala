@@ -43,6 +43,20 @@ class TiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("bitsProbe reads depth from the IFD alone; never throws") {
+    for (be <- Seq(false, true)) {
+      assert(TiffCodec.bitsProbe(TiffCodec.encode(noise(9, 7, 3, 2L),
+        deflate = false, be)) == 8)
+      assert(TiffCodec.bitsProbe(TiffCodec.encode16(
+        Image16(9, 7, 1, Array.tabulate[Short](63)(i => (i * 991).toShort)),
+        deflate = true, be)) == 16)
+    }
+    // inconclusive inputs answer 8 (the routed decode validates):
+    assert(TiffCodec.bitsProbe(Array[Byte]('I', 'I', 42, 0)) == 8)
+    assert(TiffCodec.bitsProbe(Array.fill[Byte](32)(0x4d)) == 8)
+    assert(TiffCodec.bitsProbe(Array.empty[Byte]) == 8)
+  }
+
   test("the two decode surfaces refuse each other's depths by name") {
     val deep = TiffCodec.encode16(Image16(4, 4, 1,
       Array.tabulate[Short](16)(i => (i * 4111).toShort)))
