@@ -1042,12 +1042,32 @@ object ImageQueries {
     * relational per-sample oracle: fam 0 = 8-bit gray, deflate strips;
     * fam 1 = 8-bit RGB, uncompressed, BIG-ENDIAN (the MM order walks the
     * whole IFD differently); fam 2 = 16-bit gray, deflate, through the
-    * deep surface (`decode16` — sample bytes honor the file's order). */
+    * deep surface (`decode16` — sample bytes honor the file's order);
+    * fam 3 (round 13) = 8-bit RGB, LZW + HORIZONTAL PREDICTOR — the
+    * dominant real-world archival-scan encoding (round-12 verdict item
+    * 2), same pixels as fam 1 so the oracle rows restate one formula;
+    * fam 4 = 16-bit gray, LZW + predictor on the 16-bit lanes, BIG-
+    * ENDIAN (differencing before byte-packing in the file's order). */
   def q319(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     specs(s, d, 3L)
       .map { sp =>
-        val fam = ((sp.id % 9) / 3).toInt
+        val fam = ((sp.id % 15) / 3).toInt
+        def rgbPx: Array[Byte] = {
+          val px = new Array[Byte](sp.w * sp.h * 3)
+          var p = 0
+          while (p < sp.w * sp.h) {
+            val x = p % sp.w; val y = p / sp.w
+            px(p * 3) = ((x * 5 + y) % 256).toByte
+            px(p * 3 + 1) = ((x + y * 11) % 256).toByte
+            px(p * 3 + 2) = ((x * y + 3) % 256).toByte
+            p += 1
+          }
+          px
+        }
+        def graySmp: Array[Short] = Array.tabulate[Short](sp.w * sp.h) { p =>
+          ((p % sp.w * 257 + p / sp.w * 1031) % 65536).toShort
+        }
         val tif = fam match {
           case 0 =>
             val px = Array.tabulate[Byte](sp.w * sp.h) { p =>
@@ -1056,23 +1076,17 @@ object ImageQueries {
             graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 1, px),
               deflate = true)
           case 1 =>
-            val px = new Array[Byte](sp.w * sp.h * 3)
-            var p = 0
-            while (p < sp.w * sp.h) {
-              val x = p % sp.w; val y = p / sp.w
-              px(p * 3) = ((x * 5 + y) % 256).toByte
-              px(p * 3 + 1) = ((x + y * 11) % 256).toByte
-              px(p * 3 + 2) = ((x * y + 3) % 256).toByte
-              p += 1
-            }
-            graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 3, px),
+            graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 3, rgbPx),
               bigEndian = true)
-          case _ =>
-            val smp = Array.tabulate[Short](sp.w * sp.h) { p =>
-              ((p % sp.w * 257 + p / sp.w * 1031) % 65536).toShort
-            }
-            graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, smp),
+          case 2 =>
+            graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, graySmp),
               deflate = true)
+          case 3 =>
+            graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 3, rgbPx),
+              lzw = true, predictor = true)
+          case _ =>
+            graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, graySmp),
+              lzw = true, predictor = true, bigEndian = true)
         }
         (sp.id, fam, tif)
       }
@@ -1083,7 +1097,7 @@ object ImageQueries {
           ss += v
           ws += v.toLong * (x + 1) * (3 * y + 7) * (c + 1)
         }
-        if (fam == 2) {
+        if (fam == 2 || fam == 4) {
           val img = graft.io.TiffCodec.decode16(tif)
           w = img.width; h = img.height; ch = img.channels
           var i = 0
@@ -1109,13 +1123,12 @@ object ImageQueries {
       |  SELECT doc_id AS id,
       |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
       |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
-      |         CAST(CASE WHEN doc_id % 9 = 0 THEN 0
-      |                   WHEN doc_id % 9 = 3 THEN 1 ELSE 2 END AS BIGINT) AS fam
+      |         CAST((doc_id % 15) // 3 AS BIGINT) AS fam
       |  FROM documents WHERE doc_id % 3 = 0),
       |px AS (
       |  SELECT id, w, h, fam, gx.x AS x, gy.y AS y, gc.c AS c,
       |         CASE WHEN fam = 0 THEN (gx.x * 13 + gy.y * 7) % 256
-      |              WHEN fam = 1 THEN
+      |              WHEN fam IN (1, 3) THEN
       |           CASE gc.c WHEN 0 THEN (gx.x * 5 + gy.y) % 256
       |                     WHEN 1 THEN (gx.x + gy.y * 11) % 256
       |                     ELSE (gx.x * gy.y + 3) % 256 END
@@ -1125,10 +1138,10 @@ object ImageQueries {
       |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
       |  JOIN generate_series(0, 63) gy(y) ON gy.y < h
       |  JOIN generate_series(0, 2) gc(c)
-      |    ON gc.c <= CASE WHEN fam = 1 THEN 2 ELSE 0 END)
+      |    ON gc.c <= CASE WHEN fam IN (1, 3) THEN 2 ELSE 0 END)
       |SELECT ids.id AS img_id, CAST(ids.fam AS INT) AS fam,
       |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
-      |       CAST(CASE WHEN ids.fam = 1 THEN 3 ELSE 1 END AS INT) AS ch,
+      |       CAST(CASE WHEN ids.fam IN (1, 3) THEN 3 ELSE 1 END AS INT) AS ch,
       |       m.samp_sum, m.wsum
       |FROM ids
       |JOIN (SELECT id, CAST(SUM(v) AS BIGINT) AS samp_sum,

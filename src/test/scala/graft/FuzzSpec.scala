@@ -231,7 +231,12 @@ class FuzzSpec extends AnyFunSuite {
       graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(24, 16, 0),
         bigEndian = true),
       graft.io.TiffCodec.encode16(graft.io.PngCodec.Image16(11, 21, 1,
-        Array.tabulate[Short](11 * 21)(i => (i * 911).toShort)), deflate = true))
+        Array.tabulate[Short](11 * 21)(i => (i * 911).toShort)), deflate = true),
+      graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(25, 19, 1),
+        lzw = true, predictor = true),
+      graft.io.TiffCodec.encode16(graft.io.PngCodec.Image16(13, 17, 3,
+        Array.tabulate[Short](13 * 17 * 3)(i => (i * 601).toShort)),
+        lzw = true, predictor = true, bigEndian = true))
     def driveTiff(bytes: Array[Byte]): Unit =
       try {
         val img = graft.io.TiffCodec.decode(bytes)

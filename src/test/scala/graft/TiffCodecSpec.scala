@@ -43,6 +43,89 @@ class TiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- LZW
+  test("LZW bitstream matches the hand-derived spec vector") {
+    // input [7,7,7,8]: Clear, 7, 258 (the just-learned "77"), 8, EOI —
+    // five 9-bit codes MSB-packed: 100000000 000000111 100000010
+    // 000001000 100000001 + zero pad
+    val z = TiffCodec.lzwCompress(Array[Byte](7, 7, 7, 8))
+    assert(z.toSeq == Seq(0x80, 0x01, 0xE0, 0x40, 0x88, 0x08).map(_.toByte), {
+      z.map(b => f"${b & 0xff}%02x").mkString(" ")
+    })
+    assert(TiffCodec.lzwDecompress(z, 0, z.length, 4).toSeq == Seq[Byte](7, 7, 7, 8))
+  }
+
+  test("LZW round-trips across EVERY code-width boundary and the 4094 reset") {
+    var s = 17L
+    def rnd(n: Int, span: Int): Array[Byte] = Array.fill[Byte](n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % span).toByte
+    }
+    // noise grows the table ~1 entry/byte: 1 KiB crosses 511, 2 KiB
+    // crosses 1023, 8 KiB crosses 2047, 32 KiB forces the mid-stream
+    // Clear at 4094; low-span data exercises long matches + KwKwK
+    for ((n, span) <- Seq((300, 256), (1024, 256), (2048, 256), (8192, 256),
+                          (40000, 256), (40000, 4), (5000, 2), (1, 256), (0, 256))) {
+      val raw = rnd(n, span)
+      val z = TiffCodec.lzwCompress(raw)
+      val back = TiffCodec.lzwDecompress(z, 0, z.length, n)
+      assert(java.util.Arrays.equals(back, raw), s"n=$n span=$span")
+    }
+    // compressible content actually compresses
+    val flat = Array.fill[Byte](10000)(42)
+    assert(TiffCodec.lzwCompress(flat).length < 500)
+  }
+
+  test("LZW strips refuse truncation and garbage codes") {
+    val raw = Array.tabulate[Byte](500)(i => (i * 31).toByte)
+    val z = TiffCodec.lzwCompress(raw)
+    intercept[IllegalArgumentException](
+      TiffCodec.lzwDecompress(z, 0, z.length / 2, 500))
+    // a code far beyond the table: craft 9-bit [Clear, 7, 300]
+    // 100000000 000000111 100101100 -> bytes
+    val bad = Array[Byte](0x80.toByte, 0x01, 0xE5.toByte, 0x80.toByte)
+    val e = intercept[IllegalArgumentException](
+      TiffCodec.lzwDecompress(bad, 0, bad.length, 10))
+    assert(e.getMessage.contains("beyond table"))
+  }
+
+  test("LZW + horizontal predictor roundtrip bit-exactly at 8 and 16 bit") {
+    for (ch <- Seq(1, 3); be <- Seq(false, true); pred <- Seq(false, true)) {
+      val img = noise(33, 40, ch, ch * 1000L + (if (pred) 13 else 3))
+      val tif = TiffCodec.encode(img, bigEndian = be, lzw = true,
+        predictor = pred)
+      // the compression tag really says 5; predictor tag present iff used
+      assert(TiffCodec.bitsProbe(tif) == 8)
+      val dec = TiffCodec.decode(tif)
+      assert(java.util.Arrays.equals(dec.pixels, img.pixels),
+        s"ch=$ch be=$be pred=$pred")
+    }
+    var s = 99L
+    for (be <- Seq(false, true); ch <- Seq(1, 3)) {
+      val smp = Array.fill[Short](21 * 37 * ch) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 37).toShort
+      }
+      val img = Image16(21, 37, ch, smp)
+      val dec = TiffCodec.decode16(TiffCodec.encode16(img, bigEndian = be,
+        lzw = true, predictor = true))
+      assert(java.util.Arrays.equals(dec.samples, img.samples),
+        s"16-bit ch=$ch be=$be")
+    }
+    // predictor composes with deflate too (tag 317 is orthogonal to 259)
+    val img = noise(20, 20, 3, 8L)
+    val dec = TiffCodec.decode(TiffCodec.encode(img, deflate = true,
+      predictor = true))
+    assert(java.util.Arrays.equals(dec.pixels, img.pixels))
+    // smooth content is where the predictor pays: gradient rows delta to
+    // near-constant strings, so LZW-with-predictor beats LZW-without
+    val grad = Image(64, 64, 1,
+      Array.tabulate[Byte](64 * 64)(i => ((i % 64) * 3 + i / 64).toByte))
+    val withP = TiffCodec.encode(grad, lzw = true, predictor = true).length
+    val withoutP = TiffCodec.encode(grad, lzw = true).length
+    assert(withP < withoutP, s"predictor $withP !< plain $withoutP")
+  }
+
   test("bitsProbe reads depth from the IFD alone; never throws") {
     for (be <- Seq(false, true)) {
       assert(TiffCodec.bitsProbe(TiffCodec.encode(noise(9, 7, 3, 2L),
@@ -86,11 +169,20 @@ class TiffCodecSpec extends AnyFunSuite {
       c
     }
     val e1 = intercept[IllegalArgumentException](
-      TiffCodec.decode(patchTagValue(base, 259, 5))) // LZW
+      TiffCodec.decode(patchTagValue(base, 259, 2))) // CCITT group 3
     assert(e1.getMessage.contains("compression"))
+    val e1b = intercept[IllegalArgumentException](
+      TiffCodec.decode(patchTagValue(base, 259, 7))) // JPEG-in-TIFF
+    assert(e1b.getMessage.contains("compression"))
     val e2 = intercept[IllegalArgumentException](
       TiffCodec.decode(patchTagValue(base, 262, 3))) // palette photometric
     assert(e2.getMessage.contains("photometric"))
+    // the floating-point predictor stays off-scope (horizontal is in)
+    val predBase = TiffCodec.encode(noise(16, 16, 1, 4L), lzw = true,
+      predictor = true)
+    val e3 = intercept[IllegalArgumentException](
+      TiffCodec.decode(patchTagValue(predBase, 317, 3)))
+    assert(e3.getMessage.contains("predictor"))
     // bad magic / order mark
     val bad = base.clone(); bad(0) = 'X'
     intercept[IllegalArgumentException](TiffCodec.decode(bad))
