@@ -86,6 +86,61 @@ object ImageOps {
     (sum, clip, wsum)
   }
 
+  /** EXIF orientation APPLY — normalize a decoded raster to display-
+    * upright (the transform q310 deliberately reads as metadata only;
+    * a curation pipeline that IGNORES orientation trains on rotated
+    * images, one that applies it before dedup breaks byte identity —
+    * both operators exist so the pipeline chooses). All 8 EXIF values
+    * are EXACT sample transpositions (no resampling, no loss), so the
+    * operator composes with relational oracles: destination of source
+    * (x, y) per EXIF/TIFF tag 274:
+    *   1 = as stored            2 = mirror horizontal
+    *   3 = rotate 180           4 = mirror vertical
+    *   5 = transpose (mirror horizontal + rotate 270 CW)
+    *   6 = rotate 90 CW         7 = transverse (mirror h. + rotate 90 CW)
+    *   8 = rotate 270 CW
+    * Values 5-8 swap the output dimensions. */
+  def applyOrientation(img: Image, orient: Int): Image = {
+    require(orient >= 1 && orient <= 8, s"EXIF orientation 1-8, got $orient")
+    if (orient == 1) return img
+    val w = img.width; val h = img.height; val ch = img.channels
+    val swap = orient >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dx = orient match {
+          case 2 => w - 1 - x
+          case 3 => w - 1 - x
+          case 4 => x
+          case 5 => y
+          case 6 => h - 1 - y
+          case 7 => h - 1 - y
+          case _ => y // 8
+        }
+        val dy = orient match {
+          case 2 => y
+          case 3 => h - 1 - y
+          case 4 => h - 1 - y
+          case 5 => x
+          case 6 => x
+          case 7 => w - 1 - x
+          case _ => w - 1 - x // 8
+        }
+        val src = (y * w + x) * ch
+        val dst = (dy * ow + dx) * ch
+        var c = 0
+        while (c < ch) { out(dst + c) = img.pixels(src + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Image(ow, oh, ch, out)
+  }
+
   /** Nearest-neighbor resize with the floor source map sx = i·w/W — the
     * standard integer mapping, restatable in SQL. */
   def resizeNearest(img: Image, outW: Int, outH: Int): Image = {

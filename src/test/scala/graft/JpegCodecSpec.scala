@@ -441,6 +441,41 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(enc2).width == 48)
   }
 
+  test("applyOrientation: all 8 EXIF transpositions on a hand vector") {
+    // 3x2 gray [a b c / d e f] — every orientation's result is stated
+    // literally from the EXIF/TIFF tag-274 definitions
+    val (a, b, c, d, e, f) = (10: Byte, 20: Byte, 30: Byte, 40: Byte, 50: Byte, 60: Byte)
+    val img = Image(3, 2, 1, Array(a, b, c, d, e, f))
+    def run(o: Int): (Int, Int, Seq[Byte]) = {
+      val r = ImageOps.applyOrientation(img, o)
+      (r.width, r.height, r.pixels.toSeq)
+    }
+    assert(run(1) == ((3, 2, Seq(a, b, c, d, e, f))))
+    assert(run(2) == ((3, 2, Seq(c, b, a, f, e, d)))) // mirror horizontal
+    assert(run(3) == ((3, 2, Seq(f, e, d, c, b, a)))) // rotate 180
+    assert(run(4) == ((3, 2, Seq(d, e, f, a, b, c)))) // mirror vertical
+    assert(run(5) == ((2, 3, Seq(a, d, b, e, c, f)))) // transpose
+    assert(run(6) == ((2, 3, Seq(d, a, e, b, f, c)))) // rotate 90 CW
+    assert(run(7) == ((2, 3, Seq(f, c, e, b, d, a)))) // transverse
+    assert(run(8) == ((2, 3, Seq(c, f, b, e, a, d)))) // rotate 270 CW
+    // involutions undo themselves; 6 and 8 invert each other; channels
+    // travel together (RGB pixel stays one unit)
+    for (o <- Seq(2, 3, 4, 5, 7)) {
+      val twice = ImageOps.applyOrientation(ImageOps.applyOrientation(img, o), o)
+      assert(twice.pixels.toSeq == img.pixels.toSeq, s"orientation $o twice")
+    }
+    val back = ImageOps.applyOrientation(ImageOps.applyOrientation(img, 6), 8)
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+    val rgb = ImageOps.synth(24, 16, 3)
+    val r6 = ImageOps.applyOrientation(rgb, 6)
+    assert(r6.width == 16 && r6.height == 24 && r6.channels == 3)
+    // corner pixel: source (0, h-1) lands at (0, 0) under 90 CW
+    assert((0 until 3).forall(ci =>
+      r6.pixels(ci) == rgb.pixels(((16 - 1) * 24 + 0) * 3 + ci)))
+    intercept[IllegalArgumentException](ImageOps.applyOrientation(img, 0))
+    intercept[IllegalArgumentException](ImageOps.applyOrientation(img, 9))
+  }
+
   test("encoder Huffman tables are canonical and 16-bit-capped") {
     // skewed frequencies force long codes; the cap + all-ones reservation
     // must still yield a decodable stream (roundtrip proves both sides)
