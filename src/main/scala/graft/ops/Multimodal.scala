@@ -356,8 +356,12 @@ object Multimodal {
     * `stsc` (samples-per-chunk runs); samples within a chunk are
     * contiguous. Returns None for non-MP4 payloads or tables that don't
     * resolve (callers fall back to the byte-window stand-in). The samples
-    * are raw coded payloads — extracting them needs no codec; DECODING
-    * them would, which is where the pipeline's documented stub begins. */
+    * are raw coded payloads — extracting them needs no codec. DECODING
+    * them does: MJPEG samples decode for REAL through the engine's own
+    * [[graft.io.JpegCodec]] (the [[graft.io.Mp4Mjpeg]] mux + q322 e2e,
+    * round 13); samples of codecs the engine does not own (H.26x, AV1)
+    * refuse loudly at the image front door's magic sniff — the pinned
+    * boundary, tested in Mp4MjpegSpec. */
   private[graft] def mp4Samples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
     try {
       if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return None
