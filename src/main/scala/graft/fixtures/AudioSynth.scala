@@ -212,4 +212,39 @@ object AudioSynth {
     Files.write(stamp, Array.emptyByteArray)
     expected
   }
+
+  private val Mp3CorpusVersion = 1
+
+  /** MP3 fixtures (round 13): speech-burst content upsampled to 32 kHz
+    * (MPEG-1's lowest rate) and encoded through [[graft.io.Mp3Codec]] —
+    * one plain stream, one ID3v2-TAGGED stream (the form scraped
+    * podcasts actually arrive in; the dispatch must skip the tag), and
+    * one truncated mid-frame (the per-file error-skip trial, the q259
+    * garbage-wav / q268 corrupt-ogg convention). */
+  def writeMp3Corpus(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val expected = Seq("mp3_speech_a.mp3", "mp3_speech_b.mp3",
+      "mp3_tagged.mp3", "mp3_truncated.mp3").map(d.resolve)
+    val stamp = d.resolve(s".corpus_mp3_v$Mp3CorpusVersion")
+    if (Files.exists(stamp) &&
+        expected.forall(p => Files.exists(p) && Files.size(p) > 0))
+      return expected
+    Files.deleteIfExists(stamp)
+    def mp3Of(durationsMs: Seq[Int]): Array[Byte] = {
+      val up = graft.ops.Dsp.resampleLinear(bursts(durationsMs), Rate, 32000)
+      graft.io.Mp3Codec.encode(up, 32000)
+    }
+    Files.write(d.resolve("mp3_speech_a.mp3"), mp3Of(Seq(4200, 5800)))
+    Files.write(d.resolve("mp3_speech_b.mp3"), mp3Of(Seq(5100)))
+    val tagged = mp3Of(Seq(3400, 4600))
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 64) ++
+      new Array[Byte](64)
+    Files.write(d.resolve("mp3_tagged.mp3"), id3 ++ tagged)
+    val whole = mp3Of(Seq(2600))
+    Files.write(d.resolve("mp3_truncated.mp3"),
+      whole.take(whole.length / 2 + 7)) // mid-frame cut → decode refuses
+    Files.write(stamp, Array.emptyByteArray)
+    expected
+  }
 }

@@ -27,6 +27,14 @@ object WavCodec {
       val (info, samples) = VorbisCodec.decode(bytes)
       return Decoded(samples, info.channels, info.sampleRate)
     }
+    // MP3: a bare frame-sync prefix or an ID3v2 tag (the compressed class
+    // real speech corpora arrive in — podcasts, audiobooks, scrapes)
+    if (bytes.length >= 3 &&
+        (((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0) ||
+         (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'))) {
+      val (info, samples) = Mp3Codec.decode(bytes)
+      return Decoded(samples, 1, info.sampleRate)
+    }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 44, s"too short for WAV: ${bytes.length} bytes")
     require(buf.getInt(0) == 0x46464952, "missing RIFF magic") // "RIFF"

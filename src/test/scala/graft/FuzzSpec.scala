@@ -223,6 +223,43 @@ class FuzzSpec extends AnyFunSuite {
     forAllSampled(garbage, n = 200)(driveJpeg)
   }
 
+  test("MP3 decode under truncation/corruption: loud Exception or sane PCM, never an Error") {
+    // decode may THROW (the pipeline error-skips per file) but must never
+    // hang, never allocate unboundedly (the frame-length bound comes from
+    // the header's own bitrate/rate fields, validated against the file),
+    // and never return PCM longer than frames × 1152
+    def sine(n: Int): Array[Float] =
+      Array.tabulate(n)(i => (0.4 * math.sin(2 * math.Pi * 500 * i / 32000.0)).toFloat)
+    val fixtures = Seq(
+      graft.io.Mp3Codec.encode(sine(4000), 32000),
+      graft.io.Mp3Codec.encode(sine(2000), 48000),
+      Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 16) ++
+        new Array[Byte](16) ++ graft.io.Mp3Codec.encode(sine(2500), 44100))
+    def drive(bytes: Array[Byte]): Unit =
+      try {
+        val (info, pcm) = graft.io.Mp3Codec.decode(bytes)
+        assert(info.frames > 0)
+        assert(pcm.length <= info.frames * 1152)
+      } catch { case _: Exception => () }
+    fixtures.foreach { fx =>
+      val mutated = for {
+        cut <- Gen.chooseNum(2, fx.length)
+        corrupt <- Gen.option(Gen.zip(Gen.chooseNum(0, fx.length - 1),
+          Gen.chooseNum(-128, 127).map(_.toByte)))
+      } yield {
+        val c = fx.take(cut)
+        corrupt.foreach { case (p, b) => if (p < c.length) c(p) = b }
+        c
+      }
+      forAllSampled(mutated, n = 250)(drive)
+    }
+    // garbage behind a plausible frame-sync prefix
+    val garbage = Gen.containerOf[Array, Byte](
+      Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(b => Array[Byte](0xff.toByte, 0xfb.toByte) ++ b)
+    forAllSampled(garbage, n = 200)(drive)
+  }
+
   test("TIFF decode under truncation/corruption: loud Exception or a sane image, never an Error") {
     val fixtures = Seq(
       graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(24, 40, 3)),

@@ -1,0 +1,223 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Mp3Codec, WavCodec}
+
+/** The MP3 codec's contracts: the spec constants, filterbank
+  * near-perfect-reconstruction, MDCT/overlap-add exactness, bitstream
+  * layout (header/side-info fields read back), encode→decode round
+  * trips with bounded error and exact gapless length, byte-level
+  * determinism, the WavCodec magic dispatch (bare sync + ID3v2), and
+  * the scope refusals. */
+class Mp3CodecSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------- constants
+  test("spec constants: slen pairs, sfb edges, alias coefficients") {
+    // scalefac_compress table: 16 published (slen1, slen2) pairs
+    assert(Mp3Codec.Slen1.toSeq == Seq(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4))
+    assert(Mp3Codec.Slen2.toSeq == Seq(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3))
+    // long-block sfb tables: 23 ascending edges from 0 to 576, starting
+    // with the 4-wide low bands every rate shares
+    for (sr <- Seq(32000, 44100, 48000)) {
+      val t = Mp3Codec.SfbLong(sr)
+      assert(t.length == 23 && t.head == 0 && t.last == 576)
+      assert(t.sliding(2).forall(p => p(1) > p(0)), s"$sr not ascending")
+      assert(t.take(7).toSeq == Seq(0, 4, 8, 12, 16, 20, 24))
+    }
+    // alias-reduction butterflies: cs² + ca² = 1 and ca/cs = ci
+    (0 until 8).foreach { k =>
+      val s = Mp3Codec.Cs(k) * Mp3Codec.Cs(k) + Mp3Codec.Ca(k) * Mp3Codec.Ca(k)
+      assert(math.abs(s - 1.0) < 1e-12)
+      assert(math.abs(Mp3Codec.Ca(k) / Mp3Codec.Cs(k) - Mp3Codec.Ci(k)) < 1e-12)
+    }
+    // count1 table B: fixed 4-bit codes, one's complement of the quadruple
+    (0 until 16).foreach(q => assert(Mp3Codec.count1BCode(q) == (~q & 0xF)))
+    assert((0 until 16).map(Mp3Codec.count1BCode).distinct.length == 16)
+    // big-values table 1: the four published codes, prefix-free
+    val codes = for (x <- 0 to 1; y <- 0 to 1) yield Mp3Codec.Tab1(x)(y)
+    assert(codes.toSet == Set((1, 1), (3, 1), (2, 1), (3, 0)))
+    def bitstring(c: (Int, Int)) =
+      (c._2.toBinaryString.reverse.padTo(c._1, '0')).reverse
+    val strs = codes.map(bitstring)
+    for (a <- strs; b <- strs if a != b) assert(!b.startsWith(a), s"$a prefixes $b")
+  }
+
+  test("MDCT window satisfies Princen-Bradley; MDCT→IMDCT+OLA reconstructs") {
+    val w = Mp3Codec.MdctWin
+    (0 until 18).foreach { i =>
+      assert(math.abs(w(i) * w(i) + w(i + 18) * w(i + 18) - 1.0) < 1e-12)
+    }
+    // three consecutive 18-sample blocks through the lapped transform:
+    // the middle block must come back exactly
+    var s = 7L
+    def blk(): Array[Double] = Array.fill(18) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 40).toDouble / (1L << 23).toDouble - 0.5
+    }
+    val (b0, b1, b2) = (blk(), blk(), blk())
+    val x1 = Mp3Codec.mdct(b0 ++ b1)
+    val x2 = Mp3Codec.mdct(b1 ++ b2)
+    val t1 = Mp3Codec.imdct(x1)
+    val t2 = Mp3Codec.imdct(x2)
+    (0 until 18).foreach { i =>
+      val rec = t1(18 + i) + t2(i)
+      assert(math.abs(rec - b1(i)) < 1e-9, s"OLA sample $i: $rec vs ${b1(i)}")
+    }
+  }
+
+  test("polyphase cascade is near-PR: unit DC gain, flat band, 481 delay") {
+    // DC settles to 1.0 (the deterministic init-time calibration)
+    val an = new Mp3Codec.Analysis
+    val syn = new Mp3Codec.Synthesis(Mp3Codec.CascadeGain)
+    val dc = (0 until 60).flatMap(_ => syn.step(an.step(Array.fill(32)(1.0))).toSeq)
+    assert(dc.drop(1400).forall(v => math.abs(v - 1.0) < 0.02))
+    // impulse peaks at the classic 481-sample cascade delay
+    val an2 = new Mp3Codec.Analysis
+    val syn2 = new Mp3Codec.Synthesis(Mp3Codec.CascadeGain)
+    val imp = new Array[Double](2048); imp(0) = 1.0
+    val out = imp.grouped(32).flatMap(sl => syn2.step(an2.step(sl.toArray)).toSeq).toArray
+    assert(out.indices.maxBy(i => math.abs(out(i))) == 481)
+    // mid-band sine survives at ≥30 dB (the window-design contract; the
+    // quantizer, not the filterbank, bounds codec fidelity)
+    for (freq <- Seq(440.0, 1200.0, 5250.0, 15250.0)) {
+      val n = 8192
+      val in = Array.tabulate(n)(i => math.sin(2 * math.Pi * freq * i / 32000.0))
+      val a = new Mp3Codec.Analysis
+      val sy = new Mp3Codec.Synthesis(Mp3Codec.CascadeGain)
+      val got = in.grouped(32).flatMap(sl => sy.step(a.step(sl.toArray)).toSeq).toArray
+      var se = 0.0; var sp = 0.0
+      var i = 2048
+      while (i < n - 481) {
+        val e = got(i + 481) - in(i); se += e * e; sp += in(i) * in(i); i += 1
+      }
+      val snr = 10 * math.log10(sp / se)
+      assert(snr > 30.0, s"$freq Hz cascade SNR $snr dB")
+    }
+  }
+
+  // --------------------------------------------------------- round trip
+  private def sine(freqHz: Double, rate: Int, n: Int,
+                   amp: Double = 0.5): Array[Float] =
+    Array.tabulate(n)(i => (amp * math.sin(2 * math.Pi * freqHz * i / rate)).toFloat)
+
+  test("encode→decode round-trips a sine: exact length, aligned, bounded") {
+    val rate = 32000
+    val pcm = sine(440.0, rate, 9000)
+    val mp3 = Mp3Codec.encode(pcm, rate)
+    val (info, got) = Mp3Codec.decode(mp3)
+    assert(info.sampleRate == rate)
+    assert(got.length == pcm.length, s"gapless trim: ${got.length} vs ${pcm.length}")
+    // 1-bit magnitudes under per-band scalefactors: the tone must
+    // SURVIVE (strong correlation at zero lag), with the quantizer's
+    // honest error envelope
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var maxErr = 0.0
+    pcm.indices.foreach { i =>
+      dot += got(i).toDouble * pcm(i); na += pcm(i).toDouble * pcm(i)
+      nb += got(i).toDouble * got(i)
+      maxErr = math.max(maxErr, math.abs(got(i) - pcm(i)))
+    }
+    assert(dot / math.sqrt(na * nb) > 0.85, s"correlation ${dot / math.sqrt(na * nb)}")
+    assert(maxErr < 0.5, s"round-trip error $maxErr")
+  }
+
+  test("all three MPEG-1 rates round-trip at exact length") {
+    for (rate <- Seq(32000, 44100, 48000); len <- Seq(1, 575, 1152, 5000)) {
+      val pcm = sine(700.0, rate, len, amp = 0.3)
+      val (info, got) = Mp3Codec.decode(Mp3Codec.encode(pcm, rate))
+      assert(info.sampleRate == rate && got.length == len,
+        s"rate $rate len $len decoded ${got.length}")
+    }
+    intercept[IllegalArgumentException](Mp3Codec.encode(new Array[Float](100), 16000))
+  }
+
+  test("silence encodes through all-zero granules and decodes to silence") {
+    val (info, got) = Mp3Codec.decode(Mp3Codec.encode(new Array[Float](3000), 48000))
+    assert(got.length == 3000)
+    assert(got.forall(v => math.abs(v) < 1e-3), s"max ${got.map(math.abs).max}")
+    assert(info.bitrateKbps == 32) // nothing to code → smallest CBR fits
+  }
+
+  test("encode is deterministic: byte-identical across calls") {
+    val pcm = sine(1234.5, 44100, 4000, amp = 0.4)
+    assert(java.util.Arrays.equals(Mp3Codec.encode(pcm, 44100),
+      Mp3Codec.encode(pcm, 44100)))
+  }
+
+  // ----------------------------------------------------------- dispatch
+  test("WavCodec magic dispatch: bare sync and ID3v2-prefixed streams") {
+    val pcm = sine(600.0, 32000, 3200)
+    val mp3 = Mp3Codec.encode(pcm, 32000)
+    val dec = WavCodec.decode(mp3)
+    assert(dec.sampleRate == 32000 && dec.channels == 1 &&
+      dec.samples.length == 3200)
+    // ID3v2 prefix: "ID3" v2.3, 100-byte syncsafe body, then the frames
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100) ++ mp3
+    val dec2 = WavCodec.decode(id3)
+    assert(dec2.samples.length == 3200)
+    assert(java.util.Arrays.equals(dec2.samples, dec.samples),
+      "ID3 prefix changed the audio")
+  }
+
+  test("CRC-protected frames decode (the 2 CRC bytes are skipped)") {
+    val pcm = sine(500.0, 32000, 2500)
+    val mp3 = Mp3Codec.encode(pcm, 32000)
+    // rewrite each frame: clear protection bit, splice 2 bytes after the
+    // header, drop 2 ancillary bytes at frame end (frame length is
+    // bitrate-determined, so it must stay constant)
+    val frameLen = {
+      val brIdx = (mp3(2) >> 4) & 0xf
+      144 * Mp3Codec.Bitrates(brIdx) * 1000 / 32000
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    var at = 0
+    while (at < mp3.length) {
+      val f = java.util.Arrays.copyOfRange(mp3, at, at + frameLen)
+      f(1) = (f(1) & 0xfe).toByte // protection_bit = 0: CRC present
+      out.write(f, 0, 4)
+      out.write(0xBE); out.write(0xEF) // unverified CRC-16 placeholder
+      out.write(f, 4, frameLen - 6)    // keep length: drop 2 pad bytes
+      at += frameLen
+    }
+    val (info, got) = Mp3Codec.decode(out.toByteArray)
+    assert(info.sampleRate == 32000 && got.length == 2500)
+  }
+
+  // ----------------------------------------------------------- refusals
+  test("scope refusals are loud and name the field") {
+    val mp3 = Mp3Codec.encode(sine(400.0, 44100, 2000), 44100)
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = mp3.clone(); f(c); c
+    }
+    // layer I (bits 11)
+    val e1 = intercept[IllegalArgumentException](Mp3Codec.decode(
+      mut(c => c(1) = ((c(1) & ~0x06) | 0x06).toByte)))
+    assert(e1.getMessage.contains("layer"))
+    // MPEG-2 (version bits 10)
+    val e2 = intercept[IllegalArgumentException](Mp3Codec.decode(
+      mut(c => c(1) = (c(1) & ~0x08).toByte)))
+    assert(e2.getMessage.contains("version"))
+    // free-format bitrate
+    val e3 = intercept[IllegalArgumentException](Mp3Codec.decode(
+      mut(c => c(2) = (c(2) & 0x0f).toByte)))
+    assert(e3.getMessage.contains("bitrate"))
+    // stereo mode
+    val e4 = intercept[IllegalArgumentException](Mp3Codec.decode(
+      mut(c => c(3) = (c(3) & 0x3f).toByte)))
+    assert(e4.getMessage.contains("mode"))
+    // truncation mid-frame
+    val e5 = intercept[IllegalArgumentException](
+      Mp3Codec.decode(mp3.take(mp3.length - 30)))
+    assert(e5.getMessage.contains("truncated"))
+    // garbage after a valid prefix: lost sync refuses by position
+    val e6 = intercept[IllegalArgumentException](
+      Mp3Codec.decode(mp3 ++ Array[Byte](1, 2, 3, 4, 5)))
+    assert(e6.getMessage.contains("sync"))
+    // an ID3 tag that swallows the file
+    val e7 = intercept[IllegalArgumentException](Mp3Codec.decode(
+      Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f) ++
+        new Array[Byte](4)))
+    assert(e7.getMessage != null)
+  }
+}
