@@ -285,6 +285,17 @@ object VorbisCodec {
 
   final case class Info(sampleRate: Int, channels: Int, blocksize: Int, packets: Int)
 
+  /** First-packet magic of the OTHER codecs that ride Ogg pages. */
+  private def foreignOggName(p0: Array[Byte]): Option[String] = {
+    def starts(s: String): Boolean =
+      p0.length >= s.length && s.indices.forall(i => p0(i) == s(i).toByte)
+    if (starts("OpusHead")) Some("Opus")
+    else if (starts("\u007fFLAC")) Some("FLAC")
+    else if (starts("Speex   ")) Some("Speex")
+    else if (starts("\u0080theora")) Some("Theora")
+    else None
+  }
+
   private def readHeaderPrefix(br: OggBitReader, expectType: Int): Unit = {
     require(br.read(8) == expectType, s"expected header packet type $expectType")
     "vorbis".foreach(c => require(br.read(8) == c.toInt, "missing 'vorbis' tag"))
@@ -601,6 +612,16 @@ object VorbisCodec {
   /** Decode an Ogg Vorbis stream to mono float PCM. */
   def decode(bytes: Array[Byte]): (Info, Array[Float]) = {
     val (pkts, lastGranule, _) = Ogg.packets(bytes)
+    // Ogg is a CONTAINER: Opus/FLAC/Speex ride the same pages with their
+    // own first-packet magic — refuse those BY NAME (the voice-note /
+    // VoIP class boundary, pinned in spec) instead of a generic header
+    // mismatch
+    pkts.headOption.map(_._1).foreach { p0 =>
+      foreignOggName(p0).foreach(name =>
+        throw new IllegalArgumentException(
+          s"Ogg $name is off-scope: this Ogg surface decodes Vorbis " +
+            "streams only (the documented compressed-audio boundary)"))
+    }
     require(pkts.length >= 3, s"need 3 header packets, got ${pkts.length}")
     val id = readId(pkts(0)._1)
     locally { // comment header: validate frame, ignore content

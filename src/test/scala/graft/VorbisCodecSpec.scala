@@ -236,4 +236,27 @@ class VorbisCodecSpec extends AnyFunSuite {
     // empty input
     intercept[IllegalArgumentException](VorbisCodec.decode(Array.emptyByteArray))
   }
+
+  test("foreign Ogg codecs refuse BY NAME: Opus, FLAC-in-Ogg, Speex, Theora") {
+    // Ogg is a container: an Opus (voice-note/VoIP class) or FLAC/Speex/
+    // Theora stream rides identical pages with its own first-packet
+    // magic — the boundary must be a NAMED refusal, not a generic
+    // header mismatch (round-12 verdict item 8)
+    def oggWith(firstPacket: Array[Byte]): Array[Byte] =
+      Ogg.page(firstPacket, 2, 0L, 7, 0) // BOS page, serial 7
+    val cases = Seq(
+      ("OpusHead".getBytes("ASCII") ++ Array[Byte](1, 1, 0, 0), "Opus"),
+      (Array[Byte](0x7f) ++ "FLAC".getBytes("ASCII") ++ Array[Byte](1, 0), "FLAC"),
+      ("Speex   ".getBytes("ASCII"), "Speex"),
+      (Array[Byte](0x80.toByte) ++ "theora".getBytes("ASCII"), "Theora"))
+    for ((pkt, name) <- cases) {
+      val e = intercept[IllegalArgumentException](
+        VorbisCodec.decode(oggWith(pkt)))
+      assert(e.getMessage.contains(name) && e.getMessage.contains("off-scope"),
+        s"$name: ${e.getMessage}")
+      // and through the front-door dispatch too
+      val e2 = intercept[IllegalArgumentException](WavCodec.decode(oggWith(pkt)))
+      assert(e2.getMessage.contains(name))
+    }
+  }
 }
