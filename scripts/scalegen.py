@@ -44,18 +44,18 @@ for t in ["region", "nation", "supplier", "part"]:
     copy(t)
 
 gen("customer", lambda k: f"""
-  SELECT c_custkey + {k}*10000000 AS c_custkey, c_name, c_nationkey,
+  SELECT c_custkey + {k}::BIGINT*10000000 AS c_custkey, c_name, c_nationkey,
          c_acctbal, c_mktsegment
   FROM read_parquet('{src}/customer.parquet')""")
 
 gen("orders", lambda k: f"""
-  SELECT o_orderkey + {k}*100000000 AS o_orderkey,
-         o_custkey + {k}*10000000 AS o_custkey,
+  SELECT o_orderkey + {k}::BIGINT*100000000 AS o_orderkey,
+         o_custkey + {k}::BIGINT*10000000 AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM read_parquet('{src}/orders.parquet')""")
 
 gen("lineitem", lambda k: f"""
-  SELECT l_orderkey + {k}*100000000 AS l_orderkey, l_partkey, l_suppkey,
+  SELECT l_orderkey + {k}::BIGINT*100000000 AS l_orderkey, l_partkey, l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM read_parquet('{src}/lineitem.parquet')""")
@@ -85,17 +85,18 @@ def doc_text(k):
             f"w -> substr(md5(w || '#r{k}'), 1, 8)), ' ')")
 
 gen("documents", lambda k: f"""
-  SELECT doc_id + {k}*10000000 AS doc_id, {doc_text(k)} AS text, lang, source,
+  SELECT doc_id + {k}::BIGINT*10000000 AS doc_id, {doc_text(k)} AS text, lang, source,
          CAST(length({doc_text(k)}) AS BIGINT) AS n_chars
   FROM read_parquet('{src}/documents.parquet')""")
 
 def emb_rot(k):
-    if k == 0:
+    r = k % 64  # rotation modulo the embedding dim (64): k >= dim would
+    if r == 0:  # slice to an empty head and corrupt the vector length
         return "embedding"
-    return (f"list_concat(embedding[{k+1}:], embedding[1:{k}])::FLOAT[]")
+    return (f"list_concat(embedding[{r+1}:], embedding[1:{r}])::FLOAT[]")
 
 gen("embeddings", lambda k: f"""
-  SELECT vec_id + {k}*10000000 AS vec_id, {emb_rot(k)} AS embedding, label
+  SELECT vec_id + {k}::BIGINT*10000000 AS vec_id, {emb_rot(k)} AS embedding, label
   FROM read_parquet('{src}/embeddings.parquet')""")
 
 for t in ["customer", "orders", "lineitem", "events", "documents", "embeddings"]:

@@ -27,7 +27,13 @@ import java.util.zip.{Deflater, Inflater}
   *     archival-scan companion to LZW): per-row per-channel deltas on
   *     SAMPLE values (16-bit lanes difference as 16-bit values, then
   *     pack in the file's byte order);
-  *   - tiles, planar=2, palettes, sub-byte depths, the floating-point
+  *   - TILED layout (tags 322/323/324/325 — TIFF 6.0 §15, the layout
+  *     large scans/geo rasters actually use): tile dims multiples of
+  *     16 per spec, edge tiles PADDED to full tile size in the file
+  *     (decode discards the padding), each tile (de)compresses
+  *     independently with the predictor resetting per tile row —
+  *     tiles are the 2-D splittability unit the way strips are 1-D;
+  *   - planar=2, palettes, sub-byte depths, the floating-point
   *     predictor (317=3), and other compressions (CCITT/JPEG-in-TIFF)
   *     are REFUSED with a descriptive error, never mis-decoded.
   *
@@ -45,7 +51,7 @@ object TiffCodec {
 
   def encode(img: Image, deflate: Boolean = false,
              bigEndian: Boolean = false, lzw: Boolean = false,
-             predictor: Boolean = false): Array[Byte] = {
+             predictor: Boolean = false, tileSize: Int = 0): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
     require(!(deflate && lzw), "pick ONE compression (deflate or lzw)")
@@ -53,12 +59,12 @@ object TiffCodec {
     var i = 0
     while (i < samples.length) { samples(i) = img.pixels(i) & 0xff; i += 1 }
     encodeImpl(img.width, img.height, img.channels, 8, samples,
-      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian)
+      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian, tileSize)
   }
 
   def encode16(img: Image16, deflate: Boolean = false,
                bigEndian: Boolean = false, lzw: Boolean = false,
-               predictor: Boolean = false): Array[Byte] = {
+               predictor: Boolean = false, tileSize: Int = 0): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
     require(!(deflate && lzw), "pick ONE compression (deflate or lzw)")
@@ -66,33 +72,49 @@ object TiffCodec {
     var i = 0
     while (i < samples.length) { samples(i) = img.samples(i) & 0xffff; i += 1 }
     encodeImpl(img.width, img.height, img.channels, 16, samples,
-      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian)
+      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian, tileSize)
   }
 
-  /** One IFD, strip-based layout (RowsPerStrip = 16 — several strips on
-    * ordinary fixtures, so the strip walk is really exercised), sample
-    * bytes in the FILE's byte order. `comp`: 1 none / 5 LZW / 8 deflate;
-    * `predictor`: horizontal differencing on sample values (resets at
-    * every row start; 16-bit lanes difference before byte-packing). */
+  /** One IFD; strip-based layout by default (RowsPerStrip = 16 — several
+    * strips on ordinary fixtures, so the strip walk is really exercised)
+    * or TILED when `tile` > 0 (must be a multiple of 16 per §15; edge
+    * tiles pad to full size, row-major tile order); sample bytes in the
+    * FILE's byte order. `comp`: 1 none / 5 LZW / 8 deflate; `predictor`:
+    * horizontal differencing on sample values (resets at every row of
+    * the strip/tile; 16-bit lanes difference before byte-packing). */
   private def encodeImpl(w: Int, h: Int, spp: Int, bits: Int,
                          samples: Array[Int], comp: Int, predictor: Boolean,
-                         bigEndian: Boolean): Array[Byte] = {
-    val rowBytes = w * spp * (bits / 8)
-    val rowsPerStrip = 16
+                         bigEndian: Boolean, tile: Int): Array[Byte] = {
+    require(tile == 0 || (tile > 0 && tile % 16 == 0),
+      s"tile size must be a positive multiple of 16 (got $tile)")
     val mask = (1 << bits) - 1
-    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-    val strips = (0 until nStrips).map { s =>
-      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
-      val raw = new Array[Byte](rows * rowBytes)
+    def compress(raw: Array[Byte]): Array[Byte] = comp match {
+      case 5 => lzwCompress(raw)
+      case 8 => zip(raw)
+      case _ => raw
+    }
+    // pack one rectangular region [x0, x0+rw) × [y0, y0+rh) of the image
+    // into a (padW × rh)-shaped buffer (padW ≥ rw pads with zeros — the
+    // tiled layout's full-tile file shape); predictor resets per row and
+    // runs over the PACKED row (padding included, as a real writer's does)
+    def pack(x0: Int, y0: Int, rw: Int, rh: Int, padW: Int,
+             padH: Int): Array[Byte] = {
+      val rowBytes = padW * spp * (bits / 8)
+      val raw = new Array[Byte](padH * rowBytes)
+      val row = new Array[Int](padW * spp)
       var r = 0
-      while (r < rows) {
-        val y = s * rowsPerStrip + r
+      while (r < padH) {
+        java.util.Arrays.fill(row, 0)
         var c = 0
-        while (c < w * spp) {
-          val at = y * w * spp + c
+        while (r < rh && c < rw * spp) {
+          row(c) = samples((y0 + r) * w * spp + x0 * spp + c)
+          c += 1
+        }
+        c = 0
+        while (c < padW * spp) {
           val v =
-            if (predictor && c >= spp) (samples(at) - samples(at - spp)) & mask
-            else samples(at)
+            if (predictor && c >= spp) (row(c) - row(c - spp)) & mask
+            else row(c)
           if (bits == 8) raw(r * rowBytes + c) = v.toByte
           else {
             val o = r * rowBytes + c * 2
@@ -103,12 +125,24 @@ object TiffCodec {
         }
         r += 1
       }
-      comp match {
-        case 5 => lzwCompress(raw)
-        case 8 => zip(raw)
-        case _ => raw
-      }
+      raw
     }
+    val rowsPerStrip = 16
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val tilesAcross = if (tile > 0) (w + tile - 1) / tile else 0
+    val tilesDown = if (tile > 0) (h + tile - 1) / tile else 0
+    val strips: IndexedSeq[Array[Byte]] =
+      if (tile > 0)
+        for (ty <- 0 until tilesDown; tx <- 0 until tilesAcross) yield {
+          val y0 = ty * tile; val x0 = tx * tile
+          compress(pack(x0, y0, math.min(tile, w - x0),
+            math.min(tile, h - y0), tile, tile))
+        }
+      else
+        (0 until nStrips).map { s =>
+          val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+          compress(pack(0, s * rowsPerStrip, w, rows, w, rows))
+        }
     // layout: 8-byte header, IFD, [out-of-line value arrays], strip data
     val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Seq[Long])]
     // (tag, type, count, values) — type 3 = SHORT, 4 = LONG
@@ -117,10 +151,17 @@ object TiffCodec {
     entries += ((258, 3, spp, Seq.fill(spp)(bits.toLong)))     // BitsPerSample
     entries += ((259, 3, 1, Seq(comp.toLong)))                 // Compression
     entries += ((262, 3, 1, Seq(if (spp == 1) 1L else 2L)))    // Photometric
-    entries += ((273, 4, nStrips, Seq.fill(nStrips)(0L)))      // StripOffsets (patched)
     entries += ((277, 3, 1, Seq(spp.toLong)))                  // SamplesPerPixel
-    entries += ((278, 4, 1, Seq(rowsPerStrip.toLong)))         // RowsPerStrip
-    entries += ((279, 4, nStrips, strips.map(_.length.toLong))) // StripByteCounts
+    if (tile > 0) {
+      entries += ((322, 4, 1, Seq(tile.toLong)))               // TileWidth
+      entries += ((323, 4, 1, Seq(tile.toLong)))               // TileLength
+      entries += ((324, 4, strips.length, Seq.fill(strips.length)(0L))) // TileOffsets (patched)
+      entries += ((325, 4, strips.length, strips.map(_.length.toLong))) // TileByteCounts
+    } else {
+      entries += ((273, 4, nStrips, Seq.fill(nStrips)(0L)))    // StripOffsets (patched)
+      entries += ((278, 4, 1, Seq(rowsPerStrip.toLong)))       // RowsPerStrip
+      entries += ((279, 4, nStrips, strips.map(_.length.toLong))) // StripByteCounts
+    }
     if (predictor) entries += ((317, 3, 1, Seq(2L)))           // Predictor
     val sorted = entries.sortBy(_._1) // spec: ascending tag order
     val ifdAt = 8
@@ -134,7 +175,7 @@ object TiffCodec {
     val dataAt = extraAt
     val stripOffsets = strips.scanLeft(dataAt.toLong)(_ + _.length).init
     val patched = sorted.map { case e @ (tag, typ, count, _) =>
-      if (tag == 273) (tag, typ, count, stripOffsets) else e
+      if (tag == 273 || tag == 324) (tag, typ, count, stripOffsets) else e
     }
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
@@ -253,6 +294,9 @@ object TiffCodec {
     var planar = 1; var predictor = 1
     var stripOff: Vector[Long] = Vector.empty
     var stripLen: Vector[Long] = Vector.empty
+    var tileW = 0; var tileL = 0
+    var tileOff: Vector[Long] = Vector.empty
+    var tileLen: Vector[Long] = Vector.empty
     var i = 0
     while (i < n) {
       val e = ifdAt.toInt + 2 + i * 12
@@ -286,9 +330,10 @@ object TiffCodec {
         case 279 => stripLen = (0 until count.toInt).map(value(_)).toVector
         case 284 => planar = value(0).toInt
         case 317 => predictor = value(0).toInt
-        case 322 | 323 | 324 | 325 =>
-          throw new IllegalArgumentException(
-            "unsupported: tiled TIFF (strip layouts only)")
+        case 322 => tileW = value(0).toInt
+        case 323 => tileL = value(0).toInt
+        case 324 => tileOff = (0 until count.toInt).map(value(_)).toVector
+        case 325 => tileLen = (0 until count.toInt).map(value(_)).toVector
         case _ => () // ancillary tags skipped (resolution, software, ...)
       }
       i += 1
@@ -309,35 +354,36 @@ object TiffCodec {
         "the floating-point predictor 3 is off-scope)")
     require(photometric == (if (spp == 1) 1 else 2) || photometric < 0,
       s"unsupported photometric $photometric for $spp sample(s)")
-    require(stripOff.nonEmpty && stripOff.length == stripLen.length,
-      s"strip offsets (${stripOff.length}) and counts (${stripLen.length}) disagree")
+    val tiled = tileW > 0 || tileL > 0 || tileOff.nonEmpty || tileLen.nonEmpty
+    require(!tiled || stripOff.isEmpty,
+      "malformed: both strip and tile location tags present")
     val wi = w.toInt; val hi = h.toInt
-    val rps = math.min(rowsPerStrip, h).toInt
-    require(rps > 0, "bad RowsPerStrip")
-    require(stripOff.length.toLong == (hi + rps - 1) / rps,
-      s"strip count ${stripOff.length} does not cover $hi rows at $rps/strip")
-    val rowBytes = wi * spp * (bits / 8)
     val samples = new Array[Int](wi * hi * spp)
-    var s = 0
-    while (s < stripOff.length) {
-      val off = stripOff(s); val len = stripLen(s)
+    val mask = (1 << bits) - 1
+    def decompressed(idx: Int, off: Long, len: Long, expect: Int,
+                     what: String): Array[Byte] = {
       require(off >= 0 && len >= 0 && off + len <= bytes.length,
-        s"strip $s [$off, ${off + len}) outside the file")
-      val rows = math.min(rps, hi - s * rps)
+        s"$what $idx [$off, ${off + len}) outside the file")
       val raw = compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
-        case 5 => lzwDecompress(bytes, off.toInt, len.toInt, rows * rowBytes)
-        case _ => unzip(bytes, off.toInt, len.toInt, rows * rowBytes)
+        case 5 => lzwDecompress(bytes, off.toInt, len.toInt, expect)
+        case _ => unzip(bytes, off.toInt, len.toInt, expect)
       }
-      require(raw.length == rows * rowBytes,
-        s"strip $s carries ${raw.length} bytes, expected ${rows * rowBytes}")
-      val mask = (1 << bits) - 1
+      require(raw.length == expect,
+        s"$what $idx carries ${raw.length} bytes, expected $expect")
+      raw
+    }
+    // one region of `regW`-wide packed rows lands at (x0, y0); predictor
+    // accumulates within the PACKED row (padding included — the writer's
+    // convention), and only the image intersection is kept
+    def unpackRegion(raw: Array[Byte], x0: Int, y0: Int, regW: Int,
+                     regH: Int): Unit = {
+      val rowBytes = regW * spp * (bits / 8)
+      val row = new Array[Int](regW * spp)
       var r = 0
-      while (r < rows) {
-        val y = s * rps + r
+      while (r < regH) {
         var c = 0
-        while (c < wi * spp) {
-          val at = y * wi * spp + c
+        while (c < regW * spp) {
           val v =
             if (bits == 8) raw(r * rowBytes + c) & 0xff
             else {
@@ -345,16 +391,60 @@ object TiffCodec {
               if (le) (raw(o) & 0xff) | ((raw(o + 1) & 0xff) << 8)
               else ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
             }
-          // horizontal predictor: samples are stored as left-neighbor
-          // deltas per channel, accumulating within the row
-          samples(at) =
-            if (predictor == 2 && c >= spp) (v + samples(at - spp)) & mask
+          row(c) =
+            if (predictor == 2 && c >= spp) (v + row(c - spp)) & mask
             else v
           c += 1
         }
+        val y = y0 + r
+        if (y < hi) {
+          val keep = math.min(regW, wi - x0) * spp
+          var k = 0
+          while (k < keep) {
+            samples(y * wi * spp + x0 * spp + k) = row(k)
+            k += 1
+          }
+        }
         r += 1
       }
-      s += 1
+    }
+    if (tiled) {
+      require(tileW > 0 && tileW % 16 == 0 && tileL > 0 && tileL % 16 == 0,
+        s"bad tile dims ${tileW}x$tileL (positive multiples of 16, §15)")
+      // a corrupt tile header must not allocate past the caller's pixel
+      // budget (the same pre-allocation bound the image dims carry)
+      require(tileW.toLong * tileL <= maxPixels,
+        s"unreasonable tile dims ${tileW}x$tileL (limit $maxPixels px)")
+      require(tileOff.nonEmpty && tileOff.length == tileLen.length,
+        s"tile offsets (${tileOff.length}) and counts (${tileLen.length}) disagree")
+      val across = (wi + tileW - 1) / tileW
+      val down = (hi + tileL - 1) / tileL
+      require(tileOff.length == across * down,
+        s"tile count ${tileOff.length} does not cover ${across}x$down tiles")
+      val tileBytes = tileW * tileL * spp * (bits / 8)
+      var t = 0
+      while (t < tileOff.length) {
+        val raw = decompressed(t, tileOff(t), tileLen(t), tileBytes, "tile")
+        unpackRegion(raw, (t % across) * tileW, (t / across) * tileL,
+          tileW, tileL)
+        t += 1
+      }
+    } else {
+      require(stripOff.nonEmpty && stripOff.length == stripLen.length,
+        s"strip offsets (${stripOff.length}) and counts (${stripLen.length}) disagree")
+      val rps = math.min(rowsPerStrip, h).toInt
+      require(rps > 0, "bad RowsPerStrip")
+      require(stripOff.length.toLong == (hi + rps - 1) / rps,
+        s"strip count ${stripOff.length} does not cover $hi rows at $rps/strip")
+      val rowBytes = wi * spp * (bits / 8)
+      var s = 0
+      while (s < stripOff.length) {
+        val rows = math.min(rps, hi - s * rps)
+        val raw = decompressed(s, stripOff(s), stripLen(s), rows * rowBytes,
+          "strip")
+        unpackRegion(raw, 0, s * rps, wi, rows)
+        s += 1
+      }
     }
     (wi, hi, spp, bits, samples)
   }

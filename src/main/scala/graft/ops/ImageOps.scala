@@ -141,6 +141,50 @@ object ImageOps {
     Image(ow, oh, ch, out)
   }
 
+  /** BOX-FILTER downscale — the area-average resize a vision-training
+    * pipeline actually wants for thumbnails (nearest-neighbor aliases;
+    * box averaging is the standard antialiased integer kernel). Every
+    * source pixel belongs to exactly ONE output cell by the inverse
+    * floor map i = x·W/w (a clean partition, so the whole operator is
+    * Σv / count in integers — restatable relationally with no float
+    * tolerance). Downscale only: W ≤ w, H ≤ h keeps every cell
+    * non-empty. */
+  def resizeBox(img: Image, outW: Int, outH: Int): Image = {
+    require(outW > 0 && outH > 0 && outW <= img.width && outH <= img.height,
+      s"box resize is a downscale: ${img.width}x${img.height} -> ${outW}x$outH")
+    val ch = img.channels
+    val sums = new Array[Long](outW * outH * ch)
+    val counts = new Array[Long](outW * outH)
+    var y = 0
+    while (y < img.height) {
+      val j = y * outH / img.height
+      var x = 0
+      while (x < img.width) {
+        val i = x * outW / img.width
+        counts(j * outW + i) += 1
+        var c = 0
+        while (c < ch) {
+          sums((j * outW + i) * ch + c) +=
+            img.pixels((y * img.width + x) * ch + c) & 0xff
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Byte](outW * outH * ch)
+    var p = 0
+    while (p < outW * outH) {
+      var c = 0
+      while (c < ch) {
+        out(p * ch + c) = (sums(p * ch + c) / counts(p)).toByte
+        c += 1
+      }
+      p += 1
+    }
+    Image(outW, outH, ch, out)
+  }
+
   /** Nearest-neighbor resize with the floor source map sx = i·w/W — the
     * standard integer mapping, restatable in SQL. */
   def resizeNearest(img: Image, outW: Int, outH: Int): Image = {

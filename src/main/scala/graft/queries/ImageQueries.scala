@@ -408,6 +408,52 @@ object ImageQueries {
       |FROM px GROUP BY vid, f, w, h, nf
       |ORDER BY vid, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q324
+  /** BOX-FILTER thumbnail e2e (round 13): decode → area-average
+    * downscale ([[ImageOps.resizeBox]] — the antialiased integer kernel
+    * a vision-training pipeline wants where nearest-neighbor aliases) →
+    * integer metrics of the 10×9 thumbnails. Every source pixel belongs
+    * to exactly one output cell by the inverse floor map, and the cell
+    * value is Σv / count in integers, so the oracle recomputes every
+    * thumbnail pixel RELATIONALLY from the regenerated source pixels —
+    * a kernel slip (wrong cell map, float rounding, channel mixing)
+    * hash-fails. */
+  def q324(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specs(s, d, 3L)
+      .map { sp =>
+        val img = PngCodec.decode(PngCodec.encode(ImageOps.synth(sp.w, sp.h, sp.kind)))
+        val tb = ImageOps.resizeBox(img, 10, 9)
+        var sum = 0L; var wsum = 0L
+        var i = 0
+        while (i < tb.pixels.length) {
+          val v = tb.pixels(i) & 0xff
+          val p = i / tb.channels
+          sum += v
+          wsum += v.toLong * (p % 10 + 1) * (3 * (p / 10) + 7) * (i % tb.channels + 1)
+          i += 1
+        }
+        (sp.id, tb.width, tb.height, tb.channels, sum, wsum)
+      }
+      .toDF("img_id", "w", "h", "ch", "tb_sum", "tb_wsum")
+      .orderBy(col("img_id"))
+  }
+
+  val q324Sql: String =
+    s"""WITH $pixelCte,
+      |cells AS (
+      |  SELECT id, kind, x * 10 // w AS i, y * 9 // h AS j, c,
+      |         CAST(SUM(v) // COUNT(*) AS BIGINT) AS tv
+      |  FROM px GROUP BY id, kind, x * 10 // w, y * 9 // h, c)
+      |SELECT ids.id AS img_id, CAST(10 AS INT) AS w, CAST(9 AS INT) AS h,
+      |       CAST(CASE WHEN ids.kind = 3 THEN 3 ELSE 1 END AS INT) AS ch,
+      |       m.tb_sum, m.tb_wsum
+      |FROM ids
+      |JOIN (SELECT id, CAST(SUM(tv) AS BIGINT) AS tb_sum,
+      |             CAST(SUM(tv * (i + 1) * (3 * j + 7) * (c + 1)) AS BIGINT) AS tb_wsum
+      |      FROM cells GROUP BY id) m ON m.id = ids.id
+      |ORDER BY img_id""".stripMargin
+
   // ---------------------------------------------------------------- q300
   /** IMAGE CURATION PIPELINE e2e — the reference's pipeline shape
     * (decode → quality gate → dedup → transform → lossy sink) on the
@@ -1096,12 +1142,15 @@ object ImageQueries {
     * dominant real-world archival-scan encoding (round-12 verdict item
     * 2), same pixels as fam 1 so the oracle rows restate one formula;
     * fam 4 = 16-bit gray, LZW + predictor on the 16-bit lanes, BIG-
-    * ENDIAN (differencing before byte-packing in the file's order). */
+    * ENDIAN (differencing before byte-packing in the file's order);
+    * fam 5 = 8-bit gray TILED (16-px tiles, §15 — the layout large
+    * scans/geo rasters use; edge tiles pad and the decode discards the
+    * padding) under LZW + predictor, same pixels as fam 0. */
   def q319(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     specs(s, d, 3L)
       .map { sp =>
-        val fam = ((sp.id % 15) / 3).toInt
+        val fam = ((sp.id % 18) / 3).toInt
         def rgbPx: Array[Byte] = {
           val px = new Array[Byte](sp.w * sp.h * 3)
           var p = 0
@@ -1133,9 +1182,15 @@ object ImageQueries {
           case 3 =>
             graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 3, rgbPx),
               lzw = true, predictor = true)
-          case _ =>
+          case 4 =>
             graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, graySmp),
               lzw = true, predictor = true, bigEndian = true)
+          case _ =>
+            val px = Array.tabulate[Byte](sp.w * sp.h) { p =>
+              ((p % sp.w * 13 + p / sp.w * 7) % 256).toByte
+            }
+            graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 1, px),
+              lzw = true, predictor = true, tileSize = 16)
         }
         (sp.id, fam, tif)
       }
@@ -1172,11 +1227,11 @@ object ImageQueries {
       |  SELECT doc_id AS id,
       |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
       |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
-      |         CAST((doc_id % 15) // 3 AS BIGINT) AS fam
+      |         CAST((doc_id % 18) // 3 AS BIGINT) AS fam
       |  FROM documents WHERE doc_id % 3 = 0),
       |px AS (
       |  SELECT id, w, h, fam, gx.x AS x, gy.y AS y, gc.c AS c,
-      |         CASE WHEN fam = 0 THEN (gx.x * 13 + gy.y * 7) % 256
+      |         CASE WHEN fam IN (0, 5) THEN (gx.x * 13 + gy.y * 7) % 256
       |              WHEN fam IN (1, 3) THEN
       |           CASE gc.c WHEN 0 THEN (gx.x * 5 + gy.y) % 256
       |                     WHEN 1 THEN (gx.x + gy.y * 11) % 256
@@ -1448,6 +1503,7 @@ object ImageQueries {
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q321_image_orientation_apply" -> ((q321 _, Some(q321Sql))),
     "q322_video_mp4_mjpeg_e2e" -> ((q322 _, Some(q322Sql))),
+    "q324_image_resize_box" -> ((q324 _, Some(q324Sql))),
     "q310_image_jpeg_cmyk_e2e" -> ((q310 _, Some(q310Sql))),
     "q312_image_png_bitdepth_e2e" -> ((q312 _, Some(q312Sql))),
     "q318_image_jpeg12_e2e" -> ((q318 _, Some(q318Sql))),

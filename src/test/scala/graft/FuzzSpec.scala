@@ -273,7 +273,9 @@ class FuzzSpec extends AnyFunSuite {
         lzw = true, predictor = true),
       graft.io.TiffCodec.encode16(graft.io.PngCodec.Image16(13, 17, 3,
         Array.tabulate[Short](13 * 17 * 3)(i => (i * 601).toShort)),
-        lzw = true, predictor = true, bigEndian = true))
+        lzw = true, predictor = true, bigEndian = true),
+      graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(33, 20, 3),
+        lzw = true, predictor = true, tileSize = 16))
     def driveTiff(bytes: Array[Byte]): Unit =
       try {
         val img = graft.io.TiffCodec.decode(bytes)

@@ -313,6 +313,19 @@ class PngCodecSpec extends AnyFunSuite {
     assert(ImageOps.dhash(ImageOps.synth(16, 16, 0)) == "1" * 64)
     assert(ImageOps.dhash(ImageOps.synth(48, 64, 0)) == "1" * 64)
     assert(ImageOps.dhash(ImageOps.synth(24, 40, 1)) == "0" * 64)
+    // box downscale: each output cell is the exact integer mean of the
+    // source pixels it partitions (inverse floor map i = x·W/w)
+    val box = ImageOps.resizeBox(
+      Image(4, 2, 1, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)), 2, 1)
+    assert((box.pixels(0) & 0xff) == (10 + 20 + 50 + 60) / 4 &&
+      (box.pixels(1) & 0xff) == (30 + 40 + 70 + 80) / 4)
+    // channels average independently
+    val rgbBox = ImageOps.resizeBox(Image(2, 1, 3,
+      Array[Byte](10, 100, 200.toByte, 20, 110, 210.toByte)), 1, 1)
+    assert(rgbBox.pixels.map(_ & 0xff).toSeq == Seq(15, 105, 205))
+    // downscale-only contract
+    intercept[IllegalArgumentException](
+      ImageOps.resizeBox(ImageOps.synth(8, 8, 0), 16, 4))
   }
 
   // ------------------------------------------------------------------

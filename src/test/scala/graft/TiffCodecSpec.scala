@@ -126,6 +126,62 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(withP < withoutP, s"predictor $withP !< plain $withoutP")
   }
 
+  // ------------------------------------------------------------- tiles
+  test("tiled layout roundtrips bit-exactly across compressions and depths") {
+    // 33x40 at 16px tiles -> 3x3 grid with BOTH edge paddings exercised
+    for (ch <- Seq(1, 3); be <- Seq(false, true);
+         (defl, lz) <- Seq((false, false), (true, false), (false, true));
+         pred <- Seq(false, true)) {
+      val img = noise(33, 40, ch, ch * 31L + (if (pred) 5 else 0) +
+        (if (lz) 11 else 0) + (if (defl) 17 else 0))
+      val tif = TiffCodec.encode(img, deflate = defl, bigEndian = be,
+        lzw = lz, predictor = pred, tileSize = 16)
+      val dec = TiffCodec.decode(tif)
+      assert(dec.width == 33 && dec.height == 40 && dec.channels == ch)
+      assert(java.util.Arrays.equals(dec.pixels, img.pixels),
+        s"ch=$ch be=$be defl=$defl lzw=$lz pred=$pred")
+    }
+    var s = 3L
+    val smp = Array.fill[Short](21 * 19)(
+      { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 37).toShort })
+    val deep = TiffCodec.encode16(Image16(21, 19, 1, smp),
+      lzw = true, predictor = true, bigEndian = true, tileSize = 16)
+    assert(java.util.Arrays.equals(
+      TiffCodec.decode16(deep).samples, smp))
+    // exact-multiple dims: no padding path
+    val ex = noise(32, 32, 1, 77L)
+    assert(java.util.Arrays.equals(
+      TiffCodec.decode(TiffCodec.encode(ex, tileSize = 32)).pixels, ex.pixels))
+  }
+
+  test("tiled scope validation: dims, counts, conflicting tags") {
+    intercept[IllegalArgumentException](
+      TiffCodec.encode(noise(20, 20, 1, 1L), tileSize = 10)) // not mult of 16
+    val good = TiffCodec.encode(noise(40, 40, 1, 2L), tileSize = 16)
+    // patch TileWidth (322) to a non-multiple: decode refuses by name
+    def patch(tag: Int, v: Int): Array[Byte] = {
+      val c = good.clone()
+      def u16(p: Int) = (c(p) & 0xff) | ((c(p + 1) & 0xff) << 8)
+      val ifd = (c(4) & 0xff) | ((c(5) & 0xff) << 8)
+      var i = 0; var at = -1
+      while (i < u16(ifd) && at < 0) {
+        val e = ifd + 2 + i * 12
+        if (u16(e) == tag) at = e
+        i += 1
+      }
+      require(at > 0)
+      c(at + 8) = (v & 0xff).toByte; c(at + 9) = ((v >> 8) & 0xff).toByte
+      c(at + 10) = 0; c(at + 11) = 0
+      c
+    }
+    val e = intercept[IllegalArgumentException](TiffCodec.decode(patch(322, 10)))
+    assert(e.getMessage.contains("tile"))
+    // oversized tile dims refuse on the pixel budget before allocating
+    val e2 = intercept[IllegalArgumentException](
+      TiffCodec.decode(patch(322, 0x8000), maxPixels = 1 << 20))
+    assert(e2.getMessage.contains("tile") || e2.getMessage.contains("px"))
+  }
+
   test("bitsProbe reads depth from the IFD alone; never throws") {
     for (be <- Seq(false, true)) {
       assert(TiffCodec.bitsProbe(TiffCodec.encode(noise(9, 7, 3, 2L),
