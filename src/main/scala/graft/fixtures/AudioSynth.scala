@@ -247,4 +247,42 @@ object AudioSynth {
     Files.write(stamp, Array.emptyByteArray)
     expected
   }
+
+  private val MixedCorpusVersion = 1
+
+  /** MIXED-FORMAT corpus (round 13, q326 — the audio sibling of the
+    * image front door q320): ONE directory carrying every format class
+    * the engine owns — plain PCM WAV, µ-law WAV (telephony), IMA-ADPCM
+    * WAV, native FLAC (lossless), Ogg Vorbis and MP3 (lossy) — plus a
+    * mislabeled garbage file. Real scraped corpora arrive exactly like
+    * this, with unreliable extensions; the `WavCodec.decode` magic
+    * dispatch must route every file by CONTENT. */
+  def writeMixedCorpus(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val expected = Seq("mix_pcm.wav", "mix_mulaw.wav", "mix_adpcm.wav",
+      "mix_lossless.flac", "mix_vorbis.ogg", "mix_speech.mp3",
+      "mix_garbage.wav").map(d.resolve)
+    val stamp = d.resolve(s".corpus_mixed_v$MixedCorpusVersion")
+    if (Files.exists(stamp) &&
+        expected.forall(p => Files.exists(p) && Files.size(p) > 0))
+      return expected
+    Files.deleteIfExists(stamp)
+    Files.write(d.resolve("mix_pcm.wav"),
+      graft.io.WavCodec.encodeMono16(bursts(Seq(4800)), Rate))
+    Files.write(d.resolve("mix_mulaw.wav"),
+      graft.io.G711Codec.encodeWav(toPcm16(bursts(Seq(3900, 2700))), Rate))
+    Files.write(d.resolve("mix_adpcm.wav"),
+      graft.io.AdpcmCodec.encodeWav(toPcm16(bursts(Seq(5600))), Rate))
+    Files.write(d.resolve("mix_lossless.flac"),
+      graft.io.FlacCodec.encode(toPcm16(bursts(Seq(4400))), Rate))
+    Files.write(d.resolve("mix_vorbis.ogg"),
+      graft.io.VorbisCodec.encode(bursts(Seq(3000, 3300)), Rate))
+    Files.write(d.resolve("mix_speech.mp3"), graft.io.Mp3Codec.encode(
+      graft.ops.Dsp.resampleLinear(bursts(Seq(4700)), Rate, 32000), 32000))
+    Files.write(d.resolve("mix_garbage.wav"),
+      "definitely not audio at all, wrong extension too".getBytes("UTF-8"))
+    Files.write(stamp, Array.emptyByteArray)
+    expected
+  }
 }

@@ -35,6 +35,14 @@ object WavCodec {
       val (info, samples) = Mp3Codec.decode(bytes)
       return Decoded(samples, 1, info.sampleRate)
     }
+    // native FLAC (the lossless archival class — completing the magic
+    // front door: every format class the engine owns dispatches here)
+    if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+        bytes(2) == 'a' && bytes(3) == 'C') {
+      val (info, ints) = FlacCodec.decode(bytes)
+      val scale = (1 << (info.bps - 1)).toFloat
+      return Decoded(ints.map(_ / scale), info.channels, info.sampleRate)
+    }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 44, s"too short for WAV: ${bytes.length} bytes")
     require(buf.getInt(0) == 0x46464952, "missing RIFF magic") // "RIFF"

@@ -361,6 +361,37 @@ object PipelineQueries {
       |  (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events) - 16 * 60 * 1000000
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q325
+  /** Stream-stream outer-join CENSUS (round 13): q179's join driven
+    * through the SCALE-SAFE sink — each micro-batch reduces to per-fate
+    * counts + identity checksums inside foreachBatch, so nothing
+    * row-sized ever reaches the driver (the memory-sink drive, measured
+    * at the 100× SCALECHECK tier, exhausts a single JVM; this face is
+    * the production shape and the family's 100×-viable entry). Same
+    * watermark-eviction semantics, same horizon discipline; the oracle
+    * is the batch LEFT JOIN's aggregate below the cutoff. */
+  def q325(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxUs = Tables.events(s, d).agg(max(col("ts_us"))).head().getLong(0)
+    val cutoffUs = maxUs - 16L * 60L * 1000000L
+    val (m, u, uid, ps) = graft.streaming.Streaming.intervalJoinCensusOnce(
+      streamSession(s, needsIdleBatch = true), d, withinMinutes = 5, cutoffUs,
+      queryName = s"graft_q325_${java.lang.Integer.toHexString(d.hashCode)}")
+    Seq((m, u, uid, ps))
+      .toDF("n_matched", "n_unmatched", "unmatched_id_sum", "pair_id_sum")
+  }
+  val q325Sql: String =
+    """SELECT CAST(SUM(CASE WHEN b.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CASE WHEN b.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+      |  CAST(SUM(CASE WHEN b.event_id IS NULL THEN a.event_id ELSE 0 END) AS BIGINT) AS unmatched_id_sum,
+      |  CAST(SUM(a.event_id + COALESCE(b.event_id, 0)) AS BIGINT) AS pair_id_sum
+      |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id <> b.event_id
+      |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTES
+      |WHERE epoch_us(CAST(a.ts AS TIMESTAMP)) <=
+      |  (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events) - 16 * 60 * 1000000""".stripMargin
+
   // ---------------------------------------------------------------- q182
   /** Stream-stream FULL OUTER interval join — both directions of q179's
     * eviction semantics at once: unmatched LEFT rows null-extend when the
@@ -918,6 +949,45 @@ object PipelineQueries {
       |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
       |ORDER BY original_name, wav_name""".stripMargin
 
+  // ---------------------------------------------------------------- q326
+  /** MIXED-FORMAT audio front door (round 13 — the audio sibling of the
+    * image dispatcher q320): ONE directory carrying every audio class
+    * the engine owns (PCM WAV, µ-law, IMA-ADPCM, native FLAC, Ogg
+    * Vorbis, MP3) plus a mislabeled garbage file, scanned with glob `*`
+    * and routed purely by CONTENT through `WavCodec.decode`'s magic
+    * dispatch — the transparent ingest pydub/ffmpeg gives the reference
+    * (README.md:3). Six format classes through the FULL pipeline chain
+    * in one scan; the garbage file proves the error-skip; golden VALUES
+    * (GoldenDump --q326) per the lossy-audio e2e discipline. */
+  def q326(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audio_fixture_mixed")
+    val mixDir = base.resolve("mixed").toString
+    val outDir = base.resolve("out").toString
+    graft.fixtures.AudioSynth.writeMixedCorpus(mixDir)
+    graft.Pipeline.run(s, mixDir, outDir, glob = "*")
+      .withColumn("wav_name", element_at(split(col("wav_path"), "/"), -1))
+      .select(col("original_name"), col("wav_name"), col("text"),
+              round(col("rms") * 1000).cast("long").as("rms_q3"),
+              round(col("clipping_percent") * 1000).cast("long").as("clipping_q3"),
+              round(col("music_ratio") * 1000).cast("long").as("music_q3"),
+              col("overlap_flag"))
+      .orderBy(col("original_name"), col("wav_name"))
+  }
+  /** Golden literal oracle (GoldenDump --q326), frozen like q30Sql. Six
+    * rows — one per format class — and NO mix_garbage row (the error-
+    * skip proven by absence, the q30 convention). */
+  val q326Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('mix_adpcm.wav', 'mix_adpcm_0000s_0005s.wav', 'hello data speech', CAST(12769683 AS BIGINT), CAST(15 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('mix_lossless.flac', 'mix_lossless_0000s_0004s.wav', 'hello training world', CAST(12981603 AS BIGINT), CAST(256 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mix_mulaw.wav', 'mix_mulaw_0000s_0006s.wav', 'signal voice clean voice hello batch', CAST(12524602 AS BIGINT), CAST(80 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('mix_pcm.wav', 'mix_pcm_0000s_0004s.wav', 'batch world hello', CAST(13004392 AS BIGINT), CAST(258 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mix_speech.mp3', 'mix_speech_0000s_0004s.wav', 'hello spark segment speech training spark clean spark', CAST(10951602 AS BIGINT), CAST(5 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mix_vorbis.ogg', 'mix_vorbis_0000s_0006s.wav', 'batch batch hello training', CAST(10373883 AS BIGINT), CAST(15 AS BIGINT), CAST(432 AS BIGINT), FALSE)
+      |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
+      |ORDER BY original_name, wav_name""".stripMargin
+
   // ---------------------------------------------------------------- q243
   /** G.711 µ-law + A-law decode, ORACLE-EXACT: the telephony formats
     * (WAV fmt 7/6 — call-center audio is what a transcription corpus
@@ -1141,6 +1211,8 @@ object PipelineQueries {
     "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),
     "q268_audio_pipeline_vorbis" -> ((q268 _, Some(q268Sql))),
     "q323_audio_pipeline_mp3" -> ((q323 _, Some(q323Sql))),
+    "q325_stream_join_census" -> ((q325 _, Some(q325Sql))),
+    "q326_audio_multiformat_e2e" -> ((q326 _, Some(q326Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),

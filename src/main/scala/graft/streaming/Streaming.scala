@@ -286,6 +286,56 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** SCALE-SAFE drive of the outer interval join: the join's output
+    * never crosses to the driver AS ROWS — each micro-batch reduces to
+    * per-fate COUNTS below the caller's horizon inside `foreachBatch`
+    * (a distributed aggregate; one four-long row per batch reaches the
+    * driver), so the sink cost is O(micro-batches), not O(pairs). This
+    * is the production sink shape at 100 TB: the memory-sink drive
+    * above collects the full join result into one JVM — fine at test
+    * scale, MEASURED to exhaust a single driver at a 100× slice
+    * (SCALECHECK_r13's excluded-entry note). Returns (matched pairs,
+    * null-extended lefts, Σ unmatched a_id, Σ (a_id + b_id)) — value
+    * AND identity checksums, so a wrong eviction or a dropped pair
+    * moves a sum even when counts collide. */
+  def intervalJoinCensusOnce(spark: SparkSession, dir: String,
+                             withinMinutes: Int, cutoffUs: Long,
+                             queryName: String = "graft_ssjoin_census")
+      : (Long, Long, Long, Long) = {
+    def stage(): String = {
+      val staged = java.nio.file.Files.createTempDirectory("graft_ssjoin_cen_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      staged.toString
+    }
+    val matched = new java.util.concurrent.atomic.AtomicLong
+    val unmatched = new java.util.concurrent.atomic.AtomicLong
+    val unmatchedIdSum = new java.util.concurrent.atomic.AtomicLong
+    val pairSum = new java.util.concurrent.atomic.AtomicLong
+    val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes,
+        "leftOuter")
+      .writeStream.outputMode("append").queryName(queryName)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val r = df.filter(unix_micros(col("a_ts")) <= cutoffUs)
+          .agg(
+            sum(when(col("b_id").isNotNull, 1L).otherwise(0L)),
+            sum(when(col("b_id").isNull, 1L).otherwise(0L)),
+            sum(when(col("b_id").isNull, col("a_id")).otherwise(0L)),
+            sum(col("a_id") + coalesce(col("b_id"), lit(0L))))
+          .head()
+        if (!r.isNullAt(0)) matched.addAndGet(r.getLong(0))
+        if (!r.isNullAt(1)) unmatched.addAndGet(r.getLong(1))
+        if (!r.isNullAt(2)) unmatchedIdSum.addAndGet(r.getLong(2))
+        if (!r.isNullAt(3)) pairSum.addAndGet(r.getLong(3))
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    (matched.get, unmatched.get, unmatchedIdSum.get, pairSum.get)
+  }
+
   // ------------------------------------------------------------------
   // Stateful span-based merge (the reference's O8 in continuous form,
   // SURVEY §2.8 north star): flatMapGroupsWithState keeps one OPEN session
