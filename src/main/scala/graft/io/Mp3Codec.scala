@@ -121,18 +121,25 @@ object Mp3Codec {
     def toBytes: Array[Byte] = { padToByte(); out.toByteArray }
   }
 
+  /** Absolute-position reader: `seek` exists because Layer III main data
+    * is BIT-addressed by part2_3_length — a count1 quadruple that
+    * straddles the boundary is discarded and the next granule starts at
+    * EXACTLY start + part2_3_length, whatever the overhang read. */
   private[graft] final class MsbReader(bytes: Array[Byte], startByte: Int,
                                        endByte: Int) {
-    private var at = startByte
-    private var acc = 0L; private var n = 0
-    var consumed = 0L // bits read so far
+    private var bitPos = 0L // bits past startByte*8
+    def consumed: Long = bitPos
+    def seek(absBits: Long): Unit = { bitPos = absBits }
     def read(bits: Int): Int = {
-      while (n < bits) {
-        require(at < endByte, "truncated MP3 main data")
-        acc = (acc << 8) | (bytes(at) & 0xff); at += 1; n += 8
+      var v = 0
+      var i = 0
+      while (i < bits) {
+        val p = startByte + (bitPos >> 3).toInt
+        require(p < endByte, "truncated MP3 main data")
+        v = (v << 1) | ((bytes(p) >> (7 - (bitPos & 7L).toInt)) & 1)
+        bitPos += 1; i += 1
       }
-      n -= bits; consumed += bits
-      ((acc >>> n) & ((1L << bits) - 1)).toInt
+      v
     }
     def read1(): Int = read(1)
   }
@@ -173,12 +180,12 @@ object Mp3Codec {
     * stored table: cos((2sb+1)(n−16)π/64) over n = m + 64j equals
     * (−1)^j · cos((2sb+1)(m−16)π/64), so the window applied inside the
     * mod-64 fold must carry the (−1)^⌊n/64⌋ factor the flattened filter
-    * p(n)·cos(...) demands. Both windows below are that fold of the
-    * engine's prototype. */
+    * p(n)·cos(...) demands. ONE folded table serves both sides: the real
+    * ISO C and D differ only by a ×32 scale, which this design folds
+    * into the init-time gain calibration instead. */
   private[graft] val WinC: Array[Double] =
     Array.tabulate(512)(n => Proto(n) * (if ((n / 64) % 2 == 0) 1.0 else -1.0))
-  private[graft] val WinD: Array[Double] =
-    Array.tabulate(512)(n => Proto(n) * (if ((n / 64) % 2 == 0) 1.0 else -1.0))
+  private[graft] val WinD: Array[Double] = WinC
 
   /** Analysis: shift 32 samples into a 512 fifo (newest first, the
     * spec's Figure C.4 order), window, fold mod 64, modulate by
@@ -541,7 +548,13 @@ object Mp3Codec {
     var frames = 0
     var gaplessLen = -1L
 
-    while (at + 4 <= bytes.length) {
+    var trailerDone = false
+    while (!trailerDone && at + 4 <= bytes.length) {
+      // trailing ID3v1 block ('TAG' + 125 bytes) — near-universal in
+      // scraped MP3s; everything after it would be past end-of-audio
+      if (bytes.length - at == 128 && bytes(at) == 'T' &&
+          bytes(at + 1) == 'A' && bytes(at + 2) == 'G') trailerDone = true
+      else {
       require((bytes(at) & 0xff) == 0xff && (bytes(at + 1) & 0xe0) == 0xe0,
         f"lost frame sync at byte $at (0x${bytes(at) & 0xff}%02x)")
       val b1 = bytes(at + 1) & 0xff; val b2 = bytes(at + 2) & 0xff
@@ -575,19 +588,24 @@ object Mp3Codec {
       require(mainDataBegin == 0,
         "bit-reservoir streams (main_data_begin > 0) are off-scope")
       si.read(5) // private
-      si.read(4) // scfsi (encoder writes 0; reuse never triggers)
+      val scfsi = si.read(4)
+      require(scfsi == 0,
+        "scfsi scalefactor reuse is off-scope (granule 1 would omit " +
+          "reused bands' bits; decoding them blind would misparse)")
       final case class Gr(part23: Int, bigValues: Int, gg: Int, sfc: Int,
-                          tables: Array[Int], count1B: Boolean)
+                          tables: Array[Int], region0: Int, region1: Int)
       val grs = Array.tabulate(2) { _ =>
         val part23 = si.read(12)
         val bigValues = si.read(9)
+        require(bigValues <= 288,
+          s"big_values $bigValues exceeds the spec bound 288")
         val gg = si.read(8)
         val sfc = si.read(4)
         val wsf = si.read(1)
         require(wsf == 0,
           "window_switching_flag = 1 (short/mixed blocks) is off-scope")
         val tables = Array(si.read(5), si.read(5), si.read(5))
-        si.read(4); si.read(3) // region counts (unused at this table scope)
+        val region0 = si.read(4); val region1 = si.read(3)
         val preflag = si.read(1)
         require(preflag == 0, "preflag pretab emphasis is off-scope")
         val sfScale = si.read(1)
@@ -595,7 +613,7 @@ object Mp3Codec {
         val c1t = si.read(1)
         require(c1t == 1,
           "count1 table A is off-scope (table B streams only)")
-        Gr(part23, bigValues, gg, sfc, tables, count1B = true)
+        Gr(part23, bigValues, gg, sfc, tables, region0, region1)
       }
       p += 17
 
@@ -611,16 +629,24 @@ object Mp3Codec {
         val sf = new Array[Int](22)
         var b = 0
         while (b < 21) { sf(b) = md.read(if (b < 11) s1 else s2); b += 1 }
-        // Huffman: big values (tables 0/1 only), then count1 (table B)
+        // Huffman: big values (tables 0/1 only), then count1 (table B).
+        // Region boundaries follow the spec's long-block derivation:
+        // region0 ends at sfb edge (region0_count + 1), region1 at edge
+        // (region0_count + region1_count + 2), region2 runs to
+        // big_values·2 — each region decodes with ITS OWN table_select,
+        // and an off-scope table refuses by number only when its region
+        // actually contains pairs.
         val ix = new Array[Int](576)
+        val bvEnd = gr.bigValues * 2
+        val r0End = math.min(bvEnd, sfbEdges(math.min(gr.region0 + 1, 22)))
+        val r1End = math.min(bvEnd,
+          sfbEdges(math.min(gr.region0 + gr.region1 + 2, 22)))
         var li = 0
-        var region = 0
-        while (li < gr.bigValues * 2) {
-          // region boundaries are irrelevant while all three selections
-          // agree; refuse any table beyond the implemented scope
+        while (li < bvEnd) {
+          val region = if (li < r0End) 0 else if (li < r1End) 1 else 2
           val tbl = gr.tables(region)
           require(tbl == 0 || tbl == 1,
-            s"Huffman table $tbl is off-scope (0/1 implemented)")
+            s"Huffman table $tbl (region $region) is off-scope (0/1 implemented)")
           if (tbl == 0) { ix(li) = 0; ix(li + 1) = 0 }
           else {
             // table 1: walk the 4 codes bit by bit
@@ -639,6 +665,7 @@ object Mp3Codec {
           li += 2
         }
         while (md.consumed - start < gr.part23 && li + 3 < 576) {
+          val quadAt = li
           val code = md.read(4)
           val mags = (~code) & 0xF
           var j = 0
@@ -648,9 +675,17 @@ object Mp3Codec {
             j += 1
           }
           li += 4
+          // the spec's straddle rule: a quadruple that reads PAST
+          // part2_3_length is discarded — its bits belong to the next
+          // granule, which must start at exactly start + part2_3_length
+          if (md.consumed - start > gr.part23) {
+            var k = 0
+            while (k < 4) { ix(quadAt + k) = 0; k += 1 }
+          }
         }
-        // skip any stuffing up to part2_3_length
-        while (md.consumed - start < gr.part23) md.read1()
+        // align to part2_3_length exactly (skips stuffing AND rewinds a
+        // discarded straddling quadruple's overhang)
+        md.seek(start + gr.part23)
         // requantize: xr = ±|ix|^{4/3} · 2^{(gg−210)/4 − sf/2}
         val xr = new Array[Double](576)
         b = 0
@@ -728,6 +763,7 @@ object Mp3Codec {
       }
       frames += 1
       at += frameLen
+      }
     }
     require(frames > 0, "no MP3 frames decoded")
     val raw = pcm.toByteArray

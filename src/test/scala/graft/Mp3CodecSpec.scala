@@ -184,6 +184,100 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(info.sampleRate == 32000 && got.length == 2500)
   }
 
+  // ------------------------------------------ hand-packed frame shapes
+  /** Build one mono 32 kHz frame from raw side-info fields + main bits —
+    * the shapes the engine's own encoder never emits (big-values pairs,
+    * straddling count1 quads, nonzero scfsi) so the decoder's handling
+    * of OTHER encoders' conformant streams is pinned, not assumed. */
+  private def handFrame(scfsi: Int, part23a: Int, bigValuesA: Int,
+                        tables: Seq[Int], region0: Int, region1: Int,
+                        mainBitsA: Seq[Int]): Array[Byte] = {
+    val brIdx = 14 // 320 kbps at 32 kHz -> 1440-byte frame
+    val w = new Mp3Codec.MsbWriter
+    w.write(0x7FF, 11); w.write(3, 2); w.write(1, 2); w.write(1, 1)
+    w.write(brIdx, 4); w.write(2, 2) // srIdx 2 = 32000
+    w.write(0, 1); w.write(0, 1); w.write(3, 2)
+    w.write(0, 2); w.write(0, 1); w.write(0, 1); w.write(0, 2)
+    w.write(0, 9); w.write(0, 5); w.write(scfsi, 4)
+    def granule(p23: Int, bv: Int): Unit = {
+      w.write(p23, 12); w.write(bv, 9); w.write(210, 8); w.write(15, 4)
+      w.write(0, 1)
+      tables.foreach(t => w.write(t, 5))
+      w.write(region0, 4); w.write(region1, 3)
+      w.write(0, 1); w.write(0, 1); w.write(1, 1)
+    }
+    granule(part23a, bigValuesA)
+    granule(74, 0) // granule 1: all-zero scalefactors, empty spectrum
+    // main data: granule 0 = 74 scalefactor zeros + the caller's bits,
+    // granule 1 = 74 zeros; bit-contiguous, zero ancillary fill
+    (0 until 74).foreach(_ => w.write(0, 1))
+    mainBitsA.foreach(b => w.write(b, 1))
+    (0 until 74).foreach(_ => w.write(0, 1))
+    val body = w.toBytes
+    val frameLen = 144 * 320000 / 32000
+    require(body.length <= frameLen, s"hand frame too big: ${body.length}")
+    body ++ new Array[Byte](frameLen - body.length)
+  }
+
+  test("big-values regions decode with THEIR OWN table_select (hand frame)") {
+    // two pairs, both inside region0 (region0_count=0 -> boundary at
+    // sfb edge 1 = line 4): values (1,0)+ and (0,1)+ via table 1
+    // codes: "01" x=1 sign 0, then "001" y=1 sign 0  -> 7 bits
+    val bits = Seq(0, 1, 0, 0, 0, 1, 0)
+    val frame = handFrame(scfsi = 0, part23a = 74 + bits.length,
+      bigValuesA = 2, tables = Seq(1, 0, 0), region0 = 0, region1 = 0,
+      mainBitsA = bits)
+    val (info, pcm) = Mp3Codec.decode(frame)
+    assert(info.frames == 1 && info.sampleRate == 32000)
+    // nonzero spectrum must survive to the (delay-trimmed) tail output
+    assert(pcm.exists(v => math.abs(v) > 1e-4), "big-values content lost")
+    // an OFF-SCOPE table in a populated region refuses BY NUMBER...
+    val e = intercept[IllegalArgumentException](Mp3Codec.decode(
+      handFrame(0, 74 + bits.length, 2, Seq(24, 0, 0), 0, 0, bits)))
+    assert(e.getMessage.contains("table 24"))
+    // ...but an off-scope table in an EMPTY region is never consulted
+    val (info2, _) = Mp3Codec.decode(
+      handFrame(0, 74 + bits.length, 2, Seq(1, 24, 24), 0, 0, bits))
+    assert(info2.frames == 1)
+  }
+
+  test("count1 quadruple straddling part2_3_length is discarded; alignment holds") {
+    // part23 = 74 + 2: two bits of a quad ("11...") cross the boundary —
+    // the decoder must discard it and start granule 1 at EXACTLY
+    // start + part23, not at the overhang
+    val frame = handFrame(scfsi = 0, part23a = 76, bigValuesA = 0,
+      tables = Seq(0, 0, 0), region0 = 0, region1 = 0, mainBitsA = Seq(1, 1))
+    val (info, pcm) = Mp3Codec.decode(frame)
+    assert(info.frames == 1)
+    assert(pcm.forall(v => math.abs(v) < 1e-3),
+      "discarded straddle quad must leave silence")
+  }
+
+  test("scfsi reuse and oversized big_values refuse by name (hand frames)") {
+    val e1 = intercept[IllegalArgumentException](Mp3Codec.decode(
+      handFrame(scfsi = 2, part23a = 74, bigValuesA = 0,
+        tables = Seq(0, 0, 0), region0 = 0, region1 = 0, mainBitsA = Nil)))
+    assert(e1.getMessage.contains("scfsi"))
+    val e2 = intercept[IllegalArgumentException](Mp3Codec.decode(
+      handFrame(scfsi = 0, part23a = 74, bigValuesA = 300,
+        tables = Seq(1, 1, 1), region0 = 0, region1 = 0, mainBitsA = Nil)))
+    assert(e2.getMessage.contains("big_values"))
+  }
+
+  test("trailing ID3v1 tag ('TAG' + 125 bytes) is tolerated, not a lost sync") {
+    val pcm = sine(650.0, 32000, 3000)
+    val mp3 = Mp3Codec.encode(pcm, 32000)
+    val tagged = mp3 ++ ("TAG".getBytes("ASCII") ++ new Array[Byte](125))
+    val (info, got) = Mp3Codec.decode(tagged)
+    assert(got.length == 3000)
+    val (_, ref) = Mp3Codec.decode(mp3)
+    assert(java.util.Arrays.equals(got, ref), "trailer changed the audio")
+    // anything else after the frames still refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Mp3Codec.decode(mp3 ++ Array[Byte](1, 2, 3, 4, 5)))
+    assert(e.getMessage.contains("sync"))
+  }
+
   // ----------------------------------------------------------- refusals
   test("scope refusals are loud and name the field") {
     val mp3 = Mp3Codec.encode(sine(400.0, 44100, 2000), 44100)
