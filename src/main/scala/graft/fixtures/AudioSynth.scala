@@ -248,7 +248,7 @@ object AudioSynth {
     expected
   }
 
-  private val MixedCorpusVersion = 1
+  private val MixedCorpusVersion = 2 // v2: + AIFF / AU / SPHERE legacy containers
 
   /** MIXED-FORMAT corpus (round 13, q326 — the audio sibling of the
     * image front door q320): ONE directory carrying every format class
@@ -262,6 +262,7 @@ object AudioSynth {
     Files.createDirectories(d)
     val expected = Seq("mix_pcm.wav", "mix_mulaw.wav", "mix_adpcm.wav",
       "mix_lossless.flac", "mix_vorbis.ogg", "mix_speech.mp3",
+      "mix_studio.aiff", "mix_next.au", "mix_corpus.sph",
       "mix_garbage.wav").map(d.resolve)
     val stamp = d.resolve(s".corpus_mixed_v$MixedCorpusVersion")
     if (Files.exists(stamp) &&
@@ -280,6 +281,15 @@ object AudioSynth {
       graft.io.VorbisCodec.encode(bursts(Seq(3000, 3300)), Rate))
     Files.write(d.resolve("mix_speech.mp3"), graft.io.Mp3Codec.encode(
       graft.ops.Dsp.resampleLinear(bursts(Seq(4700)), Rate, 32000), 32000))
+    // the legacy speech-corpus containers (AIFF studio capture, Sun/NeXT
+    // AU, NIST SPHERE — the TIMIT-class distribution format)
+    Files.write(d.resolve("mix_studio.aiff"),
+      graft.io.LegacyAudio.Aiff.encodePcm16(toPcm16(bursts(Seq(4100))), 1, Rate))
+    Files.write(d.resolve("mix_next.au"),
+      graft.io.LegacyAudio.Au.encode(toPcm16(bursts(Seq(3500, 2200))), 1, Rate))
+    Files.write(d.resolve("mix_corpus.sph"),
+      graft.io.LegacyAudio.Sphere.encodePcm16(
+        toPcm16(bursts(Seq(5100))), 1, Rate, bigEndian = true))
     Files.write(d.resolve("mix_garbage.wav"),
       "definitely not audio at all, wrong extension too".getBytes("UTF-8"))
     Files.write(stamp, Array.emptyByteArray)

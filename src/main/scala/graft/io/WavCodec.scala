@@ -43,6 +43,18 @@ object WavCodec {
       val scale = (1 << (info.bps - 1)).toFloat
       return Decoded(ints.map(_ / scale), info.channels, info.sampleRate)
     }
+    // the legacy speech-corpus containers (LegacyAudio): AIFF/AIFC
+    // ("FORM"), Sun/NeXT AU (".snd"), NIST SPHERE ("NIST") — the
+    // formats TIMIT-era ASR corpora and studio captures arrive in
+    if (bytes.length >= 4 && bytes(0) == 'F' && bytes(1) == 'O' &&
+        bytes(2) == 'R' && bytes(3) == 'M')
+      return LegacyAudio.Aiff.decode(bytes)
+    if (bytes.length >= 4 && bytes(0) == '.' && bytes(1) == 's' &&
+        bytes(2) == 'n' && bytes(3) == 'd')
+      return LegacyAudio.Au.decode(bytes)
+    if (bytes.length >= 4 && bytes(0) == 'N' && bytes(1) == 'I' &&
+        bytes(2) == 'S' && bytes(3) == 'T')
+      return LegacyAudio.Sphere.decode(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 44, s"too short for WAV: ${bytes.length} bytes")
     require(buf.getInt(0) == 0x46464952, "missing RIFF magic") // "RIFF"

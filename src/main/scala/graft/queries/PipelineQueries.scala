@@ -953,10 +953,11 @@ object PipelineQueries {
   /** MIXED-FORMAT audio front door (round 13 — the audio sibling of the
     * image dispatcher q320): ONE directory carrying every audio class
     * the engine owns (PCM WAV, µ-law, IMA-ADPCM, native FLAC, Ogg
-    * Vorbis, MP3) plus a mislabeled garbage file, scanned with glob `*`
+    * Vorbis, MP3, and the round-13 legacy corpus containers AIFF / AU /
+    * NIST SPHERE) plus a mislabeled garbage file, scanned with glob `*`
     * and routed purely by CONTENT through `WavCodec.decode`'s magic
     * dispatch — the transparent ingest pydub/ffmpeg gives the reference
-    * (README.md:3). Six format classes through the FULL pipeline chain
+    * (README.md:3). Nine format classes through the FULL pipeline chain
     * in one scan; the garbage file proves the error-skip; golden VALUES
     * (GoldenDump --q326) per the lossy-audio e2e discipline. */
   def q326(s: SparkSession, d: String): DataFrame = {
@@ -974,16 +975,21 @@ object PipelineQueries {
               col("overlap_flag"))
       .orderBy(col("original_name"), col("wav_name"))
   }
-  /** Golden literal oracle (GoldenDump --q326), frozen like q30Sql. Six
-    * rows — one per format class — and NO mix_garbage row (the error-
-    * skip proven by absence, the q30 convention). */
+  /** Golden literal oracle (GoldenDump --q326), frozen like q30Sql. Nine
+    * rows — one per format class, including the round-13 legacy
+    * containers (AIFF studio capture, Sun/NeXT AU, NIST SPHERE
+    * big-endian) — and NO mix_garbage row (the error-skip proven by
+    * absence, the q30 convention). */
   val q326Sql: String =
     """SELECT * FROM (VALUES
       |  ('mix_adpcm.wav', 'mix_adpcm_0000s_0005s.wav', 'hello data speech', CAST(12769683 AS BIGINT), CAST(15 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('mix_corpus.sph', 'mix_corpus_0000s_0005s.wav', 'segment model model clean clean', CAST(13019199 AS BIGINT), CAST(260 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mix_lossless.flac', 'mix_lossless_0000s_0004s.wav', 'hello training world', CAST(12981603 AS BIGINT), CAST(256 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mix_mulaw.wav', 'mix_mulaw_0000s_0006s.wav', 'signal voice clean voice hello batch', CAST(12524602 AS BIGINT), CAST(80 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('mix_next.au', 'mix_next_0000s_0006s.wav', 'hello clean batch audio clean model quality', CAST(12622888 AS BIGINT), CAST(246 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mix_pcm.wav', 'mix_pcm_0000s_0004s.wav', 'batch world hello', CAST(13004392 AS BIGINT), CAST(258 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mix_speech.mp3', 'mix_speech_0000s_0004s.wav', 'hello spark segment speech training spark clean spark', CAST(10951602 AS BIGINT), CAST(5 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mix_studio.aiff', 'mix_studio_0000s_0004s.wav', 'clean data clean signal batch', CAST(12961689 AS BIGINT), CAST(253 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mix_vorbis.ogg', 'mix_vorbis_0000s_0006s.wav', 'batch batch hello training', CAST(10373883 AS BIGINT), CAST(15 AS BIGINT), CAST(432 AS BIGINT), FALSE)
       |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
       |ORDER BY original_name, wav_name""".stripMargin
@@ -1051,6 +1057,70 @@ object PipelineQueries {
       |  CAST(SUM(al) AS BIGINT) AS al_sum, CAST(MIN(al) AS BIGINT) AS al_min,
       |  CAST(MAX(al) AS BIGINT) AS al_max
       |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q327
+  /** LEGACY SPEECH-CORPUS CONTAINERS, ORACLE-EXACT (round 13): AIFF /
+    * AIFC-sowt (Apple studio captures), Sun/NeXT AU (PCM16 big-endian
+    * and SIGNED PCM8 — the signedness trap WAV's unsigned PCM8 sets),
+    * and NIST SPHERE in BOTH byte orders (TIMIT / Switchboard / Fisher
+    * — the canonical ASR corpora — ship in SPHERE). All six faces are
+    * exact containers over the same deterministic int16 sequence, so
+    * the oracle restates the generator ARITHMETICALLY (the q243
+    * discipline, no goldens): any byte-order, signedness, header-offset
+    * or chunk-walk slip in [[graft.io.LegacyAudio]] or the WavCodec
+    * magic dispatch breaks the hash. Per-row, shuffle-free. */
+  def q327(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.io.LegacyAudio.{Aiff, Au, Sphere}
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val n = (300 + id % 150).toInt
+        val salt = (id % 17).toInt
+        val s16 = Array.tabulate(n)(i =>
+          (((i * 31 + salt) * 997) % 65536 - 32768).toShort)
+        def face(name: String, bytes: Array[Byte], scale: Int) = {
+          val dec = graft.io.WavCodec.decode(bytes) // magic dispatch on trial
+          require(dec.samples.length == n && dec.sampleRate == 16000,
+            s"doc $id $name: bad container round trip")
+          val ints = dec.samples.map(f => math.round(f * scale).toLong)
+          (name, id, n.toLong, ints.sum, ints.min, ints.max)
+        }
+        Seq(
+          face("aiff_be", Aiff.encodePcm16(s16, 1, 16000), 32768),
+          face("aifc_sowt", Aiff.encodePcm16(s16, 1, 16000, sowt = true), 32768),
+          face("au_be", Au.encode(s16, 1, 16000, encoding = 3), 32768),
+          face("au_pcm8", Au.encode(s16, 1, 16000, encoding = 2), 128),
+          face("sphere_le", Sphere.encodePcm16(s16, 1, 16000), 32768),
+          face("sphere_be", Sphere.encodePcm16(s16, 1, 16000, bigEndian = true), 32768))
+      }
+      .toDF("face", "doc_id", "n_samples", "s_sum", "s_min", "s_max")
+      .orderBy(col("face"), col("doc_id"))
+  }
+  /** The generator restated: v(i) = ((i*31 + id%17)*997) % 65536 − 32768;
+    * the PCM16 faces must reproduce v exactly, the AU PCM8 face its
+    * arithmetic-shift truncation floor(v/256) (signed top byte). */
+  val q327Sql: String =
+    """WITH samp AS (
+      |  SELECT d.doc_id, ((t.i*31 + d.doc_id % 17) * 997) % 65536 - 32768 AS v
+      |  FROM documents d, range(0, 450) t(i)
+      |  WHERE t.i < 300 + d.doc_id % 150),
+      |s16 AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |         CAST(SUM(v) AS BIGINT) AS s_sum, CAST(MIN(v) AS BIGINT) AS s_min,
+      |         CAST(MAX(v) AS BIGINT) AS s_max
+      |  FROM samp GROUP BY doc_id),
+      |s8 AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |         CAST(SUM(CAST(floor(v/256.0) AS BIGINT)) AS BIGINT) AS s_sum,
+      |         CAST(MIN(CAST(floor(v/256.0) AS BIGINT)) AS BIGINT) AS s_min,
+      |         CAST(MAX(CAST(floor(v/256.0) AS BIGINT)) AS BIGINT) AS s_max
+      |  FROM samp GROUP BY doc_id)
+      |SELECT f.face, s16.doc_id, n_samples, s_sum, s_min, s_max
+      |FROM s16, (VALUES ('aiff_be'), ('aifc_sowt'), ('au_be'),
+      |           ('sphere_le'), ('sphere_be')) f(face)
+      |UNION ALL
+      |SELECT 'au_pcm8', doc_id, n_samples, s_sum, s_min, s_max FROM s8
+      |ORDER BY face, doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q279
   /** LATE-DATA ACCOUNTING ON THE ORACLE BOARD: the rows a watermark drops
@@ -1214,6 +1284,7 @@ object PipelineQueries {
     "q325_stream_join_census" -> ((q325 _, Some(q325Sql))),
     "q326_audio_multiformat_e2e" -> ((q326 _, Some(q326Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
+    "q327_audio_legacy_containers" -> ((q327 _, Some(q327Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),
     "q218_stream_session_timeout" -> ((q218 _, Some(q218Sql))),
