@@ -114,6 +114,19 @@ object Pipeline {
       .withColumn("clipping_percent",
         lit(100.0) * size(expr("filter(samples, x -> abs(x) >= 0.98)")) / size(col("samples")))
       .withColumn("music_ratio", musicRatioUdf(col("samples"), col("frameRate")))
+      // SNR estimate (round-13 AudioQc): noise-floor / speech-level frame
+      // energies + the dB view, surfaced as metadata for downstream
+      // curation filters. NOT part of the quality predicate — the filter
+      // set stays reference-parity (pa.py:212-229). 10 ms frames at the
+      // post-resample 16 kHz rate; int16 sample domain.
+      .withColumn("snr_st", graft.ops.AudioQc.snrStats(
+        expr("transform(samples, x -> cast(round(x * 32768D) as int))"),
+        frameLen = 160))
+      .withColumn("noise_floor_e", col("snr_st.noise_e"))
+      .withColumn("speech_e", col("snr_st.speech_e"))
+      .withColumn("snr_db", when(col("noise_floor_e") > 0,
+        graft.ops.AudioQc.snrDb(col("speech_e"), col("noise_floor_e"))))
+      .drop("snr_st")
       .filter(col("rms") >= MinRms &&
               col("clipping_percent") <= MaxClippingPercent &&
               col("music_ratio") <= MusicEnergyRatio &&

@@ -1122,6 +1122,58 @@ object PipelineQueries {
       |SELECT 'au_pcm8', doc_id, n_samples, s_sum, s_min, s_max FROM s8
       |ORDER BY face, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q328
+  /** SNR / NOISE-FLOOR ESTIMATION, ORACLE-EXACT (round 13): the
+    * corpus-curation quality gate the reference lacks — RMS + clipping
+    * (pa.py:97-101) pass a low-SNR clip that still poisons a voice
+    * model. [[graft.ops.AudioQc]] frames each clip, takes per-frame
+    * Σ v² energies, and reads the noise floor (p10 frame) and speech
+    * level (p90) by discrete selection; SNR is their INTEGER-division
+    * ratio in parts-per-thousand. The whole operator is Catalyst HOFs
+    * (sequence/transform/slice/aggregate/array_sort — zero UDFs,
+    * expression-codegen'd, per-row, shuffle-free), and the test
+    * signal is synthesized IN the plan too (bursty speech frames at
+    * ±16000 over a ±160 noise bed, all integer), so the DuckDB oracle
+    * restates every step relationally — framing, energies, percentile
+    * rule, ratio — with zero float drift. */
+  def q328(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.AudioQc
+    val docId = col("doc_id")
+    // 3840 samples = 24 frames of 160 (10 ms at 16 kHz); frames j with
+    // j%6<2 are "speech" bursts, the rest the noise bed — all integer
+    val samples = transform(sequence(lit(0), lit(3839)), i => {
+      val j = (i / 160).cast("int")
+      when(j % 6 < 2,
+        ((i * 13 + docId % 7) % 2001 - 1000) * 16)
+        .otherwise(((i * 7 + docId % 11) % 41 - 20) * 8)
+    })
+    Tables.documents(s, d)
+      .select(docId, AudioQc.snrStats(samples, frameLen = 160).as("snr"))
+      .select(docId, col("snr.noise_e").as("noise_e"),
+              col("snr.speech_e").as("speech_e"))
+      .selectExpr("doc_id", "noise_e", "speech_e",
+                  "(speech_e * 1000) div noise_e as snr_ppk")
+      .orderBy(docId)
+  }
+  val q328Sql: String =
+    """WITH samp AS (
+      |  SELECT d.doc_id, t.i // 160 AS j,
+      |    CASE WHEN (t.i // 160) % 6 < 2
+      |      THEN ((t.i*13 + d.doc_id % 7) % 2001 - 1000) * 16
+      |      ELSE ((t.i*7 + d.doc_id % 11) % 41 - 20) * 8 END AS v
+      |  FROM documents d, range(0, 3840) t(i)),
+      |fe AS (SELECT doc_id, j, CAST(SUM(v*v) AS BIGINT) AS e
+      |       FROM samp GROUP BY doc_id, j),
+      |rk AS (SELECT doc_id, e,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS r,
+      |         COUNT(*) OVER (PARTITION BY doc_id) AS n FROM fe)
+      |SELECT doc_id,
+      |  CAST(MAX(CASE WHEN r = ((n-1)*1)//10 THEN e END) AS BIGINT) AS noise_e,
+      |  CAST(MAX(CASE WHEN r = ((n-1)*9)//10 THEN e END) AS BIGINT) AS speech_e,
+      |  CAST(MAX(CASE WHEN r = ((n-1)*9)//10 THEN e END) * 1000 //
+      |       MAX(CASE WHEN r = ((n-1)*1)//10 THEN e END) AS BIGINT) AS snr_ppk
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q279
   /** LATE-DATA ACCOUNTING ON THE ORACLE BOARD: the rows a watermark drops
     * must be auditable, not silent (at 100 TB "the dashboard is missing
@@ -1285,6 +1337,7 @@ object PipelineQueries {
     "q326_audio_multiformat_e2e" -> ((q326 _, Some(q326Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
     "q327_audio_legacy_containers" -> ((q327 _, Some(q327Sql))),
+    "q328_audio_snr_estimate" -> ((q328 _, Some(q328Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),
     "q218_stream_session_timeout" -> ((q218 _, Some(q218Sql))),
