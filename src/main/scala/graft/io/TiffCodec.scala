@@ -19,7 +19,10 @@ import java.util.zip.{Deflater, Inflater}
   *     per pixel (grayscale min-is-black / RGB), CHUNKY planar layout;
   *   - compression 1 (none), 5 (LZW — TIFF 6.0 §13: MSB-first codes,
   *     Clear=256/EOI=257, the spec's EARLY code-width change at table
-  *     sizes 511/1023/2047, table reset at 4094) and 8 (zlib deflate) —
+  *     sizes 511/1023/2047, table reset at 4094), 8 (zlib deflate) and
+  *     32773 (PackBits — TIFF 6.0 §9: the byte-RLE fax/scan encoders
+  *     emit; literal runs 0..127 → n+1 bytes, replicate runs −1..−127
+  *     → 1−n copies, −128 a no-op; rows packed separately per spec) —
   *     per STRIP, any RowsPerStrip (strips are TIFF's parallelism/IO
   *     unit: each strip decompresses independently, which is what would
   *     make a tiled 100 TB scan corpus splittable);
@@ -51,28 +54,34 @@ object TiffCodec {
 
   def encode(img: Image, deflate: Boolean = false,
              bigEndian: Boolean = false, lzw: Boolean = false,
-             predictor: Boolean = false, tileSize: Int = 0): Array[Byte] = {
+             predictor: Boolean = false, tileSize: Int = 0,
+             packbits: Boolean = false): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
-    require(!(deflate && lzw), "pick ONE compression (deflate or lzw)")
+    require(Seq(deflate, lzw, packbits).count(identity) <= 1,
+      "pick ONE compression (deflate, lzw or packbits)")
     val samples = new Array[Int](img.pixels.length)
     var i = 0
     while (i < samples.length) { samples(i) = img.pixels(i) & 0xff; i += 1 }
     encodeImpl(img.width, img.height, img.channels, 8, samples,
-      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian, tileSize)
+      if (lzw) 5 else if (deflate) 8 else if (packbits) 32773 else 1,
+      predictor, bigEndian, tileSize)
   }
 
   def encode16(img: Image16, deflate: Boolean = false,
                bigEndian: Boolean = false, lzw: Boolean = false,
-               predictor: Boolean = false, tileSize: Int = 0): Array[Byte] = {
+               predictor: Boolean = false, tileSize: Int = 0,
+               packbits: Boolean = false): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"TIFF encode carries gray or RGB (got ${img.channels} channels)")
-    require(!(deflate && lzw), "pick ONE compression (deflate or lzw)")
+    require(Seq(deflate, lzw, packbits).count(identity) <= 1,
+      "pick ONE compression (deflate, lzw or packbits)")
     val samples = new Array[Int](img.samples.length)
     var i = 0
     while (i < samples.length) { samples(i) = img.samples(i) & 0xffff; i += 1 }
     encodeImpl(img.width, img.height, img.channels, 16, samples,
-      if (lzw) 5 else if (deflate) 8 else 1, predictor, bigEndian, tileSize)
+      if (lzw) 5 else if (deflate) 8 else if (packbits) 32773 else 1,
+      predictor, bigEndian, tileSize)
   }
 
   /** One IFD; strip-based layout by default (RowsPerStrip = 16 — several
@@ -88,9 +97,10 @@ object TiffCodec {
     require(tile == 0 || (tile > 0 && tile % 16 == 0),
       s"tile size must be a positive multiple of 16 (got $tile)")
     val mask = (1 << bits) - 1
-    def compress(raw: Array[Byte]): Array[Byte] = comp match {
+    def compress(raw: Array[Byte], rowBytes: Int): Array[Byte] = comp match {
       case 5 => lzwCompress(raw)
       case 8 => zip(raw)
+      case 32773 => packbitsCompress(raw, rowBytes)
       case _ => raw
     }
     // pack one rectangular region [x0, x0+rw) × [y0, y0+rh) of the image
@@ -136,12 +146,13 @@ object TiffCodec {
         for (ty <- 0 until tilesDown; tx <- 0 until tilesAcross) yield {
           val y0 = ty * tile; val x0 = tx * tile
           compress(pack(x0, y0, math.min(tile, w - x0),
-            math.min(tile, h - y0), tile, tile))
+            math.min(tile, h - y0), tile, tile), tile * spp * (bits / 8))
         }
       else
         (0 until nStrips).map { s =>
           val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
-          compress(pack(0, s * rowsPerStrip, w, rows, w, rows))
+          compress(pack(0, s * rowsPerStrip, w, rows, w, rows),
+            w * spp * (bits / 8))
         }
     // layout: 8-byte header, IFD, [out-of-line value arrays], strip data
     val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Seq[Long])]
@@ -345,8 +356,9 @@ object TiffCodec {
     require(bits == 8 || bits == 16, s"unsupported bit depth $bits (8/16)")
     require(spp == 1 || spp == 3,
       s"unsupported samples-per-pixel $spp (gray or RGB)")
-    require(compression == 1 || compression == 5 || compression == 8,
-      s"unsupported compression $compression (1 = none, 5 = LZW, " +
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773,
+      s"unsupported compression $compression (1 = none, 5 = LZW, 32773 = PackBits, " +
         "8 = deflate; CCITT/JPEG-in-TIFF are off-scope)")
     require(planar == 1, "unsupported: planar configuration 2 (chunky only)")
     require(predictor == 1 || predictor == 2,
@@ -367,6 +379,7 @@ object TiffCodec {
       val raw = compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
         case 5 => lzwDecompress(bytes, off.toInt, len.toInt, expect)
+        case 32773 => packbitsDecompress(bytes, off.toInt, len.toInt, expect)
         case _ => unzip(bytes, off.toInt, len.toInt, expect)
       }
       require(raw.length == expect,
@@ -447,6 +460,66 @@ object TiffCodec {
       }
     }
     (wi, hi, spp, bits, samples)
+  }
+
+  // ------------------------------------------------------------------
+  // PackBits (TIFF 6.0 §9) — the byte-oriented RLE of the fax/scan
+  // world. Header byte n signed: 0..127 → copy the next n+1 bytes
+  // literally; −1..−127 → replicate the next byte 1−n times; −128 →
+  // no-op. The spec packs EACH ROW separately (never a run across a
+  // row boundary) — the encoder honors that; the decoder is row-
+  // agnostic by construction (the stream concatenates losslessly).
+  // private[graft] so the spec can pin hand-built vectors directly.
+  // ------------------------------------------------------------------
+
+  private[graft] def packbitsCompress(raw: Array[Byte], rowBytes: Int): Array[Byte] = {
+    require(rowBytes > 0, s"rowBytes must be positive: $rowBytes")
+    val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 127 + 8)
+    var rs = 0
+    while (rs < raw.length) {
+      val re = math.min(rs + rowBytes, raw.length)
+      var i = rs
+      while (i < re) {
+        var j = i + 1
+        while (j < re && raw(j) == raw(i) && j - i < 128) j += 1
+        if (j - i >= 2) { // replicate run: header 1−n for n copies
+          out.write(1 - (j - i))
+          out.write(raw(i))
+          i = j
+        } else { // literal run: stop at a ≥3-byte replicate or 128 bytes
+          val start = i
+          var k = i + 1
+          while (k < re && k - start < 128 &&
+                 !(k + 2 < re && raw(k) == raw(k + 1) && raw(k) == raw(k + 2)))
+            k += 1
+          out.write(k - start - 1)
+          out.write(raw, start, k - start)
+          i = k
+        }
+      }
+      rs = re
+    }
+    out.toByteArray
+  }
+
+  private[graft] def packbitsDecompress(z: Array[Byte], off: Int, len: Int,
+                                        expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = off; val end = off + len; var o = 0
+    while (i < end && o < expect) {
+      val n = z(i); i += 1
+      if (n >= 0) {
+        require(i + n + 1 <= end, "PackBits literal overruns the strip")
+        require(o + n + 1 <= expect, "PackBits literal overruns the region")
+        System.arraycopy(z, i, out, o, n + 1); i += n + 1; o += n + 1
+      } else if (n != -128) { // −128 is the spec's explicit no-op
+        require(i < end, "PackBits run overruns the strip")
+        require(o + (1 - n) <= expect, "PackBits run overruns the region")
+        java.util.Arrays.fill(out, o, o + 1 - n, z(i)); i += 1; o += 1 - n
+      }
+    }
+    require(o == expect, s"PackBits stream produced $o of $expect bytes")
+    out
   }
 
   // ------------------------------------------------------------------

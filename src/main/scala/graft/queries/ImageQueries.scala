@@ -1145,12 +1145,16 @@ object ImageQueries {
     * ENDIAN (differencing before byte-packing in the file's order);
     * fam 5 = 8-bit gray TILED (16-px tiles, §15 — the layout large
     * scans/geo rasters use; edge tiles pad and the decode discards the
-    * padding) under LZW + predictor, same pixels as fam 0. */
+    * padding) under LZW + predictor, same pixels as fam 0;
+    * fam 6 (round 13) = 8-bit RGB, PACKBITS (§9 — the byte-RLE the
+    * fax/scan encoders emit), BIG-ENDIAN, same pixels as fam 1;
+    * fam 7 = 16-bit gray, PackBits + predictor, TILED — RLE, lane
+    * differencing and the §15 layout composed in one file. */
   def q319(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     specs(s, d, 3L)
       .map { sp =>
-        val fam = ((sp.id % 18) / 3).toInt
+        val fam = ((sp.id % 24) / 3).toInt
         def rgbPx: Array[Byte] = {
           val px = new Array[Byte](sp.w * sp.h * 3)
           var p = 0
@@ -1185,12 +1189,18 @@ object ImageQueries {
           case 4 =>
             graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, graySmp),
               lzw = true, predictor = true, bigEndian = true)
-          case _ =>
+          case 5 =>
             val px = Array.tabulate[Byte](sp.w * sp.h) { p =>
               ((p % sp.w * 13 + p / sp.w * 7) % 256).toByte
             }
             graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 1, px),
               lzw = true, predictor = true, tileSize = 16)
+          case 6 =>
+            graft.io.TiffCodec.encode(PngCodec.Image(sp.w, sp.h, 3, rgbPx),
+              bigEndian = true, packbits = true)
+          case _ =>
+            graft.io.TiffCodec.encode16(PngCodec.Image16(sp.w, sp.h, 1, graySmp),
+              packbits = true, predictor = true, tileSize = 16)
         }
         (sp.id, fam, tif)
       }
@@ -1201,7 +1211,7 @@ object ImageQueries {
           ss += v
           ws += v.toLong * (x + 1) * (3 * y + 7) * (c + 1)
         }
-        if (fam == 2 || fam == 4) {
+        if (fam == 2 || fam == 4 || fam == 7) {
           val img = graft.io.TiffCodec.decode16(tif)
           w = img.width; h = img.height; ch = img.channels
           var i = 0
@@ -1227,12 +1237,12 @@ object ImageQueries {
       |  SELECT doc_id AS id,
       |         CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS w,
       |         CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS h,
-      |         CAST((doc_id % 18) // 3 AS BIGINT) AS fam
+      |         CAST((doc_id % 24) // 3 AS BIGINT) AS fam
       |  FROM documents WHERE doc_id % 3 = 0),
       |px AS (
       |  SELECT id, w, h, fam, gx.x AS x, gy.y AS y, gc.c AS c,
       |         CASE WHEN fam IN (0, 5) THEN (gx.x * 13 + gy.y * 7) % 256
-      |              WHEN fam IN (1, 3) THEN
+      |              WHEN fam IN (1, 3, 6) THEN
       |           CASE gc.c WHEN 0 THEN (gx.x * 5 + gy.y) % 256
       |                     WHEN 1 THEN (gx.x + gy.y * 11) % 256
       |                     ELSE (gx.x * gy.y + 3) % 256 END
@@ -1242,10 +1252,10 @@ object ImageQueries {
       |  JOIN generate_series(0, 47) gx(x) ON gx.x < w
       |  JOIN generate_series(0, 63) gy(y) ON gy.y < h
       |  JOIN generate_series(0, 2) gc(c)
-      |    ON gc.c <= CASE WHEN fam IN (1, 3) THEN 2 ELSE 0 END)
+      |    ON gc.c <= CASE WHEN fam IN (1, 3, 6) THEN 2 ELSE 0 END)
       |SELECT ids.id AS img_id, CAST(ids.fam AS INT) AS fam,
       |       CAST(ids.w AS INT) AS w, CAST(ids.h AS INT) AS h,
-      |       CAST(CASE WHEN ids.fam IN (1, 3) THEN 3 ELSE 1 END AS INT) AS ch,
+      |       CAST(CASE WHEN ids.fam IN (1, 3, 6) THEN 3 ELSE 1 END AS INT) AS ch,
       |       m.samp_sum, m.wsum
       |FROM ids
       |JOIN (SELECT id, CAST(SUM(v) AS BIGINT) AS samp_sum,

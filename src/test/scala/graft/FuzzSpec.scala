@@ -275,7 +275,12 @@ class FuzzSpec extends AnyFunSuite {
         Array.tabulate[Short](13 * 17 * 3)(i => (i * 601).toShort)),
         lzw = true, predictor = true, bigEndian = true),
       graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(33, 20, 3),
-        lzw = true, predictor = true, tileSize = 16))
+        lzw = true, predictor = true, tileSize = 16),
+      graft.io.TiffCodec.encode(graft.ops.ImageOps.synth(29, 22, 3),
+        packbits = true, bigEndian = true),
+      graft.io.TiffCodec.encode16(graft.io.PngCodec.Image16(15, 18, 1,
+        Array.tabulate[Short](15 * 18)(i => (i * 499).toShort)),
+        packbits = true, predictor = true, tileSize = 16))
     def driveTiff(bytes: Array[Byte]): Unit =
       try {
         val img = graft.io.TiffCodec.decode(bytes)

@@ -43,6 +43,57 @@ class TiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------- PackBits
+  test("PackBits matches hand-derived spec vectors, incl. the -128 no-op") {
+    // TIFF 6.0 §9's worked shapes: a replicate run, a literal run, and
+    // the no-op header a conformant decoder must skip
+    def dec(z: Array[Byte], expect: Int): Seq[Byte] =
+      TiffCodec.packbitsDecompress(z, 0, z.length, expect).toSeq
+    // -3 => 4 copies of 0xAA; 2 => literal 0x80 0x00 0x2A
+    assert(dec(Array[Byte](-3, 0xAA.toByte, 2, 0x80.toByte, 0x00, 0x2A), 7) ==
+      Seq[Byte](0xAA.toByte, 0xAA.toByte, 0xAA.toByte, 0xAA.toByte,
+        0x80.toByte, 0x00, 0x2A))
+    // -128 no-op between two runs
+    assert(dec(Array[Byte](-1, 5, -128.toByte, 0, 9), 3) == Seq[Byte](5, 5, 9))
+    // encoder: a long run splits at 128; rows pack SEPARATELY (a run
+    // spanning the row boundary must emit two headers)
+    val run = Array.fill[Byte](130)(7)
+    val z = TiffCodec.packbitsCompress(run, rowBytes = 130)
+    assert(z.toSeq == Seq[Byte](-127, 7, -1, 7))
+    val twoRows = TiffCodec.packbitsCompress(Array.fill[Byte](8)(3), rowBytes = 4)
+    assert(twoRows.toSeq == Seq[Byte](-3, 3, -3, 3))
+    // decoder validation: truncated literal, output overrun, short stream
+    assert(intercept[IllegalArgumentException](dec(Array[Byte](5, 1, 2), 6))
+      .getMessage.contains("overruns the strip"))
+    assert(intercept[IllegalArgumentException](dec(Array[Byte](-9, 1), 4))
+      .getMessage.contains("overruns the region"))
+    assert(intercept[IllegalArgumentException](dec(Array[Byte](-1, 5), 7))
+      .getMessage.contains("produced"))
+  }
+
+  test("PackBits roundtrips bit-exactly: depths, channels, orders, tiles, predictor") {
+    for (ch <- Seq(1, 3); be <- Seq(false, true)) {
+      val img = noise(33, 40, ch, ch * 31L + (if (be) 5 else 0))
+      val dec = TiffCodec.decode(TiffCodec.encode(img, bigEndian = be, packbits = true))
+      assert(java.util.Arrays.equals(dec.pixels, img.pixels), s"ch=$ch be=$be")
+      // flat regions (the format's home turf) + predictor + tiled layout
+      val flat = Image(40, 36, ch, Array.tabulate[Byte](40 * 36 * ch)(i => ((i / 160) * 3).toByte))
+      val z = TiffCodec.encode(flat, packbits = true, predictor = true, tileSize = 16)
+      assert(java.util.Arrays.equals(TiffCodec.decode(z).pixels, flat.pixels))
+      // vs the SAME container uncompressed: the data actually shrinks
+      val raw = TiffCodec.encode(flat, tileSize = 16)
+      assert(z.length < raw.length - 40 * 36 * ch / 2,
+        s"flat content must actually compress: $z.length vs ${raw.length}")
+    }
+    var s = 11L
+    val smp = Array.fill[Short](21 * 19)(
+      { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 37).toShort })
+    val img16 = Image16(21, 19, 1, smp)
+    val dec16 = TiffCodec.decode16(
+      TiffCodec.encode16(img16, bigEndian = true, packbits = true, predictor = true))
+    assert(java.util.Arrays.equals(dec16.samples, img16.samples))
+  }
+
   // ------------------------------------------------------------- LZW
   test("LZW bitstream matches the hand-derived spec vector") {
     // input [7,7,7,8]: Clear, 7, 258 (the just-learned "77"), 8, EOI —
