@@ -1174,6 +1174,59 @@ object PipelineQueries {
       |       MAX(CASE WHEN r = ((n-1)*1)//10 THEN e END) AS BIGINT) AS snr_ppk
       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q329
+  /** FORCED ALIGNMENT, ORACLE-EXACT (round 13): per-token transcript-to-
+    * frame timing via [[graft.ops.Align]] — the monotonic-DTW dynamic
+    * program every TTS corpus builder runs after transcription (the
+    * reference stops at segment text, pa.py:296). The acoustic local
+    * cost is the sanctioned deterministic stub (the O16 pattern — the
+    * model is swappable, the lattice is on trial); all arithmetic is
+    * INTEGER, so the DuckDB oracle restates the WHOLE dynamic program
+    * as a recursive CTE carrying the DP cost vector as a LIST — frame
+    * by frame, min/plus exact, zero float drift. Per-row, shuffle-free;
+    * the aligner rides the same map as the decode at 100 TB. Span
+    * structure (contiguity, partition, tie rule) is pinned in
+    * AlignSpec; the oracle gates the DP total on every grid. */
+  def q329(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val nT = (3 + id % 5).toInt
+        val nF = (30 + id % 20).toInt
+        val salt = (id % 23).toInt
+        val (total, spans) = graft.ops.Align.forcedAlign(nT, nF,
+          (t, f) => ((f * 7 + t * 13 + salt) % 101).toLong)
+        require(spans.length == nT && spans.last.endFrame == nF - 1,
+          s"doc $id: malformed alignment")
+        (id, nT.toLong, nF.toLong, total)
+      }
+      .toDF("doc_id", "n_tokens", "n_frames", "total_cost")
+      .orderBy(col("doc_id"))
+  }
+  val q329Sql: String =
+    """WITH RECURSIVE dims AS (
+      |  SELECT doc_id, 3 + doc_id % 5 AS nt, 30 + doc_id % 20 AS nf,
+      |         doc_id % 23 AS salt
+      |  FROM documents),
+      |dp AS (
+      |  SELECT doc_id, nt, nf, salt, 0 AS f,
+      |         list_transform(range(nt), t ->
+      |           CASE WHEN t = 0 THEN CAST(salt % 101 AS BIGINT)
+      |                ELSE CAST(1000000000000000 AS BIGINT) END) AS costs
+      |  FROM dims
+      |  UNION ALL
+      |  SELECT doc_id, nt, nf, salt, f + 1,
+      |         list_transform(range(nt), t ->
+      |           least(costs[t + 1],
+      |                 CASE WHEN t > 0 THEN costs[t]
+      |                      ELSE CAST(1000000000000000 AS BIGINT) END)
+      |           + ((f + 1) * 7 + t * 13 + salt) % 101)
+      |  FROM dp WHERE f < nf - 1)
+      |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+      |       CAST(nf AS BIGINT) AS n_frames,
+      |       CAST(costs[nt] AS BIGINT) AS total_cost
+      |FROM dp WHERE f = nf - 1 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q279
   /** LATE-DATA ACCOUNTING ON THE ORACLE BOARD: the rows a watermark drops
     * must be auditable, not silent (at 100 TB "the dashboard is missing
@@ -1338,6 +1391,7 @@ object PipelineQueries {
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),
     "q327_audio_legacy_containers" -> ((q327 _, Some(q327Sql))),
     "q328_audio_snr_estimate" -> ((q328 _, Some(q328Sql))),
+    "q329_forced_alignment" -> ((q329 _, Some(q329Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),
     "q218_stream_session_timeout" -> ((q218 _, Some(q218Sql))),
