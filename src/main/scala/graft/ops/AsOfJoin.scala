@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF (point-in-time) JOIN — the time-series operator warehouse
+  * engines ship natively (DuckDB `ASOF JOIN`, kdb `aj`, pandas
+  * `merge_asof`) and Spark does not: each left row picks the LATEST
+  * right row with the same key whose timestamp is AT OR BEFORE its
+  * own. The curation uses are everywhere once data is temporal:
+  * join an event to the profile version in force when it happened,
+  * a trade to the prevailing quote, a document to the newest model
+  * snapshot that predates it.
+  *
+  * == Why union + window, not a range join ==
+  *
+  * The naive formulation — `l JOIN r ON l.key = r.key AND r.ts <=
+  * l.ts` then keep the max r.ts per left row — explodes into
+  * O(|l| × versions-per-key) intermediate rows (and without an
+  * equi-key Spark plans BroadcastNestedLoop). This operator instead
+  * UNIONS the two sides with a marker, windows per key ordered by
+  * (ts, marker) with right rows sorting BEFORE left rows at equal
+  * timestamps (so a same-instant version is visible, matching DuckDB's
+  * at-or-before), and carries each payload column forward with
+  * `last(_, ignoreNulls)` over rows unbounded-preceding..current.
+  * ONE shuffle total (the window's hash exchange on key), linear
+  * intermediate size, no nested loop — the shape that survives
+  * 100 TB with thousands of versions per key. Both inputs are
+  * co-partitioned by the SAME exchange, so AQE's skew handling and
+  * a pre-bucketed key layout both apply directly.
+  *
+  * Contract: right rows must be UNIQUE per (key, ts) — with
+  * duplicates the carried value is ordering-dependent (real asof
+  * engines make the same demand or pick arbitrarily); aggregate the
+  * right side first. A right payload that is NULL in the matched row
+  * is treated as absent (ignoreNulls) — left rows before any right
+  * version keep NULL payloads, the LEFT-join semantics. */
+object AsOfJoin {
+
+  /** Left as-of join: returns `left`'s columns plus `payload` columns
+    * from the latest right row per `key` with right.`ts` ≤ left.`ts`.
+    * `payload` names must not collide with left's columns. */
+  def asOfLeft(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(leftCols.contains(key) && leftCols.contains(ts),
+      s"left side must carry '$key' and '$ts'")
+    require(right.columns.contains(key) && right.columns.contains(ts),
+      s"right side must carry '$key' and '$ts'")
+    require(payload.nonEmpty, "need at least one payload column")
+    require(payload.forall(right.columns.contains),
+      s"payload ${payload.mkString(",")} must exist on the right side")
+    require(!payload.exists(leftCols.contains),
+      s"payload names collide with left columns: " +
+        payload.filter(leftCols.contains).mkString(","))
+    val marker = "__asof_is_left"
+    val lp = left.select(
+      leftCols.map(col) ++ Seq(lit(1).as(marker)) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val rp = right.select(
+      leftCols.map { c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(lit(0).as(marker)) ++ payload.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(marker).asc) // right before left at equal ts
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(lp.unionByName(rp)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+      .filter(col(marker) === 1)
+      .drop(marker)
+  }
+}

@@ -2221,6 +2221,59 @@ object AnalyticsOps {
       |       AS DECIMAL(18,8))) AS DOUBLE) AS chi2
       |FROM grid GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q330
+  /** AS-OF JOIN (round 13, [[graft.ops.AsOfJoin]]): the point-in-time
+    * operator warehouse engines ship natively and Spark lacks — each
+    * event joins the LATEST state version per user at-or-before its
+    * timestamp. q211 hand-rolls this union-timeline trick inline for
+    * the SCD2 feature-store lookup and gates it against a SQL window
+    * restatement; this entry promotes the trick to a REUSABLE generic
+    * operator (any left, any right, any payload set) and gates it
+    * against DuckDB's NATIVE `ASOF LEFT JOIN` — a genuinely
+    * independent implementation of the operator, not a restatement of
+    * the same window algebra. State side: per-(user, day) click counts stamped at day
+    * start (unique per key+ts, the operator's contract); probe side:
+    * every event. Events on days before any click day for their user
+    * stay NULL — the left-join face. The engine runs the union+window
+    * formulation (ONE exchange on user_id, linear intermediates, no
+    * BroadcastNestedLoop — the shape that survives 100 TB); the oracle
+    * is DuckDB's NATIVE `ASOF LEFT JOIN`, so two independent
+    * formulations of the operator must agree row-for-row. All gated
+    * values are counts — integer-exact. */
+  def q330(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val state = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"),
+        expr("(ts_us div 86400000000) * 86400000000").as("ts_us2"))
+      .agg(count(lit(1)).as("n_clicks_day"))
+      .withColumnRenamed("ts_us2", "ts_us")
+    graft.ops.AsOfJoin.asOfLeft(
+      ev, state, key = "user_id", ts = "ts_us", payload = Seq("n_clicks_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("n_clicks_day").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(coalesce(col("n_clicks_day"), lit(0L))).as("clicks_sum"))
+      .orderBy(col("user_id"))
+  }
+  val q330Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id,
+      |         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000 AS day_ts,
+      |         COUNT(*) AS n_clicks_day
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |j AS (
+      |  SELECT ev.user_id, st.n_clicks_day
+      |  FROM ev ASOF LEFT JOIN st
+      |    ON ev.user_id = st.user_id AND ev.ts_us >= st.day_ts)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(CASE WHEN n_clicks_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+      |       CAST(COALESCE(SUM(n_clicks_day), 0) AS BIGINT) AS clicks_sum
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q189
   /** Storage-partitioned join (SPJ) through the DSv2 connector: two
     * key-grouped GenSource tables (one split per `bucket` value, each split
@@ -2260,6 +2313,7 @@ object AnalyticsOps {
 
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q189_spj_colocated_join" -> ((q189 _, Some(q189Sql))),
+    "q330_asof_join" -> ((q330 _, Some(q330Sql))),
     "q185_chisq_independence" -> ((q185 _, Some(q185Sql))),
     "q184_recursive_lineage" -> ((q184 _, Some(q184Sql))),
     "q173_group_quantile_gate" -> ((q173 _, Some(q173Sql))),

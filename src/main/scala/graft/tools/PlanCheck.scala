@@ -655,6 +655,10 @@ object PlanCheck {
     check("q211_point_in_time_join", "as-of union timeline: no range join, windows on user_id exchanges")(p =>
       !p.contains("Join") && !p.contains("CartesianProduct") &&
         p.contains("Union") && !p.contains("SinglePartition"))
+    check("q330_asof_join", "generic AsOfJoin operator: union+window, no join node, no nested loop")(p =>
+      !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct") &&
+        p.contains("Union") && p.contains("Window") &&
+        !p.contains("SinglePartition"))
     check("q189_spj_colocated_join", "storage-partitioned join: NO exchange on either side or the rollup")(p =>
       // the join and the bucket rollup both ride the connector's reported
       // KeyGroupedPartitioning — the only exchange left is the ORDER BY's
