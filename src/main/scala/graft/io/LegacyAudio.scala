@@ -49,6 +49,39 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object LegacyAudio {
 
+  /** Big-endian signed integer PCM (8/16/24/32) → float in [−1, 1) —
+    * the sample lane AIFF and AU share (one fix lands in both). */
+  private def pcmBeToFloat(data: Array[Byte], bits: Int): Array[Float] = {
+    val db = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+    bits match {
+      case 8 => data.map(b => b / 128.0f) // SIGNED (unlike WAV's PCM8)
+      case 16 =>
+        Array.tabulate(data.length / 2)(i => db.getShort(i * 2) / 32768.0f)
+      case 24 =>
+        Array.tabulate(data.length / 3) { i =>
+          val v = (data(i * 3) << 16) | ((data(i * 3 + 1) & 0xff) << 8) |
+            (data(i * 3 + 2) & 0xff)
+          v / 8388608.0f
+        }
+      case 32 =>
+        Array.tabulate(data.length / 4)(i =>
+          (db.getInt(i * 4) / 2147483648.0).toFloat)
+      case other =>
+        throw new IllegalArgumentException(s"PCM width $other unsupported")
+    }
+  }
+
+  /** G.711 byte expansion → float, shared by all three containers. */
+  private def g711ToFloat(data: Array[Byte], aLaw: Boolean): Array[Float] =
+    if (aLaw) data.map(b => G711Codec.aLawDecodeSample(b) / 32768.0f)
+    else data.map(b => G711Codec.muLawDecodeSample(b) / 32768.0f)
+
+  /** PCM16 sample bytes in either order — the shared encoder tail. */
+  private def writePcm16(out: ByteArrayOutputStream, pcm: Array[Short],
+                         bigEndian: Boolean): Unit =
+    if (bigEndian) pcm.foreach { s => out.write((s >> 8) & 0xff); out.write(s & 0xff) }
+    else pcm.foreach { s => out.write(s & 0xff); out.write((s >> 8) & 0xff) }
+
   // ===================================================================
   // AIFF / AIFC
   // ===================================================================
@@ -134,36 +167,21 @@ object LegacyAudio {
       require(channels > 0, s"bad channel count $channels")
       val sr = math.round(rate).toInt
       require(sr > 0, s"bad sample rate $rate")
-      val db = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
       val samples: Array[Float] = comp match {
-        case "NONE" => bits match {
-          case 16 =>
-            Array.tabulate(data.length / 2)(i => db.getShort(i * 2) / 32768.0f)
-          case 8 => // AIFF PCM8 is SIGNED (WAV's is unsigned)
-            data.map(b => b / 128.0f)
-          case 24 =>
-            Array.tabulate(data.length / 3) { i =>
-              val v = (data(i * 3) << 16) | ((data(i * 3 + 1) & 0xff) << 8) |
-                (data(i * 3 + 2) & 0xff)
-              v / 8388608.0f
-            }
-          case 32 =>
-            Array.tabulate(data.length / 4)(i =>
-              (db.getInt(i * 4) / 2147483648.0).toFloat)
-          case other =>
-            throw new IllegalArgumentException(s"AIFF PCM width $other unsupported")
-        }
+        case "NONE" =>
+          try pcmBeToFloat(data, bits)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"AIFF ${e.getMessage}") }
         case "sowt" => // byte-swapped PCM16 (little-endian), OS X native
           require(bits == 16, s"sowt requires 16-bit, got $bits")
           val ldb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
           Array.tabulate(data.length / 2)(i => ldb.getShort(i * 2) / 32768.0f)
         case "fl32" | "FL32" =>
           require(bits == 32, s"fl32 requires 32-bit, got $bits")
+          val db = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
           Array.tabulate(data.length / 4)(i => db.getFloat(i * 4))
-        case "ulaw" | "ULAW" =>
-          data.map(b => G711Codec.muLawDecodeSample(b) / 32768.0f)
-        case "alaw" | "ALAW" =>
-          data.map(b => G711Codec.aLawDecodeSample(b) / 32768.0f)
+        case "ulaw" | "ULAW" => g711ToFloat(data, aLaw = false)
+        case "alaw" | "ALAW" => g711ToFloat(data, aLaw = true)
         case other =>
           throw new IllegalArgumentException(
             s"AIFC compression '$other' unsupported (NONE/sowt/fl32/ulaw/alaw)")
@@ -193,8 +211,7 @@ object LegacyAudio {
       writeExtended80(out, sampleRate.toDouble)
       if (sowt) { fourcc("sowt"); out.write(0); out.write(0) } // pstring ""
       fourcc("SSND"); be32(8 + dataLen); be32(0); be32(0)
-      if (sowt) pcm.foreach { s => out.write(s & 0xff); out.write((s >> 8) & 0xff) }
-      else pcm.foreach { s => out.write((s >> 8) & 0xff); out.write(s & 0xff) }
+      writePcm16(out, pcm, bigEndian = !sowt)
       out.toByteArray
     }
   }
@@ -227,20 +244,16 @@ object LegacyAudio {
         if (declared == 0xffffffffL) avail
         else { require(declared <= avail, s"AU data overruns file"); declared.toInt }
       val data = java.util.Arrays.copyOfRange(bytes, off, off + len)
-      val db = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
       val samples: Array[Float] = enc match {
-        case 1 => data.map(b => G711Codec.muLawDecodeSample(b) / 32768.0f)
-        case 2 => data.map(b => b / 128.0f) // AU PCM8 is SIGNED
-        case 3 => Array.tabulate(len / 2)(i => db.getShort(i * 2) / 32768.0f)
-        case 4 => Array.tabulate(len / 3) { i =>
-          val v = (data(i * 3) << 16) | ((data(i * 3 + 1) & 0xff) << 8) |
-            (data(i * 3 + 2) & 0xff)
-          v / 8388608.0f
-        }
-        case 5 => Array.tabulate(len / 4)(i =>
-          (db.getInt(i * 4) / 2147483648.0).toFloat)
-        case 6 => Array.tabulate(len / 4)(i => db.getFloat(i * 4))
-        case 27 => data.map(b => G711Codec.aLawDecodeSample(b) / 32768.0f)
+        case 1 => g711ToFloat(data, aLaw = false)
+        case 2 => pcmBeToFloat(data, 8)  // AU PCM8 is SIGNED
+        case 3 => pcmBeToFloat(data, 16)
+        case 4 => pcmBeToFloat(data, 24)
+        case 5 => pcmBeToFloat(data, 32)
+        case 6 =>
+          val db = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+          Array.tabulate(len / 4)(i => db.getFloat(i * 4))
+        case 27 => g711ToFloat(data, aLaw = true)
         case other => throw new IllegalArgumentException(
           s"AU encoding $other (${EncodingNames.getOrElse(other, "unknown")}) unsupported")
       }
@@ -264,7 +277,7 @@ object LegacyAudio {
       encoding match {
         case 1 => pcm.foreach(s => out.write(G711Codec.muLawEncodeSample(s) & 0xff))
         case 2 => pcm.foreach(s => out.write((s >> 8) & 0xff))
-        case 3 => pcm.foreach { s => out.write((s >> 8) & 0xff); out.write(s & 0xff) }
+        case 3 => writePcm16(out, pcm, bigEndian = true)
       }
       out.toByteArray
     }
@@ -324,9 +337,9 @@ object LegacyAudio {
           val db = ByteBuffer.wrap(data).order(order)
           Array.tabulate(data.length / 2)(i => db.getShort(i * 2) / 32768.0f)
         case (c, 1) if c.startsWith("ulaw") || c.startsWith("mu-law") =>
-          data.map(b => G711Codec.muLawDecodeSample(b) / 32768.0f)
+          g711ToFloat(data, aLaw = false)
         case (c, 1) if c.startsWith("pcm") => // 1-byte pcm is signed
-          data.map(b => b / 128.0f)
+          pcmBeToFloat(data, 8)
         case (c, nb) => throw new IllegalArgumentException(
           s"SPHERE coding '$c' at $nb bytes/sample unsupported")
       }
@@ -362,8 +375,7 @@ object LegacyAudio {
       out.write(head.toString.getBytes("US-ASCII"))
       var pad = hdrLen - 16 - head.length
       while (pad > 0) { out.write(' '); pad -= 1 }
-      if (bigEndian) pcm.foreach { s => out.write((s >> 8) & 0xff); out.write(s & 0xff) }
-      else pcm.foreach { s => out.write(s & 0xff); out.write((s >> 8) & 0xff) }
+      writePcm16(out, pcm, bigEndian)
       out.toByteArray
     }
   }

@@ -664,23 +664,30 @@ object Mp3Codec {
           }
           li += 2
         }
-        while (md.consumed - start < gr.part23 && li + 3 < 576) {
-          val quadAt = li
-          val code = md.read(4)
-          val mags = (~code) & 0xF
-          var j = 0
-          while (j < 4) {
-            val m = (mags >> (3 - j)) & 1
-            if (m == 1) ix(li + j) = if (md.read1() == 1) -1 else 1
-            j += 1
-          }
-          li += 4
-          // the spec's straddle rule: a quadruple that reads PAST
-          // part2_3_length is discarded — its bits belong to the next
-          // granule, which must start at exactly start + part2_3_length
-          if (md.consumed - start > gr.part23) {
-            var k = 0
-            while (k < 4) { ix(quadAt + k) = 0; k += 1 }
+        // the spec's straddle rule: a quadruple that would read PAST
+        // part2_3_length is discarded — its bits belong to the next
+        // granule. Decided WITHOUT reading the overhang (fit-check on
+        // the fixed 4-bit code, then on the sign count), because when
+        // part2_3_length ends exactly at the frame's last main-data
+        // byte the overhang bits don't physically exist and a
+        // read-then-discard would abort a conformant stream.
+        var straddled = false
+        while (!straddled && md.consumed - start < gr.part23 && li + 3 < 576) {
+          val inPart = gr.part23 - (md.consumed - start)
+          if (inPart < 4) straddled = true // the code itself would cross
+          else {
+            val code = md.read(4)
+            val mags = (~code) & 0xF
+            if (4 + Integer.bitCount(mags) > inPart) straddled = true
+            else {
+              var j = 0
+              while (j < 4) {
+                val m = (mags >> (3 - j)) & 1
+                if (m == 1) ix(li + j) = if (md.read1() == 1) -1 else 1
+                j += 1
+              }
+              li += 4
+            }
           }
         }
         // align to part2_3_length exactly (skips stuffing AND rewinds a

@@ -47,9 +47,15 @@ object Align {
     require(nTokens >= 1, s"need at least one token, got $nTokens")
     require(nFrames >= nTokens,
       s"infeasible: $nTokens tokens cannot partition $nFrames frames")
+    // a path sums nFrames cells; bounding each below Inf/nFrames keeps
+    // every REAL accumulated cost strictly under the sentinel, so the
+    // `< Inf` reachability tests stay valid (costs at the raw 10^15−1
+    // cap could otherwise push a feasible path past Inf and silently
+    // corrupt both the total and the traceback)
+    val cellCap = Inf / nFrames
     val prev = Array.fill(nTokens)(Inf)
     val back = Array.ofDim[Byte](nFrames, nTokens) // 1 = advanced at this frame
-    prev(0) = checked(localCost, 0, 0)
+    prev(0) = checked(localCost, 0, 0, cellCap)
     var f = 1
     while (f < nFrames) {
       val cur = Array.fill(nTokens)(Inf)
@@ -59,9 +65,9 @@ object Align {
         val stay = prev(t)
         val adv = if (t > 0) prev(t - 1) else Inf
         if (adv < stay) { // strict: ties prefer stay
-          cur(t) = adv + checked(localCost, t, f); back(f)(t) = 1
+          cur(t) = adv + checked(localCost, t, f, cellCap); back(f)(t) = 1
         } else if (stay < Inf) {
-          cur(t) = stay + checked(localCost, t, f)
+          cur(t) = stay + checked(localCost, t, f, cellCap)
         }
         t += 1
       }
@@ -87,9 +93,12 @@ object Align {
     (total, spans)
   }
 
-  private def checked(localCost: (Int, Int) => Long, t: Int, f: Int): Long = {
+  private def checked(localCost: (Int, Int) => Long, t: Int, f: Int,
+                      cap: Long): Long = {
     val c = localCost(t, f)
-    require(c >= 0 && c < Inf, s"local cost out of range at ($t, $f): $c")
+    require(c >= 0 && c < cap,
+      s"local cost out of range at ($t, $f): $c (cap $cap = Inf/nFrames " +
+        "so accumulated path costs stay below the infeasible sentinel)")
     c
   }
 }

@@ -30,12 +30,18 @@ import org.apache.spark.sql.functions._
   * co-partitioned by the SAME exchange, so AQE's skew handling and
   * a pre-bucketed key layout both apply directly.
   *
+  * The payload travels as ONE struct column, carried atomically —
+  * every output payload value comes from the SAME matched right row
+  * (per-column carries would stitch a "torn version" from different
+  * rows whenever a later version holds NULL in one column). A NULL
+  * value INSIDE the matched version stays NULL, exactly like the
+  * native ASOF row it models; left rows before any right version get
+  * the whole struct NULL — the LEFT-join face.
+  *
   * Contract: right rows must be UNIQUE per (key, ts) — with
   * duplicates the carried value is ordering-dependent (real asof
   * engines make the same demand or pick arbitrarily); aggregate the
-  * right side first. A right payload that is NULL in the matched row
-  * is treated as absent (ignoreNulls) — left rows before any right
-  * version keep NULL payloads, the LEFT-join semantics. */
+  * right side first. */
 object AsOfJoin {
 
   /** Left as-of join: returns `left`'s columns plus `payload` columns
@@ -55,21 +61,27 @@ object AsOfJoin {
       s"payload names collide with left columns: " +
         payload.filter(leftCols.contains).mkString(","))
     val marker = "__asof_is_left"
+    val pcol = "__asof_payload"
+    // the whole payload rides one struct so the match stays ATOMIC: a
+    // right row whose later version holds NULL in one column must not
+    // donate that column from an older version
+    val payloadStruct = struct(payload.map(col): _*)
+    val ptype = right.select(payloadStruct.as(pcol)).schema(pcol).dataType
     val lp = left.select(
-      leftCols.map(col) ++ Seq(lit(1).as(marker)) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+      leftCols.map(col) ++
+        Seq(lit(1).as(marker), lit(null).cast(ptype).as(pcol)): _*)
     val rp = right.select(
       leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ Seq(lit(0).as(marker)) ++ payload.map(col): _*)
+      } ++ Seq(lit(0).as(marker), payloadStruct.as(pcol)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col(marker).asc) // right before left at equal ts
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(lp.unionByName(rp)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    lp.unionByName(rp)
+      .withColumn(pcol, last(col(pcol), ignoreNulls = true).over(w))
       .filter(col(marker) === 1)
-      .drop(marker)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(pcol).getField(p).as(p)): _*)
   }
 }

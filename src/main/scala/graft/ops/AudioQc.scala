@@ -41,10 +41,13 @@ object AudioQc {
   /** Discrete percentile over a SORTED array: element at index
     * floor((n−1) · num/den), 0-based (the exact-selection rule both
     * engines state identically — no interpolation, no float percentile
-    * semantics to disagree on). */
+    * semantics to disagree on). An EMPTY array (a clip shorter than one
+    * frame) yields NULL instead of the opaque element_at(…, 0) runtime
+    * error — callers filter `isNull` like any missing metric. */
   def percentileDisc(sorted: Column, num: Int, den: Int): Column =
-    element_at(sorted,
-      floor((size(sorted) - 1) * num / den).cast("int") + 1)
+    when(size(sorted) > 0,
+      element_at(sorted,
+        floor((size(sorted) - 1) * num / den).cast("int") + 1))
 
   /** struct(noise_e, speech_e): the lo/hi percentile frame energies of
     * the clip. Defaults: p10 noise floor, p90 speech level. The caller

@@ -77,5 +77,14 @@ class AlignSpec extends AnyFunSuite {
       Align.forcedAlign(2, 4, (_, _) => -1L)).getMessage.contains("out of range"))
     assert(intercept[IllegalArgumentException](
       Align.forcedAlign(2, 4, (_, _) => Align.Inf)).getMessage.contains("out of range"))
+    // per-cell costs near the sentinel would let ACCUMULATED path costs
+    // cross Inf and corrupt reachability — refused up front via Inf/nFrames
+    assert(intercept[IllegalArgumentException](
+      Align.forcedAlign(2, 3, (_, _) => 600000000000000L))
+      .getMessage.contains("out of range"))
+    // just under the per-cell cap: feasible, exact, no corruption
+    val cap = Align.Inf / 3 - 1
+    val (bigTotal, bigSpans) = Align.forcedAlign(2, 3, (_, _) => cap)
+    assert(bigTotal == 3 * cap && bigSpans.length == 2)
   }
 }

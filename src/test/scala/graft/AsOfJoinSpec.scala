@@ -49,6 +49,19 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 99L, "f", -1L, "-"))) // key with no versions at all
   }
 
+  test("multi-payload match is ATOMIC: a NULL in the matched version stays " +
+       "NULL, never stitched from an older version") {
+    import spark.implicits._
+    // version t2 has a=NULL, b=5; a torn per-column carry would emit
+    // (a=1, b=5). Native ASOF (the q330 oracle) returns the t2 row whole.
+    val l = Seq((1L, 30L)).toDF("k", "ts")
+    val r = Seq((1L, 10L, Option(1L), Option(2L)),
+                (1L, 20L, None, Option(5L))).toDF("k", "ts", "a", "b")
+    val row = AsOfJoin.asOfLeft(l, r, "k", "ts", Seq("a", "b")).head()
+    assert(row.isNullAt(2), s"torn version: got a=${row.get(2)}")
+    assert(row.getLong(3) == 5L)
+  }
+
   test("versions never leak across keys") {
     import spark.implicits._
     val l = Seq((1L, 50L, "a"), (2L, 50L, "b")).toDF("k", "ts", "tag")

@@ -53,6 +53,14 @@ class AudioQcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pick(Seq(3L, 3L, 3L, 9L), 1, 10) == 3L) // ties are value-stable
   }
 
+  test("sub-frame clip: snrStats yields NULL metrics, not a runtime error") {
+    import spark.implicits._
+    val row = Seq(Seq(1, 2, 3)).toDF("s") // shorter than one 160-frame
+      .select(AudioQc.snrStats(col("s"), frameLen = 160).as("st"))
+      .selectExpr("st.noise_e", "st.speech_e").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("snrStats + ratio: bursty signal → speech/noise percentiles exact") {
     import spark.implicits._
     // 10 frames of 4: two loud frames (amp 100 → e=40000), eight quiet

@@ -253,6 +253,39 @@ class Mp3CodecSpec extends AnyFunSuite {
       "discarded straddle quad must leave silence")
   }
 
+  test("straddling quad at the frame's LAST main-data byte decodes " +
+       "(fit-check, no phantom truncation)") {
+    // 32 kbps at 32 kHz -> 144-byte frame, 984 main-data bits; granule 1's
+    // part2_3_length ends EXACTLY at the frame's final bit with a quad
+    // whose sign bits would cross it. The overhang bits don't physically
+    // exist — a read-then-discard decoder aborts this conformant stream;
+    // the fit-check decoder discards without reading.
+    val w = new Mp3Codec.MsbWriter
+    w.write(0x7FF, 11); w.write(3, 2); w.write(1, 2); w.write(1, 1)
+    w.write(1, 4); w.write(2, 2) // brIdx 1 = 32 kbps, srIdx 2 = 32 kHz
+    w.write(0, 1); w.write(0, 1); w.write(3, 2)
+    w.write(0, 2); w.write(0, 1); w.write(0, 1); w.write(0, 2)
+    w.write(0, 9); w.write(0, 5); w.write(0, 4)
+    val frameLen = 144 * 32000 / 32000
+    val mainBits = (frameLen - 21) * 8 // 984
+    def granule(p23: Int): Unit = {
+      w.write(p23, 12); w.write(0, 9); w.write(210, 8); w.write(15, 4)
+      w.write(0, 1); (0 until 3).foreach(_ => w.write(0, 5))
+      w.write(0, 4); w.write(0, 3)
+      w.write(0, 1); w.write(0, 1); w.write(1, 1)
+    }
+    granule(mainBits - 84); granule(84)
+    (0 until mainBits - 84).foreach(_ => w.write(0, 1)) // g0: sf + count1, all zero
+    (0 until 74).foreach(_ => w.write(0, 1))                 // g1 scalefactors
+    // g1 count1: one all-zero-mag quad (1111), then a quad needing 8 bits
+    // with only 6 left in part23 — and ZERO left in the frame
+    Seq(1, 1, 1, 1, 0, 0, 0, 0, 0, 0).foreach(b => w.write(b, 1))
+    val frame = w.toBytes
+    assert(frame.length == frameLen, s"fixture is ${frame.length} bytes")
+    val (info, _) = Mp3Codec.decode(frame)
+    assert(info.frames == 1 && info.sampleRate == 32000)
+  }
+
   test("scfsi reuse and oversized big_values refuse by name (hand frames)") {
     val e1 = intercept[IllegalArgumentException](Mp3Codec.decode(
       handFrame(scfsi = 2, part23a = 74, bigValuesA = 0,
