@@ -684,6 +684,57 @@ object CorpusOps {
       |ORDER BY rank""".stripMargin
 
 
+  // ---------------------------------------------------------------- q331
+  /** LINK-GRAPH QUALITY RANK, ORACLE-EXACT (round 13,
+    * [[graft.ops.GraphRank]]): the PageRank-style prior web-scale
+    * corpus curation uses to separate well-linked documents from spam
+    * islands. The link graph is synthesized deterministically over the
+    * contiguous doc_id space (three arithmetic out-links per document —
+    * quadratic/cubic/floor maps, so IN-degrees vary wildly: at sf0.01
+    * the 8-iteration ranks span 150000..10.8M with 311 distinct
+    * values). The engine runs the iterative-join formulation (edges
+    * cached once, two shuffles per iteration, localCheckpoint'ed plan);
+    * the oracle restates ALL EIGHT iterations in one DuckDB recursive
+    * CTE (join + GROUP BY in the recursive term, zero-weight self-edges
+    * keeping inflow-less nodes alive). Fixed-point ppm integers both
+    * sides — the convergence law is gated exactly, not approximately. */
+  def q331(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count() // metadata-sized driver scalar: the node count
+    val nodes = docs.select(col("doc_id").as("node"))
+    def link(expr0: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id").as("src"), (expr0 % n).as("dst"))
+    val edges =
+      link(col("doc_id") * col("doc_id") + 1)
+        .unionAll(link(col("doc_id") * col("doc_id") * col("doc_id") +
+          col("doc_id") * 2 + 5))
+        .unionAll(link(expr("doc_id div 3") + 7))
+    graft.ops.GraphRank.pageRankFixedPoint(nodes, edges, iterations = 8)
+      .select(col("node").as("doc_id"), col("r").as("rank_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  val q331Sql: String =
+    """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+      |nn AS (SELECT COUNT(*) AS cnt FROM docs),
+      |edges AS (
+      |  SELECT doc_id AS src, doc_id AS dst, 0 AS w FROM docs
+      |  UNION ALL SELECT doc_id, (doc_id*doc_id + 1) % (SELECT cnt FROM nn), 1 FROM docs
+      |  UNION ALL SELECT doc_id, (doc_id*doc_id*doc_id + doc_id*2 + 5) % (SELECT cnt FROM nn), 1 FROM docs
+      |  UNION ALL SELECT doc_id, (doc_id // 3 + 7) % (SELECT cnt FROM nn), 1 FROM docs),
+      |deg AS (SELECT src, COUNT(*) AS od FROM edges WHERE w = 1 GROUP BY src),
+      |it AS (
+      |  SELECT 0 AS k, doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM docs
+      |  UNION ALL
+      |  SELECT it.k + 1, e.dst,
+      |         150000 + (SUM(CASE WHEN e.w = 0 THEN CAST(0 AS BIGINT)
+      |                            ELSE it.r // d.od END) * 850000) // 1000000
+      |  FROM it JOIN edges e ON it.node = e.src
+      |          JOIN deg d ON d.src = e.src
+      |  WHERE it.k < 8
+      |  GROUP BY it.k, e.dst)
+      |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppm
+      |FROM it WHERE k = 8 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q212
   /** The transaction-log table format (io/TxnLog) ON THE ORACLE BOARD:
     * two lineitem slices commit as versions 1 and 2, a third slice's data
@@ -985,6 +1036,7 @@ object CorpusOps {
     "q210_stream_sample"     -> ((q210 _, Some(q210Sql))),
     "q211_point_in_time_join" -> ((q211 _, Some(q211Sql))),
     "q212_txn_table"         -> ((q212 _, Some(q212Sql))),
+    "q331_pagerank_curation" -> ((q331 _, Some(q331Sql))),
     "q213_txn_compaction"    -> ((q213 _, Some(q213Sql))),
     "q214_stream_ivm_versioned" -> ((q214 _, Some(q214Sql))),
     "q215_txn_history"       -> ((q215 _, Some(q215Sql))),
