@@ -699,31 +699,43 @@ object CorpusOps {
     * keeping inflow-less nodes alive). Fixed-point ppm integers both
     * sides — the convergence law is gated exactly, not approximately. */
   def q331(s: SparkSession, d: String): DataFrame = {
+    // graph over a DENSE row-number index, not raw doc_id: scaled slices
+    // carry sparse shifted ids (scalegen adds k·10^7 per replica), where
+    // id^3 overflows Long and % n would orphan every edge. The dense-id
+    // window is fixture SYNTHESIS only — the operator itself takes any
+    // edge list. Products are modular-reduced between multiplications so
+    // everything stays < n^2 (Long-safe to ~3e9 nodes).
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val n = docs.count() // metadata-sized driver scalar: the node count
-    val nodes = docs.select(col("doc_id").as("node"))
-    def link(expr0: org.apache.spark.sql.Column) =
-      docs.select(col("doc_id").as("src"), (expr0 % n).as("dst"))
+    val idx = docs.select(col("doc_id"),
+      (row_number().over(Window.orderBy(col("doc_id"))) - 1)
+        .cast("long").as("nid"))
+    val nodes = idx.select(col("nid").as("node"))
+    val sq = (col("nid") * col("nid")) % n
+    def link(c: org.apache.spark.sql.Column) =
+      idx.select(col("nid").as("src"), (c % n).as("dst"))
     val edges =
-      link(col("doc_id") * col("doc_id") + 1)
-        .unionAll(link(col("doc_id") * col("doc_id") * col("doc_id") +
-          col("doc_id") * 2 + 5))
-        .unionAll(link(expr("doc_id div 3") + 7))
+      link(sq + 1)
+        .unionAll(link((sq * col("nid")) % n + col("nid") * 2 + 5))
+        .unionAll(link(expr("nid div 3") + 7))
     graft.ops.GraphRank.pageRankFixedPoint(nodes, edges, iterations = 8)
-      .select(col("node").as("doc_id"), col("r").as("rank_ppm"))
+      .join(idx, col("node") === col("nid"))
+      .select(col("doc_id"), col("r").as("rank_ppm"))
       .orderBy(col("doc_id"))
   }
   val q331Sql: String =
-    """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS nid
+      |  FROM documents),
       |nn AS (SELECT COUNT(*) AS cnt FROM docs),
       |edges AS (
-      |  SELECT doc_id AS src, doc_id AS dst, 0 AS w FROM docs
-      |  UNION ALL SELECT doc_id, (doc_id*doc_id + 1) % (SELECT cnt FROM nn), 1 FROM docs
-      |  UNION ALL SELECT doc_id, (doc_id*doc_id*doc_id + doc_id*2 + 5) % (SELECT cnt FROM nn), 1 FROM docs
-      |  UNION ALL SELECT doc_id, (doc_id // 3 + 7) % (SELECT cnt FROM nn), 1 FROM docs),
+      |  SELECT nid AS src, nid AS dst, 0 AS w FROM docs
+      |  UNION ALL SELECT nid, ((nid*nid) % cnt + 1) % cnt, 1 FROM docs, nn
+      |  UNION ALL SELECT nid, (((nid*nid) % cnt) * nid % cnt + nid*2 + 5) % cnt, 1 FROM docs, nn
+      |  UNION ALL SELECT nid, (nid // 3 + 7) % cnt, 1 FROM docs, nn),
       |deg AS (SELECT src, COUNT(*) AS od FROM edges WHERE w = 1 GROUP BY src),
       |it AS (
-      |  SELECT 0 AS k, doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM docs
+      |  SELECT 0 AS k, nid AS node, CAST(1000000 AS BIGINT) AS r FROM docs
       |  UNION ALL
       |  SELECT it.k + 1, e.dst,
       |         150000 + (SUM(CASE WHEN e.w = 0 THEN CAST(0 AS BIGINT)
@@ -732,8 +744,9 @@ object CorpusOps {
       |          JOIN deg d ON d.src = e.src
       |  WHERE it.k < 8
       |  GROUP BY it.k, e.dst)
-      |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppm
-      |FROM it WHERE k = 8 ORDER BY doc_id""".stripMargin
+      |SELECT d.doc_id, CAST(it.r AS BIGINT) AS rank_ppm
+      |FROM it JOIN docs d ON it.node = d.nid
+      |WHERE it.k = 8 ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q212
   /** The transaction-log table format (io/TxnLog) ON THE ORACLE BOARD:
