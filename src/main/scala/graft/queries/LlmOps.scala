@@ -673,7 +673,79 @@ object LlmOps {
       |  CAST(SUM(pq) AS DOUBLE) / COUNT(*) AS fluency
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q332
+  /** BPE TOKENIZER TRAINING, ORACLE-EXACT (round 13,
+    * [[graft.ops.BpeTrainer]]): q74 applies a merge table; this LEARNS
+    * one from the corpus — 8 rounds of most-frequent-adjacent-pair
+    * merging with the greedy left-to-right application rule (Sennrich
+    * et al. 2016). Corpus: the first 40 sanitized chars (`[a-z ]`) of
+    * every document. The engine's per-iteration merge is a codegen'd
+    * literal `replace` over one delimited string per doc (per-row,
+    * shuffle-free; pair counting is the iteration's one shuffle); the
+    * oracle replays ALL EIGHT training rounds inside one DuckDB
+    * recursive CTE — the same delimited-string replace, the same
+    * (count DESC, pair ASC) tie-break, marker rows carrying each
+    * round's learned merge out of the recursion. Faces: the learned
+    * merge table (rank, pair, frequency) and every doc's final
+    * tokenization string + token count. Any slip in the greedy rule,
+    * the tie-break, or the counting breaks the hash. */
+  def q332(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      graft.ops.BpeTrainer.delimited(
+        expr("substring(regexp_replace(lower(text), '[^a-z ]', ''), 1, 40)")).as("s"))
+    val (merges, fin) = graft.ops.BpeTrainer.train(s, docs, K)
+    import s.implicits._
+    val mergeDf = merges
+      .map(m => ("merge", m.rank, -1L, m.left, m.right, m.count, null: String))
+      .toDF("face", "k", "doc_id", "lft", "rgt", "n", "toks")
+    val docDf = fin.select(lit("doc").as("face"), lit(K).as("k"), col("doc_id"),
+      lit(null).cast("string").as("lft"), lit(null).cast("string").as("rgt"),
+      size(expr("filter(split(s, '[|]'), x -> x != '')")).cast("long").as("n"),
+      col("s").as("toks"))
+    mergeDf.unionByName(docDf).orderBy(col("face"), col("k"), col("doc_id"))
+  }
+  val q332Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id,
+      |         substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 40) AS san
+      |  FROM documents),
+      |it AS (
+      |  SELECT 0 AS k, doc_id,
+      |         CASE WHEN LENGTH(san) = 0 THEN ''
+      |              ELSE list_aggregate(list_transform(split(san, ''),
+      |                     c -> '|' || c || '|'), 'string_agg', '') END AS s
+      |  FROM base
+      |  UNION ALL
+      |  SELECT cur.k + 1,
+      |         CASE WHEN cur.doc_id = -2 THEN -1 ELSE cur.doc_id END,
+      |         CASE WHEN cur.doc_id = -2
+      |              THEN best.a || chr(2) || best.b || chr(2) || best.n
+      |              ELSE replace(cur.s, '|' || best.a || '||' || best.b || '|',
+      |                           '|' || best.a || best.b || '|') END
+      |  FROM (SELECT k, doc_id, s FROM it WHERE doc_id >= 0 AND k < 8
+      |        UNION ALL
+      |        SELECT DISTINCT k, -2, '' FROM it WHERE doc_id >= 0 AND k < 8) cur,
+      |       (SELECT a, b, n FROM (
+      |          SELECT l[i] AS a, l[i+1] AS b, COUNT(*) AS n
+      |          FROM (SELECT list_filter(split(s, '|'), x -> x <> '') AS l
+      |                FROM it WHERE doc_id >= 0 AND k < 8) t2,
+      |               unnest(range(1, len(l))) u(i)
+      |          GROUP BY 1, 2)
+      |        ORDER BY n DESC, a, b LIMIT 1) best)
+      |SELECT 'merge' AS face, k, CAST(-1 AS BIGINT) AS doc_id,
+      |       split_part(s, chr(2), 1) AS lft, split_part(s, chr(2), 2) AS rgt,
+      |       CAST(split_part(s, chr(2), 3) AS BIGINT) AS n,
+      |       CAST(NULL AS VARCHAR) AS toks
+      |FROM it WHERE doc_id = -1
+      |UNION ALL
+      |SELECT 'doc', 8, doc_id, NULL, NULL,
+      |       CAST(len(list_filter(split(s, '|'), x -> x <> '')) AS BIGINT), s
+      |FROM it WHERE doc_id >= 0 AND k = 8
+      |ORDER BY face, k, doc_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q332_bpe_trainer"       -> ((q332 _, Some(q332Sql))),
     "q112_bigram_lm_score"   -> ((q112 _, Some(q112Sql))),
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),
     "q89_stratified_sample"  -> ((q89 _, Some(q89Sql))),
