@@ -1510,7 +1510,78 @@ object ImageQueries {
       |      FROM moved GROUP BY id) m ON m.id = ids.id
       |ORDER BY img_id""".stripMargin
 
+  // ---------------------------------------------------------------- q333
+  /** RAW VIDEO (round 13, [[graft.io.Y4mCodec]]): the uncompressed
+    * class completing the video story (AVI/MP4 carry MJPEG; Y4M is
+    * what frame-accurate tooling hands around). Per document a
+    * deterministic 8×8 C420 clip is ENCODED, decoded back through the
+    * codec (header parse, FRAME walk, plane split all on trial),
+    * TEMPORALLY SAMPLED (every 2nd frame — the frame-sample verb of a
+    * vision pipeline; fixed frame size ⇒ ranged reads at 100 TB), and
+    * converted to RGB via the integer BT.601 fixed-point form with
+    * replicate chroma upsampling. All integer, so the oracle restates
+    * generator + 4:2:0 indexing + color math relationally — a chroma
+    * swap, an off-by-one in the plane walk, or a wrong >>8 rounding
+    * all break the hash. Per-row, shuffle-free. */
+  def q333(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.io.Y4mCodec
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val w = 8; val h = 8
+        val nF = (4 + id % 3).toInt
+        val frames = (0 until nF).map { f =>
+          Y4mCodec.Frame(
+            Array.tabulate(w * h)(i => ((i * 5 + f * 11 + id % 13) % 256).toByte),
+            Array.tabulate(w * h / 4)(j => ((j * 7 + f * 3 + id % 5) % 256).toByte),
+            Array.tabulate(w * h / 4)(j => ((j * 11 + f * 7 + id % 7) % 256).toByte))
+        }.toVector
+        val bytes = Y4mCodec.encode(Y4mCodec.Clip(w, h, 25, 1, "C420jpeg", frames))
+        val clip = Y4mCodec.decode(bytes) // codec on trial
+        require(clip.frames.length == nF && clip.width == w,
+          s"doc $id: bad clip round trip")
+        Y4mCodec.sampleIndices(nF, step = 2).map { f =>
+          val fr = clip.frames(f)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var p = 0
+          while (p < w * h) {
+            val x = p % w; val y = p / w
+            val cj = (y / 2) * (w / 2) + (x / 2) // replicate upsample
+            val (r, g, b) = Y4mCodec.yuvToRgb(
+              fr.y(p) & 0xff, fr.u(cj) & 0xff, fr.v(cj) & 0xff)
+            rs += r; gs += g; bs += b
+            p += 1
+          }
+          (id, f.toLong, rs, gs, bs)
+        }
+      }
+      .toDF("doc_id", "f", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("doc_id"), col("f"))
+  }
+  val q333Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, fr.f, gy.y, gx.x,
+      |    ((gy.y*8 + gx.x)*5 + fr.f*11 + d.doc_id % 13) % 256 AS yv,
+      |    (((gy.y//2)*4 + gx.x//2)*7 + fr.f*3 + d.doc_id % 5) % 256 AS uv,
+      |    (((gy.y//2)*4 + gx.x//2)*11 + fr.f*7 + d.doc_id % 7) % 256 AS vv
+      |  FROM documents d
+      |  JOIN generate_series(0, 6) fr(f)
+      |    ON fr.f % 2 = 0 AND fr.f < 4 + d.doc_id % 3
+      |  CROSS JOIN generate_series(0, 7) gy(y)
+      |  CROSS JOIN generate_series(0, 7) gx(x)),
+      |rgb AS (
+      |  SELECT doc_id, f,
+      |    LEAST(255, GREATEST(0, (298*(yv-16) + 409*(vv-128) + 128) // 256)) AS r,
+      |    LEAST(255, GREATEST(0, (298*(yv-16) - 100*(uv-128) - 208*(vv-128) + 128) // 256)) AS g,
+      |    LEAST(255, GREATEST(0, (298*(yv-16) + 516*(uv-128) + 128) // 256)) AS b
+      |  FROM px)
+      |SELECT doc_id, CAST(f AS BIGINT) AS f,
+      |       CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+      |       CAST(SUM(b) AS BIGINT) AS b_sum
+      |FROM rgb GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q333_video_y4m_sample" -> ((q333 _, Some(q333Sql))),
     "q321_image_orientation_apply" -> ((q321 _, Some(q321Sql))),
     "q322_video_mp4_mjpeg_e2e" -> ((q322 _, Some(q322Sql))),
     "q324_image_resize_box" -> ((q324 _, Some(q324Sql))),
