@@ -1227,6 +1227,56 @@ object PipelineQueries {
       |       CAST(costs[nt] AS BIGINT) AS total_cost
       |FROM dp WHERE f = nf - 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q334
+  /** STREAMING AS-OF JOIN (round 13): the feature-store ONLINE lookup —
+    * q330's batch operator taken into the streaming dimension via
+    * [[graft.streaming.Streaming.asOfJoinStream]] (flatMapGroupsWithState
+    * keeping the per-key version history; merge-ordered trigger slices,
+    * versions before probes at equal timestamps — the batch rule). The
+    * two-wave drive lands ALL version rows in trigger 1 and ALL probes
+    * in trigger 2, so every answer crosses a batch boundary through
+    * state — and the emitted set provably equals the batch as-of join,
+    * which is why this entry shares q330's ORACLE SHAPE: DuckDB's
+    * native `ASOF LEFT JOIN` gates a third, independent formulation
+    * (stateful stream vs window-union batch vs native join). */
+  def q334(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = Tables.events(ss, d)
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
+    val state = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"),
+        expr("(ts_us div 86400000000) * 86400000000").as("ts_us2"))
+      .agg(count(lit(1)).as("payload"))
+      .select(col("user_id"), col("ts_us2").as("ts_us"), lit(0).as("kind"),
+        col("payload"), lit(-1L).as("probe_id"))
+    val probes = ev.select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+      lit(-1L).as("payload"), col("event_id").as("probe_id"))
+    graft.streaming.Streaming.asOfJoinTwoWaves(ss, state, probes,
+        queryName = s"graft_q334_${java.lang.Integer.toHexString(d.hashCode)}")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("matched"), 0L).otherwise(1L)).as("n_unmatched"),
+        sum(when(col("matched"), col("payload")).otherwise(0L)).as("clicks_sum"))
+      .orderBy(col("user_id"))
+  }
+  val q334Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id,
+      |         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000 AS day_ts,
+      |         COUNT(*) AS n_clicks_day
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |j AS (
+      |  SELECT ev.user_id, st.n_clicks_day
+      |  FROM ev ASOF LEFT JOIN st
+      |    ON ev.user_id = st.user_id AND ev.ts_us >= st.day_ts)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(CASE WHEN n_clicks_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+      |       CAST(COALESCE(SUM(n_clicks_day), 0) AS BIGINT) AS clicks_sum
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q279
   /** LATE-DATA ACCOUNTING ON THE ORACLE BOARD: the rows a watermark drops
     * must be auditable, not silent (at 100 TB "the dashboard is missing
@@ -1392,6 +1442,7 @@ object PipelineQueries {
     "q327_audio_legacy_containers" -> ((q327 _, Some(q327Sql))),
     "q328_audio_snr_estimate" -> ((q328 _, Some(q328Sql))),
     "q329_forced_alignment" -> ((q329 _, Some(q329Sql))),
+    "q334_stream_asof_join" -> ((q334 _, Some(q334Sql))),
     "q235_adpcm_roundtrip" -> ((q235 _, Some(q235Sql))),
     "q220_flac_roundtrip" -> ((q220 _, Some(q220Sql))),
     "q218_stream_session_timeout" -> ((q218 _, Some(q218Sql))),

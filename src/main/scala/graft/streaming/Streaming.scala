@@ -545,6 +545,91 @@ object Streaming {
     spark.table(queryName)
   }
 
+  // ------------------------------------------------------------------
+  // STREAMING AS-OF JOIN (round 13): the feature-store ONLINE lookup —
+  // state-version updates and probe events share one keyed stream; each
+  // probe is answered with the latest version at-or-before its event
+  // time, matching the batch operator (ops/AsOfJoin) and the DuckDB
+  // native ASOF semantics it is gated against. Per-key state is the
+  // version history (ts-sorted); probes and versions in one trigger are
+  // merge-processed in (ts, kind) order with versions first at equal
+  // timestamps, so a same-instant version is visible — the batch rule.
+  // An emitted assignment is FINAL: a version arriving in a later
+  // trigger cannot retro-fix earlier probes (streaming reality; the
+  // batch operator is the repair path). Deployment note: evict versions
+  // older than the watermark minus the maximum probe lateness — kept
+  // eviction-free here so the offline drive is deterministic.
+  // ------------------------------------------------------------------
+
+  final case class AsofIn(user_id: Long, ts_us: Long, kind: Int,
+                          payload: Long, probe_id: Long)
+  final case class AsofVersions(versions: Seq[(Long, Long)]) // (ts, payload) asc
+  final case class AsofOut(user_id: Long, probe_id: Long, ts_us: Long,
+                           matched: Boolean, payload: Long)
+
+  def asOfJoinStream(spark: SparkSession, streamDir: String): Dataset[AsofOut] = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("kind", IntegerType), StructField("payload", LongType),
+      StructField("probe_id", LongType)))
+    spark.readStream.schema(schema).parquet(streamDir)
+      .as[AsofIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsofIn], state: GroupState[AsofVersions]) =>
+          // one trigger's per-key slice, merge-ordered: ts asc, versions
+          // (kind 0) before probes (kind 1) at equal ts, then probe_id for
+          // within-trigger determinism
+          val slice = rows.toArray
+          java.util.Arrays.sort(slice,
+            Ordering.by((r: AsofIn) => (r.ts_us, r.kind, r.probe_id)))
+          var versions = state.getOption.map(_.versions.toVector).getOrElse(Vector.empty)
+          val out = Seq.newBuilder[AsofOut]
+          slice.foreach { r =>
+            if (r.kind == 0) {
+              // insert keeping ts order (late versions allowed; they serve
+              // FUTURE probes only). Same-ts re-delivery overwrites — the
+              // unique-(key,ts) contract of the batch operator.
+              val at = versions.lastIndexWhere(_._1 <= r.ts_us)
+              versions =
+                if (at >= 0 && versions(at)._1 == r.ts_us)
+                  versions.updated(at, (r.ts_us, r.payload))
+                else (versions.take(at + 1) :+ ((r.ts_us, r.payload))) ++
+                  versions.drop(at + 1)
+            } else {
+              val hit = versions.lastIndexWhere(_._1 <= r.ts_us)
+              out += AsofOut(key, r.probe_id, r.ts_us, hit >= 0,
+                if (hit >= 0) versions(hit)._2 else -1L)
+            }
+          }
+          state.update(AsofVersions(versions))
+          out.result().iterator
+      }
+  }
+
+  /** Two-wave drive: versions land as wave 1 (one micro-batch), probes as
+    * wave 2 — cross-batch state is genuinely exercised (every probe is
+    * answered from state written by an EARLIER trigger), and the result
+    * is deterministic and equal to the batch as-of join, which is what
+    * lets q334 share the batch entry's native-ASOF oracle. */
+  def asOfJoinTwoWaves(spark: SparkSession, versions: DataFrame, probes: DataFrame,
+                       queryName: String = "graft_asof_stream"): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_asof_src")
+    val cols = Seq("user_id", "ts_us", "kind", "payload", "probe_id")
+    versions.selectExpr(cols: _*).coalesce(1)
+      .write.mode("append").parquet(staged.toString)
+    val q = asOfJoinStream(spark, staged.toString)
+      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      probes.selectExpr(cols: _*).coalesce(1)
+        .write.mode("append").parquet(staged.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
   /** NATIVE streaming session windows — q71's `session_window` aggregation
     * over an unbounded source with a watermark: the engine owns the session
     * state (merge-on-overlap, one state row per open session), unlike the
