@@ -637,7 +637,62 @@ object TextOps {
       |SELECT '_kept_lt25', CAST(kept AS BIGINT), CAST(total AS BIGINT) FROM gate
       |ORDER BY pattern""".stripMargin
 
+  // ---------------------------------------------------------------- q335
+  /** HTML → TRAINING TEXT, ORACLE-EXACT (round 13,
+    * [[graft.ops.HtmlExtract]]): the first step of every web-scale
+    * corpus (WET/C4/RefinedWeb) — strip markup, skip script/style/
+    * comment payloads, decode entities, collapse whitespace, and
+    * measure LINK DENSITY (anchor-text share, the boilerplate signal).
+    * Per document a deterministic page is synthesized — mixed-case
+    * script tag, a style block, a comment, named + decimal + hex
+    * entities, a quoted `>` inside an attribute, nested markup inside
+    * the anchor, and a variable paragraph tail — and pushed through
+    * the REAL single-pass tag walker. The oracle states the expected
+    * extracted text CLOSED-FORM (string concatenation from the
+    * template parameters — no regex, no parser on the DuckDB side), so
+    * any walker slip (leaked script payload, missed entity, wrong
+    * boundary, broken anchor depth) breaks the hash. Per-row,
+    * shuffle-free. */
+  def q335(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        def w(k: Int): String = "w" + ((id + k) % 10)
+        val extras = (0 until (id % 3).toInt)
+          .map(k => s"<p>p$k ${w(5 + k)}</p>").mkString
+        val html =
+          s"""<html><head><title>${w(0)} page</title>""" +
+          s"""<SCRIPT type="x">var a = '<p>${w(1)}</p>';</SCRIPT>""" +
+          s"""<style>.c > .d {}</style></head>""" +
+          s"""<body><!-- ${w(2)} hidden --><h1>${w(0)} &amp; ${w(1)}</h1>""" +
+          s"""<p>body ${w(2)} text &#65;&#x42;</p>""" +
+          s"""<a href="/x?q>1"><b>${w(3)}</b> link</a>""" +
+          extras + s"""<p>tail ${w(4)}</p></body></html>"""
+        val e = graft.ops.HtmlExtract.extract(html)
+        (id, e.text, e.chars.toLong, e.anchorChars.toLong, e.linkDensityPpm)
+      }
+      .toDF("doc_id", "text", "n_chars", "link_chars", "link_ppm")
+      .orderBy(col("doc_id"))
+  }
+  val q335Sql: String =
+    """SELECT doc_id,
+      |  'w' || CAST(doc_id%10 AS VARCHAR) || ' page w' || CAST(doc_id%10 AS VARCHAR)
+      |  || ' & w' || CAST((doc_id+1)%10 AS VARCHAR)
+      |  || ' body w' || CAST((doc_id+2)%10 AS VARCHAR) || ' text AB w'
+      |  || CAST((doc_id+3)%10 AS VARCHAR) || ' link'
+      |  || CASE CAST(doc_id%3 AS INT)
+      |       WHEN 0 THEN ''
+      |       WHEN 1 THEN ' p0 w' || CAST((doc_id+5)%10 AS VARCHAR)
+      |       ELSE ' p0 w' || CAST((doc_id+5)%10 AS VARCHAR) ||
+      |            ' p1 w' || CAST((doc_id+6)%10 AS VARCHAR) END
+      |  || ' tail w' || CAST((doc_id+4)%10 AS VARCHAR) AS text,
+      |  CAST(35 + 4*(doc_id%3) AS BIGINT) AS n_chars,
+      |  CAST(6 AS BIGINT) AS link_chars,
+      |  CAST(6000000 // (35 + 4*(doc_id%3)) AS BIGINT) AS link_ppm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q335_html_extract" -> ((q335 _, Some(q335Sql))),
     "q244_blocklist_scan" -> ((q244 _, Some(q244Sql))),
     "q230_phrase_search" -> ((q230 _, Some(q230Sql))),
     "q227_bm25_ranking" -> ((q227 _, Some(q227Sql))),
