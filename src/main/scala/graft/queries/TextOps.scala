@@ -691,7 +691,58 @@ object TextOps {
       |  CAST(6000000 // (35 + 4*(doc_id%3)) AS BIGINT) AS link_ppm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q336
+  /** URL CANONICALIZATION + CRAWL DEDUP (round 13, [[graft.ops.UrlOps]]):
+    * the other web-corpus primitive next to q335 — the same page
+    * arrives as `HTTP://Host:80/a/../c#f`, `http://host/a/../c` and a
+    * `utm_*`-tagged variant, and URL-dedup without canonicalization
+    * keeps all three. Six URL shapes per document (case+default-port,
+    * escapes+dot-segments, tracking params, reserved escapes, empty
+    * path, and a non-http pass-through), normalized by the RFC 3986
+    * §6 rules, then deduped: group size = documents sharing a
+    * canonical URL (hosts collide on doc_id%20, shapes on doc_id%6).
+    * The oracle states every expected canonical string CLOSED-FORM and
+    * rebuilds the group sizes with a window count — any slip in case
+    * folding, port dropping, escape policy, dot resolution, or the
+    * tracking strip breaks the hash. */
+  def q336(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val normed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val p = id % 20
+        val raw = (id % 6) match {
+          case 0 => s"HTTP://H$p.Example.COM:80/a/b/../c?x=1#frag"
+          case 1 => s"https://H$p.Example.COM:443/%7Euser/./docs/"
+          case 2 => s"http://H$p.Example.COM/p?utm_source=tw&q=2&gclid=g"
+          case 3 => s"https://H$p.Example.COM/%41bc%2fd"
+          case 4 => s"http://H$p.Example.COM"
+          case _ => s"ftp://H$p.Example.COM/Z"
+        }
+        (id, graft.ops.UrlOps.normalize(raw))
+      }
+      .toDF("doc_id", "canonical")
+    normed
+      .withColumn("group_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
+      .orderBy(col("doc_id"))
+  }
+  val q336Sql: String =
+    """WITH normed AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN 'http://h' || CAST(doc_id%20 AS VARCHAR) || '.example.com/a/c?x=1'
+      |      WHEN 1 THEN 'https://h' || CAST(doc_id%20 AS VARCHAR) || '.example.com/~user/docs/'
+      |      WHEN 2 THEN 'http://h' || CAST(doc_id%20 AS VARCHAR) || '.example.com/p?q=2'
+      |      WHEN 3 THEN 'https://h' || CAST(doc_id%20 AS VARCHAR) || '.example.com/Abc%2Fd'
+      |      WHEN 4 THEN 'http://h' || CAST(doc_id%20 AS VARCHAR) || '.example.com/'
+      |      ELSE 'ftp://H' || CAST(doc_id%20 AS VARCHAR) || '.Example.COM/Z' END AS canonical
+      |  FROM documents)
+      |SELECT doc_id, canonical,
+      |       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS group_n
+      |FROM normed ORDER BY doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q336_url_canonical_dedup" -> ((q336 _, Some(q336Sql))),
     "q335_html_extract" -> ((q335 _, Some(q335Sql))),
     "q244_blocklist_scan" -> ((q244 _, Some(q244Sql))),
     "q230_phrase_search" -> ((q230 _, Some(q230Sql))),
