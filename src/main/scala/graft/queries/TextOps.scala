@@ -653,22 +653,28 @@ object TextOps {
     * any walker slip (leaked script payload, missed entity, wrong
     * boundary, broken anchor depth) breaks the hash. Per-row,
     * shuffle-free. */
+  /** The deterministic fixture page q335/q337 share: every walker
+    * hazard in one template (mixed-case script, style, comment, all
+    * three entity forms, quoted `>` in an attribute, nested anchor
+    * markup, variable paragraph tail). */
+  private def htmlPage(id: Long): String = {
+    def w(k: Int): String = "w" + ((id + k) % 10)
+    val extras = (0 until (id % 3).toInt)
+      .map(k => s"<p>p$k ${w(5 + k)}</p>").mkString
+    s"""<html><head><title>${w(0)} page</title>""" +
+      s"""<SCRIPT type="x">var a = '<p>${w(1)}</p>';</SCRIPT>""" +
+      s"""<style>.c > .d {}</style></head>""" +
+      s"""<body><!-- ${w(2)} hidden --><h1>${w(0)} &amp; ${w(1)}</h1>""" +
+      s"""<p>body ${w(2)} text &#65;&#x42;</p>""" +
+      s"""<a href="/x?q>1"><b>${w(3)}</b> link</a>""" +
+      extras + s"""<p>tail ${w(4)}</p></body></html>"""
+  }
+
   def q335(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .map { id =>
-        def w(k: Int): String = "w" + ((id + k) % 10)
-        val extras = (0 until (id % 3).toInt)
-          .map(k => s"<p>p$k ${w(5 + k)}</p>").mkString
-        val html =
-          s"""<html><head><title>${w(0)} page</title>""" +
-          s"""<SCRIPT type="x">var a = '<p>${w(1)}</p>';</SCRIPT>""" +
-          s"""<style>.c > .d {}</style></head>""" +
-          s"""<body><!-- ${w(2)} hidden --><h1>${w(0)} &amp; ${w(1)}</h1>""" +
-          s"""<p>body ${w(2)} text &#65;&#x42;</p>""" +
-          s"""<a href="/x?q>1"><b>${w(3)}</b> link</a>""" +
-          extras + s"""<p>tail ${w(4)}</p></body></html>"""
-        val e = graft.ops.HtmlExtract.extract(html)
+        val e = graft.ops.HtmlExtract.extract(htmlPage(id))
         (id, e.text, e.chars.toLong, e.anchorChars.toLong, e.linkDensityPpm)
       }
       .toDF("doc_id", "text", "n_chars", "link_chars", "link_ppm")
@@ -741,7 +747,75 @@ object TextOps {
       |       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS group_n
       |FROM normed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q337
+  /** THE WEB PIPELINE E2E (round 13): WARC → HTTP → HTML → text →
+    * canonical-URL dedup, the exact chain a Common-Crawl-class corpus
+    * runs, all in-engine. Per document ONE WARC archive (gzip-per-
+    * record — the CC splittable layout — for even doc_ids, plain for
+    * odd): a warcinfo record plus TWO response records fetching the
+    * SAME page under different tracking-tagged URLs; response A's HTTP
+    * body is Content-Encoding: gzip, response B's is Transfer-
+    * Encoding: chunked — so container gunzip, dechunking, body
+    * inflation, [[graft.ops.HtmlExtract]] and [[graft.ops.UrlOps]]
+    * canonicalization are ALL on the same trial. The two fetches
+    * canonicalize to one URL and extract to one text → n_unique = 1.
+    * Oracle: fully closed-form (canonical string + the q335 template
+    * text restated by concatenation). */
+  def q337(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.io.WarcCodec
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val p = id % 20
+        val html = htmlPage(id).getBytes("UTF-8")
+        val urlA = s"http://H$p.Example.COM/page?utm_source=tw&q=${id % 5}"
+        val urlB = s"HTTP://H$p.Example.COM:80/page?q=${id % 5}&gclid=x"
+        val date = "2024-01-01T00:00:00Z"
+        val warc = WarcCodec.encode(Seq(
+          WarcCodec.Record("warcinfo", "", date, Map.empty,
+            "software: graft\r\n".getBytes("US-ASCII")),
+          WarcCodec.Record("response", urlA, date, Map.empty,
+            WarcCodec.httpBlock(html, "text/html", gzipBody = true)),
+          WarcCodec.Record("response", urlB, date, Map.empty,
+            WarcCodec.httpBlock(html, "text/html", chunked = true))),
+          gzipPerRecord = id % 2 == 0)
+        val records = WarcCodec.decode(warc)
+        val pages = records.filter(_.warcType == "response").map { r =>
+          val resp = WarcCodec.httpResponse(r.block)
+          require(resp.status == 200, s"doc $id: status ${resp.status}")
+          val text = graft.ops.HtmlExtract.extract(
+            new String(resp.body, "UTF-8"))
+          (graft.ops.UrlOps.normalize(r.targetUri), text.text, text.chars.toLong)
+        }
+        val unique = pages.distinct
+        require(unique.length == 1, s"doc $id: dedup failed: $pages")
+        (id, records.length.toLong, pages.length.toLong, unique.length.toLong,
+          unique.head._1, unique.head._2, unique.head._3)
+      }
+      .toDF("doc_id", "n_records", "n_responses", "n_unique",
+            "canonical", "text", "n_chars")
+      .orderBy(col("doc_id"))
+  }
+  val q337Sql: String =
+    """SELECT doc_id, CAST(3 AS BIGINT) AS n_records,
+      |  CAST(2 AS BIGINT) AS n_responses, CAST(1 AS BIGINT) AS n_unique,
+      |  'http://h' || CAST(doc_id%20 AS VARCHAR) || '.example.com/page?q='
+      |    || CAST(doc_id%5 AS VARCHAR) AS canonical,
+      |  'w' || CAST(doc_id%10 AS VARCHAR) || ' page w' || CAST(doc_id%10 AS VARCHAR)
+      |  || ' & w' || CAST((doc_id+1)%10 AS VARCHAR)
+      |  || ' body w' || CAST((doc_id+2)%10 AS VARCHAR) || ' text AB w'
+      |  || CAST((doc_id+3)%10 AS VARCHAR) || ' link'
+      |  || CASE CAST(doc_id%3 AS INT)
+      |       WHEN 0 THEN ''
+      |       WHEN 1 THEN ' p0 w' || CAST((doc_id+5)%10 AS VARCHAR)
+      |       ELSE ' p0 w' || CAST((doc_id+5)%10 AS VARCHAR) ||
+      |            ' p1 w' || CAST((doc_id+6)%10 AS VARCHAR) END
+      |  || ' tail w' || CAST((doc_id+4)%10 AS VARCHAR) AS text,
+      |  CAST(35 + 4*(doc_id%3) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q337_web_pipeline_e2e" -> ((q337 _, Some(q337Sql))),
     "q336_url_canonical_dedup" -> ((q336 _, Some(q336Sql))),
     "q335_html_extract" -> ((q335 _, Some(q335Sql))),
     "q244_blocklist_scan" -> ((q244 _, Some(q244Sql))),
