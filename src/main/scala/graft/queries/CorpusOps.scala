@@ -688,7 +688,12 @@ object CorpusOps {
   /** LINK-GRAPH QUALITY RANK, ORACLE-EXACT (round 13,
     * [[graft.ops.GraphRank]]): the PageRank-style prior web-scale
     * corpus curation uses to separate well-linked documents from spam
-    * islands. The link graph is synthesized deterministically over the
+    * islands. Complements q139 (two DECIMAL-quantized rounds over the
+    * near-dup graph, each round an unrolled CTE): this is the
+    * GENERALIZED operator — arbitrary edge list, EIGHT iterations in
+    * integer fixed-point (no quantization recipe needed: floor min/plus
+    * is exact in any engine), and the oracle replays the whole loop in
+    * ONE recursive CTE instead of unrolling. The link graph is synthesized deterministically over the
     * contiguous doc_id space (three arithmetic out-links per document —
     * quadratic/cubic/floor maps, so IN-degrees vary wildly: at sf0.01
     * the 8-iteration ranks span 150000..10.8M with 311 distinct

@@ -675,10 +675,12 @@ object LlmOps {
 
   // ---------------------------------------------------------------- q332
   /** BPE TOKENIZER TRAINING, ORACLE-EXACT (round 13,
-    * [[graft.ops.BpeTrainer]]): q74 applies a merge table; this LEARNS
-    * one from the corpus — 8 rounds of most-frequent-adjacent-pair
-    * merging with the greedy left-to-right application rule (Sennrich
-    * et al. 2016). Corpus: the first 40 sanitized chars (`[a-z ]`) of
+    * [[graft.ops.BpeTrainer]]): q74 applies a merge table; q134 runs
+    * ONE counting pass (the kernel); this closes the loop — the FULL
+    * training iteration, 8 rounds of count → pick → merge → recount
+    * with the greedy left-to-right application rule (Sennrich et al.
+    * 2016), each round's merge APPLIED before the next count (the part
+    * q134's single pass cannot exercise). Corpus: the first 40 sanitized chars (`[a-z ]`) of
     * every document. The engine's per-iteration merge is a codegen'd
     * literal `replace` over one delimited string per doc (per-row,
     * shuffle-free; pair counting is the iteration's one shuffle); the

@@ -814,7 +814,81 @@ object TextOps {
       |  CAST(35 + 4*(doc_id%3) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q338
+  /** C4 CLEANING RULES ON REAL CORPUS WORDS (round 13,
+    * [[graft.ops.C4Clean]]): the published page/line heuristics behind
+    * the C4 corpus (terminal punctuation, ≥5 words, no "javascript";
+    * page drop on "lorem ipsum"/brace; three-kept-lines floor). Pages
+    * are constructed from each document's REAL words — six-word lines,
+    * a variable-punctuation cycle (only every i%3∈{0,2} line can
+    * survive rule 1), a natural short tail line (exercising the word
+    * floor), and injected hazards on deterministic doc subsets
+    * (javascript on %13, lorem ipsum on %11, a brace on %7, each only
+    * where that line exists). The oracle rebuilds the same pages and
+    * rules relationally — list slicing, LIKE suffix tests, word
+    * arithmetic — so every rule's boundary is hash-gated against the
+    * operator over live data, not a frozen fixture. */
+  def q338(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split(" ")
+        val nL = (ws.length + 5) / 6
+        val page = (0 until nL).map { i =>
+          val base = ws.slice(i * 6, math.min((i + 1) * 6, ws.length)).mkString(" ")
+          val extra =
+            if (i == 0 && id % 13 == 0) " javascript"
+            else if (i == 1 && id % 11 == 0) " lorem ipsum"
+            else if (i == 2 && id % 7 == 0) " {"
+            else ""
+          val term = (i % 3) match { case 0 => "."; case 1 => ""; case _ => "!" }
+          base + extra + term
+        }.mkString("\n")
+        val c = graft.ops.C4Clean.clean(page)
+        (id, c.pageKept, c.nLines.toLong, c.nKept.toLong, c.cleaned.length.toLong)
+      }
+      .toDF("doc_id", "page_kept", "n_lines", "n_kept", "cleaned_len")
+      .orderBy(col("doc_id"))
+  }
+  val q338Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ln AS (
+      |  SELECT doc_id, t.i,
+      |    list_aggregate(ws[t.i*6+1 : LEAST((t.i+1)*6, len(ws))], 'string_agg', ' ')
+      |      || CASE WHEN t.i = 0 AND doc_id%13 = 0 THEN ' javascript'
+      |              WHEN t.i = 1 AND doc_id%11 = 0 THEN ' lorem ipsum'
+      |              WHEN t.i = 2 AND doc_id%7 = 0 THEN ' {' ELSE '' END
+      |      || CASE CAST(t.i%3 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '!' END AS line,
+      |    LEAST((t.i+1)*6, len(ws)) - t.i*6
+      |      + CASE WHEN t.i = 0 AND doc_id%13 = 0 THEN 1
+      |             WHEN t.i = 1 AND doc_id%11 = 0 THEN 2
+      |             WHEN t.i = 2 AND doc_id%7 = 0 THEN 1 ELSE 0 END AS nwords
+      |  FROM w, range(0, 200) t(i)
+      |  WHERE t.i < (len(ws)+5)//6),
+      |v AS (
+      |  SELECT doc_id, line,
+      |    ((line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?' OR line LIKE '%"')
+      |     AND nwords >= 5
+      |     AND NOT (i = 0 AND doc_id%13 = 0)) AS kept
+      |  FROM ln),
+      |g AS (
+      |  SELECT doc_id, COUNT(*) AS n_lines,
+      |    SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+      |    SUM(CASE WHEN kept THEN LENGTH(line) ELSE 0 END) AS keptchars
+      |  FROM v GROUP BY doc_id)
+      |SELECT doc_id,
+      |  (NOT ((doc_id%11 = 0 AND n_lines >= 2) OR (doc_id%7 = 0 AND n_lines >= 3))
+      |   AND n_kept >= 3) AS page_kept,
+      |  CAST(n_lines AS BIGINT) AS n_lines, CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(CASE WHEN (NOT ((doc_id%11 = 0 AND n_lines >= 2)
+      |                       OR (doc_id%7 = 0 AND n_lines >= 3))
+      |                  AND n_kept >= 3)
+      |            THEN keptchars + n_kept - 1 ELSE 0 END AS BIGINT) AS cleaned_len
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q338_c4_cleaning_rules" -> ((q338 _, Some(q338Sql))),
     "q337_web_pipeline_e2e" -> ((q337 _, Some(q337Sql))),
     "q336_url_canonical_dedup" -> ((q336 _, Some(q336Sql))),
     "q335_html_extract" -> ((q335 _, Some(q335Sql))),
