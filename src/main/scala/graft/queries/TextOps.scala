@@ -887,7 +887,71 @@ object TextOps {
       |            THEN keptchars + n_kept - 1 ELSE 0 END AS BIGINT) AS cleaned_len
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q339
+  /** GOPHER REPETITION RULES ON LIVE TEXT (round 13,
+    * [[graft.ops.GopherQuality]]): the published MassiveText filter
+    * half the C4 set doesn't cover — repeated-n-gram domination (SEO
+    * spam survives length/punctuation gates). NO synthetic fixture:
+    * the operator runs on `documents.text` AS-IS and the oracle
+    * recomputes word counts, mean word length, the most-frequent-
+    * 2-gram coverage (deterministic lexicographic tie-break) and
+    * duplicated-5-gram coverage relationally over the same live
+    * column — integer ppm both sides, every rule boundary (the
+    * 50-word floor actually splits this corpus) hash-gated. */
+  def q339(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val g = graft.ops.GopherQuality.stats(text)
+        (id, g.nWords.toLong, g.meanLenPpm, g.top2Ppm, g.dup5Ppm, g.kept)
+      }
+      .toDF("doc_id", "n_words", "mean_len_ppm", "top2_ppm", "dup5_ppm", "kept")
+      .orderBy(col("doc_id"))
+  }
+  val q339Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, LENGTH(text) AS tc,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS wf
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, tc, wf, len(wf) AS n,
+      |         list_aggregate(list_transform(wf, x -> LENGTH(x)), 'sum') AS wl
+      |  FROM w),
+      |c2 AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, wf[t.i] || ' ' || wf[t.i+1] AS g
+      |    FROM base, range(1, 400) t(i) WHERE t.i + 1 <= n)
+      |  GROUP BY 1, 2),
+      |top2 AS (
+      |  SELECT doc_id, cov FROM (
+      |    SELECT doc_id, c * LENGTH(g) AS cov,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+      |    FROM c2) WHERE rn = 1),
+      |c5 AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, wf[t.i] || ' ' || wf[t.i+1] || ' ' || wf[t.i+2] || ' ' ||
+      |           wf[t.i+3] || ' ' || wf[t.i+4] AS g
+      |    FROM base, range(1, 400) t(i) WHERE t.i + 4 <= n)
+      |  GROUP BY 1, 2),
+      |dup5 AS (
+      |  SELECT doc_id, COALESCE(SUM(CASE WHEN c >= 2 THEN c * LENGTH(g) END), 0) AS cov
+      |  FROM c5 GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+      |  CAST(b.wl * 1000000 // b.n AS BIGINT) AS mean_len_ppm,
+      |  CAST(COALESCE(top2.cov, 0) * 1000000 // b.tc AS BIGINT) AS top2_ppm,
+      |  CAST(COALESCE(dup5.cov, 0) * 1000000 // b.tc AS BIGINT) AS dup5_ppm,
+      |  (b.n >= 50 AND b.n <= 100000
+      |   AND b.wl * 1000000 // b.n >= 3000000 AND b.wl * 1000000 // b.n <= 10000000
+      |   AND COALESCE(top2.cov, 0) * 1000000 // b.tc <= 200000
+      |   AND COALESCE(dup5.cov, 0) * 1000000 // b.tc <= 150000) AS kept
+      |FROM base b
+      |LEFT JOIN top2 ON top2.doc_id = b.doc_id
+      |LEFT JOIN dup5 ON dup5.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),
     "q338_c4_cleaning_rules" -> ((q338 _, Some(q338Sql))),
     "q337_web_pipeline_e2e" -> ((q337 _, Some(q337Sql))),
     "q336_url_canonical_dedup" -> ((q336 _, Some(q336Sql))),
