@@ -98,17 +98,25 @@ object WarcCodec {
   /** Conformant writer; `gzipPerRecord = true` emits the Common-Crawl
     * layout (each record its own gzip member, concatenated). */
   def encode(records: Seq[Record], gzipPerRecord: Boolean = false): Array[Byte] = {
+    // CR/LF in any header field would inject extra header lines and
+    // corrupt the record framing the decoder depends on — refuse
+    def field(s: String, what: String): String = {
+      require(!s.exists(c => c == '\r' || c == '\n'),
+        s"WARC $what contains CR/LF (header-framing injection): '$s'")
+      s
+    }
     val out = new ByteArrayOutputStream()
     records.foreach { r =>
       val one = new ByteArrayOutputStream()
       val sb = new StringBuilder("WARC/1.0\r\n")
-      sb ++= s"WARC-Type: ${r.warcType}\r\n"
-      if (r.targetUri.nonEmpty) sb ++= s"WARC-Target-URI: ${r.targetUri}\r\n"
-      if (r.date.nonEmpty) sb ++= s"WARC-Date: ${r.date}\r\n"
+      sb ++= s"WARC-Type: ${field(r.warcType, "type")}\r\n"
+      if (r.targetUri.nonEmpty)
+        sb ++= s"WARC-Target-URI: ${field(r.targetUri, "target URI")}\r\n"
+      if (r.date.nonEmpty) sb ++= s"WARC-Date: ${field(r.date, "date")}\r\n"
       r.headers.foreach { case (k, v) =>
         // caller-supplied extras; the canonical four are ours
         if (!Set("warc-type", "warc-target-uri", "warc-date", "content-length")(k.toLowerCase))
-          sb ++= s"$k: $v\r\n"
+          sb ++= s"${field(k, "header name")}: ${field(v, "header value")}\r\n"
       }
       sb ++= s"Content-Length: ${r.block.length}\r\n\r\n"
       one.write(sb.toString.getBytes("US-ASCII"))
@@ -201,13 +209,56 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** Member-by-member gunzip with EXACT position accounting. The JDK's
+    * GZIPInputStream treats an invalid next-member header as clean EOF
+    * — a corrupted middle member of a gzip-per-record WARC would
+    * silently truncate the archive. Here every member's header is
+    * parsed (RFC 1952: magic, CM=8, FLG extras), the deflate stream
+    * inflated raw, and the trailer's CRC32 and ISIZE VERIFIED; any
+    * leftover bytes that are not a valid next member refuse loudly. */
   private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
     val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 10 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+        s"gzip: invalid member header at byte $pos (corrupted member boundary)")
+      require((bytes(pos + 2) & 0xff) == 8, s"gzip: unsupported CM at $pos")
+      val flg = bytes(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: u16le length + payload
+        require(p + 2 <= bytes.length, "gzip: truncated FEXTRA")
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      require(p <= bytes.length, s"gzip: truncated member header at $pos")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, p, bytes.length - p)
+      val crc = new java.util.zip.CRC32()
+      val buf = new Array[Byte](8192)
+      var memberOut = 0L
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf) catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"gzip: corrupt deflate data at member $pos: ${e.getMessage}")
+        }
+        require(n > 0 || inf.finished(),
+          s"gzip: truncated deflate stream in member at $pos")
+        out.write(buf, 0, n); crc.update(buf, 0, n); memberOut += n
+      }
+      val tr = p + inf.getBytesRead.toInt
+      inf.end()
+      require(tr + 8 <= bytes.length, s"gzip: truncated trailer for member at $pos")
+      def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      require(le32(tr) == crc.getValue,
+        s"gzip: CRC mismatch in member at $pos")
+      require(le32(tr + 4) == (memberOut & 0xffffffffL),
+        s"gzip: ISIZE mismatch in member at $pos")
+      pos = tr + 8
+    }
     out.toByteArray
   }
 }

@@ -67,11 +67,17 @@ object HtmlExtract {
           val nameStart = j
           while (j < n && html.charAt(j).isLetter) j += 1
           val name = html.substring(nameStart, j).toLowerCase
+          // quote state only opens at an ATTRIBUTE-VALUE position (right
+          // after '='): a bare apostrophe in an unquoted value
+          // (title=O'Brien) must not swallow the rest of the document
           var quote: Char = 0
+          var expectVal = false
           while (j < n && (quote != 0 || html.charAt(j) != '>')) {
             val cj = html.charAt(j)
-            if (quote == 0 && (cj == '"' || cj == '\'')) quote = cj
-            else if (cj == quote) quote = 0
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '=') expectVal = true
+            else if (expectVal && (cj == '"' || cj == '\'')) { quote = cj; expectVal = false }
+            else if (expectVal && !cj.isWhitespace) expectVal = false
             j += 1
           }
           val selfClosed = !closing && j - 1 > nameStart && html.charAt(j - 1) == '/'
@@ -99,17 +105,24 @@ object HtmlExtract {
       } else if (c == '&') {
         val semi = html.indexOf(';', i + 1)
         val body = if (semi > i && semi - i <= 10) html.substring(i + 1, semi) else null
-        val decoded: Option[Char] =
+        // astral code points (&#128512;) expand to their surrogate PAIR —
+        // Int.toChar truncation would emit private-use garbage. Counting
+        // convention: UTF-16 units (Java string length semantics).
+        def codepoint(cp: Int): Option[String] =
+          if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+            Some(new String(Character.toChars(cp)))
+          else None
+        val decoded: Option[String] =
           if (body == null) None
-          else if (Entities.contains(body)) Some(Entities(body))
+          else if (Entities.contains(body)) Some(Entities(body).toString)
           else if (body.startsWith("#x") || body.startsWith("#X"))
-            scala.util.Try(Integer.parseInt(body.drop(2), 16).toChar).toOption
+            scala.util.Try(Integer.parseInt(body.drop(2), 16)).toOption.flatMap(codepoint)
           else if (body.startsWith("#"))
-            scala.util.Try(body.drop(1).toInt.toChar).toOption
+            scala.util.Try(body.drop(1).toInt).toOption.flatMap(codepoint)
           else None
         decoded match {
-          case Some(ch) => emit(ch); i = semi + 1
-          case None => emit('&'); i += 1 // unknown entity stays literal
+          case Some(s) => s.foreach(emit); i = semi + 1
+          case None => emit('&'); i += 1 // unknown/invalid entity stays literal
         }
       } else {
         emit(c)

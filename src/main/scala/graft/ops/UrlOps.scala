@@ -49,19 +49,24 @@ object UrlOps {
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
-  /** RFC 3986 §5.2.4 remove_dot_segments, preserving trailing-slash
-    * intent; never pops above root. */
+  /** RFC 3986 §5.2.4 remove_dot_segments — faithfully: EMPTY segments
+    * are segments (`/a//b` stays `/a//b`; two syntactically distinct
+    * URLs must not canonicalize together, and `..` next to `//` pops
+    * the empty segment, so `/a//../b` → `/a/b`). Never pops above
+    * root; a trailing `.`/`..` leaves the directory slash. */
   private[graft] def resolveDots(path: String): String = {
-    val segs = path.split("/", -1)
+    if (path.isEmpty) return "/"
+    val body = if (path.startsWith("/")) path.substring(1) else path
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var trailingSlash = path.endsWith("/") || path.endsWith("/.") ||
-      path.endsWith("/..")
-    segs.filter(_.nonEmpty).foreach {
-      case "." => ()
-      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
-      case s => out += s
+    var dirish = false // last op implies a directory (trailing slash)
+    body.split("/", -1).foreach {
+      case "." => dirish = true
+      case ".." =>
+        if (out.nonEmpty) out.remove(out.length - 1)
+        dirish = true
+      case s => out += s; dirish = false
     }
-    "/" + out.mkString("/") + (if (trailingSlash && out.nonEmpty) "/" else "")
+    "/" + out.mkString("/") + (if (dirish && out.nonEmpty) "/" else "")
   }
 
   private val TrackingExact = Set("gclid", "fbclid")

@@ -579,11 +579,14 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[AsofIn], state: GroupState[AsofVersions]) =>
           // one trigger's per-key slice, merge-ordered: ts asc, versions
-          // (kind 0) before probes (kind 1) at equal ts, then probe_id for
-          // within-trigger determinism
+          // (kind 0) before probes (kind 1) at equal ts, then probe_id,
+          // then payload — the last key makes duplicate same-(key,ts)
+          // VERSIONS deterministic too (they apply in ascending payload
+          // order, so the LARGEST payload wins the overwrite; without it
+          // the winner would be shuffle-arrival order)
           val slice = rows.toArray
           java.util.Arrays.sort(slice,
-            Ordering.by((r: AsofIn) => (r.ts_us, r.kind, r.probe_id)))
+            Ordering.by((r: AsofIn) => (r.ts_us, r.kind, r.probe_id, r.payload)))
           var versions = state.getOption.map(_.versions.toVector).getOrElse(Vector.empty)
           val out = Seq.newBuilder[AsofOut]
           slice.foreach { r =>

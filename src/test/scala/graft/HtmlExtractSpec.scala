@@ -41,6 +41,22 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(t("a & b").text == "a & b") // bare ampersand
   }
 
+  test("astral numeric references decode to surrogate pairs, not truncated chars") {
+    val e = t("a &#128512; b") // 😀
+    assert(e.text == "a 😀 b")
+    assert(e.chars == 4) // UTF-16 units: a + 2 surrogates + b
+    assert(t("&#x1F600;").text == "😀")
+    // out-of-range and lone-surrogate references stay literal
+    assert(t("&#1114112;").text == "&#1114112;") // 0x110000
+    assert(t("&#xD800;").text == "&#xD800;")
+  }
+
+  test("unquoted attribute values with bare quotes never swallow the page") {
+    assert(t("<p>keep <a title=O'Brien>x</a> rest of page</p>").text ==
+      "keep x rest of page")
+    assert(t("""<div data-x=a"b>text</div>""").text == "text")
+  }
+
   test("anchor accounting: nested markup inside <a> counts; depth balanced") {
     val e = t("""<p>menu</p><a href="/"><b>home</b> page</a><p>body text here</p>""")
     assert(e.text == "menu home page body text here")

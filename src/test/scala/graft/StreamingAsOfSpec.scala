@@ -69,15 +69,14 @@ class StreamingAsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
-  test("same-ts version redelivery overwrites (unique-(key,ts) contract)") {
-    // both versions land in wave 1; the later-sorted row (same ts, same
-    // kind, probe_id tiebreak) must replace, not duplicate
+  test("same-ts version redelivery overwrites DETERMINISTICALLY " +
+       "(ascending payload order: the largest payload wins)") {
     val out = Streaming.asOfJoinTwoWaves(spark,
       versionsDf(Seq((1L, 10L, 100L), (1L, 10L, 111L))),
       probesDf(Seq((1L, 15L, 900L))),
       queryName = "asof_spec_3").collect()
     assert(out.length == 1)
-    assert(out.head.getLong(4) == 111L || out.head.getLong(4) == 100L)
+    assert(out.head.getLong(4) == 111L)
     // and the version list holds ONE entry for ts=10: a second probe at
     // the same ts agrees with the first
     val out2 = Streaming.asOfJoinTwoWaves(spark,

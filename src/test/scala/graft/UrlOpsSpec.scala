@@ -28,6 +28,16 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(n("http://h.io") == "http://h.io/") // empty path
   }
 
+  test("empty segments are segments: '//' preserved, '..' pops the empty one") {
+    // two syntactically distinct resources must not canonicalize together
+    assert(n("http://h.io/a//b") == "http://h.io/a//b")
+    assert(n("http://h.io/a//b") != n("http://h.io/a/b"))
+    // RFC remove_dot_segments: '..' pops the EMPTY segment, not 'a'
+    assert(n("http://h.io/a//../b") == "http://h.io/a/b")
+    assert(n("http://h.io/a//.") == "http://h.io/a//")
+    assert(n("http://h.io/../") == "http://h.io/")
+  }
+
   test("percent escapes: unreserved decode, reserved uppercase, malformed literal") {
     assert(n("https://h.io/%7Euser/%41bc") == "https://h.io/~user/Abc")
     assert(n("https://h.io/a%2fb") == "https://h.io/a%2Fb") // '/' stays escaped

@@ -71,6 +71,43 @@ class WarcCodecSpec extends AnyFunSuite {
       .getMessage.contains("Content-Length"))
   }
 
+  test("a corrupted middle gzip member refuses loudly, never truncates") {
+    val recs = sampleRecords("q".getBytes)
+    val gz = WarcCodec.encode(recs, gzipPerRecord = true)
+    // find the SECOND member's magic and break it — the JDK stream
+    // would treat this as clean EOF and silently drop records 2..n
+    var second = -1
+    var i = 2
+    while (second < 0 && i < gz.length - 1) {
+      if ((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b &&
+          (gz(i + 2) & 0xff) == 8) second = i
+      else i += 1
+    }
+    assert(second > 0)
+    val broken = gz.clone(); broken(second) = 0x00
+    val e = intercept[IllegalArgumentException](WarcCodec.decode(broken))
+    assert(e.getMessage.contains("member"))
+    // a flipped byte INSIDE a member trips the CRC check
+    val flipped = gz.clone()
+    flipped(second - 12) = (flipped(second - 12) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](WarcCodec.decode(flipped))
+      .getMessage.matches(".*(CRC|deflate|ISIZE|member).*"))
+  }
+
+  test("encode refuses CR/LF header injection in every field") {
+    def rec(uri: String) = Seq(Record("response", uri, date, Map.empty,
+      WarcCodec.httpBlock("x".getBytes, "text/plain")))
+    assert(intercept[IllegalArgumentException](
+      WarcCodec.encode(rec("http://x/\r\nContent-Length: 0")))
+      .getMessage.contains("injection"))
+    assert(intercept[IllegalArgumentException](
+      WarcCodec.encode(Seq(Record("response\nX: y", "http://x/", date,
+        Map.empty, Array[Byte]())))).getMessage.contains("injection"))
+    assert(intercept[IllegalArgumentException](
+      WarcCodec.encode(Seq(Record("response", "http://x/", date,
+        Map("X-Extra" -> "a\rb"), Array[Byte]())))).getMessage.contains("injection"))
+  }
+
   test("multi-member gzip input: members concatenate transparently") {
     val recs = sampleRecords("z".getBytes)
     val gz = WarcCodec.encode(recs, gzipPerRecord = true)
