@@ -1,0 +1,105 @@
+package graft.ops
+
+/** robots.txt evaluation (RFC 9309 / the Google REP spec) — crawl
+  * POLITENESS: a pipeline that ingests WARC archives (q337) but cannot
+  * answer "was this fetch allowed?" cannot audit its own corpus for
+  * compliance, and exclusion auditing is a standard curation report.
+  *
+  * Semantics implemented (all from the published spec):
+  *  - groups: consecutive `User-agent:` lines head a group; `Allow:` /
+  *    `Disallow:` rules bind to the nearest preceding group; `#`
+  *    comments and unknown directives are ignored; `Sitemap:` lines
+  *    are group-independent and collected;
+  *  - group selection: the group whose agent token is the LONGEST
+  *    case-insensitive prefix of the crawler's product token wins;
+  *    `*` is the fallback (specificity below every literal token);
+  *    only the selected group's rules apply;
+  *  - rule matching: patterns match path PREFIXES, `*` matches any
+  *    char sequence, a trailing `$` anchors the end;
+  *  - precedence: the longest matching pattern wins (specificity =
+  *    the written pattern's length, `$` included — stated since the
+  *    spec counts octets loosely); an Allow/Disallow TIE resolves to
+  *    Allow; no matching rule means allowed.
+  *
+  * Pure string logic, deterministic — q340 gates verdicts closed-form
+  * across group selection, longest-match, the allow tie, wildcards,
+  * anchors, and the fallback. */
+object RobotsTxt {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  final case class Robots(groups: Seq[Group], sitemaps: Seq[String])
+
+  def parse(text: String): Robots = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq)
+      agents = scala.collection.mutable.ArrayBuffer.empty[String]
+      rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    }
+    text.linesIterator.foreach { raw =>
+      val line = raw.split("#")(0).trim // comments strip to end of line
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { flush(); inRules = false }
+            agents += value.toLowerCase
+          case "allow" | "disallow" =>
+            inRules = true
+            // an empty Disallow means "allow everything" per spec —
+            // representable as a rule that never matches; skip it
+            if (value.nonEmpty) rules += Rule(key == "allow", value)
+          case "sitemap" => sitemaps += value
+          case _ => () // unknown directives are ignored per spec
+        }
+      }
+    }
+    flush()
+    Robots(groups.toSeq, sitemaps.toSeq)
+  }
+
+  /** `*` wildcard / trailing-`$` anchor pattern match against `path`. */
+  private[graft] def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    def m(pi: Int, si: Int): Boolean = {
+      if (pi == pat.length) !anchored || si == path.length
+      else if (pat.charAt(pi) == '*') (si to path.length).exists(k => m(pi + 1, k))
+      else si < path.length && path.charAt(si) == pat.charAt(pi) && m(pi + 1, si + 1)
+    }
+    m(0, 0)
+  }
+
+  /** The selected group for `agent`: longest agent-token prefix match,
+    * `*` as fallback, None when nothing applies. */
+  private[graft] def selectGroup(r: Robots, agent: String): Option[Group] = {
+    val a = agent.toLowerCase
+    val candidates = r.groups.flatMap { g =>
+      g.agents.collect {
+        case t if t == "*" => (-1, g)
+        case t if a.startsWith(t) => (t.length, g)
+      }
+    }
+    if (candidates.isEmpty) None else Some(candidates.maxBy(_._1)._2)
+  }
+
+  def isAllowed(r: Robots, agent: String, path: String): Boolean =
+    selectGroup(r, agent) match {
+      case None => true
+      case Some(g) =>
+        val hits = g.rules.filter(rl => matches(rl.pattern, path))
+        if (hits.isEmpty) true
+        else {
+          val best = hits.map(_.pattern.length).max
+          // tie at max specificity resolves to Allow
+          hits.exists(rl => rl.pattern.length == best && rl.allow)
+        }
+    }
+}

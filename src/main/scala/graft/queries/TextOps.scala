@@ -950,7 +950,66 @@ object TextOps {
       |LEFT JOIN dup5 ON dup5.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q340
+  /** ROBOTS.TXT COMPLIANCE AUDIT (round 13, [[graft.ops.RobotsTxt]]):
+    * the crawl-politeness verdict a corpus that ingests WARC (q337)
+    * must be able to answer — was this fetch allowed? Per document a
+    * deterministic policy (wildcards, a `$` anchor, longest-match
+    * shadowing, a crawler-specific group that SHADOWS the `*` rules,
+    * and a conditional directive present only for doc_id%3=0) is
+    * evaluated against nine probes covering every semantic branch:
+    * group selection by longest agent prefix, the anchor pass/fail
+    * pair, the Allow-over-Disallow longest-match win, the fallback
+    * group, and the no-rule default. Verdicts + the sitemap line are
+    * stated closed-form in the oracle. */
+  def q340(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val a = id % 4; val p = id % 20
+        val txt =
+          s"""User-agent: *
+             |Disallow: /private/
+             |Allow: /private/pub$$
+             |Disallow: /tmp*
+             |${if (id % 3 == 0) "Disallow: /x/" else "# no x rule"}
+             |User-agent: graftbot
+             |Allow: /p$a/
+             |Disallow: /p$a/secret/
+             |Sitemap: https://h$p.example.com/sitemap.xml
+             |""".stripMargin
+        val r = graft.ops.RobotsTxt.parse(txt)
+        val probes = Seq(
+          ("graftbot", s"/p$a/ok"), ("graftbot", s"/p$a/secret/f"),
+          ("graftbot-img", "/private/x"), ("otherbot", "/private/x"),
+          ("otherbot", "/private/pub"), ("otherbot", "/private/pubx"),
+          ("otherbot", "/tmpfile"), ("otherbot", "/x/1"), ("otherbot", "/ok"))
+        probes.zipWithIndex.map { case ((agent, path), k) =>
+          (id, (k + 1).toLong, graft.ops.RobotsTxt.isAllowed(r, agent, path),
+            r.sitemaps.head)
+        }
+      }
+      .toDF("doc_id", "probe", "allowed", "sitemap")
+      .orderBy(col("doc_id"), col("probe"))
+  }
+  val q340Sql: String =
+    """SELECT d.doc_id, CAST(t.k AS BIGINT) AS probe,
+      |  CASE CAST(t.k AS INT)
+      |    WHEN 1 THEN TRUE   -- crawler group Allow
+      |    WHEN 2 THEN FALSE  -- crawler group longest Disallow
+      |    WHEN 3 THEN TRUE   -- prefix-selected group shadows * rules
+      |    WHEN 4 THEN FALSE  -- fallback Disallow /private/
+      |    WHEN 5 THEN TRUE   -- anchor Allow outranks by length
+      |    WHEN 6 THEN FALSE  -- anchor fails on longer path
+      |    WHEN 7 THEN FALSE  -- wildcard Disallow /tmp*
+      |    WHEN 8 THEN (d.doc_id % 3 <> 0) -- conditional directive
+      |    ELSE TRUE END AS allowed,
+      |  'https://h' || CAST(d.doc_id%20 AS VARCHAR) || '.example.com/sitemap.xml' AS sitemap
+      |FROM documents d, range(1, 10) t(k)
+      |ORDER BY d.doc_id, t.k""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),
     "q338_c4_cleaning_rules" -> ((q338 _, Some(q338Sql))),
     "q337_web_pipeline_e2e" -> ((q337 _, Some(q337Sql))),

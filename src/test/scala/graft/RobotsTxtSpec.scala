@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RobotsTxt
+
+/** robots.txt: parsing (groups, comments, unknown directives, empty
+  * Disallow), group selection by longest agent prefix, pattern
+  * wildcards and anchors, longest-match precedence with the Allow
+  * tie, and the permissive defaults. */
+class RobotsTxtSpec extends AnyFunSuite {
+
+  private val txt =
+    """# corpus crawler policy
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/pub$
+      |Disallow: /tmp*
+      |Crawl-delay: 10
+      |
+      |User-agent: graftbot
+      |User-agent: graftbot-image
+      |Allow: /data/
+      |Disallow: /data/secret/
+      |Disallow:
+      |
+      |Sitemap: https://h.example.com/sitemap.xml
+      |""".stripMargin
+
+  private val r = RobotsTxt.parse(txt)
+
+  test("parse: groups, multi-agent headers, comments, unknown keys, sitemaps") {
+    assert(r.groups.length == 2)
+    assert(r.groups(0).agents == Seq("*") && r.groups(0).rules.length == 3)
+    assert(r.groups(1).agents == Seq("graftbot", "graftbot-image"))
+    assert(r.groups(1).rules.length == 2) // the empty Disallow is a no-op
+    assert(r.sitemaps == Seq("https://h.example.com/sitemap.xml"))
+  }
+
+  test("group selection: longest agent-token prefix; * fallback; none = allowed") {
+    assert(RobotsTxt.selectGroup(r, "GraftBot-Image/2.0").get.agents.contains("graftbot"))
+    assert(RobotsTxt.selectGroup(r, "otherbot").get.agents == Seq("*"))
+    val noStar = RobotsTxt.parse("User-agent: onlybot\nDisallow: /\n")
+    assert(RobotsTxt.selectGroup(noStar, "unrelated").isEmpty)
+    assert(RobotsTxt.isAllowed(noStar, "unrelated", "/anything"))
+    assert(!RobotsTxt.isAllowed(noStar, "onlybot-v2", "/anything"))
+  }
+
+  test("pattern matching: prefix, * wildcard, $ anchor") {
+    assert(RobotsTxt.matches("/a/", "/a/b"))
+    assert(!RobotsTxt.matches("/a/", "/ab"))
+    assert(RobotsTxt.matches("/tmp*", "/tmpfile"))
+    assert(RobotsTxt.matches("/*/x", "/any/deep/x"))
+    assert(RobotsTxt.matches("/p$", "/p"))
+    assert(!RobotsTxt.matches("/p$", "/pq"))
+    assert(RobotsTxt.matches("/a*b$", "/a-quite-long-b"))
+    assert(!RobotsTxt.matches("/a*b$", "/a-quite-long-bc"))
+  }
+
+  test("precedence: longest pattern wins; exact tie resolves to Allow") {
+    // /private/pub matches Allow '/private/pub$' (13) > Disallow '/private/' (9)
+    assert(RobotsTxt.isAllowed(r, "otherbot", "/private/pub"))
+    assert(!RobotsTxt.isAllowed(r, "otherbot", "/private/pubx")) // anchor fails
+    assert(!RobotsTxt.isAllowed(r, "otherbot", "/private/other"))
+    assert(!RobotsTxt.isAllowed(r, "otherbot", "/tmpanything"))
+    assert(RobotsTxt.isAllowed(r, "otherbot", "/ok"))
+    // selected group EXCLUDES the * rules: graftbot sees no /private/ rule
+    assert(RobotsTxt.isAllowed(r, "graftbot", "/private/anything"))
+    assert(!RobotsTxt.isAllowed(r, "graftbot", "/data/secret/f"))
+    assert(RobotsTxt.isAllowed(r, "graftbot", "/data/open"))
+    // explicit tie: same-length Allow and Disallow
+    val tie = RobotsTxt.parse("User-agent: *\nAllow: /dir/\nDisallow: /dir/\n")
+    assert(RobotsTxt.isAllowed(tie, "any", "/dir/x"))
+  }
+}
