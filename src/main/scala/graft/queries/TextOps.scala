@@ -1008,7 +1008,58 @@ object TextOps {
       |FROM documents d, range(1, 10) t(k)
       |ORDER BY d.doc_id, t.k""".stripMargin
 
+  // ---------------------------------------------------------------- q341
+  /** CHARSET DETECTION (round 13, [[graft.ops.CharsetDetect]]): the
+    * step between fetched BYTES (WARC bodies, q337) and text
+    * processing — real web bytes mix UTF-8 and legacy windows-1252,
+    * and decoding everything as UTF-8 makes mojibake that poisons
+    * tokenizers. Four byte shapes per doc: pure ASCII, multi-width
+    * UTF-8 (2/3/4-byte sequences incl. an astral emoji), raw CP1252
+    * (smart quotes + ellipsis — INVALID as UTF-8, so the strict
+    * RFC 3629 validator must reject it into the fallback), and a
+    * BOM-prefixed body. The oracle states charset verdicts and the
+    * decoded TEXT closed-form via chr() codepoints — a validator that
+    * accepts overlongs, a wrong CP1252 table entry, or a BOM slip
+    * breaks the hash. */
+  def q341(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val digit = (id % 10).toString
+        val bytes: Array[Byte] = (id % 4) match {
+          case 0 => s"plain text $digit".getBytes("UTF-8")
+          case 1 => ("café € " +
+            new String(Character.toChars(0x1F600)) + " " + digit).getBytes("UTF-8")
+          case 2 => "he said ".getBytes("US-ASCII") ++ Array(0x93.toByte) ++
+            "ok".getBytes("US-ASCII") ++ Array(0x94.toByte, 0x85.toByte) ++
+            s" $digit".getBytes("US-ASCII")
+          case _ => Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+            s"bom $digit".getBytes("UTF-8")
+        }
+        val (text, charset) = graft.ops.CharsetDetect.decode(bytes)
+        (id, charset, text, text.codePointCount(0, text.length).toLong)
+      }
+      .toDF("doc_id", "charset", "text", "n_cp")
+      .orderBy(col("doc_id"))
+  }
+  val q341Sql: String =
+    """SELECT doc_id, charset, text, CAST(LENGTH(text) AS BIGINT) AS n_cp FROM (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id%4 AS INT)
+      |      WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'utf-8-bom'
+      |      ELSE 'utf-8' END AS charset,
+      |    CASE CAST(doc_id%4 AS INT)
+      |      WHEN 0 THEN 'plain text ' || CAST(doc_id%10 AS VARCHAR)
+      |      WHEN 1 THEN 'caf' || chr(233) || ' ' || chr(8364) || ' ' ||
+      |                  chr(128512) || ' ' || CAST(doc_id%10 AS VARCHAR)
+      |      WHEN 2 THEN 'he said ' || chr(8220) || 'ok' || chr(8221) ||
+      |                  chr(8230) || ' ' || CAST(doc_id%10 AS VARCHAR)
+      |      ELSE 'bom ' || CAST(doc_id%10 AS VARCHAR) END AS text
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),
     "q338_c4_cleaning_rules" -> ((q338 _, Some(q338Sql))),
