@@ -65,16 +65,30 @@ object RobotsTxt {
     Robots(groups.toSeq, sitemaps.toSeq)
   }
 
-  /** `*` wildcard / trailing-`$` anchor pattern match against `path`. */
+  /** `*` wildcard / trailing-`$` anchor pattern match against `path`.
+    * An UNANCHORED pattern matches a path PREFIX, which is exactly
+    * `pattern + "*"` matched in full — so both cases run through one
+    * linear two-pointer glob (backtracking to the last star only:
+    * O(|path|·|pattern|) worst case, never exponential — robots.txt
+    * content is remote-controlled input at crawl scale, and a
+    * recursive matcher with nested stars is a DoS surface). */
   private[graft] def matches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
-    val pat = if (anchored) pattern.dropRight(1) else pattern
-    def m(pi: Int, si: Int): Boolean = {
-      if (pi == pat.length) !anchored || si == path.length
-      else if (pat.charAt(pi) == '*') (si to path.length).exists(k => m(pi + 1, k))
-      else si < path.length && path.charAt(si) == pat.charAt(pi) && m(pi + 1, si + 1)
+    val pat = (if (anchored) pattern.dropRight(1) else pattern + "*")
+    glob(pat, path)
+  }
+
+  private def glob(pat: String, s: String): Boolean = {
+    var pi = 0; var si = 0
+    var star = -1; var mark = 0
+    while (si < s.length) {
+      if (pi < pat.length && pat.charAt(pi) == '*') { star = pi; mark = si; pi += 1 }
+      else if (pi < pat.length && pat.charAt(pi) == s.charAt(si)) { pi += 1; si += 1 }
+      else if (star >= 0) { pi = star + 1; mark += 1; si = mark }
+      else return false
     }
-    m(0, 0)
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
   }
 
   /** The selected group for `agent`: longest agent-token prefix match,

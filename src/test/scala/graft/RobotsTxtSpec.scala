@@ -55,6 +55,13 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(!RobotsTxt.matches("/p$", "/pq"))
     assert(RobotsTxt.matches("/a*b$", "/a-quite-long-b"))
     assert(!RobotsTxt.matches("/a*b$", "/a-quite-long-bc"))
+    // multi-star shapes stay linear (the matcher backtracks to the last
+    // star only) and correct
+    assert(RobotsTxt.matches("/*a*b*c$", "/xxaxxbxxc"))
+    assert(!RobotsTxt.matches("/*a*b*c$", "/xxaxxbxxd"))
+    val hostile = "/" + "a*" * 30 + "b$"
+    assert(!RobotsTxt.matches(hostile, "/" + "a" * 200)) // returns fast
+    assert(RobotsTxt.matches(hostile, "/" + "a" * 200 + "b"))
   }
 
   test("precedence: longest pattern wins; exact tie resolves to Allow") {
