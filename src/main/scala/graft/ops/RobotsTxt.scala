@@ -10,10 +10,12 @@ package graft.ops
   *    `Disallow:` rules bind to the nearest preceding group; `#`
   *    comments and unknown directives are ignored; `Sitemap:` lines
   *    are group-independent and collected;
-  *  - group selection: the group whose agent token is the LONGEST
+  *  - group selection: the agent token that is the LONGEST
   *    case-insensitive prefix of the crawler's product token wins;
   *    `*` is the fallback (specificity below every literal token);
-  *    only the selected group's rules apply;
+  *    ALL groups matching at the winning specificity combine into one
+  *    rule union (RFC 9309 §2.2.1 — repeated `User-agent: *` groups
+  *    are legal and must not shadow each other);
   *  - rule matching: patterns match path PREFIXES, `*` matches any
   *    char sequence, a trailing `$` anchors the end;
   *  - precedence: the longest matching pattern wins (specificity =
@@ -42,7 +44,10 @@ object RobotsTxt {
       rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
     }
     text.linesIterator.foreach { raw =>
-      val line = raw.split("#")(0).trim // comments strip to end of line
+      // comments strip to end of line; takeWhile (not split) so a line
+      // that is ONLY '#'s — a bare separator, common in real files —
+      // yields an empty string instead of an empty split array
+      val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
       if (c > 0) {
         val key = line.substring(0, c).trim.toLowerCase
@@ -91,8 +96,11 @@ object RobotsTxt {
     pi == pat.length
   }
 
-  /** The selected group for `agent`: longest agent-token prefix match,
-    * `*` as fallback, None when nothing applies. */
+  /** The effective rule set for `agent`: longest agent-token prefix
+    * match picks the winning specificity, `*` is the fallback, and —
+    * per RFC 9309 §2.2.1 — ALL groups matching at that specificity
+    * COMBINE (two `User-agent: *` groups are legal and common; their
+    * rules evaluate as one union). None when nothing applies. */
   private[graft] def selectGroup(r: Robots, agent: String): Option[Group] = {
     val a = agent.toLowerCase
     val candidates = r.groups.flatMap { g =>
@@ -101,7 +109,13 @@ object RobotsTxt {
         case t if a.startsWith(t) => (t.length, g)
       }
     }
-    if (candidates.isEmpty) None else Some(candidates.maxBy(_._1)._2)
+    if (candidates.isEmpty) None
+    else {
+      val best = candidates.map(_._1).max
+      val merged =
+        candidates.filter(_._1 == best).map(_._2).distinct.flatMap(_.rules)
+      Some(Group(Seq(a), merged))
+    }
   }
 
   def isAllowed(r: Robots, agent: String, path: String): Boolean =

@@ -864,8 +864,8 @@ object TextOps {
       |      + CASE WHEN t.i = 0 AND doc_id%13 = 0 THEN 1
       |             WHEN t.i = 1 AND doc_id%11 = 0 THEN 2
       |             WHEN t.i = 2 AND doc_id%7 = 0 THEN 1 ELSE 0 END AS nwords
-      |  FROM w, range(0, 200) t(i)
-      |  WHERE t.i < (len(ws)+5)//6),
+      |  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws)+5)//6)) AS i
+      |        FROM w) t),
       |v AS (
       |  SELECT doc_id, line,
       |    ((line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?' OR line LIKE '%"')
@@ -921,7 +921,7 @@ object TextOps {
       |c2 AS (
       |  SELECT doc_id, g, COUNT(*) AS c FROM (
       |    SELECT doc_id, wf[t.i] || ' ' || wf[t.i+1] AS g
-      |    FROM base, range(1, 400) t(i) WHERE t.i + 1 <= n)
+      |    FROM (SELECT doc_id, wf, unnest(range(1, n)) AS i FROM base) t)
       |  GROUP BY 1, 2),
       |top2 AS (
       |  SELECT doc_id, cov FROM (
@@ -932,7 +932,7 @@ object TextOps {
       |  SELECT doc_id, g, COUNT(*) AS c FROM (
       |    SELECT doc_id, wf[t.i] || ' ' || wf[t.i+1] || ' ' || wf[t.i+2] || ' ' ||
       |           wf[t.i+3] || ' ' || wf[t.i+4] AS g
-      |    FROM base, range(1, 400) t(i) WHERE t.i + 4 <= n)
+      |    FROM (SELECT doc_id, wf, unnest(range(1, n - 3)) AS i FROM base) t)
       |  GROUP BY 1, 2),
       |dup5 AS (
       |  SELECT doc_id, COALESCE(SUM(CASE WHEN c >= 2 THEN c * LENGTH(g) END), 0) AS cov
@@ -957,11 +957,14 @@ object TextOps {
     * deterministic policy (wildcards, a `$` anchor, longest-match
     * shadowing, a crawler-specific group that SHADOWS the `*` rules,
     * and a conditional directive present only for doc_id%3=0) is
-    * evaluated against nine probes covering every semantic branch:
+    * evaluated against ten probes covering every semantic branch:
     * group selection by longest agent prefix, the anchor pass/fail
     * pair, the Allow-over-Disallow longest-match win, the fallback
-    * group, and the no-rule default. Verdicts + the sitemap line are
-    * stated closed-form in the oracle. */
+    * group, the no-rule default, and — round 14 — a SECOND `*` group
+    * whose rules must COMBINE with the first (RFC 9309 §2.2.1), behind
+    * a bare `#####` separator line that must parse as a comment.
+    * Verdicts + the sitemap line are stated closed-form in the
+    * oracle. */
   def q340(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -977,13 +980,19 @@ object TextOps {
              |Allow: /p$a/
              |Disallow: /p$a/secret/
              |Sitemap: https://h$p.example.com/sitemap.xml
+             |#####
+             |User-agent: *
+             |Disallow: /extra/
              |""".stripMargin
         val r = graft.ops.RobotsTxt.parse(txt)
         val probes = Seq(
           ("graftbot", s"/p$a/ok"), ("graftbot", s"/p$a/secret/f"),
           ("graftbot-img", "/private/x"), ("otherbot", "/private/x"),
           ("otherbot", "/private/pub"), ("otherbot", "/private/pubx"),
-          ("otherbot", "/tmpfile"), ("otherbot", "/x/1"), ("otherbot", "/ok"))
+          ("otherbot", "/tmpfile"), ("otherbot", "/x/1"), ("otherbot", "/ok"),
+          // probe 10 lives in the SECOND `*` group — a picker that
+          // keeps only one group per RFC 9309 §2.2.1 would allow it
+          ("otherbot", "/extra/f"))
         probes.zipWithIndex.map { case ((agent, path), k) =>
           (id, (k + 1).toLong, graft.ops.RobotsTxt.isAllowed(r, agent, path),
             r.sitemaps.head)
@@ -1003,9 +1012,11 @@ object TextOps {
       |    WHEN 6 THEN FALSE  -- anchor fails on longer path
       |    WHEN 7 THEN FALSE  -- wildcard Disallow /tmp*
       |    WHEN 8 THEN (d.doc_id % 3 <> 0) -- conditional directive
+      |    WHEN 9 THEN TRUE   -- no-rule default
+      |    WHEN 10 THEN FALSE -- second `*` group combines (RFC 9309 2.2.1)
       |    ELSE TRUE END AS allowed,
       |  'https://h' || CAST(d.doc_id%20 AS VARCHAR) || '.example.com/sitemap.xml' AS sitemap
-      |FROM documents d, range(1, 10) t(k)
+      |FROM documents d, range(1, 11) t(k)
       |ORDER BY d.doc_id, t.k""".stripMargin
 
   // ---------------------------------------------------------------- q341

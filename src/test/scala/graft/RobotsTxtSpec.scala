@@ -38,8 +38,11 @@ class RobotsTxtSpec extends AnyFunSuite {
   }
 
   test("group selection: longest agent-token prefix; * fallback; none = allowed") {
-    assert(RobotsTxt.selectGroup(r, "GraftBot-Image/2.0").get.agents.contains("graftbot"))
-    assert(RobotsTxt.selectGroup(r, "otherbot").get.agents == Seq("*"))
+    // the merged group carries the crawler identity; assert on which
+    // RULES won — graftbot-image (14) beats graftbot (8) beats * (-1)
+    assert(RobotsTxt.selectGroup(r, "GraftBot-Image/2.0").get.rules ==
+      r.groups(1).rules)
+    assert(RobotsTxt.selectGroup(r, "otherbot").get.rules == r.groups(0).rules)
     val noStar = RobotsTxt.parse("User-agent: onlybot\nDisallow: /\n")
     assert(RobotsTxt.selectGroup(noStar, "unrelated").isEmpty)
     assert(RobotsTxt.isAllowed(noStar, "unrelated", "/anything"))
@@ -78,5 +81,38 @@ class RobotsTxtSpec extends AnyFunSuite {
     // explicit tie: same-length Allow and Disallow
     val tie = RobotsTxt.parse("User-agent: *\nAllow: /dir/\nDisallow: /dir/\n")
     assert(RobotsTxt.isAllowed(tie, "any", "/dir/x"))
+  }
+
+  test("comment-only lines: a bare '#' or '#####' separator must parse") {
+    // "#".split("#") is an EMPTY array in Java — the old split-based
+    // comment stripper crashed on exactly this remote-controlled shape
+    val sep = RobotsTxt.parse(
+      "#\n#####\nUser-agent: *\n#####\nDisallow: /a/\n# tail\n")
+    assert(!RobotsTxt.isAllowed(sep, "any", "/a/x"))
+    assert(RobotsTxt.isAllowed(sep, "any", "/b"))
+  }
+
+  test("RFC 9309 2.2.1: all groups at the winning specificity combine") {
+    // two `User-agent: *` groups — legal, common; the second must not
+    // be shadowed by the first
+    val multi = RobotsTxt.parse(
+      """User-agent: *
+        |Disallow: /one/
+        |User-agent: bot
+        |Allow: /
+        |User-agent: *
+        |Disallow: /two/
+        |""".stripMargin)
+    assert(!RobotsTxt.isAllowed(multi, "other", "/one/x"))
+    assert(!RobotsTxt.isAllowed(multi, "other", "/two/x")) // union, not first-wins
+    assert(RobotsTxt.isAllowed(multi, "other", "/three/x"))
+    // the literal-token group still shadows BOTH * groups
+    assert(RobotsTxt.isAllowed(multi, "bot", "/one/x"))
+    assert(RobotsTxt.isAllowed(multi, "bot", "/two/x"))
+    // two groups matching the same literal specificity also combine
+    val twoLit = RobotsTxt.parse(
+      "User-agent: bot\nDisallow: /p/\nUser-agent: bot\nDisallow: /q/\n")
+    assert(!RobotsTxt.isAllowed(twoLit, "bot/1.0", "/p/x"))
+    assert(!RobotsTxt.isAllowed(twoLit, "bot/1.0", "/q/x"))
   }
 }
