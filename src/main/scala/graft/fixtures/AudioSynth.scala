@@ -248,6 +248,52 @@ object AudioSynth {
     expected
   }
 
+  private val Mp3GeneralCorpusVersion = 1
+
+  /** MP3 GENERAL-PROFILE fixtures (round 14): the decoder surfaces real
+    * found-data streams use beyond the original mono long-block profile
+    * — M/S joint stereo, L/R stereo with 2-bit magnitudes through
+    * big-values Huffman tables 2/3, the window-switching sequence
+    * (long→start→short→stop), count1 table A, and the coarse
+    * `scalefac_scale` ladder — each through [[graft.io.Mp3Codec.encodeEx]]
+    * and back through the same magic dispatch + downmix chain. */
+  def writeMp3GeneralCorpus(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val expected = Seq("mp3g_ms.mp3", "mp3g_lr_mag2.mp3", "mp3g_short.mp3",
+      "mp3g_count1a.mp3", "mp3g_sfs1.mp3").map(d.resolve)
+    val stamp = d.resolve(s".corpus_mp3g_v$Mp3GeneralCorpusVersion")
+    if (Files.exists(stamp) &&
+        expected.forall(p => Files.exists(p) && Files.size(p) > 0))
+      return expected
+    Files.deleteIfExists(stamp)
+    import graft.io.Mp3Codec
+    import graft.io.Mp3Codec.EncOpts
+    def up(x: Array[Float]): Array[Float] =
+      graft.ops.Dsp.resampleLinear(x, Rate, 32000)
+    // stereo pairs: correlated but unequal channels, so both the mid
+    // AND side (or both L and R) carry real content
+    val a = up(bursts(Seq(4600, 3800)))
+    Files.write(d.resolve("mp3g_ms.mp3"),
+      Mp3Codec.encodeEx(Seq(a, a.map(v => 0.6f * v)), 32000,
+        EncOpts(stereoMode = 1)))
+    val b = up(bursts(Seq(5200)))
+    Files.write(d.resolve("mp3g_lr_mag2.mp3"),
+      Mp3Codec.encodeEx(Seq(b, b.map(v => 0.7f * v)), 32000,
+        EncOpts(stereoMode = 0, maxMag = 2)))
+    Files.write(d.resolve("mp3g_short.mp3"),
+      Mp3Codec.encodeEx(Seq(up(bursts(Seq(3600, 2900)))), 32000,
+        EncOpts(shortBlocks = true)))
+    Files.write(d.resolve("mp3g_count1a.mp3"),
+      Mp3Codec.encodeEx(Seq(up(bursts(Seq(4100)))), 32000,
+        EncOpts(count1TableA = true)))
+    Files.write(d.resolve("mp3g_sfs1.mp3"),
+      Mp3Codec.encodeEx(Seq(up(bursts(Seq(3300, 4400)))), 32000,
+        EncOpts(scalefacScale = 1)))
+    Files.write(stamp, Array.emptyByteArray)
+    expected
+  }
+
   private val MixedCorpusVersion = 2 // v2: + AIFF / AU / SPHERE legacy containers
 
   /** MIXED-FORMAT corpus (round 13, q326 — the audio sibling of the

@@ -12,29 +12,39 @@ package graft.io
   *
   * == Scope (documented like the other codecs) ==
   *
-  * DECODER: MPEG-1 (version bits 11), Layer III, MONO, 32/44.1/48 kHz,
-  * CBR or VBR frame sequences, optional CRC-16 frames (the 2 CRC bytes
-  * are skipped, not verified), ID3v2 prefix skipped via its syncsafe
-  * length. LONG BLOCKS only (`window_switching_flag` = 1 refuses by
-  * name — short-block/mixed windows are the attack-transient layout,
-  * off-scope this round). Big-values Huffman tables 0 and 1 plus the
-  * count1 table B are implemented (table 1 and table B are the two
-  * whose code assignments the spec states simply enough to restate:
-  * table 1 = {1, 001, 01, 000} for (x,y) in row-major order; table B =
-  * fixed 4-bit codes, the one's complement of the vwxy quadruple);
-  * any other `table_select` / count1 table A refuses loudly by table
-  * number, never mis-decodes. Layer I/II, MPEG-2/2.5 LSF, free-format
-  * bitrate, and stereo modes refuse by name.
+  * DECODER (general profile, round 14): MPEG-1 (version bits 11),
+  * Layer III, 32/44.1/48 kHz, CBR or VBR frame sequences, optional
+  * CRC-16 frames (the 2 CRC bytes are skipped, not verified), ID3v2
+  * prefix skipped via its syncsafe length, ID3v1 trailer tolerated.
+  * ALL stereo modes: L/R stereo, dual channel, joint stereo with M/S
+  * and/or intensity (is_pos via the right channel's scalefactors,
+  * tan(is_pos·π/12) ratio split; is_pos = 7 falls back to M/S or
+  * pass-through per spec). ALL window layouts except mixed: long,
+  * start (1), SHORT (2, with subblock_gain, short scalefactor triples
+  * and the written→natural reorder), stop (3); `mixed_block_flag = 1`
+  * refuses by name. Bit reservoir (`main_data_begin` > 0) through a
+  * rolling 511-byte main-data buffer. scfsi scalefactor reuse, preflag
+  * pretab emphasis, and both `scalefac_scale` multipliers decode.
+  * Huffman: big-values tables 0–3 and BOTH count1 tables (A and B) —
+  * tables 1/2/3, A, and B are restated from the published ISO 11172-3
+  * listings and validated structurally (each is a COMPLETE prefix
+  * code: Kraft sum exactly 1, pinned in spec). Big-values tables 5–15
+  * and the linbits ESC tables 16–31 refuse by table number: their code
+  * assignments are large tabulated spec data this build cannot restate
+  * with verified provenance, and a mis-recalled code table would
+  * silently garble foreign streams — refusal is the honest boundary.
+  * Layer I/II, MPEG-2/2.5 LSF, and free-format bitrate refuse by name.
   *
-  * ENCODER (fixture writer, the [[VorbisCodec]] pattern): emits exactly
-  * the decoder's profile — mono CBR long blocks, `big_values` = 0 with
-  * the whole spectrum in the count1 region (quadruples of {-1, 0, +1}),
-  * per-band amplitude carried by SCALEFACTORS (`scalefac_compress` = 15
-  * → slen 4/3, `scalefac_scale` = 0 → 2^(sf/2) ≈ 1.5 dB steps) under a
-  * per-granule `global_gain`, no bit reservoir (`main_data_begin` = 0).
-  * This is a real, conformant bitstream layout — a 1-bit-magnitude
-  * quantizer with per-band gains, the same shape real encoders use with
-  * more magnitude levels.
+  * ENCODER (fixture writer, the [[VorbisCodec]] pattern): the frozen
+  * [[encode]] emits the original mono long-block count1-B profile
+  * byte-identically (golden oracles pin its output); [[encodeEx]]
+  * generalizes to every decoder surface the corpus gates need — L/R,
+  * dual-channel and M/S joint stereo, the window-switching sequence
+  * long→start→short→stop, 2-bit magnitudes through big-values tables
+  * 2/3 (chosen per granule by coded cost), count1 table A, and
+  * `scalefac_scale` = 1. Both are conformant bitstream layouts — a
+  * small-alphabet quantizer with per-band gains, the same shape real
+  * encoders use with more magnitude levels.
   *
   * == Filterbank note (the one documented divergence) ==
   *
@@ -58,7 +68,8 @@ package graft.io
   * tail padding from it; streams without the tag decode in full. */
 object Mp3Codec {
 
-  final case class Info(sampleRate: Int, frames: Int, bitrateKbps: Int)
+  final case class Info(sampleRate: Int, frames: Int, bitrateKbps: Int,
+                        channels: Int = 1)
 
   // ------------------------------------------------------------------
   // spec constants (ISO/IEC 11172-3)
@@ -100,6 +111,57 @@ object Mp3Codec {
   /** count1 table B: every quadruple codes in exactly 4 bits, the one's
     * complement of (v<<3 | w<<2 | x<<1 | y). */
   private[graft] def count1BCode(q: Int): Int = (~q) & 0xF
+
+  /** Big-values Huffman table 2 (Table B.7, 3×3): (x,y) → (hlen, hcod).
+    * Restated from the published ISO 11172-3 listing; structurally
+    * validated in spec (complete prefix code — Kraft sum exactly 1). */
+  private[graft] val Tab2: Array[Array[(Int, Int)]] = Array(
+    Array((1, 1), (3, 2), (6, 1)),
+    Array((3, 3), (3, 1), (5, 1)),
+    Array((5, 3), (5, 2), (6, 0)))
+
+  /** Big-values Huffman table 3 (Table B.7, 3×3) — same provenance and
+    * validation as [[Tab2]]. */
+  private[graft] val Tab3: Array[Array[(Int, Int)]] = Array(
+    Array((2, 3), (2, 2), (6, 1)),
+    Array((3, 1), (2, 1), (5, 1)),
+    Array((5, 3), (5, 2), (6, 0)))
+
+  /** All decodable big-values tables by table_select number. Tables
+    * 5–15 and the linbits ESC tables 16–31 remain off-scope: their code
+    * assignments are spec-tabulated data this build cannot restate with
+    * verified provenance (the 3×3 tables above Kraft-check exactly;
+    * the larger listings do not reconstruct reliably). */
+  private[graft] val BvTables: Map[Int, Array[Array[(Int, Int)]]] =
+    Map(1 -> Tab1, 2 -> Tab2, 3 -> Tab3)
+
+  /** count1 table A (Table B.7): (hlen, hcod) per quadruple value
+    * v<<3|w<<2|x<<1|y. Restated from the published listing; complete
+    * prefix code (Kraft sum 1), validated in spec. */
+  private[graft] val Count1A: Array[(Int, Int)] = Array(
+    (1, 1), (4, 5), (4, 4), (5, 5), (4, 6), (6, 5), (5, 4), (6, 4),
+    (4, 7), (5, 3), (5, 6), (6, 0), (5, 7), (6, 2), (6, 3), (6, 1))
+
+  /** Decode maps: (hlen, hcod) → value, built once per table. */
+  private def decodeMap2(t: Array[Array[(Int, Int)]]): Map[(Int, Int), (Int, Int)] =
+    (for (x <- t.indices; y <- t(x).indices) yield (t(x)(y), (x, y))).toMap
+  private[graft] val BvDecode: Map[Int, Map[(Int, Int), (Int, Int)]] =
+    BvTables.map { case (k, t) => k -> decodeMap2(t) }
+  private[graft] val Count1ADecode: Map[(Int, Int), Int] =
+    Count1A.zipWithIndex.map { case (c, q) => c -> q }.toMap
+  private[graft] val Count1AMaxLen = Count1A.map(_._1).max
+
+  /** Short-block scalefactor band edges (Table B.8 short): 14 edges →
+    * 13 bands per window; ×3 windows = 576 lines. */
+  private[graft] val SfbShort: Map[Int, Array[Int]] = Map(
+    44100 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    48000 -> Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000 -> Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192))
+
+  /** preflag pretab (Table B.6): high-band scalefactor emphasis added
+    * when preflag is set; band 21 carries none. */
+  private[graft] val Pretab: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
 
   private val GranuleSamples = 576
   private val FrameSamples = 1152
@@ -293,14 +355,104 @@ object Mp3Codec {
   }
 
   /** 18 lines → 36 windowed time samples (caller overlap-adds halves). */
-  private[graft] def imdct(xk: Array[Double]): Array[Double] = {
+  private[graft] def imdct(xk: Array[Double]): Array[Double] =
+    imdctWin(xk, MdctWin)
+
+  private[graft] def imdctWin(xk: Array[Double], win: Array[Double]): Array[Double] = {
     val out = new Array[Double](36)
     var i = 0
     while (i < 36) {
       var acc = 0.0; var k = 0
       while (k < 18) { acc += xk(k) * MdctCos(k)(i); k += 1 }
-      out(i) = acc * 2.0 * MdctWin(i) // ×2: the other half of 4/N
+      out(i) = acc * 2.0 * win(i) // ×2: the other half of 4/N
       i += 1
+    }
+    out
+  }
+
+  private[graft] def mdctWin(z: Array[Double], win: Array[Double]): Array[Double] = {
+    val out = new Array[Double](18)
+    var k = 0
+    while (k < 18) {
+      var acc = 0.0; var i = 0
+      while (i < 36) { acc += z(i) * win(i) * MdctCos(k)(i); i += 1 }
+      out(k) = acc * (2.0 / 36.0)
+      k += 1
+    }
+    out
+  }
+
+  // ---- window-switching windows (ISO 2.4.3.4.10.3, block types 1-3) ----
+
+  /** START window (block_type 1): long rise, flat top, short fall, zero
+    * tail — the transition INTO a short-block granule. */
+  private[graft] val WinStart: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 18) math.sin(math.Pi / 36.0 * (i + 0.5))
+    else if (i < 24) 1.0
+    else if (i < 30) math.sin(math.Pi / 12.0 * (i - 18 + 0.5))
+    else 0.0
+  }
+
+  /** STOP window (block_type 3): zero head, short rise, flat, long fall
+    * — the transition OUT of a short-block granule. */
+  private[graft] val WinStop: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 6) 0.0
+    else if (i < 12) math.sin(math.Pi / 12.0 * (i - 6 + 0.5))
+    else if (i < 18) 1.0
+    else math.sin(math.Pi / 36.0 * (i + 0.5))
+  }
+
+  /** 12-sample sine window for the three short blocks. */
+  private[graft] val WinShort: Array[Double] =
+    Array.tabulate(12)(i => math.sin(math.Pi / 12.0 * (i + 0.5)))
+
+  private val Mdct12Cos = Array.tabulate(6, 12)((k, i) =>
+    math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1)))
+
+  /** 12 windowed time samples → 6 lines (one short block). */
+  private[graft] def mdct12(z: Array[Double]): Array[Double] = {
+    val out = new Array[Double](6)
+    var k = 0
+    while (k < 6) {
+      var acc = 0.0; var i = 0
+      while (i < 12) { acc += z(i) * WinShort(i) * Mdct12Cos(k)(i); i += 1 }
+      out(k) = acc * (2.0 / 12.0)
+      k += 1
+    }
+    out
+  }
+
+  /** 6 lines → 12 windowed time samples (one short block). */
+  private[graft] def imdct12(xk: Array[Double]): Array[Double] = {
+    val out = new Array[Double](12)
+    var i = 0
+    while (i < 12) {
+      var acc = 0.0; var k = 0
+      while (k < 6) { acc += xk(k) * Mdct12Cos(k)(i); k += 1 }
+      out(i) = acc * 2.0 * WinShort(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Short-granule inverse: 18 lines per subband in NATURAL (reordered)
+    * order — window w's coefficient k sits at 3k+w — through three
+    * IMDCT-12s overlap-added at offsets 6/12/18 inside the 36-frame
+    * (zeros outside), which then rides the standard 18-sample granule
+    * OLA: the within-frame sums complete the short-window TDAC chain
+    * and the frame halves splice against the neighboring start/stop
+    * (or short) granules. */
+  private[graft] def imdctShort(nat18: Array[Double]): Array[Double] = {
+    val out = new Array[Double](36)
+    var w = 0
+    while (w < 3) {
+      val xk = new Array[Double](6)
+      var k = 0
+      while (k < 6) { xk(k) = nat18(3 * k + w); k += 1 }
+      val tb = imdct12(xk)
+      var i = 0
+      while (i < 12) { out(6 + 6 * w + i) += tb(i); i += 1 }
+      w += 1
     }
     out
   }
@@ -525,6 +677,326 @@ object Mp3Codec {
   }
 
   // ------------------------------------------------------------------
+  // encode, general profile
+  // ------------------------------------------------------------------
+
+  /** [[encodeEx]] options. `stereoMode` is the header mode field
+    * (0 = L/R stereo, 1 = joint stereo coded as M/S, 2 = dual channel,
+    * 3 = mono); `maxMag` = 2 routes the spectrum through big-values
+    * Huffman tables 2/3 (per-granule cost choice) instead of the
+    * count1-only layout; `shortBlocks` emits the window-switching
+    * sequence long→start→short→short→stop→long on repeat. */
+  final case class EncOpts(stereoMode: Int = 3, maxMag: Int = 1,
+                           shortBlocks: Boolean = false,
+                           count1TableA: Boolean = false,
+                           scalefacScale: Int = 0)
+
+  /** General-profile encoder: every decoder surface the corpus gates
+    * need, as a real conformant bitstream. The frozen [[encode]] stays
+    * byte-identical for the golden oracles; this one generalizes. */
+  def encodeEx(chans: Seq[Array[Float]], sampleRate: Int,
+               opts: EncOpts): Array[Byte] = {
+    require(SampleRates.contains(sampleRate),
+      s"MPEG-1 Layer III carries 32000/44100/48000 Hz, got $sampleRate")
+    val nch = if (opts.stereoMode == 3) 1 else 2
+    require(chans.length == nch,
+      s"mode ${opts.stereoMode} wants $nch channels, got ${chans.length}")
+    require(nch == 1 || chans(0).length == chans(1).length,
+      "stereo channels must be the same length")
+    require(opts.maxMag == 1 || opts.maxMag == 2,
+      "maxMag 1 (count1) or 2 (big-values tables 2/3)")
+    val srcLen = chans(0).length
+    // joint M/S: encode the rotated pair; the decoder's (m±s)/√2 undoes it
+    val inv = 1.0 / math.sqrt(2.0)
+    val enc: Array[Array[Float]] =
+      if (opts.stereoMode == 1)
+        Array(
+          Array.tabulate(srcLen)(i => ((chans(0)(i) + chans(1)(i)) * inv).toFloat),
+          Array.tabulate(srcLen)(i => ((chans(0)(i) - chans(1)(i)) * inv).toFloat))
+      else chans.toArray
+    val sfbL = SfbLong(sampleRate)
+    val sfbS = SfbShort(sampleRate)
+    val mult = if (opts.scalefacScale == 0) 0.5 else 1.0
+    val nFrames = math.max(1, (srcLen + FrameSamples - 1) / FrameSamples) +
+      (CodecDelay + FrameSamples - 1) / FrameSamples
+    val totalGranules = nFrames * 2
+    // block-type schedule (same for every channel — joint stereo needs
+    // matching layouts): the legal switching chain on repeat
+    val cycle = Array(0, 1, 2, 2, 3, 0)
+    def blockTypeOf(g: Int): Int = if (opts.shortBlocks) cycle(g % 6) else 0
+
+    // per-granule-channel payload
+    final case class P(gg: Int, wsf: Boolean, blockType: Int,
+                       bigValues: Int, tableSel: Int, c1A: Boolean,
+                       bits: Array[Byte], nBits: Int)
+    val payload = Array.ofDim[P](totalGranules, nch)
+
+    var chI = 0
+    while (chI < nch) {
+      val an = new Analysis
+      val prev = Array.ofDim[Double](32, 18)
+      val pcm = enc(chI)
+      var g = 0
+      while (g < totalGranules) {
+        val bt = blockTypeOf(g)
+        // 18 slices of 32 input samples through the analysis filterbank
+        val s = Array.ofDim[Double](32, 18)
+        var t = 0
+        while (t < 18) {
+          val in = new Array[Double](32)
+          var i = 0
+          while (i < 32) {
+            val idx = g * GranuleSamples + t * 32 + i
+            in(i) = if (idx < pcm.length) pcm(idx).toDouble else 0.0
+            i += 1
+          }
+          val bands = an.step(in)
+          var sb = 0
+          while (sb < 32) { s(sb)(t) = bands(sb); sb += 1 }
+          t += 1
+        }
+        // MDCT per subband with the granule's window; short granules
+        // produce coefficients in NATURAL order then map to the written
+        // (band-major, window-inner) order
+        val lines = new Array[Double](576) // written order
+        var sb = 0
+        while (sb < 32) {
+          val z = new Array[Double](36)
+          var i = 0
+          while (i < 18) { z(i) = prev(sb)(i); z(18 + i) = s(sb)(i); i += 1 }
+          if (sb % 2 == 1) {
+            var ii = 1
+            while (ii < 36) { z(ii) = -z(ii); ii += 2 }
+          }
+          if (bt == 2) {
+            var w = 0
+            while (w < 3) {
+              val zw = new Array[Double](12)
+              var k = 0
+              while (k < 12) { zw(k) = z(6 + 6 * w + k); k += 1 }
+              val xk = mdct12(zw)
+              // natural coefficient j = 6·sb + k lives at written
+              // position: band b with S(b) <= j < S(b+1), offset
+              // 3·S(b) + w·len + (j − S(b))
+              k = 0
+              while (k < 6) {
+                val j = 6 * sb + k
+                var b = 0
+                while (sfbS(b + 1) <= j) b += 1
+                val len = sfbS(b + 1) - sfbS(b)
+                lines(3 * sfbS(b) + w * len + (j - sfbS(b))) = xk(k)
+                k += 1
+              }
+              w += 1
+            }
+          } else {
+            val win = bt match {
+              case 1 => WinStart
+              case 3 => WinStop
+              case _ => MdctWin
+            }
+            val xk = mdctWin(z, win)
+            System.arraycopy(xk, 0, lines, sb * 18, 18)
+          }
+          System.arraycopy(s(sb), 0, prev(sb), 0, 18)
+          sb += 1
+        }
+        // ---- quantize: per-band scalefactors under one global gain ----
+        var gmax = 1e-12
+        var li = 0
+        while (li < 576) { gmax = math.max(gmax, math.abs(lines(li))); li += 1 }
+        val aTop = math.ceil(math.log(gmax) / math.log(2.0) * 4.0) / 4.0
+        val gg = math.max(0, math.min(255, 210 + math.round(4.0 * aTop).toInt))
+        val aQ = (gg - 210) / 4.0
+        val ix = new Array[Int](576)
+        // band segmentation in WRITTEN order: (lo, hi, sfMax, slen)
+        val segs: Seq[(Int, Int, Int, Int)] =
+          if (bt == 2)
+            for (b <- 0 until 13; w <- 0 until 3) yield {
+              val len = sfbS(b + 1) - sfbS(b)
+              val sfMax = if (b < 6) 15 else if (b < 12) 7 else 0
+              val slen = if (b < 6) 4 else if (b < 12) 3 else 0
+              (3 * sfbS(b) + w * len, 3 * sfbS(b) + (w + 1) * len, sfMax, slen)
+            }
+          else (0 until 22).map { b =>
+            val sfMax = if (b < 11) 15 else if (b < 21) 7 else 0
+            val slen = if (b < 11) 4 else if (b < 21) 3 else 0
+            (sfbL(b), sfbL(b + 1), sfMax, slen)
+          }
+        val sfs = new Array[Int](segs.length)
+        segs.zipWithIndex.foreach { case ((lo, hi, sfMax, _), bi) =>
+          var bmax = 0.0
+          var i = lo
+          while (i < hi) { bmax = math.max(bmax, math.abs(lines(i))); i += 1 }
+          if (bmax > 1e-9) {
+            // pick the scalefactor so the band max quantizes near the
+            // top magnitude: |ix| = (|x|·2^-a)^(3/4) → target maxMag
+            val want = (aQ - math.log(bmax) / math.log(2.0) +
+              4.0 / 3.0 * math.log(opts.maxMag + 0.2) / math.log(2.0)) / mult
+            val sfv = math.max(0, math.min(sfMax, math.round(want).toInt))
+            sfs(bi) = if (sfMax > 0) sfv else 0
+            val a = aQ - mult * sfs(bi)
+            val scale = math.pow(2.0, -a)
+            i = lo
+            while (i < hi) {
+              val q = math.round(
+                math.pow(math.abs(lines(i)) * scale, 0.75)).toInt
+              val qq = math.min(opts.maxMag, q)
+              ix(i) = if (lines(i) < 0) -qq else qq
+              i += 1
+            }
+          }
+        }
+        // ---- pack: scalefactors, then Huffman ----
+        val w = new MsbWriter
+        segs.zipWithIndex.foreach { case ((_, _, _, slen), bi) =>
+          if (slen > 0) w.write(sfs(bi), slen)
+        }
+        var last = 575
+        while (last >= 0 && ix(last) == 0) last -= 1
+        var bigValues = 0
+        var tableSel = 1
+        if (opts.maxMag == 2 && last >= 0) {
+          // whole nonzero span as big-values pairs; table 2 vs 3 by cost
+          bigValues = (last + 2) / 2
+          def cost(tab: Array[Array[(Int, Int)]]): Int = {
+            var bits = 0; var i = 0
+            while (i < bigValues * 2) {
+              val x = math.abs(ix(i)); val y = math.abs(ix(i + 1))
+              bits += tab(x)(y)._1 + (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+              i += 2
+            }
+            bits
+          }
+          tableSel = if (cost(Tab2) <= cost(Tab3)) 2 else 3
+          val tab = if (tableSel == 2) Tab2 else Tab3
+          var i = 0
+          while (i < bigValues * 2) {
+            val x = ix(i); val y = ix(i + 1)
+            val (hlen, hcod) = tab(math.abs(x))(math.abs(y))
+            w.write(hcod, hlen)
+            if (x != 0) w.write(if (x < 0) 1 else 0, 1)
+            if (y != 0) w.write(if (y < 0) 1 else 0, 1)
+            i += 2
+          }
+        } else if (last >= 0) {
+          // count1-only: quadruples of {-1, 0, +1} via table A or B
+          val quads = (last + 1 + 3) / 4
+          var q = 0
+          while (q < quads) {
+            var mags = 0
+            var j = 0
+            while (j < 4) { mags = (mags << 1) | math.abs(ix(q * 4 + j)); j += 1 }
+            if (opts.count1TableA) {
+              val (hlen, hcod) = Count1A(mags)
+              w.write(hcod, hlen)
+            } else w.write(count1BCode(mags), 4)
+            j = 0
+            while (j < 4) {
+              val v = ix(q * 4 + j)
+              if (v != 0) w.write(if (v < 0) 1 else 0, 1)
+              j += 1
+            }
+            q += 1
+          }
+        }
+        payload(g)(chI) = P(gg, bt != 0, bt, bigValues, tableSel,
+          opts.count1TableA, w.toBytes, w.bitsWritten.toInt)
+        g += 1
+      }
+      chI += 1
+    }
+
+    // ---- CBR frame size: smallest standard bitrate fitting every frame ----
+    val sideBytes = if (nch == 1) 17 else 32
+    val srIdx = SampleRates.indexOf(sampleRate)
+    val maxMain = (0 until nFrames).map { f =>
+      val bits = (0 until nch).map(c =>
+        payload(2 * f)(c).nBits + payload(2 * f + 1)(c).nBits).sum
+      (bits + 7) / 8
+    }.max
+    val need = 4 + sideBytes + maxMain + 6
+    val brIdx = (1 to 14).find(i =>
+      144 * Bitrates(i) * 1000 / sampleRate >= need).getOrElse(
+      throw new IllegalStateException(s"frame payload $need exceeds 320 kbps"))
+    val frameBytes = 144 * Bitrates(brIdx) * 1000 / sampleRate
+
+    val out = new java.io.ByteArrayOutputStream(nFrames * frameBytes)
+    var f = 0
+    while (f < nFrames) {
+      val h = new MsbWriter
+      h.write(0x7FF, 11); h.write(3, 2); h.write(1, 2); h.write(1, 1)
+      h.write(brIdx, 4); h.write(srIdx, 2)
+      h.write(0, 1); h.write(0, 1)
+      h.write(opts.stereoMode, 2)
+      h.write(if (opts.stereoMode == 1) 2 else 0, 2) // mode_extension: M/S
+      h.write(0, 1); h.write(0, 1); h.write(0, 2)
+      h.write(0, 9)                      // main_data_begin: no reservoir
+      h.write(0, if (nch == 1) 5 else 3) // private
+      (0 until nch).foreach(_ => h.write(0, 4)) // scfsi
+      var grI = 0
+      while (grI < 2) {
+        var c = 0
+        while (c < nch) {
+          val pl = payload(2 * f + grI)(c)
+          h.write(pl.nBits, 12)
+          h.write(pl.bigValues, 9)
+          h.write(pl.gg, 8)
+          h.write(15, 4) // scalefac_compress → slen (4, 3)
+          if (pl.wsf) {
+            h.write(1, 1)
+            h.write(pl.blockType, 2)
+            h.write(0, 1) // mixed_block_flag
+            h.write(pl.tableSel, 5); h.write(pl.tableSel, 5)
+            h.write(0, 3); h.write(0, 3); h.write(0, 3) // subblock_gain
+          } else {
+            h.write(0, 1)
+            h.write(pl.tableSel, 5); h.write(pl.tableSel, 5); h.write(pl.tableSel, 5)
+            h.write(0, 4) // region0_count
+            h.write(0, 3) // region1_count
+          }
+          h.write(0, 1) // preflag
+          h.write(opts.scalefacScale, 1)
+          h.write(if (pl.c1A) 0 else 1, 1) // count1table_select
+          c += 1
+        }
+        grI += 1
+      }
+      val hdr = h.toBytes
+      require(hdr.length == 4 + sideBytes, s"header+side info ${hdr.length}")
+      out.write(hdr)
+      val bw = new MsbWriter
+      var grJ = 0
+      while (grJ < 2) {
+        var c = 0
+        while (c < nch) {
+          val pl = payload(2 * f + grJ)(c)
+          var bi = 0
+          while (bi < pl.nBits) {
+            bw.write((pl.bits(bi / 8) >> (7 - bi % 8)) & 1, 1)
+            bi += 1
+          }
+          c += 1
+        }
+        grJ += 1
+      }
+      val body = new java.io.ByteArrayOutputStream(frameBytes - 4 - sideBytes)
+      body.write(bw.toBytes)
+      if (f == 0) { // gapless tag: 'G' 'L' + u32 per-channel sample count
+        body.write('G'); body.write('L')
+        body.write((srcLen >>> 24) & 0xff); body.write((srcLen >>> 16) & 0xff)
+        body.write((srcLen >>> 8) & 0xff); body.write(srcLen & 0xff)
+      }
+      while (body.size() < frameBytes - 4 - sideBytes) body.write(0)
+      require(body.size() == frameBytes - 4 - sideBytes,
+        s"frame $f main data ${body.size()} exceeds ${frameBytes - 4 - sideBytes}")
+      out.write(body.toByteArray)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // decode
   // ------------------------------------------------------------------
 
@@ -540,13 +1012,24 @@ object Mp3Codec {
     }
     require(bytes.length - at >= 4, "too short for an MP3 frame")
 
-    val syn = new Synthesis(CascadeGain)
-    val prevHalf = Array.ofDim[Double](32, 18)
-    val pcm = new java.io.ByteArrayOutputStream() // int16 LE scratch
     var sampleRate = -1
     var bitrateK = -1
     var frames = 0
     var gaplessLen = -1L
+    var channels = -1
+
+    // per-channel synthesis state, allocated on the first frame
+    var synths: Array[Synthesis] = null
+    var prevHalves: Array[Array[Array[Double]]] = null
+    var prevSfLong: Array[Array[Int]] = null // granule-0 sfs for scfsi reuse
+    var chPcm: Array[java.io.ByteArrayOutputStream] = null
+
+    // bit reservoir: Layer III main data is a byte stream of its own —
+    // a frame's granules may begin main_data_begin bytes BEFORE the
+    // frame's own main bytes, inside ancillary space of earlier frames.
+    // `res` holds that stream's tail (trimmed to the 9-bit pointer's
+    // 511-byte reach after every frame, so memory is O(1) per stream).
+    var res = new Array[Byte](0)
 
     var trailerDone = false
     while (!trailerDone && at + 4 <= bytes.length) {
@@ -572,7 +1055,19 @@ object Mp3Codec {
       require(srIdx < 3, s"bad sampling_frequency $srIdx")
       val padding = (b2 >> 1) & 1
       val mode = (b3 >> 6) & 3
-      require(mode == 3, s"unsupported mode $mode (mono streams only)")
+      val modeExt = (b3 >> 4) & 3
+      val nch = if (mode == 3) 1 else 2
+      val msOn = mode == 1 && (modeExt & 2) != 0
+      val intensityOn = mode == 1 && (modeExt & 1) != 0
+      require(channels < 0 || nch == channels,
+        "channel count changes mid-stream")
+      channels = nch
+      if (synths == null) {
+        synths = Array.fill(nch)(new Synthesis(CascadeGain))
+        prevHalves = Array.fill(nch)(Array.ofDim[Double](32, 18))
+        prevSfLong = Array.fill(nch)(new Array[Int](21))
+        chPcm = Array.fill(nch)(new java.io.ByteArrayOutputStream())
+      }
       val sr = SampleRates(srIdx)
       require(sampleRate < 0 || sr == sampleRate, "sample rate changes mid-stream")
       sampleRate = sr; bitrateK = Bitrates(brIdx)
@@ -582,187 +1077,388 @@ object Mp3Codec {
       var p = at + 4
       if (crcPresent) p += 2 // CRC-16 skipped, not verified
 
-      // ---- side info (mono: 17 bytes) ----
-      val si = new MsbReader(bytes, p, p + 17)
+      // ---- side info (mono: 17 bytes, stereo: 32) ----
+      val sideBytes = if (nch == 1) 17 else 32
+      val si = new MsbReader(bytes, p, p + sideBytes)
       val mainDataBegin = si.read(9)
-      require(mainDataBegin == 0,
-        "bit-reservoir streams (main_data_begin > 0) are off-scope")
-      si.read(5) // private
-      val scfsi = si.read(4)
-      require(scfsi == 0,
-        "scfsi scalefactor reuse is off-scope (granule 1 would omit " +
-          "reused bands' bits; decoding them blind would misparse)")
-      final case class Gr(part23: Int, bigValues: Int, gg: Int, sfc: Int,
-                          tables: Array[Int], region0: Int, region1: Int)
-      val grs = Array.tabulate(2) { _ =>
+      si.read(if (nch == 1) 5 else 3) // private bits
+      val scfsi = Array.fill(nch)(si.read(4))
+      val gcs = Array.tabulate(2, nch) { (_, _) =>
         val part23 = si.read(12)
         val bigValues = si.read(9)
         require(bigValues <= 288,
           s"big_values $bigValues exceeds the spec bound 288")
         val gg = si.read(8)
         val sfc = si.read(4)
-        val wsf = si.read(1)
-        require(wsf == 0,
-          "window_switching_flag = 1 (short/mixed blocks) is off-scope")
-        val tables = Array(si.read(5), si.read(5), si.read(5))
-        val region0 = si.read(4); val region1 = si.read(3)
+        val wsf = si.read(1) == 1
+        var blockType = 0
+        val tables = new Array[Int](3)
+        var region0 = 0; var region1 = 0
+        val sbg = new Array[Int](3)
+        if (wsf) {
+          blockType = si.read(2)
+          require(blockType != 0,
+            "window_switching_flag = 1 with block_type 0 is forbidden")
+          val mixed = si.read(1) == 1
+          require(!mixed,
+            "mixed_block_flag = 1 (mixed long/short granules) is off-scope")
+          tables(0) = si.read(5); tables(1) = si.read(5)
+          sbg(0) = si.read(3); sbg(1) = si.read(3); sbg(2) = si.read(3)
+        } else {
+          tables(0) = si.read(5); tables(1) = si.read(5); tables(2) = si.read(5)
+          region0 = si.read(4); region1 = si.read(3)
+        }
         val preflag = si.read(1)
-        require(preflag == 0, "preflag pretab emphasis is off-scope")
         val sfScale = si.read(1)
-        require(sfScale == 0, "scalefac_scale = 1 not emitted by this profile")
-        val c1t = si.read(1)
-        require(c1t == 1,
-          "count1 table A is off-scope (table B streams only)")
-        Gr(part23, bigValues, gg, sfc, tables, region0, region1)
+        val c1A = si.read(1) == 0 // count1table_select: 0 = A, 1 = B
+        Gc(part23, bigValues, gg, sfc, wsf, blockType, tables,
+          region0, region1, sbg, preflag, sfScale, c1A)
       }
-      p += 17
+      // scfsi only applies when BOTH granules of the channel are long
+      var chS = 0
+      while (chS < nch) {
+        require(scfsi(chS) == 0 ||
+          (gcs(0)(chS).blockType != 2 && gcs(1)(chS).blockType != 2),
+          "scfsi with a short-block granule is forbidden by the spec")
+        chS += 1
+      }
+      p += sideBytes
 
-      // ---- main data (both granules, then ancillary) ----
-      val md = new MsbReader(bytes, p, at + frameLen)
+      // ---- main data through the bit reservoir ----
+      val frameMain = java.util.Arrays.copyOfRange(bytes, p, at + frameLen)
+      require(mainDataBegin <= res.length,
+        s"bit-reservoir underrun: main_data_begin $mainDataBegin with " +
+          s"${res.length} buffered bytes (stream cut before its reservoir)")
+      val startByteInRes = res.length - mainDataBegin
+      val merged = new Array[Byte](res.length + frameMain.length)
+      System.arraycopy(res, 0, merged, 0, res.length)
+      System.arraycopy(frameMain, 0, merged, res.length, frameMain.length)
+      val frameMainStart = res.length // where THIS frame's bytes begin
+      res = merged
+      val md = new MsbReader(res, 0, res.length)
+      md.seek(startByteInRes.toLong * 8)
+
       val sfbEdges = SfbLong(sr)
+      val sfbS = SfbShort(sr)
       var grI = 0
       while (grI < 2) {
-        val gr = grs(grI)
-        val start = md.consumed
-        // scalefactors
-        val s1 = Slen1(gr.sfc); val s2 = Slen2(gr.sfc)
-        val sf = new Array[Int](22)
-        var b = 0
-        while (b < 21) { sf(b) = md.read(if (b < 11) s1 else s2); b += 1 }
-        // Huffman: big values (tables 0/1 only), then count1 (table B).
-        // Region boundaries follow the spec's long-block derivation:
-        // region0 ends at sfb edge (region0_count + 1), region1 at edge
-        // (region0_count + region1_count + 2), region2 runs to
-        // big_values·2 — each region decodes with ITS OWN table_select,
-        // and an off-scope table refuses by number only when its region
-        // actually contains pairs.
-        val ix = new Array[Int](576)
-        val bvEnd = gr.bigValues * 2
-        val r0End = math.min(bvEnd, sfbEdges(math.min(gr.region0 + 1, 22)))
-        val r1End = math.min(bvEnd,
-          sfbEdges(math.min(gr.region0 + gr.region1 + 2, 22)))
-        var li = 0
-        while (li < bvEnd) {
-          val region = if (li < r0End) 0 else if (li < r1End) 1 else 2
-          val tbl = gr.tables(region)
-          require(tbl == 0 || tbl == 1,
-            s"Huffman table $tbl (region $region) is off-scope (0/1 implemented)")
-          if (tbl == 0) { ix(li) = 0; ix(li + 1) = 0 }
-          else {
-            // table 1: walk the 4 codes bit by bit
-            var x = -1; var y = -1
-            val first = md.read1()
-            if (first == 1) { x = 0; y = 0 }
-            else {
-              val second = md.read1()
-              if (second == 1) { x = 1; y = 0 }
-              else { val third = md.read1(); if (third == 1) { x = 0; y = 1 } else { x = 1; y = 1 } }
-            }
-            if (x != 0) { if (md.read1() == 1) x = -x }
-            if (y != 0) { if (md.read1() == 1) y = -y }
-            ix(li) = x; ix(li + 1) = y
-          }
-          li += 2
-        }
-        // the spec's straddle rule: a quadruple that would read PAST
-        // part2_3_length is discarded — its bits belong to the next
-        // granule. Decided WITHOUT reading the overhang (fit-check on
-        // the fixed 4-bit code, then on the sign count), because when
-        // part2_3_length ends exactly at the frame's last main-data
-        // byte the overhang bits don't physically exist and a
-        // read-then-discard would abort a conformant stream.
-        var straddled = false
-        while (!straddled && md.consumed - start < gr.part23 && li + 3 < 576) {
-          val inPart = gr.part23 - (md.consumed - start)
-          if (inPart < 4) straddled = true // the code itself would cross
-          else {
-            val code = md.read(4)
-            val mags = (~code) & 0xF
-            if (4 + Integer.bitCount(mags) > inPart) straddled = true
-            else {
-              var j = 0
-              while (j < 4) {
-                val m = (mags >> (3 - j)) & 1
-                if (m == 1) ix(li + j) = if (md.read1() == 1) -1 else 1
-                j += 1
+        val xrs = Array.ofDim[Double](nch, 576) // Huffman (written) order
+        val nzEnd = new Array[Int](nch)
+        val sfLongCh = Array.ofDim[Int](nch, 22)
+        val sfShortCh = Array.ofDim[Int](nch, 13, 3)
+        var ch = 0
+        while (ch < nch) {
+          val gc = gcs(grI)(ch)
+          val start = md.consumed
+          val s1 = Slen1(gc.sfc); val s2 = Slen2(gc.sfc)
+          val isShort = gc.wsf && gc.blockType == 2
+          // ---- scalefactors ----
+          if (isShort) {
+            var b = 0
+            while (b < 12) {
+              var w = 0
+              while (w < 3) {
+                sfShortCh(ch)(b)(w) = md.read(if (b < 6) s1 else s2); w += 1
               }
-              li += 4
+              b += 1
+            }
+          } else {
+            val sf = sfLongCh(ch)
+            var b = 0
+            while (b < 21) {
+              // scfsi group g covers bands {0-5, 6-10, 11-15, 16-20};
+              // its bit (MSB-first) set on granule 1 → REUSE granule 0's
+              // value, and the stream carries no bits for that band
+              val g = if (b < 6) 0 else if (b < 11) 1 else if (b < 16) 2 else 3
+              if (grI == 1 && ((scfsi(ch) >> (3 - g)) & 1) == 1)
+                sf(b) = prevSfLong(ch)(b)
+              else sf(b) = md.read(if (b < 11) s1 else s2)
+              b += 1
+            }
+            if (grI == 0) System.arraycopy(sf, 0, prevSfLong(ch), 0, 21)
+          }
+          // ---- Huffman: big values ----
+          val ix = new Array[Int](576)
+          val bvEnd = gc.bigValues * 2
+          // region boundaries: with window switching the split is fixed
+          // (region0 = the first 36 lines, region1 = the rest, region2
+          // unused — the spec's implied region0_count); otherwise the
+          // written counts index the long sfb edges
+          val r0End =
+            if (gc.wsf) math.min(bvEnd, 36)
+            else math.min(bvEnd, sfbEdges(math.min(gc.region0 + 1, 22)))
+          val r1End =
+            if (gc.wsf) bvEnd
+            else math.min(bvEnd,
+              sfbEdges(math.min(gc.region0 + gc.region1 + 2, 22)))
+          var li = 0
+          while (li < bvEnd) {
+            val region = if (li < r0End) 0 else if (li < r1End) 1 else 2
+            val tbl = gc.tables(region)
+            if (tbl == 0) { ix(li) = 0; ix(li + 1) = 0 }
+            else {
+              val dec = BvDecode.getOrElse(tbl,
+                throw new IllegalArgumentException(
+                  s"Huffman table $tbl (region $region) is off-scope " +
+                    "(0-3 implemented; 5-15 and the linbits ESC tables " +
+                    "16-31 refuse by number)"))
+              var len = 0; var code = 0
+              var hit: (Int, Int) = null
+              while (hit == null) {
+                code = (code << 1) | md.read1(); len += 1
+                require(len <= 8, s"Huffman walk overran table $tbl")
+                hit = dec.getOrElse((len, code), null)
+              }
+              var x = hit._1; var y = hit._2
+              if (x != 0 && md.read1() == 1) x = -x
+              if (y != 0 && md.read1() == 1) y = -y
+              ix(li) = x; ix(li + 1) = y
+            }
+            li += 2
+          }
+          require(md.consumed - start <= gc.part23,
+            "big-values region overran part2_3_length")
+          // ---- count1 (table A variable-length or table B fixed 4-bit);
+          // the straddle rule: a quadruple that would read PAST
+          // part2_3_length is discarded WITHOUT reading the overhang
+          // (those bits may not physically exist at frame end) ----
+          var straddled = false
+          while (!straddled && md.consumed - start < gc.part23 && li + 3 < 576) {
+            val inPart = gc.part23 - (md.consumed - start)
+            if (gc.c1A) {
+              var len = 0; var code = 0; var q = -1
+              var bitsLeft = inPart
+              while (q < 0 && !straddled) {
+                if (bitsLeft <= 0) straddled = true
+                else {
+                  code = (code << 1) | md.read1(); len += 1; bitsLeft -= 1
+                  q = Count1ADecode.getOrElse((len, code), -1)
+                  if (q < 0 && len >= Count1AMaxLen) straddled = true
+                }
+              }
+              if (!straddled) {
+                if (Integer.bitCount(q) > bitsLeft) straddled = true
+                else {
+                  var j = 0
+                  while (j < 4) {
+                    if (((q >> (3 - j)) & 1) == 1)
+                      ix(li + j) = if (md.read1() == 1) -1 else 1
+                    j += 1
+                  }
+                  li += 4
+                }
+              }
+            } else {
+              if (inPart < 4) straddled = true
+              else {
+                val code = md.read(4)
+                val mags = (~code) & 0xF
+                if (4 + Integer.bitCount(mags) > inPart) straddled = true
+                else {
+                  var j = 0
+                  while (j < 4) {
+                    val m = (mags >> (3 - j)) & 1
+                    if (m == 1) ix(li + j) = if (md.read1() == 1) -1 else 1
+                    j += 1
+                  }
+                  li += 4
+                }
+              }
             }
           }
-        }
-        // align to part2_3_length exactly (skips stuffing AND rewinds a
-        // discarded straddling quadruple's overhang)
-        md.seek(start + gr.part23)
-        // requantize: xr = ±|ix|^{4/3} · 2^{(gg−210)/4 − sf/2}
-        val xr = new Array[Double](576)
-        b = 0
-        var i = 0
-        while (i < 576) {
-          while (b < 21 && i >= sfbEdges(b + 1)) b += 1
-          if (ix(i) != 0) {
-            val a = (gr.gg - 210) / 4.0 - (if (b < 21) sf(b) else 0) / 2.0
-            val mag = math.pow(math.abs(ix(i)).toDouble, 4.0 / 3.0) *
-              math.pow(2.0, a)
-            xr(i) = if (ix(i) < 0) -mag else mag
+          nzEnd(ch) = li
+          // align to part2_3_length exactly (skips stuffing AND rewinds
+          // a discarded straddling quadruple's overhang)
+          md.seek(start + gc.part23)
+          // ---- requantize (in Huffman order) ----
+          val xr = xrs(ch)
+          val mult = if (gc.sfScale == 0) 0.5 else 1.0
+          if (isShort) {
+            var pos = 0
+            var b = 0
+            while (b < 13) {
+              val len = sfbS(b + 1) - sfbS(b)
+              var w = 0
+              while (w < 3) {
+                val sfv = if (b < 12) sfShortCh(ch)(b)(w) else 0
+                val a = (gc.gg - 210 - 8 * gc.sbg(w)) / 4.0 - mult * sfv
+                val scale = math.pow(2.0, a)
+                var k = 0
+                while (k < len) {
+                  val v = ix(pos)
+                  if (v != 0)
+                    xr(pos) = (if (v < 0) -1.0 else 1.0) *
+                      math.pow(math.abs(v).toDouble, 4.0 / 3.0) * scale
+                  pos += 1; k += 1
+                }
+                w += 1
+              }
+              b += 1
+            }
+          } else {
+            var b = 0
+            var i = 0
+            while (i < 576) {
+              while (b < 21 && i >= sfbEdges(b + 1)) b += 1
+              if (ix(i) != 0) {
+                val sfv = if (b < 21) sfLongCh(ch)(b) else 0
+                val a = (gc.gg - 210) / 4.0 -
+                  mult * (sfv + gc.preflag * Pretab(b))
+                val mag = math.pow(math.abs(ix(i)).toDouble, 4.0 / 3.0) *
+                  math.pow(2.0, a)
+                xr(i) = if (ix(i) < 0) -mag else mag
+              }
+              i += 1
+            }
           }
-          i += 1
+          ch += 1
         }
-        // alias reduction between adjacent subbands
-        var sb = 1
-        while (sb < 32) {
-          var k = 0
-          while (k < 8) {
-            val lo = sb * 18 - 1 - k
-            val hi = sb * 18 + k
-            val d1 = xr(lo); val d2 = xr(hi)
-            xr(lo) = d1 * Cs(k) - d2 * Ca(k)
-            xr(hi) = d2 * Cs(k) + d1 * Ca(k)
-            k += 1
+
+        // ---- stereo processing (on the decoded pair, Huffman order) ----
+        if (nch == 2 && (msOn || intensityOn)) {
+          val gc0 = gcs(grI)(0); val gc1 = gcs(grI)(1)
+          require(gc0.wsf == gc1.wsf && gc0.blockType == gc1.blockType,
+            "joint-stereo granule with mismatched block types is off-scope")
+          val isShort = gc0.wsf && gc0.blockType == 2
+          val inv = 1.0 / math.sqrt(2.0)
+          def msRange(lo: Int, hi: Int): Unit = {
+            var i = lo
+            while (i < hi) {
+              val m = xrs(0)(i); val s = xrs(1)(i)
+              xrs(0)(i) = (m + s) * inv
+              xrs(1)(i) = (m - s) * inv
+              i += 1
+            }
           }
-          sb += 1
+          // intensity applies to the bands at/above the RIGHT channel's
+          // zero part; is_pos rides the right channel's scalefactor
+          val istart = if (intensityOn) nzEnd(1) else 576
+          val ranges: Seq[(Int, Int, Int, Int)] =
+            if (isShort)
+              for (b <- 0 until 13; w <- 0 until 3) yield {
+                val len = sfbS(b + 1) - sfbS(b)
+                (3 * sfbS(b) + w * len, 3 * sfbS(b) + (w + 1) * len, b, w)
+              }
+            else (0 until 22).map(b => (sfbEdges(b), sfbEdges(b + 1), b, -1))
+          ranges.foreach { case (lo, hi, b, w) =>
+            if (intensityOn && lo >= istart) {
+              // the last band carries no scalefactor: ISO assigns it the
+              // previous band's is_pos
+              val isPos =
+                if (isShort) sfShortCh(1)(math.min(b, 11))(w)
+                else sfLongCh(1)(math.min(b, 20))
+              if (isPos != 7) {
+                val ratio = math.tan(isPos * math.Pi / 12.0)
+                var i = lo
+                while (i < hi) {
+                  val v = xrs(0)(i)
+                  xrs(0)(i) = v * (ratio / (1.0 + ratio))
+                  xrs(1)(i) = v * (1.0 / (1.0 + ratio))
+                  i += 1
+                }
+              } else if (msOn) msRange(lo, hi)
+              // is_pos = 7 without MS: illegal position — pass through
+            } else if (msOn) msRange(lo, hi)
+          }
         }
-        // IMDCT + overlap-add + frequency inversion per subband
-        val sOut = Array.ofDim[Double](32, 18)
-        sb = 0
-        while (sb < 32) {
-          val xk = new Array[Double](18)
-          System.arraycopy(xr, sb * 18, xk, 0, 18)
-          val tb = imdct(xk)
+
+        // ---- per channel: reorder, alias, IMDCT, OLA, synthesis ----
+        var ch2 = 0
+        while (ch2 < nch) {
+          val gc = gcs(grI)(ch2)
+          val isShort = gc.wsf && gc.blockType == 2
+          val xr =
+            if (!isShort) xrs(ch2)
+            else {
+              // reorder short blocks from written [band][window][k] to
+              // NATURAL order: window w's global coefficient j sits at
+              // 3j + w, which the per-subband IMDCT-12 strides expect
+              val nat = new Array[Double](576)
+              var pos = 0
+              var b = 0
+              while (b < 13) {
+                val len = sfbS(b + 1) - sfbS(b)
+                var w = 0
+                while (w < 3) {
+                  var k = 0
+                  while (k < len) {
+                    nat(3 * (sfbS(b) + k) + w) = xrs(ch2)(pos)
+                    pos += 1; k += 1
+                  }
+                  w += 1
+                }
+                b += 1
+              }
+              nat
+            }
+          if (!isShort) {
+            // alias reduction between adjacent subbands (long transforms
+            // only — pure short granules skip it per spec)
+            var sb = 1
+            while (sb < 32) {
+              var k = 0
+              while (k < 8) {
+                val lo = sb * 18 - 1 - k
+                val hi = sb * 18 + k
+                val d1 = xr(lo); val d2 = xr(hi)
+                xr(lo) = d1 * Cs(k) - d2 * Ca(k)
+                xr(hi) = d2 * Cs(k) + d1 * Ca(k)
+                k += 1
+              }
+              sb += 1
+            }
+          }
+          val prevHalf = prevHalves(ch2)
+          val sOut = Array.ofDim[Double](32, 18)
+          var sb = 0
+          while (sb < 32) {
+            val xk = new Array[Double](18)
+            System.arraycopy(xr, sb * 18, xk, 0, 18)
+            val tb =
+              if (isShort) imdctShort(xk)
+              else if (gc.wsf && gc.blockType == 1) imdctWin(xk, WinStart)
+              else if (gc.wsf && gc.blockType == 3) imdctWin(xk, WinStop)
+              else imdct(xk)
+            var t = 0
+            while (t < 18) {
+              sOut(sb)(t) = tb(t) + prevHalf(sb)(t)
+              prevHalf(sb)(t) = tb(18 + t)
+              t += 1
+            }
+            if (sb % 2 == 1) {
+              t = 1
+              while (t < 18) { sOut(sb)(t) = -sOut(sb)(t); t += 2 }
+            }
+            sb += 1
+          }
+          // synthesis: one 32-wide slice per time index
+          val syn = synths(ch2)
+          val pcm = chPcm(ch2)
           var t = 0
           while (t < 18) {
-            sOut(sb)(t) = tb(t) + prevHalf(sb)(t)
-            prevHalf(sb)(t) = tb(18 + t)
+            val slice = new Array[Double](32)
+            sb = 0
+            while (sb < 32) { slice(sb) = sOut(sb)(t); sb += 1 }
+            val o = syn.step(slice)
+            var i2 = 0
+            while (i2 < 32) {
+              val v = math.max(-1.0, math.min(1.0, o(i2)))
+              val s16 = math.round(v * 32767.0).toInt
+              pcm.write(s16 & 0xff); pcm.write((s16 >> 8) & 0xff)
+              i2 += 1
+            }
             t += 1
           }
-          if (sb % 2 == 1) {
-            t = 1
-            while (t < 18) { sOut(sb)(t) = -sOut(sb)(t); t += 2 }
-          }
-          sb += 1
-        }
-        // synthesis: one 32-wide slice per time index
-        var t = 0
-        while (t < 18) {
-          val slice = new Array[Double](32)
-          sb = 0
-          while (sb < 32) { slice(sb) = sOut(sb)(t); sb += 1 }
-          val o = syn.step(slice)
-          var i2 = 0
-          while (i2 < 32) {
-            val v = math.max(-1.0, math.min(1.0, o(i2)))
-            val s16 = math.round(v * 32767.0).toInt
-            pcm.write(s16 & 0xff); pcm.write((s16 >> 8) & 0xff)
-            i2 += 1
-          }
-          t += 1
+          ch2 += 1
         }
         grI += 1
       }
       // gapless tag in the first frame's leading ancillary bytes
       if (frames == 0) {
-        val ancAt = p + ((md.consumed + 7) / 8).toInt
-        if (ancAt + 6 <= at + frameLen && bytes(ancAt) == 'G' &&
-            bytes(ancAt + 1) == 'L') {
+        val ancRel = ((md.consumed + 7) / 8).toInt - frameMainStart
+        val ancAt = p + ancRel
+        if (ancAt + 6 <= at + frameLen && ancRel >= 0 &&
+            bytes(ancAt) == 'G' && bytes(ancAt + 1) == 'L') {
           gaplessLen = ((bytes(ancAt + 2) & 0xffL) << 24) |
             ((bytes(ancAt + 3) & 0xffL) << 16) |
             ((bytes(ancAt + 4) & 0xffL) << 8) | (bytes(ancAt + 5) & 0xffL)
@@ -770,21 +1466,37 @@ object Mp3Codec {
       }
       frames += 1
       at += frameLen
+      // trim the reservoir to the pointer's 511-byte reach
+      if (res.length > 511)
+        res = java.util.Arrays.copyOfRange(res, res.length - 511, res.length)
       }
     }
     require(frames > 0, "no MP3 frames decoded")
-    val raw = pcm.toByteArray
-    val total = raw.length / 2
+    val chRaw = chPcm.map(_.toByteArray)
+    val total = chRaw(0).length / 2
     val want =
       if (gaplessLen >= 0) math.min(gaplessLen, (total - CodecDelay).toLong).toInt
       else total - math.min(total, CodecDelay)
-    val out = new Array[Float](math.max(0, want))
+    val n = math.max(0, want)
+    val out = new Array[Float](n * channels)
     var i = 0
-    while (i < out.length) {
-      val o = (CodecDelay + i) * 2
-      out(i) = ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort / 32768.0f
+    while (i < n) {
+      var c = 0
+      while (c < channels) {
+        val o = (CodecDelay + i) * 2
+        val raw = chRaw(c)
+        out(i * channels + c) =
+          ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort / 32768.0f
+        c += 1
+      }
       i += 1
     }
-    (Info(sampleRate, frames, bitrateK), out)
+    (Info(sampleRate, frames, bitrateK, channels), out)
   }
+
+  /** Per-granule-per-channel side info. */
+  private final case class Gc(part23: Int, bigValues: Int, gg: Int,
+    sfc: Int, wsf: Boolean, blockType: Int, tables: Array[Int],
+    region0: Int, region1: Int, sbg: Array[Int], preflag: Int,
+    sfScale: Int, c1A: Boolean)
 }

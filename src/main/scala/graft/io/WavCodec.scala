@@ -33,7 +33,7 @@ object WavCodec {
         (((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0) ||
          (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'))) {
       val (info, samples) = Mp3Codec.decode(bytes)
-      return Decoded(samples, 1, info.sampleRate)
+      return Decoded(samples, info.channels, info.sampleRate)
     }
     // native FLAC (the lossless archival class — completing the magic
     // front door: every format class the engine owns dispatches here)

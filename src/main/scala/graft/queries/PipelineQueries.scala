@@ -949,6 +949,46 @@ object PipelineQueries {
       |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
       |ORDER BY original_name, wav_name""".stripMargin
 
+  // ---------------------------------------------------------------- q342
+  /** MP3 GENERAL PROFILE through the full pipeline (round 14 — the
+    * round-13 verdict's #1 item): the decoder surfaces found-data MP3s
+    * actually use, each as a fixture through q30's chain — M/S joint
+    * stereo (the stereo rotation must invert and the 2-channel stream
+    * must downmix), L/R stereo carrying 2-bit magnitudes through
+    * big-values Huffman tables 2/3 (restated from ISO 11172-3 and
+    * Kraft-validated in spec), the window-switching sequence
+    * long→start→short→stop (three IMDCT-12s, reorder, subblock gains),
+    * count1 table A (the variable-length quadruple code), and
+    * `scalefac_scale` = 1. Golden VALUES (GoldenDump --q342) per the
+    * lossy-audio e2e discipline; the codec surfaces themselves are
+    * round-trip- and hand-frame-gated in Mp3GeneralSpec (bit reservoir,
+    * scfsi, preflag, intensity included). */
+  def q342(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_audio_fixture_mp3g")
+    val mp3Dir = base.resolve("mp3s").toString
+    val outDir = base.resolve("out").toString
+    graft.fixtures.AudioSynth.writeMp3GeneralCorpus(mp3Dir)
+    graft.Pipeline.run(s, mp3Dir, outDir, glob = "*.mp3")
+      .withColumn("wav_name", element_at(split(col("wav_path"), "/"), -1))
+      .select(col("original_name"), col("wav_name"), col("text"),
+              round(col("rms") * 1000).cast("long").as("rms_q3"),
+              round(col("clipping_percent") * 1000).cast("long").as("clipping_q3"),
+              round(col("music_ratio") * 1000).cast("long").as("music_q3"),
+              col("overlap_flag"))
+      .orderBy(col("original_name"), col("wav_name"))
+  }
+  /** Golden literal oracle (GoldenDump --q342), frozen like q323Sql. */
+  val q342Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('mp3g_count1a.mp3', 'mp3g_count1a_0000s_0004s.wav', 'speech audio speech segment batch data clean', CAST(11056225 AS BIGINT), CAST(15 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mp3g_lr_mag2.mp3', 'mp3g_lr_mag2_0000s_0005s.wav', 'audio signal hello', CAST(11159885 AS BIGINT), CAST(2 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('mp3g_ms.mp3', 'mp3g_ms_0000s_0008s.wav', 'quality speech signal hello speech', CAST(10636485 AS BIGINT), CAST(25 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mp3g_sfs1.mp3', 'mp3g_sfs1_0000s_0008s.wav', 'batch spark data world training', CAST(9920335 AS BIGINT), CAST(5 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+      |  ('mp3g_short.mp3', 'mp3g_short_0000s_0006s.wav', 'model spark data hello segment speech clean', CAST(9209753 AS BIGINT), CAST(3 AS BIGINT), CAST(433 AS BIGINT), FALSE)
+      |) AS t(original_name, wav_name, text, rms_q3, clipping_q3, music_q3, overlap_flag)
+      |ORDER BY original_name, wav_name""".stripMargin
+
   // ---------------------------------------------------------------- q326
   /** MIXED-FORMAT audio front door (round 13 — the audio sibling of the
     * image dispatcher q320): ONE directory carrying every audio class
@@ -1436,6 +1476,7 @@ object PipelineQueries {
     "q259_audio_pipeline_compressed" -> ((q259 _, Some(q259Sql))),
     "q268_audio_pipeline_vorbis" -> ((q268 _, Some(q268Sql))),
     "q323_audio_pipeline_mp3" -> ((q323 _, Some(q323Sql))),
+    "q342_audio_mp3_general_profile" -> ((q342 _, Some(q342Sql))),
     "q325_stream_join_census" -> ((q325 _, Some(q325Sql))),
     "q326_audio_multiformat_e2e" -> ((q326 _, Some(q326Sql))),
     "q243_g711_decode" -> ((q243 _, Some(q243Sql))),

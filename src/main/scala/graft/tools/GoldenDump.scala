@@ -18,6 +18,7 @@ object GoldenDump {
        else if (args.contains("--q268")) graft.queries.PipelineQueries.q268(spark, "unused")
        else if (args.contains("--q323")) graft.queries.PipelineQueries.q323(spark, "unused")
        else if (args.contains("--q326")) graft.queries.PipelineQueries.q326(spark, "unused")
+       else if (args.contains("--q342")) graft.queries.PipelineQueries.q342(spark, "unused")
        else graft.queries.PipelineQueries.q30(spark, "unused")).collect()
     def lit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"

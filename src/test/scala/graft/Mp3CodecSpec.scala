@@ -286,15 +286,52 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(info.frames == 1 && info.sampleRate == 32000)
   }
 
-  test("scfsi reuse and oversized big_values refuse by name (hand frames)") {
-    val e1 = intercept[IllegalArgumentException](Mp3Codec.decode(
-      handFrame(scfsi = 2, part23a = 74, bigValuesA = 0,
-        tables = Seq(0, 0, 0), region0 = 0, region1 = 0, mainBitsA = Nil)))
-    assert(e1.getMessage.contains("scfsi"))
+  test("oversized big_values refuses by name (hand frame)") {
     val e2 = intercept[IllegalArgumentException](Mp3Codec.decode(
       handFrame(scfsi = 0, part23a = 74, bigValuesA = 300,
         tables = Seq(1, 1, 1), region0 = 0, region1 = 0, mainBitsA = Nil)))
     assert(e2.getMessage.contains("big_values"))
+  }
+
+  test("scfsi reuse: granule 1 omits reused bands' bits and carries " +
+       "granule 0's VALUES (hand-frame pair decodes identically)") {
+    // sf bits for one granule at sfc=15: bands 0-10 4 bits, 11-20 3 bits
+    // = 74; band 0 carries sf=5, the rest 0 — the reused value must
+    // scale granule 1's quad, or the outputs diverge
+    def sfBits(w: Mp3Codec.MsbWriter): Unit = {
+      w.write(5, 4); (1 until 11).foreach(_ => w.write(0, 4))
+      (11 until 21).foreach(_ => w.write(0, 3))
+    }
+    // one count1-B quad, all four mags 1, all signs + : "0000" + "0000"
+    def quadBits(w: Mp3Codec.MsbWriter): Unit = w.write(0, 8)
+    def frame(scfsi: Int, g1HasSf: Boolean): Array[Byte] = {
+      val w = new Mp3Codec.MsbWriter
+      w.write(0x7FF, 11); w.write(3, 2); w.write(1, 2); w.write(1, 1)
+      w.write(14, 4); w.write(2, 2) // 320 kbps, 32 kHz
+      w.write(0, 1); w.write(0, 1); w.write(3, 2)
+      w.write(0, 2); w.write(0, 1); w.write(0, 1); w.write(0, 2)
+      w.write(0, 9); w.write(0, 5); w.write(scfsi, 4)
+      def granule(p23: Int): Unit = {
+        w.write(p23, 12); w.write(0, 9); w.write(210, 8); w.write(15, 4)
+        w.write(0, 1); (0 until 3).foreach(_ => w.write(0, 5))
+        w.write(0, 4); w.write(0, 3)
+        w.write(0, 1); w.write(0, 1); w.write(1, 1)
+      }
+      granule(74)                            // g0: sfs only, silence
+      granule((if (g1HasSf) 74 else 0) + 8)  // g1: [sfs +] one quad
+      sfBits(w)                              // g0 main
+      if (g1HasSf) sfBits(w)                 // g1 explicit sfs
+      quadBits(w)
+      val body = w.toBytes
+      val frameLen = 144 * 320000 / 32000
+      body ++ new Array[Byte](frameLen - body.length)
+    }
+    val (iA, a) = Mp3Codec.decode(frame(scfsi = 0, g1HasSf = true))
+    val (iB, b) = Mp3Codec.decode(frame(scfsi = 15, g1HasSf = false))
+    assert(iA.frames == 1 && iB.frames == 1)
+    assert(a.exists(v => math.abs(v) > 1e-5), "quad content lost")
+    assert(java.util.Arrays.equals(a, b),
+      "scfsi-reused scalefactors must reproduce the explicit decode")
   }
 
   test("trailing ID3v1 tag ('TAG' + 125 bytes) is tolerated, not a lost sync") {
@@ -329,10 +366,6 @@ class Mp3CodecSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](Mp3Codec.decode(
       mut(c => c(2) = (c(2) & 0x0f).toByte)))
     assert(e3.getMessage.contains("bitrate"))
-    // stereo mode
-    val e4 = intercept[IllegalArgumentException](Mp3Codec.decode(
-      mut(c => c(3) = (c(3) & 0x3f).toByte)))
-    assert(e4.getMessage.contains("mode"))
     // truncation mid-frame
     val e5 = intercept[IllegalArgumentException](
       Mp3Codec.decode(mp3.take(mp3.length - 30)))
