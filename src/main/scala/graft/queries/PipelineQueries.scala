@@ -340,9 +340,14 @@ object PipelineQueries {
     // from the stream — one metadata-scale row, computed before the drive
     val maxUs = Tables.events(s, d).agg(max(col("ts_us"))).head().getLong(0)
     val cutoffUs = maxUs - 16L * 60L * 1000000L
+    // the cutoff rides INTO the drive (distributed per-batch filter, before
+    // the bounded driver collection) — the round-14 memory-sink audit: this
+    // row-level face collects only the horizon-final prefix, under a hard
+    // row budget that refuses by name; q325's census is the 100-TB shape
     graft.streaming.Streaming.intervalJoinLeftOuterOnce(streamSession(s, needsIdleBatch = true), d,
         withinMinutes = 5,
-        queryName = s"graft_q179_${java.lang.Integer.toHexString(d.hashCode)}")
+        queryName = s"graft_q179_${java.lang.Integer.toHexString(d.hashCode)}",
+        preFilter = Some(s"unix_micros(a_ts) <= ${cutoffUs}L"))
       .filter(unix_micros(col("a_ts")) <= cutoffUs)
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
               unix_micros(col("a_ts")).as("a_ts_us"),

@@ -72,7 +72,10 @@ object Streaming {
   /** Drive the stream to completion over the static snapshot; returns the
     * final in-memory table (complete output mode). Stages the single events
     * file into a scratch directory — the file-source contract wants a
-    * directory that files arrive into. */
+    * directory that files arrive into. Memory sink is deliberate here
+    * (round-14 audit): the stream REDUCES to an hourly windowed aggregate
+    * before the sink, so the materialized size is bounded by
+    * time-range × event-type cardinality, not input rows. */
   def runOnce(spark: SparkSession, dir: String, queryName: String = "graft_stream"): DataFrame = {
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_src")
     java.nio.file.Files.copy(
@@ -114,15 +117,71 @@ object Streaming {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir)
-    val q = dedupWithinWatermark(src, tsCol, horizon, keyCols)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
+    boundedDrive(spark,
+      dedupWithinWatermark(src, tsCol, horizon, keyCols), queryName)()._1
+  }
+
+  // ------------------------------------------------------------------
+  // BOUNDED drive for row-level verification faces (round 14, the
+  // memory-sink audit): a `format("memory")` sink materializes the
+  // WHOLE stream result into the driver JVM — measured to wedge at the
+  // 100× SCALECHECK tier on the outer-join family. Every row-returning
+  // drive below routes through this instead: each micro-batch is
+  // filtered DISTRIBUTED-side first (`pre`), then collected under a
+  // hard row budget that REFUSES BY NAME when exceeded, so scale abuse
+  // is a loud error, never an OOM wedge. These row-level faces exist to
+  // verify semantics against row-exact oracles; the production shapes
+  // at 100 TB are the census/foreachBatch faces (q325's pattern) and
+  // real sinks (audioIngest's insert-or-ignore metadata table).
+  // Aggregate-reducing drives (hourly windows, AvailableNow complete
+  // aggregates, late-data audits) keep the memory sink: their output is
+  // bounded by time-range × key cardinality before the sink, not by
+  // input rows.
+  // ------------------------------------------------------------------
+
+  private[graft] val BoundedDriveCap = 10000000 // rows; ~GBs of driver heap
+
+  /** Drive an append-mode stream to completion, materializing at most
+    * `cap` rows on the driver. `pre` runs distributed-side per batch
+    * (push filters there, not after collection). `drain` is the drive
+    * protocol (default: one processAllAvailable; wave-based callers copy
+    * files between calls). Returns the rows and the final progress
+    * records (for engine counters like numRowsDroppedByWatermark). */
+  private[graft] def boundedDrive(spark: SparkSession, stream: DataFrame,
+      queryName: String, cap: Int = BoundedDriveCap,
+      pre: DataFrame => DataFrame = identity)(
+      drain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        q => q.processAllAvailable())
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val schema = pre(stream).schema
+    val q = stream.writeStream.outputMode("append").queryName(queryName)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = pre(df).limit(cap + 1 - buf.length).collect()
+        require(buf.length + batch.length <= cap,
+          s"bounded drive '$queryName' exceeds $cap rows — a row-level " +
+            "verification face; use the census/foreachBatch shape at scale")
+        buf ++= batch
+        ()
+      }
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    val progress =
+      try { drain(q); q.recentProgress.toSeq }
+      catch {
+        case e: Throwable =>
+          // surface the row-budget refusal by name, not wrapped in the
+          // StreamingQueryException envelope
+          var c: Throwable = e
+          while (c != null) {
+            if (c.isInstanceOf[IllegalArgumentException] && c.getMessage != null &&
+                c.getMessage.contains("bounded drive")) throw c
+            c = c.getCause
+          }
+          throw e
+      }
+      finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(buf.toList.asJava, schema), progress)
   }
 
   // ------------------------------------------------------------------
@@ -157,11 +216,9 @@ object Streaming {
         staged.resolve("events.parquet"))
       staged.toString
     }
-    val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes)
-      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark,
+      intervalJoinStreams(spark, stage(), stage(), withinMinutes),
+      queryName)()._1
   }
 
   /** CHAINED STATEFUL OPERATORS: the stream-stream interval join FOLLOWED
@@ -241,6 +298,8 @@ object Streaming {
       }
       staged.toString
     }
+    // memory sink deliberate (round-14 audit): the chained join feeds an
+    // HOURLY aggregate — output is bounded by the window count, not pairs
     val q = joinWindowStream(spark, stage(), stage(), withinMinutes)
       .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable()
@@ -262,16 +321,22 @@ object Streaming {
     * is the same one a production job lives with: an outer result is only
     * final once the watermark says no future match can arrive. */
   def intervalJoinLeftOuterOnce(spark: SparkSession, dir: String, withinMinutes: Int,
-                                queryName: String = "graft_ssjoin_lo"): DataFrame =
-    intervalJoinOuterOnce(spark, dir, withinMinutes, "leftOuter", queryName)
+                                queryName: String = "graft_ssjoin_lo",
+                                preFilter: Option[String] = None): DataFrame =
+    intervalJoinOuterOnce(spark, dir, withinMinutes, "leftOuter", queryName,
+      preFilter)
 
   /** Drive an OUTER interval join ("leftOuter" | "fullOuter") over the
     * static snapshot; same eviction-horizon caveat as the left-outer doc
     * above — for fullOuter it applies to BOTH sides (a right-outer null row
-    * is final only once the watermark clears ITS window too). */
+    * is final only once the watermark clears ITS window too). `preFilter`
+    * (a SQL predicate over the join's output columns) runs DISTRIBUTED-
+    * side inside each micro-batch, before the bounded collection — push
+    * the caller's horizon cutoff here, not after the drive. */
   def intervalJoinOuterOnce(spark: SparkSession, dir: String, withinMinutes: Int,
                             joinType: String,
-                            queryName: String = "graft_ssjoin_out"): DataFrame = {
+                            queryName: String = "graft_ssjoin_out",
+                            preFilter: Option[String] = None): DataFrame = {
     def stage(): String = {
       val staged = java.nio.file.Files.createTempDirectory("graft_ssjoin_out_src")
       java.nio.file.Files.copy(
@@ -279,11 +344,10 @@ object Streaming {
         staged.resolve("events.parquet"))
       staged.toString
     }
-    val q = intervalJoinStreams(spark, stage(), stage(), withinMinutes, joinType)
-      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark,
+      intervalJoinStreams(spark, stage(), stage(), withinMinutes, joinType),
+      queryName,
+      pre = df => preFilter.fold(df)(w => df.filter(w)))()._1
   }
 
   /** SCALE-SAFE drive of the outer interval join: the join's output
@@ -408,11 +472,9 @@ object Streaming {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val q = spanMergeStream(spark, staged.toString, minSpanUs, maxSpanUs)
-      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark,
+      spanMergeStream(spark, staged.toString, minSpanUs, maxSpanUs).toDF(),
+      queryName)()._1
   }
 
   // ------------------------------------------------------------------
@@ -534,15 +596,7 @@ object Streaming {
     * per file, so cross-batch state is actually exercised). */
   def simhashDedupOnce(spark: SparkSession, streamDir: String,
                        queryName: String = "graft_simdedup"): DataFrame = {
-    val q = simhashDedupStream(spark, streamDir)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark, simhashDedupStream(spark, streamDir).toDF(), queryName)()._1
   }
 
   // ------------------------------------------------------------------
@@ -622,15 +676,13 @@ object Streaming {
     val cols = Seq("user_id", "ts_us", "kind", "payload", "probe_id")
     versions.selectExpr(cols: _*).coalesce(1)
       .write.mode("append").parquet(staged.toString)
-    val q = asOfJoinStream(spark, staged.toString)
-      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try {
-      q.processAllAvailable()
-      probes.selectExpr(cols: _*).coalesce(1)
-        .write.mode("append").parquet(staged.toString)
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark, asOfJoinStream(spark, staged.toString).toDF(), queryName)(
+      drain = { q =>
+        q.processAllAvailable()
+        probes.selectExpr(cols: _*).coalesce(1)
+          .write.mode("append").parquet(staged.toString)
+        q.processAllAvailable()
+      })._1
   }
 
   /** NATIVE streaming session windows — q71's `session_window` aggregation
@@ -661,11 +713,8 @@ object Streaming {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val q = sessionWindowStream(spark, staged.toString)
-      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark, sessionWindowStream(spark, staged.toString),
+      queryName)()._1
   }
 
   // ------------------------------------------------------------------
@@ -744,11 +793,9 @@ object Streaming {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val q = billingAlertsStream(spark, staged.toString, thresholdCents)
-      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark,
+      billingAlertsStream(spark, staged.toString, thresholdCents).toDF(),
+      queryName)()._1
   }
 
   // ------------------------------------------------------------------
@@ -877,11 +924,9 @@ object Streaming {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val q = sessionTimeoutStream(spark, staged.toString, gapMinutes)
-      .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    boundedDrive(spark,
+      sessionTimeoutStream(spark, staged.toString, gapMinutes).toDF(),
+      queryName)()._1
   }
 
   /** The dedup sibling of [[lateDataAuditOnce]]: same three-wave staging,
@@ -907,20 +952,20 @@ object Streaming {
                     onePart(late, "late"))
     val staged = java.nio.file.Files.createTempDirectory("graft_latededup_src")
     java.nio.file.Files.copy(files.head, staged.resolve("wave0.parquet"))
-    val q = spark.readStream.schema(schema).parquet(staged.toString)
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
       .withWatermark("ts_t", delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
-      .writeStream.outputMode("append").format("memory")
-      .queryName(queryName).start()
-    val dropped = try {
-      q.processAllAvailable()
-      files.tail.zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.copy(f, staged.resolve(s"wave${i + 1}.parquet"))
+    val (rows, progress) = boundedDrive(spark, stream, queryName)(
+      drain = { q =>
         q.processAllAvailable()
-      }
-      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
-    } finally q.stop()
-    (spark.table(queryName), dropped)
+        files.tail.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f, staged.resolve(s"wave${i + 1}.parquet"))
+          q.processAllAvailable()
+        }
+      })
+    val dropped =
+      progress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    (rows, dropped)
   }
 
   // ------------------------------------------------------------------
@@ -953,6 +998,8 @@ object Streaming {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      // memory sink deliberate (round-14 audit): complete-mode aggregate
+      // bounded by event-type cardinality
       .writeStream.outputMode("complete").format("memory")
       .queryName(queryName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1028,6 +1075,8 @@ object Streaming {
            sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
               col("event_type"), col("n"), col("sum_value"))
+    // memory sink deliberate (round-14 audit): hourly windowed aggregate,
+    // bounded by window x event-type cardinality before the sink
     val q = agg.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
     val dropped = try {
