@@ -40,8 +40,12 @@ object Mp4Mjpeg {
     be32(8L + body.length) ++ cc(id) ++ body
   }
 
+  /** `sampleEntry` is the stsd sample-entry fourcc — 'jpeg' for this
+    * muxer's real output; spec fixtures pass foreign fourccs (avc1,
+    * mp4a, …) to pin the demuxer's named refusals. */
   def mux(samples: Seq[Array[Byte]], chunkSizes: Seq[Int],
-          timescale: Int = 600, sampleDelta: Int = 25): Array[Byte] = {
+          timescale: Int = 600, sampleDelta: Int = 25,
+          sampleEntry: String = "jpeg"): Array[Byte] = {
     require(samples.nonEmpty, "mux of zero samples")
     require(chunkSizes.nonEmpty && chunkSizes.forall(_ > 0) &&
       chunkSizes.sum == samples.length,
@@ -53,7 +57,7 @@ object Mp4Mjpeg {
       be32(timescale.toLong), be32(sampleDelta.toLong * samples.length),
       new Array[Byte](80))
     val stsd = box("stsd", be32(0), be32(1),
-      box("jpeg", new Array[Byte](6), Array[Byte](0, 1), new Array[Byte](70)))
+      box(sampleEntry, new Array[Byte](6), Array[Byte](0, 1), new Array[Byte](70)))
     val stts = box("stts", be32(0), be32(1),
       be32(samples.length.toLong), be32(sampleDelta.toLong))
     val stsz = box("stsz", be32(0), be32(0) /* variable sizes */,

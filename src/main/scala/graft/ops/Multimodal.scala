@@ -362,6 +362,68 @@ object Multimodal {
     * round 13); samples of codecs the engine does not own (H.26x, AV1)
     * refuse loudly at the image front door's magic sniff — the pinned
     * boundary, tested in Mp4MjpegSpec. */
+  /** Known foreign MP4 sample-entry fourccs → codec names (round 14, the
+    * Ogg-style pinned container boundary): real video corpora are
+    * H.264+AAC; this engine decodes only MJPEG ('jpeg') sample entries,
+    * and the STRICT demux refuses these BY NAME instead of letting the
+    * per-sample magic sniff fail anonymously. */
+  private[graft] val ForeignMp4Codecs: Map[String, String] = Map(
+    "avc1" -> "H.264/AVC", "avc3" -> "H.264/AVC",
+    "hvc1" -> "H.265/HEVC", "hev1" -> "H.265/HEVC",
+    "mp4v" -> "MPEG-4 Part 2 video", "vp08" -> "VP8", "vp09" -> "VP9",
+    "av01" -> "AV1", "mp4a" -> "AAC audio",
+    "ac-3" -> "Dolby AC-3 audio", "Opus" -> "Opus audio")
+
+  /** The first stsd sample-entry fourcc of the first track, when the
+    * bytes parse as ISO-BMFF. Never throws. */
+  private[graft] def mp4SampleEntry(bytes: Array[Byte]): Option[String] = {
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return None
+      def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
+        val out = Seq.newBuilder[(String, Long, Long)]
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val sz32 = u32be(bytes, off.toInt)
+          val id = fourcc(bytes, off.toInt + 4)
+          val (sz, hdr) =
+            if (sz32 == 1 && off + 16 <= end) (u64be(bytes, off.toInt + 8), 16L)
+            else if (sz32 == 0) (end - off, 8L)
+            else (sz32, 8L)
+          if (sz < hdr) ok = false
+          else { out += ((id, off + hdr, math.min(end, off + sz))); off += sz }
+        }
+        out.result()
+      }
+      def find(cs: Seq[(String, Long, Long)], id: String) = cs.find(_._1 == id)
+      for {
+        moov <- find(children(0, bytes.length.toLong), "moov")
+        trak <- find(children(moov._2, moov._3), "trak")
+        mdia <- find(children(trak._2, trak._3), "mdia")
+        minf <- find(children(mdia._2, mdia._3), "minf")
+        stbl <- find(children(minf._2, minf._3), "stbl")
+        stsd <- find(children(stbl._2, stbl._3), "stsd")
+        // stsd payload: version/flags (4) + entry_count (4), then entries
+        entry <- children(stsd._2 + 8, stsd._3).headOption
+      } yield entry._1
+    } catch { case _: Exception => None }
+  }
+
+  /** Strict MP4 demux for decode paths: refuses foreign codecs BY NAME
+    * from the stsd sample entry (the AviMjpeg/Ogg boundary convention)
+    * instead of letting each sample fail an anonymous magic sniff.
+    * Unknown fourccs pass through — the per-sample sniff still guards
+    * them. */
+  private[graft] def mp4SamplesStrict(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    mp4SampleEntry(bytes).foreach { cc =>
+      ForeignMp4Codecs.get(cc).foreach(name =>
+        throw new IllegalArgumentException(
+          s"MP4 sample entry '$cc' ($name) is off-scope — MJPEG 'jpeg' " +
+            "sample entries only"))
+    }
+    mp4Samples(bytes)
+  }
+
   private[graft] def mp4Samples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
     try {
       if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return None

@@ -368,7 +368,7 @@ object ImageQueries {
           b.result()
         }
         val mp4 = graft.io.Mp4Mjpeg.mux(frames, sizes)
-        val samples = graft.ops.Multimodal.mp4Samples(mp4).getOrElse(
+        val samples = graft.ops.Multimodal.mp4SamplesStrict(mp4).getOrElse(
           throw new IllegalStateException("muxed MP4 failed to demux"))
         require(samples.length == nFrames,
           s"demux returned ${samples.length} of $nFrames samples")

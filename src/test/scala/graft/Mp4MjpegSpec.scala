@@ -59,6 +59,32 @@ class Mp4MjpegSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a decodable image"))
   }
 
+  test("strict demux refuses foreign codecs BY FOURCC NAME (round 14, " +
+       "the Ogg Opus/Speex/Theora convention)") {
+    val nal = Array[Byte](0, 0, 0, 1, 0x65, 0x42, 7, 7, 7, 7)
+    for ((cc, name) <- Seq("avc1" -> "H.264", "hvc1" -> "H.265",
+                           "mp4a" -> "AAC", "av01" -> "AV1")) {
+      val mp4 = Mp4Mjpeg.mux(Vector(nal), Seq(1), sampleEntry = cc)
+      // the tolerant demux still serves bytes (FuzzSpec's never-throw
+      // contract); the STRICT decode-path demux names the codec
+      assert(Multimodal.mp4Samples(mp4).get.length == 1)
+      val e = intercept[IllegalArgumentException](
+        Multimodal.mp4SamplesStrict(mp4))
+      assert(e.getMessage.contains(s"'$cc'") && e.getMessage.contains(name),
+        s"$cc: ${e.getMessage}")
+    }
+    // our own sample entry passes strict; an UNKNOWN fourcc passes too
+    // (the per-sample magic sniff still guards it)
+    val jpg = frames(1).head
+    assert(Multimodal.mp4SamplesStrict(
+      Mp4Mjpeg.mux(Vector(jpg), Seq(1))).get.length == 1)
+    assert(Multimodal.mp4SamplesStrict(
+      Mp4Mjpeg.mux(Vector(nal), Seq(1), sampleEntry = "zzzz")).get.length == 1)
+    // sample-entry inspector reads the stsd fourcc
+    assert(Multimodal.mp4SampleEntry(
+      Mp4Mjpeg.mux(Vector(jpg), Seq(1))).contains("jpeg"))
+  }
+
   test("mux validates its inputs") {
     intercept[IllegalArgumentException](Mp4Mjpeg.mux(Vector.empty, Seq.empty))
     intercept[IllegalArgumentException](Mp4Mjpeg.mux(frames(3), Seq(2, 2)))
