@@ -248,7 +248,7 @@ object AudioSynth {
     expected
   }
 
-  private val Mp3GeneralCorpusVersion = 1
+  private val Mp3GeneralCorpusVersion = 2 // v2: + LSF 16 kHz
 
   /** MP3 GENERAL-PROFILE fixtures (round 14): the decoder surfaces real
     * found-data streams use beyond the original mono long-block profile
@@ -261,7 +261,7 @@ object AudioSynth {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val expected = Seq("mp3g_ms.mp3", "mp3g_lr_mag2.mp3", "mp3g_short.mp3",
-      "mp3g_count1a.mp3", "mp3g_sfs1.mp3").map(d.resolve)
+      "mp3g_count1a.mp3", "mp3g_sfs1.mp3", "mp3g_lsf16k.mp3").map(d.resolve)
     val stamp = d.resolve(s".corpus_mp3g_v$Mp3GeneralCorpusVersion")
     if (Files.exists(stamp) &&
         expected.forall(p => Files.exists(p) && Files.size(p) > 0))
@@ -290,6 +290,11 @@ object AudioSynth {
     Files.write(d.resolve("mp3g_sfs1.mp3"),
       Mp3Codec.encodeEx(Seq(up(bursts(Seq(3300, 4400)))), 32000,
         EncOpts(scalefacScale = 1)))
+    // MPEG-2 LSF at 16 kHz — the speech-archive rate (one granule per
+    // frame, 9-byte side info, lsfSlens scalefactor layout); the
+    // pipeline's resampler sees a native-16k stream for once
+    Files.write(d.resolve("mp3g_lsf16k.mp3"),
+      Mp3Codec.encodeEx(Seq(bursts(Seq(4900, 3100))), 16000, EncOpts()))
     Files.write(stamp, Array.emptyByteArray)
     expected
   }

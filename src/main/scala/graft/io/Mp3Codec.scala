@@ -79,8 +79,31 @@ object Mp3Codec {
   private[graft] val Bitrates =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 
+  /** MPEG-2 LSF Layer III bitrates, kbit/s (ISO 13818-3). */
+  private[graft] val BitratesLsf =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
   /** sampling_frequency field values 0..2. */
   private[graft] val SampleRates = Array(44100, 48000, 32000)
+
+  /** MPEG-2 LSF sampling_frequency values 0..2 (half the MPEG-1 set). */
+  private[graft] val SampleRatesLsf = Array(22050, 24000, 16000)
+
+  /** LSF scalefactor layout (ISO 13818-3, non-intensity channel): the
+    * 9-bit scalefac_compress maps to FOUR slens over four band groups;
+    * preflag is IMPLIED by the ≥500 branch, not a side-info bit.
+    * Returns (slens, bands-per-group, preflag). */
+  private[graft] def lsfSlens(sfc: Int): (Array[Int], Array[Int], Int) =
+    if (sfc < 400)
+      (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3),
+        Array(6, 5, 5, 5), 0)
+    else if (sfc < 500) {
+      val v = sfc - 400
+      (Array((v >> 2) / 5, (v >> 2) % 5, v & 3, 0), Array(6, 5, 7, 3), 0)
+    } else {
+      val v = sfc - 500
+      (Array(v / 3, v % 3, 0, 0), Array(11, 10, 0, 0), 1)
+    }
 
   /** Long-block scalefactor band boundaries (23 edges → 22 bands; bands
     * 0..20 carry scalefactors, band 21 rides global_gain alone) —
@@ -91,7 +114,16 @@ object Mp3Codec {
     48000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88,
       106, 128, 156, 190, 230, 276, 330, 384, 576),
     32000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102,
-      126, 156, 194, 240, 296, 364, 448, 550, 576))
+      126, 156, 194, 240, 296, 364, 448, 550, 576),
+    // MPEG-2 LSF long tables (ISO 13818-3 Table B.2; 16 kHz shares
+    // 22.05 kHz's edges) — restated like the MPEG-1 set, structurally
+    // validated in spec (23 ascending edges 0→576, 6-wide low bands)
+    22050 -> Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+      168, 200, 238, 284, 336, 396, 464, 522, 576),
+    24000 -> Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+      162, 194, 232, 278, 332, 394, 464, 540, 576),
+    16000 -> Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+      168, 200, 238, 284, 336, 396, 464, 522, 576))
 
   /** scalefac_compress → (slen1 for bands 0-10, slen2 for bands 11-20). */
   private[graft] val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
@@ -696,8 +728,12 @@ object Mp3Codec {
     * byte-identical for the golden oracles; this one generalizes. */
   def encodeEx(chans: Seq[Array[Float]], sampleRate: Int,
                opts: EncOpts): Array[Byte] = {
-    require(SampleRates.contains(sampleRate),
-      s"MPEG-1 Layer III carries 32000/44100/48000 Hz, got $sampleRate")
+    val lsf = SampleRatesLsf.contains(sampleRate)
+    require(lsf || SampleRates.contains(sampleRate),
+      s"Layer III carries 32000/44100/48000 Hz (MPEG-1) or " +
+        s"16000/22050/24000 Hz (MPEG-2 LSF), got $sampleRate")
+    require(!lsf || !opts.shortBlocks,
+      "LSF window switching is off-scope (long blocks only)")
     val nch = if (opts.stereoMode == 3) 1 else 2
     require(chans.length == nch,
       s"mode ${opts.stereoMode} wants $nch channels, got ${chans.length}")
@@ -715,11 +751,13 @@ object Mp3Codec {
           Array.tabulate(srcLen)(i => ((chans(0)(i) - chans(1)(i)) * inv).toFloat))
       else chans.toArray
     val sfbL = SfbLong(sampleRate)
-    val sfbS = SfbShort(sampleRate)
+    val sfbS = if (lsf) SfbShort(32000) else SfbShort(sampleRate) // unused in LSF
     val mult = if (opts.scalefacScale == 0) 0.5 else 1.0
-    val nFrames = math.max(1, (srcLen + FrameSamples - 1) / FrameSamples) +
-      (CodecDelay + FrameSamples - 1) / FrameSamples
-    val totalGranules = nFrames * 2
+    val gpf = if (lsf) 1 else 2 // granules per frame
+    val frameSamples = GranuleSamples * gpf
+    val nFrames = math.max(1, (srcLen + frameSamples - 1) / frameSamples) +
+      (CodecDelay + frameSamples - 1) / frameSamples
+    val totalGranules = nFrames * gpf
     // block-type schedule (same for every channel — joint stereo needs
     // matching layouts): the legal switching chain on repeat
     val cycle = Array(0, 1, 2, 2, 3, 0)
@@ -908,41 +946,48 @@ object Mp3Codec {
     }
 
     // ---- CBR frame size: smallest standard bitrate fitting every frame ----
-    val sideBytes = if (nch == 1) 17 else 32
-    val srIdx = SampleRates.indexOf(sampleRate)
+    val sideBytes =
+      if (lsf) (if (nch == 1) 9 else 17) else (if (nch == 1) 17 else 32)
+    val srIdx = (if (lsf) SampleRatesLsf else SampleRates).indexOf(sampleRate)
+    val brTable = if (lsf) BitratesLsf else Bitrates
+    val frameFactor = if (lsf) 72 else 144
     val maxMain = (0 until nFrames).map { f =>
-      val bits = (0 until nch).map(c =>
-        payload(2 * f)(c).nBits + payload(2 * f + 1)(c).nBits).sum
+      val bits = (for (g <- 0 until gpf; c <- 0 until nch)
+        yield payload(gpf * f + g)(c).nBits).sum
       (bits + 7) / 8
     }.max
     val need = 4 + sideBytes + maxMain + 6
     val brIdx = (1 to 14).find(i =>
-      144 * Bitrates(i) * 1000 / sampleRate >= need).getOrElse(
-      throw new IllegalStateException(s"frame payload $need exceeds 320 kbps"))
-    val frameBytes = 144 * Bitrates(brIdx) * 1000 / sampleRate
+      frameFactor * brTable(i) * 1000 / sampleRate >= need).getOrElse(
+      throw new IllegalStateException(s"frame payload $need exceeds the top rate"))
+    val frameBytes = frameFactor * brTable(brIdx) * 1000 / sampleRate
 
     val out = new java.io.ByteArrayOutputStream(nFrames * frameBytes)
     var f = 0
     while (f < nFrames) {
       val h = new MsbWriter
-      h.write(0x7FF, 11); h.write(3, 2); h.write(1, 2); h.write(1, 1)
+      h.write(0x7FF, 11); h.write(if (lsf) 2 else 3, 2); h.write(1, 2); h.write(1, 1)
       h.write(brIdx, 4); h.write(srIdx, 2)
       h.write(0, 1); h.write(0, 1)
       h.write(opts.stereoMode, 2)
       h.write(if (opts.stereoMode == 1) 2 else 0, 2) // mode_extension: M/S
       h.write(0, 1); h.write(0, 1); h.write(0, 2)
-      h.write(0, 9)                      // main_data_begin: no reservoir
-      h.write(0, if (nch == 1) 5 else 3) // private
-      (0 until nch).foreach(_ => h.write(0, 4)) // scfsi
+      h.write(0, if (lsf) 8 else 9)      // main_data_begin: no reservoir
+      h.write(0,
+        if (lsf) (if (nch == 1) 1 else 2)
+        else (if (nch == 1) 5 else 3))   // private
+      if (!lsf) (0 until nch).foreach(_ => h.write(0, 4)) // scfsi
       var grI = 0
-      while (grI < 2) {
+      while (grI < gpf) {
         var c = 0
         while (c < nch) {
-          val pl = payload(2 * f + grI)(c)
+          val pl = payload(gpf * f + grI)(c)
           h.write(pl.nBits, 12)
           h.write(pl.bigValues, 9)
           h.write(pl.gg, 8)
-          h.write(15, 4) // scalefac_compress → slen (4, 3)
+          // scalefac_compress: MPEG-1's 15 → slen (4, 3); LSF's 399 →
+          // lsfSlens (4,4,3,3) over (6,5,5,5) — the SAME per-band widths
+          if (lsf) h.write(399, 9) else h.write(15, 4)
           if (pl.wsf) {
             h.write(1, 1)
             h.write(pl.blockType, 2)
@@ -955,7 +1000,7 @@ object Mp3Codec {
             h.write(0, 4) // region0_count
             h.write(0, 3) // region1_count
           }
-          h.write(0, 1) // preflag
+          if (!lsf) h.write(0, 1) // preflag (LSF: implied by sfc < 500)
           h.write(opts.scalefacScale, 1)
           h.write(if (pl.c1A) 0 else 1, 1) // count1table_select
           c += 1
@@ -967,10 +1012,10 @@ object Mp3Codec {
       out.write(hdr)
       val bw = new MsbWriter
       var grJ = 0
-      while (grJ < 2) {
+      while (grJ < gpf) {
         var c = 0
         while (c < nch) {
-          val pl = payload(2 * f + grJ)(c)
+          val pl = payload(gpf * f + grJ)(c)
           var bi = 0
           while (bi < pl.nBits) {
             bw.write((pl.bits(bi / 8) >> (7 - bi % 8)) & 1, 1)
@@ -1043,8 +1088,13 @@ object Mp3Codec {
       val b1 = bytes(at + 1) & 0xff; val b2 = bytes(at + 2) & 0xff
       val b3 = bytes(at + 3) & 0xff
       val version = (b1 >> 3) & 3
-      require(version == 3,
-        s"unsupported MPEG version bits $version (MPEG-1 only; 2/2.5 LSF off-scope)")
+      require(version == 3 || version == 2,
+        if (version == 0)
+          "MPEG-2.5 (version bits 0) is off-scope: a non-ISO extension " +
+            "whose 8/11.025/12 kHz scalefactor tables this build cannot " +
+            "restate with verified provenance"
+        else s"reserved MPEG version bits $version")
+      val lsf = version == 2
       val layer = (b1 >> 1) & 3
       require(layer == 1, s"unsupported layer bits $layer (Layer III only)")
       val crcPresent = (b1 & 1) == 0
@@ -1059,6 +1109,9 @@ object Mp3Codec {
       val nch = if (mode == 3) 1 else 2
       val msOn = mode == 1 && (modeExt & 2) != 0
       val intensityOn = mode == 1 && (modeExt & 1) != 0
+      require(!(lsf && intensityOn),
+        "LSF intensity stereo is off-scope (its is_pos coding differs " +
+          "from MPEG-1's; M/S and L/R decode)")
       require(channels < 0 || nch == channels,
         "channel count changes mid-stream")
       channels = nch
@@ -1068,29 +1121,37 @@ object Mp3Codec {
         prevSfLong = Array.fill(nch)(new Array[Int](21))
         chPcm = Array.fill(nch)(new java.io.ByteArrayOutputStream())
       }
-      val sr = SampleRates(srIdx)
+      val sr = (if (lsf) SampleRatesLsf else SampleRates)(srIdx)
       require(sampleRate < 0 || sr == sampleRate, "sample rate changes mid-stream")
-      sampleRate = sr; bitrateK = Bitrates(brIdx)
-      val frameLen = 144 * Bitrates(brIdx) * 1000 / sr + padding
+      sampleRate = sr
+      bitrateK = (if (lsf) BitratesLsf else Bitrates)(brIdx)
+      // LSF frames carry ONE granule (576 samples) → half the slot size
+      val gpf = if (lsf) 1 else 2
+      val frameLen = (if (lsf) 72 else 144) * bitrateK * 1000 / sr + padding
       require(at + frameLen <= bytes.length,
         s"truncated MP3: frame at $at wants $frameLen bytes")
       var p = at + 4
       if (crcPresent) p += 2 // CRC-16 skipped, not verified
 
-      // ---- side info (mono: 17 bytes, stereo: 32) ----
-      val sideBytes = if (nch == 1) 17 else 32
+      // ---- side info (MPEG-1: 17/32 bytes; LSF: 9/17) ----
+      val sideBytes =
+        if (lsf) (if (nch == 1) 9 else 17) else (if (nch == 1) 17 else 32)
       val si = new MsbReader(bytes, p, p + sideBytes)
-      val mainDataBegin = si.read(9)
-      si.read(if (nch == 1) 5 else 3) // private bits
-      val scfsi = Array.fill(nch)(si.read(4))
-      val gcs = Array.tabulate(2, nch) { (_, _) =>
+      val mainDataBegin = si.read(if (lsf) 8 else 9)
+      si.read(
+        if (lsf) (if (nch == 1) 1 else 2)
+        else (if (nch == 1) 5 else 3)) // private bits
+      val scfsi = if (lsf) Array.fill(nch)(0) else Array.fill(nch)(si.read(4))
+      val gcs = Array.tabulate(gpf, nch) { (_, _) =>
         val part23 = si.read(12)
         val bigValues = si.read(9)
         require(bigValues <= 288,
           s"big_values $bigValues exceeds the spec bound 288")
         val gg = si.read(8)
-        val sfc = si.read(4)
+        val sfc = si.read(if (lsf) 9 else 4)
         val wsf = si.read(1) == 1
+        require(!(lsf && wsf),
+          "LSF window switching (short blocks) is off-scope this round")
         var blockType = 0
         val tables = new Array[Int](3)
         var region0 = 0; var region1 = 0
@@ -1108,7 +1169,9 @@ object Mp3Codec {
           tables(0) = si.read(5); tables(1) = si.read(5); tables(2) = si.read(5)
           region0 = si.read(4); region1 = si.read(3)
         }
-        val preflag = si.read(1)
+        // LSF has NO preflag bit — it is implied by scalefac_compress
+        // (the ≥500 branch of lsfSlens)
+        val preflag = if (lsf) lsfSlens(sfc)._3 else si.read(1)
         val sfScale = si.read(1)
         val c1A = si.read(1) == 0 // count1table_select: 0 = A, 1 = B
         Gc(part23, bigValues, gg, sfc, wsf, blockType, tables,
@@ -1116,7 +1179,7 @@ object Mp3Codec {
       }
       // scfsi only applies when BOTH granules of the channel are long
       var chS = 0
-      while (chS < nch) {
+      while (chS < nch && !lsf) {
         require(scfsi(chS) == 0 ||
           (gcs(0)(chS).blockType != 2 && gcs(1)(chS).blockType != 2),
           "scfsi with a short-block granule is forbidden by the spec")
@@ -1139,9 +1202,11 @@ object Mp3Codec {
       md.seek(startByteInRes.toLong * 8)
 
       val sfbEdges = SfbLong(sr)
-      val sfbS = SfbShort(sr)
+      // LSF short blocks refuse at side-info parse; the table is never
+      // consulted there (MPEG-1 rates only carry short layouts here)
+      val sfbS = SfbShort.getOrElse(sr, SfbShort(32000))
       var grI = 0
-      while (grI < 2) {
+      while (grI < gpf) {
         val xrs = Array.ofDim[Double](nch, 576) // Huffman (written) order
         val nzEnd = new Array[Int](nch)
         val sfLongCh = Array.ofDim[Int](nch, 22)
@@ -1150,7 +1215,10 @@ object Mp3Codec {
         while (ch < nch) {
           val gc = gcs(grI)(ch)
           val start = md.consumed
-          val s1 = Slen1(gc.sfc); val s2 = Slen2(gc.sfc)
+          // MPEG-1's 4-bit sfc indexes the slen pair tables; LSF's 9-bit
+          // sfc derives four slens via lsfSlens instead
+          val s1 = if (lsf) 0 else Slen1(gc.sfc)
+          val s2 = if (lsf) 0 else Slen2(gc.sfc)
           val isShort = gc.wsf && gc.blockType == 2
           // ---- scalefactors ----
           if (isShort) {
@@ -1161,6 +1229,20 @@ object Mp3Codec {
                 sfShortCh(ch)(b)(w) = md.read(if (b < 6) s1 else s2); w += 1
               }
               b += 1
+            }
+          } else if (lsf) {
+            // LSF long: four slens over four band groups (lsfSlens)
+            val (slens, groups, _) = lsfSlens(gc.sfc)
+            val sf = sfLongCh(ch)
+            var b = 0
+            var g = 0
+            while (g < 4) {
+              var k = 0
+              while (k < groups(g)) {
+                sf(b) = if (slens(g) > 0) md.read(slens(g)) else 0
+                b += 1; k += 1
+              }
+              g += 1
             }
           } else {
             val sf = sfLongCh(ch)

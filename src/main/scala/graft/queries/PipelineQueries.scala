@@ -963,8 +963,11 @@ object PipelineQueries {
     * big-values Huffman tables 2/3 (restated from ISO 11172-3 and
     * Kraft-validated in spec), the window-switching sequence
     * long→start→short→stop (three IMDCT-12s, reorder, subblock gains),
-    * count1 table A (the variable-length quadruple code), and
-    * `scalefac_scale` = 1. Golden VALUES (GoldenDump --q342) per the
+    * count1 table A (the variable-length quadruple code),
+    * `scalefac_scale` = 1, and — round 14's LSF landing — an MPEG-2
+    * 16 kHz stream (one granule per frame, 9-byte side info, the
+    * lsfSlens 9-bit scalefac_compress layout, the LSF sfb tables).
+    * Golden VALUES (GoldenDump --q342) per the
     * lossy-audio e2e discipline; the codec surfaces themselves are
     * round-trip- and hand-frame-gated in Mp3GeneralSpec (bit reservoir,
     * scfsi, preflag, intensity included). */
@@ -988,6 +991,7 @@ object PipelineQueries {
     """SELECT * FROM (VALUES
       |  ('mp3g_count1a.mp3', 'mp3g_count1a_0000s_0004s.wav', 'speech audio speech segment batch data clean', CAST(11056225 AS BIGINT), CAST(15 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mp3g_lr_mag2.mp3', 'mp3g_lr_mag2_0000s_0005s.wav', 'audio signal hello', CAST(11159885 AS BIGINT), CAST(2 AS BIGINT), CAST(431 AS BIGINT), FALSE),
+      |  ('mp3g_lsf16k.mp3', 'mp3g_lsf16k_0000s_0008s.wav', 'speech hello clean voice', CAST(9441142 AS BIGINT), CAST(119 AS BIGINT), CAST(438 AS BIGINT), FALSE),
       |  ('mp3g_ms.mp3', 'mp3g_ms_0000s_0008s.wav', 'quality speech signal hello speech', CAST(10636485 AS BIGINT), CAST(25 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mp3g_sfs1.mp3', 'mp3g_sfs1_0000s_0008s.wav', 'batch spark data world training', CAST(9920335 AS BIGINT), CAST(5 AS BIGINT), CAST(430 AS BIGINT), FALSE),
       |  ('mp3g_short.mp3', 'mp3g_short_0000s_0006s.wav', 'model spark data hello segment speech clean', CAST(9209753 AS BIGINT), CAST(3 AS BIGINT), CAST(433 AS BIGINT), FALSE)

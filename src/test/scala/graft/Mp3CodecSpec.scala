@@ -358,10 +358,11 @@ class Mp3CodecSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](Mp3Codec.decode(
       mut(c => c(1) = ((c(1) & ~0x06) | 0x06).toByte)))
     assert(e1.getMessage.contains("layer"))
-    // MPEG-2 (version bits 10)
+    // MPEG-2.5 (version bits 00) refuses with grounds; MPEG-2 (bits 10)
+    // now DECODES (the round-14 LSF profile), so the mutation targets 00
     val e2 = intercept[IllegalArgumentException](Mp3Codec.decode(
-      mut(c => c(1) = (c(1) & ~0x08).toByte)))
-    assert(e2.getMessage.contains("version"))
+      mut(c => c(1) = (c(1) & ~0x18).toByte)))
+    assert(e2.getMessage.contains("MPEG-2.5"))
     // free-format bitrate
     val e3 = intercept[IllegalArgumentException](Mp3Codec.decode(
       mut(c => c(2) = (c(2) & 0x0f).toByte)))

@@ -337,7 +337,63 @@ class Mp3GeneralSpec extends AnyFunSuite {
       s"is_pos=6 must hard-pan left (L $lPow vs R $rPow)")
   }
 
-  test("mixed_block_flag and LSF keep refusing by name") {
+  // ------------------------------------------------------ MPEG-2 LSF
+  test("LSF spec constants: sfb tables, slen derivation, bitrates") {
+    for (sr <- Seq(16000, 22050, 24000)) {
+      val t = Mp3Codec.SfbLong(sr)
+      assert(t.length == 23 && t.head == 0 && t.last == 576)
+      assert(t.sliding(2).forall(p => p(1) > p(0)), s"$sr not ascending")
+      assert(t.take(7).toSeq == Seq(0, 6, 12, 18, 24, 30, 36)) // 6-wide lows
+    }
+    // the encoder's sfc=399: slens (4,4,3,3) over (6,5,5,5), preflag 0 —
+    // the same per-band widths as MPEG-1's sfc=15
+    val (slens, groups, pre) = Mp3Codec.lsfSlens(399)
+    assert(slens.toSeq == Seq(4, 4, 3, 3) && groups.toSeq == Seq(6, 5, 5, 5)
+      && pre == 0)
+    assert(groups.sum == 21)
+    // the ≥500 branch implies preflag and covers 21 bands in two groups
+    val (_, g500, p500) = Mp3Codec.lsfSlens(503)
+    assert(p500 == 1 && g500.sum == 21)
+    val (_, g400, p400) = Mp3Codec.lsfSlens(450)
+    assert(p400 == 0 && g400.sum == 21)
+    assert(Mp3Codec.BitratesLsf(1) == 8 && Mp3Codec.BitratesLsf(14) == 160)
+  }
+
+  test("MPEG-2 LSF mono round-trips at all three rates (one granule/frame)") {
+    for (rate <- Seq(16000, 22050, 24000)) {
+      val pcm = sine(300.0, rate, 4000)
+      val mp3 = Mp3Codec.encodeEx(Seq(pcm), rate, EncOpts())
+      val (info, got) = Mp3Codec.decode(mp3)
+      assert(info.sampleRate == rate && info.channels == 1)
+      assert(got.length == 4000, s"$rate: got ${got.length}")
+      assert(corr(got, pcm) > 0.8, s"$rate correlation ${corr(got, pcm)}")
+    }
+  }
+
+  test("LSF M/S stereo and count1-A compose; WavCodec dispatches .mp3 LSF") {
+    val rate = 16000; val n = 4000
+    val l = sine(250.0, rate, n); val r = sine(410.0, rate, n, phase = 0.7)
+    val mp3 = Mp3Codec.encodeEx(Seq(l, r), rate,
+      EncOpts(stereoMode = 1, count1TableA = true))
+    val dec = graft.io.WavCodec.decode(mp3)
+    assert(dec.sampleRate == rate && dec.channels == 2)
+    val ch = deinterleave(dec.samples, 2)
+    assert(corr(ch(0), l) > 0.8 && corr(ch(1), r) > 0.8)
+  }
+
+  test("MPEG-2.5 refuses by name with grounds; LSF short blocks refuse") {
+    val mp3 = Mp3Codec.encodeEx(Seq(sine(300.0, 16000, 2000)), 16000, EncOpts())
+    // flip version bits 10 → 00 (MPEG-2.5)
+    val c = mp3.clone(); c(1) = (c(1) & ~0x10).toByte
+    val e = intercept[IllegalArgumentException](Mp3Codec.decode(c))
+    assert(e.getMessage.contains("MPEG-2.5"))
+    val e2 = intercept[IllegalArgumentException](
+      Mp3Codec.encodeEx(Seq(sine(300.0, 16000, 2000)), 16000,
+        EncOpts(shortBlocks = true)))
+    assert(e2.getMessage.contains("LSF"))
+  }
+
+  test("mixed_block_flag keeps refusing by name") {
     val e1 = intercept[IllegalArgumentException] {
       // wsf=1, block_type 2, mixed=1 in a hand frame
       val w = new Mp3Codec.MsbWriter
