@@ -1348,7 +1348,14 @@ object Mp3Codec {
               }
             }
           }
-          nzEnd(ch) = li
+          // the channel's zero part begins after the highest NONZERO
+          // line, not after the Huffman decode end — a table_select-0
+          // region decodes zeros inside the coded span, and ISO's
+          // intensity bound is "at or above the highest scalefactor
+          // band with a non-zero value" (round-14 review finding)
+          var nz = li
+          while (nz > 0 && ix(nz - 1) == 0) nz -= 1
+          nzEnd(ch) = nz
           // align to part2_3_length exactly (skips stuffing AND rewinds
           // a discarded straddling quadruple's overhang)
           md.seek(start + gc.part23)

@@ -374,48 +374,61 @@ object Multimodal {
     "av01" -> "AV1", "mp4a" -> "AAC audio",
     "ac-3" -> "Dolby AC-3 audio", "Opus" -> "Opus audio")
 
-  /** The first stsd sample-entry fourcc of the first track, when the
-    * bytes parse as ISO-BMFF. Never throws. */
-  private[graft] def mp4SampleEntry(bytes: Array[Byte]): Option[String] = {
-    try {
-      if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return None
-      def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
-        val out = Seq.newBuilder[(String, Long, Long)]
-        var off = start
-        var ok = true
-        while (ok && off + 8 <= end) {
-          val sz32 = u32be(bytes, off.toInt)
-          val id = fourcc(bytes, off.toInt + 4)
-          val (sz, hdr) =
-            if (sz32 == 1 && off + 16 <= end) (u64be(bytes, off.toInt + 8), 16L)
-            else if (sz32 == 0) (end - off, 8L)
-            else (sz32, 8L)
-          if (sz < hdr) ok = false
-          else { out += ((id, off + hdr, math.min(end, off + sz))); off += sz }
-        }
-        out.result()
-      }
-      def find(cs: Seq[(String, Long, Long)], id: String) = cs.find(_._1 == id)
-      for {
-        moov <- find(children(0, bytes.length.toLong), "moov")
-        trak <- find(children(moov._2, moov._3), "trak")
-        mdia <- find(children(trak._2, trak._3), "mdia")
-        minf <- find(children(mdia._2, mdia._3), "minf")
-        stbl <- find(children(minf._2, minf._3), "stbl")
-        stsd <- find(children(stbl._2, stbl._3), "stsd")
-        // stsd payload: version/flags (4) + entry_count (4), then entries
-        entry <- children(stsd._2 + 8, stsd._3).headOption
-      } yield entry._1
-    } catch { case _: Exception => None }
+  /** ISO-BMFF child-box walk of [start, end): (id, payloadStart,
+    * payloadEnd) per box. Shared by the tolerant and strict demux paths
+    * so clamps/fixes never diverge between them (round-14 review). */
+  private def bmffChildren(bytes: Array[Byte], start: Long, end: Long)
+      : Seq[(String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val sz32 = u32be(bytes, off.toInt)
+      val id = fourcc(bytes, off.toInt + 4)
+      val (sz, hdr) =
+        if (sz32 == 1 && off + 16 <= end) (u64be(bytes, off.toInt + 8), 16L)
+        else if (sz32 == 0) (end - off, 8L)
+        else (sz32, 8L)
+      if (sz < hdr) ok = false
+      else { out += ((id, off + hdr, math.min(end, off + sz))); off += sz }
+    }
+    out.result()
   }
 
+  private def bmffFind(cs: Seq[(String, Long, Long)], id: String) =
+    cs.find(_._1 == id)
+
+  /** The stsd sample-entry fourccs of EVERY track (first entry each) —
+    * a file whose first trak is a timecode/hint track must not smuggle
+    * its media track past the strict boundary. Never throws. */
+  private[graft] def mp4SampleEntries(bytes: Array[Byte]): Seq[String] = {
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return Nil
+      val n = bytes.length.toLong
+      for {
+        moov <- bmffFind(bmffChildren(bytes, 0, n), "moov").toSeq
+        trak <- bmffChildren(bytes, moov._2, moov._3).filter(_._1 == "trak")
+        mdia <- bmffFind(bmffChildren(bytes, trak._2, trak._3), "mdia").toSeq
+        minf <- bmffFind(bmffChildren(bytes, mdia._2, mdia._3), "minf").toSeq
+        stbl <- bmffFind(bmffChildren(bytes, minf._2, minf._3), "stbl").toSeq
+        stsd <- bmffFind(bmffChildren(bytes, stbl._2, stbl._3), "stsd").toSeq
+        // stsd payload: version/flags (4) + entry_count (4), then entries
+        entry <- bmffChildren(bytes, stsd._2 + 8, stsd._3).headOption.toSeq
+      } yield entry._1
+    } catch { case _: Exception => Nil }
+  }
+
+  /** The first track's stsd sample-entry fourcc, when present. */
+  private[graft] def mp4SampleEntry(bytes: Array[Byte]): Option[String] =
+    mp4SampleEntries(bytes).headOption
+
   /** Strict MP4 demux for decode paths: refuses foreign codecs BY NAME
-    * from the stsd sample entry (the AviMjpeg/Ogg boundary convention)
-    * instead of letting each sample fail an anonymous magic sniff.
-    * Unknown fourccs pass through — the per-sample sniff still guards
-    * them. */
+    * from ANY track's stsd sample entry (the AviMjpeg/Ogg boundary
+    * convention) instead of letting each sample fail an anonymous magic
+    * sniff. Unknown fourccs pass through — the per-sample sniff still
+    * guards them. */
   private[graft] def mp4SamplesStrict(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
-    mp4SampleEntry(bytes).foreach { cc =>
+    mp4SampleEntries(bytes).foreach { cc =>
       ForeignMp4Codecs.get(cc).foreach(name =>
         throw new IllegalArgumentException(
           s"MP4 sample entry '$cc' ($name) is off-scope — MJPEG 'jpeg' " +
@@ -427,25 +440,8 @@ object Multimodal {
   private[graft] def mp4Samples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
     try {
       if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return None
-      // (id, payloadStart, payloadEnd) for each child box of [start, end)
-      def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
-        val out = Seq.newBuilder[(String, Long, Long)]
-        var off = start
-        var ok = true
-        while (ok && off + 8 <= end) {
-          val sz32 = u32be(bytes, off.toInt)
-          val id = fourcc(bytes, off.toInt + 4)
-          val (sz, hdr) =
-            if (sz32 == 1 && off + 16 <= end) (u64be(bytes, off.toInt + 8), 16L)
-            else if (sz32 == 0) (end - off, 8L)
-            else (sz32, 8L)
-          if (sz < hdr) ok = false
-          else { out += ((id, off + hdr, math.min(end, off + sz))); off += sz }
-        }
-        out.result()
-      }
-      def find(cs: Seq[(String, Long, Long)], id: String): Option[(String, Long, Long)] =
-        cs.find(_._1 == id)
+      def children(start: Long, end: Long) = bmffChildren(bytes, start, end)
+      def find(cs: Seq[(String, Long, Long)], id: String) = bmffFind(cs, id)
       val stblOpt = for {
         moov <- find(children(0, bytes.length.toLong), "moov")
         trak <- find(children(moov._2, moov._3), "trak")

@@ -348,7 +348,6 @@ object PipelineQueries {
         withinMinutes = 5,
         queryName = s"graft_q179_${java.lang.Integer.toHexString(d.hashCode)}",
         preFilter = Some(s"unix_micros(a_ts) <= ${cutoffUs}L"))
-      .filter(unix_micros(col("a_ts")) <= cutoffUs)
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
               unix_micros(col("a_ts")).as("a_ts_us"),
               unix_micros(col("b_ts")).as("b_ts_us"))

@@ -181,7 +181,8 @@ object Streaming {
       }
       finally q.stop()
     import scala.jdk.CollectionConverters._
-    (spark.createDataFrame(buf.toList.asJava, schema), progress)
+    // asJava view over the buffer — no second copy of a near-cap result
+    (spark.createDataFrame(buf.asJava, schema), progress)
   }
 
   // ------------------------------------------------------------------

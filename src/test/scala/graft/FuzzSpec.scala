@@ -235,12 +235,20 @@ class FuzzSpec extends AnyFunSuite {
       graft.io.Mp3Codec.encode(sine(2000), 48000),
       Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 16) ++
         new Array[Byte](16) ++ graft.io.Mp3Codec.encode(sine(2500), 44100))
-    def drive(bytes: Array[Byte]): Unit =
-      try {
-        val (info, pcm) = graft.io.Mp3Codec.decode(bytes)
+    def drive(bytes: Array[Byte]): Unit = {
+      // decode either throws (Exception only) or returns; the bound
+      // check runs OUTSIDE the catch — a swallowed TestFailedException
+      // would silently unenforce the allocation guard (round-14 review)
+      val ok =
+        try Some(graft.io.Mp3Codec.decode(bytes))
+        catch { case _: Exception => None }
+      ok.foreach { case (info, pcm) =>
         assert(info.frames > 0)
-        assert(pcm.length <= info.frames * 1152)
-      } catch { case _: Exception => () }
+        // stereo decodes interleave two channels; LSF frames carry one
+        // granule (576) but frames*1152 still bounds them
+        assert(pcm.length <= info.frames * 1152 * info.channels)
+      }
+    }
     fixtures.foreach { fx =>
       val mutated = for {
         cut <- Gen.chooseNum(2, fx.length)

@@ -85,6 +85,28 @@ class Mp4MjpegSpec extends AnyFunSuite {
       Mp4Mjpeg.mux(Vector(jpg), Seq(1))).contains("jpeg"))
   }
 
+  test("strict demux inspects EVERY trak: a timecode-first file cannot " +
+       "smuggle its avc1 media track past the boundary") {
+    // minimal two-trak ISO-BMFF: ftyp + moov(trak(tmcd), trak(avc1)) —
+    // no sample tables needed; the strict check reads only the stsd
+    // entries, which is the point (refusal BEFORE any demux work)
+    def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(id: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8L + body.length) ++ id.getBytes("ASCII") ++ body
+    }
+    def trakOf(cc: String): Array[Byte] =
+      box("trak", box("mdia", box("minf", box("stbl",
+        box("stsd", be32(0), be32(1), box(cc, new Array[Byte](8)))))))
+    val mp4 = box("ftyp", "isom".getBytes("ASCII"), be32(0)) ++
+      box("moov", trakOf("tmcd"), trakOf("avc1"))
+    assert(Multimodal.mp4SampleEntries(mp4) == Seq("tmcd", "avc1"))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.mp4SamplesStrict(mp4))
+    assert(e.getMessage.contains("'avc1'"))
+  }
+
   test("mux validates its inputs") {
     intercept[IllegalArgumentException](Mp4Mjpeg.mux(Vector.empty, Seq.empty))
     intercept[IllegalArgumentException](Mp4Mjpeg.mux(frames(3), Seq(2, 2)))
