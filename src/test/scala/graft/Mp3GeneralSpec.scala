@@ -337,6 +337,49 @@ class Mp3GeneralSpec extends AnyFunSuite {
       s"is_pos=6 must hard-pan left (L $lPow vs R $rPow)")
   }
 
+  test("intensity bound is trailing-zero based: zero-mag quads inside the " +
+       "right channel's coded span do not push the boundary up") {
+    // two frames differing only in the RIGHT channel's part2_3_length:
+    // one codes nothing, the other codes two all-zero count1-B quads
+    // ("1111" twice — li advances to 8, values all zero). ISO puts the
+    // intensity region at/above the highest NONZERO line, so both must
+    // decode identically; a Huffman-end bound would skip bands 0-7.
+    def jointFrame(rightZeroQuads: Int): Array[Byte] = {
+      val w = new Mp3Codec.MsbWriter
+      w.write(0x7FF, 11); w.write(3, 2); w.write(1, 2); w.write(1, 1)
+      w.write(14, 4); w.write(2, 2)
+      w.write(0, 1); w.write(0, 1)
+      w.write(1, 2) // joint stereo
+      w.write(1, 2) // intensity on, M/S off
+      w.write(0, 1); w.write(0, 1); w.write(0, 2)
+      w.write(0, 9); w.write(0, 3)
+      w.write(0, 4); w.write(0, 4)
+      def granule(p23: Int): Unit = {
+        w.write(p23, 12); w.write(0, 9); w.write(210, 8); w.write(15, 4)
+        w.write(0, 1); (0 until 3).foreach(_ => w.write(0, 5))
+        w.write(0, 4); w.write(0, 3)
+        w.write(0, 1); w.write(0, 1); w.write(1, 1)
+      }
+      granule(80); granule(74 + 4 * rightZeroQuads) // g0 ch0, ch1
+      granule(74); granule(74)                      // g1 empty
+      def sfs(v: Int): Unit = {
+        (0 until 11).foreach(_ => w.write(v, 4))
+        (11 until 21).foreach(_ => w.write(math.min(v, 7), 3))
+      }
+      sfs(0); Seq(0, 0, 1, 1, 0, 0).foreach(b => w.write(b, 1)) // ch0: one quad
+      sfs(3); (0 until rightZeroQuads).foreach(_ => w.write(0xF, 4)) // ch1
+      sfs(0); sfs(0)
+      val body = w.toBytes
+      val frameLen = 144 * 320000 / 32000
+      body ++ new Array[Byte](frameLen - body.length)
+    }
+    val (_, a) = Mp3Codec.decode(jointFrame(0))
+    val (_, b) = Mp3Codec.decode(jointFrame(2))
+    assert(a.exists(v => math.abs(v) > 1e-5))
+    assert(java.util.Arrays.equals(a, b),
+      "zero-valued coded lines must not move the intensity boundary")
+  }
+
   // ------------------------------------------------------ MPEG-2 LSF
   test("LSF spec constants: sfb tables, slen derivation, bitrates") {
     for (sr <- Seq(16000, 22050, 24000)) {
