@@ -746,7 +746,103 @@ object LlmOps {
       |FROM it WHERE doc_id >= 0 AND k = 8
       |ORDER BY face, k, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q343
+  /** CCNet-style LM QUALITY BUCKETING (round 14; Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): the curation step q112's in-corpus fluency score cannot
+    * express — a language model trained on a REFERENCE slice scores the
+    * whole corpus, including text the model has never seen, and fixed
+    * perplexity cutoffs bucket documents head/middle/tail. Three things
+    * are new vs q112: (1) HELD-OUT training (the doc_id%5=0 slice is the
+    * "Wikipedia" stand-in; 4/5 of the corpus is out-of-sample), so the
+    * smoothing path is genuinely exercised; (2) add-one SMOOTHING over
+    * the reference vocabulary V — unseen contexts and unseen pairs get
+    * finite surprisal instead of being silently dropped by an inner
+    * join; (3) SURPRISAL in whole bits: per bigram,
+    * bits = ⌊log2(C(p)+V)⌋ − ⌊log2(C(p,w)+1)⌋, computed as
+    * length(bin(x))−1 — INTEGER-EXACT in both engines (no
+    * transcendental, no float divergence), the repo's cross-engine
+    * discipline applied to a log-domain quantity. Buckets use FIXED
+    * cutoffs (CCNet's production shape — per-corpus constants, not a
+    * global sort): bits_ppm < 4.61M → head, < 4.75M → middle, else
+    * tail (calibrated once on the sf0.01 distribution — terciles
+    * 4.61M/4.71M — and FROZEN, the way CCNet freezes per-language
+    * cutoffs from a calibration run).
+    * Scale shape: the model tables are vocabulary-bounded and broadcast;
+    * the two training aggregations carry map-side partial agg; scoring
+    * is per-row after the broadcast joins — no global ordering anywhere. */
+  private val Q343HeadCut = 4610000L
+  private val Q343TailCut = 4750000L
+  def q343(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        "filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '), x -> x <> '')")
+        .as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> struct(x AS p, element_at(ws, i + 2) AS w))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.w").as("w"))
+    val ref = bigrams.filter(col("doc_id") % 5 === 0)
+    val pc = ref.groupBy(col("p"), col("w")).agg(count(lit(1)).as("cpw"))
+    val cc = ref.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    // |V| of the reference slice: one scalar to the driver (model
+    // metadata, like q59's codebook)
+    val v = docs.filter(col("doc_id") % 5 === 0)
+      .select(explode(col("ws")).as("w")).agg(countDistinct(col("w")))
+      .head().getLong(0)
+    bigrams
+      .join(broadcast(pc), Seq("p", "w"), "left")
+      .join(broadcast(cc), Seq("p"), "left")
+      .withColumn("bits", expr(
+        s"(length(bin(coalesce(cp, 0L) + ${v}L)) - 1) - " +
+          "(length(bin(coalesce(cpw, 0L) + 1L)) - 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .withColumn("bits_ppm", expr("total_bits * 1000000L div n_bigrams"))
+      .withColumn("bucket",
+        when(col("bits_ppm") < Q343HeadCut, "head")
+          .when(col("bits_ppm") < Q343TailCut, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        col("bits_ppm"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+  val q343Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    x -> x <> '') AS ws
+       |  FROM documents),
+       |d AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+       |bg AS (
+       |  SELECT doc_id, ws[t.i] AS p, ws[t.i+1] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d) t),
+       |pc AS (SELECT p, w2, COUNT(*) AS cpw FROM bg WHERE doc_id % 5 = 0
+       |       GROUP BY 1, 2),
+       |cc AS (SELECT p, COUNT(*) AS cp FROM bg WHERE doc_id % 5 = 0
+       |       GROUP BY 1),
+       |v AS (SELECT COUNT(DISTINCT u.x) AS vv
+       |      FROM (SELECT unnest(ws) AS x FROM d WHERE doc_id % 5 = 0) u),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    (LENGTH(bin(COALESCE(cc.cp, 0) + v.vv)) - 1)
+       |      - (LENGTH(bin(COALESCE(pc.cpw, 0) + 1)) - 1) AS bits
+       |  FROM bg CROSS JOIN v
+       |  LEFT JOIN pc ON pc.p = bg.p AND pc.w2 = bg.w2
+       |  LEFT JOIN cc ON cc.p = bg.p),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS total_bits
+       |        FROM sc GROUP BY 1)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(total_bits AS BIGINT) AS total_bits,
+       |  CAST(total_bits * 1000000 // n_bigrams AS BIGINT) AS bits_ppm,
+       |  CASE WHEN total_bits * 1000000 // n_bigrams < $Q343HeadCut THEN 'head'
+       |       WHEN total_bits * 1000000 // n_bigrams < $Q343TailCut THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q343_ccnet_lm_buckets"  -> ((q343 _, Some(q343Sql))),
     "q332_bpe_trainer"       -> ((q332 _, Some(q332Sql))),
     "q112_bigram_lm_score"   -> ((q112 _, Some(q112Sql))),
     "q88_decontaminate"      -> ((q88 _, Some(q88Sql))),

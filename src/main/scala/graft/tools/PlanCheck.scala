@@ -178,6 +178,13 @@ object PlanCheck {
     check("q88_decontaminate", "eval fps + hit rollup broadcast, corpus never SMJ'd")(p =>
       "BroadcastHashJoin".r.findAllIn(p).size == 2 &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // q343: the vocabulary-bounded model tables (pair + context counts)
+    // broadcast onto the corpus bigram stream; the corpus itself is never
+    // sort-merge-joined, and the bucketing is per-row (no global window)
+    check("q343_ccnet_lm_buckets", "LM tables broadcast; corpus never SMJ'd; no global sort window")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size == 2 &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("Window "))
     // q89/q90/q91: the rank filter must become a partial bounded heap so
     // each map partition keeps only its top-k BEFORE the stratum shuffle —
     // WindowTopKRewrite subsumes Spark's sort-based WindowGroupLimit here,
