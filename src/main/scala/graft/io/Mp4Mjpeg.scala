@@ -42,10 +42,14 @@ object Mp4Mjpeg {
 
   /** `sampleEntry` is the stsd sample-entry fourcc — 'jpeg' for this
     * muxer's real output; spec fixtures pass foreign fourccs (avc1,
-    * mp4a, …) to pin the demuxer's named refusals. */
+    * mp4a, …) to pin the demuxer's named refusals. `preTraks` /
+    * `postTraks` add stsd-only side tracks (timecode, audio) around the
+    * media track — the multi-trak shapes real files carry. */
   def mux(samples: Seq[Array[Byte]], chunkSizes: Seq[Int],
           timescale: Int = 600, sampleDelta: Int = 25,
-          sampleEntry: String = "jpeg"): Array[Byte] = {
+          sampleEntry: String = "jpeg",
+          preTraks: Seq[String] = Nil,
+          postTraks: Seq[String] = Nil): Array[Byte] = {
     require(samples.nonEmpty, "mux of zero samples")
     require(chunkSizes.nonEmpty && chunkSizes.forall(_ > 0) &&
       chunkSizes.sum == samples.length,
@@ -72,9 +76,18 @@ object Mp4Mjpeg {
     def stcoWith(offsets: Seq[Long]): Array[Byte] =
       box("stco", be32(0), be32(offsets.length.toLong),
         offsets.toArray.flatMap(be32))
+    // stsd-only side tracks: a sample-description but no sample tables
+    // (the shape of timecode/hint tracks and of audio tracks whose
+    // payload this muxer does not carry)
+    def sideTrak(cc: String): Array[Byte] =
+      box("trak", box("mdia", box("minf", box("stbl",
+        box("stsd", be32(0), be32(1),
+          box(cc, new Array[Byte](6), Array[Byte](0, 1), new Array[Byte](20)))))))
     def moovWith(offsets: Seq[Long]): Array[Byte] =
-      box("moov", mvhd, box("trak", box("mdia", box("minf",
-        box("stbl", stsd, stts, stsz, stsc, stcoWith(offsets))))))
+      box("moov", (Seq(mvhd) ++ preTraks.map(sideTrak) ++
+        Seq(box("trak", box("mdia", box("minf",
+          box("stbl", stsd, stts, stsz, stsc, stcoWith(offsets)))))) ++
+        postTraks.map(sideTrak)): _*)
     // stco holds ABSOLUTE file offsets; the moov length does not depend
     // on their values, so build once with zeros to learn where mdat's
     // payload starts, then rebuild with the real offsets

@@ -367,12 +367,16 @@ object Multimodal {
     * H.264+AAC; this engine decodes only MJPEG ('jpeg') sample entries,
     * and the STRICT demux refuses these BY NAME instead of letting the
     * per-sample magic sniff fail anonymously. */
-  private[graft] val ForeignMp4Codecs: Map[String, String] = Map(
+  private[graft] val ForeignMp4Video: Map[String, String] = Map(
     "avc1" -> "H.264/AVC", "avc3" -> "H.264/AVC",
     "hvc1" -> "H.265/HEVC", "hev1" -> "H.265/HEVC",
     "mp4v" -> "MPEG-4 Part 2 video", "vp08" -> "VP8", "vp09" -> "VP9",
-    "av01" -> "AV1", "mp4a" -> "AAC audio",
-    "ac-3" -> "Dolby AC-3 audio", "Opus" -> "Opus audio")
+    "av01" -> "AV1")
+  private[graft] val ForeignMp4Audio: Map[String, String] = Map(
+    "mp4a" -> "AAC audio", "ac-3" -> "Dolby AC-3 audio",
+    "Opus" -> "Opus audio")
+  private[graft] val ForeignMp4Codecs: Map[String, String] =
+    ForeignMp4Video ++ ForeignMp4Audio
 
   /** ISO-BMFF child-box walk of [start, end): (id, payloadStart,
     * payloadEnd) per box. Shared by the tolerant and strict demux paths
@@ -422,17 +426,29 @@ object Multimodal {
   private[graft] def mp4SampleEntry(bytes: Array[Byte]): Option[String] =
     mp4SampleEntries(bytes).headOption
 
-  /** Strict MP4 demux for decode paths: refuses foreign codecs BY NAME
-    * from ANY track's stsd sample entry (the AviMjpeg/Ogg boundary
-    * convention) instead of letting each sample fail an anonymous magic
-    * sniff. Unknown fourccs pass through — the per-sample sniff still
-    * guards them. */
+  /** Strict MP4 demux for decode paths — the AviMjpeg/Ogg named-refusal
+    * convention, aligned with what [[mp4Samples]] actually demuxes (the
+    * first 'jpeg' trak, else the first trak):
+    *  - the DEMUXED trak's entry is a known foreign codec → refuse by
+    *    name (video or audio — an audio-led MP4 is not our media shape);
+    *  - no 'jpeg' trak exists and ANY trak carries foreign VIDEO →
+    *    refuse by that name (a timecode-first file must not smuggle its
+    *    avc1 media track into an anonymous per-sample sniff failure);
+    *  - a 'jpeg' trak with an mp4a/ac-3 AUDIO side-track passes — real
+    *    MJPEG corpora routinely mux audio, and the demux never touches
+    *    it (round-14 second-pass review);
+    *  - unknown fourccs pass through — the per-sample sniff guards them. */
   private[graft] def mp4SamplesStrict(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
-    mp4SampleEntries(bytes).foreach { cc =>
-      ForeignMp4Codecs.get(cc).foreach(name =>
-        throw new IllegalArgumentException(
-          s"MP4 sample entry '$cc' ($name) is off-scope — MJPEG 'jpeg' " +
-            "sample entries only"))
+    val entries = mp4SampleEntries(bytes)
+    val demuxed = entries.find(_ == "jpeg").orElse(entries.headOption)
+    def refuse(cc: String, name: String): Nothing =
+      throw new IllegalArgumentException(
+        s"MP4 sample entry '$cc' ($name) is off-scope — MJPEG 'jpeg' " +
+          "sample entries only")
+    demuxed.foreach { cc =>
+      ForeignMp4Codecs.get(cc).foreach(refuse(cc, _))
+      if (cc != "jpeg")
+        entries.foreach(e => ForeignMp4Video.get(e).foreach(refuse(e, _)))
     }
     mp4Samples(bytes)
   }
@@ -442,13 +458,27 @@ object Multimodal {
       if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") return None
       def children(start: Long, end: Long) = bmffChildren(bytes, start, end)
       def find(cs: Seq[(String, Long, Long)], id: String) = bmffFind(cs, id)
+      // prefer the first trak whose stsd entry is 'jpeg' — a file led by
+      // a timecode/hint track must still demux its decodable media track
+      // (round-14 second-pass review); fall back to the first trak
+      def stblOf(trak: (String, Long, Long)): Option[Seq[(String, Long, Long)]] =
+        for {
+          mdia <- find(children(trak._2, trak._3), "mdia")
+          minf <- find(children(mdia._2, mdia._3), "minf")
+          stbl <- find(children(minf._2, minf._3), "stbl")
+        } yield children(stbl._2, stbl._3)
+      def entryOf(stblCs: Seq[(String, Long, Long)]): Option[String] =
+        for {
+          stsd <- find(stblCs, "stsd")
+          entry <- children(stsd._2 + 8, stsd._3).headOption
+        } yield entry._1
       val stblOpt = for {
         moov <- find(children(0, bytes.length.toLong), "moov")
-        trak <- find(children(moov._2, moov._3), "trak")
-        mdia <- find(children(trak._2, trak._3), "mdia")
-        minf <- find(children(mdia._2, mdia._3), "minf")
-        stbl <- find(children(minf._2, minf._3), "stbl")
-      } yield children(stbl._2, stbl._3)
+        traks = children(moov._2, moov._3).filter(_._1 == "trak")
+        stbls = traks.flatMap(t => stblOf(t))
+        chosen <- stbls.find(cs => entryOf(cs).contains("jpeg"))
+          .orElse(stbls.headOption)
+      } yield chosen
       stblOpt.flatMap { cs =>
         for {
           stsz <- find(cs, "stsz")

@@ -764,10 +764,14 @@ object LlmOps {
     * transcendental, no float divergence), the repo's cross-engine
     * discipline applied to a log-domain quantity. Buckets use FIXED
     * cutoffs (CCNet's production shape — per-corpus constants, not a
-    * global sort): bits_ppm < 4.61M → head, < 4.75M → middle, else
-    * tail (calibrated once on the sf0.01 distribution — terciles
-    * 4.61M/4.71M — and FROZEN, the way CCNet freezes per-language
-    * cutoffs from a calibration run).
+    * global sort): bits_ppm below Q343HeadCut → head, below
+    * Q343TailCut → middle, else tail — round constants chosen NEAR the
+    * sf0.01 terciles of a calibration run and then FROZEN, the way
+    * CCNet freezes per-language cutoffs (the constants are the source
+    * of truth; the terciles only guided their choice). Tokenization
+    * splits on runs of NON-LETTERS (every non-[a-z] run becomes one
+    * separator), so newlines/tabs/punctuation never merge adjacent
+    * words into phantom tokens.
     * Scale shape: the model tables are vocabulary-bounded and broadcast;
     * the two training aggregations carry map-side partial agg; scoring
     * is per-row after the broadcast joins — no global ordering anywhere. */
@@ -776,7 +780,7 @@ object LlmOps {
   def q343(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), expr(
-        "filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '), x -> x <> '')")
+        "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '), x -> x <> '')")
         .as("ws"))
       .filter(size(col("ws")) >= 2)
     val bigrams = docs.select(col("doc_id"), explode(expr(
@@ -811,7 +815,7 @@ object LlmOps {
   val q343Sql: String =
     s"""WITH w AS (
        |  SELECT doc_id, list_filter(string_split(
-       |    regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
        |    x -> x <> '') AS ws
        |  FROM documents),
        |d AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),

@@ -107,6 +107,33 @@ class Mp4MjpegSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'avc1'"))
   }
 
+  test("a 'jpeg' media track with an mp4a AUDIO side-track passes strict " +
+       "(real MJPEG corpora mux audio; the demux never touches it)") {
+    val fs = frames(2)
+    val mp4 = Mp4Mjpeg.mux(fs, Seq(2), postTraks = Seq("mp4a"))
+    assert(Multimodal.mp4SampleEntries(mp4) == Seq("jpeg", "mp4a"))
+    val got = Multimodal.mp4SamplesStrict(mp4).get
+    assert(got.length == 2 && java.util.Arrays.equals(got.head, fs.head))
+    // but an AUDIO-LED file (first/chosen trak is mp4a) refuses by name
+    val audioLed = Mp4Mjpeg.mux(fs, Seq(2), sampleEntry = "mp4a")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.mp4SamplesStrict(audioLed))
+    assert(e.getMessage.contains("'mp4a'"))
+  }
+
+  test("a timecode-FIRST file demuxes its 'jpeg' media track (the demux " +
+       "prefers the jpeg trak, not blindly trak 1)") {
+    val fs = frames(3)
+    val mp4 = Mp4Mjpeg.mux(fs, Seq(2, 1), preTraks = Seq("tmcd"))
+    assert(Multimodal.mp4SampleEntries(mp4) == Seq("tmcd", "jpeg"))
+    val got = Multimodal.mp4SamplesStrict(mp4).get
+    assert(got.length == 3)
+    fs.indices.foreach(i => assert(java.util.Arrays.equals(got(i), fs(i))))
+    // and the decoded pixels are intact through the preferred-trak path
+    val dec = JpegCodec.decode(got.head)
+    assert(dec.width > 0 && dec.height > 0)
+  }
+
   test("mux validates its inputs") {
     intercept[IllegalArgumentException](Mp4Mjpeg.mux(Vector.empty, Seq.empty))
     intercept[IllegalArgumentException](Mp4Mjpeg.mux(frames(3), Seq(2, 2)))
