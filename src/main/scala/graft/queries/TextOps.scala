@@ -1019,6 +1019,58 @@ object TextOps {
       |FROM documents d, range(1, 11) t(k)
       |ORDER BY d.doc_id, t.k""".stripMargin
 
+  // ---------------------------------------------------------------- q344
+  /** UNICODE NFKC NORMALIZATION (round 14, [[graft.ops.UnicodeNorm]]):
+    * the text-cleaning step between charset decode (q341) and
+    * tokenization — web text carries decomposed accents, compatibility
+    * ligatures/fullwidth forms, NBSP, superscripts, and INVISIBLE
+    * formatting characters (zero-width space/joiners, BOM, soft
+    * hyphen); a tokenizer that sees both `fi`-ligature and `fi`, or a
+    * dedup pass that sees a zero-width space inside one copy of a
+    * sentence, fragments on byte identity the reader cannot even see.
+    * Five byte shapes per doc (id%5): pure ASCII (idempotent), NFD
+    * decomposed accents (→ composed NFC), ligature + fullwidth
+    * (compatibility-folded), zero-width space + soft hyphen (stripped),
+    * NBSP + superscript (space + digit). The oracle states the
+    * normalized TEXT closed-form via chr() codepoints — any slip in
+    * composition, folding, or the strip set breaks the hash. */
+  def q344(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val digit = (id % 10).toString
+        val raw = (id % 5) match {
+          case 0 => s"plain text $digit"
+          case 1 => "cafe\u0301 re\u0301sume\u0301 " + digit // NFD accents
+          case 2 => "\uFB01ne \uFF38ray " + digit // ligature fi, fullwidth X
+          case 3 => s"zero\u200Bwidth soft\u00ADhyphen $digit"
+          case _ => s"non\u00A0breaking x\u00B2 $digit" // NBSP, superscript 2
+        }
+        val out = graft.ops.UnicodeNorm.nfkcClean(raw)
+        (id, raw.codePointCount(0, raw.length).toLong,
+          out.codePointCount(0, out.length).toLong, out, out != raw)
+      }
+      .toDF("doc_id", "n_in_cp", "n_out_cp", "text", "changed")
+      .orderBy(col("doc_id"))
+  }
+  val q344Sql: String =
+    """SELECT doc_id, CAST(n_in AS BIGINT) AS n_in_cp,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_out_cp, text, changed FROM (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id%5 AS INT)
+      |      WHEN 0 THEN 12 WHEN 1 THEN 16 WHEN 2 THEN 10
+      |      WHEN 3 THEN 24 ELSE 17 END AS n_in,
+      |    CASE CAST(doc_id%5 AS INT)
+      |      WHEN 0 THEN 'plain text ' || CAST(doc_id%10 AS VARCHAR)
+      |      WHEN 1 THEN 'caf' || chr(233) || ' r' || chr(233) || 'sum'
+      |                  || chr(233) || ' ' || CAST(doc_id%10 AS VARCHAR)
+      |      WHEN 2 THEN 'fine Xray ' || CAST(doc_id%10 AS VARCHAR)
+      |      WHEN 3 THEN 'zerowidth softhyphen ' || CAST(doc_id%10 AS VARCHAR)
+      |      ELSE 'non breaking x2 ' || CAST(doc_id%10 AS VARCHAR) END AS text,
+      |    (doc_id%5 <> 0) AS changed
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q341
   /** CHARSET DETECTION (round 13, [[graft.ops.CharsetDetect]]): the
     * step between fetched BYTES (WARC bodies, q337) and text
@@ -1071,6 +1123,7 @@ object TextOps {
 
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
+    "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),
     "q338_c4_cleaning_rules" -> ((q338 _, Some(q338Sql))),
