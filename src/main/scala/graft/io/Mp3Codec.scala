@@ -1209,6 +1209,11 @@ object Mp3Codec {
       while (grI < gpf) {
         val xrs = Array.ofDim[Double](nch, 576) // Huffman (written) order
         val nzEnd = new Array[Int](nch)
+        // per-window intensity bound for short blocks: 1 + the highest
+        // scalefactor band with a nonzero right-channel line in THAT
+        // window (ISO 11172-3 derives the zero-part boundary per short
+        // window, not granule-wide — round-15 advice fix)
+        val nzBandW = Array.ofDim[Int](nch, 3)
         val sfLongCh = Array.ofDim[Int](nch, 22)
         val sfShortCh = Array.ofDim[Int](nch, 13, 3)
         var ch = 0
@@ -1356,6 +1361,25 @@ object Mp3Codec {
           var nz = li
           while (nz > 0 && ix(nz - 1) == 0) nz -= 1
           nzEnd(ch) = nz
+          if (isShort) {
+            // written order groups lines band-major: band b window w
+            // occupies [3·sfbS(b) + w·len, …+len)
+            var bb = 0
+            while (bb < 13) {
+              val len = sfbS(bb + 1) - sfbS(bb)
+              var w = 0
+              while (w < 3) {
+                val lo = 3 * sfbS(bb) + w * len
+                var k = 0
+                while (k < len) {
+                  if (ix(lo + k) != 0) { nzBandW(ch)(w) = bb + 1; k = len }
+                  else k += 1
+                }
+                w += 1
+              }
+              bb += 1
+            }
+          }
           // align to part2_3_length exactly (skips stuffing AND rewinds
           // a discarded straddling quadruple's overhang)
           md.seek(start + gc.part23)
@@ -1420,7 +1444,13 @@ object Mp3Codec {
             }
           }
           // intensity applies to the bands at/above the RIGHT channel's
-          // zero part; is_pos rides the right channel's scalefactor
+          // zero part; is_pos rides the right channel's scalefactor.
+          // Long blocks test the line index against the granule-wide
+          // zero-part start; short blocks test the band against the
+          // PER-WINDOW bound (ISO 11172-3 derives the boundary per
+          // window — round-15 advice fix: a right channel with content
+          // in only one window no longer suppresses intensity in the
+          // lower bands of the other two windows).
           val istart = if (intensityOn) nzEnd(1) else 576
           val ranges: Seq[(Int, Int, Int, Int)] =
             if (isShort)
@@ -1430,13 +1460,23 @@ object Mp3Codec {
               }
             else (0 until 22).map(b => (sfbEdges(b), sfbEdges(b + 1), b, -1))
           ranges.foreach { case (lo, hi, b, w) =>
-            if (intensityOn && lo >= istart) {
+            val inIntensityRegion =
+              if (isShort) intensityOn && b >= nzBandW(1)(w)
+              else intensityOn && lo >= istart
+            if (inIntensityRegion) {
               // the last band carries no scalefactor: ISO assigns it the
               // previous band's is_pos
               val isPos =
                 if (isShort) sfShortCh(1)(math.min(b, 11))(w)
                 else sfLongCh(1)(math.min(b, 20))
-              if (isPos != 7) {
+              if (isPos == 6) {
+                // tan(6·π/12) = tan(π/2) is a pole: the limit of the
+                // ratio split is an exact full-left hard pan — write
+                // exact zeros right instead of riding Math.PI rounding
+                // through a ~1.6e16 tan (round-15 advice fix)
+                var i = lo
+                while (i < hi) { xrs(1)(i) = 0.0; i += 1 }
+              } else if (isPos != 7) {
                 val ratio = math.tan(isPos * math.Pi / 12.0)
                 var i = lo
                 while (i < hi) {

@@ -157,11 +157,17 @@ object Streaming {
     val schema = pre(stream).schema
     val q = stream.writeStream.outputMode("append").queryName(queryName)
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val batch = pre(df).limit(cap + 1 - buf.length).collect()
-        require(buf.length + batch.length <= cap,
-          s"bounded drive '$queryName' exceeds $cap rows — a row-level " +
-            "verification face; use the census/foreachBatch shape at scale")
-        buf ++= batch
+        // toLocalIterator holds at most one partition's rows in transit,
+        // so the budget refusal below fires BEFORE a cap-sized array is
+        // ever allocated on the driver (round-15 advice fix — a single
+        // .collect() could transiently spike to the full 10M-row cap)
+        val it = pre(df).limit(cap + 1 - buf.length).toLocalIterator()
+        while (it.hasNext) {
+          buf += it.next()
+          require(buf.length <= cap,
+            s"bounded drive '$queryName' exceeds $cap rows — a row-level " +
+              "verification face; use the census/foreachBatch shape at scale")
+        }
         ()
       }
       .start()

@@ -380,6 +380,73 @@ class Mp3GeneralSpec extends AnyFunSuite {
       "zero-valued coded lines must not move the intensity boundary")
   }
 
+  test("short-block intensity bound is PER WINDOW: right content in window 2 " +
+       "must not suppress intensity in windows 0/1 (ISO 11172-3)") {
+    // g0 both channels SHORT. Left codes ±1 at lines 0-7 (band 0, windows
+    // 0 and 1); right codes lines 8-11 (band 0, window 2 ONLY) in frame A
+    // and nothing in frame B. is_pos = 3 in every right-channel band
+    // (tan(π/4) = 1 → exact equal split). A granule-wide bound would see
+    // the right channel's nzEnd at line 12 and skip intensity for windows
+    // 0/1 of band 0; the per-window bound applies it there and leaves
+    // window 2 untouched — so the LEFT output of A and B must be
+    // bit-identical, while A's right keeps its own window-2 content.
+    def jointShortFrame(rightHasWin2: Boolean): Array[Byte] = {
+      val w = new Mp3Codec.MsbWriter
+      w.write(0x7FF, 11); w.write(3, 2); w.write(1, 2); w.write(1, 1)
+      w.write(14, 4); w.write(2, 2) // 320 kbps, 32 kHz
+      w.write(0, 1); w.write(0, 1)
+      w.write(1, 2) // mode: joint stereo
+      w.write(1, 2) // mode_extension: intensity on, M/S off
+      w.write(0, 1); w.write(0, 1); w.write(0, 2)
+      w.write(0, 9); w.write(0, 3) // main_data_begin, private bits
+      w.write(0, 4); w.write(0, 4) // scfsi (must be 0 with short blocks)
+      def shortGranule(p23: Int, sfc: Int): Unit = {
+        w.write(p23, 12); w.write(0, 9); w.write(210, 8); w.write(sfc, 4)
+        w.write(1, 1) // window_switching_flag
+        w.write(2, 2) // block_type 2 (short)
+        w.write(0, 1) // mixed off
+        w.write(0, 5); w.write(0, 5)                // table_select ×2
+        w.write(0, 3); w.write(0, 3); w.write(0, 3) // subblock_gain
+        w.write(0, 1); w.write(0, 1); w.write(1, 1) // preflag, sfscale, count1 B
+      }
+      def longGranule(p23: Int): Unit = {
+        w.write(p23, 12); w.write(0, 9); w.write(210, 8); w.write(0, 4)
+        w.write(0, 1) // wsf = 0: long block
+        w.write(0, 5); w.write(0, 5); w.write(0, 5)
+        w.write(0, 4); w.write(0, 3)
+        w.write(0, 1); w.write(0, 1); w.write(1, 1)
+      }
+      shortGranule(16, 0)                               // g0 ch0
+      shortGranule(126 + (if (rightHasWin2) 16 else 0), 15) // g0 ch1
+      longGranule(0); longGranule(0)                    // g1 empty
+      // main data — g0 ch0: no scalefactors (sfc 0 → slen 0/0), two
+      // count1-B quads (code 0x0 → mags 1111, four '+' signs each)
+      (0 until 2).foreach { _ => w.write(0x0, 4); w.write(0, 4) }
+      // g0 ch1: is_pos = 3 in all 12 band triples (4-bit low, 3-bit high)
+      (0 until 6).foreach(_ => (0 until 3).foreach(_ => w.write(3, 4)))
+      (6 until 12).foreach(_ => (0 until 3).foreach(_ => w.write(3, 3)))
+      if (rightHasWin2) {
+        w.write(0xF, 4); w.write(0xF, 4) // lines 0-7: zero quads
+        w.write(0x0, 4); w.write(0, 4)   // lines 8-11: band 0 window 2
+      }
+      val body = w.toBytes
+      val frameLen = 144 * 320000 / 32000
+      body ++ new Array[Byte](frameLen - body.length)
+    }
+    val (ia, a) = Mp3Codec.decode(jointShortFrame(true))
+    val (_, b) = Mp3Codec.decode(jointShortFrame(false))
+    assert(ia.channels == 2)
+    val chA = deinterleave(a, 2); val chB = deinterleave(b, 2)
+    assert(chA(0).exists(v => math.abs(v) > 1e-5), "left content lost")
+    assert(java.util.Arrays.equals(chA(0), chB(0)),
+      "window-2-only right content must not change the LEFT intensity " +
+        "result in windows 0/1 (granule-wide bound regression)")
+    val extra = chA(1).zip(chB(1)).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(extra > 1e-9, "right channel must keep its own window-2 content")
+    assert(chB(1).map(v => v * v).sum > 1e-9,
+      "intensity must map left content into the right channel")
+  }
+
   // ------------------------------------------------------ MPEG-2 LSF
   test("LSF spec constants: sfb tables, slen derivation, bitrates") {
     for (sr <- Seq(16000, 22050, 24000)) {
