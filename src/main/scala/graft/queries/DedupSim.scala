@@ -699,7 +699,12 @@ object DedupSim {
   /** The frozen seed codebook: the first [[IvfCells]] vectors, collected
     * once at plan-build time. */
   private def seedCodebook(s: SparkSession, d: String): Array[(Long, Array[Float])] =
-    Tables.embeddings(s, d).filter(col("vec_id") < IvfCells)
+    seedCodebookN(s, d, IvfCells.toLong)
+
+  /** Seed codebook at an arbitrary cell count (q345's √N layout). */
+  private[graft] def seedCodebookN(s: SparkSession, d: String,
+                                   cells: Long): Array[(Long, Array[Float])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < cells)
       .select(col("vec_id").cast("long"), col("embedding"))
       .collect()
       .map { r =>
@@ -744,11 +749,16 @@ object DedupSim {
     * Codebook size is metadata (16×Dim); collecting it per round is the
     * documented coarse-codebook training shape at any corpus size. */
   private[graft] def trainedCodebook(s: SparkSession, d: String,
-                                     rounds: Int): Array[(Long, Array[Float])] = {
+                                     rounds: Int): Array[(Long, Array[Float])] =
+    trainedCodebookFrom(s, d, seedCodebook(s, d), rounds)
+
+  /** [[trainedCodebook]] from an arbitrary seed (q345 trains at √N cells). */
+  private[graft] def trainedCodebookFrom(s: SparkSession, d: String,
+      seed: Array[(Long, Array[Float])], rounds: Int): Array[(Long, Array[Float])] = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val vecIdType = emb.schema("vec_id").dataType
-    var code = seedCodebook(s, d)
+    var code = seed
     (0 until rounds).foreach { _ =>
       val assign = ivfAssignFrom(emb, cellScoresFor(code, vecIdType))
       val stats = assign.select(col("cell").cast("long"), col("embedding"))
@@ -2711,7 +2721,183 @@ object DedupSim {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q345
+  /** √N-CELL PARTITIONED IVF INDEX (round 15; closes the r14 verdict's
+    * q59 scale-weak finding): q59/q219 keep a FIXED 16-cell inverted
+    * file, so the per-query candidate scan grows linearly with the
+    * corpus — measured 46.4× at 100× data in SCALECHECK_r14. The
+    * production layout keeps cells ∝ √N (tools/IvfScale measured search
+    * 1.47× at 100× at recall@3 = 1.0); this entry puts that shape
+    * behind the oracle gate:
+    *
+    *  - CODEBOOK: cells = max(16, round(√N)) seed vectors refined by ONE
+    *    deterministic Lloyd round (q219's integer-q6 recipe: order-free
+    *    integer sums, truncating division, one double→float rounding),
+    *    so DuckDB re-derives it bit-identically;
+    *  - INDEX BUILD (one-time, O(N·√N), amortized like any ANN build):
+    *    every vector assigned to its nearest cell by the zero-shuffle
+    *    literal projection and WRITTEN to parquet PARTITIONED BY cell —
+    *    the inverted file as a lakehouse layout;
+    *  - SEARCH (the per-query serving cost): each probe query resolves
+    *    its [[IvfProbes]] nearest cells DRIVER-side from the literal
+    *    codebook (index metadata, the same sequential IEEE double fold
+    *    as dot_f32), so the read-back carries a LITERAL `cell IN (…)`
+    *    predicate — partition PRUNING at the file index, never a full
+    *    scan (PlanCheck pins the PartitionFilters): O(N·probes/cells) =
+    *    O(√N) rows read per query under √N cells;
+    *  - RECALL face: hits@3 per query vs the exact brute-force cosine
+    *    kernel (q27/q106's protocol) — the accuracy boundary of the
+    *    trade, gated next to the speed shape. */
+  def q345(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val vecIdType = emb.schema("vec_id").dataType
+    val n = emb.count()
+    val cells = math.max(16L, math.round(math.sqrt(n.toDouble)))
+    val code = trainedCodebookFrom(s, d, seedCodebookN(s, d, cells), rounds = 1)
+    val cs: Column => Column = cellScoresFor(code, vecIdType)
+
+    // one-time build: zero-shuffle assignment → cell-partitioned parquet
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_q345_ivf").toString
+    ivfAssignFrom(emb, cs)
+      .withColumn("cell", col("cell").cast("long"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+
+    // probe cells per query, resolved driver-side from the literal
+    // codebook — metadata-sized (5 queries × cells scores), and the SAME
+    // sequential double fold as dot_f32 so the choice matches the oracle
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qVecs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map { r =>
+        val raw = r.getSeq[Any](1)
+        require(raw != null && raw.forall(_ != null),
+          s"probe query vector ${r.getLong(0)} contains null element(s)")
+        (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
+      }
+      .sortBy(_._1)
+    val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (q, qe) =>
+      code.toSeq.map { case (cid, ce) => (dotD(ce, ce) - 2.0 * dotD(qe, ce), cid) }
+        .sortBy(identity) // lexicographic (score, cid) — the oracle's tie-break
+        .take(IvfProbes)
+        .map { case (_, cid) => (q, cid) }
+    }
+    val probeCells = probePairs.map(_._2).distinct.sorted
+
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("qe"))
+    val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
+
+    // search: pruned scan of the inverted file — only probed partitions
+    val index = s.read.parquet(idxDir)
+      .filter(col("cell").isin(probeCells: _*))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val search = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").cast("long").as("vec_id"),
+        col("cell").cast("long").as("cell"), col("cosine"))
+
+    // recall face: exact brute-force top-3 (the q27 kernel) vs the index
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").cast("long").as("vec_id"))
+    // both recall-side joins carry rank-bounded tiny tables (≤ 3·|queries|
+    // rows) — broadcast them so the face never sort-merge-shuffles
+    val hits = exact
+      .join(broadcast(search.select(col("q_id"), col("vec_id"))),
+        Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+
+    val searchFace = search.select(lit("search").as("face"), col("q_id"),
+      col("rnk"), col("vec_id"), col("cell"), col("cosine"),
+      lit(null).cast("long").as("hits"))
+    val recallFace = qs.select(col("q_id")).join(broadcast(hits), Seq("q_id"), "left")
+      .select(lit("recall").as("face"), col("q_id"),
+        lit(null).cast("long").as("rnk"), lit(null).cast("long").as("vec_id"),
+        lit(null).cast("long").as("cell"), lit(null).cast("double").as("cosine"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+    searchFace.unionByName(recallFace)
+      .orderBy(col("face"), col("q_id"), col("rnk"))
+  }
+  val q345Sql: String = {
+    val fold = foldAllSql _
+    s"""WITH nn AS (
+       |  SELECT greatest(16, CAST(round(sqrt(COUNT(*))) AS BIGINT)) AS cells
+       |  FROM embeddings),
+       |cb0 AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings, nn
+       |  WHERE vec_id < nn.cells),
+       |${lloydStepSql("cb0", "cb1")},
+       |assign AS (
+       |  SELECT r.vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb1 c) r WHERE r.rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb1 c WHERE e.vec_id < 5) q
+       |  WHERE rn <= $IvfProbes),
+       |pairs AS (
+       |  SELECT p.q_id, a.vec_id, a.cell,
+       |    ${fold("q.embedding", "e.embedding")} AS dot,
+       |    ${fold("q.embedding", "q.embedding")} AS nq,
+       |    ${fold("e.embedding", "e.embedding")} AS nc
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |sr AS (
+       |  SELECT q_id, vec_id, cell, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |  FROM pairs),
+       |s3 AS (SELECT * FROM sr WHERE rnk <= 3),
+       |ep AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    ${fold("q.embedding", "e.embedding")} AS dot,
+       |    ${fold("q.embedding", "q.embedding")} AS nq,
+       |    ${fold("e.embedding", "e.embedding")} AS nc
+       |  FROM embeddings e JOIN embeddings q
+       |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |    FROM ep) WHERE rnk <= 3),
+       |h AS (
+       |  SELECT ex.q_id, COUNT(*) AS hits FROM ex
+       |  JOIN s3 ON ex.q_id = s3.q_id AND ex.vec_id = s3.vec_id
+       |  GROUP BY ex.q_id)
+       |SELECT 'search' AS face, q_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell,
+       |  cosine, CAST(NULL AS BIGINT) AS hits
+       |FROM s3
+       |UNION ALL
+       |SELECT 'recall', q.q_id, NULL, NULL, NULL, NULL,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT)
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN h USING (q_id)
+       |ORDER BY face, q_id, rnk""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q345_ivf_sqrtn_partitioned" -> ((q345 _, Some(q345Sql))),
     "q219_ann_trained_codebook" -> ((q219 _, Some(q219Sql))),
     "q266_ann_ivf_pq" -> ((q266 _, Some(q266Sql))),
     "q187_sq8_recall" -> ((q187 _, Some(q187Sql))),

@@ -185,6 +185,14 @@ object PlanCheck {
       "BroadcastHashJoin".r.findAllIn(p).size == 2 &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
         !p.contains("Window "))
+    // q345: the √N-cell inverted file must be read through a LITERAL
+    // cell INSET partition filter — probed cells prune at the file index
+    // (never a full index scan), the shape that keeps per-query serving
+    // cost O(√N) as the corpus grows; probes/hits stay broadcast
+    check("q345_ivf_sqrtn_partitioned",
+        "probe cells reach PartitionFilters (INSET) on the index scan; no SMJ")(p =>
+      "PartitionFilters: \\[cell#\\d+L? INSET".r.findFirstIn(p).isDefined &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
     // q89/q90/q91: the rank filter must become a partial bounded heap so
     // each map partition keeps only its top-k BEFORE the stratum shuffle —
     // WindowTopKRewrite subsumes Spark's sort-based WindowGroupLimit here,
