@@ -1071,6 +1071,111 @@ object TextOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q346
+  /** NFKC WIRED INTO THE TEXT CHAIN (round 15; closes the r14 verdict's
+    * q344 integration gap): q344 gates [[graft.ops.UnicodeNorm]] over
+    * synthetic byte shapes, but nothing proved the CORPUS text column
+    * flows through it before tokenization/fingerprinting. This entry is
+    * that chain: `documents.text` → nfkcClean → whitespace tokens →
+    * md5 fingerprint, per-row and shuffle-free (normalization is the
+    * only non-codegen step; token count and fingerprint run native over
+    * the normalized column). The corpus is ASCII, where NFKC + the
+    * invisible-strip set is an IDENTITY — so the oracle can state the
+    * whole chain relationally over the RAW text and pin `changed` to
+    * constant false: any slip that makes nfkcClean non-identity on
+    * ASCII (over-stripping, a bad fold) breaks the hash, and the token/
+    * fingerprint columns prove downstream consumed the NORMALIZED text. */
+  def q346(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, raw) =>
+        val norm = graft.ops.UnicodeNorm.nfkcClean(raw)
+        (id, norm != raw, norm)
+      }
+      .toDF("doc_id", "changed", "norm")
+      .withColumn("n_tokens", size(expr(
+        "filter(split(trim(norm), '\\\\s+'), x -> x <> '')")).cast("long"))
+      .withColumn("fp", md5(col("norm")))
+      .select(col("doc_id"), col("changed"), col("n_tokens"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+  val q346Sql: String =
+    """SELECT doc_id, FALSE AS changed,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |    x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q347
+  /** UAX #29 WORD + GRAPHEME SEGMENTATION (round 15,
+    * [[graft.ops.Uax29]]): the standard-conformant splitter q49's regex
+    * pre-tokenizer approximates — word boundaries keep `don't`/`3.14`/
+    * `1,000` whole (MidLetter/MidNum), combining marks extend their
+    * base, format characters never split; grapheme clusters count
+    * user-perceived characters (an NFD pair, a Devanagari virama
+    * cluster, a ZWJ emoji family = ONE each). Eight multi-script byte
+    * shapes per doc (id%8): plain Latin, punctuation + numerics, Han +
+    * grouped number, NFD accents, Hangul, emoji-ZWJ family, Devanagari
+    * clusters, zero-width space inside a word. The oracle states the
+    * joined word list and all three counts closed-form via chr()
+    * codepoints (q344's recipe) — a boundary slip in any script class
+    * breaks the hash. */
+  def q347(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val digit = (id % 10).toString
+        val base = (id % 8) match {
+          case 0 => "the quick brown fox"
+          case 1 => "don't stop, it's 3.14 or 1,000"
+          case 2 => "\u4EF7\u683C\u662F1,000\u5143" // Han + grouped number
+          case 3 => "cafe\u0301 au lait" // NFD accent pair
+          case 4 => "\uD55C\uAD6D\uC5B4 \uBB38\uC11C" // Hangul
+          case 5 => "hi \uD83D\uDC68\u200D\uD83D\uDC69\u200D\uD83D\uDC67 ok" // ZWJ family
+          case 6 => "\u0939\u093F\u0928\u094D\u0926\u0940 " +
+                    "\u092D\u093E\u0937\u093E" // Devanagari virama clusters
+          case _ => "x\u200By" // ZWSP inside a word
+        }
+        val in = s"$base d$digit"
+        val ws = graft.ops.Uax29.words(in)
+        (id, id % 8, ws.mkString("|"), ws.size.toLong,
+          graft.ops.Uax29.graphemeCount(in),
+          in.codePointCount(0, in.length).toLong)
+      }
+      .toDF("doc_id", "shape", "words", "n_words", "n_graphemes", "n_cp")
+      .orderBy(col("doc_id"))
+  }
+  val q347Sql: String =
+    """SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shape,
+      |  CASE CAST(doc_id % 8 AS INT)
+      |    WHEN 0 THEN 'the|quick|brown|fox|d' || dg
+      |    WHEN 1 THEN 'don''t|stop|it''s|3.14|or|1,000|d' || dg
+      |    WHEN 2 THEN chr(20215) || chr(26684) || chr(26159) || '|1,000|'
+      |                || chr(20803) || '|d' || dg
+      |    WHEN 3 THEN 'cafe' || chr(769) || '|au|lait|d' || dg
+      |    WHEN 4 THEN chr(54620) || chr(44397) || chr(50612) || '|'
+      |                || chr(47928) || chr(49436) || '|d' || dg
+      |    WHEN 5 THEN 'hi|ok|d' || dg
+      |    WHEN 6 THEN chr(2361) || chr(2367) || chr(2344) || chr(2381)
+      |                || chr(2342) || chr(2368) || '|' || chr(2349)
+      |                || chr(2366) || chr(2359) || chr(2366) || '|d' || dg
+      |    ELSE 'x' || chr(8203) || 'y|d' || dg END AS words,
+      |  CAST(CASE CAST(doc_id % 8 AS INT)
+      |    WHEN 0 THEN 5 WHEN 1 THEN 7 WHEN 2 THEN 4 WHEN 3 THEN 4
+      |    WHEN 4 THEN 3 WHEN 5 THEN 3 WHEN 6 THEN 3 ELSE 2 END AS BIGINT)
+      |    AS n_words,
+      |  CAST(CASE CAST(doc_id % 8 AS INT)
+      |    WHEN 0 THEN 22 WHEN 1 THEN 33 WHEN 2 THEN 12 WHEN 3 THEN 15
+      |    WHEN 4 THEN 9 WHEN 5 THEN 10 WHEN 6 THEN 9 ELSE 6 END AS BIGINT)
+      |    AS n_graphemes,
+      |  CAST(CASE CAST(doc_id % 8 AS INT)
+      |    WHEN 0 THEN 22 WHEN 1 THEN 33 WHEN 2 THEN 12 WHEN 3 THEN 16
+      |    WHEN 4 THEN 9 WHEN 5 THEN 14 WHEN 6 THEN 14 ELSE 6 END AS BIGINT)
+      |    AS n_cp
+      |FROM (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q341
   /** CHARSET DETECTION (round 13, [[graft.ops.CharsetDetect]]): the
     * step between fetched BYTES (WARC bodies, q337) and text
@@ -1123,6 +1228,8 @@ object TextOps {
 
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
+    "q346_nfkc_text_chain" -> ((q346 _, Some(q346Sql))),
+    "q347_uax29_segmentation" -> ((q347 _, Some(q347Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),

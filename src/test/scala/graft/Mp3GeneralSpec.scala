@@ -527,4 +527,71 @@ class Mp3GeneralSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("mixed_block_flag"))
   }
+
+  // --------------------------------------------- refusal conformance census
+  // The decode boundary's regression guard (round-15 verdict item 5): the
+  // general profile shares code paths with every refusing surface, so each
+  // named refusal is pinned by a fixture DECLARING that table/mode. A future
+  // change that silently routes a refused shape through the wrong decoder
+  // breaks these before it breaks found data.
+
+  test("refusal census: every refused big-values table (4-15, ESC 16-31) " +
+       "names its number") {
+    // mono MPEG-1 frame whose first granule declares `tbl` for region 0
+    // with big_values > 0 — decode must refuse at the table dispatch,
+    // BEFORE consuming any codeword bits
+    def frameDeclaringTable(tbl: Int): Array[Byte] = {
+      val w = new Mp3Codec.MsbWriter
+      w.write(0x7FF, 11); w.write(3, 2); w.write(1, 2); w.write(1, 1)
+      w.write(14, 4); w.write(2, 2) // 320 kbps, 32 kHz
+      w.write(0, 1); w.write(0, 1)
+      w.write(3, 2) // mode: single channel
+      w.write(0, 2); w.write(0, 1); w.write(0, 1); w.write(0, 2)
+      w.write(0, 9); w.write(0, 5); w.write(0, 4) // mdb, private, scfsi
+      def granule(bigValues: Int, t: Int): Unit = {
+        w.write(40, 12); w.write(bigValues, 9); w.write(210, 8); w.write(0, 4)
+        w.write(0, 1) // long block
+        w.write(t, 5); w.write(0, 5); w.write(0, 5)
+        w.write(0, 4); w.write(0, 3)
+        w.write(0, 1); w.write(0, 1); w.write(1, 1)
+      }
+      granule(2, tbl); granule(0, 0)
+      val body = w.toBytes
+      val frameLen = 144 * 320000 / 32000
+      body ++ new Array[Byte](frameLen - body.length)
+    }
+    for (tbl <- 4 to 31) {
+      val e = intercept[IllegalArgumentException](
+        Mp3Codec.decode(frameDeclaringTable(tbl)))
+      assert(e.getMessage != null && e.getMessage.contains(s"Huffman table $tbl"),
+        s"table $tbl must refuse BY NUMBER, got: ${e.getMessage}")
+    }
+    // the implemented tables must NOT trip the dispatch refusal on the
+    // same fixture shape (they decode the zero main data instead)
+    for (tbl <- Seq(1, 2, 3)) {
+      val (info, _) = Mp3Codec.decode(frameDeclaringTable(tbl))
+      assert(info.channels == 1, s"implemented table $tbl must decode")
+    }
+  }
+
+  test("refusal census: LSF intensity stereo refuses by name") {
+    // MPEG-2 (LSF) joint-stereo header with mode_extension = 01
+    // (intensity on) — the is_pos coding differs in LSF, so the header
+    // parse must refuse before any side info is consumed
+    val w = new Mp3Codec.MsbWriter
+    w.write(0x7FF, 11)
+    w.write(2, 2) // version: MPEG-2 (LSF)
+    w.write(1, 2); w.write(1, 1)
+    w.write(14, 4) // 160 kbps (LSF table)
+    w.write(0, 2)  // 22050 Hz
+    w.write(0, 1); w.write(0, 1)
+    w.write(1, 2) // mode: joint stereo
+    w.write(1, 2) // mode_extension: intensity on
+    w.write(0, 1); w.write(0, 1); w.write(0, 2)
+    val frameLen = 72 * 160000 / 22050
+    val bytes = w.toBytes ++ new Array[Byte](frameLen - w.toBytes.length)
+    val e = intercept[IllegalArgumentException](Mp3Codec.decode(bytes))
+    assert(e.getMessage.contains("LSF intensity"),
+      s"LSF intensity must refuse by name, got: ${e.getMessage}")
+  }
 }
