@@ -52,4 +52,23 @@ object Uax29 {
     while (m.find()) n += 1
     n
   }
+
+  /** UAX #29 sentence segments (JDK BreakIterator, root locale), each
+    * trimmed of surrounding whitespace. The DEFAULT rules have no
+    * abbreviation list — "Dr. Smith" splits after "Dr." while
+    * "5 p.m. sharp" holds (the next word is lowercase); "No... maybe."
+    * holds through the ellipsis. q348 pins the behavior closed-form. */
+  def sentences(s: String): Vector[String] = {
+    val bi = BreakIterator.getSentenceInstance(Locale.ROOT)
+    bi.setText(s)
+    val out = Vector.newBuilder[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      out += s.substring(start, end).trim
+      start = end
+      end = bi.next()
+    }
+    out.result()
+  }
 }

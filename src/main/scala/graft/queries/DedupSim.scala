@@ -2896,8 +2896,185 @@ object DedupSim {
        |ORDER BY face, q_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q351
+  /** STREAMING ANN INDEX MAINTENANCE (round 15): the "incremental on
+    * append" claim of the q345 story, gated. A BASE corpus (vec_id%7≠0)
+    * builds the cell-partitioned inverted file once; DELTA vectors
+    * (vec_id%7=0) then arrive as a 3-file parquet STREAM and each
+    * micro-batch assigns against the FROZEN literal codebook (no
+    * retraining — the standard serving contract: codebooks version with
+    * the corpus, not with every append) and APPENDS to the live
+    * partitioned index. Three gated faces prove the maintenance is
+    * exact:
+    *  - census: base/delta/total row counts of the final index equal
+    *    the corpus slice counts (append lost nothing, duplicated
+    *    nothing);
+    *  - assign: every streamed delta vector's cell equals the oracle's
+    *    argmin under the same frozen codebook (the foreachBatch path
+    *    computes exactly what the batch path would);
+    *  - search: q345's pruned top-3 over the COMBINED index (delta
+    *    vectors are findable the moment their batch commits).
+    * Scale shape: each micro-batch is a per-row projection + a
+    * partition-local append (no shuffle, no rewrite of existing cells);
+    * the codebook is frozen metadata, so maintenance cost is O(batch),
+    * independent of index size. */
+  def q351(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val vecIdType = emb.schema("vec_id").dataType
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+    val nBase = base.count()
+    val cells = math.max(16L, math.round(math.sqrt(nBase.toDouble)))
+    // frozen codebook: the first `cells` BASE vectors by vec_id
+    val code = base.orderBy(col("vec_id")).limit(cells.toInt)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map { r =>
+        val raw = r.getSeq[Any](1)
+        require(raw != null && raw.forall(_ != null),
+          s"q351 codebook seed ${r.getLong(0)} contains null element(s)")
+        (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
+      }
+      .sortBy(_._1)
+    val cs: Column => Column = cellScoresFor(code, vecIdType)
+    def assigned(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+        array_min(cs(col("embedding"))).getField("seed_id")
+          .cast("long").as("cell"))
+
+    // v1: base index, one-time partitioned build
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_q351_idx").toString
+    assigned(base).write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+
+    // delta arrives as a stream: stage 3 files, one micro-batch each
+    val stagedDir = java.nio.file.Files.createTempDirectory("graft_q351_delta").toString
+    delta.repartition(3).write.mode("overwrite").parquet(stagedDir)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+      .writeStream.outputMode("append").queryName("q351_index_ingest")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        assigned(df.toDF())
+          .write.mode("append").partitionBy("cell").parquet(idxDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // ---- gated faces over the final index (file listing AFTER the drive)
+    val index = s.read.parquet(idxDir).withColumn("cell", col("cell").cast("long"))
+    val nullL = lit(null).cast("long")
+    val census = index
+      .select(when(col("vec_id") % 7 === 0, "delta").otherwise("base").as("origin"))
+      .groupBy(col("origin")).agg(count(lit(1)).as("n"))
+    val censusFace = census
+      .unionByName(census.agg(sum(col("n")).as("n")).select(lit("total").as("origin"), col("n")))
+      .select(lit("census").as("face"), col("origin"), nullL.as("q_id"),
+        nullL.as("rnk"), nullL.as("vec_id"), nullL.as("cell"),
+        lit(null).cast("double").as("cosine"), col("n"))
+    val assignFace = index.filter(col("vec_id") % 7 === 0)
+      .select(lit("assign").as("face"), lit("delta").as("origin"),
+        nullL.as("q_id"), nullL.as("rnk"),
+        col("vec_id").cast("long").as("vec_id"), col("cell"),
+        lit(null).cast("double").as("cosine"), nullL.as("n"))
+
+    // search: q345's pruned-read shape over the combined index
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qVecs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (qid, qe) =>
+      code.toSeq.map { case (cid, ce) => (dotD(ce, ce) - 2.0 * dotD(qe, ce), cid) }
+        .sortBy(identity).take(IvfProbes).map { case (_, cid) => (qid, cid) }
+    }
+    val probeCells = probePairs.map(_._2).distinct.sorted
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("qe"))
+    val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val searchFace = index.filter(col("cell").isin(probeCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(lit("search").as("face"), lit(null).cast("string").as("origin"),
+        col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").cast("long").as("vec_id"), col("cell"),
+        col("cosine"), nullL.as("n"))
+
+    censusFace.unionByName(assignFace).unionByName(searchFace)
+      .orderBy(col("face"), col("origin"), col("q_id"), col("rnk"), col("vec_id"))
+  }
+  val q351Sql: String = {
+    val fold = foldAllSql _
+    s"""WITH nn AS (
+       |  SELECT greatest(16, CAST(round(sqrt(COUNT(*))) AS BIGINT)) AS cells
+       |  FROM embeddings WHERE vec_id % 7 <> 0),
+       |cb AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM (
+       |    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM embeddings WHERE vec_id % 7 <> 0) b, nn
+       |  WHERE b.rn <= nn.cells),
+       |assign AS (
+       |  SELECT r.vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb c) r WHERE r.rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb c WHERE e.vec_id < 5) q
+       |  WHERE rn <= $IvfProbes),
+       |pairs AS (
+       |  SELECT p.q_id, a.vec_id, a.cell,
+       |    ${fold("q.embedding", "e.embedding")} AS dot,
+       |    ${fold("q.embedding", "q.embedding")} AS nq,
+       |    ${fold("e.embedding", "e.embedding")} AS nc
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |s3 AS (
+       |  SELECT q_id, vec_id, cell, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |  FROM pairs)
+       |SELECT 'census' AS face,
+       |  CASE WHEN g = 0 THEN 'base' WHEN g = 1 THEN 'delta' ELSE 'total' END AS origin,
+       |  CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS rnk,
+       |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS cell,
+       |  CAST(NULL AS DOUBLE) AS cosine,
+       |  CAST(CASE WHEN g = 0 THEN
+       |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 <> 0)
+       |    WHEN g = 1 THEN (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0)
+       |    ELSE (SELECT COUNT(*) FROM embeddings) END AS BIGINT) AS n
+       |FROM range(0, 3) t(g)
+       |UNION ALL
+       |SELECT 'assign', 'delta', NULL, NULL, CAST(a.vec_id AS BIGINT),
+       |  CAST(a.cell AS BIGINT), NULL, NULL
+       |FROM assign a WHERE a.vec_id % 7 = 0
+       |UNION ALL
+       |SELECT 'search', NULL, q_id, CAST(rnk AS BIGINT),
+       |  CAST(vec_id AS BIGINT), CAST(cell AS BIGINT), cosine, NULL
+       |FROM s3 WHERE rnk <= 3
+       |ORDER BY face, origin, q_id, rnk, vec_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q345_ivf_sqrtn_partitioned" -> ((q345 _, Some(q345Sql))),
+    "q351_ivf_stream_append" -> ((q351 _, Some(q351Sql))),
     "q219_ann_trained_codebook" -> ((q219 _, Some(q219Sql))),
     "q266_ann_ivf_pq" -> ((q266 _, Some(q266Sql))),
     "q187_sq8_recall" -> ((q187 _, Some(q187Sql))),

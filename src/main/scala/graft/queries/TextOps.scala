@@ -1176,6 +1176,174 @@ object TextOps {
       |FROM (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q348
+  /** UAX #29 SENTENCE SEGMENTATION (round 15, [[graft.ops.Uax29]]): the
+    * chunk-boundary primitive between q347's word splitter and q349's
+    * token windows — training-data pipelines split documents at sentence
+    * boundaries for packing, dedup spans, and context windows. The JDK's
+    * default UAX #29 rules carry NO abbreviation list: "Dr. Smith"
+    * splits after "Dr." (period + space + uppercase), "5 p.m. sharp"
+    * holds (next word lowercase), "No... maybe." holds through the
+    * ellipsis, "?!" terminates once, a close-quote/paren after the
+    * terminator stays attached, and a bare newline is NOT a boundary.
+    * Six shapes per doc pin exactly those rules; the oracle states the
+    * trimmed '|'-joined segments closed-form. */
+  def q348(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val digit = (id % 10).toString
+        val base = (id % 6) match {
+          case 0 => "Hello world. This is fine. Done"
+          case 1 => "Dr. Smith arrived at 5 p.m. sharp. He left soon."
+          case 2 => "Really?! Yes. No... maybe."
+          case 3 => "One line\nAnother line. And more."
+          case 4 => "A single sentence without terminator"
+          case _ => "\"Quoted end.\" Next one! (Parens.) Last."
+        }
+        val in = s"d$digit $base"
+        val ss = graft.ops.Uax29.sentences(in)
+        (id, id % 6, ss.mkString("|"), ss.size.toLong)
+      }
+      .toDF("doc_id", "shape", "sentences", "n_sentences")
+      .orderBy(col("doc_id"))
+  }
+  val q348Sql: String =
+    """SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS shape,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'd' || dg || ' Hello world.|This is fine.|Done'
+      |    WHEN 1 THEN 'd' || dg ||
+      |      ' Dr.|Smith arrived at 5 p.m. sharp.|He left soon.'
+      |    WHEN 2 THEN 'd' || dg || ' Really?!|Yes.|No... maybe.'
+      |    WHEN 3 THEN 'd' || dg || ' One line' || chr(10) ||
+      |      'Another line.|And more.'
+      |    WHEN 4 THEN 'd' || dg || ' A single sentence without terminator'
+      |    ELSE 'd' || dg || ' "Quoted end."|Next one!|(Parens.)|Last.'
+      |    END AS sentences,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 3 WHEN 3 THEN 2
+      |    WHEN 4 THEN 1 ELSE 4 END AS BIGINT) AS n_sentences
+      |FROM (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q349
+  /** TOKEN-WINDOW CHUNKING (round 15): the retrieval/context-window
+    * splitter every RAG and long-context pipeline runs — fixed windows
+    * of [[Q349Window]] tokens at stride [[Q349Stride]] (overlap keeps
+    * boundary-spanning content findable), over the REAL corpus text.
+    * Fully relational: tokenize once, derive the chunk count
+    * closed-form (1 + ceil(max(n_tok−W, 0)/S) via integer arithmetic),
+    * explode a `sequence` of chunk ordinals, slice the token array per
+    * chunk — per-row, shuffle-free, whole-stage codegen end to end (no
+    * typed map anywhere). Chunks are emitted as md5 fingerprints plus
+    * (start, len) coordinates, the dedup-join-ready shape. */
+  private val Q349Window = 64
+  private val Q349Stride = 48
+  def q349(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (Q349Window, Q349Stride)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("k", explode(expr(
+        s"sequence(0L, (greatest(n_tok - $w, 0L) + ${st - 1}) div $st)")))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        (col("k") * st + 1).as("tok_start"),
+        least(lit(w.toLong), col("n_tok") - col("k") * st).as("tok_len"),
+        md5(expr(s"array_join(slice(t, CAST(k * $st + 1 AS INT), " +
+          s"CAST(least($w, n_tok - k * $st) AS INT)), ' ')")).as("chunk_fp"),
+        col("n_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  val q349Sql: String = {
+    val (w, st) = (Q349Window, Q349Stride)
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ks AS (
+       |  SELECT doc_id, t, n_tok,
+       |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
+       |  FROM t WHERE n_tok >= 1)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |  CAST(k * $st + 1 AS BIGINT) AS tok_start,
+       |  CAST(least($w, n_tok - k * $st) AS BIGINT) AS tok_len,
+       |  md5(array_to_string(t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))],
+       |    ' ')) AS chunk_fp,
+       |  n_tok
+       |FROM ks
+       |WHERE k <= (greatest(n_tok - $w, 0) + ${st - 1}) // $st
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q350
+  /** UNICODE SCRIPT DETECTION (round 15): the script histogram the
+    * language-ID stage (q21) runs BEFORE n-gram models can apply —
+    * CJK/Hangul/Devanagari corpora route to different tokenizers, and a
+    * Latin-trained quality model scoring Han text is garbage-in. Counts
+    * codepoints per script class (JDK `Character.UnicodeScript`, the
+    * published Unicode Scripts.txt property) and picks the majority
+    * REAL script — Common (digits/punct/space) and Inherited (combining
+    * marks) are structural, counted but excluded from the vote, the way
+    * every langid pipeline treats them. Six multi-script shapes per doc
+    * (the q347 corpus); the oracle states every count and the majority
+    * closed-form. */
+  def q350(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val digit = (id % 10).toString
+        val base = (id % 6) match {
+          case 0 => "the quick brown fox 7"
+          case 1 => "\u4EF7\u683C\u662F1,000\u5143" // Han + grouped number
+          case 2 => "cafe\u0301 au lait" // NFD: combining mark = Inherited
+          case 3 => "\uD55C\uAD6D\uC5B4 \uBB38\uC11C" // Hangul
+          case 4 => "\u0939\u093F\u0928\u094D\u0926\u0940 " +
+                    "\u092D\u093E\u0937\u093E" // Devanagari
+          case _ => "mixed \u4EF7\uD55C" // cross-script tie broken by Latin
+        }
+        val in = s"$base d$digit"
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        in.codePoints().forEach { cp =>
+          val sc = Character.UnicodeScript.of(cp).name()
+          counts(sc) = counts.getOrElse(sc, 0L) + 1L
+        }
+        def c(k: String) = counts.getOrElse(k, 0L)
+        val majority = counts.toSeq
+          .filter { case (k, _) => k != "COMMON" && k != "INHERITED" }
+          .sortBy { case (k, n) => (-n, k) }
+          .headOption.map(_._1).getOrElse("NONE")
+        (id, id % 6, c("LATIN"), c("HAN"), c("HANGUL"), c("DEVANAGARI"),
+          c("COMMON"), c("INHERITED"), majority)
+      }
+      .toDF("doc_id", "shape", "n_latin", "n_han", "n_hangul", "n_deva",
+        "n_common", "n_inherited", "majority_script")
+      .orderBy(col("doc_id"))
+  }
+  val q350Sql: String =
+    """SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS shape,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 17 WHEN 1 THEN 1 WHEN 2 THEN 11 WHEN 3 THEN 1
+      |    WHEN 4 THEN 1 ELSE 6 END AS BIGINT) AS n_latin,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 1 THEN 4 WHEN 5 THEN 1 ELSE 0 END AS BIGINT) AS n_han,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 3 THEN 5 WHEN 5 THEN 1 ELSE 0 END AS BIGINT) AS n_hangul,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 4 THEN 10 ELSE 0 END AS BIGINT) AS n_deva,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 7 WHEN 1 THEN 7 WHEN 2 THEN 4 WHEN 3 THEN 3
+      |    WHEN 4 THEN 3 ELSE 3 END AS BIGINT) AS n_common,
+      |  CAST(CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_inherited,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 1 THEN 'HAN' WHEN 3 THEN 'HANGUL' WHEN 4 THEN 'DEVANAGARI'
+      |    ELSE 'LATIN' END AS majority_script
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q341
   /** CHARSET DETECTION (round 13, [[graft.ops.CharsetDetect]]): the
     * step between fetched BYTES (WARC bodies, q337) and text
@@ -1230,6 +1398,9 @@ object TextOps {
     "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
     "q346_nfkc_text_chain" -> ((q346 _, Some(q346Sql))),
     "q347_uax29_segmentation" -> ((q347 _, Some(q347Sql))),
+    "q348_uax29_sentences" -> ((q348 _, Some(q348Sql))),
+    "q349_token_window_chunks" -> ((q349 _, Some(q349Sql))),
+    "q350_script_detect" -> ((q350 _, Some(q350Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),
