@@ -674,7 +674,7 @@ object DedupSim {
     * DuckDB list_reduce folds, so cell assignments and rankings agree
     * exactly. */
   private val IvfCells = 16
-  private val IvfProbes = 4
+  private[graft] val IvfProbes = 4
   // q266 IVF-PQ layout: M subspaces of PqSub dims (M * PqSub = Dim),
   // PqCent centroids per subspace (4-bit codes)
   private val PqM = 8
@@ -701,6 +701,31 @@ object DedupSim {
   private def seedCodebook(s: SparkSession, d: String): Array[(Long, Array[Float])] =
     seedCodebookN(s, d, IvfCells.toLong)
 
+  /** The sequential IEEE double fold dot_f32 computes — the DRIVER-side
+    * twin used to resolve probe cells from a literal codebook (q345/q351/
+    * tools.IvfSqrtN share this one definition: its bit-exact order is
+    * load-bearing for oracle parity). */
+  private[graft] def dotSeqD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** The probe-query vectors (vec_id < 5), collected once with the same
+    * fail-fast null guard as the codebook reads. */
+  private[graft] def probeVectors(s: SparkSession, d: String): Array[(Long, Array[Float])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map { r =>
+        val raw = r.getSeq[Any](1)
+        require(raw != null && raw.forall(_ != null),
+          s"probe query vector ${r.getLong(0)} contains null element(s)")
+        (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
+      }
+      .sortBy(_._1)
+
   /** Seed codebook at an arbitrary cell count (q345's √N layout). */
   private[graft] def seedCodebookN(s: SparkSession, d: String,
                                    cells: Long): Array[(Long, Array[Float])] =
@@ -721,7 +746,7 @@ object DedupSim {
 
   /** Literal score-array builder for any codebook: an array of
     * (score, seed_id) structs, one per cell, as a pure projection. */
-  private def cellScoresFor(codebook: Array[(Long, Array[Float])],
+  private[graft] def cellScoresFor(codebook: Array[(Long, Array[Float])],
                             vecIdType: org.apache.spark.sql.types.DataType)
                            (embCol: Column): Column =
     array(codebook.map { case (sid, ce) =>
@@ -2757,40 +2782,32 @@ object DedupSim {
     val code = trainedCodebookFrom(s, d, seedCodebookN(s, d, cells), rounds = 1)
     val cs: Column => Column = cellScoresFor(code, vecIdType)
 
-    // one-time build: zero-shuffle assignment → cell-partitioned parquet
+    // one-time build: zero-shuffle assignment → cell-partitioned parquet.
+    // Corpus-sized scratch: reclaim at JVM exit (the result DataFrame
+    // reads it lazily, so deletion can't happen inside this call)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_q345_ivf").toString
+    sys.addShutdownHook(
+      graft.io.FsUtil.deleteRecursively(new java.io.File(idxDir))): Unit
     ivfAssignFrom(emb, cs)
       .withColumn("cell", col("cell").cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
 
     // probe cells per query, resolved driver-side from the literal
-    // codebook — metadata-sized (5 queries × cells scores), and the SAME
+    // codebook — metadata-sized (5 queries × cells scores), the SAME
     // sequential double fold as dot_f32 so the choice matches the oracle
-    def dotD(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    val qVecs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .map { r =>
-        val raw = r.getSeq[Any](1)
-        require(raw != null && raw.forall(_ != null),
-          s"probe query vector ${r.getLong(0)} contains null element(s)")
-        (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
-      }
-      .sortBy(_._1)
+    val qVecs = probeVectors(s, d)
     val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (q, qe) =>
-      code.toSeq.map { case (cid, ce) => (dotD(ce, ce) - 2.0 * dotD(qe, ce), cid) }
+      code.toSeq.map { case (cid, ce) =>
+        (dotSeqD(ce, ce) - 2.0 * dotSeqD(qe, ce), cid) }
         .sortBy(identity) // lexicographic (score, cid) — the oracle's tie-break
         .take(IvfProbes)
         .map { case (_, cid) => (q, cid) }
     }
     val probeCells = probePairs.map(_._2).distinct.sorted
 
-    val qs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("qe"))
+    // the query slice is already on the driver — serve it back as a
+    // LocalRelation instead of scanning the corpus a second time
+    val qs = qVecs.toSeq.toDF("q_id", "qe")
     val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
 
     // search: pruned scan of the inverted file — only probed partitions
@@ -2943,12 +2960,17 @@ object DedupSim {
         array_min(cs(col("embedding"))).getField("seed_id")
           .cast("long").as("cell"))
 
-    // v1: base index, one-time partitioned build
+    // v1: base index, one-time partitioned build. Corpus-sized scratch:
+    // reclaimed at JVM exit (the result reads the index lazily)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_q351_idx").toString
+    sys.addShutdownHook(
+      graft.io.FsUtil.deleteRecursively(new java.io.File(idxDir))): Unit
     assigned(base).write.mode("overwrite").partitionBy("cell").parquet(idxDir)
 
     // delta arrives as a stream: stage 3 files, one micro-batch each
     val stagedDir = java.nio.file.Files.createTempDirectory("graft_q351_delta").toString
+    sys.addShutdownHook(
+      graft.io.FsUtil.deleteRecursively(new java.io.File(stagedDir))): Unit
     delta.repartition(3).write.mode("overwrite").parquet(stagedDir)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
@@ -2981,23 +3003,14 @@ object DedupSim {
         lit(null).cast("double").as("cosine"), nullL.as("n"))
 
     // search: q345's pruned-read shape over the combined index
-    def dotD(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    val qVecs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val qVecs = probeVectors(s, d)
     val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (qid, qe) =>
-      code.toSeq.map { case (cid, ce) => (dotD(ce, ce) - 2.0 * dotD(qe, ce), cid) }
+      code.toSeq.map { case (cid, ce) =>
+        (dotSeqD(ce, ce) - 2.0 * dotSeqD(qe, ce), cid) }
         .sortBy(identity).take(IvfProbes).map { case (_, cid) => (qid, cid) }
     }
     val probeCells = probePairs.map(_._2).distinct.sorted
-    val qs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("qe"))
+    val qs = qVecs.toSeq.toDF("q_id", "qe")
     val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     val searchFace = index.filter(col("cell").isin(probeCells: _*))

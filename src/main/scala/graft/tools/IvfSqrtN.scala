@@ -44,38 +44,28 @@ object IvfSqrtN {
     val code = graft.queries.DedupSim.trainedCodebookFrom(spark, sfDir,
       graft.queries.DedupSim.seedCodebookN(spark, sfDir, cells), rounds = 1)
     val vecIdType = emb.schema("vec_id").dataType
-    def cellScores(embCol: Column): Column =
-      array(code.map { case (sid, ce) =>
-        val ceL = typedLit(ce)
-        struct(
-          (graft.functions.GraftFunctions.dotF32(ceL, ceL) -
-           lit(2.0) * graft.functions.GraftFunctions.dotF32(embCol, ceL)).as("score"),
-          lit(sid).cast(vecIdType).as("seed_id"))
-      }: _*)
+    // the board entry's own score builder — this tool must measure
+    // q345's EXACT building blocks, never a drifted copy
+    val cellScores: Column => Column =
+      graft.queries.DedupSim.cellScoresFor(code, vecIdType)
     emb.select(col("vec_id"), col("embedding"),
         array_min(cellScores(col("embedding"))).getField("seed_id")
           .cast("long").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
     val buildSec = (System.nanoTime() - tB0) / 1e9
 
-    // ---- probe cells driver-side from the literal codebook (q345's shape)
-    def dotD(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    val qVecs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    // ---- probe cells driver-side from the literal codebook (q345's
+    // helpers verbatim: dotSeqD fold, IvfProbes budget, null-guarded read)
+    val probes4 = graft.queries.DedupSim.IvfProbes
+    val qVecs = graft.queries.DedupSim.probeVectors(spark, sfDir)
     val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (q, qe) =>
-      code.toSeq.map { case (cid, ce) => (dotD(ce, ce) - 2.0 * dotD(qe, ce), cid) }
-        .sortBy(identity).take(4).map { case (_, cid) => (q, cid) }
+      code.toSeq.map { case (cid, ce) =>
+        (graft.queries.DedupSim.dotSeqD(ce, ce) -
+          2.0 * graft.queries.DedupSim.dotSeqD(qe, ce), cid) }
+        .sortBy(identity).take(probes4).map { case (_, cid) => (q, cid) }
     }
     val probeCells = probePairs.map(_._2).distinct.sorted
-    val qs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("qe"))
+    val qs = qVecs.toSeq.toDF("q_id", "qe")
     val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
 
     // ---- search: pruned partitioned read (the serving cost)
@@ -123,7 +113,8 @@ object IvfSqrtN {
 
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v))
-    println(s"""{"metric":"ivf_sqrtn_q345","sf":"$sfDir","n":$n,"cells":$cells,"probes":4,"build_sec":${f(buildSec)},"search_sec":${f(searchSec)},"recall_at3":${f(recall)}}""")
+    graft.io.FsUtil.deleteRecursively(new java.io.File(idxDir)): Unit
+    println(s"""{"metric":"ivf_sqrtn_q345","sf":"$sfDir","n":$n,"cells":$cells,"probes":$probes4,"build_sec":${f(buildSec)},"search_sec":${f(searchSec)},"recall_at3":${f(recall)}}""")
     spark.stop()
   }
 }
