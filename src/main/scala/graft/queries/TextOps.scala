@@ -1239,7 +1239,9 @@ object TextOps {
     * (start, len) coordinates, the dedup-join-ready shape. */
   private val Q349Window = 64
   private val Q349Stride = 48
-  def q349(s: SparkSession, d: String): DataFrame = {
+  /** The (doc, chunk) table q349 emits and q352 consumes: one row per
+    * token window, with the chunk's md5 fingerprint. */
+  private[queries] def tokenChunks(s: SparkSession, d: String): DataFrame = {
     val (w, st) = (Q349Window, Q349Stride)
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -1254,8 +1256,9 @@ object TextOps {
         md5(expr(s"array_join(slice(t, CAST(k * $st + 1 AS INT), " +
           s"CAST(least($w, n_tok - k * $st) AS INT)), ' ')")).as("chunk_fp"),
         col("n_tok"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
+  def q349(s: SparkSession, d: String): DataFrame =
+    tokenChunks(s, d).orderBy(col("doc_id"), col("chunk_id"))
   val q349Sql: String = {
     val (w, st) = (Q349Window, Q349Stride)
     s"""WITH t AS (
@@ -1277,6 +1280,81 @@ object TextOps {
        |FROM ks
        |WHERE k <= (greatest(n_tok - $w, 0) + ${st - 1}) // $st
        |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q352
+  /** CHUNK-COLLISION NEAR-DUP PAIRS (round 15): the dedup face of q349's
+    * chunk table — two documents sharing ANY exact 64-token window are
+    * near-duplicate candidates, the chunk-granular middle ground between
+    * whole-doc md5 (q22) and 8-token substring spans (q80/q86). Pair
+    * generation is BUCKETED by chunk fingerprint (pair space is
+    * Σ bucket², never all-pairs), with the q80 hot-key discipline: a
+    * fingerprint shared by more than [[Q352HotCap]] documents is a
+    * degenerate boilerplate chunk and is EXCLUDED (both engines state
+    * the same cap, so the gate pins the guard too). Output per pair:
+    * shared distinct chunks and integer containment
+    * (shared·10⁶ div min(chunks_a, chunks_b)).
+    *
+    * Scale shape: one distinct over (doc, fp); the windowed per-fp count
+    * rides the same fp shuffle the self-join needs; the tiny pair table
+    * BROADCASTS back onto the per-doc chunk counts. */
+  private val Q352HotCap = 64
+  def q352(s: SparkSession, d: String): DataFrame = {
+    val ch = tokenChunks(s, d).select(col("doc_id"), col("chunk_fp")).distinct()
+    val wFp = Window.partitionBy(col("chunk_fp"))
+    val guarded = ch.withColumn("nd", count(lit(1)).over(wFp))
+      .filter(col("nd") <= Q352HotCap)
+      .select(col("doc_id"), col("chunk_fp"))
+    val pairs = guarded.as("a")
+      .join(guarded.as("b"),
+        col("a.chunk_fp") === col("b.chunk_fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    val nc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    broadcast(pairs)
+      .join(nc.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_chunks", "n_chunks_a"), Seq("doc_a"))
+      .join(nc.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_chunks", "n_chunks_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_chunks"),
+        col("n_chunks_a"), col("n_chunks_b"),
+        expr("shared_chunks * 1000000L div least(n_chunks_a, n_chunks_b)")
+          .as("containment_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q352Sql: String = {
+    val (w, st) = (Q349Window, Q349Stride)
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ks AS (
+       |  SELECT doc_id, t, n_tok,
+       |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
+       |  FROM t WHERE n_tok >= 1),
+       |ch AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))],
+       |      ' ')) AS fp
+       |  FROM ks),
+       |ok AS (SELECT fp FROM ch GROUP BY fp HAVING COUNT(*) <= $Q352HotCap),
+       |g AS (SELECT ch.doc_id, ch.fp FROM ch JOIN ok USING (fp)),
+       |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared_chunks
+       |  FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.shared_chunks,
+       |  na.n_chunks AS n_chunks_a, nb.n_chunks AS n_chunks_b,
+       |  CAST(p.shared_chunks * 1000000 //
+       |    least(na.n_chunks, nb.n_chunks) AS BIGINT) AS containment_ppm
+       |FROM pairs p
+       |JOIN nc na ON na.doc_id = p.doc_a
+       |JOIN nc nb ON nb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- q350
@@ -1401,6 +1479,7 @@ object TextOps {
     "q348_uax29_sentences" -> ((q348 _, Some(q348Sql))),
     "q349_token_window_chunks" -> ((q349 _, Some(q349Sql))),
     "q350_script_detect" -> ((q350 _, Some(q350Sql))),
+    "q352_chunk_collision_pairs" -> ((q352 _, Some(q352Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),

@@ -43,14 +43,11 @@ object IvfSqrtN {
     val tB0 = System.nanoTime()
     val code = graft.queries.DedupSim.trainedCodebookFrom(spark, sfDir,
       graft.queries.DedupSim.seedCodebookN(spark, sfDir, cells), rounds = 1)
-    val vecIdType = emb.schema("vec_id").dataType
-    // the board entry's own score builder — this tool must measure
-    // q345's EXACT building blocks, never a drifted copy
-    val cellScores: Column => Column =
-      graft.queries.DedupSim.cellScoresFor(code, vecIdType)
-    emb.select(col("vec_id"), col("embedding"),
-        array_min(cellScores(col("embedding"))).getField("seed_id")
-          .cast("long").as("cell"))
+    // the board entry's own assignment path — this tool must measure
+    // q345's EXACT building blocks, never a drifted copy (above
+    // IvfJoinThreshold cells this is the broadcast-join E-step)
+    graft.queries.DedupSim.ivfAssignAuto(emb, code)
+      .withColumn("cell", col("cell").cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
     val buildSec = (System.nanoTime() - tB0) / 1e9
 
