@@ -1357,6 +1357,67 @@ object TextOps {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q353
+  /** VOCABULARY COVERAGE CURVE (round 15): the statistic tokenizer and
+    * vocab-size decisions are made from — what fraction of all corpus
+    * token OCCURRENCES the top-k most frequent word types cover, at
+    * k ∈ {1, 10, 100, 1000, 5000}. Integer-exact (counts and ppm
+    * division only).
+    *
+    * Scale shape: the corpus-sized work is one word-count aggregation
+    * (map-side partial). The curve itself NEVER sorts the full
+    * vocabulary: the top-5000 types come through a bounded global
+    * top-k (`orderBy.limit` → TakeOrderedAndProject, a fixed-size heap
+    * per partition), and the cumulative sum runs on that 5000-row
+    * table — at 100 TB the vocabulary is tens of millions of types,
+    * and a full-vocab single-partition window would be the classic
+    * bottleneck this shape avoids. Tie-break (count DESC, word ASC)
+    * stated in both engines. */
+  private val Q353Ks = Seq(1L, 10L, 100L, 1000L, 5000L)
+  def q353(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .select(explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("vocab"))
+    val wTop = Window.orderBy(col("c").desc, col("w"))
+    val top = counts.orderBy(col("c").desc, col("w")).limit(Q353Ks.max.toInt)
+      .withColumn("rk", row_number().over(wTop))
+      .withColumn("cum", sum(col("c")).over(
+        wTop.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rk").cast("long").as("rk"), col("cum"))
+    Q353Ks.toDF("k").crossJoin(broadcast(totals))
+      .join(broadcast(top), col("rk") === least(col("k"), col("vocab")), "left")
+      .select(col("k"), col("vocab").as("vocab_size"),
+        col("total").as("total_tokens"),
+        coalesce(col("cum"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_ppm",
+        expr("covered_tokens * 1000000L div total_tokens"))
+      .orderBy(col("k"))
+  }
+  val q353Sql: String =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> x <> '')) AS w
+      |  FROM documents),
+      |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+      |             CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
+      |top AS (SELECT c, w, row_number() OVER (ORDER BY c DESC, w) AS rk
+      |        FROM c ORDER BY c DESC, w LIMIT 5000),
+      |cum AS (SELECT CAST(rk AS BIGINT) AS rk,
+      |               CAST(SUM(c) OVER (ORDER BY rk) AS BIGINT) AS cum FROM top),
+      |ks AS (SELECT unnest([1, 10, 100, 1000, 5000]) AS k)
+      |SELECT CAST(ks.k AS BIGINT) AS k, t.vocab AS vocab_size,
+      |  t.total AS total_tokens,
+      |  CAST(COALESCE(cum.cum, 0) AS BIGINT) AS covered_tokens,
+      |  CAST(COALESCE(cum.cum, 0) * 1000000 // t.total AS BIGINT) AS coverage_ppm
+      |FROM ks CROSS JOIN t
+      |LEFT JOIN cum ON cum.rk = least(ks.k, t.vocab)
+      |ORDER BY k""".stripMargin
+
   // ---------------------------------------------------------------- q350
   /** UNICODE SCRIPT DETECTION (round 15): the script histogram the
     * language-ID stage (q21) runs BEFORE n-gram models can apply —
@@ -1480,6 +1541,7 @@ object TextOps {
     "q349_token_window_chunks" -> ((q349 _, Some(q349Sql))),
     "q350_script_detect" -> ((q350 _, Some(q350Sql))),
     "q352_chunk_collision_pairs" -> ((q352 _, Some(q352Sql))),
+    "q353_vocab_coverage" -> ((q353 _, Some(q353Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),
