@@ -726,6 +726,21 @@ object DedupSim {
       }
       .sortBy(_._1)
 
+  /** Each query's [[IvfProbes]] nearest cells under a literal codebook,
+    * resolved driver-side with [[dotSeqD]] and the (score, seed_id)
+    * lexicographic tie-break the oracles state — ONE definition for
+    * q345, q351, and tools.IvfSqrtN (a drifted copy here silently
+    * desyncs the measurement tool from the board entry). */
+  private[graft] def probePairsFor(qVecs: Array[(Long, Array[Float])],
+      code: Array[(Long, Array[Float])]): Seq[(Long, Long)] =
+    qVecs.toSeq.flatMap { case (q, qe) =>
+      code.toSeq.map { case (cid, ce) =>
+        (dotSeqD(ce, ce) - 2.0 * dotSeqD(qe, ce), cid) }
+        .sortBy(identity)
+        .take(IvfProbes)
+        .map { case (_, cid) => (q, cid) }
+    }
+
   /** Seed codebook at an arbitrary cell count (q345's √N layout). */
   private[graft] def seedCodebookN(s: SparkSession, d: String,
                                    cells: Long): Array[(Long, Array[Float])] =
@@ -746,7 +761,7 @@ object DedupSim {
 
   /** Literal score-array builder for any codebook: an array of
     * (score, seed_id) structs, one per cell, as a pure projection. */
-  private[graft] def cellScoresFor(codebook: Array[(Long, Array[Float])],
+  private def cellScoresFor(codebook: Array[(Long, Array[Float])],
                             vecIdType: org.apache.spark.sql.types.DataType)
                            (embCol: Column): Column =
     array(codebook.map { case (sid, ce) =>
@@ -2796,10 +2811,10 @@ object DedupSim {
     val cells = math.max(16L, math.round(math.sqrt(n.toDouble)))
     val code = trainedCodebookFrom(s, d, seedCodebookN(s, d, cells), rounds = 1)
 
-    // one-time build: assignment (literal projection, or the broadcast-
-    // join E-step above IvfJoinThreshold cells) → cell-partitioned
-    // parquet. Corpus-sized scratch: reclaim at JVM exit (the result
-    // DataFrame reads it lazily, so deletion can't happen inside this call)
+    // one-time build: the zero-shuffle literal-projection assignment →
+    // cell-partitioned parquet. Corpus-sized scratch: reclaim at JVM exit
+    // (the result DataFrame reads it lazily, so deletion can't happen
+    // inside this call)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_q345_ivf").toString
     sys.addShutdownHook(
       graft.io.FsUtil.deleteRecursively(new java.io.File(idxDir))): Unit
@@ -2811,13 +2826,7 @@ object DedupSim {
     // codebook — metadata-sized (5 queries × cells scores), the SAME
     // sequential double fold as dot_f32 so the choice matches the oracle
     val qVecs = probeVectors(s, d)
-    val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (q, qe) =>
-      code.toSeq.map { case (cid, ce) =>
-        (dotSeqD(ce, ce) - 2.0 * dotSeqD(qe, ce), cid) }
-        .sortBy(identity) // lexicographic (score, cid) — the oracle's tie-break
-        .take(IvfProbes)
-        .map { case (_, cid) => (q, cid) }
-    }
+    val probePairs = probePairsFor(qVecs, code)
     val probeCells = probePairs.map(_._2).distinct.sorted
 
     // the query slice is already on the driver — serve it back as a
@@ -3015,11 +3024,7 @@ object DedupSim {
 
     // search: q345's pruned-read shape over the combined index
     val qVecs = probeVectors(s, d)
-    val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (qid, qe) =>
-      code.toSeq.map { case (cid, ce) =>
-        (dotSeqD(ce, ce) - 2.0 * dotSeqD(qe, ce), cid) }
-        .sortBy(identity).take(IvfProbes).map { case (_, cid) => (qid, cid) }
-    }
+    val probePairs = probePairsFor(qVecs, code)
     val probeCells = probePairs.map(_._2).distinct.sorted
     val qs = qVecs.toSeq.toDF("q_id", "qe")
     val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))

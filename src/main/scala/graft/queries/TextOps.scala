@@ -1293,14 +1293,19 @@ object TextOps {
     * degenerate boilerplate chunk and is EXCLUDED (both engines state
     * the same cap, so the gate pins the guard too). Output per pair:
     * shared distinct chunks and integer containment
-    * (shared·10⁶ div min(chunks_a, chunks_b)).
+    * (shared·10⁶ div min(chunks_a, chunks_b)). The gate corpus never
+    * exceeds the cap (max fp fan-out 3 at sf0.01), so the guard itself
+    * is pinned by a UNIT test on a synthetic >cap table
+    * (ChunkPairsSpec), with the cap value stated in both engines.
     *
     * Scale shape: one distinct over (doc, fp); the windowed per-fp count
     * rides the same fp shuffle the self-join needs; the tiny pair table
     * BROADCASTS back onto the per-doc chunk counts. */
-  private val Q352HotCap = 64
-  def q352(s: SparkSession, d: String): DataFrame = {
-    val ch = tokenChunks(s, d).select(col("doc_id"), col("chunk_fp")).distinct()
+  private[graft] val Q352HotCap = 64
+  /** The pair pipeline over any (doc_id, chunk_fp)-DISTINCT table —
+    * factored so the hot-cap guard is unit-testable beyond the gate
+    * corpus's fan-out. */
+  private[graft] def chunkCollisionPairs(ch: DataFrame): DataFrame = {
     val wFp = Window.partitionBy(col("chunk_fp"))
     val guarded = ch.withColumn("nd", count(lit(1)).over(wFp))
       .filter(col("nd") <= Q352HotCap)
@@ -1320,8 +1325,11 @@ object TextOps {
         col("n_chunks_a"), col("n_chunks_b"),
         expr("shared_chunks * 1000000L div least(n_chunks_a, n_chunks_b)")
           .as("containment_ppm"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+  def q352(s: SparkSession, d: String): DataFrame =
+    chunkCollisionPairs(
+      tokenChunks(s, d).select(col("doc_id"), col("chunk_fp")).distinct())
+      .orderBy(col("doc_a"), col("doc_b"))
   val q352Sql: String = {
     val (w, st) = (Q349Window, Q349Stride)
     s"""WITH t AS (
@@ -1397,19 +1405,21 @@ object TextOps {
         expr("covered_tokens * 1000000L div total_tokens"))
       .orderBy(col("k"))
   }
-  val q353Sql: String =
-    """WITH w AS (
-      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+  val q353Sql: String = {
+    val kmax = Q353Ks.max
+    val klist = Q353Ks.mkString("[", ", ", "]")
+    s"""WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
       |    x -> x <> '')) AS w
       |  FROM documents),
       |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
       |             CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
       |top AS (SELECT c, w, row_number() OVER (ORDER BY c DESC, w) AS rk
-      |        FROM c ORDER BY c DESC, w LIMIT 5000),
+      |        FROM c ORDER BY c DESC, w LIMIT $kmax),
       |cum AS (SELECT CAST(rk AS BIGINT) AS rk,
       |               CAST(SUM(c) OVER (ORDER BY rk) AS BIGINT) AS cum FROM top),
-      |ks AS (SELECT unnest([1, 10, 100, 1000, 5000]) AS k)
+      |ks AS (SELECT unnest($klist) AS k)
       |SELECT CAST(ks.k AS BIGINT) AS k, t.vocab AS vocab_size,
       |  t.total AS total_tokens,
       |  CAST(COALESCE(cum.cum, 0) AS BIGINT) AS covered_tokens,
@@ -1417,6 +1427,7 @@ object TextOps {
       |FROM ks CROSS JOIN t
       |LEFT JOIN cum ON cum.rk = least(ks.k, t.vocab)
       |ORDER BY k""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q350
   /** UNICODE SCRIPT DETECTION (round 15): the script histogram the

@@ -44,23 +44,19 @@ object IvfSqrtN {
     val code = graft.queries.DedupSim.trainedCodebookFrom(spark, sfDir,
       graft.queries.DedupSim.seedCodebookN(spark, sfDir, cells), rounds = 1)
     // the board entry's own assignment path — this tool must measure
-    // q345's EXACT building blocks, never a drifted copy (above
-    // IvfJoinThreshold cells this is the broadcast-join E-step)
+    // q345's EXACT building blocks, never a drifted copy (always the
+    // literal projection; the join alternative measured 3.2x slower
+    // and was rejected — SCALECHECK_r15 §1)
     graft.queries.DedupSim.ivfAssignAuto(emb, code)
       .withColumn("cell", col("cell").cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
     val buildSec = (System.nanoTime() - tB0) / 1e9
 
     // ---- probe cells driver-side from the literal codebook (q345's
-    // helpers verbatim: dotSeqD fold, IvfProbes budget, null-guarded read)
+    // helpers verbatim: probePairsFor = dotSeqD fold + IvfProbes budget)
     val probes4 = graft.queries.DedupSim.IvfProbes
     val qVecs = graft.queries.DedupSim.probeVectors(spark, sfDir)
-    val probePairs: Seq[(Long, Long)] = qVecs.toSeq.flatMap { case (q, qe) =>
-      code.toSeq.map { case (cid, ce) =>
-        (graft.queries.DedupSim.dotSeqD(ce, ce) -
-          2.0 * graft.queries.DedupSim.dotSeqD(qe, ce), cid) }
-        .sortBy(identity).take(probes4).map { case (_, cid) => (q, cid) }
-    }
+    val probePairs = graft.queries.DedupSim.probePairsFor(qVecs, code)
     val probeCells = probePairs.map(_._2).distinct.sorted
     val qs = qVecs.toSeq.toDF("q_id", "qe")
     val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q352's hot-cap guard, pinned beyond the gate corpus: at sf0.01 no
+  * chunk fingerprint is shared by more than 3 documents (cap 64), so
+  * the DuckDB hash gate alone would keep passing with the guard
+  * deleted. This spec drives the factored pair pipeline with a
+  * synthetic fan-out ABOVE the cap and asserts the boilerplate
+  * fingerprint is excluded while normal collisions survive. */
+class ChunkPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("fingerprints above the hot cap are excluded; normal ones pair") {
+    import spark.implicits._
+    val cap = graft.queries.TextOps.Q352HotCap
+    // "hot": shared by cap+6 docs (boilerplate chunk — must NOT pair);
+    // "ok": shared by docs 1 and 2 (a real near-dup — must pair);
+    // every doc also has one unique chunk so n_chunks > shared
+    val hotDocs = (1L to (cap + 6).toLong).map(i => (i, "hot"))
+    val uniq = (1L to (cap + 6).toLong).map(i => (i, s"uniq$i"))
+    val ok = Seq((1L, "ok"), (2L, "ok"))
+    val ch = (hotDocs ++ uniq ++ ok).toDF("doc_id", "chunk_fp")
+    val out = graft.queries.TextOps.chunkCollisionPairs(ch)
+      .orderBy("doc_a", "doc_b").collect()
+    // ONLY the (1,2) pair from "ok" — with the guard deleted this would
+    // be (cap+6 choose 2) + 1 rows
+    assert(out.length == 1, s"expected 1 pair, got ${out.length}")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L, "shared_chunks must count only 'ok'")
+    // doc 1 and doc 2 each hold 3 distinct chunks (hot + uniq + ok) —
+    // n_chunks counts the UNGUARDED table, so containment stays honest
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L)
+    assert(r.getLong(5) == 1000000L / 3L)
+  }
+
+  test("a fingerprint at exactly the cap still pairs (boundary is >cap)") {
+    import spark.implicits._
+    val cap = graft.queries.TextOps.Q352HotCap
+    val atCap = (1L to cap.toLong).map(i => (i, "edge"))
+    val ch = atCap.toDF("doc_id", "chunk_fp")
+    val n = graft.queries.TextOps.chunkCollisionPairs(ch).count()
+    assert(n == cap.toLong * (cap - 1) / 2,
+      s"cap-sized fan-out must still pair (got $n)")
+  }
+}
