@@ -193,6 +193,18 @@ object PlanCheck {
         "probe cells reach PartitionFilters (INSET) on the index scan; no SMJ")(p =>
       "PartitionFilters: \\[cell#\\d+L? INSET".r.findFirstIn(p).isDefined &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // q352: pair generation is a fingerprint-bucketed self-join, never a
+    // cartesian; the tiny pair table broadcasts back onto the chunk counts
+    check("q352_chunk_collision_pairs",
+        "fp-bucketed self-join (no cartesian); pairs broadcast onto counts")(p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("BroadcastHashJoin"))
+    // q353: the coverage curve must reach its top-k through a bounded heap
+    // (TakeOrderedAndProject), never a full-vocabulary global sort — at
+    // 100 TB the vocab is tens of millions of types
+    check("q353_vocab_coverage",
+        "top-5000 via TakeOrderedAndProject, not a full-vocab sort")(p =>
+      p.contains("TakeOrderedAndProject"))
     // q89/q90/q91: the rank filter must become a partial bounded heap so
     // each map partition keeps only its top-k BEFORE the stratum shuffle —
     // WindowTopKRewrite subsumes Spark's sort-based WindowGroupLimit here,
