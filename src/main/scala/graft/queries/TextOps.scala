@@ -1429,6 +1429,52 @@ object TextOps {
       |ORDER BY k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q354
+  /** LEXICAL DIVERSITY (round 15): per-document type-token ratio and
+    * hapax fraction — the vocabulary-richness quality signal next to
+    * q19's surface stats and q95's repetition: machine-generated or
+    * keyword-stuffed text shows abnormally LOW type/token (few types
+    * repeated) or abnormally HIGH hapax fractions (gibberish never
+    * repeats), and both are integer-exact (counts + ppm division).
+    *
+    * Scale shape: ONE exchange, and it carries the un-exploded documents
+    * (doc_id repartition BEFORE the token explode): hash(doc_id)
+    * satisfies the clustered distribution of BOTH the (doc, word) count
+    * and the per-doc rollup, so the exploded token stream and the
+    * per-doc word counts never shuffle at all — at 100 TB that is the
+    * difference between exchanging documents once and exchanging the
+    * 100× larger token/type streams twice. (The only other exchange is
+    * the range partition for the gate's ORDER BY, carrying the
+    * one-row-per-doc rollup.) PlanCheck pins the single hash exchange. */
+  def q354(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000L div n_tokens"))
+      .withColumn("hapax_ppm", expr("n_hapax * 1000000L div n_types"))
+      .orderBy(col("doc_id"))
+  val q354Sql: String =
+    """WITH wc AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        x -> x <> '')) AS w
+      |    FROM documents) t
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS hapax_ppm
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q350
   /** UNICODE SCRIPT DETECTION (round 15): the script histogram the
     * language-ID stage (q21) runs BEFORE n-gram models can apply —
@@ -1553,6 +1599,7 @@ object TextOps {
     "q350_script_detect" -> ((q350 _, Some(q350Sql))),
     "q352_chunk_collision_pairs" -> ((q352 _, Some(q352Sql))),
     "q353_vocab_coverage" -> ((q353 _, Some(q353Sql))),
+    "q354_lexical_diversity" -> ((q354 _, Some(q354Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),

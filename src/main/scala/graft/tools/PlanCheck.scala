@@ -205,6 +205,14 @@ object PlanCheck {
     check("q353_vocab_coverage",
         "top-5000 via TakeOrderedAndProject, not a full-vocab sort")(p =>
       p.contains("TakeOrderedAndProject"))
+    // q354: ONE hash exchange, and it carries the un-exploded documents
+    // (repartition by doc_id BEFORE the token explode satisfies both
+    // aggs' distributions) — the exploded token stream never shuffles;
+    // the only other exchange is the output-sort range partition
+    check("q354_lexical_diversity",
+        "single doc_id hash exchange before the explode; aggs shuffle-free")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("REPARTITION_BY_COL") && p.contains("partial_count"))
     // q89/q90/q91: the rank filter must become a partial bounded heap so
     // each map partition keeps only its top-k BEFORE the stratum shuffle —
     // WindowTopKRewrite subsumes Spark's sort-based WindowGroupLimit here,
