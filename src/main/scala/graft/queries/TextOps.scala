@@ -1316,9 +1316,12 @@ object TextOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_chunks"))
     val nc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-    broadcast(pairs)
+    // the pair table is Σ bucket²-bounded — broadcast it onto BOTH
+    // corpus-sized count joins (the intermediate re-hinted: the first
+    // join's result would otherwise lose the hint and SMJ at scale)
+    broadcast(broadcast(pairs)
       .join(nc.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_chunks", "n_chunks_a"), Seq("doc_a"))
+              .withColumnRenamed("n_chunks", "n_chunks_a"), Seq("doc_a")))
       .join(nc.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("n_chunks", "n_chunks_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared_chunks"),
@@ -1447,18 +1450,31 @@ object TextOps {
     * the range partition for the gate's ORDER BY, carrying the
     * one-row-per-doc rollup.) PlanCheck pins the single hash exchange. */
   def q354(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    lexicalDiversity(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** q354's body over any (doc_id, text) table — factored so the
+    * empty/whitespace-document row (never present in the gate corpus)
+    * is unit-testable (LexicalDiversitySpec). explode_outer keeps ONE
+    * NULL-word row for token-less documents, so the output stays truly
+    * per-document: counts 0, ratios NULL. (Tokenizer note: Java \s and
+    * DuckDB/RE2 \s disagree on U+000B vertical tab — a corpus
+    * invariant shared by every \s-tokenizing entry in this file; the
+    * testdata generator never emits VT.) */
+  private[graft] def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode_outer(expr(
         "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
-      .withColumn("ttr_ppm", expr("n_types * 1000000L div n_tokens"))
-      .withColumn("hapax_ppm", expr("n_hapax * 1000000L div n_types"))
-      .orderBy(col("doc_id"))
+      .agg(sum(when(col("w").isNotNull, col("c")).otherwise(0L)).as("n_tokens"),
+        count(col("w")).as("n_types"),
+        sum(when(col("w").isNotNull && col("c") === 1, 1L).otherwise(0L))
+          .as("n_hapax"))
+      .withColumn("ttr_ppm", when(col("n_tokens") > 0,
+        expr("n_types * 1000000L div n_tokens")))
+      .withColumn("hapax_ppm", when(col("n_types") > 0,
+        expr("n_hapax * 1000000L div n_types")))
   val q354Sql: String =
     """WITH wc AS (
       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
@@ -1466,14 +1482,20 @@ object TextOps {
       |      unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
       |        x -> x <> '')) AS w
       |    FROM documents) t
-      |  GROUP BY 1, 2)
-      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-      |  CAST(COUNT(*) AS BIGINT) AS n_types,
-      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-      |  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
-      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-      |    AS BIGINT) AS hapax_ppm
-      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM wc GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(r.n_tokens, 0) AS n_tokens,
+      |  COALESCE(r.n_types, 0) AS n_types,
+      |  COALESCE(r.n_hapax, 0) AS n_hapax,
+      |  CASE WHEN COALESCE(r.n_tokens, 0) > 0
+      |    THEN CAST(r.n_types * 1000000 // r.n_tokens AS BIGINT) END AS ttr_ppm,
+      |  CASE WHEN COALESCE(r.n_types, 0) > 0
+      |    THEN CAST(r.n_hapax * 1000000 // r.n_types AS BIGINT) END AS hapax_ppm
+      |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q350
   /** UNICODE SCRIPT DETECTION (round 15): the script histogram the

@@ -193,26 +193,48 @@ object PlanCheck {
         "probe cells reach PartitionFilters (INSET) on the index scan; no SMJ")(p =>
       "PartitionFilters: \\[cell#\\d+L? INSET".r.findFirstIn(p).isDefined &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    // q352: pair generation is a fingerprint-bucketed self-join, never a
-    // cartesian; the tiny pair table broadcasts back onto the chunk counts
-    check("q352_chunk_collision_pairs",
-        "fp-bucketed self-join (no cartesian); pairs broadcast onto counts")(p =>
-      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
-        p.contains("BroadcastHashJoin"))
+    // q352: audited with auto-broadcast DISABLED (the q24/q80 discipline)
+    // so the sf0.01 plan can't mask the at-scale shapes: the two
+    // pairs-onto-counts joins must be EXPLICITLY-hinted broadcasts (the
+    // pair table is Σ bucket²-bounded), while the fp self-join correctly
+    // shuffle-joins (both sides corpus-sized); never a cartesian
+    locally {
+      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.SparkEntry.queries("q352_chunk_collision_pairs")(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ok = "BroadcastHashJoin".r.findAllIn(plan).size == 2 &&
+          !plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin")
+        rec("q352_chunk_collision_pairs",
+          "hinted pair broadcasts survive auto-broadcast off; no cartesian", ok)
+        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+      } finally prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     // q353: the coverage curve must reach its top-k through a bounded heap
-    // (TakeOrderedAndProject), never a full-vocabulary global sort — at
-    // 100 TB the vocab is tens of millions of types
+    // (TakeOrderedAndProject) and carry exactly ONE range exchange (the
+    // 5-row output ORDER BY) — a full-vocabulary global sort would add a
+    // second rangepartitioning over the corpus-sized count table
     check("q353_vocab_coverage",
-        "top-5000 via TakeOrderedAndProject, not a full-vocab sort")(p =>
-      p.contains("TakeOrderedAndProject"))
-    // q354: ONE hash exchange, and it carries the un-exploded documents
-    // (repartition by doc_id BEFORE the token explode satisfies both
-    // aggs' distributions) — the exploded token stream never shuffles;
-    // the only other exchange is the output-sort range partition
+        "top-5000 via TakeOrderedAndProject; no full-vocab range sort")(p =>
+      p.contains("TakeOrderedAndProject") &&
+        "Exchange rangepartitioning".r.findAllIn(p).size == 1)
+    // q354: ONE hash exchange, and it must sit BELOW the token explode
+    // (the exchange carries un-exploded documents; the exploded stream
+    // never shuffles) — the tree prints consumers above inputs, so the
+    // Generate(explode) line must appear ABOVE the hash exchange
     check("q354_lexical_diversity",
-        "single doc_id hash exchange before the explode; aggs shuffle-free")(p =>
+        "single doc_id hash exchange BELOW the explode; aggs shuffle-free")(p => {
+      val gen = p.indexOf("Generate explode")
+      val ex = p.indexOf("Exchange hashpartitioning")
       "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
-        p.contains("REPARTITION_BY_COL") && p.contains("partial_count"))
+        p.contains("REPARTITION_BY_COL") && p.contains("partial_count") &&
+        gen >= 0 && ex >= 0 && gen < ex
+    })
     // q89/q90/q91: the rank filter must become a partial bounded heap so
     // each map partition keeps only its top-k BEFORE the stratum shuffle —
     // WindowTopKRewrite subsumes Spark's sort-based WindowGroupLimit here,
