@@ -1497,6 +1497,56 @@ object TextOps {
       |    THEN CAST(r.n_hapax * 1000000 // r.n_types AS BIGINT) END AS hapax_ppm
       |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q355
+  /** UNIGRAM SELF-ENTROPY IN WHOLE BITS (round 15): the within-document
+    * complement of q343's cross-entropy-vs-reference — repetitive or
+    * template-generated text has LOW self-entropy regardless of how it
+    * scores against a reference LM, so curation pipelines gate on both.
+    * Per token occurrence the surprisal is −log2(c_w/n) ≈
+    * bits(n) − bits(c_w) with bits(x) = ⌊log2 x⌋ = length(bin(x)) − 1 —
+    * q343's integer-exact log-domain discipline, so the hash gates a
+    * log-scale quantity with no transcendental in either engine.
+    * total_bits = Σ_w c_w·(bits(n) − bits(c_w)); bpt_ppm normalizes per
+    * token.
+    *
+    * Scale shape: q354's single-exchange layout verbatim — doc_id
+    * repartition BEFORE the explode satisfies both the (doc, word)
+    * count and the per-doc rollup, so the token stream never shuffles. */
+  def q355(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    // the doc's token total rides a doc_id window — the repartition
+    // above satisfies its distribution, so this is a LOCAL sort, not
+    // another exchange
+    val withN = wc.withColumn("n",
+      sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+    withN.groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * ((length(bin(col("n"))) - 1) -
+          (length(bin(col("c"))) - 1))).as("total_bits"))
+      .withColumn("bpt_ppm", expr("total_bits * 1000000L div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  val q355Sql: String =
+    """WITH wc AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        x -> x <> '')) AS w
+      |    FROM documents) t
+      |  GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1)
+      |SELECT wc.doc_id, n.n AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(c * ((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(c)) - 1)))
+      |    AS BIGINT) AS total_bits,
+      |  CAST(SUM(c * ((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(c)) - 1)))
+      |    * 1000000 // n.n AS BIGINT) AS bpt_ppm
+      |FROM wc JOIN n USING (doc_id)
+      |GROUP BY wc.doc_id, n.n ORDER BY wc.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q350
   /** UNICODE SCRIPT DETECTION (round 15): the script histogram the
     * language-ID stage (q21) runs BEFORE n-gram models can apply —
@@ -1622,6 +1672,7 @@ object TextOps {
     "q352_chunk_collision_pairs" -> ((q352 _, Some(q352Sql))),
     "q353_vocab_coverage" -> ((q353 _, Some(q353Sql))),
     "q354_lexical_diversity" -> ((q354 _, Some(q354Sql))),
+    "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
     "q339_gopher_repetition" -> ((q339 _, Some(q339Sql))),
