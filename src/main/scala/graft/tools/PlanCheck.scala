@@ -193,27 +193,25 @@ object PlanCheck {
         "probe cells reach PartitionFilters (INSET) on the index scan; no SMJ")(p =>
       "PartitionFilters: \\[cell#\\d+L? INSET".r.findFirstIn(p).isDefined &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    // q352: audited with auto-broadcast DISABLED (the q24/q80 discipline)
-    // so the sf0.01 plan can't mask the at-scale shapes: the two
-    // pairs-onto-counts joins must be EXPLICITLY-hinted broadcasts (the
-    // pair table is Σ bucket²-bounded), while the fp self-join correctly
-    // shuffle-joins (both sides corpus-sized); never a cartesian
+    // q352 (re-pinned round 16, verdict r15 weak #2): the pair table is NO
+    // LONGER force-broadcast — its size scales with corpus duplication, so
+    // the strategy choice belongs to AQE's runtime statistics. The pin
+    // EXECUTES the query and audits the FINAL adaptive plan: at sf0.01 the
+    // tiny pair table must have been converted to runtime broadcasts (the
+    // small path works), and no join may degrade to a cartesian/NLJ. The
+    // above-threshold SHUFFLE path (what a duplication-heavy 100 TB corpus
+    // takes) is pinned by ChunkPairsSpec with both thresholds disabled —
+    // either strategy is an accepted plan.
     locally {
-      val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val plan = graft.SparkEntry.queries("q352_chunk_collision_pairs")(spark, sfDir)
-          .queryExecution.executedPlan.toString
-        val ok = "BroadcastHashJoin".r.findAllIn(plan).size == 2 &&
-          !plan.contains("CartesianProduct") &&
-          !plan.contains("BroadcastNestedLoopJoin")
-        rec("q352_chunk_collision_pairs",
-          "hinted pair broadcasts survive auto-broadcast off; no cartesian", ok)
-        if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
-      } finally prevThreshold match {
-        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      }
+      val df = graft.SparkEntry.queries("q352_chunk_collision_pairs")(spark, sfDir)
+      df.collect(): Unit // materialize so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      val ok = "BroadcastHashJoin".r.findAllIn(plan).size >= 2 &&
+        !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin")
+      rec("q352_chunk_collision_pairs",
+        "AQE runtime-broadcasts the small pair table; no cartesian", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
     // q353: the coverage curve must reach its top-k through a bounded heap
     // (TakeOrderedAndProject) and carry exactly ONE range exchange (the

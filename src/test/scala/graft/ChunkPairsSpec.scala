@@ -44,6 +44,38 @@ class ChunkPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(5) == 1000000L / 3L)
   }
 
+  test("count joins produce identical pairs under broadcast AND shuffle " +
+       "strategies (the r15 weak-#2 size gate is AQE's, not a forced hint)") {
+    import spark.implicits._
+    // a pair table big enough to be meaningful, fanned out from shared fps
+    val ch = (1L to 200L).flatMap { i =>
+      Seq((i, s"fp${i % 40}"), (i, s"uniq$i")) }.toDF("doc_id", "chunk_fp")
+    def run(): Array[String] =
+      graft.queries.TextOps.chunkCollisionPairs(ch)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString)
+    val defaults = run()
+    val (k1, k2) = ("spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val (p1, p2) = (spark.conf.getOption(k1), spark.conf.getOption(k2))
+    val forced = try {
+      spark.conf.set(k1, "-1"); spark.conf.set(k2, "-1")
+      val df = graft.queries.TextOps.chunkCollisionPairs(ch)
+        .orderBy("doc_a", "doc_b")
+      val rows = df.collect().map(_.toString)
+      // no hint forces a broadcast: with the thresholds off the count
+      // joins must be shuffled joins (at 100 TB the pair table is
+      // O(duplicated docs) — a forced broadcast would OOM the driver)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "thresholds disabled: the count joins must not broadcast")
+      rows
+    } finally {
+      p1.fold(spark.conf.unset(k1))(spark.conf.set(k1, _))
+      p2.fold(spark.conf.unset(k2))(spark.conf.set(k2, _))
+    }
+    assert(defaults.nonEmpty && defaults.sameElements(forced),
+      "broadcast and shuffle strategies must agree row-for-row")
+  }
+
   test("a fingerprint at exactly the cap still pairs (boundary is >cap)") {
     import spark.implicits._
     val cap = graft.queries.TextOps.Q352HotCap
