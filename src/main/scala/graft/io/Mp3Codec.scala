@@ -1361,7 +1361,11 @@ object Mp3Codec {
           var nz = li
           while (nz > 0 && ix(nz - 1) == 0) nz -= 1
           nzEnd(ch) = nz
-          if (isShort) {
+          if (isShort && ch == 1 && intensityOn) {
+            // only the RIGHT channel's per-window bound is ever consulted,
+            // and only when intensity stereo is on — skip the 13-band ×
+            // 3-window scan otherwise (round-16 advice: dead work per
+            // short-block granule)
             // written order groups lines band-major: band b window w
             // occupies [3·sfbS(b) + w·len, …+len)
             var bb = 0

@@ -1120,7 +1120,13 @@ object TextOps {
     * clusters, zero-width space inside a word. The oracle states the
     * joined word list and all three counts closed-form via chr()
     * codepoints (q344's recipe) — a boundary slip in any script class
-    * breaks the hash. */
+    * breaks the hash.
+    *
+    * VERSION PIN: these oracle literals (and q348's/q350's) were probed
+    * empirically on JDK 17 = Unicode 13.0 UCD tables; Uax29Spec asserts
+    * the runtime JDK so a future Unicode bump (e.g. 15.1's GB9c conjunct
+    * clusters) fails with a named constant-staleness diagnosis instead
+    * of a silent gate break. */
   def q347(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -1521,24 +1527,36 @@ object TextOps {
     *
     * Scale shape: q354's single-exchange layout verbatim — doc_id
     * repartition BEFORE the explode satisfies both the (doc, word)
-    * count and the per-doc rollup, so the token stream never shuffles. */
-  def q355(s: SparkSession, d: String): DataFrame = {
-    val wc = Tables.documents(s, d)
+    * count and the per-doc rollup, so the token stream never shuffles.
+    * TOTAL over documents like q354 (round-16 advice): explode_outer
+    * keeps one NULL-word row for token-less docs, so the row universe
+    * matches q354's and per-doc joins of the two richness signals never
+    * lose rows — a token-less doc reads (n_tokens 0, n_types 0,
+    * total_bits NULL, bpt_ppm NULL). */
+  def q355(s: SparkSession, d: String): DataFrame =
+    unigramEntropy(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** q355's body over any (doc_id, text) table — factored like
+    * [[lexicalDiversity]] so the empty-document row (absent from the
+    * gate corpus) is unit-testable (LexicalDiversitySpec). */
+  private[graft] def unigramEntropy(docs: DataFrame): DataFrame = {
+    val wc = docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode_outer(expr(
         "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
     // the doc's token total rides a doc_id window — the repartition
     // above satisfies its distribution, so this is a LOCAL sort, not
-    // another exchange
+    // another exchange; the NULL-word placeholder row contributes 0
     val withN = wc.withColumn("n",
-      sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      sum(when(col("w").isNotNull, col("c")).otherwise(0L))
+        .over(Window.partitionBy(col("doc_id"))))
     withN.groupBy(col("doc_id"))
-      .agg(first(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(col("c") * ((length(bin(col("n"))) - 1) -
-          (length(bin(col("c"))) - 1))).as("total_bits"))
+      .agg(first(col("n")).as("n_tokens"), count(col("w")).as("n_types"),
+        sum(when(col("w").isNotNull,
+          col("c") * ((length(bin(col("n"))) - 1) -
+            (length(bin(col("c"))) - 1)))).as("total_bits"))
       .withColumn("bpt_ppm", expr("total_bits * 1000000L div n_tokens"))
-      .orderBy(col("doc_id"))
   }
   val q355Sql: String =
     """WITH wc AS (
@@ -1548,14 +1566,18 @@ object TextOps {
       |        x -> x <> '')) AS w
       |    FROM documents) t
       |  GROUP BY 1, 2),
-      |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1)
-      |SELECT wc.doc_id, n.n AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
-      |  CAST(SUM(c * ((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(c)) - 1)))
-      |    AS BIGINT) AS total_bits,
-      |  CAST(SUM(c * ((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(c)) - 1)))
-      |    * 1000000 // n.n AS BIGINT) AS bpt_ppm
-      |FROM wc JOIN n USING (doc_id)
-      |GROUP BY wc.doc_id, n.n ORDER BY wc.doc_id""".stripMargin
+      |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+      |r AS (
+      |  SELECT wc.doc_id, n.n AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c * ((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(c)) - 1)))
+      |      AS BIGINT) AS total_bits,
+      |    CAST(SUM(c * ((LENGTH(bin(n.n)) - 1) - (LENGTH(bin(c)) - 1)))
+      |      * 1000000 // n.n AS BIGINT) AS bpt_ppm
+      |  FROM wc JOIN n USING (doc_id)
+      |  GROUP BY wc.doc_id, n.n)
+      |SELECT d.doc_id, COALESCE(r.n_tokens, 0) AS n_tokens,
+      |  COALESCE(r.n_types, 0) AS n_types, r.total_bits, r.bpt_ppm
+      |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q350
   /** UNICODE SCRIPT DETECTION (round 15): the script histogram the

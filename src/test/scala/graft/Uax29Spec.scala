@@ -9,6 +9,23 @@ import graft.ops.Uax29
   * the boundary RULES the sweep relies on, one rule per assertion. */
 class Uax29Spec extends AnyFunSuite {
 
+  test("runtime JDK/Unicode version matches the oracle-literal pin " +
+       "(JDK 17 / Unicode 13.0)") {
+    // q347/q348/q350's DuckDB oracles state BreakIterator word/sentence
+    // boundaries, \X grapheme clusters, and Character.UnicodeScript
+    // counts as FROZEN literals, probed empirically on JDK 17 (Unicode
+    // 13.0). A JDK upgrade ships newer UCD tables (e.g. Unicode 15.1's
+    // GB9c conjunct-cluster rule changes Devanagari grapheme counts) and
+    // would silently move the Spark side while the literals stay put —
+    // this assertion turns that gate break into a named diagnosis
+    // (constant staleness, not an engine bug): re-probe the literals
+    // with the scripts in the q347/q348/q350 scaladocs, then re-pin here.
+    assert(Runtime.version().feature() == 17,
+      s"oracle literals pinned against JDK 17 (Unicode 13.0); running " +
+      s"JDK ${Runtime.version().feature()} — re-probe q347/q348/q350 " +
+      "oracle constants and update this pin")
+  }
+
   test("MidLetter and MidNum keep contractions and numbers whole") {
     assert(Uax29.words("don't stop, it's 3.14 or 1,000") ==
       Vector("don't", "stop", "it's", "3.14", "or", "1,000"))
