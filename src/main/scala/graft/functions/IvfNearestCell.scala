@@ -79,9 +79,10 @@ final class IvfKernel(bc: Broadcast[IvfCodebookData]) extends Serializable {
   * [[graft.queries.DedupSim]]`.ivfAssignAuto` above its literal-projection
   * cell threshold. Generated code is one opaque call into the compiled
   * [[IvfKernel]] hot loop — the expression participates in whole-stage
-  * codegen regardless of cell count, where the literal form's giant
-  * expression tree makes Janino decline compilation beyond a few hundred
-  * cells and plan CONSTRUCTION itself becomes the bottleneck at √N ≈ 10⁵. */
+  * codegen at ANY cell count, where the literal form's struct array_min
+  * never does (interpreted ordering; measured 15×–38× slower at 32–141
+  * cells, SCALECHECK_r16 §1) and its plan CONSTRUCTION becomes the
+  * bottleneck at √N ≈ 10⁵ cells. */
 case class IvfNearestCell(child: Expression, kernel: IvfKernel)
     extends UnaryExpression {
 

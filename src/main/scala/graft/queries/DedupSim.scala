@@ -833,27 +833,31 @@ object DedupSim {
   }
 
   /** Cell count above which [[ivfAssignAuto]] switches from the literal
-    * projection to the broadcast-kernel form. Evidence (SCALECHECK_r16 §1,
-    * 100×/447-cell tier): the kernel E-step beats the literal there (whose
-    * expression tree Janino declines to compile, falling back to an
-    * interpreted projection) while matching it bit-for-bit; below ~128
-    * cells the literal tree still whole-stage-compiles and the two forms
-    * are equivalent, so the gate keeps the oracle-replayable literal.
+    * projection to the broadcast-kernel form. Evidence (SCALECHECK_r16 §1
+    * sweep at fixed N=20k): the literal struct-min NEVER enters whole-stage
+    * codegen (the interpreted array_min ordering), so its per-row cost
+    * grows with the cell count immediately — 15× slower than the kernel at
+    * 32 cells, 38× at 141, and only within-noise comparable at the legacy
+    * fixed 16-cell size (0.31 s vs 0.19 s). Default 16: the base q59-family
+    * operators keep their historical measured plans; every trained/√N
+    * codebook takes the kernel, whose plan is O(1) at any cell count.
     * Overridable via system property so specs force each branch. */
   private[graft] def ivfLiteralMaxCells: Int =
-    sys.props.get("graft.ivf.literalMaxCells").map(_.toInt).getOrElse(128)
+    sys.props.get("graft.ivf.literalMaxCells").map(_.toInt).getOrElse(16)
 
   /** E-step at ANY codebook size — size-gated over THREE adjudicated forms
     * (round 16, closes the r15 verdict's weak #1):
     *
     *  1. LITERAL PROJECTION (cells ≤ [[ivfLiteralMaxCells]]): all scores in
     *     one expression tree, argmin by lexicographic struct-min — zero
-    *     shuffle, zero exchange, whole-stage codegen, and the form DuckDB
-    *     replays verbatim. Its cost is PLAN growth: cells × Dim literal
-    *     nodes; beyond a few hundred cells Janino declines compilation
-    *     (interpreted projection), and at √N ≈ 10⁵ cells plan construction
-    *     / optimization / task serialization dominate before any row is
-    *     read — the r15 verdict's driver-side scale-killer.
+    *     shuffle, zero exchange, and the form DuckDB replays verbatim. Two
+    *     measured costs (SCALECHECK_r16 §1): the struct-min ordering never
+    *     enters whole-stage codegen, so the interpreted projection's
+    *     per-row cost grows linearly with cells from the start (15× the
+    *     kernel at 32 cells, 38× at 141); and the PLAN grows with cells ×
+    *     Dim literal nodes — at √N ≈ 10⁵ cells plan construction /
+    *     optimization / task serialization dominate before any row is
+    *     read, the r15 verdict's driver-side scale-killer.
     *  2. BROADCAST-KERNEL (cells > [[ivfLiteralMaxCells]]): the codebook
     *     ships ONCE per executor as a Spark broadcast value and a compiled
     *     [[graft.functions.IvfKernel]] argmin runs inside whole-stage
