@@ -1694,7 +1694,202 @@ object TextOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q356
+  /** CAVNAR–TRENKLE N-GRAM LANGUAGE-ID (round 16, verdict item 3): the
+    * real lang-ID leg between charset detection (q341) and LM bucketing
+    * (q343) that q21's stopword heuristic approximated — the classic
+    * out-of-place rank-distance classifier (Cavnar & Trenkle, SDAIR'94):
+    *
+    *  - PROFILES: per-language top-[[Q356K]] character n-grams (n = 1–3
+    *    over '_'-padded words), ranked by (count DESC, gram ASC). The
+    *    profiles are DERIVED inside both engines from the same constant
+    *    training text ([[Q356Train]] — ASCII-only, so gram tie-breaks
+    *    collate identically in Java and DuckDB), never a recalled table:
+    *    the restated-table discipline's clean case.
+    *  - ROUTING: q350's script vote runs first — a majority non-Latin
+    *    doc routes to its script label (CJK corpora go to different
+    *    tokenizers; an n-gram model trained on Latin text scoring Han is
+    *    garbage-in), and only Latin-majority docs enter the classifier.
+    *  - DISTANCE: Σ over the doc's top-K grams of |doc_rank − lang_rank|,
+    *    with a flat K penalty for grams absent from the language profile;
+    *    argmin over languages, ties to the lexicographically first lang.
+    *    Integer-exact end to end, so the hash gates the whole decision.
+    *
+    * Eight shapes per doc (id%8): six Latin languages (en es de fr it pt,
+    * test sentences disjoint from the training text) + Han + Hangul.
+    *
+    * Scale shape: ONE hash exchange (doc_id repartition BEFORE the
+    * gram explode — q354's recipe); the (doc, gram) count, the top-K
+    * window, the per-(doc, lang) distance agg, and the argmin window all
+    * ride that clustering shuffle-free. The doc profile is top-K BOUNDED
+    * before the 6-way language fan-out, and the profile table
+    * (6 langs × K rows) broadcasts. */
+  private val Q356K = 40
+  /** Constant training corpus, one line per language — stated verbatim in
+    * the oracle's VALUES. Function-word-dense so the top grams carry the
+    * language signal the classifier needs. */
+  private[graft] val Q356Train: Seq[(String, String)] = Seq(
+    "de" -> ("der hund lauft schnell durch die strasse und die katze " +
+      "schlaft in dem haus das ist der anfang der geschichte von dem " +
+      "kleinen kind und der stadt"),
+    "en" -> ("the quick brown fox jumps over the lazy dog and then the " +
+      "dog sleeps this is the house that jack built with the best of " +
+      "the wood"),
+    "es" -> ("el perro grande corre por la calle y los gatos duermen en " +
+      "la casa la vida es un sueno y los suenos suenos son en la manana"),
+    "fr" -> ("le chien court dans la rue et les chats dorment dans la " +
+      "maison c est le debut de l histoire du petit enfant et de la ville"),
+    "it" -> ("il cane corre per la strada e i gatti dormono nella casa " +
+      "questa e la storia del piccolo bambino e della citta vecchia"),
+    "pt" -> ("o cao corre pela rua e os gatos dormem na casa pequena " +
+      "esta e a historia do pequeno menino e da cidade velha"))
+  private val Q356Tests: Map[Int, String] = Map(
+    0 -> "the cat and the dog run over the green hill with the fox",
+    1 -> "los perros y los gatos de la casa corren por las calles",
+    2 -> "die kinder und der hund schlafen in dem kleinen haus in der stadt",
+    3 -> "les chiens et les chats de la maison courent dans les rues",
+    4 -> "i cani e i gatti della casa corrono per le strade della citta",
+    5 -> "os caes e os gatos da casa correm pelas ruas da cidade")
+  /** CT n-gram stream: 1–3-grams over each '_'-padded word. */
+  private def ctNgrams(text: String): Seq[String] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(text.split(" "))
+      .flatMap { w =>
+        val pw = "_" + w + "_"
+        (1 to 3).flatMap(n => (0 to pw.length - n).map(s => pw.substring(s, s + n)))
+      }
+  /** The trained profiles (lang, gram, rank 1..K) — driver-side constant
+    * metadata (the training corpus is a literal), broadcast at use. */
+  private[graft] lazy val q356Profiles: Seq[(String, String, Int)] =
+    Q356Train.flatMap { case (lang, text) =>
+      ctNgrams(text).groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (g, c) => (-c, g) }
+        .take(Q356K)
+        .zipWithIndex.map { case ((g, _), i) => (lang, g, i + 1) }
+    }
+  def q356(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val digit = (id % 10).toString
+        val base = (id % 8) match {
+          case 6 => "你好世界测试" // Han
+          case 7 => "한국어 문서 " +
+                    "테스트" // Hangul
+          case k => Q356Tests(k.toInt)
+        }
+        val text = s"d$digit $base"
+        // q350's vote: majority REAL script (Common/Inherited structural)
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        text.codePoints().forEach { cp =>
+          val sc = Character.UnicodeScript.of(cp).name()
+          counts(sc) = counts.getOrElse(sc, 0L) + 1L
+        }
+        val majority = counts.toSeq
+          .filter { case (k, _) => k != "COMMON" && k != "INHERITED" }
+          .sortBy { case (k, n) => (-n, k) }
+          .headOption.map(_._1).getOrElse("NONE")
+        (id, text, majority == "LATIN",
+          majority.toLowerCase(java.util.Locale.ROOT))
+      }
+      .toDF("doc_id", "text", "is_latin", "script")
+    val ct = docs.filter(col("is_latin"))
+    val top = ct.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
+      .select(col("doc_id"), explode(expr(
+        "flatten(transform(sequence(1, 3), n -> transform(" +
+          "sequence(1, length(pw) - n + 1), s -> substring(pw, s, n))))"))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))))
+      .filter(col("rd") <= Q356K)
+    val prof = q356Profiles.toDF("lang", "gram", "rl")
+    val langs = Q356Train.map(_._1).toDF("lang")
+    val best = top
+      .crossJoin(broadcast(langs))
+      .join(broadcast(prof), Seq("lang", "gram"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(coalesce(abs(col("rd") - col("rl")).cast("long"),
+        lit(Q356K.toLong))).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shape"),
+        lit("ct").as("route"), col("lang"), col("dist"))
+    val scripted = docs.filter(!col("is_latin"))
+      .select(col("doc_id"), (col("doc_id") % 8).as("shape"),
+        lit("script").as("route"), col("script").as("lang"),
+        lit(null).cast("long").as("dist"))
+    best.unionByName(scripted).orderBy(col("doc_id"))
+  }
+  val q356Sql: String = {
+    val trainVals = Q356Train
+      .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n      |    ")
+    val testCase = Q356Tests.toSeq.sortBy(_._1)
+      .map { case (k, t) => s"WHEN $k THEN '$t'" }.mkString("\n      |      ")
+    s"""WITH train(lang, text) AS (VALUES
+      |    $trainVals),
+      |tg AS (
+      |  SELECT lang, substr(pw, CAST(st AS INT), CAST(n AS INT)) AS gram
+      |  FROM (
+      |    SELECT lang, pw, n, unnest(range(1, len(pw) - n + 2)) AS st
+      |    FROM (SELECT lang, '_' || unnest(string_split(text, ' ')) || '_' AS pw
+      |          FROM train)
+      |    CROSS JOIN (SELECT unnest([1, 2, 3]) AS n))),
+      |prof AS (
+      |  SELECT lang, gram, rl FROM (
+      |    SELECT lang, gram,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY COUNT(*) DESC, gram) AS rl
+      |    FROM tg GROUP BY lang, gram)
+      |  WHERE rl <= $Q356K),
+      |docs AS (
+      |  SELECT doc_id, 'd' || CAST(doc_id % 10 AS VARCHAR) || ' ' ||
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      $testCase
+      |      END AS text
+      |  FROM documents WHERE doc_id % 8 < 6),
+      |dg AS (
+      |  SELECT doc_id, substr(pw, CAST(st AS INT), CAST(n AS INT)) AS gram
+      |  FROM (
+      |    SELECT doc_id, pw, n, unnest(range(1, len(pw) - n + 2)) AS st
+      |    FROM (SELECT doc_id, '_' || unnest(string_split(text, ' ')) || '_' AS pw
+      |          FROM docs)
+      |    CROSS JOIN (SELECT unnest([1, 2, 3]) AS n))),
+      |dtop AS (
+      |  SELECT doc_id, gram, rd FROM (
+      |    SELECT doc_id, gram,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY COUNT(*) DESC, gram) AS rd
+      |    FROM dg GROUP BY doc_id, gram)
+      |  WHERE rd <= $Q356K),
+      |dist AS (
+      |  SELECT d.doc_id, l.lang,
+      |    CAST(SUM(COALESCE(ABS(d.rd - p.rl), $Q356K)) AS BIGINT) AS dist
+      |  FROM dtop d
+      |  CROSS JOIN (SELECT DISTINCT lang FROM train) l
+      |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+      |  GROUP BY d.doc_id, l.lang),
+      |best AS (
+      |  SELECT doc_id, lang, dist FROM (
+      |    SELECT doc_id, lang, dist,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rk
+      |    FROM dist)
+      |  WHERE rk = 1)
+      |SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shape, 'ct' AS route,
+      |  lang, dist
+      |FROM best
+      |UNION ALL
+      |SELECT doc_id, CAST(doc_id % 8 AS BIGINT), 'script',
+      |  CASE CAST(doc_id % 8 AS INT) WHEN 6 THEN 'han' ELSE 'hangul' END,
+      |  CAST(NULL AS BIGINT)
+      |FROM documents WHERE doc_id % 8 >= 6
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q356_ct_ngram_langid" -> ((q356 _, Some(q356Sql))),
     "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
     "q346_nfkc_text_chain" -> ((q346 _, Some(q346Sql))),
     "q347_uax29_segmentation" -> ((q347 _, Some(q347Sql))),

@@ -213,6 +213,16 @@ object PlanCheck {
         "AQE runtime-broadcasts the small pair table; no cartesian", ok)
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
+    // q356: ONE hash exchange (doc_id repartition below both explodes —
+    // gram counting, top-K window, distance agg, and argmin all ride it),
+    // both rank filters as bounded TopKPerGroup heaps, the 6-language
+    // fan-out an intended 6-row broadcast NLJ, the profile a broadcast
+    // hash join — never an SMJ and never a corpus-sized cartesian
+    check("q356_ct_ngram_langid",
+        "one doc_id exchange; bounded top-K heaps; broadcast profile join")(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+        p.contains("REPARTITION_BY_COL") && p.contains("TopKPerGroup") &&
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     // q353: the coverage curve must reach its top-k through a bounded heap
     // (TakeOrderedAndProject) and carry exactly ONE range exchange (the
     // 5-row output ORDER BY) — a full-vocabulary global sort would add a
