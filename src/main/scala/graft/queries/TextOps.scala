@@ -1384,6 +1384,136 @@ object TextOps {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q357
+  /** CHUNK-LEVEL MINHASH NEAR-DUP (round 16, verdict item 4): q352
+    * catches only EXACT 64-token window collisions — one edited token
+    * per window blinds it. This entry composes q24's MinHash/LSH recipe
+    * (Kirsch–Mitzenmacher 8-hash signatures from ONE md5 per shingle,
+    * 4 bands × 2 rows) over q349's chunk table, so chunks that are
+    * near-identical at the 3-token-shingle level band together even when
+    * no window matches byte-for-byte. Chunks under 3 tokens carry no
+    * shingles and are excluded (stated in both engines). Band buckets
+    * shared by more than [[Q357HotCap]] chunks are degenerate
+    * boilerplate and excluded — the q352 hot-key discipline, unit-tested
+    * above-cap (ChunkPairsSpec; the gate corpus never reaches the cap).
+    * Output: per cross-document pair, the count of distinct colliding
+    * chunk pairs.
+    *
+    * Scale shape: doc_id repartition BEFORE tokenize/chunk/shingle
+    * explodes, so the per-chunk signature agg (map-side partial min)
+    * rides it shuffle-free; the ONLY corpus-sized exchange after that is
+    * the band-key shuffle the LSH join itself is (pair space Σ bucket²
+    * over capped buckets, never all-pairs); the distinct + doc-pair
+    * rollup shuffle only the collision table. */
+  private[graft] val Q357HotCap = 64
+  /** q349's window slicing with the raw token array kept — the
+    * (doc, chunk, toks) table q357 shingles. */
+  private[queries] def tokenChunkToks(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (Q349Window, Q349Stride)
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("k", explode(expr(
+        s"sequence(0L, (greatest(n_tok - $w, 0L) + ${st - 1}) div $st)")))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        expr(s"slice(t, CAST(k * $st + 1 AS INT), " +
+          s"CAST(least($w, n_tok - k * $st) AS INT))").as("toks"))
+  }
+  /** The pair pipeline over any (doc_id, chunk_id, toks) table — factored
+    * so the band hot-cap guard is unit-testable beyond the gate corpus. */
+  private[graft] def chunkMinhashPairs(chunks: DataFrame): DataFrame = {
+    val p = 1000000007L
+    val sh = chunks.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("chunk_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
+        .as("shingle"))
+    val hashed = sh
+      .select(col("doc_id"), col("chunk_id"), md5(col("shingle")).as("hx"))
+      .select(col("doc_id"), col("chunk_id"),
+        (expr("cast(conv(substring(hx, 1, 15), 16, 10) as bigint)") % p).as("g1"),
+        (expr("cast(conv(substring(hx, 17, 15), 16, 10) as bigint)") % p).as("g2"))
+    val sigAggs = (0 until 8).map(k =>
+      min((col("g1") + lit(k.toLong) * col("g2")) % p).as(s"h$k"))
+    val sig = hashed.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bandArr = array((0 until 4).map(b =>
+      concat(col(s"h${2 * b}").cast("string"), lit("_"),
+             col(s"h${2 * b + 1}").cast("string"))): _*)
+    val bands = sig.select(col("doc_id"), col("chunk_id"), posexplode(bandArr))
+      .toDF("doc_id", "chunk_id", "band_idx", "band_key")
+    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
+    val guarded = bands.withColumn("nb", count(lit(1)).over(wB))
+      .filter(col("nb") <= Q357HotCap)
+      .select(col("doc_id"), col("chunk_id"), col("band_idx"), col("band_key"))
+    val a = guarded.alias("a")
+    val b = guarded.alias("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.chunk_id").as("chunk_a"),
+              col("b.doc_id").as("doc_b"), col("b.chunk_id").as("chunk_b"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_chunk_pairs"))
+  }
+  def q357(s: SparkSession, d: String): DataFrame =
+    chunkMinhashPairs(tokenChunkToks(s, d)).orderBy(col("doc_a"), col("doc_b"))
+  val q357Sql: String = {
+    val (w, st) = (Q349Window, Q349Stride)
+    val p = 1000000007L
+    val mins = (0 until 8)
+      .map(k => s"min((g1 + $k*g2) % $p) AS h$k").mkString(",\n      |    ")
+    val bandsUnion = (0 until 4).map(b =>
+      s"SELECT doc_id, chunk_id, $b AS band_idx, " +
+        s"h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR AS band_key FROM sig")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |ks AS (
+      |  SELECT doc_id, t, n_tok,
+      |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
+      |  FROM t WHERE n_tok >= 1),
+      |ch AS (
+      |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |    t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))] AS toks
+      |  FROM ks),
+      |sh AS (
+      |  SELECT doc_id, chunk_id,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM ch WHERE len(toks) >= 3),
+      |hx AS (
+      |  SELECT doc_id, chunk_id,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS g1,
+      |    ('0x' || substr(md5(shingle), 17, 15))::BIGINT % $p AS g2
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, chunk_id,
+      |    $mins
+      |  FROM hx GROUP BY doc_id, chunk_id),
+      |bands AS (
+      |  $bandsUnion),
+      |ok AS (SELECT band_idx, band_key FROM bands
+      |       GROUP BY 1, 2 HAVING COUNT(*) <= $Q357HotCap),
+      |g AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_key)),
+      |cp AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.chunk_id AS chunk_a,
+      |    b.doc_id AS doc_b, b.chunk_id AS chunk_b
+      |  FROM g a JOIN g b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_chunk_pairs
+      |FROM cp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q353
   /** VOCABULARY COVERAGE CURVE (round 15): the statistic tokenizer and
     * vocab-size decisions are made from — what fraction of all corpus
@@ -1890,6 +2020,7 @@ object TextOps {
 
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q356_ct_ngram_langid" -> ((q356 _, Some(q356Sql))),
+    "q357_chunk_minhash_neardup" -> ((q357 _, Some(q357Sql))),
     "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
     "q346_nfkc_text_chain" -> ((q346 _, Some(q346Sql))),
     "q347_uax29_segmentation" -> ((q347 _, Some(q347Sql))),

@@ -76,6 +76,46 @@ class ChunkPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "broadcast and shuffle strategies must agree row-for-row")
   }
 
+  test("q357: a one-token edit that blinds q352's exact collision still " +
+       "bands together under chunk MinHash") {
+    import spark.implicits._
+    val base = (1 to 64).map(i => s"tok$i")
+    val edited = base.updated(31, "EDITED")
+    val chunks = Seq(
+      (1L, 0L, base),
+      (2L, 0L, edited),
+      (3L, 0L, (1 to 64).map(i => s"other$i"))) // unrelated: must NOT pair
+    val out = graft.queries.TextOps.chunkMinhashPairs(
+      chunks.toDF("doc_id", "chunk_id", "toks"))
+      .orderBy("doc_a", "doc_b").collect()
+    assert(out.length == 1, s"expected exactly the (1,2) pair, got ${out.length}")
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getLong(2) == 1L)
+    // and the exact-collision operator is blind to the same input — the
+    // gap q357 exists to close
+    val fp = Seq((1L, "fp_base"), (2L, "fp_edited"))
+      .toDF("doc_id", "chunk_fp")
+    assert(graft.queries.TextOps.chunkCollisionPairs(fp).count() == 0)
+  }
+
+  test("q357: band buckets above the hot cap are excluded; chunks under " +
+       "3 tokens carry no signature") {
+    import spark.implicits._
+    val cap = graft.queries.TextOps.Q357HotCap
+    val boiler = (1 to 64).map(i => s"b$i")
+    val hot = (1L to (cap + 6).toLong).map(i => (i, 0L, boiler))
+    val ok = Seq((1000L, 0L, (1 to 64).map(i => s"u$i")),
+                 (1001L, 0L, (1 to 64).map(i => s"u$i")))
+    val short = Seq((2000L, 0L, Seq("a", "b"))) // < 3 tokens: no shingles
+    val out = graft.queries.TextOps.chunkMinhashPairs(
+      (hot ++ ok ++ short).toDF("doc_id", "chunk_id", "toks"))
+      .orderBy("doc_a", "doc_b").collect()
+    // the boilerplate bucket (cap+6 identical chunks) must produce ZERO
+    // pairs; the normal duplicate pair survives
+    assert(out.length == 1, s"expected 1 pair, got ${out.length}")
+    assert(out.head.getLong(0) == 1000L && out.head.getLong(1) == 1001L)
+  }
+
   test("a fingerprint at exactly the cap still pairs (boundary is >cap)") {
     import spark.implicits._
     val cap = graft.queries.TextOps.Q352HotCap
