@@ -3022,24 +3022,32 @@ object DedupSim {
     * partition-local append (no shuffle, no rewrite of existing cells);
     * the codebook is frozen metadata, so maintenance cost is O(batch),
     * independent of index size. */
-  def q351(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val base = emb.filter(col("vec_id") % 7 =!= 0)
-    val delta = emb.filter(col("vec_id") % 7 === 0)
+  /** Frozen serving codebook for the q351/q358 maintenance family: the
+    * first √Nbase BASE (vec_id%7≠0) vectors by vec_id — codebooks version
+    * with the corpus, not with every append. */
+  private[graft] def frozenBaseCodebook(s: SparkSession,
+                                        d: String): Array[(Long, Array[Float])] = {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") % 7 =!= 0)
     val nBase = base.count()
     val cells = math.max(16L, math.round(math.sqrt(nBase.toDouble)))
-    // frozen codebook: the first `cells` BASE vectors by vec_id
-    val code = base.orderBy(col("vec_id")).limit(cells.toInt)
+    base.orderBy(col("vec_id")).limit(cells.toInt)
       .select(col("vec_id").cast("long"), col("embedding"))
       .collect()
       .map { r =>
         val raw = r.getSeq[Any](1)
         require(raw != null && raw.forall(_ != null),
-          s"q351 codebook seed ${r.getLong(0)} contains null element(s)")
+          s"frozen codebook seed ${r.getLong(0)} contains null element(s)")
         (r.getLong(0), raw.map(_.asInstanceOf[Float]).toArray)
       }
       .sortBy(_._1)
+  }
+
+  def q351(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+    val code = frozenBaseCodebook(s, d)
     def assigned(df: DataFrame): DataFrame =
       ivfAssignAuto(df, code).withColumn("cell", col("cell").cast("long"))
 
@@ -3164,9 +3172,164 @@ object DedupSim {
        |ORDER BY face, origin, q_id, rnk, vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q358
+  /** IVF INDEX COMPACTION (round 16, verdict item 5): q351's per-batch
+    * partition-local appends are the classic small-file generator at
+    * 100 TB — one file per (cell, micro-batch), so after B batches a
+    * √N-cell index carries O(cells·B) files and every pruned read pays
+    * O(B) opens per probed cell. This entry recreates that on-disk
+    * aftermath (base build + three appended delta batches against the
+    * SAME frozen codebook as q351), then runs the q237 small-file-
+    * optimize shape on the cell-partitioned layout: cluster by cell and
+    * rewrite — exactly ONE file per occupied cell, a partition-local
+    * rewrite that never re-assigns a vector. Three proofs ride the gate:
+    *
+    *  - in-query require()s: the rewrite strictly REDUCED the file count,
+    *    and the pruned search returns IDENTICAL rows before vs after
+    *    (compaction moves bytes, not results);
+    *  - gated census: files_after == occupied cells (the one-file-per-
+    *    cell contract is SQL-derivable: COUNT(DISTINCT argmin cell)),
+    *    rows_total == corpus count (nothing lost, nothing duplicated);
+    *  - gated search: q345's pruned top-3 over the COMPACTED index
+    *    (PlanCheck pins that partition pruning SURVIVES compaction).
+    *
+    * Scale shape: compaction is one corpus pass — a cell exchange and a
+    * write, O(index); per-cell file count drops from O(batches) to 1, so
+    * serving reads go from O(B) opens per probed cell to one. */
+  def q358(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+    val code = frozenBaseCodebook(s, d)
+    def assigned(df: DataFrame): DataFrame =
+      ivfAssignAuto(df, code).withColumn("cell", col("cell").cast("long"))
+
+    def tmpDir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      sys.addShutdownHook(
+        graft.io.FsUtil.deleteRecursively(new java.io.File(p))): Unit
+      p
+    }
+    def countParquet(dir: String): Long = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try stream.filter(p => p.toString.endsWith(".parquet")).count()
+      finally stream.close()
+    }
+
+    // the q351 stream's on-disk aftermath: base build + 3 appended batches
+    val idxDir = tmpDir("graft_q358_idx")
+    assigned(base).write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    (0 until 3).foreach { b =>
+      assigned(delta.filter(col("vec_id") % 3 === b))
+        .write.mode("append").partitionBy("cell").parquet(idxDir)
+    }
+    val filesBefore = countParquet(idxDir)
+
+    // COMPACT: cluster by cell, rewrite — one file per occupied cell
+    val compDir = tmpDir("graft_q358_compact")
+    s.read.parquet(idxDir).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(compDir)
+    val filesAfter = countParquet(compDir)
+    require(filesAfter < filesBefore,
+      s"compaction must reduce the file count ($filesBefore -> $filesAfter)")
+
+    // pruned search (q345's shape) over either layout
+    val qVecs = probeVectors(s, d)
+    val probePairs = probePairsFor(qVecs, code)
+    val probeCells = probePairs.map(_._2).distinct.sorted
+    val qs = qVecs.toSeq.toDF("q_id", "qe")
+    val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    def search(dir: String): DataFrame =
+      s.read.parquet(dir).withColumn("cell", col("cell").cast("long"))
+        .filter(col("cell").isin(probeCells: _*))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("rnk").cast("long").as("rnk"),
+          col("vec_id").cast("long").as("vec_id"), col("cell"), col("cosine"))
+    val beforeRows = search(idxDir).orderBy(col("q_id"), col("rnk")).collect()
+    val afterSearch = search(compDir)
+    val afterRows = afterSearch.orderBy(col("q_id"), col("rnk")).collect()
+    require(beforeRows.sameElements(afterRows),
+      "compaction changed search results — rewrite must be content-neutral")
+
+    val nullL = lit(null).cast("long")
+    val compacted = s.read.parquet(compDir)
+    val censusFace = Seq(
+      ("files_after", filesAfter),
+      ("rows_total", compacted.count())).toDF("origin", "n")
+      .select(lit("compact").as("face"), col("origin"), nullL.as("q_id"),
+        nullL.as("rnk"), nullL.as("vec_id"), nullL.as("cell"),
+        lit(null).cast("double").as("cosine"), col("n"))
+    val searchFace = afterSearch
+      .select(lit("search").as("face"), lit(null).cast("string").as("origin"),
+        col("q_id"), col("rnk"), col("vec_id"), col("cell"), col("cosine"),
+        nullL.as("n"))
+    censusFace.unionByName(searchFace)
+      .orderBy(col("face"), col("origin"), col("q_id"), col("rnk"))
+  }
+  val q358Sql: String = {
+    val fold = foldAllSql _
+    s"""WITH nn AS (
+       |  SELECT greatest(16, CAST(round(sqrt(COUNT(*))) AS BIGINT)) AS cells
+       |  FROM embeddings WHERE vec_id % 7 <> 0),
+       |cb AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM (
+       |    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM embeddings WHERE vec_id % 7 <> 0) b, nn
+       |  WHERE b.rn <= nn.cells),
+       |assign AS (
+       |  SELECT r.vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb c) r WHERE r.rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cb c WHERE e.vec_id < 5) q
+       |  WHERE rn <= $IvfProbes),
+       |pairs AS (
+       |  SELECT p.q_id, a.vec_id, a.cell,
+       |    ${fold("q.embedding", "e.embedding")} AS dot,
+       |    ${fold("q.embedding", "q.embedding")} AS nq,
+       |    ${fold("e.embedding", "e.embedding")} AS nc
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |s3 AS (
+       |  SELECT q_id, vec_id, cell, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
+       |  FROM pairs)
+       |SELECT 'compact' AS face, 'files_after' AS origin,
+       |  CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS rnk,
+       |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS cell,
+       |  CAST(NULL AS DOUBLE) AS cosine,
+       |  CAST((SELECT COUNT(DISTINCT cell) FROM assign) AS BIGINT) AS n
+       |UNION ALL
+       |SELECT 'compact', 'rows_total', NULL, NULL, NULL, NULL, NULL,
+       |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+       |UNION ALL
+       |SELECT 'search', NULL, q_id, CAST(rnk AS BIGINT),
+       |  CAST(vec_id AS BIGINT), CAST(cell AS BIGINT), cosine, NULL
+       |FROM s3 WHERE rnk <= 3
+       |ORDER BY face, origin, q_id, rnk""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q345_ivf_sqrtn_partitioned" -> ((q345 _, Some(q345Sql))),
     "q351_ivf_stream_append" -> ((q351 _, Some(q351Sql))),
+    "q358_ivf_index_compaction" -> ((q358 _, Some(q358Sql))),
     "q219_ann_trained_codebook" -> ((q219 _, Some(q219Sql))),
     "q266_ann_ivf_pq" -> ((q266 _, Some(q266Sql))),
     "q187_sq8_recall" -> ((q187 _, Some(q187Sql))),

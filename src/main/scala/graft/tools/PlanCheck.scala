@@ -193,6 +193,13 @@ object PlanCheck {
         "probe cells reach PartitionFilters (INSET) on the index scan; no SMJ")(p =>
       "PartitionFilters: \\[cell#\\d+L? INSET".r.findFirstIn(p).isDefined &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // q358: partition pruning must SURVIVE compaction — the search face
+    // reads the REWRITTEN one-file-per-cell index through the same
+    // literal cell INSET partition filter as q345's
+    check("q358_ivf_index_compaction",
+        "pruned INSET read survives the compaction rewrite; no SMJ")(p =>
+      "PartitionFilters: \\[cell#\\d+L? INSET".r.findFirstIn(p).isDefined &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
     // q352 (re-pinned round 16, verdict r15 weak #2): the pair table is NO
     // LONGER force-broadcast — its size scales with corpus duplication, so
     // the strategy choice belongs to AQE's runtime statistics. The pin
