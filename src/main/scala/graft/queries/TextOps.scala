@@ -1607,10 +1607,17 @@ object TextOps {
     * invariant shared by every \s-tokenizing entry in this file; the
     * testdata generator never emits VT.) */
   private[graft] def lexicalDiversity(docs: DataFrame): DataFrame =
-    docs
+    lexicalDiversityTokens(docs.select(col("doc_id"), expr(
+      "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')").as("toks")))
+
+  /** The diversity aggregation over ANY (doc_id, toks ARRAY<STRING>) table
+    * — factored (round 16, verdict item 6) so q359 runs the IDENTICAL
+    * machinery over UAX #29 words: the \s and UAX #29 tokenizers are
+    * interchangeable exactly where this shared body is the consumer. */
+  private[graft] def lexicalDiversityTokens(toks: DataFrame): DataFrame =
+    toks
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode_outer(expr(
-        "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("w").isNotNull, col("c")).otherwise(0L)).as("n_tokens"),
@@ -1642,6 +1649,51 @@ object TextOps {
       |  CASE WHEN COALESCE(r.n_types, 0) > 0
       |    THEN CAST(r.n_hapax * 1000000 // r.n_types AS BIGINT) END AS hapax_ppm
       |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q359
+  /** LEXICAL DIVERSITY OVER UAX #29 WORDS (round 16, verdict item 6): the
+    * curation stats (q353–q355) tokenize by \s; q347's UAX #29 words are
+    * the tokenizer-grade truth. This integration entry runs q354's EXACT
+    * aggregation body ([[lexicalDiversityTokens]] — the same code object,
+    * not a copy) over [[graft.ops.Uax29]].words, pinning that the two
+    * tokenizers are interchangeable where claimed. The corpus shapes are
+    * chosen so \s tokenization would get the stats WRONG: "don't" +
+    * punctuation ("stop," ≠ "stop"), MidNum numerics ("3.14", "1,000"),
+    * and an NFD accent pair repeated across word boundaries — UAX #29
+    * counts each as one repeated type where \s would fragment them. Four
+    * shapes per doc (id%4), stats digit-independent; the oracle states
+    * every count closed-form (the q347 recipe). */
+  def q359(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val digit = (id % 10).toString
+        val base = (id % 4) match {
+          case 0 => "the cat and the dog and the fox"
+          case 1 => "don't stop, don't go. don't!"
+          case 2 => "3.14 or 1,000 or 3.14"
+          case _ => "cafe\u0301 au lait au cafe\u0301" // NFD pair, twice
+        }
+        (id, graft.ops.Uax29.words(s"d$digit $base"))
+      }
+      .toDF("doc_id", "toks")
+    lexicalDiversityTokens(toks)
+      .select(col("doc_id"), (col("doc_id") % 4).as("shape"),
+        col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("ttr_ppm"), col("hapax_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  val q359Sql: String =
+    """SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shape,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 9 ELSE 6 END AS BIGINT) AS n_tokens,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 6 ELSE 4 END AS BIGINT) AS n_types,
+      |  CAST(CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2 END AS BIGINT) AS n_hapax,
+      |  CAST(666666 AS BIGINT) AS ttr_ppm,
+      |  CAST(CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 666666 WHEN 1 THEN 750000 ELSE 500000 END AS BIGINT)
+      |    AS hapax_ppm
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q355
   /** UNIGRAM SELF-ENTROPY IN WHOLE BITS (round 15): the within-document
@@ -2030,6 +2082,7 @@ object TextOps {
     "q352_chunk_collision_pairs" -> ((q352 _, Some(q352Sql))),
     "q353_vocab_coverage" -> ((q353 _, Some(q353Sql))),
     "q354_lexical_diversity" -> ((q354 _, Some(q354Sql))),
+    "q359_uax29_diversity" -> ((q359 _, Some(q359Sql))),
     "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
