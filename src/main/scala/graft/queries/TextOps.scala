@@ -1384,6 +1384,101 @@ object TextOps {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q360
+  /** CURATION COMPOSITE SCORE (round 16, verdict item 7): the final
+    * keep/drop/review decision a CCNet/C4-style pipeline actually
+    * executes — the board's per-doc quality signals joined into ONE
+    * gated decision table:
+    *
+    *  - q343 LM bucket (head 3 / middle 2 / tail-or-unscored 0 points),
+    *  - q338 C4 page verdict (+2), q339 Gopher repetition verdict (+2),
+    *  - q19 hallucination/length/letter filter (+1 when the doc
+    *    survives it — q19 emits survivors only, so presence IS the flag),
+    *  - q354 diversity in the healthy band (ttr_ppm in
+    *    [[Q360TtrLo]]..[[Q360TtrHi]], +1 — both keyword-stuffed LOW and
+    *    gibberish HIGH type/token fail),
+    *  - q355 self-entropy ≥ [[Q360MinBpt]] (+1 — template/repetitive
+    *    text reads near zero bits per token).
+    *
+    * Score 0–10, decision = keep (≥7) / review (≥4) / drop — fixed
+    * FROZEN integer cutoffs, CCNet's production shape (constants are the
+    * source of truth, stated identically in both engines). Every signal
+    * column rides along so downstream audits can explain any decision.
+    *
+    * Scale shape: every input is ONE row per doc_id (the signal
+    * aggregations already reduced token-grain work), so the join chain
+    * is O(docs) on the natural key — at 100 TB the signal tables are
+    * bucket-written on doc_id and the joins are exchange-free; the
+    * presentation sorts inside the composed entries are eliminated by
+    * Catalyst (EliminateSorts) under the joins. Integer-only scoring so
+    * the oracle replays the decision bit-for-bit. */
+  private val Q360TtrLo = 300000L
+  private val Q360TtrHi = 900000L
+  private val Q360MinBpt = 1000000L
+  def q360(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"))
+    val c4 = q338(s, d).select(col("doc_id"), col("page_kept").as("c4_kept"))
+    val gopher = q339(s, d).select(col("doc_id"), col("kept").as("gopher_kept"))
+    val lm = graft.queries.LlmOps.q343(s, d)
+      .select(col("doc_id"), col("bucket").as("lm_bucket"))
+    val div = q354(s, d).select(col("doc_id"), col("ttr_ppm"))
+    val ent = q355(s, d).select(col("doc_id"), col("bpt_ppm"))
+    val qual = q19(s, d).select(col("doc_id"), lit(true).as("quality_pass"))
+    val joined = base
+      .join(c4, Seq("doc_id"), "left")
+      .join(gopher, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(div, Seq("doc_id"), "left")
+      .join(ent, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .withColumn("quality_pass", coalesce(col("quality_pass"), lit(false)))
+    joined
+      .withColumn("score",
+        (when(col("lm_bucket") === "head", 3L)
+           .when(col("lm_bucket") === "middle", 2L).otherwise(0L) +
+         when(col("c4_kept"), 2L).otherwise(0L) +
+         when(col("gopher_kept"), 2L).otherwise(0L) +
+         when(col("quality_pass"), 1L).otherwise(0L) +
+         when(col("ttr_ppm").between(Q360TtrLo, Q360TtrHi), 1L).otherwise(0L) +
+         when(col("bpt_ppm") >= Q360MinBpt, 1L).otherwise(0L)).cast("long"))
+      .withColumn("decision",
+        when(col("score") >= 7, "keep")
+          .when(col("score") >= 4, "review").otherwise("drop"))
+      .select(col("doc_id"), col("c4_kept"), col("gopher_kept"),
+        col("lm_bucket"), col("ttr_ppm"), col("bpt_ppm"),
+        col("quality_pass"), col("score"), col("decision"))
+      .orderBy(col("doc_id"))
+  }
+  lazy val q360Sql: String = {
+    // the signal SQLs are embedded VERBATIM (no outer stripMargin — it
+    // would eat the leading '|' of their '||' concat continuation lines)
+    val scoreExpr =
+      s"""CASE lm.bucket WHEN 'head' THEN 3 WHEN 'middle' THEN 2 ELSE 0 END
+         |    + CASE WHEN c4.page_kept THEN 2 ELSE 0 END
+         |    + CASE WHEN g.kept THEN 2 ELSE 0 END
+         |    + CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END
+         |    + CASE WHEN ld.ttr_ppm BETWEEN $Q360TtrLo AND $Q360TtrHi
+         |           THEN 1 ELSE 0 END
+         |    + CASE WHEN ue.bpt_ppm >= $Q360MinBpt THEN 1 ELSE 0 END"""
+        .stripMargin
+    s"""SELECT d.doc_id, c4.page_kept AS c4_kept, g.kept AS gopher_kept,
+       |  lm.bucket AS lm_bucket, ld.ttr_ppm, ue.bpt_ppm,
+       |  (q.doc_id IS NOT NULL) AS quality_pass,
+       |  CAST($scoreExpr AS BIGINT) AS score,
+       |  CASE WHEN $scoreExpr >= 7 THEN 'keep'
+       |       WHEN $scoreExpr >= 4 THEN 'review'
+       |       ELSE 'drop' END AS decision
+       |FROM documents d""".stripMargin +
+      "\nLEFT JOIN (\n" + q338Sql + "\n) c4 ON c4.doc_id = d.doc_id" +
+      "\nLEFT JOIN (\n" + q339Sql + "\n) g ON g.doc_id = d.doc_id" +
+      "\nLEFT JOIN (\n" + graft.queries.LlmOps.q343Sql +
+        "\n) lm ON lm.doc_id = d.doc_id" +
+      "\nLEFT JOIN (\n" + q354Sql + "\n) ld ON ld.doc_id = d.doc_id" +
+      "\nLEFT JOIN (\n" + q355Sql + "\n) ue ON ue.doc_id = d.doc_id" +
+      "\nLEFT JOIN (\n" + q19Sql + "\n) q ON q.doc_id = d.doc_id" +
+      "\nORDER BY d.doc_id"
+  }
+
   // ---------------------------------------------------------------- q357
   /** CHUNK-LEVEL MINHASH NEAR-DUP (round 16, verdict item 4): q352
     * catches only EXACT 64-token window collisions — one edited token
@@ -2083,6 +2178,7 @@ object TextOps {
     "q353_vocab_coverage" -> ((q353 _, Some(q353Sql))),
     "q354_lexical_diversity" -> ((q354 _, Some(q354Sql))),
     "q359_uax29_diversity" -> ((q359 _, Some(q359Sql))),
+    "q360_curation_composite" -> ((q360 _, Some(q360Sql))),
     "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
