@@ -43,9 +43,11 @@ final class IvfKernel(bc: Broadcast[IvfCodebookData]) extends Serializable {
     * every struct on score. The kernel therefore never returns null. */
   def firstId: Long = cb.ids(0)
 
-  /** Spark double ordering: -0.0 == 0.0, NaN greater than everything. */
+  /** Spark's own double ordering (-0.0 == 0.0, NaN greater than
+    * everything) — called directly so kernel/struct-min parity is true by
+    * construction, not by a manually synced copy (round-16 review). */
   private def cmpD(a: Double, b: Double): Int =
-    if (a == b) 0 else java.lang.Double.compare(a, b)
+    org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(a, b)
 
   def nearest(x: ArrayData): Long = {
     val c = cb

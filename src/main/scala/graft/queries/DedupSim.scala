@@ -131,6 +131,38 @@ object DedupSim {
     * tools.PlanCheck audits THIS shape — the q24 entry itself may replay a
     * collected local relation at small SF, which made a plan assertion on
     * q24 vacuous (round-3 advice). */
+  /** MinHash/LSH band table over a (keys..., shingle) stream — the
+    * scheme's load-bearing constants live HERE only (round-16 review:
+    * q24's doc grain and q357's chunk grain share one recipe): all 8
+    * minhashes in ONE pass over the shingle rows, from ONE md5 call per
+    * shingle via Kirsch–Mitzenmacher (h_k = (h1 + k·h2) mod p) where
+    * h1/h2 are the two 60-bit halves of a single md5 (hex chars 1–15 and
+    * 17–31) — independent bits of one 128-bit digest at half the hashing
+    * cost; integer arithmetic exact in both engines, so the DuckDB
+    * oracles mirror it literally. Bands via one posexplode (the signature
+    * projection is computed once per join side, not per band branch).
+    * Returns (keys…, band_idx, band_key); the min-agg is map-side partial
+    * on the `keys` grouping. */
+  private[graft] val MinhashP = 1000000007L
+  private[graft] def minhashBands(shingles: DataFrame,
+                                  keys: Seq[String]): DataFrame = {
+    val p = MinhashP
+    val kc = keys.map(col)
+    val hashed = shingles
+      .select(kc :+ md5(col("shingle")).as("hx"): _*)
+      .select(kc ++ Seq(
+        (expr("cast(conv(substring(hx, 1, 15), 16, 10) as bigint)") % p).as("g1"),
+        (expr("cast(conv(substring(hx, 17, 15), 16, 10) as bigint)") % p).as("g2")): _*)
+    val sigAggs = (0 until 8).map(k =>
+      min((col("g1") + lit(k.toLong) * col("g2")) % p).as(s"h$k"))
+    val sig = hashed.groupBy(kc: _*).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandArr = array((0 until 4).map(b =>
+      concat(col(s"h${2 * b}").cast("string"), lit("_"),
+             col(s"h${2 * b + 1}").cast("string"))): _*)
+    sig.select(kc :+ posexplode(bandArr): _*)
+      .toDF(keys ++ Seq("band_idx", "band_key"): _*)
+  }
+
   private[graft] def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -148,28 +180,7 @@ object DedupSim {
     val shingles = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
       .as("shingle"))
-    // all 8 minhashes in ONE pass over the shingle rows, from ONE md5 call
-    // per shingle via Kirsch-Mitzenmacher (h_k = (h1 + k*h2) mod p): h1/h2
-    // are the two 60-bit halves of a single md5 (chars 1-15 and 17-31 of
-    // the hex digest) — independent bits of one 128-bit digest, at half the
-    // hashing cost of two digests. Integer arithmetic is exact in both
-    // engines, so the DuckDB oracle mirrors it literally.
-    val p = 1000000007L
-    val hashed = shingles
-      .select(col("doc_id"), md5(col("shingle")).as("hx"))
-      .select(col("doc_id"),
-        (expr("cast(conv(substring(hx, 1, 15), 16, 10) as bigint)") % p).as("g1"),
-        (expr("cast(conv(substring(hx, 17, 15), 16, 10) as bigint)") % p).as("g2"))
-    val sigAggs = (0 until 8).map(k =>
-      min((col("g1") + lit(k.toLong) * col("g2")) % p).as(s"h$k"))
-    val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    // one posexplode instead of a 4-way union: the signature projection is
-    // computed once per join side, not once per band branch
-    val bandArr = array((0 until 4).map(b =>
-      concat(col(s"h${2 * b}").cast("string"), lit("_"),
-             col(s"h${2 * b + 1}").cast("string"))): _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandArr))
-      .toDF("doc_id", "band_idx", "band_key")
+    val bands = minhashBands(shingles, Seq("doc_id"))
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -845,6 +856,20 @@ object DedupSim {
   private[graft] def ivfLiteralMaxCells: Int =
     sys.props.get("graft.ivf.literalMaxCells").map(_.toInt).getOrElse(16)
 
+  /** Run `body` with the literal/kernel gate forced to `maxCells` —
+    * hoisted next to the gate so its property name, default, and override
+    * mechanism live in ONE file (IvfKernelSpec and tools.IvfEstepBench
+    * both drive it). */
+  private[graft] def withIvfGate[T](maxCells: Int)(body: => T): T = {
+    val prev = sys.props.get("graft.ivf.literalMaxCells")
+    sys.props("graft.ivf.literalMaxCells") = maxCells.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.ivf.literalMaxCells") = v
+      case None    => sys.props.remove("graft.ivf.literalMaxCells"): Unit
+    }
+  }
+
   /** E-step at ANY codebook size — size-gated over THREE adjudicated forms
     * (round 16, closes the r15 verdict's weak #1):
     *
@@ -885,24 +910,45 @@ object DedupSim {
     * project the argmin through the codegen [[graft.functions
     * .IvfNearestCell]] expression. Output schema and values match the
     * literal form exactly (cell cast to the vec_id type). */
+  /** One broadcast per (session, codebook INSTANCE): q351/q358 assign the
+    * same codebook 2–4 times per query, and re-broadcasting an identical
+    * tens-of-MB payload per call is a driver/executor retention leak at
+    * the 10⁵-cell scale this form exists for (round-16 review). Arrays
+    * compare by reference, so the key is instance identity — exactly the
+    * reuse the call sites have (one `code` val threaded through a query).
+    * Evicted when the owning context stops (the sigCache discipline). */
+  private val ivfKernelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, Array[(Long, Array[Float])]),
+      graft.functions.IvfKernel]()
+
   private[graft] def ivfAssignKernel(emb: DataFrame,
       code: Array[(Long, Array[Float])]): DataFrame = {
     require(code.nonEmpty, "IVF kernel assignment needs a non-empty codebook")
     val dim = code.head._2.length
     require(code.forall(_._2.length == dim),
       "IVF codebook cells must share one dimensionality")
-    val ids = code.map(_._1)
-    val flat = new Array[Float](code.length * dim)
-    val norms = new Array[Double](code.length)
-    var c = 0
-    while (c < code.length) {
-      System.arraycopy(code(c)._2, 0, flat, c * dim, dim)
-      norms(c) = dotSeqD(code(c)._2, code(c)._2)
-      c += 1
-    }
-    val bc = emb.sparkSession.sparkContext.broadcast(
-      graft.functions.IvfCodebookData(ids, dim, flat, norms))
-    val kernel = new graft.functions.IvfKernel(bc)
+    // ids MUST ascend: IvfKernel's tie-break and firstId are
+    // position-based while the literal struct-min's are value-based —
+    // the bit-parity contract silently breaks on an unsorted codebook
+    // (round-16 review; every builder sorts, this enforces it)
+    require((1 until code.length).forall(i => code(i - 1)._1 < code(i)._1),
+      "IVF kernel codebook ids must be strictly ascending")
+    val sc = emb.sparkSession.sparkContext
+    ivfKernelCache.entrySet().removeIf(_.getKey._1.isStopped)
+    val kernel = ivfKernelCache.computeIfAbsent((sc, code), { key =>
+      val ids = code.map(_._1)
+      val flat = new Array[Float](code.length * dim)
+      val norms = new Array[Double](code.length)
+      var c = 0
+      while (c < code.length) {
+        System.arraycopy(code(c)._2, 0, flat, c * dim, dim)
+        norms(c) = dotSeqD(code(c)._2, code(c)._2)
+        c += 1
+      }
+      new graft.functions.IvfKernel(key._1.broadcast(
+        graft.functions.IvfCodebookData(ids, dim, flat, norms)))
+    })
     val cellCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.IvfNearestCell(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")),

@@ -1247,9 +1247,13 @@ object TextOps {
   private val Q349Stride = 48
   /** The (doc, chunk) table q349 emits and q352 consumes: one row per
     * token window, with the chunk's md5 fingerprint. */
-  private[queries] def tokenChunks(s: SparkSession, d: String): DataFrame = {
+  /** ONE windowing base for the chunk family (round-16 review): the chunk
+    * ordinal and slice arithmetic live here ONLY — q349's fingerprints and
+    * q357's shingled token arrays are projections of the same windows, so
+    * the two can never drift. */
+  private def chunkWindows(docs: DataFrame): DataFrame = {
     val (w, st) = (Q349Window, Q349Stride)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"),
         expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')").as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
@@ -1258,11 +1262,16 @@ object TextOps {
         s"sequence(0L, (greatest(n_tok - $w, 0L) + ${st - 1}) div $st)")))
       .select(col("doc_id"), col("k").as("chunk_id"),
         (col("k") * st + 1).as("tok_start"),
-        least(lit(w.toLong), col("n_tok") - col("k") * st).as("tok_len"),
-        md5(expr(s"array_join(slice(t, CAST(k * $st + 1 AS INT), " +
-          s"CAST(least($w, n_tok - k * $st) AS INT)), ' ')")).as("chunk_fp"),
+        expr(s"slice(t, CAST(k * $st + 1 AS INT), " +
+          s"CAST(least($w, n_tok - k * $st) AS INT))").as("toks"),
         col("n_tok"))
   }
+  private[queries] def tokenChunks(s: SparkSession, d: String): DataFrame =
+    chunkWindows(Tables.documents(s, d))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        size(col("toks")).cast("long").as("tok_len"),
+        md5(array_join(col("toks"), " ")).as("chunk_fp"),
+        col("n_tok"))
   def q349(s: SparkSession, d: String): DataFrame =
     tokenChunks(s, d).orderBy(col("doc_id"), col("chunk_id"))
   val q349Sql: String = {
@@ -1501,45 +1510,26 @@ object TextOps {
     * over capped buckets, never all-pairs); the distinct + doc-pair
     * rollup shuffle only the collision table. */
   private[graft] val Q357HotCap = 64
-  /** q349's window slicing with the raw token array kept — the
-    * (doc, chunk, toks) table q357 shingles. */
-  private[queries] def tokenChunkToks(s: SparkSession, d: String): DataFrame = {
-    val (w, st) = (Q349Window, Q349Stride)
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')").as("t"))
-      .withColumn("n_tok", size(col("t")).cast("long"))
-      .filter(col("n_tok") >= 1)
-      .withColumn("k", explode(expr(
-        s"sequence(0L, (greatest(n_tok - $w, 0L) + ${st - 1}) div $st)")))
-      .select(col("doc_id"), col("k").as("chunk_id"),
-        expr(s"slice(t, CAST(k * $st + 1 AS INT), " +
-          s"CAST(least($w, n_tok - k * $st) AS INT))").as("toks"))
-  }
+  /** q349's windows with the raw token arrays kept — the (doc, chunk,
+    * toks) table q357 shingles, from the SAME [[chunkWindows]] base. The
+    * doc_id repartition sits BELOW the windowing so the exchange carries
+    * raw documents, not sliced chunks. */
+  private[queries] def tokenChunkToks(s: SparkSession, d: String): DataFrame =
+    chunkWindows(Tables.documents(s, d).repartition(col("doc_id")))
+      .select(col("doc_id"), col("chunk_id"), col("toks"))
   /** The pair pipeline over any (doc_id, chunk_id, toks) table — factored
     * so the band hot-cap guard is unit-testable beyond the gate corpus. */
   private[graft] def chunkMinhashPairs(chunks: DataFrame): DataFrame = {
-    val p = 1000000007L
     val sh = chunks.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("chunk_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
           "element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
         .as("shingle"))
-    val hashed = sh
-      .select(col("doc_id"), col("chunk_id"), md5(col("shingle")).as("hx"))
-      .select(col("doc_id"), col("chunk_id"),
-        (expr("cast(conv(substring(hx, 1, 15), 16, 10) as bigint)") % p).as("g1"),
-        (expr("cast(conv(substring(hx, 17, 15), 16, 10) as bigint)") % p).as("g2"))
-    val sigAggs = (0 until 8).map(k =>
-      min((col("g1") + lit(k.toLong) * col("g2")) % p).as(s"h$k"))
-    val sig = hashed.groupBy(col("doc_id"), col("chunk_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
-    val bandArr = array((0 until 4).map(b =>
-      concat(col(s"h${2 * b}").cast("string"), lit("_"),
-             col(s"h${2 * b + 1}").cast("string"))): _*)
-    val bands = sig.select(col("doc_id"), col("chunk_id"), posexplode(bandArr))
-      .toDF("doc_id", "chunk_id", "band_idx", "band_key")
+    // the signature/band recipe is q24's, shared via ONE builder
+    // (DedupSim.minhashBands — round-16 review: the scheme's constants
+    // must not live in two pipelines)
+    val bands = graft.queries.DedupSim.minhashBands(
+      sh, Seq("doc_id", "chunk_id"))
     val wB = Window.partitionBy(col("band_idx"), col("band_key"))
     val guarded = bands.withColumn("nb", count(lit(1)).over(wB))
       .filter(col("nb") <= Q357HotCap)
@@ -1559,7 +1549,7 @@ object TextOps {
     chunkMinhashPairs(tokenChunkToks(s, d)).orderBy(col("doc_a"), col("doc_b"))
   val q357Sql: String = {
     val (w, st) = (Q349Window, Q349Stride)
-    val p = 1000000007L
+    val p = graft.queries.DedupSim.MinhashP
     val mins = (0 until 8)
       .map(k => s"min((g1 + $k*g2) % $p) AS h$k").mkString(",\n      |    ")
     val bandsUnion = (0 until 4).map(b =>

@@ -45,15 +45,9 @@ object IvfEstepBench {
       math.max(16L, math.round(math.sqrt(n.toDouble))))
     val code = graft.queries.DedupSim.seedCodebookN(spark, sfDir, cells)
 
-    def withGate[T](maxCells: Int)(body: => T): T = {
-      val prev = sys.props.get("graft.ivf.literalMaxCells")
-      sys.props("graft.ivf.literalMaxCells") = maxCells.toString
-      try body
-      finally prev match {
-        case Some(v) => sys.props("graft.ivf.literalMaxCells") = v
-        case None    => sys.props.remove("graft.ivf.literalMaxCells"): Unit
-      }
-    }
+    // the gate override lives next to the gate itself (round-16 review)
+    def withGate[T](maxCells: Int)(body: => T): T =
+      graft.queries.DedupSim.withIvfGate(maxCells)(body)
 
     /** (plan_s, exec_s, checksum) best-of-reps for one form. */
     def measure(maxCells: Int, planOnly: Boolean): (Double, Double, Long) = {

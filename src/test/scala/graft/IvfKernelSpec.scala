@@ -24,16 +24,9 @@ class IvfKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val d = "/root/testdata/sf0.001"
 
-  /** Run `body` with the literal/kernel gate forced to `maxCells`. */
-  private def withGate[T](maxCells: Int)(body: => T): T = {
-    val prev = sys.props.get("graft.ivf.literalMaxCells")
-    sys.props("graft.ivf.literalMaxCells") = maxCells.toString
-    try body
-    finally prev match {
-      case Some(v) => sys.props("graft.ivf.literalMaxCells") = v
-      case None    => sys.props.remove("graft.ivf.literalMaxCells"): Unit
-    }
-  }
+  /** The gate override lives next to the gate itself (round-16 review). */
+  private def withGate[T](maxCells: Int)(body: => T): T =
+    graft.queries.DedupSim.withIvfGate(maxCells)(body)
 
   test("kernel assignment matches the literal projection bit-for-bit " +
        "on the fixture corpus (22 and 64 cells)") {
