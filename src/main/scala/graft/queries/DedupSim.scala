@@ -2913,23 +2913,40 @@ object DedupSim {
     *  - RECALL face: hits@3 per query vs the exact brute-force cosine
     *    kernel (q27/q106's protocol) — the accuracy boundary of the
     *    trade, gated next to the speed shape. */
+  /** Session-scoped memo of q345's one-time build — (index dir, trained
+    * codebook) per (session, dir, gate). Closes the r15 advisory:
+    * repeated q345 invocations in one session no longer retrain and
+    * rewrite the corpus-sized index ("amortized one-time build" made
+    * literal), and scratch accumulation is one dir per corpus instead of
+    * one per call. The E-step gate value is part of the key so a forced
+    * form (IvfKernelSpec) builds its OWN index rather than silently
+    * reusing the other form's. Evicted when the owning context stops;
+    * dirs reclaimed at JVM exit as before. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), (String, Array[(Long, Array[Float])])]()
+
   def q345(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val n = emb.count()
-    val cells = math.max(16L, math.round(math.sqrt(n.toDouble)))
-    val code = trainedCodebookFrom(s, d, seedCodebookN(s, d, cells), rounds = 1)
-
-    // one-time build: the zero-shuffle literal-projection assignment →
-    // cell-partitioned parquet. Corpus-sized scratch: reclaim at JVM exit
-    // (the result DataFrame reads it lazily, so deletion can't happen
-    // inside this call)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_q345_ivf").toString
-    sys.addShutdownHook(
-      graft.io.FsUtil.deleteRecursively(new java.io.File(idxDir))): Unit
-    ivfAssignAuto(emb, code)
-      .withColumn("cell", col("cell").cast("long"))
-      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    ivfIndexCache.entrySet().removeIf(_.getKey._1.sparkContext.isStopped)
+    val (idxDir, code) = ivfIndexCache.computeIfAbsent(
+      (s, d, ivfLiteralMaxCells), { _ =>
+        val n = emb.count()
+        val cells = math.max(16L, math.round(math.sqrt(n.toDouble)))
+        val cb = trainedCodebookFrom(s, d, seedCodebookN(s, d, cells), rounds = 1)
+        // one-time build: the size-gated E-step assignment →
+        // cell-partitioned parquet. Corpus-sized scratch: reclaim at JVM
+        // exit (the result DataFrame reads it lazily, so deletion can't
+        // happen inside this call)
+        val dir = java.nio.file.Files.createTempDirectory("graft_q345_ivf").toString
+        sys.addShutdownHook(
+          graft.io.FsUtil.deleteRecursively(new java.io.File(dir))): Unit
+        ivfAssignAuto(emb, cb)
+          .withColumn("cell", col("cell").cast("long"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        (dir, cb)
+      })
 
     // probe cells per query, resolved driver-side from the literal
     // codebook — metadata-sized (5 queries × cells scores), the SAME
