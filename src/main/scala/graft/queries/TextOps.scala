@@ -1599,6 +1599,55 @@ object TextOps {
       |FROM cp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q361
+  /** CHUNK-EVIDENCE DEDUP CLUSTERS (round 16): the final step over
+    * q357's near-dup pairs — the same connected-components + keeper
+    * policy q79 applies to q45's verified MinHash edges, now driven by
+    * CHUNK-level evidence: any two documents banding together on a
+    * near-identical 64-token window join one cluster, each document is
+    * labeled with its component's min doc_id, and `is_keeper` =
+    * first-writer-wins per cluster (O24's policy). Reuses q79's
+    * machinery object-for-object ([[graft.queries.DedupSim]]
+    * `.componentLabels` — size-guarded driver union-find / large-star
+    * small-star) so the component semantics cannot drift between the
+    * doc-grain and chunk-grain pipelines. Isolated docs come back as
+    * singleton clusters; sizes ride the tiny edge-label table broadcast,
+    * never a corpus shuffle. */
+  def q361(s: SparkSession, d: String): DataFrame = {
+    val pairs = q357(s, d).select(col("doc_a"), col("doc_b"))
+    val edgeLabels = graft.queries.DedupSim.componentLabels(s, pairs)
+    val sizes = edgeLabels.groupBy(col("label")).agg(count(lit(1)).as("edge_sz"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(edgeLabels), col("doc_id") === col("edge_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .join(broadcast(sizes), col("cluster_id") === col("label"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("edge_sz"), lit(1L)).cast("long").as("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+  lazy val q361Sql: String = {
+    val cand = q357Sql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS (
+       |SELECT doc_a, doc_b FROM (
+       |$cand
+       |)),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+       |lab AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |  doc_id = cluster_id AS is_keeper
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q353
   /** VOCABULARY COVERAGE CURVE (round 15): the statistic tokenizer and
     * vocab-size decisions are made from — what fraction of all corpus
@@ -2158,6 +2207,7 @@ object TextOps {
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q356_ct_ngram_langid" -> ((q356 _, Some(q356Sql))),
     "q357_chunk_minhash_neardup" -> ((q357 _, Some(q357Sql))),
+    "q361_chunk_dedup_clusters" -> ((q361 _, Some(q361Sql))),
     "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
     "q346_nfkc_text_chain" -> ((q346 _, Some(q346Sql))),
     "q347_uax29_segmentation" -> ((q347 _, Some(q347Sql))),
