@@ -1599,6 +1599,96 @@ object TextOps {
       |FROM cp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q362
+  /** SENTENCE-PACKED CHUNKING (round 16): the RAG/context-window splitter
+    * between q348 (sentence boundaries) and q349 (fixed token windows) —
+    * real pipelines pack WHOLE sentences greedily into a token budget so
+    * chunks never cut mid-sentence. Greedy discipline, stated in both
+    * engines: walk sentences in order; if adding the next sentence would
+    * exceed [[Q362Cap]] whitespace tokens, close the chunk and start a
+    * new one (an oversize sentence still gets its own chunk — never
+    * split). The per-document fold is PER-ROW work in Spark (sentence
+    * lists are doc-local; a flatMap, no shuffle at all before the
+    * presentation sort); the oracle replays the same greedy walk with a
+    * recursive CTE over the q348-stated sentence literals, so the hash
+    * gates both the UAX #29 boundaries and the packing arithmetic.
+    * Corpus: q348's six sentence shapes. */
+  private val Q362Cap = 8
+  def q362(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val digit = (id % 10).toString
+        val base = (id % 6) match {
+          case 0 => "Hello world. This is fine. Done"
+          case 1 => "Dr. Smith arrived at 5 p.m. sharp. He left soon."
+          case 2 => "Really?! Yes. No... maybe."
+          case 3 => "One line\nAnother line. And more."
+          case 4 => "A single sentence without terminator"
+          case _ => "\"Quoted end.\" Next one! (Parens.) Last."
+        }
+        val ss = graft.ops.Uax29.sentences(s"d$digit $base")
+        val toks = ss.map(_.split("\\s+").count(_.nonEmpty))
+        // greedy pack: (chunk_id, sents-in-chunk, tokens-in-chunk)
+        val chunks = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, scala.collection.mutable.ArrayBuffer[String], Long)]
+        ss.zip(toks).foreach { case (sent, n) =>
+          chunks.lastOption match {
+            case Some((cid, acc, run)) if run + n <= Q362Cap =>
+              acc += sent
+              chunks(chunks.length - 1) = (cid, acc, run + n)
+            case _ =>
+              val cid = chunks.lastOption.map(_._1 + 1).getOrElse(0L)
+              chunks += ((cid, scala.collection.mutable.ArrayBuffer(sent), n.toLong))
+          }
+        }
+        chunks.map { case (cid, acc, run) =>
+          (id, id % 6, cid, acc.size.toLong, run, acc.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "shape", "chunk_id", "n_sents", "n_toks", "chunk_text")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  val q362Sql: String =
+    s"""WITH RECURSIVE docs AS (
+      |  SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS shape,
+      |    string_split(CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN 'd' || dg || ' Hello world.|This is fine.|Done'
+      |      WHEN 1 THEN 'd' || dg ||
+      |        ' Dr.|Smith arrived at 5 p.m. sharp.|He left soon.'
+      |      WHEN 2 THEN 'd' || dg || ' Really?!|Yes.|No... maybe.'
+      |      WHEN 3 THEN 'd' || dg || ' One line' || chr(10) ||
+      |        'Another line.|And more.'
+      |      WHEN 4 THEN 'd' || dg || ' A single sentence without terminator'
+      |      ELSE 'd' || dg || ' "Quoted end."|Next one!|(Parens.)|Last.'
+      |      END, '|') AS arr
+      |  FROM (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS dg
+      |        FROM documents)),
+      |sents AS (
+      |  SELECT doc_id, shape, CAST(i AS BIGINT) AS sid, arr[CAST(i AS INT)] AS s,
+      |    CAST(len(list_filter(string_split_regex(arr[CAST(i AS INT)], '\\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n
+      |  FROM (SELECT doc_id, shape, arr,
+      |          unnest(range(1, len(arr) + 1)) AS i FROM docs)),
+      |rec AS (
+      |  SELECT doc_id, shape, sid, s, n, CAST(0 AS BIGINT) AS chunk_id,
+      |    n AS run
+      |  FROM sents WHERE sid = 1
+      |  UNION ALL
+      |  SELECT s.doc_id, s.shape, s.sid, s.s, s.n,
+      |    CASE WHEN r.run + s.n > $Q362Cap THEN r.chunk_id + 1
+      |         ELSE r.chunk_id END,
+      |    CASE WHEN r.run + s.n > $Q362Cap THEN s.n ELSE r.run + s.n END
+      |  FROM rec r JOIN sents s
+      |    ON s.doc_id = r.doc_id AND s.sid = r.sid + 1)
+      |SELECT doc_id, shape, chunk_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sents,
+      |  CAST(MAX(run) AS BIGINT) AS n_toks,
+      |  string_agg(s, ' ' ORDER BY sid) AS chunk_text
+      |FROM rec
+      |GROUP BY doc_id, shape, chunk_id
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------------------------------------------------------- q361
   /** CHUNK-EVIDENCE DEDUP CLUSTERS (round 16): the final step over
     * q357's near-dup pairs — the same connected-components + keeper
@@ -2208,6 +2298,7 @@ object TextOps {
     "q356_ct_ngram_langid" -> ((q356 _, Some(q356Sql))),
     "q357_chunk_minhash_neardup" -> ((q357 _, Some(q357Sql))),
     "q361_chunk_dedup_clusters" -> ((q361 _, Some(q361Sql))),
+    "q362_sentence_packed_chunks" -> ((q362 _, Some(q362Sql))),
     "q341_charset_detect" -> ((q341 _, Some(q341Sql))),
     "q346_nfkc_text_chain" -> ((q346 _, Some(q346Sql))),
     "q347_uax29_segmentation" -> ((q347 _, Some(q347Sql))),
