@@ -1393,6 +1393,66 @@ object TextOps {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q364
+  /** CHUNK-GRAIN BENCHMARK DECONTAMINATION (round 16): the eval-leakage
+    * check run before every training run — a training document sharing
+    * ANY exact 64-token window with the benchmark set leaks that
+    * benchmark into the loss. q88 decontaminates at n-gram grain; this
+    * entry runs it at q349's chunk grain, where matches are long enough
+    * to be certain leakage rather than idiom. The doc_id%5=0 slice
+    * stands in for the benchmark (the same held-out-slice convention as
+    * q343's reference LM). Output: each CONTAMINATED train doc with its
+    * hit count, chunk count, and integer hit share.
+    *
+    * Scale shape: the benchmark chunk-fingerprint set is benchmark-sized
+    * (constant at 100 TB — benchmarks don't grow with the crawl), so the
+    * probe is a BROADCAST semi-style join against the train side's
+    * distinct (doc, fp) table; per-doc rollups ride the fp→doc
+    * aggregation. Nothing corpus-sized shuffles on the benchmark side. */
+  def q364(s: SparkSession, d: String): DataFrame = {
+    val ch = tokenChunks(s, d).select(col("doc_id"), col("chunk_fp")).distinct()
+    val bench = ch.filter(col("doc_id") % 5 === 0)
+      .select(col("chunk_fp")).distinct()
+    val train = ch.filter(col("doc_id") % 5 =!= 0)
+    val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val hits = train.join(broadcast(bench), Seq("chunk_fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_chunks"))
+    hits.join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_hit_chunks"), col("n_chunks"),
+        expr("n_hit_chunks * 1000000L div n_chunks").as("hit_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  val q364Sql: String = {
+    val (w, st) = (Q349Window, Q349Stride)
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |ks AS (
+      |  SELECT doc_id, t, n_tok,
+      |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
+      |  FROM t WHERE n_tok >= 1),
+      |ch AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))],
+      |      ' ')) AS fp
+      |  FROM ks),
+      |bench AS (SELECT DISTINCT fp FROM ch WHERE doc_id % 5 = 0),
+      |train AS (SELECT doc_id, fp FROM ch WHERE doc_id % 5 <> 0),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      |       FROM train GROUP BY doc_id),
+      |h AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_chunks
+      |  FROM train WHERE fp IN (SELECT fp FROM bench)
+      |  GROUP BY doc_id)
+      |SELECT h.doc_id, h.n_hit_chunks, pd.n_chunks,
+      |  CAST(h.n_hit_chunks * 1000000 // pd.n_chunks AS BIGINT) AS hit_ppm
+      |FROM h JOIN pd ON pd.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q360
   /** CURATION COMPOSITE SCORE (round 16, verdict item 7): the final
     * keep/drop/review decision a CCNet/C4-style pipeline actually
@@ -1487,6 +1547,49 @@ object TextOps {
       "\nLEFT JOIN (\n" + q19Sql + "\n) q ON q.doc_id = d.doc_id" +
       "\nORDER BY d.doc_id"
   }
+
+  // ---------------------------------------------------------------- q363
+  /** CURATION YIELD CENSUS (round 16): the number a data lead actually
+    * reads off q360's decision table — how many documents and how many
+    * TOKENS each keep/review/drop bucket holds, and each bucket's share
+    * of the corpus in integer ppm. Token mass is what training budgets
+    * are priced in, so the census weights by whitespace tokens, not just
+    * docs. Scale shape: one pass over documents for token counts joined
+    * to the (one-row-per-doc) decision table; the 3-row rollup and the
+    * scalar totals broadcast — nothing corpus-sized shuffles twice. */
+  def q363(s: SparkSession, d: String): DataFrame = {
+    val decisions = q360(s, d).select(col("doc_id"), col("decision"))
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      expr("size(filter(split(trim(text), '\\\\s+'), x -> x <> ''))")
+        .cast("long").as("n_tok"))
+    val joined = decisions.join(toks, Seq("doc_id"))
+    val buckets = joined.groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val totals = joined.agg(count(lit(1)).as("t_docs"),
+      sum(col("n_tok")).as("t_tokens"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("decision"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000L div t_docs").as("doc_share_ppm"),
+        expr("n_tokens * 1000000L div t_tokens").as("token_share_ppm"))
+      .orderBy(col("decision"))
+  }
+  lazy val q363Sql: String =
+    """SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM documents)
+      |    AS BIGINT) AS doc_share_ppm,
+      |  CAST(SUM(n_tok) * 1000000 // (
+      |    SELECT SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> ''))) FROM documents) AS BIGINT) AS token_share_ppm
+      |FROM (
+      |  SELECT cc.doc_id, cc.decision,
+      |    CAST(len(list_filter(string_split_regex(trim(dd.text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM (
+      |""".stripMargin + q360Sql + """
+      |) cc JOIN documents dd ON dd.doc_id = cc.doc_id)
+      |GROUP BY decision
+      |ORDER BY decision""".stripMargin
 
   // ---------------------------------------------------------------- q357
   /** CHUNK-LEVEL MINHASH NEAR-DUP (round 16, verdict item 4): q352
@@ -2310,6 +2413,8 @@ object TextOps {
     "q354_lexical_diversity" -> ((q354 _, Some(q354Sql))),
     "q359_uax29_diversity" -> ((q359 _, Some(q359Sql))),
     "q360_curation_composite" -> ((q360 _, Some(q360Sql))),
+    "q363_curation_yield" -> ((q363 _, Some(q363Sql))),
+    "q364_chunk_decontamination" -> ((q364 _, Some(q364Sql))),
     "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
