@@ -1139,15 +1139,18 @@ object DedupSim {
       .distinct()
   }
 
-  def q79(s: SparkSession, d: String): DataFrame = {
-    val pairs = q45(s, d).select(col("doc_a"), col("doc_b"))
-    // only edge-touched nodes can ever change label — the component solve
-    // runs on the edge subgraph only (dup clusters are a small fraction of
-    // any corpus); isolated docs join back as singleton clusters
+  /** The cluster pipeline over ANY (doc_a, doc_b) edge table — the
+    * keeper/size/singleton policy lives HERE only (round-16 review: q79's
+    * doc-grain MinHash edges and q361's chunk-grain edges must share one
+    * definition). Only edge-touched nodes can ever change label — the
+    * component solve runs on the edge subgraph only (dup clusters are a
+    * small fraction of any corpus); isolated docs join back as singleton
+    * clusters. Sizes come from the tiny edge-label table, broadcast back:
+    * the corpus itself is never shuffled on cluster_id (round-4 verdict
+    * fix); singletons get size 1 by construction. */
+  private[graft] def clusterOverPairs(s: SparkSession, d: String,
+                                      pairs: DataFrame): DataFrame = {
     val edgeLabels = componentLabels(s, pairs)
-    // sizes from the tiny edge-label table, broadcast back: the corpus
-    // itself is never shuffled on cluster_id (round-4 verdict fix);
-    // singletons get size 1 by construction
     val sizes = edgeLabels.groupBy(col("label")).agg(count(lit(1)).as("edge_sz"))
     Tables.documents(s, d).select(col("doc_id"))
       .join(broadcast(edgeLabels), col("doc_id") === col("edge_doc"), "left")
@@ -1159,9 +1162,12 @@ object DedupSim {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy(col("doc_id"))
   }
-  val q79Sql: String = {
-    val cand = q45Sql.replace("ORDER BY doc_a, doc_b", "")
-    s"""WITH RECURSIVE pairs AS ($cand),
+
+  /** The oracle twin of [[clusterOverPairs]]: the recursive transitive
+    * closure + min-label + keeper SELECT over any candidate-pair SQL
+    * (which must emit doc_a, doc_b and carry no trailing ORDER BY). */
+  private[graft] def clusterSql(candSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($candSql),
        |e AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1175,7 +1181,11 @@ object DedupSim {
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        |  doc_id = cluster_id AS is_keeper
        |FROM lab ORDER BY doc_id""".stripMargin
-  }
+
+  def q79(s: SparkSession, d: String): DataFrame =
+    clusterOverPairs(s, d, q45(s, d).select(col("doc_a"), col("doc_b")))
+  val q79Sql: String =
+    clusterSql(q45Sql.replace("ORDER BY doc_a, doc_b", ""))
 
   // ---------------------------------------------------------------- q133
   /** Cluster CANONICALIZATION — q79 picks its keeper by first-writer-wins
@@ -2914,7 +2924,8 @@ object DedupSim {
     *    kernel (q27/q106's protocol) — the accuracy boundary of the
     *    trade, gated next to the speed shape. */
   /** Session-scoped memo of q345's one-time build — (index dir, trained
-    * codebook) per (session, dir, gate). Closes the r15 advisory:
+    * codebook) per (session, dir, gate, corpus signature). Closes the r15
+    * advisory:
     * repeated q345 invocations in one session no longer retrain and
     * rewrite the corpus-sized index ("amortized one-time build" made
     * literal), and scratch accumulation is one dir per corpus instead of
@@ -2924,14 +2935,28 @@ object DedupSim {
     * dirs reclaimed at JVM exit as before. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Int), (String, Array[(Long, Array[Float])])]()
+      (SparkSession, String, Int, String), (String, Array[(Long, Array[Float])])]()
+
+  /** Content signature of the embeddings table under `dir`: (name, length,
+    * mtime) of every file — part of the q345 memo key so a REGENERATED
+    * corpus in a long-lived session invalidates the cached index instead
+    * of silently serving stale vectors (round-16 review). Driver-side fs
+    * metadata only; local paths, like every Tables read in this harness. */
+  private def embeddingsSig(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$d/embeddings.parquet")
+    walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+  }
 
   def q345(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     ivfIndexCache.entrySet().removeIf(_.getKey._1.sparkContext.isStopped)
     val (idxDir, code) = ivfIndexCache.computeIfAbsent(
-      (s, d, ivfLiteralMaxCells), { _ =>
+      (s, d, ivfLiteralMaxCells, embeddingsSig(d)), { _ =>
         val n = emb.count()
         val cells = math.max(16L, math.round(math.sqrt(n.toDouble)))
         val cb = trainedCodebookFrom(s, d, seedCodebookN(s, d, cells), rounds = 1)

@@ -1274,9 +1274,14 @@ object TextOps {
         col("n_tok"))
   def q349(s: SparkSession, d: String): DataFrame =
     tokenChunks(s, d).orderBy(col("doc_id"), col("chunk_id"))
-  val q349Sql: String = {
+
+  /** The chunk-window CTEs shared by EVERY chunk-family oracle (q349/
+    * q352/q357/q364) — the SQL twin of [[chunkWindows]], stated once
+    * (round-16 review: the window arithmetic must not live in four
+    * oracle strings). Emits t(doc_id, t, n_tok) and ks(… + k). */
+  private def chunkWindowsSqlCtes: String = {
     val (w, st) = (Q349Window, Q349Stride)
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
        |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -1285,15 +1290,32 @@ object TextOps {
        |ks AS (
        |  SELECT doc_id, t, n_tok,
        |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
-       |  FROM t WHERE n_tok >= 1)
+       |  FROM t WHERE n_tok >= 1)""".stripMargin
+  }
+  /** SQL slice of chunk k's tokens — the oracle twin of the
+    * [[chunkWindows]] slice expression. */
+  private def chunkSliceSql: String = {
+    val (w, st) = (Q349Window, Q349Stride)
+    s"t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))]"
+  }
+  /** [[chunkWindowsSqlCtes]] + the DISTINCT (doc, fingerprint) face —
+    * shared by q352 and q364. */
+  private def chunkFpSqlCtes: String =
+    chunkWindowsSqlCtes + ",\n" +
+      s"""ch AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string($chunkSliceSql, ' ')) AS fp
+         |  FROM ks)""".stripMargin
+
+  val q349Sql: String = {
+    val (w, st) = (Q349Window, Q349Stride)
+    s"""WITH $chunkWindowsSqlCtes
        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
        |  CAST(k * $st + 1 AS BIGINT) AS tok_start,
        |  CAST(least($w, n_tok - k * $st) AS BIGINT) AS tok_len,
-       |  md5(array_to_string(t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))],
-       |    ' ')) AS chunk_fp,
+       |  md5(array_to_string($chunkSliceSql, ' ')) AS chunk_fp,
        |  n_tok
        |FROM ks
-       |WHERE k <= (greatest(n_tok - $w, 0) + ${st - 1}) // $st
        |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
@@ -1359,22 +1381,7 @@ object TextOps {
       tokenChunks(s, d).select(col("doc_id"), col("chunk_fp")).distinct())
       .orderBy(col("doc_a"), col("doc_b"))
   val q352Sql: String = {
-    val (w, st) = (Q349Window, Q349Stride)
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
-       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |      x -> x <> '')) AS BIGINT) AS n_tok
-       |  FROM documents),
-       |ks AS (
-       |  SELECT doc_id, t, n_tok,
-       |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
-       |  FROM t WHERE n_tok >= 1),
-       |ch AS (
-       |  SELECT DISTINCT doc_id,
-       |    md5(array_to_string(t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))],
-       |      ' ')) AS fp
-       |  FROM ks),
+    s"""WITH $chunkFpSqlCtes,
        |ok AS (SELECT fp FROM ch GROUP BY fp HAVING COUNT(*) <= $Q352HotCap),
        |g AS (SELECT ch.doc_id, ch.fp FROM ch JOIN ok USING (fp)),
        |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1),
@@ -1423,22 +1430,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
   val q364Sql: String = {
-    val (w, st) = (Q349Window, Q349Stride)
-    s"""WITH t AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
-      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-      |      x -> x <> '')) AS BIGINT) AS n_tok
-      |  FROM documents),
-      |ks AS (
-      |  SELECT doc_id, t, n_tok,
-      |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
-      |  FROM t WHERE n_tok >= 1),
-      |ch AS (
-      |  SELECT DISTINCT doc_id,
-      |    md5(array_to_string(t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))],
-      |      ' ')) AS fp
-      |  FROM ks),
+    s"""WITH $chunkFpSqlCtes,
       |bench AS (SELECT DISTINCT fp FROM ch WHERE doc_id % 5 = 0),
       |train AS (SELECT doc_id, fp FROM ch WHERE doc_id % 5 <> 0),
       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
@@ -1565,9 +1557,14 @@ object TextOps {
     val joined = decisions.join(toks, Seq("doc_id"))
     val buckets = joined.groupBy(col("decision"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val totals = joined.agg(count(lit(1)).as("t_docs"),
-      sum(col("n_tok")).as("t_tokens"))
-    buckets.crossJoin(broadcast(totals))
+    // totals as a window over the ≤3-row bucket table — NOT a second
+    // aggregation of the corpus-scale signal join (round-16 review: the
+    // q360 pipeline must run once per q363, not twice)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    buckets
+      .withColumn("t_docs", sum(col("n_docs")).over(wAll))
+      .withColumn("t_tokens", sum(col("n_tokens")).over(wAll))
       .select(col("decision"), col("n_docs"), col("n_tokens"),
         expr("n_docs * 1000000L div t_docs").as("doc_share_ppm"),
         expr("n_tokens * 1000000L div t_tokens").as("token_share_ppm"))
@@ -1659,19 +1656,10 @@ object TextOps {
       s"SELECT doc_id, chunk_id, $b AS band_idx, " +
         s"h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR AS band_key FROM sig")
       .mkString("\n      |  UNION ALL ")
-    s"""WITH t AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
-      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-      |      x -> x <> '')) AS BIGINT) AS n_tok
-      |  FROM documents),
-      |ks AS (
-      |  SELECT doc_id, t, n_tok,
-      |    unnest(range(0, 1 + (greatest(n_tok - $w, 0) + ${st - 1}) // $st)) AS k
-      |  FROM t WHERE n_tok >= 1),
+    s"""WITH $chunkWindowsSqlCtes,
       |ch AS (
       |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-      |    t[(k * $st + 1):(k * $st + least($w, n_tok - k * $st))] AS toks
+      |    $chunkSliceSql AS toks
       |  FROM ks),
       |sh AS (
       |  SELECT doc_id, chunk_id,
@@ -1716,7 +1704,28 @@ object TextOps {
     * recursive CTE over the q348-stated sentence literals, so the hash
     * gates both the UAX #29 boundaries and the packing arithmetic.
     * Corpus: q348's six sentence shapes. */
-  private val Q362Cap = 8
+  private[graft] val Q362Cap = 8
+  /** The greedy pack itself, factored (round-16 review): no gate-corpus
+    * sentence exceeds the cap, so the hash gate alone cannot pin the
+    * "oversize sentence = own chunk, never split" branch — ChunkPairsSpec
+    * drives it directly. Returns (chunk_id, sentences, token_total). */
+  private[graft] def greedyPackSentences(ss: Seq[String], cap: Int)
+      : Seq[(Long, Seq[String], Long)] = {
+    val toks = ss.map(_.split("\\s+").count(_.nonEmpty))
+    val chunks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, scala.collection.mutable.ArrayBuffer[String], Long)]
+    ss.zip(toks).foreach { case (sent, n) =>
+      chunks.lastOption match {
+        case Some((cid, acc, run)) if run + n <= cap =>
+          acc += sent
+          chunks(chunks.length - 1) = (cid, acc, run + n)
+        case _ =>
+          val cid = chunks.lastOption.map(_._1 + 1).getOrElse(0L)
+          chunks += ((cid, scala.collection.mutable.ArrayBuffer(sent), n.toLong))
+      }
+    }
+    chunks.toSeq.map { case (cid, acc, run) => (cid, acc.toSeq, run) }
+  }
   def q362(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -1731,21 +1740,7 @@ object TextOps {
           case _ => "\"Quoted end.\" Next one! (Parens.) Last."
         }
         val ss = graft.ops.Uax29.sentences(s"d$digit $base")
-        val toks = ss.map(_.split("\\s+").count(_.nonEmpty))
-        // greedy pack: (chunk_id, sents-in-chunk, tokens-in-chunk)
-        val chunks = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, scala.collection.mutable.ArrayBuffer[String], Long)]
-        ss.zip(toks).foreach { case (sent, n) =>
-          chunks.lastOption match {
-            case Some((cid, acc, run)) if run + n <= Q362Cap =>
-              acc += sent
-              chunks(chunks.length - 1) = (cid, acc, run + n)
-            case _ =>
-              val cid = chunks.lastOption.map(_._1 + 1).getOrElse(0L)
-              chunks += ((cid, scala.collection.mutable.ArrayBuffer(sent), n.toLong))
-          }
-        }
-        chunks.map { case (cid, acc, run) =>
+        greedyPackSentences(ss, Q362Cap).map { case (cid, acc, run) =>
           (id, id % 6, cid, acc.size.toLong, run, acc.mkString(" "))
         }
       }
@@ -1806,40 +1801,13 @@ object TextOps {
     * doc-grain and chunk-grain pipelines. Isolated docs come back as
     * singleton clusters; sizes ride the tiny edge-label table broadcast,
     * never a corpus shuffle. */
-  def q361(s: SparkSession, d: String): DataFrame = {
-    val pairs = q357(s, d).select(col("doc_a"), col("doc_b"))
-    val edgeLabels = graft.queries.DedupSim.componentLabels(s, pairs)
-    val sizes = edgeLabels.groupBy(col("label")).agg(count(lit(1)).as("edge_sz"))
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(broadcast(edgeLabels), col("doc_id") === col("edge_doc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .join(broadcast(sizes), col("cluster_id") === col("label"), "left")
-      .select(col("doc_id"), col("cluster_id"),
-        coalesce(col("edge_sz"), lit(1L)).cast("long").as("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
-      .orderBy(col("doc_id"))
-  }
-  lazy val q361Sql: String = {
-    val cand = q357Sql.replace("ORDER BY doc_a, doc_b", "")
-    s"""WITH RECURSIVE pairs AS (
-       |SELECT doc_a, doc_b FROM (
-       |$cand
-       |)),
-       |e AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
-       |lab AS (
-       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
-       |SELECT doc_id, cluster_id,
-       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
-       |  doc_id = cluster_id AS is_keeper
-       |FROM lab ORDER BY doc_id""".stripMargin
-  }
+  def q361(s: SparkSession, d: String): DataFrame =
+    graft.queries.DedupSim.clusterOverPairs(s, d,
+      q357(s, d).select(col("doc_a"), col("doc_b")))
+  lazy val q361Sql: String =
+    graft.queries.DedupSim.clusterSql(
+      "SELECT doc_a, doc_b FROM (\n" +
+        q357Sql.replace("ORDER BY doc_a, doc_b", "") + "\n)")
 
   // ---------------------------------------------------------------- q353
   /** VOCABULARY COVERAGE CURVE (round 15): the statistic tokenizer and

@@ -116,6 +116,24 @@ class ChunkPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getLong(0) == 1000L && out.head.getLong(1) == 1001L)
   }
 
+  test("q362: an oversize sentence gets its own chunk, never split " +
+       "(the branch no gate-corpus sentence reaches)") {
+    val cap = graft.queries.TextOps.Q362Cap
+    val oversize = (1 to cap + 4).map(i => s"w$i").mkString(" ") // cap+4 toks
+    val packed = graft.queries.TextOps.greedyPackSentences(
+      Seq("a b c", oversize, "d e"), cap)
+    assert(packed.map(_._1) == Seq(0L, 1L, 2L),
+      "oversize sentence must open its own chunk and close it")
+    assert(packed(1)._2 == Seq(oversize) && packed(1)._3 == (cap + 4).toLong,
+      "the oversize sentence is never split and keeps its full token count")
+    assert(packed(0)._3 == 3L && packed(2)._3 == 2L)
+    // boundary: a chunk may fill to EXACTLY cap before closing
+    val exact = graft.queries.TextOps.greedyPackSentences(
+      Seq("a b c d", "e f g h", "i"), cap)
+    assert(exact.map(_._1) == Seq(0L, 1L) && exact.head._3 == cap.toLong &&
+      exact.head._2.size == 2)
+  }
+
   test("a fingerprint at exactly the cap still pairs (boundary is >cap)") {
     import spark.implicits._
     val cap = graft.queries.TextOps.Q352HotCap
