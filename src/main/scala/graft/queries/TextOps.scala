@@ -1400,6 +1400,56 @@ object TextOps {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q365
+  /** BUCKET-STRATIFIED SAMPLING (round 16): CCNet's final materialization
+    * step (Wenzek et al. 2020 keep the head, downsample the middle, and
+    * heavily downsample the tail) — the decision that turns q343's
+    * perplexity buckets into an actual training slice. Deterministic and
+    * replayable: the sampling coin is an md5-derived integer hash of the
+    * doc_id (mod 1000), compared against a per-bucket keep rate stated in
+    * BOTH engines (head 1000 = keep all, middle 500, tail 100; docs q343
+    * cannot score — under two letter-words — read 'unscored' and sample
+    * at the tail rate). No RNG anywhere, so the exact sampled set is
+    * hash-gated, and re-running the pipeline reproduces it byte-for-byte
+    * — the property production sampling jobs need for resumability.
+    * Scale shape: the q343 signal is one row per doc; the coin and the
+    * gate are per-row expressions on top of it. */
+  private val Q365Rates = Seq("head" -> 1000L, "middle" -> 500L,
+    "tail" -> 100L, "unscored" -> 100L)
+  def q365(s: SparkSession, d: String): DataFrame = {
+    val lm = graft.queries.LlmOps.q343(s, d)
+      .select(col("doc_id"), col("bucket"))
+    val rates = Q365Rates.foldLeft(lit(100L)) { case (acc, (b, r)) =>
+      when(col("bucket") === b, lit(r)).otherwise(acc) }
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit("unscored")))
+      .withColumn("coin", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+          "as bigint) % 1000"))
+      .withColumn("keep_rate", rates)
+      .withColumn("kept", col("coin") < col("keep_rate"))
+      .select(col("doc_id"), col("bucket"), col("coin"),
+        col("keep_rate"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+  lazy val q365Sql: String =
+    """SELECT d.doc_id, COALESCE(lm.bucket, 'unscored') AS bucket,
+      |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |    % 1000 AS coin,
+      |  CAST(CASE COALESCE(lm.bucket, 'unscored')
+      |    WHEN 'head' THEN 1000 WHEN 'middle' THEN 500
+      |    ELSE 100 END AS BIGINT) AS keep_rate,
+      |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |    % 1000) < CASE COALESCE(lm.bucket, 'unscored')
+      |      WHEN 'head' THEN 1000 WHEN 'middle' THEN 500
+      |      ELSE 100 END AS kept
+      |FROM documents d
+      |LEFT JOIN (
+      |""".stripMargin + graft.queries.LlmOps.q343Sql + """
+      |) lm ON lm.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q364
   /** CHUNK-GRAIN BENCHMARK DECONTAMINATION (round 16): the eval-leakage
     * check run before every training run — a training document sharing
@@ -2383,6 +2433,7 @@ object TextOps {
     "q360_curation_composite" -> ((q360 _, Some(q360Sql))),
     "q363_curation_yield" -> ((q363 _, Some(q363Sql))),
     "q364_chunk_decontamination" -> ((q364 _, Some(q364Sql))),
+    "q365_bucket_sampling" -> ((q365 _, Some(q365Sql))),
     "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
