@@ -1400,6 +1400,76 @@ object TextOps {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q366
+  /** TRAINING SEQUENCE ASSEMBLY (round 16): the last mile before the
+    * trainer — concatenate the corpus in doc_id order and split every
+    * [[Q366SeqLen]] tokens (the GPT-pretraining concat-then-split shape;
+    * documents straddle sequence boundaries by design). Per doc: its
+    * global token offset, first/last sequence ids, and offset within the
+    * first sequence — exactly what a shard writer needs.
+    *
+    * Scale shape: the global prefix sum is NOT a single-partition window
+    * (the classic assembly bottleneck — Spark executes an un-partitioned
+    * window on one task). It is the textbook TWO-LEVEL distributed scan:
+    * (1) per-group token sums (one map-side-partial agg over doc_id-range
+    * groups — `doc_id div G`, order-preserving even on scalegen's sparse
+    * ids); (2) the group-level cumsum on the group table (broadcast
+    * back); (3) the within-group cumsum as a window PARTITIONED by group
+    * — every partition scans in parallel. G balances the two levels: the
+    * deployment setting is G ≈ √(id range), making the level-2 table and
+    * every level-3 partition both √N-sized (neither level is ever the
+    * whole corpus on one task); 64 ≈ √(gate id range) exercises the
+    * mechanism with 8 live groups at sf0.01. The oracle replays the same
+    * quantity as ONE plain window cumsum, so the gate pins that the
+    * two-level scan equals the sequential definition. Integer-exact. */
+  private val Q366SeqLen = 2048L
+  private val Q366Grp = 64L
+  def q366(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      expr("size(filter(split(trim(text), '\\\\s+'), x -> x <> ''))")
+        .cast("long").as("n_tok"))
+      .withColumn("grp", expr(s"doc_id div $Q366Grp"))
+    // (1) group sums — map-side partial, metadata-sized result
+    val grpSums = toks.groupBy(col("grp")).agg(sum(col("n_tok")).as("g_sum"))
+    // (2) group-level exclusive cumsum (window over the tiny group table)
+    val wG = Window.orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grpOffsets = grpSums
+      .withColumn("g_off", sum(col("g_sum")).over(wG) - col("g_sum"))
+      .select(col("grp"), col("g_off"))
+    // (3) within-group exclusive cumsum — PARTITIONED window, parallel
+    val wIn = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("in_off", sum(col("n_tok")).over(wIn) - col("n_tok"))
+      .join(broadcast(grpOffsets), Seq("grp"))
+      .withColumn("tok_off", col("g_off") + col("in_off"))
+      .select(col("doc_id"), col("n_tok"), col("tok_off"),
+        expr(s"tok_off div $Q366SeqLen").as("seq_first"),
+        expr(s"(tok_off + greatest(n_tok - 1L, 0L)) div $Q366SeqLen")
+          .as("seq_last"),
+        expr(s"tok_off % $Q366SeqLen").as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+  val q366Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_off
+      |  FROM t)
+      |SELECT doc_id, n_tok, tok_off,
+      |  CAST(tok_off // $Q366SeqLen AS BIGINT) AS seq_first,
+      |  CAST((tok_off + greatest(n_tok - 1, 0)) // $Q366SeqLen AS BIGINT)
+      |    AS seq_last,
+      |  CAST(tok_off % $Q366SeqLen AS BIGINT) AS seq_off
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q365
   /** BUCKET-STRATIFIED SAMPLING (round 16): CCNet's final materialization
     * step (Wenzek et al. 2020 keep the head, downsample the middle, and
@@ -2434,6 +2504,7 @@ object TextOps {
     "q363_curation_yield" -> ((q363 _, Some(q363Sql))),
     "q364_chunk_decontamination" -> ((q364 _, Some(q364Sql))),
     "q365_bucket_sampling" -> ((q365 _, Some(q365Sql))),
+    "q366_sequence_assembly" -> ((q366 _, Some(q366Sql))),
     "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),
     "q344_unicode_nfkc_norm" -> ((q344 _, Some(q344Sql))),
     "q340_robots_compliance" -> ((q340 _, Some(q340Sql))),
