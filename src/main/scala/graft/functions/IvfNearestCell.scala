@@ -37,6 +37,19 @@ case class IvfCodebookData(ids: Array[Long], dim: Int,
 final class IvfKernel(bc: Broadcast[IvfCodebookData]) extends Serializable {
   @transient private lazy val cb: IvfCodebookData = bc.value
 
+  /** Stable identity of the underlying broadcast — lets the cache spec pin
+    * that content-equal codebooks share ONE broadcast. */
+  private[graft] def broadcastId: Long = bc.id
+
+  /** Cache-eviction hook (round 17, ADVICE): drop the executor-side copies
+    * now; the driver-side value survives until the LAST strong reference
+    * (an un-executed plan holding this kernel) is GC'd, at which point
+    * Spark's ContextCleaner destroys the broadcast fully. `destroy()`
+    * here would instead fail any still-referenced lazy plan — unpersist +
+    * releasing the cache's strong ref reclaims the same memory without
+    * that hazard. */
+  private[graft] def release(): Unit = bc.unpersist(blocking = false)
+
   /** The all-scores-null fallback (smallest seed_id — ids ascend), ALSO
     * what the literal struct-min yields for a NULL embedding: dot_f32 of
     * a null array is null for every cell, and nulls-first ordering ties

@@ -910,17 +910,63 @@ object DedupSim {
     * project the argmin through the codegen [[graft.functions
     * .IvfNearestCell]] expression. Output schema and values match the
     * literal form exactly (cell cast to the vec_id type). */
-  /** One broadcast per (session, codebook INSTANCE): q351/q358 assign the
-    * same codebook 2–4 times per query, and re-broadcasting an identical
-    * tens-of-MB payload per call is a driver/executor retention leak at
-    * the 10⁵-cell scale this form exists for (round-16 review). Arrays
-    * compare by reference, so the key is instance identity — exactly the
-    * reuse the call sites have (one `code` val threaded through a query).
-    * Evicted when the owning context stops (the sigCache discipline). */
+  /** One broadcast per (session, codebook CONTENT), bounded (round 17,
+    * closing the r16 advisory): q351/q358 assign the same codebook 2–4
+    * times per query, and re-broadcasting an identical tens-of-MB payload
+    * per call is a driver/executor retention leak at the 10⁵-cell scale
+    * this form exists for. The r16 cache keyed on array INSTANCE identity
+    * and never evicted within a session — every fresh-but-equal codebook
+    * (frozenBaseCodebook builds one per invocation) added a broadcast
+    * that the map's strong reference kept alive forever. Now: the key is
+    * an md5 CONTENT digest (O(cells·dim) driver-side — trivial next to
+    * the broadcast itself, and it makes cross-invocation rebuilds of the
+    * same codebook hit ONE broadcast), the map is an access-order LRU
+    * capped at [[IvfKernelCacheCap]], and eviction calls
+    * [[graft.functions.IvfKernel.release]] (executor copies dropped now,
+    * driver value reclaimed by ContextCleaner once no plan references the
+    * kernel — see release()'s scaladoc for why not `destroy`). Entries of
+    * stopped contexts are swept on access (their broadcasts died with the
+    * context). IvfKernelCacheSpec pins reuse, the bound, and
+    * post-eviction correctness. */
+  private val IvfKernelCacheCap = 8
   private val ivfKernelCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.SparkContext, Array[(Long, Array[Float])]),
-      graft.functions.IvfKernel]()
+    new java.util.LinkedHashMap[
+      (org.apache.spark.SparkContext, String), graft.functions.IvfKernel](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.SparkContext, String),
+                                 graft.functions.IvfKernel]): Boolean = {
+        val evict = size() > IvfKernelCacheCap
+        if (evict && !e.getKey._1.isStopped) e.getValue.release()
+        evict
+      }
+    }
+
+  /** Cache introspection for the spec: live entries for this context. */
+  private[graft] def ivfKernelCacheSize(
+      sc: org.apache.spark.SparkContext): Int = ivfKernelCache.synchronized {
+    var n = 0
+    val it = ivfKernelCache.keySet().iterator()
+    while (it.hasNext) { if (it.next()._1 eq sc) n += 1 }
+    n
+  }
+
+  /** md5 over (dim, ids, flattened vectors) — the cache's content key. */
+  private def codebookDigest(code: Array[(Long, Array[Float])]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dim = if (code.isEmpty) 0 else code.head._2.length
+    val bb = java.nio.ByteBuffer.allocate(8 + dim * 4)
+    bb.putInt(code.length).putInt(dim)
+    md.update(bb.array(), 0, 8)
+    code.foreach { case (id, vec) =>
+      bb.clear()
+      bb.putLong(id)
+      var j = 0
+      while (j < vec.length) { bb.putFloat(vec(j)); j += 1 }
+      md.update(bb.array(), 0, 8 + vec.length * 4)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   private[graft] def ivfAssignKernel(emb: DataFrame,
       code: Array[(Long, Array[Float])]): DataFrame = {
@@ -935,20 +981,26 @@ object DedupSim {
     require((1 until code.length).forall(i => code(i - 1)._1 < code(i)._1),
       "IVF kernel codebook ids must be strictly ascending")
     val sc = emb.sparkSession.sparkContext
-    ivfKernelCache.entrySet().removeIf(_.getKey._1.isStopped)
-    val kernel = ivfKernelCache.computeIfAbsent((sc, code), { key =>
-      val ids = code.map(_._1)
-      val flat = new Array[Float](code.length * dim)
-      val norms = new Array[Double](code.length)
-      var c = 0
-      while (c < code.length) {
-        System.arraycopy(code(c)._2, 0, flat, c * dim, dim)
-        norms(c) = dotSeqD(code(c)._2, code(c)._2)
-        c += 1
+    val key = (sc, codebookDigest(code))
+    val kernel = ivfKernelCache.synchronized {
+      ivfKernelCache.entrySet().removeIf(_.getKey._1.isStopped)
+      var k = ivfKernelCache.get(key)
+      if (k == null) {
+        val ids = code.map(_._1)
+        val flat = new Array[Float](code.length * dim)
+        val norms = new Array[Double](code.length)
+        var c = 0
+        while (c < code.length) {
+          System.arraycopy(code(c)._2, 0, flat, c * dim, dim)
+          norms(c) = dotSeqD(code(c)._2, code(c)._2)
+          c += 1
+        }
+        k = new graft.functions.IvfKernel(sc.broadcast(
+          graft.functions.IvfCodebookData(ids, dim, flat, norms)))
+        ivfKernelCache.put(key, k)
       }
-      new graft.functions.IvfKernel(key._1.broadcast(
-        graft.functions.IvfCodebookData(ids, dim, flat, norms)))
-    })
+      k
+    }
     val cellCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.IvfNearestCell(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")),
