@@ -1559,18 +1559,22 @@ object TextOps {
     * q343's reference LM). Output: each CONTAMINATED train doc with its
     * hit count, chunk count, and integer hit share.
     *
-    * Scale shape: the benchmark chunk-fingerprint set is benchmark-sized
-    * (constant at 100 TB — benchmarks don't grow with the crawl), so the
-    * probe is a BROADCAST semi-style join against the train side's
-    * distinct (doc, fp) table; per-doc rollups ride the fp→doc
-    * aggregation. Nothing corpus-sized shuffles on the benchmark side. */
+    * Scale shape: a REAL benchmark probe is benchmark-sized (constant at
+    * 100 TB — benchmarks don't grow with the crawl) and broadcasts; but
+    * THIS gate's doc_id%5=0 stand-in is 20% of the corpus's chunks —
+    * corpus-proportional — so a forced broadcast hint here is exactly
+    * the at-scale OOM pattern q352 removed (r16 ADVICE). The semi-join
+    * strategy is therefore delegated to AQE's runtime statistics (the
+    * q352 discipline): a genuinely constant-sized probe broadcasts on
+    * its measured size, the stand-in shuffles — either way nothing is
+    * forced resident. Per-doc rollups ride the fp→doc aggregation. */
   def q364(s: SparkSession, d: String): DataFrame = {
     val ch = tokenChunks(s, d).select(col("doc_id"), col("chunk_fp")).distinct()
     val bench = ch.filter(col("doc_id") % 5 === 0)
       .select(col("chunk_fp")).distinct()
     val train = ch.filter(col("doc_id") % 5 =!= 0)
     val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-    val hits = train.join(broadcast(bench), Seq("chunk_fp"), "left_semi")
+    val hits = train.join(bench, Seq("chunk_fp"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_chunks"))
     hits.join(perDoc, Seq("doc_id"))
       .select(col("doc_id"), col("n_hit_chunks"), col("n_chunks"),
