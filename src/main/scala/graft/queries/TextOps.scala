@@ -1479,6 +1479,30 @@ object TextOps {
         expr(s"tok_off % $Q366SeqLen").as("seq_off"))
       .orderBy(col("doc_id"))
   }
+  /** Sequence PARTS for the shard writer (q367): one row per (doc,
+    * covered sequence) with the doc's token slice for that sequence —
+    * q366's offsets composed with q349's slice idiom. A doc covering
+    * sequences seq_first..seq_last contributes to each the tokens whose
+    * global positions fall in [seq·L, (seq+1)·L); the within-doc slice
+    * bounds are pure integer arithmetic on (tok_off, n_tok), so the
+    * token array is sliced per-row inside codegen — no shuffle until
+    * the consumer regroups by seq_id (which IS the assembly). */
+  private[graft] def sequenceParts(docs: DataFrame): DataFrame = {
+    val L = Q366SeqLen
+    val off = q366Assembly(docs, q366GroupWidth(docs))
+      .select(col("doc_id"), col("n_tok"), col("tok_off"),
+              col("seq_first"), col("seq_last"))
+    val toks = docs.select(col("doc_id"),
+      expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')").as("t"))
+    off.filter(col("n_tok") > 0)
+      .join(toks, Seq("doc_id"))
+      .withColumn("seq_id", explode(expr("sequence(seq_first, seq_last)")))
+      .select(col("doc_id"), col("seq_id"), col("tok_off"),
+        expr(s"slice(t, CAST(greatest(seq_id * $L - tok_off, 0L) + 1 AS INT), " +
+          s"CAST(least((seq_id + 1) * $L - tok_off, n_tok) - " +
+          s"greatest(seq_id * $L - tok_off, 0L) AS INT))").as("toks"))
+  }
+
   val q366Sql: String =
     s"""WITH t AS (
       |  SELECT doc_id,
@@ -1595,6 +1619,112 @@ object TextOps {
       |  CAST(h.n_hit_chunks * 1000000 // pd.n_chunks AS BIGINT) AS hit_ppm
       |FROM h JOIN pd ON pd.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q368
+  /** NEAR-DUP-GRAIN BENCHMARK DECONTAMINATION (round 17, verdict item
+    * 4): q364 catches a train document only when it shares an EXACT
+    * 64-token window with the benchmark — a paraphrased eval item (one
+    * edited token per window) leaks straight through, the same blindness
+    * q357 closes for train-train dedup. This entry runs q357's
+    * chunk-MinHash bands BIPARTITE against the benchmark slice (the q111
+    * bipartite discipline: train bands only ever join bench bands, so
+    * the candidate space is train×bench band collisions, never corpus²).
+    * Signatures are computed ONCE over the corpus chunk table — both
+    * sides are projections of one banding pass — and each side's bucket
+    * occupancy is capped at [[Q357HotCap]] (stated in both engines), so
+    * every bucket's pair space is ≤ cap² and the total is Σ min(|t|,cap)
+    * ·min(|b|,cap); BipartiteBandSpec drives the above-cap branch the
+    * gate corpus never reaches. Output per contaminated train doc: how
+    * many of its chunks band with the benchmark, and how many distinct
+    * benchmark docs are implicated — the triage report an eval-leakage
+    * audit actually reads.
+    *
+    * Scale shape: one corpus-sized band shuffle (the banding agg), then
+    * the bipartite join. A REAL benchmark band table is benchmark-sized
+    * and AQE broadcasts it on measured size; this gate's doc_id%5=0
+    * stand-in is corpus-proportional, so the strategy is delegated to
+    * AQE rather than hinted — the q364 round-17 discipline. */
+  def q368(s: SparkSession, d: String): DataFrame = {
+    val ch = tokenChunkToks(s, d)
+    val sh = ch.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("chunk_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
+        .as("shingle"))
+    val bands = graft.queries.DedupSim.minhashBands(
+      sh, Seq("doc_id", "chunk_id"))
+    bipartiteBandHits(bands, col("doc_id") % 5 === 0).orderBy(col("doc_id"))
+  }
+  /** The bipartite collision rollup over any (doc_id, chunk_id, band_idx,
+    * band_key) table — factored so the per-side hot-cap guard is
+    * unit-testable beyond the gate corpus (BipartiteBandSpec). */
+  private[graft] def bipartiteBandHits(bands: DataFrame,
+                                       isBench: Column): DataFrame = {
+    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
+    def guarded(side: DataFrame): DataFrame =
+      side.withColumn("nb", count(lit(1)).over(wB))
+        .filter(col("nb") <= Q357HotCap)
+        .select(col("doc_id"), col("chunk_id"),
+                col("band_idx"), col("band_key"))
+    val train = guarded(bands.filter(!isBench)).alias("t")
+    val bench = guarded(bands.filter(isBench)).alias("b")
+    train.join(bench, col("t.band_idx") === col("b.band_idx") &&
+                      col("t.band_key") === col("b.band_key"))
+      .select(col("t.doc_id").as("doc_id"), col("t.chunk_id").as("chunk_id"),
+              col("b.doc_id").as("bench_doc"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("chunk_id")).as("n_flagged_chunks"),
+           countDistinct(col("bench_doc")).as("n_bench_docs"))
+  }
+  // lazy: Q357HotCap is declared later in the file, and a strict val here
+  // would interpolate its uninitialized 0 (object vals init in order)
+  lazy val q368Sql: String = {
+    val p = graft.queries.DedupSim.MinhashP
+    val mins = (0 until 8)
+      .map(k => s"min((g1 + $k*g2) % $p) AS h$k").mkString(",\n      |    ")
+    val bandsUnion = (0 until 4).map(b =>
+      s"SELECT doc_id, chunk_id, $b AS band_idx, " +
+        s"h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR AS band_key FROM sig")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH $chunkWindowsSqlCtes,
+      |ch AS (
+      |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |    $chunkSliceSql AS toks
+      |  FROM ks),
+      |sh AS (
+      |  SELECT doc_id, chunk_id,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM ch WHERE len(toks) >= 3),
+      |hx AS (
+      |  SELECT doc_id, chunk_id,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS g1,
+      |    ('0x' || substr(md5(shingle), 17, 15))::BIGINT % $p AS g2
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, chunk_id,
+      |    $mins
+      |  FROM hx GROUP BY doc_id, chunk_id),
+      |bands AS (
+      |  $bandsUnion),
+      |tb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+      |bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+      |tok AS (SELECT band_idx, band_key FROM tb
+      |        GROUP BY 1, 2 HAVING COUNT(*) <= $Q357HotCap),
+      |bok AS (SELECT band_idx, band_key FROM bb
+      |        GROUP BY 1, 2 HAVING COUNT(*) <= $Q357HotCap),
+      |tg AS (SELECT tb.* FROM tb JOIN tok USING (band_idx, band_key)),
+      |bg AS (SELECT bb.* FROM bb JOIN bok USING (band_idx, band_key)),
+      |hit AS (
+      |  SELECT DISTINCT t.doc_id, t.chunk_id, b.doc_id AS bench_doc
+      |  FROM tg t JOIN bg b
+      |    ON t.band_idx = b.band_idx AND t.band_key = b.band_key)
+      |SELECT doc_id,
+      |  CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_flagged_chunks,
+      |  CAST(COUNT(DISTINCT bench_doc) AS BIGINT) AS n_bench_docs
+      |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q360
@@ -2535,6 +2665,7 @@ object TextOps {
     "q360_curation_composite" -> ((q360 _, Some(q360Sql))),
     "q363_curation_yield" -> ((q363 _, Some(q363Sql))),
     "q364_chunk_decontamination" -> ((q364 _, Some(q364Sql))),
+    "q368_neardup_decontamination" -> ((q368 _, Some(q368Sql))),
     "q365_bucket_sampling" -> ((q365 _, Some(q365Sql))),
     "q366_sequence_assembly" -> ((q366 _, Some(q366Sql))),
     "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),

@@ -1914,6 +1914,98 @@ object TxnOps {
       |FROM events GROUP BY 2
       |ORDER BY face, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q367
+  /** TRAINING SHARD WRITER (round 17, verdict item 3): the one step that
+    * was left between the board and an actual training shard — q366
+    * assigns every doc its global token offset; this entry MATERIALIZES
+    * the packed sequences. Each doc's token array is sliced into its
+    * covered sequences ([[graft.queries.TextOps]].sequenceParts — q366's
+    * offsets composed with q349's slice idiom), parts regroup by seq_id
+    * (sort_array on tok_off makes the concat order deterministic), and
+    * the assembled (seq_id, n_parts, toks) shard rows are written through
+    * the exactly-once DSv2 txn sink ([[graft.sources.TxnSink]], the q285
+    * shape: executors write the parquet, each epoch registers atomically
+    * under its txn marker). The gate face is computed FROM THE TABLE READ
+    * BACK out of the txn log — per sequence, its part count, token count,
+    * and the md5 of the packed token stream — so the DuckDB oracle
+    * (which assembles the same sequences positionally from `documents`)
+    * pins WRITE→READ round-trip identity: reassembled token stream ≡
+    * source concatenation order, byte-for-byte per sequence. Face 0 is
+    * the action ledger (2 staged files → 2 sink epochs → 'TT').
+    *
+    * Scale shape: ONE corpus-sized exchange — the seq_id regroup, which
+    * IS the assembly; every group is bounded (≤ 2048 tokens, ≤ 2050
+    * parts), so no skew is possible by construction. The prefix sum
+    * rides q366's two-level √N scan; the sink writes on the executors
+    * (rows never collect to the driver); the ledger face is
+    * metadata-sized. */
+  def q367(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val staged = java.nio.file.Files.createTempDirectory("graft_q367_src").toString
+    val tbl = java.nio.file.Files.createTempDirectory("graft_q367_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q367_ckpt").toString
+    Seq(staged, tbl, ckpt).foreach(p => sys.addShutdownHook(
+      graft.io.FsUtil.deleteRecursively(new java.io.File(p))): Unit)
+    val parts = graft.queries.TextOps.sequenceParts(Tables.documents(s, d))
+    val seqs = parts.groupBy(col("seq_id")).agg(
+      count(lit(1)).as("n_parts"),
+      expr("flatten(transform(sort_array(collect_list(struct(tok_off, toks))), " +
+        "x -> x.toks))").as("toks"))
+    seqs.repartition(2).write.mode("overwrite").parquet(staged)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.schema(seqs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .writeStream.format("graft.sources.TxnSink")
+      .option("path", tbl).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val face = TxnLog.read(s, tbl).select(
+      lit(1L).as("face"), col("seq_id"), col("n_parts"),
+      size(col("toks")).cast("long").as("n_tok"),
+      md5(array_join(col("toks"), " ")).as("seq_md5"))
+    val actions = TxnLog.history(s, tbl).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).mkString
+    val ledger = s.range(1).select(lit(0L).as("face"), lit(-1L).as("seq_id"),
+      lit(TxnLog.currentVersion(tbl)).as("n_parts"),
+      lit(null).cast("long").as("n_tok"), lit(actions).as("seq_md5"))
+    ledger.unionByName(face)
+      .orderBy(col("face"), col("seq_id"))
+  }
+  val q367Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, t, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_off
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, tok_off, unnest(t) AS tok,
+      |    unnest(range(1, n_tok + 1)) AS i
+      |  FROM c WHERE n_tok > 0),
+      |g AS (
+      |  SELECT (tok_off + i - 1) // 2048 AS seq_id, tok_off + i - 1 AS gp,
+      |    tok, doc_id
+      |  FROM p),
+      |f AS (
+      |  SELECT seq_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_parts,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    md5(string_agg(tok, ' ' ORDER BY gp)) AS seq_md5
+      |  FROM g GROUP BY seq_id)
+      |SELECT CAST(0 AS BIGINT) AS face, CAST(-1 AS BIGINT) AS seq_id,
+      |  CAST(2 AS BIGINT) AS n_parts, CAST(NULL AS BIGINT) AS n_tok,
+      |  'TT' AS seq_md5
+      |UNION ALL
+      |SELECT 1, seq_id, n_parts, n_tok, seq_md5 FROM f
+      |ORDER BY face, seq_id""".stripMargin
+
   // ---------------------------------------------------------------- q287
   /** INCREMENTAL JOIN-VIEW MAINTENANCE from TWO change feeds — the IVM
     * family (q202/q209/q231 maintain aggregates; q280 maintains MV
@@ -2188,6 +2280,7 @@ object TxnOps {
     "q291_incremental_optimize" -> ((q291 _, Some(q291Sql))),
     "q287_ivm_join_view" -> ((q287 _, Some(q287Sql))),
     "q285_dsv2_txn_sink" -> ((q285 _, Some(q285Sql))),
+    "q367_training_shard_writer" -> ((q367 _, Some(q367Sql))),
     "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),
     "q283_result_cache" -> ((q283 _, Some(q283Sql))),
     "q281_multi_table_as_of" -> ((q281 _, Some(q281Sql))),

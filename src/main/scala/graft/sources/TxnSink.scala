@@ -35,9 +35,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     proven by q285's forced replay.
   *
   * Supported sink schema: flat LONG / INT / DOUBLE / STRING / BOOLEAN /
-  * TIMESTAMP columns (refused loudly otherwise) — the executor-side writer
-  * maps them onto standard parquet primitives (timestamps as µs-adjusted
-  * INT64), readable by any engine. */
+  * TIMESTAMP columns plus ARRAY&lt;STRING&gt; (refused loudly otherwise) —
+  * the executor-side writer maps them onto standard parquet primitives
+  * (timestamps as µs-adjusted INT64; arrays as the standard 3-level LIST
+  * group, so any engine reads them back as lists). The array case is the
+  * q367 shard payload: packed token sequences flow through the
+  * exactly-once path without driver-side re-encoding. */
 class TxnSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     throw new IllegalArgumentException("graft txn sink is write-only: " +
@@ -140,9 +143,17 @@ object TxnSinkWriter {
         case TimestampType => Types.optional(PrimitiveTypeName.INT64)
           .as(LogicalTypeAnnotation.timestampType(true,
             LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case ArrayType(StringType, _) =>
+          // standard 3-level LIST: optional group (LIST) { repeated group
+          // list { optional binary element (STRING) } } — what Spark's own
+          // parquet writer emits, so the read path needs no special case
+          Types.optionalList()
+            .optionalElement(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType())
+            .named(f.name)
         case other => throw new IllegalArgumentException(
           s"graft txn sink supports flat long/int/double/string/boolean/" +
-            s"timestamp columns; got ${f.name}: $other")
+            s"timestamp/array<string> columns; got ${f.name}: $other")
       }
       b.addField(t)
     }
@@ -193,6 +204,15 @@ private[sources] class TxnSinkWriter(dir: String, schema: StructType,
         case DoubleType               => g.add(f.name, row.getDouble(i))
         case BooleanType              => g.add(f.name, row.getBoolean(i))
         case StringType               => g.add(f.name, row.getUTF8String(i).toString)
+        case ArrayType(StringType, _) =>
+          val arr = row.getArray(i)
+          val lg = g.addGroup(f.name)
+          var j = 0
+          while (j < arr.numElements()) {
+            val el = lg.addGroup("list")
+            if (!arr.isNullAt(j)) el.add("element", arr.getUTF8String(j).toString)
+            j += 1
+          }
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }

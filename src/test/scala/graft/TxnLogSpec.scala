@@ -1491,6 +1491,28 @@ class TxnLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(T.read(spark, dir, Some(1L)).count() == 2L)
   }
 
+  test("DSv2 sink: array<string> round-trips (empty, null array, null element)") {
+    // the q367 shard payload path: packed token sequences through the
+    // executor-side parquet-mr writer as standard 3-level LIST groups
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = freshTable()
+    val T = graft.io.TxnLog
+    Seq((1L, Seq("a", "b c", "d")), (2L, Seq.empty[String]))
+      .toDF("k", "toks")
+      .unionByName(Seq(3L).toDF("k")
+        .withColumn("toks", lit(null).cast("array<string>")))
+      .unionByName(Seq(4L).toDF("k")
+        .withColumn("toks", array(lit("x"), lit(null).cast("string"))))
+      .coalesce(1)
+      .write.format("graft.sources.TxnSink").option("path", dir).mode("append").save()
+    val back = T.read(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1)))
+      .sortBy(_._1).toSeq
+    assert(back == Seq((1L, Seq("a", "b c", "d")), (2L, Seq.empty[String]),
+                       (3L, null), (4L, Seq("x", null))))
+  }
+
   test("vacuum reclaims DSv2 sink orphans; committed sink files survive") {
     import spark.implicits._
     val T = graft.io.TxnLog
