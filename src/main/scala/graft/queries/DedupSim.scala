@@ -3255,9 +3255,13 @@ object DedupSim {
     censusFace.unionByName(assignFace).unionByName(searchFace)
       .orderBy(col("face"), col("origin"), col("q_id"), col("rnk"), col("vec_id"))
   }
-  val q351Sql: String = {
+  /** The frozen-codebook maintenance CTEs (nn → cb → assign → probes →
+    * pairs → s3) shared VERBATIM by the q351/q358/q371 oracles — the
+    * serving-index family's assign+search recipe stated once (round-17
+    * review discipline: three copies had already accreted). */
+  private def ivfMaintSqlCtes: String = {
     val fold = foldAllSql _
-    s"""WITH nn AS (
+    s"""nn AS (
        |  SELECT greatest(16, CAST(round(sqrt(COUNT(*))) AS BIGINT)) AS cells
        |  FROM embeddings WHERE vec_id % 7 <> 0),
        |cb AS (
@@ -3290,7 +3294,11 @@ object DedupSim {
        |  SELECT q_id, vec_id, cell, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
-       |  FROM pairs)
+       |  FROM pairs)""".stripMargin
+  }
+
+  val q351Sql: String = {
+    s"""WITH $ivfMaintSqlCtes
        |SELECT 'census' AS face,
        |  CASE WHEN g = 0 THEN 'base' WHEN g = 1 THEN 'delta' ELSE 'total' END AS origin,
        |  CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS rnk,
@@ -3416,41 +3424,7 @@ object DedupSim {
       .orderBy(col("face"), col("origin"), col("q_id"), col("rnk"))
   }
   val q358Sql: String = {
-    val fold = foldAllSql _
-    s"""WITH nn AS (
-       |  SELECT greatest(16, CAST(round(sqrt(COUNT(*))) AS BIGINT)) AS cells
-       |  FROM embeddings WHERE vec_id % 7 <> 0),
-       |cb AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM (
-       |    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
-       |    FROM embeddings WHERE vec_id % 7 <> 0) b, nn
-       |  WHERE b.rn <= nn.cells),
-       |assign AS (
-       |  SELECT r.vec_id, cid AS cell FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cb c) r WHERE r.rn = 1),
-       |probes AS (
-       |  SELECT vec_id AS q_id, cid AS cell FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${fold("c.ce", "c.ce")} - 2 * ${fold("e.embedding", "c.ce")}, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cb c WHERE e.vec_id < 5) q
-       |  WHERE rn <= $IvfProbes),
-       |pairs AS (
-       |  SELECT p.q_id, a.vec_id, a.cell,
-       |    ${fold("q.embedding", "e.embedding")} AS dot,
-       |    ${fold("q.embedding", "q.embedding")} AS nq,
-       |    ${fold("e.embedding", "e.embedding")} AS nc
-       |  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
-       |  JOIN embeddings q ON q.vec_id = p.q_id
-       |  JOIN embeddings e ON e.vec_id = a.vec_id),
-       |s3 AS (
-       |  SELECT q_id, vec_id, cell, dot/(sqrt(nq)*sqrt(nc)) AS cosine,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY dot/(sqrt(nq)*sqrt(nc)) DESC, vec_id) AS rnk
-       |  FROM pairs)
+    s"""WITH $ivfMaintSqlCtes
        |SELECT 'compact' AS face, 'files_after' AS origin,
        |  CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS rnk,
        |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS cell,
@@ -3466,8 +3440,154 @@ object DedupSim {
        |ORDER BY face, origin, q_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q371
+  /** STREAMING APPEND + COMPACTION LIFE-CYCLE (round 17, verdict item 7):
+    * q351 proves one append burst, q358 proves one compaction of its
+    * aftermath — this entry runs the SAME live index through TWO full
+    * serving cycles: stream-append two micro-batches, compact, append
+    * two more ONTO THE COMPACTED layout, compact again. That ordering is
+    * what production serving actually does, and it is where the
+    * single-shot entries can't see breakage: a compaction that perturbs
+    * the directory layout the next append relies on, or an append whose
+    * files the next compaction drops. Per cycle, in-query require()s pin
+    * (a) compaction strictly reduced the file count to EXACTLY one file
+    * per occupied cell and (b) the pruned top-3 search is IDENTICAL
+    * before vs after the rewrite; the gate then pins the SQL-derivable
+    * census — rows and occupied cells after each cycle (nothing lost or
+    * duplicated across append→compact→append) — and the final search
+    * face. Batches assign against the same frozen codebook as q351/q358
+    * (codebooks version with the corpus, not with every append), so the
+    * oracle's argmin replays every placement.
+    *
+    * Scale shape: appends are per-row projections + partition-local
+    * writes, O(batch); each compaction is one index pass clustered by
+    * cell; the search reads only probed cells (PlanCheck pins pruning
+    * survival over the twice-compacted layout). */
+  def q371(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+    val code = frozenBaseCodebook(s, d)
+    def assigned(df: DataFrame): DataFrame =
+      ivfAssignAuto(df, code).withColumn("cell", col("cell").cast("long"))
+    def tmpDir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      sys.addShutdownHook(
+        graft.io.FsUtil.deleteRecursively(new java.io.File(p))): Unit
+      p
+    }
+    def countParquet(dir: String): Long = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try stream.filter(p => p.toString.endsWith(".parquet")).count()
+      finally stream.close()
+    }
+    val qVecs = probeVectors(s, d)
+    val probePairs = probePairsFor(qVecs, code)
+    val probeCells = probePairs.map(_._2).distinct.sorted
+    val qs = qVecs.toSeq.toDF("q_id", "qe")
+    val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    def search(dir: String): DataFrame =
+      s.read.parquet(dir).withColumn("cell", col("cell").cast("long"))
+        .filter(col("cell").isin(probeCells: _*))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          graft.functions.GraftFunctions.cosineF32(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("rnk").cast("long").as("rnk"),
+          col("vec_id").cast("long").as("vec_id"), col("cell"), col("cosine"))
+
+    var live = tmpDir("graft_q371_idx")
+    assigned(base).write.mode("overwrite").partitionBy("cell").parquet(live)
+    val census = scala.collection.mutable.Buffer.empty[(String, Long)]
+    def runCycle(cyc: Int, batchPred: Column): Unit = {
+      // stream-append this cycle's delta slice, two micro-batches
+      val stagedDir = tmpDir(s"graft_q371_stage$cyc")
+      delta.filter(batchPred).repartition(2)
+        .write.mode("overwrite").parquet(stagedDir)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val liveNow = live
+      val q = s2.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+        .writeStream.outputMode("append").queryName(s"q371_ingest_c$cyc")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          assigned(df.toDF())
+            .write.mode("append").partitionBy("cell").parquet(liveNow)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val filesAppend = countParquet(live)
+      val beforeRows = search(live).orderBy(col("q_id"), col("rnk")).collect()
+      // compact: cluster by cell, rewrite, swap the live pointer
+      val comp = tmpDir(s"graft_q371_compact$cyc")
+      s.read.parquet(live).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(comp)
+      val filesComp = countParquet(comp)
+      val occ = s.read.parquet(comp)
+        .agg(countDistinct(col("cell")).as("c")).head().getLong(0)
+      require(filesComp < filesAppend,
+        s"cycle $cyc compaction must reduce files ($filesAppend -> $filesComp)")
+      require(filesComp == occ,
+        s"cycle $cyc must land one file per occupied cell ($filesComp vs $occ)")
+      val afterRows = search(comp).orderBy(col("q_id"), col("rnk")).collect()
+      require(beforeRows.sameElements(afterRows),
+        s"cycle $cyc compaction changed search results")
+      live = comp
+      census += ((s"c${cyc}_rows", s.read.parquet(comp).count()))
+      census += ((s"c${cyc}_cells", occ))
+    }
+    runCycle(1, expr("(vec_id div 7) % 4") <= 1)
+    runCycle(2, expr("(vec_id div 7) % 4") >= 2)
+
+    val nullL = lit(null).cast("long")
+    val censusFace = census.toSeq.toDF("origin", "n")
+      .select(lit("census").as("face"), col("origin"), nullL.as("q_id"),
+        nullL.as("rnk"), nullL.as("vec_id"), nullL.as("cell"),
+        lit(null).cast("double").as("cosine"), col("n"))
+    val searchFace = search(live)
+      .select(lit("search").as("face"), lit(null).cast("string").as("origin"),
+        col("q_id"), col("rnk"), col("vec_id"), col("cell"), col("cosine"),
+        nullL.as("n"))
+    censusFace.unionByName(searchFace)
+      .orderBy(col("face"), col("origin"), col("q_id"), col("rnk"))
+  }
+  val q371Sql: String = {
+    s"""WITH $ivfMaintSqlCtes
+       |SELECT 'census' AS face,
+       |  'c' || CAST(cyc AS VARCHAR) || '_' || kind AS origin,
+       |  CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS rnk,
+       |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS cell,
+       |  CAST(NULL AS DOUBLE) AS cosine,
+       |  CAST(CASE
+       |    WHEN cyc = 1 AND kind = 'rows' THEN
+       |      (SELECT COUNT(*) FROM embeddings
+       |       WHERE vec_id % 7 <> 0 OR (vec_id // 7) % 4 <= 1)
+       |    WHEN cyc = 1 AND kind = 'cells' THEN
+       |      (SELECT COUNT(DISTINCT a.cell) FROM assign a
+       |       WHERE a.vec_id % 7 <> 0 OR (a.vec_id // 7) % 4 <= 1)
+       |    WHEN cyc = 2 AND kind = 'rows' THEN
+       |      (SELECT COUNT(*) FROM embeddings)
+       |    ELSE (SELECT COUNT(DISTINCT a.cell) FROM assign a)
+       |    END AS BIGINT) AS n
+       |FROM (SELECT unnest([1, 2]) AS cyc)
+       |CROSS JOIN (SELECT unnest(['rows', 'cells']) AS kind)
+       |UNION ALL
+       |SELECT 'search', NULL, q_id, CAST(rnk AS BIGINT),
+       |  CAST(vec_id AS BIGINT), CAST(cell AS BIGINT), cosine, NULL
+       |FROM s3 WHERE rnk <= 3
+       |ORDER BY face, origin, q_id, rnk""".stripMargin
+  }
+
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q345_ivf_sqrtn_partitioned" -> ((q345 _, Some(q345Sql))),
+    "q371_ivf_serving_lifecycle" -> ((q371 _, Some(q371Sql))),
     "q351_ivf_stream_append" -> ((q351 _, Some(q351Sql))),
     "q358_ivf_index_compaction" -> ((q358 _, Some(q358Sql))),
     "q219_ann_trained_codebook" -> ((q219 _, Some(q219Sql))),

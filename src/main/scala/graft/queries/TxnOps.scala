@@ -2006,6 +2006,61 @@ object TxnOps {
       |SELECT 1, seq_id, n_parts, n_tok, seq_md5 FROM f
       |ORDER BY face, seq_id""".stripMargin
 
+  // ---------------------------------------------------------------- q370
+  /** INCREMENTAL CURATION MAINTENANCE (round 17, verdict item 6): q360's
+    * keep/drop/review table, maintained across an ingest delta WITHOUT
+    * rescanning the corpus. The structural fact that makes this cheap:
+    * every q360 signal (C4 page rules, Gopher repetition, the
+    * corpus-independent id-capped LM bucket, TTR, self-entropy, the q19
+    * filter) is ROW-LOCAL — decision(doc) depends on that doc's text
+    * alone — so the view delta is exactly decision(Δdocs) and the q287
+    * signed-multiset join identity degenerates to "score the delta, MERGE
+    * on the key" (cited, not used: cross-term maintenance only matters
+    * for cross-doc signals, which this composite deliberately has none
+    * of). The drive: yesterday's table = base-slice decisions committed
+    * at v1; today's crawl (doc_id%7=0) is scored as `q360(...)
+    * .filter(delta)` — the doc_id predicate pushes through the six
+    * signal joins to every scan, so the refresh reads only delta rows
+    * (PlanCheck pins the pushed filter) — and MERGEs at v2.
+    *
+    * Faces, all three required equal: (0) the MAINTAINED table read back
+    * from the txn log, (1) the DIRECT full recompute, both row-level
+    * (doc_id, decision, score); (2) the freshness token — the table
+    * version after the delta merge, so a stale (v1) or over-applied (v3)
+    * maintenance breaks the gate. The oracle states the q360 decision
+    * table once and expects it verbatim under BOTH faces. */
+  def q370(s0: SparkSession, d: String): DataFrame = {
+    val s = txnSession(s0)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_q370_tbl").toString
+    sys.addShutdownHook(
+      graft.io.FsUtil.deleteRecursively(new java.io.File(tbl))): Unit
+    val isDelta = col("doc_id") % 7 === 0
+    val dec = () => graft.queries.TextOps.q360(s, d)
+      .select(col("doc_id"), col("decision"), col("score"))
+    TxnLog.commit(dec().filter(!isDelta).coalesce(2), tbl)      // v1: base
+    TxnLog.merge(s, tbl, dec().filter(isDelta), Seq("doc_id"))  // v2: Δ only
+    val ivm = TxnLog.read(s, tbl)
+      .select(lit(0L).as("face"), col("doc_id"), col("decision"), col("score"))
+    val direct = dec()
+      .select(lit(1L).as("face"), col("doc_id"), col("decision"), col("score"))
+    val fresh = s.range(1).select(lit(2L).as("face"), lit(-1L).as("doc_id"),
+      concat(lit("v"), lit(TxnLog.currentVersion(tbl)).cast("string"))
+        .as("decision"),
+      lit(TxnLog.currentVersion(tbl)).as("score"))
+    ivm.unionByName(direct).unionByName(fresh)
+      .orderBy(col("face"), col("doc_id"))
+  }
+  lazy val q370Sql: String =
+    """WITH q360v AS (
+      |""".stripMargin + graft.queries.TextOps.q360Sql + """
+      |)
+      |SELECT CAST(0 AS BIGINT) AS face, doc_id, decision, score FROM q360v
+      |UNION ALL
+      |SELECT 1, doc_id, decision, score FROM q360v
+      |UNION ALL
+      |SELECT 2, -1, 'v2', 2
+      |ORDER BY face, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q287
   /** INCREMENTAL JOIN-VIEW MAINTENANCE from TWO change feeds — the IVM
     * family (q202/q209/q231 maintain aggregates; q280 maintains MV
@@ -2281,6 +2336,7 @@ object TxnOps {
     "q287_ivm_join_view" -> ((q287 _, Some(q287Sql))),
     "q285_dsv2_txn_sink" -> ((q285 _, Some(q285Sql))),
     "q367_training_shard_writer" -> ((q367 _, Some(q367Sql))),
+    "q370_incremental_curation" -> ((q370 _, Some(q370Sql))),
     "q284_txn_merge_evolve" -> ((q284 _, Some(q284Sql))),
     "q283_result_cache" -> ((q283 _, Some(q283Sql))),
     "q281_multi_table_as_of" -> ((q281 _, Some(q281Sql))),

@@ -42,13 +42,25 @@ class LangIdSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("profiles are exactly K=40 ranked grams per language, ranks 1..40") {
+  test("profiles are exactly K ranked grams per language, ranks 1..K") {
+    val k = graft.queries.TextOps.Q356K
     val profs = graft.queries.TextOps.q356Profiles
     val byLang = profs.groupBy(_._1)
     assert(byLang.keySet == Set("de", "en", "es", "fr", "it", "pt"))
     byLang.foreach { case (lang, rows) =>
-      assert(rows.map(_._3).sorted == (1 to 40), s"$lang ranks must be 1..40")
-      assert(rows.map(_._2).distinct.size == 40, s"$lang grams must be unique")
+      assert(rows.map(_._3).sorted == (1 to k), s"$lang ranks must be 1..$k")
+      assert(rows.map(_._2).distinct.size == k, s"$lang grams must be unique")
     }
+  }
+
+  test("q369's real-corpus decision is majority English (the corpus IS " +
+       "English keyword text), every doc routed Latin -> ct") {
+    val out = graft.queries.TextOps.q369(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 500, "one row per document")
+    assert(out.forall(_.getString(1) == "ct"), "gate corpus is all-Latin")
+    val en = out.count(_.getString(2) == "en")
+    assert(en * 2 > out.length,
+      s"majority must read en on English keyword text, got $en/${out.length}")
   }
 }
