@@ -828,9 +828,15 @@ object TextOps {
     * rules relationally — list slicing, LIKE suffix tests, word
     * arithmetic — so every rule's boundary is hash-gated against the
     * operator over live data, not a frozen fixture. */
-  def q338(s: SparkSession, d: String): DataFrame = {
+  def q338(s: SparkSession, d: String): DataFrame =
+    q338Over(s, Tables.documents(s, d))
+  /** q338 over an injectable doc table: the typed-map pipeline is a
+    * pushdown barrier (Catalyst will not move a predicate below
+    * MapElements), so an incremental caller (q360Where/q370) restricts
+    * the SOURCE here instead of filtering the output. */
+  private[graft] def q338Over(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val ws = text.split(" ")
@@ -898,9 +904,13 @@ object TextOps {
     * duplicated-5-gram coverage relationally over the same live
     * column — integer ppm both sides, every rule boundary (the
     * 50-word floor actually splits this corpus) hash-gated. */
-  def q339(s: SparkSession, d: String): DataFrame = {
+  def q339(s: SparkSession, d: String): DataFrame =
+    q339Over(s, Tables.documents(s, d))
+  /** q339 over an injectable doc table — same pushdown-barrier rationale
+    * as [[q338Over]]. */
+  private[graft] def q339Over(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val g = graft.ops.GopherQuality.stats(text)
@@ -1758,15 +1768,30 @@ object TextOps {
   private val Q360TtrLo = 300000L
   private val Q360TtrHi = 900000L
   private val Q360MinBpt = 1000000L
-  def q360(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"))
-    val c4 = q338(s, d).select(col("doc_id"), col("page_kept").as("c4_kept"))
-    val gopher = q339(s, d).select(col("doc_id"), col("kept").as("gopher_kept"))
+  def q360(s: SparkSession, d: String): DataFrame = q360Where(s, d, lit(true))
+  /** q360 restricted to `pred` rows — the predicate is applied INSIDE
+    * each signal leg (not on the composed output): the relational legs
+    * (q343 scoring, q354, q355, q19) push it from there into their scan's
+    * DataFilters, and the typed-map legs (q338/q339, where MapElements is
+    * a pushdown barrier) get the pre-filtered SOURCE via their `Over`
+    * variants — measured round 17: every scan except q343's id-capped
+    * (hence constant-size) model derivation carries the predicate. This
+    * is q370's incremental-refresh entry point: scoring an ingest delta
+    * reads delta rows plus a constant. */
+  private[graft] def q360Where(s: SparkSession, d: String,
+                               pred: Column): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id")).filter(pred)
+    // typed-map legs: restrict the SOURCE (MapElements blocks pushdown)
+    val c4 = q338Over(s, Tables.documents(s, d).filter(pred))
+      .select(col("doc_id"), col("page_kept").as("c4_kept"))
+    val gopher = q339Over(s, Tables.documents(s, d).filter(pred))
+      .select(col("doc_id"), col("kept").as("gopher_kept"))
     val lm = graft.queries.LlmOps.q343(s, d)
-      .select(col("doc_id"), col("bucket").as("lm_bucket"))
-    val div = q354(s, d).select(col("doc_id"), col("ttr_ppm"))
-    val ent = q355(s, d).select(col("doc_id"), col("bpt_ppm"))
+      .select(col("doc_id"), col("bucket").as("lm_bucket")).filter(pred)
+    val div = q354(s, d).select(col("doc_id"), col("ttr_ppm")).filter(pred)
+    val ent = q355(s, d).select(col("doc_id"), col("bpt_ppm")).filter(pred)
     val qual = q19(s, d).select(col("doc_id"), lit(true).as("quality_pass"))
+      .filter(pred)
     val joined = base
       .join(c4, Seq("doc_id"), "left")
       .join(gopher, Seq("doc_id"), "left")

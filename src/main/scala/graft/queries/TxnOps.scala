@@ -2018,10 +2018,12 @@ object TxnOps {
     * on the key" (cited, not used: cross-term maintenance only matters
     * for cross-doc signals, which this composite deliberately has none
     * of). The drive: yesterday's table = base-slice decisions committed
-    * at v1; today's crawl (doc_id%7=0) is scored as `q360(...)
-    * .filter(delta)` — the doc_id predicate pushes through the six
-    * signal joins to every scan, so the refresh reads only delta rows
-    * (PlanCheck pins the pushed filter) — and MERGEs at v2.
+    * at v1; today's crawl (doc_id%7=0) is scored through `q360Where`,
+    * which applies the delta predicate INSIDE each signal leg so every
+    * leg's plan filters at its own scan (a filter on the composed output
+    * strands above the left joins on two legs — measured round 17; the
+    * one non-delta read left is q343's id-capped LM model derivation,
+    * constant-size by construction) — and MERGEs at v2.
     *
     * Faces, all three required equal: (0) the MAINTAINED table read back
     * from the txn log, (1) the DIRECT full recompute, both row-level
@@ -2035,13 +2037,16 @@ object TxnOps {
     sys.addShutdownHook(
       graft.io.FsUtil.deleteRecursively(new java.io.File(tbl))): Unit
     val isDelta = col("doc_id") % 7 === 0
-    val dec = () => graft.queries.TextOps.q360(s, d)
+    // the predicate goes INSIDE each signal leg (q360Where) so every
+    // leg's plan filters at its own scan — a filter on the composite
+    // strands above the left joins on two legs (measured round 17)
+    val dec = (p: Column) => graft.queries.TextOps.q360Where(s, d, p)
       .select(col("doc_id"), col("decision"), col("score"))
-    TxnLog.commit(dec().filter(!isDelta).coalesce(2), tbl)      // v1: base
-    TxnLog.merge(s, tbl, dec().filter(isDelta), Seq("doc_id"))  // v2: Δ only
+    TxnLog.commit(dec(!isDelta).coalesce(2), tbl)      // v1: base
+    TxnLog.merge(s, tbl, dec(isDelta), Seq("doc_id"))  // v2: Δ only
     val ivm = TxnLog.read(s, tbl)
       .select(lit(0L).as("face"), col("doc_id"), col("decision"), col("score"))
-    val direct = dec()
+    val direct = dec(lit(true))
       .select(lit(1L).as("face"), col("doc_id"), col("decision"), col("score"))
     val fresh = s.range(1).select(lit(2L).as("face"), lit(-1L).as("doc_id"),
       concat(lit("v"), lit(TxnLog.currentVersion(tbl)).cast("string"))
