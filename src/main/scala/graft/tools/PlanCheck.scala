@@ -220,6 +220,52 @@ object PlanCheck {
         "AQE runtime-broadcasts the small pair table; no cartesian", ok)
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
+    // q371: partition pruning must survive TWO append+compact cycles —
+    // the final search face reads the twice-compacted live index through
+    // the same literal cell INSET filter as q345/q358 (constructing the
+    // DF runs the lifecycle; the pin reads the resulting search plan)
+    check("q371_ivf_serving_lifecycle",
+        "pruned INSET read survives two append+compact cycles; no SMJ")(p =>
+      "PartitionFilters: \\[cell#\\d+L? INSET".r.findFirstIn(p).isDefined &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // q364 (re-pinned round 17, ADVICE item): the benchmark probe is NO
+    // LONGER force-broadcast — the %5 stand-in is corpus-proportional, so
+    // strategy belongs to AQE (the q352 discipline). Execute and audit
+    // the final adaptive plan: at sf0.01 the small probe must have been
+    // runtime-broadcast; nothing may degrade to a cartesian/NLJ.
+    locally {
+      val df = graft.SparkEntry.queries("q364_chunk_decontamination")(spark, sfDir)
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan.toString
+      val ok = plan.contains("BroadcastHashJoin") &&
+        !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin")
+      rec("q364_chunk_decontamination",
+        "AQE runtime-broadcasts the small benchmark probe; no cartesian", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
+    // q368: the bipartite band join must stay a HASH join on the band
+    // keys (bucketed pair space) — never a nested-loop/cartesian; the
+    // per-side hot-cap guards are bounded windows over the band keys
+    locally {
+      val df = graft.SparkEntry.queries("q368_neardup_decontamination")(spark, sfDir)
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan.toString
+      val ok = (plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")) &&
+        !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin")
+      rec("q368_neardup_decontamination",
+        "bipartite band join is a hash/merge join; no cartesian", ok)
+      if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
+    }
+    // q369: the real-corpus CT leg rides q356's shape — bounded top-K
+    // heaps for the doc profile, the 6×K profile table a broadcast hash
+    // join, and no corpus-sized cartesian anywhere (the 6-language
+    // fan-out is an intended 6-row broadcast NLJ)
+    check("q369_real_corpus_langid",
+        "bounded top-K doc profiles; broadcast profile join; no cartesian")(p =>
+      p.contains("TopKPerGroup") && p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"))
     // q356: ONE hash exchange (doc_id repartition below both explodes —
     // gram counting, top-K window, distance agg, and argmin all ride it),
     // both rank filters as bounded TopKPerGroup heaps, the 6-language
