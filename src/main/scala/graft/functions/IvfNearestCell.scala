@@ -37,10 +37,6 @@ case class IvfCodebookData(ids: Array[Long], dim: Int,
 final class IvfKernel(bc: Broadcast[IvfCodebookData]) extends Serializable {
   @transient private lazy val cb: IvfCodebookData = bc.value
 
-  /** Stable identity of the underlying broadcast — lets the cache spec pin
-    * that content-equal codebooks share ONE broadcast. */
-  private[graft] def broadcastId: Long = bc.id
-
   /** Cache-eviction hook (round 17, ADVICE): drop the executor-side copies
     * now; the driver-side value survives until the LAST strong reference
     * (an un-executed plan holding this kernel) is GC'd, at which point

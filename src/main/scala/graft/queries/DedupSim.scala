@@ -982,24 +982,32 @@ object DedupSim {
       "IVF kernel codebook ids must be strictly ascending")
     val sc = emb.sparkSession.sparkContext
     val key = (sc, codebookDigest(code))
-    val kernel = ivfKernelCache.synchronized {
+    // build + broadcast OUTSIDE the lock (round-17 review: serializing a
+    // tens-of-MB broadcast under the global cache lock would block every
+    // unrelated cache hit); on a lost race the loser releases its copy
+    val cached = ivfKernelCache.synchronized {
       ivfKernelCache.entrySet().removeIf(_.getKey._1.isStopped)
-      var k = ivfKernelCache.get(key)
-      if (k == null) {
-        val ids = code.map(_._1)
-        val flat = new Array[Float](code.length * dim)
-        val norms = new Array[Double](code.length)
-        var c = 0
-        while (c < code.length) {
-          System.arraycopy(code(c)._2, 0, flat, c * dim, dim)
-          norms(c) = dotSeqD(code(c)._2, code(c)._2)
-          c += 1
-        }
-        k = new graft.functions.IvfKernel(sc.broadcast(
-          graft.functions.IvfCodebookData(ids, dim, flat, norms)))
-        ivfKernelCache.put(key, k)
+      ivfKernelCache.get(key)
+    }
+    val kernel = if (cached != null) cached else {
+      val ids = code.map(_._1)
+      val flat = new Array[Float](code.length * dim)
+      val norms = new Array[Double](code.length)
+      var c = 0
+      while (c < code.length) {
+        System.arraycopy(code(c)._2, 0, flat, c * dim, dim)
+        norms(c) = dotSeqD(code(c)._2, code(c)._2)
+        c += 1
       }
-      k
+      val fresh = new graft.functions.IvfKernel(sc.broadcast(
+        graft.functions.IvfCodebookData(ids, dim, flat, norms)))
+      val winner = ivfKernelCache.synchronized {
+        val again = ivfKernelCache.get(key)
+        if (again != null) again
+        else { ivfKernelCache.put(key, fresh); fresh }
+      }
+      if (winner ne fresh) fresh.release()
+      winner
     }
     val cellCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.IvfNearestCell(

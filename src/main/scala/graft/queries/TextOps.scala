@@ -1442,20 +1442,29 @@ object TextOps {
     * sequential definition. Integer-exact. */
   private val Q366SeqLen = 2048L
   private val Q366GrpFloor = 64L
+  /** Runtime group width from a (minId, maxId) pair. */
+  private def q366WidthOf(mn: Long, mx: Long): Long =
+    math.max(Q366GrpFloor,
+      math.round(math.sqrt((mx - mn + 1L).toDouble)))
   /** Runtime group width: √(doc_id range), floored at [[Q366GrpFloor]].
-    * One metadata-sized aggregate — never a corpus scan beyond the
-    * min/max, which Spark serves from parquet column statistics. */
+    * The range comes from parquet FOOTER statistics when the table's row
+    * groups carry them ([[graft.io.ParquetStats]] — genuinely metadata-
+    * only, no row is read; round-17 review caught the earlier claim of
+    * this without the implementation), falling back to a one-column
+    * min/max aggregate otherwise. */
+  private[graft] def q366GroupWidthFor(d: String, docs: DataFrame): Long =
+    graft.io.ParquetStats.minMaxLong(s"$d/documents.parquet", "doc_id")
+      .map { case (mn, mx) => q366WidthOf(mn, mx) }
+      .getOrElse(q366GroupWidth(docs))
+  /** The aggregate fallback (also the spec's injectable face). */
   private[graft] def q366GroupWidth(docs: DataFrame): Long = {
     val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (r.isNullAt(0)) Q366GrpFloor
-    else {
-      val range = r.getLong(1) - r.getLong(0) + 1L
-      math.max(Q366GrpFloor, math.round(math.sqrt(range.toDouble)))
-    }
+    else q366WidthOf(r.getLong(0), r.getLong(1))
   }
   def q366(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    q366Assembly(docs, q366GroupWidth(docs))
+    q366Assembly(docs, q366GroupWidthFor(d, docs))
   }
   /** The two-level assembly over an injectable doc table and group width
     * — factored so the spec can force several G values (the output is
@@ -1494,12 +1503,17 @@ object TextOps {
     * q366's offsets composed with q349's slice idiom. A doc covering
     * sequences seq_first..seq_last contributes to each the tokens whose
     * global positions fall in [seq·L, (seq+1)·L); the within-doc slice
-    * bounds are pure integer arithmetic on (tok_off, n_tok), so the
-    * token array is sliced per-row inside codegen — no shuffle until
-    * the consumer regroups by seq_id (which IS the assembly). */
-  private[graft] def sequenceParts(docs: DataFrame): DataFrame = {
+    * bounds are pure integer arithmetic on (tok_off, n_tok), and the
+    * slice itself runs per-row inside codegen. Cost shape (stated
+    * honestly, round-17 review): tokenization runs twice (the offsets
+    * pass counts, this pass slices), and the token payload crosses ONE
+    * exchange here — the doc_id join of offsets onto tokens — before the
+    * consumer's seq_id regroup; the prefix-sum's own two exchanges carry
+    * only (doc_id, n_tok, grp) triples. */
+  private[graft] def sequenceParts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
     val L = Q366SeqLen
-    val off = q366Assembly(docs, q366GroupWidth(docs))
+    val off = q366Assembly(docs, q366GroupWidthFor(d, docs))
       .select(col("doc_id"), col("n_tok"), col("tok_off"),
               col("seq_first"), col("seq_last"))
     val toks = docs.select(col("doc_id"),
@@ -1656,14 +1670,8 @@ object TextOps {
     * stand-in is corpus-proportional, so the strategy is delegated to
     * AQE rather than hinted — the q364 round-17 discipline. */
   def q368(s: SparkSession, d: String): DataFrame = {
-    val ch = tokenChunkToks(s, d)
-    val sh = ch.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("chunk_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
-          "element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
-        .as("shingle"))
     val bands = graft.queries.DedupSim.minhashBands(
-      sh, Seq("doc_id", "chunk_id"))
+      chunkShingles(tokenChunkToks(s, d)), Seq("doc_id", "chunk_id"))
     bipartiteBandHits(bands, col("doc_id") % 5 === 0).orderBy(col("doc_id"))
   }
   /** The bipartite collision rollup over any (doc_id, chunk_id, band_idx,
@@ -1924,19 +1932,24 @@ object TextOps {
   private[queries] def tokenChunkToks(s: SparkSession, d: String): DataFrame =
     chunkWindows(Tables.documents(s, d).repartition(col("doc_id")))
       .select(col("doc_id"), col("chunk_id"), col("toks"))
-  /** The pair pipeline over any (doc_id, chunk_id, toks) table — factored
-    * so the band hot-cap guard is unit-testable beyond the gate corpus. */
-  private[graft] def chunkMinhashPairs(chunks: DataFrame): DataFrame = {
-    val sh = chunks.filter(size(col("toks")) >= 3)
+  /** 3-token shingles over any (doc_id, chunk_id, toks) chunk table —
+    * the ONE place the chunk-shingling recipe lives (round-17 review:
+    * q368 had re-stated it hours after q357's note that the scheme's
+    * constants must not live in two pipelines). */
+  private def chunkShingles(chunks: DataFrame): DataFrame =
+    chunks.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("chunk_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
           "element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
         .as("shingle"))
+  /** The pair pipeline over any (doc_id, chunk_id, toks) table — factored
+    * so the band hot-cap guard is unit-testable beyond the gate corpus. */
+  private[graft] def chunkMinhashPairs(chunks: DataFrame): DataFrame = {
     // the signature/band recipe is q24's, shared via ONE builder
     // (DedupSim.minhashBands — round-16 review: the scheme's constants
     // must not live in two pipelines)
     val bands = graft.queries.DedupSim.minhashBands(
-      sh, Seq("doc_id", "chunk_id"))
+      chunkShingles(chunks), Seq("doc_id", "chunk_id"))
     val wB = Window.partitionBy(col("band_idx"), col("band_key"))
     val guarded = bands.withColumn("nb", count(lit(1)).over(wB))
       .filter(col("nb") <= Q357HotCap)
@@ -2740,7 +2753,10 @@ object TextOps {
     * top-K window, distance agg, and argmin all ride that ONE exchange;
     * the doc profile is K-bounded before the 6-way language fan-out and
     * the profile table (6×K rows, corpus-independent) broadcasts. */
-  private val Q369Latin = "A-Za-zÀ-ɏ"
+  // Latin-1/Ext-A/B LETTERS: the × (U+00D7) and ÷ (U+00F7) operators
+  // punch holes in the Latin-1 letter range (round-17 review — counting
+  // them as letters would route an all-symbols doc into the classifier)
+  private val Q369Latin = "A-Za-zÀ-ÖØ-öø-ɏ"
   private val Q369Han = "一-鿿"
   private val Q369Hangul = "가-힣ᄀ-ᇿ㄰-㆏"
   def q369(s: SparkSession, d: String): DataFrame = {
@@ -2783,17 +2799,21 @@ object TextOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("lang"))))
       .filter(col("rk") === 1)
-      .select(col("doc_id"), lit("ct").as("route"), col("lang"), col("dist"))
-    val scripted = routed.filter(col("majority").isin("han", "hangul"))
-      .select(col("doc_id"), lit("script").as("route"),
-        col("majority").as("lang"), lit(null).cast("long").as("dist"))
-    val und = routed.filter(col("majority") === "none")
-      .select(col("doc_id"), lit("none").as("route"), lit("und").as("lang"),
-        lit(null).cast("long").as("dist"))
-    best.unionByName(scripted).unionByName(und)
-      .join(routed.select(col("doc_id"), col("n_latin"), col("n_han"),
-        col("n_hangul")), Seq("doc_id"))
-      .select(col("doc_id"), col("route"), col("lang"), col("dist"),
+      .select(col("doc_id"), col("lang").as("ct_lang"),
+        col("dist").as("ct_dist"))
+    // one routed pass carries the counts; the CT leg joins back only its
+    // (doc_id, lang, dist) verdict — a union of per-route legs would
+    // re-evaluate the 3-regex routing scan once per leg (round-17 review)
+    val isCt = col("majority") === "latin"
+    val isScript = col("majority").isin("han", "hangul")
+    routed.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(isCt, lit("ct")).when(isScript, lit("script"))
+          .otherwise(lit("none")).as("route"),
+        when(isCt, col("ct_lang")).when(isScript, col("majority"))
+          .otherwise(lit("und")).as("lang"),
+        when(isCt, col("ct_dist")).otherwise(lit(null).cast("long"))
+          .as("dist"),
         col("n_latin"), col("n_han"), col("n_hangul"))
       .orderBy(col("doc_id"))
   }
@@ -2844,19 +2864,18 @@ object TextOps {
       |    SELECT doc_id, lang, dist,
       |      row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rk
       |    FROM dist)
-      |  WHERE rk = 1),
-      |legs AS (
-      |  SELECT doc_id, 'ct' AS route, lang, dist FROM best
-      |  UNION ALL
-      |  SELECT doc_id, 'script', majority, CAST(NULL AS BIGINT)
-      |  FROM r WHERE majority IN ('han', 'hangul')
-      |  UNION ALL
-      |  SELECT doc_id, 'none', 'und', CAST(NULL AS BIGINT)
-      |  FROM r WHERE majority = 'none')
-      |SELECT l.doc_id, l.route, l.lang, l.dist,
+      |  WHERE rk = 1)
+      |SELECT r.doc_id,
+      |  CASE WHEN majority = 'latin' THEN 'ct'
+      |       WHEN majority IN ('han', 'hangul') THEN 'script'
+      |       ELSE 'none' END AS route,
+      |  CASE WHEN majority = 'latin' THEN b.lang
+      |       WHEN majority IN ('han', 'hangul') THEN majority
+      |       ELSE 'und' END AS lang,
+      |  CASE WHEN majority = 'latin' THEN b.dist END AS dist,
       |  r.n_latin, r.n_han, r.n_hangul
-      |FROM legs l JOIN r USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+      |FROM r LEFT JOIN best b ON b.doc_id = r.doc_id
+      |ORDER BY r.doc_id""".stripMargin
 
   val defs2: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q356_ct_ngram_langid" -> ((q356 _, Some(q356Sql))),

@@ -1933,10 +1933,13 @@ object TxnOps {
     * source concatenation order, byte-for-byte per sequence. Face 0 is
     * the action ledger (2 staged files → 2 sink epochs → 'TT').
     *
-    * Scale shape: ONE corpus-sized exchange — the seq_id regroup, which
-    * IS the assembly; every group is bounded (≤ 2048 tokens, ≤ 2050
-    * parts), so no skew is possible by construction. The prefix sum
-    * rides q366's two-level √N scan; the sink writes on the executors
+    * Scale shape: the token payload crosses TWO corpus-sized exchanges —
+    * the offsets⋈tokens doc_id join inside sequenceParts and the seq_id
+    * regroup that IS the assembly (the prefix sum's own exchanges carry
+    * only metadata-width triples; tokenization runs twice — counted in
+    * the round-17 review, stated here rather than hidden). Every
+    * assembly group is bounded (≤ 2048 tokens, ≤ 2050 parts), so no
+    * skew is possible by construction; the sink writes on the executors
     * (rows never collect to the driver); the ledger face is
     * metadata-sized. */
   def q367(s0: SparkSession, d: String): DataFrame = {
@@ -1946,7 +1949,7 @@ object TxnOps {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q367_ckpt").toString
     Seq(staged, tbl, ckpt).foreach(p => sys.addShutdownHook(
       graft.io.FsUtil.deleteRecursively(new java.io.File(p))): Unit)
-    val parts = graft.queries.TextOps.sequenceParts(Tables.documents(s, d))
+    val parts = graft.queries.TextOps.sequenceParts(s, d)
     val seqs = parts.groupBy(col("seq_id")).agg(
       count(lit(1)).as("n_parts"),
       expr("flatten(transform(sort_array(collect_list(struct(tok_off, toks))), " +

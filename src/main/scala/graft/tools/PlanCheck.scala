@@ -237,11 +237,15 @@ object PlanCheck {
       val df = graft.SparkEntry.queries("q364_chunk_decontamination")(spark, sfDir)
       df.collect(): Unit
       val plan = df.queryExecution.executedPlan.toString
-      val ok = plan.contains("BroadcastHashJoin") &&
+      // BOTH joins must runtime-broadcast at sf0.01: the probe SEMI-join
+      // (the pin's whole point — one matching BHJ elsewhere must not
+      // mask a degraded probe) and the hits⋈perDoc rollup join
+      val ok = "BroadcastHashJoin".r.findAllIn(plan).size >= 2 &&
+        plan.contains("LeftSemi") &&
         !plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin")
       rec("q364_chunk_decontamination",
-        "AQE runtime-broadcasts the small benchmark probe; no cartesian", ok)
+        "AQE runtime-broadcasts probe semi-join AND rollup join; no cartesian", ok)
       if (!ok) { failures += 1; println(plan.linesIterator.take(40).mkString("\n")) }
     }
     // q368: the bipartite band join must stay a HASH join on the band
@@ -263,8 +267,9 @@ object PlanCheck {
     // join, and no corpus-sized cartesian anywhere (the 6-language
     // fan-out is an intended 6-row broadcast NLJ)
     check("q369_real_corpus_langid",
-        "bounded top-K doc profiles; broadcast profile join; no cartesian")(p =>
+        "bounded top-K doc profiles; broadcast profile join; ONE intended NLJ")(p =>
       p.contains("TopKPerGroup") && p.contains("BroadcastHashJoin") &&
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
         !p.contains("CartesianProduct"))
     // q356: ONE hash exchange (doc_id repartition below both explodes —
     // gram counting, top-K window, distance agg, and argmin all ride it),

@@ -69,6 +69,23 @@ class Q366GroupWidthSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == expect)
   }
 
+  test("footer statistics agree with the aggregate on real testdata, " +
+       "and the footer path is what q366 uses (no row read)") {
+    val d = "/root/testdata/sf0.001"
+    val fromFooter = graft.io.ParquetStats
+      .minMaxLong(s"$d/documents.parquet", "doc_id")
+    val agg = graft.core.Tables.documents(spark, d)
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+           org.apache.spark.sql.functions.max("doc_id")).head()
+    assert(fromFooter.contains((agg.getLong(0), agg.getLong(1))),
+      s"footer stats $fromFooter must equal the aggregate " +
+        s"(${agg.getLong(0)}, ${agg.getLong(1)})")
+    // a column with no stats (or a missing path) falls back cleanly
+    assert(graft.io.ParquetStats.minMaxLong("/nonexistent", "doc_id").isEmpty)
+    assert(graft.io.ParquetStats
+      .minMaxLong(s"$d/documents.parquet", "no_such_col").isEmpty)
+  }
+
   test("group width derives from the id range with a floor of 64") {
     import spark.implicits._
     def width(ids: Seq[Long]) = graft.queries.TextOps.q366GroupWidth(
