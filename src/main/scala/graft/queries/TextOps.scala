@@ -1512,8 +1512,24 @@ object TextOps {
     * only (doc_id, n_tok, grp) triples. */
   private[graft] def sequenceParts(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    sequencePartsOver(docs, q366GroupWidthFor(d, docs))
+  }
+  /** Assembled sequences from a parts table: per seq_id, the part count
+    * and the packed token array in deterministic tok_off order (the ONE
+    * regroup definition — q367's sink payload and q372's survivor shards
+    * must pack identically). */
+  private[graft] def assembleSequences(parts: DataFrame): DataFrame =
+    parts.groupBy(col("seq_id")).agg(
+      count(lit(1)).as("n_parts"),
+      expr("flatten(transform(sort_array(collect_list(struct(tok_off, toks))), " +
+        "x -> x.toks))").as("toks"))
+  /** [[sequenceParts]] over an arbitrary (doc_id, text) doc set — q372
+    * assembles the post-curation SURVIVOR corpus; G from the unfiltered
+    * table's footer range stays valid (a superset range only widens
+    * groups). */
+  private[graft] def sequencePartsOver(docs: DataFrame, g: Long): DataFrame = {
     val L = Q366SeqLen
-    val off = q366Assembly(docs, q366GroupWidthFor(d, docs))
+    val off = q366Assembly(docs, g)
       .select(col("doc_id"), col("n_tok"), col("tok_off"),
               col("seq_first"), col("seq_last"))
     val toks = docs.select(col("doc_id"),
@@ -1644,6 +1660,141 @@ object TextOps {
       |FROM h JOIN pd ON pd.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q372
+  /** CURATION → SHARDS, END TO END (round 17): the materialization run a
+    * data lead actually executes — every gate the board proves
+    * individually, composed into one auditable funnel and the training
+    * sequences it yields:
+    *
+    *   documents → train side (benchmark slice excluded entirely)
+    *             → q360 decision = keep (the composite quality gate)
+    *             → NOT q364-contaminated (exact-window eval leakage)
+    *             → q365 sampled (the CCNet bucket coin)
+    *             → q366 concat-then-split assembly over the SURVIVORS
+    *
+    * Faces: (0) the FUNNEL census — doc counts at every stage plus
+    * survivor token mass and sequence count (the yield numbers a
+    * training budget is priced from); (1) the assembled sequences, each
+    * pinned by the md5 of its packed token stream against the oracle's
+    * positional replay — so the gate certifies the exact bytes a trainer
+    * would consume, not just the bookkeeping. The survivor policy is
+    * stated identically in both engines; the group width comes from the
+    * UNFILTERED table's footer range (a superset range only widens
+    * groups — output is G-independent anyway, Q366GroupWidthSpec).
+    *
+    * Scale shape: the gates are doc-grain joins on doc_id over
+    * already-reduced signal tables; the assembly is q367's (two
+    * token-payload exchanges, bounded groups); everything upstream
+    * keeps its own entry's measured posture. */
+  def q372(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val keep = q360(s, d).filter(col("decision") === "keep")
+      .select(col("doc_id"))
+    val sampled = q365(s, d).filter(col("kept")).select(col("doc_id"))
+    val contaminated = q364(s, d).select(col("doc_id"))
+    val surv = train.select(col("doc_id"), col("text"))
+      .join(keep, Seq("doc_id"))
+      .join(sampled, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val seqs = assembleSequences(
+      sequencePartsOver(surv, q366GroupWidthFor(d, docs)))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(0L).as("face"), lit(name).as("metric"), col("n"),
+          nullL.as("seq_id"), nullL.as("n_parts"), nullL.as("n_tok"),
+          nullS.as("seq_md5"))
+    val totToks = surv
+      .select(expr("size(filter(split(trim(text), '\\\\s+'), x -> x <> ''))")
+        .cast("long").as("nt"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("n"))
+      .select(lit(0L).as("face"), lit("total_tokens").as("metric"), col("n"),
+        nullL.as("seq_id"), nullL.as("n_parts"), nullL.as("n_tok"),
+        nullS.as("seq_md5"))
+    val funnel = cnt("docs_total", docs)
+      .unionByName(cnt("train_docs", train))
+      .unionByName(cnt("keep_docs", keep))
+      .unionByName(cnt("sampled_docs", sampled))
+      .unionByName(cnt("decon_flagged", contaminated))
+      .unionByName(cnt("survivor_docs", surv))
+      .unionByName(cnt("n_sequences", seqs))
+      .unionByName(totToks)
+    val seqFace = seqs.select(lit(1L).as("face"), nullS.as("metric"),
+      nullL.as("n"), col("seq_id"), col("n_parts"),
+      size(col("toks")).cast("long").as("n_tok"),
+      md5(array_join(col("toks"), " ")).as("seq_md5"))
+    funnel.unionByName(seqFace)
+      .orderBy(col("face"), col("metric"), col("seq_id"))
+  }
+  lazy val q372Sql: String =
+    """WITH q360v AS (
+      |""".stripMargin + q360Sql + """
+      |),
+      |q364v AS (
+      |""".stripMargin + q364Sql + """
+      |),
+      |q365v AS (
+      |""".stripMargin + q365Sql + """
+      |),
+      |surv AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN (SELECT doc_id FROM q360v WHERE decision = 'keep') kk
+      |    ON kk.doc_id = d.doc_id
+      |  JOIN (SELECT doc_id FROM q365v WHERE kept) ss
+      |    ON ss.doc_id = d.doc_id
+      |  WHERE d.doc_id % 5 <> 0
+      |    AND d.doc_id NOT IN (SELECT doc_id FROM q364v)),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM surv),
+      |c AS (
+      |  SELECT doc_id, t, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_off
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, tok_off, unnest(t) AS tok,
+      |    unnest(range(1, n_tok + 1)) AS i
+      |  FROM c WHERE n_tok > 0),
+      |g AS (
+      |  SELECT (tok_off + i - 1) // 2048 AS seq_id, tok_off + i - 1 AS gp,
+      |    tok, doc_id
+      |  FROM p),
+      |f AS (
+      |  SELECT seq_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_parts,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    md5(string_agg(tok, ' ' ORDER BY gp)) AS seq_md5
+      |  FROM g GROUP BY seq_id)
+      |SELECT CAST(0 AS BIGINT) AS face, 'docs_total' AS metric,
+      |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+      |  CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS n_parts,
+      |  CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS VARCHAR) AS seq_md5
+      |UNION ALL SELECT 0, 'train_docs',
+      |  (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0),
+      |  NULL, NULL, NULL, NULL
+      |UNION ALL SELECT 0, 'keep_docs',
+      |  (SELECT COUNT(*) FROM q360v WHERE decision = 'keep'),
+      |  NULL, NULL, NULL, NULL
+      |UNION ALL SELECT 0, 'sampled_docs',
+      |  (SELECT COUNT(*) FROM q365v WHERE kept), NULL, NULL, NULL, NULL
+      |UNION ALL SELECT 0, 'decon_flagged',
+      |  (SELECT COUNT(*) FROM q364v), NULL, NULL, NULL, NULL
+      |UNION ALL SELECT 0, 'survivor_docs',
+      |  (SELECT COUNT(*) FROM surv), NULL, NULL, NULL, NULL
+      |UNION ALL SELECT 0, 'n_sequences',
+      |  (SELECT COUNT(*) FROM f), NULL, NULL, NULL, NULL
+      |UNION ALL SELECT 0, 'total_tokens',
+      |  CAST((SELECT COALESCE(SUM(n_tok), 0) FROM t) AS BIGINT),
+      |  NULL, NULL, NULL, NULL
+      |UNION ALL SELECT 1, NULL, NULL, seq_id, n_parts, n_tok, seq_md5 FROM f
+      |ORDER BY face, metric, seq_id""".stripMargin
 
   // ---------------------------------------------------------------- q368
   /** NEAR-DUP-GRAIN BENCHMARK DECONTAMINATION (round 17, verdict item
@@ -2897,6 +3048,7 @@ object TextOps {
     "q363_curation_yield" -> ((q363 _, Some(q363Sql))),
     "q364_chunk_decontamination" -> ((q364 _, Some(q364Sql))),
     "q368_neardup_decontamination" -> ((q368 _, Some(q368Sql))),
+    "q372_curation_to_shards" -> ((q372 _, Some(q372Sql))),
     "q365_bucket_sampling" -> ((q365 _, Some(q365Sql))),
     "q366_sequence_assembly" -> ((q366 _, Some(q366Sql))),
     "q355_unigram_entropy" -> ((q355 _, Some(q355Sql))),

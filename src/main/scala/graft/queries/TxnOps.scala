@@ -1949,11 +1949,8 @@ object TxnOps {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q367_ckpt").toString
     Seq(staged, tbl, ckpt).foreach(p => sys.addShutdownHook(
       graft.io.FsUtil.deleteRecursively(new java.io.File(p))): Unit)
-    val parts = graft.queries.TextOps.sequenceParts(s, d)
-    val seqs = parts.groupBy(col("seq_id")).agg(
-      count(lit(1)).as("n_parts"),
-      expr("flatten(transform(sort_array(collect_list(struct(tok_off, toks))), " +
-        "x -> x.toks))").as("toks"))
+    val seqs = graft.queries.TextOps.assembleSequences(
+      graft.queries.TextOps.sequenceParts(s, d))
     seqs.repartition(2).write.mode("overwrite").parquet(staged)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")

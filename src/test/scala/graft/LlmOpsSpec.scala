@@ -23,14 +23,14 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("board integrity: 371 uniquely-named entries, every oracle key resolves") {
+  test("board integrity: 372 uniquely-named entries, every oracle key resolves") {
     // SparkEntry merges per-file defs maps with ++, which would SILENTLY
     // drop an entry on a duplicated query name — pin the census so a
     // collision fails loudly instead of shrinking the board
     val qs = graft.SparkEntry.queries
-    assert(qs.size == 371, s"expected 371 board entries, got ${qs.size}")
+    assert(qs.size == 372, s"expected 372 board entries, got ${qs.size}")
     val oracle = graft.SparkEntry.oracleSql
-    assert(oracle.size == 371, s"expected 371 oracle entries, got ${oracle.size}")
+    assert(oracle.size == 372, s"expected 372 oracle entries, got ${oracle.size}")
     assert(oracle.keySet.subsetOf(qs.keySet))
     // since round 6 the audio e2e carries a frozen golden-VALUES oracle, so
     // EVERY board entry is hash-gated — no rows-only exceptions remain
