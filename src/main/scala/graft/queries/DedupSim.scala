@@ -1401,12 +1401,16 @@ object DedupSim {
     * (ReuseExchange, the q78 layout), so novelty costs one term-keyed
     * shuffle plus the per-doc rollup. */
   def q143(s: SparkSession, d: String): DataFrame = {
-    val byTerm = shingleSets(s, d).repartition(col("term"))
+    val shArr = shingleArrays(s, d)
+    val byTerm = shArr.select(col("doc_id"), explode(col("ts")).as("term"))
+      .repartition(col("term"))
     val dfTab = byTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val uniq = byTerm
       .join(dfTab.filter(col("df") === 1).select(col("term")), Seq("term"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
-    shingleSets(s, d).groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // n_shingles is the array size — the old per-doc COUNT aggregation
+    // (one full shuffle of every shingle row) is a free projection now
+    shArr.select(col("doc_id"), size(col("ts")).cast("long").as("n_shingles"))
       .join(uniq, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"))
@@ -2311,29 +2315,35 @@ object DedupSim {
     * representation). The oracle is the brute-force all-pairs statement
     * of the same filter — hash-equality IS the observed no-false-negative
     * guarantee. */
-  /** The distinct (doc_id, shingle) table q128 is built from, explicitly
-    * partitioned on doc_id: the df aggregation, the prefix windows, and
-    * the verify-side set arrays are ALL consumers — the interpreted
-    * shingle transform must run once, not once per consumer (the naive
-    * composition recomputed it ~6× and was 10× slower at sf0.1). */
-  private def shingleSetPlan(s: SparkSession, d: String): DataFrame =
+  /** The distinct shingle table q128/q143 are built from, as ONE ARRAY ROW
+    * PER DOC, hash-partitioned on doc_id. Round-17 optimization (guide
+    * §2.4 — remove shuffles outright): a doc's shingles derive from that
+    * single row's text, so the global `(doc_id, term).distinct()` is
+    * exactly per-row `array_distinct` — the old formulation paid a full
+    * (doc_id, term) exchange for the distinct plus a second doc_id
+    * exchange, and the verify-side set arrays paid a third
+    * (`collect_list` re-aggregating what this row already holds). The
+    * array form shuffles doc-count rows ONCE; exploded consumers
+    * (`explode(ts)` is a narrow op) inherit the doc_id partitioning, so
+    * the prefix windows still ride this single exchange, and the set
+    * arrays are free projections. */
+  private def shingleArrayPlan(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
-        .as("term"))
-      .distinct()
+        .as("ts"))
       .repartition(col("doc_id"))
 
-  /** Session-scoped memo of the shingle-set table — AQE does not reuse
+  /** Session-scoped memo of the shingle-array table — AQE does not reuse
     * multi-consumer subtrees (BASELINE.md round-5 note), so without the
     * memo every one of q128's five consumers pays the shingle pass. Same
     * bounded strategy and eviction as [[sigCache]]. */
   private val shCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
     shCache.entrySet().removeIf { e =>
       val dead = e.getKey._1.sparkContext.isStopped
       val stale = !dead && (e.getKey._1 eq s) && e.getKey._2 != d
@@ -2341,20 +2351,26 @@ object DedupSim {
       dead || stale
     }
     shCache.computeIfAbsent((s, d), { key =>
-      shingleSetPlan(key._1, key._2)
+      shingleArrayPlan(key._1, key._2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
+
+  /** Exploded (doc_id, sz, term) view of a shingle-array table — sz rides
+    * along from the array, replacing the old per-doc COUNT window. */
+  private def shingleExploded(shArr: DataFrame): DataFrame =
+    shArr.select(col("doc_id"), size(col("ts")).as("sz"),
+      explode(col("ts")).as("term"))
 
   /** The DISTRIBUTED prefix-join plan (no memo) — PlanCheck audits THIS
     * shape (the q128 entry reads the persisted shingle relation, which
     * would make a plan assertion on the entry vacuous — the q24/q78
     * audit split). */
   private[graft] def prefixJaccardPairs(s: SparkSession, d: String): DataFrame =
-    q128From(shingleSetPlan(s, d))
+    q128From(shingleArrayPlan(s, d))
 
   def q128(s: SparkSession, d: String): DataFrame =
-    q128From(shingleSets(s, d))
+    q128From(shingleArrays(s, d))
 
   /** Candidate pairs after prefix + length filtering, optionally with the
     * PPJoin+ POSITIONAL stage. J >= 4/5 needs overlap O >=
@@ -2366,15 +2382,16 @@ object DedupSim {
     * per-token ranks, both monotone in the global order, so the first
     * match carries (min i, min j) and a plain min-agg replaces the old
     * distinct() at the same shuffle count. */
-  private def q128Candidates(sh: DataFrame, positional: Boolean): DataFrame = {
+  private def q128Candidates(shArr: DataFrame, positional: Boolean): DataFrame = {
+    val sh = shingleExploded(shArr)
     val dfT = sh.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // per doc: shingles rarest-first via windows over the doc_id
-    // partitioning already in place; prefix length |A| - ceil(4|A|/5) + 1,
-    // with ceil(4n/5) written as (4n + 4) div 5 to keep it integer-exact
-    val wCnt = Window.partitionBy(col("doc_id"))
+    // per doc: shingles rarest-first via a window over the doc_id
+    // partitioning already in place (explode is narrow, so the array
+    // table's exchange carries it); prefix length |A| - ceil(4|A|/5) + 1,
+    // with ceil(4n/5) written as (4n + 4) div 5 to keep it integer-exact.
+    // sz comes from the array size — the old per-doc COUNT window is gone.
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
     val pref = sh.join(broadcast(dfT), Seq("term"))
-      .withColumn("sz", count(lit(1)).over(wCnt))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
       .select(col("doc_id"), col("term"), col("sz"), col("rn"))
@@ -2398,18 +2415,19 @@ object DedupSim {
   /** Instrumentation for the scale report: candidate-pair count after
     * prefix+length only vs after the positional stage too. */
   private[graft] def q128CandidateCounts(s: SparkSession, d: String): (Long, Long) = {
-    val sh = shingleSets(s, d)
+    val sh = shingleArrays(s, d)
     (q128Candidates(sh, positional = false).count(),
      q128Candidates(sh, positional = true).count())
   }
 
-  private def q128From(sh: DataFrame): DataFrame = {
-    val cand = q128Candidates(sh, positional = true)
-    // set arrays for verification: same doc_id exchange, zero extra shuffle
+  private def q128From(shArr: DataFrame): DataFrame = {
+    val cand = q128Candidates(shArr, positional = true)
+    // set arrays for verification: FREE projections of the array table —
+    // the old collect_list re-aggregation (a full extra shuffle of every
+    // shingle) reconstructed exactly what each array row already holds
     // (element order inside the array is irrelevant to intersection SIZE)
-    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("term")).as("ts"))
-    val a = sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("ts").as("tb"))
+    val a = shArr.select(col("doc_id").as("doc_a"), col("ts").as("ta"))
+    val b = shArr.select(col("doc_id").as("doc_b"), col("ts").as("tb"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("uni", size(col("ta")).cast("long") + size(col("tb")) - col("inter"))
@@ -3204,7 +3222,13 @@ object DedupSim {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_q351_idx").toString
     sys.addShutdownHook(
       graft.io.FsUtil.deleteRecursively(new java.io.File(idxDir))): Unit
-    assigned(base).write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    // cluster by cell before the partitioned write: exactly ONE file per
+    // occupied cell instead of one per (scan task × cell) — the layout the
+    // operator itself argues for (guide §6: sensible output file sizing);
+    // locally it cuts the build's file count ~4× and every later listing
+    // and pruned read with it. Content-identical: layout only.
+    assigned(base).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
 
     // delta arrives as a stream: stage 3 files, one micro-batch each
     val stagedDir = java.nio.file.Files.createTempDirectory("graft_q351_delta").toString
@@ -3373,18 +3397,26 @@ object DedupSim {
       finally stream.close()
     }
 
-    // the q351 stream's on-disk aftermath: base build + 3 appended batches
+    // the q351 stream's on-disk aftermath: base build + 3 appended batches.
+    // The base is cell-clustered (one file per occupied cell — the q351
+    // build discipline); the APPENDS stay unclustered because the
+    // per-batch fragmentation is exactly the aftermath this operator
+    // exists to compact.
     val idxDir = tmpDir("graft_q358_idx")
-    assigned(base).write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    assigned(base).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
     (0 until 3).foreach { b =>
       assigned(delta.filter(col("vec_id") % 3 === b))
         .write.mode("append").partitionBy("cell").parquet(idxDir)
     }
     val filesBefore = countParquet(idxDir)
 
-    // COMPACT: cluster by cell, rewrite — one file per occupied cell
+    // COMPACT: cluster by cell, rewrite — one file per occupied cell.
+    // `fragmented` is reused by the pre-compaction search below: one
+    // listing of the fragmented layout instead of two.
     val compDir = tmpDir("graft_q358_compact")
-    s.read.parquet(idxDir).repartition(col("cell"))
+    val fragmented = s.read.parquet(idxDir)
+    fragmented.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(compDir)
     val filesAfter = countParquet(compDir)
     require(filesAfter < filesBefore,
@@ -3398,8 +3430,12 @@ object DedupSim {
     val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    def search(dir: String): DataFrame =
-      s.read.parquet(dir).withColumn("cell", col("cell").cast("long"))
+    // one DataFrame per layout state: each s.read.parquet(dir) builds a
+    // fresh InMemoryFileIndex (a full directory listing of ~cells paths),
+    // so deriving every face of one layout from ONE read halves the
+    // listing count (guide §6: small-file listing cost is real cost)
+    def search(idx: DataFrame): DataFrame =
+      idx.withColumn("cell", col("cell").cast("long"))
         .filter(col("cell").isin(probeCells: _*))
         .join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -3410,14 +3446,15 @@ object DedupSim {
         .select(col("q_id").cast("long").as("q_id"),
           col("rnk").cast("long").as("rnk"),
           col("vec_id").cast("long").as("vec_id"), col("cell"), col("cosine"))
-    val beforeRows = search(idxDir).orderBy(col("q_id"), col("rnk")).collect()
-    val afterSearch = search(compDir)
+    val compacted = s.read.parquet(compDir)
+    val beforeRows = search(fragmented)
+      .orderBy(col("q_id"), col("rnk")).collect()
+    val afterSearch = search(compacted)
     val afterRows = afterSearch.orderBy(col("q_id"), col("rnk")).collect()
     require(beforeRows.sameElements(afterRows),
       "compaction changed search results — rewrite must be content-neutral")
 
     val nullL = lit(null).cast("long")
-    val compacted = s.read.parquet(compDir)
     val censusFace = Seq(
       ("files_after", filesAfter),
       ("rows_total", compacted.count())).toDF("origin", "n")
@@ -3497,8 +3534,12 @@ object DedupSim {
     val probes = probePairs.toDF("q_id", "cell").join(broadcast(qs), Seq("q_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    def search(dir: String): DataFrame =
-      s.read.parquet(dir).withColumn("cell", col("cell").cast("long"))
+    // search over an already-resolved index DataFrame: every
+    // s.read.parquet(dir) builds a fresh InMemoryFileIndex (a directory
+    // listing of ~cells paths), so each layout state is read ONCE and all
+    // of its faces derive from that one DataFrame (guide §6)
+    def search(idx: DataFrame): DataFrame =
+      idx.withColumn("cell", col("cell").cast("long"))
         .filter(col("cell").isin(probeCells: _*))
         .join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -3511,7 +3552,10 @@ object DedupSim {
           col("vec_id").cast("long").as("vec_id"), col("cell"), col("cosine"))
 
     var live = tmpDir("graft_q371_idx")
-    assigned(base).write.mode("overwrite").partitionBy("cell").parquet(live)
+    // cell-clustered base build — one file per occupied cell (q351's
+    // build discipline; content-identical, layout only)
+    assigned(base).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(live)
     val census = scala.collection.mutable.Buffer.empty[(String, Long)]
     def runCycle(cyc: Int, batchPred: Column): Unit = {
       // stream-append this cycle's delta slice, two micro-batches
@@ -3532,23 +3576,24 @@ object DedupSim {
         .start()
       try q.processAllAvailable() finally q.stop()
       val filesAppend = countParquet(live)
-      val beforeRows = search(live).orderBy(col("q_id"), col("rnk")).collect()
+      val fragmented = s.read.parquet(live)
+      val beforeRows = search(fragmented).orderBy(col("q_id"), col("rnk")).collect()
       // compact: cluster by cell, rewrite, swap the live pointer
       val comp = tmpDir(s"graft_q371_compact$cyc")
-      s.read.parquet(live).repartition(col("cell"))
+      fragmented.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(comp)
       val filesComp = countParquet(comp)
-      val occ = s.read.parquet(comp)
-        .agg(countDistinct(col("cell")).as("c")).head().getLong(0)
+      val compDf = s.read.parquet(comp)
+      val occ = compDf.agg(countDistinct(col("cell")).as("c")).head().getLong(0)
       require(filesComp < filesAppend,
         s"cycle $cyc compaction must reduce files ($filesAppend -> $filesComp)")
       require(filesComp == occ,
         s"cycle $cyc must land one file per occupied cell ($filesComp vs $occ)")
-      val afterRows = search(comp).orderBy(col("q_id"), col("rnk")).collect()
+      val afterRows = search(compDf).orderBy(col("q_id"), col("rnk")).collect()
       require(beforeRows.sameElements(afterRows),
         s"cycle $cyc compaction changed search results")
       live = comp
-      census += ((s"c${cyc}_rows", s.read.parquet(comp).count()))
+      census += ((s"c${cyc}_rows", compDf.count()))
       census += ((s"c${cyc}_cells", occ))
     }
     runCycle(1, expr("(vec_id div 7) % 4") <= 1)
@@ -3559,7 +3604,9 @@ object DedupSim {
       .select(lit("census").as("face"), col("origin"), nullL.as("q_id"),
         nullL.as("rnk"), nullL.as("vec_id"), nullL.as("cell"),
         lit(null).cast("double").as("cosine"), col("n"))
-    val searchFace = search(live)
+    // the final search face stays a LIVE query over the twice-compacted
+    // index (PlanCheck pins the INSET partition pruning on this plan)
+    val searchFace = search(s.read.parquet(live))
       .select(lit("search").as("face"), lit(null).cast("string").as("origin"),
         col("q_id"), col("rnk"), col("vec_id"), col("cell"), col("cosine"),
         nullL.as("n"))

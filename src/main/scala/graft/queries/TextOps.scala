@@ -1690,14 +1690,24 @@ object TextOps {
   def q372(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val train = docs.filter(col("doc_id") % 5 =!= 0)
+    // Each gate table is consumed TWICE (its funnel-census count and the
+    // survivor join) and `surv` 4× (count, token mass, offsets, slices);
+    // Spark does not share subtrees across union branches, so without a
+    // materialization barrier the q360/q364/q365 signal pipelines each ran
+    // 2× and the three-gate join 4× (guide §1.2/§5: don't recompute what
+    // you already have — measured 7.5 s → the checkpoint halves it). All
+    // four tables are doc-grain (≤ corpus-doc-count rows), never token
+    // grain, so the checkpoint is small by construction.
     val keep = q360(s, d).filter(col("decision") === "keep")
-      .select(col("doc_id"))
+      .select(col("doc_id")).localCheckpoint()
     val sampled = q365(s, d).filter(col("kept")).select(col("doc_id"))
-    val contaminated = q364(s, d).select(col("doc_id"))
+      .localCheckpoint()
+    val contaminated = q364(s, d).select(col("doc_id")).localCheckpoint()
     val surv = train.select(col("doc_id"), col("text"))
       .join(keep, Seq("doc_id"))
       .join(sampled, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val seqs = assembleSequences(
       sequencePartsOver(surv, q366GroupWidthFor(d, docs)))
     val nullL = lit(null).cast("long")
@@ -2750,6 +2760,62 @@ object TextOps {
         .take(Q356K)
         .zipWithIndex.map { case ((g, _), i) => (lang, g, i + 1) }
     }
+  /** Shared CT classifier stages for q356 (fixture face) and q369 (real
+    * corpus) — optimization round 17, guide §2.3 (shuffle/explode fewer
+    * rows) and §2.4 (remove redundant passes):
+    *
+    *  - [[ctDocTop]]: word-COUNT first (`groupBy(doc_id, w)`), then explode
+    *    1–3-grams over the doc's DISTINCT words with the count as a weight.
+    *    Every occurrence of a word contributes the same grams, so
+    *    Σ weight ≡ the per-occurrence gram count — integer-identical — but
+    *    the explode fan-out shrinks from (tokens × ~25 grams) to
+    *    (vocabulary × ~25 grams); natural text repeats words, so this is a
+    *    5–20× row cut in the heaviest stage. Both aggs and the top-K
+    *    window still ride the ONE doc_id exchange (hash on doc_id
+    *    satisfies the (doc_id, ·) clusterings).
+    *
+    *  - [[ctBestLang]]: the 6-language rank-distance argmin WITHOUT the
+    *    gram-level crossJoin fan-out. The profile table pivots driver-side
+    *    to one row per gram (rl per language, null when absent), a single
+    *    broadcast LEFT join attaches it to the doc's top grams, one
+    *    aggregation sums |rd − rl| (or the flat K penalty) per language in
+    *    SIX COLUMNS, and the argmin is `array_min` over (dist, lang)
+    *    structs — struct ordering IS "min dist, ties to lexicographically
+    *    first lang". Replaces 6× gram rows + a row_number window with
+    *    1× rows + a per-row array_min; the top table is consumed ONCE
+    *    (no duplicated subtree). Output column-identical to the old
+    *    crossJoin + left-join + window formulation. */
+  private def ctDocTop(words: DataFrame): DataFrame =
+    words
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
+      .select(col("doc_id"), col("wc"), explode(expr(
+        "flatten(transform(sequence(1, 3), n -> transform(" +
+          "sequence(1, length(pw) - n + 1), s -> substring(pw, s, n))))"))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(sum(col("wc")).as("c"))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))))
+      .filter(col("rd") <= Q356K)
+  private def ctBestLang(s: SparkSession, top: DataFrame): DataFrame = {
+    import s.implicits._
+    val langNames = Q356Train.map(_._1)
+    val byGram = q356Profiles.groupBy(_._2)
+    val profWide = byGram.toSeq.sortBy(_._1).map { case (g, entries) =>
+      val m = entries.map(e => e._1 -> e._3.toLong).toMap
+      (g, m.get(langNames(0)), m.get(langNames(1)), m.get(langNames(2)),
+        m.get(langNames(3)), m.get(langNames(4)), m.get(langNames(5)))
+    }.toDF("gram" +: langNames.map(l => s"rl_$l"): _*)
+    val sums = langNames.map(l =>
+      sum(coalesce(abs(col("rd") - col(s"rl_$l")).cast("long"),
+        lit(Q356K.toLong))).as(s"d_$l"))
+    top.join(broadcast(profWide), Seq("gram"), "left")
+      .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), array_min(array(langNames.map(l =>
+        struct(col(s"d_$l").as("dist"), lit(l).as("lang"))): _*)).as("m"))
+      .select(col("doc_id"), col("m.lang").as("lang"), col("m.dist").as("dist"))
+  }
+
   def q356(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -2777,28 +2843,9 @@ object TextOps {
       }
       .toDF("doc_id", "text", "is_latin", "script")
     val ct = docs.filter(col("is_latin"))
-    val top = ct.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
-      .select(col("doc_id"), explode(expr(
-        "flatten(transform(sequence(1, 3), n -> transform(" +
-          "sequence(1, length(pw) - n + 1), s -> substring(pw, s, n))))"))
-        .as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .withColumn("rd", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))))
-      .filter(col("rd") <= Q356K)
-    val prof = q356Profiles.toDF("lang", "gram", "rl")
-    val langs = Q356Train.map(_._1).toDF("lang")
-    val best = top
-      .crossJoin(broadcast(langs))
-      .join(broadcast(prof), Seq("lang", "gram"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(coalesce(abs(col("rd") - col("rl")).cast("long"),
-        lit(Q356K.toLong))).as("dist"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("lang"))))
-      .filter(col("rk") === 1)
+    val top = ctDocTop(ct.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
+    val best = ctBestLang(s, top)
       .select(col("doc_id"), (col("doc_id") % 8).as("shape"),
         lit("ct").as("route"), col("lang"), col("dist"))
     val scripted = docs.filter(!col("is_latin"))
@@ -2926,30 +2973,11 @@ object TextOps {
         .when(col("n_han") === m, lit("han"))
         .when(col("n_hangul") === m, lit("hangul"))
         .otherwise(lit("latin")))
-    val top = routed.filter(col("majority") === "latin")
+    val top = ctDocTop(routed.filter(col("majority") === "latin")
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr(
-        "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w"))
-      .withColumn("pw", concat(lit("_"), col("w"), lit("_")))
-      .select(col("doc_id"), explode(expr(
-        "flatten(transform(sequence(1, 3), n -> transform(" +
-          "sequence(1, length(pw) - n + 1), s -> substring(pw, s, n))))"))
-        .as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .withColumn("rd", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))))
-      .filter(col("rd") <= Q356K)
-    val prof = q356Profiles.toDF("lang", "gram", "rl")
-    val langs = Q356Train.map(_._1).toDF("lang")
-    val best = top
-      .crossJoin(broadcast(langs))
-      .join(broadcast(prof), Seq("lang", "gram"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(coalesce(abs(col("rd") - col("rl")).cast("long"),
-        lit(Q356K.toLong))).as("dist"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("lang"))))
-      .filter(col("rk") === 1)
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')")).as("w")))
+    val best = ctBestLang(s, top)
       .select(col("doc_id"), col("lang").as("ct_lang"),
         col("dist").as("ct_dist"))
     // one routed pass carries the counts; the CT leg joins back only its
