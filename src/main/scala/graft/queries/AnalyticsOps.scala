@@ -648,7 +648,8 @@ object AnalyticsOps {
     // the shared session's global (round-5 ADVICE item 2) — a concurrent
     // query on `s` can no longer observe the override
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     // complete-mode sink: the no-data batch only evicts state — skip it
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = s2.readStream.format("graft.sources.GenSource")
@@ -752,7 +753,8 @@ object AnalyticsOps {
     // partitions there leaves the shared session's conf untouched
     // (round-5 ADVICE item 2)
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     // complete-mode sink: the no-data batch only evicts state — skip it
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ev = Tables.events(s2, d)

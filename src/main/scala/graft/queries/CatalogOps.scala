@@ -307,7 +307,8 @@ object CatalogOps {
     * (exactly 2 `T` epochs despite the replay). */
   def q298(s0: SparkSession, d: String): DataFrame = {
     val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val wh = java.nio.file.Files.createTempDirectory("graft_q298_wh").toString
@@ -378,7 +379,8 @@ object CatalogOps {
     *     reclaimed ≥1 file, also a boolean face) */
   def q299(s0: SparkSession, d: String): DataFrame = {
     val s = s0.newSession() // inherits the session extensions (parser)
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s))
     val wh = java.nio.file.Files.createTempDirectory("graft_q299_wh").toString
     s.conf.set("spark.sql.catalog.gmt", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.gmt.warehouse", wh)

@@ -571,7 +571,8 @@ object CorpusOps {
   def q209(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     // update-mode IVM sinks emit on data arrival; skip the no-data batch
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val staged = java.nio.file.Files.createTempDirectory("graft_q209_src").toString
@@ -629,7 +630,8 @@ object CorpusOps {
   def q210(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     // update-mode IVM sinks emit on data arrival; skip the no-data batch
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val staged = java.nio.file.Files.createTempDirectory("graft_q210_src").toString
@@ -849,7 +851,8 @@ object CorpusOps {
   def q214(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     // update-mode IVM sinks emit on data arrival; skip the no-data batch
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val staged = java.nio.file.Files.createTempDirectory("graft_q214_src").toString

@@ -3236,7 +3236,8 @@ object DedupSim {
       graft.io.FsUtil.deleteRecursively(new java.io.File(stagedDir))): Unit
     delta.repartition(3).write.mode("overwrite").parquet(stagedDir)
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     val q = s2.readStream.schema(delta.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagedDir)
       .writeStream.outputMode("append").queryName("q351_index_ingest")
@@ -3563,7 +3564,8 @@ object DedupSim {
       delta.filter(batchPred).repartition(2)
         .write.mode("overwrite").parquet(stagedDir)
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        graft.core.Sessions.streamShufflePartitions(s2))
       val liveNow = live
       val q = s2.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", "1").parquet(stagedDir)

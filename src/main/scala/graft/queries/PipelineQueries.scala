@@ -301,7 +301,7 @@ object PipelineQueries {
   private def streamSession(s: SparkSession, needsIdleBatch: Boolean = false): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+      graft.core.Sessions.streamShufflePartitions(s))
     if (!needsIdleBatch)
       s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2

@@ -821,7 +821,8 @@ object TxnOps {
       .select(col("event_id"), col("user_id"), col("event_type"))
     ev.repartition(3).write.mode("overwrite").parquet(staged)
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -1879,7 +1880,8 @@ object TxnOps {
       StructField("value", DoubleType)))
     def drive(): Unit = {
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        graft.core.Sessions.streamShufflePartitions(s2))
       val q = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
         .writeStream.format("graft.sources.TxnSink")
@@ -1953,7 +1955,8 @@ object TxnOps {
       graft.queries.TextOps.sequenceParts(s, d))
     seqs.repartition(2).write.mode("overwrite").parquet(staged)
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Sessions.streamShufflePartitions(s2))
     val q = s2.readStream.schema(seqs.schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
       .writeStream.format("graft.sources.TxnSink")
@@ -2194,7 +2197,8 @@ object TxnOps {
       TxnLog.commit(docs.filter(expr(s"doc_id % 3 = $i")).coalesce(1), srcDir))
     def drive(): Unit = {
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        graft.core.Sessions.streamShufflePartitions(s2))
       val q = s2.readStream.format(classOf[graft.sources.TxnStreamSource].getName)
         .option("path", srcDir).option("maxVersionsPerTrigger", "1").load()
         .filter(col("n_chars") >= 100) // the in-flight transform
@@ -2270,7 +2274,8 @@ object TxnOps {
     TxnLog.compact(s, srcDir)                                              // v5 R noop
     def drive(): Unit = {
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        graft.core.Sessions.streamShufflePartitions(s2))
       s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q = s2.readStream.format(classOf[graft.sources.TxnStreamSource].getName)
         .option("path", srcDir).option("readChangeFeed", "true")
