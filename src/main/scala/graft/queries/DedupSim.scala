@@ -2759,9 +2759,14 @@ object DedupSim {
       zip_with(v, element_at(centMap, cellL),
         (x, y) => x.cast("double") - y.cast("double"))
     def sliceM(c: Column, m: Int): Column = slice(c, m * PqSub + 1, PqSub)
-    // corpus side: assign → residual → per-subspace codes, one projection
+    // corpus side: assign → residual → per-subspace codes, one projection.
+    // Checkpointed: the training stats below union PqM (=8) per-subspace
+    // views of this table and `coded` reads it again — without the
+    // barrier the argmin-over-cells + residual projection ran 9× (Spark
+    // shares no subtrees across union branches; guide §1.2/§5).
     val assign = ivfAssignFrom(emb, cs)
       .withColumn("res", resOf(col("embedding"), col("cell").cast("long")))
+      .localCheckpoint()
     // per-subspace codebooks, indexed by m: start from seed-residual slices
     val pqSeed: Array[Array[(Long, Array[Double])]] =
       Array.tabulate(PqM)(m => pqSeeds.map { case (sid, resA) =>

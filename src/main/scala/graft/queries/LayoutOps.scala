@@ -326,11 +326,16 @@ object LayoutOps {
     // one metadata agg fixes the quantization grid (driver-side 1-row max)
     val m = raw.agg(max(col("x")).as("mx"), max(col("y")).as("my")).head()
     val (mx, my) = (m.getLong(0), m.getLong(1))
+    // checkpoint: the curve table feeds count + TWO globalOrdinal passes,
+    // each of which evaluates its input twice through RDD lineage
+    // (zipWithIndex's size job + the indexed pass) — without the barrier
+    // the scan + both curve computations ran ~5× (guide §1.2/§5)
     val q = raw
       .withColumn("qx", expr(s"(x * 256) div ${mx + 1}"))
       .withColumn("qy", expr(s"(y * 256) div ${my + 1}"))
       .withColumn("h", graft.functions.GraftFunctions.hilbertD(col("qx"), col("qy"), 8))
       .withColumn("z", zInterleave(col("qx"), col("qy")))
+      .localCheckpoint()
     val n = q.count()
     def binned(layout: String, key: Column): DataFrame =
       graft.ops.Ordinals.globalOrdinal(q, key, 32)
