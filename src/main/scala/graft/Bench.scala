@@ -90,6 +90,15 @@ object Bench {
       // 100 TB the same conf is what keeps post-filter stages right-sized.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Commit ceremony for the many small fixture writes the txn
+      // lifecycles perform (guide §6): v2 task-commit renames once
+      // instead of staging through the job-attempt dir, and _SUCCESS
+      // markers are pure per-write overhead nobody reads (TxnLog lists
+      // *.parquet; the three staging idempotency checks use their own
+      // markers/atomic renames). Both are standard production settings;
+      // on an object store at 100 TB fewer renames matters even more.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -44,7 +44,10 @@ object ResultCache {
              deps: Seq[(String, Long)]): Cached = {
     val k = key(df, deps)
     val entry = Paths.get(cacheDir, k)
-    if (Files.exists(entry.resolve("_SUCCESS")))
+    // entry dirs appear only via the ATOMIC_MOVE below, so directory
+    // presence == complete copy (no _SUCCESS dependence: the bench
+    // session disables the marker — it was committer ceremony per write)
+    if (Files.isDirectory(entry))
       return Cached(spark.read.parquet(entry.toString), hit = true, k)
     val tmp = Files.createTempDirectory(Paths.get(cacheDir), s".pending-$k-")
     df.write.mode("overwrite").parquet(tmp.toString)

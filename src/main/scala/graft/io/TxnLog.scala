@@ -130,6 +130,89 @@ object TxnLog {
     (rel, files)
   }
 
+  /** Driver-side parquet row count from the file's own footer — no Spark
+    * job, metadata bytes only. */
+  private def parquetRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Sidecar stat lines (`rel<TAB>col<TAB>min<TAB>max`) derived from the
+    * parquet FOOTERS on the driver — no Spark job: the writer just
+    * produced these files, and their row-group statistics already hold
+    * exact integral min/max (the Iceberg manifest-stats move; guide §6 —
+    * the post-write stats SCAN re-read data to recompute what the footer
+    * metadata states). Returns None (caller falls back to the scan) on
+    * anything non-exact: missing statistics, a non-integral physical
+    * type, or a column absent from a file. All-null chunks contribute
+    * nothing; a file all-null in `c` gets no `c` line — the scan path's
+    * exact behavior. */
+  private def footerStatsLines(dir: String, rels: Seq[String],
+                               cols: Seq[String]): Option[Vector[String]] = {
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      val out = Vector.newBuilder[String]
+      rels.foreach { rel =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          cols.foreach { c =>
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var seen = false; var matched = false
+            blocks.forEach { blk =>
+              blk.getColumns.forEach { cc =>
+                if (cc.getPath.toDotString == c) {
+                  matched = true
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty)
+                    return None // stats not recorded: fall back to the scan
+                  if (st.hasNonNullValue) {
+                    val (lo, hi) = st match {
+                      case s: LongStatistics => (s.getMin, s.getMax)
+                      case s: IntStatistics  => (s.getMin.toLong, s.getMax.toLong)
+                      case _ => return None // non-integral: fall back
+                    }
+                    mn = math.min(mn, lo); mx = math.max(mx, hi); seen = true
+                  }
+                }
+              }
+            }
+            if (!matched && blocks.size() > 0) return None // column absent
+            if (seen) out += s"$rel\t$c\t$mn\t$mx"
+          }
+        } finally r.close()
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[writeData]] for rewrites that may legitimately produce ZERO rows
+    * (a delete that empties every touched file): ONE pass — write, then
+    * decide emptiness from the written footers on the driver. Replaces
+    * the localCheckpoint + isEmpty pre-probe, which evaluated the whole
+    * rewrite twice (materialize, then rescan for the write) — at 100 TB
+    * that is a second full shuffle/scan of the rewrite (guide §1.2/§5).
+    * An empty DataFrame writes exactly one zero-row metadata file (only
+    * partition 0 writes when empty), so "1 file ∧ 0 rows" is precisely
+    * the isEmpty case; any other outcome keeps the file list writeData
+    * would have produced, byte-identical layout included. */
+  private def writeDataIfRows(df: DataFrame, dir: String): Option[(String, Vector[String])] = {
+    val rel = s"part-${java.util.UUID.randomUUID().toString}"
+    df.write.mode("errorifexists").parquet(s"$dir/$rel")
+    val files = new java.io.File(s"$dir/$rel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$rel/${f.getName}").sorted.toVector
+    if (files.size == 1 && parquetRowCount(s"$dir/${files.head}") == 0L) {
+      val d = new java.io.File(s"$dir/$rel")
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      None
+    } else Some((rel, files))
+  }
+
   /** Relative paths of every parquet leaf under `dir/rel`, any depth —
     * the partitioned-commit sibling of [[writeData]]'s flat listing. */
   private def walkParquet(dir: String, rel: String): Vector[String] = {
@@ -362,18 +445,21 @@ object TxnLog {
       case Some(ks) =>
         files.flatMap(rel => ks.map { case (c, mn, mx) => s"$rel\t$c\t$mn\t$mx" })
       case None =>
-        val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
-          .withColumn("__rel", substring_index(input_file_name(), "/", -2))
-        val aggs = statsCols.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
-        // one tiny job over only the just-written files; result is
-        // (files × statsCols)-sized — metadata, never data
-        val rows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*).collect()
-        rows.toVector.flatMap { r =>
-          statsCols.flatMap { c =>
-            val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
-            if (mn == null || mx == null) None
-            else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+        // footer-derived when exact (driver metadata, no job); else one
+        // tiny job over only the just-written files — result is
+        // (files × statsCols)-sized either way, metadata, never data
+        footerStatsLines(dir, files, statsCols).getOrElse {
+          val withRel = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
+            .withColumn("__rel", substring_index(input_file_name(), "/", -2))
+          val aggs = statsCols.flatMap(c => Seq(
+            min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
+          val rows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*).collect()
+          rows.toVector.flatMap { r =>
+            statsCols.flatMap { c =>
+              val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+              if (mn == null || mx == null) None
+              else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+            }
           }
         }
     }
@@ -1174,7 +1260,11 @@ object TxnLog {
                                     (build: DataFrame => DataFrame): Long = {
     while (true) {
       val base = currentVersion(dir)
-      val df = build(read(spark, dir, mergeSchema = mergeSchema)).localCheckpoint()
+      // flat-branch rewrites flow straight into one write; only the
+      // partitioned branch probes isEmpty and stages, so only it pins
+      // the batch first
+      val df0 = build(read(spark, dir, mergeSchema = mergeSchema))
+      val df = if (partitionBy.isEmpty) df0 else df0.localCheckpoint()
       // `partitionBy` keeps a PARTITIONED table's layout through the
       // rewrite (the SQL DML fallback on catalog tables): the replace
       // lands in the shared pdata tree, so later catalog scans still see
@@ -1336,18 +1426,22 @@ object TxnLog {
     * files — sound, never wrong. */
   private def writeZoneStats(spark: SparkSession, dir: String, v: Long,
                              files: Seq[String], cols: Seq[String]): Unit = {
-    val withRel = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-      .withColumn("__rel", substring_index(input_file_name(), "/", -2))
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__mn_$c"),
-      max(col(c).cast("long")).as(s"__mx_$c")))
-    val statRows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val lines = statRows.toVector.flatMap { r =>
-      cols.flatMap { c =>
-        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
-        if (mn == null || mx == null) None
-        else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+    // footer-derived when exact (driver metadata, no job); else the
+    // original post-write scan over only the rewrite's files
+    val lines = footerStatsLines(dir, files, cols).getOrElse {
+      val withRel = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        .withColumn("__rel", substring_index(input_file_name(), "/", -2))
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"__mn_$c"),
+        max(col(c).cast("long")).as(s"__mx_$c")))
+      val statRows = withRel.groupBy(col("__rel")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      statRows.toVector.flatMap { r =>
+        cols.flatMap { c =>
+          val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+          if (mn == null || mx == null) None
+          else Some(s"${r.getAs[String]("__rel")}\t$c\t$mn\t$mx")
+        }
       }
     }
     val tmp = Files.createTempFile(logDir(dir), ".stats-", ".tmp")
@@ -1531,7 +1625,7 @@ object TxnLog {
         Files.size(Paths.get(dir, f)) < thresholdBytes)
       if (smalls.size < 2) return base
       val packed = spark.read.parquet(smalls.map(resolve(dir, _)): _*)
-        .coalesce(targetFiles).localCheckpoint()
+        .coalesce(targetFiles) // single use: flows straight into the write
       val (rel, files) = writeData(packed, dir)
       // `X noop`: record-identity by construction — the packed adds ARE
       // the removed rows (vectors untouched on both sides), so the change
@@ -1658,13 +1752,12 @@ object TxnLog {
         .select(col("__rel")).distinct().collect().map(_.getString(0)).sorted
       if (touched.isEmpty) return base
       val slice = widenSlice(readFiles(touched.map(resolve(dir, _))), widenTo)
-      val rewritten = transform(slice, hit).localCheckpoint()
-      val (relFiles, body) =
-        if (rewritten.isEmpty) (None, touched.map("-" + _).toVector)
-        else {
-          val (rel, files) = writeData(rewritten, dir)
+      val rewritten = transform(slice, hit)
+      val (relFiles, body) = writeDataIfRows(rewritten, dir) match {
+        case None => (None, touched.map("-" + _).toVector)
+        case Some((rel, files)) =>
           (Some(rel), touched.map("-" + _).toVector ++ files.map("+" + _))
-        }
+      }
       claimFence()
       if (tryClaim(dir, base + 1, "X", body)) return base + 1
       relFiles.foreach { rel =>
@@ -1958,7 +2051,7 @@ object TxnLog {
           "a unique key, or widen the predicate to cover them")
       val updated = set.foldLeft(matching) { case (df, (c, e)) =>
         df.withColumn(c, expr(e))
-      }.select(cur.columns.map(col).toSeq: _*).localCheckpoint()
+      }.select(cur.columns.map(col).toSeq: _*) // single use: flows into writeData
       val (vrel, vfiles) = writeData(keys, dir)
       val (arel, afiles) = writeData(updated, dir)
       val body = vfiles.map("V " + _) ++ afiles.map("+" + _)
@@ -2031,7 +2124,10 @@ object TxnLog {
         else spark.read.parquet(touched.map(resolve(dir, _)).toSeq: _*)
           .join(srcKeys, keyCols, "left_anti")
           .unionByName(src, allowMissingColumns = evolveSchema)
-      val (rel, files) = writeData(rewritten.localCheckpoint(), dir)
+      // single evaluation: the rewrite flows straight into the write (no
+      // checkpoint — it fed only this write, so materializing it first
+      // doubled the scan+join work; guide §1.2)
+      val (rel, files) = writeData(rewritten, dir)
       val body = touched.map("-" + _).toVector ++ files.map("+" + _)
       claimFence()
       if (tryClaim(dir, base + 1, "X", body)) return base + 1
@@ -2280,13 +2376,11 @@ object TxnLog {
         if (touched.isEmpty) read(spark, dir, mergeSchema = widenTo.nonEmpty).limit(0)
         else readFiles(touched.map(resolve(dir, _)).toSeq), widenTo)
       val rewritten = applyMergeGrammar(targetSlice, src, keyCols, grammar)
-        .localCheckpoint()
-      val (relFiles, body) =
-        if (rewritten.isEmpty) (None, touched.map("-" + _).toVector)
-        else {
-          val (rel, files) = writeData(rewritten, dir)
+      val (relFiles, body) = writeDataIfRows(rewritten, dir) match {
+        case None => (None, touched.map("-" + _).toVector)
+        case Some((rel, files)) =>
           (Some(rel), touched.map("-" + _).toVector ++ files.map("+" + _))
-        }
+      }
       if (body.isEmpty) return base // no matches, no inserts: a no-op statement
       claimFence()
       if (tryClaim(dir, base + 1, "X", body)) return base + 1

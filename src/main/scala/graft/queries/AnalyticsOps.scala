@@ -769,7 +769,10 @@ object AnalyticsOps {
     // dir and atomically rename into place — two concurrent runs each build
     // a complete copy and exactly one rename wins; the loser discards its
     // tmp and reads the winner's. No reader ever sees a half-written dir.
-    if (!new java.io.File(s"$staged/_SUCCESS").isFile) {
+    // the staged dir appears only via the ATOMIC_MOVE below, so dir
+    // presence == complete copy (no _SUCCESS dependence: the bench
+    // session disables the marker as per-write committer ceremony)
+    if (!new java.io.File(staged).isDirectory) {
       val tmp = s"$staged.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
       ev.repartition(3).write.mode("overwrite").parquet(tmp)
       try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),

@@ -377,14 +377,17 @@ object DataOps {
     val base = s"${sys.props("java.io.tmpdir")}/graft_schema_evo_${
       java.lang.Integer.toHexString(d.hashCode)}"
     val o = Tables.orders(s, d)
-    if (!new java.io.File(s"$base/p1/_SUCCESS").isFile ||
-        !new java.io.File(s"$base/p2/_SUCCESS").isFile) {
+    // own completion marker, written driver-side AFTER both stages land
+    // (_SUCCESS is disabled session-wide as per-write committer ceremony)
+    val done = new java.io.File(s"$base/_graft_done")
+    if (!done.isFile) {
       o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
         .write.mode("overwrite").parquet(s"$base/p1")
       o.filter(col("o_orderkey") % 2 =!= 0)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .write.mode("overwrite").parquet(s"$base/p2")
+      done.createNewFile()
     }
     s.read.option("mergeSchema", "true").parquet(s"$base/p1", s"$base/p2")
       .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))

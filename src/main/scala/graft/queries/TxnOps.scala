@@ -2133,9 +2133,13 @@ object TxnOps {
         .unionByName(term(dF.withColumnRenamed("sgn", "sf"),
                           dD.withColumnRenamed("sgn", "sd"),
                           col("sf") * col("sd")))
+    // checkpointed: the maintained view feeds BOTH the multiplicity
+    // check and the ivm rollup — without the barrier the three delta
+    // joins + group-by ran twice (guide §1.2)
     val vNew = vOld.withColumn("sgn", lit(1L)).unionByName(delta)
       .groupBy(viewCols: _*).agg(sum(col("sgn")).as("net"))
       .filter(col("net") =!= 0L)
+      .localCheckpoint()
     // multiset sanity: every surviving row must have multiplicity exactly 1
     require(vNew.filter(col("net") =!= 1L).isEmpty,
       "IVM net multiplicity outside {0,1} — signed application is wrong")
