@@ -394,6 +394,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 private[graft] object GraftSqlTable {
+  /** Inferred physical schema per (dir, resolved version) — a manifest
+    * chain is immutable below its current version, so the footer-derived
+    * schema of a snapshot never changes and re-inferring it on EVERY
+    * statement's table resolution (a fresh GraftSqlTable per loadTable)
+    * was pure driver overhead on multi-statement DML lifecycles
+    * (guide §7.3: planning/metadata time is driver-side, single-threaded).
+    * LRU-bounded: fixture tables are temp dirs that never return. */
+  private val inferredSchemaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), StructType](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), StructType]): Boolean =
+          size() > 256
+      })
+
+  def inferredSchemaAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       asOf: Option[Long], v: Long): StructType = {
+    val k = (dir, v)
+    val hit = inferredSchemaCache.get(k)
+    if (hit != null) hit
+    else {
+      val s = graft.io.TxnLog.read(spark, dir, asOf).schema
+      inferredSchemaCache.put(k, s)
+      s
+    }
+  }
+
   /** DDL schema persisted by CREATE TABLE — served until the first commit
     * gives the table real files to infer from. */
   def storedSchema(dir: String): Option[StructType] = {
@@ -497,9 +524,11 @@ private[graft] class GraftSqlTable(dir: String, ident: String,
     * it to a pinned snapshot would silently NULL a column the old files
     * store under its pre-rename name. */
   override lazy val schema: StructType = {
-    val (_, files, _) = TxnLog.fileScanPlan(dir, asOf)
+    val (v, files, _) = TxnLog.fileScanPlan(dir, asOf)
     val inferred =
-      if (files.nonEmpty) Some(TxnLog.read(spark, dir, asOf).schema) else None
+      if (files.nonEmpty)
+        Some(GraftSqlTable.inferredSchemaAt(spark, dir, asOf, v))
+      else None
     if (asOf.isDefined)
       inferred.orElse(GraftSqlTable.storedSchema(dir)).getOrElse(new StructType())
     else (GraftSqlTable.storedSchema(dir), inferred) match {
