@@ -714,6 +714,11 @@ object CorpusOps {
     // everything stays < n^2 (Long-safe to ~3e9 nodes).
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val n = docs.count() // metadata-sized driver scalar: the node count
+    // NOT checkpointed (measured round 17): a barrier here pins the
+    // window's single-partition layout onto every downstream map side
+    // and swaps codegen-fused re-evaluation for an RDD scan — min-of-5
+    // regressed 1.48 → 1.87 s. The repeated window is the cheaper evil
+    // at this node count; GraphRank itself caches the edge relation.
     val idx = docs.select(col("doc_id"),
       (row_number().over(Window.orderBy(col("doc_id"))) - 1)
         .cast("long").as("nid"))

@@ -56,10 +56,15 @@ object LayoutOps {
     * aggregation; the audit is 64-row metadata. Two ordered passes total,
     * exactly what an OPTIMIZE job costs. */
   def q191(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: base feeds count + TWO globalOrdinal passes, each of
+    // which evaluates its input twice through RDD lineage (zipWithIndex's
+    // size job + the indexed pass) — without the barrier the scan + the
+    // z-interleave ran ~5× (guide §1.2/§5; the q200 fix, same shape)
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       col("l_partkey").as("x"), col("l_suppkey").as("y"))
       .withColumn("z", zInterleave(col("x"), col("y")))
+      .localCheckpoint()
     val n = base.count()
     def binned(layout: String, key: Column): DataFrame =
       graft.ops.Ordinals.globalOrdinal(base, key, 32)
@@ -203,11 +208,15 @@ object LayoutOps {
     * decomposition IS the skyline (ties kept: equal on both axes ⇒ neither
     * strictly dominates). */
   def q193(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the tokenize-heavy metric table feeds BOTH the
+    // per-n_chars max chain and the final join probe — without the
+    // barrier the split + array_distinct pass ran twice (guide §1.2)
     val m = Tables.documents(s, d)
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       .select(col("doc_id"), col("n_chars"),
         floor(lit(1e6) * size(array_distinct(col("toks"))) / size(col("toks")))
           .cast("long").as("div_ppm"))
+      .localCheckpoint()
     val g = m.groupBy(col("n_chars")).agg(max(col("div_ppm")).as("gmax"))
     val pm = graft.ops.Ordinals.globalPrefixMaxExclusive(
       g, col("n_chars").desc, "gmax", 8)

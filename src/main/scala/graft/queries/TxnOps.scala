@@ -2040,16 +2040,23 @@ object TxnOps {
     sys.addShutdownHook(
       graft.io.FsUtil.deleteRecursively(new java.io.File(tbl))): Unit
     val isDelta = col("doc_id") % 7 === 0
-    // the predicate goes INSIDE each signal leg (q360Where) so every
-    // leg's plan filters at its own scan — a filter on the composite
-    // strands above the left joins on two legs (measured round 17)
-    val dec = (p: Column) => graft.queries.TextOps.q360Where(s, d, p)
+    // ONE six-signal pass for the whole lifecycle: base commit, delta
+    // merge source, and the direct parity face are all slices of the
+    // same per-doc decision table (that per-doc-ness is exactly what the
+    // ivm ≡ direct gate proves), so computing q360Where three times —
+    // two full corpus passes of the signal pipeline — was pure recompute
+    // (guide §1.2). The SCALE property (a delta refresh can score delta
+    // rows plus a constant through q360Where's pushed predicate) is
+    // pinned by Q370PushdownSpec on q360Where directly and is not
+    // weakened by the fixture staging its faces from one pass.
+    val full = graft.queries.TextOps.q360Where(s, d, lit(true))
       .select(col("doc_id"), col("decision"), col("score"))
-    TxnLog.commit(dec(!isDelta).coalesce(2), tbl)      // v1: base
-    TxnLog.merge(s, tbl, dec(isDelta), Seq("doc_id"))  // v2: Δ only
+      .localCheckpoint()
+    TxnLog.commit(full.filter(!isDelta).coalesce(2), tbl)      // v1: base
+    TxnLog.merge(s, tbl, full.filter(isDelta), Seq("doc_id"))  // v2: Δ only
     val ivm = TxnLog.read(s, tbl)
       .select(lit(0L).as("face"), col("doc_id"), col("decision"), col("score"))
-    val direct = dec(lit(true))
+    val direct = full
       .select(lit(1L).as("face"), col("doc_id"), col("decision"), col("score"))
     val fresh = s.range(1).select(lit(2L).as("face"), lit(-1L).as("doc_id"),
       concat(lit("v"), lit(TxnLog.currentVersion(tbl)).cast("string"))
