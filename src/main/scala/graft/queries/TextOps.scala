@@ -1708,6 +1708,12 @@ object TextOps {
       .join(sampled, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    // NOT checkpointed (measured round 17): seqs feeds the n_sequences
+    // census row and the per-sequence face, but the census COUNT prunes
+    // the heavy toks-assembly aggregate entirely (column pruning through
+    // the Aggregate), so the "duplicate" evaluation is metadata-cheap —
+    // a barrier here forces full token-array materialization and
+    // regressed the query 5.1 → 9.5 s.
     val seqs = assembleSequences(
       sequencePartsOver(surv, q366GroupWidthFor(d, docs)))
     val nullL = lit(null).cast("long")
